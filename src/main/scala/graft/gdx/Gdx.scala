@@ -1,0 +1,129 @@
+package graft.gdx
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Symbol-level API reproducing gdxpy's ergonomics on DataFrames
+  * (SURVEY.md §3.1: loadsymbols with `*` patterns over multiple files,
+  * case-insensitive lookup, reshape helpers, special-value semantics).
+  * Everything returns lazy DataFrames — the Spark contrast to the
+  * reference's eager scan→materialize→pandas lifecycle (§3.4).
+  */
+object Gdx {
+
+  /** Symbol table of a GDX file — mirrors gdxSystemInfo + per-symbol
+    * gdxSymbolInfo loop (REF gdxpy catalog behavior, SURVEY §2.A).
+    */
+  def catalog(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("gdx").option("symbol", "__catalog__").load(path)
+
+  /** One symbol in long form; name matching is case-insensitive
+    * (gdxFindSymbol). specialValues: "map" (gdxpy-compatible) or
+    * "columns" (lossless is_eps/is_na/is_undef flags).
+    */
+  def symbol(spark: SparkSession, path: String, name: String,
+      specialValues: String = "map"): DataFrame =
+    spark.read.format("gdx")
+      .option("symbol", name)
+      .option("specialValues", specialValues)
+      .load(path)
+
+  /** gdxpy `loadsymbols("x*,y", files)`: expand `*` patterns against
+    * each file's catalog, load every match from every file, tagging
+    * provenance in a `gdx_file` column (long form beats the reference's
+    * name-suffixing at scale — SURVEY §2.A gdx_multifile).
+    */
+  def loadSymbols(spark: SparkSession, patterns: String,
+      paths: Seq[String]): Map[String, DataFrame] = {
+    val pats = patterns.split("[ ,]+").filter(_.nonEmpty).map(globToRegex)
+    val perFile = for {
+      p <- paths
+      names = catalog(spark, p).select("name").collect().map(_.getString(0))
+      n <- names if pats.exists(_.matches(n.toLowerCase))
+    } yield (n.toLowerCase, p)
+    perFile.groupBy(_._1).map { case (name, files) =>
+      name -> files.map { case (_, f) =>
+        symbol(spark, f, name).withColumn("gdx_file", lit(f))
+      }.reduce(_ unionByName _)
+    }
+  }
+
+  private def globToRegex(pat: String): scala.util.matching.Regex =
+    ("(?i)" + pat.toLowerCase.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+      case c => c.toString
+    }).r
+
+  /** gdxpy's Series→DataFrame reshape: pivot the last dimension to
+    * columns (SURVEY §2.D agg_pivot / §2.I reshape_long_to_wide).
+    */
+  def pivotLastDim(df: DataFrame, valueCol: String = "value"): DataFrame = {
+    val dims = df.columns.filter(_.startsWith("dim_")).sorted
+    require(dims.length >= 2, "pivot needs >= 2 dims")
+    df.groupBy(dims.dropRight(1).map(col): _*)
+      .pivot(dims.last)
+      .agg(first(col(valueCol)))
+  }
+
+  /** Densify: expand sparse symbol over explicit domain-set DataFrames
+    * (one column each), filling absent records with `default` —
+    * inverse of GDX sparsity (SURVEY §2.I densify_default_fill).
+    */
+  def densify(df: DataFrame, domains: Seq[DataFrame], default: Double = 0.0): DataFrame = {
+    val dims = df.columns.filter(_.startsWith("dim_")).sorted
+    require(domains.size == dims.length, "one domain set per dimension")
+    val grid = domains.zip(dims).map { case (dom, d) =>
+      dom.toDF(d)
+    }.reduce(_ crossJoin _)
+    grid.join(df, dims.toSeq, "left")
+      .withColumn("value", coalesce(col("value"), lit(default)))
+  }
+
+  /** Sparsify: drop default-valued records, keeping EPS-flagged zeros
+    * (what GDX storage does on write — EPS means "stored zero").
+    */
+  def sparsify(df: DataFrame, default: Double = 0.0): DataFrame =
+    if (df.columns.contains("is_eps"))
+      df.filter(col("value") =!= default || col("is_eps"))
+    else df.filter(col("value") =!= default)
+
+  /** Per-vartype default bound fill (SURVEY §2.H fn_special_values). */
+  def defaultFill(df: DataFrame, varType: Int): DataFrame = {
+    val (lo, up) = VarType.defaultBounds(varType)
+    def fill(c: String, d: Double): Column = {
+      val dd = SpecialValues.toDouble(d)
+      when(col(c) === 0.0, lit(dd)).otherwise(col(c))
+    }
+    df.withColumn("lower", fill("lower", lo)).withColumn("upper", fill("upper", up))
+  }
+}
+
+/** EPS-aware value for aggregation in flag mode. */
+case class EpsVal(value: Double, is_eps: Boolean, is_na: Boolean, is_undef: Boolean)
+
+/** GDX-semantics sum (SURVEY §2.D agg_eps_sum): EPS participates as 0,
+  * but a sum over only-EPS records is EPS (stored zero), not plain 0;
+  * UNDEF then NA propagate. Cannot be a builtin sum — a typed
+  * Aggregator keeps it codegen-adjacent (object hash aggregate).
+  */
+object EpsSum extends Aggregator[EpsVal, (Double, Boolean, Boolean, Boolean, Boolean), EpsVal] {
+  // (sum, sawEps, sawNonEps, sawNa, sawUndef)
+  def zero = (0.0, false, false, false, false)
+  def reduce(b: (Double, Boolean, Boolean, Boolean, Boolean), v: EpsVal) =
+    (b._1 + (if (v.is_eps) 0.0 else v.value),
+      b._2 || v.is_eps, b._3 || !v.is_eps, b._4 || v.is_na, b._5 || v.is_undef)
+  def merge(a: (Double, Boolean, Boolean, Boolean, Boolean),
+      b: (Double, Boolean, Boolean, Boolean, Boolean)) =
+    (a._1 + b._1, a._2 || b._2, a._3 || b._3, a._4 || b._4, a._5 || b._5)
+  def finish(b: (Double, Boolean, Boolean, Boolean, Boolean)): EpsVal =
+    if (b._5) EpsVal(Double.NaN, is_eps = false, is_na = false, is_undef = true)
+    else if (b._4) EpsVal(Double.NaN, is_eps = false, is_na = true, is_undef = false)
+    else if (b._2 && !b._3) EpsVal(0.0, is_eps = true, is_na = false, is_undef = false)
+    else EpsVal(b._1, is_eps = false, is_na = false, is_undef = false)
+  def bufferEncoder: Encoder[(Double, Boolean, Boolean, Boolean, Boolean)] =
+    Encoders.product[(Double, Boolean, Boolean, Boolean, Boolean)]
+  def outputEncoder: Encoder[EpsVal] = Encoders.product[EpsVal]
+}

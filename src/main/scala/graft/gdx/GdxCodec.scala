@@ -1,0 +1,265 @@
+package graft.gdx
+
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream, EOFException, FileInputStream, FileOutputStream, InputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.{Deflater, DeflaterOutputStream, InflaterInputStream}
+
+/** Binary codec for the graft GDX container.
+  *
+  * Structural features follow the GDX data-section design (SPEC
+  * GAMS-dev/gdx; SURVEY.md §1.1): per-symbol sorted sparse coordinate
+  * lists with delta-encoded keys (only the first-changed dimension
+  * onward is rewritten per record), one global ordered UEL table,
+  * special-value sentinels in-band, optional zlib compression per data
+  * section. The byte layout is re-derived (no GAMS-produced files exist
+  * in this environment — SURVEY.md §0) and gated on round-trip property
+  * tests (GdxCodecSpec).
+  *
+  * Layout:
+  * {{{
+  * magic "GRFTGDX1" | producer UTF | compressed byte
+  * uelCount varint  | uel UTF ×N
+  * symCount varint
+  * per symbol:
+  *   name UTF | explText UTF | typ byte | dim byte | userInfo varint
+  *   domains UTF ×dim | recordCount varint | dataLen varint | data blob
+  * }}}
+  * Data blob (zlib-deflated when compressed=1):
+  * per record: firstChanged byte, then varint keys for dims
+  * firstChanged..dim-1, then values (set: varint textIndex+1 or 0;
+  * parameter: 1 double; var/equ: 5 doubles). Doubles are raw IEEE bits.
+  * Symbol data blobs are independently decodable given the UEL table —
+  * the DSv2 scan plans one InputPartition per symbol and skips other
+  * blobs via dataLen without decompressing them.
+  */
+object GdxCodec {
+
+  val Magic: Array[Byte] = "GRFTGDX1".getBytes(StandardCharsets.US_ASCII)
+
+  // ------------------------------------------------------------ varint
+
+  private def writeVarInt(out: DataOutputStream, value: Int): Unit = {
+    var v = value
+    require(v >= 0, s"varint must be non-negative: $v")
+    while ((v & ~0x7f) != 0) {
+      out.writeByte((v & 0x7f) | 0x80)
+      v >>>= 7
+    }
+    out.writeByte(v)
+  }
+
+  private def readVarInt(in: DataInputStream): Int = {
+    var shift = 0
+    var result = 0
+    var b = in.readByte()
+    while ((b & 0x80) != 0) {
+      result |= (b & 0x7f) << shift
+      shift += 7
+      b = in.readByte()
+    }
+    result | ((b & 0x7f) << shift)
+  }
+
+  // ------------------------------------------------------------ write
+
+  def write(container: GdxContainer, path: String, compress: Boolean = true): Unit = {
+    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path), 1 << 16))
+    try {
+      out.write(Magic)
+      out.writeUTF(container.producer)
+      out.writeBoolean(compress)
+      writeVarInt(out, container.uels.size)
+      container.uels.foreach { u =>
+        require(u.length <= 63, s"UEL label longer than 63 chars: $u")
+        out.writeUTF(u)
+      }
+      writeVarInt(out, container.symbols.size)
+      container.symbols.foreach { sym => writeSymbol(out, sym, compress) }
+    } finally out.close()
+  }
+
+  private def writeSymbol(out: DataOutputStream, sym: GdxSymbol, compress: Boolean): Unit = {
+    out.writeUTF(sym.name)
+    out.writeUTF(sym.explText)
+    out.writeByte(sym.typ)
+    out.writeByte(sym.dim)
+    writeVarInt(out, sym.userInfo)
+    val doms = if (sym.domains.size == sym.dim) sym.domains else Seq.fill(sym.dim)("*")
+    doms.foreach(out.writeUTF)
+    val sorted = sortRecords(sym.records)
+    writeVarInt(out, sorted.size)
+    val blob = encodeRecords(sym, sorted, compress)
+    writeVarInt(out, blob.length)
+    out.write(blob)
+  }
+
+  /** GDX record order: lexicographic by key tuple (FMT requirement —
+    * delta encoding and sorted-scan skipping both depend on it).
+    */
+  def sortRecords(records: Vector[GdxRecord]): Vector[GdxRecord] =
+    records.sortWith { (a, b) =>
+      val n = a.keys.length
+      var i = 0
+      while (i < n && a.keys(i) == b.keys(i)) i += 1
+      i < n && a.keys(i) < b.keys(i)
+    }
+
+  private def encodeRecords(sym: GdxSymbol, sorted: Vector[GdxRecord],
+      compress: Boolean): Array[Byte] = {
+    val raw = new ByteArrayOutputStream()
+    val d = new DataOutputStream(
+      if (compress) new DeflaterOutputStream(raw, new Deflater(Deflater.BEST_SPEED)) else raw)
+    // set associated texts: per-symbol text pool, referenced by index
+    val textPool = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    sorted.foreach(_.text.foreach(t => textPool.getOrElseUpdate(t, textPool.size)))
+    writeVarInt(d, textPool.size)
+    textPool.keys.foreach(d.writeUTF)
+
+    var prev: Array[Int] = null
+    sorted.foreach { r =>
+      require(r.keys.length == sym.dim, s"record dim mismatch in ${sym.name}")
+      val first =
+        if (prev == null) 0
+        else {
+          var i = 0
+          while (i < sym.dim && prev(i) == r.keys(i)) i += 1
+          i
+        }
+      d.writeByte(first)
+      var i = first
+      while (i < sym.dim) { writeVarInt(d, r.keys(i)); i += 1 }
+      sym.typ match {
+        case SymbolType.Set | SymbolType.Alias =>
+          writeVarInt(d, r.text.map(textPool(_) + 1).getOrElse(0))
+        case SymbolType.Parameter =>
+          d.writeDouble(if (r.values.nonEmpty) r.values(0) else 0.0)
+        case _ =>
+          var f = 0
+          while (f < 5) {
+            d.writeDouble(if (f < r.values.length) r.values(f) else 0.0); f += 1
+          }
+      }
+      prev = r.keys
+    }
+    d.close()
+    raw.toByteArray
+  }
+
+  // ------------------------------------------------------------ read
+
+  /** Catalog entry: symbol metadata + the byte offset/length of its data
+    * blob, so scans can seek straight to one symbol.
+    */
+  final case class SymbolMeta(name: String, typ: Int, dim: Int, explText: String,
+      userInfo: Int, domains: Seq[String], records: Int, offset: Long, dataLen: Int)
+
+  final case class Header(producer: String, compressed: Boolean,
+      uels: IndexedSeq[String], metas: Vector[SymbolMeta])
+
+  /** Read header, UEL table and symbol metas; data blobs are skipped
+    * (cheap catalog read — mirrors gdxSystemInfo/gdxSymbolInfo).
+    */
+  def readHeader(path: String): Header = {
+    val cin = new CountingInputStream(new BufferedInputStream(new FileInputStream(path), 1 << 16))
+    val in = new DataInputStream(cin)
+    try {
+      val magic = new Array[Byte](Magic.length)
+      in.readFully(magic)
+      require(magic.sameElements(Magic), s"not a graft GDX file: $path")
+      val producer = in.readUTF()
+      val compressed = in.readBoolean()
+      val nUels = readVarInt(in)
+      val uels = Vector.fill(nUels)(in.readUTF())
+      val nSyms = readVarInt(in)
+      val metas = Vector.fill(nSyms) {
+        val name = in.readUTF()
+        val expl = in.readUTF()
+        val typ = in.readByte().toInt
+        val dim = in.readByte().toInt
+        val userInfo = readVarInt(in)
+        val domains = Seq.fill(dim)(in.readUTF())
+        val nRec = readVarInt(in)
+        val dataLen = readVarInt(in)
+        val offset = cin.count
+        var skipped = 0L
+        while (skipped < dataLen) {
+          val s = in.skip(dataLen - skipped)
+          if (s <= 0) throw new EOFException(s"truncated data blob for $name")
+          skipped += s
+        }
+        SymbolMeta(name, typ, dim, expl, userInfo, domains, nRec, offset, dataLen)
+      }
+      Header(producer, compressed, uels, metas)
+    } finally in.close()
+  }
+
+  /** Decode one symbol's records given its meta (seeks to the blob). */
+  def readSymbolRecords(path: String, header: Header, meta: SymbolMeta): Vector[GdxRecord] = {
+    val fin = new FileInputStream(path)
+    try {
+      var toSkip = meta.offset
+      while (toSkip > 0) {
+        val s = fin.skip(toSkip)
+        if (s <= 0) throw new EOFException(s"cannot seek to ${meta.name}")
+        toSkip -= s
+      }
+      val blob = new Array[Byte](meta.dataLen)
+      val din = new DataInputStream(fin)
+      din.readFully(blob)
+      decodeRecords(blob, header.compressed, meta)
+    } finally fin.close()
+  }
+
+  def decodeRecords(blob: Array[Byte], compressed: Boolean, meta: SymbolMeta): Vector[GdxRecord] = {
+    val base: InputStream = new ByteArrayInputStream(blob)
+    val in = new DataInputStream(if (compressed) new InflaterInputStream(base) else base)
+    val nTexts = readVarInt(in)
+    val texts = Vector.fill(nTexts)(in.readUTF())
+    val out = Vector.newBuilder[GdxRecord]
+    val prev = new Array[Int](meta.dim)
+    var n = 0
+    while (n < meta.records) {
+      val first = in.readByte().toInt
+      var i = first
+      while (i < meta.dim) { prev(i) = readVarInt(in); i += 1 }
+      val keys = prev.clone()
+      meta.typ match {
+        case SymbolType.Set | SymbolType.Alias =>
+          val t = readVarInt(in)
+          out += GdxRecord(keys, Array.empty, if (t == 0) None else Some(texts(t - 1)))
+        case SymbolType.Parameter =>
+          out += GdxRecord(keys, Array(in.readDouble()))
+        case _ =>
+          val vs = new Array[Double](5)
+          var f = 0
+          while (f < 5) { vs(f) = in.readDouble(); f += 1 }
+          out += GdxRecord(keys, vs)
+      }
+      n += 1
+    }
+    in.close()
+    out.result()
+  }
+
+  /** Full read (all symbols). */
+  def read(path: String): GdxContainer = {
+    val h = readHeader(path)
+    GdxContainer(h.producer, h.uels,
+      h.metas.map(m => GdxSymbol(m.name, m.typ, m.dim, m.explText, m.userInfo,
+        m.domains, readSymbolRecords(path, h, m))))
+  }
+
+  private final class CountingInputStream(in: InputStream) extends InputStream {
+    var count: Long = 0
+    override def read(): Int = {
+      val r = in.read(); if (r >= 0) count += 1; r
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      val r = in.read(b, off, len); if (r > 0) count += r; r
+    }
+    override def skip(n: Long): Long = {
+      val r = in.skip(n); count += r; r
+    }
+    override def close(): Unit = in.close()
+  }
+}

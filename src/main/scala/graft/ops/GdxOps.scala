@@ -1,0 +1,205 @@
+package graft.ops
+
+import java.io.File
+
+import graft.{QueryModule, T}
+import graft.gdx._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.A (GDX scans/sources/sinks) + §2.B filter_special +
+  * §2.H fn_special_values + §2.D agg_eps_sum — the reference-domain
+  * operators, exercised end-to-end through the DSv2 connector.
+  *
+  * Fixtures are derived deterministically from the harness parquet
+  * (nation/region), written once per sfDir into tmp as (a) a hand-built
+  * multi-symbol GDX, (b) a DSv2 single-file write, (c) a DSv2 sharded
+  * write — so the oracle SQL can verify the full parquet→GDX→parquet
+  * round trip against the original tables.
+  */
+object GdxOps extends QueryModule {
+
+  private val lock = new Object
+  private val built = scala.collection.mutable.Set.empty[String]
+
+  private def fixtureDir(sfDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-gdx-${new File(sfDir).getName}"
+
+  /** Static special-value fixture records (label, raw GDX value). */
+  private val specRecords = Seq(
+    ("s0", 1.5), ("s1", SpecialValues.EPS), ("s2", SpecialValues.NA),
+    ("s3", SpecialValues.UNDEF), ("s4", SpecialValues.PINF), ("s5", SpecialValues.MINF))
+
+  private def ensureFixtures(s: SparkSession, sfDir: String): String = lock.synchronized {
+    val dir = fixtureDir(sfDir)
+    if (!built.contains(dir)) {
+      new File(dir).mkdirs()
+      val nation = T(s, sfDir, "nation")
+        .select(col("n_name"), col("n_nationkey").cast("double"),
+          col("n_regionkey").cast("double"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1)
+      val region = T(s, sfDir, "region")
+        .select(col("r_name"), col("r_regionkey").cast("double"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+      val regionByKey = region.map { case (n, k) => k.toInt -> n }.toMap
+
+      // (a) hand-built multi-symbol file
+      val b = new GdxBuilder()
+      b.addSymbol("nat", SymbolType.Parameter, 1,
+        nation.map { case (n, k, _) => (Seq(n), Array(k), None) },
+        explText = "nation key by name", domains = Seq("n"))
+      b.addSymbol("natreg", SymbolType.Parameter, 2,
+        nation.map { case (n, k, rk) =>
+          (Seq(n, regionByKey(rk.toInt % region.length)), Array(k), None)
+        }, domains = Seq("n", "r"))
+      b.addSymbol("regset", SymbolType.Set, 1,
+        region.map { case (r, k) => (Seq(r), Array.empty[Double], Some(s"region $k")) })
+      b.addSymbol("spec", SymbolType.Parameter, 1,
+        specRecords.map { case (l, v) => (Seq(l), Array(v), None) })
+      GdxCodec.write(b.result(), s"$dir/file1.gdx")
+
+      // (b) DSv2 single-file write: region-derived `nat` (multifile demo)
+      T(s, sfDir, "region")
+        .select(col("r_name").as("dim_1"), col("r_regionkey").cast("double").as("value"))
+        .write.format("gdx").mode("overwrite")
+        .option("symbol", "nat").option("singleFile", "true")
+        .save(s"$dir/file2.gdx")
+
+      // (c) DSv2 sharded write: nation-derived `nat` across partitions
+      T(s, sfDir, "nation")
+        .select(col("n_name").as("dim_1"), col("n_nationkey").cast("double").as("value"))
+        .repartition(4)
+        .write.format("gdx").mode("overwrite")
+        .option("symbol", "nat")
+        .save(s"$dir/sharded")
+      built += dir
+    }
+    dir
+  }
+
+  // ------------------------------------------------------------ scans
+
+  q("gdx_scan_symbol",
+    """SELECT n_name AS dim_1, CAST(n_nationkey AS DOUBLE) AS value
+      |FROM nation ORDER BY dim_1""") { (s, d) =>
+    val dir = ensureFixtures(s, d)
+    Gdx.symbol(s, s"$dir/file1.gdx", "NAT") // case-insensitive lookup
+      .select("dim_1", "value")
+      .orderBy("dim_1")
+  }
+
+  q("gdx_catalog",
+    """SELECT * FROM (
+      |  SELECT 'nat' AS name, 'parameter' AS type, 1 AS dim,
+      |         (SELECT count(*) FROM nation) AS records
+      |  UNION ALL SELECT 'natreg', 'parameter', 2, (SELECT count(*) FROM nation)
+      |  UNION ALL SELECT 'regset', 'set', 1, (SELECT count(*) FROM region)
+      |  UNION ALL SELECT 'spec', 'parameter', 1, CAST(6 AS BIGINT)) t
+      |ORDER BY name""") { (s, d) =>
+    val dir = ensureFixtures(s, d)
+    Gdx.catalog(s, s"$dir/file1.gdx")
+      .select("name", "type", "dim", "records")
+      .orderBy("name")
+  }
+
+  q("gdx_scan_fields",
+    "SELECT CAST(n_nationkey AS DOUBLE) AS value FROM nation ORDER BY value") { (s, d) =>
+    val dir = ensureFixtures(s, d)
+    // value-field-only projection → SupportsPushDownRequiredColumns path
+    Gdx.symbol(s, s"$dir/file1.gdx", "nat")
+      .select("value")
+      .orderBy("value")
+  }
+
+  q("gdx_load_pattern",
+    """SELECT 'nat' AS symbol, count(*) AS n FROM nation
+      |UNION ALL SELECT 'natreg', count(*) FROM nation ORDER BY symbol""") { (s, d) =>
+    val dir = ensureFixtures(s, d)
+    Gdx.loadSymbols(s, "nat*", Seq(s"$dir/file1.gdx")).toSeq
+      .sortBy(_._1)
+      .map { case (name, df) => df.groupBy(lit(name).as("symbol")).agg(count(lit(1)).as("n")) }
+      .reduce(_ unionByName _)
+      .orderBy("symbol")
+  }
+
+  q("gdx_multifile",
+    """SELECT 'f1' AS f, count(*) AS n FROM nation
+      |UNION ALL SELECT 'f2', count(*) FROM region ORDER BY f""") { (s, d) =>
+    val dir = ensureFixtures(s, d)
+    Gdx.loadSymbols(s, "nat", Seq(s"$dir/file1.gdx", s"$dir/file2.gdx"))("nat")
+      .groupBy(when(col("gdx_file").endsWith("file1.gdx"), "f1").otherwise("f2").as("f"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("f")
+  }
+
+  q("gdx_write",
+    """SELECT n_name AS dim_1, CAST(n_nationkey AS DOUBLE) AS value
+      |FROM nation ORDER BY dim_1""") { (s, d) =>
+    val dir = ensureFixtures(s, d)
+    // read back the SHARDED DSv2 write (4 shards, per-shard UEL tables)
+    Gdx.symbol(s, s"$dir/sharded", "nat")
+      .select("dim_1", "value")
+      .orderBy("dim_1")
+  }
+
+  // ------------------------------------------------- special values
+
+  q("filter_special",
+    """SELECT * FROM (VALUES ('s0', 1.5, false), ('s1', 0.0, true),
+      |  ('s4', CAST('infinity' AS DOUBLE), false),
+      |  ('s5', CAST('-infinity' AS DOUBLE), false)) t(dim_1, value, is_eps)
+      |ORDER BY dim_1""") { (s, d) =>
+    val dir = ensureFixtures(s, d)
+    Gdx.symbol(s, s"$dir/file1.gdx", "spec", specialValues = "columns")
+      .filter(!col("is_na") && !col("is_undef"))
+      .select("dim_1", "value", "is_eps")
+      .orderBy("dim_1")
+  }
+
+  q("fn_special_values",
+    """SELECT * FROM (VALUES ('s0', false, false, false), ('s1', true, false, false),
+      |  ('s2', false, true, false), ('s3', false, false, true),
+      |  ('s4', false, false, false), ('s5', false, false, false))
+      |  t(dim_1, is_eps, is_na, is_undef)
+      |ORDER BY dim_1""") { (s, d) =>
+    val dir = ensureFixtures(s, d)
+    Gdx.symbol(s, s"$dir/file1.gdx", "spec", specialValues = "columns")
+      .select("dim_1", "is_eps", "is_na", "is_undef")
+      .orderBy("dim_1")
+  }
+
+  qRowsOnly("agg_eps_sum") { (s, d) =>
+    val dir = ensureFixtures(s, d)
+    import s.implicits._
+    val epsSum = udaf(EpsSum)
+    // eps-only group must come back EPS-flagged; mixed group numeric
+    Gdx.symbol(s, s"$dir/file1.gdx", "spec", specialValues = "columns")
+      .filter(!col("is_na") && !col("is_undef") &&
+        !col("value").isin(Double.PositiveInfinity, Double.NegativeInfinity))
+      .withColumn("grp", when(col("is_eps"), "eps_only").otherwise("numeric"))
+      .groupBy("grp")
+      .agg(epsSum(col("value"), col("is_eps"), col("is_na"), col("is_undef")).as("s"))
+      .select(col("grp"), col("s.value").as("value"), col("s.is_eps").as("is_eps"))
+      .orderBy("grp")
+  }
+
+  // gdxpy reshape: pivot last dim to columns over the 2-dim symbol
+  q("gdx_pivot_last_dim",
+    """SELECT n_name AS dim_1,
+      |       sum(CASE WHEN r = 'AFRICA' THEN k END) AS "AFRICA",
+      |       sum(CASE WHEN r = 'AMERICA' THEN k END) AS "AMERICA",
+      |       sum(CASE WHEN r = 'ASIA' THEN k END) AS "ASIA",
+      |       sum(CASE WHEN r = 'EUROPE' THEN k END) AS "EUROPE",
+      |       sum(CASE WHEN r = 'MIDDLE EAST' THEN k END) AS "MIDDLE EAST"
+      |FROM (SELECT n.n_name, rg.r_name AS r, CAST(n.n_nationkey AS DOUBLE) AS k
+      |      FROM nation n JOIN region rg
+      |        ON rg.r_regionkey = n.n_regionkey % (SELECT count(*) FROM region)) t
+      |GROUP BY n_name ORDER BY dim_1""") { (s, d) =>
+    val dir = ensureFixtures(s, d)
+    val wide = Gdx.pivotLastDim(Gdx.symbol(s, s"$dir/file1.gdx", "natreg"))
+    wide.select(col("dim_1") +: wide.columns.filter(_ != "dim_1").sorted
+        .map(c => col(s"`$c`")): _*)
+      .orderBy("dim_1")
+  }
+}

@@ -1,0 +1,133 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.gdx._
+
+/** DataSource V2 connector for the graft GDX container: format "gdx".
+  *
+  * Read:  spark.read.format("gdx").option("symbol", "x").load(path)
+  *   - `symbol` (default: first symbol) — case-insensitive, mirrors
+  *     gdxFindSymbol; `__catalog__` returns the symbol table
+  *     (gdxSystemInfo/gdxSymbolInfo view).
+  *   - `specialValues` = map (default; gdxpy-compatible NaN/±inf/0) |
+  *     columns (adds is_eps/is_na/is_undef flags — lossless).
+  *   - `path` may be a single .gdx file or a sharded directory produced
+  *     by the writer (shard-*.gdx + _manifest.json) — one InputPartition
+  *     per (shard, symbol), which is what makes scans parallel at 100 TB
+  *     (SURVEY.md §7 hard part #3: single-symbol streams are delta-
+  *     encoded and not splittable; sharding is the scale path).
+  *
+  * Write: df.write.format("gdx").option("symbol", "x").save(path)
+  *   - sharded layout by default (directory of shard-*.gdx, each with
+  *     its own UEL table, plus _manifest.json) — executors write shards
+  *     independently; nothing funnels through the driver.
+  *   - option("singleFile", "true") merges on the driver (global key
+  *     sort + one UEL table — the GDX single-file invariant); documented
+  *     for small/medium symbols only.
+  */
+class GdxDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "gdx"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GdxTable.schemaFor(options)
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GdxTable(schema, new CaseInsensitiveStringMap(properties))
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object GdxTable {
+  val CatalogSymbol = "__catalog__"
+
+  val catalogSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("type", StringType, nullable = false),
+    StructField("dim", IntegerType, nullable = false),
+    StructField("records", LongType, nullable = false),
+    StructField("expl_text", StringType, nullable = true),
+    StructField("domains", StringType, nullable = true)))
+
+  /** Resolve the list of shard files behind a path (file or dir). */
+  def shardsOf(path: String): Seq[String] = {
+    val f = new java.io.File(path)
+    if (f.isDirectory)
+      f.listFiles((_, n) => n.endsWith(".gdx")).map(_.getPath).sorted.toSeq
+    else Seq(path)
+  }
+
+  def schemaFor(options: CaseInsensitiveStringMap): StructType = {
+    val path = Option(options.get("path"))
+      .getOrElse(throw new IllegalArgumentException("gdx: path required"))
+    val symbol = Option(options.get("symbol")).getOrElse("")
+    if (symbol == CatalogSymbol) return catalogSchema
+    val shards = shardsOf(path)
+    require(shards.nonEmpty, s"gdx: no .gdx files at $path")
+    val h = GdxCodec.readHeader(shards.head)
+    val meta = resolveSymbol(h, symbol, shards.head)
+    val flags = options.getOrDefault("specialValues", "map") == "columns"
+    schemaOf(meta, flags, multiShard = shards.size > 1)
+  }
+
+  def resolveSymbol(h: GdxCodec.Header, symbol: String, path: String): GdxCodec.SymbolMeta =
+    if (symbol.isEmpty) h.metas.headOption
+      .getOrElse(throw new IllegalArgumentException(s"gdx: no symbols in $path"))
+    else h.metas.find(_.name.equalsIgnoreCase(symbol))
+      .getOrElse(throw new IllegalArgumentException(
+        s"gdx: symbol '$symbol' not found in $path (have: ${h.metas.map(_.name).mkString(", ")})"))
+
+  /** Long-form relational encoding of a symbol (SURVEY.md §1.2):
+    * dim_i string columns (with domain metadata), then the value
+    * field(s) per symbol type, then optional special-value flags.
+    */
+  def schemaOf(meta: GdxCodec.SymbolMeta, flagCols: Boolean, multiShard: Boolean): StructType = {
+    val dims = (1 to meta.dim).map { i =>
+      val dom = if (meta.domains.size >= i) meta.domains(i - 1) else "*"
+      val md = new MetadataBuilder().putString("domain", dom).build()
+      StructField(s"dim_$i", StringType, nullable = false, md)
+    }
+    val vals = meta.typ match {
+      case SymbolType.Set | SymbolType.Alias => Seq(
+        StructField("value", DoubleType, nullable = false),
+        StructField("text", StringType, nullable = true))
+      case SymbolType.Parameter => Seq(StructField("value", DoubleType, nullable = false))
+      case _ => ValField.names.map(n => StructField(n, DoubleType, nullable = false))
+    }
+    val flags = if (flagCols) Seq(
+      StructField("is_eps", BooleanType, nullable = false),
+      StructField("is_na", BooleanType, nullable = false),
+      StructField("is_undef", BooleanType, nullable = false)) else Nil
+    StructType(dims ++ vals ++ flags)
+  }
+}
+
+class GdxTable(schema: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String =
+    s"gdx:${options.get("path")}#${Option(options.get("symbol")).getOrElse("")}"
+
+  override def schema(): StructType = schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap) = {
+    val merged = new CaseInsensitiveStringMap(
+      (options.asScala ++ opts.asScala).asJava)
+    new GdxScanBuilder(schema, merged)
+  }
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo) =
+    new GdxWriteBuilder(info, options)
+}

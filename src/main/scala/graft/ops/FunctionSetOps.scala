@@ -221,4 +221,37 @@ object FunctionSetOps extends QueryModule {
       .select("l_orderkey", "l_linenumber", "l_discount")
       .orderBy("l_orderkey", "l_linenumber", "l_discount")
   }
+
+  // ---------------------------------------------------------------- K
+
+  // Scalar UDF surface (SURVEY §2.K udf_surface): label normalizer as a
+  // Scala UDF. Kept deliberately minimal — everywhere else we use
+  // builtins so whole-stage codegen survives; this query documents the
+  // escape hatch and its cost (opaque to Catalyst, no pushdown through it).
+  q("udf_surface",
+    """SELECT c_custkey, regexp_replace(lower(trim(c_mktsegment)), ' +', ' ', 'g') AS seg
+      |FROM customer ORDER BY c_custkey""") { (s, d) =>
+    val normalize = udf((x: String) =>
+      if (x == null) null else x.trim.toLowerCase.replaceAll(" +", " "))
+    T(s, d, "customer")
+      .select(col("c_custkey"), normalize(col("c_mktsegment")).as("seg"))
+      .orderBy("c_custkey")
+  }
+
+  // UDTF surface (SURVEY §2.K udtf_explode_embedding): one row per
+  // (vec_id, pos, component) via the builtin posexplode Generator — a
+  // custom Generator is only warranted for semantics builtins lack.
+  q("udtf_explode_embedding",
+    """SELECT vec_id, CAST(i AS INTEGER) - 1 AS pos,
+      |       round(CAST(embedding[i] AS DOUBLE), 6) AS comp
+      |FROM (SELECT vec_id, embedding,
+      |             unnest(generate_series(1, len(embedding))) AS i
+      |      FROM embeddings) t
+      |ORDER BY vec_id, pos""") { (s, d) =>
+    T(s, d, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos"),
+        round(col("col").cast("double"), 6).as("comp"))
+      .orderBy("vec_id", "pos")
+  }
 }

@@ -43,20 +43,23 @@ object LlmOps extends QueryModule {
     * tokenize → 3-token shingles → k=12 minhashes → 4 bands of 3 →
     * band-bucket equi-join → emit candidate pairs (a<b).
     * No cross join: pair generation is a self-equi-join on (band, sig).
+    *
+    * The k minhashes are computed per-row with array higher-order
+    * functions (`array_min(transform(...))`) — the signature stage is
+    * pure map-side, zero shuffle; duplicates within a doc cannot change
+    * a min so no per-doc distinct is needed. The only shuffles are the
+    * band-bucket join and final distinct, both on compact keys.
     */
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val docs = T(s, d, "documents").select("doc_id", "text")
-    val shingled = docs
+    val k = 12
+    val sigs = docs
       .withColumn("tok", split(col("text"), " "))
       .withColumn("sh", expr(
         "transform(sequence(0, greatest(size(tok) - 3, 0)), i -> concat_ws(' ', slice(tok, i + 1, 3)))"))
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .distinct()
-    val k = 12
-    val sigs = shingled
-      .groupBy("doc_id")
-      .agg(min(seededHash(col("shingle"), 0)).as("m0"),
-        (1 until k).map(i => min(seededHash(col("shingle"), i)).as(s"m$i")): _*)
+      .select(col("doc_id") +:
+        (0 until k).map(i =>
+          array_min(transform(col("sh"), x => seededHash(x, i))).as(s"m$i")): _*)
     // 4 bands × 3 rows: same band signature → candidate bucket
     val bands = (0 until 4).map { b =>
       sigs.select(col("doc_id"), lit(b).as("band"),
@@ -118,11 +121,15 @@ object LlmOps extends QueryModule {
       |  GROUP BY 1, 2)
       |SELECT a, b, round(inter * 1.0 / (na + nb - inter), 6) AS jaccard
       |FROM pairs WHERE inter * 1.0 / (na + nb - inter) >= 0.8 ORDER BY a, b""") { (s, d) =>
+    // shingles are joined/counted by 64-bit hash, not string: identical
+    // equality semantics w.h.p. (collision odds ~n²/2⁶⁵) with an ~8-byte
+    // shuffle key instead of a ~20-byte string — the self-join and both
+    // distinct/count shuffles shrink accordingly.
     val sh = T(s, d, "documents")
       .withColumn("tok", split(col("text"), " "))
       .withColumn("shs", expr(
         "transform(sequence(0, greatest(size(tok) - 3, 0)), i -> concat_ws(' ', slice(tok, i + 1, 3)))"))
-      .select(col("doc_id"), explode(col("shs")).as("shingle"))
+      .select(col("doc_id"), explode(expr("transform(shs, x -> xxhash64(x))")).as("shingle"))
       .distinct()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("a"), col("shingle"))

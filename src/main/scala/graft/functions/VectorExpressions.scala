@@ -1,0 +1,225 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the embedding hot path (SURVEY §2.L
+  * sim_* / dedup_embedding_cosine).
+  *
+  * Why not `aggregate(zip_with(...))`: higher-order functions evaluate a
+  * lambda per element through interpreted `LambdaFunction` plumbing —
+  * fine for ad-hoc use, but the ANN bucket join evaluates the dot
+  * product once per candidate PAIR, and at 100 TB that inner loop is
+  * the single hottest code in the engine. These expressions compile to
+  * a tight primitive `for` loop inside whole-stage codegen (`doGenCode`
+  * below), reading the underlying `ArrayData` without boxing or
+  * per-element virtual calls, and fall back to an equally-tight
+  * interpreted loop where codegen is disabled.
+  *
+  * Both `array<float>` (raw embeddings) and `array<double>` (unit
+  * vectors) element types are supported; the result is always double.
+  */
+private[graft] object VecArrayHelpers {
+  def checkVecTypes(ts: DataType*): TypeCheckResult =
+    if (ts.forall {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expected array<float> or array<double> inputs, got ${ts.mkString(", ")}")
+}
+
+private[graft] trait VecArrayHelpers { self: Expression =>
+  protected def elemIsFloat(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** Codegen fragment reading element i of `arr` as a double. */
+  protected def getAsDouble(arr: String, i: String, isFloat: Boolean): String =
+    if (isFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+
+  protected def readAsDouble(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+}
+
+/** dot(a, b): Σ aᵢ·bᵢ over min(len(a), len(b)). */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression with VecArrayHelpers {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecArrayHelpers.checkVecTypes(left.dataType, right.dataType)
+
+  override def dataType: DataType = DoubleType
+
+  private lazy val lFloat = elemIsFloat(left.dataType)
+  private lazy val rFloat = elemIsFloat(right.dataType)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += readAsDouble(a, i, lFloat) * readAsDouble(b, i, rFloat)
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ${getAsDouble(a, i, lFloat)} * ${getAsDouble(b, i, rFloat)};
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+}
+
+/** l2norm(a): √(Σ aᵢ²). */
+case class VecNorm(child: Expression)
+    extends UnaryExpression with VecArrayHelpers {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecArrayHelpers.checkVecTypes(child.dataType)
+
+  override def dataType: DataType = DoubleType
+
+  private lazy val isFloat = elemIsFloat(child.dataType)
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      val x = readAsDouble(a, i, isFloat)
+      acc += x * x
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x")
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = ${getAsDouble(a, i, isFloat)};
+         |  $acc += $x * $x;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): VecNorm = copy(child = c)
+}
+
+/** cosine(a, b): dot/(‖a‖·‖b‖) in ONE pass over both arrays — for
+  * un-normalized inputs, saves materializing unit vectors entirely.
+  * Returns 0 when either norm is 0.
+  */
+case class VecCosine(left: Expression, right: Expression)
+    extends BinaryExpression with VecArrayHelpers {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecArrayHelpers.checkVecTypes(left.dataType, right.dataType)
+
+  override def dataType: DataType = DoubleType
+
+  private lazy val lFloat = elemIsFloat(left.dataType)
+  private lazy val rFloat = elemIsFloat(right.dataType)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = readAsDouble(a, i, lFloat)
+      val y = readAsDouble(b, i, rFloat)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = ${getAsDouble(a, i, lFloat)};
+         |  double $y = ${getAsDouble(b, i, rFloat)};
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 : $dot / java.lang.Math.sqrt($na * $nb);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecCosine =
+    copy(left = l, right = r)
+}
+
+/** Registers the native expressions as SQL functions via the public
+  * SparkSessionExtensions hook. Sessions are built with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * (see [[graft.Sessions]]); the Column API below resolves through the
+  * registry with `call_function`, keeping us off private constructors.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (es: Seq[Expression]) => VecDot(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("vec_norm"),
+      new ExpressionInfo(classOf[VecNorm].getName, "vec_norm"),
+      (es: Seq[Expression]) => VecNorm(es.head)))
+    ext.injectFunction((FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
+      (es: Seq[Expression]) => VecCosine(es(0), es(1))))
+  }
+}
+
+/** Column-API entry points for the native vector expressions. */
+object vec {
+  import org.apache.spark.sql.functions.call_function
+
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+  def norm(a: Column): Column = call_function("vec_norm", a)
+  def cosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
+}

@@ -148,25 +148,19 @@ object LlmOps extends QueryModule {
 
   // -------------------------------------------------------- similarity
 
-  /** L2-normalized embeddings: dot product = cosine. */
-  private def normalized(s: SparkSession, d: String): DataFrame =
-    T(s, d, "embeddings")
-      .withColumn("emb", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("nrm", sqrt(expr("aggregate(emb, 0D, (a, x) -> a + x * x)")))
-      .withColumn("unit", expr("transform(emb, x -> x / nrm)"))
-      .select("vec_id", "unit", "label")
-
   /** Brute-force cosine top-k (correctness baseline; documented as
-    * bounded-side only — the probe set must be broadcastable).
+    * bounded-side only — the probe set must be broadcastable). Cosine is
+    * the native codegen'd [[graft.functions.VecCosine]] over the raw
+    * float arrays — one pass per pair, no unit-vector materialization.
     */
   def cosineTopK(s: SparkSession, d: String, k: Int, probeIds: Seq[Long]): DataFrame = {
-    val all = normalized(s, d)
+    val all = T(s, d, "embeddings").select("vec_id", "embedding")
     val probes = all.filter(col("vec_id").isin(probeIds: _*))
-      .select(col("vec_id").as("qid"), col("unit").as("qunit"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     all.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", expr("aggregate(zip_with(unit, qunit, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
+      .withColumn("cos", graft.functions.vec.cosine(col("embedding"), col("qemb")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("vec_id").as("nbr"), round(col("cos"), 6).as("cos"), col("rn"))
@@ -184,7 +178,9 @@ object LlmOps extends QueryModule {
     */
   def lshBucketed(s: SparkSession, d: String, nPlanes: Int): DataFrame = {
     val dim = 64
-    val df = normalized(s, d)
+    // sign(dot(unit, plane)) == sign(dot(raw, plane)) — norms are positive,
+    // so bucketing runs on the raw float arrays; no normalization pass.
+    val df = T(s, d, "embeddings").select("vec_id", "embedding", "label")
     val withBits = (0 until nPlanes).foldLeft(df) { (acc, p) =>
       // deterministic hyperplane components in [-0.5, 0.5)
       val comps = (0 until dim).map { i =>
@@ -193,24 +189,23 @@ object LlmOps extends QueryModule {
       }
       val plane = array(comps: _*)
       acc.withColumn(s"s$p",
-        when(aggregate(zip_with(col("unit"), plane, _ * _), lit(0.0), _ + _) > 0, 1)
-          .otherwise(0))
+        when(graft.functions.vec.dot(col("embedding"), plane) > 0, 1).otherwise(0))
     }
     withBits.withColumn("bucket",
       concat_ws("", (0 until nPlanes).map(p => col(s"s$p")): _*))
-      .select("vec_id", "unit", "label", "bucket")
+      .select("vec_id", "embedding", "label", "bucket")
   }
 
   qRowsOnly("sim_ann_lsh") { (s, d) =>
     // in-bucket cosine top-k per vector: self-equi-join on bucket
     val b = lshBucketed(s, d, nPlanes = 8)
-    val l = b.select(col("bucket"), col("vec_id").as("qid"), col("unit").as("qunit"))
-    val r = b.select(col("bucket"), col("vec_id").as("nbr"), col("unit"))
+    val l = b.select(col("bucket"), col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val r = b.select(col("bucket"), col("vec_id").as("nbr"), col("embedding"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nbr").asc)
     l.join(r, Seq("bucket"))
       .filter(col("qid") =!= col("nbr"))
       .withColumn("cos",
-        round(aggregate(zip_with(col("qunit"), col("unit"), _ * _), lit(0.0), _ + _), 6))
+        round(graft.functions.vec.cosine(col("qemb"), col("embedding")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select("qid", "nbr", "cos", "rn")
@@ -222,12 +217,12 @@ object LlmOps extends QueryModule {
     */
   qRowsOnly("dedup_embedding_cosine") { (s, d) =>
     val b = lshBucketed(s, d, nPlanes = 6)
-    val l = b.select(col("bucket"), col("vec_id").as("a"), col("unit").as("ua"))
-    val r = b.select(col("bucket"), col("vec_id").as("b"), col("unit").as("ub"))
+    val l = b.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ua"))
+    val r = b.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("ub"))
     l.join(r, Seq("bucket"))
       .filter(col("a") < col("b"))
       .withColumn("cos",
-        round(aggregate(zip_with(col("ua"), col("ub"), _ * _), lit(0.0), _ + _), 6))
+        round(graft.functions.vec.cosine(col("ua"), col("ub")), 6))
       .filter(col("cos") >= 0.45) // synthetic embeddings are random; max pair cos ≈ 0.51
       .select("a", "b", "cos")
       .distinct()

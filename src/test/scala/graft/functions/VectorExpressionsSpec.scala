@@ -1,0 +1,83 @@
+package graft.functions
+
+import graft.Sessions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native vector expressions: correctness vs the HOF formulation, float
+  * and double element types, null handling, and both execution paths
+  * (whole-stage codegen on/off → doGenCode and nullSafeEval).
+  */
+class VectorExpressionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Sessions.build("local[4]", "4")
+
+  private def fixture = {
+    import spark.implicits._
+    Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f), Seq(1.0f, 1.0f, 1.0f)),
+      (3L, Seq(-1.0f, 1.0f, 0.5f), Seq(2.0f, -2.0f, 4.0f)))
+      .toDF("id", "a", "b")
+  }
+
+  test("vec_dot / vec_norm / vec_cosine match HOF math on float arrays") {
+    val got = fixture.select(col("id"),
+      vec.dot(col("a"), col("b")).as("dot"),
+      vec.norm(col("a")).as("na"),
+      vec.cosine(col("a"), col("b")).as("cos"))
+      .orderBy("id").collect()
+    val want = fixture.select(col("id"),
+      expr("aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (s, x) -> s + x)").as("dot"),
+      sqrt(expr("aggregate(a, 0D, (s, x) -> s + CAST(x AS DOUBLE) * x)")).as("na"))
+      .orderBy("id").collect()
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g.getDouble(1) - w.getDouble(1)) < 1e-9, s"dot id=${g.getLong(0)}")
+      assert(math.abs(g.getDouble(2) - w.getDouble(2)) < 1e-9, s"norm id=${g.getLong(0)}")
+    }
+    // zero vector → cosine 0 by definition (not NaN)
+    assert(got.find(_.getLong(0) == 2L).get.getDouble(3) == 0.0)
+    // cos(a,b) == dot/(|a||b|)
+    val r1 = got.find(_.getLong(0) == 1L).get
+    assert(math.abs(r1.getDouble(3) - r1.getDouble(1) /
+      (r1.getDouble(2) * math.sqrt(16 + 25 + 36))) < 1e-9)
+  }
+
+  test("double arrays accepted; result identical to float within 1e-6") {
+    val d = fixture.select(col("id"),
+      expr("transform(a, x -> CAST(x AS DOUBLE))").as("a"),
+      expr("transform(b, x -> CAST(x AS DOUBLE))").as("b"))
+    val f = fixture.select(col("id"), vec.cosine(col("a"), col("b")).as("c")).orderBy("id").collect()
+    val g = d.select(col("id"), vec.cosine(col("a"), col("b")).as("c")).orderBy("id").collect()
+    f.zip(g).foreach { case (x, y) => assert(math.abs(x.getDouble(1) - y.getDouble(1)) < 1e-6) }
+  }
+
+  test("null input → null output") {
+    import spark.implicits._
+    val df = Seq((1L, Option(Seq(1.0f)), Option.empty[Seq[Float]])).toDF("id", "a", "b")
+    val r = df.select(vec.dot(col("a"), col("b"))).collect()
+    assert(r.head.isNullAt(0))
+  }
+
+  test("interpreted path (codegen off) agrees with codegen path") {
+    val sql = spark.conf
+    val before = sql.get("spark.sql.codegen.wholeStage", "true")
+    val withCg = fixture.select(vec.cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
+    try {
+      sql.set("spark.sql.codegen.wholeStage", "false")
+      sql.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val noCg = fixture.select(vec.cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
+      withCg.zip(noCg).foreach { case (x, y) => assert(x == y) }
+    } finally {
+      sql.set("spark.sql.codegen.wholeStage", before)
+      sql.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("SQL surface: vec_cosine resolvable by name via extensions") {
+    fixture.createOrReplaceTempView("vecs")
+    val n = spark.sql("SELECT vec_cosine(a, b) AS c FROM vecs WHERE vec_norm(a) > 0").count()
+    assert(n == 2)
+  }
+}

@@ -14,12 +14,7 @@ import graft.gdx._
   */
 class GdxSourceSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = graft.Sessions.build("local[4]", "4")
 
   private def tmpDir(): String =
     Files.createTempDirectory("gdx-source").toString

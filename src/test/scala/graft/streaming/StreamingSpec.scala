@@ -15,12 +15,7 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 
 class StreamingSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = graft.Sessions.build("local[4]", "4")
 
   import spark.implicits._
 

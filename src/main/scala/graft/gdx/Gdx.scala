@@ -101,6 +101,60 @@ object Gdx {
   }
 }
 
+/** Object API mirroring the reference's second entry point (SURVEY
+  * §3.2): keep a file handle, query symbols with per-call options —
+  * value field selection, label filter, reshape — except every result
+  * is a lazy DataFrame, not a materialized pandas object.
+  *
+  * {{{
+  * val f = GdxFile(spark, "/data/results.gdx")
+  * f.catalog.show()
+  * f("x")                                  // level values, long form
+  * f.query("x", field = "marginal")        // duals
+  * f.query("x", filt = "us*")              // label slice on dim_1
+  * f.query("x", reshape = true)            // last dim pivoted to columns
+  * }}}
+  */
+final case class GdxFile(spark: SparkSession, path: String) {
+
+  def catalog: DataFrame = Gdx.catalog(spark, path)
+
+  def apply(name: String): DataFrame = query(name)
+
+  /** @param field  which value field to keep (level/marginal/lower/
+    *               upper/scale); non-level fields exist for variables
+    *               and equations only.
+    * @param filt   optional case-insensitive glob over dim_1 labels
+    *               (equality filters push into the GDX decoder; glob
+    *               filters apply post-scan).
+    * @param reshape pivot the last dimension to columns (gdxpy's 2-D
+    *               Series→DataFrame reshape).
+    */
+  def query(name: String, field: String = "level", filt: String = null,
+      reshape: Boolean = false): DataFrame = {
+    var df = Gdx.symbol(spark, path, name)
+    // parameters/sets carry `value`; variables/equations carry the five
+    // named fields — either way the result exposes one `value` column
+    val src =
+      if (df.columns.contains(field)) field
+      else if (field == "level" && df.columns.contains("value")) "value"
+      else throw new IllegalArgumentException(
+        s"symbol $name has no field '$field' (columns: ${df.columns.mkString(",")})")
+    val dims = df.columns.filter(_.startsWith("dim_")).sorted
+    df = df.select((dims.map(col) :+ col(src).as("value")): _*)
+    if (filt != null && dims.nonEmpty) {
+      val rx = filt.toLowerCase.flatMap {
+        case '*' => ".*"
+        case '?' => "."
+        case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+        case c => c.toString
+      }
+      df = df.filter(lower(col("dim_1")).rlike("^" + rx + "$"))
+    }
+    if (reshape && dims.length >= 2) Gdx.pivotLastDim(df) else df
+  }
+}
+
 /** EPS-aware value for aggregation in flag mode. */
 case class EpsVal(value: Double, is_eps: Boolean, is_na: Boolean, is_undef: Boolean)
 

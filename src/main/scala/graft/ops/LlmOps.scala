@@ -215,6 +215,57 @@ object LlmOps extends QueryModule {
       .orderBy("qid", "rn")
   }
 
+  /** IVF (inverted-file) ANN: K coarse centroids sampled
+    * deterministically from the corpus (first K by vec_id — a k-means
+    * refinement would drop in here unchanged); every vector is assigned
+    * to its nearest centroid map-side (K codegen'd vec_cosine calls per
+    * row against centroid literals — no shuffle, no per-row join);
+    * search probes the query's nProbe nearest cells and ranks in-cell.
+    * Driver state is the O(K·dim) centroid table only — the standard
+    * IVF coarse-quantizer shape, independent of corpus size.
+    */
+  def ivfCells(s: SparkSession, d: String, kCells: Int): DataFrame = {
+    val emb = T(s, d, "embeddings").select("vec_id", "embedding")
+    val centroids = emb.orderBy("vec_id").limit(kCells).collect()
+      .map(_.getSeq[Float](1).toArray)
+    ivfAssign(emb, centroids)
+  }
+
+  /** (vec_id, embedding, cell) with cell = argmax cosine over centroid
+    * literals; `cellRank` additionally keeps the full preference order
+    * for probe-side nProbe expansion.
+    */
+  private def ivfAssign(emb: DataFrame, centroids: Array[Array[Float]]): DataFrame =
+    emb.withColumn("cell", ivfRanked(centroids)(0).getField("cell"))
+
+  private def ivfRanked(centroids: Array[Array[Float]]) =
+    sort_array(array(centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.map(x => lit(x.toDouble)): _*)
+      struct(graft.functions.vec.cosine(col("embedding"), cLit).as("cos"),
+        lit(i).as("cell"))
+    }: _*), asc = false)
+
+  qRowsOnly("sim_ann_ivf") { (s, d) =>
+    val kCells = 8
+    val nProbe = 2
+    val emb = T(s, d, "embeddings").select("vec_id", "embedding")
+    val centroids = emb.orderBy("vec_id").limit(kCells).collect()
+      .map(_.getSeq[Float](1).toArray)
+    val cells = ivfAssign(emb, centroids)
+    val probes = emb.filter(col("vec_id") < 5)
+      .withColumn("pc", slice(ivfRanked(centroids), 1, nProbe))
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        explode(col("pc").getField("cell")).as("cell"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(graft.functions.vec.cosine(col("qemb"), col("embedding")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("vec_id").as("nbr"), col("cos"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+
   /** Embedding-cosine near-dup: pairs above a cosine threshold, found
     * in-bucket (LSH) rather than by cross join.
     */

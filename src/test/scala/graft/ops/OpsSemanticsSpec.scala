@@ -85,6 +85,19 @@ class OpsSemanticsSpec extends AnyFunSuite {
     assert(f(0) != f(1)) // token order matters
   }
 
+  test("IVF assigns every vector to a valid cell and ranks in-cell by cosine") {
+    val cells = LlmOps.ivfCells(spark, dir, kCells = 8)
+    assert(cells.filter(col("cell") < 0 || col("cell") >= 8).count() == 0)
+    assert(cells.select("vec_id").distinct().count() == cells.count())
+    val res = SparkEntry.queries("sim_ann_ivf")(spark, dir).collect()
+    val perQ = res.groupBy(_.getLong(0))
+    perQ.foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      val cos = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }) // rn order = cos desc
+    }
+  }
+
   test("densify then sparsify returns the original sparse records") {
     import spark.implicits._
     val sym = Seq(("i1", "j1", 2.0), ("i2", "j2", 5.0))

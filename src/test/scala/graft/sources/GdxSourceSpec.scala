@@ -156,4 +156,30 @@ class GdxSourceSpec extends AnyFunSuite {
     assert(wide.columns.toSet == Set("dim_1", "x", "y", "z"))
     assert(wide.count() == 3)
   }
+
+  test("GdxFile object API: query with field / filt / reshape options") {
+    val p = writeFixture()
+    val f = GdxFile(spark, p)
+    assert(f.catalog.count() == 2)
+    assert(f("p").count() == 5)
+    // glob label filter on dim_1
+    val us = f.query("p", filt = "u*").collect()
+    assert(us.length == 2 && us.forall(_.getString(0) == "us"))
+    // reshape: last dim pivoted to columns x/y/z
+    val wide = f.query("p", reshape = true)
+    assert(wide.columns.toSet == Set("dim_1", "x", "y", "z"))
+    assert(wide.count() == 3) // us, eu, cn rows
+  }
+
+  test("GdxFile query picks the requested variable field") {
+    val b = new GdxBuilder()
+    b.addSymbol("v", SymbolType.Variable, 1, Seq(
+      (Seq("a"), Array(1.0, 0.5, 0.0, 10.0, 1.0), None)),
+      userInfo = VarType.Positive)
+    val path = s"${tmpDir()}/v.gdx"
+    GdxCodec.write(b.result(), path)
+    val f = GdxFile(spark, path)
+    assert(f.query("v").collect().head.getDouble(1) == 1.0)          // level
+    assert(f.query("v", field = "marginal").collect().head.getDouble(1) == 0.5)
+  }
 }

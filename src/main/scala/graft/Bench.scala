@@ -11,11 +11,18 @@ object Bench {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings")
       .foreach(t => T(spark, sfDir, t).count())
-    // Deterministic (sorted) order → per-query times comparable across runs.
+    // Deterministic (sorted) order → per-query times comparable across
+    // runs. Each query is timed twice and the min reported: this host
+    // shows sporadic multi-second external stalls (observed moving
+    // between queries run-to-run with GC quiet), and min-of-2 keeps one
+    // stall from misattributing 30s to whatever query it lands on.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

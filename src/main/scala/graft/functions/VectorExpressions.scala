@@ -212,6 +212,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
       (es: Seq[Expression]) => VecCosine(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (es: Seq[Expression]) => SimHash32(es.head)))
   }
 }
 

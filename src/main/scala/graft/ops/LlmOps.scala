@@ -81,21 +81,14 @@ object LlmOps extends QueryModule {
   }
 
   /** SimHash near-dup: 32-bit simhash over token hashes; docs sharing the
-    * full simhash (or a band of it) are near-dup candidates.
+    * full simhash (or a band of it) are near-dup candidates. Computed
+    * entirely map-side by the codegen'd [[graft.functions.SimHash32]]
+    * expression — same Murmur3(42) per-token hash and vote math as the
+    * explode+groupBy formulation it replaced, with zero shuffle.
     */
-  def simhash(s: SparkSession, d: String): DataFrame = {
-    val toks = T(s, d, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val bits = toks.select(col("doc_id"), hash(col("tok")).as("h"))
-    // per-bit vote: sum(+1/-1 per token) per bit position, sign → bit
-    val bitCols = (0 until 32).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
-    }
-    val votes = bits.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
-    votes.select(col("doc_id"),
-      (0 until 32).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
-        .reduce(_ + _).as("simhash"))
-  }
+  def simhash(s: SparkSession, d: String): DataFrame =
+    T(s, d, "documents").select(col("doc_id"),
+      graft.functions.text.simhash32(split(col("text"), " ")).as("simhash"))
 
   qRowsOnly("dedup_simhash") { (s, d) =>
     // groups of docs sharing a simhash value = near-dup clusters

@@ -23,6 +23,15 @@ object RelationalOps extends QueryModule {
 
   // NB: (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
   // row-level lineitem queries order by every output column for totality.
+  // SURVEY §2.A parquet_scan: the builtin columnar scan every other
+  // query builds on, registered explicitly so the inventory is 1:1.
+  q("parquet_scan",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey") { (s, d) =>
+    T(s, d, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")
+  }
+
   q("project_fields",
     "SELECT l_orderkey AS i, l_linenumber AS j, l_quantity AS v FROM lineitem ORDER BY i, j, v") {
     (s, d) =>

@@ -75,6 +75,30 @@ class VectorExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash32 matches the explode+groupBy vote formulation bit-for-bit") {
+    import spark.implicits._
+    val docs = Seq((1L, "spark scale shuffle codegen spark"),
+      (2L, "a completely different stream of tokens here"),
+      (3L, "spark scale shuffle codegen sparks")) // near-dup of 1
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+      text.simhash32(split(col("text"), " ")).as("sh"))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val bitCols = (0 until 32).map { i =>
+      sum(when(shiftright(hash(col("tok")), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val want = toks.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
+          .reduce(_ + _).as("sh"))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(got.toSeq == want.toSeq)
+    // near-dups land close in Hamming distance; unrelated docs far
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(got(0), got(2)) < ham(got(0), got(1)))
+  }
+
   test("SQL surface: vec_cosine resolvable by name via extensions") {
     fixture.createOrReplaceTempView("vecs")
     val n = spark.sql("SELECT vec_cosine(a, b) AS c FROM vecs WHERE vec_norm(a) > 0").count()

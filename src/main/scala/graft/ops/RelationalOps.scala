@@ -110,6 +110,10 @@ object RelationalOps extends QueryModule {
       |SELECT l.l_orderkey, l.l_linenumber, round(g.grp_qty, 4) AS grp_qty
       |FROM lineitem l JOIN g ON l.l_orderkey = g.l_orderkey AND l.l_partkey = g.l_partkey
       |ORDER BY l.l_orderkey, l.l_linenumber, grp_qty""") { (s, d) =>
+    // Deliberately a real 2-key equi-join (the §2.C MultiIndex-align
+    // pattern), not the cheaper window formulation: AQE plans the
+    // post-aggregation side as the build side, and the same keys
+    // partition both shuffles so the join itself is co-located.
     val li = T(s, d, "lineitem")
     val g = li.groupBy("l_orderkey", "l_partkey")
       .agg(sum("l_quantity").as("grp_qty"))

@@ -32,7 +32,28 @@ class GdxWriteBuilder(info: LogicalWriteInfo, options: CaseInsensitiveStringMap)
 
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
-  override def build(): Write = new Write {
+  override def build(): Write = new Write with RequiresDistributionAndOrdering {
+    import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+    import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder}
+
+    private def dimNames: Array[String] = info.schema().fields
+      .filter(f => f.dataType == StringType && f.name.toLowerCase != "text")
+      .map(_.name)
+
+    /** Cluster by the leading dimension and sort by the full key tuple
+      * (SURVEY §4.3 "GDX write ordering"): Spark plans the shuffle+sort,
+      * so every distinct dim_1 label lands wholly in one shard (label
+      * equality pushdown can then skip whole shards) and each writer
+      * task receives records already in GDX key order.
+      */
+    override def requiredDistribution(): Distribution =
+      if (dimNames.isEmpty) Distributions.unspecified()
+      else Distributions.clustered(Array(Expressions.identity(dimNames.head)))
+
+    override def requiredOrdering(): Array[SortOrder] =
+      dimNames.map(n => Expressions.sort(Expressions.column(n),
+        SortDirection.ASCENDING))
+
     override def toBatch: BatchWrite = {
       val path = options.get("path")
       val symbol = Option(options.get("symbol")).getOrElse("data")

@@ -168,6 +168,37 @@ object RelationalOps extends QueryModule {
       .orderBy("s_suppkey")
   }
 
+  // Pure range join, bucketized: probe-side events explode into the two
+  // 1-minute buckets their window can overlap; the join is then an
+  // equi-join on (event_type, bucket) with the exact range as residual.
+  // A build-side row has exactly one bucket → no duplicate pairs, no
+  // distinct. This is the scale shape for intervals with no equi
+  // prefix — candidate count ∝ bucket density, never |A|×|B|.
+  q("join_range_bucketed",
+    """SELECT a.event_type, count(*) AS n_pairs
+      |FROM events a JOIN events b
+      |  ON a.event_type = b.event_type
+      | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 MINUTE
+      | AND a.event_id <> b.event_id
+      |GROUP BY a.event_type ORDER BY a.event_type""") { (s, d) =>
+    val e = T(s, d, "events")
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val bucket = (col("us") / lit(60000000L)).cast("long")
+    val probe = e
+      .withColumn("bkt", explode(array(bucket, bucket + 1)))
+      .select(col("event_type"), col("bkt"),
+        col("event_id").as("a_id"), col("us").as("a_us"))
+    val build = e.select(col("event_type"), bucket.as("bkt"),
+      col("event_id").as("b_id"), col("us").as("b_us"))
+    probe.join(build, Seq("event_type", "bkt"))
+      .filter(col("b_us") >= col("a_us") &&
+        col("b_us") <= col("a_us") + lit(60000000L) &&
+        col("a_id") =!= col("b_id"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("event_type")
+  }
+
   // As-of join via single-pass union+window (one shuffle on user_id) —
   // scales linearly, unlike the join+groupBy oracle formulation.
   q("join_asof",

@@ -117,7 +117,15 @@ class GdxSymbolReader(path: String, symbol: String, fullSchema: StructType,
   private def lookup(label: String): Int =
     header.uels.indexWhere(_.equalsIgnoreCase(label))
 
-  private val records = GdxCodec.readSymbolRecords(path, header, meta).iterator
+  // shard skip: a pushed label absent from this shard's UEL table can
+  // match nothing here — with the clustered write layout each label
+  // lives in exactly one shard, so every other shard skips its record
+  // blob entirely (header-only read).
+  private val shardCanMatch = dimFilters.valuesIterator.forall(_.nonEmpty)
+
+  private val records =
+    if (shardCanMatch) GdxCodec.readSymbolRecords(path, header, meta).iterator
+    else Iterator.empty
   private var cur: GdxRecord = _
 
   // projection plan: for each required field, a function of the record

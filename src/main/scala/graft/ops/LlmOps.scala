@@ -289,6 +289,33 @@ object LlmOps extends QueryModule {
       .orderBy("lang")
   }
 
+  // top bigrams per language: the n-gram term-frequency shape (SURVEY
+  // §2.L text_stats "n-gram counts") — shingle map-side, one count
+  // shuffle, top-k per group via window (no global sort).
+  q("text_ngram_freq",
+    """SELECT lang, ngram, n FROM (
+      |  SELECT lang, ngram, n,
+      |         row_number() OVER (PARTITION BY lang ORDER BY n DESC, ngram) AS rn
+      |  FROM (
+      |    SELECT lang, ngram, count(*) AS n FROM (
+      |      SELECT lang, tok[i] || ' ' || tok[i+1] AS ngram
+      |      FROM (SELECT lang, str_split(text, ' ') AS tok FROM documents) t1,
+      |           unnest(generate_series(1, len(tok) - 1)) AS u(i)) t2
+      |    GROUP BY lang, ngram) t3) t4
+      |WHERE rn <= 5 ORDER BY lang, n DESC, ngram""") { (s, d) =>
+    val bigrams = T(s, d, "documents")
+      .withColumn("tok", split(col("text"), " "))
+      .withColumn("ngram", expr(
+        "transform(sequence(1, size(tok) - 1), i -> concat(tok[i - 1], ' ', tok[i]))"))
+      .select(col("lang"), explode(col("ngram")).as("ngram"))
+    val counts = bigrams.groupBy("lang", "ngram").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("ngram").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("lang", "ngram", "n")
+      .orderBy(col("lang"), col("n").desc, col("ngram"))
+  }
+
   q("text_filter_lang",
     """SELECT doc_id, n_chars FROM documents
       |WHERE lang = 'en' AND n_chars BETWEEN 100 AND 400 ORDER BY doc_id""") { (s, d) =>

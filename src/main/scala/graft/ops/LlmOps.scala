@@ -142,6 +142,85 @@ object LlmOps extends QueryModule {
       .orderBy("a", "b")
   }
 
+  /** Connected components by iterative min-label propagation (the
+    * Pregel/large-star shape: each round, every node takes the min label
+    * among itself and its neighbors; rounds needed = graph diameter,
+    * each round = one join + one aggregation — no driver-side graph).
+    * Converges by checking the changed-label count per round, the
+    * standard distributed-CC loop.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 10): DataFrame = {
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+    val nodes = sym.select(col("src").as("id")).distinct()
+    var labels = nodes.withColumn("lbl", col("id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("lbl", "nlbl"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min("nlbl").as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Canonical representative per near-dup cluster: components over the
+    * exact-Jaccard (≥0.8) pair graph; every clustered doc maps to the
+    * lowest doc_id in its component. Oracle: DuckDB recursive CTE over
+    * the same pair set.
+    */
+  q("dedup_cluster_canonical",
+    """WITH RECURSIVE sh AS (
+      |  SELECT DISTINCT doc_id, sh AS shingle FROM (
+      |    SELECT doc_id, unnest([list_aggr(tok[i:i+2], 'string_agg', ' ')
+      |                           FOR i IN range(1, greatest(len(tok) - 2, 1) + 1)]) AS sh
+      |    FROM (SELECT doc_id, str_split(text, ' ') AS tok FROM documents) t1) t2),
+      |     cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |     pairs AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  JOIN cnt na ON na.doc_id = a.doc_id
+      |  JOIN cnt nb ON nb.doc_id = b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id, na.n, nb.n
+      |  HAVING count(*) * 1.0 / (na.n + nb.n - count(*)) >= 0.8),
+      |     edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      |     reach(src, dst) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+      |     comp AS (
+      |  SELECT src AS doc_id, least(src, min(dst)) AS canonical FROM reach GROUP BY src)
+      |SELECT doc_id, canonical FROM comp ORDER BY doc_id""") { (s, d) =>
+    val sh = T(s, d, "documents")
+      .withColumn("tok", split(col("text"), " "))
+      .withColumn("shs", expr(
+        "transform(sequence(0, greatest(size(tok) - 3, 0)), i -> concat_ws(' ', slice(tok, i + 1, 3)))"))
+      .select(col("doc_id"), explode(expr("transform(shs, x -> xxhash64(x))")).as("shingle"))
+      .distinct()
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    val pairs = inter
+      .join(counts.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(counts.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .filter(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")) >= 0.8)
+      .select("a", "b")
+    connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("lbl").as("canonical"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------- similarity
 
   /** Brute-force cosine top-k (correctness baseline; documented as

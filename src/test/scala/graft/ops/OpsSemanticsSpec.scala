@@ -98,6 +98,18 @@ class OpsSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: chain + clique + singleton-free labeling") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3, needs multiple propagation rounds),
+    // clique 10-11-12, isolated pair 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("a", "b")
+    val got = LlmOps.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("densify then sparsify returns the original sparse records") {
     import spark.implicits._
     val sym = Seq(("i1", "j1", 2.0), ("i2", "j2", 5.0))

@@ -161,9 +161,13 @@ object LlmOps extends QueryModule {
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("lbl", "nlbl"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min("nlbl").as("nmin"))
+      // localCheckpoint truncates the per-iteration lineage growth that
+      // would otherwise make round N's plan O(N) deep (the classic
+      // iterative-algorithm failure at scale) and materializes the
+      // round's labels once for both the convergence check and round N+1.
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-        .cache()
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
         .filter(col("lbl") =!= col("old")).count()
       labels = next

@@ -30,6 +30,26 @@ object WindowOps extends QueryModule {
       .orderBy("p_brand", "p_partkey")
   }
 
+  // Same result as win_rank_topk_per_group, computed with the bounded
+  // TopKAgg Aggregator instead of a window: the shuffle carries at most
+  // k rows per group (map-side partial top-k) and nothing sorts whole
+  // partitions — the 100 TB formulation. Identical DuckDB oracle.
+  q("topk_per_group_agg",
+    """SELECT p_brand, p_partkey, p_retailprice FROM (
+      |  SELECT p_brand, p_partkey, p_retailprice,
+      |         row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+      |  FROM part) t WHERE rn <= 3 ORDER BY p_brand, p_partkey""") { (s, d) =>
+    import graft.functions.{TopKAgg, TopKEntry}
+    import s.implicits._
+    val topk = udaf(TopKAgg(3))
+    T(s, d, "part")
+      .groupBy("p_brand")
+      .agg(topk(col("p_retailprice"), col("p_partkey")).as("top"))
+      .select(col("p_brand"), explode(col("top.items")).as("e"))
+      .select(col("p_brand"), col("e.id").as("p_partkey"), col("e.value").as("p_retailprice"))
+      .orderBy("p_brand", "p_partkey")
+  }
+
   // pointwise subtraction of identical doubles is bitwise deterministic —
   // no rounding (rounding would ADD half-boundary risk, not remove it)
   q("win_lag_delta",

@@ -486,6 +486,50 @@ object LlmOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Per-group exact percentiles (continuous interpolation — matches
+    * DuckDB quantile_cont). At 100 TB the same query swaps in
+    * `approx_percentile` (KLL-style sketch, fixed-size state, same call
+    * shape) — exact is registered because it oracle-verifies.
+    */
+  q("agg_percentile",
+    """SELECT lang,
+      |       round(quantile_cont(n_chars, 0.5), 4) AS p50,
+      |       round(quantile_cont(n_chars, 0.95), 4) AS p95
+      |FROM documents GROUP BY lang ORDER BY lang""") { (s, d) =>
+    T(s, d, "documents")
+      .groupBy("lang")
+      .agg(round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+        round(expr("percentile(n_chars, 0.95)"), 4).as("p95"))
+      .orderBy("lang")
+  }
+
+  /** Capstone composition: the whole training-set selection runs as ONE
+    * lazy plan — language slice → quality gates → exact-dedup keeping
+    * the lowest doc_id → embedding join — so Catalyst prunes/pushes
+    * across stage boundaries instead of materializing between steps
+    * (the reference's pandas workflow materializes after every one).
+    */
+  q("pipeline_training_set",
+    """WITH filtered AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE lang = 'en' AND n_chars BETWEEN 50 AND 1000
+      |    AND len(str_split(text, ' ')) >= 10),
+      |     kept AS (
+      |  SELECT min(doc_id) AS doc_id FROM filtered GROUP BY lower(trim(text)))
+      |SELECT k.doc_id, CAST(len(e.embedding) AS INTEGER) AS dim
+      |FROM kept k JOIN embeddings e ON k.doc_id = e.vec_id
+      |ORDER BY k.doc_id""") { (s, d) =>
+    val filtered = T(s, d, "documents")
+      .filter(col("lang") === "en" && col("n_chars").between(50, 1000) &&
+        size(split(col("text"), " ")) >= 10)
+    val kept = filtered
+      .groupBy(sha2(lower(trim(col("text"))), 256))
+      .agg(min("doc_id").as("doc_id"))
+    kept.join(T(s, d, "embeddings"), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), size(col("embedding")).as("dim"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------- multimodal
 
   q("multimodal_join",

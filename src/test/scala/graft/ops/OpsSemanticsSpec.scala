@@ -98,6 +98,27 @@ class OpsSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("salted join equals plain join on skewed data, work spread over salts") {
+    import spark.implicits._
+    // 10k rows of one hot key + a tail — the shape AQE split can't fix
+    // when a single key exceeds one task
+    val big = ((1 to 10000).map(i => ("hot", i)) ++ Seq(("a", 1), ("b", 2)))
+      .toDF("k", "v")
+    val small = Seq(("hot", 100), ("a", 200), ("c", 300)).toDF("k", "w")
+    val salted = SkewOps.saltedJoin(big, small, "k", nSalt = 8)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("w").as("sw"))
+      .orderBy("k").collect()
+    val plain = big.join(small, "k")
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("w").as("sw"))
+      .orderBy("k").collect()
+    assert(salted.toSeq == plain.toSeq)
+    // the hot key really lands in multiple salt buckets
+    val buckets = big.filter(col("k") === "hot")
+      .withColumn("s", pmod(hash(col("k"), col("v")), lit(8)))
+      .select("s").distinct().count()
+    assert(buckets > 1)
+  }
+
   test("connected components: chain + clique + singleton-free labeling") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3, needs multiple propagation rounds),

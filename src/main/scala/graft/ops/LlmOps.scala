@@ -150,8 +150,12 @@ object LlmOps extends QueryModule {
     * standard distributed-CC loop.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 10): DataFrame = {
+    // materialize the edge list once: every propagation round joins
+    // against it, and without this the upstream candidate pipeline
+    // (e.g. the whole Jaccard computation) would re-execute per round
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
     val nodes = sym.select(col("src").as("id")).distinct()
     var labels = nodes.withColumn("lbl", col("id"))
     var iter = 0

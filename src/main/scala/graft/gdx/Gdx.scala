@@ -49,7 +49,7 @@ object Gdx {
     }
   }
 
-  private def globToRegex(pat: String): scala.util.matching.Regex =
+  private[gdx] def globToRegex(pat: String): scala.util.matching.Regex =
     ("(?i)" + pat.toLowerCase.flatMap {
       case '*' => ".*"
       case '?' => "."
@@ -143,13 +143,8 @@ final case class GdxFile(spark: SparkSession, path: String) {
     val dims = df.columns.filter(_.startsWith("dim_")).sorted
     df = df.select((dims.map(col) :+ col(src).as("value")): _*)
     if (filt != null && dims.nonEmpty) {
-      val rx = filt.toLowerCase.flatMap {
-        case '*' => ".*"
-        case '?' => "."
-        case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
-        case c => c.toString
-      }
-      df = df.filter(lower(col("dim_1")).rlike("^" + rx + "$"))
+      val rx = Gdx.globToRegex(filt).regex
+      df = df.filter(lower(col("dim_1")).rlike("^" + rx.stripPrefix("(?i)") + "$"))
     }
     if (reshape && dims.length >= 2) Gdx.pivotLastDim(df) else df
   }

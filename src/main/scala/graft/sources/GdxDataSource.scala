@@ -65,6 +65,24 @@ object GdxTable {
     else Seq(path)
   }
 
+  /** Per-shard lowercased dim_1 label ranges from _manifest.json, if the
+    * path is a sharded directory written by this connector. Keyed by
+    * shard file name; shards absent from the map have no range info and
+    * must always be scanned.
+    */
+  def shardRangesOf(path: String): Map[String, (String, String)] = {
+    val mf = new java.io.File(path, "_manifest.json")
+    if (!mf.isFile) return Map.empty
+    val txt = new String(java.nio.file.Files.readAllBytes(mf.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val entry =
+      """\{"file":"((?:[^"\\]|\\.)*)","records":\d+,"lo":"((?:[^"\\]|\\.)*)","hi":"((?:[^"\\]|\\.)*)"\}""".r
+    def unjs(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+    entry.findAllMatchIn(txt).map { m =>
+      unjs(m.group(1)) -> (unjs(m.group(2)), unjs(m.group(3)))
+    }.toMap
+  }
+
   def schemaFor(options: CaseInsensitiveStringMap): StructType = {
     val path = Option(options.get("path"))
       .getOrElse(throw new IllegalArgumentException("gdx: path required"))

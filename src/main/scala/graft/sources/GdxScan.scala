@@ -57,7 +57,33 @@ class GdxScan(fullSchema: StructType, required: StructType, pushed: Array[Filter
     val shards = GdxTable.shardsOf(path)
     if (symbol == GdxTable.CatalogSymbol)
       Array(GdxInputPartition(shards.head, symbol))
-    else shards.map(s => GdxInputPartition(s, symbol)).toArray
+    else prunedByManifest(shards).map(s => GdxInputPartition(s, symbol)).toArray
+  }
+
+  /** Driver-side shard pruning: pushed dim_1 equality/IN labels are
+    * checked against the manifest's per-shard [lo, hi] label ranges —
+    * with the clustered write layout a label lives in exactly one shard,
+    * so a label-equality scan plans ONE InputPartition out of O(10⁵)
+    * without opening a single shard header. Shards lacking range info
+    * are always kept.
+    */
+  private def prunedByManifest(shards: Seq[String]): Seq[String] = {
+    val labels: Set[String] = pushed.collect {
+      case EqualTo("dim_1", v: String) => Set(v.toLowerCase)
+      case In("dim_1", vs) => vs.collect { case s: String => s.toLowerCase }.toSet
+    }.foldLeft(Option.empty[Set[String]]) {
+      // multiple pushed filters on dim_1 → intersection semantics
+      case (None, s) => Some(s)
+      case (Some(acc), s) => Some(acc.intersect(s))
+    }.getOrElse(return shards)
+    val ranges = GdxTable.shardRangesOf(path)
+    if (ranges.isEmpty) return shards
+    shards.filter { s =>
+      ranges.get(new java.io.File(s).getName) match {
+        case Some((lo, hi)) => labels.exists(l => l >= lo && l <= hi)
+        case None => true
+      }
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -40,15 +40,19 @@ class GdxWriteBuilder(info: LogicalWriteInfo, options: CaseInsensitiveStringMap)
       .filter(f => f.dataType == StringType && f.name.toLowerCase != "text")
       .map(_.name)
 
-    /** Cluster by the leading dimension and sort by the full key tuple
-      * (SURVEY §4.3 "GDX write ordering"): Spark plans the shuffle+sort,
-      * so every distinct dim_1 label lands wholly in one shard (label
-      * equality pushdown can then skip whole shards) and each writer
-      * task receives records already in GDX key order.
+    /** Range-distribute and sort by the full key tuple (SURVEY §4.3
+      * "GDX write ordering"): Spark plans a range shuffle + sort, so the
+      * shard SEQUENCE is globally key-sorted — the distributed analog of
+      * the single-file GDX sorted invariant — every shard owns a tight,
+      * non-overlapping [lo, hi] label range (manifest-level shard
+      * pruning on label filters), and each writer task receives records
+      * already in GDX key order. (Hash clustering was tried first: it
+      * interleaves labels, so every shard's range spans the whole label
+      * space and range pruning can never fire.)
       */
     override def requiredDistribution(): Distribution =
       if (dimNames.isEmpty) Distributions.unspecified()
-      else Distributions.clustered(Array(Expressions.identity(dimNames.head)))
+      else Distributions.ordered(requiredOrdering())
 
     override def requiredOrdering(): Array[SortOrder] =
       dimNames.map(n => Expressions.sort(Expressions.column(n),
@@ -129,19 +133,30 @@ class GdxBatchWrite(path: String, symbol: String, schema: StructType,
         rows.map { case (ls, vs, t) => (ls.toSeq, vs, Option(t)) })
       GdxCodec.write(b.result(), path)
     } else {
-      val shards = messages.collect { case GdxShardCommit(f, n) => s"""{"file":"$f","records":$n}""" }
+      // per-shard lowercased dim_1 label range → planInputPartitions
+      // prunes shards driver-side on pushed label filters without
+      // opening any shard header
+      def js(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      val shards = messages.collect { case GdxShardCommit(f, n, lo, hi) =>
+        val range = (lo, hi) match {
+          case (Some(l), Some(h)) => s""","lo":"${js(l)}","hi":"${js(h)}""""
+          case _ => ""
+        }
+        s"""{"file":"$f","records":$n$range}"""
+      }
       Files.write(Paths.get(path, "_manifest.json"),
         s"""{"symbol":"${layout.symbol}","shards":[${shards.mkString(",")}]}"""
           .getBytes(StandardCharsets.UTF_8))
     }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    if (!single) messages.collect { case GdxShardCommit(f, _) =>
+    if (!single) messages.collect { case GdxShardCommit(f, _, _, _) =>
       new File(path, f).delete()
     }
 }
 
-case class GdxShardCommit(fileName: String, records: Long) extends WriterCommitMessage
+case class GdxShardCommit(fileName: String, records: Long,
+    lo: Option[String], hi: Option[String]) extends WriterCommitMessage
 case class GdxRowsCommit(rows: Array[(Array[String], Array[Double], String)])
   extends WriterCommitMessage
 
@@ -175,7 +190,11 @@ class GdxDataWriter(path: String, layout: GdxWriteLayout, single: Boolean,
       b.addSymbol(layout.symbol, layout.typ, layout.dimCols.length,
         rows.map { case (ls, vs, t) => (ls.toSeq, vs, Option(t)) })
       GdxCodec.write(b.result(), new File(path, name).getPath)
-      GdxShardCommit(name, rows.size.toLong)
+      val firstLabels = rows.iterator.filter(_._1.nonEmpty).map(_._1(0).toLowerCase)
+      val (lo, hi) =
+        if (rows.isEmpty || layout.dimCols.isEmpty) (None, None)
+        else { val ls = firstLabels.toVector; (Some(ls.min), Some(ls.max)) }
+      GdxShardCommit(name, rows.size.toLong, lo, hi)
     }
 
   override def abort(): Unit = ()

@@ -187,24 +187,49 @@ class GdxSourceSpec extends AnyFunSuite {
     assert(f.query("v", field = "marginal").collect().head.getDouble(1) == 0.5)
   }
 
-  test("sharded write clusters: one dim_1 label never spans two shards") {
+  test("sharded write is range-partitioned: shard label ranges are disjoint, globally sorted") {
     import spark.implicits._
     val df = (1 to 400).map(i => (s"k${i % 7}", s"m$i", i.toDouble))
       .toDF("dim_1", "dim_2", "value").repartition(8)
-    val out = s"${tmpDir()}/clustered"
+    val out = s"${tmpDir()}/ranged"
     df.write.format("gdx").mode("overwrite").option("symbol", "c").save(out)
-    val shards = new java.io.File(out).listFiles((_, n) => n.endsWith(".gdx"))
-    // RequiresDistributionAndOrdering clusters on dim_1 → each label is
-    // wholly contained in a single shard
-    val perLabel = shards.flatMap { f =>
-      GdxCodec.read(f.getPath).symbol("c").toSeq.flatMap(sym =>
-        sym.records.map(r => GdxCodec.read(f.getPath).label(r.keys(0)) -> f.getName))
-    }.distinct.groupBy(_._1)
-    assert(perLabel.nonEmpty)
-    perLabel.foreach { case (label, files) =>
-      assert(files.map(_._2).distinct.length == 1, s"label $label spans shards")
+    // RequiresDistributionAndOrdering range-distributes on the key tuple:
+    // sorted shard sequence = non-overlapping [lo, hi] per shard (the
+    // distributed analog of the GDX sorted-file invariant)
+    val ranges = new java.io.File(out).listFiles((_, n) => n.endsWith(".gdx"))
+      .map(_.getName).sorted
+      .flatMap(GdxTable.shardRangesOf(out).get)
+    assert(ranges.nonEmpty)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"overlap: $hi1 > $lo2")
+      case _ =>
     }
     // and the read side still sees every record
     assert(Gdx.symbol(spark, out, "c").count() == 400)
+  }
+
+  test("manifest ranges prune shards: label-equality scan plans 1 partition") {
+    import spark.implicits._
+    // enough distinct leading labels to force multiple clustered shards
+    val df = (1 to 2000).map(i => (f"k${i % 40}%03d", s"m$i", i.toDouble))
+      .toDF("dim_1", "dim_2", "value").repartition(8)
+    val out = s"${tmpDir()}/pruned"
+    // stop AQE coalescing the tiny clustered shuffle into one shard
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try df.write.format("gdx").mode("overwrite").option("symbol", "p").save(out)
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val nShards = new java.io.File(out).listFiles((_, n) => n.endsWith(".gdx")).length
+    assert(nShards > 1, "need multiple shards to observe pruning")
+    val ranges = GdxTable.shardRangesOf(out)
+    assert(ranges.size == nShards) // every shard carries a label range
+    val filtered = Gdx.symbol(spark, out, "p").filter(col("dim_1") === "k007")
+    // pruning happens at planInputPartitions: the label's range covers
+    // one shard (two only if a range boundary splits the label)
+    assert(filtered.rdd.getNumPartitions <= 2)
+    assert(filtered.rdd.getNumPartitions < nShards)
+    assert(filtered.count() == 50)
+    // a label outside every range scans zero shards but stays correct
+    val none = Gdx.symbol(spark, out, "p").filter(col("dim_1") === "zzz")
+    assert(none.count() == 0)
   }
 }

@@ -24,10 +24,16 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Times rounded to 3 decimals: the driver captures only the tail of
+    // the sbt output and parses the JSON line out of it — r01's full-
+    // precision line (~3.4 KB) was cut mid-line and recorded parsed:null.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    // Printed after spark.stop() so it is the final stdout line (closest
+    // to the captured tail), with no executor log lines after it.
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

@@ -38,7 +38,7 @@ object GdxCodec {
 
   // ------------------------------------------------------------ varint
 
-  private def writeVarInt(out: DataOutputStream, value: Int): Unit = {
+  private[gdx] def writeVarInt(out: DataOutputStream, value: Int): Unit = {
     var v = value
     require(v >= 0, s"varint must be non-negative: $v")
     while ((v & ~0x7f) != 0) {

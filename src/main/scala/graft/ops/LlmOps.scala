@@ -392,8 +392,13 @@ object LlmOps extends QueryModule {
       |WHERE rn <= 5 ORDER BY lang, n DESC, ngram""") { (s, d) =>
     val bigrams = T(s, d, "documents")
       .withColumn("tok", split(col("text"), " "))
+      // size(tok) < 2 guard: sequence(1, 0) is DESCENDING [1, 0] (Spark
+      // defaults to step -1 when start > stop), so tok[i] would go out of
+      // bounds for single-token docs — error under ANSI mode.
       .withColumn("ngram", expr(
-        "transform(sequence(1, size(tok) - 1), i -> concat(tok[i - 1], ' ', tok[i]))"))
+        """CASE WHEN size(tok) >= 2
+          |  THEN transform(sequence(1, size(tok) - 1), i -> concat(tok[i - 1], ' ', tok[i]))
+          |  ELSE CAST(array() AS array<string>) END""".stripMargin))
       .select(col("lang"), explode(col("ngram")).as("ngram"))
     val counts = bigrams.groupBy("lang", "ngram").agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("lang").orderBy(col("n").desc, col("ngram").asc)

@@ -47,8 +47,8 @@ object StreamingBatchOps extends QueryModule {
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |     y AS (
       |  SELECT user_id, ts,
-      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
       |  FROM x)
       |SELECT user_id, sid, CAST(epoch_us(min(ts)) AS BIGINT) AS session_start, count(*) AS n
       |FROM y GROUP BY user_id, sid ORDER BY user_id, sid""") { (s, d) =>

@@ -56,7 +56,7 @@ class GdxScan(fullSchema: StructType, required: StructType, pushed: Array[Filter
   override def planInputPartitions(): Array[InputPartition] = {
     val shards = GdxTable.shardsOf(path)
     if (symbol == GdxTable.CatalogSymbol)
-      Array(GdxInputPartition(shards.head, symbol))
+      Array(GdxCatalogPartition(shards))
     else prunedByManifest(shards).map(s => GdxInputPartition(s, symbol)).toArray
   }
 
@@ -94,20 +94,31 @@ class GdxScan(fullSchema: StructType, required: StructType, pushed: Array[Filter
 }
 
 case class GdxInputPartition(shardPath: String, symbol: String) extends InputPartition
+case class GdxCatalogPartition(shardPaths: Seq[String]) extends InputPartition
 
 class GdxReaderFactory(fullSchema: StructType, required: StructType,
     pushed: Array[Filter], symbol: String) extends PartitionReaderFactory {
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GdxInputPartition]
-    if (p.symbol == GdxTable.CatalogSymbol) new GdxCatalogReader(p.shardPath)
-    else new GdxSymbolReader(p.shardPath, p.symbol, fullSchema, required, pushed)
-  }
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case GdxCatalogPartition(shards) => new GdxCatalogReader(shards)
+      case GdxInputPartition(shard, sym) =>
+        new GdxSymbolReader(shard, sym, fullSchema, required, pushed)
+    }
 }
 
-/** Emits one row per symbol in the file — the gdx_catalog view. */
-class GdxCatalogReader(path: String) extends PartitionReader[InternalRow] {
-  private val metas = GdxCodec.readHeader(path).metas.iterator
+/** Emits one row per symbol — the gdx_catalog view. On a sharded
+  * directory the metas of ALL shards are merged (record counts summed
+  * per symbol name) so the catalog reflects the whole dataset, not one
+  * shard; header-only reads, no record blobs touched.
+  */
+class GdxCatalogReader(paths: Seq[String]) extends PartitionReader[InternalRow] {
+  private val metas: Iterator[GdxCodec.SymbolMeta] = {
+    val all = paths.flatMap(p => GdxCodec.readHeader(p).metas)
+    all.groupBy(_.name.toLowerCase).values.map { ms =>
+      ms.head.copy(records = ms.map(_.records).sum)
+    }.toSeq.sortBy(_.name).iterator
+  }
   private var cur: GdxCodec.SymbolMeta = _
 
   override def next(): Boolean = { val h = metas.hasNext; if (h) cur = metas.next(); h }
@@ -130,14 +141,16 @@ class GdxSymbolReader(path: String, symbol: String, fullSchema: StructType,
   private val flagMode = fullSchema.fieldNames.contains("is_eps")
 
   // label equality filters → UEL index predicates, resolved once here.
-  // A label absent from this shard's UEL table matches nothing.
+  // A label absent from this shard's UEL table matches nothing. Multiple
+  // pushed filters on the same dim (EqualTo + In) intersect — matching
+  // prunedByManifest's semantics — rather than last-wins.
   private val dimFilters: Map[Int, Set[Int]] = pushed.flatMap {
     case EqualTo(attr, v: String) =>
       Some(dimIndex(attr) -> Set(lookup(v)).filter(_ >= 0))
     case In(attr, vs) =>
       Some(dimIndex(attr) -> vs.map(v => lookup(v.asInstanceOf[String])).filter(_ >= 0).toSet)
     case _ => None
-  }.toMap
+  }.groupBy(_._1).map { case (i, kvs) => i -> kvs.map(_._2).reduce(_ intersect _) }
 
   private def dimIndex(attr: String): Int = attr.stripPrefix("dim_").toInt - 1
   private def lookup(label: String): Int =

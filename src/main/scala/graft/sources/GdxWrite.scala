@@ -166,11 +166,23 @@ class GdxWriterFactory(path: String, layout: GdxWriteLayout, single: Boolean)
     new GdxDataWriter(path, layout, single, partitionId, taskId)
 }
 
+/** Sharded path: records stream through a GdxStreamEncoder (delta-encode
+  * to a spill file as they arrive) — task memory is O(UEL dictionary),
+  * not O(partition rows). Single-file path keeps buffering: its rows must
+  * travel to the driver in the commit message anyway (documented
+  * small-symbol-only, GdxWriteBuilder scaladoc).
+  */
 class GdxDataWriter(path: String, layout: GdxWriteLayout, single: Boolean,
     partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
 
-  private val rows = scala.collection.mutable.ArrayBuffer
-    .empty[(Array[String], Array[Double], String)]
+  private val shardName = f"shard-$partitionId%05d-$taskId.gdx"
+
+  private val rows = // single-file path only
+    scala.collection.mutable.ArrayBuffer.empty[(Array[String], Array[Double], String)]
+  private val enc: GdxStreamEncoder =
+    if (single) null
+    else new GdxStreamEncoder(new File(path, shardName).getPath, layout.symbol,
+      layout.typ, layout.dimCols.length)
 
   override def write(row: InternalRow): Unit = {
     val labels = layout.dimCols.map(i => row.getUTF8String(i).toString)
@@ -179,24 +191,21 @@ class GdxDataWriter(path: String, layout: GdxWriteLayout, single: Boolean,
       if (layout.textCol >= 0 && !row.isNullAt(layout.textCol))
         row.getUTF8String(layout.textCol).toString
       else null
-    rows += ((labels, values, text))
+    if (single) rows += ((labels, values, text))
+    else enc.add(labels, values, Option(text))
   }
 
   override def commit(): WriterCommitMessage =
     if (single) GdxRowsCommit(rows.toArray)
     else {
-      val name = f"shard-$partitionId%05d-$taskId.gdx"
-      val b = new GdxBuilder()
-      b.addSymbol(layout.symbol, layout.typ, layout.dimCols.length,
-        rows.map { case (ls, vs, t) => (ls.toSeq, vs, Option(t)) })
-      GdxCodec.write(b.result(), new File(path, name).getPath)
-      val firstLabels = rows.iterator.filter(_._1.nonEmpty).map(_._1(0).toLowerCase)
-      val (lo, hi) =
-        if (rows.isEmpty || layout.dimCols.isEmpty) (None, None)
-        else { val ls = firstLabels.toVector; (Some(ls.min), Some(ls.max)) }
-      GdxShardCommit(name, rows.size.toLong, lo, hi)
+      enc.finish()
+      val (lo, hi) = enc.labelRange
+      GdxShardCommit(shardName, enc.records, lo, hi)
     }
 
-  override def abort(): Unit = ()
+  override def abort(): Unit = if (!single) {
+    enc.dispose()
+    new File(path, shardName).delete()
+  }
   override def close(): Unit = rows.clear()
 }

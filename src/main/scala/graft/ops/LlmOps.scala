@@ -249,7 +249,21 @@ object LlmOps extends QueryModule {
       .select(col("qid"), col("vec_id").as("nbr"), round(col("cos"), 6).as("cos"), col("rn"))
   }
 
-  qRowsOnly("sim_cosine_topk") { (s, d) =>
+  // Oracle-checkable: VecCosine accumulates in double, so the rounded
+  // value matches DuckDB's double-list cosine exactly (verified at sf0.01).
+  q("sim_cosine_topk",
+    """WITH probes AS (
+      |  SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+      |     ranked AS (
+      |  SELECT p.qid, e.vec_id AS nbr,
+      |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                      CAST(p.qemb AS DOUBLE[])), 6) AS cos,
+      |         CAST(row_number() OVER (PARTITION BY p.qid
+      |              ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                              CAST(p.qemb AS DOUBLE[])) DESC,
+      |                       e.vec_id) AS INTEGER) AS rn
+      |  FROM embeddings e, probes p WHERE e.vec_id <> p.qid)
+      |SELECT qid, nbr, cos, rn FROM ranked WHERE rn <= 5 ORDER BY qid, rn""") { (s, d) =>
     cosineTopK(s, d, k = 5, probeIds = Seq(0L, 1L, 2L, 3L, 4L))
       .orderBy("qid", "rn")
   }
@@ -475,21 +489,45 @@ object LlmOps extends QueryModule {
       .drop(langMarkers.keys.toSeq.sorted.map(l => s"sc_$l"): _*)
   }
 
-  qRowsOnly("text_lang_id") { (s, d) =>
+  q("text_lang_id",
+    """WITH sc AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(str_split(text,' '), t -> t IN ('the','and','of','to','value'))) AS s_en,
+      |    len(list_filter(str_split(text,' '), t -> t IN ('der','und','die','das','wert'))) AS s_de,
+      |    len(list_filter(str_split(text,' '), t -> t IN ('el','la','los','de','valor'))) AS s_es,
+      |    len(list_filter(str_split(text,' '), t -> t IN ('le','la','les','et','valeur'))) AS s_fr,
+      |    len(list_filter(str_split(text,' '), t -> t IN ('shu','ju','biao','lie','zhi'))) AS s_zh
+      |  FROM documents)
+      |SELECT doc_id, lang,
+      |  (list_sort([{'score': s_de, 'lang': 'de'}, {'score': s_en, 'lang': 'en'},
+      |              {'score': s_es, 'lang': 'es'}, {'score': s_fr, 'lang': 'fr'},
+      |              {'score': s_zh, 'lang': 'zh'}], 'DESC'))[1].lang AS pred
+      |FROM sc ORDER BY doc_id""") { (s, d) =>
     langIdOf(T(s, d, "documents"))
       .select(col("doc_id"), col("lang"), col("pred"))
       .orderBy("doc_id")
   }
 
-  /** Document fingerprint: rolling polynomial hash over tokens (mod
-    * 2^61-1) — deterministic, order-sensitive. Engine-specific hash →
-    * rows-only; round-trip consistency asserted in ScalaTest.
+  /** Document fingerprint: rolling polynomial hash over tokens, each
+    * token hashed as a char-codepoint polynomial — deterministic,
+    * order-sensitive, and (unlike Murmur3) expressible in both engines,
+    * so the fingerprint is oracle-checked bit-for-bit. All arithmetic
+    * stays under mod 1e9+7, so acc*mult fits a Long under ANSI mode.
     */
-  qRowsOnly("text_fingerprint") { (s, d) =>
-    // rolling hash mod 1e9+7 (keeps acc*mult within Long under ANSI mode)
+  q("text_fingerprint",
+    """SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(str_split(text, ' '), t ->
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(str_split(t, ''), c -> CAST(ord(c) AS BIGINT))),
+      |        (a, b) -> (a * 31 + b) % 1000000007))),
+      |    (acc, h) -> (acc * 1000003 + h) % 1000000007) AS fp
+      |FROM documents ORDER BY doc_id""") { (s, d) =>
     T(s, d, "documents")
       .withColumn("fp", aggregate(split(col("text"), " "), lit(0L),
-        (acc, t) => pmod(acc * lit(1000003L) + pmod(hash(t).cast("long"), lit(1000000007L)),
+        (acc, t) => pmod(acc * lit(1000003L) +
+          aggregate(split(t, ""), lit(0L),
+            (a, c) => pmod(a * lit(31L) + ascii(c).cast("long"), lit(1000000007L))),
           lit(1000000007L))))
       .select("doc_id", "fp")
       .orderBy("doc_id")

@@ -71,16 +71,19 @@ object MultimodalOps extends QueryModule {
 
   /** DETERMINISTIC FAKE "model": bytes → fixed-dim embedding. A real
     * pipeline swaps only this function (e.g. ONNX session created once
-    * per partition, invoked per batch).
+    * per partition, invoked per batch). Accumulates in double and casts
+    * to float ONCE per slot — float-accumulation order would otherwise
+    * make the value engine-dependent; this way the DuckDB oracle rounds
+    * the bit-identical float64-of-float32 value.
     */
   private[ops] def fakeEmbed(payload: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
+    val acc = new Array[Double](dim)
     var i = 0
     while (i < payload.length) {
-      out(i % dim) += (payload(i) & 0xff) / 255.0f
+      acc(i % dim) += (payload(i) & 0xff) / 255.0
       i += 1
     }
-    out
+    acc.map(_.toFloat)
   }
 
   /** mapPartitions with explicit batching — the JVM shape of
@@ -101,7 +104,11 @@ object MultimodalOps extends QueryModule {
       .toDF()
   }
 
-  qRowsOnly("mm_feature_extract") { (s, d) =>
+  q("mm_feature_extract",
+    """SELECT doc_id, CAST(16 AS INTEGER) AS dim,
+      |  round(CAST(CAST(coalesce(list_sum([ord(substr(text, i, 1))/255.0
+      |      FOR i IN range(1, length(text)+1) IF (i-1)%16 = 0]), 0) AS FLOAT) AS DOUBLE), 4) AS f0
+      |FROM documents ORDER BY doc_id""") { (s, d) =>
     extractFeatures(mediaTable(s, d))
       .select(col("doc_id"), size(col("features")).as("dim"),
         round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
@@ -115,7 +122,11 @@ object MultimodalOps extends QueryModule {
     * the metadata arithmetic, column shapes and pure-projection plan
     * are the real part).
     */
-  qRowsOnly("mm_resize") { (s, d) =>
+  q("mm_resize",
+    """SELECT doc_id, CAST(16*(doc_id%4+1)//2 AS INTEGER) AS width,
+      |       CAST(16*(doc_id%3+1)//2 AS INTEGER) AS height,
+      |       CAST(least(octet_length(encode(text)), 64) AS INTEGER) AS n_bytes
+      |FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""") { (s, d) =>
     mediaTable(s, d)
       .filter(col("meta.kind") === "image")
       .select(

@@ -18,6 +18,25 @@ final case class QueryDef(
 trait QueryModule {
   private val buf = scala.collection.mutable.ListBuffer.empty[QueryDef]
 
+  /** Deterministic total order for REPORT-sized results (aggregates,
+    * top-k, set summaries — outputs whose size is bounded by group/key
+    * cardinality, not by input scale). A final `orderBy` plans a range
+    * sort whose RangePartitioner sampling pass RE-EXECUTES the child
+    * plan — measured ~2× wall-clock on the heavy §2.L pipelines at
+    * sf0.1. For bounded outputs a single-partition sort is strictly
+    * better: one extra shuffle carrying only the final rows, no
+    * sampling pass, and every upstream stage keeps full parallelism.
+    * Data-sized outputs (sort_by_key, project_fields, …) keep the
+    * distributed range sort — collapsing those to one partition is the
+    * anti-scale move.
+    */
+  protected implicit class ReportSort(df: DataFrame) {
+    def reportSorted(cols: org.apache.spark.sql.Column*): DataFrame =
+      df.repartition(1).sortWithinPartitions(cols: _*)
+    def reportSorted(c: String, cs: String*): DataFrame =
+      df.repartition(1).sortWithinPartitions(c, cs: _*)
+  }
+
   protected def q(name: String, oracleSql: String)(
       fn: (SparkSession, String) => DataFrame): Unit =
     buf += QueryDef(name, Some(oracleSql.stripMargin.trim), fn)

@@ -32,21 +32,21 @@ object FunctionSetOps extends QueryModule {
     nationsOf(s, d, "customer", "c_nationkey")
       .union(nationsOf(s, d, "supplier", "s_nationkey"))
       .distinct()
-      .orderBy("n_name")
+      .reportSorted("n_name")
   }
 
   q("set_intersect",
     s"SELECT n_name FROM (($custNations) INTERSECT ($suppNations)) t ORDER BY n_name") { (s, d) =>
     nationsOf(s, d, "customer", "c_nationkey")
       .intersect(nationsOf(s, d, "supplier", "s_nationkey"))
-      .orderBy("n_name")
+      .reportSorted("n_name")
   }
 
   q("set_except",
     s"SELECT n_name FROM (($custNations) EXCEPT ($suppNations)) t ORDER BY n_name") { (s, d) =>
     nationsOf(s, d, "customer", "c_nationkey")
       .except(nationsOf(s, d, "supplier", "s_nationkey"))
-      .orderBy("n_name")
+      .reportSorted("n_name")
   }
 
   q("union_all_multifile",
@@ -58,7 +58,7 @@ object FunctionSetOps extends QueryModule {
       .unionByName(li.select(lit("f2").as("src")))
       .groupBy("src")
       .agg(count(lit(1)).as("n"))
-      .orderBy("src")
+      .reportSorted("src")
   }
 
   // ---------------------------------------------------------------- H
@@ -113,7 +113,7 @@ object FunctionSetOps extends QueryModule {
       .agg(count(lit(1)).as("n"),
         min(datediff(lit("2002-01-01").cast("date"), col("o_orderdate"))).as("min_days"),
         round(sum("o_totalprice"), 2).as("tot"))
-      .orderBy("y", "m")
+      .reportSorted("y", "m")
   }
 
   q("fn_array",
@@ -148,7 +148,7 @@ object FunctionSetOps extends QueryModule {
       .groupBy(col("key").as("k"))
       .agg(count(lit(1)).as("n"), sum("value").as("s"))
       .select("k", "n", "s")
-      .orderBy("k")
+      .reportSorted("k")
   }
 
   // ---------------------------------------------------------------- I
@@ -174,7 +174,7 @@ object FunctionSetOps extends QueryModule {
   }
 
   q("reshape_long_to_wide", s"SELECT * FROM ($wideSql) t ORDER BY user_id") { (s, d) =>
-    wideDf(s, d).orderBy("user_id")
+    wideDf(s, d).reportSorted("user_id")
   }
 
   q("reshape_wide_to_long",
@@ -187,7 +187,7 @@ object FunctionSetOps extends QueryModule {
        |ORDER BY user_id, event_type""") { (s, d) =>
     wideDf(s, d)
       .unpivot(Array(col("user_id")), eventTypes.map(col).toArray, "event_type", "n")
-      .orderBy("user_id", "event_type")
+      .reportSorted("user_id", "event_type")
   }
 
   // GDX densify: sparse symbol → dense grid over domain sets, default-filled.
@@ -208,7 +208,7 @@ object FunctionSetOps extends QueryModule {
       .crossJoin(T(s, d, "orders").select(col("o_orderstatus").as("status")).distinct())
     grid.join(g, Seq("nationkey", "status"), "left")
       .select(col("nationkey"), col("status"), coalesce(col("n"), lit(0L)).as("n"))
-      .orderBy("nationkey", "status")
+      .reportSorted("nationkey", "status")
   }
 
   // GDX sparsify: drop default-valued (zero) records — what GDX storage

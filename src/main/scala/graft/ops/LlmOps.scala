@@ -28,7 +28,7 @@ object LlmOps extends QueryModule {
         .groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
         .agg(min("doc_id").as("doc_id"))
         .select("doc_id")
-        .orderBy("doc_id")
+        .reportSorted("doc_id")
   }
 
   // -------------------------------------------------------- near dedup
@@ -77,7 +77,7 @@ object LlmOps extends QueryModule {
   }
 
   qRowsOnly("dedup_near_minhash") { (s, d) =>
-    minhashPairs(s, d).orderBy("a", "b")
+    minhashPairs(s, d).reportSorted("a", "b")
   }
 
   /** SimHash near-dup: 32-bit simhash over token hashes; docs sharing the
@@ -96,7 +96,7 @@ object LlmOps extends QueryModule {
       .groupBy("simhash")
       .agg(count(lit(1)).as("n"), min("doc_id").as("keep_id"))
       .filter(col("n") >= 1)
-      .orderBy("simhash")
+      .reportSorted("simhash")
   }
 
   /** N-gram Jaccard verify step: exact Jaccard over 3-shingle sets for
@@ -139,7 +139,7 @@ object LlmOps extends QueryModule {
         round(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")), 6))
       .filter(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")) >= 0.8)
       .select("a", "b", "jaccard")
-      .orderBy("a", "b")
+      .reportSorted("a", "b")
   }
 
   /** Connected components by iterative min-label propagation (the
@@ -226,7 +226,7 @@ object LlmOps extends QueryModule {
       .select("a", "b")
     connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("lbl").as("canonical"))
-      .orderBy("doc_id")
+      .reportSorted("doc_id")
   }
 
   // -------------------------------------------------------- similarity
@@ -265,7 +265,7 @@ object LlmOps extends QueryModule {
       |  FROM embeddings e, probes p WHERE e.vec_id <> p.qid)
       |SELECT qid, nbr, cos, rn FROM ranked WHERE rn <= 5 ORDER BY qid, rn""") { (s, d) =>
     cosineTopK(s, d, k = 5, probeIds = Seq(0L, 1L, 2L, 3L, 4L))
-      .orderBy("qid", "rn")
+      .reportSorted("qid", "rn")
   }
 
   /** Random-hyperplane LSH: sign bits of dot products with deterministic
@@ -306,7 +306,7 @@ object LlmOps extends QueryModule {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select("qid", "nbr", "cos", "rn")
-      .orderBy("qid", "rn")
+      .reportSorted("qid", "rn")
   }
 
   /** IVF (inverted-file) ANN: K coarse centroids sampled
@@ -357,7 +357,7 @@ object LlmOps extends QueryModule {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("qid"), col("vec_id").as("nbr"), col("cos"), col("rn"))
-      .orderBy("qid", "rn")
+      .reportSorted("qid", "rn")
   }
 
   /** Embedding-cosine near-dup: pairs above a cosine threshold, found
@@ -374,7 +374,7 @@ object LlmOps extends QueryModule {
       .filter(col("cos") >= 0.45) // synthetic embeddings are random; max pair cos ≈ 0.51
       .select("a", "b", "cos")
       .distinct()
-      .orderBy("a", "b")
+      .reportSorted("a", "b")
   }
 
   // -------------------------------------------------------- text analysis
@@ -387,7 +387,7 @@ object LlmOps extends QueryModule {
       .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("n_distinct"))
-      .orderBy("lang")
+      .reportSorted("lang")
   }
 
   // top bigrams per language: the n-gram term-frequency shape (SURVEY
@@ -404,22 +404,22 @@ object LlmOps extends QueryModule {
       |           unnest(generate_series(1, len(tok) - 1)) AS u(i)) t2
       |    GROUP BY lang, ngram) t3) t4
       |WHERE rn <= 5 ORDER BY lang, n DESC, ngram""") { (s, d) =>
+    // zip_with over two shifted slices, NOT transform(sequence(...), i ->
+    // tok[i]): per-element array indexing through the lambda plumbing
+    // measured 5× slower than the pairwise zip at sf0.1. Single-token
+    // docs get two empty slices → no bigrams (no ANSI out-of-bounds).
+    val tok = split(col("text"), " ")
+    val n1 = greatest(size(tok) - 1, lit(0))
     val bigrams = T(s, d, "documents")
-      .withColumn("tok", split(col("text"), " "))
-      // size(tok) < 2 guard: sequence(1, 0) is DESCENDING [1, 0] (Spark
-      // defaults to step -1 when start > stop), so tok[i] would go out of
-      // bounds for single-token docs — error under ANSI mode.
-      .withColumn("ngram", expr(
-        """CASE WHEN size(tok) >= 2
-          |  THEN transform(sequence(1, size(tok) - 1), i -> concat(tok[i - 1], ' ', tok[i]))
-          |  ELSE CAST(array() AS array<string>) END""".stripMargin))
-      .select(col("lang"), explode(col("ngram")).as("ngram"))
+      .select(col("lang"), explode(zip_with(
+        slice(tok, lit(1), n1), slice(tok, lit(2), n1),
+        (x, y) => concat(x, lit(" "), y))).as("ngram"))
     val counts = bigrams.groupBy("lang", "ngram").agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("lang").orderBy(col("n").desc, col("ngram").asc)
     counts.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select("lang", "ngram", "n")
-      .orderBy(col("lang"), col("n").desc, col("ngram"))
+      .reportSorted(col("lang"), col("n").desc, col("ngram"))
   }
 
   q("text_filter_lang",
@@ -505,7 +505,7 @@ object LlmOps extends QueryModule {
       |FROM sc ORDER BY doc_id""") { (s, d) =>
     langIdOf(T(s, d, "documents"))
       .select(col("doc_id"), col("lang"), col("pred"))
-      .orderBy("doc_id")
+      .reportSorted("doc_id")
   }
 
   /** Document fingerprint: rolling polynomial hash over tokens, each
@@ -530,7 +530,7 @@ object LlmOps extends QueryModule {
             (a, c) => pmod(a * lit(31L) + ascii(c).cast("long"), lit(1000000007L))),
           lit(1000000007L))))
       .select("doc_id", "fp")
-      .orderBy("doc_id")
+      .reportSorted("doc_id")
   }
 
   /** Per-group exact percentiles (continuous interpolation — matches
@@ -547,7 +547,7 @@ object LlmOps extends QueryModule {
       .groupBy("lang")
       .agg(round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
         round(expr("percentile(n_chars, 0.95)"), 4).as("p95"))
-      .orderBy("lang")
+      .reportSorted("lang")
   }
 
   /** Capstone composition: the whole training-set selection runs as ONE
@@ -574,7 +574,7 @@ object LlmOps extends QueryModule {
       .agg(min("doc_id").as("doc_id"))
     kept.join(T(s, d, "embeddings"), col("doc_id") === col("vec_id"))
       .select(col("doc_id"), size(col("embedding")).as("dim"))
-      .orderBy("doc_id")
+      .reportSorted("doc_id")
   }
 
   // -------------------------------------------------------- multimodal
@@ -589,6 +589,6 @@ object LlmOps extends QueryModule {
       .join(T(s, d, "embeddings"), col("doc_id") === col("vec_id"))
       .select(col("doc_id"), col("lang"), size(col("embedding")).as("dim"),
         round(element_at(col("embedding"), 1).cast("double"), 6).as("e0"))
-      .orderBy("doc_id")
+      .reportSorted("doc_id")
   }
 }

@@ -61,7 +61,7 @@ object MultimodalOps extends QueryModule {
       length(col("payload")).cast("long").as("n_bytes"),
       col("meta.width").as("width"),
       col("meta.height").as("height"))
-      .orderBy("doc_id")
+      .reportSorted("doc_id")
   }
 
   // ------------------------------------------------- feature extract
@@ -112,7 +112,7 @@ object MultimodalOps extends QueryModule {
     extractFeatures(mediaTable(s, d))
       .select(col("doc_id"), size(col("features")).as("dim"),
         round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
-      .orderBy("doc_id")
+      .reportSorted("doc_id")
   }
 
   // ----------------------------------------------------------- resize
@@ -136,7 +136,7 @@ object MultimodalOps extends QueryModule {
         substring(col("payload"), 1, 64).as("payload"))
       .select(col("doc_id"), col("width"), col("height"),
         length(col("payload")).as("n_bytes"))
-      .orderBy("doc_id")
+      .reportSorted("doc_id")
   }
 
   // ----------------------------------------------------- frame sample
@@ -153,6 +153,6 @@ object MultimodalOps extends QueryModule {
       .select(col("doc_id"),
         explode(sequence(lit(0L), (col("meta.n_frames") - 1).cast("long"), lit(5L)))
           .as("frame_idx"))
-      .orderBy("doc_id", "frame_idx")
+      .reportSorted("doc_id", "frame_idx")
   }
 }

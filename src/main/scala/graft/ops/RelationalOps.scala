@@ -90,7 +90,7 @@ object RelationalOps extends QueryModule {
       .join(broadcast(T(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name")
       .agg(count(lit(1)).as("n_cust"))
-      .orderBy("r_name")
+      .reportSorted("r_name")
   }
 
   q("join_shuffle_equi",
@@ -101,7 +101,7 @@ object RelationalOps extends QueryModule {
       .join(T(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 4).as("sum_qty"))
-      .orderBy("o_orderpriority")
+      .reportSorted("o_orderpriority")
   }
 
   q("join_multikey",
@@ -130,7 +130,7 @@ object RelationalOps extends QueryModule {
       .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
       .groupBy("c_custkey")
       .agg(count(col("o_orderkey")).as("n_orders"))
-      .orderBy("c_custkey")
+      .reportSorted("c_custkey")
   }
 
   q("join_semi",
@@ -139,7 +139,7 @@ object RelationalOps extends QueryModule {
       T(s, d, "customer")
         .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
         .select("c_custkey")
-        .orderBy("c_custkey")
+        .reportSorted("c_custkey")
   }
 
   q("join_anti",
@@ -149,7 +149,7 @@ object RelationalOps extends QueryModule {
     T(s, d, "customer")
       .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey")
-      .orderBy("c_custkey")
+      .reportSorted("c_custkey")
   }
 
   // Equi prefix (nationkey) keeps this a hash join + residual range
@@ -165,7 +165,7 @@ object RelationalOps extends QueryModule {
         sup("s_nationkey") === cust("c_nationkey") && sup("s_acctbal") > cust("c_acctbal"))
       .groupBy("s_suppkey")
       .agg(count(lit(1)).as("n_poorer"))
-      .orderBy("s_suppkey")
+      .reportSorted("s_suppkey")
   }
 
   // Pure range join, bucketized: probe-side events explode into the two
@@ -196,7 +196,7 @@ object RelationalOps extends QueryModule {
         col("a_id") =!= col("b_id"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_pairs"))
-      .orderBy("event_type")
+      .reportSorted("event_type")
   }
 
   // As-of join via single-pass union+window (one shuffle on user_id) —
@@ -219,7 +219,7 @@ object RelationalOps extends QueryModule {
         max(when(col("is_click") === 1, unix_micros(col("ts")))).over(w))
       .filter(col("event_type") === "purchase")
       .select("event_id", "click_ts_us")
-      .orderBy("event_id")
+      .reportSorted("event_id")
   }
 
   q("join_cross",
@@ -227,7 +227,7 @@ object RelationalOps extends QueryModule {
     (s, d) =>
       T(s, d, "region").select("r_name")
         .crossJoin(T(s, d, "nation").select("n_name"))
-        .orderBy("r_name", "n_name")
+        .reportSorted("r_name", "n_name")
   }
 
   // ---------------------------------------------------------------- D
@@ -238,7 +238,7 @@ object RelationalOps extends QueryModule {
       T(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(round(sum("l_quantity"), 4).as("sum_qty"))
-        .orderBy("l_returnflag")
+        .reportSorted("l_returnflag")
   }
 
   q("agg_multi",
@@ -253,7 +253,7 @@ object RelationalOps extends QueryModule {
         round(max("l_quantity"), 4).as("mx"),
         round(avg("l_quantity"), 6).as("av"),
         round(stddev("l_quantity"), 6).as("sd"))
-      .orderBy("l_linestatus")
+      .reportSorted("l_linestatus")
   }
 
   q("agg_distinct",
@@ -262,7 +262,7 @@ object RelationalOps extends QueryModule {
       T(s, d, "orders")
         .groupBy("o_orderpriority")
         .agg(countDistinct(col("o_custkey")).as("n_cust"))
-        .orderBy("o_orderpriority")
+        .reportSorted("o_orderpriority")
   }
 
   // Approximate distinct (HLL++): value is rsd-dependent → rows-only check.
@@ -270,7 +270,7 @@ object RelationalOps extends QueryModule {
     T(s, d, "lineitem")
       .groupBy("l_returnflag")
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
-      .orderBy("l_returnflag")
+      .reportSorted("l_returnflag")
   }
 
   q("agg_grouping_sets",
@@ -280,7 +280,7 @@ object RelationalOps extends QueryModule {
     T(s, d, "lineitem")
       .rollup("l_returnflag", "l_linestatus")
       .agg(round(sum("l_quantity"), 4).as("sum_qty"))
-      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+      .reportSorted(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
   q("agg_pivot",
@@ -292,7 +292,7 @@ object RelationalOps extends QueryModule {
       .groupBy("l_returnflag")
       .pivot("l_linestatus", Seq("F", "O"))
       .agg(round(sum("l_quantity"), 4))
-      .orderBy("l_returnflag")
+      .reportSorted("l_returnflag")
   }
 
   q("agg_weighted",
@@ -303,6 +303,6 @@ object RelationalOps extends QueryModule {
       .groupBy("l_returnflag")
       .agg(round(sum(col("l_extendedprice") * col("l_quantity")) / sum(col("l_quantity")), 6)
         .as("wavg_price"))
-      .orderBy("l_returnflag")
+      .reportSorted("l_returnflag")
   }
 }

@@ -62,7 +62,7 @@ object StreamingBatchOps extends QueryModule {
       .withColumn("sid", sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("user_id", "sid")
       .agg(unix_micros(min(col("ts"))).as("session_start"), count(lit(1)).as("n"))
-      .orderBy("user_id", "sid")
+      .reportSorted("user_id", "sid")
   }
 
   // Final-watermark filter: the batch fixpoint of a 10-min watermark is
@@ -77,7 +77,7 @@ object StreamingBatchOps extends QueryModule {
       .filter(unix_micros(col("ts")) >= col("cut"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"))
-      .orderBy("event_type")
+      .reportSorted("event_type")
   }
 
   q("stream_dedup",
@@ -109,6 +109,6 @@ object StreamingBatchOps extends QueryModule {
       .filter(col("vt").isNotNull && col("ct").isNotNull && col("pt").isNotNull &&
         col("vt") < col("ct") && col("ct") < col("pt"))
       .select("user_id")
-      .orderBy("user_id")
+      .reportSorted("user_id")
   }
 }

@@ -63,11 +63,17 @@ object LlmOps extends QueryModule {
       .select(col("doc_id") +:
         (0 until k).map(i =>
           array_min(transform(col("sh"), x => seededHash(x, i))).as(s"m$i")): _*)
-    // 4 bands × 3 rows: same band signature → candidate bucket
-    val bands = (0 until 4).map { b =>
-      sigs.select(col("doc_id"), lit(b).as("band"),
+    // 4 bands × 3 rows via ONE generator (band, sig) — a per-band
+    // union would repeat the signature subtree 4× per join side (no
+    // exchange below it to reuse), re-running the k-minhash pipeline
+    // 8× in the self-join; materializing the tiny signature table
+    // (|docs| × 4 rows of compact keys) makes it exactly once.
+    val bands = sigs.select(col("doc_id"), explode(array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
         concat_ws("_", (0 until 3).map(r => col(s"m${b * 3 + r}")): _*).as("sig"))
-    }.reduce(_ unionByName _)
+    }: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .localCheckpoint()
     val a = bands.select(col("band"), col("sig"), col("doc_id").as("a"))
     val b = bands.select(col("band"), col("sig"), col("doc_id").as("b"))
     a.join(b, Seq("band", "sig"))
@@ -169,12 +175,14 @@ object LlmOps extends QueryModule {
       // would otherwise make round N's plan O(N) deep (the classic
       // iterative-algorithm failure at scale) and materializes the
       // round's labels once for both the convergence check and round N+1.
+      // The old label rides along so convergence is a filter+count on
+      // the checkpointed frame — no extra join job per round.
       val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
+          col("lbl").as("old"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
+      val changed = next.filter(col("lbl") =!= col("old")).count()
+      labels = next.select("id", "lbl")
       converged = changed == 0
       iter += 1
     }

@@ -232,4 +232,30 @@ class GdxSourceSpec extends AnyFunSuite {
     val none = Gdx.symbol(spark, out, "p").filter(col("dim_1") === "zzz")
     assert(none.count() == 0)
   }
+
+  test("catalog on a sharded directory sums records across ALL shards") {
+    import spark.implicits._
+    val out = s"${tmpDir()}/cat"
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try (1 to 900).map(i => (f"k${i % 30}%03d", i.toDouble)).toDF("dim_1", "value")
+      .repartition(6).write.format("gdx").mode("overwrite").option("symbol", "s").save(out)
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val nShards = new java.io.File(out).listFiles((_, n) => n.endsWith(".gdx")).length
+    assert(nShards > 1, "need multiple shards")
+    val cat = Gdx.catalog(spark, out).collect()
+    assert(cat.length == 1) // one row per symbol, not per shard
+    assert(cat.head.getLong(3) == 900L) // records summed across shards
+  }
+
+  test("multiple pushed filters on the same dim intersect (EqualTo + In)") {
+    val p = writeFixture()
+    // EqualTo('us') ∧ In('us','eu') → must intersect to {'us'}, not
+    // last-win to {'us','eu'}
+    val df = Gdx.symbol(spark, p, "p")
+      .filter(col("dim_1") === "us" && col("dim_1").isin("us", "eu"))
+    assert(df.count() == 2)
+    val conflicting = Gdx.symbol(spark, p, "p")
+      .filter(col("dim_1") === "us" && col("dim_1").isin("eu", "cn"))
+    assert(conflicting.count() == 0)
+  }
 }

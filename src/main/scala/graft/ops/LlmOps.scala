@@ -370,6 +370,16 @@ object LlmOps extends QueryModule {
 
   /** Embedding-cosine near-dup: pairs above a cosine threshold, found
     * in-bucket (LSH) rather than by cross join.
+    *
+    * Approximation contract (measured in LshRecallSpec): precision is
+    * exactly 1.0 — the cosine filter runs on every candidate — and
+    * recall is the random-hyperplane collision probability
+    * (1 - θ/π)^planes per table. The synthetic 0.45 threshold (random
+    * embeddings peak near cos 0.51) sits at θ≈63°, where recall is
+    * intentionally low; at production near-dup thresholds (cos ≥ 0.9,
+    * θ≈26°) the same 6-plane table recalls ~40%, and OR-ing 4–8
+    * independent tables — the standard multi-table amplification, a
+    * union over this same pipeline — reaches 87–98%.
     */
   qRowsOnly("dedup_embedding_cosine") { (s, d) =>
     val b = lshBucketed(s, d, nPlanes = 6)

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** SURVEY.md §2.J — the actual Structured Streaming operators. Each
   * takes a STREAMING events DataFrame (schema: event_id long, ts
@@ -82,5 +83,48 @@ object StreamOps {
           state.update(FunnelState(stage))
           hit.iterator
         })
+  }
+
+  // ------------------------------------------- funnel (state API v2)
+
+  /** Same funnel on `transformWithState` (Spark 4 arbitrary-state v2):
+    * explicit typed `ValueState` on the RocksDB state store, with TTL
+    * and timers available — the forward path for custom streaming
+    * state. Kept alongside the flatMapGroupsWithState version so both
+    * stateful APIs are exercised; `StreamingSpec` asserts they emit
+    * identical results on the same input. Requires
+    * `spark.sql.streaming.stateStore.providerClass =
+    * ...RocksDBStateStoreProvider` on the running query.
+    */
+  class FunnelProcessor extends StatefulProcessor[Long, FunnelEvent, FunnelHit] {
+    @transient private var stage: ValueState[Int] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      stage = getHandle.getValueState[Int]("stage", Encoders.scalaInt, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[FunnelEvent],
+        timerValues: TimerValues): Iterator[FunnelHit] = {
+      var st = if (stage.exists()) stage.get() else 0
+      var hit: Option[FunnelHit] = None
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        (st, e.event_type) match {
+          case (0, "view") => st = 1
+          case (1, "click") => st = 2
+          case (2, "purchase") =>
+            st = 3
+            if (hit.isEmpty) hit = Some(FunnelHit(user, e.ts))
+          case _ =>
+        }
+      }
+      stage.update(st)
+      hit.iterator
+    }
+  }
+
+  def funnelV2(events: Dataset[FunnelEvent]): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Append())
   }
 }

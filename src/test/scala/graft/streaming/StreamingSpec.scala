@@ -116,6 +116,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("transformWithState funnel matches flatMapGroupsWithState on the same input") {
+    // v2 state API requires the RocksDB provider on the running query
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[StreamOps.FunnelEvent](spark)
+      val name = nextName()
+      val q = StreamOps.funnelV2(ms.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      ms.addData(
+        StreamOps.FunnelEvent(1, t(0), "view"),
+        StreamOps.FunnelEvent(2, t(0), "click"))
+      q.processAllAvailable()
+      ms.addData(
+        StreamOps.FunnelEvent(1, t(1), "click"),
+        StreamOps.FunnelEvent(1, t(2), "purchase"),
+        StreamOps.FunnelEvent(2, t(1), "view"),
+        StreamOps.FunnelEvent(2, t(2), "purchase"))
+      q.processAllAvailable()
+      ms.addData(StreamOps.FunnelEvent(1, t(3), "purchase")) // no re-emit
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table(name).collect()
+      assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+      assert(out.head.getTimestamp(1) == t(2)) // completed at first purchase
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("sliding windows: each event lands in 5 windows") {
     val ms = MemoryStream[Ev](spark)
     ms.addData(Ev(1, t(10), 1, "click", 2.0))

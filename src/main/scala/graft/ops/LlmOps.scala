@@ -347,7 +347,34 @@ object LlmOps extends QueryModule {
         lit(i).as("cell"))
     }: _*), asc = false)
 
-  qRowsOnly("sim_ann_ivf") { (s, d) =>
+  // Fully deterministic (first-K centroids, double-accumulated cosines,
+  // aligned tie-breaks: centroid rank ties → cell DESC, top-k ties →
+  // nbr ASC) → oracle-checkable, unlike the Murmur-seeded LSH variant.
+  q("sim_ann_ivf",
+    """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
+      |           FROM embeddings ORDER BY vec_id LIMIT 8),
+      |     ranked AS (
+      |       SELECT e.vec_id, e.embedding, c.cid,
+      |              row_number() OVER (PARTITION BY e.vec_id
+      |                ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cemb) DESC,
+      |                         c.cid DESC) AS cr
+      |       FROM embeddings e CROSS JOIN c),
+      |     cells AS (SELECT vec_id, cid AS cell FROM ranked WHERE cr = 1),
+      |     probes AS (SELECT vec_id AS qid, embedding AS qemb, cid AS cell
+      |                FROM ranked WHERE vec_id < 5 AND cr <= 2),
+      |     cand AS (
+      |       SELECT p.qid, x.vec_id AS nbr,
+      |              round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+      |                                           CAST(p.qemb AS DOUBLE[])), 6) AS cos
+      |       FROM probes p
+      |       JOIN (SELECT cl.vec_id, cl.cell, e2.embedding
+      |             FROM cells cl JOIN embeddings e2 USING (vec_id)) x ON x.cell = p.cell
+      |       WHERE x.vec_id <> p.qid)
+      |SELECT qid, nbr, cos, rn FROM (
+      |  SELECT qid, nbr, cos,
+      |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS INTEGER) AS rn
+      |  FROM cand) t
+      |WHERE rn <= 3 ORDER BY qid, rn""") { (s, d) =>
     val kCells = 8
     val nProbe = 2
     val emb = T(s, d, "embeddings").select("vec_id", "embedding")

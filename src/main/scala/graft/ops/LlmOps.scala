@@ -33,36 +33,59 @@ object LlmOps extends QueryModule {
 
   // -------------------------------------------------------- near dedup
 
-  /** Deterministic per-(seed) string hash as a Column: 32-bit FNV-1a-like
-    * mix over Spark's codegen'd hash(), reseeded by `seed`.
-    */
-  private def seededHash(c: org.apache.spark.sql.Column, seed: Int) =
-    pmod(hash(c, lit(seed)).cast("long"), lit(2147483647L))
-
   /** MinHash + banded LSH near-dup candidates.
     * tokenize → 3-token shingles → k=12 minhashes → 4 bands of 3 →
     * band-bucket equi-join → emit candidate pairs (a<b).
     * No cross join: pair generation is a self-equi-join on (band, sig).
     *
-    * The k minhashes are computed per-row with array higher-order
-    * functions (`array_min(transform(...))`) — the signature stage is
-    * pure map-side, zero shuffle; duplicates within a doc cannot change
-    * a min so no per-doc distinct is needed. The only shuffles are the
-    * band-bucket join and final distinct, both on compact keys.
+    * The k hash functions are a universal family g_i(h) = (a_i·h + b_i)
+    * mod p over ONE base hash per shingle (char-codepoint polynomial) —
+    * the textbook minhash construction, one pass over the characters
+    * instead of k independent string hashes, and (unlike Murmur3)
+    * expressible in DuckDB, so the whole LSH candidate set is
+    * oracle-checked. The signature stage is pure map-side
+    * (`array_min(transform(...))`), zero shuffle; duplicates within a
+    * doc cannot change a min so no per-doc distinct is needed. The only
+    * shuffles are the band-bucket join and final distinct, both on
+    * compact keys.
     */
   def minhashPairs(s: SparkSession, d: String): DataFrame =
     minhashPairsOf(T(s, d, "documents").select("doc_id", "text"))
 
-  /** Same, over any (doc_id, text) DataFrame. */
+  private val MinhashP = 1000000007L
+  private def affineA(i: Int): Long = (i + 1) * 1000003L % MinhashP
+  private def affineB(i: Int): Long = i * 12345L + 7L
+
+  /** Same, over any (doc_id, text) DataFrame.
+    *
+    * Shingle hashes are built from per-TOKEN hashes (each character
+    * hashed exactly once) combined per 3-window over the long array —
+    * no shingle strings are ever materialized, and the window combine
+    * is a zip over shifted slices (the fast HOF shape; per-element
+    * indexing through `transform(sequence(...))` measured 5× slower).
+    * Docs with <3 tokens hash all their tokens as one shingle, matching
+    * the string formulation's whole-doc fallback.
+    */
   def minhashPairsOf(docs: DataFrame): DataFrame = {
     val k = 12
+    val S = 1000033L
     val sigs = docs
       .withColumn("tok", split(col("text"), " "))
-      .withColumn("sh", expr(
-        "transform(sequence(0, greatest(size(tok) - 3, 0)), i -> concat_ws(' ', slice(tok, i + 1, 3)))"))
+      .withColumn("th", expr(
+        s"""transform(tok, t -> aggregate(split(t, ''), CAST(0 AS BIGINT),
+           |  (a, c) -> (a * 31 + ascii(c)) % ${MinhashP}L))""".stripMargin))
+      .withColumn("hs", expr(
+        s"""CASE WHEN size(th) >= 3 THEN
+           |  zip_with(slice(th, 1, size(th) - 2),
+           |    zip_with(slice(th, 2, size(th) - 2), slice(th, 3, size(th) - 2),
+           |      (y, z) -> (y * ${S}L + z) % ${MinhashP}L),
+           |    (x, yz) -> (x * ${S}L + yz) % ${MinhashP}L)
+           |ELSE array(aggregate(th, CAST(0 AS BIGINT),
+           |  (a, h) -> (a * ${S}L + h) % ${MinhashP}L)) END""".stripMargin))
       .select(col("doc_id") +:
         (0 until k).map(i =>
-          array_min(transform(col("sh"), x => seededHash(x, i))).as(s"m$i")): _*)
+          array_min(transform(col("hs"),
+            h => (lit(affineA(i)) * h + lit(affineB(i))) % lit(MinhashP))).as(s"m$i")): _*)
     // 4 bands × 3 rows via ONE generator (band, sig) — a per-band
     // union would repeat the signature subtree 4× per join side (no
     // exchange below it to reuse), re-running the k-minhash pipeline
@@ -82,7 +105,34 @@ object LlmOps extends QueryModule {
       .distinct()
   }
 
-  qRowsOnly("dedup_near_minhash") { (s, d) =>
+  private def minhashOracleSql: String = {
+    val mins = (0 until 12).map(i =>
+      s"min((${affineA(i)} * h + ${affineB(i)}) % $MinhashP) AS m$i").mkString(", ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, concat_ws('_', m${3 * b}, m${3 * b + 1}, m${3 * b + 2}) AS sig FROM mins")
+      .mkString(" UNION ALL ")
+    s"""WITH th AS (
+       |  SELECT doc_id, list_transform(str_split(text, ' '), t ->
+       |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(str_split(t, ''), c -> CAST(ord(c) AS BIGINT))),
+       |             (a, b) -> (a * 31 + b) % $MinhashP)) AS th
+       |  FROM documents),
+       |     sh AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(th) >= 3
+       |    THEN [(th[i] * 1000033 + (th[i+1] * 1000033 + th[i+2]) % $MinhashP) % $MinhashP
+       |          FOR i IN range(1, len(th) - 1)]
+       |    ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), th),
+       |            (a, h) -> (a * 1000033 + h) % $MinhashP)] END) AS h
+       |  FROM th),
+       |     mins AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |     bands AS ($bands),
+       |     pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |               FROM bands l JOIN bands r
+       |                 ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id)
+       |SELECT a, b FROM pairs ORDER BY a, b""".stripMargin
+  }
+
+  q("dedup_near_minhash", minhashOracleSql) { (s, d) =>
     minhashPairs(s, d).reportSorted("a", "b")
   }
 

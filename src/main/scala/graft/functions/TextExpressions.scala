@@ -6,18 +6,23 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.hash.Murmur3_x86_32
 
 /** simhash32(tokens): 32-bit SimHash of a token array, as a long.
   *
-  * Per-token Murmur3 (seed 42 — bit-identical to `functions.hash` on a
-  * string), ±1 votes per bit position, sign → bit. Being a single
-  * UnaryExpression means the whole document fingerprint is computed
-  * map-side inside whole-stage codegen: the previous formulation
-  * (explode tokens → groupBy(doc) with 32 conditional sums) shuffled
-  * every token of every document; this shuffles nothing.
+  * Per-token hash: byte polynomial Σ bᵢ·31^i mod 1e9+7, spread to 32
+  * bits by the Knuth multiplicative constant 2654435761. Chosen over
+  * Murmur3 so the identical fingerprint is computable in plain SQL —
+  * the dedup_simhash oracle reproduces it in DuckDB (byte == codepoint
+  * polynomial on the ASCII corpus) and hash-checks the clusters. ±1
+  * votes per bit position, sign → bit. Being a single UnaryExpression
+  * means the whole document fingerprint is computed map-side inside
+  * whole-stage codegen: the previous formulation (explode tokens →
+  * groupBy(doc) with 32 conditional sums) shuffled every token of
+  * every document; this shuffles nothing.
   */
 case class SimHash32(child: Expression) extends UnaryExpression {
+
+  import SimHash32.{Mod, Spread, M32}
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -34,10 +39,14 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     while (j < n) {
       if (!arr.isNullAt(j)) {
         val t = arr.getUTF8String(j)
-        val h = Murmur3_x86_32.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42)
+        var poly = 0L
+        var i = 0
+        val nb = t.numBytes
+        while (i < nb) { poly = (poly * 31 + (t.getByte(i) & 0xff)) % Mod; i += 1 }
+        val h = poly * Spread % M32
         var b = 0
         while (b < 32) {
-          votes(b) += (if (((h >>> b) & 1) == 1) 1 else -1)
+          votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
           b += 1
         }
       }
@@ -61,16 +70,23 @@ case class SimHash32(child: Expression) extends UnaryExpression {
       val h = ctx.freshName("h")
       val t = ctx.freshName("t")
       val out = ctx.freshName("out")
+      val poly = ctx.freshName("poly")
+      val i = ctx.freshName("i")
+      val nb = ctx.freshName("nb")
       s"""
          |int[] $votes = new int[32];
          |int $n = $arr.numElements();
          |for (int $j = 0; $j < $n; $j++) {
          |  if (!$arr.isNullAt($j)) {
          |    org.apache.spark.unsafe.types.UTF8String $t = $arr.getUTF8String($j);
-         |    int $h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
-         |      $t.getBaseObject(), $t.getBaseOffset(), $t.numBytes(), 42);
+         |    long $poly = 0L;
+         |    int $nb = $t.numBytes();
+         |    for (int $i = 0; $i < $nb; $i++) {
+         |      $poly = ($poly * 31L + ($t.getByte($i) & 0xff)) % ${Mod}L;
+         |    }
+         |    long $h = $poly * ${Spread}L % ${M32}L;
          |    for (int $b = 0; $b < 32; $b++) {
-         |      $votes[$b] += ((($h >>> $b) & 1) == 1) ? 1 : -1;
+         |      $votes[$b] += ((($h >>> $b) & 1L) == 1L) ? 1 : -1;
          |    }
          |  }
          |}
@@ -83,6 +99,12 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(c: Expression): SimHash32 = copy(child = c)
+}
+
+object SimHash32 {
+  val Mod = 1000000007L
+  val Spread = 2654435761L
+  val M32 = 4294967296L
 }
 
 /** Column-API entry point (resolved via GraftExtensions, like vec.*). */

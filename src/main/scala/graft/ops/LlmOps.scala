@@ -139,14 +139,31 @@ object LlmOps extends QueryModule {
   /** SimHash near-dup: 32-bit simhash over token hashes; docs sharing the
     * full simhash (or a band of it) are near-dup candidates. Computed
     * entirely map-side by the codegen'd [[graft.functions.SimHash32]]
-    * expression — same Murmur3(42) per-token hash and vote math as the
-    * explode+groupBy formulation it replaced, with zero shuffle.
+    * expression — same per-token hash and vote math as the
+    * explode+groupBy formulation it replaced, with zero shuffle. The
+    * token hash (char polynomial → Knuth spread) is SQL-expressible, so
+    * the DuckDB oracle reproduces the fingerprints bit-for-bit.
     */
   def simhash(s: SparkSession, d: String): DataFrame =
     T(s, d, "documents").select(col("doc_id"),
       graft.functions.text.simhash32(split(col("text"), " ")).as("simhash"))
 
-  qRowsOnly("dedup_simhash") { (s, d) =>
+  private def simhashOracleSql: String = {
+    val bits = (0 until 32).map(b =>
+      s"(CASE WHEN sum(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) > 0 " +
+        s"THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)").mkString(" + ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest(list_transform(str_split(text, ' '), t ->
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(str_split(t, ''), c -> CAST(ord(c) AS BIGINT))),
+       |      (a, b) -> (a * 31 + b) % 1000000007) * 2654435761 % 4294967296)) AS h
+       |  FROM documents),
+       |     sh AS (SELECT doc_id, $bits AS simhash FROM tk GROUP BY doc_id)
+       |SELECT simhash, count(*) AS n, min(doc_id) AS keep_id
+       |FROM sh GROUP BY simhash ORDER BY simhash""".stripMargin
+  }
+
+  q("dedup_simhash", simhashOracleSql) { (s, d) =>
     // groups of docs sharing a simhash value = near-dup clusters
     simhash(s, d)
       .groupBy("simhash")
@@ -331,18 +348,29 @@ object LlmOps extends QueryModule {
     * bucket instead of cross-joining — the 100 TB path (bucket count grows
     * with 2^nPlanes; recall recovered via multiple tables if needed).
     */
+  /** Deterministic hyperplane components in [-0.5, 0.5) — Murmur-seeded
+    * at PLAN time, so they are plain literals in both the Spark plan and
+    * the generated oracle SQL (the oracle never recomputes the hash).
+    */
+  private[ops] def planeComps(p: Int, dim: Int = 64): IndexedSeq[Double] =
+    (0 until dim).map { i =>
+      val h = scala.util.hashing.MurmurHash3.productHash((p, i))
+      (((h % 1000) + 1000) % 1000) / 1000.0 - 0.5
+    }
+
+  /** DuckDB expression for the nPlanes-bit bucket of `embedding`. */
+  private def bucketSql(nPlanes: Int): String =
+    (0 until nPlanes).map { p =>
+      s"CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), " +
+        s"[${planeComps(p).mkString(", ")}]) > 0 THEN '1' ELSE '0' END"
+    }.mkString("concat(", ", ", ")")
+
   def lshBucketed(s: SparkSession, d: String, nPlanes: Int): DataFrame = {
-    val dim = 64
     // sign(dot(unit, plane)) == sign(dot(raw, plane)) — norms are positive,
     // so bucketing runs on the raw float arrays; no normalization pass.
     val df = T(s, d, "embeddings").select("vec_id", "embedding", "label")
     val withBits = (0 until nPlanes).foldLeft(df) { (acc, p) =>
-      // deterministic hyperplane components in [-0.5, 0.5)
-      val comps = (0 until dim).map { i =>
-        val h = scala.util.hashing.MurmurHash3.productHash((p, i))
-        lit((((h % 1000) + 1000) % 1000) / 1000.0 - 0.5)
-      }
-      val plane = array(comps: _*)
+      val plane = array(planeComps(p).map(lit): _*)
       acc.withColumn(s"s$p",
         when(graft.functions.vec.dot(col("embedding"), plane) > 0, 1).otherwise(0))
     }
@@ -351,7 +379,19 @@ object LlmOps extends QueryModule {
       .select("vec_id", "embedding", "label", "bucket")
   }
 
-  qRowsOnly("sim_ann_lsh") { (s, d) =>
+  // Oracle: plane constants are inlined as SQL literals (see planeComps),
+  // so DuckDB reproduces the exact bucketing + in-bucket ranking.
+  q("sim_ann_lsh",
+    s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql(8)} AS bucket FROM embeddings),
+       |     j AS (SELECT l.vec_id AS qid, r.vec_id AS nbr,
+       |                  round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+       |                                               CAST(r.embedding AS DOUBLE[])), 6) AS cos
+       |           FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id)
+       |SELECT qid, nbr, cos, rn FROM (
+       |  SELECT qid, nbr, cos,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS INTEGER) AS rn
+       |  FROM j) t
+       |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) { (s, d) =>
     // in-bucket cosine top-k per vector: self-equi-join on bucket
     val b = lshBucketed(s, d, nPlanes = 8)
     val l = b.select(col("bucket"), col("vec_id").as("qid"), col("embedding").as("qemb"))
@@ -458,7 +498,15 @@ object LlmOps extends QueryModule {
     * independent tables — the standard multi-table amplification, a
     * union over this same pipeline — reaches 87–98%.
     */
-  qRowsOnly("dedup_embedding_cosine") { (s, d) =>
+  q("dedup_embedding_cosine",
+    s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql(6)} AS bucket FROM embeddings)
+       |SELECT DISTINCT l.vec_id AS a, r.vec_id AS b,
+       |       round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+       |                                    CAST(r.embedding AS DOUBLE[])), 6) AS cos
+       |FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+       |WHERE round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+       |                                   CAST(r.embedding AS DOUBLE[])), 6) >= 0.45
+       |ORDER BY a, b""".stripMargin) { (s, d) =>
     val b = lshBucketed(s, d, nPlanes = 6)
     val l = b.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ua"))
     val r = b.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("ub"))

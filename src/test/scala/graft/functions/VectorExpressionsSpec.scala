@@ -85,8 +85,14 @@ class VectorExpressionsSpec extends AnyFunSuite {
       text.simhash32(split(col("text"), " ")).as("sh"))
       .orderBy("doc_id").collect().map(_.getLong(1))
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      // reference vote formulation with the same SQL-expressible token
+      // hash the expression uses: char polynomial spread to 32 bits
+      .withColumn("h", expr(
+        """aggregate(split(tok, ''), CAST(0 AS BIGINT),
+          |  (a, c) -> (a * 31 + ascii(c)) % 1000000007L)
+          |  * 2654435761L % 4294967296L""".stripMargin))
     val bitCols = (0 until 32).map { i =>
-      sum(when(shiftright(hash(col("tok")), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
     }
     val want = toks.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
       .select(col("doc_id"),

@@ -169,7 +169,12 @@ object GdxOps extends QueryModule {
       .orderBy("dim_1")
   }
 
-  qRowsOnly("agg_eps_sum") { (s, d) =>
+  // Static fixture → golden-value oracle (same pattern as filter_special):
+  // hash-checks the full GDX round trip + EpsSum algebra, not just rows>0.
+  q("agg_eps_sum",
+    """SELECT * FROM (VALUES ('eps_only', CAST(0.0 AS DOUBLE), true),
+      |                      ('numeric', CAST(1.5 AS DOUBLE), false))
+      |  t(grp, value, is_eps) ORDER BY grp""") { (s, d) =>
     val dir = ensureFixtures(s, d)
     import s.implicits._
     val epsSum = udaf(EpsSum)

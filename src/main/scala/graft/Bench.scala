@@ -12,12 +12,13 @@ object Bench {
       "lineitem", "events", "documents", "embeddings")
       .foreach(t => T(spark, sfDir, t).count())
     // Deterministic (sorted) order → per-query times comparable across
-    // runs. Each query is timed twice and the min reported: this host
-    // shows sporadic multi-second external stalls (observed moving
-    // between queries run-to-run with GC quiet), and min-of-2 keeps one
-    // stall from misattributing 30s to whatever query it lands on.
+    // runs. Each query is timed three times and the min reported: this
+    // host shows sporadic multi-second external stalls (observed moving
+    // between queries run-to-run with GC quiet; a whole 2-pass run was
+    // seen uniformly ~1.5× slower), and min-of-3 keeps a stall from
+    // misattributing tens of seconds to whatever query it lands on.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Executable form of SCALE.md §1's plan invariants: these are the
+  * properties that make the suite viable at 100 TB, asserted on the
+  * physical plan rather than hoped for. If an optimizer upgrade or a
+  * query edit silently turns a broadcast join into a shuffle or drops
+  * a pushed filter, this suite fails before any benchmark does.
+  */
+class PlanInvariantsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.Sessions.build("local[4]", "4")
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("entry(): dimension joins broadcast, filters reach the lineitem scan") {
+    val p = plan(graft.SparkEntry.entry(spark))
+    assert(p.contains("BroadcastHashJoin"), "dimension joins must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no fact-side shuffle for dimension joins")
+    assert(p.contains("PushedFilters: ["), "filter must push into the parquet scan")
+  }
+
+  test("filter_label_eq: predicate pushed to the parquet scan, pruned schema") {
+    val p = plan(graft.SparkEntry.queries("filter_label_eq")(spark, d))
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]")
+      || p.contains("EqualTo(c_mktsegment,BUILDING)"), s"missing pushdown in:\n$p")
+    // projection pruning: only the two selected columns + filter column read
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>"),
+      "scan must read only selected columns")
+  }
+
+  test("topk_global plans TakeOrderedAndProject, not a global sort") {
+    val p = plan(graft.SparkEntry.queries("topk_global")(spark, d))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k physical op in:\n$p")
+  }
+
+  test("agg_sum_over_dim is two-phase (partial then final hash aggregate)") {
+    val p = plan(graft.SparkEntry.queries("agg_sum_over_dim")(spark, d))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final aggregation")
+    assert(p.contains("partial_sum") || p.contains("partial"), s"expected map-side combine in:\n$p")
+  }
+
+  test("join_shuffle_equi large-large join shuffles on the key (SMJ or AQE-broadcast)") {
+    val p = plan(graft.SparkEntry.queries("join_shuffle_equi")(spark, d))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("AdaptiveSparkPlan"), s"unexpected join shape:\n$p")
+  }
+
+  test("report-sized results end in a single-partition sort, not a range exchange") {
+    val df = graft.SparkEntry.queries("text_ngram_freq")(spark, d)
+    val p = plan(df)
+    assert(!p.contains("rangepartitioning"),
+      "report query must not pay the range-sort sampling pass")
+    assert(p.contains("SinglePartition"), s"expected repartition(1) in:\n$p")
+  }
+
+  test("data-sized sort_by_key keeps the distributed range sort") {
+    val p = plan(graft.SparkEntry.queries("sort_by_key")(spark, d))
+    assert(p.contains("rangepartitioning"), "data-sized output must range-sort")
+  }
+
+  test("similarity hot path runs the native codegen'd cosine, not HOF lambdas") {
+    val p = plan(graft.SparkEntry.queries("sim_cosine_topk")(spark, d))
+    assert(p.contains("veccosine") || p.contains("vec_cosine"),
+      s"expected native vector expression in:\n$p")
+    assert(!p.toLowerCase.contains("lambdafunction"),
+      "hot path must not evaluate interpreted lambdas per pair")
+  }
+}

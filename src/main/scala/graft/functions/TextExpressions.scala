@@ -107,9 +107,81 @@ object SimHash32 {
   val M32 = 4294967296L
 }
 
+/** token_poly_hash(tokens): per-token byte-polynomial hash
+  * (Σ bᵢ·31^i mod 1e9+7) as array<bigint> — the shared base hash of
+  * the minhash signatures and document fingerprints.
+  *
+  * Same value as `transform(tokens, t -> aggregate(split(t, ''), 0L,
+  * (a, c) -> (a*31 + ascii(c)) % 1000000007))` on ASCII input (byte ==
+  * codepoint), but computed in a primitive loop inside whole-stage
+  * codegen instead of an interpreted lambda per character — the minhash
+  * signature stage is the hottest map-side loop in the §2.L pipelines.
+  * Null tokens hash like empty strings (0).
+  */
+case class TokenPolyHash(child: Expression) extends UnaryExpression {
+
+  import SimHash32.Mod
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expected array<string>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val t = arr.getUTF8String(j)
+        var poly = 0L
+        var i = 0
+        val nb = t.numBytes
+        while (i < nb) { poly = (poly * 31 + (t.getByte(i) & 0xff)) % Mod; i += 1 }
+        out(j) = poly
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val t = ctx.freshName("t")
+      val poly = ctx.freshName("poly")
+      val i = ctx.freshName("i")
+      val nb = ctx.freshName("nb")
+      s"""
+         |int $n = $arr.numElements();
+         |long[] $out = new long[$n];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if (!$arr.isNullAt($j)) {
+         |    org.apache.spark.unsafe.types.UTF8String $t = $arr.getUTF8String($j);
+         |    long $poly = 0L;
+         |    int $nb = $t.numBytes();
+         |    for (int $i = 0; $i < $nb; $i++) {
+         |      $poly = ($poly * 31L + ($t.getByte($i) & 0xff)) % ${Mod}L;
+         |    }
+         |    $out[$j] = $poly;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): TokenPolyHash = copy(child = c)
+}
+
 /** Column-API entry point (resolved via GraftExtensions, like vec.*). */
 object text {
   import org.apache.spark.sql.functions.call_function
 
   def simhash32(tokens: Column): Column = call_function("simhash32", tokens)
+  def tokenPolyHash(tokens: Column): Column = call_function("token_poly_hash", tokens)
 }

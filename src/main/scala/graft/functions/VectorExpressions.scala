@@ -215,6 +215,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
       (es: Seq[Expression]) => SimHash32(es.head)))
+    ext.injectFunction((FunctionIdentifier("token_poly_hash"),
+      new ExpressionInfo(classOf[TokenPolyHash].getName, "token_poly_hash"),
+      (es: Seq[Expression]) => TokenPolyHash(es.head)))
   }
 }
 

@@ -71,9 +71,8 @@ object LlmOps extends QueryModule {
     val S = 1000033L
     val sigs = docs
       .withColumn("tok", split(col("text"), " "))
-      .withColumn("th", expr(
-        s"""transform(tok, t -> aggregate(split(t, ''), CAST(0 AS BIGINT),
-           |  (a, c) -> (a * 31 + ascii(c)) % ${MinhashP}L))""".stripMargin))
+      // native codegen'd per-token base hash — the hottest map-side loop
+      .withColumn("th", graft.functions.text.tokenPolyHash(col("tok")))
       .withColumn("hs", expr(
         s"""CASE WHEN size(th) >= 3 THEN
            |  zip_with(slice(th, 1, size(th) - 2),
@@ -667,11 +666,11 @@ object LlmOps extends QueryModule {
       |    (acc, h) -> (acc * 1000003 + h) % 1000000007) AS fp
       |FROM documents ORDER BY doc_id""") { (s, d) =>
     T(s, d, "documents")
-      .withColumn("fp", aggregate(split(col("text"), " "), lit(0L),
-        (acc, t) => pmod(acc * lit(1000003L) +
-          aggregate(split(t, ""), lit(0L),
-            (a, c) => pmod(a * lit(31L) + ascii(c).cast("long"), lit(1000000007L))),
-          lit(1000000007L))))
+      // per-token hashes via the native codegen'd expression; the outer
+      // fold over ~1e2 token hashes stays a (cheap) HOF
+      .withColumn("fp", aggregate(
+        graft.functions.text.tokenPolyHash(split(col("text"), " ")), lit(0L),
+        (acc, h) => pmod(acc * lit(1000003L) + h, lit(1000000007L))))
       .select("doc_id", "fp")
       .reportSorted("doc_id")
   }

@@ -105,6 +105,19 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(ham(got(0), got(2)) < ham(got(0), got(1)))
   }
 
+  test("token_poly_hash matches the HOF char-fold formulation") {
+    import spark.implicits._
+    val docs = Seq("alpha beta", "x", "", "repeated repeated tokens")
+      .toDF("text")
+    val got = docs.select(text.tokenPolyHash(split(col("text"), " ")).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    val want = docs.select(expr(
+      """transform(split(text, ' '), t -> aggregate(split(t, ''), CAST(0 AS BIGINT),
+        |  (a, c) -> (a * 31 + ascii(c)) % 1000000007L))""".stripMargin).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+  }
+
   test("SQL surface: vec_cosine resolvable by name via extensions") {
     fixture.createOrReplaceTempView("vecs")
     val n = spark.sql("SELECT vec_cosine(a, b) AS c FROM vecs WHERE vec_norm(a) > 0").count()

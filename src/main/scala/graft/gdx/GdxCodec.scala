@@ -48,7 +48,7 @@ object GdxCodec {
     out.writeByte(v)
   }
 
-  private def readVarInt(in: DataInputStream): Int = {
+  private[gdx] def readVarInt(in: DataInputStream): Int = {
     var shift = 0
     var result = 0
     var b = in.readByte()
@@ -193,21 +193,82 @@ object GdxCodec {
     } finally in.close()
   }
 
-  /** Decode one symbol's records given its meta (seeks to the blob). */
+  /** Decode one symbol's records given its meta (seeks to the blob).
+    * Convenience eager form of [[openRecordStream]].
+    */
   def readSymbolRecords(path: String, header: Header, meta: SymbolMeta): Vector[GdxRecord] = {
-    val fin = new FileInputStream(path)
-    try {
+    val s = openRecordStream(path, header, meta)
+    try s.toVector finally s.close()
+  }
+
+  /** STREAMING decode of one symbol's records: seeks to the blob and
+    * inflates/decodes record-by-record — the DSv2 `PartitionReader`
+    * pulls from this, so per-task read memory is O(1 record + UEL
+    * table) regardless of shard size (the eager Vector form would make
+    * task memory proportional to shard records).
+    */
+  def openRecordStream(path: String, header: Header, meta: SymbolMeta): GdxRecordStream =
+    new GdxRecordStream(path, header.compressed, meta)
+
+  final class GdxRecordStream private[GdxCodec] (path: String, compressed: Boolean,
+      meta: SymbolMeta) extends Iterator[GdxRecord] with java.io.Closeable {
+    private val fin = new FileInputStream(path)
+    locally {
       var toSkip = meta.offset
       while (toSkip > 0) {
         val s = fin.skip(toSkip)
         if (s <= 0) throw new EOFException(s"cannot seek to ${meta.name}")
         toSkip -= s
       }
-      val blob = new Array[Byte](meta.dataLen)
-      val din = new DataInputStream(fin)
-      din.readFully(blob)
-      decodeRecords(blob, header.compressed, meta)
-    } finally fin.close()
+    }
+    private val bounded = new BoundedInputStream(fin, meta.dataLen)
+    private val in = new DataInputStream(new BufferedInputStream(
+      if (compressed) new InflaterInputStream(bounded) else bounded, 1 << 16))
+    private val texts = Vector.fill(readVarInt(in))(in.readUTF())
+    private val prev = new Array[Int](meta.dim)
+    private var n = 0
+
+    override def hasNext: Boolean = n < meta.records
+
+    override def next(): GdxRecord = {
+      val first = in.readByte().toInt
+      var i = first
+      while (i < meta.dim) { prev(i) = readVarInt(in); i += 1 }
+      val keys = prev.clone()
+      val rec = meta.typ match {
+        case SymbolType.Set | SymbolType.Alias =>
+          val t = readVarInt(in)
+          GdxRecord(keys, Array.empty, if (t == 0) None else Some(texts(t - 1)))
+        case SymbolType.Parameter =>
+          GdxRecord(keys, Array(in.readDouble()))
+        case _ =>
+          val vs = new Array[Double](5)
+          var f = 0
+          while (f < 5) { vs(f) = in.readDouble(); f += 1 }
+          GdxRecord(keys, vs)
+      }
+      n += 1
+      rec
+    }
+
+    override def close(): Unit = in.close()
+  }
+
+  /** Caps reads at `limit` bytes so the inflater never crosses into the
+    * next symbol's blob.
+    */
+  private final class BoundedInputStream(in: InputStream, limit: Long) extends InputStream {
+    private var remaining = limit
+    override def read(): Int =
+      if (remaining <= 0) -1
+      else { val r = in.read(); if (r >= 0) remaining -= 1; r }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (remaining <= 0) return -1
+      val r = in.read(b, off, math.min(len.toLong, remaining).toInt)
+      if (r > 0) remaining -= r
+      r
+    }
+    override def close(): Unit = in.close()
   }
 
   def decodeRecords(blob: Array[Byte], compressed: Boolean, meta: SymbolMeta): Vector[GdxRecord] = {

@@ -162,9 +162,12 @@ class GdxSymbolReader(path: String, symbol: String, fullSchema: StructType,
   // blob entirely (header-only read).
   private val shardCanMatch = dimFilters.valuesIterator.forall(_.nonEmpty)
 
-  private val records =
-    if (shardCanMatch) GdxCodec.readSymbolRecords(path, header, meta).iterator
-    else Iterator.empty
+  // streaming decode: records inflate one at a time — task memory is
+  // O(UEL table), never O(shard records)
+  private val stream: GdxCodec.GdxRecordStream =
+    if (shardCanMatch) GdxCodec.openRecordStream(path, header, meta) else null
+  private val records: Iterator[GdxRecord] =
+    if (stream == null) Iterator.empty else stream
   private var cur: GdxRecord = _
 
   // projection plan: for each required field, a function of the record
@@ -209,5 +212,5 @@ class GdxSymbolReader(path: String, symbol: String, fullSchema: StructType,
   override def get(): InternalRow =
     new GenericInternalRow(emitters.map(e => e(cur)).toArray[Any])
 
-  override def close(): Unit = ()
+  override def close(): Unit = if (stream != null) stream.close()
 }

@@ -64,6 +64,21 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.contains("rangepartitioning"), "data-sized output must range-sort")
   }
 
+  test("agg_approx_distinct: HLL estimate within rsd bounds of the exact count") {
+    // the one query the DuckDB oracle can't hash-check (sketch estimates
+    // are engine-specific) — its accuracy contract is pinned here instead
+    val approx = graft.SparkEntry.queries("agg_approx_distinct")(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.T(spark, d, "lineitem")
+      .groupBy("l_returnflag").agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val err = math.abs(approx(k) - n).toDouble / n
+      assert(err <= 0.05, s"group $k: approx=${approx(k)} exact=$n err=$err (rsd=0.01)")
+    }
+  }
+
   test("similarity hot path runs the native codegen'd cosine, not HOF lambdas") {
     val p = plan(graft.SparkEntry.queries("sim_cosine_topk")(spark, d))
     assert(p.contains("veccosine") || p.contains("vec_cosine"),

@@ -96,12 +96,23 @@ object GdxTable {
     schemaOf(meta, flags, multiShard = shards.size > 1)
   }
 
-  def resolveSymbol(h: GdxCodec.Header, symbol: String, path: String): GdxCodec.SymbolMeta =
-    if (symbol.isEmpty) h.metas.headOption
-      .getOrElse(throw new IllegalArgumentException(s"gdx: no symbols in $path"))
-    else h.metas.find(_.name.equalsIgnoreCase(symbol))
-      .getOrElse(throw new IllegalArgumentException(
-        s"gdx: symbol '$symbol' not found in $path (have: ${h.metas.map(_.name).mkString(", ")})"))
+  def resolveSymbol(h: GdxCodec.Header, symbol: String, path: String): GdxCodec.SymbolMeta = {
+    val meta =
+      if (symbol.isEmpty) h.metas.headOption
+        .getOrElse(throw new IllegalArgumentException(s"gdx: no symbols in $path"))
+      else h.metas.find(_.name.equalsIgnoreCase(symbol))
+        .getOrElse(throw new IllegalArgumentException(
+          s"gdx: symbol '$symbol' not found in $path (have: ${h.metas.map(_.name).mkString(", ")})"))
+    // Alias = catalog-level redirect (SURVEY §1.2): reading an alias
+    // reads its target. The target rides in the explanatory text, the
+    // GAMS convention ("Aliased with X") our builder also writes.
+    if (meta.typ == SymbolType.Alias) {
+      val target = meta.explText.stripPrefix("Aliased with ").trim
+      h.metas.find(m => m.name.equalsIgnoreCase(target) && m.typ != SymbolType.Alias)
+        .getOrElse(throw new IllegalArgumentException(
+          s"gdx: alias '${meta.name}' points at missing symbol '$target' in $path"))
+    } else meta
+  }
 
   /** Long-form relational encoding of a symbol (SURVEY.md §1.2):
     * dim_i string columns (with domain metadata), then the value

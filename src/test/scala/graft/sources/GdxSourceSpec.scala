@@ -247,6 +247,23 @@ class GdxSourceSpec extends AnyFunSuite {
     assert(cat.head.getLong(3) == 900L) // records summed across shards
   }
 
+  test("alias resolves to its target symbol's records (GAMS alias semantics)") {
+    val b = new GdxBuilder()
+    b.addSymbol("i", SymbolType.Set, 1, Seq(
+      (Seq("us"), Array.empty[Double], None),
+      (Seq("eu"), Array.empty[Double], None)))
+    b.addAlias("j", "i")
+    val p = s"${tmpDir()}/alias.gdx"
+    GdxCodec.write(b.result(), p)
+    // reading the alias reads the target set
+    val viaAlias = Gdx.symbol(spark, p, "j").orderBy("dim_1").collect()
+    assert(viaAlias.map(_.getString(0)).toSeq == Seq("eu", "us"))
+    // the catalog still lists the alias as its own (redirect) entry
+    val cat = Gdx.catalog(spark, p).orderBy("name").collect()
+    assert(cat.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("i", "set"), ("j", "alias")))
+  }
+
   test("multiple pushed filters on the same dim intersect (EqualTo + In)") {
     val p = writeFixture()
     // EqualTo('us') ∧ In('us','eu') → must intersect to {'us'}, not

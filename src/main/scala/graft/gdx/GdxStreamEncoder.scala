@@ -21,12 +21,16 @@ import scala.collection.mutable
   * encoding; finish() pushes pool + spilled records through one deflater
   * into a second temp, then assembles the final shard
   * (header | uels | meta | dataLen | blob) by sequential stream-copy.
-  * Disk cost: two extra sequential passes over the shard; the output is
-  * byte-compatible with GdxCodec.write for sorted input.
+  * Disk cost: two extra sequential passes over the shard.
   *
   * Input rows are expected in GDX key order — guaranteed on the write
   * path by RequiresDistributionAndOrdering (GdxWrite) — which is what
-  * makes the shard's manifest [lo, hi] label range tight.
+  * makes the shard's manifest [lo, hi] label range tight. Record order
+  * in the shard is that LABEL order; it coincides with UEL-index order
+  * (and the output is byte-identical to GdxCodec.write) for dim ≤ 1,
+  * while deeper dims may interleave index order when a label was first
+  * seen under an earlier leading group. Decode never assumes index
+  * order, and delta encoding is order-agnostic (GdxCodecSpec property).
   */
 final class GdxStreamEncoder(finalPath: String, name: String, typ: Int, dim: Int,
     explText: String = "", userInfo: Int = 0, domains: Seq[String] = Nil,

@@ -75,6 +75,23 @@ class GdxStreamEncoderSpec extends AnyFunSuite {
     assert(GdxCodec.readSymbolRecords(out, h, h.metas.head).isEmpty)
   }
 
+  test("cross-group label reuse: shard keeps label order, records round-trip") {
+    // 'z' is registered under dim_1='a' before 'm' appears under 'b', so
+    // UEL-index order diverges from label order — the documented case
+    // where the shard is NOT byte-identical to GdxCodec.write. The
+    // contract is exact record round-trip in the input (label) order.
+    val out = tmp("reuse.gdx")
+    val enc = new GdxStreamEncoder(out, "p", SymbolType.Parameter, 2)
+    val recs = Seq(
+      (Array("a", "z"), 1.0), (Array("b", "m"), 2.0), (Array("b", "z"), 3.0))
+    recs.foreach { case (ls, v) => enc.add(ls, Array(v), None) }
+    enc.finish()
+    val c = GdxCodec.read(out)
+    val back = c.symbols.head.records.map(r =>
+      (r.keys.map(c.uels).toSeq, r.values(0)))
+    assert(back == recs.map { case (ls, v) => (ls.toSeq, v) }.toVector)
+  }
+
   test("case-insensitive UEL registration preserves first-seen display case") {
     val out = tmp("case.gdx")
     val enc = new GdxStreamEncoder(out, "p", SymbolType.Parameter, 1)

@@ -225,9 +225,18 @@ object LlmOps extends QueryModule {
     // materialize the edge list once: every propagation round joins
     // against it, and without this the upstream candidate pipeline
     // (e.g. the whole Jaccard computation) would re-execute per round
-    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+    val symRaw = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
+    // adapt iteration parallelism to the materialized edge count (free —
+    // the checkpoint already ran): near-dup pair graphs are typically
+    // tiny relative to the corpus, and per-round task-scheduling
+    // overhead dominates when 32 tasks each hold a handful of edges.
+    // ~500k edges per partition, capped at the session's parallelism.
+    val edgeCount = symRaw.count()
+    val parts = math.max(1, math.min((edgeCount / 500000L).toInt + 1,
+      edges.sparkSession.sparkContext.defaultParallelism))
+    val sym = symRaw.coalesce(parts)
     val nodes = sym.select(col("src").as("id")).distinct()
     var labels = nodes.withColumn("lbl", col("id"))
     var iter = 0

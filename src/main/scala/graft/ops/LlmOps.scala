@@ -728,6 +728,59 @@ object LlmOps extends QueryModule {
       .reportSorted("doc_id")
   }
 
+  /** Deterministic stratified sampling: per-language keep rates, keyed
+    * on the CONTENT fingerprint (not doc_id), so the same document
+    * samples identically across re-partitions, re-runs, and even
+    * re-ingestions under new ids — the reproducibility property a
+    * training-data pipeline needs. Map-side only; no RNG state.
+    */
+  q("pipeline_stratified_sample",
+    """WITH fp AS (
+      |  SELECT doc_id, lang,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(str_split(text, ' '), t ->
+      |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(str_split(t, ''), c -> CAST(ord(c) AS BIGINT))),
+      |          (a, b) -> (a * 31 + b) % 1000000007))),
+      |      (acc, h) -> (acc * 1000003 + h) % 1000000007) % 100 AS bucket
+      |  FROM documents)
+      |SELECT doc_id, lang FROM fp
+      |WHERE bucket < (CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 ELSE 10 END)
+      |ORDER BY doc_id""") { (s, d) =>
+    T(s, d, "documents")
+      .withColumn("bucket", aggregate(
+        graft.functions.text.tokenPolyHash(split(col("text"), " ")), lit(0L),
+        (acc, h) => pmod(acc * lit(1000003L) + h, lit(1000000007L))) % 100)
+      .filter(col("bucket") <
+        when(col("lang") === "en", 50).when(col("lang") === "de", 30).otherwise(10))
+      .select("doc_id", "lang")
+      .reportSorted("doc_id")
+  }
+
+  /** Sequence packing: assign docs to fixed token-budget bins (4096)
+    * per language in deterministic doc_id order — the standard
+    * context-window packing pass before tokenized training shards are
+    * written. One window cumsum per language partition; bin boundaries
+    * are a pure function of the running total, so packing is stable
+    * under any physical partitioning.
+    */
+  q("pipeline_pack_sequences",
+    """SELECT doc_id, lang,
+      |       CAST((cum - n_tok) // 4096 AS BIGINT) AS bin
+      |FROM (SELECT doc_id, lang, len(str_split(text, ' ')) AS n_tok,
+      |             sum(len(str_split(text, ' ')))
+      |               OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+      |      FROM documents) t
+      |ORDER BY doc_id""") { (s, d) =>
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    T(s, d, "documents")
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("lang"),
+        floor((col("cum") - col("n_tok")) / 4096).as("bin"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------- multimodal
 
   q("multimodal_join",

@@ -56,22 +56,22 @@ object LlmOps extends QueryModule {
   private def affineA(i: Int): Long = (i + 1) * 1000003L % MinhashP
   private def affineB(i: Int): Long = i * 12345L + 7L
 
-  /** Same, over any (doc_id, text) DataFrame.
+  /** (doc_id, hs: array<bigint>) — 3-token shingle hashes per document.
     *
-    * Shingle hashes are built from per-TOKEN hashes (each character
-    * hashed exactly once) combined per 3-window over the long array —
-    * no shingle strings are ever materialized, and the window combine
-    * is a zip over shifted slices (the fast HOF shape; per-element
-    * indexing through `transform(sequence(...))` measured 5× slower).
-    * Docs with <3 tokens hash all their tokens as one shingle, matching
-    * the string formulation's whole-doc fallback.
+    * Built from per-TOKEN hashes (each character hashed exactly once,
+    * by the native codegen'd token_poly_hash) combined per 3-window
+    * over the long array — no shingle strings are ever materialized,
+    * and the window combine is a zip over shifted slices (the fast HOF
+    * shape; per-element indexing through `transform(sequence(...))`
+    * measured 5× slower). Docs with <3 tokens hash all their tokens as
+    * one shingle, matching the string formulation's whole-doc fallback.
+    * Shared by minhash candidate generation and the candidate-verify
+    * Jaccard step, so both stages agree on shingle identity.
     */
-  def minhashPairsOf(docs: DataFrame): DataFrame = {
-    val k = 12
+  def shingleHashes(docs: DataFrame): DataFrame = {
     val S = 1000033L
-    val sigs = docs
+    docs
       .withColumn("tok", split(col("text"), " "))
-      // native codegen'd per-token base hash — the hottest map-side loop
       .withColumn("th", graft.functions.text.tokenPolyHash(col("tok")))
       .withColumn("hs", expr(
         s"""CASE WHEN size(th) >= 3 THEN
@@ -81,6 +81,13 @@ object LlmOps extends QueryModule {
            |    (x, yz) -> (x * ${S}L + yz) % ${MinhashP}L)
            |ELSE array(aggregate(th, CAST(0 AS BIGINT),
            |  (a, h) -> (a * ${S}L + h) % ${MinhashP}L)) END""".stripMargin))
+      .select("doc_id", "hs")
+  }
+
+  /** Same, over any (doc_id, text) DataFrame. */
+  def minhashPairsOf(docs: DataFrame): DataFrame = {
+    val k = 12
+    val sigs = shingleHashes(docs)
       .select(col("doc_id") +:
         (0 until k).map(i =>
           array_min(transform(col("hs"),
@@ -104,13 +111,17 @@ object LlmOps extends QueryModule {
       .distinct()
   }
 
-  private def minhashOracleSql: String = {
+  /** Shared DuckDB CTEs: per-doc token hashes → shingle hashes → k
+    * minhash minima → banded signatures → candidate pairs. Mirrors
+    * [[shingleHashes]] + [[minhashPairsOf]] exactly.
+    */
+  private def minhashCtesSql: String = {
     val mins = (0 until 12).map(i =>
       s"min((${affineA(i)} * h + ${affineB(i)}) % $MinhashP) AS m$i").mkString(", ")
     val bands = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, concat_ws('_', m${3 * b}, m${3 * b + 1}, m${3 * b + 2}) AS sig FROM mins")
       .mkString(" UNION ALL ")
-    s"""WITH th AS (
+    s"""th AS (
        |  SELECT doc_id, list_transform(str_split(text, ' '), t ->
        |           list_reduce(list_prepend(CAST(0 AS BIGINT),
        |             list_transform(str_split(t, ''), c -> CAST(ord(c) AS BIGINT))),
@@ -127,9 +138,12 @@ object LlmOps extends QueryModule {
        |     bands AS ($bands),
        |     pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
        |               FROM bands l JOIN bands r
-       |                 ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id)
-       |SELECT a, b FROM pairs ORDER BY a, b""".stripMargin
+       |                 ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id)""".stripMargin
   }
+
+  private def minhashOracleSql: String =
+    s"""WITH $minhashCtesSql
+       |SELECT a, b FROM pairs ORDER BY a, b""".stripMargin
 
   q("dedup_near_minhash", minhashOracleSql) { (s, d) =>
     minhashPairs(s, d).reportSorted("a", "b")
@@ -210,6 +224,48 @@ object LlmOps extends QueryModule {
       .withColumn("jaccard",
         round(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")), 6))
       .filter(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")) >= 0.8)
+      .select("a", "b", "jaccard")
+      .reportSorted("a", "b")
+  }
+
+  /** The production near-dup shape, composed end-to-end: banded-minhash
+    * LSH generates candidate pairs, exact Jaccard verifies ONLY those
+    * candidates — the verify join is |candidates| × shingles-per-doc,
+    * never the all-pairs self-join of `dedup_ngram_jaccard` (which
+    * stays registered as the exhaustive correctness baseline). Both
+    * stages share [[shingleHashes]], so candidate generation and
+    * verification agree on shingle identity, and the whole pipeline is
+    * hash-checked by one composed DuckDB oracle.
+    */
+  q("dedup_candidates_verified",
+    s"""WITH $minhashCtesSql,
+       |     jsh AS (SELECT DISTINCT doc_id, h FROM sh),
+       |     cnt AS (SELECT doc_id, count(*) AS n FROM jsh GROUP BY doc_id),
+       |     inter AS (
+       |  SELECT p.a, p.b, count(*) AS i FROM pairs p
+       |  JOIN jsh x ON x.doc_id = p.a
+       |  JOIN jsh y ON y.doc_id = p.b AND y.h = x.h
+       |  GROUP BY p.a, p.b)
+       |SELECT i.a, i.b, round(i.i * 1.0 / (na.n + nb.n - i.i), 6) AS jaccard
+       |FROM inter i JOIN cnt na ON na.doc_id = i.a JOIN cnt nb ON nb.doc_id = i.b
+       |WHERE i.i * 1.0 / (na.n + nb.n - i.i) >= 0.8
+       |ORDER BY a, b""".stripMargin) { (s, d) =>
+    val docs = T(s, d, "documents").select("doc_id", "text")
+    val cand = minhashPairsOf(docs)
+    val jsh = shingleHashes(docs)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .distinct()
+    val counts = jsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(jsh.select(col("doc_id").as("a"), col("h")), Seq("a"))
+      .join(jsh.select(col("doc_id").as("b"), col("h")), Seq("b", "h"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+    inter
+      .join(counts.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(counts.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .withColumn("jaccard",
+        round(col("i") * lit(1.0) / (col("na") + col("nb") - col("i")), 6))
+      .filter(col("i") * lit(1.0) / (col("na") + col("nb") - col("i")) >= 0.8)
       .select("a", "b", "jaccard")
       .reportSorted("a", "b")
   }

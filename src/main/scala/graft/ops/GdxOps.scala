@@ -57,6 +57,12 @@ object GdxOps extends QueryModule {
         region.map { case (r, k) => (Seq(r), Array.empty[Double], Some(s"region $k")) })
       b.addSymbol("spec", SymbolType.Parameter, 1,
         specRecords.map { case (l, v) => (Seq(l), Array(v), None) })
+      // domain-check fixture: one in-domain record, one violation
+      b.addSymbol("natbad", SymbolType.Parameter, 2, Seq(
+        (Seq(nation.head._1, region.head._1), Array(1.0), None),
+        (Seq(nation(1)._1, "ATLANTIS"), Array(2.0), None)),
+        domains = Seq("n", "r"))
+      b.addAlias("r", "regset")
       GdxCodec.write(b.result(), s"$dir/file1.gdx")
 
       // (b) DSv2 single-file write: region-derived `nat` (multifile demo)
@@ -93,7 +99,9 @@ object GdxOps extends QueryModule {
     """SELECT * FROM (
       |  SELECT 'nat' AS name, 'parameter' AS type, 1 AS dim,
       |         (SELECT count(*) FROM nation) AS records
+      |  UNION ALL SELECT 'natbad', 'parameter', 2, CAST(2 AS BIGINT)
       |  UNION ALL SELECT 'natreg', 'parameter', 2, (SELECT count(*) FROM nation)
+      |  UNION ALL SELECT 'r', 'alias', 0, CAST(0 AS BIGINT)
       |  UNION ALL SELECT 'regset', 'set', 1, (SELECT count(*) FROM region)
       |  UNION ALL SELECT 'spec', 'parameter', 1, CAST(6 AS BIGINT)) t
       |ORDER BY name""") { (s, d) =>
@@ -114,6 +122,7 @@ object GdxOps extends QueryModule {
 
   q("gdx_load_pattern",
     """SELECT 'nat' AS symbol, count(*) AS n FROM nation
+      |UNION ALL SELECT 'natbad', CAST(2 AS BIGINT)
       |UNION ALL SELECT 'natreg', count(*) FROM nation ORDER BY symbol""") { (s, d) =>
     val dir = ensureFixtures(s, d)
     Gdx.loadSymbols(s, "nat*", Seq(s"$dir/file1.gdx")).toSeq
@@ -187,6 +196,37 @@ object GdxOps extends QueryModule {
       .agg(epsSum(col("value"), col("is_eps"), col("is_na"), col("is_undef")).as("s"))
       .select(col("grp"), col("s.value").as("value"), col("s.is_eps").as("is_eps"))
       .orderBy("grp")
+  }
+
+  /** GAMS domain checking (SPEC gdxSymbolGetDomainX; SURVEY §2.C
+    * join_anti provenance): records whose label is not covered by the
+    * controlling domain set — the anti-join through the connector.
+    */
+  q("gdx_domain_check",
+    """SELECT * FROM (VALUES ('NATION_1', 'ATLANTIS', CAST(2.0 AS DOUBLE)))
+      |  t(dim_1, dim_2, value) ORDER BY dim_1""") { (s, d) =>
+    val dir = ensureFixtures(s, d)
+    val natbad = Gdx.symbol(s, s"$dir/file1.gdx", "natbad")
+    val domain = Gdx.symbol(s, s"$dir/file1.gdx", "regset")
+      .select(col("dim_1").as("r_label"))
+    natbad
+      .join(domain, col("dim_2") === col("r_label"), "left_anti")
+      .select("dim_1", "dim_2", "value")
+      .orderBy("dim_1")
+  }
+
+  /** GDX alias (SURVEY §1.2): reading the alias reads its target set —
+    * resolved inside the connector, verified against the region table
+    * the target was built from.
+    */
+  q("gdx_alias_scan",
+    """SELECT r_name AS dim_1, CAST(1.0 AS DOUBLE) AS value,
+      |       'region ' || CAST(CAST(r_regionkey AS DOUBLE) AS VARCHAR) AS text
+      |FROM region ORDER BY dim_1""") { (s, d) =>
+    val dir = ensureFixtures(s, d)
+    Gdx.symbol(s, s"$dir/file1.gdx", "r") // alias of regset
+      .select("dim_1", "value", "text")
+      .orderBy("dim_1")
   }
 
   // gdxpy reshape: pivot last dim to columns over the 2-dim symbol

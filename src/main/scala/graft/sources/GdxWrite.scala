@@ -185,7 +185,12 @@ class GdxDataWriter(path: String, layout: GdxWriteLayout, single: Boolean,
       layout.typ, layout.dimCols.length)
 
   override def write(row: InternalRow): Unit = {
-    val labels = layout.dimCols.map(i => row.getUTF8String(i).toString)
+    val labels = layout.dimCols.map { i =>
+      require(!row.isNullAt(i),
+        s"gdx write: null label in dim column ${layout.dimCols.indexOf(i) + 1} " +
+          "(GDX labels cannot be null — filter or fill before writing)")
+      row.getUTF8String(i).toString
+    }
     val values = layout.valCols.map(i => row.getDouble(i))
     val text =
       if (layout.textCol >= 0 && !row.isNullAt(layout.textCol))

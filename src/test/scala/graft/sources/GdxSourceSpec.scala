@@ -247,6 +247,32 @@ class GdxSourceSpec extends AnyFunSuite {
     assert(cat.head.getLong(3) == 900L) // records summed across shards
   }
 
+  test("DSv2 sharded write of a SET with associated texts round-trips") {
+    import spark.implicits._
+    val dir = s"${tmpDir()}/setout"
+    Seq(("us", "United States"), ("eu", null), ("cn", "China"))
+      .toDF("dim_1", "text")
+      .repartition(2)
+      .write.format("gdx").mode("overwrite").option("symbol", "mem").save(dir)
+    val back = Gdx.symbol(spark, dir, "mem").orderBy("dim_1").collect()
+    assert(back.map(_.getString(0)).toSeq == Seq("cn", "eu", "us"))
+    assert(back.map(r => Option(r.getString(2))).toSeq ==
+      Seq(Some("China"), None, Some("United States")))
+    assert(back.forall(_.getDouble(1) == 1.0)) // set membership value
+  }
+
+  test("write rejects null dim labels with a clear error") {
+    import spark.implicits._
+    val dir = s"${tmpDir()}/nullout"
+    val ex = intercept[Exception] {
+      Seq(("ok", 1.0), (null, 2.0)).toDF("dim_1", "value")
+        .write.format("gdx").mode("overwrite").option("symbol", "s").save(dir)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("null label")), s"got: ${messages(ex)}")
+  }
+
   test("alias resolves to its target symbol's records (GAMS alias semantics)") {
     val b = new GdxBuilder()
     b.addSymbol("i", SymbolType.Set, 1, Seq(

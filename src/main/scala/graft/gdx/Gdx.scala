@@ -29,6 +29,17 @@ object Gdx {
       .option("specialValues", specialValues)
       .load(path)
 
+  /** 0-dim parameter as a plain value — gdxpy loads scalars as Python
+    * scalars, not Series (SURVEY §1.1: "0-dim symbols load as
+    * scalars"). The symbol must be 0-dimensional with one record;
+    * absent record → the GDX sparse default, 0.0.
+    */
+  def scalar(spark: SparkSession, path: String, name: String): Double = {
+    val rows = symbol(spark, path, name).select("value").collect()
+    require(rows.length <= 1, s"gdx: '$name' is not a scalar (${rows.length} records)")
+    rows.headOption.map(_.getDouble(0)).getOrElse(0.0)
+  }
+
   /** gdxpy `loadsymbols("x*,y", files)`: expand `*` patterns against
     * each file's catalog, load every match from every file, tagging
     * provenance in a `gdx_file` column (long form beats the reference's

@@ -57,6 +57,9 @@ object GdxOps extends QueryModule {
         region.map { case (r, k) => (Seq(r), Array.empty[Double], Some(s"region $k")) })
       b.addSymbol("spec", SymbolType.Parameter, 1,
         specRecords.map { case (l, v) => (Seq(l), Array(v), None) })
+      // 0-dim scalar (gdxpy loads these as plain Python scalars)
+      b.addSymbol("ncount", SymbolType.Parameter, 0,
+        Seq((Seq.empty, Array(nation.length.toDouble), None)))
       // domain-check fixture: one in-domain record, one violation
       b.addSymbol("natbad", SymbolType.Parameter, 2, Seq(
         (Seq(nation.head._1, region.head._1), Array(1.0), None),
@@ -101,6 +104,7 @@ object GdxOps extends QueryModule {
       |         (SELECT count(*) FROM nation) AS records
       |  UNION ALL SELECT 'natbad', 'parameter', 2, CAST(2 AS BIGINT)
       |  UNION ALL SELECT 'natreg', 'parameter', 2, (SELECT count(*) FROM nation)
+      |  UNION ALL SELECT 'ncount', 'parameter', 0, CAST(1 AS BIGINT)
       |  UNION ALL SELECT 'r', 'alias', 0, CAST(0 AS BIGINT)
       |  UNION ALL SELECT 'regset', 'set', 1, (SELECT count(*) FROM region)
       |  UNION ALL SELECT 'spec', 'parameter', 1, CAST(6 AS BIGINT)) t
@@ -196,6 +200,16 @@ object GdxOps extends QueryModule {
       .agg(epsSum(col("value"), col("is_eps"), col("is_na"), col("is_undef")).as("s"))
       .select(col("grp"), col("s.value").as("value"), col("s.is_eps").as("is_eps"))
       .orderBy("grp")
+  }
+
+  /** 0-dim scalar through the connector: a symbol with no dim columns,
+    * one record — gdxpy's "scalars load as scalars" surface
+    * (`Gdx.scalar` is the unwrapped-value helper on the same scan).
+    */
+  q("gdx_scalar",
+    "SELECT CAST(count(*) AS DOUBLE) AS value FROM nation") { (s, d) =>
+    val dir = ensureFixtures(s, d)
+    Gdx.symbol(s, s"$dir/file1.gdx", "ncount").select("value")
   }
 
   /** GAMS domain checking (SPEC gdxSymbolGetDomainX; SURVEY §2.C

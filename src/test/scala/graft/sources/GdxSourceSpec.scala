@@ -247,6 +247,19 @@ class GdxSourceSpec extends AnyFunSuite {
     assert(cat.head.getLong(3) == 900L) // records summed across shards
   }
 
+  test("0-dim scalar reads through the connector and the Gdx.scalar helper") {
+    val b = new GdxBuilder()
+    b.addSymbol("total", SymbolType.Parameter, 0, Seq((Seq.empty, Array(42.5), None)))
+    b.addSymbol("unset", SymbolType.Parameter, 0, Nil) // sparse default
+    val p = s"${tmpDir()}/scalar.gdx"
+    GdxCodec.write(b.result(), p)
+    val df = Gdx.symbol(spark, p, "total")
+    assert(df.columns.toSeq == Seq("value")) // no dim columns
+    assert(df.collect().map(_.getDouble(0)).toSeq == Seq(42.5))
+    assert(Gdx.scalar(spark, p, "TOTAL") == 42.5) // case-insensitive
+    assert(Gdx.scalar(spark, p, "unset") == 0.0)  // absence = GDX default
+  }
+
   test("DSv2 sharded write of a SET with associated texts round-trips") {
     import spark.implicits._
     val dir = s"${tmpDir()}/setout"

@@ -33,8 +33,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     spark.stop()
+    val json =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Printed after spark.stop() so it is the final stdout line (closest
-    // to the captured tail), with no executor log lines after it.
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // to the captured tail), with no executor log lines after it; also
+    // written to a file so the metric survives any tail-capture cut.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), json)
+    catch { case _: Throwable => () }
+    println(json)
   }
 }

@@ -13,7 +13,8 @@ object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
     ops.RelationalOps, ops.WindowOps, ops.FunctionSetOps,
-    ops.StreamingBatchOps, ops.LlmOps, ops.MultimodalOps, ops.GdxOps)
+    ops.StreamingBatchOps, ops.LlmOps, ops.MultimodalOps, ops.GdxOps,
+    ops.SkewOps)
 
   private lazy val all: Seq[QueryDef] = {
     val ds = modules.flatMap(_.defs)

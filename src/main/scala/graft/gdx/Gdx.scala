@@ -74,7 +74,7 @@ object Gdx {
   def pivotLastDim(df: DataFrame, valueCol: String = "value"): DataFrame = {
     val dims = df.columns.filter(_.startsWith("dim_")).sorted
     require(dims.length >= 2, "pivot needs >= 2 dims")
-    df.groupBy(dims.dropRight(1).map(col): _*)
+    df.groupBy(dims.dropRight(1).toIndexedSeq.map(col): _*)
       .pivot(dims.last)
       .agg(first(col(valueCol)))
   }
@@ -152,7 +152,7 @@ final case class GdxFile(spark: SparkSession, path: String) {
       else throw new IllegalArgumentException(
         s"symbol $name has no field '$field' (columns: ${df.columns.mkString(",")})")
     val dims = df.columns.filter(_.startsWith("dim_")).sorted
-    df = df.select((dims.map(col) :+ col(src).as("value")): _*)
+    df = df.select((dims.toIndexedSeq.map(col) :+ col(src).as("value")): _*)
     if (filt != null && dims.nonEmpty) {
       val rx = Gdx.globToRegex(filt).regex
       df = df.filter(lower(col("dim_1")).rlike("^" + rx.stripPrefix("(?i)") + "$"))

@@ -257,7 +257,7 @@ object GdxOps extends QueryModule {
       |GROUP BY n_name ORDER BY dim_1""") { (s, d) =>
     val dir = ensureFixtures(s, d)
     val wide = Gdx.pivotLastDim(Gdx.symbol(s, s"$dir/file1.gdx", "natreg"))
-    wide.select(col("dim_1") +: wide.columns.filter(_ != "dim_1").sorted
+    wide.select(col("dim_1") +: wide.columns.filter(_ != "dim_1").sorted.toIndexedSeq
         .map(c => col(s"`$c`")): _*)
       .orderBy("dim_1")
   }

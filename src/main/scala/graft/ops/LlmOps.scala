@@ -418,7 +418,7 @@ object LlmOps extends QueryModule {
     */
   private[ops] def planeComps(p: Int, dim: Int = 64): IndexedSeq[Double] =
     (0 until dim).map { i =>
-      val h = scala.util.hashing.MurmurHash3.productHash((p, i))
+      val h = scala.util.hashing.MurmurHash3.caseClassHash((p, i))
       (((h % 1000) + 1000) % 1000) / 1000.0 - 0.5
     }
 
@@ -495,8 +495,8 @@ object LlmOps extends QueryModule {
     emb.withColumn("cell", ivfRanked(centroids)(0).getField("cell"))
 
   private def ivfRanked(centroids: Array[Array[Float]]) =
-    sort_array(array(centroids.zipWithIndex.map { case (c, i) =>
-      val cLit = array(c.map(x => lit(x.toDouble)): _*)
+    sort_array(array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      val cLit = array(c.toIndexedSeq.map(x => lit(x.toDouble)): _*)
       struct(graft.functions.vec.cosine(col("embedding"), cLit).as("cos"),
         lit(i).as("cell"))
     }: _*), asc = false)

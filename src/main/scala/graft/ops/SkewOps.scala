@@ -21,7 +21,7 @@ object SkewOps extends graft.QueryModule {
     // deterministic scatter: hash of the whole big-side row spreads even
     // a single hot key uniformly; any per-row expression works
     val bigSalted = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col): _*), lit(nSalt)))
+      pmod(hash(big.columns.toIndexedSeq.map(col): _*), lit(nSalt)))
     val smallExploded = small.withColumn("__salt",
       explode(array((0 until nSalt).map(lit): _*)))
     bigSalted.join(smallExploded, Seq(key, "__salt")).drop("__salt")

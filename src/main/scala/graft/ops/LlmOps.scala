@@ -655,7 +655,9 @@ object LlmOps extends QueryModule {
       |       round(CAST(n_chars AS DOUBLE) / greatest(len(str_split(text, ' ')), 1), 6) AS avg_tok_len,
       |       round(CAST(len(list_filter(str_split(text, ' '),
       |             t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
-      |             / greatest(len(str_split(text, ' ')), 1), 6) AS stopword_ratio
+      |             / greatest(len(str_split(text, ' ')), 1), 6) AS stopword_ratio,
+      |       round(CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+      |             / greatest(n_chars, 1), 6) AS punct_ratio
       |FROM documents ORDER BY doc_id""") { (s, d) =>
     val toks = split(col("text"), " ")
     T(s, d, "documents")
@@ -663,7 +665,9 @@ object LlmOps extends QueryModule {
         round(col("n_chars").cast("double") / greatest(size(toks), lit(1)), 6)
           .as("avg_tok_len"),
         round(size(filter(toks, t => t.isin("the", "a", "and", "of", "to"))).cast("double")
-          / greatest(size(toks), lit(1)), 6).as("stopword_ratio"))
+          / greatest(size(toks), lit(1)), 6).as("stopword_ratio"),
+        round(size(expr("regexp_extract_all(text, '[^a-z0-9 ]', 0)")).cast("double")
+          / greatest(col("n_chars"), lit(1)), 6).as("punct_ratio"))
       .orderBy("doc_id")
   }
 

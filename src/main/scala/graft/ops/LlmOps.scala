@@ -719,6 +719,49 @@ object LlmOps extends QueryModule {
       .reportSorted("doc_id")
   }
 
+  /** Language-ID by character-bigram profile (the mandate's "n-gram
+    * heuristic" literally): per-language characteristic char bigrams;
+    * score = overlapping bigram hits in the text, winner = argmax
+    * (ties → lexicographically last, same rule as the marker variant).
+    */
+  private val langBigrams = Map(
+    "en" -> Seq("th", "he", "an", "in", "er"),
+    "de" -> Seq("ch", "ei", "de", "un", "ie"),
+    "es" -> Seq("os", "la", "el", "ar", "or"),
+    "fr" -> Seq("le", "ou", "ai", "eu", "et"),
+    "zh" -> Seq("sh", "zh", "ng", "ao", "ui"))
+
+  q("text_lang_id_ngram", {
+    val scores = langBigrams.toSeq.sortBy(_._1).map { case (l, bs) =>
+      val inList = bs.map(b => s"'$b'").mkString(", ")
+      s"len(list_filter([substr(text, i, 2) FOR i IN range(1, length(text))], b -> b IN ($inList))) AS s_$l"
+    }.mkString(",\n      |    ")
+    val structs = langBigrams.keys.toSeq.sorted
+      .map(l => s"{'score': s_$l, 'lang': '$l'}").mkString(", ")
+    s"""WITH sc AS (
+       |  SELECT doc_id, lang,
+       |    $scores
+       |  FROM documents)
+       |SELECT doc_id, lang,
+       |  (list_sort([$structs], 'DESC'))[1].lang AS pred
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }) { (s, d) =>
+    val chars = split(col("text"), "")
+    val n1 = greatest(size(chars) - 1, lit(0))
+    val bigrams = zip_with(slice(chars, lit(1), n1), slice(chars, lit(2), n1),
+      (x, y) => concat(x, y))
+    val scored = langBigrams.toSeq.sortBy(_._1).foldLeft(T(s, d, "documents")) {
+      case (acc, (lang, bs)) =>
+        acc.withColumn(s"sc_$lang", size(filter(bigrams, b => b.isin(bs: _*))))
+    }
+    val best = langBigrams.keys.toSeq.sorted
+      .map(l => struct(col(s"sc_$l").as("score"), lit(l).as("lang")))
+    scored
+      .withColumn("pred", sort_array(array(best: _*), asc = false)(0).getField("lang"))
+      .select(col("doc_id"), col("lang"), col("pred"))
+      .reportSorted("doc_id")
+  }
+
   /** Document fingerprint: rolling polynomial hash over tokens, each
     * token hashed as a char-codepoint polynomial — deterministic,
     * order-sensitive, and (unlike Murmur3) expressible in both engines,

@@ -132,6 +132,9 @@ final case class GdxFile(spark: SparkSession, path: String) {
 
   def apply(name: String): DataFrame = query(name)
 
+  /** 0-dim parameter unwrapped to its value (gdxpy scalar surface). */
+  def scalar(name: String): Double = Gdx.scalar(spark, path, name)
+
   /** @param field  which value field to keep (level/marginal/lower/
     *               upper/scale); non-level fields exist for variables
     *               and equations only.

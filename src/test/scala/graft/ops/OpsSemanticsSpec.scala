@@ -142,4 +142,19 @@ class OpsSemanticsSpec extends AnyFunSuite {
       .orderBy("dim_1").collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
     assert(back.toSeq == Seq(("i1", "j1", 2.0), ("i2", "j2", 5.0)))
   }
+
+  test("sampling and packing are independent of physical partitioning") {
+    // the reproducibility claim these operators carry: results are a
+    // pure function of content/keys, not of partition layout
+    def run(name: String, parts: String): Seq[Seq[Any]] = {
+      val before = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try SparkEntry.queries(name)(spark, dir).collect().toSeq.map(_.toSeq)
+      finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    }
+    Seq("pipeline_stratified_sample", "pipeline_pack_sequences",
+      "dedup_near_minhash", "text_fingerprint").foreach { q =>
+      assert(run(q, "2") == run(q, "17"), s"$q depends on partitioning")
+    }
+  }
 }

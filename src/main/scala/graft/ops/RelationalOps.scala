@@ -222,6 +222,62 @@ object RelationalOps extends QueryModule {
       .reportSorted("event_id")
   }
 
+  // ---------------------------------------------------- bucketed join
+
+  private val bucketLock = new Object
+  private val bucketBuilt = scala.collection.mutable.Set.empty[String]
+
+  /** One-time per session: write both join sides bucketed (and
+    * bucket-sorted) on the join key into the session warehouse. At
+    * 100 TB this is the ingestion-time layout decision that removes the
+    * join shuffle from EVERY downstream query; here it is rebuilt per
+    * session because the default in-memory catalog does not persist
+    * bucket specs across JVMs.
+    */
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
+  private def ensureBucketed(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    bucketLock.synchronized {
+      if (!bucketBuilt.contains(d)) {
+        // the default in-memory catalog forgets tables across JVMs but
+        // their warehouse locations survive — clear orphans first
+        val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+        Seq("graft_li_bucketed", "graft_or_bucketed").foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          deleteRecursively(new java.io.File(wh, t))
+        }
+        T(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable("graft_li_bucketed")
+        T(s, d, "orders").select("o_orderkey", "o_orderpriority")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable("graft_or_bucketed")
+        bucketBuilt += d
+      }
+    }
+
+  /** Co-located large-large join: both sides pre-bucketed on the join
+    * key, so the join plans with NO shuffle exchange on either side
+    * (asserted in PlanInvariantsSpec) — the bucketing answer to
+    * `join_shuffle_equi`'s per-query exchange.
+    */
+  q("join_bucketed_colocated",
+    """SELECT o.o_orderpriority, count(*) AS n_items, round(sum(l.l_quantity), 4) AS sum_qty
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""") { (s, d) =>
+    ensureBucketed(s, d)
+    s.table("graft_li_bucketed")
+      .join(s.table("graft_or_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 4).as("sum_qty"))
+      .reportSorted("o_orderpriority")
+  }
+
   q("join_cross",
     "SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n ORDER BY r.r_name, n.n_name") {
     (s, d) =>

@@ -79,6 +79,25 @@ class PlanInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed co-located join: no join-side shuffle once broadcast is off") {
+    // at test scale AQE broadcasts both variants, hiding the property —
+    // disable broadcast so the join must co-partition its inputs
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      def joinSideExchanges(name: String): Int =
+        ("Exchange hashpartitioning\\((l_orderkey|o_orderkey)"
+          .r.findAllIn(plan(graft.SparkEntry.queries(name)(spark, d))).size)
+      assert(joinSideExchanges("join_shuffle_equi") == 2,
+        "plain large-large join shuffles both sides on the key")
+      assert(joinSideExchanges("join_bucketed_colocated") == 0,
+        "bucketed join must read co-partitioned scans with no key shuffle")
+      val p = plan(graft.SparkEntry.queries("join_bucketed_colocated")(spark, d))
+      assert(p.contains("Bucketed: true"), s"scans must report bucketed reads:\n$p")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("similarity hot path runs the native codegen'd cosine, not HOF lambdas") {
     val p = plan(graft.SparkEntry.queries("sim_cosine_topk")(spark, d))
     assert(p.contains("veccosine") || p.contains("vec_cosine"),

@@ -202,6 +202,35 @@ object GdxOps extends QueryModule {
       .orderBy("grp")
   }
 
+  /** Per-vartype default-bound fill (SURVEY §2.H fn_special_values
+    * "defaultFill(vartype)"): a positive variable's unstored bounds are
+    * lower=0, upper=+inf — `Gdx.defaultFill` threads them in after the
+    * scan. Golden oracle over the static fixture.
+    */
+  q("gdx_default_fill",
+    """SELECT * FROM (VALUES
+      |  ('v1', CAST(3.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST('infinity' AS DOUBLE)),
+      |  ('v2', CAST(7.5 AS DOUBLE), CAST(2.0 AS DOUBLE), CAST(9.0 AS DOUBLE)))
+      |  t(dim_1, level, lower, upper) ORDER BY dim_1""") { (s, d) =>
+    ensureFixtures(s, d)
+    val dir = fixtureDir(d)
+    val p = s"$dir/posvar.gdx"
+    lock.synchronized {
+      if (!new File(p).exists()) {
+        val b = new GdxBuilder()
+        // v1 stores only a level (bounds unstored = 0); v2 stores explicit bounds
+        b.addSymbol("x", SymbolType.Variable, 1, Seq(
+          (Seq("v1"), Array(3.0, 0.0, 0.0, 0.0, 1.0), None),
+          (Seq("v2"), Array(7.5, 0.0, 2.0, 9.0, 1.0), None)),
+          userInfo = VarType.Positive)
+        GdxCodec.write(b.result(), p)
+      }
+    }
+    Gdx.defaultFill(Gdx.symbol(s, p, "x"), VarType.Positive)
+      .select("dim_1", "level", "lower", "upper")
+      .orderBy("dim_1")
+  }
+
   /** 0-dim scalar through the connector: a symbol with no dim columns,
     * one record — gdxpy's "scalars load as scalars" surface
     * (`Gdx.scalar` is the unwrapped-value helper on the same scan).

@@ -95,6 +95,17 @@ class PlanInvariantsSpec extends AnyFunSuite {
         "bucketed join must read co-partitioned scans with no key shuffle")
       val p = plan(graft.SparkEntry.queries("join_bucketed_colocated")(spark, d))
       assert(p.contains("Bucketed: true"), s"scans must report bucketed reads:\n$p")
+      // bucket pruning: an equality filter on the bucket column reads
+      // ONE bucket, not all eight. The planner auto-disables bucketed
+      // scans that avoid no shuffle, so force the bucketed read here.
+      val abs = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val absPrev = spark.conf.get(abs)
+      spark.conf.set(abs, "false")
+      try {
+        val pruned = plan(spark.table("graft_li_bucketed").filter(col("l_orderkey") === 1L))
+        assert(pruned.contains("SelectedBucketsCount: 1 out of 8"),
+          s"equality on the bucket key must prune to one bucket:\n$pruned")
+      } finally spark.conf.set(abs, absPrev)
     } finally spark.conf.set(key, prev)
   }
 

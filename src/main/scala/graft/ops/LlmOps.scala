@@ -804,6 +804,19 @@ object LlmOps extends QueryModule {
       .reportSorted("lang")
   }
 
+  /** The sketch path agg_percentile's scaladoc promises: same call
+    * shape, fixed-size state (KLL-style), accuracy bounded by the
+    * `accuracy` knob — estimate-specific values ⇒ rows-only check plus
+    * the accuracy contract pinned in PlanInvariantsSpec.
+    */
+  qRowsOnly("agg_approx_percentile") { (s, d) =>
+    T(s, d, "documents")
+      .groupBy("lang")
+      .agg(expr("approx_percentile(n_chars, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(n_chars, 0.95, 10000)").as("p95"))
+      .reportSorted("lang")
+  }
+
   /** Capstone composition: the whole training-set selection runs as ONE
     * lazy plan — language slice → quality gates → exact-dedup keeping
     * the lowest doc_id → embedding join — so Catalyst prunes/pushes

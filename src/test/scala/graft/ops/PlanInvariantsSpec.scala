@@ -109,6 +109,21 @@ class PlanInvariantsSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("agg_approx_percentile: sketch estimate is an actual data value near the exact rank") {
+    val approx = graft.SparkEntry.queries("agg_approx_percentile")(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = graft.SparkEntry.queries("agg_percentile")(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (lang, (p50, p95)) =>
+      val (a50, a95) = approx(lang)
+      // approx_percentile returns an actual data value; with accuracy=10000
+      // on these group sizes it sits within 10% of the interpolated exact
+      assert(math.abs(a50 - p50) <= math.max(0.1 * p50, 2.0), s"$lang p50: $a50 vs $p50")
+      assert(math.abs(a95 - p95) <= math.max(0.1 * p95, 2.0), s"$lang p95: $a95 vs $p95")
+    }
+  }
+
   test("similarity hot path runs the native codegen'd cosine, not HOF lambdas") {
     val p = plan(graft.SparkEntry.queries("sim_cosine_topk")(spark, d))
     assert(p.contains("veccosine") || p.contains("vec_cosine"),

@@ -26,9 +26,14 @@ trait QueryModule {
     * sf0.1. For bounded outputs a single-partition sort is strictly
     * better: one extra shuffle carrying only the final rows, no
     * sampling pass, and every upstream stage keeps full parallelism.
-    * Data-sized outputs (sort_by_key, project_fields, …) keep the
-    * distributed range sort — collapsing those to one partition is the
-    * anti-scale move.
+    * STRICT RULE: only outputs whose row count is bounded by a small
+    * key/group cardinality (group-by-small-dim aggregates, fixed top-k,
+    * set summaries) may use this. Anything emitting ~one row per input
+    * row / document / user / pair (joins preserving a side, per-doc
+    * scores, candidate-pair sets) keeps the distributed `orderBy` —
+    * collapsing those to one partition is the anti-scale move, and the
+    * sort's sampling re-execution is cheap there (it re-reads shuffle
+    * files after an agg/distinct, or re-runs a map-only scan).
     */
   protected implicit class ReportSort(df: DataFrame) {
     def reportSorted(cols: org.apache.spark.sql.Column*): DataFrame =

@@ -35,6 +35,14 @@ object Gdx {
     * absent record → the GDX sparse default, 0.0.
     */
   def scalar(spark: SparkSession, path: String, name: String): Double = {
+    // dim must be 0: a 1-dim parameter that happens to hold one record
+    // is NOT a scalar under the gdxpy contract
+    val dims = catalog(spark, path)
+      .filter(lower(col("name")) === name.toLowerCase)
+      .select("dim").collect()
+    require(dims.nonEmpty, s"gdx: no symbol '$name'")
+    require(dims.head.getInt(0) == 0,
+      s"gdx: '$name' is not a scalar (dim=${dims.head.getInt(0)})")
     val rows = symbol(spark, path, name).select("value").collect()
     require(rows.length <= 1, s"gdx: '$name' is not a scalar (${rows.length} records)")
     rows.headOption.map(_.getDouble(0)).getOrElse(0.0)

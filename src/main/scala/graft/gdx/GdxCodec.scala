@@ -7,9 +7,9 @@ import java.util.zip.{Deflater, DeflaterOutputStream, InflaterInputStream}
 /** Binary codec for the graft GDX container.
   *
   * Structural features follow the GDX data-section design (SPEC
-  * GAMS-dev/gdx; SURVEY.md §1.1): per-symbol sorted sparse coordinate
-  * lists with delta-encoded keys (only the first-changed dimension
-  * onward is rewritten per record), one global ordered UEL table,
+  * GAMS-dev/gdx; SURVEY.md §1.1): per-symbol sparse coordinate lists
+  * with delta-encoded keys (only the first-changed dimension onward is
+  * rewritten per record), one global ordered UEL table,
   * special-value sentinels in-band, optional zlib compression per data
   * section. The byte layout is re-derived (no GAMS-produced files exist
   * in this environment — SURVEY.md §0) and gated on round-trip property
@@ -93,8 +93,12 @@ object GdxCodec {
     out.write(blob)
   }
 
-  /** GDX record order: lexicographic by key tuple (FMT requirement —
-    * delta encoding and sorted-scan skipping both depend on it).
+  /** Record order is WRITER-DEPENDENT: GdxBuilder (this path) emits
+    * UEL-index-sorted records — lexicographic by key tuple — which
+    * maximizes delta-encoding wins; GdxStreamEncoder's sharded writes
+    * emit arrival/label order. Readers must NOT assume index order
+    * (no sorted-scan early termination): delta encoding itself is
+    * order-agnostic — it only compresses better when sorted.
     */
   def sortRecords(records: Vector[GdxRecord]): Vector[GdxRecord] =
     records.sortWith { (a, b) =>

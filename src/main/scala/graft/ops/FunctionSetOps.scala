@@ -174,7 +174,7 @@ object FunctionSetOps extends QueryModule {
   }
 
   q("reshape_long_to_wide", s"SELECT * FROM ($wideSql) t ORDER BY user_id") { (s, d) =>
-    wideDf(s, d).reportSorted("user_id")
+    wideDf(s, d).orderBy("user_id") // one row per user = input-sized
   }
 
   q("reshape_wide_to_long",
@@ -187,7 +187,7 @@ object FunctionSetOps extends QueryModule {
        |ORDER BY user_id, event_type""") { (s, d) =>
     wideDf(s, d)
       .unpivot(Array(col("user_id")), eventTypes.map(col).toArray, "event_type", "n")
-      .reportSorted("user_id", "event_type")
+      .orderBy("user_id", "event_type") // 5 rows per user = input-sized
   }
 
   // GDX densify: sparse symbol → dense grid over domain sets, default-filled.

@@ -28,7 +28,7 @@ object LlmOps extends QueryModule {
         .groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
         .agg(min("doc_id").as("doc_id"))
         .select("doc_id")
-        .reportSorted("doc_id")
+        .orderBy("doc_id") // one row per distinct doc = input-sized
   }
 
   // -------------------------------------------------------- near dedup
@@ -146,7 +146,7 @@ object LlmOps extends QueryModule {
        |SELECT a, b FROM pairs ORDER BY a, b""".stripMargin
 
   q("dedup_near_minhash", minhashOracleSql) { (s, d) =>
-    minhashPairs(s, d).reportSorted("a", "b")
+    minhashPairs(s, d).orderBy("a", "b") // pair count scales with dup density = input-sized
   }
 
   /** SimHash near-dup: 32-bit simhash over token hashes; docs sharing the
@@ -182,7 +182,7 @@ object LlmOps extends QueryModule {
       .groupBy("simhash")
       .agg(count(lit(1)).as("n"), min("doc_id").as("keep_id"))
       .filter(col("n") >= 1)
-      .reportSorted("simhash")
+      .orderBy("simhash") // ~one row per distinct simhash = input-sized
   }
 
   /** N-gram Jaccard verify step: exact Jaccard over 3-shingle sets for
@@ -225,7 +225,7 @@ object LlmOps extends QueryModule {
         round(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")), 6))
       .filter(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")) >= 0.8)
       .select("a", "b", "jaccard")
-      .reportSorted("a", "b")
+      .orderBy("a", "b") // input-sized
   }
 
   /** The production near-dup shape, composed end-to-end: banded-minhash
@@ -267,7 +267,7 @@ object LlmOps extends QueryModule {
         round(col("i") * lit(1.0) / (col("na") + col("nb") - col("i")), 6))
       .filter(col("i") * lit(1.0) / (col("na") + col("nb") - col("i")) >= 0.8)
       .select("a", "b", "jaccard")
-      .reportSorted("a", "b")
+      .orderBy("a", "b") // input-sized
   }
 
   /** Connected components by iterative min-label propagation (the
@@ -365,7 +365,7 @@ object LlmOps extends QueryModule {
       .select("a", "b")
     connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("lbl").as("canonical"))
-      .reportSorted("doc_id")
+      .orderBy("doc_id") // one row per clustered doc = input-sized
   }
 
   // -------------------------------------------------------- similarity
@@ -468,7 +468,7 @@ object LlmOps extends QueryModule {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select("qid", "nbr", "cos", "rn")
-      .reportSorted("qid", "rn")
+      .orderBy("qid", "rn") // top-k PER VECTOR = input-sized
   }
 
   /** IVF (inverted-file) ANN: K coarse centroids sampled
@@ -581,7 +581,7 @@ object LlmOps extends QueryModule {
       .filter(col("cos") >= 0.45) // synthetic embeddings are random; max pair cos ≈ 0.51
       .select("a", "b", "cos")
       .distinct()
-      .reportSorted("a", "b")
+      .orderBy("a", "b") // input-sized
   }
 
   // -------------------------------------------------------- text analysis
@@ -716,7 +716,7 @@ object LlmOps extends QueryModule {
       |FROM sc ORDER BY doc_id""") { (s, d) =>
     langIdOf(T(s, d, "documents"))
       .select(col("doc_id"), col("lang"), col("pred"))
-      .reportSorted("doc_id")
+      .orderBy("doc_id") // one row per doc = input-sized
   }
 
   /** Language-ID by character-bigram profile (the mandate's "n-gram
@@ -759,7 +759,7 @@ object LlmOps extends QueryModule {
     scored
       .withColumn("pred", sort_array(array(best: _*), asc = false)(0).getField("lang"))
       .select(col("doc_id"), col("lang"), col("pred"))
-      .reportSorted("doc_id")
+      .orderBy("doc_id") // one row per doc = input-sized
   }
 
   /** Document fingerprint: rolling polynomial hash over tokens, each
@@ -784,7 +784,7 @@ object LlmOps extends QueryModule {
         graft.functions.text.tokenPolyHash(split(col("text"), " ")), lit(0L),
         (acc, h) => pmod(acc * lit(1000003L) + h, lit(1000000007L))))
       .select("doc_id", "fp")
-      .reportSorted("doc_id")
+      .orderBy("doc_id") // one row per doc = input-sized
   }
 
   /** Per-group exact percentiles (continuous interpolation — matches
@@ -841,7 +841,7 @@ object LlmOps extends QueryModule {
       .agg(min("doc_id").as("doc_id"))
     kept.join(T(s, d, "embeddings"), col("doc_id") === col("vec_id"))
       .select(col("doc_id"), size(col("embedding")).as("dim"))
-      .reportSorted("doc_id")
+      .orderBy("doc_id") // one row per kept doc = input-sized
   }
 
   /** Deterministic stratified sampling: per-language keep rates, keyed
@@ -870,7 +870,7 @@ object LlmOps extends QueryModule {
       .filter(col("bucket") <
         when(col("lang") === "en", 50).when(col("lang") === "de", 30).otherwise(10))
       .select("doc_id", "lang")
-      .reportSorted("doc_id")
+      .orderBy("doc_id") // one row per sampled doc = input-sized
   }
 
   /** Sequence packing: assign docs to fixed token-budget bins (4096)
@@ -909,6 +909,6 @@ object LlmOps extends QueryModule {
       .join(T(s, d, "embeddings"), col("doc_id") === col("vec_id"))
       .select(col("doc_id"), col("lang"), size(col("embedding")).as("dim"),
         round(element_at(col("embedding"), 1).cast("double"), 6).as("e0"))
-      .reportSorted("doc_id")
+      .orderBy("doc_id") // one row per doc = input-sized
   }
 }

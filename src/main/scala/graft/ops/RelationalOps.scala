@@ -130,7 +130,9 @@ object RelationalOps extends QueryModule {
       .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
       .groupBy("c_custkey")
       .agg(count(col("o_orderkey")).as("n_orders"))
-      .reportSorted("c_custkey")
+      // one row per customer = input-sized → distributed range sort,
+      // not the single-task reportSorted collapse
+      .orderBy("c_custkey")
   }
 
   q("join_semi",
@@ -139,7 +141,7 @@ object RelationalOps extends QueryModule {
       T(s, d, "customer")
         .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
         .select("c_custkey")
-        .reportSorted("c_custkey")
+        .orderBy("c_custkey") // input-sized output → distributed sort
   }
 
   q("join_anti",
@@ -149,7 +151,7 @@ object RelationalOps extends QueryModule {
     T(s, d, "customer")
       .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey")
-      .reportSorted("c_custkey")
+      .orderBy("c_custkey") // input-sized output → distributed sort
   }
 
   // Equi prefix (nationkey) keeps this a hash join + residual range
@@ -219,13 +221,16 @@ object RelationalOps extends QueryModule {
         max(when(col("is_click") === 1, unix_micros(col("ts")))).over(w))
       .filter(col("event_type") === "purchase")
       .select("event_id", "click_ts_us")
-      .reportSorted("event_id")
+      .orderBy("event_id") // one row per purchase = input-sized
   }
 
   // ---------------------------------------------------- bucketed join
 
   private val bucketLock = new Object
-  private val bucketBuilt = scala.collection.mutable.Set.empty[String]
+  // The bucketed tables have fixed names, so they hold exactly ONE
+  // dataset's rows at a time: remember which, and rebuild on change —
+  // a per-dataset "built" set would serve stale data on A → B → A.
+  private var bucketHolds: Option[String] = None
 
   /** One-time per session: write both join sides bucketed (and
     * bucket-sorted) on the join key into the session warehouse. At
@@ -241,7 +246,7 @@ object RelationalOps extends QueryModule {
 
   private def ensureBucketed(s: org.apache.spark.sql.SparkSession, d: String): Unit =
     bucketLock.synchronized {
-      if (!bucketBuilt.contains(d)) {
+      if (!bucketHolds.contains(d)) {
         // the default in-memory catalog forgets tables across JVMs but
         // their warehouse locations survive — clear orphans first
         val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
@@ -257,7 +262,7 @@ object RelationalOps extends QueryModule {
           .write.mode("overwrite").format("parquet")
           .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
           .saveAsTable("graft_or_bucketed")
-        bucketBuilt += d
+        bucketHolds = Some(d)
       }
     }
 

@@ -42,6 +42,6 @@ object SkewOps extends graft.QueryModule {
     val small = T(s, d, "customer").select("c_custkey", "c_mktsegment")
     saltedJoin(big, small, "c_custkey", nSalt = 8)
       .select(col("o_orderkey"), col("c_custkey").as("o_custkey"), col("c_mktsegment"))
-      .reportSorted("o_orderkey", "o_custkey", "c_mktsegment")
+      .orderBy("o_orderkey", "o_custkey", "c_mktsegment") // row-per-order = input-sized
   }
 }

@@ -62,7 +62,7 @@ object StreamingBatchOps extends QueryModule {
       .withColumn("sid", sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("user_id", "sid")
       .agg(unix_micros(min(col("ts"))).as("session_start"), count(lit(1)).as("n"))
-      .reportSorted("user_id", "sid")
+      .orderBy("user_id", "sid") // one row per session = input-sized
   }
 
   // Final-watermark filter: the batch fixpoint of a 10-min watermark is
@@ -109,6 +109,6 @@ object StreamingBatchOps extends QueryModule {
       .filter(col("vt").isNotNull && col("ct").isNotNull && col("pt").isNotNull &&
         col("vt") < col("ct") && col("ct") < col("pt"))
       .select("user_id")
-      .reportSorted("user_id")
+      .orderBy("user_id") // one row per qualifying user = input-sized
   }
 }

@@ -8,9 +8,9 @@ import org.apache.spark.sql.expressions.Window
   *
   * All window orderings carry a unique tiebreak column (event_id /
   * p_partkey / c_custkey) so frames are deterministic for the hash oracle.
-  * Scale: windows shuffle once on their partition key; the global windows
-  * (ntile over customers) are documented as driver-bounded demo shapes —
-  * at 100 TB you'd pre-bucket by range instead.
+  * Scale: windows shuffle once on their partition key; the one global
+  * ranking (win_ntile_percent) uses the two-pass range-bucket rank, so
+  * no operator here ever funnels the table through a single task.
   */
 object WindowOps extends QueryModule {
 
@@ -100,15 +100,70 @@ object WindowOps extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** Global ntile/percent_rank WITHOUT the single-partition global
+    * window (`Window.orderBy` with no partition key moves the whole
+    * table through one task — the scale-killer this replaces). Two-pass
+    * range-bucket rank instead:
+    *   1. `repartitionByRange` on the sort key → partition i's keys all
+    *      precede partition j's for i<j; per-partition rank via a window
+    *      PARTITIONED BY the bucket id (max task size = one range
+    *      bucket, never the table).
+    *   2. per-bucket counts (#partitions rows) → driver-side cumulative
+    *      offsets (O(#partitions), like IVF's centroid pull) → broadcast
+    *      join; global rank = bucket offset + intra-bucket rank, from
+    *      which ntile/percent_rank are closed-form arithmetic.
+    * Pass 1 is localCheckpoint'd so the counts action and the final
+    * result share one execution. No Exchange SinglePartition anywhere —
+    * asserted in PlanInvariantsSpec.
+    */
+  /** Pass 1 of the two-pass global rank: range-bucket on the sort key,
+    * intra-bucket row_number partitioned by the bucket id. Exposed
+    * (pre-checkpoint) so PlanInvariantsSpec can assert the plan never
+    * contains a single-partition exchange.
+    */
+  private[ops] def ntileRankedPass1(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val parts = s.sparkContext.defaultParallelism
+    val staged = T(s, d, "customer")
+      .select("c_custkey", "c_acctbal")
+      .repartitionByRange(parts, col("c_acctbal"), col("c_custkey"))
+      .withColumn("pid", spark_partition_id())
+    val wIntra = Window.partitionBy("pid")
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    staged.withColumn("ir", row_number().over(wIntra).cast("long"))
+  }
+
   q("win_ntile_percent",
     """SELECT c_custkey,
       |       ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS bucket,
       |       round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pr
       |FROM customer ORDER BY c_custkey""") { (s, d) =>
-    val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
-    T(s, d, "customer")
-      .select(col("c_custkey"), ntile(4).over(w).as("bucket"),
-        round(percent_rank().over(w), 6).as("pr"))
+    val ranked = ntileRankedPass1(s, d).localCheckpoint()
+    val cnts = ranked.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .orderBy("pid").collect()
+    var running = 0L
+    val offsets = cnts.map { r =>
+      val o = running; running += r.getLong(1); (r.getInt(0), o)
+    }
+    val n = running
+    val offDf = s.createDataFrame(offsets.toIndexedSeq).toDF("pid", "off")
+    // ntile(k): first (n mod k) tiles get ceil(n/k) rows — closed form
+    // from the global rank; percent_rank = (rank-1)/(n-1), exact since
+    // the (c_acctbal, c_custkey) order is unique (no tie plateaus).
+    val k = 4L
+    val q0 = n / k
+    val rem = n % k
+    val rank = col("off") + col("ir")
+    val bucket =
+      when(lit(rem) > 0 && rank <= lit(rem * (q0 + 1)),
+        floor((rank - 1) / lit(q0 + 1)) + 1)
+        .otherwise(lit(rem) + floor((rank - lit(rem * (q0 + 1)) - 1) / lit(math.max(q0, 1L))) + 1)
+        .cast("int")
+    val pr =
+      if (n <= 1) lit(0.0)
+      else round((rank - 1).cast("double") / lit((n - 1).toDouble), 6)
+    ranked.join(broadcast(offDf), "pid")
+      .select(col("c_custkey"), bucket.as("bucket"), pr.as("pr"))
       .orderBy("c_custkey")
   }
 

@@ -101,7 +101,7 @@ class GdxReaderFactory(fullSchema: StructType, required: StructType,
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case GdxCatalogPartition(shards) => new GdxCatalogReader(shards)
+      case GdxCatalogPartition(shards) => new GdxCatalogReader(shards, required)
       case GdxInputPartition(shard, sym) =>
         new GdxSymbolReader(shard, sym, fullSchema, required, pushed)
     }
@@ -112,23 +112,34 @@ class GdxReaderFactory(fullSchema: StructType, required: StructType,
   * per symbol name) so the catalog reflects the whole dataset, not one
   * shard; header-only reads, no record blobs touched.
   */
-class GdxCatalogReader(paths: Seq[String]) extends PartitionReader[InternalRow] {
-  private val metas: Iterator[GdxCodec.SymbolMeta] = {
+class GdxCatalogReader(paths: Seq[String], required: StructType)
+    extends PartitionReader[InternalRow] {
+  // merged record count carried as a separate Long: per-shard counts are
+  // Int, but across O(10^5) shards a symbol's total overflows Int
+  private val metas: Iterator[(GdxCodec.SymbolMeta, Long)] = {
     val all = paths.flatMap(p => GdxCodec.readHeader(p).metas)
     all.groupBy(_.name.toLowerCase).values.map { ms =>
-      ms.head.copy(records = ms.map(_.records).sum)
-    }.toSeq.sortBy(_.name).iterator
+      (ms.head, ms.map(_.records.toLong).sum)
+    }.toSeq.sortBy(_._1.name).iterator
   }
-  private var cur: GdxCodec.SymbolMeta = _
+  private var cur: (GdxCodec.SymbolMeta, Long) = _
+
+  // honor column pruning: emit exactly the required fields, in order
+  private val emitters: Array[((GdxCodec.SymbolMeta, Long)) => Any] =
+    required.fieldNames.map[((GdxCodec.SymbolMeta, Long)) => Any] {
+      case "name" => m => UTF8String.fromString(m._1.name)
+      case "type" => m => UTF8String.fromString(SymbolType.names.getOrElse(m._1.typ, "unknown"))
+      case "dim" => m => m._1.dim
+      case "records" => m => m._2
+      case "expl_text" => m => UTF8String.fromString(m._1.explText)
+      case "domains" => m => UTF8String.fromString(m._1.domains.mkString(","))
+      case other => throw new IllegalArgumentException(s"unknown catalog field $other")
+    }
 
   override def next(): Boolean = { val h = metas.hasNext; if (h) cur = metas.next(); h }
 
-  override def get(): InternalRow = new GenericInternalRow(Array[Any](
-    UTF8String.fromString(cur.name),
-    UTF8String.fromString(SymbolType.names.getOrElse(cur.typ, "unknown")),
-    cur.dim, cur.records.toLong,
-    UTF8String.fromString(cur.explText),
-    UTF8String.fromString(cur.domains.mkString(","))))
+  override def get(): InternalRow =
+    new GenericInternalRow(emitters.map(e => e(cur)).toArray[Any])
 
   override def close(): Unit = ()
 }

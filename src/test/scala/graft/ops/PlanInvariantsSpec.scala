@@ -109,6 +109,18 @@ class PlanInvariantsSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("win_ntile_percent: no single-partition global sort of the input") {
+    // pass 1 (range bucket + per-bucket window) must keep full
+    // parallelism — the old Window.orderBy-with-no-partition plan put
+    // the entire table through one task
+    val p1 = plan(WindowOps.ntileRankedPass1(spark, d))
+    assert(p1.contains("rangepartitioning"), s"expected range bucketing in:\n$p1")
+    assert(!p1.contains("SinglePartition"), s"pass 1 must not collapse to one partition:\n$p1")
+    // the assembled query (broadcast offsets join + final sort) too
+    val p2 = plan(graft.SparkEntry.queries("win_ntile_percent")(spark, d))
+    assert(!p2.contains("SinglePartition"), s"no single-partition exchange in:\n$p2")
+  }
+
   test("agg_approx_percentile: sketch estimate is an actual data value near the exact rank") {
     val approx = graft.SparkEntry.queries("agg_approx_percentile")(spark, d)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -112,6 +112,18 @@ object Gdx {
   /** Per-vartype default bound fill (SURVEY §2.H fn_special_values). */
   def defaultFill(df: DataFrame, varType: Int): DataFrame = {
     val (lo, up) = VarType.defaultBounds(varType)
+    fillBounds(df, lo, up)
+  }
+
+  /** Equation analog: per-EquType default bounds for unstored fields
+    * (=g= → [0, +inf], =l= → [-inf, 0], …).
+    */
+  def defaultFillEqu(df: DataFrame, equType: Int): DataFrame = {
+    val (lo, up) = EquType.defaultBounds(equType)
+    fillBounds(df, lo, up)
+  }
+
+  private def fillBounds(df: DataFrame, lo: Double, up: Double): DataFrame = {
     def fill(c: String, d: Double): Column = {
       val dd = SpecialValues.toDouble(d)
       when(col(c) === 0.0, lit(dd)).otherwise(col(c))

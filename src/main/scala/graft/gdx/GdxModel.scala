@@ -77,6 +77,16 @@ object EquType {
   val N = 3 // =n=
   val X = 4 // =x=
   val C = 5 // =c=
+
+  /** (lower, upper) defaults for unstored fields per subtype (SPEC
+    * gmsspecs defrecequ): an =g= row is rhs ≤ body ≤ +inf, etc.
+    */
+  def defaultBounds(et: Int): (Double, Double) = et match {
+    case E | X => (0.0, 0.0)
+    case G | C => (0.0, SpecialValues.PINF)
+    case L => (SpecialValues.MINF, 0.0)
+    case _ => (SpecialValues.MINF, SpecialValues.PINF)
+  }
 }
 
 /** Value-field indices (SPEC GMS_VAL_*). Parameters store only LEVEL;

@@ -231,6 +231,42 @@ object GdxOps extends QueryModule {
       .orderBy("dim_1")
   }
 
+  /** Equation symbol end-to-end (SURVEY §1.1: equations are one of the
+    * five symbol classes): a =g= equation written THROUGH the DSv2
+    * connector (sharded write, `symbolType=equation` + `subtype` →
+    * userInfo), scanned back with all five value fields, unstored
+    * bounds filled per EquType defaults ([0, +inf] for =g=) — the exact
+    * analog of gdx_default_fill for variables. Golden oracle.
+    */
+  q("gdx_equation_scan",
+    """SELECT * FROM (VALUES
+      |  ('e1', CAST(10.0 AS DOUBLE), CAST(0.5 AS DOUBLE),
+      |   CAST(0.0 AS DOUBLE), CAST('infinity' AS DOUBLE)),
+      |  ('e2', CAST(4.0 AS DOUBLE), CAST(1.25 AS DOUBLE),
+      |   CAST(2.0 AS DOUBLE), CAST(8.0 AS DOUBLE)))
+      |  t(dim_1, level, marginal, lower, upper) ORDER BY dim_1""") { (s, d) =>
+    ensureFixtures(s, d)
+    val dir = fixtureDir(d)
+    val p = s"$dir/equ"
+    lock.synchronized {
+      if (!new File(p, "_manifest.json").exists()) {
+        import s.implicits._
+        // e1 stores level+marginal only (bounds unstored = sparse 0);
+        // e2 stores explicit bounds — defaults must NOT overwrite them
+        Seq(("e1", 10.0, 0.5, 0.0, 0.0, 1.0), ("e2", 4.0, 1.25, 2.0, 8.0, 1.0))
+          .toDF("dim_1", "level", "marginal", "lower", "upper", "scale")
+          .write.format("gdx").mode("overwrite")
+          .option("symbol", "supbal")
+          .option("symbolType", "equation")
+          .option("subtype", EquType.G.toString)
+          .save(p)
+      }
+    }
+    Gdx.defaultFillEqu(Gdx.symbol(s, p, "supbal"), EquType.G)
+      .select("dim_1", "level", "marginal", "lower", "upper")
+      .orderBy("dim_1")
+  }
+
   /** 0-dim scalar through the connector: a symbol with no dim columns,
     * one record — gdxpy's "scalars load as scalars" surface
     * (`Gdx.scalar` is the unwrapped-value helper on the same scan).

@@ -1,5 +1,9 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import graft.{QueryModule, T}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -9,141 +13,281 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * struct; decode / feature-extract / resize / frame-sample are the
   * operators a training-data pipeline runs over it.
   *
-  * The container has no image/audio codecs, so the byte-level decode in
-  * [[MediaCodec]] is a clearly-marked DETERMINISTIC FAKE — but every
-  * piece of Spark plumbing around it is real and is what would ship: the
-  * schema (binary + struct metadata), partition-preserving batched
-  * `mapPartitions` (the JVM analog of `mapInPandas` — per-batch
-  * amortized "model" setup, fixed batch shape), fixed-dim
-  * `array<float>` feature output ready for the §2.L similarity
-  * operators, and frame explosion via `sequence`+`explode` (a
-  * Generator) rather than any driver-side loop.
+  * The IMAGE path is REAL: payloads are actual PNG files encoded with
+  * the JVM-builtin `javax.imageio`, and every image operator decodes
+  * the bytes and computes from the raster — `mm_decode_meta` parses
+  * true width/height/mean, `mm_resize` decodes → exact 2×2 area-average
+  * resample → re-encodes PNG → re-decodes to report pixel-derived
+  * values. Because the fixture's pixel function is a closed form of
+  * (doc_id, x, y), the DuckDB oracle reproduces every pixel-derived
+  * number without any image library — the decode is verified, not
+  * trusted. Audio/video payloads stay opaque binary + metadata (no
+  * codec in the JVM stdlib; the plumbing — schema, batched
+  * mapPartitions, Generator frame explode — is identical).
   *
-  * Scale: all four operators are embarrassingly parallel over rows —
-  * no shuffle except explicit output ordering; feature extraction
-  * keeps batch state per partition, so executor memory is O(batch),
-  * not O(partition).
+  * Scale: all operators are embarrassingly parallel over rows — no
+  * shuffle except explicit output ordering; decode/extract hold
+  * per-batch state only, so executor memory is O(batch), not
+  * O(partition).
   */
 object MultimodalOps extends QueryModule {
 
-  /** Media table synthesized deterministically from `documents`: payload
-    * bytes are the UTF-8 text (stand-in for encoded media), metadata
-    * derived from doc_id. In production this is the output of the
-    * ingestion job; the operators below never look at `documents` again.
+  // ------------------------------------------------------- media codec
+
+  /** Real PNG codec over a deterministic gray raster. The pixel value
+    * is a closed form of (doc_id, x, y) so oracles can recompute it;
+    * everything between — PNG encode, decode, resample — is the real
+    * `javax.imageio` + raster arithmetic a production image pipeline
+    * runs (swap `pixel` for camera bytes and nothing else changes).
     */
-  def mediaTable(s: SparkSession, d: String): DataFrame =
-    T(s, d, "documents").select(
-      col("doc_id"),
-      encode(col("text"), "UTF-8").as("payload"),
-      struct(
-        when(pmod(col("doc_id"), lit(3)) === 0, "image")
-          .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
-          .otherwise("video").as("kind"),
-        (lit(16) * (pmod(col("doc_id"), lit(4)) + 1)).cast("int").as("width"),
-        (lit(16) * (pmod(col("doc_id"), lit(3)) + 1)).cast("int").as("height"),
-        (pmod(col("doc_id"), lit(30)) + 1).cast("int").as("n_frames"))
-        .as("meta"))
+  object MediaCodec {
+    /** Gray value at (x, y) of doc `docId`'s image — the ONLY synthetic
+      * piece, shared verbatim with the DuckDB oracles.
+      */
+    def pixel(docId: Long, x: Int, y: Int): Int =
+      ((31L * docId + 7L * x + 13L * y) % 256L).toInt
+
+    def encodePng(docId: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { r.setSample(x, y, 0, pixel(docId, x, y)); x += 1 }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    def decodePng(bytes: Array[Byte]): BufferedImage =
+      ImageIO.read(new ByteArrayInputStream(bytes))
+
+    def meanPixel(img: BufferedImage): Double = {
+      val r = img.getRaster
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { sum += r.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      sum.toDouble / (img.getWidth.toLong * img.getHeight)
+    }
+
+    /** Exact 2×2 area-average downsample (integer floor) — a real
+      * resampling kernel with a closed-form result the oracle mirrors.
+      */
+    def halve(img: BufferedImage): BufferedImage = {
+      val w2 = img.getWidth / 2
+      val h2 = img.getHeight / 2
+      val out = new BufferedImage(w2, h2, BufferedImage.TYPE_BYTE_GRAY)
+      val ri = img.getRaster
+      val ro = out.getRaster
+      var y = 0
+      while (y < h2) {
+        var x = 0
+        while (x < w2) {
+          val s = ri.getSample(2 * x, 2 * y, 0) + ri.getSample(2 * x + 1, 2 * y, 0) +
+            ri.getSample(2 * x, 2 * y + 1, 0) + ri.getSample(2 * x + 1, 2 * y + 1, 0)
+          ro.setSample(x, y, 0, s / 4)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Fixed-dim embedding from the decoded raster: slot k accumulates
+      * pixel i (row-major) with i ≡ k (mod dim), in double, cast to
+      * float once — accumulation-order-independent, so the value is
+      * engine-reproducible.
+      */
+    def features(img: BufferedImage, dim: Int): Array[Float] = {
+      val acc = new Array[Double](dim)
+      val r = img.getRaster
+      val w = img.getWidth
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < w) { acc((y * w + x) % dim) += r.getSample(x, y, 0) / 255.0; x += 1 }
+        y += 1
+      }
+      acc.map(_.toFloat)
+    }
+  }
+
+  // ----------------------------------------------------- media table
+
+  final case class DocRow(doc_id: Long, text: String)
+  final case class MediaFull(doc_id: Long, payload: Array[Byte], kind: String,
+      width: Int, height: Int, n_frames: Int)
+
+  /** Media table synthesized deterministically from `documents`: image
+    * rows carry a REAL PNG of the doc's raster; audio/video carry the
+    * UTF-8 text bytes as an opaque stand-in payload. In production this
+    * is the ingestion job's output; the operators below never look at
+    * `documents` again.
+    */
+  def mediaTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T(s, d, "documents").select(col("doc_id"), col("text")).as[DocRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val kind = (r.doc_id % 3) match {
+            case 0 => "image"
+            case 1 => "audio"
+            case _ => "video"
+          }
+          val w = (16 * (r.doc_id % 4 + 1)).toInt
+          val h = (16 * (r.doc_id % 3 + 1)).toInt
+          val payload =
+            if (kind == "image") MediaCodec.encodePng(r.doc_id, w, h)
+            else r.text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          MediaFull(r.doc_id, payload, kind, w, h, (r.doc_id % 30 + 1).toInt)
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("payload"),
+        struct(col("kind"), col("width"), col("height"), col("n_frames")).as("meta"))
+  }
+
+  // shared by the image-operator oracles: per-image-doc dims
+  private val imDimsSql =
+    """im AS (SELECT doc_id, 16*(doc_id%4+1) AS w, 16*(doc_id%3+1) AS h
+      |       FROM documents WHERE doc_id % 3 = 0)""".stripMargin
 
   // ---------------------------------------------------------- decode
 
-  /** Decode-stage metadata: byte length + content checksum + declared
-    * dims. The real decoder would replace crc32 with header parsing;
-    * byte length and the rest of the row shape are already what a real
-    * pipeline emits. Oracle covers the non-stub columns.
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+  final case class DecodedMeta(doc_id: Long, width: Int, height: Int, mean_px: Double)
+
+  /** Batched decode — the mapInPandas shape: partition iterator →
+    * fixed-size batches → per-batch decode → flat iterator out.
+    * Partitioning preserved; per-partition setup (a codec pool) would
+    * go where the comment is.
+    */
+  def decodeMeta(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition setup (decoder/codec pool) goes here
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val img = MediaCodec.decodePng(r.payload)
+            DecodedMeta(r.doc_id, img.getWidth, img.getHeight,
+              math.rint(MediaCodec.meanPixel(img) * 1e6) / 1e6)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Decode-stage metadata from the ACTUAL bytes: width/height/mean all
+    * come from `ImageIO.read` of the payload, and the oracle recomputes
+    * them from the pixel closed form — a wrong decode cannot pass.
     */
   q("mm_decode_meta",
-    """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-      |       CAST(16 * (doc_id % 4 + 1) AS INTEGER) AS width,
-      |       CAST(16 * (doc_id % 3 + 1) AS INTEGER) AS height
-      |FROM documents ORDER BY doc_id""") { (s, d) =>
-    mediaTable(s, d).select(
-      col("doc_id"),
-      length(col("payload")).cast("long").as("n_bytes"),
-      col("meta.width").as("width"),
-      col("meta.height").as("height"))
-      .reportSorted("doc_id")
+    s"""WITH $imDimsSql
+       |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |  round(list_sum([CAST((31*doc_id + 7*(i%w) + 13*(i//w)) % 256 AS DOUBLE)
+       |                  FOR i IN range(0, w*h)]) / (w*h), 6) AS mean_px
+       |FROM im ORDER BY doc_id""".stripMargin) { (s, d) =>
+    decodeMeta(mediaTable(s, d).filter(col("meta.kind") === "image"))
+      .orderBy("doc_id") // one row per image doc = input-sized
   }
 
   // ------------------------------------------------- feature extract
 
-  final case class MediaRow(doc_id: Long, payload: Array[Byte])
   final case class FeatureRow(doc_id: Long, features: Array[Float])
 
-  /** DETERMINISTIC FAKE "model": bytes → fixed-dim embedding. A real
-    * pipeline swaps only this function (e.g. ONNX session created once
-    * per partition, invoked per batch). Accumulates in double and casts
-    * to float ONCE per slot — float-accumulation order would otherwise
-    * make the value engine-dependent; this way the DuckDB oracle rounds
-    * the bit-identical float64-of-float32 value.
-    */
-  private[ops] def fakeEmbed(payload: Array[Byte], dim: Int): Array[Float] = {
-    val acc = new Array[Double](dim)
-    var i = 0
-    while (i < payload.length) {
-      acc(i % dim) += (payload(i) & 0xff) / 255.0
-      i += 1
-    }
-    acc.map(_.toFloat)
-  }
-
   /** mapPartitions with explicit batching — the JVM shape of
-    * `mapInPandas`: partition iterator → fixed-size batches → per-batch
-    * inference → flat iterator out. Partitioning is preserved (no
-    * shuffle); downstream similarity ops consume `features` directly.
+    * `mapInPandas`: the "model" here is the real PNG decoder + raster
+    * fold; an ONNX session would drop into the same slot. Fixed-dim
+    * `array<float>` output feeds the §2.L similarity operators as-is.
     */
   def extractFeatures(media: DataFrame, dim: Int = 16, batchSize: Int = 64): DataFrame = {
     val s = media.sparkSession
     import s.implicits._
     media.select(col("doc_id"), col("payload")).as[MediaRow]
       .mapPartitions { rows =>
-        // per-partition setup would go here (load model once)
+        // per-partition setup (load model once) goes here
         rows.grouped(batchSize).flatMap { batch =>
-          batch.map(r => FeatureRow(r.doc_id, fakeEmbed(r.payload, dim)))
+          batch.map { r =>
+            val img = MediaCodec.decodePng(r.payload)
+            FeatureRow(r.doc_id, MediaCodec.features(img, dim))
+          }
         }
       }
       .toDF()
   }
 
   q("mm_feature_extract",
-    """SELECT doc_id, CAST(16 AS INTEGER) AS dim,
-      |  round(CAST(CAST(coalesce(list_sum([ord(substr(text, i, 1))/255.0
-      |      FOR i IN range(1, length(text)+1) IF (i-1)%16 = 0]), 0) AS FLOAT) AS DOUBLE), 4) AS f0
-      |FROM documents ORDER BY doc_id""") { (s, d) =>
-    extractFeatures(mediaTable(s, d))
+    s"""WITH $imDimsSql
+       |SELECT doc_id, CAST(16 AS INTEGER) AS dim,
+       |  round(CAST(CAST(list_sum([CAST((31*doc_id + 7*(i%w) + 13*(i//w)) % 256 AS DOUBLE)/255.0
+       |                            FOR i IN range(0, w*h) IF i % 16 = 0]) AS FLOAT) AS DOUBLE), 4) AS f0
+       |FROM im ORDER BY doc_id""".stripMargin) { (s, d) =>
+    extractFeatures(mediaTable(s, d).filter(col("meta.kind") === "image"))
       .select(col("doc_id"), size(col("features")).as("dim"),
         round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
-      .reportSorted("doc_id")
+      .orderBy("doc_id") // one row per image doc = input-sized
   }
 
   // ----------------------------------------------------------- resize
 
-  /** Resize stub: halves declared dims and truncates the payload
-    * proportionally (??? in spirit — a real decoder resamples pixels;
-    * the metadata arithmetic, column shapes and pure-projection plan
-    * are the real part).
+  /** REAL resize: decode the payload, 2×2 area-average to half dims,
+    * re-encode as PNG, then DECODE THE RESIZED BYTES AGAIN and report
+    * their width/height/mean — so the oracle (closed-form floor-average
+    * of the pixel function) verifies the whole decode→resample→encode→
+    * decode loop end-to-end.
     */
+  def resizeHalf(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val resizedBytes = {
+              val img = MediaCodec.decodePng(r.payload)
+              val half = MediaCodec.halve(img)
+              val out = new ByteArrayOutputStream()
+              ImageIO.write(half, "png", out)
+              out.toByteArray
+            }
+            val back = MediaCodec.decodePng(resizedBytes) // re-decode: prove the bytes
+            DecodedMeta(r.doc_id, back.getWidth, back.getHeight,
+              math.rint(MediaCodec.meanPixel(back) * 1e6) / 1e6)
+          }
+        }
+      }
+      .toDF()
+  }
+
   q("mm_resize",
-    """SELECT doc_id, CAST(16*(doc_id%4+1)//2 AS INTEGER) AS width,
-      |       CAST(16*(doc_id%3+1)//2 AS INTEGER) AS height,
-      |       CAST(least(octet_length(encode(text)), 64) AS INTEGER) AS n_bytes
-      |FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""") { (s, d) =>
-    mediaTable(s, d)
-      .filter(col("meta.kind") === "image")
-      .select(
-        col("doc_id"),
-        (col("meta.width") / 2).cast("int").as("width"),
-        (col("meta.height") / 2).cast("int").as("height"),
-        substring(col("payload"), 1, 64).as("payload"))
-      .select(col("doc_id"), col("width"), col("height"),
-        length(col("payload")).as("n_bytes"))
-      .reportSorted("doc_id")
+    s"""WITH $imDimsSql,
+       |     rs AS (SELECT doc_id, w, w//2 AS w2, h//2 AS h2 FROM im)
+       |SELECT doc_id, CAST(w2 AS INTEGER) AS width, CAST(h2 AS INTEGER) AS height,
+       |  round(list_sum([CAST((
+       |      (31*doc_id + 7*(2*(i%w2))   + 13*(2*(i//w2)))   % 256
+       |    + (31*doc_id + 7*(2*(i%w2)+1) + 13*(2*(i//w2)))   % 256
+       |    + (31*doc_id + 7*(2*(i%w2))   + 13*(2*(i//w2)+1)) % 256
+       |    + (31*doc_id + 7*(2*(i%w2)+1) + 13*(2*(i//w2)+1)) % 256) // 4 AS DOUBLE)
+       |    FOR i IN range(0, w2*h2)]) / (w2*h2), 6) AS mean_px
+       |FROM rs ORDER BY doc_id""".stripMargin) { (s, d) =>
+    resizeHalf(mediaTable(s, d).filter(col("meta.kind") === "image"))
+      .orderBy("doc_id") // one row per image doc = input-sized
   }
 
   // ----------------------------------------------------- frame sample
 
   /** Every-5th-frame sampling for video rows: frame indices come from
     * `sequence` + `explode` (Generator — distributed, no driver loop);
-    * the per-frame byte slice stands in for a real frame decode.
+    * the per-frame byte slice stands in for a real frame decode (no
+    * video codec in the JVM stdlib).
     */
   q("mm_frame_sample",
     """SELECT doc_id, unnest(generate_series(0, CAST(doc_id % 30 AS BIGINT), 5)) AS frame_idx
@@ -153,6 +297,6 @@ object MultimodalOps extends QueryModule {
       .select(col("doc_id"),
         explode(sequence(lit(0L), (col("meta.n_frames") - 1).cast("long"), lit(5L)))
           .as("frame_idx"))
-      .reportSorted("doc_id", "frame_idx")
+      .orderBy("doc_id", "frame_idx") // frames per video doc = input-sized
   }
 }

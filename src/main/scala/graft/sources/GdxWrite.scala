@@ -69,7 +69,10 @@ class GdxWriteBuilder(info: LogicalWriteInfo, options: CaseInsensitiveStringMap)
         case "equation" => SymbolType.Equation
         case other => throw new IllegalArgumentException(s"gdx: bad symbolType $other")
       }
-      new GdxBatchWrite(path, symbol, info.schema(), single, typ, doTruncate)
+      // variable/equation subtype (VarType.* / EquType.*), stored as the
+      // symbol's userInfo so default-bound semantics survive round-trip
+      val subtype = options.getInt("subtype", 0)
+      new GdxBatchWrite(path, symbol, info.schema(), single, typ, subtype, doTruncate)
     }
   }
 }
@@ -108,7 +111,8 @@ object GdxWriteLayout {
 }
 
 class GdxBatchWrite(path: String, symbol: String, schema: StructType,
-    single: Boolean, typOpt: Option[Int], truncate: Boolean) extends BatchWrite {
+    single: Boolean, typOpt: Option[Int], subtype: Int, truncate: Boolean)
+    extends BatchWrite {
 
   private val layout = GdxWriteLayout.infer(schema, symbol, typOpt)
 
@@ -120,7 +124,7 @@ class GdxBatchWrite(path: String, symbol: String, schema: StructType,
           .foreach(_.delete())
       dir.mkdirs()
     }
-    new GdxWriterFactory(path, layout, single)
+    new GdxWriterFactory(path, layout, single, subtype)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
@@ -130,7 +134,8 @@ class GdxBatchWrite(path: String, symbol: String, schema: StructType,
       val rows = messages.collect { case GdxRowsCommit(rs) => rs }.flatten
       b.addSymbol(layout.symbol, layout.typ,
         if (rows.nonEmpty) rows.head._1.length else layout.dimCols.length,
-        rows.map { case (ls, vs, t) => (ls.toSeq, vs, Option(t)) })
+        rows.map { case (ls, vs, t) => (ls.toSeq, vs, Option(t)) },
+        userInfo = subtype)
       GdxCodec.write(b.result(), path)
     } else {
       // per-shard lowercased dim_1 label range → planInputPartitions
@@ -160,10 +165,10 @@ case class GdxShardCommit(fileName: String, records: Long,
 case class GdxRowsCommit(rows: Array[(Array[String], Array[Double], String)])
   extends WriterCommitMessage
 
-class GdxWriterFactory(path: String, layout: GdxWriteLayout, single: Boolean)
-    extends DataWriterFactory {
+class GdxWriterFactory(path: String, layout: GdxWriteLayout, single: Boolean,
+    subtype: Int) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GdxDataWriter(path, layout, single, partitionId, taskId)
+    new GdxDataWriter(path, layout, single, subtype, partitionId, taskId)
 }
 
 /** Sharded path: records stream through a GdxStreamEncoder (delta-encode
@@ -173,7 +178,7 @@ class GdxWriterFactory(path: String, layout: GdxWriteLayout, single: Boolean)
   * small-symbol-only, GdxWriteBuilder scaladoc).
   */
 class GdxDataWriter(path: String, layout: GdxWriteLayout, single: Boolean,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    subtype: Int, partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
 
   private val shardName = f"shard-$partitionId%05d-$taskId.gdx"
 
@@ -182,7 +187,7 @@ class GdxDataWriter(path: String, layout: GdxWriteLayout, single: Boolean,
   private val enc: GdxStreamEncoder =
     if (single) null
     else new GdxStreamEncoder(new File(path, shardName).getPath, layout.symbol,
-      layout.typ, layout.dimCols.length)
+      layout.typ, layout.dimCols.length, userInfo = subtype)
 
   override def write(row: InternalRow): Unit = {
     val labels = layout.dimCols.map { i =>

@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Multimodal plumbing: schema/batch shape of the mapPartitions feature
-  * extractor, determinism of the fake decode, and frame-sample counts.
+/** Multimodal plumbing + REAL image codec: PNG round trip through
+  * javax.imageio, pixel-exact area resample, schema/batch shape of the
+  * mapPartitions extract, and frame-sample counts.
   */
 class MultimodalSpec extends AnyFunSuite {
 
@@ -21,8 +22,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.filter(col("meta.width") <= 0 || col("meta.n_frames") <= 0).count() == 0)
   }
 
+  test("PNG payloads are real: ImageIO round-trips every pixel") {
+    import MultimodalOps.MediaCodec
+    val bytes = MediaCodec.encodePng(docId = 42L, w = 32, h = 16)
+    // PNG magic — the payload is an actual file another tool could open
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+    val img = MediaCodec.decodePng(bytes)
+    assert(img.getWidth == 32 && img.getHeight == 16)
+    for (y <- 0 until 16; x <- 0 until 32)
+      assert(img.getRaster.getSample(x, y, 0) == MediaCodec.pixel(42L, x, y))
+  }
+
+  test("halve() is the exact 2x2 floor area average") {
+    import MultimodalOps.MediaCodec
+    val img = MediaCodec.decodePng(MediaCodec.encodePng(7L, 8, 4))
+    val half = MediaCodec.halve(img)
+    assert(half.getWidth == 4 && half.getHeight == 2)
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val exp = (MediaCodec.pixel(7L, 2 * x, 2 * y) + MediaCodec.pixel(7L, 2 * x + 1, 2 * y) +
+        MediaCodec.pixel(7L, 2 * x, 2 * y + 1) + MediaCodec.pixel(7L, 2 * x + 1, 2 * y + 1)) / 4
+      assert(half.getRaster.getSample(x, y, 0) == exp)
+    }
+  }
+
   test("feature extraction: fixed dim, partition-preserving, deterministic") {
-    val m = MultimodalOps.mediaTable(spark, dir).repartition(3)
+    val m = MultimodalOps.mediaTable(spark, dir)
+      .filter(col("meta.kind") === "image").repartition(3)
     val feats = MultimodalOps.extractFeatures(m, dim = 16, batchSize = 8)
     assert(feats.rdd.getNumPartitions == 3) // no shuffle introduced
     assert(feats.filter(size(col("features")) =!= 16).count() == 0)
@@ -31,13 +56,6 @@ class MultimodalSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(_.getSeq[Float](1))
     // batch size must not change results — pure per-row function
     assert(a.zip(b).forall { case (x, y) => x == y })
-  }
-
-  test("fakeEmbed folds all bytes and is length-sensitive") {
-    val e1 = MultimodalOps.fakeEmbed("abcabc".getBytes("UTF-8"), 4)
-    val e2 = MultimodalOps.fakeEmbed("abcabcx".getBytes("UTF-8"), 4)
-    assert(e1.toSeq != e2.toSeq)
-    assert(e1.sum > 0f)
   }
 
   test("frame sampling emits ceil(n_frames/5) frames per video") {

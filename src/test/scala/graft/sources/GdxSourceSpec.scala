@@ -303,6 +303,37 @@ class GdxSourceSpec extends AnyFunSuite {
       Seq(("i", "set"), ("j", "alias")))
   }
 
+  test("equation symbol round-trips through the sharded write, subtype preserved") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq(("a", 1.0, 0.25, 0.0, 0.0, 1.0), ("b", 2.0, 0.0, -3.0, 3.0, 1.0))
+      .toDF("dim_1", "level", "marginal", "lower", "upper", "scale")
+      .write.format("gdx").mode("overwrite")
+      .option("symbol", "bal")
+      .option("symbolType", "equation")
+      .option("subtype", EquType.L.toString)
+      .save(dir)
+    // subtype (userInfo) survives in every shard header
+    val shards = new java.io.File(dir).listFiles((_, n) => n.endsWith(".gdx"))
+    assert(shards.nonEmpty)
+    shards.foreach { f =>
+      val meta = GdxCodec.readHeader(f.getPath).metas.head
+      assert(meta.typ == SymbolType.Equation)
+      assert(meta.userInfo == EquType.L)
+    }
+    // five value fields come back; catalog reports the equation type
+    val back = Gdx.symbol(spark, dir, "bal").orderBy("dim_1").collect()
+    assert(back.map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq ==
+      Seq(("a", 1.0, 0.25), ("b", 2.0, 0.0)))
+    val cat = Gdx.catalog(spark, dir).select("name", "type").collect()
+    assert(cat.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("bal", "equation")))
+    // =l= default fill: unstored bounds → [-inf, 0]; stored bounds kept
+    val filled = Gdx.defaultFillEqu(Gdx.symbol(spark, dir, "bal"), EquType.L)
+      .orderBy("dim_1").select("lower", "upper").collect()
+    assert(filled(0).getDouble(0) == Double.NegativeInfinity && filled(0).getDouble(1) == 0.0)
+    assert(filled(1).getDouble(0) == -3.0 && filled(1).getDouble(1) == 3.0)
+  }
+
   test("multiple pushed filters on the same dim intersect (EqualTo + In)") {
     val p = writeFixture()
     // EqualTo('us') ∧ In('us','eu') → must intersect to {'us'}, not

@@ -164,8 +164,21 @@ class GdxSymbolReader(path: String, symbol: String, fullSchema: StructType,
   }.groupBy(_._1).map { case (i, kvs) => i -> kvs.map(_._2).reduce(_ intersect _) }
 
   private def dimIndex(attr: String): Int = attr.stripPrefix("dim_").toInt - 1
+  // O(1) per pushed label: one lowercased index map per reader. First
+  // occurrence wins, matching the indexWhere semantics it replaces —
+  // O(|UEL|) linear scans per filter don't survive 100 TB UEL tables.
+  private lazy val uelIndex: Map[String, Int] = {
+    val m = new scala.collection.mutable.HashMap[String, Int]()
+    var i = 0
+    while (i < header.uels.length) {
+      val k = header.uels(i).toLowerCase
+      if (!m.contains(k)) m.put(k, i)
+      i += 1
+    }
+    m.toMap
+  }
   private def lookup(label: String): Int =
-    header.uels.indexWhere(_.equalsIgnoreCase(label))
+    uelIndex.getOrElse(label.toLowerCase, -1)
 
   // shard skip: a pushed label absent from this shard's UEL table can
   // match nothing here — with the clustered write layout each label

@@ -77,14 +77,25 @@ class GdxWriteBuilder(info: LogicalWriteInfo, options: CaseInsensitiveStringMap)
   }
 }
 
-/** Serializable description of how df columns map onto a GDX symbol. */
+/** Serializable description of how df columns map onto a GDX symbol.
+  * `flagCols` = indices of the boolean `is_eps`/`is_na`/`is_undef`
+  * columns a `specialValues="columns"` scan produces (-1 when absent),
+  * so a flag-mode read → write round-trips the GDX sentinels.
+  */
 case class GdxWriteLayout(symbol: String, typ: Int, dimCols: Array[Int],
-    valCols: Array[Int], textCol: Int) extends Serializable
+    valCols: Array[Int], textCol: Int,
+    flagCols: Array[Int] = Array(-1, -1, -1)) extends Serializable {
+  def hasFlags: Boolean = flagCols.exists(_ >= 0)
+}
 
 object GdxWriteLayout {
   def infer(schema: StructType, symbol: String, typOpt: Option[Int]): GdxWriteLayout = {
     val names = schema.fieldNames
     def idx(n: String) = names.indexWhere(_.equalsIgnoreCase(n))
+    def flagIdx(n: String) = {
+      val i = idx(n)
+      if (i >= 0 && schema.fields(i).dataType == BooleanType) i else -1
+    }
     val dimCols = names.zipWithIndex
       .filter { case (n, i) => schema.fields(i).dataType == StringType && n.toLowerCase != "text" }
       .map(_._2)
@@ -106,7 +117,8 @@ object GdxWriteLayout {
           "gdx write: variable/equation needs level,marginal,lower,upper,scale columns")
         fiveFields.toArray
     }
-    GdxWriteLayout(symbol, typ, dimCols, valCols, textCol)
+    GdxWriteLayout(symbol, typ, dimCols, valCols, textCol,
+      Array(flagIdx("is_eps"), flagIdx("is_na"), flagIdx("is_undef")))
   }
 }
 
@@ -197,6 +209,24 @@ class GdxDataWriter(path: String, layout: GdxWriteLayout, single: Boolean,
       row.getUTF8String(i).toString
     }
     val values = layout.valCols.map(i => row.getDouble(i))
+    // Re-encode GDX sentinels so flag-mode read → write is the identity
+    // (SURVEY §7 hard part #2: the flag design threads through write).
+    // Flags describe values(0) — the field the scan derived them from;
+    // NaN/±inf in any field map to their canonical sentinels either way
+    // (a raw NaN has no GDX meaning; NA is the stored form).
+    def sentinel(v: Double): Double =
+      if (v.isNaN) SpecialValues.NA
+      else if (v == Double.PositiveInfinity) SpecialValues.PINF
+      else if (v == Double.NegativeInfinity) SpecialValues.MINF
+      else v
+    var vi = 0
+    while (vi < values.length) { values(vi) = sentinel(values(vi)); vi += 1 }
+    if (layout.hasFlags && values.nonEmpty) {
+      def flag(i: Int) = i >= 0 && !row.isNullAt(i) && row.getBoolean(i)
+      if (flag(layout.flagCols(2))) values(0) = SpecialValues.UNDEF
+      else if (flag(layout.flagCols(1))) values(0) = SpecialValues.NA
+      else if (flag(layout.flagCols(0))) values(0) = SpecialValues.EPS
+    }
     val text =
       if (layout.textCol >= 0 && !row.isNullAt(layout.textCol))
         row.getUTF8String(layout.textCol).toString

@@ -334,6 +334,55 @@ class GdxSourceSpec extends AnyFunSuite {
     assert(filled(1).getDouble(0) == -3.0 && filled(1).getDouble(1) == 3.0)
   }
 
+  test("special values round-trip through flag-mode read → write → read (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // records with injected sentinels: plain / EPS / NA / UNDEF / ±inf
+    val genRec: Gen[(Double, Double)] = for {
+      kind <- Gen.choose(0, 5)
+      v <- Gen.choose(-1e6, 1e6)
+    } yield kind match {
+      case 0 => (v, v)
+      case 1 => (SpecialValues.EPS, SpecialValues.EPS)
+      case 2 => (SpecialValues.NA, SpecialValues.NA)
+      case 3 => (SpecialValues.UNDEF, SpecialValues.UNDEF)
+      case 4 => (SpecialValues.PINF, SpecialValues.PINF)
+      case _ => (SpecialValues.MINF, SpecialValues.MINF)
+    }
+    for (seed <- 1 to 5) {
+      val recs = Gen.listOfN(40, genRec)
+        .pureApply(Gen.Parameters.default, Seed(seed.toLong))
+        .zipWithIndex.map { case ((v, _), i) => (Seq(f"k$i%03d"), Array(v), None) }
+      val b = new GdxBuilder()
+      b.addSymbol("p", SymbolType.Parameter, 1, recs)
+      val src = s"${tmpDir()}/prop.gdx"
+      GdxCodec.write(b.result(), src)
+
+      // flag-mode read → connector write (sharded) → raw codec compare
+      val flagged = Gdx.symbol(spark, src, "p", specialValues = "columns")
+      val out = s"${tmpDir()}/propout"
+      flagged.write.format("gdx").mode("overwrite").option("symbol", "p").save(out)
+
+      // identity at the SENTINEL level: every stored double survives
+      val stored = new java.io.File(out).listFiles((_, n) => n.endsWith(".gdx"))
+        .flatMap { f =>
+          val c = GdxCodec.read(f.getPath)
+          c.symbol("p").get.records.map(r => c.uels(r.keys(0)) -> r.values(0))
+        }.toMap
+      recs.foreach { case (Seq(k), vs, _) =>
+        assert(stored(k) == vs(0), s"seed=$seed key=$k: wrote ${stored(k)}, expected ${vs(0)}")
+      }
+      // and the flag-mode view of the round-tripped file matches the original
+      val back = Gdx.symbol(spark, out, "p", specialValues = "columns")
+      assert(back.count() == 40)
+      val origFlags = flagged.select("dim_1", "is_eps", "is_na", "is_undef")
+        .collect().map(r => r.getString(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+      back.select("dim_1", "is_eps", "is_na", "is_undef").collect().foreach { r =>
+        assert(origFlags(r.getString(0)) == ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))))
+      }
+    }
+  }
+
   test("multiple pushed filters on the same dim intersect (EqualTo + In)") {
     val p = writeFixture()
     // EqualTo('us') ∧ In('us','eu') → must intersect to {'us'}, not

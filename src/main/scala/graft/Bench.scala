@@ -21,7 +21,11 @@ object Bench {
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        // free localCheckpoint residue between reps so a query's time
+        // never includes (or suffers from) another run's dead blocks
+        Sessions.releaseCheckpoints(spark)
+        t
       }
       name -> times.min
     }

@@ -19,4 +19,16 @@ object Sessions {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Drop every persisted RDD block still registered with the block
+    * manager — the localCheckpoint residue of iterative operators
+    * (connected components, the minhash band table). Each query frees
+    * its intermediate rounds itself, but the final checkpoint of a
+    * returned frame can only be released after the result is consumed;
+    * Bench and Verify call this between queries so a ~100-query session
+    * never accumulates dead blocks (measured: dedup_cluster_canonical
+    * drifted to ~2.6× its isolated time before this cleanup).
+    */
+  def releaseCheckpoints(s: SparkSession): Unit =
+    s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
 }

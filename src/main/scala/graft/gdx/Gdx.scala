@@ -158,9 +158,12 @@ final case class GdxFile(spark: SparkSession, path: String) {
   /** @param field  which value field to keep (level/marginal/lower/
     *               upper/scale); non-level fields exist for variables
     *               and equations only.
-    * @param filt   optional case-insensitive glob over dim_1 labels
-    *               (equality filters push into the GDX decoder; glob
-    *               filters apply post-scan).
+    * @param filt   optional case-insensitive glob over dim_1 labels.
+    *               A wildcard-free filt lowers to `lower(dim_1) = lit`,
+    *               which the connector pushes into the GDX decoder AND
+    *               prunes shards against the manifest label ranges (a
+    *               literal label plans ONE InputPartition out of O(10⁵)
+    *               shards); globs with wildcards apply post-scan.
     * @param reshape pivot the last dimension to columns (gdxpy's 2-D
     *               Series→DataFrame reshape).
     */
@@ -177,8 +180,15 @@ final case class GdxFile(spark: SparkSession, path: String) {
     val dims = df.columns.filter(_.startsWith("dim_")).sorted
     df = df.select((dims.toIndexedSeq.map(col) :+ col(src).as("value")): _*)
     if (filt != null && dims.nonEmpty) {
-      val rx = Gdx.globToRegex(filt).regex
-      df = df.filter(lower(col("dim_1")).rlike("^" + rx.stripPrefix("(?i)") + "$"))
+      if (!filt.exists(c => c == '*' || c == '?'))
+        // no wildcard → equality on the lowercased label: the exact
+        // shape V2ExpressionBuilder translates (LOWER(dim_1) = lit),
+        // so the connector prunes shards and filters in the decoder
+        df = df.filter(lower(col("dim_1")) === filt.toLowerCase)
+      else {
+        val rx = Gdx.globToRegex(filt).regex
+        df = df.filter(lower(col("dim_1")).rlike("^" + rx.stripPrefix("(?i)") + "$"))
+      }
     }
     if (reshape && dims.length >= 2) Gdx.pivotLastDim(df) else df
   }

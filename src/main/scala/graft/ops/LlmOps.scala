@@ -278,12 +278,28 @@ object LlmOps extends QueryModule {
     * standard distributed-CC loop.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 10): DataFrame = {
+    // localCheckpoint blocks outlive the query unless freed: across a
+    // long session (the bench runs ~100 queries × 3 reps in one JVM)
+    // the per-round blocks accumulated in the block manager and the
+    // in-bench time drifted to ~2.6× the isolated time. Track the
+    // persistent-RDD ids each checkpoint creates and free every
+    // round's blocks as soon as the next round's checkpoint (which
+    // re-materializes all still-needed state) exists. Only the FINAL
+    // round's blocks — they back the returned frame's truncated
+    // lineage — survive this call; Bench/Verify clear those between
+    // queries via releaseCheckpoints().
+    val sc = edges.sparkSession.sparkContext
+    def persisted: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def free(ids: Set[Int]): Unit = ids.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    val pre0 = persisted
     // materialize the edge list once: every propagation round joins
     // against it, and without this the upstream candidate pipeline
     // (e.g. the whole Jaccard computation) would re-execute per round
     val symRaw = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
+    val symIds = persisted -- pre0
     // adapt iteration parallelism to the materialized edge count (free —
     // the checkpoint already ran): near-dup pair graphs are typically
     // tiny relative to the corpus, and per-round task-scheduling
@@ -297,6 +313,7 @@ object LlmOps extends QueryModule {
     var labels = nodes.withColumn("lbl", col("id"))
     var iter = 0
     var converged = false
+    var prevIds = Set.empty[Int]
     while (iter < maxIter && !converged) {
       val neighborMin = sym
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("lbl", "nlbl"), Seq("dst"))
@@ -308,15 +325,23 @@ object LlmOps extends QueryModule {
       // round's labels once for both the convergence check and round N+1.
       // The old label rides along so convergence is a filter+count on
       // the checkpointed frame — no extra join job per round.
+      val pre = persisted
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
           col("lbl").as("old"))
         .localCheckpoint()
+      // round N's blocks are dead once round N+1 is materialized
+      // (localCheckpoint is eager): free them now, not at session end
+      free(prevIds)
+      prevIds = persisted -- pre
       val changed = next.filter(col("lbl") =!= col("old")).count()
       labels = next.select("id", "lbl")
       converged = changed == 0
       iter += 1
     }
+    // the edge list is only joined inside the loop; the final labels
+    // checkpoint no longer references it
+    free(symIds)
     labels
   }
 
@@ -422,11 +447,15 @@ object LlmOps extends QueryModule {
       (((h % 1000) + 1000) % 1000) / 1000.0 - 0.5
     }
 
-  /** DuckDB expression for the nPlanes-bit bucket of `embedding`. */
-  private def bucketSql(nPlanes: Int): String =
+  /** DuckDB expression for the nPlanes-bit bucket of `embedding`;
+    * `planeId` maps the local plane ordinal to the global plane id
+    * (identity for the single-table queries, table-offset for the
+    * multi-table composition).
+    */
+  private def bucketSql(nPlanes: Int, planeId: Int => Int = identity): String =
     (0 until nPlanes).map { p =>
       s"CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), " +
-        s"[${planeComps(p).mkString(", ")}]) > 0 THEN '1' ELSE '0' END"
+        s"[${planeComps(planeId(p)).mkString(", ")}]) > 0 THEN '1' ELSE '0' END"
     }.mkString("concat(", ", ", ")")
 
   def lshBucketed(s: SparkSession, d: String, nPlanes: Int): DataFrame = {
@@ -559,8 +588,9 @@ object LlmOps extends QueryModule {
     * embeddings peak near cos 0.51) sits at θ≈63°, where recall is
     * intentionally low; at production near-dup thresholds (cos ≥ 0.9,
     * θ≈26°) the same 6-plane table recalls ~40%, and OR-ing 4–8
-    * independent tables — the standard multi-table amplification, a
-    * union over this same pipeline — reaches 87–98%.
+    * independent tables — the standard multi-table amplification,
+    * registered below as `sim_ann_lsh_multi` — reaches 87–98%
+    * (measured in LshRecallSpec).
     */
   q("dedup_embedding_cosine",
     s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql(6)} AS bucket FROM embeddings)
@@ -582,6 +612,89 @@ object LlmOps extends QueryModule {
       .select("a", "b", "cos")
       .distinct()
       .orderBy("a", "b") // input-sized
+  }
+
+  // ------------------------------------- multi-table LSH amplification
+
+  /** Global plane id of plane `p` in table `t` — each table draws its
+    * hyperplanes from a disjoint id range, so the tables are
+    * independent (and none collides with the single-table queries'
+    * planes 0–7).
+    */
+  private def tablePlane(t: Int)(p: Int): Int = 100 * (t + 1) + p
+
+  /** Sign-bit bucket of `embedding` under the given global plane ids —
+    * the Spark twin of [[bucketSql]], fully map-side.
+    */
+  private def lshBucketExpr(planeIds: Seq[Int]): org.apache.spark.sql.Column =
+    concat_ws("", planeIds.map { id =>
+      val plane = array(planeComps(id).map(lit): _*)
+      when(graft.functions.vec.dot(col("embedding"), plane) > 0, lit(1)).otherwise(lit(0))
+    }: _*)
+
+  /** Candidate pairs from OR-ing `nTables` independent hyperplane
+    * tables — the standard multi-table LSH amplification: per-pair
+    * recall r per table becomes 1-(1-r)^T across tables, while
+    * precision stays 1.0 because every candidate is still verified by
+    * exact cosine downstream. ONE scan computes every table's bucket
+    * map-side; one generator explodes to (tbl, bucket) rows — compact
+    * keys, no embedding payload rides along — and one self-equi-join
+    * on (tbl, bucket) yields all tables' candidates at once. Candidate
+    * volume ∝ Σ per-table bucket density; never all-pairs.
+    */
+  def multiLshCandidatesOf(emb: DataFrame, nPlanes: Int, nTables: Int): DataFrame = {
+    val tb = emb.select(col("vec_id"), explode(array((0 until nTables).map { t =>
+      struct(lit(t).as("tbl"),
+        lshBucketExpr((0 until nPlanes).map(tablePlane(t))).as("bucket"))
+    }: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val l = tb.select(col("tbl"), col("bucket"), col("vec_id").as("a"))
+    val r = tb.select(col("tbl"), col("bucket"), col("vec_id").as("b"))
+    l.join(r, Seq("tbl", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+  }
+
+  private def multiLshOracleSql(nPlanes: Int, nTables: Int, thr: Double): String = {
+    val bucketCols = (0 until nTables)
+      .map(t => s"${bucketSql(nPlanes, tablePlane(t))} AS b$t").mkString(",\n       ")
+    val unions = (0 until nTables).map(t =>
+      s"SELECT l.vec_id AS a, r.vec_id AS b FROM bk l JOIN bk r " +
+        s"ON l.b$t = r.b$t AND l.vec_id < r.vec_id").mkString("\n  UNION\n  ")
+    s"""WITH bk AS (SELECT vec_id, embedding,
+       |       $bucketCols FROM embeddings),
+       |     cand AS (
+       |  $unions)
+       |SELECT c.a, c.b,
+       |       round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                                    CAST(eb.embedding AS DOUBLE[])), 6) AS cos
+       |FROM cand c
+       |JOIN embeddings ea ON ea.vec_id = c.a
+       |JOIN embeddings eb ON eb.vec_id = c.b
+       |WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                                   CAST(eb.embedding AS DOUBLE[])), 6) >= $thr
+       |ORDER BY a, b""".stripMargin
+  }
+
+  /** The production ANN near-dup shape: 6 independent 6-plane tables
+    * OR-ed, then exact-cosine verify on candidates only. At cos ≥ 0.9
+    * (θ≈26°) a single 6-plane table recalls ~40%; OR-ing 6 tables
+    * lifts that to ~95% (measured in LshRecallSpec against crafted
+    * near-dup pairs — the [[dedup_embedding_cosine]] scaladoc's
+    * predicted 87–98% band for 4–8 tables). Plane components are
+    * plan-time literals, so the DuckDB oracle reproduces bucketing,
+    * candidate union, and verification bit-for-bit.
+    */
+  q("sim_ann_lsh_multi", multiLshOracleSql(6, 6, 0.45)) { (s, d) =>
+    val emb = T(s, d, "embeddings").select("vec_id", "embedding")
+    multiLshCandidatesOf(emb, nPlanes = 6, nTables = 6)
+      .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
+      .join(emb.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
+      .withColumn("cos", round(graft.functions.vec.cosine(col("ea"), col("eb")), 6))
+      .filter(col("cos") >= 0.45) // synthetic corpus: random embeddings peak near cos 0.51
+      .select("a", "b", "cos")
+      .orderBy("a", "b") // pair set scales with dup density = input-sized
   }
 
   // -------------------------------------------------------- text analysis

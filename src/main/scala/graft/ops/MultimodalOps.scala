@@ -5,6 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
 
 import graft.{QueryModule, T}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -128,9 +129,29 @@ object MultimodalOps extends QueryModule {
     * rows carry a REAL PNG of the doc's raster; audio/video carry the
     * UTF-8 text bytes as an opaque stand-in payload. In production this
     * is the ingestion job's output; the operators below never look at
-    * `documents` again.
+    * `documents` again — and like a real ingestion output it is
+    * materialized ONCE per dataset (parquet in tmp, like
+    * GdxOps.ensureFixtures), so the four mm_* queries and the bench
+    * reps measure decode work, not repeated PNG synthesis. Content is
+    * a pure function of the sfDir's `documents`, so a directory left
+    * by an earlier JVM is identical and safely reused.
     */
-  def mediaTable(s: SparkSession, d: String): DataFrame = {
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(ensureMediaFixture(s, d))
+
+  private val mediaLock = new Object
+
+  private def ensureMediaFixture(s: SparkSession, d: String): String =
+    mediaLock.synchronized {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-media-" +
+        new java.io.File(d).getName
+      // _SUCCESS marks a complete write; a half-written dir is rewritten
+      if (!new java.io.File(dir, "_SUCCESS").isFile)
+        synthesizeMedia(s, d).write.mode("overwrite").parquet(dir)
+      dir
+    }
+
+  private def synthesizeMedia(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     T(s, d, "documents").select(col("doc_id"), col("text")).as[DocRow]
       .mapPartitions { rows =>
@@ -280,6 +301,67 @@ object MultimodalOps extends QueryModule {
        |FROM rs ORDER BY doc_id""".stripMargin) { (s, d) =>
     resizeHalf(mediaTable(s, d).filter(col("meta.kind") === "image"))
       .orderBy("doc_id") // one row per image doc = input-sized
+  }
+
+  // ------------------------------------------------ features → ANN
+
+  /** Global plane ids 900+p — disjoint from every text-ANN plane range. */
+  private def mmPlane(p: Int): Int = 900 + p
+
+  private val MmAnnPlanes = 4
+  private val FeatDim = 16
+
+  private def featBucketExpr: org.apache.spark.sql.Column =
+    concat_ws("", (0 until MmAnnPlanes).map { p =>
+      val plane = array(LlmOps.planeComps(mmPlane(p), FeatDim).map(lit): _*)
+      when(graft.functions.vec.dot(col("features"), plane) > 0, lit(1)).otherwise(lit(0))
+    }: _*)
+
+  private def mmAnnOracleSql: String = {
+    val bucket = (0 until MmAnnPlanes).map { p =>
+      s"CASE WHEN list_inner_product(feat, " +
+        s"[${LlmOps.planeComps(mmPlane(p), FeatDim).mkString(", ")}]) > 0 " +
+        "THEN '1' ELSE '0' END"
+    }.mkString("concat(", ", ", ")")
+    s"""WITH $imDimsSql,
+       |     f AS (SELECT doc_id,
+       |       [CAST(CAST(list_sum([CAST((31*doc_id + 7*(i%w) + 13*(i//w)) % 256 AS DOUBLE)/255.0
+       |                            FOR i IN range(0, w*h) IF i % $FeatDim = k]) AS FLOAT) AS DOUBLE)
+       |        FOR k IN range(0, $FeatDim)] AS feat
+       |       FROM im),
+       |     bk AS (SELECT doc_id, feat, $bucket AS bucket FROM f),
+       |     j AS (SELECT l.doc_id AS qid, r.doc_id AS nbr,
+       |                  round(list_cosine_similarity(l.feat, r.feat), 6) AS cos
+       |           FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.doc_id <> r.doc_id)
+       |SELECT qid, nbr, cos, rn FROM (
+       |  SELECT qid, nbr, cos,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS INTEGER) AS rn
+       |  FROM j) t
+       |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+  }
+
+  /** The multimodal-training-pipeline shape end-to-end: decode media
+    * payloads → fixed-dim `array<float>` features ([[extractFeatures]],
+    * the "model inference" slot) → hyperplane-LSH bucket → in-bucket
+    * cosine top-k — the same ANN join the text embeddings use
+    * (LlmOps sim_ann_lsh), now fed by the image path. The pixel closed
+    * form makes the features oracle-computable, so the WHOLE
+    * composition (PNG decode → feature fold → float cast → bucketing →
+    * ranked neighbors) is hash-checked against DuckDB.
+    */
+  q("mm_ann_topk", mmAnnOracleSql) { (s, d) =>
+    val feats = extractFeatures(mediaTable(s, d).filter(col("meta.kind") === "image"))
+    val b = feats.withColumn("bucket", featBucketExpr)
+    val l = b.select(col("bucket"), col("doc_id").as("qid"), col("features").as("qf"))
+    val r = b.select(col("bucket"), col("doc_id").as("nbr"), col("features"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nbr").asc)
+    l.join(r, Seq("bucket"))
+      .filter(col("qid") =!= col("nbr"))
+      .withColumn("cos", round(graft.functions.vec.cosine(col("qf"), col("features")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("qid", "nbr", "cos", "rn")
+      .orderBy("qid", "rn") // top-k per image doc = input-sized
   }
 
   // ----------------------------------------------------- frame sample

@@ -2,25 +2,43 @@ package graft.sources
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.{GeneralScalarExpression, Literal, NamedReference, Expression => V2Expr}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.gdx._
 
+/** The connector-internal form of a pushed label predicate: dim ordinal
+  * (0-based) plus the admissible labels, lowercased. The decoder matches
+  * case-insensitively — a SUPERSET of what any of the accepted source
+  * predicates admits (exact `=`/`IN` or the `lower(dim_i) = lit` shape
+  * gdxpy-style case-insensitive filters lower to) — and every predicate
+  * is also returned to Spark as a residual, so post-scan evaluation
+  * restores the exact semantics either way.
+  */
+case class DimLabelFilter(dim: Int, labels: Set[String]) {
+  override def toString: String =
+    s"dim_${dim + 1} IN {${labels.toSeq.sorted.mkString(",")}}"
+}
+
 /** Scan with column pruning (gdx_scan_fields: only requested value
   * fields are materialized) and dim-label filter pushdown
-  * (filter_label_eq: EqualTo/In on dim columns is applied on UEL
-  * indices inside the decoder, before any row is built — label→index
+  * (filter_label_eq: `=`/`IN` on dim columns — plain or wrapped in
+  * LOWER(), the case-insensitive gdxpy filt shape — is applied on UEL
+  * indices inside the decoder, before any row is built; label→index
   * lookup happens once per partition against the shard's UEL table).
+  * V2 predicates rather than v1 Filters precisely so the LOWER() form
+  * pushes: v1 translation only carries bare-attribute comparisons.
   */
 class GdxScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownV2Filters {
 
   private var required: StructType = fullSchema
-  private var pushed: Array[Filter] = Array.empty
+  private var pushed: Array[Predicate] = Array.empty
+  private var dimFilters: Seq[DimLabelFilter] = Nil
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // keep full-schema field order for decode simplicity
@@ -28,22 +46,52 @@ class GdxScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
     required = StructType(fullSchema.fields.filter(f => names.contains(f.name)))
   }
 
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, rejected) = filters.partition {
-      case EqualTo(attr, _: String) => attr.startsWith("dim_")
-      case In(attr, vs) if vs.forall(_.isInstanceOf[String]) => attr.startsWith("dim_")
-      case _ => false
-    }
-    pushed = accepted
-    rejected ++ accepted // accepted are exact, but let Spark re-check cheaply
+  // dim_i reference, bare or LOWER-wrapped (both admit the same
+  // superset under the decoder's case-insensitive match)
+  private def dimOf(e: V2Expr): Option[Int] = e match {
+    case f: NamedReference if f.fieldNames.length == 1 &&
+        f.fieldNames()(0).matches("dim_[0-9]+") =>
+      Some(f.fieldNames()(0).stripPrefix("dim_").toInt - 1)
+    case g: GeneralScalarExpression if g.name == "LOWER" && g.children.length == 1 =>
+      dimOf(g.children()(0))
+    case _ => None
   }
 
-  override def pushedFilters(): Array[Filter] = pushed
+  private def strOf(e: V2Expr): Option[String] = e match {
+    case l: Literal[_] if l.dataType.isInstanceOf[StringType] && l.value != null =>
+      Some(l.value.toString)
+    case _ => None
+  }
 
-  override def build(): Scan = new GdxScan(fullSchema, required, pushed, options)
+  private def translate(p: Predicate): Option[DimLabelFilter] = p.name() match {
+    case "=" => p.children() match {
+      case Array(a, b) =>
+        (for { d <- dimOf(a); s <- strOf(b) } yield DimLabelFilter(d, Set(s.toLowerCase)))
+          .orElse(for { d <- dimOf(b); s <- strOf(a) } yield DimLabelFilter(d, Set(s.toLowerCase)))
+      case _ => None
+    }
+    case "IN" =>
+      val cs = p.children()
+      for {
+        d <- cs.headOption.flatMap(dimOf)
+        vs = cs.drop(1).map(strOf) if vs.forall(_.isDefined)
+      } yield DimLabelFilter(d, vs.flatten.map(_.toLowerCase).toSet)
+    case _ => None
+  }
+
+  override def pushPredicates(predicates: Array[Predicate]): Array[Predicate] = {
+    val accepted = predicates.flatMap(p => translate(p).map(p -> _))
+    pushed = accepted.map(_._1)
+    dimFilters = accepted.map(_._2).toSeq
+    predicates // all residual: the decoder match is a superset, Spark re-checks exactly
+  }
+
+  override def pushedPredicates(): Array[Predicate] = pushed
+
+  override def build(): Scan = new GdxScan(fullSchema, required, dimFilters, options)
 }
 
-class GdxScan(fullSchema: StructType, required: StructType, pushed: Array[Filter],
+class GdxScan(fullSchema: StructType, required: StructType, pushed: Seq[DimLabelFilter],
     options: CaseInsensitiveStringMap) extends Scan with Batch {
 
   private val path = options.get("path")
@@ -69,8 +117,7 @@ class GdxScan(fullSchema: StructType, required: StructType, pushed: Array[Filter
     */
   private def prunedByManifest(shards: Seq[String]): Seq[String] = {
     val labels: Set[String] = pushed.collect {
-      case EqualTo("dim_1", v: String) => Set(v.toLowerCase)
-      case In("dim_1", vs) => vs.collect { case s: String => s.toLowerCase }.toSet
+      case DimLabelFilter(0, ls) => ls
     }.foldLeft(Option.empty[Set[String]]) {
       // multiple pushed filters on dim_1 → intersection semantics
       case (None, s) => Some(s)
@@ -97,7 +144,7 @@ case class GdxInputPartition(shardPath: String, symbol: String) extends InputPar
 case class GdxCatalogPartition(shardPaths: Seq[String]) extends InputPartition
 
 class GdxReaderFactory(fullSchema: StructType, required: StructType,
-    pushed: Array[Filter], symbol: String) extends PartitionReaderFactory {
+    pushed: Seq[DimLabelFilter], symbol: String) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
@@ -145,25 +192,20 @@ class GdxCatalogReader(paths: Seq[String], required: StructType)
 }
 
 class GdxSymbolReader(path: String, symbol: String, fullSchema: StructType,
-    required: StructType, pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+    required: StructType, pushed: Seq[DimLabelFilter]) extends PartitionReader[InternalRow] {
 
   private val header = GdxCodec.readHeader(path)
   private val meta = GdxTable.resolveSymbol(header, symbol, path)
   private val flagMode = fullSchema.fieldNames.contains("is_eps")
 
-  // label equality filters → UEL index predicates, resolved once here.
-  // A label absent from this shard's UEL table matches nothing. Multiple
-  // pushed filters on the same dim (EqualTo + In) intersect — matching
+  // label filters → UEL index predicates, resolved once here. A label
+  // absent from this shard's UEL table matches nothing. Multiple pushed
+  // filters on the same dim (`=` + `IN`) intersect — matching
   // prunedByManifest's semantics — rather than last-wins.
-  private val dimFilters: Map[Int, Set[Int]] = pushed.flatMap {
-    case EqualTo(attr, v: String) =>
-      Some(dimIndex(attr) -> Set(lookup(v)).filter(_ >= 0))
-    case In(attr, vs) =>
-      Some(dimIndex(attr) -> vs.map(v => lookup(v.asInstanceOf[String])).filter(_ >= 0).toSet)
-    case _ => None
-  }.groupBy(_._1).map { case (i, kvs) => i -> kvs.map(_._2).reduce(_ intersect _) }
-
-  private def dimIndex(attr: String): Int = attr.stripPrefix("dim_").toInt - 1
+  private val dimFilters: Map[Int, Set[Int]] =
+    pushed.groupBy(_.dim).map { case (i, fs) =>
+      i -> fs.map(_.labels.map(lookup).filter(_ >= 0)).reduce(_ intersect _)
+    }
   // O(1) per pushed label: one lowercased index map per reader. First
   // occurrence wins, matching the indexWhere semantics it replaces —
   // O(|UEL|) linear scans per filter don't survive 100 TB UEL tables.

@@ -40,6 +40,48 @@ class LshRecallSpec extends AnyFunSuite {
     // so a silent bucketing regression (e.g. a broken plane) fails here
     assert(recall >= 0.15, s"recall collapsed: $recall")
   }
+
+  test("multi-table OR composition lifts recall at cos≈0.9 into the predicted 87–98% band") {
+    // The corpus embeddings are random (no true near-dups at cos ≥ 0.9),
+    // so the production-threshold recall claim needs crafted pairs:
+    // unit vector u, partner v = u + ε·w with w a unit vector
+    // orthogonal to u → cos(u, v) = 1/√(1+ε²) exactly. ε = 0.45 puts
+    // every pair at cos ≈ 0.912 (θ ≈ 24°), the near-dup regime the
+    // dedup_embedding_cosine scaladoc's prediction is about.
+    val dim = 64
+    val nPairs = 400
+    val rnd = new scala.util.Random(20260812)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val eps = 0.45
+    val rows = (0 until nPairs).flatMap { i =>
+      val u = unit(Array.fill(dim)(rnd.nextGaussian()))
+      val g = Array.fill(dim)(rnd.nextGaussian())
+      val proj = (0 until dim).map(k => g(k) * u(k)).sum
+      val w = unit((0 until dim).map(k => g(k) - proj * u(k)).toArray)
+      val v = (0 until dim).map(k => u(k) + eps * w(k)).toArray
+      Seq((2L * i, u.map(_.toFloat)), (2L * i + 1, v.map(_.toFloat)))
+    }
+    import spark.implicits._
+    val df = rows.toDF("vec_id", "embedding")
+
+    def recallWith(nTables: Int): Double = {
+      val cand = LlmOps.multiLshCandidatesOf(df, nPlanes = 6, nTables = nTables)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (0 until nPairs).count(i => cand.contains((2L * i, 2L * i + 1))).toDouble / nPairs
+    }
+    val single = recallWith(1)
+    val multi = recallWith(6)
+    // theory at θ≈24°: per-table (1-θ/π)^6 ≈ 0.42; OR of 6 tables
+    // 1-(1-0.42)^6 ≈ 0.96. Bounds are ±~4σ of sampling noise at n=400.
+    assert(single >= 0.30 && single <= 0.55,
+      s"single-table recall $single outside the predicted ~0.42 regime")
+    assert(multi >= 0.87 && multi <= 0.995,
+      s"multi-table recall $multi outside the predicted 87–98% band")
+    assert(multi > single + 0.3,
+      s"OR composition must amplify recall substantially ($single -> $multi)")
+  }
 }
 
 /** Test access to the registered query body without going through the

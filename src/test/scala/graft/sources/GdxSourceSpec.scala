@@ -383,6 +383,34 @@ class GdxSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("literal filt lowers to a pushed equality and prunes to ONE shard") {
+    import spark.implicits._
+    val dir = s"${tmpDir()}/pruned"
+    // disable AQE for the write so the range distribution keeps 4
+    // shuffle partitions → 4 shards with disjoint label ranges
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try
+      (0 until 1000).map(i => (f"k$i%04d", i.toDouble)).toDF("dim_1", "value")
+        .write.format("gdx").mode("overwrite").option("symbol", "s").save(dir)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    val nShards = new java.io.File(dir).listFiles().count(_.getName.endsWith(".gdx"))
+    assert(nShards > 1, s"fixture must produce multiple shards, got $nShards")
+
+    // wrong-case literal: glob filt semantics are case-insensitive, and
+    // the lower(dim_1)= form still pushes (V2 predicate translation)
+    val hit = GdxFile(spark, dir).query("s", filt = "K0500")
+    assert(hit.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      == Seq(("k0500", 500.0)))
+    assert(hit.rdd.getNumPartitions == 1,
+      "manifest label ranges must prune a literal filt to one InputPartition")
+
+    // wildcard filt keeps the full scan (post-scan rlike, all shards)
+    val glob = GdxFile(spark, dir).query("s", filt = "k05*")
+    assert(glob.count() == 100)
+    assert(glob.rdd.getNumPartitions == nShards)
+  }
+
   test("multiple pushed filters on the same dim intersect (EqualTo + In)") {
     val p = writeFixture()
     // EqualTo('us') ∧ In('us','eu') → must intersect to {'us'}, not

@@ -149,7 +149,7 @@ class GdxTable(schema: StructType, options: CaseInsensitiveStringMap)
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap) = {
     val merged = new CaseInsensitiveStringMap(

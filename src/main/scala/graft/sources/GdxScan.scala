@@ -101,6 +101,10 @@ class GdxScan(fullSchema: StructType, required: StructType, pushed: Seq[DimLabel
 
   override def toBatch: Batch = this
 
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GdxMicroBatchStream(path, symbol, fullSchema, required, pushed)
+
   override def planInputPartitions(): Array[InputPartition] = {
     val shards = GdxTable.shardsOf(path)
     if (symbol == GdxTable.CatalogSymbol)

@@ -160,4 +160,30 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable(); q.stop()
     assert(spark.table(name).count() == 5)
   }
+
+  test("gdx readStream: batch parity on existing shards, new shards ingested incrementally") {
+    val dir = java.nio.file.Files.createTempDirectory("gdx-stream").toString + "/data"
+    (0 until 100).map(i => (f"a$i%03d", i.toDouble)).toDF("dim_1", "value")
+      .repartition(2).write.format("gdx").mode("overwrite").option("symbol", "s").save(dir)
+    val name = nextName()
+    val q = spark.readStream.format("gdx").option("symbol", "s").load(dir)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable()
+    val first = spark.table(name).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val batch = spark.read.format("gdx").option("symbol", "s").load(dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(first == batch && first.size == 100,
+      "stream over the initial shard set must equal the batch read")
+    // a new producer drops one more self-contained shard into the dataset
+    val enc = new graft.gdx.GdxStreamEncoder(s"$dir/shard-99999-9.gdx", "s",
+      graft.gdx.SymbolType.Parameter, 1)
+    enc.add(Array("z1"), Array(1000.0), None)
+    enc.add(Array("z2"), Array(1001.0), None)
+    enc.finish()
+    q.processAllAvailable()
+    q.stop()
+    val after = spark.table(name).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(after.size == 102 && after("z1") == 1000.0 && after("z2") == 1001.0,
+      "the arriving shard must be planned exactly once as a new micro-batch")
+  }
 }

@@ -1010,6 +1010,43 @@ object LlmOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: drop training documents sharing ANY
+    * 8-token n-gram with the held-out eval slice (doc_id % 97 == 0
+    * stands in for the benchmark set; in production it's a separate
+    * table). The standard shape: eval n-grams are a SMALL distinct set
+    * (broadcast semi-join against it), train-side grams are joined by
+    * 64-bit hash — equality of xxhash64 keys ≡ equality of the n-gram
+    * strings w.h.p. (collision odds ~n²/2⁶⁵), with ~8-byte shuffle
+    * keys. The DuckDB oracle joins on the strings themselves, so a
+    * hash-semantics bug cannot pass. Output = the clean training ids.
+    */
+  q("pipeline_decontaminate",
+    """WITH tok AS (SELECT doc_id, str_split(text, ' ') AS tok FROM documents),
+      |     grams AS (
+      |  SELECT doc_id, unnest([list_aggr(tok[i:i+7], 'string_agg', ' ')
+      |                         FOR i IN range(1, greatest(len(tok) - 7, 1) + 1)]) AS g
+      |  FROM tok),
+      |     ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+      |     bad AS (SELECT DISTINCT doc_id FROM grams
+      |             WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM ev))
+      |SELECT doc_id FROM documents
+      |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+      |ORDER BY doc_id""") { (s, d) =>
+    val grams = T(s, d, "documents")
+      .withColumn("tok", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, greatest(size(tok) - 8, 0)), i -> xxhash64(concat_ws(' ', slice(tok, i + 1, 8))))")).as("g"))
+    val evalGrams = grams.filter(col("doc_id") % 97 === 0).select("g").distinct()
+    val contaminated = grams.filter(col("doc_id") % 97 =!= 0)
+      .join(evalGrams, Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+    T(s, d, "documents")
+      .filter(col("doc_id") % 97 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id")
+      .orderBy("doc_id") // one row per clean training doc = input-sized
+  }
+
   // -------------------------------------------------------- multimodal
 
   q("multimodal_join",

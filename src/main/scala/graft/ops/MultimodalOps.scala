@@ -351,7 +351,15 @@ object MultimodalOps extends QueryModule {
     */
   q("mm_ann_topk", mmAnnOracleSql) { (s, d) =>
     val feats = extractFeatures(mediaTable(s, d).filter(col("meta.kind") === "image"))
-    val b = feats.withColumn("bucket", featBucketExpr)
+    // materialize (doc_id, features, bucket) ONCE before the self-join:
+    // the typed mapPartitions decode stage is an object plan, which
+    // defeats exchange-reuse canonicalization — without this the PNG
+    // decode + feature fold would run once PER JOIN SIDE at every
+    // scale (verified in PlanInvariantsSpec; the expression-only LSH
+    // queries, by contrast, self-heal via ReusedExchange). The frame
+    // is |image docs| × (8 B + dim floats + bucket) — tiny next to the
+    // payloads — and Bench/Verify release the blocks between queries.
+    val b = feats.withColumn("bucket", featBucketExpr).localCheckpoint()
     val l = b.select(col("bucket"), col("doc_id").as("qid"), col("features").as("qf"))
     val r = b.select(col("bucket"), col("doc_id").as("nbr"), col("features"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nbr").asc)

@@ -136,6 +136,38 @@ class PlanInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN self-joins reuse their exchanges at the scale plan shape (map stages run once)") {
+    // At test scale AQE broadcasts the self-join build side, which
+    // re-executes the map-side bucket/decode stage — cheap there. At
+    // production scale the joins are SMJ with identical exchanges on
+    // both sides, and exchange reuse makes the expensive stage run
+    // ONCE; pin that by planning without AQE/broadcast.
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val aqe = "spark.sql.adaptive.enabled"
+    val pb = spark.conf.get(bcast)
+    val pa = spark.conf.get(aqe)
+    spark.conf.set(bcast, "-1")
+    spark.conf.set(aqe, "false")
+    try {
+      val p = plan(graft.SparkEntry.queries("sim_ann_lsh_multi")(spark, d))
+      assert("Scan parquet".r.findAllIn(p).size == 2,
+        s"expected 1 bucket scan + 1 verify scan (reused for both sides):\n$p")
+      assert("ReusedExchange".r.findAllIn(p).size >= 2,
+        s"bucket stage and verify side must be exchange-reused:\n$p")
+      // the decode+extract stage is a typed mapPartitions (object
+      // plan), which exchange-reuse canonicalization cannot match —
+      // mm_ann_topk therefore materializes the bucketed feature frame
+      // before the self-join, and NO MapPartitions may remain in the
+      // executed plan (both sides read the checkpointed blocks)
+      val pm = plan(graft.SparkEntry.queries("mm_ann_topk")(spark, d))
+      assert("MapPartitions".r.findAllIn(pm).size == 0,
+        s"PNG decode + feature extract must be materialized once, not re-run per side:\n$pm")
+    } finally {
+      spark.conf.set(bcast, pb)
+      spark.conf.set(aqe, pa)
+    }
+  }
+
   test("similarity hot path runs the native codegen'd cosine, not HOF lambdas") {
     val p = plan(graft.SparkEntry.queries("sim_cosine_topk")(spark, d))
     assert(p.contains("veccosine") || p.contains("vec_cosine"),

@@ -86,7 +86,13 @@ final class GdxStreamEncoder(finalPath: String, name: String, typ: Int, dim: Int
   def records: Long = count.toLong
   def labelRange: (Option[String], Option[String]) = (Option(loLabel), Option(hiLabel))
 
-  /** Deflate pool + spilled records, assemble the shard file, delete temps. */
+  /** Deflate pool + spilled records, assemble the shard file, delete
+    * temps. The shard is assembled under a `.inprogress` suffix and
+    * atomically renamed into place, so directory listers (the batch
+    * reader's shardsOf glob AND the file-arrival micro-batch stream)
+    * never observe a torn shard — a shard either exists completely or
+    * not at all.
+    */
   def finish(): Unit = {
     rec.close()
     val tmpBlob = File.createTempFile("gdx-spill-", ".blob")
@@ -104,7 +110,7 @@ final class GdxStreamEncoder(finalPath: String, name: String, typ: Int, dim: Int
       require(blobLen <= Int.MaxValue,
         s"gdx shard blob exceeds 2 GiB ($blobLen bytes) — lower records per shard")
       val out = new DataOutputStream(
-        new BufferedOutputStream(new FileOutputStream(finalPath), 1 << 16))
+        new BufferedOutputStream(new FileOutputStream(inProgress), 1 << 16))
       try {
         out.write(GdxCodec.Magic)
         out.writeUTF(producer)
@@ -123,16 +129,24 @@ final class GdxStreamEncoder(finalPath: String, name: String, typ: Int, dim: Int
         GdxCodec.writeVarInt(out, blobLen.toInt)
         copyTo(tmpBlob, out)
       } finally out.close()
+      val dst = new File(finalPath)
+      dst.delete() // idempotent epoch re-run overwrites its own shard
+      if (!inProgress.renameTo(dst))
+        throw new java.io.IOException(s"gdx: cannot publish shard $finalPath")
     } finally {
       tmpRecords.delete()
       tmpBlob.delete()
+      inProgress.delete()
     }
   }
+
+  private def inProgress: File = new File(finalPath + ".inprogress")
 
   /** Abandon the stream and remove temp files (task abort path). */
   def dispose(): Unit = {
     try rec.close() catch { case _: Throwable => () }
     tmpRecords.delete()
+    inProgress.delete()
   }
 
   private def copyTo(src: File, out: OutputStream): Unit = {

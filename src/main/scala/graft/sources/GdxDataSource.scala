@@ -149,7 +149,8 @@ class GdxTable(schema: StructType, options: CaseInsensitiveStringMap)
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE).asJava
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap) = {
     val merged = new CaseInsensitiveStringMap(

@@ -58,23 +58,110 @@ class GdxWriteBuilder(info: LogicalWriteInfo, options: CaseInsensitiveStringMap)
       dimNames.map(n => Expressions.sort(Expressions.column(n),
         SortDirection.ASCENDING))
 
+    private def path = options.get("path")
+    private def symbol = Option(options.get("symbol")).getOrElse("data")
+    private def typ: Option[Int] = Option(options.get("symbolType")).map {
+      case "set" => SymbolType.Set
+      case "parameter" => SymbolType.Parameter
+      case "variable" => SymbolType.Variable
+      case "equation" => SymbolType.Equation
+      case other => throw new IllegalArgumentException(s"gdx: bad symbolType $other")
+    }
+    // variable/equation subtype (VarType.* / EquType.*), stored as the
+    // symbol's userInfo so default-bound semantics survive round-trip
+    private def subtype = options.getInt("subtype", 0)
+
     override def toBatch: BatchWrite = {
-      val path = options.get("path")
-      val symbol = Option(options.get("symbol")).getOrElse("data")
       val single = options.getBoolean("singleFile", false)
-      val typ = Option(options.get("symbolType")).map {
-        case "set" => SymbolType.Set
-        case "parameter" => SymbolType.Parameter
-        case "variable" => SymbolType.Variable
-        case "equation" => SymbolType.Equation
-        case other => throw new IllegalArgumentException(s"gdx: bad symbolType $other")
-      }
-      // variable/equation subtype (VarType.* / EquType.*), stored as the
-      // symbol's userInfo so default-bound semantics survive round-trip
-      val subtype = options.getInt("subtype", 0)
       new GdxBatchWrite(path, symbol, info.schema(), single, typ, subtype, doTruncate)
     }
+
+    /** Streaming sink (`writeStream.format("gdx")`): every epoch's tasks
+      * encode their partition into epoch-deterministic shard files
+      * (idempotent under epoch re-runs) and the epoch commit APPENDS the
+      * new entries to `_manifest.json` — the continuous-producer face of
+      * the sharded layout, symmetric with GdxMicroBatchStream on the
+      * read side. Sharded only: the single-file invariant (one global
+      * sort, one UEL table) cannot hold under appends.
+      */
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(!options.getBoolean("singleFile", false),
+        "gdx: singleFile is a batch-only layout; streaming writes are sharded")
+      new GdxStreamingWrite(path, symbol, info.schema(), typ, subtype)
+    }
   }
+}
+
+/** Read/append/rewrite of a sharded dataset's `_manifest.json`. Raw
+  * entry JSON is preserved verbatim on append (the format has no nested
+  * braces), and an append skips shard files already present — the
+  * idempotence an epoch re-commit needs.
+  */
+object GdxManifest {
+  private val entryRx = """\{"file":"((?:[^"\\]|\\.)*)"[^{}]*\}""".r
+  private def js(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private def unjs(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  def entryJson(c: GdxShardCommit): String = {
+    val range = (c.lo, c.hi) match {
+      case (Some(l), Some(h)) => s""","lo":"${js(l)}","hi":"${js(h)}""""
+      case _ => ""
+    }
+    s"""{"file":"${js(c.fileName)}","records":${c.records}$range}"""
+  }
+
+  def write(path: String, symbol: String, entries: Seq[String]): Unit =
+    Files.write(Paths.get(path, "_manifest.json"),
+      s"""{"symbol":"${js(symbol)}","shards":[${entries.mkString(",")}]}"""
+        .getBytes(StandardCharsets.UTF_8))
+
+  def append(path: String, symbol: String, commits: Seq[GdxShardCommit]): Unit =
+    synchronized {
+      val mf = new File(path, "_manifest.json")
+      val existing =
+        if (mf.isFile)
+          entryRx.findAllMatchIn(new String(Files.readAllBytes(mf.toPath),
+            StandardCharsets.UTF_8)).map(m => unjs(m.group(1)) -> m.matched).toSeq
+        else Nil
+      val have = existing.map(_._1).toSet
+      val added = commits.filterNot(c => have.contains(c.fileName)).map(entryJson)
+      write(path, symbol, existing.map(_._2) ++ added)
+    }
+}
+
+/** Streaming sink: shard-per-(epoch, partition) via the same
+  * GdxDataWriter/GdxStreamEncoder spill path as the batch writer —
+  * task memory stays O(UEL dictionary), shards publish by atomic
+  * rename, and the manifest grows by append at each epoch commit.
+  */
+class GdxStreamingWrite(path: String, symbol: String, schema: StructType,
+    typOpt: Option[Int], subtype: Int)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private val layout = GdxWriteLayout.infer(schema, symbol, typOpt)
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    new File(path).mkdirs()
+    new GdxStreamingWriterFactory(path, layout, subtype)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    GdxManifest.append(path, layout.symbol,
+      messages.collect { case c: GdxShardCommit => c }.toSeq)
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case GdxShardCommit(f, _, _, _) => new File(path, f).delete() }
+}
+
+class GdxStreamingWriterFactory(path: String, layout: GdxWriteLayout, subtype: Int)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  // epoch-deterministic shard names (no task id): a re-run of the same
+  // epoch rewrites the same files and the manifest append de-dups them
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new GdxDataWriter(path, layout, single = false, subtype, partitionId, taskId,
+      nameOverride = Some(f"shard-e$epochId%06d-$partitionId%05d.gdx"))
 }
 
 /** Serializable description of how df columns map onto a GDX symbol.
@@ -149,22 +236,12 @@ class GdxBatchWrite(path: String, symbol: String, schema: StructType,
         rows.map { case (ls, vs, t) => (ls.toSeq, vs, Option(t)) },
         userInfo = subtype)
       GdxCodec.write(b.result(), path)
-    } else {
+    } else
       // per-shard lowercased dim_1 label range → planInputPartitions
       // prunes shards driver-side on pushed label filters without
       // opening any shard header
-      def js(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-      val shards = messages.collect { case GdxShardCommit(f, n, lo, hi) =>
-        val range = (lo, hi) match {
-          case (Some(l), Some(h)) => s""","lo":"${js(l)}","hi":"${js(h)}""""
-          case _ => ""
-        }
-        s"""{"file":"$f","records":$n$range}"""
-      }
-      Files.write(Paths.get(path, "_manifest.json"),
-        s"""{"symbol":"${layout.symbol}","shards":[${shards.mkString(",")}]}"""
-          .getBytes(StandardCharsets.UTF_8))
-    }
+      GdxManifest.write(path, layout.symbol,
+        messages.collect { case c: GdxShardCommit => GdxManifest.entryJson(c) }.toSeq)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     if (!single) messages.collect { case GdxShardCommit(f, _, _, _) =>
@@ -190,9 +267,10 @@ class GdxWriterFactory(path: String, layout: GdxWriteLayout, single: Boolean,
   * small-symbol-only, GdxWriteBuilder scaladoc).
   */
 class GdxDataWriter(path: String, layout: GdxWriteLayout, single: Boolean,
-    subtype: Int, partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    subtype: Int, partitionId: Int, taskId: Long,
+    nameOverride: Option[String] = None) extends DataWriter[InternalRow] {
 
-  private val shardName = f"shard-$partitionId%05d-$taskId.gdx"
+  private val shardName = nameOverride.getOrElse(f"shard-$partitionId%05d-$taskId.gdx")
 
   private val rows = // single-file path only
     scala.collection.mutable.ArrayBuffer.empty[(Array[String], Array[Double], String)]

@@ -6,6 +6,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.gdx.{Gdx, GdxStreamEncoder, SymbolType}
+
 /** Streaming semantics (SURVEY.md §5.2#5): MemoryStream-driven tests for
   * watermark late-drop, session merging, stateful funnel, dedup —
   * asserting batch/stream parity where the batch fixpoint is defined.
@@ -185,5 +187,42 @@ class StreamingSpec extends AnyFunSuite {
     val after = spark.table(name).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(after.size == 102 && after("z1") == 1000.0 && after("z2") == 1001.0,
       "the arriving shard must be planned exactly once as a new micro-batch")
+  }
+
+  test("gdx writeStream: continuous gdx→gdx pipe lands shards + manifest, appends per epoch") {
+    val base = java.nio.file.Files.createTempDirectory("gdx-pipe").toString
+    val src = s"$base/src"
+    val dst = s"$base/dst"
+    (0 until 100).map(i => (f"a$i%03d", i.toDouble)).toDF("dim_1", "value")
+      .repartition(2).write.format("gdx").mode("overwrite").option("symbol", "s").save(src)
+    val q = spark.readStream.format("gdx").option("symbol", "s").load(src)
+      .writeStream.format("gdx")
+      .option("symbol", "s")
+      .option("checkpointLocation", s"$base/cp")
+      .outputMode("append")
+      .start(dst)
+    q.processAllAvailable()
+    val first = Gdx.symbol(spark, dst, "s")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val srcAll = Gdx.symbol(spark, src, "s")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(first == srcAll && first.size == 100,
+      "the streamed sink must batch-read back equal to the source")
+    assert(new java.io.File(dst, "_manifest.json").isFile)
+    // second epoch: a new shard arrives at the source, flows through the
+    // pipe, and the sink manifest grows by append
+    val enc = new GdxStreamEncoder(s"$src/shard-99999-9.gdx", "s",
+      SymbolType.Parameter, 1)
+    enc.add(Array("z1"), Array(1000.0), None)
+    enc.finish()
+    q.processAllAvailable()
+    q.stop()
+    val after = Gdx.symbol(spark, dst, "s")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(after.size == 101 && after("z1") == 1000.0,
+      "second epoch's rows must append to the sink dataset")
+    // manifest covers every sink shard (records sum = rows written)
+    val cat = Gdx.catalog(spark, dst).filter(col("name") === "s").collect()
+    assert(cat.head.getLong(3) == 101L)
   }
 }

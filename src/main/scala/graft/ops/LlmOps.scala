@@ -111,16 +111,12 @@ object LlmOps extends QueryModule {
       .distinct()
   }
 
-  /** Shared DuckDB CTEs: per-doc token hashes → shingle hashes → k
-    * minhash minima → banded signatures → candidate pairs. Mirrors
-    * [[shingleHashes]] + [[minhashPairsOf]] exactly.
+  /** DuckDB CTEs for the shingle stage alone: per-doc token hashes →
+    * 3-shingle hashes (`sh(doc_id, h)`). Mirrors [[shingleHashes]]
+    * exactly; shared by the minhash oracle and the per-shingle
+    * analytics oracles (novelty).
     */
-  private def minhashCtesSql: String = {
-    val mins = (0 until 12).map(i =>
-      s"min((${affineA(i)} * h + ${affineB(i)}) % $MinhashP) AS m$i").mkString(", ")
-    val bands = (0 until 4).map(b =>
-      s"SELECT doc_id, $b AS band, concat_ws('_', m${3 * b}, m${3 * b + 1}, m${3 * b + 2}) AS sig FROM mins")
-      .mkString(" UNION ALL ")
+  private def shingleCtesSql: String =
     s"""th AS (
        |  SELECT doc_id, list_transform(str_split(text, ' '), t ->
        |           list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -133,7 +129,19 @@ object LlmOps extends QueryModule {
        |          FOR i IN range(1, len(th) - 1)]
        |    ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), th),
        |            (a, h) -> (a * 1000033 + h) % $MinhashP)] END) AS h
-       |  FROM th),
+       |  FROM th)""".stripMargin
+
+  /** Shared DuckDB CTEs: per-doc token hashes → shingle hashes → k
+    * minhash minima → banded signatures → candidate pairs. Mirrors
+    * [[shingleHashes]] + [[minhashPairsOf]] exactly.
+    */
+  private def minhashCtesSql: String = {
+    val mins = (0 until 12).map(i =>
+      s"min((${affineA(i)} * h + ${affineB(i)}) % $MinhashP) AS m$i").mkString(", ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, concat_ws('_', m${3 * b}, m${3 * b + 1}, m${3 * b + 2}) AS sig FROM mins")
+      .mkString(" UNION ALL ")
+    s"""$shingleCtesSql,
        |     mins AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
        |     bands AS ($bands),
        |     pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
@@ -1045,6 +1053,200 @@ object LlmOps extends QueryModule {
       .join(contaminated, Seq("doc_id"), "left_anti")
       .select("doc_id")
       .orderBy("doc_id") // one row per clean training doc = input-sized
+  }
+
+  /** Weighted domain mixing — build a training mix hitting TARGET
+    * per-source proportions (upweight curated domains, downweight the
+    * crawl), the step after filtering and before packing in every
+    * corpus build. Shape: one tiny two-phase agg (rows = #domains)
+    * computes per-source keep rates from the weight vector and a
+    * global budget; rates then BROADCAST back onto the corpus and
+    * selection is a map-side filter on a content-hash bucket — so
+    * membership is deterministic under re-ingestion and reshuffling,
+    * and the only data-sized work is one scan + one filter. At 100 TB
+    * the rates table is O(#domains) (dozens) — never a shuffle.
+    * `least(1.0, …)` caps oversampled domains at keep-all (no
+    * upsampling-with-replacement here; that's a separate explode op).
+    */
+  q("pipeline_mix_weighted",
+    """WITH w AS (
+      |  SELECT source, count(*) AS n,
+      |         CASE WHEN source IN ('src0', 'src1', 'src2') THEN 3.0
+      |              WHEN source IN ('src3', 'src4') THEN 2.0
+      |              ELSE 1.0 END AS w
+      |  FROM documents GROUP BY source),
+      |     r AS (
+      |  SELECT source,
+      |         least(1.0, w * 0.5 * (SELECT CAST(sum(n) AS DOUBLE) FROM w)
+      |                    / ((SELECT sum(w) FROM w) * n)) AS rate
+      |  FROM w),
+      |     fp AS (
+      |  SELECT doc_id, source,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(str_split(text, ' '), t ->
+      |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(str_split(t, ''), c -> CAST(ord(c) AS BIGINT))),
+      |          (a, b) -> (a * 31 + b) % 1000000007))),
+      |      (acc, h) -> (acc * 1000003 + h) % 1000000007) % 1000 AS bucket
+      |  FROM documents)
+      |SELECT fp.doc_id, fp.source FROM fp JOIN r ON r.source = fp.source
+      |WHERE fp.bucket < r.rate * 1000.0
+      |ORDER BY fp.doc_id""") { (s, d) =>
+    val docs = T(s, d, "documents")
+    val wcol = when(col("source").isin("src0", "src1", "src2"), 3.0)
+      .when(col("source").isin("src3", "src4"), 2.0).otherwise(1.0)
+    val perSource = docs.groupBy("source")
+      .agg(count(lit(1)).as("n")).withColumn("w", wcol)
+    val totals = perSource.agg(
+      sum("n").cast("double").as("n_total"), sum("w").as("w_total"))
+    // rate_s = min(1, budget · w_s/Σw / n_s), budget = 50% of corpus;
+    // FP expression order mirrors the oracle so doubles agree bit-wise
+    val rates = perSource.crossJoin(broadcast(totals))
+      .select(col("source"), least(lit(1.0),
+        col("w") * lit(0.5) * col("n_total") / (col("w_total") * col("n")))
+        .as("rate"))
+    docs
+      .withColumn("bucket", aggregate(
+        graft.functions.text.tokenPolyHash(split(col("text"), " ")), lit(0L),
+        (acc, h) => pmod(acc * lit(1000003L) + h, lit(1000000007L))) % 1000)
+      .join(broadcast(rates), Seq("source"))
+      .filter(col("bucket") < col("rate") * 1000.0)
+      .select("doc_id", "source")
+      .orderBy("doc_id") // kept set is input-sized
+  }
+
+  /** Incremental dedup — dedup an ARRIVING batch against the standing
+    * corpus (doc_id % 5 == 0 stands in for the new batch). This is the
+    * production dedup shape at 100 TB: the corpus hash set is
+    * maintained once (bucketed by hash prefix in practice) and each
+    * ingest is (a) an in-batch hash-groupBy and (b) one anti-join
+    * against it — never a full-corpus re-dedup. Both shuffles key on
+    * the 32-byte sha2, so join width is independent of document size.
+    * The oracle groups on the plaintext, so a hash-semantics bug
+    * cannot pass.
+    */
+  q("dedup_incremental",
+    """WITH c AS (SELECT DISTINCT lower(trim(text)) AS h FROM documents
+      |           WHERE doc_id % 5 <> 0),
+      |     b AS (SELECT lower(trim(text)) AS h, min(doc_id) AS doc_id
+      |           FROM documents WHERE doc_id % 5 = 0 GROUP BY 1)
+      |SELECT doc_id FROM b WHERE h NOT IN (SELECT h FROM c)
+      |ORDER BY doc_id""") { (s, d) =>
+    val docs = T(s, d, "documents")
+      .withColumn("h", sha2(lower(trim(col("text"))), 256))
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0).select("h").distinct()
+    docs.filter(col("doc_id") % 5 === 0)
+      .groupBy("h").agg(min("doc_id").as("doc_id"))  // in-batch dedup
+      .join(corpus, Seq("h"), "left_anti")           // vs standing corpus
+      .select("doc_id")
+      .orderBy("doc_id") // one row per surviving batch doc = input-sized
+  }
+
+  /** Per-document n-gram novelty — fraction of a doc's distinct
+    * 3-shingles whose FIRST corpus occurrence (min doc_id) is this doc.
+    * A standard curation signal: boilerplate-heavy and near-duplicate
+    * docs score near 0, fresh content near 1. Shape: the distinct
+    * (doc, shingle-hash) set → one groupBy per shingle for the first
+    * owner (8-byte keys) → join back → per-doc conditional agg. At
+    * 100 TB the first-owner table is the corpus's distinct-shingle set
+    * — large but flat, the same table an inverted index would shuffle;
+    * nothing is quadratic and no strings move after tokenization.
+    */
+  q("text_ngram_novelty",
+    s"""WITH $shingleCtesSql,
+       |     jsh AS (SELECT DISTINCT doc_id, h FROM sh),
+       |     fst AS (SELECT h, min(doc_id) AS first_doc FROM jsh GROUP BY h)
+       |SELECT j.doc_id, count(*) AS n_shingles,
+       |       round(CAST(sum(CASE WHEN f.first_doc = j.doc_id THEN 1 ELSE 0 END)
+       |             AS DOUBLE) / count(*), 6) AS novelty
+       |FROM jsh j JOIN fst f ON f.h = j.h
+       |GROUP BY j.doc_id ORDER BY j.doc_id""".stripMargin) { (s, d) =>
+    val jsh = shingleHashes(T(s, d, "documents").select("doc_id", "text"))
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .distinct()
+    val first = jsh.groupBy("h").agg(min("doc_id").as("first_doc"))
+    jsh.join(first, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("nv"))
+      .select(col("doc_id"), col("n_shingles"),
+        round(col("nv").cast("double") / col("n_shingles"), 6).as("novelty"))
+      .orderBy("doc_id") // one row per doc = input-sized
+  }
+
+  /** Containment near-dup — asymmetric Jaccard |A∩B| / min(|A|,|B|)
+    * over the SAME LSH candidate pairs as [[dedup_candidates_verified]]:
+    * catches a short doc embedded in a longer one (quote farms, page
+    * wrappers), which symmetric Jaccard under-scores. Documented
+    * limitation, inherent to minhash-LSH: candidate recall tracks
+    * symmetric Jaccard, so high-containment/low-Jaccard pairs need the
+    * shorter doc's shingle count to be within LSH reach — the standard
+    * trade; a dedicated containment index (e.g. a bottom-k sketch per
+    * length class) is the escalation path if that misses too much.
+    */
+  q("dedup_containment",
+    s"""WITH $minhashCtesSql,
+       |     jsh AS (SELECT DISTINCT doc_id, h FROM sh),
+       |     cnt AS (SELECT doc_id, count(*) AS n FROM jsh GROUP BY doc_id),
+       |     inter AS (
+       |  SELECT p.a, p.b, count(*) AS i FROM pairs p
+       |  JOIN jsh x ON x.doc_id = p.a
+       |  JOIN jsh y ON y.doc_id = p.b AND y.h = x.h
+       |  GROUP BY p.a, p.b)
+       |SELECT i.a, i.b,
+       |       round(i.i * 1.0 / least(na.n, nb.n), 6) AS containment
+       |FROM inter i JOIN cnt na ON na.doc_id = i.a JOIN cnt nb ON nb.doc_id = i.b
+       |WHERE i.i * 1.0 / least(na.n, nb.n) >= 0.9
+       |ORDER BY a, b""".stripMargin) { (s, d) =>
+    val docs = T(s, d, "documents").select("doc_id", "text")
+    val cand = minhashPairsOf(docs)
+    val jsh = shingleHashes(docs)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .distinct()
+    val counts = jsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(jsh.select(col("doc_id").as("a"), col("h")), Seq("a"))
+      .join(jsh.select(col("doc_id").as("b"), col("h")), Seq("b", "h"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+    inter
+      .join(counts.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(counts.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .withColumn("containment",
+        round(col("i") * lit(1.0) / least(col("na"), col("nb")), 6))
+      .filter(col("i") * lit(1.0) / least(col("na"), col("nb")) >= 0.9)
+      .select("a", "b", "containment")
+      .orderBy("a", "b") // candidate-pair-sized
+  }
+
+  /** Quality-filter funnel — classify every document by its FIRST
+    * failing filter (length floor/ceiling, stopword-density floor) and
+    * report the kept/dropped counts per reason: the per-stage loss
+    * report every corpus-cleaning run ships with. Pure map-side
+    * classify + one count shuffle on a ~4-value key; output is bounded
+    * by the reason cardinality.
+    */
+  q("pipeline_quality_filter",
+    """SELECT reason, count(*) AS n FROM (
+      |  SELECT CASE
+      |    WHEN n_chars < 200 THEN 'too_short'
+      |    WHEN n_chars > 380 THEN 'too_long'
+      |    WHEN CAST(len(list_filter(str_split(text, ' '),
+      |           t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
+      |         / greatest(len(str_split(text, ' ')), 1) < 0.03 THEN 'low_stopword'
+      |    ELSE 'keep' END AS reason
+      |  FROM documents) t
+      |GROUP BY reason ORDER BY reason""") { (s, d) =>
+    val toks = split(col("text"), " ")
+    val stopRatio =
+      size(filter(toks, t => t.isin("the", "a", "and", "of", "to"))).cast("double") /
+        greatest(size(toks), lit(1))
+    T(s, d, "documents")
+      .select(when(col("n_chars") < 200, "too_short")
+        .when(col("n_chars") > 380, "too_long")
+        .when(stopRatio < 0.03, "low_stopword")
+        .otherwise("keep").as("reason"))
+      .groupBy("reason").agg(count(lit(1)).as("n"))
+      .reportSorted("reason")
   }
 
   // -------------------------------------------------------- multimodal

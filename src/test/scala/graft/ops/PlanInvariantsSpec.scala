@@ -175,4 +175,19 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("lambdafunction"),
       "hot path must not evaluate interpreted lambdas per pair")
   }
+
+  test("pipeline_mix_weighted: rates join is a broadcast, corpus side never shuffles pre-filter") {
+    val p = plan(graft.SparkEntry.queries("pipeline_mix_weighted")(spark, d))
+    assert(p.contains("BroadcastHashJoin"),
+      s"O(#domains) rates table must broadcast onto the corpus scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must not shuffle to meet a dozens-row rates table")
+  }
+
+  test("dedup_incremental: batch-vs-corpus membership is a hash anti-join, not NOT IN") {
+    val p = plan(graft.SparkEntry.queries("dedup_incremental")(spark, d))
+    assert(p.contains("LeftAnti"), s"expected anti-join against the corpus hash set:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "anti-join must stay an equi hash join (a nested-loop NOT IN dies at corpus scale)")
+  }
 }

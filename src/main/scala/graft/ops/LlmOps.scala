@@ -705,6 +705,61 @@ object LlmOps extends QueryModule {
       .orderBy("a", "b") // pair set scales with dup density = input-sized
   }
 
+  /** Per-label centroid cosine — embedding-quality/outlier scoring:
+    * learn each label's mean vector, then score every vector's cosine
+    * against its own label's centroid (low score = mislabeled or
+    * outlier candidate; the standard embedding-space QA pass before
+    * training on labeled pairs). Two-phase by design for scale:
+    * (1) TRAIN — posexplode to (label, pos, x) rows and two-phase
+    * avg: n·dim compact rows but map-side partial aggregation, one
+    * shuffle on (label, pos) keys, output is the O(labels × dim)
+    * centroid table; (2) SCORE — centroids pack back to one array per
+    * label (array_sort(collect_list(struct(pos, c)))), BROADCAST onto
+    * the embeddings scan, and the dot/norm is a map-side in-order
+    * zip_with fold — no per-vector shuffle, and the left-fold order
+    * matches the oracle's list_reduce exactly so the only cross-engine
+    * noise is the centroid avg itself (washed out by round 6).
+    */
+  q("sim_centroid_outlier",
+    """WITH pos AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |                    unnest(range(1, len(embedding)+1)) AS p FROM embeddings),
+      |     cent AS (SELECT label, p, avg(x) AS c FROM pos GROUP BY 1, 2),
+      |     carr AS (SELECT label, list(c ORDER BY p) AS cent FROM cent GROUP BY 1)
+      |SELECT e.vec_id, e.label,
+      |  round(
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(list_zip(e.embedding, ca.cent), z -> CAST(z[1] AS DOUBLE) * z[2])),
+      |      (a, b) -> a + b)
+      |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |        list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |        (a, b) -> a + b))
+      |       * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |           list_transform(ca.cent, c -> c * c)), (a, b) -> a + b))), 6) AS cos_centroid
+      |FROM embeddings e JOIN carr ca ON ca.label = e.label
+      |ORDER BY vec_id""") { (s, d) =>
+    val emb = T(s, d, "embeddings")
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding")))
+      .withColumnRenamed("pos", "p")
+      .withColumn("x", col("col").cast("double"))
+      .groupBy("label", "p").agg(avg("x").as("c"))
+    val packed = cent.groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("p"), col("c")))),
+        s => s.getField("c")).as("cent"))
+    val dot = aggregate(
+      zip_with(col("embedding"), col("cent"), (x, c) => x.cast("double") * c),
+      lit(0.0), (a, b) => a + b)
+    val nx = aggregate(
+      transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+      lit(0.0), (a, b) => a + b)
+    val nc = aggregate(
+      transform(col("cent"), c => c * c), lit(0.0), (a, b) => a + b)
+    emb.join(broadcast(packed), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        round(dot / (sqrt(nx) * sqrt(nc)), 6).as("cos_centroid"))
+      .orderBy("vec_id") // one row per vector = input-sized
+  }
+
   // -------------------------------------------------------- text analysis
 
   q("text_stats",

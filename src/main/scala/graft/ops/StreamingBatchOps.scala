@@ -111,4 +111,47 @@ object StreamingBatchOps extends QueryModule {
       .select("user_id")
       .orderBy("user_id") // one row per qualifying user = input-sized
   }
+
+  // Stream-static enrichment: the arriving event stream joins a slowly
+  // changing dimension (customer) that is BROADCAST per micro-batch —
+  // Structured Streaming's standard enrichment shape, stateless, no
+  // stream-side shuffle. Batch fixpoint below; the streaming execution
+  // (MemoryStream joined to the static frame) is parity-tested in
+  // StreamingSpec.
+  q("stream_static_enrich",
+    """SELECT c.c_mktsegment, e.event_type, count(*) AS n,
+      |       round(CAST(sum(e.value) AS DOUBLE), 4) AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+    T(s, d, "events")
+      .join(broadcast(T(s, d, "customer").select("c_custkey", "c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value").cast("double"), 4).as("sum_value"))
+      .reportSorted("c_mktsegment", "event_type")
+  }
+
+  // Stream-stream interval join: click→purchase attribution within a
+  // 10-minute window per user — the canonical watermarked stream-stream
+  // join (state bounded by the interval). Batch fixpoint: equi-join on
+  // user_id + time-range predicate; the watermarked two-MemoryStream
+  // execution is parity-tested in StreamingSpec.
+  q("stream_stream_join",
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+      |ORDER BY click_id, purchase_id""") { (s, d) =>
+    val e = T(s, d, "events")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("ts").as("pts"), col("event_id").as("purchase_id"))
+    clicks.join(purchases,
+      col("user_id") === col("p_uid") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("interval 10 minutes"))
+      .select("click_id", "purchase_id")
+      .orderBy("click_id", "purchase_id") // attribution pairs = input-sized
+  }
 }

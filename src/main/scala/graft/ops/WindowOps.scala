@@ -196,4 +196,43 @@ object WindowOps extends QueryModule {
         .limit(10)
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
   }
+
+  /** Time-series resample + gap-fill — regularize each user's event
+    * stream onto a fixed day grid (avg within bucket, forward-fill
+    * empty buckets from the last observation), the standard prep
+    * before any longitudinal model. Shape: one bucket agg (map-side
+    * partial), a per-user `sequence()` explode spanning only that
+    * user's own [min, max] bucket range (grid size = active span, not
+    * global span × users), a left join back, and one per-user window
+    * for the fill. Everything partitions by user_id; at 100 TB the
+    * grid explode is generated data (no scan), and no stage ever sees
+    * more than span-per-user rows for one key.
+    */
+  q("ts_resample_ffill",
+    """WITH b AS (SELECT user_id, date_trunc('day', ts) AS h, avg(value) AS av
+      |           FROM events GROUP BY 1, 2),
+      |     span AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM b GROUP BY 1),
+      |     grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS h
+      |              FROM span),
+      |     j AS (SELECT g.user_id, g.h, b.av FROM grid g
+      |           LEFT JOIN b ON b.user_id = g.user_id AND b.h = g.h)
+      |SELECT user_id, CAST(epoch_us(h) AS BIGINT) AS day_us,
+      |       round(last_value(av IGNORE NULLS) OVER (
+      |         PARTITION BY user_id ORDER BY h
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v
+      |FROM j ORDER BY user_id, day_us""") { (s, d) =>
+    val b = T(s, d, "events")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("h"))
+      .agg(avg("value").as("av"))
+    val grid = b.groupBy("user_id")
+      .agg(min("h").as("lo"), max("h").as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("h"))
+    val w = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(b, Seq("user_id", "h"), "left")
+      .select(col("user_id"), unix_micros(col("h")).as("day_us"),
+        round(last(col("av"), ignoreNulls = true).over(w), 6).as("v"))
+      .orderBy("user_id", "day_us") // user×active-day grid = input-sized
+  }
 }

@@ -51,6 +51,39 @@ object StreamOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment: the event stream joins a slowly
+    * changing dimension frame, re-broadcast per micro-batch —
+    * stateless, no stream-side shuffle, no watermark needed on the
+    * static side. The aggregation mirrors the batch fixpoint
+    * (`stream_static_enrich`).
+    */
+  def staticEnrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value").cast("double"), 4).as("sum_value"))
+
+  /** Watermarked stream-stream interval join: click→purchase
+    * attribution within 10 minutes per user. Both sides carry
+    * watermarks and the join predicate bounds the time skew, so each
+    * side's state store holds only the 10-minute horizon — the
+    * canonical bounded-state stream-stream join
+    * (`stream_stream_join` is the batch fixpoint).
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_uid"), col("ts").as("pts"),
+        col("event_id").as("purchase_id"))
+    c.join(p,
+      col("user_id") === col("p_uid") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("interval 10 minutes"))
+      .select("click_id", "purchase_id")
+  }
+
   // ------------------------------------------------------------ funnel
 
   case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)

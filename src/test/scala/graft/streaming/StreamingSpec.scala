@@ -189,6 +189,42 @@ class StreamingSpec extends AnyFunSuite {
       "the arriving shard must be planned exactly once as a new micro-batch")
   }
 
+  test("stream-static join enriches the stream against a broadcast dimension") {
+    val events = Seq(
+      Ev(1, t(0), 10, "click", 1.0), Ev(2, t(1), 10, "view", 2.0),
+      Ev(3, t(2), 11, "click", 4.0), Ev(4, t(3), 12, "click", 8.0))
+    val dim = Seq((10L, "BUILDING"), (11L, "MACHINERY"), (12L, "BUILDING"))
+      .toDF("c_custkey", "c_mktsegment")
+    val ms = MemoryStream[Ev](spark)
+    ms.addData(events: _*)
+    val name = nextName()
+    val q = StreamOps.staticEnrich(ms.toDF(), dim)
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table(name).orderBy("c_mktsegment", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("BUILDING", "click", 2L, 9.0), ("BUILDING", "view", 1L, 2.0),
+      ("MACHINERY", "click", 1L, 4.0)))
+  }
+
+  test("stream-stream interval join attributes purchases to clicks within 10 minutes") {
+    val clicks = MemoryStream[Ev](spark)
+    val purchases = MemoryStream[Ev](spark)
+    val name = nextName()
+    val q = StreamOps.clickPurchaseJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    clicks.addData(Ev(1, t(0), 1, "click", 0), Ev(2, t(5), 2, "click", 0))
+    purchases.addData(
+      Ev(100, t(4), 1, "purchase", 0),  // 4 min after click 1 → joins
+      Ev(101, t(20), 2, "purchase", 0), // 15 min after click 2 → outside window
+      Ev(102, t(6), 3, "purchase", 0))  // no click for user 3
+    q.processAllAvailable(); q.stop()
+    val out = spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 100L)),
+      "only the within-10-min same-user pair may join")
+  }
+
   test("gdx writeStream: continuous gdx→gdx pipe lands shards + manifest, appends per epoch") {
     val base = java.nio.file.Files.createTempDirectory("gdx-pipe").toString
     val src = s"$base/src"

@@ -1170,6 +1170,62 @@ object LlmOps extends QueryModule {
       .orderBy("doc_id") // kept set is input-sized
   }
 
+  /** Domain upsampling — the complement of [[pipeline_mix_weighted]]'s
+    * cap: under-represented domains are REPLICATED toward a weighted
+    * target (w_s × the largest domain's size), the epoch-style
+    * oversampling every mix schedule needs. Integer part = whole-corpus
+    * copies via a generator explode (`sequence(0, copies-1)` — no data
+    * is rewritten, rows multiply at the generator); fractional part =
+    * one extra copy for the deterministic content-hash slice, so the
+    * realized factor converges to f_s without RNG state. Same
+    * domains-sized agg + broadcast shape as the mix op: nothing
+    * data-sized shuffles before the explode.
+    */
+  q("pipeline_upsample",
+    """WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+      |     f AS (
+      |  SELECT source,
+      |         CASE WHEN source IN ('src0', 'src1', 'src2') THEN 2.5
+      |              WHEN source IN ('src3', 'src4') THEN 1.5
+      |              ELSE 1.0 END
+      |           * (SELECT CAST(max(n) AS DOUBLE) FROM cnt) / n AS f
+      |  FROM cnt),
+      |     fp AS (
+      |  SELECT doc_id, source,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(str_split(text, ' '), t ->
+      |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(str_split(t, ''), c -> CAST(ord(c) AS BIGINT))),
+      |          (a, b) -> (a * 31 + b) % 1000000007))),
+      |      (acc, h) -> (acc * 1000003 + h) % 1000000007) % 1000 AS bucket
+      |  FROM documents),
+      |     c AS (
+      |  SELECT fp.doc_id, fp.source,
+      |         CAST(floor(f.f) AS BIGINT)
+      |           + CASE WHEN fp.bucket < (f.f - floor(f.f)) * 1000.0 THEN 1 ELSE 0 END AS copies
+      |  FROM fp JOIN f ON f.source = fp.source)
+      |SELECT doc_id, source, unnest(range(0, copies)) AS copy FROM c
+      |ORDER BY doc_id, copy""") { (s, d) =>
+    val docs = T(s, d, "documents")
+    val wcol = when(col("source").isin("src0", "src1", "src2"), 2.5)
+      .when(col("source").isin("src3", "src4"), 1.5).otherwise(1.0)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val nmax = counts.agg(max("n").cast("double").as("n_max"))
+    // f_s = w_s · n_max / n_s, FP order mirrors the oracle
+    val factors = counts.crossJoin(broadcast(nmax))
+      .select(col("source"), (wcol * col("n_max") / col("n")).as("f"))
+    docs
+      .withColumn("bucket", aggregate(
+        graft.functions.text.tokenPolyHash(split(col("text"), " ")), lit(0L),
+        (acc, h) => pmod(acc * lit(1000003L) + h, lit(1000000007L))) % 1000)
+      .join(broadcast(factors), Seq("source"))
+      .withColumn("copies", floor(col("f")).cast("long") +
+        when(col("bucket") < (col("f") - floor(col("f"))) * 1000.0, 1L).otherwise(0L))
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0L), col("copies") - 1)).as("copy"))
+      .orderBy("doc_id", "copy") // replicated corpus = output-sized
+  }
+
   /** Incremental dedup — dedup an ARRIVING batch against the standing
     * corpus (doc_id % 5 == 0 stands in for the new batch). This is the
     * production dedup shape at 100 TB: the corpus hash set is

@@ -184,6 +184,14 @@ class PlanInvariantsSpec extends AnyFunSuite {
       "the corpus must not shuffle to meet a dozens-row rates table")
   }
 
+  test("sim_centroid_outlier: scoring is a broadcast join, embeddings never explode twice") {
+    val p = plan(graft.SparkEntry.queries("sim_centroid_outlier")(spark, d))
+    assert(p.contains("BroadcastHashJoin"),
+      s"packed centroids (O(labels×dim)) must broadcast onto the scan:\n$p")
+    assert("posexplode".r.findAllIn(p).size == 1,
+      "only the TRAIN pass may explode; scoring must stay a packed map-side fold")
+  }
+
   test("dedup_incremental: batch-vs-corpus membership is a hash anti-join, not NOT IN") {
     val p = plan(graft.SparkEntry.queries("dedup_incremental")(spark, d))
     assert(p.contains("LeftAnti"), s"expected anti-join against the corpus hash set:\n$p")

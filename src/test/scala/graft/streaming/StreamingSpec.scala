@@ -225,6 +225,35 @@ class StreamingSpec extends AnyFunSuite {
       "only the within-10-min same-user pair may join")
   }
 
+  test("streaming windowed aggregate lands in the GDX sink as labeled records") {
+    // the full streaming-analytics loop: event stream → watermarked
+    // tumbling agg → append-mode finalized windows → GDX shards; the
+    // sink then batch-reads back as a 2-dim parameter
+    val base = java.nio.file.Files.createTempDirectory("gdx-agg-sink").toString
+    val ms = MemoryStream[Ev](spark)
+    val agg = StreamOps.tumblingCounts(ms.toDF())
+      .select(col("win_start").cast("string").as("dim_1"),
+        col("event_type").as("dim_2"), col("n").cast("double").as("value"))
+    val q = agg.writeStream.format("gdx")
+      .option("symbol", "wincount")
+      .option("checkpointLocation", s"$base/cp")
+      .outputMode("append")
+      .start(s"$base/out")
+    ms.addData(Ev(1, t(0, 10), 1, "click", 1.0), Ev(2, t(0, 40), 1, "click", 1.0),
+      Ev(3, t(1, 5), 2, "view", 1.0))
+    q.processAllAvailable()
+    // advance the watermark past both windows so append emits them
+    ms.addData(Ev(4, t(20), 1, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = Gdx.symbol(spark, s"$base/out", "wincount").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    def us(minute: Int): String =
+      (Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00").getTime * 1000L).toString
+    assert(out((us(0), "click")) == 2.0, s"window 10:00 click count, got $out")
+    assert(out((us(1), "view")) == 1.0, s"window 10:01 view count, got $out")
+  }
+
   test("gdx writeStream: continuous gdx→gdx pipe lands shards + manifest, appends per epoch") {
     val base = java.nio.file.Files.createTempDirectory("gdx-pipe").toString
     val src = s"$base/src"

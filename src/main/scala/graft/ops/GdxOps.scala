@@ -308,6 +308,29 @@ object GdxOps extends QueryModule {
       .orderBy("dim_1")
   }
 
+  /** Mapping-set aggregation — THE everyday GAMS/gdxpy analysis move
+    * (`sum(n$map(n,r), p(n))`): roll a nation-keyed parameter up to
+    * regions through a many-to-one mapping set. Scale shape: the
+    * mapping is O(labels) — BROADCAST it onto the data-sized parameter
+    * scan (map-side relabel, no shuffle), then one two-phase agg on
+    * the target label. The mapping here is `natreg`'s (n, r) domain
+    * pairs; the oracle re-derives it relationally from nation/region.
+    */
+  q("gdx_map_aggregate",
+    """SELECT r.r_name AS r, CAST(sum(CAST(n.n_nationkey AS DOUBLE)) AS DOUBLE) AS value
+      |FROM nation n JOIN region r
+      |  ON r.r_regionkey = n.n_regionkey % (SELECT count(*) FROM region)
+      |GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val dir = ensureFixtures(s, d)
+    val p = Gdx.symbol(s, s"$dir/file1.gdx", "nat")
+      .select(col("dim_1").as("n"), col("value"))
+    val mapping = Gdx.symbol(s, s"$dir/file1.gdx", "natreg")
+      .select(col("dim_1").as("n"), col("dim_2").as("r"))
+    p.join(broadcast(mapping), Seq("n"))
+      .groupBy("r").agg(sum("value").as("value"))
+      .reportSorted("r")
+  }
+
   // gdxpy reshape: pivot last dim to columns over the 2-dim symbol
   q("gdx_pivot_last_dim",
     """SELECT n_name AS dim_1,

@@ -422,4 +422,28 @@ class GdxSourceSpec extends AnyFunSuite {
       .filter(col("dim_1") === "us" && col("dim_1").isin("eu", "cn"))
     assert(conflicting.count() == 0)
   }
+
+  test("manifest append is idempotent and shard publication leaves no temp files") {
+    val dir = Files.createTempDirectory("gdx-manifest").toString
+    val commits = Seq(
+      graft.sources.GdxShardCommit("shard-a.gdx", 10, Some("aa"), Some("zz")),
+      graft.sources.GdxShardCommit("shard-b.gdx", 5, None, None))
+    graft.sources.GdxManifest.append(dir, "s", commits)
+    // an epoch re-commit replays the same messages — entries must not double
+    graft.sources.GdxManifest.append(dir, "s", commits)
+    graft.sources.GdxManifest.append(dir, "s",
+      Seq(graft.sources.GdxShardCommit("shard-c.gdx", 1, Some("m"), Some("m"))))
+    val mf = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_manifest.json")))
+    assert("shard-a\\.gdx".r.findAllIn(mf).size == 1, mf)
+    assert("shard-b\\.gdx".r.findAllIn(mf).size == 1, mf)
+    assert("shard-c\\.gdx".r.findAllIn(mf).size == 1, mf)
+    // encoder publication is atomic: after finish() only the final file
+    val enc = new GdxStreamEncoder(s"$dir/shard-a.gdx", "s", SymbolType.Parameter, 1)
+    enc.add(Array("x"), Array(1.0), None)
+    enc.finish()
+    val files = new java.io.File(dir).list().toSet
+    assert(files.contains("shard-a.gdx") && !files.exists(_.endsWith(".inprogress")),
+      s"unexpected files: $files")
+  }
 }

@@ -28,6 +28,13 @@ object Sessions {
     * Bench and Verify call this between queries so a ~100-query session
     * never accumulates dead blocks (measured: dedup_cluster_canonical
     * drifted to ~2.6× its isolated time before this cleanup).
+    *
+    * CONTRACT: single-query-at-a-time. This frees EVERY persistent RDD
+    * in the context; a localCheckpointed frame has truncated lineage,
+    * so calling this while another query on the shared session is
+    * mid-flight would drop blocks it cannot recompute. Bench/Verify
+    * run queries sequentially, which is the only pattern this supports
+    * (same assumption inside connectedComponents' per-round frees).
     */
   def releaseCheckpoints(s: SparkSession): Unit =
     s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))

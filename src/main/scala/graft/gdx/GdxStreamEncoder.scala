@@ -34,7 +34,8 @@ import scala.collection.mutable
   */
 final class GdxStreamEncoder(finalPath: String, name: String, typ: Int, dim: Int,
     explText: String = "", userInfo: Int = 0, domains: Seq[String] = Nil,
-    producer: String = "gdxpyspark", compress: Boolean = true) {
+    producer: String = "gdxpyspark", compress: Boolean = true,
+    tempTag: String = "") {
 
   private val uels = mutable.ArrayBuffer.empty[String]
   private val uelIndex = mutable.HashMap.empty[String, Int] // lower-cased key
@@ -140,7 +141,10 @@ final class GdxStreamEncoder(finalPath: String, name: String, typ: Int, dim: Int
     }
   }
 
-  private def inProgress: File = new File(finalPath + ".inprogress")
+  // tempTag makes the in-progress path attempt-unique when several task
+  // attempts race toward the same deterministic finalPath (streaming
+  // epochs): each assembles privately; the atomic rename is last-wins
+  private def inProgress: File = new File(finalPath + ".inprogress" + tempTag)
 
   /** Abandon the stream and remove temp files (task abort path). */
   def dispose(): Unit = {

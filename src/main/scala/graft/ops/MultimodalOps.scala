@@ -143,8 +143,13 @@ object MultimodalOps extends QueryModule {
 
   private def ensureMediaFixture(s: SparkSession, d: String): String =
     mediaLock.synchronized {
+      // key by the FULL canonical path, not the basename: two datasets
+      // named "sf0.1" under different parents must not share a fixture
+      val canon = new java.io.File(d).getCanonicalPath
+      val key = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(canon).toLong & 0xffffffffL)
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-media-" +
-        new java.io.File(d).getName
+        s"${new java.io.File(d).getName}-$key"
       // _SUCCESS marks a complete write; a half-written dir is rewritten
       if (!new java.io.File(dir, "_SUCCESS").isFile)
         synthesizeMedia(s, d).write.mode("overwrite").parquet(dir)

@@ -57,12 +57,40 @@ object GdxTable {
     StructField("expl_text", StringType, nullable = true),
     StructField("domains", StringType, nullable = true)))
 
-  /** Resolve the list of shard files behind a path (file or dir). */
+  /** Resolve the list of shard files behind a path (file or dir) by
+    * DIRECTORY LISTING — arrival semantics, used by the micro-batch
+    * stream (a dropped file IS publication there) and as the fallback
+    * for un-manifested directories.
+    */
   def shardsOf(path: String): Seq[String] = {
     val f = new java.io.File(path)
     if (f.isDirectory)
       f.listFiles((_, n) => n.endsWith(".gdx")).map(_.getPath).sorted.toSeq
     else Seq(path)
+  }
+
+  /** Shard membership for BATCH reads: when `_manifest.json` exists,
+    * only shards the manifest records are read — task-published files
+    * from an uncommitted/aborted streaming epoch stay invisible, which
+    * is what makes the sink exactly-once for batch consumers. A
+    * committed-but-missing file is corruption and fails loudly.
+    * Directories without a manifest (hand-assembled, or a sink before
+    * its first epoch commit) fall back to listing.
+    */
+  def committedShardsOf(path: String): Seq[String] = {
+    val f = new java.io.File(path)
+    if (!f.isDirectory) return Seq(path)
+    GdxManifest.files(path) match {
+      case None => shardsOf(path)
+      case Some(names) =>
+        names.sorted.map { n =>
+          val s = new java.io.File(f, n)
+          require(s.isFile,
+            s"gdx: manifest records shard '$n' but the file is missing at $path " +
+              "(committed data lost or manifest corrupted)")
+          s.getPath
+        }
+    }
   }
 
   /** Per-shard lowercased dim_1 label ranges from _manifest.json, if the
@@ -88,11 +116,31 @@ object GdxTable {
       .getOrElse(throw new IllegalArgumentException("gdx: path required"))
     val symbol = Option(options.get("symbol")).getOrElse("")
     if (symbol == CatalogSymbol) return catalogSchema
-    val shards = shardsOf(path)
-    require(shards.nonEmpty, s"gdx: no .gdx files at $path")
+    val shards = committedShardsOf(path)
+    val flags = options.getOrDefault("specialValues", "map") == "columns"
+    if (shards.isEmpty) {
+      // start-before-producers streaming pattern: no shard exists yet,
+      // so the schema must come from options — `dims` (dimension
+      // count) plus optional symbolType (default parameter)
+      val dims = options.getInt("dims", -1)
+      require(dims >= 0,
+        s"gdx: no .gdx files at $path — to start a stream on an empty " +
+          "directory, declare the schema via .option(\"dims\", n) " +
+          "(+ optional symbolType)")
+      val typ = Option(options.get("symbolType")).map {
+        case "set" => SymbolType.Set
+        case "parameter" => SymbolType.Parameter
+        case "variable" => SymbolType.Variable
+        case "equation" => SymbolType.Equation
+        case other => throw new IllegalArgumentException(s"gdx: bad symbolType $other")
+      }.getOrElse(SymbolType.Parameter)
+      val meta = GdxCodec.SymbolMeta(
+        if (symbol.isEmpty) "data" else symbol, typ, dims, "", 0,
+        Seq.fill(dims)("*"), 0, 0L, 0)
+      return schemaOf(meta, flags, multiShard = true)
+    }
     val h = GdxCodec.readHeader(shards.head)
     val meta = resolveSymbol(h, symbol, shards.head)
-    val flags = options.getOrDefault("specialValues", "map") == "columns"
     schemaOf(meta, flags, multiShard = shards.size > 1)
   }
 

@@ -106,7 +106,9 @@ class GdxScan(fullSchema: StructType, required: StructType, pushed: Seq[DimLabel
     new GdxMicroBatchStream(path, symbol, fullSchema, required, pushed)
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val shards = GdxTable.shardsOf(path)
+    // batch membership honors the manifest (exactly-once vs in-flight
+    // streaming epochs); un-manifested dirs fall back to listing
+    val shards = GdxTable.committedShardsOf(path)
     if (symbol == GdxTable.CatalogSymbol)
       Array(GdxCatalogPartition(shards))
     else prunedByManifest(shards).map(s => GdxInputPartition(s, symbol)).toArray

@@ -12,16 +12,14 @@ import org.apache.spark.sql.types.StructType
   * the write manifest).
   */
 case class GdxShardOffset(files: Seq[String]) extends Offset {
-  private def js(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
   override def json: String =
-    files.sorted.map(f => "\"" + js(f) + "\"").mkString("[", ",", "]")
+    files.sorted.map(f => "\"" + GdxManifest.js(f) + "\"").mkString("[", ",", "]")
 }
 
 object GdxShardOffset {
   private val entry = """"((?:[^"\\]|\\.)*)"""".r
-  private def unjs(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
   def fromJson(j: String): GdxShardOffset =
-    GdxShardOffset(entry.findAllMatchIn(j).map(m => unjs(m.group(1))).toSeq)
+    GdxShardOffset(entry.findAllMatchIn(j).map(m => GdxManifest.unjs(m.group(1))).toSeq)
 }
 
 /** Streaming ingestion of a sharded GDX directory (readStream.format
@@ -31,9 +29,14 @@ object GdxShardOffset {
   * files (own UEL table, own records) into the dataset directory. The
   * existing batch reader factory decodes each shard unchanged, so
   * batch and streaming reads share one decode path (batch parity is
-  * asserted in StreamingSpec). Exactly-once at file granularity:
-  * offsets are processed-name sets, and shards are immutable once
-  * committed (the writer's task files appear atomically via commit).
+  * asserted in StreamingSpec). Exactly-once at file granularity for
+  * shards that stay put: offsets are processed-name sets and shards
+  * are immutable once published (atomic rename). Caveat, inherent to
+  * directory-arrival sources: a shard published by a task of an
+  * upstream streaming epoch that later ABORTS may be listed, consumed,
+  * and then deleted — replay skips the vanished file. Consumers that
+  * need committed-only data should batch-read through the manifest
+  * (GdxTable.committedShardsOf) instead.
   */
 class GdxMicroBatchStream(path: String, symbol: String, fullSchema: StructType,
     required: StructType, pushed: Seq[DimLabelFilter]) extends MicroBatchStream {
@@ -52,9 +55,15 @@ class GdxMicroBatchStream(path: String, symbol: String, fullSchema: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[GdxShardOffset].files.toSet
     val dir = new java.io.File(path)
-    end.asInstanceOf[GdxShardOffset].files.filterNot(seen).sorted.map { n =>
+    end.asInstanceOf[GdxShardOffset].files.filterNot(seen).sorted.flatMap { n =>
       val full = if (dir.isDirectory) new java.io.File(dir, n).getPath else path
-      GdxInputPartition(full, symbol): InputPartition
+      // a shard recorded in an offset can vanish before replay (an
+      // upstream epoch abort deleted its task-published files): skip it
+      // rather than wedge the stream — directory-arrival sources are
+      // at-least-once over such producers by nature
+      if (new java.io.File(full).isFile)
+        Some(GdxInputPartition(full, symbol): InputPartition)
+      else None
     }.toArray
   }
 

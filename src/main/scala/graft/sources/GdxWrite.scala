@@ -87,20 +87,39 @@ class GdxWriteBuilder(info: LogicalWriteInfo, options: CaseInsensitiveStringMap)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(!options.getBoolean("singleFile", false),
         "gdx: singleFile is a batch-only layout; streaming writes are sharded")
+      // complete mode arrives as truncate(): every epoch would re-write
+      // the FULL result as new shards and the dataset would accumulate
+      // N-fold duplicates — reject instead of corrupting
+      require(!doTruncate,
+        "gdx: the streaming sink is append-only — use outputMode(\"append\") " +
+          "(complete mode would re-append every epoch's full result)")
       new GdxStreamingWrite(path, symbol, info.schema(), typ, subtype)
     }
   }
 }
 
 /** Read/append/rewrite of a sharded dataset's `_manifest.json`. Raw
-  * entry JSON is preserved verbatim on append (the format has no nested
-  * braces), and an append skips shard files already present — the
-  * idempotence an epoch re-commit needs.
+  * entry JSON is preserved verbatim on append, and an append skips
+  * shard files already present — the idempotence an epoch re-commit
+  * needs. The entry regex tolerates any label content inside the
+  * quoted lo/hi strings (including braces) — only unescaped quotes
+  * delimit strings.
   */
 object GdxManifest {
-  private val entryRx = """\{"file":"((?:[^"\\]|\\.)*)"[^{}]*\}""".r
-  private def js(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-  private def unjs(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+  // an entry = {"file":"…" followed by bare tokens or quoted strings
+  // (which may contain braces) up to the closing brace
+  private val entryRx =
+    """\{"file":"((?:[^"\\]|\\.)*)"(?:[^{}"]|"(?:[^"\\]|\\.)*")*\}""".r
+  private[sources] def js(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private[sources] def unjs(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  /** Committed shard file names, when `path` is a manifested dataset. */
+  def files(path: String): Option[Seq[String]] = {
+    val mf = new File(path, "_manifest.json")
+    if (!mf.isFile) None
+    else Some(entryRx.findAllMatchIn(new String(Files.readAllBytes(mf.toPath),
+      StandardCharsets.UTF_8)).map(m => unjs(m.group(1))).toSeq)
+  }
 
   def entryJson(c: GdxShardCommit): String = {
     val range = (c.lo, c.hi) match {
@@ -156,8 +175,13 @@ class GdxStreamingWrite(path: String, symbol: String, schema: StructType,
 
 class GdxStreamingWriterFactory(path: String, layout: GdxWriteLayout, subtype: Int)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
-  // epoch-deterministic shard names (no task id): a re-run of the same
-  // epoch rewrites the same files and the manifest append de-dups them
+  // epoch-deterministic FINAL shard names (no task id): a re-run of the
+  // same epoch rewrites the same files and the manifest append de-dups
+  // them. The in-progress temp IS task-attempt-unique (tempTag below):
+  // concurrent attempts (speculation, zombie retries) each assemble
+  // their own temp and the last atomic rename wins — they never
+  // interleave writes into one file, and a losing attempt's abort
+  // removes only its own temp, never the published shard.
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new GdxDataWriter(path, layout, single = false, subtype, partitionId, taskId,
@@ -219,7 +243,8 @@ class GdxBatchWrite(path: String, symbol: String, schema: StructType,
     if (!single) {
       val dir = new File(path)
       if (truncate && dir.isDirectory)
-        dir.listFiles((_, n) => n.endsWith(".gdx") || n == "_manifest.json")
+        dir.listFiles((_, n) => n.endsWith(".gdx") || n == "_manifest.json"
+            || n.contains(".gdx.inprogress"))
           .foreach(_.delete())
       dir.mkdirs()
     }
@@ -277,7 +302,10 @@ class GdxDataWriter(path: String, layout: GdxWriteLayout, single: Boolean,
   private val enc: GdxStreamEncoder =
     if (single) null
     else new GdxStreamEncoder(new File(path, shardName).getPath, layout.symbol,
-      layout.typ, layout.dimCols.length, userInfo = subtype)
+      layout.typ, layout.dimCols.length, userInfo = subtype,
+      // deterministic-named (streaming) shards need an attempt-unique
+      // temp so concurrent attempts never share an in-progress file
+      tempTag = if (nameOverride.isDefined) s"-a$taskId" else "")
 
   override def write(row: InternalRow): Unit = {
     val labels = layout.dimCols.map { i =>
@@ -323,7 +351,11 @@ class GdxDataWriter(path: String, layout: GdxWriteLayout, single: Boolean,
 
   override def abort(): Unit = if (!single) {
     enc.dispose()
-    new File(path, shardName).delete()
+    // batch shard names are attempt-unique (taskId embedded) — this
+    // attempt owns the file. Streaming names are epoch-deterministic,
+    // so the published file may belong to ANOTHER (winning) attempt:
+    // leave it; epoch-level abort / the next epoch re-run handles it.
+    if (nameOverride.isEmpty) new File(path, shardName).delete()
   }
   override def close(): Unit = rows.clear()
 }

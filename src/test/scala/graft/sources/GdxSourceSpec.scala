@@ -443,7 +443,56 @@ class GdxSourceSpec extends AnyFunSuite {
     enc.add(Array("x"), Array(1.0), None)
     enc.finish()
     val files = new java.io.File(dir).list().toSet
-    assert(files.contains("shard-a.gdx") && !files.exists(_.endsWith(".inprogress")),
+    assert(files.contains("shard-a.gdx") && !files.exists(_.contains(".inprogress")),
       s"unexpected files: $files")
+  }
+
+  test("manifest entries with braces in label ranges survive an append cycle") {
+    val dir = Files.createTempDirectory("gdx-manifest-brace").toString
+    graft.sources.GdxManifest.append(dir, "s", Seq(
+      graft.sources.GdxShardCommit("shard-a.gdx", 3, Some("a{b"), Some("z}y"))))
+    graft.sources.GdxManifest.append(dir, "s", Seq(
+      graft.sources.GdxShardCommit("shard-b.gdx", 1, Some("\"q\""), Some("{{"))))
+    val names = graft.sources.GdxManifest.files(dir).get
+    assert(names.sorted == Seq("shard-a.gdx", "shard-b.gdx"),
+      s"brace/quote labels must not break entry parsing: $names")
+    // a third append must preserve both prior entries verbatim
+    graft.sources.GdxManifest.append(dir, "s", Seq(
+      graft.sources.GdxShardCommit("shard-c.gdx", 1, None, None)))
+    assert(graft.sources.GdxManifest.files(dir).get.size == 3)
+  }
+
+  test("concurrent task attempts toward one deterministic shard never interleave") {
+    val dir = Files.createTempDirectory("gdx-attempts").toString
+    val fin = s"$dir/shard-e000001-00000.gdx"
+    val a1 = new GdxStreamEncoder(fin, "s", SymbolType.Parameter, 1, tempTag = "-a1")
+    val a2 = new GdxStreamEncoder(fin, "s", SymbolType.Parameter, 1, tempTag = "-a2")
+    a1.add(Array("x"), Array(1.0), None)
+    a2.add(Array("x"), Array(2.0), None)
+    a2.add(Array("y"), Array(3.0), None)
+    a1.finish() // loser publishes first
+    a2.finish() // winner re-publishes atomically over it
+    val rows = Gdx.symbol(spark, fin, "s").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows == Map("x" -> 2.0, "y" -> 3.0),
+      "last completed attempt must own the shard wholesale")
+    assert(!new java.io.File(dir).list().exists(_.contains(".inprogress")))
+  }
+
+  test("batch reads of a manifested dir ignore task-published but uncommitted shards") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gdx-uncommitted").toString
+    Seq(("a", 1.0), ("b", 2.0)).toDF("dim_1", "value")
+      .write.format("gdx").mode("overwrite").option("symbol", "s").save(dir)
+    assert(Gdx.symbol(spark, dir, "s").count() == 2)
+    // an in-flight epoch's task publishes a shard; the epoch never commits
+    val orphan = new GdxStreamEncoder(s"$dir/shard-e000009-00000.gdx", "s",
+      SymbolType.Parameter, 1, tempTag = "-a7")
+    orphan.add(Array("z"), Array(9.0), None)
+    orphan.finish()
+    assert(Gdx.symbol(spark, dir, "s").count() == 2,
+      "batch membership is the manifest, not the directory listing")
+    assert(Gdx.catalog(spark, dir).filter(col("name") === "s")
+      .head().getLong(3) == 2L)
   }
 }

@@ -225,6 +225,45 @@ class StreamingSpec extends AnyFunSuite {
       "only the within-10-min same-user pair may join")
   }
 
+  test("gdx sink rejects complete output mode instead of duplicating epochs") {
+    val base = java.nio.file.Files.createTempDirectory("gdx-complete").toString
+    val ms = MemoryStream[Ev](spark)
+    ms.addData(Ev(1, t(0), 1, "click", 1.0))
+    val q = ms.toDF().groupBy("event_type").count()
+      .select(col("event_type").as("dim_1"), col("count").cast("double").as("value"))
+      .writeStream.format("gdx")
+      .option("symbol", "s")
+      .option("checkpointLocation", s"$base/cp")
+      .outputMode("complete")
+      .start(s"$base/out")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable(); q.stop()
+    }
+    assert(e.getMessage.contains("append-only") ||
+      Option(e.getCause).exists(_.getMessage.contains("append-only")),
+      s"expected the append-only rejection, got: ${e.getMessage}")
+  }
+
+  test("gdx readStream starts on an empty directory with a declared schema") {
+    val base = java.nio.file.Files.createTempDirectory("gdx-empty-src").toString
+    val src = s"$base/src"; new java.io.File(src).mkdirs()
+    val name = nextName()
+    // consumer starts FIRST (the production deployment order) …
+    val q = spark.readStream.format("gdx")
+      .option("symbol", "s").option("dims", "1").load(src)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table(name).count() == 0)
+    // … then a producer drops the first shard
+    val enc = new GdxStreamEncoder(s"$src/shard-00000-1.gdx", "s",
+      SymbolType.Parameter, 1)
+    enc.add(Array("a"), Array(1.0), None)
+    enc.finish()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table(name).collect().map(r => r.getString(0) -> r.getDouble(1))
+    assert(rows.toSeq == Seq("a" -> 1.0))
+  }
+
   test("streaming windowed aggregate lands in the GDX sink as labeled records") {
     // the full streaming-analytics loop: event stream → watermarked
     // tumbling agg → append-mode finalized windows → GDX shards; the

@@ -466,17 +466,24 @@ object LlmOps extends QueryModule {
         s"[${planeComps(planeId(p)).mkString(", ")}]) > 0 THEN '1' ELSE '0' END"
     }.mkString("concat(", ", ", ")")
 
+  /** Sign-bit bucket of a vector column under the given global plane
+    * ids — the Spark twin of [[bucketSql]], fully map-side. THE single
+    * bucketing rule: every hyperplane consumer (single-table, multi-
+    * table, multimodal features) must route through here so the `> 0`
+    * tie convention stays bit-identical with the oracle SQL everywhere.
+    */
+  private[ops] def signBucketExpr(vec: org.apache.spark.sql.Column, dim: Int,
+      planeIds: Seq[Int]): org.apache.spark.sql.Column =
+    concat_ws("", planeIds.map { id =>
+      val plane = array(planeComps(id, dim).map(lit): _*)
+      when(graft.functions.vec.dot(vec, plane) > 0, lit(1)).otherwise(lit(0))
+    }: _*)
+
   def lshBucketed(s: SparkSession, d: String, nPlanes: Int): DataFrame = {
     // sign(dot(unit, plane)) == sign(dot(raw, plane)) — norms are positive,
     // so bucketing runs on the raw float arrays; no normalization pass.
-    val df = T(s, d, "embeddings").select("vec_id", "embedding", "label")
-    val withBits = (0 until nPlanes).foldLeft(df) { (acc, p) =>
-      val plane = array(planeComps(p).map(lit): _*)
-      acc.withColumn(s"s$p",
-        when(graft.functions.vec.dot(col("embedding"), plane) > 0, 1).otherwise(0))
-    }
-    withBits.withColumn("bucket",
-      concat_ws("", (0 until nPlanes).map(p => col(s"s$p")): _*))
+    T(s, d, "embeddings").select("vec_id", "embedding", "label")
+      .withColumn("bucket", signBucketExpr(col("embedding"), 64, 0 until nPlanes))
       .select("vec_id", "embedding", "label", "bucket")
   }
 
@@ -631,14 +638,6 @@ object LlmOps extends QueryModule {
     */
   private def tablePlane(t: Int)(p: Int): Int = 100 * (t + 1) + p
 
-  /** Sign-bit bucket of `embedding` under the given global plane ids —
-    * the Spark twin of [[bucketSql]], fully map-side.
-    */
-  private def lshBucketExpr(planeIds: Seq[Int]): org.apache.spark.sql.Column =
-    concat_ws("", planeIds.map { id =>
-      val plane = array(planeComps(id).map(lit): _*)
-      when(graft.functions.vec.dot(col("embedding"), plane) > 0, lit(1)).otherwise(lit(0))
-    }: _*)
 
   /** Candidate pairs from OR-ing `nTables` independent hyperplane
     * tables — the standard multi-table LSH amplification: per-pair
@@ -653,7 +652,8 @@ object LlmOps extends QueryModule {
   def multiLshCandidatesOf(emb: DataFrame, nPlanes: Int, nTables: Int): DataFrame = {
     val tb = emb.select(col("vec_id"), explode(array((0 until nTables).map { t =>
       struct(lit(t).as("tbl"),
-        lshBucketExpr((0 until nPlanes).map(tablePlane(t))).as("bucket"))
+        signBucketExpr(col("embedding"), 64,
+          (0 until nPlanes).map(tablePlane(t))).as("bucket"))
     }: _*)).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val l = tb.select(col("tbl"), col("bucket"), col("vec_id").as("a"))

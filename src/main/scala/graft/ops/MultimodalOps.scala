@@ -317,10 +317,7 @@ object MultimodalOps extends QueryModule {
   private val FeatDim = 16
 
   private def featBucketExpr: org.apache.spark.sql.Column =
-    concat_ws("", (0 until MmAnnPlanes).map { p =>
-      val plane = array(LlmOps.planeComps(mmPlane(p), FeatDim).map(lit): _*)
-      when(graft.functions.vec.dot(col("features"), plane) > 0, lit(1)).otherwise(lit(0))
-    }: _*)
+    LlmOps.signBucketExpr(col("features"), FeatDim, (0 until MmAnnPlanes).map(mmPlane))
 
   private def mmAnnOracleSql: String = {
     val bucket = (0 until MmAnnPlanes).map { p =>

@@ -167,7 +167,7 @@ class GdxStreamingWrite(path: String, symbol: String, schema: StructType,
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     GdxManifest.append(path, layout.symbol,
-      messages.collect { case c: GdxShardCommit => c }.toSeq)
+      messages.collect { case c: GdxShardCommit if c.records > 0 => c }.toSeq)
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case GdxShardCommit(f, _, _, _) => new File(path, f).delete() }
@@ -343,7 +343,14 @@ class GdxDataWriter(path: String, layout: GdxWriteLayout, single: Boolean,
 
   override def commit(): WriterCommitMessage =
     if (single) GdxRowsCommit(rows.toArray)
-    else {
+    else if (nameOverride.isDefined && enc.records == 0) {
+      // streaming epochs routinely have empty partitions; publishing a
+      // 0-record shard per (epoch × partition) would grow the dataset
+      // and manifest without bound on a continuous sink — emit nothing
+      // (GdxStreamingWrite.commit drops 0-record messages too)
+      enc.dispose()
+      GdxShardCommit(shardName, 0, None, None)
+    } else {
       enc.finish()
       val (lo, hi) = enc.labelRange
       GdxShardCommit(shardName, enc.records, lo, hi)

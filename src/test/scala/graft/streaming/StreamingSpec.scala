@@ -325,8 +325,34 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(after.size == 101 && after("z1") == 1000.0,
       "second epoch's rows must append to the sink dataset")
-    // manifest covers every sink shard (records sum = rows written)
+    // manifest covers every sink shard (records sum = rows written) and
+    // carries no 0-record entries (empty epoch partitions emit nothing)
     val cat = Gdx.catalog(spark, dst).filter(col("name") === "s").collect()
     assert(cat.head.getLong(3) == 101L)
+    val mf = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dst, "_manifest.json")))
+    assert(!mf.contains("\"records\":0"), s"empty shards must not publish: $mf")
+
+    // restart from the SAME checkpoint: the recovered query must not
+    // duplicate already-committed epochs, and a third arrival flows on
+    val q2 = spark.readStream.format("gdx").option("symbol", "s").load(src)
+      .writeStream.format("gdx")
+      .option("symbol", "s")
+      .option("checkpointLocation", s"$base/cp")
+      .outputMode("append")
+      .start(dst)
+    q2.processAllAvailable()
+    val enc2 = new GdxStreamEncoder(s"$src/shard-99999-10.gdx", "s",
+      SymbolType.Parameter, 1)
+    enc2.add(Array("z2"), Array(2000.0), None)
+    enc2.finish()
+    q2.processAllAvailable()
+    q2.stop()
+    val recovered = Gdx.symbol(spark, dst, "s")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(recovered.size == 102 && recovered("z2") == 2000.0,
+      s"restart must resume exactly-once: ${recovered.size} rows")
+    assert(Gdx.catalog(spark, dst).filter(col("name") === "s")
+      .head().getLong(3) == 102L, "no duplicated epochs after recovery")
   }
 }

@@ -1253,6 +1253,35 @@ object LlmOps extends QueryModule {
       .orderBy("doc_id") // one row per surviving batch doc = input-sized
   }
 
+  /** Record linkage / entity resolution — near-duplicate RECORDS (not
+    * documents): candidate pairs via BLOCKING on (nation, name-prefix),
+    * then exact edit distance inside each block. The classic two-stage
+    * ER shape: the block join is an equi-join on a compact key whose
+    * candidate volume ∝ block density (never |R|²), and the O(len²)
+    * Levenshtein runs only on candidates — the same
+    * generate-cheap/verify-exact discipline as the LSH text paths.
+    * Both engines' levenshtein agree (unit-cost edit distance).
+    */
+  q("dedup_record_linkage",
+    """SELECT a.c_custkey AS a, b.c_custkey AS b,
+      |       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+      |FROM customer a JOIN customer b
+      |  ON a.c_nationkey = b.c_nationkey
+      | AND substring(a.c_name, 1, 15) = substring(b.c_name, 1, 15)
+      | AND a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY a, b""") { (s, d) =>
+    val c = T(s, d, "customer").select("c_custkey", "c_name", "c_nationkey")
+      .withColumn("blk", concat(col("c_nationkey"), lit("_"),
+        substring(col("c_name"), 1, 15)))
+    val l = c.select(col("blk"), col("c_custkey").as("a"), col("c_name").as("na"))
+    val r = c.select(col("blk"), col("c_custkey").as("b"), col("c_name").as("nb"))
+    l.join(r, Seq("blk"))
+      .filter(col("a") < col("b") && levenshtein(col("na"), col("nb")) <= 1)
+      .select(col("a"), col("b"), levenshtein(col("na"), col("nb")).as("dist"))
+      .orderBy("a", "b") // matched-pair set = input-sized
+  }
+
   /** Per-document n-gram novelty — fraction of a doc's distinct
     * 3-shingles whose FIRST corpus occurrence (min doc_id) is this doc.
     * A standard curation signal: boilerplate-heavy and near-duplicate

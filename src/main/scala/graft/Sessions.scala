@@ -8,6 +8,9 @@ import org.apache.spark.sql.SparkSession
   * registered SQL surface is identical everywhere.
   */
 object Sessions {
+  /** Library entry point: all local cores, 32 shuffle partitions. */
+  def build(): SparkSession = build("local[*]", "32")
+
   def build(master: String, shufflePartitions: String): SparkSession = {
     val s = SparkSession.builder()
       .master(master)

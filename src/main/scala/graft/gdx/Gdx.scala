@@ -109,6 +109,85 @@ object Gdx {
       df.filter(col("value") =!= default || col("is_eps"))
     else df.filter(col("value") =!= default)
 
+  /** GAMS `gdxdiff` tool parity (SPEC: gdxdiff utility — compares two
+    * GDX files and reports inserted/deleted/changed records): one row
+    * per differing record across every symbol matched by `patterns`.
+    *
+    * Output: `(symbol, key, status, value_a, value_b)` where `key` is
+    * the dot-joined label tuple (GAMS `i.j.k` convention) and status is
+    * `del` (record only in A), `ins` (only in B), `chg` (both present,
+    * values differ beyond `tol`), or `dim` (symbol present in both
+    * files with different dimensionality — one summary row). Equal
+    * records are omitted, like the tool. Labels match case-insensitively
+    * (UEL semantics); the displayed key keeps A's casing when present.
+    *
+    * Scale: driver work is O(catalog) — symbol names and dims only.
+    * Each symbol compares via a distributed full-outer equi-join on the
+    * lowercased key string; values use null-safe equality, so NA/UNDEF
+    * (NaN) on both sides compares equal rather than always-changed. No
+    * record data ever passes through the driver, so two 100 TB GDX
+    * datasets diff as a sequence of ordinary shuffle joins.
+    */
+  def diff(spark: SparkSession, pathA: String, pathB: String,
+      patterns: String = "*", field: String = "level",
+      tol: Double = 0.0): DataFrame = {
+    val pats = patterns.split("[ ,]+").filter(_.nonEmpty).map(globToRegex)
+    def names(p: String): Map[String, Int] =
+      catalog(spark, p).filter(col("type") =!= "alias")
+        .select("name", "dim").collect()
+        .map(r => r.getString(0).toLowerCase -> r.getInt(1)).toMap
+    val (inA, inB) = (names(pathA), names(pathB))
+    val all = (inA.keySet ++ inB.keySet).toSeq.sorted
+      .filter(n => pats.exists(_.matches(n)))
+
+    def keyed(path: String, name: String): DataFrame = {
+      val df = symbol(spark, path, name)
+      val src =
+        if (df.columns.contains(field)) field
+        else if (field == "level" && df.columns.contains("value")) "value"
+        else throw new IllegalArgumentException(
+          s"gdx diff: symbol $name has no field '$field'")
+      val dims = df.columns.filter(_.startsWith("dim_")).sorted.toIndexedSeq
+      val key = if (dims.isEmpty) lit("") else concat_ws(".", dims.map(col): _*)
+      df.select(key.as("key"), col(src).as("value"))
+    }
+    def oneSide(name: String, path: String, status: String): DataFrame =
+      keyed(path, name).select(
+        lit(name).as("symbol"), col("key"), lit(status).as("status"),
+        (if (status == "del") col("value") else lit(null).cast("double")).as("value_a"),
+        (if (status == "ins") col("value") else lit(null).cast("double")).as("value_b"))
+
+    val perSymbol = all.map { n =>
+      (inA.get(n), inB.get(n)) match {
+        case (Some(_), None) => oneSide(n, pathA, "del")
+        case (None, Some(_)) => oneSide(n, pathB, "ins")
+        case (Some(da), Some(db)) if da != db =>
+          spark.range(1).select(lit(n).as("symbol"),
+            lit(s"dim $da<>$db").as("key"), lit("dim").as("status"),
+            lit(null).cast("double").as("value_a"),
+            lit(null).cast("double").as("value_b"))
+        case _ =>
+          val a = keyed(pathA, n).withColumn("k", lower(col("key")))
+          val b = keyed(pathB, n).withColumn("k", lower(col("key")))
+          a.withColumnRenamed("key", "key_a").withColumnRenamed("value", "value_a")
+            .join(b.withColumnRenamed("key", "key_b").withColumnRenamed("value", "value_b"),
+              Seq("k"), "full_outer")
+            .withColumn("status",
+              when(col("key_b").isNull, "del")
+                .when(col("key_a").isNull, "ins")
+                .when(!(col("value_a") <=> col("value_b")) &&
+                  !(abs(col("value_a") - col("value_b")) <= tol), "chg"))
+            .filter(col("status").isNotNull)
+            .select(lit(n).as("symbol"),
+              coalesce(col("key_a"), col("key_b")).as("key"), col("status"),
+              when(col("status") =!= "ins", col("value_a")).as("value_a"),
+              when(col("status") =!= "del", col("value_b")).as("value_b"))
+      }
+    }
+    perSymbol.reduceOption(_ unionByName _)
+      .getOrElse(spark.emptyDataFrame)
+  }
+
   /** Per-vartype default bound fill (SURVEY §2.H fn_special_values). */
   def defaultFill(df: DataFrame, varType: Int): DataFrame = {
     val (lo, up) = VarType.defaultBounds(varType)

@@ -331,6 +331,63 @@ object GdxOps extends QueryModule {
       .reportSorted("r")
   }
 
+  /** Fixture pair for gdx_diff: file A holds every nation plus a
+    * regions-only symbol; file B drops nationkey%7 names, shifts
+    * nationkey%3 values by +0.5 and adds one new label — so the diff
+    * exercises del / chg / ins and a whole-symbol deletion at once.
+    */
+  private def ensureDiffFixtures(s: SparkSession, sfDir: String): String =
+    lock.synchronized {
+      val dir = fixtureDir(sfDir)
+      new File(dir).mkdirs()
+      if (!new File(s"$dir/diffA.gdx").exists()) {
+        val nation = T(s, sfDir, "nation")
+          .select(col("n_name"), col("n_nationkey").cast("double"))
+          .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+        val region = T(s, sfDir, "region")
+          .select(col("r_name"), col("r_regionkey").cast("double"))
+          .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+        val a = new GdxBuilder()
+        a.addSymbol("p", SymbolType.Parameter, 1,
+          nation.map { case (n, k) => (Seq(n), Array(k), None) })
+        a.addSymbol("onlya", SymbolType.Parameter, 1,
+          region.map { case (r, k) => (Seq(r), Array(k), None) })
+        GdxCodec.write(a.result(), s"$dir/diffA.gdx")
+        val b = new GdxBuilder()
+        b.addSymbol("p", SymbolType.Parameter, 1,
+          (nation.filter(_._2.toInt % 7 != 0).map { case (n, k) =>
+            (Seq(n), Array(if (k.toInt % 3 == 0) k + 0.5 else k), None)
+          } :+ ((Seq("zz_extra"), Array(99.0), None))).sortBy(_._1.head))
+        GdxCodec.write(b.result(), s"$dir/diffB.gdx")
+      }
+      dir
+    }
+
+  /** gdxdiff tool parity (SPEC: GAMS gdxdiff — the standard way GAMS
+    * users compare two model-run outputs): full del/ins/chg report
+    * across symbols, distributed per-symbol full-outer joins. Output is
+    * bounded by the differing-record count (here O(nation)+O(region)) →
+    * reportSorted is legitimate.
+    */
+  q("gdx_diff",
+    """SELECT * FROM (
+      |  SELECT 'onlya' AS symbol, r_name AS key, 'del' AS status,
+      |         CAST(r_regionkey AS DOUBLE) AS value_a, CAST(NULL AS DOUBLE) AS value_b
+      |  FROM region
+      |  UNION ALL
+      |  SELECT 'p', n_name, 'del', CAST(n_nationkey AS DOUBLE), NULL
+      |  FROM nation WHERE n_nationkey % 7 = 0
+      |  UNION ALL
+      |  SELECT 'p', n_name, 'chg', CAST(n_nationkey AS DOUBLE), n_nationkey + 0.5
+      |  FROM nation WHERE n_nationkey % 7 <> 0 AND n_nationkey % 3 = 0
+      |  UNION ALL
+      |  SELECT 'p', 'zz_extra', 'ins', NULL, CAST(99.0 AS DOUBLE)) t
+      |ORDER BY symbol, key, status""") { (s, d) =>
+    val dir = ensureDiffFixtures(s, d)
+    Gdx.diff(s, s"$dir/diffA.gdx", s"$dir/diffB.gdx")
+      .reportSorted("symbol", "key", "status")
+  }
+
   // gdxpy reshape: pivot last dim to columns over the 2-dim symbol
   q("gdx_pivot_last_dim",
     """SELECT n_name AS dim_1,

@@ -847,6 +847,93 @@ object LlmOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Repetition quality signals (SPEC: Gopher/MassiveText repetition
+    * filters — Rae et al. 2021 §A1.1: documents dominated by a single
+    * token or by duplicated n-grams are boilerplate/spam): per doc,
+    * the fraction of tokens taken by the most frequent word and the
+    * fraction of word-bigrams that are repeats. top_word_frac computes
+    * via explode → two-phase (doc, word) count — map-side combine keeps
+    * the shuffle proportional to DISTINCT words per doc, not tokens;
+    * dup_bigram_frac is pure per-row HOF work (zip_with shifted slices
+    * + array_distinct), zero shuffle. At 100 TB both signals stay one
+    * pass over the corpus.
+    */
+  q("text_quality_repetition",
+    """SELECT w.doc_id,
+      |       round(CAST(max(w.c) AS DOUBLE) / sum(w.c), 6) AS top_word_frac,
+      |       round(any_value(CASE WHEN len(w.bg) = 0 THEN 0.0
+      |         ELSE 1.0 - CAST(len(list_distinct(w.bg)) AS DOUBLE) / len(w.bg) END), 6)
+      |         AS dup_bigram_frac
+      |FROM (
+      |  SELECT doc_id, u.tok AS word, count(*) AS c,
+      |         any_value(list_transform(generate_series(1, len(t) - 1),
+      |                   i -> t[i] || ' ' || t[i+1])) AS bg
+      |  FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents) d1,
+      |       unnest(t) AS u(tok)
+      |  GROUP BY doc_id, u.tok) w
+      |GROUP BY w.doc_id ORDER BY w.doc_id""") { (s, d) =>
+    val tok = split(col("text"), " ")
+    val n1 = greatest(size(tok) - 1, lit(0))
+    val bigrams = zip_with(
+      slice(tok, lit(1), n1), slice(tok, lit(2), n1),
+      (x, y) => concat(x, lit(" "), y))
+    val perDoc = T(s, d, "documents").select(
+      col("doc_id"),
+      explode(tok).as("word"),
+      // carried through the agg untouched: one value per doc
+      when(size(bigrams) === 0, 0.0)
+        .otherwise(lit(1.0) -
+          size(array_distinct(bigrams)).cast("double") / size(bigrams))
+        .as("dupf"))
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("c"), first("dupf").as("dupf"))
+    perDoc.groupBy("doc_id")
+      .agg(round(max("c").cast("double") / sum("c"), 6).as("top_word_frac"),
+        round(first("dupf"), 6).as("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction (SPEC: standard corpus-curation scrub — C4/RefinedWeb
+    * drop or mask emails and phone numbers before training): mask every
+    * email/phone match and count what was masked. The synthetic corpus
+    * carries no PII, so the query first injects a deterministic contact
+    * string derived from doc_id — the redaction then provably fires on
+    * every row and the oracle reproduces it exactly. Pure per-row regex
+    * work: zero shuffle, stays inside whole-stage codegen, one pass at
+    * any scale. Patterns avoid Java/RE2 divergence (no backrefs, no
+    * lookaround).
+    */
+  q("text_redact_pii",
+    """SELECT doc_id, redacted, n_emails, n_phones FROM (
+      |  SELECT doc_id,
+      |         regexp_replace(regexp_replace(pii,
+      |           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+      |           '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+      |         len(regexp_extract_all(pii,
+      |           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+      |         len(regexp_extract_all(pii, '\+1-555-[0-9]{4}')) AS n_phones
+      |  FROM (SELECT doc_id,
+      |          text || ' contact user' || doc_id || '@mail.example.org or +1-555-'
+      |               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii
+      |        FROM documents) t1) t2
+      |ORDER BY doc_id""") { (s, d) =>
+    val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    T(s, d, "documents")
+      .select(col("doc_id"), concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.org or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("pii"))
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(col("pii"), lit(emailRe), lit("<EMAIL>")),
+          lit(phoneRe), lit("<PHONE>")).as("redacted"),
+        // functions-API lit() keeps the regex out of the SQL-literal
+        // unescaping layer (expr("'\+...'") would strip the backslash)
+        regexp_count(col("pii"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("pii"), lit(phoneRe)).cast("long").as("n_phones"))
+      .orderBy("doc_id") // one row per document = input-sized → distributed sort
+  }
+
   /** Language-ID by stopword-hit heuristic: per-language marker token
     * lists; winner = most hits (ties → lexicographic lang). Deterministic
     * and engine-independent, but the marker lists are code not SQL →

@@ -1,0 +1,119 @@
+package graft.gdx
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gdx.diff — gdxdiff-tool semantics (SPEC: GAMS gdxdiff utility):
+  * del/ins/chg classification, tolerance, case-insensitive UEL
+  * matching, NA-vs-NA equality, whole-symbol presence, and the
+  * dim-mismatch summary row.
+  */
+class GdxDiffSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.Sessions.build("local[4]", "4")
+
+  private def write(path: String)(build: GdxBuilder => Unit): String = {
+    val b = new GdxBuilder()
+    build(b)
+    GdxCodec.write(b.result(), path)
+    path
+  }
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory("gdxdiff").resolve(name).toString
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(String, String, String, Option[Double], Option[Double])] =
+    df.collect().map { r =>
+      (r.getString(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+    }.toSet
+
+  test("del / ins / chg classification; equal records omitted") {
+    val a = write(tmp("a.gdx")) { b =>
+      b.addSymbol("p", SymbolType.Parameter, 1, Seq(
+        (Seq("alpha"), Array(1.0), None),
+        (Seq("beta"), Array(2.0), None),
+        (Seq("gamma"), Array(3.0), None)))
+    }
+    val bf = write(tmp("b.gdx")) { b =>
+      b.addSymbol("p", SymbolType.Parameter, 1, Seq(
+        (Seq("beta"), Array(2.0), None),   // unchanged → omitted
+        (Seq("delta"), Array(9.0), None),  // ins
+        (Seq("gamma"), Array(4.0), None))) // chg
+    }
+    assert(rows(Gdx.diff(spark, a, bf)) === Set(
+      ("p", "alpha", "del", Some(1.0), None),
+      ("p", "delta", "ins", None, Some(9.0)),
+      ("p", "gamma", "chg", Some(3.0), Some(4.0))))
+  }
+
+  test("tolerance suppresses sub-tol changes; labels match case-insensitively") {
+    val a = write(tmp("a.gdx")) { b =>
+      b.addSymbol("p", SymbolType.Parameter, 1, Seq(
+        (Seq("US"), Array(1.0), None),
+        (Seq("eu"), Array(5.0), None)))
+    }
+    val bf = write(tmp("b.gdx")) { b =>
+      b.addSymbol("p", SymbolType.Parameter, 1, Seq(
+        (Seq("EU"), Array(5.4), None),  // same UEL as 'eu', diff 0.4
+        (Seq("us"), Array(1.0), None))) // same UEL as 'US', equal
+    }
+    assert(rows(Gdx.diff(spark, a, bf, tol = 0.5)) === Set.empty)
+    assert(rows(Gdx.diff(spark, a, bf, tol = 0.1)) ===
+      Set(("p", "eu", "chg", Some(5.0), Some(5.4))))
+  }
+
+  test("NA on both sides compares equal; NA vs number is a change") {
+    val a = write(tmp("a.gdx")) { b =>
+      b.addSymbol("p", SymbolType.Parameter, 1, Seq(
+        (Seq("x"), Array(SpecialValues.NA), None),
+        (Seq("y"), Array(SpecialValues.NA), None)))
+    }
+    val bf = write(tmp("b.gdx")) { b =>
+      b.addSymbol("p", SymbolType.Parameter, 1, Seq(
+        (Seq("x"), Array(SpecialValues.NA), None),
+        (Seq("y"), Array(2.0), None)))
+    }
+    val got = rows(Gdx.diff(spark, a, bf))
+    assert(got.map(r => (r._1, r._2, r._3)) === Set(("p", "y", "chg")))
+  }
+
+  test("whole-symbol presence and dim mismatch") {
+    val a = write(tmp("a.gdx")) { b =>
+      b.addSymbol("onlya", SymbolType.Parameter, 1, Seq(
+        (Seq("k"), Array(1.0), None)))
+      b.addSymbol("shape", SymbolType.Parameter, 1, Seq(
+        (Seq("k"), Array(1.0), None)))
+    }
+    val bf = write(tmp("b.gdx")) { b =>
+      b.addSymbol("onlyb", SymbolType.Parameter, 1, Seq(
+        (Seq("m"), Array(2.0), None)))
+      b.addSymbol("shape", SymbolType.Parameter, 2, Seq(
+        (Seq("k", "k"), Array(1.0), None)))
+    }
+    assert(rows(Gdx.diff(spark, a, bf)) === Set(
+      ("onlya", "k", "del", Some(1.0), None),
+      ("onlyb", "m", "ins", None, Some(2.0)),
+      ("shape", "dim 1<>2", "dim", None, None)))
+  }
+
+  test("multi-dim keys dot-join GAMS-style; pattern restricts symbols") {
+    val a = write(tmp("a.gdx")) { b =>
+      b.addSymbol("q2", SymbolType.Parameter, 2, Seq(
+        (Seq("i1", "j1"), Array(1.0), None)))
+      b.addSymbol("skipme", SymbolType.Parameter, 1, Seq(
+        (Seq("z"), Array(7.0), None)))
+    }
+    val bf = write(tmp("b.gdx")) { b =>
+      b.addSymbol("q2", SymbolType.Parameter, 2, Seq(
+        (Seq("i1", "j2"), Array(1.0), None)))
+      b.addSymbol("skipme", SymbolType.Parameter, 1, Seq.empty)
+    }
+    assert(rows(Gdx.diff(spark, a, bf, patterns = "q*")) === Set(
+      ("q2", "i1.j1", "del", Some(1.0), None),
+      ("q2", "i1.j2", "ins", None, Some(1.0))))
+  }
+}

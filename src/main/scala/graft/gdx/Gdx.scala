@@ -188,6 +188,61 @@ object Gdx {
       .getOrElse(spark.emptyDataFrame)
   }
 
+  /** GAMS `gdxmerge` tool parity (SPEC: gdxmerge utility — combines
+    * multiple GDX files into one dataset, prefixing every symbol with a
+    * new first dimension that identifies the source file): for each
+    * symbol matched by `patterns`, union its records across all files
+    * where it appears, prepend the file tag as `dim_1` (remaining dims
+    * shift up), and write the merged symbol through the sharded DSv2
+    * writer under `outDir/<symbol>`. Returns the merged symbol names.
+    *
+    * Scale: each merged symbol is one distributed union → sharded
+    * write; driver work is O(catalog) per input. Unlike the real tool's
+    * single output file, the sharded layout keeps the merge of N large
+    * files executor-parallel end-to-end (SCALE.md §3). Variable/equation
+    * subtypes (vartype bounds class) are not in the catalog and thus
+    * not propagated — bounds fields themselves merge losslessly.
+    */
+  def merge(spark: SparkSession, paths: Seq[String], outDir: String,
+      patterns: String = "*", tags: Seq[String] = null): Seq[String] = {
+    require(paths.nonEmpty, "gdx merge: no input files")
+    val fileTags = Option(tags).getOrElse(paths.indices.map(i => s"f${i + 1}"))
+    require(fileTags.length == paths.length, "gdx merge: one tag per file")
+    require(fileTags.distinct.length == fileTags.length, "gdx merge: tags must be unique")
+    val pats = patterns.split("[ ,]+").filter(_.nonEmpty).map(globToRegex)
+    val cats = paths.map { p =>
+      catalog(spark, p).filter(col("type") =!= "alias")
+        .select("name", "dim", "type").collect()
+        .map(r => r.getString(0).toLowerCase -> ((r.getInt(1), r.getString(2)))).toMap
+    }
+    val names = cats.flatMap(_.keys).distinct.sorted
+      .filter(n => pats.exists(_.matches(n)))
+    names.map { n =>
+      val present = paths.lazyZip(fileTags).lazyZip(cats).toSeq
+        .collect { case (p, t, c) if c.contains(n) => (p, t, c(n)) }
+      val shapes = present.map(_._3).distinct
+      require(shapes.length == 1,
+        s"gdx merge: symbol $n has mixed dim/type across files: ${shapes.mkString(", ")}")
+      val (_, typ) = shapes.head
+      val merged = present.map { case (p, t, _) =>
+        val df = symbol(spark, p, n)
+        val dimCols = df.columns.filter(_.startsWith("dim_")).sorted.toIndexedSeq
+        // sets scan with a constant `value` column; the writer must see
+        // only text for a set, so keep value for parameters/var/equ only
+        val valCols = df.columns.toIndexedSeq
+          .filterNot(_.startsWith("dim_"))
+          .filterNot(c => typ == "set" && c == "value")
+        df.select((lit(t).as("dim_1") +:
+          dimCols.zipWithIndex.map { case (c, i) => col(c).as(s"dim_${i + 2}") }) ++
+          valCols.map(col): _*)
+      }.reduce(_ unionByName _)
+      merged.write.format("gdx").mode("overwrite")
+        .option("symbol", n).option("symbolType", typ)
+        .save(s"$outDir/$n")
+      n
+    }
+  }
+
   /** Per-vartype default bound fill (SURVEY §2.H fn_special_values). */
   def defaultFill(df: DataFrame, varType: Int): DataFrame = {
     val (lo, up) = VarType.defaultBounds(varType)

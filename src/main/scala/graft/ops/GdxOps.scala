@@ -388,6 +388,29 @@ object GdxOps extends QueryModule {
       .reportSorted("symbol", "key", "status")
   }
 
+  /** gdxmerge tool parity (SPEC: GAMS gdxmerge — combine runs into one
+    * dataset keyed by a new file dimension): merges the two fixture
+    * files' `nat` (nation-keyed in file1, region-keyed in file2), then
+    * reads the merged symbol back through the connector — so the oracle
+    * checks the whole merge → sharded-write → scan round trip. The
+    * merge write IS the operator, so it runs inside the query
+    * (mode=overwrite keeps repeats idempotent).
+    */
+  q("gdx_merge",
+    """SELECT * FROM (
+      |  SELECT 'f1' AS dim_1, n_name AS dim_2, CAST(n_nationkey AS DOUBLE) AS value
+      |  FROM nation
+      |  UNION ALL
+      |  SELECT 'f2', r_name, CAST(r_regionkey AS DOUBLE) FROM region) t
+      |ORDER BY dim_1, dim_2""") { (s, d) =>
+    val dir = ensureFixtures(s, d)
+    Gdx.merge(s, Seq(s"$dir/file1.gdx", s"$dir/file2.gdx"),
+      s"$dir/merged", patterns = "nat")
+    Gdx.symbol(s, s"$dir/merged/nat", "nat")
+      .select("dim_1", "dim_2", "value")
+      .reportSorted("dim_1", "dim_2")
+  }
+
   // gdxpy reshape: pivot last dim to columns over the 2-dim symbol
   q("gdx_pivot_last_dim",
     """SELECT n_name AS dim_1,

@@ -593,6 +593,73 @@ object LlmOps extends QueryModule {
       .reportSorted("qid", "rn")
   }
 
+  /** Lloyd's k-means refinement of the IVF coarse quantizer — the
+    * training loop the [[sim_ann_ivf]] scaladoc points at. Each
+    * iteration: map-side argmax assignment against centroid LITERALS
+    * (no per-row join), then ONE shuffle on (cell, pos) for the
+    * two-phase per-coordinate mean — k·dim compact rows back to the
+    * driver, the same O(K·dim) driver state the static IVF already
+    * holds. Empty cells keep their previous centroid. Double-precision
+    * mean order is partition-dependent, so trained centroids are
+    * deterministic only to the ulp — the consumer query is therefore
+    * rows-only checked, with the accuracy contract (SSE monotone,
+    * trained ≤ seeded quantization error) pinned in IvfKMeansSpec.
+    */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): Array[Array[Float]] = {
+    var cents = emb.orderBy("vec_id").limit(k).collect()
+      .map(_.getSeq[Float](1).toArray)
+    for (_ <- 1 to iters) {
+      val sums = ivfAssign(emb, cents)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      cents = cents.indices.map { c =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            val arr = new Array[Float](cents(c).length)
+            rows.foreach(r => arr(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat)
+            arr
+          case None => cents(c)
+        }
+      }.toArray
+    }
+    cents
+  }
+
+  /** Mean fractional quantization error avg(1 - cos(x, nearest
+    * centroid)) — the scalar IvfKMeansSpec tracks across iterations.
+    */
+  def ivfQuantError(emb: DataFrame, cents: Array[Array[Float]]): Double =
+    emb.select((lit(1.0) - ivfRanked(cents)(0).getField("cos")).as("err"))
+      .agg(avg("err")).head.getDouble(0)
+
+  /** IVF search over TRAINED centroids (2 Lloyd iterations): identical
+    * plan shape to [[sim_ann_ivf]] — map-side cell assignment, probe
+    * explode, broadcast candidates join — only the quantizer improves.
+    * rows-only by design (see [[kmeansCentroids]]).
+    */
+  qRowsOnly("sim_ann_ivf_trained") { (s, d) =>
+    val kCells = 8
+    val nProbe = 2
+    val emb = T(s, d, "embeddings").select("vec_id", "embedding")
+    val centroids = kmeansCentroids(emb, kCells, iters = 2)
+    val cells = ivfAssign(emb, centroids)
+    val probes = emb.filter(col("vec_id") < 5)
+      .withColumn("pc", slice(ivfRanked(centroids), 1, nProbe))
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        explode(col("pc").getField("cell")).as("cell"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(graft.functions.vec.cosine(col("qemb"), col("embedding")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("vec_id").as("nbr"), col("cos"), col("rn"))
+      .reportSorted("qid", "rn")
+  }
+
   /** Embedding-cosine near-dup: pairs above a cosine threshold, found
     * in-bucket (LSH) rather than by cross join.
     *
@@ -704,6 +771,62 @@ object LlmOps extends QueryModule {
       .select("a", "b", "cos")
       .orderBy("a", "b") // pair set scales with dup density = input-sized
   }
+
+  /** Int8 scalar-quantized ANN (SPEC: the standard sq8 compression in
+    * FAISS/ScaNN-class systems): per-vector symmetric quantization
+    * q_i = round(x_i · 127/max|x|) stored as TINYINT — 4× less scan IO
+    * and shuffle width than float32, the difference between an
+    * in-memory and a spilling candidate join at 100 TB. Cosine is
+    * scale-invariant, so the per-vector scale needs no storage and the
+    * only fidelity loss is rounding (|Δcos| ≤ ~0.01 at dim 64, asserted
+    * in LshRecallSpec). Candidates come from the same hyperplane
+    * buckets as sim_ann_lsh; ranking runs entirely on the quantized
+    * vectors. Oracle-exact by construction: int products/sums stay
+    * exact in doubles, so both engines compute bit-identical cosines.
+    */
+  q("sim_ann_quantized",
+    s"""WITH q AS (
+       |  SELECT vec_id, ${bucketSql(8)} AS bucket,
+       |         list_transform(CAST(embedding AS DOUBLE[]),
+       |           x -> CAST(round(x * (127.0 / greatest(
+       |                  list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))),
+       |                  1e-30))) AS TINYINT)) AS qemb
+       |  FROM embeddings),
+       |     j AS (SELECT l.vec_id AS qid, r.vec_id AS nbr,
+       |                  round(list_cosine_similarity(CAST(l.qemb AS DOUBLE[]),
+       |                                               CAST(r.qemb AS DOUBLE[])), 6) AS cos_q
+       |           FROM q l JOIN q r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id)
+       |SELECT qid, nbr, cos_q, rn FROM (
+       |  SELECT qid, nbr, cos_q,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_q DESC, nbr) AS INTEGER) AS rn
+       |  FROM j) t
+       |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) { (s, d) =>
+    val b = quantized(lshBucketed(s, d, nPlanes = 8))
+    val l = b.select(col("bucket"), col("vec_id").as("qid"), col("qemb").as("qa"))
+    val r = b.select(col("bucket"), col("vec_id").as("nbr"), col("qemb").as("qb"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_q").desc, col("nbr").asc)
+    def asDouble(c: org.apache.spark.sql.Column) = transform(c, _.cast("double"))
+    l.join(r, Seq("bucket"))
+      .filter(col("qid") =!= col("nbr"))
+      .withColumn("cos_q",
+        round(graft.functions.vec.cosine(asDouble(col("qa")), asDouble(col("qb"))), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("qid", "nbr", "cos_q", "rn")
+      .orderBy("qid", "rn") // top-k PER VECTOR = input-sized
+  }
+
+  /** Adds `qemb`: the int8 symmetric scalar quantization of
+    * `embedding`. Map-side HOF work only — no shuffle, no UDF.
+    */
+  private[ops] def quantized(df: DataFrame): DataFrame =
+    df.withColumn("qscale", lit(127.0) / greatest(
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))),
+        lit(1e-30)))
+      .withColumn("qemb",
+        transform(col("embedding"),
+          x => round(x.cast("double") * col("qscale")).cast("byte")))
+      .drop("qscale")
 
   /** Per-label centroid cosine — embedding-quality/outlier scoring:
     * learn each label's mean vector, then score every vector's cosine

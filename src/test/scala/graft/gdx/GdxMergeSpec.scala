@@ -1,0 +1,104 @@
+package graft.gdx
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gdx.merge — gdxmerge-tool semantics (SPEC: GAMS gdxmerge utility):
+  * file-tag dimension prepended, per-symbol union across files,
+  * symbols missing from a file contribute nothing for that tag, set
+  * text survives, mixed-shape symbols are rejected.
+  */
+class GdxMergeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.Sessions.build("local[4]", "4")
+
+  private def write(path: String)(build: GdxBuilder => Unit): String = {
+    val b = new GdxBuilder()
+    build(b)
+    GdxCodec.write(b.result(), path)
+    path
+  }
+
+  private def tmpDir(): java.nio.file.Path = Files.createTempDirectory("gdxmerge")
+
+  test("parameter merge: tag dimension prepended, dims shifted, partial presence") {
+    val t = tmpDir()
+    val a = write(s"$t/a.gdx") { b =>
+      b.addSymbol("p", SymbolType.Parameter, 1, Seq(
+        (Seq("x"), Array(1.0), None), (Seq("y"), Array(2.0), None)))
+      b.addSymbol("onlya", SymbolType.Parameter, 1, Seq(
+        (Seq("z"), Array(7.0), None)))
+    }
+    val bf = write(s"$t/b.gdx") { b =>
+      b.addSymbol("p", SymbolType.Parameter, 1, Seq(
+        (Seq("x"), Array(3.0), None)))
+    }
+    val out = s"$t/out"
+    val merged = Gdx.merge(spark, Seq(a, bf), out, tags = Seq("run1", "run2"))
+    assert(merged === Seq("onlya", "p"))
+    val p = Gdx.symbol(spark, s"$out/p", "p")
+      .select("dim_1", "dim_2", "value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(p === Set(("run1", "x", 1.0), ("run1", "y", 2.0), ("run2", "x", 3.0)))
+    val oa = Gdx.symbol(spark, s"$out/onlya", "onlya")
+      .select("dim_1", "dim_2", "value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(oa === Set(("run1", "z", 7.0)))
+  }
+
+  test("set merge keeps associated text; pattern restricts symbols") {
+    val t = tmpDir()
+    val a = write(s"$t/a.gdx") { b =>
+      b.addSymbol("s", SymbolType.Set, 1, Seq(
+        (Seq("i1"), Array.empty[Double], Some("first"))))
+      b.addSymbol("skip", SymbolType.Parameter, 1, Seq(
+        (Seq("q"), Array(1.0), None)))
+    }
+    val bf = write(s"$t/b.gdx") { b =>
+      b.addSymbol("s", SymbolType.Set, 1, Seq(
+        (Seq("i2"), Array.empty[Double], None)))
+    }
+    val out = s"$t/out"
+    assert(Gdx.merge(spark, Seq(a, bf), out, patterns = "s") === Seq("s"))
+    assert(!new java.io.File(s"$out/skip").exists())
+    val s2 = Gdx.symbol(spark, s"$out/s", "s")
+      .select("dim_1", "dim_2", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(s2 === Set(("f1", "i1", Some("first")), ("f2", "i2", None)))
+  }
+
+  test("mixed dim across files is rejected") {
+    val t = tmpDir()
+    val a = write(s"$t/a.gdx") { b =>
+      b.addSymbol("p", SymbolType.Parameter, 1, Seq((Seq("x"), Array(1.0), None)))
+    }
+    val bf = write(s"$t/b.gdx") { b =>
+      b.addSymbol("p", SymbolType.Parameter, 2, Seq((Seq("x", "y"), Array(1.0), None)))
+    }
+    val e = intercept[IllegalArgumentException] {
+      Gdx.merge(spark, Seq(a, bf), s"$t/out")
+    }
+    assert(e.getMessage.contains("mixed dim/type"))
+  }
+
+  test("variable merge carries all five value fields") {
+    val t = tmpDir()
+    val a = write(s"$t/a.gdx") { b =>
+      b.addSymbol("v", SymbolType.Variable, 1, Seq(
+        (Seq("x"), Array(1.0, 0.5, 0.0, 10.0, 1.0), None)))
+    }
+    val bf = write(s"$t/b.gdx") { b =>
+      b.addSymbol("v", SymbolType.Variable, 1, Seq(
+        (Seq("x"), Array(2.0, 0.0, 0.0, 20.0, 1.0), None)))
+    }
+    val out = s"$t/out"
+    Gdx.merge(spark, Seq(a, bf), out)
+    val v = Gdx.symbol(spark, s"$out/v", "v")
+      .select("dim_1", "dim_2", "level", "marginal", "upper").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toSet
+    assert(v === Set(("f1", "x", 1.0, 0.5, 10.0), ("f2", "x", 2.0, 0.0, 20.0)))
+  }
+}

@@ -82,6 +82,36 @@ class LshRecallSpec extends AnyFunSuite {
     assert(multi > single + 0.3,
       s"OR composition must amplify recall substantially ($single -> $multi)")
   }
+
+  test("int8 quantization fidelity: |Δcos| bounded, exact top-1 preserved") {
+    val emb = graft.T(spark, d, "embeddings").select("vec_id", "embedding")
+      .limit(300)
+    val q = LlmOps.quantized(emb)
+    def asDouble(c: org.apache.spark.sql.Column) = transform(c, _.cast("double"))
+    val pairs = q.select(col("vec_id").as("a"), col("embedding").as("ea"), col("qemb").as("qa"))
+      .crossJoin(q.select(col("vec_id").as("b"), col("embedding").as("eb"), col("qemb").as("qb")))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        graft.functions.vec.cosine(col("ea"), col("eb")).as("exact"),
+        graft.functions.vec.cosine(asDouble(col("qa")), asDouble(col("qb"))).as("approx"))
+    // per-element rounding error ≤ 0.5/127 ≈ 0.004; the dim-64 cosine
+    // error concentrates well under 0.01 — assert the hard ceiling
+    val maxErr = pairs.agg(max(abs(col("exact") - col("approx")))).head.getDouble(0)
+    assert(maxErr < 0.01, s"quantized cosine drifted: max|Δcos| = $maxErr")
+    // ranking fidelity: the exact top-1 neighbor survives quantization
+    // for nearly every query vector (ties broken identically)
+    val sym = pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b"),
+      col("exact"), col("approx")))
+    def top1(by: String) = sym
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("a")
+          .orderBy(col(by).desc, col("b").asc)))
+      .filter(col("rn") === 1).select(col("a"), col("b").as(s"top_$by"))
+    val agree = top1("exact").join(top1("approx"), Seq("a"))
+      .select(avg(when(col("top_exact") === col("top_approx"), 1.0).otherwise(0.0)))
+      .head.getDouble(0)
+    assert(agree >= 0.95, s"quantized top-1 agreement too low: $agree")
+  }
 }
 
 /** Test access to the registered query body without going through the

@@ -20,31 +20,40 @@ import org.apache.spark.sql.types._
   * per-element virtual calls, and fall back to an equally-tight
   * interpreted loop where codegen is disabled.
   *
-  * Both `array<float>` (raw embeddings) and `array<double>` (unit
-  * vectors) element types are supported; the result is always double.
+  * `array<float>` (raw embeddings), `array<double>` (unit vectors) and
+  * `array<tinyint>` (int8 scalar-quantized vectors, sim_ann_quantized —
+  * the byte path keeps the candidate join's shuffle 4× narrower than
+  * float32 with no per-pair array widening) element types are
+  * supported, mixed freely; the result is always double.
   */
 private[graft] object VecArrayHelpers {
   def checkVecTypes(ts: DataType*): TypeCheckResult =
     if (ts.forall {
-      case ArrayType(FloatType | DoubleType, _) => true
+      case ArrayType(FloatType | DoubleType | ByteType, _) => true
       case _ => false
     }) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"expected array<float> or array<double> inputs, got ${ts.mkString(", ")}")
+      s"expected array<float>, array<double> or array<tinyint> inputs, got ${ts.mkString(", ")}")
 }
 
 private[graft] trait VecArrayHelpers { self: Expression =>
-  protected def elemIsFloat(t: DataType): Boolean = t match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
+  protected def elemType(t: DataType): DataType = t match {
+    case ArrayType(e, _) => e
+    case other => other // unreachable after checkInputDataTypes
   }
 
   /** Codegen fragment reading element i of `arr` as a double. */
-  protected def getAsDouble(arr: String, i: String, isFloat: Boolean): String =
-    if (isFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+  protected def getAsDouble(arr: String, i: String, et: DataType): String = et match {
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case ByteType => s"(double) $arr.getByte($i)"
+    case _ => s"$arr.getDouble($i)"
+  }
 
-  protected def readAsDouble(a: ArrayData, i: Int, isFloat: Boolean): Double =
-    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+  protected def readAsDouble(a: ArrayData, i: Int, et: DataType): Double = et match {
+    case FloatType => a.getFloat(i).toDouble
+    case ByteType => a.getByte(i).toDouble
+    case _ => a.getDouble(i)
+  }
 }
 
 /** dot(a, b): Σ aᵢ·bᵢ over min(len(a), len(b)). */
@@ -56,8 +65,8 @@ case class VecDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
-  private lazy val lFloat = elemIsFloat(left.dataType)
-  private lazy val rFloat = elemIsFloat(right.dataType)
+  private lazy val lType = elemType(left.dataType)
+  private lazy val rType = elemType(right.dataType)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -66,7 +75,7 @@ case class VecDot(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += readAsDouble(a, i, lFloat) * readAsDouble(b, i, rFloat)
+      acc += readAsDouble(a, i, lType) * readAsDouble(b, i, rType)
       i += 1
     }
     acc
@@ -81,7 +90,7 @@ case class VecDot(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${getAsDouble(a, i, lFloat)} * ${getAsDouble(b, i, rFloat)};
+         |  $acc += ${getAsDouble(a, i, lType)} * ${getAsDouble(b, i, rType)};
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -100,7 +109,7 @@ case class VecNorm(child: Expression)
 
   override def dataType: DataType = DoubleType
 
-  private lazy val isFloat = elemIsFloat(child.dataType)
+  private lazy val eType = elemType(child.dataType)
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
@@ -108,7 +117,7 @@ case class VecNorm(child: Expression)
     var i = 0
     val n = a.numElements()
     while (i < n) {
-      val x = readAsDouble(a, i, isFloat)
+      val x = readAsDouble(a, i, eType)
       acc += x * x
       i += 1
     }
@@ -125,7 +134,7 @@ case class VecNorm(child: Expression)
          |int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = ${getAsDouble(a, i, isFloat)};
+         |  double $x = ${getAsDouble(a, i, eType)};
          |  $acc += $x * $x;
          |}
          |${ev.value} = java.lang.Math.sqrt($acc);
@@ -147,8 +156,8 @@ case class VecCosine(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
-  private lazy val lFloat = elemIsFloat(left.dataType)
-  private lazy val rFloat = elemIsFloat(right.dataType)
+  private lazy val lType = elemType(left.dataType)
+  private lazy val rType = elemType(right.dataType)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -159,8 +168,8 @@ case class VecCosine(left: Expression, right: Expression)
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = readAsDouble(a, i, lFloat)
-      val y = readAsDouble(b, i, rFloat)
+      val x = readAsDouble(a, i, lType)
+      val y = readAsDouble(b, i, rType)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -180,8 +189,8 @@ case class VecCosine(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = ${getAsDouble(a, i, lFloat)};
-         |  double $y = ${getAsDouble(b, i, rFloat)};
+         |  double $x = ${getAsDouble(a, i, lType)};
+         |  double $y = ${getAsDouble(b, i, rType)};
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
          |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 : $dot / java.lang.Math.sqrt($na * $nb);

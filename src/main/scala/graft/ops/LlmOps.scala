@@ -805,11 +805,12 @@ object LlmOps extends QueryModule {
     val l = b.select(col("bucket"), col("vec_id").as("qid"), col("qemb").as("qa"))
     val r = b.select(col("bucket"), col("vec_id").as("nbr"), col("qemb").as("qb"))
     val w = Window.partitionBy("qid").orderBy(col("cos_q").desc, col("nbr").asc)
-    def asDouble(c: org.apache.spark.sql.Column) = transform(c, _.cast("double"))
+    // vec_cosine reads array<tinyint> natively — no per-pair widening
+    // to double arrays, and the join shuffles 1-byte elements
     l.join(r, Seq("bucket"))
       .filter(col("qid") =!= col("nbr"))
       .withColumn("cos_q",
-        round(graft.functions.vec.cosine(asDouble(col("qa")), asDouble(col("qb"))), 6))
+        round(graft.functions.vec.cosine(col("qa"), col("qb")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select("qid", "nbr", "cos_q", "rn")

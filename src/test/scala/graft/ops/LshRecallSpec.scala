@@ -87,13 +87,13 @@ class LshRecallSpec extends AnyFunSuite {
     val emb = graft.T(spark, d, "embeddings").select("vec_id", "embedding")
       .limit(300)
     val q = LlmOps.quantized(emb)
-    def asDouble(c: org.apache.spark.sql.Column) = transform(c, _.cast("double"))
     val pairs = q.select(col("vec_id").as("a"), col("embedding").as("ea"), col("qemb").as("qa"))
       .crossJoin(q.select(col("vec_id").as("b"), col("embedding").as("eb"), col("qemb").as("qb")))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         graft.functions.vec.cosine(col("ea"), col("eb")).as("exact"),
-        graft.functions.vec.cosine(asDouble(col("qa")), asDouble(col("qb"))).as("approx"))
+        // byte arrays straight into the native expression
+        graft.functions.vec.cosine(col("qa"), col("qb")).as("approx"))
     // per-element rounding error ≤ 0.5/127 ≈ 0.004; the dim-64 cosine
     // error concentrates well under 0.01 — assert the hard ceiling
     val maxErr = pairs.agg(max(abs(col("exact") - col("approx")))).head.getDouble(0)

@@ -1321,6 +1321,48 @@ object LlmOps extends QueryModule {
       .orderBy("doc_id") // one row per clean training doc = input-sized
   }
 
+  /** Cross-document duplicated-passage detection (SPEC: Lee et al.
+    * 2021, "Deduplicating Training Data Makes Language Models Better" —
+    * exact substring dedup; this is the fixed-k window approximation of
+    * their suffix-array pass, the form that distributes): every 8-token
+    * window shared verbatim by ≥2 documents marks its positions
+    * duplicated; per doc, report how much of it is duplicated text.
+    * Shape: window grams with 8-byte xxhash64 keys (the oracle joins
+    * the STRINGS, so hash semantics are cross-checked) → one two-phase
+    * distinct-doc count per gram → one join back. Inverted-index-sized
+    * intermediates, nothing quadratic — the same scaling argument as
+    * text_ngram_novelty.
+    */
+  q("dedup_substring",
+    """WITH tok AS (SELECT doc_id, str_split(text, ' ') AS tok FROM documents),
+      |     grams AS (
+      |  SELECT doc_id, unnest([list_aggr(tok[i:i+7], 'string_agg', ' ')
+      |                         FOR i IN range(1, greatest(len(tok) - 7, 1) + 1)]) AS g
+      |  FROM tok),
+      |     shared AS (SELECT g, 1 AS hit FROM grams
+      |                GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+      |     per AS (SELECT gr.doc_id, count(*) AS n_windows, count(s.hit) AS n_dup
+      |             FROM grams gr LEFT JOIN shared s ON gr.g = s.g
+      |             GROUP BY gr.doc_id)
+      |SELECT doc_id, n_windows, n_dup,
+      |       round(CAST(n_dup AS DOUBLE) / n_windows, 6) AS dup_frac
+      |FROM per ORDER BY doc_id""") { (s, d) =>
+    val grams = T(s, d, "documents")
+      .withColumn("tok", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, greatest(size(tok) - 8, 0)), i -> xxhash64(concat_ws(' ', slice(tok, i + 1, 8))))")).as("g"))
+    val shared = grams.groupBy("g")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("g"), lit(1).as("hit"))
+    grams.join(shared, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"), count(col("hit")).as("n_dup"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_windows"), 6).as("dup_frac"))
+      .orderBy("doc_id") // one row per doc = input-sized
+  }
+
   /** Weighted domain mixing — build a training mix hitting TARGET
     * per-source proportions (upweight curated domains, downweight the
     * crawl), the step after filtering and before packing in every

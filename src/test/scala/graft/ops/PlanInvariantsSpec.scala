@@ -198,4 +198,43 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "anti-join must stay an equi hash join (a nested-loop NOT IN dies at corpus scale)")
   }
+
+  test("text_redact_pii: pure map-side — the only exchange is the final ORDER BY") {
+    val p = plan(graft.SparkEntry.queries("text_redact_pii")(spark, d))
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"scrub must not shuffle (beyond the report sort):\n$p")
+  }
+
+  test("sim_ann_quantized: candidate join carries int8 vectors, not floats") {
+    val df = graft.SparkEntry.queries("sim_ann_quantized")(spark, d)
+    val p = plan(df)
+    assert(p.contains("tinyint") || df.queryExecution.analyzed.toString.contains("qemb"),
+      s"expected quantized byte vectors in the join:\n$p")
+    // the float embedding column must NOT survive past quantization
+    // into the self-join (that would double the shuffled payload)
+    val joined = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joined.nonEmpty)
+    joined.foreach { j =>
+      val cols = (j.left.output ++ j.right.output).map(a => (a.name, a.dataType.simpleString))
+      assert(!cols.exists { case (n, t) => n.contains("emb") && t == "array<float>" },
+        s"float embeddings leaked into the candidate join: $cols")
+    }
+  }
+
+  test("dedup_substring: gram keys are 8-byte hashes and the gram count is two-phase") {
+    val df = graft.SparkEntry.queries("dedup_substring")(spark, d)
+    val p = plan(df)
+    assert(p.contains("xxhash64"), s"grams must travel as 64-bit hashes:\n$p")
+    assert(p.contains("partial_count"), s"distinct-doc count must map-side combine:\n$p")
+  }
+
+  test("gdx_diff plans one distributed full-outer join per compared symbol") {
+    val dir = graft.SparkEntry.queries("gdx_diff")(spark, d) // builds fixtures
+    val p = plan(dir)
+    assert(p.contains("FullOuter"), s"expected full-outer record alignment in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "record alignment must stay an equi join")
+  }
 }

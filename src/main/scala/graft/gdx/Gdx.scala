@@ -243,6 +243,45 @@ object Gdx {
     }
   }
 
+  /** GAMS `gdxdump` tool parity (SPEC: gdxdump utility — renders a GDX
+    * file as GAMS assignment text): one `(symbol, line)` row per record,
+    * `name('k1','k2') = value;` GAMS syntax (sets render their
+    * associated text, variables/equations their level field). Values
+    * format through DECIMAL(18,6) so the rendering is deterministic and
+    * engine-independent (no Double.toString locale/precision drift).
+    * Per-record lines are the distributed unit — the real tool's block
+    * headers are presentation, not data, and a single text file is
+    * exactly what does not scale; this dump stays an ordinary DataFrame
+    * to write wherever needed.
+    */
+  def dump(spark: SparkSession, path: String, patterns: String = "*"): DataFrame = {
+    val pats = patterns.split("[ ,]+").filter(_.nonEmpty).map(globToRegex)
+    val syms = catalog(spark, path).filter(col("type") =!= "alias")
+      .select("name", "type").collect()
+      .map(r => (r.getString(0).toLowerCase, r.getString(1)))
+      .filter { case (n, _) => pats.exists(_.matches(n)) }
+      .sortBy(_._1)
+    val perSymbol = syms.map { case (n, typ) =>
+      val df = symbol(spark, path, n)
+      val dims = df.columns.filter(_.startsWith("dim_")).sorted.toIndexedSeq
+      val keys =
+        if (dims.isEmpty) lit("")
+        else concat(lit("("),
+          concat_ws(",", dims.map(c => concat(lit("'"), col(c), lit("'"))): _*),
+          lit(")"))
+      val body = typ match {
+        case "set" =>
+          when(col("text").isNotNull, concat(lit(" '"), col("text"), lit("'")))
+            .otherwise(lit(""))
+        case _ =>
+          val v = if (df.columns.contains("value")) "value" else "level"
+          concat(lit(" = "), col(v).cast("decimal(18,6)").cast("string"))
+      }
+      df.select(lit(n).as("symbol"), concat(lit(n), keys, body, lit(";")).as("line"))
+    }
+    perSymbol.reduceOption(_ unionByName _).getOrElse(spark.emptyDataFrame)
+  }
+
   /** Per-vartype default bound fill (SURVEY §2.H fn_special_values). */
   def defaultFill(df: DataFrame, varType: Int): DataFrame = {
     val (lo, up) = VarType.defaultBounds(varType)
@@ -285,6 +324,13 @@ final case class GdxFile(spark: SparkSession, path: String) {
   def catalog: DataFrame = Gdx.catalog(spark, path)
 
   def apply(name: String): DataFrame = query(name)
+
+  /** gdxdiff against another file (tool suite on the object API). */
+  def diff(other: String, patterns: String = "*", tol: Double = 0.0): DataFrame =
+    Gdx.diff(spark, path, other, patterns = patterns, tol = tol)
+
+  /** gdxdump of this file as (symbol, line) GAMS text rows. */
+  def dump(patterns: String = "*"): DataFrame = Gdx.dump(spark, path, patterns)
 
   /** 0-dim parameter unwrapped to its value (gdxpy scalar surface). */
   def scalar(name: String): Double = Gdx.scalar(spark, path, name)

@@ -411,6 +411,28 @@ object GdxOps extends QueryModule {
       .reportSorted("dim_1", "dim_2")
   }
 
+  /** gdxdump tool parity (SPEC: GAMS gdxdump — GDX → GAMS assignment
+    * text): render the fixture's 1-dim parameter and the region set,
+    * oracle re-derives the exact lines (DECIMAL(18,6) both sides, so
+    * the value text is engine-independent).
+    */
+  q("gdx_dump",
+    """SELECT * FROM (
+      |  SELECT 'nat' AS symbol,
+      |         concat('nat(''', n_name, ''') = ',
+      |                CAST(CAST(n_nationkey AS DECIMAL(18,6)) AS VARCHAR), ';') AS line
+      |  FROM nation
+      |  UNION ALL
+      |  SELECT 'regset',
+      |         concat('regset(''', r_name, ''') ''region ',
+      |                CAST(CAST(r_regionkey AS DOUBLE) AS VARCHAR), ''';')
+      |  FROM region) t
+      |ORDER BY symbol, line""") { (s, d) =>
+    val dir = ensureFixtures(s, d)
+    Gdx.dump(s, s"$dir/file1.gdx", patterns = "nat,regset")
+      .reportSorted("symbol", "line")
+  }
+
   // gdxpy reshape: pivot last dim to columns over the 2-dim symbol
   q("gdx_pivot_last_dim",
     """SELECT n_name AS dim_1,

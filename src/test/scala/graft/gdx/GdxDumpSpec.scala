@@ -1,0 +1,39 @@
+package graft.gdx
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gdx.dump — gdxdump-tool semantics: GAMS assignment-line rendering
+  * across the symbol classes (scalar, parameter, set with text,
+  * variable level field).
+  */
+class GdxDumpSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.Sessions.build("local[4]", "4")
+
+  test("renders scalars, multi-dim parameters, set text, and variable levels") {
+    val p = Files.createTempDirectory("gdxdump").resolve("a.gdx").toString
+    val b = new GdxBuilder()
+    b.addSymbol("total", SymbolType.Parameter, 0,
+      Seq((Seq.empty, Array(42.0), None)))
+    b.addSymbol("p2", SymbolType.Parameter, 2,
+      Seq((Seq("i1", "j1"), Array(1.5), None)))
+    b.addSymbol("s", SymbolType.Set, 1, Seq(
+      (Seq("k1"), Array.empty[Double], Some("with text")),
+      (Seq("k2"), Array.empty[Double], None)))
+    b.addSymbol("v", SymbolType.Variable, 1,
+      Seq((Seq("x"), Array(3.25, 0.0, 0.0, 9.0, 1.0), None)))
+    GdxCodec.write(b.result(), p)
+
+    val lines = Gdx.dump(spark, p).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(lines === Set(
+      ("total", "total = 42.000000;"),
+      ("p2", "p2('i1','j1') = 1.500000;"),
+      ("s", "s('k1') 'with text';"),
+      ("s", "s('k2');"),
+      ("v", "v('x') = 3.250000;")))
+  }
+}

@@ -5,6 +5,7 @@ import java.io.File
 import graft.{QueryModule, T}
 import graft.gdx._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.A (GDX scans/sources/sinks) + §2.B filter_special +
@@ -431,6 +432,28 @@ object GdxOps extends QueryModule {
     val dir = ensureFixtures(s, d)
     Gdx.dump(s, s"$dir/file1.gdx", patterns = "nat,regset")
       .reportSorted("symbol", "line")
+  }
+
+  /** The gdxpy post-load `.shift()` idiom (the reference materializes
+    * symbols to pandas Series and users difference them — GAMS
+    * `p(t) - p(t-1)` over an ordered set): one window lag per
+    * partition key, label order standing in for set order. One shuffle
+    * on the partition dimension; the lag itself is sort-local.
+    */
+  q("gdx_lag_shift",
+    """SELECT dim_1, dim_2, value,
+      |       value - lag(value) OVER (PARTITION BY dim_2 ORDER BY dim_1) AS delta
+      |FROM (SELECT n.n_name AS dim_1, r.r_name AS dim_2,
+      |             CAST(n.n_nationkey AS DOUBLE) AS value
+      |      FROM nation n JOIN region r
+      |        ON r.r_regionkey = n.n_regionkey % (SELECT count(*) FROM region)) t
+      |ORDER BY dim_1, dim_2""") { (s, d) =>
+    val dir = ensureFixtures(s, d)
+    val w = Window.partitionBy("dim_2").orderBy("dim_1")
+    Gdx.symbol(s, s"$dir/file1.gdx", "natreg")
+      .select(col("dim_1"), col("dim_2"), col("value"),
+        (col("value") - lag("value", 1).over(w)).as("delta"))
+      .reportSorted("dim_1", "dim_2")
   }
 
   // gdxpy reshape: pivot last dim to columns over the 2-dim symbol

@@ -334,6 +334,22 @@ object RelationalOps extends QueryModule {
       .reportSorted("l_returnflag")
   }
 
+  /** Sketch REUSE — the production distinct-count pattern at 100 TB:
+    * materialize one HLL sketch per source partition (here: per
+    * returnflag), then answer the global question by MERGING sketches
+    * (`hll_union_agg`) — KBs of state, no second scan of the data. The
+    * driver-side `.count` in a naive rollup becomes a constant-size
+    * union; estimates are rsd-dependent → rows-only, accuracy asserted
+    * against the exact count in OpsSemanticsSpec.
+    */
+  qRowsOnly("agg_hll_partial_merge") { (s, d) =>
+    val perFlag = T(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(hll_sketch_agg(col("l_partkey")).as("sketch"))
+    perFlag.agg(
+      hll_sketch_estimate(hll_union_agg(col("sketch"))).as("global_distinct"))
+  }
+
   q("agg_grouping_sets",
     """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)

@@ -157,4 +157,15 @@ class OpsSemanticsSpec extends AnyFunSuite {
       assert(run(q, "2") == run(q, "17"), s"$q depends on partitioning")
     }
   }
+
+  test("merged per-partition HLL sketches estimate the global distinct within rsd") {
+    val est = SparkEntry.queries("agg_hll_partial_merge")(spark, dir)
+      .head.getLong(0).toDouble
+    val exact = graft.T(spark, dir, "lineitem")
+      .select(org.apache.spark.sql.functions.countDistinct("l_partkey"))
+      .head.getLong(0).toDouble
+    // default HLL lgConfigK=12 → rsd ≈ 1.04/√4096 ≈ 1.6%; allow 4σ
+    assert(math.abs(est - exact) / exact < 0.065,
+      s"sketch-merge estimate $est too far from exact $exact")
+  }
 }

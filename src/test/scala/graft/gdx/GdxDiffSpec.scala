@@ -100,6 +100,30 @@ class GdxDiffSpec extends AnyFunSuite {
       ("shape", "dim 1<>2", "dim", None, None)))
   }
 
+  test("diff is reflexive-empty on generated files incl. special values (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genVal: Gen[Double] = Gen.choose(0, 5).flatMap {
+      case 0 => Gen.choose(-1e6, 1e6)
+      case 1 => Gen.const(SpecialValues.EPS)
+      case 2 => Gen.const(SpecialValues.NA)
+      case 3 => Gen.const(SpecialValues.UNDEF)
+      case 4 => Gen.const(SpecialValues.PINF)
+      case _ => Gen.const(SpecialValues.MINF)
+    }
+    for (seed <- 1 to 3) {
+      val vals = Gen.listOfN(30, genVal)
+        .pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val recs = vals.zipWithIndex.map { case (v, i) => (Seq(f"k$i%03d"), Array(v), None) }
+      val p = write(tmp(s"prop$seed.gdx")) { b =>
+        b.addSymbol("p", SymbolType.Parameter, 1, recs)
+      }
+      // NA/UNDEF decode to NaN — null-safe compare must still see a
+      // file as identical to itself (gdxdiff on a copy reports nothing)
+      assert(Gdx.diff(spark, p, p).count() === 0, s"seed=$seed: self-diff not empty")
+    }
+  }
+
   test("multi-dim keys dot-join GAMS-style; pattern restricts symbols") {
     val a = write(tmp("a.gdx")) { b =>
       b.addSymbol("q2", SymbolType.Parameter, 2, Seq(

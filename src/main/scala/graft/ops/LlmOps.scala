@@ -818,16 +818,11 @@ object LlmOps extends QueryModule {
   }
 
   /** Adds `qemb`: the int8 symmetric scalar quantization of
-    * `embedding`. Map-side HOF work only — no shuffle, no UDF.
+    * `embedding` via the native codegen'd expression — one pass, no
+    * interpreted lambda plumbing, no shuffle.
     */
   private[ops] def quantized(df: DataFrame): DataFrame =
-    df.withColumn("qscale", lit(127.0) / greatest(
-        array_max(transform(col("embedding"), x => abs(x.cast("double")))),
-        lit(1e-30)))
-      .withColumn("qemb",
-        transform(col("embedding"),
-          x => round(x.cast("double") * col("qscale")).cast("byte")))
-      .drop("qscale")
+    df.withColumn("qemb", graft.functions.vec.quantize8(col("embedding")))
 
   /** Per-label centroid cosine — embedding-quality/outlier scoring:
     * learn each label's mean vector, then score every vector's cosine

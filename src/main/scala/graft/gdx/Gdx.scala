@@ -76,13 +76,43 @@ object Gdx {
       case c => c.toString
     }).r
 
+  /** dim_* columns in numeric dimension order. NOT a lexicographic
+    * sort: GDX allows 20 dimensions and "dim_10" < "dim_2" as strings —
+    * a string sort would silently permute coordinates.
+    */
+  private[gdx] def dimCols(df: DataFrame): IndexedSeq[String] =
+    df.columns.filter(_.startsWith("dim_")).toIndexedSeq
+      .sortBy(_.stripPrefix("dim_").toInt)
+
+  /** Lowercased non-alias symbols matching the comma/space-separated
+    * glob list: (name, dim, type), name-sorted. The shared front door
+    * for the tool suite (diff/merge/dump) — one place for pattern and
+    * alias semantics.
+    */
+  private def matchedSymbols(spark: SparkSession, path: String,
+      patterns: String): Seq[(String, Int, String)] = {
+    val pats = patterns.split("[ ,]+").filter(_.nonEmpty).map(globToRegex)
+    catalog(spark, path).filter(col("type") =!= "alias")
+      .select("name", "dim", "type").collect().toSeq
+      .map(r => (r.getString(0).toLowerCase, r.getInt(1), r.getString(2)))
+      .filter { case (n, _, _) => pats.exists(_.matches(n)) }
+      .sortBy(_._1)
+  }
+
+  private def emptyFrame(spark: SparkSession, fields: (String, org.apache.spark.sql.types.DataType)*): DataFrame =
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(fields.map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n, t)
+      }))
+
   /** gdxpy's Series→DataFrame reshape: pivot the last dimension to
     * columns (SURVEY §2.D agg_pivot / §2.I reshape_long_to_wide).
     */
   def pivotLastDim(df: DataFrame, valueCol: String = "value"): DataFrame = {
-    val dims = df.columns.filter(_.startsWith("dim_")).sorted
+    val dims = dimCols(df)
     require(dims.length >= 2, "pivot needs >= 2 dims")
-    df.groupBy(dims.dropRight(1).toIndexedSeq.map(col): _*)
+    df.groupBy(dims.dropRight(1).map(col): _*)
       .pivot(dims.last)
       .agg(first(col(valueCol)))
   }
@@ -92,7 +122,7 @@ object Gdx {
     * inverse of GDX sparsity (SURVEY §2.I densify_default_fill).
     */
   def densify(df: DataFrame, domains: Seq[DataFrame], default: Double = 0.0): DataFrame = {
-    val dims = df.columns.filter(_.startsWith("dim_")).sorted
+    val dims = dimCols(df)
     require(domains.size == dims.length, "one domain set per dimension")
     val grid = domains.zip(dims).map { case (dom, d) =>
       dom.toDF(d)
@@ -123,33 +153,35 @@ object Gdx {
     *
     * Scale: driver work is O(catalog) — symbol names and dims only.
     * Each symbol compares via a distributed full-outer equi-join on the
-    * lowercased key string; values use null-safe equality, so NA/UNDEF
-    * (NaN) on both sides compares equal rather than always-changed. No
-    * record data ever passes through the driver, so two 100 TB GDX
+    * lowercased key string. Records scan in lossless flag mode, so the
+    * compare distinguishes EPS from plain 0 and NA from UNDEF (like the
+    * real tool), while NA-vs-NA compares equal via null-safe equality.
+    * No record data ever passes through the driver, so two 100 TB GDX
     * datasets diff as a sequence of ordinary shuffle joins.
     */
   def diff(spark: SparkSession, pathA: String, pathB: String,
       patterns: String = "*", field: String = "level",
       tol: Double = 0.0): DataFrame = {
-    val pats = patterns.split("[ ,]+").filter(_.nonEmpty).map(globToRegex)
-    def names(p: String): Map[String, Int] =
-      catalog(spark, p).filter(col("type") =!= "alias")
-        .select("name", "dim").collect()
-        .map(r => r.getString(0).toLowerCase -> r.getInt(1)).toMap
-    val (inA, inB) = (names(pathA), names(pathB))
+    val inA = matchedSymbols(spark, pathA, patterns).map(s => s._1 -> s._2).toMap
+    val inB = matchedSymbols(spark, pathB, patterns).map(s => s._1 -> s._2).toMap
     val all = (inA.keySet ++ inB.keySet).toSeq.sorted
-      .filter(n => pats.exists(_.matches(n)))
 
+    // (key, value, is_eps, is_na, is_undef); the sentinel flags apply to
+    // the FIRST value field, so they participate in the compare only
+    // when that is the field being diffed
     def keyed(path: String, name: String): DataFrame = {
-      val df = symbol(spark, path, name)
+      val df = symbol(spark, path, name, specialValues = "columns")
       val src =
         if (df.columns.contains(field)) field
         else if (field == "level" && df.columns.contains("value")) "value"
         else throw new IllegalArgumentException(
           s"gdx diff: symbol $name has no field '$field'")
-      val dims = df.columns.filter(_.startsWith("dim_")).sorted.toIndexedSeq
+      val flagged = src == "value" || src == "level"
+      def flag(c: String): Column = if (flagged) col(c) else lit(false)
+      val dims = dimCols(df)
       val key = if (dims.isEmpty) lit("") else concat_ws(".", dims.map(col): _*)
-      df.select(key.as("key"), col(src).as("value"))
+      df.select(key.as("key"), col(src).as("value"),
+        flag("is_eps").as("fe"), flag("is_na").as("fn"), flag("is_undef").as("fu"))
     }
     def oneSide(name: String, path: String, status: String): DataFrame =
       keyed(path, name).select(
@@ -168,15 +200,18 @@ object Gdx {
             lit(null).cast("double").as("value_b"))
         case _ =>
           val a = keyed(pathA, n).withColumn("k", lower(col("key")))
+            .toDF("key_a", "value_a", "ea", "na_a", "ua", "k")
           val b = keyed(pathB, n).withColumn("k", lower(col("key")))
-          a.withColumnRenamed("key", "key_a").withColumnRenamed("value", "value_a")
-            .join(b.withColumnRenamed("key", "key_b").withColumnRenamed("value", "value_b"),
-              Seq("k"), "full_outer")
+            .toDF("key_b", "value_b", "eb", "na_b", "ub", "k")
+          val valueChanged = !(col("value_a") <=> col("value_b")) &&
+            !(abs(col("value_a") - col("value_b")) <= tol)
+          val flagChanged = !(col("ea") <=> col("eb")) ||
+            !(col("na_a") <=> col("na_b")) || !(col("ua") <=> col("ub"))
+          a.join(b, Seq("k"), "full_outer")
             .withColumn("status",
               when(col("key_b").isNull, "del")
                 .when(col("key_a").isNull, "ins")
-                .when(!(col("value_a") <=> col("value_b")) &&
-                  !(abs(col("value_a") - col("value_b")) <= tol), "chg"))
+                .when(valueChanged || flagChanged, "chg"))
             .filter(col("status").isNotNull)
             .select(lit(n).as("symbol"),
               coalesce(col("key_a"), col("key_b")).as("key"), col("status"),
@@ -184,8 +219,13 @@ object Gdx {
               when(col("status") =!= "del", col("value_b")).as("value_b"))
       }
     }
-    perSymbol.reduceOption(_ unionByName _)
-      .getOrElse(spark.emptyDataFrame)
+    perSymbol.reduceOption(_ unionByName _).getOrElse(
+      emptyFrame(spark,
+        "symbol" -> org.apache.spark.sql.types.StringType,
+        "key" -> org.apache.spark.sql.types.StringType,
+        "status" -> org.apache.spark.sql.types.StringType,
+        "value_a" -> org.apache.spark.sql.types.DoubleType,
+        "value_b" -> org.apache.spark.sql.types.DoubleType))
   }
 
   /** GAMS `gdxmerge` tool parity (SPEC: gdxmerge utility — combines
@@ -199,9 +239,12 @@ object Gdx {
     * Scale: each merged symbol is one distributed union → sharded
     * write; driver work is O(catalog) per input. Unlike the real tool's
     * single output file, the sharded layout keeps the merge of N large
-    * files executor-parallel end-to-end (SCALE.md §3). Variable/equation
-    * subtypes (vartype bounds class) are not in the catalog and thus
-    * not propagated — bounds fields themselves merge losslessly.
+    * files executor-parallel end-to-end (SCALE.md §3). Records scan in
+    * lossless flag mode and the writer re-encodes the sentinels from
+    * the flag columns, so EPS/NA/UNDEF survive the merge exactly.
+    * Variable/equation subtypes (vartype bounds class) are not in the
+    * catalog and thus not propagated — bounds fields themselves merge
+    * losslessly.
     */
   def merge(spark: SparkSession, paths: Seq[String], outDir: String,
       patterns: String = "*", tags: Seq[String] = null): Seq[String] = {
@@ -209,14 +252,10 @@ object Gdx {
     val fileTags = Option(tags).getOrElse(paths.indices.map(i => s"f${i + 1}"))
     require(fileTags.length == paths.length, "gdx merge: one tag per file")
     require(fileTags.distinct.length == fileTags.length, "gdx merge: tags must be unique")
-    val pats = patterns.split("[ ,]+").filter(_.nonEmpty).map(globToRegex)
     val cats = paths.map { p =>
-      catalog(spark, p).filter(col("type") =!= "alias")
-        .select("name", "dim", "type").collect()
-        .map(r => r.getString(0).toLowerCase -> ((r.getInt(1), r.getString(2)))).toMap
+      matchedSymbols(spark, p, patterns).map(s => s._1 -> ((s._2, s._3))).toMap
     }
     val names = cats.flatMap(_.keys).distinct.sorted
-      .filter(n => pats.exists(_.matches(n)))
     names.map { n =>
       val present = paths.lazyZip(fileTags).lazyZip(cats).toSeq
         .collect { case (p, t, c) if c.contains(n) => (p, t, c(n)) }
@@ -225,15 +264,19 @@ object Gdx {
         s"gdx merge: symbol $n has mixed dim/type across files: ${shapes.mkString(", ")}")
       val (_, typ) = shapes.head
       val merged = present.map { case (p, t, _) =>
-        val df = symbol(spark, p, n)
-        val dimCols = df.columns.filter(_.startsWith("dim_")).sorted.toIndexedSeq
+        // flag mode keeps EPS/NA/UNDEF lossless through the round trip;
+        // sets have no numeric values, so they scan plain
+        val df =
+          if (typ == "set") symbol(spark, p, n)
+          else symbol(spark, p, n, specialValues = "columns")
+        val dims = dimCols(df)
         // sets scan with a constant `value` column; the writer must see
         // only text for a set, so keep value for parameters/var/equ only
         val valCols = df.columns.toIndexedSeq
           .filterNot(_.startsWith("dim_"))
           .filterNot(c => typ == "set" && c == "value")
         df.select((lit(t).as("dim_1") +:
-          dimCols.zipWithIndex.map { case (c, i) => col(c).as(s"dim_${i + 2}") }) ++
+          dims.zipWithIndex.map { case (c, i) => col(c).as(s"dim_${i + 2}") }) ++
           valCols.map(col): _*)
       }.reduce(_ unionByName _)
       merged.write.format("gdx").mode("overwrite")
@@ -246,24 +289,23 @@ object Gdx {
   /** GAMS `gdxdump` tool parity (SPEC: gdxdump utility — renders a GDX
     * file as GAMS assignment text): one `(symbol, line)` row per record,
     * `name('k1','k2') = value;` GAMS syntax (sets render their
-    * associated text, variables/equations their level field). Values
-    * format through DECIMAL(18,6) so the rendering is deterministic and
-    * engine-independent (no Double.toString locale/precision drift).
-    * Per-record lines are the distributed unit — the real tool's block
-    * headers are presentation, not data, and a single text file is
-    * exactly what does not scale; this dump stays an ordinary DataFrame
-    * to write wherever needed.
+    * associated text, variables/equations their level field). Ordinary
+    * values format through DECIMAL(18,6) so the rendering is
+    * deterministic and engine-independent (no Double.toString
+    * locale/precision drift); special values render as the tool's
+    * tokens (`Eps`, `NA`, `Undf`, `+Inf`, `-Inf`), and magnitudes
+    * beyond the decimal's range fall back to the raw double text
+    * rather than a null line. Per-record lines are the distributed
+    * unit — the real tool's block headers are presentation, not data,
+    * and a single text file is exactly what does not scale; this dump
+    * stays an ordinary DataFrame to write wherever needed.
     */
   def dump(spark: SparkSession, path: String, patterns: String = "*"): DataFrame = {
-    val pats = patterns.split("[ ,]+").filter(_.nonEmpty).map(globToRegex)
-    val syms = catalog(spark, path).filter(col("type") =!= "alias")
-      .select("name", "type").collect()
-      .map(r => (r.getString(0).toLowerCase, r.getString(1)))
-      .filter { case (n, _) => pats.exists(_.matches(n)) }
-      .sortBy(_._1)
-    val perSymbol = syms.map { case (n, typ) =>
-      val df = symbol(spark, path, n)
-      val dims = df.columns.filter(_.startsWith("dim_")).sorted.toIndexedSeq
+    val perSymbol = matchedSymbols(spark, path, patterns).map { case (n, _, typ) =>
+      val df =
+        if (typ == "set") symbol(spark, path, n)
+        else symbol(spark, path, n, specialValues = "columns")
+      val dims = dimCols(df)
       val keys =
         if (dims.isEmpty) lit("")
         else concat(lit("("),
@@ -274,12 +316,24 @@ object Gdx {
           when(col("text").isNotNull, concat(lit(" '"), col("text"), lit("'")))
             .otherwise(lit(""))
         case _ =>
-          val v = if (df.columns.contains("value")) "value" else "level"
-          concat(lit(" = "), col(v).cast("decimal(18,6)").cast("string"))
+          val v = col(if (df.columns.contains("value")) "value" else "level")
+          // range-guarded: ANSI mode makes an overflowing decimal cast
+          // THROW, so the fallback must gate the cast, not catch a null
+          val rendered = when(col("is_eps"), "Eps")
+            .when(col("is_na"), "NA")
+            .when(col("is_undef"), "Undf")
+            .when(v === Double.PositiveInfinity, "+Inf")
+            .when(v === Double.NegativeInfinity, "-Inf")
+            .when(abs(v) < 1e12, v.cast("decimal(18,6)").cast("string"))
+            .otherwise(v.cast("string"))
+          concat(lit(" = "), rendered)
       }
       df.select(lit(n).as("symbol"), concat(lit(n), keys, body, lit(";")).as("line"))
     }
-    perSymbol.reduceOption(_ unionByName _).getOrElse(spark.emptyDataFrame)
+    perSymbol.reduceOption(_ unionByName _).getOrElse(
+      emptyFrame(spark,
+        "symbol" -> org.apache.spark.sql.types.StringType,
+        "line" -> org.apache.spark.sql.types.StringType))
   }
 
   /** Per-vartype default bound fill (SURVEY §2.H fn_special_values). */
@@ -357,8 +411,8 @@ final case class GdxFile(spark: SparkSession, path: String) {
       else if (field == "level" && df.columns.contains("value")) "value"
       else throw new IllegalArgumentException(
         s"symbol $name has no field '$field' (columns: ${df.columns.mkString(",")})")
-    val dims = df.columns.filter(_.startsWith("dim_")).sorted
-    df = df.select((dims.toIndexedSeq.map(col) :+ col(src).as("value")): _*)
+    val dims = Gdx.dimCols(df)
+    df = df.select((dims.map(col) :+ col(src).as("value")): _*)
     if (filt != null && dims.nonEmpty) {
       if (!filt.exists(c => c == '*' || c == '?'))
         // no wildcard → equality on the lowercased label: the exact

@@ -341,7 +341,9 @@ object GdxOps extends QueryModule {
     lock.synchronized {
       val dir = fixtureDir(sfDir)
       new File(dir).mkdirs()
-      if (!new File(s"$dir/diffA.gdx").exists()) {
+      // guard on the LAST-written file: a crash between the two writes
+      // must not leave a permanently half-built fixture pair
+      if (!new File(s"$dir/diffB.gdx").exists()) {
         val nation = T(s, sfDir, "nation")
           .select(col("n_name"), col("n_nationkey").cast("double"))
           .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)

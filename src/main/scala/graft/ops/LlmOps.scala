@@ -593,26 +593,33 @@ object LlmOps extends QueryModule {
       .reportSorted("qid", "rn")
   }
 
-  /** Lloyd's k-means refinement of the IVF coarse quantizer — the
-    * training loop the [[sim_ann_ivf]] scaladoc points at. Each
-    * iteration: map-side argmax assignment against centroid LITERALS
-    * (no per-row join), then ONE shuffle on (cell, pos) for the
-    * two-phase per-coordinate mean — k·dim compact rows back to the
-    * driver, the same O(K·dim) driver state the static IVF already
+  /** SPHERICAL k-means refinement of the IVF coarse quantizer — the
+    * training loop the [[sim_ann_ivf]] scaladoc points at. Assignment
+    * is by cosine, which sees only a vector's DIRECTION — so the
+    * update step must average unit vectors (the mean direction), not
+    * raw coordinates: a raw mean lets long vectors dominate and breaks
+    * Lloyd's monotone-objective guarantee under the cosine objective.
+    * Each iteration: map-side argmax assignment against centroid
+    * LITERALS (no per-row join), then ONE shuffle on (cell, pos) for
+    * the two-phase per-coordinate mean — k·dim compact rows back to
+    * the driver, the same O(K·dim) driver state the static IVF already
     * holds. Empty cells keep their previous centroid. Double-precision
     * mean order is partition-dependent, so trained centroids are
     * deterministic only to the ulp — the consumer query is therefore
-    * rows-only checked, with the accuracy contract (SSE monotone,
-    * trained ≤ seeded quantization error) pinned in IvfKMeansSpec.
+    * rows-only checked, with the accuracy contract (cosine objective
+    * monotone, trained ≤ seeded quantization error) pinned in
+    * IvfKMeansSpec.
     */
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): Array[Array[Float]] = {
     var cents = emb.orderBy("vec_id").limit(k).collect()
       .map(_.getSeq[Float](1).toArray)
     for (_ <- 1 to iters) {
       val sums = ivfAssign(emb, cents)
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("nrm", graft.functions.vec.norm(col("embedding")))
+        .filter(col("nrm") > 0) // zero vectors have no direction to vote
+        .select(col("cell"), col("nrm"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
-        .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
+        .agg(sum(col("x").cast("double") / col("nrm")).as("sx"), count(lit(1)).as("n"))
         .collect()
       val byCell = sums.groupBy(_.getInt(0))
       cents = cents.indices.map { c =>

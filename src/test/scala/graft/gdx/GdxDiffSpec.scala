@@ -81,6 +81,21 @@ class GdxDiffSpec extends AnyFunSuite {
     assert(got.map(r => (r._1, r._2, r._3)) === Set(("p", "y", "chg")))
   }
 
+  test("EPS vs plain 0 and NA vs UNDEF are changes (real gdxdiff semantics)") {
+    val a = write(tmp("a.gdx")) { b =>
+      b.addSymbol("p", SymbolType.Parameter, 1, Seq(
+        (Seq("e"), Array(SpecialValues.EPS), None),
+        (Seq("n"), Array(SpecialValues.NA), None)))
+    }
+    val bf = write(tmp("b.gdx")) { b =>
+      b.addSymbol("p", SymbolType.Parameter, 1, Seq(
+        (Seq("e"), Array(0.0), None),                 // stored zero vs EPS
+        (Seq("n"), Array(SpecialValues.UNDEF), None))) // NA vs UNDEF
+    }
+    val got = rows(Gdx.diff(spark, a, bf)).map(r => (r._1, r._2, r._3))
+    assert(got === Set(("p", "e", "chg"), ("p", "n", "chg")))
+  }
+
   test("whole-symbol presence and dim mismatch") {
     val a = write(tmp("a.gdx")) { b =>
       b.addSymbol("onlya", SymbolType.Parameter, 1, Seq(

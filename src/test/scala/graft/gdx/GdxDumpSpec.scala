@@ -36,4 +36,21 @@ class GdxDumpSpec extends AnyFunSuite {
       ("s", "s('k2');"),
       ("v", "v('x') = 3.250000;")))
   }
+
+  test("special values render as gdxdump tokens; huge magnitudes never null the line") {
+    val p = Files.createTempDirectory("gdxdump").resolve("sv.gdx").toString
+    val b = new GdxBuilder()
+    b.addSymbol("p", SymbolType.Parameter, 1, Seq(
+      (Seq("e"), Array(SpecialValues.EPS), None),
+      (Seq("g"), Array(1.0e15), None), // overflows DECIMAL(18,6)
+      (Seq("m"), Array(SpecialValues.MINF), None),
+      (Seq("n"), Array(SpecialValues.NA), None),
+      (Seq("pi"), Array(SpecialValues.PINF), None),
+      (Seq("u"), Array(SpecialValues.UNDEF), None)))
+    GdxCodec.write(b.result(), p)
+    val lines = Gdx.dump(spark, p).collect().map(_.getString(1)).toSet
+    assert(lines === Set(
+      "p('e') = Eps;", "p('g') = 1.0E15;", "p('m') = -Inf;",
+      "p('n') = NA;", "p('pi') = +Inf;", "p('u') = Undf;"))
+  }
 }

@@ -83,6 +83,31 @@ class GdxMergeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("mixed dim/type"))
   }
 
+  test("special values survive the merge losslessly (flag-mode round trip)") {
+    val t = tmpDir()
+    val a = write(s"$t/a.gdx") { b =>
+      b.addSymbol("p", SymbolType.Parameter, 1, Seq(
+        (Seq("e"), Array(SpecialValues.EPS), None),
+        (Seq("u"), Array(SpecialValues.UNDEF), None)))
+    }
+    val bf = write(s"$t/b.gdx") { b =>
+      b.addSymbol("p", SymbolType.Parameter, 1, Seq(
+        (Seq("z"), Array(0.0), None)))
+    }
+    val out = s"$t/out"
+    Gdx.merge(spark, Seq(a, bf), out)
+    // flag-mode read back distinguishes EPS from the plain stored zero
+    // and keeps UNDEF as UNDEF (not collapsed to NA)
+    val back = Gdx.symbol(spark, s"$out/p", "p", specialValues = "columns")
+      .select("dim_1", "dim_2", "is_eps", "is_na", "is_undef").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))).toSet
+    assert(back === Set(
+      ("f1", "e", (true, false, false)),
+      ("f1", "u", (false, false, true)),
+      ("f2", "z", (false, false, false))))
+  }
+
   test("variable merge carries all five value fields") {
     val t = tmpDir()
     val a = write(s"$t/a.gdx") { b =>

@@ -84,8 +84,10 @@ class LshRecallSpec extends AnyFunSuite {
   }
 
   test("int8 quantization fidelity: |Δcos| bounded, exact top-1 preserved") {
+    // deterministic subset: limit() without an order samples whatever
+    // partition the scan yields first, making the thresholds flaky
     val emb = graft.T(spark, d, "embeddings").select("vec_id", "embedding")
-      .limit(300)
+      .orderBy("vec_id").limit(300)
     val q = LlmOps.quantized(emb)
     val pairs = q.select(col("vec_id").as("a"), col("embedding").as("ea"), col("qemb").as("qa"))
       .crossJoin(q.select(col("vec_id").as("b"), col("embedding").as("eb"), col("qemb").as("qb")))

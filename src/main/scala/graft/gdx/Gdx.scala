@@ -78,11 +78,13 @@ object Gdx {
 
   /** dim_* columns in numeric dimension order. NOT a lexicographic
     * sort: GDX allows 20 dimensions and "dim_10" < "dim_2" as strings —
-    * a string sort would silently permute coordinates.
+    * a string sort would silently permute coordinates. Non-numeric
+    * suffixes (user frames like dim_year) sort lexicographically after
+    * the numeric ones instead of throwing.
     */
   private[gdx] def dimCols(df: DataFrame): IndexedSeq[String] =
     df.columns.filter(_.startsWith("dim_")).toIndexedSeq
-      .sortBy(_.stripPrefix("dim_").toInt)
+      .sortBy(c => (c.stripPrefix("dim_").toIntOption.getOrElse(Int.MaxValue), c))
 
   /** Lowercased non-alias symbols matching the comma/space-separated
     * glob list: (name, dim, type), name-sorted. The shared front door
@@ -98,6 +100,16 @@ object Gdx {
       .filter { case (n, _, _) => pats.exists(_.matches(n)) }
       .sortBy(_._1)
   }
+
+  /** gdxdump's rendering token for a RAW sentinel value, null for
+    * ordinary numbers.
+    */
+  private def sentinelToken(v: Column): Column =
+    when(v === SpecialValues.EPS, "Eps")
+      .when(v === SpecialValues.NA, "NA")
+      .when(v === SpecialValues.UNDEF, "Undf")
+      .when(v === SpecialValues.PINF, "+Inf")
+      .when(v === SpecialValues.MINF, "-Inf")
 
   private def emptyFrame(spark: SparkSession, fields: (String, org.apache.spark.sql.types.DataType)*): DataFrame =
     spark.createDataFrame(
@@ -143,21 +155,27 @@ object Gdx {
     * GDX files and reports inserted/deleted/changed records): one row
     * per differing record across every symbol matched by `patterns`.
     *
-    * Output: `(symbol, key, status, value_a, value_b)` where `key` is
-    * the dot-joined label tuple (GAMS `i.j.k` convention) and status is
-    * `del` (record only in A), `ins` (only in B), `chg` (both present,
-    * values differ beyond `tol`), or `dim` (symbol present in both
-    * files with different dimensionality — one summary row). Equal
-    * records are omitted, like the tool. Labels match case-insensitively
-    * (UEL semantics); the displayed key keeps A's casing when present.
+    * Output: `(symbol, key, status, value_a, value_b, special_a,
+    * special_b)` where `key` is the dot-joined label tuple (GAMS
+    * `i.j.k` convention) and status is `del` (record only in A), `ins`
+    * (only in B), `chg` (both present, different), or `dim` (symbol
+    * present in both files with different dimensionality — one summary
+    * row). Values display gdxpy-decoded (EPS→0.0, NA/UNDEF→NaN);
+    * `special_*` carries the tool's token (`Eps`/`NA`/`Undf`/`+Inf`/
+    * `-Inf`, null for ordinary numbers) so an EPS-vs-0 change is
+    * readable in the report, like real gdxdiff output. Equal records
+    * are omitted. Labels match case-insensitively (UEL semantics); the
+    * displayed key keeps A's casing when present.
     *
     * Scale: driver work is O(catalog) — symbol names and dims only.
     * Each symbol compares via a distributed full-outer equi-join on the
-    * lowercased key string. Records scan in lossless flag mode, so the
-    * compare distinguishes EPS from plain 0 and NA from UNDEF (like the
-    * real tool), while NA-vs-NA compares equal via null-safe equality.
-    * No record data ever passes through the driver, so two 100 TB GDX
-    * datasets diff as a sequence of ordinary shuffle joins.
+    * lowercased key string. Records scan in RAW sentinel mode — the
+    * 1e300 encodings are ordinary finite doubles, so plain null-safe
+    * equality distinguishes EPS from 0 and NA from UNDEF in EVERY value
+    * field (flag columns only describe the first), with no NaN
+    * arithmetic anywhere. No record data ever passes through the
+    * driver, so two 100 TB GDX datasets diff as a sequence of ordinary
+    * shuffle joins.
     */
   def diff(spark: SparkSession, pathA: String, pathB: String,
       patterns: String = "*", field: String = "level",
@@ -166,28 +184,34 @@ object Gdx {
     val inB = matchedSymbols(spark, pathB, patterns).map(s => s._1 -> s._2).toMap
     val all = (inA.keySet ++ inB.keySet).toSeq.sorted
 
-    // (key, value, is_eps, is_na, is_undef); the sentinel flags apply to
-    // the FIRST value field, so they participate in the compare only
-    // when that is the field being diffed
     def keyed(path: String, name: String): DataFrame = {
-      val df = symbol(spark, path, name, specialValues = "columns")
+      val df = symbol(spark, path, name, specialValues = "raw")
       val src =
         if (df.columns.contains(field)) field
         else if (field == "level" && df.columns.contains("value")) "value"
         else throw new IllegalArgumentException(
           s"gdx diff: symbol $name has no field '$field'")
-      val flagged = src == "value" || src == "level"
-      def flag(c: String): Column = if (flagged) col(c) else lit(false)
       val dims = dimCols(df)
       val key = if (dims.isEmpty) lit("") else concat_ws(".", dims.map(col): _*)
-      df.select(key.as("key"), col(src).as("value"),
-        flag("is_eps").as("fe"), flag("is_na").as("fn"), flag("is_undef").as("fu"))
+      df.select(key.as("key"), col(src).as("value"))
     }
-    def oneSide(name: String, path: String, status: String): DataFrame =
+    def display(v: Column): Column =
+      when(v === SpecialValues.EPS, 0.0)
+        .when(v === SpecialValues.NA || v === SpecialValues.UNDEF, Double.NaN)
+        .when(v === SpecialValues.PINF, Double.PositiveInfinity)
+        .when(v === SpecialValues.MINF, Double.NegativeInfinity)
+        .otherwise(v)
+    def token(v: Column): Column = Gdx.sentinelToken(v)
+    def oneSide(name: String, path: String, status: String): DataFrame = {
+      val nul = lit(null).cast("double")
+      val nus = lit(null).cast("string")
       keyed(path, name).select(
         lit(name).as("symbol"), col("key"), lit(status).as("status"),
-        (if (status == "del") col("value") else lit(null).cast("double")).as("value_a"),
-        (if (status == "ins") col("value") else lit(null).cast("double")).as("value_b"))
+        (if (status == "del") display(col("value")) else nul).as("value_a"),
+        (if (status == "ins") display(col("value")) else nul).as("value_b"),
+        (if (status == "del") token(col("value")) else nus).as("special_a"),
+        (if (status == "ins") token(col("value")) else nus).as("special_b"))
+    }
 
     val perSymbol = all.map { n =>
       (inA.get(n), inB.get(n)) match {
@@ -197,26 +221,30 @@ object Gdx {
           spark.range(1).select(lit(n).as("symbol"),
             lit(s"dim $da<>$db").as("key"), lit("dim").as("status"),
             lit(null).cast("double").as("value_a"),
-            lit(null).cast("double").as("value_b"))
+            lit(null).cast("double").as("value_b"),
+            lit(null).cast("string").as("special_a"),
+            lit(null).cast("string").as("special_b"))
         case _ =>
           val a = keyed(pathA, n).withColumn("k", lower(col("key")))
-            .toDF("key_a", "value_a", "ea", "na_a", "ua", "k")
+            .toDF("key_a", "raw_a", "k")
           val b = keyed(pathB, n).withColumn("k", lower(col("key")))
-            .toDF("key_b", "value_b", "eb", "na_b", "ub", "k")
-          val valueChanged = !(col("value_a") <=> col("value_b")) &&
-            !(abs(col("value_a") - col("value_b")) <= tol)
-          val flagChanged = !(col("ea") <=> col("eb")) ||
-            !(col("na_a") <=> col("na_b")) || !(col("ua") <=> col("ub"))
+            .toDF("key_b", "raw_b", "k")
+          // raw sentinels are huge finite numbers, so the tol window
+          // never swallows a sentinel-vs-number difference
+          val changed = !(col("raw_a") <=> col("raw_b")) &&
+            !(abs(col("raw_a") - col("raw_b")) <= tol)
           a.join(b, Seq("k"), "full_outer")
             .withColumn("status",
               when(col("key_b").isNull, "del")
                 .when(col("key_a").isNull, "ins")
-                .when(valueChanged || flagChanged, "chg"))
+                .when(changed, "chg"))
             .filter(col("status").isNotNull)
             .select(lit(n).as("symbol"),
               coalesce(col("key_a"), col("key_b")).as("key"), col("status"),
-              when(col("status") =!= "ins", col("value_a")).as("value_a"),
-              when(col("status") =!= "del", col("value_b")).as("value_b"))
+              when(col("status") =!= "ins", display(col("raw_a"))).as("value_a"),
+              when(col("status") =!= "del", display(col("raw_b"))).as("value_b"),
+              when(col("status") =!= "ins", token(col("raw_a"))).as("special_a"),
+              when(col("status") =!= "del", token(col("raw_b"))).as("special_b"))
       }
     }
     perSymbol.reduceOption(_ unionByName _).getOrElse(
@@ -225,7 +253,9 @@ object Gdx {
         "key" -> org.apache.spark.sql.types.StringType,
         "status" -> org.apache.spark.sql.types.StringType,
         "value_a" -> org.apache.spark.sql.types.DoubleType,
-        "value_b" -> org.apache.spark.sql.types.DoubleType))
+        "value_b" -> org.apache.spark.sql.types.DoubleType,
+        "special_a" -> org.apache.spark.sql.types.StringType,
+        "special_b" -> org.apache.spark.sql.types.StringType))
   }
 
   /** GAMS `gdxmerge` tool parity (SPEC: gdxmerge utility — combines
@@ -240,11 +270,12 @@ object Gdx {
     * write; driver work is O(catalog) per input. Unlike the real tool's
     * single output file, the sharded layout keeps the merge of N large
     * files executor-parallel end-to-end (SCALE.md §3). Records scan in
-    * lossless flag mode and the writer re-encodes the sentinels from
-    * the flag columns, so EPS/NA/UNDEF survive the merge exactly.
+    * RAW sentinel mode and the writer passes the finite 1e300 encodings
+    * straight through, so EPS/NA/UNDEF/±Inf survive the merge exactly
+    * in EVERY value field (marginals and bounds included, where flag
+    * columns could not help — they describe the first field only).
     * Variable/equation subtypes (vartype bounds class) are not in the
-    * catalog and thus not propagated — bounds fields themselves merge
-    * losslessly.
+    * catalog and thus not propagated.
     */
   def merge(spark: SparkSession, paths: Seq[String], outDir: String,
       patterns: String = "*", tags: Seq[String] = null): Seq[String] = {
@@ -264,11 +295,11 @@ object Gdx {
         s"gdx merge: symbol $n has mixed dim/type across files: ${shapes.mkString(", ")}")
       val (_, typ) = shapes.head
       val merged = present.map { case (p, t, _) =>
-        // flag mode keeps EPS/NA/UNDEF lossless through the round trip;
+        // raw mode keeps every sentinel lossless through the round trip;
         // sets have no numeric values, so they scan plain
         val df =
           if (typ == "set") symbol(spark, p, n)
-          else symbol(spark, p, n, specialValues = "columns")
+          else symbol(spark, p, n, specialValues = "raw")
         val dims = dimCols(df)
         // sets scan with a constant `value` column; the writer must see
         // only text for a set, so keep value for parameters/var/equ only
@@ -304,7 +335,7 @@ object Gdx {
     val perSymbol = matchedSymbols(spark, path, patterns).map { case (n, _, typ) =>
       val df =
         if (typ == "set") symbol(spark, path, n)
-        else symbol(spark, path, n, specialValues = "columns")
+        else symbol(spark, path, n, specialValues = "raw")
       val dims = dimCols(df)
       val keys =
         if (dims.isEmpty) lit("")
@@ -317,15 +348,12 @@ object Gdx {
             .otherwise(lit(""))
         case _ =>
           val v = col(if (df.columns.contains("value")) "value" else "level")
-          // range-guarded: ANSI mode makes an overflowing decimal cast
-          // THROW, so the fallback must gate the cast, not catch a null
-          val rendered = when(col("is_eps"), "Eps")
-            .when(col("is_na"), "NA")
-            .when(col("is_undef"), "Undf")
-            .when(v === Double.PositiveInfinity, "+Inf")
-            .when(v === Double.NegativeInfinity, "-Inf")
-            .when(abs(v) < 1e12, v.cast("decimal(18,6)").cast("string"))
-            .otherwise(v.cast("string"))
+          // raw scan → sentinel tokens by equality; ordinary values
+          // range-guard the decimal cast (ANSI mode makes an overflowing
+          // cast THROW, so the fallback must gate it, not catch a null)
+          val rendered = coalesce(sentinelToken(v),
+            when(abs(v) < 1e12, v.cast("decimal(18,6)").cast("string"))
+              .otherwise(v.cast("string")))
           concat(lit(" = "), rendered)
       }
       df.select(lit(n).as("symbol"), concat(lit(n), keys, body, lit(";")).as("line"))

@@ -341,9 +341,9 @@ object GdxOps extends QueryModule {
     lock.synchronized {
       val dir = fixtureDir(sfDir)
       new File(dir).mkdirs()
-      // guard on the LAST-written file: a crash between the two writes
-      // must not leave a permanently half-built fixture pair
-      if (!new File(s"$dir/diffB.gdx").exists()) {
+      // marker written AFTER both files: a crash mid-build can only
+      // leave unmarked partial files, which the next run overwrites
+      if (!new File(s"$dir/diff.ok").exists()) {
         val nation = T(s, sfDir, "nation")
           .select(col("n_name"), col("n_nationkey").cast("double"))
           .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
@@ -362,6 +362,7 @@ object GdxOps extends QueryModule {
             (Seq(n), Array(if (k.toInt % 3 == 0) k + 0.5 else k), None)
           } :+ ((Seq("zz_extra"), Array(99.0), None))).sortBy(_._1.head))
         GdxCodec.write(b.result(), s"$dir/diffB.gdx")
+        java.nio.file.Files.createFile(new File(dir, "diff.ok").toPath)
       }
       dir
     }
@@ -373,7 +374,8 @@ object GdxOps extends QueryModule {
     * reportSorted is legitimate.
     */
   q("gdx_diff",
-    """SELECT * FROM (
+    """SELECT *, CAST(NULL AS VARCHAR) AS special_a, CAST(NULL AS VARCHAR) AS special_b
+      |FROM (
       |  SELECT 'onlya' AS symbol, r_name AS key, 'del' AS status,
       |         CAST(r_regionkey AS DOUBLE) AS value_a, CAST(NULL AS DOUBLE) AS value_b
       |  FROM region

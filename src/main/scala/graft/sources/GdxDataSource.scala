@@ -18,7 +18,10 @@ import graft.gdx._
   *     gdxFindSymbol; `__catalog__` returns the symbol table
   *     (gdxSystemInfo/gdxSymbolInfo view).
   *   - `specialValues` = map (default; gdxpy-compatible NaN/±inf/0) |
-  *     columns (adds is_eps/is_na/is_undef flags — lossless).
+  *     columns (adds is_eps/is_na/is_undef flags — lossless for the
+  *     first value field) | raw (sentinels kept as their finite 1e300
+  *     encodings — lossless for ALL value fields; scan→write is the
+  *     identity, which is what the gdxmerge/gdxdiff tools ride).
   *   - `path` may be a single .gdx file or a sharded directory produced
   *     by the writer (shard-*.gdx + _manifest.json) — one InputPartition
   *     per (shard, symbol), which is what makes scans parallel at 100 TB

@@ -140,7 +140,8 @@ class GdxScan(fullSchema: StructType, required: StructType, pushed: Seq[DimLabel
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GdxReaderFactory(fullSchema, required, pushed, symbol)
+    new GdxReaderFactory(fullSchema, required, pushed, symbol,
+      raw = options.getOrDefault("specialValues", "map") == "raw")
 
   override def description(): String =
     s"GdxScan(path=$path, symbol=$symbol, pushed=${pushed.mkString(",")})"
@@ -150,13 +151,14 @@ case class GdxInputPartition(shardPath: String, symbol: String) extends InputPar
 case class GdxCatalogPartition(shardPaths: Seq[String]) extends InputPartition
 
 class GdxReaderFactory(fullSchema: StructType, required: StructType,
-    pushed: Seq[DimLabelFilter], symbol: String) extends PartitionReaderFactory {
+    pushed: Seq[DimLabelFilter], symbol: String,
+    raw: Boolean = false) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case GdxCatalogPartition(shards) => new GdxCatalogReader(shards, required)
       case GdxInputPartition(shard, sym) =>
-        new GdxSymbolReader(shard, sym, fullSchema, required, pushed)
+        new GdxSymbolReader(shard, sym, fullSchema, required, pushed, raw)
     }
 }
 
@@ -198,7 +200,8 @@ class GdxCatalogReader(paths: Seq[String], required: StructType)
 }
 
 class GdxSymbolReader(path: String, symbol: String, fullSchema: StructType,
-    required: StructType, pushed: Seq[DimLabelFilter]) extends PartitionReader[InternalRow] {
+    required: StructType, pushed: Seq[DimLabelFilter],
+    raw: Boolean = false) extends PartitionReader[InternalRow] {
 
   private val header = GdxCodec.readHeader(path)
   private val meta = GdxTable.resolveSymbol(header, symbol, path)
@@ -267,8 +270,13 @@ class GdxSymbolReader(path: String, symbol: String, fullSchema: StructType,
   private def firstVal(r: GdxRecord): Double =
     if (r.values.nonEmpty) r.values(0) else 0.0
 
+  // raw mode: sentinels pass through as their finite 1e300 encodings —
+  // the lossless representation the tool suite (merge/diff/dump) uses
+  // for ALL five value fields (flag columns only describe values(0))
   private def mapValue(v: Double): Double =
-    if (flagMode && v == SpecialValues.EPS) 0.0 else SpecialValues.toDouble(v)
+    if (raw) v
+    else if (flagMode && v == SpecialValues.EPS) 0.0
+    else SpecialValues.toDouble(v)
 
   private def keep(r: GdxRecord): Boolean =
     dimFilters.forall { case (i, allowed) => allowed.contains(r.keys(i)) }

@@ -81,7 +81,7 @@ class GdxDiffSpec extends AnyFunSuite {
     assert(got.map(r => (r._1, r._2, r._3)) === Set(("p", "y", "chg")))
   }
 
-  test("EPS vs plain 0 and NA vs UNDEF are changes (real gdxdiff semantics)") {
+  test("EPS vs plain 0 and NA vs UNDEF are changes, readable via special tokens") {
     val a = write(tmp("a.gdx")) { b =>
       b.addSymbol("p", SymbolType.Parameter, 1, Seq(
         (Seq("e"), Array(SpecialValues.EPS), None),
@@ -92,8 +92,32 @@ class GdxDiffSpec extends AnyFunSuite {
         (Seq("e"), Array(0.0), None),                 // stored zero vs EPS
         (Seq("n"), Array(SpecialValues.UNDEF), None))) // NA vs UNDEF
     }
-    val got = rows(Gdx.diff(spark, a, bf)).map(r => (r._1, r._2, r._3))
-    assert(got === Set(("p", "e", "chg"), ("p", "n", "chg")))
+    val got = Gdx.diff(spark, a, bf)
+      .select("key", "status", "special_a", "special_b").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSet
+    assert(got === Set(
+      ("e", "chg", Some("Eps"), None),
+      ("n", "chg", Some("NA"), Some("Undf"))))
+  }
+
+  test("non-first value fields diff losslessly too: marginal EPS vs 0 is a change") {
+    val a = write(tmp("a.gdx")) { b =>
+      b.addSymbol("v", SymbolType.Variable, 1, Seq(
+        (Seq("x"), Array(1.0, SpecialValues.EPS, 0.0, 0.0, 1.0), None)))
+    }
+    val bf = write(tmp("b.gdx")) { b =>
+      b.addSymbol("v", SymbolType.Variable, 1, Seq(
+        (Seq("x"), Array(1.0, 0.0, 0.0, 0.0, 1.0), None)))
+    }
+    // levels equal → no diff on the default field
+    assert(Gdx.diff(spark, a, bf).count() === 0)
+    // marginals differ by EPS-ness → chg with tokens
+    val got = Gdx.diff(spark, a, bf, field = "marginal")
+      .select("key", "status", "special_a", "special_b").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSet
+    assert(got === Set(("x", "chg", Some("Eps"), None)))
   }
 
   test("whole-symbol presence and dim mismatch") {

@@ -108,6 +108,24 @@ class GdxMergeSpec extends AnyFunSuite {
       ("f2", "z", (false, false, false))))
   }
 
+  test("variable sentinels in non-first fields survive the merge (raw round trip)") {
+    val t = tmpDir()
+    val a = write(s"$t/a.gdx") { b =>
+      b.addSymbol("v", SymbolType.Variable, 1, Seq(
+        (Seq("x"), Array(1.0, SpecialValues.EPS, SpecialValues.MINF,
+          SpecialValues.PINF, 1.0), None)))
+    }
+    val out = s"$t/out"
+    Gdx.merge(spark, Seq(a), out)
+    // re-read RAW: the marginal EPS and infinite bounds must be the
+    // exact sentinel encodings, not 0.0 / NA-collapsed values
+    val back = Gdx.symbol(spark, s"$out/v", "v", specialValues = "raw")
+      .select("marginal", "lower", "upper").head
+    assert(back.getDouble(0) === SpecialValues.EPS)
+    assert(back.getDouble(1) === SpecialValues.MINF)
+    assert(back.getDouble(2) === SpecialValues.PINF)
+  }
+
   test("variable merge carries all five value fields") {
     val t = tmpDir()
     val a = write(s"$t/a.gdx") { b =>

@@ -39,7 +39,8 @@ object GdxShardOffset {
   * (GdxTable.committedShardsOf) instead.
   */
 class GdxMicroBatchStream(path: String, symbol: String, fullSchema: StructType,
-    required: StructType, pushed: Seq[DimLabelFilter]) extends MicroBatchStream {
+    required: StructType, pushed: Seq[DimLabelFilter],
+    raw: Boolean = false) extends MicroBatchStream {
 
   require(symbol != GdxTable.CatalogSymbol, "gdx: the catalog view is not streamable")
 
@@ -68,7 +69,7 @@ class GdxMicroBatchStream(path: String, symbol: String, fullSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GdxReaderFactory(fullSchema, required, pushed, symbol)
+    new GdxReaderFactory(fullSchema, required, pushed, symbol, raw)
 
   override def commit(end: Offset): Unit = ()
 

@@ -163,6 +163,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table(name).count() == 5)
   }
 
+  test("gdx readStream in raw mode streams sentinel encodings losslessly") {
+    import graft.gdx.SpecialValues
+    val dir = java.nio.file.Files.createTempDirectory("gdx-stream-raw").toString + "/data"
+    Seq(("e", SpecialValues.EPS), ("n", SpecialValues.NA), ("p", 2.5))
+      .toDF("dim_1", "value")
+      .write.format("gdx").mode("overwrite")
+      .option("symbol", "s").option("specialValues", "raw").save(dir)
+    val name = nextName()
+    val q = spark.readStream.format("gdx")
+      .option("symbol", "s").option("specialValues", "raw").load(dir)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table(name).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === Map("e" -> SpecialValues.EPS, "n" -> SpecialValues.NA, "p" -> 2.5))
+  }
+
   test("gdx readStream: batch parity on existing shards, new shards ingested incrementally") {
     val dir = java.nio.file.Files.createTempDirectory("gdx-stream").toString + "/data"
     (0 until 100).map(i => (f"a$i%03d", i.toDouble)).toDF("dim_1", "value")

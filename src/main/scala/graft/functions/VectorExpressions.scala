@@ -204,9 +204,11 @@ case class VecCosine(left: Expression, right: Expression)
 /** quantize8(a): symmetric int8 scalar quantization
   * round(aᵢ · 127/max|a|) as array<tinyint> — one native pass instead
   * of the array_max + transform HOF pair (measured ~2× on the
-  * sim_ann_quantized prep stage). Ties round away from zero on the
-  * BINARY double (C `round` semantics — matches DuckDB's `round`,
-  * which the oracle uses). Zero vectors quantize to zero vectors.
+  * sim_ann_quantized prep stage). Ties round half-away-from-zero by an
+  * explicit fractional-part compare (C `round` / DuckDB `round`
+  * semantics) — NOT `t + 0.5` truncation, whose FP addition crosses
+  * the integer boundary for edge doubles like 0.49999999999999994.
+  * Zero vectors quantize to zero vectors.
   */
 case class VecQuantize8(child: Expression)
     extends UnaryExpression with VecArrayHelpers {
@@ -233,7 +235,10 @@ case class VecQuantize8(child: Expression)
     i = 0
     while (i < n) {
       val t = readAsDouble(a, i, eType) * scale
-      out(i) = (if (t >= 0) t + 0.5 else t - 0.5).toByte
+      val at = math.abs(t)
+      val fl = math.floor(at)
+      val r = if (at - fl >= 0.5) fl + 1.0 else fl
+      out(i) = (if (t < 0) -r else r).toByte
       i += 1
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
@@ -248,6 +253,9 @@ case class VecQuantize8(child: Expression)
       val t = ctx.freshName("t")
       val out = ctx.freshName("out")
       val x = ctx.freshName("x")
+      val at = ctx.freshName("at")
+      val fl = ctx.freshName("fl")
+      val r = ctx.freshName("r")
       s"""
          |int $n = $a.numElements();
          |double $maxAbs = 0.0;
@@ -259,7 +267,10 @@ case class VecQuantize8(child: Expression)
          |byte[] $out = new byte[$n];
          |for (int $i = 0; $i < $n; $i++) {
          |  double $t = ${getAsDouble(a, i, eType)} * $scale;
-         |  $out[$i] = (byte) ($t >= 0 ? $t + 0.5 : $t - 0.5);
+         |  double $at = java.lang.Math.abs($t);
+         |  double $fl = java.lang.Math.floor($at);
+         |  double $r = ($at - $fl >= 0.5) ? $fl + 1.0 : $fl;
+         |  $out[$i] = (byte) ($t < 0 ? -$r : $r);
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
        """.stripMargin

@@ -86,19 +86,38 @@ object Gdx {
     df.columns.filter(_.startsWith("dim_")).toIndexedSeq
       .sortBy(c => (c.stripPrefix("dim_").toIntOption.getOrElse(Int.MaxValue), c))
 
+  /** One matched symbol's catalog shape — the tool suite's unit. */
+  private[gdx] final case class SymShape(name: String, dim: Int,
+      typ: String, subtype: Int)
+
   /** Lowercased non-alias symbols matching the comma/space-separated
-    * glob list: (name, dim, type), name-sorted. The shared front door
-    * for the tool suite (diff/merge/dump) — one place for pattern and
-    * alias semantics.
+    * glob list, name-sorted. The shared front door for the tool suite
+    * (diff/merge/dump) — one place for pattern and alias semantics.
+    * Carries the variable/equation subtype so merge can preserve it
+    * (a real gdxmerge keeps the vartype; default-bound semantics
+    * depend on it).
     */
   private def matchedSymbols(spark: SparkSession, path: String,
-      patterns: String): Seq[(String, Int, String)] = {
+      patterns: String): Seq[SymShape] = {
     val pats = patterns.split("[ ,]+").filter(_.nonEmpty).map(globToRegex)
     catalog(spark, path).filter(col("type") =!= "alias")
-      .select("name", "dim", "type").collect().toSeq
-      .map(r => (r.getString(0).toLowerCase, r.getInt(1), r.getString(2)))
-      .filter { case (n, _, _) => pats.exists(_.matches(n)) }
-      .sortBy(_._1)
+      .select("name", "dim", "type", "subtype").collect().toSeq
+      .map(r => SymShape(r.getString(0).toLowerCase, r.getInt(1), r.getString(2), r.getInt(3)))
+      .filter(s => pats.exists(_.matches(s.name)))
+      .sortBy(_.name)
+  }
+
+  /** Union a per-symbol frame list in a balanced binary tree: log-depth
+    * plan instead of a linear chain, so a pathological 10⁵-symbol
+    * catalog cannot blow the analyzer stack (a chain recurses once per
+    * node at resolution time).
+    */
+  private[gdx] def treeUnion(dfs: Seq[DataFrame]): Option[DataFrame] = {
+    var cur = dfs
+    while (cur.length > 1)
+      cur = cur.grouped(2).map(g =>
+        if (g.length == 2) g(0).unionByName(g(1)) else g(0)).toSeq
+    cur.headOption
   }
 
   /** gdxdump's rendering token for a RAW sentinel value, null for
@@ -156,16 +175,22 @@ object Gdx {
     * per differing record across every symbol matched by `patterns`.
     *
     * Output: `(symbol, key, status, value_a, value_b, special_a,
-    * special_b)` where `key` is the dot-joined label tuple (GAMS
-    * `i.j.k` convention) and status is `del` (record only in A), `ins`
-    * (only in B), `chg` (both present, different), or `dim` (symbol
-    * present in both files with different dimensionality — one summary
-    * row). Values display gdxpy-decoded (EPS→0.0, NA/UNDEF→NaN);
-    * `special_*` carries the tool's token (`Eps`/`NA`/`Undf`/`+Inf`/
-    * `-Inf`, null for ordinary numbers) so an EPS-vs-0 change is
-    * readable in the report, like real gdxdiff output. Equal records
-    * are omitted. Labels match case-insensitively (UEL semantics); the
-    * displayed key keeps A's casing when present.
+    * special_b, text_a, text_b)` where `key` is the dot-joined label
+    * tuple (GAMS `i.j.k` convention) and status is `del` (record only
+    * in A), `ins` (only in B), `chg` (both present, different), `dim`
+    * (symbol present in both files with different dimensionality — one
+    * summary row), or `type` (different symbol types — one summary row,
+    * checked before dim so a set-vs-parameter pair never value-joins
+    * on the set's storage placeholder). Values display gdxpy-decoded
+    * (EPS→0.0, NA/UNDEF→NaN); `special_*` carries the tool's token
+    * (`Eps`/`NA`/`Undf`/`+Inf`/`-Inf`, null for ordinary numbers) so an
+    * EPS-vs-0 change is readable in the report, like real gdxdiff
+    * output. Sets compare by membership and associated text (`text_*`,
+    * null for numeric symbols). `field` applies to var/equ symbols
+    * only; parameters and sets diff their own field regardless, as the
+    * real tool does. Equal records are omitted. Labels match
+    * case-insensitively (UEL semantics); the displayed key keeps A's
+    * casing when present.
     *
     * Scale: driver work is O(catalog) — symbol names and dims only.
     * Each symbol compares via a distributed full-outer equi-join on the
@@ -180,20 +205,34 @@ object Gdx {
   def diff(spark: SparkSession, pathA: String, pathB: String,
       patterns: String = "*", field: String = "level",
       tol: Double = 0.0): DataFrame = {
-    val inA = matchedSymbols(spark, pathA, patterns).map(s => s._1 -> s._2).toMap
-    val inB = matchedSymbols(spark, pathB, patterns).map(s => s._1 -> s._2).toMap
+    require(ValField.names.contains(field),
+      s"gdx diff: unknown field '$field' (one of ${ValField.names.mkString("/")})")
+    val inA = matchedSymbols(spark, pathA, patterns).map(s => s.name -> s).toMap
+    val inB = matchedSymbols(spark, pathB, patterns).map(s => s.name -> s).toMap
     val all = (inA.keySet ++ inB.keySet).toSeq.sorted
 
-    def keyed(path: String, name: String): DataFrame = {
-      val df = symbol(spark, path, name, specialValues = "raw")
-      val src =
-        if (df.columns.contains(field)) field
-        else if (field == "level" && df.columns.contains("value")) "value"
-        else throw new IllegalArgumentException(
-          s"gdx diff: symbol $name has no field '$field'")
+    // (key, value, text). Sets have no numeric field: value is null and
+    // the associated text drives change detection (real gdxdiff compares
+    // set text, not the storage placeholder). The field selection
+    // applies to var/equ symbols only — a parameter or set in a
+    // field="marginal" diff falls back to its own field instead of
+    // failing the whole diff (real gdxdiff semantics).
+    def keyed(path: String, name: String, typ: String): DataFrame = {
+      val isSet = typ == "set"
+      val df =
+        if (isSet) symbol(spark, path, name)
+        else symbol(spark, path, name, specialValues = "raw")
       val dims = dimCols(df)
       val key = if (dims.isEmpty) lit("") else concat_ws(".", dims.map(col): _*)
-      df.select(key.as("key"), col(src).as("value"))
+      val value =
+        if (isSet) lit(null).cast("double")
+        else if (df.columns.contains(field)) col(field)
+        else if (df.columns.contains("value")) col("value")
+        else col("level")
+      val text =
+        if (isSet && df.columns.contains("text")) col("text")
+        else lit(null).cast("string")
+      df.select(key.as("key"), value.as("value"), text.as("text"))
     }
     def display(v: Column): Column =
       when(v === SpecialValues.EPS, 0.0)
@@ -202,37 +241,51 @@ object Gdx {
         .when(v === SpecialValues.MINF, Double.NegativeInfinity)
         .otherwise(v)
     def token(v: Column): Column = Gdx.sentinelToken(v)
-    def oneSide(name: String, path: String, status: String): DataFrame = {
+    def summaryRow(n: String, key: String, status: String): DataFrame =
+      spark.range(1).select(lit(n).as("symbol"),
+        lit(key).as("key"), lit(status).as("status"),
+        lit(null).cast("double").as("value_a"),
+        lit(null).cast("double").as("value_b"),
+        lit(null).cast("string").as("special_a"),
+        lit(null).cast("string").as("special_b"),
+        lit(null).cast("string").as("text_a"),
+        lit(null).cast("string").as("text_b"))
+    def oneSide(name: String, path: String, typ: String, status: String): DataFrame = {
       val nul = lit(null).cast("double")
       val nus = lit(null).cast("string")
-      keyed(path, name).select(
+      keyed(path, name, typ).select(
         lit(name).as("symbol"), col("key"), lit(status).as("status"),
         (if (status == "del") display(col("value")) else nul).as("value_a"),
         (if (status == "ins") display(col("value")) else nul).as("value_b"),
         (if (status == "del") token(col("value")) else nus).as("special_a"),
-        (if (status == "ins") token(col("value")) else nus).as("special_b"))
+        (if (status == "ins") token(col("value")) else nus).as("special_b"),
+        (if (status == "del") col("text") else nus).as("text_a"),
+        (if (status == "ins") col("text") else nus).as("text_b"))
     }
 
     val perSymbol = all.map { n =>
       (inA.get(n), inB.get(n)) match {
-        case (Some(_), None) => oneSide(n, pathA, "del")
-        case (None, Some(_)) => oneSide(n, pathB, "ins")
-        case (Some(da), Some(db)) if da != db =>
-          spark.range(1).select(lit(n).as("symbol"),
-            lit(s"dim $da<>$db").as("key"), lit("dim").as("status"),
-            lit(null).cast("double").as("value_a"),
-            lit(null).cast("double").as("value_b"),
-            lit(null).cast("string").as("special_a"),
-            lit(null).cast("string").as("special_b"))
+        case (Some(sa), None) => oneSide(n, pathA, sa.typ, "del")
+        case (None, Some(sb)) => oneSide(n, pathB, sb.typ, "ins")
+        // a set-in-A / parameter-in-B symbol must NOT value-join (sets
+        // scan a placeholder) — report the type change, like real
+        // gdxdiff, before the dim check can mask it
+        case (Some(sa), Some(sb)) if sa.typ != sb.typ =>
+          summaryRow(n, s"type ${sa.typ}<>${sb.typ}", "type")
+        case (Some(sa), Some(sb)) if sa.dim != sb.dim =>
+          summaryRow(n, s"dim ${sa.dim}<>${sb.dim}", "dim")
         case _ =>
-          val a = keyed(pathA, n).withColumn("k", lower(col("key")))
-            .toDF("key_a", "raw_a", "k")
-          val b = keyed(pathB, n).withColumn("k", lower(col("key")))
-            .toDF("key_b", "raw_b", "k")
+          val sa = inA(n)
+          val a = keyed(pathA, n, sa.typ).withColumn("k", lower(col("key")))
+            .toDF("key_a", "raw_a", "text_a", "k")
+          val b = keyed(pathB, n, sa.typ).withColumn("k", lower(col("key")))
+            .toDF("key_b", "raw_b", "text_b", "k")
           // raw sentinels are huge finite numbers, so the tol window
-          // never swallows a sentinel-vs-number difference
-          val changed = !(col("raw_a") <=> col("raw_b")) &&
-            !(abs(col("raw_a") - col("raw_b")) <= tol)
+          // never swallows a sentinel-vs-number difference; for sets the
+          // raw columns are null on both sides and only text can differ
+          val changed = (!(col("raw_a") <=> col("raw_b")) &&
+            !(abs(col("raw_a") - col("raw_b")) <= tol)) ||
+            !(col("text_a") <=> col("text_b"))
           a.join(b, Seq("k"), "full_outer")
             .withColumn("status",
               when(col("key_b").isNull, "del")
@@ -244,10 +297,12 @@ object Gdx {
               when(col("status") =!= "ins", display(col("raw_a"))).as("value_a"),
               when(col("status") =!= "del", display(col("raw_b"))).as("value_b"),
               when(col("status") =!= "ins", token(col("raw_a"))).as("special_a"),
-              when(col("status") =!= "del", token(col("raw_b"))).as("special_b"))
+              when(col("status") =!= "del", token(col("raw_b"))).as("special_b"),
+              when(col("status") =!= "ins", col("text_a")).as("text_a"),
+              when(col("status") =!= "del", col("text_b")).as("text_b"))
       }
     }
-    perSymbol.reduceOption(_ unionByName _).getOrElse(
+    treeUnion(perSymbol).getOrElse(
       emptyFrame(spark,
         "symbol" -> org.apache.spark.sql.types.StringType,
         "key" -> org.apache.spark.sql.types.StringType,
@@ -255,7 +310,9 @@ object Gdx {
         "value_a" -> org.apache.spark.sql.types.DoubleType,
         "value_b" -> org.apache.spark.sql.types.DoubleType,
         "special_a" -> org.apache.spark.sql.types.StringType,
-        "special_b" -> org.apache.spark.sql.types.StringType))
+        "special_b" -> org.apache.spark.sql.types.StringType,
+        "text_a" -> org.apache.spark.sql.types.StringType,
+        "text_b" -> org.apache.spark.sql.types.StringType))
   }
 
   /** GAMS `gdxmerge` tool parity (SPEC: gdxmerge utility — combines
@@ -274,8 +331,10 @@ object Gdx {
     * straight through, so EPS/NA/UNDEF/±Inf survive the merge exactly
     * in EVERY value field (marginals and bounds included, where flag
     * columns could not help — they describe the first field only).
-    * Variable/equation subtypes (vartype bounds class) are not in the
-    * catalog and thus not propagated.
+    * Variable/equation subtypes (vartype bounds class) ride the
+    * catalog's `subtype` column into the writer, so a merged positive
+    * variable is still a positive variable and `defaultFill` on the
+    * merged output matches the per-input result.
     */
   def merge(spark: SparkSession, paths: Seq[String], outDir: String,
       patterns: String = "*", tags: Seq[String] = null): Seq[String] = {
@@ -284,17 +343,17 @@ object Gdx {
     require(fileTags.length == paths.length, "gdx merge: one tag per file")
     require(fileTags.distinct.length == fileTags.length, "gdx merge: tags must be unique")
     val cats = paths.map { p =>
-      matchedSymbols(spark, p, patterns).map(s => s._1 -> ((s._2, s._3))).toMap
+      matchedSymbols(spark, p, patterns).map(s => s.name -> s).toMap
     }
     val names = cats.flatMap(_.keys).distinct.sorted
     names.map { n =>
       val present = paths.lazyZip(fileTags).lazyZip(cats).toSeq
         .collect { case (p, t, c) if c.contains(n) => (p, t, c(n)) }
-      val shapes = present.map(_._3).distinct
+      val shapes = present.map(s => (s._3.dim, s._3.typ, s._3.subtype)).distinct
       require(shapes.length == 1,
-        s"gdx merge: symbol $n has mixed dim/type across files: ${shapes.mkString(", ")}")
-      val (_, typ) = shapes.head
-      val merged = present.map { case (p, t, _) =>
+        s"gdx merge: symbol $n has mixed dim/type/subtype across files: ${shapes.mkString(", ")}")
+      val (_, typ, subtype) = shapes.head
+      val merged = treeUnion(present.map { case (p, t, _) =>
         // raw mode keeps every sentinel lossless through the round trip;
         // sets have no numeric values, so they scan plain
         val df =
@@ -309,9 +368,10 @@ object Gdx {
         df.select((lit(t).as("dim_1") +:
           dims.zipWithIndex.map { case (c, i) => col(c).as(s"dim_${i + 2}") }) ++
           valCols.map(col): _*)
-      }.reduce(_ unionByName _)
+      }).get
       merged.write.format("gdx").mode("overwrite")
         .option("symbol", n).option("symbolType", typ)
+        .option("subtype", subtype.toString)
         .save(s"$outDir/$n")
       n
     }
@@ -332,7 +392,8 @@ object Gdx {
     * stays an ordinary DataFrame to write wherever needed.
     */
   def dump(spark: SparkSession, path: String, patterns: String = "*"): DataFrame = {
-    val perSymbol = matchedSymbols(spark, path, patterns).map { case (n, _, typ) =>
+    val perSymbol = matchedSymbols(spark, path, patterns).map { s =>
+      val (n, typ) = (s.name, s.typ)
       val df =
         if (typ == "set") symbol(spark, path, n)
         else symbol(spark, path, n, specialValues = "raw")
@@ -358,7 +419,7 @@ object Gdx {
       }
       df.select(lit(n).as("symbol"), concat(lit(n), keys, body, lit(";")).as("line"))
     }
-    perSymbol.reduceOption(_ unionByName _).getOrElse(
+    treeUnion(perSymbol).getOrElse(
       emptyFrame(spark,
         "symbol" -> org.apache.spark.sql.types.StringType,
         "line" -> org.apache.spark.sql.types.StringType))

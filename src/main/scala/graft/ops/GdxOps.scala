@@ -101,18 +101,18 @@ object GdxOps extends QueryModule {
 
   q("gdx_catalog",
     """SELECT * FROM (
-      |  SELECT 'nat' AS name, 'parameter' AS type, 1 AS dim,
+      |  SELECT 'nat' AS name, 'parameter' AS type, 1 AS dim, 0 AS subtype,
       |         (SELECT count(*) FROM nation) AS records
-      |  UNION ALL SELECT 'natbad', 'parameter', 2, CAST(2 AS BIGINT)
-      |  UNION ALL SELECT 'natreg', 'parameter', 2, (SELECT count(*) FROM nation)
-      |  UNION ALL SELECT 'ncount', 'parameter', 0, CAST(1 AS BIGINT)
-      |  UNION ALL SELECT 'r', 'alias', 0, CAST(0 AS BIGINT)
-      |  UNION ALL SELECT 'regset', 'set', 1, (SELECT count(*) FROM region)
-      |  UNION ALL SELECT 'spec', 'parameter', 1, CAST(6 AS BIGINT)) t
+      |  UNION ALL SELECT 'natbad', 'parameter', 2, 0, CAST(2 AS BIGINT)
+      |  UNION ALL SELECT 'natreg', 'parameter', 2, 0, (SELECT count(*) FROM nation)
+      |  UNION ALL SELECT 'ncount', 'parameter', 0, 0, CAST(1 AS BIGINT)
+      |  UNION ALL SELECT 'r', 'alias', 0, 0, CAST(0 AS BIGINT)
+      |  UNION ALL SELECT 'regset', 'set', 1, 0, (SELECT count(*) FROM region)
+      |  UNION ALL SELECT 'spec', 'parameter', 1, 0, CAST(6 AS BIGINT)) t
       |ORDER BY name""") { (s, d) =>
     val dir = ensureFixtures(s, d)
     Gdx.catalog(s, s"$dir/file1.gdx")
-      .select("name", "type", "dim", "records")
+      .select("name", "type", "dim", "subtype", "records")
       .orderBy("name")
   }
 
@@ -336,6 +336,9 @@ object GdxOps extends QueryModule {
     * regions-only symbol; file B drops nationkey%7 names, shifts
     * nationkey%3 values by +0.5 and adds one new label — so the diff
     * exercises del / chg / ins and a whole-symbol deletion at once.
+    * A region-keyed SET pair (member drop / text change / new member)
+    * and a parameter-in-A-set-in-B symbol extend the report with the
+    * text-diff and type-mismatch paths.
     */
   private def ensureDiffFixtures(s: SparkSession, sfDir: String): String =
     lock.synchronized {
@@ -343,7 +346,7 @@ object GdxOps extends QueryModule {
       new File(dir).mkdirs()
       // marker written AFTER both files: a crash mid-build can only
       // leave unmarked partial files, which the next run overwrites
-      if (!new File(s"$dir/diff.ok").exists()) {
+      if (!new File(s"$dir/diff2.ok").exists()) {
         val nation = T(s, sfDir, "nation")
           .select(col("n_name"), col("n_nationkey").cast("double"))
           .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
@@ -355,14 +358,25 @@ object GdxOps extends QueryModule {
           nation.map { case (n, k) => (Seq(n), Array(k), None) })
         a.addSymbol("onlya", SymbolType.Parameter, 1,
           region.map { case (r, k) => (Seq(r), Array(k), None) })
+        a.addSymbol("s", SymbolType.Set, 1,
+          region.map { case (r, k) => (Seq(r), Array.empty[Double], Some(s"region $k")) })
+        a.addSymbol("mix", SymbolType.Parameter, 1, Seq((Seq("only"), Array(1.0), None)))
         GdxCodec.write(a.result(), s"$dir/diffA.gdx")
         val b = new GdxBuilder()
         b.addSymbol("p", SymbolType.Parameter, 1,
           (nation.filter(_._2.toInt % 7 != 0).map { case (n, k) =>
             (Seq(n), Array(if (k.toInt % 3 == 0) k + 0.5 else k), None)
           } :+ ((Seq("zz_extra"), Array(99.0), None))).sortBy(_._1.head))
+        // set delta: AFRICA dropped, AMERICA's text replaced, zz_new added
+        b.addSymbol("s", SymbolType.Set, 1,
+          (region.filter(_._1 != "AFRICA").map { case (r, k) =>
+            (Seq(r), Array.empty[Double],
+              if (r == "AMERICA") Some("america changed") else Some(s"region $k"))
+          } :+ ((Seq("zz_new"), Array.empty[Double], None))).sortBy(_._1.head))
+        b.addSymbol("mix", SymbolType.Set, 1,
+          Seq((Seq("only"), Array.empty[Double], None)))
         GdxCodec.write(b.result(), s"$dir/diffB.gdx")
-        java.nio.file.Files.createFile(new File(dir, "diff.ok").toPath)
+        java.nio.file.Files.createFile(new File(dir, "diff2.ok").toPath)
       }
       dir
     }
@@ -377,16 +391,31 @@ object GdxOps extends QueryModule {
     """SELECT *, CAST(NULL AS VARCHAR) AS special_a, CAST(NULL AS VARCHAR) AS special_b
       |FROM (
       |  SELECT 'onlya' AS symbol, r_name AS key, 'del' AS status,
-      |         CAST(r_regionkey AS DOUBLE) AS value_a, CAST(NULL AS DOUBLE) AS value_b
+      |         CAST(r_regionkey AS DOUBLE) AS value_a, CAST(NULL AS DOUBLE) AS value_b,
+      |         CAST(NULL AS VARCHAR) AS text_a, CAST(NULL AS VARCHAR) AS text_b
       |  FROM region
       |  UNION ALL
-      |  SELECT 'p', n_name, 'del', CAST(n_nationkey AS DOUBLE), NULL
+      |  SELECT 'p', n_name, 'del', CAST(n_nationkey AS DOUBLE), NULL, NULL, NULL
       |  FROM nation WHERE n_nationkey % 7 = 0
       |  UNION ALL
-      |  SELECT 'p', n_name, 'chg', CAST(n_nationkey AS DOUBLE), n_nationkey + 0.5
+      |  SELECT 'p', n_name, 'chg', CAST(n_nationkey AS DOUBLE), n_nationkey + 0.5,
+      |         NULL, NULL
       |  FROM nation WHERE n_nationkey % 7 <> 0 AND n_nationkey % 3 = 0
       |  UNION ALL
-      |  SELECT 'p', 'zz_extra', 'ins', NULL, CAST(99.0 AS DOUBLE)) t
+      |  SELECT 'p', 'zz_extra', 'ins', NULL, CAST(99.0 AS DOUBLE), NULL, NULL
+      |  UNION ALL
+      |  SELECT 'mix', 'type parameter<>set', 'type', NULL, NULL, NULL, NULL
+      |  UNION ALL
+      |  SELECT 's', r_name, 'del', NULL, NULL,
+      |         'region ' || CAST(CAST(r_regionkey AS DOUBLE) AS VARCHAR), NULL
+      |  FROM region WHERE r_name = 'AFRICA'
+      |  UNION ALL
+      |  SELECT 's', r_name, 'chg', NULL, NULL,
+      |         'region ' || CAST(CAST(r_regionkey AS DOUBLE) AS VARCHAR),
+      |         'america changed'
+      |  FROM region WHERE r_name = 'AMERICA'
+      |  UNION ALL
+      |  SELECT 's', 'zz_new', 'ins', NULL, NULL, NULL, NULL) t
       |ORDER BY symbol, key, status""") { (s, d) =>
     val dir = ensureDiffFixtures(s, d)
     Gdx.diff(s, s"$dir/diffA.gdx", s"$dir/diffB.gdx")
@@ -399,7 +428,9 @@ object GdxOps extends QueryModule {
     * reads the merged symbol back through the connector — so the oracle
     * checks the whole merge → sharded-write → scan round trip. The
     * merge write IS the operator, so it runs inside the query
-    * (mode=overwrite keeps repeats idempotent).
+    * (mode=overwrite keeps repeats idempotent). The output dir is
+    * process-unique: a concurrent bench/correctness run in another JVM
+    * must not overwrite the dataset this one is still reading back.
     */
   q("gdx_merge",
     """SELECT * FROM (
@@ -409,9 +440,10 @@ object GdxOps extends QueryModule {
       |  SELECT 'f2', r_name, CAST(r_regionkey AS DOUBLE) FROM region) t
       |ORDER BY dim_1, dim_2""") { (s, d) =>
     val dir = ensureFixtures(s, d)
+    val out = s"$dir/merged-${ProcessHandle.current().pid()}"
     Gdx.merge(s, Seq(s"$dir/file1.gdx", s"$dir/file2.gdx"),
-      s"$dir/merged", patterns = "nat")
-    Gdx.symbol(s, s"$dir/merged/nat", "nat")
+      out, patterns = "nat")
+    Gdx.symbol(s, s"$out/nat", "nat")
       .select("dim_1", "dim_2", "value")
       .reportSorted("dim_1", "dim_2")
   }

@@ -788,8 +788,14 @@ object LlmOps extends QueryModule {
     * only fidelity loss is rounding (|Δcos| ≤ ~0.01 at dim 64, asserted
     * in LshRecallSpec). Candidates come from the same hyperplane
     * buckets as sim_ann_lsh; ranking runs entirely on the quantized
-    * vectors. Oracle-exact by construction: int products/sums stay
-    * exact in doubles, so both engines compute bit-identical cosines.
+    * vectors. Quantization is oracle-exact: the native expression
+    * rounds half-away-from-zero by explicit fractional-part compare,
+    * matching DuckDB's `round` on every double. The int products/sums
+    * stay exact in doubles too; the one remaining divergence is
+    * `sqrt(na·nb)` here vs `sqrt(na)·sqrt(nb)` in DuckDB's
+    * list_cosine_similarity — an ulp-level gap that round-to-6 on both
+    * sides absorbs, so the compared cosines are round-6-identical, not
+    * bit-identical.
     */
   q("sim_ann_quantized",
     s"""WITH q AS (

@@ -56,6 +56,7 @@ object GdxTable {
     StructField("name", StringType, nullable = false),
     StructField("type", StringType, nullable = false),
     StructField("dim", IntegerType, nullable = false),
+    StructField("subtype", IntegerType, nullable = false),
     StructField("records", LongType, nullable = false),
     StructField("expl_text", StringType, nullable = true),
     StructField("domains", StringType, nullable = true)))

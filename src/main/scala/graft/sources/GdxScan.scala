@@ -186,6 +186,9 @@ class GdxCatalogReader(paths: Seq[String], required: StructType)
       case "name" => m => UTF8String.fromString(m._1.name)
       case "type" => m => UTF8String.fromString(SymbolType.names.getOrElse(m._1.typ, "unknown"))
       case "dim" => m => m._1.dim
+      // variable/equation subtype (GMS_VARTYPE/GMS_EQUTYPE class) —
+      // rides the codec's userInfo slot, 0 for sets/parameters
+      case "subtype" => m => m._1.userInfo
       case "records" => m => m._2
       case "expl_text" => m => UTF8String.fromString(m._1.explText)
       case "domains" => m => UTF8String.fromString(m._1.domains.mkString(","))

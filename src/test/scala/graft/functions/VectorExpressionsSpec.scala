@@ -75,6 +75,31 @@ class VectorExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("vec_quantize8 rounds half-away-from-zero exactly, incl. the 0.4999... edge double") {
+    import spark.implicits._
+    // 127.0 max → scale is exactly 1.0, so each element IS the value
+    // handed to the rounder. 0.49999999999999994 is the largest double
+    // below 0.5: `t + 0.5` truncation yields 1 (the FP add rounds up to
+    // 1.0); exact half-away rounding yields 0, like C round / DuckDB.
+    val edge = 0.49999999999999994
+    val df = Seq(Tuple1(Seq(edge, -edge, 0.5, -0.5, 2.5, -2.5, 127.0)))
+      .toDF("a")
+    def run() = df.select(vec.quantize8(col("a"))).head
+      .getSeq[Byte](0).toSeq
+    val want = Seq[Byte](0, 0, 1, -1, 3, -3, 127)
+    assert(run() === want) // codegen path
+    val sql = spark.conf
+    val before = sql.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      sql.set("spark.sql.codegen.wholeStage", "false")
+      sql.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      assert(run() === want) // interpreted path
+    } finally {
+      sql.set("spark.sql.codegen.wholeStage", before)
+      sql.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("simhash32 matches the explode+groupBy vote formulation bit-for-bit") {
     import spark.implicits._
     val docs = Seq((1L, "spark scale shuffle codegen spark"),

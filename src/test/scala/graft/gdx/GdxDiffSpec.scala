@@ -163,6 +163,66 @@ class GdxDiffSpec extends AnyFunSuite {
     }
   }
 
+  test("type mismatch reports a summary row instead of value-joining the set placeholder") {
+    val a = write(tmp("a.gdx")) { b =>
+      b.addSymbol("mix", SymbolType.Parameter, 1, Seq(
+        (Seq("k"), Array(0.0), None))) // stored zero — placeholder-equal to a set scan
+    }
+    val bf = write(tmp("b.gdx")) { b =>
+      b.addSymbol("mix", SymbolType.Set, 1, Seq(
+        (Seq("k"), Array.empty[Double], None)))
+    }
+    assert(rows(Gdx.diff(spark, a, bf)) === Set(
+      ("mix", "type parameter<>set", "type", None, None)))
+  }
+
+  test("sets diff by membership and associated text") {
+    val a = write(tmp("a.gdx")) { b =>
+      b.addSymbol("s", SymbolType.Set, 1, Seq(
+        (Seq("drop"), Array.empty[Double], Some("gone")),
+        (Seq("keep"), Array.empty[Double], Some("same")),
+        (Seq("retext"), Array.empty[Double], Some("old"))))
+    }
+    val bf = write(tmp("b.gdx")) { b =>
+      b.addSymbol("s", SymbolType.Set, 1, Seq(
+        (Seq("added"), Array.empty[Double], None),
+        (Seq("keep"), Array.empty[Double], Some("same")),
+        (Seq("retext"), Array.empty[Double], Some("new"))))
+    }
+    val got = Gdx.diff(spark, a, bf)
+      .select("key", "status", "text_a", "text_b").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSet
+    assert(got === Set(
+      ("drop", "del", Some("gone"), None),
+      ("added", "ins", None, None),
+      ("retext", "chg", Some("old"), Some("new"))))
+  }
+
+  test("field selection applies to var/equ only; parameters fall back, bad fields throw") {
+    val a = write(tmp("a.gdx")) { b =>
+      b.addSymbol("p", SymbolType.Parameter, 1, Seq(
+        (Seq("k"), Array(1.0), None)))
+      b.addSymbol("v", SymbolType.Variable, 1, Seq(
+        (Seq("x"), Array(1.0, 0.5, 0.0, 0.0, 1.0), None)))
+    }
+    val bf = write(tmp("b.gdx")) { b =>
+      b.addSymbol("p", SymbolType.Parameter, 1, Seq(
+        (Seq("k"), Array(2.0), None)))
+      b.addSymbol("v", SymbolType.Variable, 1, Seq(
+        (Seq("x"), Array(1.0, 0.75, 0.0, 0.0, 1.0), None)))
+    }
+    // default-pattern diff on marginal must NOT abort on the parameter:
+    // p diffs its value, v diffs its marginal (real gdxdiff semantics)
+    assert(rows(Gdx.diff(spark, a, bf, field = "marginal")) === Set(
+      ("p", "k", "chg", Some(1.0), Some(2.0)),
+      ("v", "x", "chg", Some(0.5), Some(0.75))))
+    // a field outside the five-field surface is still a caller error
+    intercept[IllegalArgumentException] {
+      Gdx.diff(spark, a, bf, field = "bogus")
+    }
+  }
+
   test("multi-dim keys dot-join GAMS-style; pattern restricts symbols") {
     val a = write(tmp("a.gdx")) { b =>
       b.addSymbol("q2", SymbolType.Parameter, 2, Seq(

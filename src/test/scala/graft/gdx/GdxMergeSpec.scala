@@ -126,6 +126,53 @@ class GdxMergeSpec extends AnyFunSuite {
     assert(back.getDouble(2) === SpecialValues.PINF)
   }
 
+  test("variable merge preserves the subtype; defaultFill on merged = per-input") {
+    val t = tmpDir()
+    // positive variables: v1 stores only a level (bounds unstored = 0)
+    val a = write(s"$t/a.gdx") { b =>
+      b.addSymbol("x", SymbolType.Variable, 1, Seq(
+        (Seq("v1"), Array(3.0, 0.0, 0.0, 0.0, 1.0), None)),
+        userInfo = VarType.Positive)
+    }
+    val bf = write(s"$t/b.gdx") { b =>
+      b.addSymbol("x", SymbolType.Variable, 1, Seq(
+        (Seq("v2"), Array(7.5, 0.0, 2.0, 9.0, 1.0), None)),
+        userInfo = VarType.Positive)
+    }
+    val out = s"$t/out"
+    Gdx.merge(spark, Seq(a, bf), out)
+    // the vartype survives into the merged catalog (real gdxmerge keeps it)
+    val sub = Gdx.catalog(spark, s"$out/x")
+      .select("subtype").head.getInt(0)
+    assert(sub === VarType.Positive)
+    // and default-bound semantics driven BY that subtype match the
+    // per-input result: unstored bounds → [0, +inf], stored bounds kept
+    val filled = Gdx.defaultFill(Gdx.symbol(spark, s"$out/x", "x"), sub)
+      .select("dim_2", "lower", "upper").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(filled === Set(
+      ("v1", 0.0, Double.PositiveInfinity),
+      ("v2", 2.0, 9.0)))
+  }
+
+  test("mixed subtype across files is rejected like mixed dim") {
+    val t = tmpDir()
+    val a = write(s"$t/a.gdx") { b =>
+      b.addSymbol("x", SymbolType.Variable, 1, Seq(
+        (Seq("v"), Array(1.0, 0.0, 0.0, 0.0, 1.0), None)),
+        userInfo = VarType.Positive)
+    }
+    val bf = write(s"$t/b.gdx") { b =>
+      b.addSymbol("x", SymbolType.Variable, 1, Seq(
+        (Seq("v"), Array(2.0, 0.0, 0.0, 0.0, 1.0), None)),
+        userInfo = VarType.Free)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Gdx.merge(spark, Seq(a, bf), s"$t/out")
+    }
+    assert(e.getMessage.contains("mixed dim/type"))
+  }
+
   test("variable merge carries all five value fields") {
     val t = tmpDir()
     val a = write(s"$t/a.gdx") { b =>

@@ -67,7 +67,7 @@ class GdxSourceSpec extends AnyFunSuite {
     val p = writeFixture()
     val cat = Gdx.catalog(spark, p).orderBy("name").collect()
     assert(cat.map(_.getString(0)).toSeq == Seq("i", "p"))
-    assert(cat.map(_.getLong(3)).toSeq == Seq(2L, 5L))
+    assert(cat.map(_.getAs[Long]("records")).toSeq == Seq(2L, 5L))
     assert(cat.head.getString(1) == "set")
   }
 
@@ -244,7 +244,7 @@ class GdxSourceSpec extends AnyFunSuite {
     assert(nShards > 1, "need multiple shards")
     val cat = Gdx.catalog(spark, out).collect()
     assert(cat.length == 1) // one row per symbol, not per shard
-    assert(cat.head.getLong(3) == 900L) // records summed across shards
+    assert(cat.head.getAs[Long]("records") == 900L) // records summed across shards
   }
 
   test("0-dim scalar reads through the connector and the Gdx.scalar helper") {
@@ -493,6 +493,6 @@ class GdxSourceSpec extends AnyFunSuite {
     assert(Gdx.symbol(spark, dir, "s").count() == 2,
       "batch membership is the manifest, not the directory listing")
     assert(Gdx.catalog(spark, dir).filter(col("name") === "s")
-      .head().getLong(3) == 2L)
+      .head().getAs[Long]("records") == 2L)
   }
 }

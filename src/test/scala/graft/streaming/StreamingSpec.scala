@@ -345,7 +345,7 @@ class StreamingSpec extends AnyFunSuite {
     // manifest covers every sink shard (records sum = rows written) and
     // carries no 0-record entries (empty epoch partitions emit nothing)
     val cat = Gdx.catalog(spark, dst).filter(col("name") === "s").collect()
-    assert(cat.head.getLong(3) == 101L)
+    assert(cat.head.getAs[Long]("records") == 101L)
     val mf = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(dst, "_manifest.json")))
     assert(!mf.contains("\"records\":0"), s"empty shards must not publish: $mf")
@@ -370,6 +370,6 @@ class StreamingSpec extends AnyFunSuite {
     assert(recovered.size == 102 && recovered("z2") == 2000.0,
       s"restart must resume exactly-once: ${recovered.size} rows")
     assert(Gdx.catalog(spark, dst).filter(col("name") === "s")
-      .head().getLong(3) == 102L, "no duplicated epochs after recovery")
+      .head().getAs[Long]("records") == 102L, "no duplicated epochs after recovery")
   }
 }

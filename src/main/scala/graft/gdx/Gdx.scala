@@ -88,7 +88,7 @@ object Gdx {
 
   /** One matched symbol's catalog shape — the tool suite's unit. */
   private[gdx] final case class SymShape(name: String, dim: Int,
-      typ: String, subtype: Int)
+      typ: String, subtype: Int, explText: String, domains: Seq[String])
 
   /** Lowercased non-alias symbols matching the comma/space-separated
     * glob list, name-sorted. The shared front door for the tool suite
@@ -101,8 +101,11 @@ object Gdx {
       patterns: String): Seq[SymShape] = {
     val pats = patterns.split("[ ,]+").filter(_.nonEmpty).map(globToRegex)
     catalog(spark, path).filter(col("type") =!= "alias")
-      .select("name", "dim", "type", "subtype").collect().toSeq
-      .map(r => SymShape(r.getString(0).toLowerCase, r.getInt(1), r.getString(2), r.getInt(3)))
+      .select("name", "dim", "type", "subtype", "expl_text", "domains")
+      .collect().toSeq
+      .map(r => SymShape(r.getString(0).toLowerCase, r.getInt(1), r.getString(2),
+        r.getInt(3), Option(r.getString(4)).getOrElse(""),
+        Option(r.getString(5)).filter(_.nonEmpty).map(_.split(",", -1).toSeq).getOrElse(Nil)))
       .filter(s => pats.exists(_.matches(s.name)))
       .sortBy(_.name)
   }
@@ -390,39 +393,86 @@ object Gdx {
     * unit — the real tool's block headers are presentation, not data,
     * and a single text file is exactly what does not scale; this dump
     * stays an ordinary DataFrame to write wherever needed.
+    *
+    * `format="blocks"` adds gdxdump-style symbol blocks: one header row
+    * (`Parameter nat(n) "expl text" /`), one row per record
+    * (`'k1'.'k2' value,` — sets render their text, var/equ their
+    * level), one footer row (`/;`). The result gains `(rank, key)`
+    * columns; sorting by `(symbol, rank, key)` reproduces the block
+    * text in order WITHOUT a global window — header rank 0, records
+    * rank 1 keyed by the dot-joined labels, footer rank 2 — so the
+    * presentation mode stays as distributed as the default frame.
     */
-  def dump(spark: SparkSession, path: String, patterns: String = "*"): DataFrame = {
+  def dump(spark: SparkSession, path: String, patterns: String = "*",
+      format: String = "records"): DataFrame = {
+    require(format == "records" || format == "blocks",
+      s"gdx dump: unknown format '$format' (records|blocks)")
+    val blocks = format == "blocks"
     val perSymbol = matchedSymbols(spark, path, patterns).map { s =>
       val (n, typ) = (s.name, s.typ)
       val df =
         if (typ == "set") symbol(spark, path, n)
         else symbol(spark, path, n, specialValues = "raw")
       val dims = dimCols(df)
-      val keys =
-        if (dims.isEmpty) lit("")
-        else concat(lit("("),
-          concat_ws(",", dims.map(c => concat(lit("'"), col(c), lit("'"))): _*),
-          lit(")"))
-      val body = typ match {
-        case "set" =>
-          when(col("text").isNotNull, concat(lit(" '"), col("text"), lit("'")))
-            .otherwise(lit(""))
-        case _ =>
-          val v = col(if (df.columns.contains("value")) "value" else "level")
-          // raw scan → sentinel tokens by equality; ordinary values
-          // range-guard the decimal cast (ANSI mode makes an overflowing
-          // cast THROW, so the fallback must gate it, not catch a null)
-          val rendered = coalesce(sentinelToken(v),
-            when(abs(v) < 1e12, v.cast("decimal(18,6)").cast("string"))
-              .otherwise(v.cast("string")))
-          concat(lit(" = "), rendered)
+      val quotedKeys = dims.map(c => concat(lit("'"), col(c), lit("'")))
+      def rendered = {
+        val v = col(if (df.columns.contains("value")) "value" else "level")
+        // raw scan → sentinel tokens by equality; ordinary values
+        // range-guard the decimal cast (ANSI mode makes an overflowing
+        // cast THROW, so the fallback must gate it, not catch a null)
+        coalesce(sentinelToken(v),
+          when(abs(v) < 1e12, v.cast("decimal(18,6)").cast("string"))
+            .otherwise(v.cast("string")))
       }
-      df.select(lit(n).as("symbol"), concat(lit(n), keys, body, lit(";")).as("line"))
+      if (!blocks) {
+        val keys =
+          if (dims.isEmpty) lit("")
+          else concat(lit("("), concat_ws(",", quotedKeys: _*), lit(")"))
+        val body = typ match {
+          case "set" =>
+            when(col("text").isNotNull, concat(lit(" '"), col("text"), lit("'")))
+              .otherwise(lit(""))
+          case _ => concat(lit(" = "), rendered)
+        }
+        df.select(lit(n).as("symbol"), concat(lit(n), keys, body, lit(";")).as("line"))
+      } else {
+        // header: declared domains, padded with * for unnamed dims
+        val doms = (s.domains ++ Seq.fill(s.dim - s.domains.length)("*")).take(s.dim)
+        val sig = if (s.dim == 0) "" else doms.mkString("(", ",", ")")
+        val expl = if (s.explText.nonEmpty) "\"" + s.explText + "\" " else ""
+        val headerLine = s"${typ.capitalize} $n$sig $expl/"
+        val keyStr = if (dims.isEmpty) lit("") else concat_ws(".", dims.map(col): _*)
+        val keyQuoted =
+          if (dims.isEmpty) lit("") else concat_ws(".", quotedKeys: _*)
+        val body = typ match {
+          case "set" =>
+            when(col("text").isNotNull, concat(lit(" '"), col("text"), lit("',")))
+              .otherwise(lit(","))
+          case _ => concat(lit(" "), rendered, lit(","))
+        }
+        // dim-0 records render the bare value (no key prefix)
+        val recLine =
+          if (dims.isEmpty) concat(rendered, lit(",")) else concat(keyQuoted, body)
+        val header = spark.range(1).select(lit(n).as("symbol"), lit(0).as("rank"),
+          lit("").as("key"), lit(headerLine).as("line"))
+        val recs = df.select(lit(n).as("symbol"), lit(1).as("rank"),
+          keyStr.as("key"), recLine.as("line"))
+        val footer = spark.range(1).select(lit(n).as("symbol"), lit(2).as("rank"),
+          lit("").as("key"), lit("/;").as("line"))
+        header.unionByName(recs).unionByName(footer)
+      }
     }
     treeUnion(perSymbol).getOrElse(
-      emptyFrame(spark,
-        "symbol" -> org.apache.spark.sql.types.StringType,
-        "line" -> org.apache.spark.sql.types.StringType))
+      if (blocks)
+        emptyFrame(spark,
+          "symbol" -> org.apache.spark.sql.types.StringType,
+          "rank" -> org.apache.spark.sql.types.IntegerType,
+          "key" -> org.apache.spark.sql.types.StringType,
+          "line" -> org.apache.spark.sql.types.StringType)
+      else
+        emptyFrame(spark,
+          "symbol" -> org.apache.spark.sql.types.StringType,
+          "line" -> org.apache.spark.sql.types.StringType))
   }
 
   /** Per-vartype default bound fill (SURVEY §2.H fn_special_values). */
@@ -472,8 +522,11 @@ final case class GdxFile(spark: SparkSession, path: String) {
   def diff(other: String, patterns: String = "*", tol: Double = 0.0): DataFrame =
     Gdx.diff(spark, path, other, patterns = patterns, tol = tol)
 
-  /** gdxdump of this file as (symbol, line) GAMS text rows. */
-  def dump(patterns: String = "*"): DataFrame = Gdx.dump(spark, path, patterns)
+  /** gdxdump of this file as (symbol, line) GAMS text rows; `blocks`
+    * adds gdxdump-style symbol block headers/footers.
+    */
+  def dump(patterns: String = "*", format: String = "records"): DataFrame =
+    Gdx.dump(spark, path, patterns, format)
 
   /** 0-dim parameter unwrapped to its value (gdxpy scalar surface). */
   def scalar(name: String): Double = Gdx.scalar(spark, path, name)

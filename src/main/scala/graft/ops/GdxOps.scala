@@ -470,6 +470,35 @@ object GdxOps extends QueryModule {
       .reportSorted("symbol", "line")
   }
 
+  /** gdxdump block mode (SPEC: gdxdump's symbol-block rendering —
+    * `Parameter nat(n) "text" /` … records … `/;`): the presentation
+    * format a GAMS user diffs against, kept distributed by carrying
+    * explicit (rank, key) sort columns instead of a global window —
+    * sorting by (symbol, rank, key) reproduces the text in order.
+    */
+  q("gdx_dump_blocks",
+    """SELECT * FROM (
+      |  SELECT 'nat' AS symbol, 0 AS rank, '' AS key,
+      |         'Parameter nat(n) "nation key by name" /' AS line
+      |  UNION ALL
+      |  SELECT 'nat', 1, n_name,
+      |         '''' || n_name || ''' ' ||
+      |         CAST(CAST(n_nationkey AS DECIMAL(18,6)) AS VARCHAR) || ','
+      |  FROM nation
+      |  UNION ALL SELECT 'nat', 2, '', '/;'
+      |  UNION ALL SELECT 'regset', 0, '', 'Set regset(*) /'
+      |  UNION ALL
+      |  SELECT 'regset', 1, r_name,
+      |         '''' || r_name || ''' ''region ' ||
+      |         CAST(CAST(r_regionkey AS DOUBLE) AS VARCHAR) || ''','
+      |  FROM region
+      |  UNION ALL SELECT 'regset', 2, '', '/;') t
+      |ORDER BY symbol, rank, key""") { (s, d) =>
+    val dir = ensureFixtures(s, d)
+    Gdx.dump(s, s"$dir/file1.gdx", patterns = "nat,regset", format = "blocks")
+      .reportSorted("symbol", "rank", "key")
+  }
+
   /** The gdxpy post-load `.shift()` idiom (the reference materializes
     * symbols to pandas Series and users difference them — GAMS
     * `p(t) - p(t-1)` over an ordered set): one window lag per

@@ -738,12 +738,21 @@ object LlmOps extends QueryModule {
       .distinct()
   }
 
-  private def multiLshOracleSql(nPlanes: Int, nTables: Int, thr: Double): String = {
+  /** `bk` + `cand` CTE bodies shared by the multi-table oracle SQL
+    * builders: per-table bucket columns on one scan, UNION of the
+    * per-table self-joins.
+    */
+  private def multiLshCandCtes(nPlanes: Int, nTables: Int): (String, String) = {
     val bucketCols = (0 until nTables)
       .map(t => s"${bucketSql(nPlanes, tablePlane(t))} AS b$t").mkString(",\n       ")
     val unions = (0 until nTables).map(t =>
       s"SELECT l.vec_id AS a, r.vec_id AS b FROM bk l JOIN bk r " +
         s"ON l.b$t = r.b$t AND l.vec_id < r.vec_id").mkString("\n  UNION\n  ")
+    (bucketCols, unions)
+  }
+
+  private def multiLshOracleSql(nPlanes: Int, nTables: Int, thr: Double): String = {
+    val (bucketCols, unions) = multiLshCandCtes(nPlanes, nTables)
     s"""WITH bk AS (SELECT vec_id, embedding,
        |       $bucketCols FROM embeddings),
        |     cand AS (
@@ -756,6 +765,29 @@ object LlmOps extends QueryModule {
        |JOIN embeddings eb ON eb.vec_id = c.b
        |WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
        |                                   CAST(eb.embedding AS DOUBLE[])), 6) >= $thr
+       |ORDER BY a, b""".stripMargin
+  }
+
+  private def quantizedMultiOracleSql(nPlanes: Int, nTables: Int, thr: Double): String = {
+    val (bucketCols, unions) = multiLshCandCtes(nPlanes, nTables)
+    s"""WITH bk AS (SELECT vec_id, embedding,
+       |       $bucketCols FROM embeddings),
+       |     q AS (SELECT vec_id,
+       |             list_transform(CAST(embedding AS DOUBLE[]),
+       |               x -> CAST(round(x * (127.0 / greatest(
+       |                      list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))),
+       |                      1e-30))) AS TINYINT)) AS qemb
+       |           FROM embeddings),
+       |     cand AS (
+       |  $unions)
+       |SELECT c.a, c.b,
+       |       round(list_cosine_similarity(CAST(qa.qemb AS DOUBLE[]),
+       |                                    CAST(qb.qemb AS DOUBLE[])), 6) AS cos_q
+       |FROM cand c
+       |JOIN q qa ON qa.vec_id = c.a
+       |JOIN q qb ON qb.vec_id = c.b
+       |WHERE round(list_cosine_similarity(CAST(qa.qemb AS DOUBLE[]),
+       |                                   CAST(qb.qemb AS DOUBLE[])), 6) >= $thr
        |ORDER BY a, b""".stripMargin
   }
 
@@ -828,6 +860,27 @@ object LlmOps extends QueryModule {
       .filter(col("rn") <= 3)
       .select("qid", "nbr", "cos_q", "rn")
       .orderBy("qid", "rn") // top-k PER VECTOR = input-sized
+  }
+
+  /** The production composition of the two ANN upgrades: multi-table
+    * OR-amplified candidates (recall 87–98% at the near-dup threshold,
+    * LshRecallSpec) verified on int8-quantized vectors (4× narrower
+    * verify shuffle). Candidates are IDENTICAL to sim_ann_lsh_multi by
+    * construction — bucketing runs on the float embeddings; only the
+    * verify arithmetic is quantized — so the recall band carries over
+    * unchanged (asserted in LshRecallSpec) and the shuffles that scale
+    * with candidate count move 1-byte elements.
+    */
+  q("sim_ann_quantized_multi", quantizedMultiOracleSql(6, 6, 0.45)) { (s, d) =>
+    val emb = T(s, d, "embeddings").select("vec_id", "embedding")
+    val q8 = quantized(emb).select(col("vec_id"), col("qemb"))
+    multiLshCandidatesOf(emb, nPlanes = 6, nTables = 6)
+      .join(q8.select(col("vec_id").as("a"), col("qemb").as("qa")), Seq("a"))
+      .join(q8.select(col("vec_id").as("b"), col("qemb").as("qb")), Seq("b"))
+      .withColumn("cos_q", round(graft.functions.vec.cosine(col("qa"), col("qb")), 6))
+      .filter(col("cos_q") >= 0.45)
+      .select("a", "b", "cos_q")
+      .orderBy("a", "b") // pair set scales with dup density = input-sized
   }
 
   /** Adds `qemb`: the int8 symmetric scalar quantization of

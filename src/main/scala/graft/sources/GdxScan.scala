@@ -104,7 +104,8 @@ class GdxScan(fullSchema: StructType, required: StructType, pushed: Seq[DimLabel
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GdxMicroBatchStream(path, symbol, fullSchema, required, pushed,
-      raw = options.getOrDefault("specialValues", "map") == "raw")
+      raw = options.getOrDefault("specialValues", "map") == "raw",
+      committedOnly = options.getBoolean("committedOnly", false))
 
   override def planInputPartitions(): Array[InputPartition] = {
     // batch membership honors the manifest (exactly-once vs in-flight

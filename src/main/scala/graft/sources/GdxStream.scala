@@ -34,18 +34,30 @@ object GdxShardOffset {
   * are immutable once published (atomic rename). Caveat, inherent to
   * directory-arrival sources: a shard published by a task of an
   * upstream streaming epoch that later ABORTS may be listed, consumed,
-  * and then deleted — replay skips the vanished file. Consumers that
-  * need committed-only data should batch-read through the manifest
-  * (GdxTable.committedShardsOf) instead.
+  * and then deleted — replay skips the vanished file. For
+  * exactly-once under such upstream failure,
+  * `.option("committedOnly", "true")` makes shard membership the
+  * MANIFEST, not the listing: task-published files from an
+  * uncommitted or aborted upstream epoch stay invisible until their
+  * epoch's manifest append publishes them — the streaming analog of
+  * the batch reader's committed-membership rule. In that mode a
+  * manifest-recorded shard that has vanished is committed-data loss
+  * and fails loudly instead of being skipped.
   */
 class GdxMicroBatchStream(path: String, symbol: String, fullSchema: StructType,
     required: StructType, pushed: Seq[DimLabelFilter],
-    raw: Boolean = false) extends MicroBatchStream {
+    raw: Boolean = false, committedOnly: Boolean = false) extends MicroBatchStream {
 
   require(symbol != GdxTable.CatalogSymbol, "gdx: the catalog view is not streamable")
 
   private def currentFiles: Seq[String] =
-    GdxTable.shardsOf(path).map(p => new java.io.File(p).getName)
+    if (committedOnly && new java.io.File(path).isDirectory)
+      // no manifest yet = nothing committed yet (a sink publishes its
+      // manifest at first epoch commit) — NOT the listing fallback the
+      // batch reader uses for hand-assembled dirs: this mode's whole
+      // point is that unmanifested files are invisible
+      GdxManifest.files(path).getOrElse(Nil)
+    else GdxTable.shardsOf(path).map(p => new java.io.File(p).getName)
 
   override def initialOffset(): Offset = GdxShardOffset(Nil)
 
@@ -58,13 +70,20 @@ class GdxMicroBatchStream(path: String, symbol: String, fullSchema: StructType,
     val dir = new java.io.File(path)
     end.asInstanceOf[GdxShardOffset].files.filterNot(seen).sorted.flatMap { n =>
       val full = if (dir.isDirectory) new java.io.File(dir, n).getPath else path
-      // a shard recorded in an offset can vanish before replay (an
-      // upstream epoch abort deleted its task-published files): skip it
-      // rather than wedge the stream — directory-arrival sources are
-      // at-least-once over such producers by nature
       if (new java.io.File(full).isFile)
         Some(GdxInputPartition(full, symbol): InputPartition)
-      else None
+      else if (committedOnly)
+        // the manifest said this shard was committed: its absence is
+        // data loss, not an in-flight producer racing the listing
+        throw new IllegalStateException(
+          s"gdx stream: committed shard '$n' vanished from $path " +
+            "(committed data lost or manifest corrupted)")
+      else
+        // a shard recorded in an offset can vanish before replay (an
+        // upstream epoch abort deleted its task-published files): skip
+        // it rather than wedge the stream — directory-arrival sources
+        // are at-least-once over such producers by nature
+        None
     }.toArray
   }
 

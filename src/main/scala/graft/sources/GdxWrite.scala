@@ -261,12 +261,18 @@ class GdxBatchWrite(path: String, symbol: String, schema: StructType,
         rows.map { case (ls, vs, t) => (ls.toSeq, vs, Option(t)) },
         userInfo = subtype)
       GdxCodec.write(b.result(), path)
-    } else
+    } else {
       // per-shard lowercased dim_1 label range → planInputPartitions
       // prunes shards driver-side on pushed label filters without
-      // opening any shard header
-      GdxManifest.write(path, layout.symbol,
-        messages.collect { case c: GdxShardCommit => GdxManifest.entryJson(c) }.toSeq)
+      // opening any shard header. Append mode must APPEND the manifest:
+      // replacing it would silently unpublish every earlier batch's
+      // shards (truncate mode already cleared the dir, so a fresh write
+      // and an append are the same thing there).
+      val commits = messages.collect { case c: GdxShardCommit => c }.toSeq
+      if (truncate)
+        GdxManifest.write(path, layout.symbol, commits.map(GdxManifest.entryJson))
+      else GdxManifest.append(path, layout.symbol, commits)
+    }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     if (!single) messages.collect { case GdxShardCommit(f, _, _, _) =>

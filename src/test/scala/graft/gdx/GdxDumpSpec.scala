@@ -37,6 +37,38 @@ class GdxDumpSpec extends AnyFunSuite {
       ("v", "v('x') = 3.250000;")))
   }
 
+  test("blocks format: header with domains and expl text, keyed records, footer") {
+    val p = Files.createTempDirectory("gdxdump").resolve("blk.gdx").toString
+    val b = new GdxBuilder()
+    b.addSymbol("nat", SymbolType.Parameter, 1, Seq(
+      (Seq("dz"), Array(1.0), None),
+      (Seq("us"), Array(2.5), None)),
+      explText = "nation codes", domains = Seq("n"))
+    b.addSymbol("m", SymbolType.Set, 2, Seq(
+      (Seq("a", "b"), Array.empty[Double], Some("pair")),
+      (Seq("c", "d"), Array.empty[Double], None)))
+    b.addSymbol("total", SymbolType.Parameter, 0,
+      Seq((Seq.empty, Array(42.0), None)))
+    GdxCodec.write(b.result(), p)
+
+    val got = Gdx.dump(spark, p, format = "blocks")
+      .orderBy("symbol", "rank", "key").collect()
+      .map(r => (r.getString(0), r.getString(3)))
+    // sorted by (symbol, rank, key) the frame IS the gdxdump text
+    assert(got.toSeq === Seq(
+      ("m", "Set m(*,*) /"),
+      ("m", "'a'.'b' 'pair',"),
+      ("m", "'c'.'d',"),
+      ("m", "/;"),
+      ("nat", "Parameter nat(n) \"nation codes\" /"),
+      ("nat", "'dz' 1.000000,"),
+      ("nat", "'us' 2.500000,"),
+      ("nat", "/;"),
+      ("total", "Parameter total /"),
+      ("total", "42.000000,"),
+      ("total", "/;")))
+  }
+
   test("special values render as gdxdump tokens; huge magnitudes never null the line") {
     val p = Files.createTempDirectory("gdxdump").resolve("sv.gdx").toString
     val b = new GdxBuilder()

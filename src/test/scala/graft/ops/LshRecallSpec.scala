@@ -81,6 +81,22 @@ class LshRecallSpec extends AnyFunSuite {
       s"multi-table recall $multi outside the predicted 87–98% band")
     assert(multi > single + 0.3,
       s"OR composition must amplify recall substantially ($single -> $multi)")
+
+    // quantized-multi composition: candidates are generated from the
+    // FLOAT embeddings (quantization touches only the verify), so the
+    // crafted pairs found must be identical — and at cos≈0.912 vs the
+    // 0.9 threshold, |Δcos| < 0.01 keeps every verified pair verified
+    val candFloat = LlmOps.multiLshCandidatesOf(df, nPlanes = 6, nTables = 6)
+    val q8 = LlmOps.quantized(df).select(col("vec_id"), col("qemb"))
+    val verifiedQ = candFloat
+      .join(q8.select(col("vec_id").as("a"), col("qemb").as("qa")), Seq("a"))
+      .join(q8.select(col("vec_id").as("b"), col("qemb").as("qb")), Seq("b"))
+      .filter(graft.functions.vec.cosine(col("qa"), col("qb")) >= 0.9)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallQ = (0 until nPairs)
+      .count(i => verifiedQ.contains((2L * i, 2L * i + 1))).toDouble / nPairs
+    assert(math.abs(recallQ - multi) < 0.02,
+      s"quantized verify must not change multi-table recall ($multi -> $recallQ)")
   }
 
   test("int8 quantization fidelity: |Δcos| bounded, exact top-1 preserved") {

@@ -233,6 +233,21 @@ class GdxSourceSpec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("batch append grows the manifest instead of replacing it") {
+    import spark.implicits._
+    val out = s"${tmpDir()}/app"
+    Seq(("a", 1.0), ("b", 2.0)).toDF("dim_1", "value")
+      .write.format("gdx").mode("overwrite").option("symbol", "p").save(out)
+    Seq(("c", 3.0)).toDF("dim_1", "value")
+      .write.format("gdx").mode("append").option("symbol", "p").save(out)
+    // both batches' shards stay published: a replacing manifest write
+    // would silently unpublish the first batch
+    val back = Gdx.symbol(spark, out, "p").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(back === Map("a" -> 1.0, "b" -> 2.0, "c" -> 3.0))
+    assert(Gdx.catalog(spark, out).head.getAs[Long]("records") == 3L)
+  }
+
   test("catalog on a sharded directory sums records across ALL shards") {
     import spark.implicits._
     val out = s"${tmpDir()}/cat"

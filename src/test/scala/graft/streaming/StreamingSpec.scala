@@ -206,6 +206,34 @@ class StreamingSpec extends AnyFunSuite {
       "the arriving shard must be planned exactly once as a new micro-batch")
   }
 
+  test("committedOnly stream: membership is the manifest, aborted-epoch shards invisible") {
+    val dir = java.nio.file.Files.createTempDirectory("gdx-stream-co").toString + "/data"
+    (0 until 50).map(i => (f"a$i%03d", i.toDouble)).toDF("dim_1", "value")
+      .repartition(2).write.format("gdx").mode("overwrite").option("symbol", "s").save(dir)
+    // an upstream task publishes a shard whose epoch then ABORTS: the
+    // file is in the directory listing but never reaches the manifest
+    val orphan = new GdxStreamEncoder(s"$dir/shard-77777-1.gdx", "s",
+      SymbolType.Parameter, 1)
+    orphan.add(Array("orph"), Array(-1.0), None)
+    orphan.finish()
+    val name = nextName()
+    val q = spark.readStream.format("gdx").option("symbol", "s")
+      .option("committedOnly", "true").load(dir)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable()
+    val first = spark.table(name).collect().map(_.getString(0)).toSet
+    assert(first.size == 50 && !first.contains("orph"),
+      "unmanifested shard must be invisible in committedOnly mode")
+    // a committed append (shards + manifest entry) flows on incrementally
+    Seq(("z1", 1000.0)).toDF("dim_1", "value")
+      .write.format("gdx").mode("append").option("symbol", "s").save(dir)
+    q.processAllAvailable()
+    q.stop()
+    val after = spark.table(name).collect().map(_.getString(0)).toSet
+    assert(after.contains("z1") && !after.contains("orph") && after.size == 51,
+      s"committed shards must flow, orphans must stay invisible: $after")
+  }
+
   test("stream-static join enriches the stream against a broadcast dimension") {
     val events = Seq(
       Ev(1, t(0), 10, "click", 1.0), Ev(2, t(1), 10, "view", 2.0),

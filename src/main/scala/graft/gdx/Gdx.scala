@@ -18,6 +18,14 @@ object Gdx {
   def catalog(spark: SparkSession, path: String): DataFrame =
     spark.read.format("gdx").option("symbol", "__catalog__").load(path)
 
+  /** UEL (unique-element/label) dictionary of a GDX file or sharded
+    * dataset — the gdxSystemInfo nUels + gdxGetUEL loop surface
+    * (SURVEY §3.3): one (uel_index, label) row per registered label,
+    * 1-based registration order.
+    */
+  def uels(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("gdx").option("symbol", "__uels__").load(path)
+
   /** One symbol in long form; name matching is case-insensitive
     * (gdxFindSymbol). specialValues: "map" (gdxpy-compatible) or
     * "columns" (lossless is_eps/is_na/is_undef flags).
@@ -515,6 +523,9 @@ object Gdx {
 final case class GdxFile(spark: SparkSession, path: String) {
 
   def catalog: DataFrame = Gdx.catalog(spark, path)
+
+  /** UEL dictionary view (gdxGetUEL loop surface). */
+  def uels: DataFrame = Gdx.uels(spark, path)
 
   def apply(name: String): DataFrame = query(name)
 

@@ -116,6 +116,26 @@ object GdxOps extends QueryModule {
       .orderBy("name")
   }
 
+  /** UEL dictionary scan (SPEC gdxSystemInfo nUels + gdxGetUEL loop —
+    * the reference's low-level passthrough exposes exactly this view,
+    * SURVEY §3.3): every label registered by any symbol of the file.
+    * The registry row verifies the label SET; the 1-based
+    * registration-order index contract is pinned in GdxSourceSpec
+    * (registration order is not SQL-derivable from the parquet).
+    */
+  q("gdx_uel_scan",
+    """SELECT label FROM (
+      |  SELECT n_name AS label FROM nation
+      |  UNION SELECT r_name FROM region
+      |  UNION SELECT 'ATLANTIS'
+      |  UNION SELECT 's' || CAST(i AS VARCHAR) FROM range(6) t(i)) u
+      |ORDER BY label""") { (s, d) =>
+    val dir = ensureFixtures(s, d)
+    Gdx.uels(s, s"$dir/file1.gdx")
+      .select("label")
+      .orderBy("label")
+  }
+
   q("gdx_scan_fields",
     "SELECT CAST(n_nationkey AS DOUBLE) AS value FROM nation ORDER BY value") { (s, d) =>
     val dir = ensureFixtures(s, d)

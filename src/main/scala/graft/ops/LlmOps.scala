@@ -1078,6 +1078,40 @@ object LlmOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Unigram-LM quality scoring (SPEC: the CCNet-style perplexity
+    * filter — Wenzek et al. 2020 score docs by per-token negative
+    * log-likelihood under a corpus LM; high NLL = out-of-distribution
+    * or gibberish, the standard quality gate before dedup). The LM
+    * here is the corpus's own unigram distribution — the KenLM slot a
+    * production pipeline fills with a reference-corpus model.
+    * TRAIN: explode → two-phase word count (shuffle is vocab-sized).
+    * SCORE: the logprob table and the one-row total both BROADCAST
+    * onto the token stream (map-side probability lookup — no
+    * token-level shuffle), then one two-phase per-doc avg. At 100 TB
+    * every shuffle is vocab- or doc-sized, never token-sized.
+    */
+  q("text_unigram_logprob",
+    """WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents),
+      |     lm AS (SELECT w, ln(CAST(count(*) AS DOUBLE) /
+      |                         (SELECT count(*) FROM tok)) AS lp
+      |            FROM tok GROUP BY w)
+      |SELECT t.doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+      |       round(-avg(lm.lp), 6) AS avg_nll
+      |FROM tok t JOIN lm ON lm.w = t.w
+      |GROUP BY t.doc_id ORDER BY t.doc_id""") { (s, d) =>
+    val tok = T(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val total = tok.agg(count(lit(1)).as("tot"))
+    val lm = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(total))
+      .select(col("w"), log(col("c") / col("tot")).as("lp"))
+    tok.join(broadcast(lm), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        round(-avg("lp"), 6).as("avg_nll"))
+      .orderBy("doc_id") // one row per doc = input-sized
+  }
+
   /** PII redaction (SPEC: standard corpus-curation scrub — C4/RefinedWeb
     * drop or mask emails and phone numbers before training): mask every
     * email/phone match and count what was masked. The synthetic corpus

@@ -374,6 +374,129 @@ object MultimodalOps extends QueryModule {
       .orderBy("qid", "rn") // top-k per image doc = input-sized
   }
 
+  // ------------------------------------------------ perceptual dedup
+
+  final case class HashedImage(doc_id: Long, hi: Long, lo: Long)
+
+  /** dHash (difference hash) of a decoded raster — the standard
+    * perceptual image fingerprint web-scale curation pipelines use for
+    * image near-dup (LAION-style): sample a 9×8 grid (nearest-neighbor
+    * positions `xi·w/9`, `yi·h/8` — closed-form, so the oracle can
+    * recompute it), one bit per horizontally adjacent sample
+    * comparison, bit index y·8+x. Carried as two NON-NEGATIVE 32-bit
+    * halves (lo = bits 0–31, hi = bits 32–63): both engines then
+    * compare with codegen'd integer `bit_count(xor)` — no per-pair
+    * string/HOF work, and no 64-bit sign-wrap edge in the oracle's
+    * integer construction.
+    */
+  def dHash64(img: BufferedImage): (Long, Long) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val r = img.getRaster
+    var hi = 0L
+    var lo = 0L
+    var y = 0
+    while (y < 8) {
+      val sy = y * h / 8
+      var x = 0
+      while (x < 8) {
+        val s0 = r.getSample(x * w / 9, sy, 0)
+        val s1 = r.getSample((x + 1) * w / 9, sy, 0)
+        if (s1 > s0) {
+          val i = y * 8 + x
+          if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (hi, lo)
+  }
+
+  /** (doc_id, hi, lo) over image payloads — batched decode, same
+    * mapPartitions shape as [[extractFeatures]].
+    */
+  def phashes(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap(_.map { r =>
+          val (hi, lo) = dHash64(MediaCodec.decodePng(r.payload))
+          HashedImage(r.doc_id, hi, lo)
+        })
+      }
+      .toDF()
+  }
+
+  // bit j of the dHash in the pixel closed form: compare the two
+  // nearest-neighbor samples of row j/8 at columns j%8 and j%8+1
+  private def phashOracleSql: String = {
+    def cmp(col: String, row: String) =
+      s"(31*doc_id + 7*((($col)+1)*w//9) + 13*(($row)*h//8)) % 256" +
+        s" > (31*doc_id + 7*(($col)*w//9) + 13*(($row)*h//8)) % 256"
+    s"""WITH $imDimsSql,
+       |     ph AS (SELECT doc_id,
+       |       CAST(list_sum([CASE WHEN ${cmp("i%8", "i//8")}
+       |                      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+       |                      FOR i IN range(0, 32)]) AS BIGINT) AS lo,
+       |       CAST(list_sum([CASE WHEN ${cmp("i%8", "i//8 + 4")}
+       |                      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+       |                      FOR i IN range(0, 32)]) AS BIGINT) AS hi
+       |       FROM im),
+       |     bands AS (SELECT doc_id, hi, lo, t,
+       |                      CASE WHEN t < 2 THEN (lo >> (16*t)) & 65535
+       |                           ELSE (hi >> (16*(t-2))) & 65535 END AS bv
+       |               FROM ph, unnest([0, 1, 2, 3]) AS u(t)),
+       |     cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+       |                     l.hi AS ha, l.lo AS la, r.hi AS hb, r.lo AS lb
+       |              FROM bands l JOIN bands r
+       |                ON l.t = r.t AND l.bv = r.bv AND l.doc_id < r.doc_id)
+       |SELECT a, b, dist FROM (
+       |  SELECT a, b, CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS INTEGER) AS dist
+       |  FROM cand) t
+       |WHERE dist <= 10 ORDER BY a, b""".stripMargin
+  }
+
+  /** Image near-dup via perceptual hash: decode → dHash → 4×16-bit
+    * band buckets (two images within Hamming 10 share a band with ≤2
+    * flips far more often than chance — the simhash/LSH banding rule)
+    * → candidate equi-join → exact Hamming verify on candidates only.
+    * Never all-pairs: candidates ∝ band-bucket density, and the verify
+    * is two codegen'd `bit_count(xor)` calls per candidate. The oracle
+    * recomputes the hash from the pixel closed form, so a wrong decode
+    * or a wrong sample-grid cannot pass.
+    */
+  q("mm_phash_neardup", phashOracleSql) { (s, d) =>
+    val ph = phashes(mediaTable(s, d).filter(col("meta.kind") === "image"))
+      // object-plan decode stage: materialize once before the self-join
+      // (same exchange-reuse defeat as mm_ann_topk)
+      .localCheckpoint()
+    val bands = ph.select(col("doc_id"), col("hi"), col("lo"),
+      explode(array((0 until 4).map { t =>
+        val bv =
+          if (t < 2) shiftright(col("lo"), 16 * t).bitwiseAND(lit(65535L))
+          else shiftright(col("hi"), 16 * (t - 2)).bitwiseAND(lit(65535L))
+        struct(lit(t).as("t"), bv.as("bv"))
+      }: _*)).as("bd"))
+      .select(col("doc_id"), col("hi"), col("lo"),
+        col("bd.t").as("t"), col("bd.bv").as("bv"))
+    val l = bands.select(col("t"), col("bv"), col("doc_id").as("a"),
+      col("hi").as("ha"), col("lo").as("la"))
+    val r = bands.select(col("t"), col("bv"), col("doc_id").as("b"),
+      col("hi").as("hb"), col("lo").as("lb"))
+    l.join(r, Seq("t", "bv"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "ha", "la", "hb", "lb")
+      .distinct()
+      .withColumn("dist",
+        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("la").bitwiseXOR(col("lb")))).cast("int"))
+      .filter(col("dist") <= 10)
+      .select("a", "b", "dist")
+      .orderBy("a", "b") // near-dup pairs ∝ dup density = input-sized
+  }
+
   // ----------------------------------------------------- frame sample
 
   /** Every-5th-frame sampling for video rows: frame indices come from

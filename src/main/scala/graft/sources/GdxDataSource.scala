@@ -51,6 +51,17 @@ class GdxDataSource extends TableProvider with DataSourceRegister {
 
 object GdxTable {
   val CatalogSymbol = "__catalog__"
+  val UelSymbol = "__uels__"
+
+  /** The UEL (unique-element/label) dictionary view — gdxpy's
+    * gdxSystemInfo nUels + gdxGetUEL loop surface. `uel_index` is the
+    * 1-based registration order: the file's own table for a single
+    * .gdx, first-appearance order across shards (sorted shard paths,
+    * case-insensitive dedup) for a sharded dataset.
+    */
+  val uelSchema: StructType = StructType(Seq(
+    StructField("uel_index", IntegerType, nullable = false),
+    StructField("label", StringType, nullable = false)))
 
   val catalogSchema: StructType = StructType(Seq(
     StructField("name", StringType, nullable = false),
@@ -120,6 +131,7 @@ object GdxTable {
       .getOrElse(throw new IllegalArgumentException("gdx: path required"))
     val symbol = Option(options.get("symbol")).getOrElse("")
     if (symbol == CatalogSymbol) return catalogSchema
+    if (symbol == UelSymbol) return uelSchema
     val shards = committedShardsOf(path)
     val flags = options.getOrDefault("specialValues", "map") == "columns"
     if (shards.isEmpty) {

@@ -113,6 +113,8 @@ class GdxScan(fullSchema: StructType, required: StructType, pushed: Seq[DimLabel
     val shards = GdxTable.committedShardsOf(path)
     if (symbol == GdxTable.CatalogSymbol)
       Array(GdxCatalogPartition(shards))
+    else if (symbol == GdxTable.UelSymbol)
+      Array(GdxUelPartition(shards))
     else prunedByManifest(shards).map(s => GdxInputPartition(s, symbol)).toArray
   }
 
@@ -151,6 +153,7 @@ class GdxScan(fullSchema: StructType, required: StructType, pushed: Seq[DimLabel
 
 case class GdxInputPartition(shardPath: String, symbol: String) extends InputPartition
 case class GdxCatalogPartition(shardPaths: Seq[String]) extends InputPartition
+case class GdxUelPartition(shardPaths: Seq[String]) extends InputPartition
 
 class GdxReaderFactory(fullSchema: StructType, required: StructType,
     pushed: Seq[DimLabelFilter], symbol: String,
@@ -159,6 +162,7 @@ class GdxReaderFactory(fullSchema: StructType, required: StructType,
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case GdxCatalogPartition(shards) => new GdxCatalogReader(shards, required)
+      case GdxUelPartition(shards) => new GdxUelReader(shards, required)
       case GdxInputPartition(shard, sym) =>
         new GdxSymbolReader(shard, sym, fullSchema, required, pushed, raw)
     }
@@ -197,6 +201,43 @@ class GdxCatalogReader(paths: Seq[String], required: StructType)
     }
 
   override def next(): Boolean = { val h = metas.hasNext; if (h) cur = metas.next(); h }
+
+  override def get(): InternalRow =
+    new GenericInternalRow(emitters.map(e => e(cur)).toArray[Any])
+
+  override def close(): Unit = ()
+}
+
+/** Emits the UEL (label) dictionary — gdxpy's gdxGetUEL loop view:
+  * one (uel_index, label) row per registered label. Single file: the
+  * file's own table in registration order. Sharded dataset: shards are
+  * merged in sorted path order with case-insensitive first-appearance
+  * dedup and a fresh 1-based index (per-shard indices are local to
+  * each shard's table, so a global view must re-number). Header-only
+  * reads — UEL tables live in the header, no record blobs touched.
+  */
+class GdxUelReader(paths: Seq[String], required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val labels: Iterator[(Int, String)] = {
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val out = Vector.newBuilder[String]
+    paths.sorted.foreach { p =>
+      GdxCodec.readHeader(p).uels.foreach { u =>
+        if (seen.add(u.toLowerCase)) out += u
+      }
+    }
+    out.result().zipWithIndex.map { case (u, i) => (i + 1, u) }.iterator
+  }
+  private var cur: (Int, String) = _
+
+  private val emitters: Array[((Int, String)) => Any] =
+    required.fieldNames.map[((Int, String)) => Any] {
+      case "uel_index" => u => u._1
+      case "label" => u => UTF8String.fromString(u._2)
+      case other => throw new IllegalArgumentException(s"unknown uel field $other")
+    }
+
+  override def next(): Boolean = { val h = labels.hasNext; if (h) cur = labels.next(); h }
 
   override def get(): InternalRow =
     new GenericInternalRow(emitters.map(e => e(cur)).toArray[Any])

@@ -49,6 +49,7 @@ class GdxMicroBatchStream(path: String, symbol: String, fullSchema: StructType,
     raw: Boolean = false, committedOnly: Boolean = false) extends MicroBatchStream {
 
   require(symbol != GdxTable.CatalogSymbol, "gdx: the catalog view is not streamable")
+  require(symbol != GdxTable.UelSymbol, "gdx: the UEL view is not streamable")
 
   private def currentFiles: Seq[String] =
     if (committedOnly && new java.io.File(path).isDirectory)

@@ -63,6 +63,25 @@ class GdxSourceSpec extends AnyFunSuite {
     assert(rows.map(r => Option(r.getString(2))).toSet == Set(Some("USA"), None))
   }
 
+  test("UEL dictionary view: 1-based registration order; sharded dirs renumber deduped") {
+    val p = writeFixture()
+    // single file: the file's own table in registration order (symbol
+    // p's records register us,x,y,eu,z,cn; set i adds nothing new)
+    val u = Gdx.uels(spark, p).orderBy("uel_index").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(u.toSeq === Seq((1, "us"), (2, "x"), (3, "y"), (4, "eu"), (5, "z"), (6, "cn")))
+    // sharded dataset: per-shard tables merge with case-insensitive
+    // first-appearance dedup and a fresh contiguous index
+    import spark.implicits._
+    val out = s"${tmpDir()}/uels"
+    Seq(("a", 1.0), ("B", 2.0), ("b", 3.0), ("c", 4.0)).toDF("dim_1", "value")
+      .repartition(2).write.format("gdx").mode("overwrite").option("symbol", "s").save(out)
+    val rows = Gdx.uels(spark, out).collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(rows.map(_._2.toLowerCase).toSet === Set("a", "b", "c"),
+      s"case-insensitive dedup across shards: ${rows.mkString(",")}")
+    assert(rows.map(_._1).sorted.toSeq === Seq(1, 2, 3))
+  }
+
   test("catalog lists symbols with metadata") {
     val p = writeFixture()
     val cat = Gdx.catalog(spark, p).orderBy("name").collect()

@@ -497,6 +497,70 @@ object MultimodalOps extends QueryModule {
       .orderBy("a", "b") // near-dup pairs ∝ dup density = input-sized
   }
 
+  // ------------------------------------------------ audio fingerprint
+
+  final case class AudioFp(doc_id: Long, n_windows: Int, fp_min: Long, fp_xor: Long)
+
+  /** Chromaprint-style audio fingerprint over the OPAQUE payload bytes
+    * (the mandate's stubbed-decode slot: a real pipeline would decode
+    * PCM frames first; the frame→hash plumbing below is what stays):
+    * fixed 32-byte windows at stride 16 (short payloads = one whole
+    * window), each window rolling-poly-hashed (the same byte fold as
+    * the native `token_poly_hash`, mod 1e9+7), folded to a compact
+    * (n_windows, min, xor) fingerprint. Min and xor are
+    * order-independent, so the fold parallelizes trivially; the oracle
+    * recomputes every window hash from the document text the audio
+    * payload was synthesized from (byte == ord(char) for this ASCII
+    * corpus), so the binary windowing is verified, not trusted.
+    * Embarrassingly parallel: batched mapPartitions, zero shuffle.
+    */
+  def audioFingerprints(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    val Mod = 1000000007L
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap(_.map { r =>
+          val bytes = r.payload
+          val len = bytes.length
+          var p = 0
+          var n = 0
+          var mn = Long.MaxValue
+          var xo = 0L
+          val end = math.max(len - 31, 1)
+          while (p < end) {
+            val wEnd = math.min(p + 32, len)
+            var h = 0L
+            var i = p
+            while (i < wEnd) { h = (h * 31 + (bytes(i) & 0xff)) % Mod; i += 1 }
+            n += 1
+            if (h < mn) mn = h
+            xo ^= h
+            p += 16
+          }
+          AudioFp(r.doc_id, n, mn, xo)
+        })
+      }
+      .toDF()
+  }
+
+  q("mm_audio_fingerprint",
+    """WITH au AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+      |     hs AS (SELECT doc_id,
+      |       [list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(str_split(substr(text, p + 1, 32), ''),
+      |                         c -> CAST(ord(c) AS BIGINT))),
+      |          (a, b) -> (a * 31 + b) % 1000000007)
+      |        FOR p IN range(0, greatest(len(text) - 31, 1), 16)] AS h
+      |       FROM au)
+      |SELECT doc_id, CAST(len(h) AS INTEGER) AS n_windows,
+      |       list_min(h) AS fp_min,
+      |       list_reduce(h, (a, b) -> xor(a, b)) AS fp_xor
+      |FROM hs ORDER BY doc_id""") { (s, d) =>
+    audioFingerprints(mediaTable(s, d).filter(col("meta.kind") === "audio"))
+      .orderBy("doc_id") // one row per audio doc = input-sized
+  }
+
   // ----------------------------------------------------- frame sample
 
   /** Every-5th-frame sampling for video rows: frame indices come from

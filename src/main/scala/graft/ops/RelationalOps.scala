@@ -350,6 +350,31 @@ object RelationalOps extends QueryModule {
       hll_sketch_estimate(hll_union_agg(col("sketch"))).as("global_distinct"))
   }
 
+  /** Per-group mode with a deterministic tie (smallest value wins) —
+    * the categorical summary statistic. Two-phase by construction:
+    * (group, value) counts with map-side combine (shuffle ∝ distinct
+    * values per group), then a window rank over the COUNT table (tiny),
+    * never over the raw rows.
+    */
+  q("agg_mode",
+    """SELECT l_returnflag, mode_qty, n FROM (
+      |  SELECT l_returnflag, round(l_quantity, 4) AS mode_qty, n,
+      |         row_number() OVER (PARTITION BY l_returnflag
+      |                            ORDER BY n DESC, l_quantity) AS rn
+      |  FROM (SELECT l_returnflag, l_quantity, count(*) AS n
+      |        FROM lineitem GROUP BY 1, 2) c) t
+      |WHERE rn = 1 ORDER BY l_returnflag""") { (s, d) =>
+    val counts = T(s, d, "lineitem")
+      .groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("n").desc, col("l_quantity").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), round(col("l_quantity"), 4).as("mode_qty"), col("n"))
+      .reportSorted("l_returnflag")
+  }
+
   q("agg_grouping_sets",
     """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)

@@ -88,6 +88,29 @@ object WindowOps extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** Rolling z-score — the standard streaming-adjacent anomaly signal
+    * over a metric series: (x − trailing mean) / trailing stddev per
+    * user. One shuffle on the partition key; windows <2 rows have no
+    * sample stddev and score null (DuckDB agrees). Rounded to 6: the
+    * two engines' stddev accumulations differ at the ulp level.
+    */
+  q("ts_zscore_window",
+    """SELECT event_id,
+      |       round((value - avg(value) OVER w) /
+      |             nullif(stddev_samp(value) OVER w, 0), 6) AS zscore
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""") { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-10, 0)
+    T(s, d, "events")
+      .select(col("event_id"),
+        round((col("value") - avg(col("value")).over(w)) /
+          nullif(stddev_samp(col("value")).over(w), lit(0.0)), 6).as("zscore"))
+      .orderBy("event_id")
+  }
+
   q("win_cume",
     """SELECT event_id,
       |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id

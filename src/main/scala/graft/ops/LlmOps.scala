@@ -862,6 +862,49 @@ object LlmOps extends QueryModule {
       .orderBy("qid", "rn") // top-k PER VECTOR = input-sized
   }
 
+  /** SemDeDup (SPEC: Abbas et al. 2023 — semantic deduplication:
+    * cluster embedding-space near-duplicates and keep one
+    * representative per cluster; the curation step that removes
+    * paraphrase/translation duplicates exact and MinHash dedup cannot
+    * see): multi-table LSH candidates → exact-cosine verify (the
+    * sim_ann_lsh_multi pair pipeline) → distributed connected
+    * components over the verified pair graph → lowest vec_id as the
+    * cluster canonical. Reuses [[connectedComponents]] (iterative
+    * min-label, per-round localCheckpoint), so the CC cost is
+    * O(rounds × pair-graph), never corpus².
+    */
+  q("dedup_semantic_cluster", {
+    val (bucketCols, unions) = multiLshCandCtes(6, 6)
+    s"""WITH RECURSIVE bk AS (SELECT vec_id, embedding,
+       |       $bucketCols FROM embeddings),
+       |     cand AS (
+       |  $unions),
+       |     pairs AS (
+       |  SELECT c.a, c.b FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.a
+       |  JOIN embeddings eb ON eb.vec_id = c.b
+       |  WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                                     CAST(eb.embedding AS DOUBLE[])), 6) >= 0.45),
+       |     edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+       |     reach(src, dst) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |     comp AS (
+       |  SELECT src AS vec_id, least(src, min(dst)) AS canonical FROM reach GROUP BY src)
+       |SELECT vec_id, canonical FROM comp ORDER BY vec_id""".stripMargin
+  }) { (s, d) =>
+    val emb = T(s, d, "embeddings").select("vec_id", "embedding")
+    val pairs = multiLshCandidatesOf(emb, nPlanes = 6, nTables = 6)
+      .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
+      .join(emb.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
+      .filter(round(graft.functions.vec.cosine(col("ea"), col("eb")), 6) >= 0.45)
+      .select("a", "b")
+    connectedComponents(pairs)
+      .select(col("id").as("vec_id"), col("lbl").as("canonical"))
+      .orderBy("vec_id") // one row per clustered vector = dup-density-sized
+  }
+
   /** The production composition of the two ANN upgrades: multi-table
     * OR-amplified candidates (recall 87–98% at the near-dup threshold,
     * LshRecallSpec) verified on int8-quantized vectors (4× narrower
@@ -1266,6 +1309,28 @@ object LlmOps extends QueryModule {
         graft.functions.text.tokenPolyHash(split(col("text"), " ")), lit(0L),
         (acc, h) => pmod(acc * lit(1000003L) + h, lit(1000000007L))))
       .select("doc_id", "fp")
+      .orderBy("doc_id") // one row per doc = input-sized
+  }
+
+  /** Curriculum ordering (SPEC: curriculum-learning data ordering —
+    * Bengio et al. 2009 easy-to-hard; in LLM pipelines a deterministic
+    * global ordering by a difficulty/quality score that the packing
+    * stage consumes): a TOTAL global rank over (score, doc_id). The
+    * naive `row_number() OVER (ORDER BY …)` moves the corpus through
+    * ONE task; this uses the two-pass range-bucket rank (WindowOps
+    * ntile machinery, generalized): range partitions + intra-bucket
+    * rank + an O(#partitions) offset broadcast. No single-partition
+    * exchange at any size.
+    */
+  q("pipeline_curriculum_order",
+    """SELECT doc_id,
+      |       CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+      |         AS curriculum_rank
+      |FROM documents ORDER BY doc_id""") { (s, d) =>
+    WindowOps.globalRowNumber(
+      T(s, d, "documents").select("doc_id", "n_chars"),
+      Seq(col("n_chars").asc, col("doc_id").asc))
+      .select(col("doc_id"), col("global_rank").as("curriculum_rank"))
       .orderBy("doc_id") // one row per doc = input-sized
   }
 

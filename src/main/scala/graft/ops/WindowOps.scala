@@ -156,6 +156,32 @@ object WindowOps extends QueryModule {
     staged.withColumn("ir", row_number().over(wIntra).cast("long"))
   }
 
+  /** Scale-safe global row_number over `sortCols` (must be a total
+    * order): range-bucket + intra-bucket rank + O(#partitions) offset
+    * broadcast — the ntile machinery generalized, no single-partition
+    * exchange anywhere. Returns df + `global_rank` (1-based).
+    */
+  private[ops] def globalRowNumber(df: org.apache.spark.sql.DataFrame,
+      sortCols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame = {
+    val s = df.sparkSession
+    val parts = s.sparkContext.defaultParallelism
+    val staged = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("pid", spark_partition_id())
+    val wIntra = Window.partitionBy("pid").orderBy(sortCols: _*)
+    val ranked = staged.withColumn("ir", row_number().over(wIntra).cast("long"))
+      .localCheckpoint()
+    val cnts = ranked.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .orderBy("pid").collect()
+    var running = 0L
+    val offsets = cnts.map { r =>
+      val o = running; running += r.getLong(1); (r.getInt(0), o)
+    }
+    val offDf = s.createDataFrame(offsets.toIndexedSeq).toDF("pid", "off")
+    ranked.join(broadcast(offDf), "pid")
+      .withColumn("global_rank", col("off") + col("ir"))
+      .drop("pid", "ir", "off")
+  }
+
   q("win_ntile_percent",
     """SELECT c_custkey,
       |       ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS bucket,

@@ -237,4 +237,32 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "record alignment must stay an equi join")
   }
+
+  test("text_unigram_logprob: LM lookup broadcasts, token stream never shuffles for it") {
+    val p = plan(graft.SparkEntry.queries("text_unigram_logprob")(spark, d))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocab logprob table must broadcast onto the token stream:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "the one-row total must broadcast (nested-loop on a 1-row side is fine, cartesian is not)")
+  }
+
+  test("mm_phash_neardup: banded candidates stay an equi join, verify is integer bit math") {
+    val df = graft.SparkEntry.queries("mm_phash_neardup")(spark, d)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must equi-join on (band, value), never all-pairs:\n$p")
+    assert(p.contains("bit_count"), s"verify must be codegen'd bit_count(xor):\n$p")
+  }
+
+  test("mm_audio_fingerprint: embarrassingly parallel — only the report sort exchanges") {
+    val p = plan(graft.SparkEntry.queries("mm_audio_fingerprint")(spark, d))
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"fingerprinting must not shuffle (beyond the report sort):\n$p")
+  }
+
+  test("agg_mode: rank runs over the two-phase count table, not the raw rows") {
+    val p = plan(graft.SparkEntry.queries("agg_mode")(spark, d))
+    assert(p.contains("partial_count"), s"counts must map-side combine:\n$p")
+    assert(p.contains("Window"), "mode selection is a window over the count table")
+  }
 }

@@ -224,6 +224,54 @@ object RelationalOps extends QueryModule {
       .orderBy("event_id") // one row per purchase = input-sized
   }
 
+  /** Nearest-direction as-of (pandas merge_asof direction="nearest"):
+    * each purchase matches its closest click in EITHER direction,
+    * ties → the earlier click. Same single-pass union+window shape as
+    * [[join_asof]] — one shuffle on user_id, then a backward max and a
+    * forward min over the SAME sort order (Spark runs both frames in
+    * one Window stage). A click at the purchase's exact timestamp
+    * lands in the backward frame (clicks sort first at equal ts) and
+    * wins with Δ=0.
+    */
+  q("join_asof_nearest",
+    """WITH p AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us
+      |           FROM events WHERE event_type = 'purchase'),
+      |     c AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us
+      |           FROM events WHERE event_type = 'click'),
+      |     pv AS (SELECT p.event_id, max(c.us) AS prev_us
+      |            FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.us <= p.us
+      |            GROUP BY p.event_id),
+      |     nx AS (SELECT p.event_id, min(c.us) AS next_us
+      |            FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.us >= p.us
+      |            GROUP BY p.event_id)
+      |SELECT p.event_id,
+      |       CASE WHEN prev_us IS NULL THEN next_us
+      |            WHEN next_us IS NULL THEN prev_us
+      |            WHEN p.us - prev_us <= next_us - p.us THEN prev_us
+      |            ELSE next_us END AS click_ts_us
+      |FROM p JOIN pv USING (event_id) JOIN nx USING (event_id)
+      |ORDER BY p.event_id""") { (s, d) =>
+    val e = T(s, d, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), (col("event_type") === "click").cast("int").as("is_click"))
+    val order = Seq(col("us").asc, col("is_click").desc)
+    val back = Window.partitionBy("user_id").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = Window.partitionBy("user_id").orderBy(order: _*)
+      .rowsBetween(0, Window.unboundedFollowing)
+    val clickUs = when(col("is_click") === 1, col("us"))
+    e.withColumn("prev_us", max(clickUs).over(back))
+      .withColumn("next_us", min(clickUs).over(fwd))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        when(col("prev_us").isNull, col("next_us"))
+          .when(col("next_us").isNull, col("prev_us"))
+          .when(col("us") - col("prev_us") <= col("next_us") - col("us"), col("prev_us"))
+          .otherwise(col("next_us")).as("click_ts_us"))
+      .orderBy("event_id") // one row per purchase = input-sized
+  }
+
   // ---------------------------------------------------- bucketed join
 
   private val bucketLock = new Object

@@ -353,13 +353,11 @@ object LlmOps extends QueryModule {
     labels
   }
 
-  /** Canonical representative per near-dup cluster: components over the
-    * exact-Jaccard (≥0.8) pair graph; every clustered doc maps to the
-    * lowest doc_id in its component. Oracle: DuckDB recursive CTE over
-    * the same pair set.
+  /** Shared oracle prefix: the Jaccard pair graph + recursive-CTE
+    * component labels (comp = (doc_id, canonical)).
     */
-  q("dedup_cluster_canonical",
-    """WITH RECURSIVE sh AS (
+  private val jaccardCompSql =
+    """sh AS (
       |  SELECT DISTINCT doc_id, sh AS shingle FROM (
       |    SELECT doc_id, unnest([list_aggr(tok[i:i+2], 'string_agg', ' ')
       |                           FOR i IN range(1, greatest(len(tok) - 2, 1) + 1)]) AS sh
@@ -378,8 +376,56 @@ object LlmOps extends QueryModule {
       |  UNION
       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
       |     comp AS (
-      |  SELECT src AS doc_id, least(src, min(dst)) AS canonical FROM reach GROUP BY src)
-      |SELECT doc_id, canonical FROM comp ORDER BY doc_id""") { (s, d) =>
+      |  SELECT src AS doc_id, least(src, min(dst)) AS canonical FROM reach GROUP BY src)""".stripMargin
+
+  /** Canonical representative per near-dup cluster: components over the
+    * exact-Jaccard (≥0.8) pair graph; every clustered doc maps to the
+    * lowest doc_id in its component. Oracle: DuckDB recursive CTE over
+    * the same pair set.
+    */
+  q("dedup_cluster_canonical",
+    s"""WITH RECURSIVE $jaccardCompSql
+       |SELECT doc_id, canonical FROM comp ORDER BY doc_id""".stripMargin) { (s, d) =>
+    connectedComponents(jaccardPairs(s, d))
+      .select(col("id").as("doc_id"), col("lbl").as("canonical"))
+      .orderBy("doc_id") // one row per clustered doc = input-sized
+  }
+
+  /** Quality-aware cluster selection — what production dedup actually
+    * keeps: not the lowest-id member but the BEST one (here: longest,
+    * doc_id tiebreak). Same component labels as
+    * [[dedup_cluster_canonical]]; the winner per cluster comes from a
+    * window over the cluster-count-sized (doc, cluster, quality) frame,
+    * then joins back on the cluster key — never touches corpus-sized
+    * state beyond the pair pipeline it shares.
+    */
+  q("dedup_keep_best",
+    s"""WITH RECURSIVE $jaccardCompSql,
+       |     best AS (
+       |  SELECT canonical, doc_id AS keep_id, row_number() OVER (
+       |    PARTITION BY canonical ORDER BY n_chars DESC, doc_id) AS rn
+       |  FROM comp JOIN documents USING (doc_id))
+       |SELECT c.doc_id, b.keep_id FROM comp c
+       |JOIN (SELECT canonical, keep_id FROM best WHERE rn = 1) b USING (canonical)
+       |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+    val comp = connectedComponents(jaccardPairs(s, d))
+      .select(col("id").as("doc_id"), col("lbl").as("canonical"))
+    val w = Window.partitionBy("canonical")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val best = comp.join(T(s, d, "documents").select("doc_id", "n_chars"), Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("canonical"), col("doc_id").as("keep_id"))
+    comp.join(best, Seq("canonical"))
+      .select("doc_id", "keep_id")
+      .orderBy("doc_id") // one row per clustered doc = input-sized
+  }
+
+  /** Exact-Jaccard (≥0.8) near-dup pair graph over 3-shingles — the
+    * shared edge-list stage behind cluster canonicalization and
+    * keep-best selection.
+    */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val sh = T(s, d, "documents")
       .withColumn("tok", split(col("text"), " "))
       .withColumn("shs", expr(
@@ -391,14 +437,11 @@ object LlmOps extends QueryModule {
       .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    val pairs = inter
+    inter
       .join(counts.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
       .join(counts.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
       .filter(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")) >= 0.8)
       .select("a", "b")
-    connectedComponents(pairs)
-      .select(col("id").as("doc_id"), col("lbl").as("canonical"))
-      .orderBy("doc_id") // one row per clustered doc = input-sized
   }
 
   // -------------------------------------------------------- similarity
@@ -1331,6 +1374,28 @@ object LlmOps extends QueryModule {
       T(s, d, "documents").select("doc_id", "n_chars"),
       Seq(col("n_chars").asc, col("doc_id").asc))
       .select(col("doc_id"), col("global_rank").as("curriculum_rank"))
+      .orderBy("doc_id") // one row per doc = input-sized
+  }
+
+  /** Deterministic epoch shuffle — reproducible training order: a
+    * hash-keyed global permutation (every re-run, every re-ingestion
+    * yields the SAME order, unlike rand()-based shuffles). The rank is
+    * the same two-pass range-bucket machinery as curriculum ordering —
+    * no single-partition exchange. The LCG keeps the key
+    * oracle-expressible; a production corpus with >2³² ids swaps in
+    * xxhash64 with no shape change.
+    */
+  q("pipeline_epoch_shuffle",
+    """SELECT doc_id,
+      |       CAST(row_number() OVER (
+      |         ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id) AS BIGINT)
+      |         AS shuffle_rank
+      |FROM documents ORDER BY doc_id""") { (s, d) =>
+    val h = pmod(col("doc_id") * lit(1103515245L) + lit(12345L), lit(2147483648L))
+    WindowOps.globalRowNumber(
+      T(s, d, "documents").select("doc_id").withColumn("h", h),
+      Seq(col("h").asc, col("doc_id").asc))
+      .select(col("doc_id"), col("global_rank").as("shuffle_rank"))
       .orderBy("doc_id") // one row per doc = input-sized
   }
 

@@ -423,6 +423,23 @@ object RelationalOps extends QueryModule {
       .reportSorted("l_returnflag")
   }
 
+  /** Per-group correlation/covariance — the bivariate summary pair.
+    * Single two-phase aggregate (co-moment accumulators are fixed-size
+    * map-side state); round-6 absorbs the engines' accumulation-order
+    * ulps.
+    */
+  q("agg_corr",
+    """SELECT l_returnflag,
+      |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+      |       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
+    T(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qp"),
+        round(covar_samp("l_quantity", "l_extendedprice"), 4).as("covar_qp"))
+      .reportSorted("l_returnflag")
+  }
+
   q("agg_grouping_sets",
     """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)

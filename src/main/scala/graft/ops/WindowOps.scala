@@ -216,6 +216,33 @@ object WindowOps extends QueryModule {
       .orderBy("c_custkey")
   }
 
+  /** first/last/nth frame navigation — completes the window-function
+    * surface next to rank/lag/moving-agg: each user's first, latest,
+    * and second event value over the full partition frame.
+    */
+  q("win_first_last",
+    """SELECT event_id,
+      |       first_value(value) OVER w AS first_v,
+      |       last_value(value) OVER
+      |         (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v,
+      |       nth_value(value, 2) OVER w AS second_v
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""") { (s, d) =>
+    val grow = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val full = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    T(s, d, "events")
+      .select(col("event_id"),
+        first(col("value")).over(grow).as("first_v"),
+        last(col("value")).over(full).as("last_v"),
+        nth_value(col("value"), 2).over(grow).as("second_v"))
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------------- F
 
   q("sort_by_key",

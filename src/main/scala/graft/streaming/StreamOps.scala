@@ -51,6 +51,23 @@ object StreamOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Continuous-ingest corpus dedup — the streaming form of
+    * `dedup_incremental`: arriving documents hash map-side and
+    * LEFT-ANTI join the standing corpus's content-hash set per
+    * micro-batch (stream-static anti joins are stateless — no
+    * watermark state; the corpus frame re-resolves each batch, so a
+    * corpus append is picked up without restarting the query).
+    * In-stream re-deliveries are handled by the composed
+    * `dropDuplicatesWithinWatermark` on the hash — corpus membership
+    * and in-flight dedup are separate concerns with separate state.
+    */
+  def corpusDedup(docs: DataFrame, corpusHashes: DataFrame): DataFrame =
+    docs
+      .withColumn("h", sha2(lower(trim(col("text"))), 256))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("h")
+      .join(corpusHashes, Seq("h"), "left_anti")
+
   /** Stream-static enrichment: the event stream joins a slowly
     * changing dimension frame, re-broadcast per micro-batch —
     * stateless, no stream-side shuffle, no watermark needed on the

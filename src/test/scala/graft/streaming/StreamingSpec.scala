@@ -15,6 +15,8 @@ import graft.gdx.{Gdx, GdxStreamEncoder, SymbolType}
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
 
+case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
 class StreamingSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = graft.Sessions.build("local[4]", "4")
@@ -204,6 +206,28 @@ class StreamingSpec extends AnyFunSuite {
     val after = spark.table(name).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(after.size == 102 && after("z1") == 1000.0 && after("z2") == 1001.0,
       "the arriving shard must be planned exactly once as a new micro-batch")
+  }
+
+  test("corpus-dedup stream: standing-corpus dups dropped, re-deliveries deduped, novel flows") {
+    val corpus = Seq("existing doc one", "existing doc two").toDF("text")
+      .select(sha2(lower(trim(col("text"))), 256).as("h"))
+    val ms = MemoryStream[Doc](spark)
+    val name = nextName()
+    val q = graft.streaming.StreamOps.corpusDedup(ms.toDF(), corpus)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    ms.addData(
+      Doc(1, t(0), "existing doc one"), // already in the corpus → dropped
+      Doc(2, t(1), "novel alpha"),      // novel → emitted
+      Doc(3, t(2), "novel alpha"))      // in-batch re-delivery → deduped
+    q.processAllAvailable()
+    ms.addData(
+      Doc(4, t(3), "novel alpha"),       // cross-batch re-delivery, within watermark → deduped
+      Doc(5, t(4), "existing doc two"),  // corpus dup → dropped
+      Doc(6, t(5), "novel beta"))        // novel → emitted
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(got === Set(2L, 6L), s"only first-seen novel docs may pass: $got")
   }
 
   test("committedOnly stream: membership is the manifest, aborted-epoch shards invisible") {

@@ -388,6 +388,42 @@ object Gdx {
     }
   }
 
+  /** GAMS `gdxrename` tool parity (SPEC: gdxrename utility — renames
+    * UELs across a GDX file; the gdxcc surface is gdxRenameUEL): apply
+    * a label mapping to every dimension of every matched symbol and
+    * write the result through the sharded DSv2 writer under
+    * `outDir/<symbol>`. Matching is case-insensitive (UEL semantics);
+    * unmapped labels pass through untouched. Returns the rewritten
+    * symbol names.
+    *
+    * Scale: the mapping is O(renamed labels) and folds into a map-side
+    * CASE chain on each dim column — no shuffle beyond the write;
+    * driver work is O(catalog). Sentinels ride the RAW scan unchanged.
+    */
+  def renameUel(spark: SparkSession, path: String, outDir: String,
+      mapping: Map[String, String], patterns: String = "*"): Seq[String] = {
+    require(mapping.nonEmpty, "gdx rename: empty label mapping")
+    val lowered = mapping.map { case (k, v) => k.toLowerCase -> v }
+    matchedSymbols(spark, path, patterns).map { sym =>
+      val df =
+        if (sym.typ == "set") symbol(spark, path, sym.name)
+        else symbol(spark, path, sym.name, specialValues = "raw")
+      val renamed = dimCols(df).foldLeft(df) { (acc, c) =>
+        acc.withColumn(c, lowered.foldLeft(when(lit(false), col(c))) {
+          case (w, (from, to)) => w.when(lower(col(c)) === from, to)
+        }.otherwise(col(c)))
+      }
+      val valCols = renamed.columns.toIndexedSeq
+        .filterNot(c => sym.typ == "set" && c == "value")
+      renamed.select(valCols.map(col): _*)
+        .write.format("gdx").mode("overwrite")
+        .option("symbol", sym.name).option("symbolType", sym.typ)
+        .option("subtype", sym.subtype.toString)
+        .save(s"$outDir/${sym.name}")
+      sym.name
+    }
+  }
+
   /** GAMS `gdxdump` tool parity (SPEC: gdxdump utility — renders a GDX
     * file as GAMS assignment text): one `(symbol, line)` row per record,
     * `name('k1','k2') = value;` GAMS syntax (sets render their

@@ -468,6 +468,28 @@ object GdxOps extends QueryModule {
       .reportSorted("dim_1", "dim_2")
   }
 
+  /** gdxrename tool parity (SPEC: GAMS gdxrename / gdxRenameUEL —
+    * relabel UELs across a file): rename a region label across the
+    * 2-dim mapping symbol, write through the sharded DSv2 writer, read
+    * back — oracle re-derives the relabeled mapping relationally.
+    * Process-unique output dir, like gdx_merge.
+    */
+  q("gdx_rename_uel",
+    """SELECT n.n_name AS dim_1,
+      |       CASE WHEN r.r_name = 'AFRICA' THEN 'AFRIKA' ELSE r.r_name END AS dim_2,
+      |       CAST(n.n_nationkey AS DOUBLE) AS value
+      |FROM nation n JOIN region r
+      |  ON r.r_regionkey = n.n_regionkey % (SELECT count(*) FROM region)
+      |ORDER BY dim_1, dim_2""") { (s, d) =>
+    val dir = ensureFixtures(s, d)
+    val out = s"$dir/renamed-${ProcessHandle.current().pid()}"
+    Gdx.renameUel(s, s"$dir/file1.gdx", out,
+      Map("africa" -> "AFRIKA"), patterns = "natreg")
+    Gdx.symbol(s, s"$out/natreg", "natreg")
+      .select("dim_1", "dim_2", "value")
+      .reportSorted("dim_1", "dim_2")
+  }
+
   /** gdxdump tool parity (SPEC: GAMS gdxdump — GDX → GAMS assignment
     * text): render the fixture's 1-dim parameter and the region set,
     * oracle re-derives the exact lines (DECIMAL(18,6) both sides, so

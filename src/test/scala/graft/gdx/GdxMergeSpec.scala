@@ -173,6 +173,31 @@ class GdxMergeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("mixed dim/type"))
   }
 
+  test("renameUel relabels case-insensitively, keeps set text, sentinels and subtype") {
+    val t = tmpDir()
+    val a = write(s"$t/a.gdx") { b =>
+      b.addSymbol("s", SymbolType.Set, 1, Seq(
+        (Seq("US"), Array.empty[Double], Some("states")),
+        (Seq("eu"), Array.empty[Double], None)))
+      b.addSymbol("v", SymbolType.Variable, 1, Seq(
+        (Seq("us"), Array(1.0, SpecialValues.EPS, 0.0, 0.0, 1.0), None)),
+        userInfo = VarType.Positive)
+    }
+    val out = s"$t/out"
+    assert(Gdx.renameUel(spark, a, out, Map("US" -> "usa")) === Seq("s", "v"))
+    // set: label renamed (case-insensitive match), text intact
+    val s2 = Gdx.symbol(spark, s"$out/s", "s")
+      .select("dim_1", "text").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(s2 === Set(("usa", Some("states")), ("eu", None)))
+    // variable: renamed label, marginal EPS survives raw, subtype kept
+    val v = Gdx.symbol(spark, s"$out/v", "v", specialValues = "raw")
+      .select("dim_1", "marginal").head
+    assert(v.getString(0) === "usa" && v.getDouble(1) === SpecialValues.EPS)
+    assert(Gdx.catalog(spark, s"$out/v").select("subtype").head.getInt(0)
+      === VarType.Positive)
+  }
+
   test("variable merge carries all five value fields") {
     val t = tmpDir()
     val a = write(s"$t/a.gdx") { b =>

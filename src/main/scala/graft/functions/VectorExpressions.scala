@@ -280,6 +280,113 @@ case class VecQuantize8(child: Expression)
     copy(child = c)
 }
 
+/** pq_encode(vec, cb, m, k): product-quantization codes — cb is the
+  * FLATTENED `[m][k][j]` codebook (m·k·sub doubles, a plan literal;
+  * sub = len(cb)/(m·k)), vec is the input vector (float/double/byte).
+  * Code of subspace mi = argmin over k of the L2² between the
+  * subvector `vec[mi·sub … mi·sub+sub)` and codebook row (mi, k),
+  * FIRST minimum on ties, accumulated left-to-right (matches a DuckDB
+  * in-order list_reduce fold bit-for-bit). Returns array<int> of m
+  * codes. One tight loop instead of the m·k·sub-node Column-expression
+  * tree, which falls out of whole-stage codegen on size and evaluates
+  * interpreted (measured ~40× slower at sf0.1).
+  */
+case class PqEncode(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+    with VecArrayHelpers {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = VecArrayHelpers.checkVecTypes(first.dataType)
+    if (vecOk != TypeCheckResult.TypeCheckSuccess) vecOk
+    else if (!(second.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckFailure(s"codebook must be array<double>, got ${second.dataType}")
+    else if (!second.foldable || !third.foldable || !fourth.foldable)
+      TypeCheckResult.TypeCheckFailure("codebook, m and k must be literals")
+    else if (third.dataType != IntegerType || fourth.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure("m and k must be int literals")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private lazy val eType = elemType(first.dataType)
+  private lazy val m = third.eval().asInstanceOf[Int]
+  private lazy val k = fourth.eval().asInstanceOf[Int]
+  // codebook materialized once per executor as a primitive array
+  private lazy val cb: Array[Double] = {
+    val a = second.eval().asInstanceOf[ArrayData]
+    Array.tabulate(a.numElements())(a.getDouble)
+  }
+
+  override def nullSafeEval(v: Any, c: Any, mv: Any, kv: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val sub = cb.length / (m * k)
+    val out = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      var best = Double.MaxValue
+      var bestK = 0
+      var ki = 0
+      while (ki < k) {
+        var dist = 0.0
+        var j = 0
+        val base = (mi * k + ki) * sub
+        while (j < sub) {
+          val d = readAsDouble(x, mi * sub + j, eType) - cb(base + j)
+          dist += d * d
+          j += 1
+        }
+        if (dist < best) { best = dist; bestK = ki }
+        ki += 1
+      }
+      out(mi) = bestK
+      mi += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqcb", cb, "double[]")
+    nullSafeCodeGen(ctx, ev, (x, _, _, _) => {
+      val sub = ctx.freshName("sub")
+      val out = ctx.freshName("out")
+      val mi = ctx.freshName("mi")
+      val ki = ctx.freshName("ki")
+      val j = ctx.freshName("j")
+      val best = ctx.freshName("best")
+      val bestK = ctx.freshName("bestK")
+      val dist = ctx.freshName("dist")
+      val dd = ctx.freshName("dd")
+      val base = ctx.freshName("base")
+      s"""
+         |int $sub = $cbRef.length / ${m * k};
+         |int[] $out = new int[$m];
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  double $best = Double.MAX_VALUE;
+         |  int $bestK = 0;
+         |  for (int $ki = 0; $ki < $k; $ki++) {
+         |    double $dist = 0.0;
+         |    int $base = ($mi * $k + $ki) * $sub;
+         |    for (int $j = 0; $j < $sub; $j++) {
+         |      double $dd = ${getAsDouble(x, s"($mi * $sub + $j)", eType)} - $cbRef[$base + $j];
+         |      $dist += $dd * $dd;
+         |    }
+         |    if ($dist < $best) { $best = $dist; $bestK = $ki; }
+         |  }
+         |  $out[$mi] = $bestK;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression): PqEncode = PqEncode(a, b, c, d)
+}
+
 /** Registers the native expressions as SQL functions via the public
   * SparkSessionExtensions hook. Sessions are built with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
@@ -309,6 +416,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("vec_quantize8"),
       new ExpressionInfo(classOf[VecQuantize8].getName, "vec_quantize8"),
       (es: Seq[Expression]) => VecQuantize8(es.head)))
+    ext.injectFunction((FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      (es: Seq[Expression]) => PqEncode(es(0), es(1), es(2), es(3))))
   }
 }
 
@@ -320,4 +430,10 @@ object vec {
   def norm(a: Column): Column = call_function("vec_norm", a)
   def cosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
   def quantize8(a: Column): Column = call_function("vec_quantize8", a)
+
+  /** PQ codes of `a` against the flattened [m][k][j] codebook literal. */
+  def pqEncode(a: Column, cbFlat: Column, m: Int, k: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("pq_encode", a, cbFlat, lit(m), lit(k))
+  }
 }

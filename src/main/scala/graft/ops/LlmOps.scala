@@ -710,6 +710,114 @@ object LlmOps extends QueryModule {
       .reportSorted("qid", "rn")
   }
 
+  // ------------------------------------------------ product quantization
+
+  /** Deterministic PQ codebook `[m][k][j]`: for subspace m (M=8
+    * subspaces × 8 dims), centroid k is the (k+1)-th embedding's m-th
+    * subvector (vec_id order) — the same first-K deterministic stand-in
+    * [[sim_ann_ivf]] uses for its coarse quantizer; per-subspace Lloyd
+    * ([[kmeansCentroids]]) drops in unchanged.
+    */
+  private def pqCodebook(emb: DataFrame): Array[Array[Array[Double]]] = {
+    val firstK = emb.orderBy("vec_id").limit(16).collect().map(_.getSeq[Float](1))
+    Array.tabulate(8, 16)((m, k) => (0 until 8).map(j => firstK(k)(m * 8 + j).toDouble).toArray)
+  }
+
+  private def pqOracleSql: String =
+    s"""WITH cb AS (
+       |  SELECT m, k, [CAST(embedding[m*8 + j + 1] AS DOUBLE) FOR j IN range(0, 8)] AS c
+       |  FROM (SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS k
+       |        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)) e,
+       |       unnest(generate_series(0, 7)) AS mm(m)),
+       |     enc AS (
+       |  SELECT v.vec_id, cb.m, cb.k,
+       |         row_number() OVER (PARTITION BY v.vec_id, cb.m ORDER BY
+       |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |             [(CAST(v.embedding[cb.m*8 + j + 1] AS DOUBLE) - cb.c[j + 1])
+       |              * (CAST(v.embedding[cb.m*8 + j + 1] AS DOUBLE) - cb.c[j + 1])
+       |              FOR j IN range(0, 8)]), (a, b) -> a + b), cb.k) AS rn
+       |  FROM embeddings v CROSS JOIN cb),
+       |     recon AS (
+       |  SELECT e.vec_id, list(cb.c ORDER BY e.m) AS subs
+       |  FROM enc e JOIN cb ON cb.m = e.m AND cb.k = e.k
+       |  WHERE e.rn = 1 GROUP BY e.vec_id),
+       |     bk AS (SELECT vec_id, ${bucketSql(8)} AS bucket FROM embeddings),
+       |     cand AS (SELECT l.vec_id AS qid, r.vec_id AS nbr
+       |              FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id),
+       |     scored AS (
+       |  SELECT c.qid, c.nbr,
+       |         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           [list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |              [ra.subs[m + 1][j + 1] * rb.subs[m + 1][j + 1] FOR j IN range(0, 8)]),
+       |              (x, y) -> x + y) FOR m IN range(0, 8)]), (x, y) -> x + y), 6) AS adot
+       |  FROM cand c
+       |  JOIN recon ra ON ra.vec_id = c.qid
+       |  JOIN recon rb ON rb.vec_id = c.nbr)
+       |SELECT qid, nbr, adot, rn FROM (
+       |  SELECT qid, nbr, adot,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY adot DESC, nbr) AS INTEGER) AS rn
+       |  FROM scored) t
+       |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+
+  /** Product-quantization ANN (SPEC: FAISS PQ — Jégou et al. 2011):
+    * each vector compresses to M=8 one-byte codes (one per 8-dim
+    * subspace, nearest of K=16 codebook subvectors) and candidate
+    * ranking runs ENTIRELY on codes via the precomputed symmetric
+    * inner-product tables ip[m][ka][kb] — the SDC scheme. 8 bytes per
+    * vector through the candidate shuffle (vs 64 for sq8, 256 for
+    * float32), and the verify is 8 literal-array lookups + adds per
+    * pair, no vector arithmetic at all. Encoding is map-side argmin
+    * against codebook literals; the first-K deterministic codebook
+    * keeps every fold oracle-reproducible (the accuracy upgrade is
+    * per-subspace Lloyd, exactly as IVF's trained variant).
+    */
+  /** (vec_id, bucket, c0..c7): map-side PQ encode via the native
+    * codegen'd `pq_encode` expression — one tight loop per row against
+    * the flattened codebook literal (the equivalent Column-expression
+    * tree is ~6k nodes, falls out of whole-stage codegen on size, and
+    * measured ~40× slower interpreted). Materialized ONCE
+    * (localCheckpoint) so the self-join's two sides reuse the 12 B/row
+    * code frame — same pattern as mm_ann_topk's checkpoint.
+    */
+  private[ops] def pqEncoded(s: SparkSession, d: String,
+      cb: Array[Array[Array[Double]]]): DataFrame = {
+    val cbFlat = array(cb.flatten.flatten.toIndexedSeq.map(lit): _*)
+    lshBucketed(s, d, nPlanes = 8)
+      .withColumn("pq", graft.functions.vec.pqEncode(col("embedding"), cbFlat, 8, 16))
+      .select(col("vec_id") +: col("bucket") +:
+        (0 until 8).map(m => element_at(col("pq"), m + 1).as(s"c$m")): _*)
+      .localCheckpoint()
+  }
+
+  private[ops] def pqCodebookOf(s: SparkSession, d: String): Array[Array[Array[Double]]] =
+    pqCodebook(T(s, d, "embeddings").select("vec_id", "embedding"))
+
+  q("sim_ann_pq", pqOracleSql) { (s, d) =>
+    val cb = pqCodebookOf(s, d)
+    val encoded = pqEncoded(s, d, cb)
+    // the PQ trick: 8 precomputed 16×16 inner-product tables as plan
+    // literals — scoring never touches a vector again
+    val ip = Array.tabulate(8)(m => Array.tabulate(256) { i =>
+      (0 until 8).foldLeft(0.0)((acc, j) => acc + cb(m)(i / 16)(j) * cb(m)(i % 16)(j))
+    })
+    val l = encoded.select(col("bucket") +: col("vec_id").as("qid") +:
+      (0 until 8).map(m => col(s"c$m").as(s"ca$m")): _*)
+    val r = encoded.select(col("bucket") +: col("vec_id").as("nbr") +:
+      (0 until 8).map(m => col(s"c$m").as(s"cb$m")): _*)
+    val score = (0 until 8).foldLeft(lit(0.0)) { (acc, m) =>
+      acc + element_at(array(ip(m).toIndexedSeq.map(lit): _*),
+        (col(s"ca$m") * 16 + col(s"cb$m") + 1).cast("int"))
+    }
+    val w = Window.partitionBy("qid").orderBy(col("adot").desc, col("nbr").asc)
+    l.join(r, Seq("bucket"))
+      .filter(col("qid") =!= col("nbr"))
+      .withColumn("adot", round(score, 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("qid", "nbr", "adot", "rn")
+      .orderBy("qid", "rn") // top-k per vector = input-sized
+  }
+
   /** Embedding-cosine near-dup: pairs above a cosine threshold, found
     * in-bucket (LSH) rather than by cross join.
     *

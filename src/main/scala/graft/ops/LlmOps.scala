@@ -1272,6 +1272,45 @@ object LlmOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF keyword extraction — top-3 characteristic terms per doc
+    * (the classic retrieval/labeling primitive): tf = in-doc count,
+    * idf = ln(N/df). Two vocab-sized shuffles ((doc,word) counts and
+    * document frequencies), the df/N table BROADCASTs back onto the
+    * per-doc counts, top-3 via a window over the (doc,word) count
+    * frame — nothing token-sized ever shuffles twice, nothing
+    * corpus-sized sorts globally.
+    */
+  q("text_tfidf_topk",
+    """WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents),
+      |     tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |     df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |     n AS (SELECT count(*) AS n FROM documents)
+      |SELECT doc_id, w, score, rn FROM (
+      |  SELECT tf.doc_id, tf.w,
+      |         round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score,
+      |         CAST(row_number() OVER (PARTITION BY tf.doc_id
+      |           ORDER BY round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) DESC, tf.w)
+      |           AS INTEGER) AS rn
+      |  FROM tf JOIN df USING (w) CROSS JOIN n) t
+      |WHERE rn <= 3 ORDER BY doc_id, rn""") { (s, d) =>
+    val tok = T(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("w").agg(countDistinct("doc_id").as("df"))
+    val n = T(s, d, "documents").agg(count(lit(1)).as("n"))
+    val score = col("tf") * log(col("n").cast("double") / col("df"))
+    // rank on the ROUNDED score: the engines' ln() may differ at the
+    // ulp level, and a sub-1e-6 gap between two words must collapse to
+    // the deterministic word tie-break on both sides, not flip ranks
+    val w = Window.partitionBy("doc_id").orderBy(round(score, 6).desc, col("w").asc)
+    tf.join(broadcast(df), Seq("w"))
+      .crossJoin(broadcast(n))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("w"), round(score, 6).as("score"), col("rn"))
+      .orderBy("doc_id", "rn") // top-3 per doc = input-sized
+  }
+
   /** Unigram-LM quality scoring (SPEC: the CCNet-style perplexity
     * filter — Wenzek et al. 2020 score docs by per-token negative
     * log-likelihood under a corpus LM; high NLL = out-of-distribution

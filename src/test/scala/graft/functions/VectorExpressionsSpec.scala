@@ -100,6 +100,32 @@ class VectorExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("pq_encode: first-min argmin per subspace, codegen and interpreted agree") {
+    import spark.implicits._
+    // 2 subspaces × 2 dims, 2 centroids each (flattened [m][k][j]):
+    //   m=0: c0=(0,0), c1=(1,1);  m=1: c0=(5,5), c1=(0,0)
+    val cb = Seq(0.0, 0.0, 1.0, 1.0, 5.0, 5.0, 0.0, 0.0)
+    val cbCol = array(cb.map(lit): _*)
+    val df = Seq(
+      Tuple1(Seq(0.9f, 0.9f, 4.0f, 4.0f)), // m0 → c1, m1 → c0
+      Tuple1(Seq(0.5f, 0.5f, 0.0f, 0.0f))) // m0 tie (dist 0.5 both) → FIRST min c0; m1 → c1
+      .toDF("v")
+    def run() = df.select(vec.pqEncode(col("v"), cbCol, 2, 2)).collect()
+      .map(_.getSeq[Int](0).toSeq).toSeq
+    val want = Seq(Seq(1, 0), Seq(0, 1))
+    assert(run() === want) // codegen
+    val sql = spark.conf
+    val before = sql.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      sql.set("spark.sql.codegen.wholeStage", "false")
+      sql.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      assert(run() === want) // interpreted
+    } finally {
+      sql.set("spark.sql.codegen.wholeStage", before)
+      sql.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("simhash32 matches the explode+groupBy vote formulation bit-for-bit") {
     import spark.implicits._
     val docs = Seq((1L, "spark scale shuffle codegen spark"),

@@ -3,6 +3,7 @@ package graft.gdx
 import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Gdx.diff — gdxdiff-tool semantics (SPEC: GAMS gdxdiff utility):
@@ -137,6 +138,23 @@ class GdxDiffSpec extends AnyFunSuite {
       ("onlya", "k", "del", Some(1.0), None),
       ("onlyb", "m", "ins", None, Some(2.0)),
       ("shape", "dim 1<>2", "dim", None, None)))
+  }
+
+  test("a 300-symbol catalog diffs without blowing the analyzer (tree union)") {
+    // 300 per-symbol frames union as a balanced tree (depth ~9); the
+    // old linear unionByName chain recursed once per symbol at
+    // resolution time — this pins the analyzer-depth guard
+    def many(path: String, shift: Double): String = write(path) { b =>
+      (0 until 300).foreach { i =>
+        b.addSymbol(f"sym$i%03d", SymbolType.Parameter, 1, Seq(
+          (Seq("k"), Array(i + shift), None)))
+      }
+    }
+    val a = many(tmp("a.gdx"), 0.0)
+    val bf = many(tmp("b.gdx"), 0.5) // every symbol changes
+    val diff = Gdx.diff(spark, a, bf)
+    assert(diff.count() === 300)
+    assert(diff.filter(col("status") === "chg").count() === 300)
   }
 
   test("diff is reflexive-empty on generated files incl. special values (property)") {

@@ -238,6 +238,19 @@ class PlanInvariantsSpec extends AnyFunSuite {
       "record alignment must stay an equi join")
   }
 
+  test("sim_ann_pq: candidate join carries 8 int codes — no vectors past the encode") {
+    val df = graft.SparkEntry.queries("sim_ann_pq")(spark, d)
+    val joined = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joined.nonEmpty)
+    joined.foreach { j =>
+      val cols = (j.left.output ++ j.right.output).map(a => (a.name, a.dataType.simpleString))
+      assert(!cols.exists(_._2.startsWith("array<")),
+        s"vectors leaked past the PQ encode into the candidate join: $cols")
+    }
+  }
+
   test("text_unigram_logprob: LM lookup broadcasts, token stream never shuffles for it") {
     val p = plan(graft.SparkEntry.queries("text_unigram_logprob")(spark, d))
     assert(p.contains("BroadcastHashJoin"),

@@ -8,17 +8,22 @@ object Bench {
     * report. Hand-rolled parse (no JSON lib in the build): the file is
     * our own single-line format.
     */
-  private def priorTimes(): Map[String, Double] =
+  private def priorTimes(sfDir: String): Map[String, Double] =
     try {
       val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
       if (!java.nio.file.Files.isRegularFile(p)) Map.empty
       else {
         val s = java.nio.file.Files.readString(p)
-        val qs = s.indexOf("\"queries\":{")
-        if (qs < 0) Map.empty
-        else """"([a-z0-9_]+)":([0-9]+\.[0-9]+)""".r
-          .findAllMatchIn(s.substring(qs))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // a prior from a DIFFERENT dataset/scale would flag everything
+        // (or nothing) as suspect — only same-sf records are comparable
+        if (!s.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+        else {
+          val qs = s.indexOf("\"queries\":{")
+          if (qs < 0) Map.empty
+          else """"([a-z0-9_]+)":([0-9]+\.[0-9]+)""".r
+            .findAllMatchIn(s.substring(qs))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
       }
     } catch { case _: Throwable => Map.empty }
 
@@ -43,7 +48,7 @@ object Bench {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings")
       .foreach(t => T(spark, sfDir, t).count())
-    val prior = priorTimes()
+    val prior = priorTimes(sfDir)
     // Deterministic (sorted) order → per-query times comparable across
     // runs. Each query is timed three times and the min reported: this
     // host shows sporadic multi-second external stalls (observed moving

@@ -315,15 +315,25 @@ case class PqEncode(first: Expression, second: Expression,
   private lazy val eType = elemType(first.dataType)
   private lazy val m = third.eval().asInstanceOf[Int]
   private lazy val k = fourth.eval().asInstanceOf[Int]
-  // codebook materialized once per executor as a primitive array
+  // codebook materialized once per executor as a primitive array;
+  // a wrong-sized codebook (not m·k·sub doubles) must fail loudly, not
+  // produce sub=0 and all-zero codes
   private lazy val cb: Array[Double] = {
     val a = second.eval().asInstanceOf[ArrayData]
-    Array.tabulate(a.numElements())(a.getDouble)
+    val arr = Array.tabulate(a.numElements())(a.getDouble)
+    require(m > 0 && k > 0 && arr.length >= m * k && arr.length % (m * k) == 0,
+      s"pq_encode: codebook length ${arr.length} is not a positive multiple of m*k = ${m * k}")
+    arr
   }
+  private lazy val subLen = cb.length / (m * k)
 
   override def nullSafeEval(v: Any, c: Any, mv: Any, kv: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
-    val sub = cb.length / (m * k)
+    val sub = subLen
+    // short vectors would read past the UnsafeArrayData buffer —
+    // adjacent-memory garbage, not an error — so length-check per row
+    require(x.numElements() >= m * sub,
+      s"pq_encode: vector length ${x.numElements()} < m*sub = ${m * sub}")
     val out = new Array[Int](m)
     var mi = 0
     while (mi < m) {
@@ -349,7 +359,7 @@ case class PqEncode(first: Expression, second: Expression,
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cbRef = ctx.addReferenceObj("pqcb", cb, "double[]")
+    val cbRef = ctx.addReferenceObj("pqcb", cb, "double[]") // forces the require
     nullSafeCodeGen(ctx, ev, (x, _, _, _) => {
       val sub = ctx.freshName("sub")
       val out = ctx.freshName("out")
@@ -363,6 +373,10 @@ case class PqEncode(first: Expression, second: Expression,
       val base = ctx.freshName("base")
       s"""
          |int $sub = $cbRef.length / ${m * k};
+         |if ($x.numElements() < $m * $sub) {
+         |  throw new IllegalArgumentException("pq_encode: vector length " +
+         |    $x.numElements() + " < m*sub = " + ($m * $sub));
+         |}
          |int[] $out = new int[$m];
          |for (int $mi = 0; $mi < $m; $mi++) {
          |  double $best = Double.MAX_VALUE;

@@ -404,6 +404,22 @@ object Gdx {
       mapping: Map[String, String], patterns: String = "*"): Seq[String] = {
     require(mapping.nonEmpty, "gdx rename: empty label mapping")
     val lowered = mapping.map { case (k, v) => k.toLowerCase -> v }
+    require(lowered.size == mapping.size,
+      s"gdx rename: mapping keys collide case-insensitively (UEL semantics): " +
+        mapping.keys.mkString(", "))
+    // collision guard (real gdxrename refuses): a target must not
+    // produce duplicate key tuples — reject targets that collide with
+    // each other or with an existing label that is not itself renamed
+    // away. O(labels), driver-side, off the UEL dictionary view.
+    val targets = lowered.values.map(_.toLowerCase).toSeq
+    require(targets.distinct.size == targets.size,
+      s"gdx rename: two labels map to one target: ${mapping.values.mkString(", ")}")
+    val existing = uels(spark, path).select("label").collect()
+      .map(_.getString(0).toLowerCase).toSet
+    val clashes = targets.filter(t => existing.contains(t) && !lowered.contains(t))
+    require(clashes.isEmpty,
+      s"gdx rename: target label(s) already exist in the dataset and are not " +
+        s"renamed away — duplicate keys would result: ${clashes.mkString(", ")}")
     matchedSymbols(spark, path, patterns).map { sym =>
       val df =
         if (sym.typ == "set") symbol(spark, path, sym.name)

@@ -283,9 +283,17 @@ object LlmOps extends QueryModule {
     * among itself and its neighbors; rounds needed = graph diameter,
     * each round = one join + one aggregation — no driver-side graph).
     * Converges by checking the changed-label count per round, the
-    * standard distributed-CC loop.
+    * standard distributed-CC loop. `maxIter` is a RUNAWAY GUARD, not a
+    * result truncation: labels spread one hop per round, so a
+    * still-changing round `maxIter` means the pair graph's diameter
+    * exceeds it — returning those labels would silently split one
+    * component into several (duplicates surviving dedup, oracle
+    * mismatches), so the loop THROWS instead. 32 rounds cover any
+    * non-adversarial near-dup graph (dup clusters are near-cliques,
+    * diameter 1–2; a drifting chain of borderline pairs is the only
+    * shape that approaches the cap — raise it explicitly there).
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 32): DataFrame = {
     // localCheckpoint blocks outlive the query unless freed: across a
     // long session (the bench runs ~100 queries × 3 reps in one JVM)
     // the per-round blocks accumulated in the block manager and the
@@ -347,6 +355,9 @@ object LlmOps extends QueryModule {
       converged = changed == 0
       iter += 1
     }
+    require(converged,
+      s"connectedComponents: not converged after $maxIter rounds — the pair " +
+        "graph's diameter exceeds maxIter; raise it rather than use split labels")
     // the edge list is only joined inside the loop; the final labels
     // checkpoint no longer references it
     free(symIds)

@@ -423,6 +423,21 @@ object RelationalOps extends QueryModule {
       .reportSorted("l_returnflag")
   }
 
+  /** Fixed-width histogram per group — the profiling/EDA staple. Bin
+    * assignment is map-side arithmetic; one two-phase count on
+    * (group, bin) — never a sort, never a collect. Quantity values are
+    * exact integers in double, so the floor is engine-deterministic.
+    */
+  q("agg_histogram",
+    """SELECT l_returnflag, CAST(floor(l_quantity / 10) AS INTEGER) AS bin, count(*) AS n
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+    T(s, d, "lineitem")
+      .groupBy(col("l_returnflag"),
+        floor(col("l_quantity") / 10).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .reportSorted("l_returnflag", "bin")
+  }
+
   /** Per-group correlation/covariance — the bivariate summary pair.
     * Single two-phase aggregate (co-moment accumulators are fixed-size
     * map-side state); round-6 absorbs the engines' accumulation-order

@@ -238,6 +238,8 @@ class GdxBatchWrite(path: String, symbol: String, schema: StructType,
     extends BatchWrite {
 
   private val layout = GdxWriteLayout.infer(schema, symbol, typOpt)
+  // unique per batch write → cross-JVM append-safe shard names
+  private val writeId = java.util.UUID.randomUUID().toString.take(8)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     if (!single) {
@@ -248,7 +250,7 @@ class GdxBatchWrite(path: String, symbol: String, schema: StructType,
           .foreach(_.delete())
       dir.mkdirs()
     }
-    new GdxWriterFactory(path, layout, single, subtype)
+    new GdxWriterFactory(path, layout, single, subtype, writeId)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
@@ -286,9 +288,10 @@ case class GdxRowsCommit(rows: Array[(Array[String], Array[Double], String)])
   extends WriterCommitMessage
 
 class GdxWriterFactory(path: String, layout: GdxWriteLayout, single: Boolean,
-    subtype: Int) extends DataWriterFactory {
+    subtype: Int, writeId: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GdxDataWriter(path, layout, single, subtype, partitionId, taskId)
+    new GdxDataWriter(path, layout, single, subtype, partitionId, taskId,
+      writeId = writeId)
 }
 
 /** Sharded path: records stream through a GdxStreamEncoder (delta-encode
@@ -299,9 +302,18 @@ class GdxWriterFactory(path: String, layout: GdxWriteLayout, single: Boolean,
   */
 class GdxDataWriter(path: String, layout: GdxWriteLayout, single: Boolean,
     subtype: Int, partitionId: Int, taskId: Long,
-    nameOverride: Option[String] = None) extends DataWriter[InternalRow] {
+    nameOverride: Option[String] = None,
+    writeId: String = "") extends DataWriter[InternalRow] {
 
-  private val shardName = nameOverride.getOrElse(f"shard-$partitionId%05d-$taskId.gdx")
+  // batch shard names carry a per-write unique token: taskIds restart
+  // from 0 in every fresh SparkContext, so `shard-<partition>-<task>`
+  // alone COLLIDES across JVMs — a later append would atomically
+  // replace an earlier run's shard while the manifest's fileName dedup
+  // silently dropped its commit (stale records/ranges, lost rows).
+  // Streaming shards (nameOverride) stay epoch-deterministic by design.
+  private val shardName = nameOverride.getOrElse(
+    if (writeId.nonEmpty) f"shard-$writeId-$partitionId%05d-$taskId.gdx"
+    else f"shard-$partitionId%05d-$taskId.gdx")
 
   private val rows = // single-file path only
     scala.collection.mutable.ArrayBuffer.empty[(Array[String], Array[Double], String)]

@@ -67,6 +67,7 @@ object StreamOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("h")
       .join(corpusHashes, Seq("h"), "left_anti")
+      .drop("h") // output schema = input schema, like the batch shape
 
   /** Stream-static enrichment: the event stream joins a slowly
     * changing dimension frame, re-broadcast per micro-batch —

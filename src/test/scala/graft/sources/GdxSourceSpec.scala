@@ -265,6 +265,15 @@ class GdxSourceSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(back === Map("a" -> 1.0, "b" -> 2.0, "c" -> 3.0))
     assert(Gdx.catalog(spark, out).head.getAs[Long]("records") == 3L)
+    // batch shard names carry a per-write unique token: taskIds restart
+    // in a fresh SparkContext, so bare shard-<partition>-<task> names
+    // would collide across JVMs and an append could atomically replace
+    // an earlier run's shard while the manifest dedup dropped its entry
+    val names = new java.io.File(out).listFiles((_, n) => n.endsWith(".gdx")).map(_.getName)
+    assert(names.forall(_.matches("shard-[0-9a-f]{8}-\\d{5}-\\d+\\.gdx")),
+      s"batch shards must embed the write id: ${names.mkString(", ")}")
+    assert(names.map(_.substring(6, 14)).distinct.length == 2,
+      "the two batch writes must carry distinct write ids")
   }
 
   test("catalog on a sharded directory sums records across ALL shards") {

@@ -438,6 +438,20 @@ object RelationalOps extends QueryModule {
       .reportSorted("l_returnflag", "bin")
   }
 
+  /** Deterministic per-group string aggregation (LISTAGG): members
+    * sort inside the aggregated array before concatenation, so the
+    * result is order-stable under any partitioning — the form that
+    * stays correct when the group's rows arrive from 1000 executors.
+    */
+  q("agg_string_agg",
+    """SELECT o_orderpriority, string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, d) =>
+    T(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"))
+      .reportSorted("o_orderpriority")
+  }
+
   /** Per-group correlation/covariance — the bivariate summary pair.
     * Single two-phase aggregate (co-moment accumulators are fixed-size
     * map-side state); round-6 absorbs the engines' accumulation-order

@@ -216,6 +216,42 @@ object WindowOps extends QueryModule {
       .orderBy("c_custkey")
   }
 
+  /** Gaps-and-islands: consecutive runs of the same event_type per
+    * user (the VALUE-run twin of time-gap sessionization): island id =
+    * running count of type CHANGES (lag + growing-frame sum) — both
+    * windows share ONE (user_id) partition sort, unlike the classic
+    * rank-difference trick whose per-type row_number forces a second
+    * shuffle on (user_id, type). One shuffle, two window passes, then
+    * a two-phase aggregate per island.
+    */
+  q("win_gap_islands",
+    """WITH c AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |         CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                   IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      |  FROM events),
+      |     x AS (
+      |  SELECT user_id, event_type, ts,
+      |         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM c)
+      |SELECT user_id, event_type, island, count(*) AS run_len,
+      |       CAST(epoch_us(min(ts)) AS BIGINT) AS run_start_us
+      |FROM x GROUP BY user_id, event_type, island
+      |ORDER BY user_id, island""") { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    T(s, d, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        when(!(lag(col("event_type"), 1).over(w) <=> col("event_type")), 1)
+          .otherwise(0).as("chg"))
+      .select(col("user_id"), col("event_type"), col("ts"),
+        sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("island"))
+      .groupBy("user_id", "event_type", "island")
+      .agg(count(lit(1)).as("run_len"),
+        unix_micros(min(col("ts"))).as("run_start_us"))
+      .reportSorted("user_id", "island")
+  }
+
   /** first/last/nth frame navigation — completes the window-function
     * surface next to rank/lag/moving-agg: each user's first, latest,
     * and second event value over the full partition frame.

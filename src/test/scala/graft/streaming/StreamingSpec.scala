@@ -333,6 +333,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq("a" -> 1.0))
   }
 
+  test("continuous curation pipe: gdx docs stream → quality gate → corpus anti-join → gdx sink") {
+    // the full continuous-curation composition on GDX ends: documents
+    // arrive as set-with-text shards, a stateless quality gate and the
+    // standing-corpus anti-join filter them per micro-batch, survivors
+    // land in a GDX sink — every stage is a registered operator shape
+    val base = java.nio.file.Files.createTempDirectory("gdx-curate").toString
+    val src = s"$base/src"; new java.io.File(src).mkdirs()
+    val enc = new GdxStreamEncoder(s"$src/shard-00000-1.gdx", "docs", SymbolType.Set, 1)
+    enc.add(Array("d1"), Array.empty[Double], Some("duplicate body text"))  // corpus dup
+    enc.add(Array("d2"), Array.empty[Double], Some("ok"))                   // too short
+    enc.add(Array("d3"), Array.empty[Double], Some("a genuinely novel document"))
+    enc.finish()
+    val corpus = Seq("duplicate body text").toDF("text")
+      .select(sha2(lower(trim(col("text"))), 256).as("h"))
+    val q = spark.readStream.format("gdx").option("symbol", "docs").load(src)
+      .filter(length(col("text")) >= 10)
+      .withColumn("h", sha2(lower(trim(col("text"))), 256))
+      .join(corpus, Seq("h"), "left_anti")
+      .select(col("dim_1"), col("text"))
+      .writeStream.format("gdx")
+      .option("symbol", "kept").option("symbolType", "set")
+      .option("checkpointLocation", s"$base/cp")
+      .outputMode("append")
+      .start(s"$base/out")
+    q.processAllAvailable()
+    q.stop()
+    val kept = Gdx.symbol(spark, s"$base/out", "kept").collect()
+      .map(r => r.getString(0) -> r.getAs[String]("text")).toMap
+    assert(kept === Map("d3" -> "a genuinely novel document"),
+      s"only the long novel doc may survive the pipe: $kept")
+  }
+
   test("streaming windowed aggregate lands in the GDX sink as labeled records") {
     // the full streaming-analytics loop: event stream → watermarked
     // tumbling agg → append-mode finalized windows → GDX shards; the

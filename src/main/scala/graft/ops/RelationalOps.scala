@@ -224,6 +224,30 @@ object RelationalOps extends QueryModule {
       .orderBy("event_id") // one row per purchase = input-sized
   }
 
+  /** Full-outer alignment — the reconciliation join (both-sides-keep;
+    * the record-alignment core of gdx_diff, registered standalone to
+    * complete the join matrix): suppliers and customers aligned on
+    * nationkey, unmatched sides surviving as nulls.
+    */
+  q("join_full_outer",
+    """SELECT n_nationkey, ns, nc FROM (
+      |  SELECT coalesce(s.nk, c.nk) AS n_nationkey, s.ns, c.nc
+      |  FROM (SELECT s_nationkey AS nk, count(*) AS ns FROM supplier
+      |        WHERE s_acctbal > 9000 GROUP BY 1) s
+      |  FULL OUTER JOIN
+      |       (SELECT c_nationkey AS nk, count(*) AS nc FROM customer
+      |        WHERE c_acctbal > 9000 GROUP BY 1) c
+      |  ON s.nk = c.nk) t
+      |ORDER BY n_nationkey""") { (s, d) =>
+    val sup = T(s, d, "supplier").filter(col("s_acctbal") > 9000)
+      .groupBy(col("s_nationkey").as("nk")).agg(count(lit(1)).as("ns"))
+    val cust = T(s, d, "customer").filter(col("c_acctbal") > 9000)
+      .groupBy(col("c_nationkey").as("nk2")).agg(count(lit(1)).as("nc"))
+    sup.join(cust, col("nk") === col("nk2"), "full_outer")
+      .select(coalesce(col("nk"), col("nk2")).as("n_nationkey"), col("ns"), col("nc"))
+      .orderBy("n_nationkey")
+  }
+
   /** Nearest-direction as-of (pandas merge_asof direction="nearest"):
     * each purchase matches its closest click in EITHER direction,
     * ties → the earlier click. Same single-pass union+window shape as

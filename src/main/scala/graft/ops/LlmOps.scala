@@ -829,6 +829,64 @@ object LlmOps extends QueryModule {
       .orderBy("qid", "rn") // top-k per vector = input-sized
   }
 
+  /** Two-stage retrieval (SPEC: the production FAISS/ScaNN serving
+    * pattern — coarse quantized shortlist, exact rerank): the PQ code
+    * ranking above shortlists the top-10 per query on 8-byte codes,
+    * then ONLY the shortlist joins the float embeddings for an exact
+    * cosine top-3. The expensive exact arithmetic runs on
+    * |queries|·10 rows — never on the candidate set, never on the
+    * corpus — which is the entire point of the pattern at 100 TB.
+    */
+  q("sim_ann_pq_rerank", {
+    val shortlist = pqOracleSql
+      .replaceAll("WHERE rn <= 3 ORDER BY qid, rn$", "WHERE rn <= 10")
+    s"""WITH sl AS (
+       |  SELECT qid, nbr FROM ($shortlist) s),
+       |     exact AS (
+       |  SELECT sl.qid, sl.nbr,
+       |         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                                      CAST(eb.embedding AS DOUBLE[])), 6) AS cos
+       |  FROM sl
+       |  JOIN embeddings ea ON ea.vec_id = sl.qid
+       |  JOIN embeddings eb ON eb.vec_id = sl.nbr)
+       |SELECT qid, nbr, cos, rn FROM (
+       |  SELECT qid, nbr, cos,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS INTEGER) AS rn
+       |  FROM exact) t
+       |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+  }) { (s, d) =>
+    val emb = T(s, d, "embeddings").select("vec_id", "embedding")
+    val cb = pqCodebookOf(s, d)
+    val encoded = pqEncoded(s, d, cb)
+    val ip = Array.tabulate(8)(m => Array.tabulate(256) { i =>
+      (0 until 8).foldLeft(0.0)((acc, j) => acc + cb(m)(i / 16)(j) * cb(m)(i % 16)(j))
+    })
+    val l = encoded.select(col("bucket") +: col("vec_id").as("qid") +:
+      (0 until 8).map(m => col(s"c$m").as(s"ca$m")): _*)
+    val r = encoded.select(col("bucket") +: col("vec_id").as("nbr") +:
+      (0 until 8).map(m => col(s"c$m").as(s"cb$m")): _*)
+    val score = (0 until 8).foldLeft(lit(0.0)) { (acc, m) =>
+      acc + element_at(array(ip(m).toIndexedSeq.map(lit): _*),
+        (col(s"ca$m") * 16 + col(s"cb$m") + 1).cast("int"))
+    }
+    val wCoarse = Window.partitionBy("qid").orderBy(col("adot").desc, col("nbr").asc)
+    val shortlist = l.join(r, Seq("bucket"))
+      .filter(col("qid") =!= col("nbr"))
+      .withColumn("adot", round(score, 6))
+      .withColumn("crn", row_number().over(wCoarse))
+      .filter(col("crn") <= 10)
+      .select("qid", "nbr")
+    val wExact = Window.partitionBy("qid").orderBy(col("cos").desc, col("nbr").asc)
+    shortlist
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qe")), Seq("qid"))
+      .join(emb.select(col("vec_id").as("nbr"), col("embedding").as("ne")), Seq("nbr"))
+      .withColumn("cos", round(graft.functions.vec.cosine(col("qe"), col("ne")), 6))
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") <= 3)
+      .select("qid", "nbr", "cos", "rn")
+      .orderBy("qid", "rn") // top-3 per query = input-sized
+  }
+
   /** Embedding-cosine near-dup: pairs above a cosine threshold, found
     * in-bucket (LSH) rather than by cross join.
     *

@@ -198,6 +198,34 @@ class GdxMergeSpec extends AnyFunSuite {
       === VarType.Positive)
   }
 
+  test("renameUel refuses collisions: existing target, two-to-one, case-colliding keys") {
+    val t = tmpDir()
+    val a = write(s"$t/a.gdx") { b =>
+      b.addSymbol("p", SymbolType.Parameter, 1, Seq(
+        (Seq("us"), Array(1.0), None), (Seq("eu"), Array(2.0), None)))
+    }
+    // target already exists and is not renamed away → duplicate keys
+    val e1 = intercept[IllegalArgumentException] {
+      Gdx.renameUel(spark, a, s"$t/o1", Map("us" -> "EU"))
+    }
+    assert(e1.getMessage.contains("already exist"))
+    // two sources to one target
+    val e2 = intercept[IllegalArgumentException] {
+      Gdx.renameUel(spark, a, s"$t/o2", Map("us" -> "x", "eu" -> "X"))
+    }
+    assert(e2.getMessage.contains("one target"))
+    // case-colliding mapping keys
+    val e3 = intercept[IllegalArgumentException] {
+      Gdx.renameUel(spark, a, s"$t/o3", Map("US" -> "x", "us" -> "y"))
+    }
+    assert(e3.getMessage.contains("collide"))
+    // a swap renames both ways and is legal
+    Gdx.renameUel(spark, a, s"$t/o4", Map("us" -> "eu", "eu" -> "us"))
+    val back = Gdx.symbol(spark, s"$t/o4/p", "p").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(back === Map("eu" -> 1.0, "us" -> 2.0))
+  }
+
   test("variable merge carries all five value fields") {
     val t = tmpDir()
     val a = write(s"$t/a.gdx") { b =>

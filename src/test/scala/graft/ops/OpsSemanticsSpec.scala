@@ -168,4 +168,19 @@ class OpsSemanticsSpec extends AnyFunSuite {
     assert(math.abs(est - exact) / exact < 0.065,
       s"sketch-merge estimate $est too far from exact $exact")
   }
+
+  test("connectedComponents converges on chains within maxIter and THROWS beyond it") {
+    import spark.implicits._
+    // a path graph of length 6: labels reach the far end in ≤6 rounds
+    val chain = (0L until 6L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = LlmOps.connectedComponents(chain, maxIter = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.values.toSet === Set(0L), s"one component expected: $labels")
+    // diameter > maxIter: returning the split labels would let
+    // duplicates survive dedup silently — the guard must throw instead
+    val e = intercept[IllegalArgumentException] {
+      LlmOps.connectedComponents(chain, maxIter = 2)
+    }
+    assert(e.getMessage.contains("not converged"))
+  }
 }

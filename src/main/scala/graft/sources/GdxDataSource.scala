@@ -72,12 +72,20 @@ object GdxTable {
     StructField("expl_text", StringType, nullable = true),
     StructField("domains", StringType, nullable = true)))
 
+  /** The SQL catalog path (`CREATE TABLE … USING gdx`) arrives as a
+    * `file:` URI; the DataFrame API hands a plain local path. The codec
+    * opens `java.io.File`s, so strip the scheme once at every entry.
+    */
+  def localPath(p: String): String =
+    if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+
   /** Resolve the list of shard files behind a path (file or dir) by
     * DIRECTORY LISTING — arrival semantics, used by the micro-batch
     * stream (a dropped file IS publication there) and as the fallback
     * for un-manifested directories.
     */
-  def shardsOf(path: String): Seq[String] = {
+  def shardsOf(rawPath: String): Seq[String] = {
+    val path = localPath(rawPath)
     val f = new java.io.File(path)
     if (f.isDirectory)
       f.listFiles((_, n) => n.endsWith(".gdx")).map(_.getPath).sorted.toSeq
@@ -92,7 +100,8 @@ object GdxTable {
     * Directories without a manifest (hand-assembled, or a sink before
     * its first epoch commit) fall back to listing.
     */
-  def committedShardsOf(path: String): Seq[String] = {
+  def committedShardsOf(rawPath: String): Seq[String] = {
+    val path = localPath(rawPath)
     val f = new java.io.File(path)
     if (!f.isDirectory) return Seq(path)
     GdxManifest.files(path) match {
@@ -113,8 +122,8 @@ object GdxTable {
     * shard file name; shards absent from the map have no range info and
     * must always be scanned.
     */
-  def shardRangesOf(path: String): Map[String, (String, String)] = {
-    val mf = new java.io.File(path, "_manifest.json")
+  def shardRangesOf(rawPath: String): Map[String, (String, String)] = {
+    val mf = new java.io.File(localPath(rawPath), "_manifest.json")
     if (!mf.isFile) return Map.empty
     val txt = new String(java.nio.file.Files.readAllBytes(mf.toPath),
       java.nio.charset.StandardCharsets.UTF_8)

@@ -94,7 +94,7 @@ class GdxScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
 class GdxScan(fullSchema: StructType, required: StructType, pushed: Seq[DimLabelFilter],
     options: CaseInsensitiveStringMap) extends Scan with Batch {
 
-  private val path = options.get("path")
+  private val path = GdxTable.localPath(options.get("path"))
   private val symbol = Option(options.get("symbol")).getOrElse("")
 
   override def readSchema(): StructType = required

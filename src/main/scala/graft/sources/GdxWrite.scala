@@ -58,7 +58,7 @@ class GdxWriteBuilder(info: LogicalWriteInfo, options: CaseInsensitiveStringMap)
       dimNames.map(n => Expressions.sort(Expressions.column(n),
         SortDirection.ASCENDING))
 
-    private def path = options.get("path")
+    private def path = GdxTable.localPath(options.get("path"))
     private def symbol = Option(options.get("symbol")).getOrElse("data")
     private def typ: Option[Int] = Option(options.get("symbolType")).map {
       case "set" => SymbolType.Set

@@ -252,6 +252,22 @@ class GdxSourceSpec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("SQL DDL surface: CREATE TABLE USING gdx, query with plain SQL") {
+    val p = writeFixture()
+    spark.sql("DROP TABLE IF EXISTS gdx_sql_t")
+    spark.sql(s"CREATE TABLE gdx_sql_t USING gdx OPTIONS (path '$p', symbol 'p')")
+    try {
+      val got = spark.sql(
+        """SELECT dim_1, sum(value) AS s FROM gdx_sql_t
+          |WHERE NOT isnan(value) AND value > 0 GROUP BY dim_1 ORDER BY dim_1""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getDouble(1))
+      // us: 1+2, eu: 3 (EPS scans as 0 → filtered); cn is NA → NaN,
+      // dropped explicitly (Spark sorts NaN ABOVE every double, so a
+      // bare `value > 0` would keep it)
+      assert(got.toSeq == Seq("eu" -> 3.0, "us" -> 3.0))
+    } finally spark.sql("DROP TABLE IF EXISTS gdx_sql_t")
+  }
+
   test("batch append grows the manifest instead of replacing it") {
     import spark.implicits._
     val out = s"${tmpDir()}/app"

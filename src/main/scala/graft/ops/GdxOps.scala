@@ -315,6 +315,25 @@ object GdxOps extends QueryModule {
       .orderBy("dim_1")
   }
 
+  /** The GAMS dollar-condition idiom `p(n)$regset(r)` — restrict a
+    * parameter to records whose controlling label is a member of a
+    * set (the complement of gdx_domain_check's anti-join): a semi
+    * join through the connector, mapping-set side broadcastable.
+    */
+  q("gdx_dollar_condition",
+    """SELECT (SELECT min(n_name) FROM nation) AS dim_1,
+      |       (SELECT min(r_name) FROM region) AS dim_2,
+      |       CAST(1.0 AS DOUBLE) AS value""") { (s, d) =>
+    val dir = ensureFixtures(s, d)
+    val natbad = Gdx.symbol(s, s"$dir/file1.gdx", "natbad")
+    val domain = Gdx.symbol(s, s"$dir/file1.gdx", "regset")
+      .select(col("dim_1").as("r_label"))
+    natbad
+      .join(broadcast(domain), col("dim_2") === col("r_label"), "left_semi")
+      .select("dim_1", "dim_2", "value")
+      .orderBy("dim_1")
+  }
+
   /** GDX alias (SURVEY §1.2): reading the alias reads its target set —
     * resolved inside the connector, verified against the region table
     * the target was built from.

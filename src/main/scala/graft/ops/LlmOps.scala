@@ -1593,6 +1593,26 @@ object LlmOps extends QueryModule {
       .orderBy("doc_id") // one row per doc = input-sized
   }
 
+  /** Dataset card — the per-(lang, source) corpus summary a curation
+    * run publishes alongside the data (docs, token totals, length
+    * stats) with ROLLUP subtotals and grand total. One pass, one
+    * grouping-sets aggregate; the token count is the same whitespace
+    * tokenization every text operator uses.
+    */
+  q("pipeline_dataset_card",
+    """SELECT lang, source, count(*) AS n_docs,
+      |       sum(len(str_split(text, ' '))) AS n_tokens,
+      |       round(avg(n_chars), 6) AS avg_chars
+      |FROM documents GROUP BY ROLLUP(lang, source)
+      |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""") { (s, d) =>
+    T(s, d, "documents")
+      .rollup("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        round(avg("n_chars"), 6).as("avg_chars"))
+      .reportSorted(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+  }
+
   /** Deterministic epoch shuffle — reproducible training order: a
     * hash-keyed global permutation (every re-run, every re-ingestion
     * yields the SAME order, unlike rand()-based shuffles). The rank is

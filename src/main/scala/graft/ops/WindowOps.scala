@@ -88,6 +88,26 @@ object WindowOps extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** Rolling exact median (robust smoothing — the outlier-resistant
+    * twin of win_moving_avg): continuous-interpolation percentile over
+    * a trailing 7-row frame. Exact is fine HERE because the frame is
+    * O(1) rows; an unbounded-frame median would swap in the KLL
+    * sketch like agg_approx_percentile.
+    */
+  q("win_median_window",
+    """SELECT event_id,
+      |       round(quantile_cont(value, 0.5) OVER (
+      |         PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med
+      |FROM events ORDER BY event_id""") { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-6, 0)
+    T(s, d, "events")
+      .select(col("event_id"),
+        round(percentile(col("value"), lit(0.5)).over(w), 6).as("med"))
+      .orderBy("event_id")
+  }
+
   /** Rolling z-score — the standard streaming-adjacent anomaly signal
     * over a metric series: (x − trailing mean) / trailing stddev per
     * user. One shuffle on the partition key; windows <2 rows have no

@@ -409,18 +409,28 @@ object Gdx {
         mapping.keys.mkString(", "))
     // collision guard (real gdxrename refuses): a target must not
     // produce duplicate key tuples — reject targets that collide with
-    // each other or with an existing label that is not itself renamed
-    // away. O(labels), driver-side, off the UEL dictionary view.
+    // each other or with a label the REWRITTEN symbols actually use
+    // and that is not itself renamed away. Scoped to the matched
+    // symbols (a clash that lives only in an excluded symbol cannot
+    // duplicate any written key); the label set is a distributed
+    // distinct, collected at O(labels).
     val targets = lowered.values.map(_.toLowerCase).toSeq
     require(targets.distinct.size == targets.size,
       s"gdx rename: two labels map to one target: ${mapping.values.mkString(", ")}")
-    val existing = uels(spark, path).select("label").collect()
-      .map(_.getString(0).toLowerCase).toSet
+    val matched = matchedSymbols(spark, path, patterns)
+    val existing = treeUnion(matched.map { sym =>
+      val df = symbol(spark, path, sym.name)
+      val dims = dimCols(df)
+      if (dims.isEmpty) emptyFrame(spark,
+        "l" -> org.apache.spark.sql.types.StringType)
+      else treeUnion(dims.map(c => df.select(lower(col(c)).as("l")))).get
+    }).map(_.distinct().collect().map(_.getString(0)).toSet)
+      .getOrElse(Set.empty[String])
     val clashes = targets.filter(t => existing.contains(t) && !lowered.contains(t))
     require(clashes.isEmpty,
-      s"gdx rename: target label(s) already exist in the dataset and are not " +
-        s"renamed away — duplicate keys would result: ${clashes.mkString(", ")}")
-    matchedSymbols(spark, path, patterns).map { sym =>
+      s"gdx rename: target label(s) already exist in the matched symbols and are " +
+        s"not renamed away — duplicate keys would result: ${clashes.mkString(", ")}")
+    matched.map { sym =>
       val df =
         if (sym.typ == "set") symbol(spark, path, sym.name)
         else symbol(spark, path, sym.name, specialValues = "raw")

@@ -355,9 +355,17 @@ object LlmOps extends QueryModule {
       converged = changed == 0
       iter += 1
     }
-    require(converged,
-      s"connectedComponents: not converged after $maxIter rounds — the pair " +
-        "graph's diameter exceeds maxIter; raise it rather than use split labels")
+    if (!converged) {
+      // free the edge list AND the last round's labels before throwing:
+      // a caller that catches and retries with a larger maxIter must not
+      // accumulate pinned checkpoint blocks per failed attempt (the
+      // block-manager drift this function's frees exist to prevent)
+      free(prevIds)
+      free(symIds)
+      throw new IllegalArgumentException(
+        s"connectedComponents: not converged after $maxIter rounds — the pair " +
+          "graph's diameter exceeds maxIter; raise it rather than use split labels")
+    }
     // the edge list is only joined inside the loop; the final labels
     // checkpoint no longer references it
     free(symIds)
@@ -734,7 +742,15 @@ object LlmOps extends QueryModule {
     Array.tabulate(8, 16)((m, k) => (0 until 8).map(j => firstK(k)(m * 8 + j).toDouble).toArray)
   }
 
-  private def pqOracleSql: String =
+  /** PQ/SDC oracle, parameterized on shortlist depth: the rerank query
+    * embeds a top-`topK` shortlist form (no final projection/ORDER BY)
+    * inside its own CTEs; the standalone query uses the top-3 report
+    * form. One builder — no string surgery on a sibling's SQL.
+    */
+  private def pqOracleSql(topK: Int, report: Boolean): String = {
+    val tail =
+      if (report) s"WHERE rn <= $topK ORDER BY qid, rn"
+      else s"WHERE rn <= $topK"
     s"""WITH cb AS (
        |  SELECT m, k, [CAST(embedding[m*8 + j + 1] AS DOUBLE) FOR j IN range(0, 8)] AS c
        |  FROM (SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS k
@@ -768,7 +784,36 @@ object LlmOps extends QueryModule {
        |  SELECT qid, nbr, adot,
        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY adot DESC, nbr) AS INTEGER) AS rn
        |  FROM scored) t
-       |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+       |$tail""".stripMargin
+  }
+
+  /** Top-`topK` PQ/SDC code ranking per query vector — the shared
+    * Spark-side stage behind `sim_ann_pq` (report form) and
+    * `sim_ann_pq_rerank` (shortlist form): self-join the encoded
+    * frame on bucket, score pairs via the 8 precomputed 16×16
+    * inner-product literal tables (the PQ trick — scoring never
+    * touches a vector), rank per query. Columns: qid, nbr, adot, rn.
+    */
+  private def pqCodeTopK(encoded: DataFrame,
+      cb: Array[Array[Array[Double]]], topK: Int): DataFrame = {
+    val ip = Array.tabulate(8)(m => Array.tabulate(256) { i =>
+      (0 until 8).foldLeft(0.0)((acc, j) => acc + cb(m)(i / 16)(j) * cb(m)(i % 16)(j))
+    })
+    val l = encoded.select(col("bucket") +: col("vec_id").as("qid") +:
+      (0 until 8).map(m => col(s"c$m").as(s"ca$m")): _*)
+    val r = encoded.select(col("bucket") +: col("vec_id").as("nbr") +:
+      (0 until 8).map(m => col(s"c$m").as(s"cb$m")): _*)
+    val score = (0 until 8).foldLeft(lit(0.0)) { (acc, m) =>
+      acc + element_at(array(ip(m).toIndexedSeq.map(lit): _*),
+        (col(s"ca$m") * 16 + col(s"cb$m") + 1).cast("int"))
+    }
+    val w = Window.partitionBy("qid").orderBy(col("adot").desc, col("nbr").asc)
+    l.join(r, Seq("bucket"))
+      .filter(col("qid") =!= col("nbr"))
+      .withColumn("adot", round(score, 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+  }
 
   /** Product-quantization ANN (SPEC: FAISS PQ — Jégou et al. 2011):
     * each vector compresses to M=8 one-byte codes (one per 8-dim
@@ -803,28 +848,9 @@ object LlmOps extends QueryModule {
   private[ops] def pqCodebookOf(s: SparkSession, d: String): Array[Array[Array[Double]]] =
     pqCodebook(T(s, d, "embeddings").select("vec_id", "embedding"))
 
-  q("sim_ann_pq", pqOracleSql) { (s, d) =>
+  q("sim_ann_pq", pqOracleSql(topK = 3, report = true)) { (s, d) =>
     val cb = pqCodebookOf(s, d)
-    val encoded = pqEncoded(s, d, cb)
-    // the PQ trick: 8 precomputed 16×16 inner-product tables as plan
-    // literals — scoring never touches a vector again
-    val ip = Array.tabulate(8)(m => Array.tabulate(256) { i =>
-      (0 until 8).foldLeft(0.0)((acc, j) => acc + cb(m)(i / 16)(j) * cb(m)(i % 16)(j))
-    })
-    val l = encoded.select(col("bucket") +: col("vec_id").as("qid") +:
-      (0 until 8).map(m => col(s"c$m").as(s"ca$m")): _*)
-    val r = encoded.select(col("bucket") +: col("vec_id").as("nbr") +:
-      (0 until 8).map(m => col(s"c$m").as(s"cb$m")): _*)
-    val score = (0 until 8).foldLeft(lit(0.0)) { (acc, m) =>
-      acc + element_at(array(ip(m).toIndexedSeq.map(lit): _*),
-        (col(s"ca$m") * 16 + col(s"cb$m") + 1).cast("int"))
-    }
-    val w = Window.partitionBy("qid").orderBy(col("adot").desc, col("nbr").asc)
-    l.join(r, Seq("bucket"))
-      .filter(col("qid") =!= col("nbr"))
-      .withColumn("adot", round(score, 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+    pqCodeTopK(pqEncoded(s, d, cb), cb, topK = 3)
       .select("qid", "nbr", "adot", "rn")
       .orderBy("qid", "rn") // top-k per vector = input-sized
   }
@@ -838,10 +864,8 @@ object LlmOps extends QueryModule {
     * corpus — which is the entire point of the pattern at 100 TB.
     */
   q("sim_ann_pq_rerank", {
-    val shortlist = pqOracleSql
-      .replaceAll("WHERE rn <= 3 ORDER BY qid, rn$", "WHERE rn <= 10")
     s"""WITH sl AS (
-       |  SELECT qid, nbr FROM ($shortlist) s),
+       |  SELECT qid, nbr FROM (${pqOracleSql(topK = 10, report = false)}) s),
        |     exact AS (
        |  SELECT sl.qid, sl.nbr,
        |         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
@@ -857,24 +881,7 @@ object LlmOps extends QueryModule {
   }) { (s, d) =>
     val emb = T(s, d, "embeddings").select("vec_id", "embedding")
     val cb = pqCodebookOf(s, d)
-    val encoded = pqEncoded(s, d, cb)
-    val ip = Array.tabulate(8)(m => Array.tabulate(256) { i =>
-      (0 until 8).foldLeft(0.0)((acc, j) => acc + cb(m)(i / 16)(j) * cb(m)(i % 16)(j))
-    })
-    val l = encoded.select(col("bucket") +: col("vec_id").as("qid") +:
-      (0 until 8).map(m => col(s"c$m").as(s"ca$m")): _*)
-    val r = encoded.select(col("bucket") +: col("vec_id").as("nbr") +:
-      (0 until 8).map(m => col(s"c$m").as(s"cb$m")): _*)
-    val score = (0 until 8).foldLeft(lit(0.0)) { (acc, m) =>
-      acc + element_at(array(ip(m).toIndexedSeq.map(lit): _*),
-        (col(s"ca$m") * 16 + col(s"cb$m") + 1).cast("int"))
-    }
-    val wCoarse = Window.partitionBy("qid").orderBy(col("adot").desc, col("nbr").asc)
-    val shortlist = l.join(r, Seq("bucket"))
-      .filter(col("qid") =!= col("nbr"))
-      .withColumn("adot", round(score, 6))
-      .withColumn("crn", row_number().over(wCoarse))
-      .filter(col("crn") <= 10)
+    val shortlist = pqCodeTopK(pqEncoded(s, d, cb), cb, topK = 10)
       .select("qid", "nbr")
     val wExact = Window.partitionBy("qid").orderBy(col("cos").desc, col("nbr").asc)
     shortlist

@@ -75,9 +75,14 @@ object GdxTable {
   /** The SQL catalog path (`CREATE TABLE … USING gdx`) arrives as a
     * `file:` URI; the DataFrame API hands a plain local path. The codec
     * opens `java.io.File`s, so strip the scheme once at every entry.
+    * Opaque forms (`file:rel.gdx` → null getPath) and unencoded spaces
+    * (URISyntaxException) fall back to a plain prefix strip rather
+    * than NPE/throwing on a path the filesystem would accept.
     */
   def localPath(p: String): String =
-    if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+    if (!p.startsWith("file:")) p
+    else try Option(new java.net.URI(p).getPath).getOrElse(p.stripPrefix("file:"))
+    catch { case _: java.net.URISyntaxException => p.stripPrefix("file:") }
 
   /** Resolve the list of shard files behind a path (file or dir) by
     * DIRECTORY LISTING — arrival semantics, used by the micro-batch

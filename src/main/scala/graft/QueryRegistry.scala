@@ -42,6 +42,19 @@ trait QueryModule {
       df.repartition(1).sortWithinPartitions(c, cs: _*)
   }
 
+  /** ORACLE-SQL CHECKLIST (the driver's hasher is TYPE-sensitive —
+    * rows/schema can match while the hash fails on a DuckDB type):
+    *  1. Integer `sum()`/window-`sum()` in DuckDB yields HUGEINT →
+    *     wrap in `CAST(... AS BIGINT)` unless consumed by arithmetic
+    *     that already casts (both round-6 reds were this miss).
+    *  2. `ROLLUP`/grouping-sets NULL rows: order with `NULLS FIRST`
+    *     on every grouping column to fix a total order.
+    *  3. Windows over `events`: tie-break `ORDER BY ts, event_id` —
+    *     ts alone is not unique.
+    *  4. Alias every computed column IDENTICALLY in SQL and Spark.
+    *  5. `round()` any float that crosses an agg/div so ulps can't
+    *     flip the hash (or the rank it feeds).
+    */
   protected def q(name: String, oracleSql: String)(
       fn: (SparkSession, String) => DataFrame): Unit =
     buf += QueryDef(name, Some(oracleSql.stripMargin.trim), fn)

@@ -372,22 +372,55 @@ object LlmOps extends QueryModule {
     labels
   }
 
+  /** Document-frequency cap for exact-Jaccard CANDIDATE generation.
+    *
+    * The inverted-index self-join emits df² pairs per shingle — on a
+    * Zipfian corpus one boilerplate shingle in 10⁶ docs would emit
+    * 10¹² candidates before the ≥0.8 filter (the classic skewed-key
+    * shuffle blowup). Dropping shingles with df > cap from candidate
+    * generation bounds total candidates by Σ df² ≤ cap·Σ df =
+    * cap·|postings| — LINEAR in corpus size. Exact Jaccard is still
+    * computed over the FULL shingle sets of every surviving candidate,
+    * so scores are unchanged; the only pairs that can be lost are
+    * those whose EVERY shared shingle appears in > cap documents. At
+    * J ≥ 0.8 near-dups share ≈ 89% of their shingles, so a lost pair
+    * means both docs are ≈ 89% corpus-boilerplate present in > cap
+    * other docs each — template/boilerplate material that the exact
+    * (dedup_exact) and banded-MinHash (dedup_near_minhash) paths
+    * catch, and that n-gram dedup practice drops deliberately (Lee et
+    * al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better", §4: most-common n-grams are excluded from matching).
+    * (Declared before [[jaccardCompSql]], which interpolates it.)
+    */
+  private val jaccardDfCap = 128
+
   /** Shared oracle prefix: the Jaccard pair graph + recursive-CTE
-    * component labels (comp = (doc_id, canonical)).
+    * component labels (comp = (doc_id, canonical)). Mirrors
+    * [[jaccardPairs]] exactly, INCLUDING the df-cap on candidate
+    * generation (see there for the scale rationale): candidates come
+    * only from shingles with df <= [[jaccardDfCap]]; exact Jaccard is
+    * then computed over the FULL shingle sets of each candidate pair.
     */
   private val jaccardCompSql =
-    """sh AS (
+    s"""sh AS (
       |  SELECT DISTINCT doc_id, sh AS shingle FROM (
       |    SELECT doc_id, unnest([list_aggr(tok[i:i+2], 'string_agg', ' ')
       |                           FOR i IN range(1, greatest(len(tok) - 2, 1) + 1)]) AS sh
       |    FROM (SELECT doc_id, str_split(text, ' ') AS tok FROM documents) t1) t2),
       |     cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |     dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+      |     cand AS (
+      |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      |  FROM sh a JOIN dfq ON dfq.shingle = a.shingle AND dfq.df <= $jaccardDfCap
+      |  JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id),
       |     pairs AS (
-      |  SELECT a.doc_id AS a, b.doc_id AS b
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  JOIN cnt na ON na.doc_id = a.doc_id
-      |  JOIN cnt nb ON nb.doc_id = b.doc_id
-      |  GROUP BY a.doc_id, b.doc_id, na.n, nb.n
+      |  SELECT c.a, c.b
+      |  FROM cand c
+      |  JOIN sh sa ON sa.doc_id = c.a
+      |  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+      |  JOIN cnt na ON na.doc_id = c.a
+      |  JOIN cnt nb ON nb.doc_id = c.b
+      |  GROUP BY c.a, c.b, na.n, nb.n
       |  HAVING count(*) * 1.0 / (na.n + nb.n - count(*)) >= 0.8),
       |     edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
       |     reach(src, dst) AS (
@@ -442,7 +475,11 @@ object LlmOps extends QueryModule {
 
   /** Exact-Jaccard (≥0.8) near-dup pair graph over 3-shingles — the
     * shared edge-list stage behind cluster canonicalization and
-    * keep-best selection.
+    * keep-best selection. Candidates come from df-capped shingles
+    * only ([[jaccardDfCap]]); verification is exact Jaccard over full
+    * shingle sets, computed by joining the candidate list back onto
+    * the postings — cost ∝ |candidates| · |shingles per doc|, never
+    * df² on an uncapped key.
     */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val sh = T(s, d, "documents")
@@ -452,9 +489,17 @@ object LlmOps extends QueryModule {
       .select(col("doc_id"), explode(expr("transform(shs, x -> xxhash64(x))")).as("shingle"))
       .distinct()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+    val rare = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= jaccardDfCap).select("shingle"),
+      Seq("shingle"))
+    val cand = rare.select(col("doc_id").as("a"), col("shingle"))
+      .join(rare.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
       .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a"), col("shingle")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("b", "shingle"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
     inter
       .join(counts.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
@@ -847,6 +892,81 @@ object LlmOps extends QueryModule {
 
   private[ops] def pqCodebookOf(s: SparkSession, d: String): Array[Array[Array[Double]]] =
     pqCodebook(T(s, d, "embeddings").select("vec_id", "embedding"))
+
+  /** Per-subspace Lloyd-trained PQ codebook (SPEC: the real FAISS
+    * training recipe — Jégou et al. 2011 §III.A: independent k-means
+    * in each of the M subspaces, L2 objective). Seeded with the
+    * deterministic first-K codebook; each iteration is ONE map-side
+    * `pq_encode` pass (argmin code per subspace against codebook
+    * literals — no per-row join) followed by ONE shuffle keyed on
+    * (subspace, code, dim) — at most M·K·dim = 1024 groups, so the
+    * driver state stays O(M·K·dim) doubles exactly like the IVF
+    * trainer. Empty cells keep their previous centroid. NOT spherical
+    * [[kmeansCentroids]]: PQ minimizes RECONSTRUCTION error, so the
+    * update step is the plain per-coordinate mean under L2, not the
+    * mean direction under cosine. Double-mean partition-order ulps
+    * make trained centroids deterministic only to the ulp — the
+    * consumer query is rows-only checked (like `sim_ann_ivf_trained`)
+    * with the accuracy contract (trained distortion ≤ first-K
+    * distortion) pinned in LshRecallSpec.
+    */
+  private[ops] def pqTrainedCodebook(emb: DataFrame, iters: Int): Array[Array[Array[Double]]] = {
+    var cb = pqCodebook(emb)
+    for (_ <- 1 to iters) {
+      val cbFlat = array(cb.flatten.flatten.toIndexedSeq.map(lit): _*)
+      val sums = emb
+        .withColumn("pq", graft.functions.vec.pqEncode(col("embedding"), cbFlat, 8, 16))
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")), col("pq"))
+        .withColumn("m", (col("pos") / 8).cast("int"))
+        .select(col("m"), (col("pos") % 8).cast("int").as("j"),
+          element_at(col("pq"), col("m") + 1).cast("int").as("k"),
+          col("x").cast("double").as("x"))
+        .groupBy("m", "k", "j")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val next = Array.tabulate(8, 16)((m, k) => cb(m)(k).clone())
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3) / r.getLong(4)
+      }
+      cb = next
+    }
+    cb
+  }
+
+  /** Mean squared PQ reconstruction error avg(Σ_m ‖x_m − c_{m,code}‖²)
+    * — the distortion scalar the LshRecallSpec training contract
+    * tracks. One map-side pass: encode, then 64 literal-indexed
+    * squared diffs per row.
+    */
+  private[ops] def pqDistortion(emb: DataFrame, cb: Array[Array[Array[Double]]]): Double = {
+    val cbFlat = array(cb.flatten.flatten.toIndexedSeq.map(lit): _*)
+    val enc = emb.withColumn("pq",
+      graft.functions.vec.pqEncode(col("embedding"), cbFlat, 8, 16))
+    val err = (0 until 8).flatMap { m =>
+      (0 until 8).map { j =>
+        val x = element_at(col("embedding"), m * 8 + j + 1).cast("double")
+        val c = element_at(cbFlat,
+          ((lit(m * 16) + element_at(col("pq"), m + 1)) * 8 + j + 1).cast("int"))
+        (x - c) * (x - c)
+      }
+    }.reduce(_ + _)
+    enc.select(avg(err).as("d")).head.getDouble(0)
+  }
+
+  /** PQ/SDC ANN over the Lloyd-TRAINED codebook — identical plan shape
+    * to `sim_ann_pq` (map-side native encode, bucket self-join,
+    * literal-table SDC scoring); only the quantizer improves. rows-only
+    * by design: the trained codebook is deterministic only to the ulp
+    * (see [[pqTrainedCodebook]]), so code assignments near Voronoi
+    * boundaries can flip across runs.
+    */
+  qRowsOnly("sim_ann_pq_trained") { (s, d) =>
+    val emb = T(s, d, "embeddings").select("vec_id", "embedding")
+    val cb = pqTrainedCodebook(emb, iters = 2)
+    pqCodeTopK(pqEncoded(s, d, cb), cb, topK = 3)
+      .select("qid", "nbr", "adot", "rn")
+      .orderBy("qid", "rn") // top-k per vector = input-sized
+  }
 
   q("sim_ann_pq", pqOracleSql(topK = 3, report = true)) { (s, d) =>
     val cb = pqCodebookOf(s, d)
@@ -1608,7 +1728,7 @@ object LlmOps extends QueryModule {
     */
   q("pipeline_dataset_card",
     """SELECT lang, source, count(*) AS n_docs,
-      |       sum(len(str_split(text, ' '))) AS n_tokens,
+      |       CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens,
       |       round(avg(n_chars), 6) AS avg_chars
       |FROM documents GROUP BY ROLLUP(lang, source)
       |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""") { (s, d) =>

@@ -252,8 +252,8 @@ object WindowOps extends QueryModule {
       |  FROM events),
       |     x AS (
       |  SELECT user_id, event_type, ts,
-      |         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                        ROWS UNBOUNDED PRECEDING) AS island
+      |         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
       |  FROM c)
       |SELECT user_id, event_type, island, count(*) AS run_len,
       |       CAST(epoch_us(min(ts)) AS BIGINT) AS run_start_us

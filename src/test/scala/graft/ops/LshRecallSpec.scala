@@ -130,6 +130,22 @@ class LshRecallSpec extends AnyFunSuite {
       .head.getDouble(0)
     assert(agree >= 0.95, s"quantized top-1 agreement too low: $agree")
   }
+
+  test("PQ training contract: Lloyd-trained codebook distortion ≤ first-K seed's") {
+    val emb = graft.T(spark, d, "embeddings").select("vec_id", "embedding")
+    val seed = LlmOps.pqCodebookOf(spark, d)
+    val d0 = LlmOps.pqDistortion(emb, seed)
+    // each Lloyd iteration is monotone non-increasing in the L2
+    // reconstruction objective (assignment argmin + mean update);
+    // assert both the 1-iter and the registered 2-iter codebook
+    val d1 = LlmOps.pqDistortion(emb, LlmOps.pqTrainedCodebook(emb, iters = 1))
+    val d2 = LlmOps.pqDistortion(emb, LlmOps.pqTrainedCodebook(emb, iters = 2))
+    assert(d1 <= d0 * (1 + 1e-9), s"1-iter distortion $d1 above seed $d0")
+    assert(d2 <= d1 * (1 + 1e-9), s"2-iter distortion $d2 above 1-iter $d1")
+    // random-embedding corpus: training should buy a real improvement,
+    // not a no-op (seed centroids are arbitrary data points)
+    assert(d2 < d0 * 0.9, s"training barely moved distortion: $d0 -> $d2")
+  }
 }
 
 /** Test access to the registered query body without going through the

@@ -23,8 +23,49 @@ object GdxOps extends QueryModule {
   private val lock = new Object
   private val built = scala.collection.mutable.Set.empty[String]
 
+  /** Bump when fixture CONTENT changes: the marker file below persists
+    * in tmp across JVM runs, so without a version a stale fixture from
+    * an older build would be silently reused by a newer one.
+    */
+  private val fixtureVersion = 1
+
   private def fixtureDir(sfDir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft-gdx-${new File(sfDir).getName}"
+
+  /** Cross-PROCESS build-once guard (the three harness entry points —
+    * Verify, Bench, the test JVM — can run concurrently against the
+    * same sfDir): within one JVM callers already hold `lock`; across
+    * processes an O_EXCL lock file serializes the build and an
+    * after-build marker publishes it (a crash mid-build leaves only
+    * unmarked partials plus a lock that goes stale and is stolen after
+    * the timeout). Returns once the marker exists.
+    */
+  private def buildOnce(dir: String, marker: String)(body: => Unit): Unit = {
+    val markerFile = new File(dir, marker)
+    if (markerFile.exists()) return
+    new File(dir).mkdirs()
+    val lockFile = new File(dir, s"$marker.lock")
+    var stealAt = System.currentTimeMillis() + 120000
+    while (!markerFile.exists()) {
+      val acquired =
+        try { java.nio.file.Files.createFile(lockFile.toPath); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      if (acquired) {
+        try {
+          if (!markerFile.exists()) {
+            body
+            java.nio.file.Files.createFile(markerFile.toPath)
+          }
+        } finally lockFile.delete()
+      } else {
+        Thread.sleep(200)
+        if (System.currentTimeMillis() > stealAt) {
+          lockFile.delete() // stale lock from a crashed builder
+          stealAt = System.currentTimeMillis() + 120000
+        }
+      }
+    }
+  }
 
   /** Static special-value fixture records (label, raw GDX value). */
   private val specRecords = Seq(
@@ -34,7 +75,7 @@ object GdxOps extends QueryModule {
   private def ensureFixtures(s: SparkSession, sfDir: String): String = lock.synchronized {
     val dir = fixtureDir(sfDir)
     if (!built.contains(dir)) {
-      new File(dir).mkdirs()
+      buildOnce(dir, s"fixtures.v$fixtureVersion.ok") {
       val nation = T(s, sfDir, "nation")
         .select(col("n_name"), col("n_nationkey").cast("double"),
           col("n_regionkey").cast("double"))
@@ -83,6 +124,7 @@ object GdxOps extends QueryModule {
         .write.format("gdx").mode("overwrite")
         .option("symbol", "nat")
         .save(s"$dir/sharded")
+      }
       built += dir
     }
     dir
@@ -382,10 +424,10 @@ object GdxOps extends QueryModule {
   private def ensureDiffFixtures(s: SparkSession, sfDir: String): String =
     lock.synchronized {
       val dir = fixtureDir(sfDir)
-      new File(dir).mkdirs()
-      // marker written AFTER both files: a crash mid-build can only
-      // leave unmarked partial files, which the next run overwrites
-      if (!new File(s"$dir/diff2.ok").exists()) {
+      // marker written AFTER both files (inside buildOnce): a crash
+      // mid-build can only leave unmarked partials, which the next
+      // builder overwrites under the cross-process lock
+      buildOnce(dir, s"diff.v$fixtureVersion.ok") {
         val nation = T(s, sfDir, "nation")
           .select(col("n_name"), col("n_nationkey").cast("double"))
           .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
@@ -415,7 +457,6 @@ object GdxOps extends QueryModule {
         b.addSymbol("mix", SymbolType.Set, 1,
           Seq((Seq("only"), Array.empty[Double], None)))
         GdxCodec.write(b.result(), s"$dir/diffB.gdx")
-        java.nio.file.Files.createFile(new File(dir, "diff2.ok").toPath)
       }
       dir
     }

@@ -246,23 +246,46 @@ object LlmOps extends QueryModule {
     * hash-checked by one composed DuckDB oracle.
     */
   q("dedup_candidates_verified",
-    s"""WITH $minhashCtesSql,
+    s"""WITH $verifiedPairsCtesSql
+       |SELECT a, b, jaccard FROM vp ORDER BY a, b""".stripMargin) { (s, d) =>
+    verifiedJaccardPairs(s, d).orderBy("a", "b") // input-sized
+  }
+
+  /** DuckDB CTEs for the full banded-LSH → exact-verify pipeline:
+    * `vp(a, b, jaccard)` = candidate pairs from [[minhashCtesSql]]'s
+    * band buckets, kept iff exact Jaccard over the full shingle sets
+    * is ≥ 0.8. Mirrors [[verifiedJaccardPairs]]; shared by the
+    * verified-pairs oracle and the component oracles built on it.
+    */
+  private def verifiedPairsCtesSql: String =
+    s"""$minhashCtesSql,
        |     jsh AS (SELECT DISTINCT doc_id, h FROM sh),
        |     cnt AS (SELECT doc_id, count(*) AS n FROM jsh GROUP BY doc_id),
        |     inter AS (
        |  SELECT p.a, p.b, count(*) AS i FROM pairs p
        |  JOIN jsh x ON x.doc_id = p.a
        |  JOIN jsh y ON y.doc_id = p.b AND y.h = x.h
-       |  GROUP BY p.a, p.b)
-       |SELECT i.a, i.b, round(i.i * 1.0 / (na.n + nb.n - i.i), 6) AS jaccard
-       |FROM inter i JOIN cnt na ON na.doc_id = i.a JOIN cnt nb ON nb.doc_id = i.b
-       |WHERE i.i * 1.0 / (na.n + nb.n - i.i) >= 0.8
-       |ORDER BY a, b""".stripMargin) { (s, d) =>
+       |  GROUP BY p.a, p.b),
+       |     vp AS (
+       |  SELECT i.a, i.b, round(i.i * 1.0 / (na.n + nb.n - i.i), 6) AS jaccard
+       |  FROM inter i JOIN cnt na ON na.doc_id = i.a JOIN cnt nb ON nb.doc_id = i.b
+       |  WHERE i.i * 1.0 / (na.n + nb.n - i.i) >= 0.8)""".stripMargin
+
+  /** Banded-minhash candidates verified by exact Jaccard (≥ 0.8) over
+    * FULL shingle sets — the shared pair stage behind the verified
+    * registry row and both clustering consumers. The verify join costs
+    * |candidates| × shingles-per-doc with candidates bounded by band
+    * collisions, never an inverted-index df² blowup. `jsh` feeds three
+    * subtrees (counts + both verify sides) — checkpointed so the
+    * shingle pipeline runs once; blocks freed by releaseCheckpoints.
+    */
+  private[ops] def verifiedJaccardPairs(s: SparkSession, d: String): DataFrame = {
     val docs = T(s, d, "documents").select("doc_id", "text")
     val cand = minhashPairsOf(docs)
     val jsh = shingleHashes(docs)
       .select(col("doc_id"), explode(col("hs")).as("h"))
       .distinct()
+      .localCheckpoint()
     val counts = jsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(jsh.select(col("doc_id").as("a"), col("h")), Seq("a"))
@@ -275,7 +298,6 @@ object LlmOps extends QueryModule {
         round(col("i") * lit(1.0) / (col("na") + col("nb") - col("i")), 6))
       .filter(col("i") * lit(1.0) / (col("na") + col("nb") - col("i")) >= 0.8)
       .select("a", "b", "jaccard")
-      .orderBy("a", "b") // input-sized
   }
 
   /** Connected components by iterative min-label propagation (the
@@ -372,57 +394,19 @@ object LlmOps extends QueryModule {
     labels
   }
 
-  /** Document-frequency cap for exact-Jaccard CANDIDATE generation.
-    *
-    * The inverted-index self-join emits df² pairs per shingle — on a
-    * Zipfian corpus one boilerplate shingle in 10⁶ docs would emit
-    * 10¹² candidates before the ≥0.8 filter (the classic skewed-key
-    * shuffle blowup). Dropping shingles with df > cap from candidate
-    * generation bounds total candidates by Σ df² ≤ cap·Σ df =
-    * cap·|postings| — LINEAR in corpus size. Exact Jaccard is still
-    * computed over the FULL shingle sets of every surviving candidate,
-    * so scores are unchanged; the only pairs that can be lost are
-    * those whose EVERY shared shingle appears in > cap documents. At
-    * J ≥ 0.8 near-dups share ≈ 89% of their shingles, so a lost pair
-    * means both docs are ≈ 89% corpus-boilerplate present in > cap
-    * other docs each — template/boilerplate material that the exact
-    * (dedup_exact) and banded-MinHash (dedup_near_minhash) paths
-    * catch, and that n-gram dedup practice drops deliberately (Lee et
-    * al. 2021, "Deduplicating Training Data Makes Language Models
-    * Better", §4: most-common n-grams are excluded from matching).
-    * (Declared before [[jaccardCompSql]], which interpolates it.)
+  /** Shared oracle prefix: the verified near-dup pair graph +
+    * recursive-CTE component labels (comp = (doc_id, canonical)).
+    * Pairs are [[verifiedPairsCtesSql]]'s `vp` — banded-minhash LSH
+    * candidates verified by exact Jaccard ≥ 0.8 over full shingle
+    * sets, the production dedup shape (Lee et al. 2021): candidate
+    * volume is bounded by band-signature collisions, so no single
+    * boilerplate shingle can force an inverted-index df² blowup, and
+    * the clustering queries share their edge stage verbatim with the
+    * registered `dedup_candidates_verified` row.
     */
-  private val jaccardDfCap = 128
-
-  /** Shared oracle prefix: the Jaccard pair graph + recursive-CTE
-    * component labels (comp = (doc_id, canonical)). Mirrors
-    * [[jaccardPairs]] exactly, INCLUDING the df-cap on candidate
-    * generation (see there for the scale rationale): candidates come
-    * only from shingles with df <= [[jaccardDfCap]]; exact Jaccard is
-    * then computed over the FULL shingle sets of each candidate pair.
-    */
-  private val jaccardCompSql =
-    s"""sh AS (
-      |  SELECT DISTINCT doc_id, sh AS shingle FROM (
-      |    SELECT doc_id, unnest([list_aggr(tok[i:i+2], 'string_agg', ' ')
-      |                           FOR i IN range(1, greatest(len(tok) - 2, 1) + 1)]) AS sh
-      |    FROM (SELECT doc_id, str_split(text, ' ') AS tok FROM documents) t1) t2),
-      |     cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-      |     dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
-      |     cand AS (
-      |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-      |  FROM sh a JOIN dfq ON dfq.shingle = a.shingle AND dfq.df <= $jaccardDfCap
-      |  JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id),
-      |     pairs AS (
-      |  SELECT c.a, c.b
-      |  FROM cand c
-      |  JOIN sh sa ON sa.doc_id = c.a
-      |  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
-      |  JOIN cnt na ON na.doc_id = c.a
-      |  JOIN cnt nb ON nb.doc_id = c.b
-      |  GROUP BY c.a, c.b, na.n, nb.n
-      |  HAVING count(*) * 1.0 / (na.n + nb.n - count(*)) >= 0.8),
-      |     edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+  private lazy val jaccardCompSql =
+    s"""$verifiedPairsCtesSql,
+      |     edges AS (SELECT a, b FROM vp UNION SELECT b, a FROM vp),
       |     reach(src, dst) AS (
       |  SELECT a, b FROM edges
       |  UNION
@@ -473,40 +457,21 @@ object LlmOps extends QueryModule {
       .orderBy("doc_id") // one row per clustered doc = input-sized
   }
 
-  /** Exact-Jaccard (≥0.8) near-dup pair graph over 3-shingles — the
+  /** Near-dup pair graph (exact Jaccard ≥ 0.8 over 3-shingles) — the
     * shared edge-list stage behind cluster canonicalization and
-    * keep-best selection. Candidates come from df-capped shingles
-    * only ([[jaccardDfCap]]); verification is exact Jaccard over full
-    * shingle sets, computed by joining the candidate list back onto
-    * the postings — cost ∝ |candidates| · |shingles per doc|, never
-    * df² on an uncapped key.
+    * keep-best selection. Candidates come from the banded-minhash LSH
+    * the verified pipeline already uses ([[verifiedJaccardPairs]]);
+    * exact Jaccard over FULL shingle sets is verify-only. Replaces
+    * both prior generators (the uncapped inverted-index self-join —
+    * df² on one boilerplate shingle — and its df-capped variant,
+    * which still paid Σ df² candidate emission plus a
+    * candidates×postings rebuild and benched ~7× slower than this
+    * composed form at sf0.1). Candidate volume is bounded by band
+    * collisions: a shingle shared by every document moves no pair
+    * unless a whole 3-row band signature matches.
     */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = T(s, d, "documents")
-      .withColumn("tok", split(col("text"), " "))
-      .withColumn("shs", expr(
-        "transform(sequence(0, greatest(size(tok) - 3, 0)), i -> concat_ws(' ', slice(tok, i + 1, 3)))"))
-      .select(col("doc_id"), explode(expr("transform(shs, x -> xxhash64(x))")).as("shingle"))
-      .distinct()
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val rare = sh.join(
-      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= jaccardDfCap).select("shingle"),
-      Seq("shingle"))
-    val cand = rare.select(col("doc_id").as("a"), col("shingle"))
-      .join(rare.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-    val inter = cand
-      .join(sh.select(col("doc_id").as("a"), col("shingle")), Seq("a"))
-      .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("b", "shingle"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(counts.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
-      .join(counts.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
-      .filter(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")) >= 0.8)
-      .select("a", "b")
-  }
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    verifiedJaccardPairs(s, d).select("a", "b")
 
   // -------------------------------------------------------- similarity
 
@@ -1471,10 +1436,11 @@ object LlmOps extends QueryModule {
   /** TF-IDF keyword extraction — top-3 characteristic terms per doc
     * (the classic retrieval/labeling primitive): tf = in-doc count,
     * idf = ln(N/df). Two vocab-sized shuffles ((doc,word) counts and
-    * document frequencies), the df/N table BROADCASTs back onto the
-    * per-doc counts, top-3 via a window over the (doc,word) count
-    * frame — nothing token-sized ever shuffles twice, nothing
-    * corpus-sized sorts globally.
+    * document frequencies), the df/N table joins back onto the per-doc
+    * counts (AQE broadcasts it while it fits, shuffle-joins beyond —
+    * no hard driver pin at any vocabulary size), top-3 via a window
+    * over the (doc,word) count frame — nothing token-sized ever
+    * shuffles twice, nothing corpus-sized sorts globally.
     */
   q("text_tfidf_topk",
     """WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents),
@@ -1499,7 +1465,13 @@ object LlmOps extends QueryModule {
     // ulp level, and a sub-1e-6 gap between two words must collapse to
     // the deterministic word tie-break on both sides, not flip ranks
     val w = Window.partitionBy("doc_id").orderBy(round(score, 6).desc, col("w").asc)
-    tf.join(broadcast(df), Seq("w"))
+    // NO broadcast() hint on the vocab-sized df table: a hint is a hard
+    // pin that would OOM the driver on an open-web vocabulary (10⁸+
+    // distinct tokens). AQE broadcasts it at runtime whenever the
+    // materialized size clears autoBroadcastJoinThreshold (plan-asserted
+    // in PlanInvariantsSpec) and falls back to a shuffle join above it —
+    // the size gate belongs to the engine, not the query.
+    tf.join(df, Seq("w"))
       .crossJoin(broadcast(n))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
@@ -1514,10 +1486,12 @@ object LlmOps extends QueryModule {
     * here is the corpus's own unigram distribution — the KenLM slot a
     * production pipeline fills with a reference-corpus model.
     * TRAIN: explode → two-phase word count (shuffle is vocab-sized).
-    * SCORE: the logprob table and the one-row total both BROADCAST
-    * onto the token stream (map-side probability lookup — no
-    * token-level shuffle), then one two-phase per-doc avg. At 100 TB
-    * every shuffle is vocab- or doc-sized, never token-sized.
+    * SCORE: the logprob table joins onto the token stream — AQE
+    * broadcasts it while it fits (map-side probability lookup, no
+    * token-level shuffle; plan-asserted), shuffle-joins on an
+    * open-web vocabulary rather than pinning driver state — then one
+    * two-phase per-doc avg. At 100 TB every shuffle is vocab- or
+    * doc-sized, never token-sized.
     */
   q("text_unigram_logprob",
     """WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents),
@@ -1534,10 +1508,51 @@ object LlmOps extends QueryModule {
     val lm = tok.groupBy("w").agg(count(lit(1)).as("c"))
       .crossJoin(broadcast(total))
       .select(col("w"), log(col("c") / col("tot")).as("lp"))
-    tok.join(broadcast(lm), Seq("w"))
+    // vocab-sized lm table: no broadcast() hint — AQE broadcasts below
+    // the size threshold, shuffle-joins above (same rationale as
+    // text_tfidf_topk; the one-row `total` broadcast above stays pinned)
+    tok.join(lm, Seq("w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_tokens"),
         round(-avg("lp"), 6).as("avg_nll"))
+      .orderBy("doc_id") // one row per doc = input-sized
+  }
+
+  /** Bigram-LM quality scoring — the conditional-probability upgrade
+    * of [[text_unigram_logprob]] (one Markov order closer to the KenLM
+    * models CCNet actually uses): per-doc avg −ln P(w₂|w₁) with
+    * P(w₂|w₁) = c(w₁w₂)/c(w₁·) counted over the corpus. Same scale
+    * shape as the unigram scorer: TRAIN is two vocab-sized two-phase
+    * counts (bigrams + prefix unigrams); SCORE joins both tables onto
+    * the bigram stream — unhinted, AQE broadcasts while they fit —
+    * then one two-phase per-doc avg. Docs under 2 tokens have no
+    * bigrams and drop out (both engines: empty comprehension).
+    */
+  q("text_bigram_logprob",
+    """WITH tk AS (SELECT doc_id, str_split(text, ' ') AS tok FROM documents),
+      |     bg AS (SELECT doc_id,
+      |              unnest([tok[i] || ' ' || tok[i+1] FOR i IN range(1, len(tok))]) AS b
+      |            FROM tk),
+      |     bc AS (SELECT b, count(*) AS cb FROM bg GROUP BY 1),
+      |     uc AS (SELECT str_split(b, ' ')[1] AS w, count(*) AS cu FROM bg GROUP BY 1)
+      |SELECT g.doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+      |       round(-avg(ln(CAST(bc.cb AS DOUBLE) / uc.cu)), 6) AS avg_nll
+      |FROM bg g JOIN bc ON bc.b = g.b
+      |JOIN uc ON uc.w = str_split(g.b, ' ')[1]
+      |GROUP BY g.doc_id ORDER BY g.doc_id""") { (s, d) =>
+    val bg = T(s, d, "documents")
+      .withColumn("tok", split(col("text"), " "))
+      .filter(size(col("tok")) >= 2) // sequence(0, size-2) must not descend
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tok) - 2), i -> concat_ws(' ', slice(tok, i + 1, 2)))")).as("b"))
+      .withColumn("w1", substring_index(col("b"), " ", 1))
+    val bc = bg.groupBy("b").agg(count(lit(1)).as("cb"))
+    val uc = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
+    bg.join(bc, Seq("b"))
+      .join(uc, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        round(-avg(log(col("cb").cast("double") / col("cu"))), 6).as("avg_nll"))
       .orderBy("doc_id") // one row per doc = input-sized
   }
 

@@ -224,6 +224,37 @@ object RelationalOps extends QueryModule {
       .orderBy("event_id") // one row per purchase = input-sized
   }
 
+  /** Tolerance-bounded as-of (pandas merge_asof `tolerance=`): each
+    * purchase matches its latest prior click only if it happened
+    * within the last hour. Same single-pass union+window shape as
+    * [[join_asof]] — the backward max IS the only candidate, so the
+    * tolerance is a post-hoc null-out on the matched timestamp (if
+    * the latest prior click is older than the window, no click in the
+    * window exists). One user_id shuffle, zero joins.
+    */
+  q("join_asof_tolerance",
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, CAST(epoch_us(max(c.ts)) AS BIGINT) AS click_ts_us
+      |FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+      |   AND c.ts >= p.ts - INTERVAL 1 HOUR
+      |GROUP BY p.event_id ORDER BY p.event_id""") { (s, d) =>
+    val e = T(s, d, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        (col("event_type") === "click").cast("int").as("is_click"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("is_click").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    e.withColumn("last_click",
+        max(when(col("is_click") === 1, unix_micros(col("ts")))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        when(col("last_click") >= unix_micros(col("ts")) - lit(3600L * 1000000L),
+          col("last_click")).as("click_ts_us"))
+      .orderBy("event_id") // one row per purchase = input-sized
+  }
+
   /** Full-outer alignment — the reconciliation join (both-sides-keep;
     * the record-alignment core of gdx_diff, registered standalone to
     * complete the join matrix): suppliers and customers aligned on

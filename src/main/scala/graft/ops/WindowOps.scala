@@ -367,4 +367,121 @@ object WindowOps extends QueryModule {
         round(last(col("av"), ignoreNulls = true).over(w), 6).as("v"))
       .orderBy("user_id", "day_us") // user×active-day grid = input-sized
   }
+
+  /** Batch time-gap sessionization — the TIME-gap twin of
+    * `win_gap_islands`' value runs (and the batch form of the
+    * streaming `stream_session`): a >30-minute silence starts a new
+    * session. Same one-shuffle shape as gap_islands: lag + growing-
+    * frame break count share ONE (user_id) partition sort, then a
+    * two-phase per-session aggregate. Output is session-sized →
+    * distributed orderBy, never a single-partition collapse.
+    */
+  q("win_sessionize",
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |                OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      |                   > 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |     s AS (
+      |  SELECT user_id, ts,
+      |         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM g)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |       CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+      |       CAST(epoch_us(max(ts)) AS BIGINT) AS end_us
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""") { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    T(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("brk", when(col("prev").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev")) > 1800L * 1000000L, 1)
+        .otherwise(0))
+      .withColumn("session_id",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        unix_micros(min(col("ts"))).as("start_us"),
+        unix_micros(max(col("ts"))).as("end_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Funnel analysis — per user, the first strictly-ordered
+    * view → click → purchase chain (each step's FIRST occurrence
+    * after the previous step), the product-analytics staple. ONE
+    * shuffle: three full-frame conditional mins chain over the same
+    * (user_id) partitioning (each step's threshold is a per-partition
+    * constant from the previous Window pass — no self-joins, no
+    * per-step shuffles), then a per-user collapse. Users without a
+    * view never enter the funnel.
+    */
+  q("win_funnel_steps",
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |     c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |           JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+      |           WHERE e.event_type = 'click' GROUP BY 1),
+      |     p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |           JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+      |           WHERE e.event_type = 'purchase' GROUP BY 1)
+      |SELECT v.user_id, CAST(epoch_us(v.t1) AS BIGINT) AS view_us,
+      |       CAST(epoch_us(c.t2) AS BIGINT) AS click_us,
+      |       CAST(epoch_us(p.t3) AS BIGINT) AS purchase_us,
+      |       CASE WHEN p.t3 IS NOT NULL THEN 3
+      |            WHEN c.t2 IS NOT NULL THEN 2 ELSE 1 END AS depth
+      |FROM v LEFT JOIN c ON c.user_id = v.user_id
+      |       LEFT JOIN p ON p.user_id = v.user_id
+      |ORDER BY v.user_id""") { (s, d) =>
+    val wAll = Window.partitionBy("user_id")
+    T(s, d, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts"))).over(wAll))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") > col("t1"), col("ts"))).over(wAll))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2"), col("ts"))).over(wAll))
+      .groupBy("user_id")
+      .agg(unix_micros(max("t1")).as("view_us"),
+        unix_micros(max("t2")).as("click_us"),
+        unix_micros(max("t3")).as("purchase_us"),
+        max(when(col("t3").isNotNull, 3)
+          .when(col("t2").isNotNull, 2).otherwise(1)).as("depth"))
+      .filter(col("view_us").isNotNull)
+      .orderBy("user_id") // one row per funnel-entered user = input-sized
+  }
+
+  /** Cohort retention — users bucketed by first-seen week, activity
+    * counted per (cohort week, week offset): the growth-analytics
+    * matrix every events warehouse reports. Two aggregates co-
+    * partitioned on user_id (first-seen + distinct active weeks), one
+    * equi-join, then a two-phase count over the tiny (cohort, offset)
+    * grid — bounded by calendar-weeks², never user- or event-sized,
+    * so the single-partition report sort is legitimate.
+    */
+  q("agg_cohort_retention",
+    """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+      |           FROM events GROUP BY 1),
+      |     a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events)
+      |SELECT CAST(epoch_us(f.cw) AS BIGINT) AS cohort_week_us,
+      |       CAST((epoch_us(a.aw) - epoch_us(f.cw)) // 604800000000 AS BIGINT) AS week_offset,
+      |       count(*) AS n_users
+      |FROM a JOIN f ON f.user_id = a.user_id
+      |GROUP BY 1, 2 ORDER BY cohort_week_us, week_offset""") { (s, d) =>
+    val e = T(s, d, "events").select("user_id", "ts")
+    val f = e.groupBy("user_id").agg(date_trunc("week", min(col("ts"))).as("cw"))
+    val a = e.select(col("user_id"), date_trunc("week", col("ts")).as("aw")).distinct()
+    a.join(f, Seq("user_id"))
+      .select(unix_micros(col("cw")).as("cohort_week_us"),
+        // week-truncated stamps differ by exact multiples of a week
+        // (no-timezone timestamps), so the double division is exact
+        ((unix_micros(col("aw")) - unix_micros(col("cw"))) / lit(604800000000L))
+          .cast("long").as("week_offset"))
+      .groupBy("cohort_week_us", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .reportSorted("cohort_week_us", "week_offset")
+  }
 }

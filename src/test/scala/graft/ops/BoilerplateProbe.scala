@@ -3,17 +3,19 @@ package graft.ops
 import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev harness for SCALE.md: the adversarial corpus for the exact-Jaccard
-  * df-cap (`jaccardDfCap`) — N docs that ALL share one boilerplate
+/** Dev harness for SCALE.md: the adversarial boilerplate corpus for the
+  * exact-Jaccard pair generator — N docs that ALL share one boilerplate
   * 4-token prefix (so its two 3-shingles have df = N), each followed by
-  * unique filler, plus a 1% sprinkling of TRUE duplicate pairs (identical
-  * text → their shingles have df = 2 and must survive the cap).
+  * unique filler, plus a 1% sprinkling of TRUE duplicate pairs
+  * (identical text → identical minhash signatures, so they band-collide
+  * with certainty and must be clustered).
   *
   * Reports:
-  *   - Σ df·(df−1)/2 over ALL shingles  = candidate pairs the UNCAPPED
+  *   - Σ df·(df−1)/2 over ALL shingles  = candidate pairs an UNCAPPED
   *     inverted-index self-join would emit (≈ N² from the boilerplate);
-  *   - the same sum over df ≤ cap shingles = what the capped generator
-  *     emits (≈ #true-dup pairs);
+  *   - the ACTUAL banded-LSH candidate count the registered generator
+  *     emits (bounded by band-signature collisions — the boilerplate
+  *     shingles move no pair unless a whole 3-row band matches);
   *   - wall time + cluster count of the registered
   *     `dedup_cluster_canonical` on the corpus, and a recall check that
   *     every planted duplicate pair lands in one cluster.
@@ -49,12 +51,12 @@ object BoilerplateProbe {
       .select(col("doc_id"), explode(expr("transform(shs, x -> xxhash64(x))")).as("shingle"))
       .distinct()
     val dfTab = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val Array(uncapped, capped) = dfTab.select(
-      sum(col("df") * (col("df") - 1) / 2).as("uncapped"),
-      sum(when(col("df") <= 128, col("df") * (col("df") - 1) / 2)
-        .otherwise(0L)).as("capped"))
-      .as[(Double, Double)].collect().map(t => Array(t._1, t._2)).head
-    println(f"[probe] docs=$n%d uncapped_cand=$uncapped%.3g capped_cand=$capped%.3g")
+    val uncapped = dfTab.select(sum(col("df") * (col("df") - 1) / 2).as("u"))
+      .as[Double].collect().head
+    val banded = graft.ops.LlmOps
+      .minhashPairsOf(graft.T(spark, out, "documents").select("doc_id", "text"))
+      .count()
+    println(f"[probe] docs=$n%d uncapped_cand=$uncapped%.3g banded_cand=$banded%d")
 
     val t0 = System.nanoTime()
     val comp = graft.SparkEntry.queries("dedup_cluster_canonical")(spark, out)

@@ -252,11 +252,25 @@ class PlanInvariantsSpec extends AnyFunSuite {
   }
 
   test("text_unigram_logprob: LM lookup broadcasts, token stream never shuffles for it") {
-    val p = plan(graft.SparkEntry.queries("text_unigram_logprob")(spark, d))
+    // the vocab table carries NO broadcast() hint (a pin would OOM the
+    // driver on an open-web vocabulary) — the broadcast must come from
+    // AQE's runtime size check, so execute first and assert on the
+    // FINAL adaptive plan
+    val df = graft.SparkEntry.queries("text_unigram_logprob")(spark, d)
+    df.collect()
+    val p = plan(df)
     assert(p.contains("BroadcastHashJoin"),
-      s"the vocab logprob table must broadcast onto the token stream:\n$p")
+      s"AQE must broadcast the small vocab logprob table at this SF:\n$p")
     assert(!p.contains("CartesianProduct"),
       "the one-row total must broadcast (nested-loop on a 1-row side is fine, cartesian is not)")
+  }
+
+  test("text_tfidf_topk: unhinted df table still broadcasts via AQE at this SF") {
+    val df = graft.SparkEntry.queries("text_tfidf_topk")(spark, d)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"AQE must broadcast the small document-frequency table:\n$p")
   }
 
   test("mm_phash_neardup: banded candidates stay an equi join, verify is integer bit math") {

@@ -545,6 +545,52 @@ object Gdx {
           "line" -> org.apache.spark.sql.types.StringType))
   }
 
+  /** gdxdump CSV mode (SPEC: `gdxdump file symb=NAME format=csv` — one
+    * symbol rendered as CSV): a header line of the symbol's domain
+    * names (positional `Dim1..DimN` where a domain is unnamed, exactly
+    * like the tool) plus `Val` for parameters/variables or `Text` for
+    * sets, then one line per record. Labels and header names are
+    * ALWAYS double-quoted — the real tool quotes conditionally, but
+    * unconditional quoting is valid CSV and keeps the rendering
+    * deterministic; values render through the same
+    * DECIMAL(18,6)/sentinel pipeline as [[dump]]. The result carries
+    * explicit `(rn, key)` sort columns (header rn 0, records rn 1
+    * keyed by the dot-joined labels) instead of a global line window,
+    * so the presentation mode stays as distributed as the record
+    * frame — same split as the blocks mode.
+    */
+  def dumpCsv(spark: SparkSession, path: String, symbolName: String): DataFrame = {
+    val matched = matchedSymbols(spark, path, symbolName)
+    require(matched.length == 1,
+      s"gdx dumpCsv: pattern '$symbolName' matched ${matched.length} symbols (CSV mode needs exactly 1)")
+    val shape = matched.head
+    val df =
+      if (shape.typ == "set") symbol(spark, path, shape.name)
+      else symbol(spark, path, shape.name, specialValues = "raw")
+    val dims = dimCols(df)
+    val doms = (shape.domains ++ Seq.fill(shape.dim - shape.domains.length)("*"))
+      .take(shape.dim)
+      .zipWithIndex.map { case (dn, i) => if (dn == "*") s"Dim${i + 1}" else dn }
+    val valHeader = if (shape.typ == "set") "Text" else "Val"
+    val headerLine = (doms :+ valHeader).map(h => "\"" + h + "\"").mkString(",")
+    val v = col(if (df.columns.contains("value")) "value" else "level")
+    val rendered = coalesce(sentinelToken(v),
+      when(abs(v) < 1e12, v.cast("decimal(18,6)").cast("string"))
+        .otherwise(v.cast("string")))
+    val valPart =
+      if (shape.typ == "set")
+        when(col("text").isNotNull, concat(lit("\""), col("text"), lit("\"")))
+          .otherwise(lit(""))
+      else rendered
+    val fields = dims.map(c => concat(lit("\""), col(c), lit("\""))) :+ valPart
+    val keyStr = if (dims.isEmpty) lit("") else concat_ws(".", dims.map(col): _*)
+    val header = spark.range(1).select(lit(0).as("rn"), lit("").as("key"),
+      lit(headerLine).as("line"))
+    val recs = df.select(lit(1).as("rn"), keyStr.as("key"),
+      concat_ws(",", fields: _*).as("line"))
+    header.unionByName(recs)
+  }
+
   /** Per-vartype default bound fill (SURVEY §2.H fn_special_values). */
   def defaultFill(df: DataFrame, varType: Int): DataFrame = {
     val (lo, up) = VarType.defaultBounds(varType)

@@ -601,6 +601,24 @@ object GdxOps extends QueryModule {
       .reportSorted("symbol", "rank", "key")
   }
 
+  /** gdxdump CSV mode (`gdxdump file symb=nat format=csv`) — the
+    * machine-readable export the tool offers alongside the GAMS text
+    * renderings; see [[graft.gdx.Gdx.dumpCsv]] for the quoting and
+    * ordering contract. Output is symbol-sized → report sort.
+    */
+  q("gdx_dump_csv",
+    """SELECT * FROM (
+      |  SELECT 0 AS rn, '' AS key, '"n","Val"' AS line
+      |  UNION ALL
+      |  SELECT 1, n_name,
+      |         '"' || n_name || '",' ||
+      |         CAST(CAST(n_nationkey AS DECIMAL(18,6)) AS VARCHAR)
+      |  FROM nation) t
+      |ORDER BY rn, key""") { (s, d) =>
+    val dir = ensureFixtures(s, d)
+    Gdx.dumpCsv(s, s"$dir/file1.gdx", "nat").reportSorted("rn", "key")
+  }
+
   /** The gdxpy post-load `.shift()` idiom (the reference materializes
     * symbols to pandas Series and users difference them — GAMS
     * `p(t) - p(t-1)` over an ordered set): one window lag per

@@ -1123,6 +1123,55 @@ object LlmOps extends QueryModule {
       .orderBy("a", "b") // pair set scales with dup density = input-sized
   }
 
+  /** k-nearest-neighbor GRAPH over the whole embedding table (k = 3)
+    * — the all-vectors neighborhood structure that graph clustering,
+    * SemDeDup-style analyses, and kNN classifiers consume (vs the
+    * ann_* rows, which answer for a bounded probe set). Candidates
+    * come from the same multi-table LSH buckets as `sim_ann_lsh_multi`
+    * (equi-join on compact bucket keys, never all-pairs); each scored
+    * undirected pair is mirrored into both directions AFTER the one
+    * cosine pass, then a per-vector window keeps the top 3. Ranking
+    * uses the 6-dp-rounded cosine with vec_id tie-break so cross-
+    * engine ulps cannot flip ranks. Output ≤ 3 rows per vector =
+    * input-sized → distributed sort. Vectors whose buckets yield no
+    * candidate drop out (graph isolates), same on both engines.
+    */
+  q("sim_knn_graph", {
+    val (bucketCols, unions) = multiLshCandCtes(6, 6)
+    s"""WITH bk AS (SELECT vec_id, embedding,
+       |       $bucketCols FROM embeddings),
+       |     cand AS (
+       |  $unions),
+       |     scored AS (
+       |  SELECT c.a, c.b,
+       |         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                                      CAST(eb.embedding AS DOUBLE[])), 6) AS cos
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.a
+       |  JOIN embeddings eb ON eb.vec_id = c.b),
+       |     edges AS (SELECT a AS qid, b AS nbr, cos FROM scored
+       |               UNION ALL SELECT b, a, cos FROM scored),
+       |     rk AS (SELECT qid, nbr, cos, CAST(row_number() OVER (
+       |              PARTITION BY qid ORDER BY cos DESC, nbr) AS INTEGER) AS rank
+       |            FROM edges)
+       |SELECT qid, nbr, cos, rank FROM rk WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin
+  }) { (s, d) =>
+    val emb = T(s, d, "embeddings").select("vec_id", "embedding")
+    val scored = multiLshCandidatesOf(emb, nPlanes = 6, nTables = 6)
+      .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
+      .join(emb.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
+      .withColumn("cos", round(graft.functions.vec.cosine(col("ea"), col("eb")), 6))
+      .select("a", "b", "cos")
+    val edges = scored.select(col("a").as("qid"), col("b").as("nbr"), col("cos"))
+      .unionByName(scored.select(col("b").as("qid"), col("a").as("nbr"), col("cos")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nbr").asc)
+    edges
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy("qid", "rank") // ≤3 rows per vector = input-sized
+  }
+
   /** Int8 scalar-quantized ANN (SPEC: the standard sq8 compression in
     * FAISS/ScaNN-class systems): per-vector symmetric quantization
     * q_i = round(x_i · 127/max|x|) stored as TINYINT — 4× less scan IO
@@ -1922,6 +1971,57 @@ object LlmOps extends QueryModule {
       .join(contaminated, Seq("doc_id"), "left_anti")
       .select("doc_id")
       .orderBy("doc_id") // one row per clean training doc = input-sized
+  }
+
+  /** Line-level boilerplate removal (SPEC: the C4/RefinedWeb curation
+    * pass that strips lines repeated across many pages — nav bars,
+    * cookie banners, license footers — while keeping the documents):
+    * split each doc into units, drop every unit that occurs in ≥ 4
+    * distinct documents, reassemble the survivors in order. The
+    * corpus has no newlines, so the unit here is a fixed 10-token
+    * chunk — the splitter is the pluggable slot (swap in split('\n')
+    * on real web text); everything downstream is unit-agnostic.
+    * Shape: one chunk-vocabulary-sized distinct-doc count, one
+    * postings-sized join back (the boilerplate list is unhinted — AQE
+    * broadcasts it while it fits), then ONE per-doc aggregate whose
+    * in-order reassembly is an array_sort over the doc's own chunks —
+    * bounded by doc length, no window, no global sort. At 100 TB every
+    * shuffle is chunk-vocab- or doc-sized, never token-sized.
+    */
+  q("pipeline_remove_boilerplate",
+    """WITH tk AS (SELECT doc_id, str_split(text, ' ') AS tok FROM documents),
+      |     ch AS (
+      |  SELECT doc_id, u.idx AS idx, u.chunk AS chunk FROM (
+      |    SELECT doc_id,
+      |           unnest([{'idx': i, 'chunk': array_to_string(tok[i*10+1:i*10+10], ' ')}
+      |                   FOR i IN range(0, CAST(ceil(len(tok) / 10.0) AS INT))]) AS u
+      |    FROM tk) t),
+      |     dfq AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM ch GROUP BY 1)
+      |SELECT c.doc_id,
+      |       CAST(count(*) AS INTEGER) AS n_chunks,
+      |       CAST(count(*) FILTER (WHERE f.df >= 4) AS INTEGER) AS n_removed,
+      |       coalesce(string_agg(c.chunk, ' ' ORDER BY c.idx)
+      |                  FILTER (WHERE f.df < 4), '') AS clean_text
+      |FROM ch c JOIN dfq f USING (chunk)
+      |GROUP BY c.doc_id ORDER BY c.doc_id""") { (s, d) =>
+    val ch = T(s, d, "documents")
+      .withColumn("tok", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, cast(ceil(size(tok) / 10.0) as int) - 1),
+          |          i -> concat_ws(' ', slice(tok, i * 10 + 1, 10)))""".stripMargin))
+        .as(Seq("idx", "chunk")))
+    val boiler = ch.select("doc_id", "chunk").distinct()
+      .groupBy("chunk").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 4)
+      .select(col("chunk"), lit(1).as("bp"))
+    ch.join(boiler, Seq("chunk"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_chunks"),
+        sum(when(col("bp").isNotNull, 1).otherwise(0)).cast("int").as("n_removed"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN bp IS NULL THEN struct(idx, chunk) END)), x -> x.chunk)"),
+          " ").as("clean_text"))
+      .orderBy("doc_id") // one row per doc = input-sized
   }
 
   /** Cross-document duplicated-passage detection (SPEC: Lee et al.

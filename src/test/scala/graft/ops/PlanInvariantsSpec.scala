@@ -273,6 +273,23 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"AQE must broadcast the small document-frequency table:\n$p")
   }
 
+  test("sim_knn_graph: LSH candidates stay an equi join, one window over mirrored edges") {
+    val df = graft.SparkEntry.queries("sim_knn_graph")(spark, d)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"kNN-graph candidates must equi-join on (table, bucket), never all-pairs:\n$p")
+    assert(p.contains("Window"), "top-k per vector must be a window, not a collect")
+  }
+
+  test("pipeline_remove_boilerplate: no window, reassembly is a per-doc aggregate") {
+    val df = graft.SparkEntry.queries("pipeline_remove_boilerplate")(spark, d)
+    val p = plan(df)
+    assert(!p.contains("Window"),
+      s"in-order reassembly must ride array_sort inside the per-doc aggregate, not a window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the boilerplate join must stay an equi join on chunk:\n$p")
+  }
+
   test("mm_phash_neardup: banded candidates stay an equi join, verify is integer bit math") {
     val df = graft.SparkEntry.queries("mm_phash_neardup")(spark, d)
     val p = plan(df)

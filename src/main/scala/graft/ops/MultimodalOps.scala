@@ -578,4 +578,52 @@ object MultimodalOps extends QueryModule {
           .as("frame_idx"))
       .orderBy("doc_id", "frame_idx") // frames per video doc = input-sized
   }
+
+  /** Video scene-cut detection (SPEC: the shot-boundary pass every
+    * video-training pipeline runs before clip sampling — PySceneDetect
+    * -style threshold detection): per frame a scalar content feature,
+    * a cut wherever the feature jumps more than the threshold against
+    * the previous frame; frame 0 always starts a scene. In production
+    * the feature is the decoded frame's mean luma; no video codec
+    * exists in the JVM stdlib (documented stub slot), so the feature
+    * here is a deterministic byte probe into the opaque payload —
+    * ascii(payload[(frame_idx·31) mod len]) — which keeps every piece
+    * of Spark plumbing real (explode over metadata frame counts, ONE
+    * per-video window for the lag delta, threshold filter) and lets
+    * the oracle re-derive each frame feature from the text closed
+    * form, so the plumbing is verified end to end. One doc_id shuffle;
+    * output = scene starts ∝ cut density = input-sized.
+    */
+  q("mm_scene_cut",
+    """WITH v AS (SELECT doc_id, text, len(text) AS L,
+      |                  CAST(doc_id % 30 AS BIGINT) + 1 AS nf
+      |           FROM documents WHERE doc_id % 3 = 2),
+      |     fr AS (SELECT doc_id, unnest(generate_series(0, nf - 1)) AS frame_idx,
+      |                   text, L
+      |            FROM v),
+      |     ft AS (SELECT doc_id, frame_idx,
+      |                   ord(substr(text, CAST((frame_idx * 31) % L AS INT) + 1, 1)) AS f
+      |            FROM fr),
+      |     dl AS (SELECT doc_id, frame_idx, f,
+      |                   f - lag(f) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS d
+      |            FROM ft)
+      |SELECT doc_id, frame_idx, f
+      |FROM dl WHERE d IS NULL OR abs(d) > 24
+      |ORDER BY doc_id, frame_idx""") { (s, d) =>
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    mediaTable(s, d)
+      .filter(col("meta.kind") === "video")
+      // payload is the synthesized UTF-8 text (the stub contract);
+      // cast-to-string indexing = the byte probe the oracle mirrors
+      .select(col("doc_id"), col("payload").cast("string").as("txt"),
+        col("meta.n_frames").as("nf"))
+      .select(col("doc_id"), col("txt"), length(col("txt")).as("L"),
+        explode(sequence(lit(0L), (col("nf") - 1).cast("long"))).as("frame_idx"))
+      .withColumn("f",
+        expr("ascii(substring(txt, cast((frame_idx * 31) % L as int) + 1, 1))"))
+      .withColumn("d", col("f") - lag(col("f"), 1).over(w))
+      .filter(col("d").isNull || abs(col("d")) > 24)
+      .select("doc_id", "frame_idx", "f")
+      .orderBy("doc_id", "frame_idx") // scene starts ∝ cut density = input-sized
+  }
 }

@@ -69,6 +69,36 @@ class GdxDumpSpec extends AnyFunSuite {
       ("total", "/;")))
   }
 
+  test("csv format: domain header, quoted labels, set text column; one symbol only") {
+    val p = Files.createTempDirectory("gdxdump").resolve("csv.gdx").toString
+    val b = new GdxBuilder()
+    b.addSymbol("nat", SymbolType.Parameter, 1, Seq(
+      (Seq("dz"), Array(1.0), None),
+      (Seq("us"), Array(2.5), None)),
+      domains = Seq("n"))
+    b.addSymbol("m", SymbolType.Set, 2, Seq(
+      (Seq("a", "b"), Array.empty[Double], Some("pair")),
+      (Seq("c", "d"), Array.empty[Double], None)))
+    GdxCodec.write(b.result(), p)
+
+    val nat = Gdx.dumpCsv(spark, p, "nat")
+      .orderBy("rn", "key").collect().map(r => r.getString(2))
+    assert(nat.toSeq === Seq(
+      "\"n\",\"Val\"",
+      "\"dz\",1.000000",
+      "\"us\",2.500000"))
+    // sets: unnamed domains render positionally, text column quoted/empty
+    val m = Gdx.dumpCsv(spark, p, "m")
+      .orderBy("rn", "key").collect().map(r => r.getString(2))
+    assert(m.toSeq === Seq(
+      "\"Dim1\",\"Dim2\",\"Text\"",
+      "\"a\",\"b\",\"pair\"",
+      "\"c\",\"d\","))
+    // CSV mode is single-symbol: a multi-match pattern must fail loudly
+    val e = intercept[IllegalArgumentException] { Gdx.dumpCsv(spark, p, "*") }
+    assert(e.getMessage.contains("matched 2"))
+  }
+
   test("special values render as gdxdump tokens; huge magnitudes never null the line") {
     val p = Files.createTempDirectory("gdxdump").resolve("sv.gdx").toString
     val b = new GdxBuilder()

@@ -169,6 +169,56 @@ class OpsSemanticsSpec extends AnyFunSuite {
       s"sketch-merge estimate $est too far from exact $exact")
   }
 
+  test("remove_boilerplate reassembles untouched docs byte-identical, in order") {
+    val got = SparkEntry.queries("pipeline_remove_boilerplate")(spark, dir)
+      .join(T(spark, dir, "documents").select("doc_id", "text"), Seq("doc_id"))
+    // the order-preservation invariant the hash oracle can't isolate on
+    // its own: a doc with nothing removed must round-trip exactly
+    // (chunking → df join → array_sort reassembly is lossless)
+    val untouched = got.filter(col("n_removed") === 0)
+    assert(untouched.count() > 0, "fixture should have clean docs")
+    assert(untouched.filter(col("clean_text") =!= col("text")).count() === 0,
+      "reassembly must be byte-identical when no chunk is removed")
+    // and removal only ever shortens, never reorders what's left:
+    // clean_text tokens must be a subsequence of the original tokens
+    val touched = got.filter(col("n_removed") > 0)
+      .select("doc_id", "text", "clean_text").collect()
+    assert(touched.nonEmpty, "fixture should have boilerplate-bearing docs")
+    touched.foreach { r =>
+      val orig = r.getString(1).split(" ").iterator
+      val ok = r.getString(2).split(" ").filter(_.nonEmpty)
+        .forall(tok => orig.contains(tok)) // iterator advances → subsequence
+      assert(ok, s"clean_text of doc ${r.getLong(0)} is not an ordered subsequence")
+    }
+  }
+
+  test("kNN graph ranks are consecutive from 1 with non-increasing cosine") {
+    val rows = SparkEntry.queries("sim_knn_graph")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (qid, nb) =>
+      val byRank = nb.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1 to nb.length).toSeq,
+        s"ranks for $qid not consecutive: ${byRank.map(_._4).toSeq}")
+      assert(byRank.zip(byRank.tail).forall { case (x, y) => x._3 >= y._3 },
+        s"cosine must be non-increasing in rank for $qid")
+      assert(nb.forall(_._2 != qid), "a vector must not be its own neighbor")
+    }
+  }
+
+  test("scene-cut output starts every video at frame 0 and covers every video doc") {
+    val cuts = SparkEntry.queries("mm_scene_cut")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val videoDocs = T(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === 2).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val starts = cuts.filter(_._2 == 0L).map(_._1).toSet
+    assert(starts === videoDocs,
+      "frame 0 must open a scene for exactly the video docs")
+    // cut frames lie inside each video's frame range
+    cuts.foreach { case (id, f) => assert(f >= 0 && f <= id % 30) }
+  }
+
   test("connectedComponents converges on chains within maxIter and THROWS beyond it") {
     import spark.implicits._
     // a path graph of length 6: labels reach the far end in ≤6 rounds

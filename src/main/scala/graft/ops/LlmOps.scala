@@ -1784,6 +1784,31 @@ object LlmOps extends QueryModule {
       .orderBy("doc_id") // one row per doc = input-sized
   }
 
+  /** Source-interleaved training order — round-robin across sources
+    * (doc k of every source before doc k+1 of any source): the
+    * source-balanced ordering that keeps a mixed corpus from feeding
+    * one domain in a block when sources have very different sizes.
+    * ONE window for the within-source rank (partitioned on source —
+    * source-sized sorts, no global exchange), then the interleave
+    * position is a TOTAL global rank over (within-rank, source) via
+    * the same two-pass range-bucket machinery as curriculum/epoch
+    * ordering — no single-partition exchange at any size.
+    */
+  q("pipeline_interleave_sources",
+    """WITH r AS (SELECT doc_id, source,
+      |                  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |           FROM documents)
+      |SELECT doc_id, source,
+      |       CAST(row_number() OVER (ORDER BY rn, source) AS BIGINT) AS pos
+      |FROM r ORDER BY doc_id""") { (s, d) =>
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val ranked = T(s, d, "documents").select("doc_id", "source")
+      .withColumn("rn", row_number().over(w))
+    WindowOps.globalRowNumber(ranked, Seq(col("rn").asc, col("source").asc))
+      .select(col("doc_id"), col("source"), col("global_rank").as("pos"))
+      .orderBy("doc_id") // one row per doc = input-sized
+  }
+
   /** Dataset card — the per-(lang, source) corpus summary a curation
     * run publishes alongside the data (docs, token totals, length
     * stats) with ROLLUP subtotals and grand total. One pass, one

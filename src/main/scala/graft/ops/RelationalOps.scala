@@ -524,6 +524,41 @@ object RelationalOps extends QueryModule {
       .reportSorted("l_returnflag")
   }
 
+  /** Higher central moments per group — the distribution-profiling
+    * aggregate (EDA / drift monitoring): population variance and
+    * skewness derived from raw POWER SUMS (Σx, Σx², Σx³) rather than
+    * the built-in skewness()/kurtosis() aggregates, because the two
+    * engines disagree on bias correction while the power-sum algebra
+    * is identical on both — same fixed-size two-phase aggregation
+    * state, cross-engine hash-stable at 6 dp (error analysis: values
+    * ≤ ~500 → Σx³ ≲ 10¹²; partition-order double drift ≲ √n·ulp
+    * propagates to ≲ 10⁻¹² in the final skew). Single two-phase pass.
+    */
+  q("agg_moments",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(value) / count(*), 6) AS mean,
+      |       round(sum(value * value) / count(*)
+      |             - (sum(value) / count(*)) ^ 2, 6) AS var_pop,
+      |       round((sum(value * value * value) / count(*)
+      |              - 3 * (sum(value) / count(*)) * (sum(value * value) / count(*))
+      |              + 2 * (sum(value) / count(*)) ^ 3)
+      |             / (sum(value * value) / count(*)
+      |                - (sum(value) / count(*)) ^ 2) ^ 1.5, 6) AS skew_pop
+      |FROM events GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+    val n = count(lit(1)).cast("double")
+    val m1 = sum(col("value")) / n
+    val m2 = sum(col("value") * col("value")) / n
+    val m3 = sum(col("value") * col("value") * col("value")) / n
+    T(s, d, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(m1, 6).as("mean"),
+        round(m2 - m1 * m1, 6).as("var_pop"),
+        round((m3 - lit(3) * m1 * m2 + lit(2) * m1 * m1 * m1)
+          / pow(m2 - m1 * m1, 1.5), 6).as("skew_pop"))
+      .reportSorted("event_type")
+  }
+
   q("agg_grouping_sets",
     """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)

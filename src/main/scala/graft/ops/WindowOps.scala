@@ -368,6 +368,38 @@ object WindowOps extends QueryModule {
       .orderBy("user_id", "day_us") // user×active-day grid = input-sized
   }
 
+  /** Exponential moving average per user (α = 0.25) — the classic
+    * recursive smoother (EWMA_t = α·x_t + (1−α)·EWMA_{t−1}, seeded
+    * with the first observation). The recurrence has no closed window
+    * form, so it runs as ONE per-user ordered fold: collect the
+    * user's (ts, event_id, value) sequence, array-sort it (struct
+    * order = the event order), fold with the aggregate HOF — both
+    * engines fold the identical sequence left-to-right, so the result
+    * is deterministic to the bit and 6-dp rounding is pure safety.
+    * BOUNDED-GROUP pattern: per-user sequences are collected in one
+    * aggregate row, sized by the user's own event count — the right
+    * tool when groups fit in memory (here ≤ thousands of events); an
+    * unbounded keyspace takes the streaming form instead
+    * (`stream_stateful_custom` carries exactly this state shape).
+    * One user_id shuffle; output one row per user = input-sized.
+    */
+  q("ts_ewma",
+    """SELECT user_id, CAST(count(*) AS INTEGER) AS n,
+      |       round(list_reduce(list(value ORDER BY ts, event_id),
+      |                         (acc, x) -> acc * 0.75 + x * 0.25), 6) AS ewma
+      |FROM events GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+    T(s, d, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast("int").as("n"),
+        sort_array(collect_list(struct(col("ts"), col("event_id"), col("value"))))
+          .as("seq"))
+      .withColumn("vals", expr("transform(seq, x -> x.value)"))
+      .withColumn("ewma", round(expr(
+        "aggregate(slice(vals, 2, size(vals) - 1), vals[0], (acc, x) -> acc * 0.75D + x * 0.25D)"), 6))
+      .select("user_id", "n", "ewma")
+      .orderBy("user_id") // one row per user = input-sized
+  }
+
   /** Batch time-gap sessionization — the TIME-gap twin of
     * `win_gap_islands`' value runs (and the batch form of the
     * streaming `stream_session`): a >30-minute silence starts a new

@@ -433,6 +433,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("pq_encode"),
       new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
       (es: Seq[Expression]) => PqEncode(es(0), es(1), es(2), es(3))))
+    ext.injectFunction((FunctionIdentifier("mg_topk"),
+      new ExpressionInfo(classOf[MisraGriesTopK].getName, "mg_topk"),
+      (es: Seq[Expression]) => MisraGriesTopK(es(0),
+        es(1).eval(null).asInstanceOf[Number].intValue())))
   }
 }
 

@@ -453,6 +453,23 @@ object RelationalOps extends QueryModule {
       hll_sketch_estimate(hll_union_agg(col("sketch"))).as("global_distinct"))
   }
 
+  /** Heavy hitters over the corpus token stream via the native
+    * Misra-Gries sketch ([[graft.functions.MisraGriesTopK]], the
+    * mergeable-summaries TypedImperativeAggregate): every token with
+    * frequency > n/16 surfaces from k−1 = 15 counters of state per
+    * partition — the shuffle carries 15 rows per partition regardless
+    * of vocabulary size, where the exact two-phase count (`topk_global`
+    * / `text_ngram_freq`) shuffles the whole distinct-token space.
+    * Counter VALUES are merge-order-dependent lower bounds → rows-only
+    * (like the HLL rows); the frequency guarantee and the count bounds
+    * are pinned in HeavyHitterSpec.
+    */
+  qRowsOnly("agg_heavy_hitters") { (s, d) =>
+    T(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(graft.functions.agg.mgTopK(col("w"), 16).as("heavy_hitters"))
+  }
+
   /** Per-group mode with a deterministic tie (smallest value wins) —
     * the categorical summary statistic. Two-phase by construction:
     * (group, value) counts with map-side combine (shuffle ∝ distinct

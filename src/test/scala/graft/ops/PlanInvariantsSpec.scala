@@ -273,6 +273,24 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"AQE must broadcast the small document-frequency table:\n$p")
   }
 
+  test("ts_ewma: ordered fold is a two-phase aggregate, never a window") {
+    val df = graft.SparkEntry.queries("ts_ewma")(spark, d)
+    val p = plan(df)
+    assert(!p.contains("Window"),
+      s"the EWMA fold must ride collect_list + aggregate HOF, not a window:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"expected a two-phase typed aggregate (map-side partial collect):\n$p")
+  }
+
+  test("agg_moments: power sums are one two-phase aggregate, no join, no window") {
+    val df = graft.SparkEntry.queries("agg_moments")(spark, d)
+    val p = plan(df)
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"moments must come from a single aggregation pass:\n$p")
+    assert(p.contains("partial_sum"),
+      s"map-side partial sums expected (two-phase aggregation):\n$p")
+  }
+
   test("sim_knn_graph: LSH candidates stay an equi join, one window over mirrored edges") {
     val df = graft.SparkEntry.queries("sim_knn_graph")(spark, d)
     val p = plan(df)

@@ -48,6 +48,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("mg_topk heavy hitters aggregate under a streaming window") {
+    // the native TypedImperativeAggregate must serialize its sketch
+    // buffer through the streaming state store and keep its guarantee
+    // (every item with freq > n/k present) across incremental batches
+    val ms = MemoryStream[Ev](spark)
+    val name = nextName()
+    val q = ms.toDF()
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(graft.functions.agg.mgTopK(col("event_type"), 4).as("hh"))
+      .select(unix_micros(col("window.start")).as("win_start"), col("hh"))
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    ms.addData((1 to 6).map(i => Ev(i, t(0, i), 1, "hot", 1.0)): _*)
+    q.processAllAvailable()
+    ms.addData(Ev(7, t(1), 1, "hot", 1.0), Ev(8, t(2), 2, "rare", 1.0),
+      Ev(9, t(3), 3, "other", 1.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table(name).collect()
+    assert(rows.length == 1)
+    val items = rows.head.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 7 of 9 "hot" > 9/4 → guaranteed present, count within the MG band
+    assert(items.contains("hot"), s"heavy hitter lost across batches: $items")
+    assert(items("hot") <= 7 && items("hot") >= 7 - 9 / 4)
+  }
+
   test("watermark drops events later than 10 minutes") {
     val ms = MemoryStream[Ev](spark)
     val name = nextName()

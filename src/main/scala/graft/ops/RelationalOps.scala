@@ -608,4 +608,68 @@ object RelationalOps extends QueryModule {
         .as("wavg_price"))
       .reportSorted("l_returnflag")
   }
+
+  /** Per-group Shannon entropy of the token distribution — the
+    * corpus-diversity profile (a collapsed/templated source scores
+    * low, a diverse one approaches ln(vocab)). Algebra avoids a
+    * second pass: H = ln N − (Σ n·ln n)/N from one (group, token)
+    * count table, so the shape is exactly two two-phase aggregates —
+    * shuffle ∝ per-group distinct tokens, then ∝ groups. The n·ln n
+    * sum is a double accumulation → 6-dp rounding absorbs partition-
+    * order ulps; N casts from DuckDB's HUGEINT per the q() checklist.
+    */
+  q("agg_entropy",
+    """WITH c AS (SELECT source, w, count(*) AS n FROM (
+      |             SELECT source, unnest(str_split(text, ' ')) AS w FROM documents)
+      |           GROUP BY 1, 2)
+      |SELECT source,
+      |       round(ln(CAST(sum(n) AS DOUBLE)) - sum(n * ln(n)) / CAST(sum(n) AS DOUBLE), 6) AS entropy,
+      |       CAST(count(*) AS BIGINT) AS vocab,
+      |       CAST(sum(n) AS BIGINT) AS n_tokens
+      |FROM c GROUP BY source ORDER BY source""") { (s, d) =>
+    val c = T(s, d, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w")
+      .agg(count(lit(1)).as("n"))
+    c.groupBy("source")
+      .agg(
+        round(log(sum(col("n")).cast("double")) -
+          sum(col("n") * log(col("n"))) / sum(col("n")).cast("double"), 6).as("entropy"),
+        count(lit(1)).as("vocab"),
+        sum(col("n")).as("n_tokens"))
+      .reportSorted("source")
+  }
+
+  /** Data-quality audit (the Deequ/expectations analyzer pass): one
+    * scan computes completeness, emptiness, distinctness, and range
+    * metrics for the documents table in a SINGLE aggregate row.
+    * Multiple DISTINCT aggregates plan as one Expand + two-phase
+    * aggregate (one shuffle, expand factor = #distinct columns) —
+    * never one job per metric, which is the naive profiler's O(cols)
+    * scans. At 100 TB the exact distincts on high-cardinality columns
+    * would swap to the HLL sketch (agg_approx_distinct shape); the
+    * low-cardinality audit columns here are the exact-is-cheap case.
+    */
+  q("dq_profile",
+    """SELECT count(*) AS n_rows,
+      |       CAST(count(text) AS BIGINT) AS text_nonnull,
+      |       CAST(sum(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT) AS text_empty,
+      |       CAST(count(DISTINCT lang) AS BIGINT) AS lang_distinct,
+      |       CAST(count(DISTINCT source) AS BIGINT) AS source_distinct,
+      |       CAST(min(n_chars) AS BIGINT) AS chars_min,
+      |       CAST(max(n_chars) AS BIGINT) AS chars_max,
+      |       round(avg(n_chars), 6) AS chars_avg,
+      |       CAST(sum(CASE WHEN n_chars <> len(text) THEN 1 ELSE 0 END) AS BIGINT) AS chars_mismatch
+      |FROM documents""") { (s, d) =>
+    T(s, d, "documents").agg(
+      count(lit(1)).as("n_rows"),
+      count(col("text")).as("text_nonnull"),
+      sum(when(col("text") === "", 1).otherwise(0)).as("text_empty"),
+      countDistinct(col("lang")).as("lang_distinct"),
+      countDistinct(col("source")).as("source_distinct"),
+      min(col("n_chars")).as("chars_min"),
+      max(col("n_chars")).as("chars_max"),
+      round(avg(col("n_chars")), 6).as("chars_avg"),
+      sum(when(col("n_chars") =!= length(col("text")), 1).otherwise(0)).as("chars_mismatch"))
+  }
 }

@@ -516,4 +516,111 @@ object WindowOps extends QueryModule {
       .agg(count(lit(1)).as("n_users"))
       .reportSorted("cohort_week_us", "week_offset")
   }
+
+  /** Rolling lag-1 autocorrelation — the serial-dependence drift
+    * signal a metric monitor watches (white noise ≈ 0, trending ≈ 1):
+    * corr(value, previous value) per user over a trailing 20-row
+    * frame. ONE (user_id) sort serves both the lag and the framed
+    * co-moments. corr is composed from covar/stddev because ANSI-mode
+    * corr() raises DIVIDE_BY_ZERO on degenerate frames — the nullif
+    * guard yields NULL like the oracle; and the current value is
+    * MASKED to the lag's null pattern (partition-head rows) so all
+    * three co-moment aggregates see the identical row set — unmasked,
+    * stddev(value) would count a row covar excludes. Rounded to 6 for
+    * cross-engine accumulation ulps.
+    */
+  q("win_rolling_corr",
+    """WITH l AS (
+      |  SELECT user_id, ts, event_id, value,
+      |         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |     m AS (
+      |  SELECT user_id, ts, event_id, prev,
+      |         CASE WHEN prev IS NOT NULL THEN value END AS v
+      |  FROM l)
+      |SELECT event_id,
+      |       round(covar_samp(v, prev) OVER w /
+      |             nullif(stddev_samp(v) OVER w * stddev_samp(prev) OVER w, 0), 6) AS autocorr
+      |FROM m
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""") { (s, d) =>
+    val ord = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val w = ord.rowsBetween(-19, 0)
+    val e = T(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("prev", lag(col("value"), 1).over(ord))
+      .withColumn("v", when(col("prev").isNotNull, col("value")))
+    val c = covar_samp(col("v"), col("prev")).over(w) /
+      nullif(stddev_samp(col("v")).over(w) * stddev_samp(col("prev")).over(w), lit(0.0))
+    e.select(col("event_id"), round(c, 6).as("autocorr"))
+      .orderBy("event_id") // row per input row = input-sized
+  }
+
+  /** Linear gap interpolation on the resample grid — the model-prep
+    * upgrade of ts_resample_ffill: empty day buckets take the
+    * line between the surrounding observations instead of a step.
+    * Shape: identical to resample (bucket agg → per-user span grid →
+    * join back) plus FOUR frame navigations that all share ONE
+    * (user_id, h) sort: last-known value+position over the growing
+    * frame, first-known value+position over the shrinking frame —
+    * Spark groups same-partitioning same-ordering window expressions
+    * into a single WindowExec, so the extra lookups cost no extra
+    * shuffle. Edges clamp (head ← next, tail ← prev); interior gaps
+    * interpolate by micros position. Grid size = per-user active
+    * span, never global-span × users.
+    */
+  q("ts_interpolate_linear",
+    """WITH b AS (SELECT user_id, date_trunc('day', ts) AS h, avg(value) AS av
+      |           FROM events GROUP BY 1, 2),
+      |     span AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM b GROUP BY 1),
+      |     grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS h
+      |              FROM span),
+      |     j AS (SELECT g.user_id, g.h, b.av FROM grid g
+      |           LEFT JOIN b ON b.user_id = g.user_id AND b.h = g.h),
+      |     nav AS (
+      |  SELECT user_id, CAST(epoch_us(h) AS BIGINT) AS day_us, av,
+      |         last_value(av IGNORE NULLS) OVER wb AS pv,
+      |         last_value(CASE WHEN av IS NOT NULL THEN epoch_us(h) END IGNORE NULLS) OVER wb AS pt,
+      |         first_value(av IGNORE NULLS) OVER wf AS nv,
+      |         first_value(CASE WHEN av IS NOT NULL THEN epoch_us(h) END IGNORE NULLS) OVER wf AS nt
+      |  FROM j
+      |  WINDOW wb AS (PARTITION BY user_id ORDER BY h
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wf AS (PARTITION BY user_id ORDER BY h
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, day_us,
+      |       round(CASE
+      |         WHEN pv IS NULL THEN nv
+      |         WHEN nv IS NULL THEN pv
+      |         WHEN nt = pt THEN pv
+      |         ELSE pv + (nv - pv) * (day_us - pt) / (nt - pt) END, 6) AS v
+      |FROM nav ORDER BY user_id, day_us""") { (s, d) =>
+    val b = T(s, d, "events")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("h"))
+      .agg(avg("value").as("av"))
+    val grid = b.groupBy("user_id")
+      .agg(min("h").as("lo"), max("h").as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("h"))
+    val wb = Window.partitionBy("user_id").orderBy("day_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("user_id").orderBy("day_us")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(b, Seq("user_id", "h"), "left")
+      .select(col("user_id"), unix_micros(col("h")).as("day_us"), col("av"))
+      .withColumn("pv", last(col("av"), ignoreNulls = true).over(wb))
+      .withColumn("pt", last(when(col("av").isNotNull, col("day_us")), ignoreNulls = true).over(wb))
+      .withColumn("nv", first(col("av"), ignoreNulls = true).over(wf))
+      .withColumn("nt", first(when(col("av").isNotNull, col("day_us")), ignoreNulls = true).over(wf))
+      .select(col("user_id"), col("day_us"),
+        round(when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .when(col("nt") === col("pt"), col("pv"))
+          // subtract in LONG first: epoch micros (~1.7e18) exceed
+          // double's 2^53 exact range, the day-scale DIFFERENCE doesn't
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            (col("day_us") - col("pt")) / (col("nt") - col("pt"))), 6).as("v"))
+      .orderBy("user_id", "day_us") // user×active-day grid = input-sized
+  }
 }

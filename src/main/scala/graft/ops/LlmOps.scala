@@ -2384,4 +2384,130 @@ object LlmOps extends QueryModule {
         round(element_at(col("embedding"), 1).cast("double"), 6).as("e0"))
       .orderBy("doc_id") // one row per doc = input-sized
   }
+
+  /** CDC snapshot upsert — the Delta-style MERGE applied relationally:
+    * a change stream (here: the later half of events, latest change
+    * per key winning, `error` = tombstone/delete) folds into a base
+    * snapshot (latest state from the earlier half). Shape: both sides
+    * reduce to one row per key with a window over the SAME user_id
+    * partitioning, then ONE full-outer equi-join on that key — the
+    * exchange-reuse case, Spark aligns both children on user_id so the
+    * join adds no third shuffle. Deletes drop, updates win over
+    * snapshot rows, untouched snapshot keys pass through. The split
+    * point is data-derived (midpoint of the time range, exact integer
+    * micros) so the query is scale-factor-agnostic; production wires a
+    * watermark/batch-id instead. Streaming twin: stream_stateful_custom
+    * carries exactly this latest-wins keyed state.
+    */
+  q("pipeline_snapshot_upsert",
+    """WITH x AS (SELECT user_id, event_id, event_type, value,
+      |                  CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+      |     c AS (SELECT min(us) + (max(us) - min(us)) // 2 AS cut FROM x),
+      |     snap AS (SELECT user_id, value, us FROM (
+      |        SELECT x.*, row_number() OVER (PARTITION BY user_id
+      |                      ORDER BY us DESC, event_id DESC) AS rn
+      |        FROM x, c WHERE us < cut) t WHERE rn = 1),
+      |     delta AS (SELECT user_id, value, us,
+      |                      CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      |               FROM (
+      |        SELECT x.*, row_number() OVER (PARTITION BY user_id
+      |                      ORDER BY us DESC, event_id DESC) AS rn
+      |        FROM x, c WHERE us >= cut) t WHERE rn = 1)
+      |SELECT coalesce(d.user_id, s.user_id) AS user_id,
+      |       round(CASE WHEN d.user_id IS NOT NULL THEN d.value ELSE s.value END, 6) AS val,
+      |       CASE WHEN d.user_id IS NOT NULL THEN 'delta' ELSE 'snap' END AS src,
+      |       CASE WHEN d.user_id IS NOT NULL THEN d.us ELSE s.us END AS last_us
+      |FROM snap s FULL OUTER JOIN delta d ON d.user_id = s.user_id
+      |WHERE d.user_id IS NULL OR d.op = 'U'
+      |ORDER BY user_id""") { (s, d) =>
+    val x = T(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("us"))
+    // integer `div`: the micros midpoint must be exact (epoch µs exceed
+    // double's 2^53 range, a double-division cut could misclassify rows)
+    val cut = x.agg(expr("min(us) + (max(us) - min(us)) div 2").as("cut"))
+    val w = Window.partitionBy("user_id").orderBy(col("us").desc, col("event_id").desc)
+    def latest(side: DataFrame): DataFrame =
+      side.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val withCut = x.crossJoin(broadcast(cut))
+    val snap = latest(withCut.filter(col("us") < col("cut")))
+      .select(col("user_id").as("s_uid"), col("value").as("s_val"), col("us").as("s_us"))
+    val delta = latest(withCut.filter(col("us") >= col("cut")))
+      .select(col("user_id").as("d_uid"), col("value").as("d_val"), col("us").as("d_us"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"))
+    snap.join(delta, col("s_uid") === col("d_uid"), "full_outer")
+      .filter(col("d_uid").isNull || col("op") === "U")
+      .select(coalesce(col("d_uid"), col("s_uid")).as("user_id"),
+        round(when(col("d_uid").isNotNull, col("d_val")).otherwise(col("s_val")), 6).as("val"),
+        when(col("d_uid").isNotNull, "delta").otherwise("snap").as("src"),
+        when(col("d_uid").isNotNull, col("d_us")).otherwise(col("s_us")).as("last_us"))
+      .orderBy("user_id") // one row per live key = input-sized
+  }
+
+  /** Document chunking — the RAG/pretraining segmentation pass: fixed
+    * 32-token windows at stride 24 (8-token overlap so no boundary
+    * context is lost), chunk k of a doc = tokens [24k, 24k+32). Pure
+    * map-side: tokenize once, explode the stride grid per doc
+    * (generated data, no scan amplification), slice the token array —
+    * zero shuffles before the output sort; chunk count ∝ corpus tokens
+    * so the output keeps the distributed orderBy. The whitespace
+    * tokenizer is the pluggable slot (a BPE vocab drops into the same
+    * shape); chunk_id is dense so downstream packing/embedding keys on
+    * (doc_id, chunk_id).
+    */
+  q("pipeline_chunk_documents",
+    """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks,
+      |                  len(str_split(text, ' ')) AS n FROM documents),
+      |     g AS (SELECT doc_id, toks, n,
+      |                  unnest(generate_series(0, n - 1, 24)) AS st FROM t)
+      |SELECT doc_id, CAST(st // 24 AS INTEGER) AS chunk_id,
+      |       CAST(len(list_slice(toks, st + 1, least(st + 32, n))) AS INTEGER) AS n_tok,
+      |       array_to_string(list_slice(toks, st + 1, least(st + 32, n)), ' ') AS chunk
+      |FROM g ORDER BY doc_id, chunk_id""") { (s, d) =>
+    T(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("st", explode(sequence(lit(0), col("n") - 1, lit(24))))
+      .select(col("doc_id"), (col("st") / 24).cast("int").as("chunk_id"),
+        size(slice(col("toks"), col("st") + 1, lit(32))).as("n_tok"),
+        array_join(slice(col("toks"), col("st") + 1, lit(32)), " ").as("chunk"))
+      .orderBy("doc_id", "chunk_id") // chunk per 24 input tokens = input-sized
+  }
+
+  /** Late-interaction retrieval (ColBERT MaxSim, Khattab & Zaharia
+    * 2020): a multi-vector query scores a multi-vector document as
+    * Σ_q max_d cos(q, d) — token-level matching that bag-of-vector
+    * single-cosine retrieval can't express. Here the query is 8 token
+    * vectors (vec_id < 8) and each label group plays a multi-vector
+    * doc. Shape: the tiny query set broadcasts onto ONE embeddings
+    * pass (8 codegen'd vec_cosine calls per row, map-side), then a
+    * two-phase (doc, query-token) MAX — shuffle carries |docs|·|Q|
+    * rows, never the corpus — and a |docs|-sized SUM. At 100 TB the
+    * per-(doc,token) max is exactly the same bounded-state aggregate;
+    * a probe-set of queries rides the same plan with qid in the key.
+    * Rounded at the max (6dp) so cross-engine cosine ulps can't leak
+    * into the sum, then the ≤8-term sum is exact to re-round.
+    */
+  q("sim_maxsim",
+    """WITH probes AS (SELECT vec_id AS qid, embedding AS qemb
+      |                FROM embeddings WHERE vec_id < 8),
+      |     pm AS (SELECT e.label, p.qid,
+      |                   round(max(list_cosine_similarity(
+      |                     CAST(e.embedding AS DOUBLE[]),
+      |                     CAST(p.qemb AS DOUBLE[]))), 6) AS m
+      |            FROM embeddings e, probes p GROUP BY 1, 2)
+      |SELECT label, round(sum(m), 6) AS maxsim, CAST(count(*) AS INTEGER) AS n_q
+      |FROM pm GROUP BY label ORDER BY label""") { (s, d) =>
+    val all = T(s, d, "embeddings")
+    val probes = all.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    all.crossJoin(broadcast(probes))
+      .select(col("label"), col("qid"),
+        graft.functions.vec.cosine(col("embedding"), col("qemb")).as("cos"))
+      .groupBy("label", "qid")
+      .agg(round(max(col("cos")), 6).as("m"))
+      .groupBy("label")
+      .agg(round(sum(col("m")), 6).as("maxsim"), count(lit(1)).cast("int").as("n_q"))
+      .reportSorted("label")
+  }
 }

@@ -1,0 +1,157 @@
+package graft.ops
+
+import graft.{QueryModule, T}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** SURVEY.md §2 — interchange formats and data layout.
+  *
+  * The parquet scan/sink surface is exercised by every other module;
+  * this one covers the rest of the format matrix a production corpus
+  * pipeline touches: sharded JSONL (the LLM training-data handoff
+  * format), CSV (the ubiquitous ingest format), and Z-order layout
+  * (the multi-column file-skipping story for 100 TB lakehouse tables).
+  *
+  * The two round-trip rows WRITE real files to a per-SF temp dir and
+  * read them back through the matching Spark source — the oracle
+  * recomputes the expected result from the original parquet, so a
+  * lossy encode/decode (quoting, escaping, type coercion) fails the
+  * hash, not just a row count.
+  */
+object FormatOps extends QueryModule {
+
+  /** Per-(sfDir, tag) scratch dir; deterministic so repeated runs
+    * overwrite rather than accumulate. mode("overwrite") makes the
+    * write idempotent under concurrent harness entry points — last
+    * writer wins with identical content, and readers see a complete
+    * directory because the whole-dir overwrite is staged by Spark's
+    * file commit protocol.
+    */
+  private def scratch(sfDir: String, tag: String): String = {
+    val h = Integer.toHexString(sfDir.hashCode)
+    s"${sys.props("java.io.tmpdir")}/graft_fmt_${h}_$tag"
+  }
+
+  /** Sharded JSONL export + read-back — the handoff format LLM
+    * training stacks consume (one JSON doc per line, fixed shard
+    * count). Shard assignment is content-keyed (doc_id mod 8), the
+    * write is `partitionBy(shard)` so each shard lands as its own
+    * directory — at 100 TB the same layout writes from all executors
+    * with no coordination and re-reads with partition pruning on the
+    * shard column. The read-back goes through Spark's JSON source
+    * with an EXPLICIT schema (schema inference is a second full scan
+    * — never pay it on a large corpus), and the verified aggregate
+    * covers every field, so a quoting/escape bug in either direction
+    * breaks the hash against the parquet-derived oracle.
+    */
+  q("sink_jsonl_shards",
+    """SELECT CAST(doc_id % 8 AS BIGINT) AS shard, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(sum(len(text)) AS BIGINT) AS sum_text_len,
+      |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |       CAST(min(doc_id) AS BIGINT) AS min_id,
+      |       CAST(max(doc_id) AS BIGINT) AS max_id
+      |FROM documents GROUP BY 1 ORDER BY shard""") { (s, d) =>
+    val dir = scratch(d, "jsonl")
+    T(s, d, "documents")
+      .withColumn("shard", col("doc_id") % 8)
+      .write.mode("overwrite").partitionBy("shard").json(dir)
+    s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT, shard BIGINT")
+      .json(dir)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum(length(col("text"))).as("sum_text_len"),
+        countDistinct(col("lang")).as("n_langs"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .reportSorted("shard")
+  }
+
+  /** CSV export + read-back with explicit schema and header — the
+    * ingest format everything upstream of a lakehouse still speaks.
+    * Verified the same way as the JSONL row: the aggregate touches
+    * every column (timestamps included — CSV round-trips them through
+    * ISO strings, the classic silent-precision trap), so coercion or
+    * quoting loss fails the value hash. The read is schema-pinned:
+    * CSV inference is both a second scan AND type-unstable across
+    * corpus slices — never infer at scale.
+    */
+  q("source_csv_roundtrip",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |       round(sum(o_totalprice), 4) AS sum_price,
+      |       CAST(min(epoch_us(o_orderdate)) AS BIGINT) AS min_date_us,
+      |       CAST(max(o_custkey) AS BIGINT) AS max_cust
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+    val dir = scratch(d, "csv")
+    // o_orderdate is TIMESTAMP_NTZ (tz-naive parquet) — the CSV writer
+    // formats it with timestampNTZFormat, so the read schema must say
+    // TIMESTAMP_NTZ too or every value silently parses to null; the
+    // final unix_micros goes through a cast to UTC-session timestamp
+    T(s, d, "orders")
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    s.read
+      .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING")
+      .option("header", "true")
+      .csv(dir)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 4).as("sum_price"),
+        unix_micros(min(col("o_orderdate")).cast("timestamp")).as("min_date_us"),
+        max("o_custkey").as("max_cust"))
+      .reportSorted("o_orderstatus", "o_orderpriority")
+  }
+
+  /** 8-bit Morton spread: insert a zero bit between every bit of an
+    * 8-bit value (the magic-mask cascade, 3 steps). Pure integer bit
+    * algebra — identical on both engines, codegen'd end to end in
+    * Spark; widening the cascade to 16/32-bit keys adds steps, not
+    * structure.
+    */
+  private def spread8(c: Column): Column = {
+    val m0 = c.bitwiseAND(lit(255L))
+    val m1 = (m0.bitwiseOR(shiftleft(m0, 4))).bitwiseAND(lit(0x0F0FL))
+    val m2 = (m1.bitwiseOR(shiftleft(m1, 2))).bitwiseAND(lit(0x3333L))
+    (m2.bitwiseOR(shiftleft(m2, 1))).bitwiseAND(lit(0x5555L))
+  }
+
+  /** Z-order (Morton curve) clustering — the lakehouse data-layout
+    * operator (Delta/Iceberg OPTIMIZE ZORDER): interleaving the bits
+    * of two sort keys gives ONE linear order under which a contiguous
+    * range of rows is simultaneously tight in BOTH dimensions, so
+    * min/max file statistics prune scans filtered on either column —
+    * a lexicographic (a, b) sort gives pruning on `a` only. The query
+    * z-orders lineitem on folded (partkey, suppkey) bytes and reports
+    * the per-file stats of a 256-file layout (z >> 8 = one 16×16
+    * tile per file): the (min, max) spans per dimension ARE what a
+    * scan planner prunes against, and the oracle pins them exactly —
+    * every file spans ≤16 of EACH key space. Shape: the z-value is
+    * map-side bit algebra, the file split at scale is
+    * repartitionByRange(z) straight into the writer, and the stats
+    * roll up in one two-phase aggregate over 256 groups.
+    */
+  q("sort_zorder_cluster",
+    """WITH b AS (
+      |  SELECT l_partkey & 255 AS x, l_suppkey & 255 AS y FROM lineitem),
+      |     sx AS (SELECT x, y, (x | (x << 4)) & 3855 AS x1,
+      |                         (y | (y << 4)) & 3855 AS y1 FROM b),
+      |     s2 AS (SELECT x, y, (x1 | (x1 << 2)) & 13107 AS x2,
+      |                         (y1 | (y1 << 2)) & 13107 AS y2 FROM sx),
+      |     s3 AS (SELECT x, y, (x2 | (x2 << 1)) & 21845 AS xs,
+      |                         (y2 | (y2 << 1)) & 21845 AS ys FROM s2),
+      |     z AS (SELECT x, y, (xs | (ys << 1)) >> 8 AS zfile FROM s3)
+      |SELECT CAST(zfile AS BIGINT) AS zfile, count(*) AS n,
+      |       CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+      |       CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
+      |FROM z GROUP BY 1 ORDER BY zfile""") { (s, d) =>
+    val df = T(s, d, "lineitem")
+      .select(col("l_partkey").bitwiseAND(lit(255L)).as("x"),
+        col("l_suppkey").bitwiseAND(lit(255L)).as("y"))
+      .withColumn("z", spread8(col("x")).bitwiseOR(shiftleft(spread8(col("y")), 1)))
+    df.groupBy(shiftright(col("z"), 8).as("zfile"))
+      .agg(count(lit(1)).as("n"),
+        min("x").as("x_min"), max("x").as("x_max"),
+        min("y").as("y_min"), max("y").as("y_max"))
+      .reportSorted("zfile")
+  }
+}

@@ -517,6 +517,41 @@ object WindowOps extends QueryModule {
       .reportSorted("cohort_week_us", "week_offset")
   }
 
+  /** SCD2 history build — collapse an event stream into type-2
+    * slowly-changing-dimension intervals: per user, each CHANGE of the
+    * tracked attribute (event_type here) opens a validity interval
+    * [valid_from, valid_to), closed by the next change, NULL = still
+    * current. The companion of pipeline_snapshot_upsert (that one
+    * keeps latest state; this one keeps full history — together
+    * they're the warehouse CDC pair). ONE (user_id) sort serves both
+    * windows: lag detects the change rows, lead over the FILTERED
+    * change rows closes the intervals — the second window runs on the
+    * interval-sized frame, never re-sorting raw events. Output ∝
+    * attribute changes → distributed orderBy.
+    */
+  q("pipeline_scd2_history",
+    """WITH chg AS (
+      |  SELECT user_id, event_type, ts, event_id FROM (
+      |    SELECT user_id, event_type, ts, event_id,
+      |           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |    FROM events) t
+      |  WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, event_type,
+      |       CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+      |       CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) AS valid_to_us
+      |FROM chg ORDER BY user_id, valid_from_us, event_type, valid_to_us NULLS FIRST""") { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    T(s, d, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("valid_from_us"),
+        unix_micros(lead(col("ts"), 1).over(w)).as("valid_to_us"))
+      .orderBy(col("user_id"), col("valid_from_us"), col("event_type"),
+        col("valid_to_us").asc_nulls_first) // interval-sized output
+  }
+
   /** Rolling lag-1 autocorrelation — the serial-dependence drift
     * signal a metric monitor watches (white noise ≈ 0, trending ≈ 1):
     * corr(value, previous value) per user over a trailing 20-row

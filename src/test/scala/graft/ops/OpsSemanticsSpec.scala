@@ -233,4 +233,37 @@ class OpsSemanticsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("not converged"))
   }
+
+  test("z-order files are tight in BOTH dimensions (≤16-wide spans)") {
+    // the file-skipping contract: every z-range file covers one 16×16
+    // tile of the (x, y) key plane — a lexicographic sort would span
+    // the full y range inside every x run instead
+    val rows = SparkEntry.queries("sort_zorder_cluster")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (xMin, xMax) = (r.getAs[Long]("x_min"), r.getAs[Long]("x_max"))
+      val (yMin, yMax) = (r.getAs[Long]("y_min"), r.getAs[Long]("y_max"))
+      assert(xMax - xMin <= 15, s"x span too wide in zfile ${r.get(0)}")
+      assert(yMax - yMin <= 15, s"y span too wide in zfile ${r.get(0)}")
+    }
+  }
+
+  test("scd2 intervals tile each user's timeline: to = next from, one open tail") {
+    val rows = SparkEntry.queries("pipeline_scd2_history")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    rows.groupBy(_._1).foreach { case (uid, ivs) =>
+      val sorted = ivs.sortBy(_._3)
+      // exactly one open (current) interval per user, and it's the last
+      assert(sorted.count(_._4.isEmpty) == 1, s"user $uid open intervals")
+      assert(sorted.last._4.isEmpty, s"user $uid open interval not last")
+      // adjacent intervals chain with no gap and no overlap
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._4.contains(b._3), s"user $uid interval gap: $a -> $b")
+          assert(a._2 != b._2, s"user $uid adjacent intervals share the attribute")
+        case _ =>
+      }
+    }
+  }
 }

@@ -178,4 +178,41 @@ object StreamOps {
       .groupByKey(_.user_id)
       .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Append())
   }
+
+  // ------------------------------------------------------- CDC apply
+
+  case class Change(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+      event_type: String, value: Double)
+  case class CdcState(us: Long, eventId: Long, value: Double, deleted: Boolean)
+  case class CdcRow(user_id: Long, value: Double, live: Boolean, last_us: Long)
+
+  /** Continuous CDC apply — the streaming twin of the batch
+    * `pipeline_snapshot_upsert`: per-key latest-wins state with
+    * tombstones (`error` = delete), one row emitted per touched key
+    * per micro-batch carrying the post-batch state. The ordering
+    * guard makes the apply correct under OUT-OF-ORDER delivery: a
+    * change older than the current state (by event-time, event_id
+    * tiebreak) is ignored rather than regressing the key — replaying
+    * the stream in any arrival order converges to the same snapshot.
+    * State is one small struct per live key (the unbounded-keyspace
+    * form of the batch window); a production deploy adds a TTL for
+    * keys whose retention has lapsed.
+    */
+  def cdcApply(changes: Dataset[Change]): Dataset[CdcRow] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[Change], state: GroupState[CdcState]) => {
+          var st = state.getOption.orNull
+          rows.toSeq.sortBy(c => (c.ts.getTime, c.event_id)).foreach { c =>
+            val us = c.ts.getTime * 1000L
+            // out-of-order guard: only a strictly newer change applies
+            if (st == null || us > st.us || (us == st.us && c.event_id > st.eventId))
+              st = CdcState(us, c.event_id, c.value, c.event_type == "error")
+          }
+          state.update(st)
+          Iterator.single(CdcRow(user, st.value, !st.deleted, st.us))
+        })
+  }
 }

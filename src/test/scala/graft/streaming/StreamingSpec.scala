@@ -481,4 +481,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(Gdx.catalog(spark, dst).filter(col("name") === "s")
       .head().getAs[Long]("records") == 102L, "no duplicated epochs after recovery")
   }
+
+  test("cdc apply: latest-wins with tombstones; out-of-order never regresses") {
+    import StreamOps.{CdcRow, Change}
+    val ms = MemoryStream[Change](spark)
+    val name = nextName()
+    val q = StreamOps.cdcApply(ms.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    def us(ts: Timestamp): Long = ts.getTime * 1000L
+
+    // batch 1: two keys insert
+    ms.addData(Change(1, t(1), 10, "click", 1.0), Change(2, t(1), 11, "view", 2.0))
+    q.processAllAvailable()
+    val b1 = spark.table(name).as[CdcRow].collect().sortBy(_.user_id).toSeq
+    assert(b1 == Seq(CdcRow(1, 1.0, live = true, us(t(1))),
+      CdcRow(2, 2.0, live = true, us(t(1)))))
+
+    // batch 2: u1 tombstoned; u2 receives an OLDER change (must be
+    // ignored, state re-emitted unchanged); u3 is new
+    ms.addData(Change(1, t(2), 12, "error", 0.0),
+      Change(2, t(0), 5, "view", 9.0), Change(3, t(1), 13, "view", 7.0))
+    q.processAllAvailable(); q.stop()
+    val all = spark.table(name).as[CdcRow].collect().toSeq
+    val afterB2 = all.diff(b1).sortBy(_.user_id)
+    assert(afterB2 == Seq(
+      CdcRow(1, 0.0, live = false, us(t(2))),   // delete applied
+      CdcRow(2, 2.0, live = true, us(t(1))),    // old change ignored
+      CdcRow(3, 7.0, live = true, us(t(1)))))   // insert applied
+
+    // replay convergence: the same changes in reversed arrival order
+    // reach the same final snapshot (the out-of-order guard's contract)
+    val ms2 = MemoryStream[Change](spark)
+    val name2 = nextName()
+    val q2 = StreamOps.cdcApply(ms2.toDS())
+      .writeStream.format("memory").queryName(name2).outputMode("append").start()
+    ms2.addData(Change(1, t(2), 12, "error", 0.0),
+      Change(2, t(0), 5, "view", 9.0), Change(3, t(1), 13, "view", 7.0))
+    q2.processAllAvailable()
+    ms2.addData(Change(1, t(1), 10, "click", 1.0), Change(2, t(1), 11, "view", 2.0))
+    q2.processAllAvailable(); q2.stop()
+    val finalByUser = spark.table(name2).as[CdcRow].collect()
+      .groupBy(_.user_id).map { case (u, rows) => u -> rows.maxBy(_.last_us) }.toMap
+    assert(finalByUser(1L) == CdcRow(1, 0.0, live = false, us(t(2))))
+    assert(finalByUser(2L) == CdcRow(2, 2.0, live = true, us(t(1))))
+    assert(finalByUser(3L) == CdcRow(3, 7.0, live = true, us(t(1))))
+  }
 }

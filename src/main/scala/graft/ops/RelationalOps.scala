@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{QueryModule, T}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -638,6 +639,69 @@ object RelationalOps extends QueryModule {
         count(lit(1)).as("vocab"),
         sum(col("n")).as("n_tokens"))
       .reportSorted("source")
+  }
+
+  /** Incremental aggregate maintenance — the daily-rollup pattern at
+    * 100 TB: when a delta batch arrives, merge its PARTIAL aggregate
+    * into the standing rollup instead of rescanning the base (sum/
+    * count merge by addition, avg re-derives from them — the same
+    * algebra Spark's own two-phase aggregation uses between map and
+    * reduce). The query computes base and delta partials from the two
+    * event half-ranges, merges via one tiny full-outer join, and the
+    * oracle checks the merged result IS the full-scan aggregate —
+    * the mergeability contract. The split is the same data-derived
+    * integer-µs midpoint as pipeline_snapshot_upsert.
+    */
+  q("agg_incremental_rollup",
+    """SELECT event_type, count(*) AS n,
+      |       round(sum(value), 4) AS sum_v,
+      |       round(sum(value) / count(*), 6) AS avg_v
+      |FROM events GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+    val x = T(s, d, "events")
+      .select(col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+    val cut = x.agg(expr("min(us) + (max(us) - min(us)) div 2").as("cut"))
+    val withCut = x.crossJoin(broadcast(cut))
+    def partial(side: DataFrame): DataFrame =
+      side.groupBy("event_type")
+        .agg(count(lit(1)).as("pn"), sum("value").as("psum"))
+    val base = partial(withCut.filter(col("us") < col("cut")))
+      .select(col("event_type"), col("pn").as("bn"), col("psum").as("bsum"))
+    val delta = partial(withCut.filter(col("us") >= col("cut")))
+      .select(col("event_type"), col("pn").as("dn"), col("psum").as("dsum"))
+    base.join(delta, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("bsum"), lit(0.0)) + coalesce(col("dsum"), lit(0.0))).as("s"))
+      .select(col("event_type"), col("n"),
+        round(col("s"), 4).as("sum_v"),
+        round(col("s") / col("n"), 6).as("avg_v"))
+      .reportSorted("event_type")
+  }
+
+  /** Median absolute deviation per group — the robust scale estimate
+    * (stddev is wrecked by one outlier; MAD isn't). Two exact
+    * percentile aggregates with a broadcast-sized join between them:
+    * per-group median, then the median of |x − median|. Exact
+    * percentile is the right tool while groups are report-sized; an
+    * unbounded stream swaps in the KLL sketch
+    * (agg_approx_percentile) exactly like the median-window note.
+    */
+  q("agg_mad",
+    """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
+      |             FROM events GROUP BY 1)
+      |SELECT e.event_type,
+      |       round(any_value(med.m), 6) AS median_v,
+      |       round(quantile_cont(abs(e.value - med.m), 0.5), 6) AS mad
+      |FROM events e JOIN med ON med.event_type = e.event_type
+      |GROUP BY e.event_type ORDER BY e.event_type""") { (s, d) =>
+    val e = T(s, d, "events").select("event_type", "value")
+    val med = e.groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.5)).as("m"))
+    e.join(broadcast(med), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(round(first(col("m")), 6).as("median_v"),
+        round(percentile(abs(col("value") - col("m")), lit(0.5)), 6).as("mad"))
+      .reportSorted("event_type")
   }
 
   /** Data-quality audit (the Deequ/expectations analyzer pass): one

@@ -517,6 +517,30 @@ object WindowOps extends QueryModule {
       .reportSorted("cohort_week_us", "week_offset")
   }
 
+  /** Rolling distinct count — how many DISTINCT event types a user
+    * touched in their last 20 events, the behavioral-breadth signal
+    * fraud/engagement monitors watch. Exact is right here because the
+    * frame is O(1) rows: collect the frame, dedup in-row
+    * (array_distinct is per-row compute, not state). Neither engine
+    * supports COUNT(DISTINCT) as a window aggregate natively — the
+    * list-then-dedup form is the portable shape, and at unbounded
+    * frames the HLL sketch row (agg_approx_distinct) takes over.
+    * One user_id shuffle, same as every window op here.
+    */
+  q("win_rolling_distinct",
+    """SELECT event_id,
+      |       CAST(len(list_distinct(list(event_type) OVER (
+      |         PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))) AS INTEGER) AS n_types
+      |FROM events ORDER BY event_id""") { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-19, 0)
+    T(s, d, "events")
+      .select(col("event_id"),
+        size(array_distinct(collect_list(col("event_type")).over(w))).as("n_types"))
+      .orderBy("event_id") // row per input row = input-sized
+  }
+
   /** SCD2 history build — collapse an event stream into type-2
     * slowly-changing-dimension intervals: per user, each CHANGE of the
     * tracked attribute (event_type here) opens a validity interval

@@ -2385,6 +2385,76 @@ object LlmOps extends QueryModule {
       .orderBy("doc_id") // one row per doc = input-sized
   }
 
+  /** Embedding pooling — mean-pool a group of chunk/token vectors
+    * into one representative vector (the chunk→document embedding
+    * step every RAG/retrieval index build runs; label groups stand in
+    * for a doc's chunks). Shape: posexplode to (group, dim_pos,
+    * component) — the shuffle key is compact and the row count is
+    * |vectors|·dim, map-side combinable — one two-phase avg per
+    * (group, pos), then an in-row sorted reassembly per group. No
+    * collect, no driver state; dim is a per-row constant so the
+    * explode factor is fixed. Components round at 6 BEFORE reassembly
+    * so the array hash is ulp-stable.
+    */
+  q("sim_vector_pool_mean",
+    """WITH c AS (
+      |  SELECT label,
+      |         unnest(generate_series(1, len(embedding))) - 1 AS pos,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |     m AS (SELECT label, pos, round(avg(x), 6) AS mx
+      |           FROM c GROUP BY 1, 2)
+      |SELECT label, CAST(count(*) AS INTEGER) AS dim,
+      |       list(mx ORDER BY pos) AS pooled
+      |FROM m GROUP BY label ORDER BY label""") { (s, d) =>
+    T(s, d, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(round(avg(col("x").cast("double")), 6).as("mx"))
+      .groupBy("label")
+      .agg(count(lit(1)).cast("int").as("dim"),
+        expr("transform(array_sort(collect_list(struct(pos, mx))), e -> e.mx)")
+          .as("pooled"))
+      .reportSorted("label")
+  }
+
+  /** Token-budget sampling — "take the best N tokens per source", the
+    * pretraining mixture step that caps each domain's contribution:
+    * docs rank by quality (length here) within source, accumulate
+    * token counts in rank order, and the corpus keeps every doc whose
+    * RUNNING total fits the budget. ONE source-partitioned sort
+    * serves both the rank and the cumulative sum (same growing-frame
+    * window); output ∝ kept docs. The greedy prefix rule (first doc
+    * over the line is dropped, scan continues conceptually but ranks
+    * are monotone so the prefix IS the answer) keeps selection
+    * deterministic and restart-stable — no RNG state, same property
+    * as pipeline_epoch_shuffle's hash keys.
+    */
+  q("pipeline_token_budget",
+    """WITH t AS (
+      |  SELECT doc_id, source, len(str_split(text, ' ')) AS n_tok
+      |  FROM documents),
+      |     r AS (
+      |  SELECT doc_id, source, n_tok,
+      |         CAST(sum(n_tok) OVER (PARTITION BY source
+      |           ORDER BY n_tok DESC, doc_id
+      |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM t)
+      |SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok, cum
+      |FROM r WHERE cum <= 4000 ORDER BY source, cum""") { (s, d) =>
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_tok").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .filter(col("cum") <= 4000)
+      .select(col("doc_id"), col("source"), col("n_tok").cast("long").as("n_tok"),
+        col("cum"))
+      .orderBy("source", "cum") // kept-docs-sized output
+  }
+
   /** CDC snapshot upsert — the Delta-style MERGE applied relationally:
     * a change stream (here: the later half of events, latest change
     * per key winning, `error` = tombstone/delete) folds into a base

@@ -641,6 +641,76 @@ object RelationalOps extends QueryModule {
       .reportSorted("source")
   }
 
+  /** Interval-overlap join — BOTH sides are interval relations (user
+    * sessions × global error-incident hours), completing the range
+    * family: theta_range is point-vs-band with an equi prefix,
+    * range_bucketed is point-vs-window, this is interval-vs-interval.
+    * Production shape for two BIG sides: each interval explodes into
+    * the hour buckets it covers (explode factor = interval length /
+    * bucket, bounded by the session gap), candidates equi-join on the
+    * bucket, the exact overlap predicate filters, and DISTINCT
+    * collapses pairs that met in several buckets — candidate volume ∝
+    * per-bucket density, never |A|·|B|. The oracle is the quadratic
+    * theta join (fine at oracle scale): proving the bucketed plan ≡
+    * the naive one is the point. Incidents are data-derived (hours
+    * with above-average error count), so the query is SF-agnostic.
+    */
+  q("join_interval_overlap",
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |                OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      |                   > 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |     sess AS (
+      |  SELECT user_id, session_id,
+      |         min(epoch_us(ts)) AS s_lo, max(epoch_us(ts)) AS s_hi
+      |  FROM (SELECT user_id, ts,
+      |               CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |        FROM g) x GROUP BY 1, 2),
+      |     hr AS (
+      |  SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS h_lo, count(*) AS n
+      |  FROM events WHERE event_type = 'error' GROUP BY 1),
+      |     inc AS (
+      |  SELECT h_lo, h_lo + 3600000000 AS h_hi FROM hr
+      |  WHERE n > (SELECT avg(n) FROM hr))
+      |SELECT s.user_id, s.session_id, CAST(i.h_lo AS BIGINT) AS incident_us
+      |FROM sess s JOIN inc i
+      |  ON s.s_lo < i.h_hi AND i.h_lo <= s.s_hi
+      |ORDER BY user_id, session_id, incident_us""") { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val e = T(s, d, "events")
+    val sess = e
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("brk", when(col("prev").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev")) > 1800L * 1000000L, 1)
+        .otherwise(0))
+      .withColumn("session_id",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(min(unix_micros(col("ts"))).as("s_lo"), max(unix_micros(col("ts"))).as("s_hi"))
+    val hr = e.filter(col("event_type") === "error")
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("h_lo"))
+      .agg(count(lit(1)).as("n"))
+    val inc = hr.crossJoin(broadcast(hr.agg(avg("n").as("avg_n"))))
+      .filter(col("n") > col("avg_n"))
+      .select(col("h_lo"), (col("h_lo") + lit(3600000000L)).as("h_hi"))
+    // bucket = covered hour (integer `div` — epoch µs exceed double's
+    // exact range, a float floor could misbucket boundary sessions);
+    // sessions explode across their span, incidents are exactly one
+    // bucket wide by construction
+    val sb = sess.withColumn("bkt",
+      explode(sequence(expr("s_lo div 3600000000L"), expr("s_hi div 3600000000L"))))
+    val ib = inc.withColumn("bkt", expr("h_lo div 3600000000L"))
+    sb.join(ib, Seq("bkt"))
+      .filter(col("s_lo") < col("h_hi") && col("h_lo") <= col("s_hi"))
+      .select(col("user_id"), col("session_id"), col("h_lo").as("incident_us"))
+      .distinct() // a pair can meet in several buckets
+      .orderBy("user_id", "session_id", "incident_us")
+  }
+
   /** Incremental aggregate maintenance — the daily-rollup pattern at
     * 100 TB: when a delta batch arrives, merge its PARTIAL aggregate
     * into the standing rollup instead of rescanning the base (sum/

@@ -471,6 +471,22 @@ object RelationalOps extends QueryModule {
       .agg(graft.functions.agg.mgTopK(col("w"), 16).as("heavy_hitters"))
   }
 
+  /** The Misra-Gries sketch GROUPED — per-language heavy hitters over
+    * the token stream, exercising the native TypedImperativeAggregate
+    * through hash-aggregate grouping (one k-counter buffer per group,
+    * map-side partials merge per group key): the per-domain frequent-
+    * items report at vocabulary-independent state cost. Rows-only
+    * like the global row (counter values are merge-order lower
+    * bounds); the shared guarantee is pinned in HeavyHitterSpec.
+    */
+  qRowsOnly("agg_heavy_hitters_grouped") { (s, d) =>
+    T(s, d, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("lang")
+      .agg(graft.functions.agg.mgTopK(col("w"), 16).as("heavy_hitters"))
+      .reportSorted("lang")
+  }
+
   /** Per-group mode with a deterministic tie (smallest value wins) —
     * the categorical summary statistic. Two-phase by construction:
     * (group, value) counts with map-side combine (shuffle ∝ distinct
@@ -706,8 +722,12 @@ object RelationalOps extends QueryModule {
     val ib = inc.withColumn("bkt", expr("h_lo div 3600000000L"))
     sb.join(ib, Seq("bkt"))
       .filter(col("s_lo") < col("h_hi") && col("h_lo") <= col("s_hi"))
+      // no DISTINCT needed HERE: incidents are hour-aligned and exactly
+      // one bucket wide, so each qualifying pair meets in exactly one
+      // bucket. General interval×interval (both sides multi-bucket)
+      // adds a distinct on the pair key — candidates would then carry
+      // min(spanA, spanB) copies per pair.
       .select(col("user_id"), col("session_id"), col("h_lo").as("incident_us"))
-      .distinct() // a pair can meet in several buckets
       .orderBy("user_id", "session_id", "incident_us")
   }
 

@@ -198,6 +198,15 @@ object StreamOps {
     * form of the batch window); a production deploy adds a TTL for
     * keys whose retention has lapsed.
     */
+  /** Exact event-time micros: Timestamp.getTime floors to millis —
+    * the repo's event data is sub-millisecond (T() rebuilds exact µs
+    * from the nanos parquet), so the batch twin's ordering would
+    * diverge on a ms-truncated key. getNanos carries the full
+    * sub-second component.
+    */
+  private def micros(ts: java.sql.Timestamp): Long =
+    (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+
   def cdcApply(changes: Dataset[Change]): Dataset[CdcRow] = {
     import changes.sparkSession.implicits._
     changes
@@ -205,9 +214,11 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (user: Long, rows: Iterator[Change], state: GroupState[CdcState]) => {
           var st = state.getOption.orNull
-          rows.toSeq.sortBy(c => (c.ts.getTime, c.event_id)).foreach { c =>
-            val us = c.ts.getTime * 1000L
-            // out-of-order guard: only a strictly newer change applies
+          // no batch-local sort needed: the strictly-newer guard makes
+          // the fold order-independent — the exact property the replay
+          // convergence contract relies on
+          rows.foreach { c =>
+            val us = micros(c.ts)
             if (st == null || us > st.us || (us == st.us && c.event_id > st.eventId))
               st = CdcState(us, c.event_id, c.value, c.event_type == "error")
           }

@@ -253,7 +253,9 @@ class OpsSemanticsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1),
         r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
     rows.groupBy(_._1).foreach { case (uid, ivs) =>
-      val sorted = ivs.sortBy(_._3)
+      // sort open (null valid_to) last so a same-microsecond change
+      // pair can't place the open interval before a closed one
+      val sorted = ivs.sortBy(iv => (iv._3, iv._4.getOrElse(Long.MaxValue)))
       // exactly one open (current) interval per user, and it's the last
       assert(sorted.count(_._4.isEmpty) == 1, s"user $uid open intervals")
       assert(sorted.last._4.isEmpty, s"user $uid open interval not last")

@@ -151,4 +151,22 @@ object agg {
     * lower-bound counts, in k−1 counters of state.
     */
   def mgTopK(col: Column, k: Int): Column = call_function("mg_topk", col, lit(k))
+
+  /** Bloom filter over a LONG key column (Spark's own sketch — the
+    * engine applies it internally for runtime join filters; exposed
+    * here as a first-class aggregate so pipelines can BUILD a filter
+    * once and pre-filter any number of downstream scans map-side).
+    * Hash non-long keys with xxhash64 first, and use the same hash on
+    * the probe side: no false negatives survive the pairing.
+    */
+  def bloomAgg(col: Column, expectedItems: Long): Column =
+    call_function("bloom_agg", col, lit(expectedItems))
+
+  /** Membership probe against a [[bloomAgg]] filter: true for every
+    * inserted key, false-positive rate per the sizing. Codegen'd
+    * (BloomFilterMightContain), so the probe runs inside the scan's
+    * WholeStageCodegen span.
+    */
+  def bloomContains(bloom: Column, key: Column): Column =
+    call_function("bloom_contains", bloom, key)
 }

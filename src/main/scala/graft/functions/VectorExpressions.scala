@@ -437,6 +437,24 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[MisraGriesTopK].getName, "mg_topk"),
       (es: Seq[Expression]) => MisraGriesTopK(es(0),
         es(1).eval(null).asInstanceOf[Number].intValue())))
+    // Spark's own bloom-filter sketch pair, surfaced as SQL functions:
+    // the engine builds these internally for runtime join filters but
+    // does not register them — injection makes the build/probe pair a
+    // first-class pipeline primitive (see ops.RelationalOps
+    // join_bloom_prefilter for the semi-join shape)
+    ext.injectFunction((FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      (es: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          es(0), es(1).eval(null).asInstanceOf[Number].longValue())))
+    ext.injectFunction((FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_contains"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))))
   }
 }
 

@@ -657,6 +657,46 @@ object RelationalOps extends QueryModule {
       .reportSorted("source")
   }
 
+  /** Bloom-prefiltered selective join — the runtime-filter pattern as
+    * a first-class operator: build ONE bloom filter over the selective
+    * dim's join keys (KBs of state via Spark's own sketch, injected as
+    * `bloom_agg`/`bloom_contains` — the engine uses the same pair
+    * internally for runtime join filters), broadcast it, and drop
+    * non-matching fact rows MAP-SIDE before the join. When the dim is
+    * broadcastable the prefilter is redundant (the hash join already
+    * probes map-side); it pays when the dim is too big to broadcast
+    * but still selective — the fact shuffle then carries matching
+    * rows + the false-positive rate instead of the whole table, and
+    * one built filter can prefilter any number of downstream scans.
+    * Keys pass through xxhash64 on BOTH sides (the filter inserts
+    * longs; same-hash pairing preserves no-false-negatives), so the
+    * real join afterwards removes the false positives and the result
+    * is EXACTLY the plain join — which is what the oracle asserts.
+    */
+  q("join_bloom_prefilter",
+    """SELECT p.p_brand, count(*) AS n, round(sum(l.l_quantity), 4) AS sum_qty
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE p.p_retailprice > 995
+      |GROUP BY p.p_brand ORDER BY p.p_brand""") { (s, d) =>
+    import graft.functions.agg.{bloomAgg, bloomContains}
+    val dim = T(s, d, "part")
+      .filter(col("p_retailprice") > 995)
+      .select("p_partkey", "p_brand")
+    // might_contain requires a CONSTANT filter (same restriction the
+    // engine's own runtime-filter rewrite satisfies with a scalar
+    // subquery) — the one-row collect is the filter's KB-sized sketch
+    // bytes, the bounded-driver-state class the IVF centroids set
+    val bfBytes = dim.agg(bloomAgg(xxhash64(col("p_partkey")), 100000L).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    T(s, d, "lineitem")
+      .select("l_partkey", "l_quantity")
+      .filter(bloomContains(lit(bfBytes), xxhash64(col("l_partkey"))))
+      .join(dim, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+      .reportSorted("p_brand")
+  }
+
   /** Interval-overlap join — BOTH sides are interval relations (user
     * sessions × global error-incident hours), completing the range
     * family: theta_range is point-vs-band with an equi prefix,

@@ -327,4 +327,30 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"counts must map-side combine:\n$p")
     assert(p.contains("Window"), "mode selection is a window over the count table")
   }
+
+  test("join_bloom_prefilter: the bloom probe filters the fact scan BEFORE the join") {
+    val p = plan(graft.SparkEntry.queries("join_bloom_prefilter")(spark, d))
+    assert(p.contains("might_contain"), s"bloom probe missing from the plan:\n$p")
+    // the probe must sit below the join: everything after the join
+    // operates on joined rows, where prefiltering is pointless
+    val probeAt = p.indexOf("might_contain")
+    val joinAt = math.max(p.indexOf("BroadcastHashJoin"), p.indexOf("SortMergeJoin"))
+    assert(joinAt >= 0 && probeAt > joinAt,
+      "probe filter must appear under the join in the plan tree " +
+        s"(probe@$probeAt join@$joinAt)") // tree prints parents first
+  }
+
+  test("pipeline_token_budget: ONE exchange serves rank + running sum") {
+    val p = plan(graft.SparkEntry.queries("pipeline_token_budget")(spark, d))
+    assert("Window".r.findAllIn(p).size >= 1, s"expected window:\n$p")
+    // one source-hash exchange + the output range sort — nothing else
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"rank and cumulative sum must share the (source) sort:\n$p")
+  }
+
+  test("sim_vector_pool_mean: per-(group,pos) average is two-phase") {
+    val p = plan(graft.SparkEntry.queries("sim_vector_pool_mean")(spark, d))
+    assert(p.contains("partial_avg") || p.contains("partial"),
+      s"component averages must map-side combine before the shuffle:\n$p")
+  }
 }

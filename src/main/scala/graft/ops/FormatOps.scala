@@ -105,6 +105,33 @@ object FormatOps extends QueryModule {
       .reportSorted("o_orderstatus", "o_orderpriority")
   }
 
+  /** ORC export + read-back — the other builtin columnar format (the
+    * Hive-ecosystem sibling of parquet; a complete engine reads both).
+    * The read-back applies a selective predicate so ORC's row-group
+    * statistics pushdown is on the exercised path (same PushedFilters
+    * machinery the parquet scans are plan-asserted on), and the
+    * aggregate covers every surviving column against the
+    * parquet-derived oracle.
+    */
+  q("source_orc_roundtrip",
+    """SELECT l_returnflag, count(*) AS n,
+      |       round(sum(l_extendedprice), 4) AS sum_price,
+      |       CAST(max(l_orderkey) AS BIGINT) AS max_key
+      |FROM lineitem WHERE l_quantity >= 45
+      |GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
+    val dir = scratch(d, "orc")
+    T(s, d, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+      .write.mode("overwrite").orc(dir)
+    s.read.orc(dir)
+      .filter(col("l_quantity") >= 45)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_extendedprice"), 4).as("sum_price"),
+        max("l_orderkey").as("max_key"))
+      .reportSorted("l_returnflag")
+  }
+
   /** 8-bit Morton spread: insert a zero bit between every bit of an
     * 8-bit value (the magic-mask cascade, 3 steps). Pure integer bit
     * algebra — identical on both engines, codegen'd end to end in

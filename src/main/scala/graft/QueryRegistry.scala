@@ -54,6 +54,18 @@ trait QueryModule {
     *  4. Alias every computed column IDENTICALLY in SQL and Spark.
     *  5. `round()` any float that crosses an agg/div so ulps can't
     *     flip the hash (or the rank it feeds).
+    *  6. Epoch MICROS (~1.7e18) exceed double's 2^53 exact range:
+    *     subtract/divide/bucket in LONG (`div`) BEFORE any double
+    *     math — a float floor misbuckets boundary values.
+    *  7. ANSI mode: corr()/division in degenerate window frames
+    *     raises DIVIDE_BY_ZERO — compose from co-moments with a
+    *     nullif guard (win_rolling_corr), and align null patterns
+    *     across the composed aggregates.
+    *  8. Tz-naive parquet timestamps are TIMESTAMP_NTZ in Spark 4;
+    *     the CSV writer formats them with timestampNTZFormat, so a
+    *     TIMESTAMP read schema silently parses every value to null.
+    *  9. DuckDB has no WITH ORDINALITY — zip parallel
+    *     `unnest(generate_series(1, len(x)))` + `unnest(x)` instead.
     */
   protected def q(name: String, oracleSql: String)(
       fn: (SparkSession, String) => DataFrame): Unit =

@@ -2385,6 +2385,137 @@ object LlmOps extends QueryModule {
       .orderBy("doc_id") // one row per doc = input-sized
   }
 
+  /** BM25 ranking (Robertson et al.; the Lucene-default scoring) — the
+    * sparse-retrieval baseline every RAG stack pairs with dense ANN:
+    * score(q,d) = Σ_w idf(w) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)),
+    * k1=1.2, b=0.75, idf = ln(1+(N−df+0.5)/(df+0.5)). Shape: the
+    * token stream filters to the 3 query terms MAP-SIDE (the shuffle
+    * carries only matching (doc, term) rows — query-sized, not
+    * corpus-sized), df/N/avgdl are broadcast-tiny aggregates, and the
+    * final top-10 ranks on the 6-dp-rounded score so cross-engine ln
+    * ulps can't flip ranks (the tfidf discipline). At open-web scale
+    * an inverted-index table replaces the filter, same join shape.
+    */
+  q("text_bm25_topk",
+    """WITH dl AS (SELECT doc_id, len(str_split(text, ' ')) AS dl FROM documents),
+      |     stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+      |     tf AS (SELECT doc_id, w, count(*) AS tf FROM (
+      |              SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents)
+      |            WHERE w IN ('spark', 'query', 'merge') GROUP BY 1, 2),
+      |     df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+      |     scored AS (
+      |  SELECT tf.doc_id,
+      |         round(sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+      |           tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 6) AS score
+      |  FROM tf JOIN df ON df.w = tf.w
+      |          JOIN dl ON dl.doc_id = tf.doc_id
+      |          CROSS JOIN stats
+      |  GROUP BY tf.doc_id)
+      |SELECT doc_id, score,
+      |       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+      |FROM scored ORDER BY rank LIMIT 10""") { (s, d) =>
+    // orderBy+limit plans TakeOrderedAndProject (distributed top-k) —
+    // the rank window then runs over 10 rows, never the scored set
+    val top = bm25Scores(s, d).orderBy(col("score").desc, col("doc_id").asc).limit(10)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("int"))
+      .reportSorted("rank")
+  }
+
+  /** Per-doc BM25 scores for the fixed 3-term probe query (shared by
+    * text_bm25_topk and the RRF fusion). Scored-doc output is
+    * query-sized; the single-partition rank in the consumers is the
+    * REPORT-sort case (top-k of a query-matched set, not the corpus).
+    */
+  private def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").isin("spark", "query", "merge"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(round(sum(
+        log(lit(1) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))), 6)
+        .as("score"))
+  }
+
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009
+    * — the standard RAG serving composition): fuse the SPARSE BM25
+    * list with the DENSE cosine list as Σ 1/(60 + rank), which needs
+    * no score calibration between the two systems because only RANKS
+    * cross the boundary — integer ranks fuse deterministically where
+    * raw-score mixing would be ulp-fragile. Both lists are top-20 of
+    * query-sized candidate sets; the fusion is a union + one tiny
+    * group-sum. Docs align with vectors by id (the multimodal_join
+    * contract).
+    */
+  q("sim_hybrid_rrf",
+    """WITH dl AS (SELECT doc_id, len(str_split(text, ' ')) AS dl FROM documents),
+      |     stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+      |     tf AS (SELECT doc_id, w, count(*) AS tf FROM (
+      |              SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents)
+      |            WHERE w IN ('spark', 'query', 'merge') GROUP BY 1, 2),
+      |     df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+      |     sparse AS (
+      |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+      |  FROM (SELECT tf.doc_id,
+      |               round(sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+      |                 tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 6) AS score
+      |        FROM tf JOIN df ON df.w = tf.w
+      |                JOIN dl ON dl.doc_id = tf.doc_id
+      |                CROSS JOIN stats
+      |        GROUP BY tf.doc_id) t
+      |  QUALIFY rnk <= 20),
+      |     dense AS (
+      |  SELECT e.vec_id AS doc_id,
+      |         CAST(row_number() OVER (ORDER BY round(list_cosine_similarity(
+      |           CAST(e.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])), 6) DESC,
+      |           e.vec_id) AS INTEGER) AS rnk
+      |  FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+      |  WHERE e.vec_id <> 0
+      |  QUALIFY rnk <= 20),
+      |     fused AS (
+      |  SELECT doc_id, round(sum(CAST(1.0 AS DOUBLE) / (60 + rnk)), 6) AS rrf, count(*) AS n_lists
+      |  FROM (SELECT * FROM sparse UNION ALL SELECT * FROM dense)
+      |  GROUP BY doc_id)
+      |SELECT doc_id, rrf, CAST(n_lists AS INTEGER) AS n_lists,
+      |       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank
+      |FROM fused ORDER BY rank LIMIT 10""") { (s, d) =>
+    // both top-20 lists via TakeOrderedAndProject (distributed top-k);
+    // the rank windows then see 20 rows each, never the corpus
+    val sparse = bm25Scores(s, d)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(20)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("int"))
+      .select("doc_id", "rnk")
+    val emb = T(s, d, "embeddings")
+    val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+    val dense = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id").as("doc_id"),
+        round(graft.functions.vec.cosine(col("embedding"), col("qemb")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id").asc).limit(20)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("cos").desc, col("doc_id").asc)).cast("int"))
+      .select("doc_id", "rnk")
+    sparse.unionByName(dense)
+      .groupBy("doc_id")
+      .agg(round(sum(lit(1.0) / (lit(60) + col("rnk"))), 6).as("rrf"),
+        count(lit(1)).cast("int").as("n_lists"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id").asc)).cast("int"))
+      .filter(col("rank") <= 10)
+      .reportSorted("rank")
+  }
+
   /** Embedding pooling — mean-pool a group of chunk/token vectors
     * into one representative vector (the chunk→document embedding
     * step every RAG/retrieval index build runs; label groups stand in

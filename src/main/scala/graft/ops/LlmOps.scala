@@ -2385,6 +2385,89 @@ object LlmOps extends QueryModule {
       .orderBy("doc_id") // one row per doc = input-sized
   }
 
+  /** PageRank with dangling-mass redistribution — the iterative graph
+    * primitive beyond connectedComponents' label propagation: rank_v =
+    * (1−d) + d·(Σ_in rank_u/outdeg_u + danglingMass/N). Per iteration
+    * ONE join (ranks onto edges, co-partitioned on the vertex key) and
+    * ONE (dst) aggregate — the classic two-shuffle round, state is one
+    * double per vertex; per-round localCheckpoint caps lineage like
+    * CC. Vertices without candidates (no edges) stay in the frame via
+    * the full-outer fold and donate their mass as dangling. Driver
+    * state: ONE double (the dangling sum) per round — the bounded
+    * class.
+    */
+  def pageRank(vertices: DataFrame, edges: DataFrame, iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    val n = vertices.count()
+    // checkpoint the EDGE FRAME first: everything per-round derives
+    // from it, so an uncheckpointed edge lineage (e.g. a whole kNN
+    // build) would re-execute every iteration
+    val e = edges.localCheckpoint()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    // (src, dst, deg) resolved once — re-used every round
+    val withDeg = e.join(outdeg, Seq("src")).localCheckpoint()
+    // the dangling SET is fixed across rounds; only its mass changes
+    val danglingIds = vertices
+      .join(outdeg, col("vid") === col("src"), "left_anti")
+      .select("vid").localCheckpoint()
+    var ranks = vertices.select(col("vid"), lit(1.0).as("rank")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      // dangling mass enters the SAME plan as a broadcast 1-row
+      // aggregate — no per-round driver action, the eager checkpoint
+      // below is the round's only job
+      val dangling = ranks
+        .join(danglingIds, Seq("vid"), "left_semi")
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
+      val contribs = withDeg
+        .join(ranks, col("src") === col("vid"))
+        .select(col("dst"), (col("rank") / col("deg")).as("c"))
+        .groupBy("dst").agg(sum("c").as("in_sum"))
+      val prev = ranks
+      ranks = vertices
+        .join(contribs, col("vid") === col("dst"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("vid"),
+          (lit(1 - damping) +
+            lit(damping) * (coalesce(col("in_sum"), lit(0.0)) + col("dmass") / n))
+            .as("rank"))
+        .localCheckpoint()
+      prev.unpersist(blocking = false)
+    }
+    ranks
+  }
+
+  /** The kNN graph's PageRank — vectors central to many neighborhoods
+    * rank high, isolated ones sit at the (1−d) floor: the
+    * representativeness signal graph-based corpus selection uses
+    * (select high-rank docs for coverage, prune the floor as
+    * outliers). Edges are the same multi-table-LSH kNN build as
+    * `sim_knn_graph` (rank ≤ 3 per vertex). Rows-only by design: the
+    * per-round double sums are partition-order dependent; the
+    * invariants (mass conservation to N, the (1−d) floor, in-degree
+    * monotonicity) are pinned in OpsSemanticsSpec.
+    */
+  qRowsOnly("graph_pagerank") { (s, d) =>
+    val emb = T(s, d, "embeddings").select("vec_id", "embedding")
+    val scored = multiLshCandidatesOf(emb, nPlanes = 6, nTables = 6)
+      .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
+      .join(emb.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
+      .withColumn("cos", round(graft.functions.vec.cosine(col("ea"), col("eb")), 6))
+      .select("a", "b", "cos")
+    val mirrored = scored.select(col("a").as("qid"), col("b").as("nbr"), col("cos"))
+      .unionByName(scored.select(col("b").as("qid"), col("a").as("nbr"), col("cos")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nbr").asc)
+    val edges = mirrored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid").as("src"), col("nbr").as("dst"))
+    val ranks = pageRank(emb.select(col("vec_id").as("vid")), edges, iters = 5)
+    // the returned frame rides the final localCheckpoint; the harness
+    // releases it after consumption (Sessions.releaseCheckpoints)
+    ranks
+      .select(col("vid").as("vec_id"), round(col("rank"), 6).as("pagerank"))
+      .orderBy("vec_id")
+  }
+
   /** BM25 ranking (Robertson et al.; the Lucene-default scoring) — the
     * sparse-retrieval baseline every RAG stack pairs with dense ANN:
     * score(q,d) = Σ_w idf(w) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)),

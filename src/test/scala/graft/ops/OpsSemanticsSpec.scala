@@ -234,6 +234,25 @@ class OpsSemanticsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not converged"))
   }
 
+  test("pagerank conserves mass, floors isolated vertices, rewards in-degree") {
+    import spark.implicits._
+    // star: hub 0 receives from spokes 1..4; vertex 5 is isolated
+    val vertices = (0L to 5L).toDF("vid")
+    val edges = (1L to 4L).map(i => (i, 0L)).toDF("src", "dst")
+    val ranks = LlmOps.pageRank(vertices, edges, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks.size == 6, "every vertex keeps a rank row")
+    // total mass conserved: dangling redistribution keeps Σ rank = N
+    assert(math.abs(ranks.values.sum - 6.0) < 1e-6,
+      s"mass must be conserved: ${ranks.values.sum}")
+    // the hub out-ranks every spoke; spokes out-rank nothing below floor
+    assert(ranks(0L) > ranks(1L), "in-degree must raise rank")
+    // isolated vertex sits near the floor but above (1-d) exactly
+    // thanks to its dangling share
+    assert(ranks(5L) >= 0.15 - 1e-9)
+    assert(ranks(0L) > ranks(5L))
+  }
+
   test("z-order files are tight in BOTH dimensions (≤16-wide spans)") {
     // the file-skipping contract: every z-range file covers one 16×16
     // tile of the (x, y) key plane — a lexicographic sort would span

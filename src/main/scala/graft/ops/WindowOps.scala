@@ -517,6 +517,56 @@ object WindowOps extends QueryModule {
       .reportSorted("cohort_week_us", "week_offset")
   }
 
+  /** Additive seasonal decomposition on the daily series — the
+    * classic trend/seasonal/residual split (the moving-average
+    * variant of STL) a forecasting pipeline runs before modeling:
+    * trend = centered 7-day moving average, seasonal = per-day-of-week
+    * mean of the detrended series, residual = the rest. Three passes
+    * that never re-shuffle raw events: ONE (user, day) bucket
+    * aggregate, ONE user-partitioned centered window, ONE tiny
+    * (user, dow) aggregate joined back (AQE broadcasts it). Edges
+    * where the centered window is truncated keep their partial-frame
+    * trend (both engines compute the same truncated avg). Output =
+    * the daily grid.
+    */
+  q("ts_seasonal_decompose",
+    // intermediates stay RAW — pre-rounding to 6dp puts aggregate
+    // averages ON half-ulp boundaries by construction (fixed-point
+    // inputs), where cross-engine accumulation drift flips the final
+    // round; raw continuous values hit boundaries with ~0 probability.
+    // `+ 0.0` normalizes IEEE −0.0 (the hasher prints it as "-0").
+    """WITH b AS (SELECT user_id, date_trunc('day', ts) AS h, avg(value) AS v
+      |           FROM events GROUP BY 1, 2),
+      |     t AS (SELECT user_id, h, v,
+      |                  avg(v) OVER (PARTITION BY user_id ORDER BY h
+      |                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+      |                  dayofweek(h) AS dow
+      |           FROM b),
+      |     s AS (SELECT user_id, dow, avg(v - trend) AS seasonal
+      |           FROM t GROUP BY 1, 2)
+      |SELECT t.user_id, CAST(epoch_us(t.h) AS BIGINT) AS day_us,
+      |       round(t.v, 6) AS v, round(t.trend, 6) AS trend,
+      |       round(s.seasonal, 6) + 0.0 AS seasonal,
+      |       round(t.v - t.trend - s.seasonal, 6) + 0.0 AS residual
+      |FROM t JOIN s ON s.user_id = t.user_id AND s.dow = t.dow
+      |ORDER BY t.user_id, day_us""") { (s, d) =>
+    val b = T(s, d, "events")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("h"))
+      .agg(avg("value").as("v"))
+    val w = Window.partitionBy("user_id").orderBy("h").rowsBetween(-3, 3)
+    val t = b
+      .withColumn("trend", avg(col("v")).over(w))
+      .withColumn("dow", dayofweek(col("h")))
+    val sea = t.groupBy("user_id", "dow")
+      .agg(avg(col("v") - col("trend")).as("seasonal"))
+    t.join(sea, Seq("user_id", "dow"))
+      .select(col("user_id"), unix_micros(col("h")).as("day_us"),
+        round(col("v"), 6).as("v"), round(col("trend"), 6).as("trend"),
+        (round(col("seasonal"), 6) + lit(0.0)).as("seasonal"),
+        (round(col("v") - col("trend") - col("seasonal"), 6) + lit(0.0)).as("residual"))
+      .orderBy("user_id", "day_us") // daily-grid-sized output
+  }
+
   /** Rolling distinct count — how many DISTINCT event types a user
     * touched in their last 20 events, the behavioral-breadth signal
     * fraud/engagement monitors watch. Exact is right here because the

@@ -54,9 +54,11 @@ trait QueryModule {
     *  4. Alias every computed column IDENTICALLY in SQL and Spark.
     *  5. `round()` any float that crosses an agg/div so ulps can't
     *     flip the hash (or the rank it feeds).
-    *  6. Epoch MICROS (~1.7e18) exceed double's 2^53 exact range:
-    *     subtract/divide/bucket in LONG (`div`) BEFORE any double
-    *     math — a float floor misbuckets boundary values.
+    *  6. Timestamp arithmetic stays in LONG (`div`, integer
+    *     subtraction) before any double math: epoch µs (~1.7e15)
+    *     still fit double's 2^53 exact range but NANOS (~1.7e18,
+    *     the events source unit) do not — integer arithmetic is
+    *     exact at every precision and unit-upgrade-proof.
     *  7. ANSI mode: corr()/division in degenerate window frames
     *     raises DIVIDE_BY_ZERO — compose from co-moments with a
     *     nullif guard (win_rolling_corr), and align null patterns

@@ -2707,8 +2707,8 @@ object LlmOps extends QueryModule {
     val x = T(s, d, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("value"), unix_micros(col("ts")).as("us"))
-    // integer `div`: the micros midpoint must be exact (epoch µs exceed
-    // double's 2^53 range, a double-division cut could misclassify rows)
+    // integer `div` keeps the midpoint exact at any timestamp unit —
+    // epoch µs still fit double's 2^53 range, the ns source unit doesn't
     val cut = x.agg(expr("min(us) + (max(us) - min(us)) div 2").as("cut"))
     val w = Window.partitionBy("user_id").orderBy(col("us").desc, col("event_id").desc)
     def latest(side: DataFrame): DataFrame =

@@ -753,10 +753,10 @@ object RelationalOps extends QueryModule {
     val inc = hr.crossJoin(broadcast(hr.agg(avg("n").as("avg_n"))))
       .filter(col("n") > col("avg_n"))
       .select(col("h_lo"), (col("h_lo") + lit(3600000000L)).as("h_hi"))
-    // bucket = covered hour (integer `div` — epoch µs exceed double's
-    // exact range, a float floor could misbucket boundary sessions);
-    // sessions explode across their span, incidents are exactly one
-    // bucket wide by construction
+    // bucket = covered hour (integer `div` — exact at any timestamp
+    // unit, where a float floor could misbucket boundary sessions at
+    // ns precision); sessions explode across their span, incidents
+    // are exactly one bucket wide by construction
     val sb = sess.withColumn("bkt",
       explode(sequence(expr("s_lo div 3600000000L"), expr("s_hi div 3600000000L"))))
     val ib = inc.withColumn("bkt", expr("h_lo div 3600000000L"))

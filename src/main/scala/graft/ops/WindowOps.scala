@@ -676,8 +676,9 @@ object WindowOps extends QueryModule {
     * Spark groups same-partitioning same-ordering window expressions
     * into a single WindowExec, so the extra lookups cost no extra
     * shuffle. Edges clamp (head ← next, tail ← prev); interior gaps
-    * interpolate by micros position. Grid size = per-user active
-    * span, never global-span × users.
+    * interpolate by micros position (position deltas subtract in
+    * LONG — exact at any unit). Grid size = per-user active span,
+    * never global-span × users.
     */
   q("ts_interpolate_linear",
     """WITH b AS (SELECT user_id, date_trunc('day', ts) AS h, avg(value) AS av
@@ -726,8 +727,9 @@ object WindowOps extends QueryModule {
         round(when(col("pv").isNull, col("nv"))
           .when(col("nv").isNull, col("pv"))
           .when(col("nt") === col("pt"), col("pv"))
-          // subtract in LONG first: epoch micros (~1.7e18) exceed
-          // double's 2^53 exact range, the day-scale DIFFERENCE doesn't
+          // subtract in LONG first: exact at any timestamp unit
+          // (epoch ns would exceed double's 2^53; the day-scale
+          // DIFFERENCE never does)
           .otherwise(col("pv") + (col("nv") - col("pv")) *
             (col("day_us") - col("pt")) / (col("nt") - col("pt"))), 6).as("v"))
       .orderBy("user_id", "day_us") // user×active-day grid = input-sized

@@ -657,6 +657,47 @@ object RelationalOps extends QueryModule {
       .reportSorted("source")
   }
 
+  /** Per-group OLS trend line — slope/intercept of value over time,
+    * completing the bivariate family (corr/covar measure association;
+    * this fits the line a drift monitor alarms on). Same power-sum
+    * discipline as agg_moments: one two-phase aggregate of
+    * (n, Σx, Σy, Σxy, Σx²), closed-form solve — identical algebra on
+    * both engines, fixed-size state. x is epoch DAYS shifted by a
+    * fixed 19700 (≈ the data's epoch-day base): without centering,
+    * n·Σx² − (Σx)² cancels ~10 of double's 15 digits on clustered
+    * timestamps and the 6-dp round flips cross-engine; after the
+    * shift x ∈ O(100) and the difference is exact to working
+    * precision. A constant shift leaves the slope untouched
+    * (intercept is AT day 19700 by definition).
+    */
+  q("agg_linreg",
+    """WITH p AS (
+      |  SELECT event_type,
+      |         CAST(count(*) AS DOUBLE) AS n,
+      |         sum(CAST(epoch_us(ts) // 86400000000 - 19700 AS DOUBLE)) AS sx,
+      |         sum(value) AS sy,
+      |         sum(CAST(epoch_us(ts) // 86400000000 - 19700 AS DOUBLE) * value) AS sxy,
+      |         sum(CAST(epoch_us(ts) // 86400000000 - 19700 AS DOUBLE)
+      |           * CAST(epoch_us(ts) // 86400000000 - 19700 AS DOUBLE)) AS sxx
+      |  FROM events GROUP BY 1)
+      |SELECT event_type,
+      |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+      |FROM p ORDER BY event_type""") { (s, d) =>
+    val x = (expr("unix_micros(ts) div 86400000000L") - lit(19700L)).cast("double")
+    val p = T(s, d, "events")
+      .select(col("event_type"), x.as("x"), col("value").as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    p.select(col("event_type"), round(slope, 6).as("slope"),
+        round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+      .reportSorted("event_type")
+  }
+
   /** Bloom-prefiltered selective join — the runtime-filter pattern as
     * a first-class operator: build ONE bloom filter over the selective
     * dim's join keys (KBs of state via Spark's own sketch, injected as

@@ -1157,7 +1157,16 @@ object LlmOps extends QueryModule {
        |SELECT qid, nbr, cos, rank FROM rk WHERE rank <= 3
        |ORDER BY qid, rank""".stripMargin
   }) { (s, d) =>
-    val emb = T(s, d, "embeddings").select("vec_id", "embedding")
+    knnEdges(T(s, d, "embeddings").select("vec_id", "embedding"))
+      .orderBy("qid", "rank") // ≤3 rows per vector = input-sized
+  }
+
+  /** The shared kNN edge build (multi-table LSH candidates → cosine →
+    * mirrored → top-3 per vertex). ONE definition feeds both
+    * `sim_knn_graph` and `graph_pagerank`, so tuning
+    * nPlanes/nTables/k can't silently desynchronize the two.
+    */
+  private def knnEdges(emb: DataFrame, k: Int = 3): DataFrame = {
     val scored = multiLshCandidatesOf(emb, nPlanes = 6, nTables = 6)
       .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
       .join(emb.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
@@ -1168,8 +1177,7 @@ object LlmOps extends QueryModule {
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nbr").asc)
     edges
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .orderBy("qid", "rank") // ≤3 rows per vector = input-sized
+      .filter(col("rank") <= k)
   }
 
   /** Int8 scalar-quantized ANN (SPEC: the standard sq8 compression in
@@ -2398,11 +2406,27 @@ object LlmOps extends QueryModule {
     */
   def pageRank(vertices: DataFrame, edges: DataFrame, iters: Int,
       damping: Double = 0.85): DataFrame = {
+    // localCheckpoint blocks outlive Dataset.unpersist (it only clears
+    // CacheManager entries) — track persistent-RDD ids and free each
+    // round's blocks once the next checkpoint exists, exactly the
+    // connectedComponents discipline above. Only the final ranks
+    // blocks survive; the harness clears those via releaseCheckpoints.
+    val sc = vertices.sparkSession.sparkContext
+    def persisted: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def free(ids: Set[Int]): Unit = ids.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     val n = vertices.count()
+    val pre0 = persisted
     // checkpoint the EDGE FRAME first: everything per-round derives
     // from it, so an uncheckpointed edge lineage (e.g. a whole kNN
-    // build) would re-execute every iteration
-    val e = edges.localCheckpoint()
+    // build) would re-execute every iteration. Edges are restricted to
+    // the vertex frame on BOTH endpoints — an out-of-set dst would
+    // silently lose its contribution and break the mass-conservation
+    // contract the spec pins.
+    val e = edges
+      .join(vertices.select(col("vid").as("src")), Seq("src"), "left_semi")
+      .join(vertices.select(col("vid").as("dst")), Seq("dst"), "left_semi")
+      .localCheckpoint()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
     // (src, dst, deg) resolved once — re-used every round
     val withDeg = e.join(outdeg, Seq("src")).localCheckpoint()
@@ -2410,7 +2434,10 @@ object LlmOps extends QueryModule {
     val danglingIds = vertices
       .join(outdeg, col("vid") === col("src"), "left_anti")
       .select("vid").localCheckpoint()
+    val fixedIds = persisted -- pre0
+    val preRanks = persisted
     var ranks = vertices.select(col("vid"), lit(1.0).as("rank")).localCheckpoint()
+    var ranksIds = persisted -- preRanks
     for (_ <- 1 to iters) {
       // dangling mass enters the SAME plan as a broadcast 1-row
       // aggregate — no per-round driver action, the eager checkpoint
@@ -2422,7 +2449,8 @@ object LlmOps extends QueryModule {
         .join(ranks, col("src") === col("vid"))
         .select(col("dst"), (col("rank") / col("deg")).as("c"))
         .groupBy("dst").agg(sum("c").as("in_sum"))
-      val prev = ranks
+      val prevIds = ranksIds
+      val pre = persisted
       ranks = vertices
         .join(contribs, col("vid") === col("dst"), "left")
         .crossJoin(broadcast(dangling))
@@ -2431,8 +2459,10 @@ object LlmOps extends QueryModule {
             lit(damping) * (coalesce(col("in_sum"), lit(0.0)) + col("dmass") / n))
             .as("rank"))
         .localCheckpoint()
-      prev.unpersist(blocking = false)
+      ranksIds = persisted -- pre
+      free(prevIds) // the new checkpoint carries all still-needed state
     }
+    free(fixedIds) // edge/degree/dangling frames are dead once ranks exist
     ranks
   }
 
@@ -2448,18 +2478,7 @@ object LlmOps extends QueryModule {
     */
   qRowsOnly("graph_pagerank") { (s, d) =>
     val emb = T(s, d, "embeddings").select("vec_id", "embedding")
-    val scored = multiLshCandidatesOf(emb, nPlanes = 6, nTables = 6)
-      .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
-      .join(emb.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
-      .withColumn("cos", round(graft.functions.vec.cosine(col("ea"), col("eb")), 6))
-      .select("a", "b", "cos")
-    val mirrored = scored.select(col("a").as("qid"), col("b").as("nbr"), col("cos"))
-      .unionByName(scored.select(col("b").as("qid"), col("a").as("nbr"), col("cos")))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nbr").asc)
-    val edges = mirrored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select(col("qid").as("src"), col("nbr").as("dst"))
+    val edges = knnEdges(emb).select(col("qid").as("src"), col("nbr").as("dst"))
     val ranks = pageRank(emb.select(col("vec_id").as("vid")), edges, iters = 5)
     // the returned frame rides the final localCheckpoint; the harness
     // releases it after consumption (Sessions.releaseCheckpoints)
@@ -2479,8 +2498,13 @@ object LlmOps extends QueryModule {
     * ulps can't flip ranks (the tfidf discipline). At open-web scale
     * an inverted-index table replaces the filter, same join shape.
     */
-  q("text_bm25_topk",
-    """WITH dl AS (SELECT doc_id, len(str_split(text, ' ')) AS dl FROM documents),
+  /** The BM25 CTE chain (dl/stats/tf/df/scored) shared VERBATIM by the
+    * text_bm25_topk and sim_hybrid_rrf oracles — one definition, so a
+    * formula fix can't desynchronize the two from the single shared
+    * Spark implementation (bm25Scores).
+    */
+  private val bm25OracleCtes: String =
+    """dl AS (SELECT doc_id, len(str_split(text, ' ')) AS dl FROM documents),
       |     stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
       |     tf AS (SELECT doc_id, w, count(*) AS tf FROM (
       |              SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents)
@@ -2493,7 +2517,10 @@ object LlmOps extends QueryModule {
       |  FROM tf JOIN df ON df.w = tf.w
       |          JOIN dl ON dl.doc_id = tf.doc_id
       |          CROSS JOIN stats
-      |  GROUP BY tf.doc_id)
+      |  GROUP BY tf.doc_id)""".stripMargin
+
+  q("text_bm25_topk",
+    s"""WITH $bm25OracleCtes
       |SELECT doc_id, score,
       |       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
       |FROM scored ORDER BY rank LIMIT 10""") { (s, d) =>
@@ -2541,21 +2568,10 @@ object LlmOps extends QueryModule {
     * contract).
     */
   q("sim_hybrid_rrf",
-    """WITH dl AS (SELECT doc_id, len(str_split(text, ' ')) AS dl FROM documents),
-      |     stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
-      |     tf AS (SELECT doc_id, w, count(*) AS tf FROM (
-      |              SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents)
-      |            WHERE w IN ('spark', 'query', 'merge') GROUP BY 1, 2),
-      |     df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+    s"""WITH $bm25OracleCtes,
       |     sparse AS (
       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
-      |  FROM (SELECT tf.doc_id,
-      |               round(sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
-      |                 tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 6) AS score
-      |        FROM tf JOIN df ON df.w = tf.w
-      |                JOIN dl ON dl.doc_id = tf.doc_id
-      |                CROSS JOIN stats
-      |        GROUP BY tf.doc_id) t
+      |  FROM scored
       |  QUALIFY rnk <= 20),
       |     dense AS (
       |  SELECT e.vec_id AS doc_id,

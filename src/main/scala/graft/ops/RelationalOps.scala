@@ -681,8 +681,8 @@ object RelationalOps extends QueryModule {
       |           * CAST(epoch_us(ts) // 86400000000 - 19700 AS DOUBLE)) AS sxx
       |  FROM events GROUP BY 1)
       |SELECT event_type,
-      |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-      |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+      |       round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6) AS slope,
+      |       round((sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0) * sx) / n, 6) AS intercept
       |FROM p ORDER BY event_type""") { (s, d) =>
     val x = (expr("unix_micros(ts) div 86400000000L") - lit(19700L)).cast("double")
     val p = T(s, d, "events")
@@ -691,8 +691,11 @@ object RelationalOps extends QueryModule {
       .agg(count(lit(1)).cast("double").as("n"),
         sum("x").as("sx"), sum("y").as("sy"),
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    // nullif: a group whose events all share one epoch day has zero
+    // x-variance — an undefined slope is null, not an ANSI error or a
+    // cross-engine inf/nan formatting divergence
     val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
-      (col("n") * col("sxx") - col("sx") * col("sx"))
+      nullif(col("n") * col("sxx") - col("sx") * col("sx"), lit(0.0))
     p.select(col("event_type"), round(slope, 6).as("slope"),
         round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
       .reportSorted("event_type")

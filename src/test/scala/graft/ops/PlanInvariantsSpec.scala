@@ -350,7 +350,7 @@ class PlanInvariantsSpec extends AnyFunSuite {
 
   test("sim_vector_pool_mean: per-(group,pos) average is two-phase") {
     val p = plan(graft.SparkEntry.queries("sim_vector_pool_mean")(spark, d))
-    assert(p.contains("partial_avg") || p.contains("partial"),
+    assert(p.contains("partial_avg"),
       s"component averages must map-side combine before the shuffle:\n$p")
   }
 }

@@ -2487,6 +2487,42 @@ object LlmOps extends QueryModule {
       .orderBy("vec_id")
   }
 
+  /** Compression-ratio quality signal (the Gopher/RefinedWeb family's
+    * repetition proxy: highly compressible text is boilerplate/
+    * templated, incompressible text is diverse or junk — both tails
+    * get filtered): deflated bytes / raw bytes per doc via
+    * `java.util.zip.Deflater` (BEST_SPEED — the signal needs ordering,
+    * not optimal encoding). mapPartitions is the correct slot — this
+    * is byte-codec work like the multimodal decode path, one Deflater
+    * reused per partition, zero shuffle before the output sort. No
+    * SQL oracle can re-derive zlib output → rows-only; the
+    * monotonicity contract (repetitive ≪ diverse) is pinned in
+    * OpsSemanticsSpec.
+    */
+  qRowsOnly("text_compression_ratio") { (s, d) =>
+    import s.implicits._
+    T(s, d, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var compressed = 0L
+          while (!deflater.finished()) compressed += deflater.deflate(buf)
+          (id, raw.length.toLong,
+            if (raw.length == 0) 1.0
+            else math.rint(compressed.toDouble / raw.length * 10000) / 10000)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "deflate_ratio")
+      .orderBy("doc_id") // one row per doc = input-sized
+  }
+
   /** BM25 ranking (Robertson et al.; the Lucene-default scoring) — the
     * sparse-retrieval baseline every RAG stack pairs with dense ANN:
     * score(q,d) = Σ_w idf(w) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)),

@@ -2507,8 +2507,10 @@ object LlmOps extends QueryModule {
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
         val buf = new Array[Byte](1 << 16)
-        it.map { case (id, text) =>
-          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val out = it.map { case (id, text) =>
+          // null-tolerant like every sibling text operator
+          val raw = if (text == null) Array.emptyByteArray
+            else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           deflater.reset()
           deflater.setInput(raw)
           deflater.finish()
@@ -2516,7 +2518,18 @@ object LlmOps extends QueryModule {
           while (!deflater.finished()) compressed += deflater.deflate(buf)
           (id, raw.length.toLong,
             if (raw.length == 0) 1.0
-            else math.rint(compressed.toDouble / raw.length * 10000) / 10000)
+            else math.rint(compressed.toDouble / raw.length * 1e6) / 1e6)
+        }
+        // release the native zlib workspace when the partition drains —
+        // GC never feels the off-heap allocation, so waiting on the
+        // Cleaner accumulates native RSS across a long bench session
+        new Iterator[(Long, Long, Double)] {
+          def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h) deflater.end()
+            h
+          }
+          def next(): (Long, Long, Double) = out.next()
         }
       }
       .toDF("doc_id", "n_bytes", "deflate_ratio")

@@ -262,7 +262,6 @@ class OpsSemanticsSpec extends AnyFunSuite {
     import spark.implicits._
     val crafted = Seq((1L, "spam " * 100), (2L, (1 to 100).mkString(" ")))
       .toDF("doc_id", "text")
-    crafted.createOrReplaceTempView("crafted_docs")
     val d2 = java.nio.file.Files.createTempDirectory("graft_cr").toString
     crafted.write.mode("overwrite").parquet(s"$d2/documents.parquet")
     val got = SparkEntry.queries("text_compression_ratio")(spark, d2)

@@ -2487,6 +2487,45 @@ object LlmOps extends QueryModule {
       .orderBy("vec_id")
   }
 
+  /** Length-bucketed batch formation — the dynamic-batching prep that
+    * minimizes padding waste (train-time tokens ∝ batch · max-len, so
+    * batching a 20-token doc with a 500-token doc wastes 96% of the
+    * short rows): docs group into 32-token length buckets, fixed
+    * batches of 16 form WITHIN each bucket in deterministic
+    * (n_tok, doc_id) order, and the report shows each batch's padding
+    * waste — bounded ≤ 31·16 tokens by construction (vs unbounded for
+    * random batching). The complement of pipeline_pack_sequences:
+    * packing concatenates docs into fixed windows, this batches
+    * same-length docs unconcatenated. ONE bucket-partitioned sort
+    * serves the rank; batch stats are a two-phase aggregate over the
+    * (bucket, batch) grid.
+    */
+  q("pipeline_length_bucket_batching",
+    """WITH t AS (
+      |  SELECT doc_id, len(str_split(text, ' ')) AS n_tok,
+      |         CAST(len(str_split(text, ' ')) // 32 AS INTEGER) AS bucket
+      |  FROM documents),
+      |     r AS (
+      |  SELECT doc_id, n_tok, bucket,
+      |         CAST((row_number() OVER (PARTITION BY bucket
+      |                ORDER BY n_tok, doc_id) - 1) // 16 AS INTEGER) AS batch_id
+      |  FROM t)
+      |SELECT bucket, batch_id, count(*) AS n_docs,
+      |       CAST(max(n_tok) AS BIGINT) AS max_tok,
+      |       CAST(max(n_tok) * count(*) - sum(n_tok) AS BIGINT) AS padding_waste
+      |FROM r GROUP BY 1, 2 ORDER BY bucket, batch_id""") { (s, d) =>
+    val w = Window.partitionBy("bucket").orderBy(col("n_tok").asc, col("doc_id").asc)
+    T(s, d, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+      .withColumn("bucket", (col("n_tok") / 32).cast("int"))
+      .withColumn("batch_id", ((row_number().over(w) - 1) / 16).cast("int"))
+      .groupBy("bucket", "batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        max("n_tok").cast("long").as("max_tok"),
+        (max("n_tok") * count(lit(1)) - sum("n_tok")).cast("long").as("padding_waste"))
+      .orderBy("bucket", "batch_id") // batch-count-sized output
+  }
+
   /** Compression-ratio quality signal (the Gopher/RefinedWeb family's
     * repetition proxy: highly compressible text is boilerplate/
     * templated, incompressible text is diverse or junk — both tails

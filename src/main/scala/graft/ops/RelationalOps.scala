@@ -852,6 +852,37 @@ object RelationalOps extends QueryModule {
       .reportSorted("event_type")
   }
 
+  /** Gini coefficient per group — the concentration/inequality summary
+    * (0 = uniform, →1 = one row holds everything): the complement of
+    * agg_entropy's diversity view, the standard skew report for spend/
+    * contribution distributions. Closed form over ascending ranks
+    * G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n: ONE group-partitioned sort for
+    * the rank (i), then a two-phase sum — never a quadratic pairwise
+    * |xᵢ−xⱼ| formulation. Ties are order-invariant (equal values make
+    * Σ i·xᵢ independent of their mutual order), so the event_id
+    * tiebreak only pins the hash, not the value.
+    */
+  q("agg_gini",
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |         CAST(row_number() OVER (PARTITION BY event_type
+      |                ORDER BY value, event_id) AS DOUBLE) AS i
+      |  FROM events)
+      |SELECT event_type,
+      |       round(2 * sum(i * value) / (count(*) * sum(value))
+      |             - (count(*) + 1.0) / count(*), 6) AS gini
+      |FROM r GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+    val w = Window.partitionBy("event_type").orderBy(col("value").asc, col("event_id").asc)
+    T(s, d, "events")
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("i", row_number().over(w).cast("double"))
+      .groupBy("event_type")
+      .agg(round(lit(2) * sum(col("i") * col("value")) /
+          (count(lit(1)) * sum(col("value"))) -
+          (count(lit(1)) + lit(1.0)) / count(lit(1)), 6).as("gini"))
+      .reportSorted("event_type")
+  }
+
   /** Median absolute deviation per group — the robust scale estimate
     * (stddev is wrecked by one outlier; MAD isn't). Two exact
     * percentile aggregates with a broadcast-sized join between them:

@@ -89,6 +89,11 @@ object Bench {
     // tail-capture cut.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), json)
     catch { case _: Throwable => () }
+    // Total FIRST as well as last (below): whichever side of the
+    // output a capture window lands on, a complete headline line is
+    // inside it — r6/r7 bench attribution had to be reconstructed
+    // from BENCH_LOCAL after the big per-query line was cut.
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"}""")
     println(json)
     // The driver captures only the ~2.9 KB TAIL of sbt stdout: with 100
     // queries the per-query line above starts before the window and its

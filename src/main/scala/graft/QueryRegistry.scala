@@ -68,6 +68,17 @@ trait QueryModule {
     *     TIMESTAMP read schema silently parses every value to null.
     *  9. DuckDB has no WITH ORDINALITY — zip parallel
     *     `unnest(generate_series(1, len(x)))` + `unnest(x)` instead.
+    * 10. NO raw array/struct output columns — the driver sorts result
+    *     rows via pandas, which cannot factorize ndarray cells
+    *     (TypeError in lexsort_indexer; both round-7 reds). Serialize
+    *     to a deterministic string: `array_join` over fixed-scale
+    *     `CAST(x AS DECIMAL(p,s))` renders (double→string formatting
+    *     differs across engines), `string_agg(... ORDER BY ...)` on
+    *     the DuckDB side. Keep the array form internal.
+    * 11. NO `broadcast()` pins on data-sized tables (vocabularies,
+    *     doc/token streams) — let AQE size-gate the strategy so the
+    *     plan survives open-web cardinalities; pin only genuinely
+    *     bounded dims (catalogs, query sets, centroid tables).
     */
   protected def q(name: String, oracleSql: String)(
       fn: (SparkSession, String) => DataFrame): Unit =

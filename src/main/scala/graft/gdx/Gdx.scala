@@ -412,21 +412,29 @@ object Gdx {
     // each other or with a label the REWRITTEN symbols actually use
     // and that is not itself renamed away. Scoped to the matched
     // symbols (a clash that lives only in an excluded symbol cannot
-    // duplicate any written key); the label set is a distributed
-    // distinct, collected at O(labels).
+    // duplicate any written key). Membership runs as a DISTRIBUTED
+    // semi-join of the label union against the broadcast-tiny target
+    // list — driver work stays O(mapping), never O(labels), even if a
+    // UEL table reaches 10⁸.
     val targets = lowered.values.map(_.toLowerCase).toSeq
     require(targets.distinct.size == targets.size,
       s"gdx rename: two labels map to one target: ${mapping.values.mkString(", ")}")
     val matched = matchedSymbols(spark, path, patterns)
-    val existing = treeUnion(matched.map { sym =>
+    // only targets NOT renamed away can clash — prefilter driver-side
+    val candidates = targets.filterNot(lowered.contains).distinct
+    val clashes = treeUnion(matched.map { sym =>
       val df = symbol(spark, path, sym.name)
       val dims = dimCols(df)
       if (dims.isEmpty) emptyFrame(spark,
         "l" -> org.apache.spark.sql.types.StringType)
       else treeUnion(dims.map(c => df.select(lower(col(c)).as("l")))).get
-    }).map(_.distinct().collect().map(_.getString(0)).toSet)
-      .getOrElse(Set.empty[String])
-    val clashes = targets.filter(t => existing.contains(t) && !lowered.contains(t))
+    }) match {
+      case Some(labels) if candidates.nonEmpty =>
+        import spark.implicits._
+        labels.join(broadcast(candidates.toDF("l")), Seq("l"), "left_semi")
+          .distinct().collect().map(_.getString(0)).toSeq // ≤ |mapping| rows
+      case _ => Nil
+    }
     require(clashes.isEmpty,
       s"gdx rename: target label(s) already exist in the matched symbols and are " +
         s"not renamed away — duplicate keys would result: ${clashes.mkString(", ")}")

@@ -20,19 +20,33 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object FormatOps extends QueryModule {
 
-  /** Per-(sfDir, tag) scratch dir; deterministic so repeated runs
-    * overwrite rather than accumulate. Same-process re-runs are
-    * idempotent (identical content, whole-dir overwrite). NOT safe
-    * under two CONCURRENT processes on the same sfDir: overwrite
-    * deletes before the commit protocol re-publishes, so a racing
-    * reader can observe the gap — the harness entry points run these
-    * queries sequentially (Verify → Bench, different sfDirs), which is
-    * the supported pattern; cross-process fixture sharing would need
-    * the gdx ensureFixtures lock+marker protocol instead.
+  /** Per-(sfDir, tag, PID) scratch dir: process-unique, so two
+    * harness JVMs running concurrently against the same sfDir
+    * (Verify / Bench / the test JVM — the same premise GdxOps
+    * buildOnce exists for) each write and read their OWN directory —
+    * no racing reader can observe another process's overwrite
+    * delete-before-commit gap. Within one process the path is stable,
+    * so repeated runs overwrite rather than accumulate; a JVM
+    * shutdown hook removes the dirs so crashed-run leftovers don't
+    * pile up in tmp across a long session.
     */
+  private val scratchRoots = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  sys.addShutdownHook {
+    scratchRoots.forEach { p =>
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(p))
+    }
+  }
+
   private def scratch(sfDir: String, tag: String): String = {
     val h = Integer.toHexString(sfDir.hashCode)
-    s"${sys.props("java.io.tmpdir")}/graft_fmt_${h}_$tag"
+    val p = s"${sys.props("java.io.tmpdir")}/graft_fmt_${h}_p${ProcessHandle.current().pid()}_$tag"
+    scratchRoots.add(p)
+    p
   }
 
   /** Sharded JSONL export + read-back — the handoff format LLM

@@ -36,36 +36,65 @@ object GdxOps extends QueryModule {
     * Verify, Bench, the test JVM — can run concurrently against the
     * same sfDir): within one JVM callers already hold `lock`; across
     * processes an O_EXCL lock file serializes the build and an
-    * after-build marker publishes it (a crash mid-build leaves only
-    * unmarked partials plus a lock that goes stale and is stolen after
-    * the timeout). Returns once the marker exists.
+    * after-build marker publishes it. The lock carries the owner's PID
+    * and a daemon thread touches its mtime every 10 s while the build
+    * runs, so waiters can tell a SLOW builder (alive + beating — wait
+    * indefinitely; a wall-clock timeout here once meant two concurrent
+    * overwrite-mode fixture writes on a contended host) from a DEAD
+    * one (process gone, or heartbeat silent >60 s — steal). Returns
+    * once the marker exists.
     */
   private def buildOnce(dir: String, marker: String)(body: => Unit): Unit = {
     val markerFile = new File(dir, marker)
     if (markerFile.exists()) return
     new File(dir).mkdirs()
     val lockFile = new File(dir, s"$marker.lock")
-    var stealAt = System.currentTimeMillis() + 120000
+    val staleMs = 60000L
     while (!markerFile.exists()) {
       val acquired =
-        try { java.nio.file.Files.createFile(lockFile.toPath); true }
+        try {
+          java.nio.file.Files.write(lockFile.toPath,
+            ProcessHandle.current().pid().toString
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          true
+        }
         catch { case _: java.nio.file.FileAlreadyExistsException => false }
       if (acquired) {
+        val beat = new Thread(() => {
+          try while (true) {
+            Thread.sleep(10000)
+            lockFile.setLastModified(System.currentTimeMillis())
+          } catch { case _: InterruptedException => }
+        }, s"gdx-fixture-lock-heartbeat-$marker")
+        beat.setDaemon(true)
+        beat.start()
         try {
           if (!markerFile.exists()) {
             body
             java.nio.file.Files.createFile(markerFile.toPath)
           }
-        } finally lockFile.delete()
+        } finally { beat.interrupt(); lockFile.delete() }
       } else {
         Thread.sleep(200)
-        if (System.currentTimeMillis() > stealAt) {
-          lockFile.delete() // stale lock from a crashed builder
-          stealAt = System.currentTimeMillis() + 120000
-        }
+        val mtime = lockFile.lastModified() // 0 if already gone
+        val silent = mtime > 0 && System.currentTimeMillis() - mtime > staleMs
+        if (silent || lockOwnerDead(lockFile)) lockFile.delete()
       }
     }
   }
+
+  /** True iff the lock file names a PID that no longer exists. A
+    * momentarily unreadable/empty lock (creation race, concurrent
+    * steal) reads as ALIVE — the heartbeat-staleness test above is
+    * the backstop, so a false "alive" only costs another 200 ms poll.
+    */
+  private def lockOwnerDead(lockFile: File): Boolean =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(lockFile.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      s.nonEmpty && ProcessHandle.of(s.toLong).isEmpty
+    } catch { case _: Exception => false }
 
   /** Static special-value fixture records (label, raw GDX value). */
   private val specRecords = Seq(

@@ -52,6 +52,15 @@ object LlmOps extends QueryModule {
   def minhashPairs(s: SparkSession, d: String): DataFrame =
     minhashPairsOf(T(s, d, "documents").select("doc_id", "text"))
 
+  /** Document-frequency cap for the exact n-gram Jaccard inverted
+    * index: shingles in more than this many documents are treated as
+    * corpus boilerplate and excluded from the Jaccard universe
+    * (numerator AND denominator — see dedup_ngram_jaccard scaladoc).
+    * Bounds the per-shingle self-join emission at cap², independent
+    * of corpus size.
+    */
+  val NgramJaccardDfCap = 1024
+
   private val MinhashP = 1000000007L
   private def affineA(i: Int): Long = (i + 1) * 1000003L % MinhashP
   private def affineB(i: Int): Long = i * 12345L + 7L
@@ -193,15 +202,31 @@ object LlmOps extends QueryModule {
       .orderBy("simhash") // ~one row per distinct simhash = input-sized
   }
 
-  /** N-gram Jaccard verify step: exact Jaccard over 3-shingle sets for
-    * candidate pairs (pairs from minhash LSH → exact similarity).
+  /** N-gram Jaccard over the DF-CAPPED shingle universe: exact Jaccard
+    * over 3-shingle sets, with shingles appearing in more than
+    * [[NgramJaccardDfCap]] documents dropped from BOTH the intersection
+    * and the set sizes. The cap is what bounds the inverted-index
+    * self-join at scale: per shingle the join emits df² pairs, so an
+    * uncapped boilerplate shingle ("all rights reserved") squares on
+    * the whole corpus — capped, emission per shingle is ≤ cap², and
+    * total work is ∝ Σ min(df, cap)². Dropping high-df shingles from
+    * numerator AND denominator is the C4/RefinedWeb boilerplate rule
+    * re-expressed as a similarity: a shingle shared by >cap documents
+    * carries no pair-discriminative signal, and the capped Jaccard
+    * biases toward CONTENT overlap. On corpora whose true near-dup
+    * clusters are smaller than the cap the capped and uncapped
+    * measures coincide exactly — pinned in OpsSemanticsSpec against
+    * the uncapped fold at test SF.
     */
   q("dedup_ngram_jaccard",
-    """WITH sh AS (
+    s"""WITH sh0 AS (
       |  SELECT DISTINCT doc_id, sh AS shingle FROM (
       |    SELECT doc_id, unnest([list_aggr(tok[i:i+2], 'string_agg', ' ')
       |                           FOR i IN range(1, greatest(len(tok) - 2, 1) + 1)]) AS sh
       |    FROM (SELECT doc_id, str_split(text, ' ') AS tok FROM documents) t1) t2),
+      |     keep AS (SELECT shingle FROM sh0 GROUP BY shingle
+      |              HAVING count(*) <= $NgramJaccardDfCap),
+      |     sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
       |     pairs AS (
       |  SELECT a.doc_id AS a, b.doc_id AS b,
       |         count(*) AS inter, any_value(na.n) AS na, any_value(nb.n) AS nb
@@ -215,12 +240,19 @@ object LlmOps extends QueryModule {
     // equality semantics w.h.p. (collision odds ~n²/2⁶⁵) with an ~8-byte
     // shuffle key instead of a ~20-byte string — the self-join and both
     // distinct/count shuffles shrink accordingly.
-    val sh = T(s, d, "documents")
+    val sh0 = T(s, d, "documents")
       .withColumn("tok", split(col("text"), " "))
       .withColumn("shs", expr(
         "transform(sequence(0, greatest(size(tok) - 3, 0)), i -> concat_ws(' ', slice(tok, i + 1, 3)))"))
       .select(col("doc_id"), explode(expr("transform(shs, x -> xxhash64(x))")).as("shingle"))
       .distinct()
+    // df-cap: drop boilerplate shingles before the self-join (the
+    // semi-join probe side is the df table — one row per distinct
+    // shingle, AQE broadcast-eligible long after the doc table isn't).
+    val sh = sh0.join(
+      sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= NgramJaccardDfCap).select("shingle"),
+      Seq("shingle"), "left_semi")
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("a"), col("shingle"))
     val b = sh.select(col("doc_id").as("b"), col("shingle"))
@@ -2545,6 +2577,13 @@ object LlmOps extends QueryModule {
       .as[(Long, String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+        // release the native zlib workspace on task COMPLETION, not
+        // iterator drain: an early-terminated task (limit/take,
+        // failure/retry) never exhausts the iterator, and GC never
+        // feels the off-heap allocation, so native RSS would
+        // accumulate across a long bench session
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => deflater.end())
         val buf = new Array[Byte](1 << 16)
         val out = it.map { case (id, text) =>
           // null-tolerant like every sibling text operator
@@ -2559,10 +2598,8 @@ object LlmOps extends QueryModule {
             if (raw.length == 0) 1.0
             else math.rint(compressed.toDouble / raw.length * 1e6) / 1e6)
         }
-        // release the native zlib workspace when the partition drains —
-        // GC never feels the off-heap allocation, so waiting on the
-        // Cleaner accumulates native RSS across a long bench session
-        new Iterator[(Long, Long, Double)] {
+        if (tc != null) out
+        else new Iterator[(Long, Long, Double)] { // driver-local fallback
           def hasNext: Boolean = {
             val h = out.hasNext
             if (!h) deflater.end()
@@ -2723,7 +2760,8 @@ object LlmOps extends QueryModule {
       |     m AS (SELECT label, pos, round(avg(x), 6) AS mx
       |           FROM c GROUP BY 1, 2)
       |SELECT label, CAST(count(*) AS INTEGER) AS dim,
-      |       list(mx ORDER BY pos) AS pooled
+      |       string_agg(CAST(CAST(mx AS DECIMAL(18,6)) AS VARCHAR), ','
+      |                  ORDER BY pos) AS pooled
       |FROM m GROUP BY label ORDER BY label""") { (s, d) =>
     T(s, d, "embeddings")
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -2731,7 +2769,15 @@ object LlmOps extends QueryModule {
       .agg(round(avg(col("x").cast("double")), 6).as("mx"))
       .groupBy("label")
       .agg(count(lit(1)).cast("int").as("dim"),
-        expr("transform(array_sort(collect_list(struct(pos, mx))), e -> e.mx)")
+        // Serialize the pooled vector for the report: a fixed-scale
+        // DECIMAL(18,6) render is byte-identical across Spark and
+        // DuckDB (both print all six scale digits), where raw
+        // double→string differs (1.0E-7 vs 1e-07) and raw arrays
+        // crash the harness's pandas row sorter (checklist item 10).
+        // Downstream consumers keep the array form internal.
+        expr("""array_join(transform(
+                  array_sort(collect_list(struct(pos, mx))),
+                  e -> cast(cast(e.mx as decimal(18,6)) as string)), ',')""")
           .as("pooled"))
       .reportSorted("label")
   }

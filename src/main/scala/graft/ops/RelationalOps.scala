@@ -468,7 +468,12 @@ object RelationalOps extends QueryModule {
   qRowsOnly("agg_heavy_hitters") { (s, d) =>
     T(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
-      .agg(graft.functions.agg.mgTopK(col("w"), 16).as("heavy_hitters"))
+      .agg(graft.functions.agg.mgTopK(col("w"), 16).as("hh"))
+      // Render the sketch as a deterministic string: the eval already
+      // sorts (cnt desc, item asc); raw array cells crash the
+      // harness's pandas row sorter (checklist item 10).
+      .select(expr("array_join(transform(hh, e -> concat(e.item, ':', e.cnt)), ' ')")
+        .as("heavy_hitters"))
   }
 
   /** The Misra-Gries sketch GROUPED — per-language heavy hitters over
@@ -483,7 +488,12 @@ object RelationalOps extends QueryModule {
     T(s, d, "documents")
       .select(col("lang"), explode(split(col("text"), " ")).as("w"))
       .groupBy("lang")
-      .agg(graft.functions.agg.mgTopK(col("w"), 16).as("heavy_hitters"))
+      .agg(graft.functions.agg.mgTopK(col("w"), 16).as("hh"))
+      // Deterministic string render (see agg_heavy_hitters / checklist
+      // item 10): array cells crash the harness's pandas row sorter.
+      .select(col("lang"),
+        expr("array_join(transform(hh, e -> concat(e.item, ':', e.cnt)), ' ')")
+          .as("heavy_hitters"))
       .reportSorted("lang")
   }
 
@@ -576,8 +586,8 @@ object RelationalOps extends QueryModule {
       |       round((sum(value * value * value) / count(*)
       |              - 3 * (sum(value) / count(*)) * (sum(value * value) / count(*))
       |              + 2 * (sum(value) / count(*)) ^ 3)
-      |             / (sum(value * value) / count(*)
-      |                - (sum(value) / count(*)) ^ 2) ^ 1.5, 6) AS skew_pop
+      |             / nullif((sum(value * value) / count(*)
+      |                       - (sum(value) / count(*)) ^ 2) ^ 1.5, 0), 6) AS skew_pop
       |FROM events GROUP BY event_type ORDER BY event_type""") { (s, d) =>
     val n = count(lit(1)).cast("double")
     val m1 = sum(col("value")) / n
@@ -588,8 +598,12 @@ object RelationalOps extends QueryModule {
       .agg(count(lit(1)).as("n"),
         round(m1, 6).as("mean"),
         round(m2 - m1 * m1, 6).as("var_pop"),
+        // nullif guards the degenerate group (single row / all-identical
+        // values): skew is undefined at zero variance, and 0/0 NaN vs
+        // NULL vs error behavior diverges across engines (checklist 7,
+        // same guard as agg_linreg's zero-slope denominator).
         round((m3 - lit(3) * m1 * m2 + lit(2) * m1 * m1 * m1)
-          / pow(m2 - m1 * m1, 1.5), 6).as("skew_pop"))
+          / nullif(pow(m2 - m1 * m1, 1.5), lit(0.0)), 6).as("skew_pop"))
       .reportSorted("event_type")
   }
 

@@ -194,9 +194,17 @@ object StreamOps {
     * change older than the current state (by event-time, event_id
     * tiebreak) is ignored rather than regressing the key — replaying
     * the stream in any arrival order converges to the same snapshot.
-    * State is one small struct per live key (the unbounded-keyspace
-    * form of the batch window); a production deploy adds a TTL for
-    * keys whose retention has lapsed.
+    * State is one small struct per touched key — including TOMBSTONED
+    * keys, which would otherwise accumulate forever — so `ttl` bounds
+    * the keyspace: when the event-time watermark passes a key's last
+    * change + ttl, the state evicts (EventTimeTimeout), and the next
+    * change for that key builds fresh state (re-inserts as new — the
+    * ordering guard's memory is gone by design, exactly the retention
+    * contract). With a TTL the caller must put `withWatermark` on the
+    * stream; Spark then also drops input rows older than the
+    * watermark before the stateful operator, so an eviction can never
+    * be trailed by a stale resurrection. StreamingSpec pins both the
+    * eviction (state row count drops) and the re-insert.
     */
   /** Exact event-time micros: Timestamp.getTime floors to millis —
     * the repo's event data is sub-millisecond (T() rebuilds exact µs
@@ -207,23 +215,37 @@ object StreamOps {
   private def micros(ts: java.sql.Timestamp): Long =
     (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
 
-  def cdcApply(changes: Dataset[Change]): Dataset[CdcRow] = {
+  def cdcApply(changes: Dataset[Change],
+      ttl: Option[java.time.Duration] = None): Dataset[CdcRow] = {
     import changes.sparkSession.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     changes
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (user: Long, rows: Iterator[Change], state: GroupState[CdcState]) => {
-          var st = state.getOption.orNull
-          // no batch-local sort needed: the strictly-newer guard makes
-          // the fold order-independent — the exact property the replay
-          // convergence contract relies on
-          rows.foreach { c =>
-            val us = micros(c.ts)
-            if (st == null || us > st.us || (us == st.us && c.event_id > st.eventId))
-              st = CdcState(us, c.event_id, c.value, c.event_type == "error")
+          if (state.hasTimedOut) {
+            // retention lapsed: evict silently — the snapshot keeps the
+            // last emitted row; the key's next change re-inserts fresh
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.orNull
+            // no batch-local sort needed: the strictly-newer guard makes
+            // the fold order-independent — the exact property the replay
+            // convergence contract relies on
+            rows.foreach { c =>
+              val us = micros(c.ts)
+              if (st == null || us > st.us || (us == st.us && c.event_id > st.eventId))
+                st = CdcState(us, c.event_id, c.value, c.event_type == "error")
+            }
+            state.update(st)
+            // timeout rides the key's own event time, not processing
+            // time: retention is data-defined and replay-stable
+            ttl.foreach(t => state.setTimeoutTimestamp(st.us / 1000L + t.toMillis))
+            Iterator.single(CdcRow(user, st.value, !st.deleted, st.us))
           }
-          state.update(st)
-          Iterator.single(CdcRow(user, st.value, !st.deleted, st.us))
         })
   }
 }

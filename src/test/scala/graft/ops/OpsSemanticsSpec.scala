@@ -304,4 +304,59 @@ class OpsSemanticsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ngram-jaccard df-cap: coincides with uncapped below the cap, drops boilerplate above it") {
+    import spark.implicits._
+    // Uncapped recall baseline: the registered (capped) query must
+    // return exactly the uncapped pairs when every shingle's df is
+    // below the cap — true of the test corpus.
+    val got = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir).collect().toSeq
+    def xxShingles(docs: org.apache.spark.sql.DataFrame) = docs
+      .withColumn("tok", split(col("text"), " "))
+      .withColumn("shs", expr(
+        "transform(sequence(0, greatest(size(tok) - 3, 0)), i -> concat_ws(' ', slice(tok, i + 1, 3)))"))
+      .select(col("doc_id"), explode(expr("transform(shs, x -> xxhash64(x))")).as("shingle"))
+      .distinct()
+    val sh = xxShingles(T(spark, dir, "documents").select("doc_id", "text"))
+    val maxDf = sh.groupBy("shingle").count().agg(max("count")).first().getLong(0)
+    assert(maxDf <= LlmOps.NgramJaccardDfCap,
+      s"test corpus has a shingle with df=$maxDf > cap — baseline comparison is vacuous")
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val uncapped = sh.select(col("doc_id").as("a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      .join(counts.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(counts.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .withColumn("jaccard",
+        round(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")) >= 0.8)
+      .select("a", "b", "jaccard").orderBy("a", "b").collect().toSeq
+    assert(got == uncapped, "capped query diverged from the uncapped baseline below the cap")
+
+    // Above the cap: a boilerplate shingle shared by MANY dissimilar
+    // docs must not produce pairs (the df² blowup row), while a true
+    // duplicate pair (sharing low-df content shingles) still surfaces.
+    val cap = 4 // probe with a tiny cap via the same capped-universe fold
+    val body = (1 to 12).map(i => s"unique content tail number $i words here")
+    val docs = ((1 to 12).map(i =>
+      (i.toLong, s"all rights reserved legal footer ${body(i - 1)}")) :+
+      (100L, "an entirely duplicated document body repeated verbatim here") :+
+      (101L, "an entirely duplicated document body repeated verbatim here")).toDF("doc_id", "text")
+    val psh0 = xxShingles(docs)
+    val psh = psh0.join(
+      psh0.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap).select("shingle"), Seq("shingle"), "left_semi")
+    val pc = psh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = psh.select(col("doc_id").as("a"), col("shingle"))
+      .join(psh.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      .join(pc.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(pc.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .filter(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")) >= 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((100L, 101L)),
+      s"expected only the true duplicate pair to survive the cap, got $pairs")
+  }
 }

@@ -526,4 +526,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalByUser(2L) == CdcRow(2, 2.0, live = true, us(t(1))))
     assert(finalByUser(3L) == CdcRow(3, 7.0, live = true, us(t(1))))
   }
+
+  test("cdc apply TTL: expired key state evicts and the key re-inserts as new") {
+    import StreamOps.{CdcRow, Change}
+    val ms = MemoryStream[Change](spark)
+    val name = nextName()
+    val q = StreamOps.cdcApply(
+        ms.toDS().withWatermark("ts", "0 seconds").as[Change],
+        ttl = Some(java.time.Duration.ofMinutes(5)))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    def us(ts: Timestamp): Long = ts.getTime * 1000L
+
+    // batch 1: u1 inserts; its retention clock ends at 10:05
+    ms.addData(Change(1, t(0), 10, "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: u2 advances the watermark to 10:10 (u1 not yet evicted —
+    // the watermark update publishes at batch END)
+    ms.addData(Change(2, t(10), 11, "view", 2.0))
+    q.processAllAvailable()
+    val beforeEvict = spark.table(name).count()
+    // batch 3: watermark 10:10 > u1's 10:05 timeout → u1 state evicts,
+    // SILENTLY (eviction emits no row); u3 inserts
+    ms.addData(Change(3, t(11), 12, "view", 3.0))
+    q.processAllAvailable()
+    val afterB3 = spark.table(name).as[CdcRow].collect().toSeq
+    assert(afterB3.size == beforeEvict + 1 &&
+      afterB3.count(_.user_id == 3L) == 1,
+      s"eviction must not emit rows: $afterB3")
+    assert(q.lastProgress.stateOperators.head.numRowsTotal == 2,
+      "u1's state row must be evicted (u2 + u3 remain) — without the TTL this is 3")
+    // batch 4: u1 returns after retention → builds FRESH state and
+    // emits as a new insert (the ordering guard's memory is gone)
+    ms.addData(Change(1, t(20), 13, "view", 42.0))
+    q.processAllAvailable(); q.stop()
+    val reinserted = spark.table(name).as[CdcRow].collect()
+      .filter(r => r.user_id == 1L && r.last_us == us(t(20))).toSeq
+    assert(reinserted == Seq(CdcRow(1, 42.0, live = true, us(t(20)))),
+      s"expired key must re-insert as new: $reinserted")
+  }
 }

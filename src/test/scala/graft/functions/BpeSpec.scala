@@ -1,0 +1,95 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts for the BPE tokenizer the hash-oracle can't check (no SQL
+  * engine replays iterative merging): the worked merge sequence from
+  * Sennrich et al. 2016 §3.2's example vocabulary, determinism,
+  * round-trip lossless-ness on real corpus data, apply/train greedy
+  * agreement, and budget monotonicity of the parameterized pipeline row.
+  */
+class BpeSpec extends AnyFunSuite {
+
+  lazy val spark = graft.Sessions.build("local[4]", "4")
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("training replays the Sennrich worked example: 'est</w>' merges from lowest/newest") {
+    // the paper's §3.2 vocabulary: low×5, lowest×2, newer×6, wider×3
+    // (we add 'newest' to make est</w> dominate as in the figure)
+    val vocab = Seq(("low", 5L), ("lowest", 2L), ("newest", 6L), ("widest", 3L))
+    val m = Bpe.train(vocab, 4)
+    // most frequent first pair: (e,s) occurs in lowest+newest+widest = 11
+    assert(m.merges(0) == ("e", "s"), s"got ${m.merges}")
+    // then (es,t) = 11, then (est,</w>) = 11
+    assert(m.merges(1) == ("es", "t"), s"got ${m.merges}")
+    assert(m.merges(2) == ("est", "</w>"), s"got ${m.merges}")
+    // encoding a NEW word with the trained merges reuses the subword
+    val memo = mutable.HashMap.empty[String, Vector[String]]
+    val toks = Bpe.encode("tallest", m, memo)
+    assert(toks.last == "est</w>", s"got $toks")
+  }
+
+  test("count ties break lexicographically — training is deterministic") {
+    // ab and cd both occur exactly twice; (a,b) < (c,d) must win
+    val vocab = Seq(("ab", 2L), ("cd", 2L))
+    val m1 = Bpe.train(vocab, 1)
+    assert(m1.merges == Vector(("a", "b")))
+    // full determinism: two runs over a shuffled copy agree exactly
+    val v2 = Seq(("cd", 2L), ("ab", 2L))
+    assert(Bpe.train(v2, 10).merges == Bpe.train(vocab, 10).merges)
+  }
+
+  test("training stops when no pair repeats instead of memorizing the vocab") {
+    val m = Bpe.train(Seq(("xy", 1L), ("zq", 1L)), 50)
+    assert(m.merges.isEmpty, s"singleton pairs must not merge: ${m.merges}")
+  }
+
+  test("encode/decode round-trips every corpus document, and bpe never exceeds char count") {
+    val docs = graft.T(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val vocab = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => (w, ws.length.toLong) }.toSeq
+    val m = Bpe.train(vocab, 200)
+    // the sf0.001 vocabulary exhausts before 200 merges (every pair
+    // left occurs once) — the early-stop is the contract, not a miss
+    assert(m.merges.size > 50 && m.merges.size <= 200,
+      s"expected a substantial merge table, got ${m.merges.size}")
+    val memo = mutable.HashMap.empty[String, Vector[String]]
+    docs.foreach { case (id, text) =>
+      val toks = Bpe.encode(text, m, memo)
+      val normalized = text.split(" ").filter(_.nonEmpty).mkString(" ")
+      assert(Bpe.decode(toks) == normalized, s"doc $id round-trip")
+      val nWs = text.split(" ").count(_.nonEmpty)
+      assert(toks.size >= nWs, s"doc $id: every word is >=1 token")
+      assert(toks.size <= normalized.length + nWs,
+        s"doc $id: bpe cannot exceed chars+markers")
+    }
+    // merges actually fire: the corpus encodes to fewer tokens than chars
+    val totToks = docs.map(d => Bpe.encode(d._2, m, memo).size).sum
+    val totChars = docs.map(_._2.count(_ != ' ')).sum
+    assert(totToks < totChars / 2,
+      s"200 merges should at least halve the token stream: $totToks vs $totChars chars")
+  }
+
+  test("registered rows: roundtrip_ok everywhere; bpe budget keeps different docs than whitespace") {
+    val rep = graft.SparkEntry.queries("text_bpe_tokenize")(spark, dir).collect()
+    assert(rep.length > 0)
+    assert(rep.forall(_.getBoolean(4)), "roundtrip_ok must hold on every doc")
+    assert(rep.forall(r => r.getLong(2) >= r.getLong(1)),
+      "subword count is never below word count")
+    val bpeBudget = graft.SparkEntry.queries("pipeline_token_budget_bpe")(spark, dir)
+      .collect()
+    assert(bpeBudget.nonEmpty)
+    // greedy-prefix invariant: per-source cum is monotone and <= budget
+    bpeBudget.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      val cums = rows.map(_.getLong(3)).sorted
+      assert(cums.last <= 1000)
+      assert(cums.distinct.length == cums.length)
+    }
+  }
+}

@@ -14,7 +14,7 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     ops.RelationalOps, ops.WindowOps, ops.FunctionSetOps,
     ops.StreamingBatchOps, ops.LlmOps, ops.MultimodalOps, ops.GdxOps,
-    ops.SkewOps, ops.FormatOps, ops.TokenizerOps)
+    ops.SkewOps, ops.FormatOps, ops.TokenizerOps, ops.GraphOps)
 
   private lazy val all: Seq[QueryDef] = {
     val ds = modules.flatMap(_.defs)

@@ -1,0 +1,193 @@
+package graft.ops
+
+import graft.{QueryModule, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 — generic graph analytics as first-class registered
+  * rows (the dedup family uses CC internally; PageRank runs on the kNN
+  * graph — this module exposes the graph-algorithm surface on an
+  * explicit edge table, the form a user brings their own graph in).
+  *
+  * The test graph is built DETERMINISTICALLY from the customer table
+  * (per-nation custkey-order `lead` edges), so every query — and the
+  * DuckDB oracle — constructs the identical edge set from the same
+  * parquet; no RNG, no external graph file.
+  *
+  * Scale positions:
+  *  - Triangle counting uses DEGREE ORIENTATION (order vertices by
+  *    (degree, id), orient every edge low→high, count each triangle at
+  *    its minimum-rank vertex): wedge generation is Σ out-deg², and
+  *    orientation bounds out-degree by O(√m) on any graph — the
+  *    arboricity argument from Chiba & Nishizeki 1985 / the MapReduce
+  *    formulation in Suri & Vassilvitskii 2011 ("Counting triangles
+  *    and the curse of the last reducer"). A hub with 10⁶ neighbors
+  *    contributes ~0 wedges as a SOURCE because nearly all its edges
+  *    orient INTO it; the naive undirected wedge count would square
+  *    the hub. Joins are equi-joins on (nation, vertex) — shuffle
+  *    co-partitions cleanly.
+  *  - Connected components runs min-label propagation WITH POINTER
+  *    JUMPING (each round also adopts the label of one's current
+  *    label: lbl ← min(lbl, lbl(lbl), min over neighbors)), so label
+  *    coverage roughly doubles per round and convergence is
+  *    O(log diameter) rounds instead of O(diameter) — on a 100 TB
+  *    graph a path-shaped component would need thousands of
+  *    hop-per-round iterations, and tens with jumping. Per round: two
+  *    equi-joins + one aggregate, per-round localCheckpoint with
+  *    explicit block frees (the PageRank/dedup-CC discipline), and a
+  *    convergence check riding the checkpointed frame.
+  */
+object GraphOps extends QueryModule {
+
+  /** Per-nation `lead` edges over customers in custkey order:
+    * `withN2 = false` gives chain edges gated by a max id gap (gaps
+    * split chains → nontrivial components); `withN2 = true` adds the
+    * lead-2 edge ungated (the "square of a path" graph, which is
+    * guaranteed to contain triangles). Edges always have a < b.
+    */
+  private def leadEdges(s: SparkSession, d: String, withN2: Boolean,
+      maxGap: Option[Long]): DataFrame = {
+    val c = T(s, d, "customer")
+      .select(col("c_custkey").as("id"), col("c_nationkey").as("nk"))
+    val w = Window.partitionBy("nk").orderBy("id")
+    val l = c
+      .withColumn("n1", lead("id", 1).over(w))
+      .withColumn("n2", lead("id", 2).over(w))
+    val e1 = l.filter(col("n1").isNotNull)
+      .filter(maxGap.map(g => col("n1") - col("id") <= g).getOrElse(lit(true)))
+      .select(col("nk"), col("id").as("a"), col("n1").as("b"))
+    if (!withN2) e1
+    else e1.unionByName(l.filter(col("n2").isNotNull)
+      .select(col("nk"), col("id").as("a"), col("n2").as("b")))
+  }
+
+  /** Exact triangle count per nation on the path-square graph. The
+    * oracle proves the degree-oriented plan ≡ the naive id-ordered
+    * triple join (both count each triangle exactly once).
+    */
+  q("graph_triangle_count",
+    """WITH c AS (SELECT c_custkey AS id, c_nationkey AS nk FROM customer),
+      |l AS (SELECT nk, id,
+      |             lead(id, 1) OVER (PARTITION BY nk ORDER BY id) AS n1,
+      |             lead(id, 2) OVER (PARTITION BY nk ORDER BY id) AS n2
+      |      FROM c),
+      |e AS (SELECT nk, id AS a, n1 AS b FROM l WHERE n1 IS NOT NULL
+      |      UNION ALL
+      |      SELECT nk, id AS a, n2 AS b FROM l WHERE n2 IS NOT NULL)
+      |SELECT e1.nk AS nk, count(*) AS n_triangles
+      |FROM e e1
+      |JOIN e e2 ON e2.nk = e1.nk AND e2.a = e1.b
+      |JOIN e e3 ON e3.nk = e1.nk AND e3.a = e1.a AND e3.b = e2.b
+      |GROUP BY 1 ORDER BY nk""") { (s, d) =>
+    val e = leadEdges(s, d, withN2 = true, maxGap = None)
+    val deg = e.select(col("nk"), col("a").as("v"))
+      .unionByName(e.select(col("nk"), col("b").as("v")))
+      .groupBy("nk", "v").agg(count(lit(1)).as("deg"))
+    val ed = e
+      .join(deg.select(col("nk"), col("v").as("a"), col("deg").as("da")), Seq("nk", "a"))
+      .join(deg.select(col("nk"), col("v").as("b"), col("deg").as("db")), Seq("nk", "b"))
+    // orient from the (degree, id)-smaller endpoint to the larger
+    val aLower = (col("da") < col("db")) ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = ed.select(col("nk"),
+      when(aLower, col("a")).otherwise(col("b")).as("u"),
+      when(aLower, col("b")).otherwise(col("a")).as("v"),
+      when(aLower, col("db")).otherwise(col("da")).as("dv"))
+    // wedge at the min-rank vertex u: pick ordered out-neighbors
+    // (v1, v2) with rank(v1) < rank(v2), close with oriented (v1, v2)
+    val o1 = o.select(col("nk"), col("u"), col("v").as("v1"), col("dv").as("d1"))
+    val o2 = o.select(col("nk").as("nk2"), col("u").as("u2"),
+      col("v").as("v2"), col("dv").as("d2"))
+    val wedges = o1.join(o2,
+      col("nk") === col("nk2") && col("u") === col("u2") &&
+        (col("d1") < col("d2") || (col("d1") === col("d2") && col("v1") < col("v2"))))
+    val closing = o.select(col("nk").as("nk3"), col("u").as("u3"), col("v").as("v3"))
+    wedges.join(closing,
+        col("nk") === col("nk3") && col("v1") === col("u3") && col("v2") === col("v3"))
+      .groupBy("nk").agg(count(lit(1)).as("n_triangles"))
+      .reportSorted("nk")
+  }
+
+  /** Exact connected components (min component label per vertex +
+    * component size) on the gap-gated chain graph. The DuckDB oracle
+    * is a RECURSIVE CTE computing the min reachable label — a
+    * semantics-level spec of CC that shares no code shape with the
+    * pointer-jumping loop, so a hash match is strong evidence the
+    * iterative plan converged to the true components.
+    */
+  q("graph_connected_components",
+    """WITH RECURSIVE c AS (SELECT c_custkey AS id, c_nationkey AS nk FROM customer),
+      |l AS (SELECT nk, id, lead(id, 1) OVER (PARTITION BY nk ORDER BY id) AS n1
+      |      FROM c),
+      |e AS (SELECT id AS a, n1 AS b FROM l
+      |      WHERE n1 IS NOT NULL AND n1 - id <= 40),
+      |sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+      |reach(id, lbl) AS (
+      |  SELECT id, id AS lbl FROM c
+      |  UNION
+      |  SELECT s.b AS id, r.lbl FROM reach r JOIN sym s ON s.a = r.id
+      |),
+      |cc AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id)
+      |SELECT cc.id AS id, cc.comp AS comp, sz.comp_size AS comp_size
+      |FROM cc JOIN (SELECT comp, count(*) AS comp_size FROM cc GROUP BY comp) sz
+      |  USING (comp)
+      |ORDER BY id""") { (s, d) =>
+    val sc = s.sparkContext
+    def persisted: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def free(ids: Set[Int]): Unit = ids.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    val pre0 = persisted
+    val e = leadEdges(s, d, withN2 = false, maxGap = Some(40L))
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val symIds = persisted -- pre0
+    val nodes = T(s, d, "customer").select(col("c_custkey").as("id"))
+    var labels = nodes.withColumn("lbl", col("id"))
+    var prevIds = Set.empty[Int]
+    var iter = 0
+    var converged = false
+    val maxIter = 24 // jumping doubles coverage per round: 24 ≈ diameter 2^24
+    while (iter < maxIter && !converged) {
+      val nbr = sym
+        .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min("nlbl").as("nmin"))
+      // pointer jump: adopt the label of one's current label (always a
+      // real vertex id — labels are minima over vertex ids)
+      val jump = labels.select(col("id").as("jid"), col("lbl").as("ptr"))
+        .join(labels.select(col("id").as("ptr"), col("lbl").as("jlbl")), Seq("ptr"))
+        .select(col("jid").as("id"), col("jlbl"))
+      val pre = persisted
+      val next = labels
+        .join(nbr, Seq("id"), "left")
+        .join(jump, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl")),
+            coalesce(col("jlbl"), col("lbl"))).as("lbl"),
+          col("lbl").as("old"))
+        .localCheckpoint()
+      free(prevIds)
+      prevIds = persisted -- pre
+      val changed = next.filter(col("lbl") =!= col("old")).count()
+      labels = next.select("id", "lbl")
+      converged = changed == 0
+      iter += 1
+    }
+    if (!converged) {
+      free(prevIds)
+      free(symIds)
+      throw new IllegalStateException(
+        s"graph_connected_components: not converged after $maxIter rounds " +
+          "— with pointer jumping that implies diameter > 2^24; raise maxIter")
+    }
+    // the final round's blocks back the returned frame; the edge list
+    // served its last join and can release now
+    free(symIds)
+    val cc = labels.select(col("id"), col("lbl").as("comp"))
+    val sizes = cc.groupBy("comp").agg(count(lit(1)).as("comp_size"))
+    cc.join(sizes, Seq("comp"))
+      .select(col("id"), col("comp"), col("comp_size"))
+      .orderBy("id") // one row per vertex = input-sized
+  }
+}

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Brute-force cross-checks for the graph rows — independent of the
+  * DuckDB oracle: triangles by adjacency-set enumeration, components
+  * by union-find. A hash match against BOTH a naive SQL triple join
+  * (the oracle) and an in-memory reference (here) pins the
+  * degree-oriented / pointer-jumping plans from two directions.
+  */
+class GraphSpec extends AnyFunSuite {
+
+  lazy val spark = graft.Sessions.build("local[4]", "4")
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** (id, nationkey) pairs from the customer table, as the queries see them. */
+  private def customers: Array[(Long, Long)] =
+    spark.read.parquet(s"$dir/customer.parquet")
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue()))
+
+  test("triangle count per nation matches adjacency-set brute force") {
+    val byNk = customers.groupBy(_._2).map { case (nk, cs) => (nk, cs.map(_._1).sorted) }
+    val expected = byNk.map { case (nk, ids) =>
+      val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+      def add(a: Long, b: Long): Unit = { adj(a) = adj(a) + b; adj(b) = adj(b) + a }
+      ids.indices.foreach { i =>
+        if (i + 1 < ids.length) add(ids(i), ids(i + 1))
+        if (i + 2 < ids.length) add(ids(i), ids(i + 2))
+      }
+      val n = (for {
+        a <- ids
+        b <- adj(a) if b > a
+        c <- adj(a) if c > b && adj(b).contains(c)
+      } yield 1).size.toLong
+      (nk, n)
+    }.filter(_._2 > 0)
+    val got = graft.SparkEntry.queries("graph_triangle_count")(spark, dir).collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue())).toMap
+    assert(got.values.sum > 0, "the path-square graph must contain triangles")
+    expected.foreach { case (nk, n) =>
+      assert(got.getOrElse(nk, 0L) == n, s"nation $nk")
+    }
+    assert(got.keySet == expected.map(_._1).toSet)
+  }
+
+  test("connected components match union-find; labels are component minima") {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val byNk = customers.groupBy(_._2)
+    byNk.values.foreach { cs =>
+      val ids = cs.map(_._1).sorted
+      ids.indices.dropRight(1).foreach { i =>
+        if (ids(i + 1) - ids(i) <= 40) union(ids(i), ids(i + 1))
+      }
+    }
+    val allIds = customers.map(_._1)
+    val expectedComp = allIds.map(id => (id, find(id))).toMap
+    val sizes = expectedComp.values.groupBy(identity).map { case (c, xs) => (c, xs.size.toLong) }
+    val got = graft.SparkEntry.queries("graph_connected_components")(spark, dir).collect()
+      .map(r => (r.getAs[Number](0).longValue(),
+        (r.getAs[Number](1).longValue(), r.getAs[Number](2).longValue()))).toMap
+    assert(got.size == allIds.length)
+    allIds.foreach { id =>
+      val (comp, size) = got(id)
+      assert(comp == expectedComp(id), s"customer $id component label")
+      assert(size == sizes(expectedComp(id)), s"customer $id component size")
+    }
+    // the graph is genuinely non-trivial: multiple multi-node components
+    assert(sizes.count(_._2 > 1) > 1)
+  }
+}

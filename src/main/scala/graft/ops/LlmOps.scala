@@ -2819,6 +2819,36 @@ object LlmOps extends QueryModule {
       .orderBy("source", "cum") // kept-docs-sized output
   }
 
+  /** Leakage-resistant train/val/test split: the fold key is a hash of
+    * the CONTENT (md5 of text), not the row id, so byte-identical
+    * duplicates always land in the same fold — the id-hash split's
+    * classic eval-contamination hole (a dup pair straddling
+    * train/test leaks the answer). Near-dup-safe splitting composes
+    * the same way: hash dedup_cluster_canonical's cluster id instead.
+    * Pure map-side — no shuffle, no RNG (restart-stable, and any
+    * engine recomputes the identical assignment); the fold index is
+    * two hex nibbles of the digest modulo 10, identically expressible
+    * in both engines.
+    */
+  q("pipeline_train_test_split",
+    """WITH t AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |f AS (SELECT doc_id,
+      |        ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+      |         strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 10 AS fold FROM t)
+      |SELECT doc_id, CAST(fold AS BIGINT) AS fold,
+      |  CASE WHEN fold <= 7 THEN 'train' WHEN fold = 8 THEN 'val' ELSE 'test' END AS split
+      |FROM f ORDER BY doc_id""") { (s, d) =>
+    T(s, d, "documents")
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("fold",
+        ((expr("instr('0123456789abcdef', substring(h, 1, 1))") - 1) * 16 +
+          expr("instr('0123456789abcdef', substring(h, 2, 1))") - 1) % 10)
+      .select(col("doc_id"), col("fold").cast("long").as("fold"),
+        when(col("fold") <= 7, "train").when(col("fold") === 8, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id") // one row per doc = input-sized
+  }
+
   /** CDC snapshot upsert — the Delta-style MERGE applied relationally:
     * a change stream (here: the later half of events, latest change
     * per key winning, `error` = tombstone/delete) folds into a base

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QueryModule, T}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -954,5 +954,62 @@ object RelationalOps extends QueryModule {
       max(col("n_chars")).as("chars_max"),
       round(avg(col("n_chars")), 6).as("chars_avg"),
       sum(when(col("n_chars") =!= length(col("text")), 1).otherwise(0)).as("chars_mismatch"))
+  }
+
+  /** Declarative constraint suite (the Deequ `check` counterpart to
+    * dq_profile's analyzer pass): completeness, uniqueness, range,
+    * set-membership and pattern constraints evaluated in ONE aggregate
+    * scan of orders — adding a constraint adds a column to the
+    * aggregate, never a scan — plus referential integrity as a
+    * LEFT-ANTI join count against customer (AQE picks broadcast while
+    * the dimension fits, shuffle-join beyond). Output is the
+    * (constraint, metric, passed) report a data contract gate
+    * consumes; `passed` is 0/1 so the comparison is type-stable
+    * across engines.
+    */
+  q("dq_constraint_check",
+    """WITH m AS (SELECT count(*) AS n,
+      |    sum(CASE WHEN o_orderdate IS NOT NULL THEN 1 ELSE 0 END) AS c_date,
+      |    count(DISTINCT o_orderkey) AS u_key,
+      |    sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS c_price,
+      |    sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS c_status,
+      |    sum(CASE WHEN o_orderpriority LIKE '_-%' THEN 1 ELSE 0 END) AS c_prio
+      |  FROM orders),
+      |v AS (SELECT count(*) AS nv FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+      |      WHERE c.c_custkey IS NULL)
+      |SELECT * FROM (
+      |  SELECT 'completeness_o_orderdate' AS constraint_name, round(CAST(c_date AS DOUBLE)/n, 6) AS metric, CAST(c_date = n AS BIGINT) AS passed FROM m
+      |  UNION ALL SELECT 'uniqueness_o_orderkey', round(CAST(u_key AS DOUBLE)/n, 6), CAST(u_key = n AS BIGINT) FROM m
+      |  UNION ALL SELECT 'range_o_totalprice_pos', round(CAST(c_price AS DOUBLE)/n, 6), CAST(c_price = n AS BIGINT) FROM m
+      |  UNION ALL SELECT 'set_o_orderstatus', round(CAST(c_status AS DOUBLE)/n, 6), CAST(c_status = n AS BIGINT) FROM m
+      |  UNION ALL SELECT 'pattern_o_orderpriority', round(CAST(c_prio AS DOUBLE)/n, 6), CAST(c_prio = n AS BIGINT) FROM m
+      |  UNION ALL SELECT 'referential_o_custkey', CAST(nv AS DOUBLE), CAST(nv = 0 AS BIGINT) FROM v
+      |) ORDER BY constraint_name""") { (s, d) =>
+    val o = T(s, d, "orders")
+    val m = o.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_orderdate").isNotNull, 1).otherwise(0)).as("c_date"),
+      countDistinct(col("o_orderkey")).as("u_key"),
+      sum(when(col("o_totalprice") > 0, 1).otherwise(0)).as("c_price"),
+      sum(when(col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)).as("c_status"),
+      sum(when(col("o_orderpriority").like("_-%"), 1).otherwise(0)).as("c_prio"))
+    val v = o.join(T(s, d, "customer").select("c_custkey"),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("nv"))
+    def report(src: DataFrame, name: String, metric: Column,
+        passed: Column): DataFrame =
+      src.select(lit(name).as("constraint_name"), metric.as("metric"),
+        passed.cast("long").as("passed"))
+    def frac(c: String): Column = round(col(c).cast("double") / col("n"), 6)
+    def all(c: String): Column = col(c) === col("n")
+    Seq(
+      report(m, "completeness_o_orderdate", frac("c_date"), all("c_date")),
+      report(m, "uniqueness_o_orderkey", frac("u_key"), all("u_key")),
+      report(m, "range_o_totalprice_pos", frac("c_price"), all("c_price")),
+      report(m, "set_o_orderstatus", frac("c_status"), all("c_status")),
+      report(m, "pattern_o_orderpriority", frac("c_prio"), all("c_prio")),
+      report(v, "referential_o_custkey", col("nv").cast("double"), col("nv") === 0))
+      .reduce(_.unionByName(_))
+      .reportSorted("constraint_name")
   }
 }

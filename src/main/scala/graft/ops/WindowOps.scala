@@ -734,4 +734,95 @@ object WindowOps extends QueryModule {
             (col("day_us") - col("pt")) / (col("nt") - col("pt"))), 6).as("v"))
       .orderBy("user_id", "day_us") // user×active-day grid = input-sized
   }
+
+  /** Autocorrelation at lags 1–3 of each user's daily series — the
+    * seasonality probe a forecasting pipeline runs before choosing a
+    * model (high ACF at lag 7 ⇒ weekly structure, etc.). Row-lag over
+    * the observed daily grid (gaps collapse, documented). ONE daily
+    * bucket aggregate, ONE user-partitioned window sort producing all
+    * three lags, then a two-phase aggregate over (user, lag) — cost is
+    * lags × series length, shuffle is the single (user) partition
+    * sort. ACF composed from co-moments with a nullif guard (checklist
+    * item 7: a constant series has zero variance — both engines emit
+    * NULL, not a DIVIDE_BY_ZERO or NaN divergence).
+    */
+  q("ts_autocorr",
+    """WITH b AS (SELECT user_id, date_trunc('day', ts) AS d, avg(value) AS v FROM events GROUP BY 1, 2),
+      |w AS (SELECT user_id, d, v,
+      |        lag(v, 1) OVER (PARTITION BY user_id ORDER BY d) AS l1,
+      |        lag(v, 2) OVER (PARTITION BY user_id ORDER BY d) AS l2,
+      |        lag(v, 3) OVER (PARTITION BY user_id ORDER BY d) AS l3 FROM b),
+      |p AS (SELECT user_id, 1 AS lag_k, v, l1 AS lv FROM w WHERE l1 IS NOT NULL
+      |      UNION ALL SELECT user_id, 2, v, l2 FROM w WHERE l2 IS NOT NULL
+      |      UNION ALL SELECT user_id, 3, v, l3 FROM w WHERE l3 IS NOT NULL),
+      |a AS (SELECT user_id, lag_k, count(*) AS n, sum(v) AS sx, sum(lv) AS sy,
+      |             sum(v*lv) AS sxy, sum(v*v) AS sx2, sum(lv*lv) AS sy2
+      |      FROM p GROUP BY 1, 2)
+      |SELECT user_id, CAST(lag_k AS BIGINT) AS lag_k,
+      |  round((n*sxy - sx*sy) / nullif(sqrt(greatest((n*sx2 - sx*sx) * (n*sy2 - sy*sy), 0)), 0), 6) + 0.0 AS acf
+      |FROM a ORDER BY user_id, lag_k""") { (s, d) =>
+    val b = T(s, d, "events")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .agg(avg("value").as("v"))
+    val w = Window.partitionBy("user_id").orderBy("d")
+    val withLags = b
+      .withColumn("l1", lag("v", 1).over(w))
+      .withColumn("l2", lag("v", 2).over(w))
+      .withColumn("l3", lag("v", 3).over(w))
+    val pairs = (1 to 3).map { k =>
+      withLags.filter(col(s"l$k").isNotNull)
+        .select(col("user_id"), lit(k.toLong).as("lag_k"),
+          col("v"), col(s"l$k").as("lv"))
+    }.reduce(_.unionByName(_))
+    pairs.groupBy("user_id", "lag_k")
+      .agg(count(lit(1)).as("n"), sum("v").as("sx"), sum("lv").as("sy"),
+        sum(col("v") * col("lv")).as("sxy"),
+        sum(col("v") * col("v")).as("sx2"),
+        sum(col("lv") * col("lv")).as("sy2"))
+      .select(col("user_id"), col("lag_k"),
+        expr("round((n*sxy - sx*sy) / nullif(sqrt(greatest((n*sx2 - sx*sx) * (n*sy2 - sy*sy), 0)), 0), 6) + 0.0")
+          .as("acf"))
+      .orderBy("user_id", "lag_k") // user×lag rows = input-sized
+  }
+
+  /** CUSUM changepoint detection per user series: the day where the
+    * cumulative sum of deviations from the series mean peaks in
+    * absolute value — the classic single-changepoint location
+    * statistic (Page 1954's CUSUM, the offline max-|S_k| form). ONE
+    * daily bucket aggregate, a per-user mean joined back (AQE
+    * broadcasts the user-sized side), ONE running-sum window and ONE
+    * rank window sharing the (user) partitioning, argmax row kept.
+    * The |cusum| that feeds the rank is rounded first (checklist item
+    * 5) and tie-broken by day, so both engines pick the same peak.
+    */
+  q("ts_cusum_changepoint",
+    """WITH b AS (SELECT user_id, date_trunc('day', ts) AS d, avg(value) AS v FROM events GROUP BY 1, 2),
+      |m AS (SELECT user_id, avg(v) AS mu, count(*) AS n_days FROM b GROUP BY 1),
+      |cs AS (SELECT b.user_id, b.d, m.n_days,
+      |         sum(b.v - m.mu) OVER (PARTITION BY b.user_id ORDER BY b.d) AS cusum
+      |       FROM b JOIN m USING (user_id)),
+      |r AS (SELECT user_id, d, round(abs(cusum), 6) AS ac, n_days,
+      |        row_number() OVER (PARTITION BY user_id ORDER BY round(abs(cusum), 6) DESC, d ASC) AS rn
+      |      FROM cs)
+      |SELECT user_id, CAST(epoch_us(d) AS BIGINT) AS cp_day_us, ac AS max_abs_cusum,
+      |       CAST(n_days AS BIGINT) AS n_days
+      |FROM r WHERE rn = 1 ORDER BY user_id""") { (s, d) =>
+    val b = T(s, d, "events")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .agg(avg("value").as("v"))
+    val m = b.groupBy("user_id")
+      .agg(avg("v").as("mu"), count(lit(1)).as("n_days"))
+    val cw = Window.partitionBy("user_id").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cs = b.join(m, Seq("user_id"))
+      .withColumn("cusum", sum(col("v") - col("mu")).over(cw))
+      .select(col("user_id"), col("d"),
+        round(abs(col("cusum")), 6).as("ac"), col("n_days"))
+    cs.withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("ac").desc, col("d").asc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), unix_micros(col("d")).as("cp_day_us"),
+        col("ac").as("max_abs_cusum"), col("n_days"))
+      .orderBy("user_id") // one row per user = input-sized
+  }
 }

@@ -85,6 +85,38 @@ object FormatOps extends QueryModule {
       .reportSorted("shard")
   }
 
+  /** Hive-style partitioned parquet layout — THE physical organization
+    * of a 100 TB lakehouse table: `partitionBy(lang)` writes one
+    * directory per language so a reader filtering on the partition
+    * column never opens the other directories (partition PRUNING —
+    * directory listing, not data IO, decides; the pruned plan is
+    * asserted in PlanInvariantsSpec). The read-back aggregate covers
+    * every surviving column, and the oracle recomputes from the
+    * original parquet with the same predicate, so a row lost or
+    * duplicated by the partitioned rewrite fails the hash. Partition
+    * columns must be LOW-cardinality (languages, dates, sources — not
+    * doc ids: a 10⁶-value partition column is 10⁶ directories of tiny
+    * files, the classic small-files failure).
+    */
+  q("sink_partitioned_parquet",
+    """SELECT lang, source, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(min(doc_id) AS BIGINT) AS min_id,
+      |       CAST(max(doc_id) AS BIGINT) AS max_id
+      |FROM documents WHERE lang IN ('en', 'de')
+      |GROUP BY 1, 2 ORDER BY lang, source""") { (s, d) =>
+    val dir = scratch(d, "hivepart")
+    T(s, d, "documents")
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    s.read.parquet(dir)
+      .filter(col("lang").isin("en", "de"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .reportSorted("lang", "source")
+  }
+
   /** CSV export + read-back with explicit schema and header — the
     * ingest format everything upstream of a lakehouse still speaks.
     * Verified the same way as the JSONL row: the aggregate touches

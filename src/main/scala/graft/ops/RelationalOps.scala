@@ -497,6 +497,35 @@ object RelationalOps extends QueryModule {
       .reportSorted("lang")
   }
 
+  /** Count-min sketch point-frequency estimates (Cormode &
+    * Muthukrishnan 2005) — the fourth sketch beside HLL (distinct),
+    * Misra-Gries (top-k) and bloom (membership): answers "how often
+    * does THIS item occur" from d×w counters regardless of vocabulary
+    * size, with one-sided error (never undercounts, overcounts by
+    * ≤ εN w.h.p.). Spark's built-in mergeable CMS aggregates
+    * partition-local sketches — the shuffle carries d·w integers per
+    * partition, never the token space. Probed here for the exact
+    * top-10 tokens so the report pairs estimate vs truth; estimates
+    * are seed/hash-dependent → rows-only, the ε-bound contract is
+    * pinned in SketchSpec.
+    */
+  qRowsOnly("agg_count_min") { (s, d) =>
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val toks = T(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val cms = toks.stat.countMinSketch("w", 0.0001, 0.99, 42)
+    val top = toks.groupBy("w").agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("w").asc).limit(10).collect()
+    val rows = top.map(r => Row(r.getString(0),
+      cms.estimateCount(r.getString(0)), r.getLong(1))).toSeq
+    val schema = StructType(Seq(StructField("token", StringType),
+      StructField("cms_estimate", LongType), StructField("exact", LongType)))
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+      .reportSorted("token")
+  }
+
   /** Per-group mode with a deterministic tie (smallest value wins) —
     * the categorical summary statistic. Two-phase by construction:
     * (group, value) counts with map-side combine (shuffle ∝ distinct

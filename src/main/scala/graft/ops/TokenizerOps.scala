@@ -119,4 +119,39 @@ object TokenizerOps extends QueryModule {
       .select(col("doc_id"), col("source"), col("n_tok"), col("cum"))
       .orderBy("source", "cum") // kept-docs-sized output
   }
+
+  /** Document chunking over REAL subword tokens — the second
+    * tokenizer-parameterized family member: the same 32-token /
+    * stride-24 sliding grid as `pipeline_chunk_documents`, but the
+    * window counts BPE tokens (what actually fills a model's context)
+    * and the chunk text is the DECODED slice. Chunks may start or end
+    * mid-word — token-level slicing is exactly what a pretraining
+    * loader does; the end-of-word markers make the decode
+    * unambiguous. Tokenize once per doc map-side (broadcast model +
+    * per-partition memo), then the grid explode and array slicing are
+    * plain codegen'd functions — no shuffle before the output sort.
+    */
+  qRowsOnly("pipeline_chunk_documents_bpe") { (s, d) =>
+    import s.implicits._
+    val model = s.sparkContext.broadcast(trainOn(s, d))
+    val toks = T(s, d, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val m = model.value
+        val memo = mutable.HashMap.empty[String, Vector[String]]
+        it.map { case (id, text) => (id, Bpe.encode(text, m, memo)) }
+      }
+      .toDF("doc_id", "toks")
+    toks.withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .withColumn("st", explode(sequence(lit(0), col("n") - 1, lit(24))))
+      .select(col("doc_id"), (col("st") / 24).cast("int").as("chunk_id"),
+        size(slice(col("toks"), col("st") + 1, lit(32))).as("n_tok"),
+        // decode: concatenate, end-of-word markers become spaces
+        rtrim(regexp_replace(
+          array_join(slice(col("toks"), col("st") + 1, lit(32)), ""),
+          "</w>", " ")).as("chunk"))
+      .orderBy("doc_id", "chunk_id") // chunk per 24 input tokens = input-sized
+  }
 }

@@ -76,6 +76,26 @@ class BpeSpec extends AnyFunSuite {
       s"200 merges should at least halve the token stream: $totToks vs $totChars chars")
   }
 
+  test("pipeline_chunk_documents_bpe: stride grid is dense, windows bounded, decode sane") {
+    val chunks = graft.SparkEntry.queries("pipeline_chunk_documents_bpe")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(chunks.nonEmpty)
+    assert(chunks.forall(_._3 <= 32), "window is 32 tokens max")
+    assert(chunks.forall(_._3 >= 1), "no empty chunks")
+    chunks.groupBy(_._1).foreach { case (docId, cs) =>
+      val ids = cs.map(_._2).sorted
+      assert(ids.toSeq == (0 until cs.length).toSeq, s"doc $docId chunk ids dense")
+      // window length law: chunk k covers tokens [24k, min(24k+32, n))
+      val sorted = cs.sortBy(_._2)
+      val n = 24 * sorted.last._2 + sorted.last._3
+      sorted.foreach { case (_, k, nTok, _) =>
+        assert(nTok == math.min(32, n - 24 * k), s"doc $docId chunk $k window length")
+      }
+    }
+    // decoded text never contains a marker remnant
+    assert(chunks.forall(!_._4.contains("</w>")))
+  }
+
   test("registered rows: roundtrip_ok everywhere; bpe budget keeps different docs than whitespace") {
     val rep = graft.SparkEntry.queries("text_bpe_tokenize")(spark, dir).collect()
     assert(rep.length > 0)

@@ -51,6 +51,13 @@ class PlanInvariantsSpec extends AnyFunSuite {
       || p.contains("AdaptiveSparkPlan"), s"unexpected join shape:\n$p")
   }
 
+  test("sink_partitioned_parquet: the read-back scan prunes partitions on lang") {
+    val df = graft.SparkEntry.queries("sink_partitioned_parquet")(spark, d)
+    val p = plan(df)
+    assert(p.contains("PartitionFilters") && p.contains("lang"),
+      s"expected a lang partition filter on the hive-layout scan in:\n$p")
+  }
+
   test("report-sized results end in a single-partition sort, not a range exchange") {
     val df = graft.SparkEntry.queries("text_ngram_freq")(spark, d)
     val p = plan(df)

@@ -80,7 +80,18 @@ object GraphOps extends QueryModule {
       |JOIN e e2 ON e2.nk = e1.nk AND e2.a = e1.b
       |JOIN e e3 ON e3.nk = e1.nk AND e3.a = e1.a AND e3.b = e2.b
       |GROUP BY 1 ORDER BY nk""") { (s, d) =>
-    val e = leadEdges(s, d, withN2 = true, maxGap = None)
+    orientedTriangleCount(leadEdges(s, d, withN2 = true, maxGap = None))
+      .reportSorted("nk")
+  }
+
+  /** Degree-oriented exact triangle count per graph partition `nk`
+    * over a unique undirected edge frame `(nk, a, b)` with a < b.
+    * Wedges are enumerated only from each vertex's ORIENTED
+    * out-neighborhood (out-degree ≤ O(√m) by the arboricity bound),
+    * so a hub's edges — which all orient INTO it — never square; the
+    * GraphSpec hub probe pins exactly that.
+    */
+  private[ops] def orientedTriangleCount(e: DataFrame): DataFrame = {
     val deg = e.select(col("nk"), col("a").as("v"))
       .unionByName(e.select(col("nk"), col("b").as("v")))
       .groupBy("nk", "v").agg(count(lit(1)).as("deg"))
@@ -106,7 +117,6 @@ object GraphOps extends QueryModule {
     wedges.join(closing,
         col("nk") === col("nk3") && col("v1") === col("u3") && col("v2") === col("v3"))
       .groupBy("nk").agg(count(lit(1)).as("n_triangles"))
-      .reportSorted("nk")
   }
 
   /** Exact connected components (min component label per vertex +
@@ -116,39 +126,31 @@ object GraphOps extends QueryModule {
     * pointer-jumping loop, so a hash match is strong evidence the
     * iterative plan converged to the true components.
     */
-  q("graph_connected_components",
-    """WITH RECURSIVE c AS (SELECT c_custkey AS id, c_nationkey AS nk FROM customer),
-      |l AS (SELECT nk, id, lead(id, 1) OVER (PARTITION BY nk ORDER BY id) AS n1
-      |      FROM c),
-      |e AS (SELECT id AS a, n1 AS b FROM l
-      |      WHERE n1 IS NOT NULL AND n1 - id <= 40),
-      |sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
-      |reach(id, lbl) AS (
-      |  SELECT id, id AS lbl FROM c
-      |  UNION
-      |  SELECT s.b AS id, r.lbl FROM reach r JOIN sym s ON s.a = r.id
-      |),
-      |cc AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id)
-      |SELECT cc.id AS id, cc.comp AS comp, sz.comp_size AS comp_size
-      |FROM cc JOIN (SELECT comp, count(*) AS comp_size FROM cc GROUP BY comp) sz
-      |  USING (comp)
-      |ORDER BY id""") { (s, d) =>
-    val sc = s.sparkContext
+  /** Pointer-jumping min-label connected components over an explicit
+    * `(a, b)` edge frame: per round every vertex takes the min of its
+    * own label, its neighbors' labels, and its LABEL'S label (the
+    * jump — label chains halve each round), so rounds ≈ log₂(diameter)
+    * where plain propagation needs diameter rounds. Returns `(id,
+    * comp)` for every vertex of `nodes`. Same checkpoint-and-free
+    * discipline as LlmOps.connectedComponents / PageRank; returns-on-
+    * convergence or throws (a half-converged labeling silently splits
+    * components — never worth returning).
+    */
+  private[ops] def pointerJumpCC(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 24): DataFrame = {
+    val sc = nodes.sparkSession.sparkContext
     def persisted: Set[Int] = sc.getPersistentRDDs.keySet.toSet
     def free(ids: Set[Int]): Unit = ids.foreach(id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     val pre0 = persisted
-    val e = leadEdges(s, d, withN2 = false, maxGap = Some(40L))
-    val sym = e.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
     val symIds = persisted -- pre0
-    val nodes = T(s, d, "customer").select(col("c_custkey").as("id"))
-    var labels = nodes.withColumn("lbl", col("id"))
+    var labels = nodes.select(col("id")).withColumn("lbl", col("id"))
     var prevIds = Set.empty[Int]
     var iter = 0
     var converged = false
-    val maxIter = 24 // jumping doubles coverage per round: 24 ≈ diameter 2^24
     while (iter < maxIter && !converged) {
       val nbr = sym
         .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
@@ -174,17 +176,37 @@ object GraphOps extends QueryModule {
       converged = changed == 0
       iter += 1
     }
+    free(symIds)
     if (!converged) {
       free(prevIds)
-      free(symIds)
       throw new IllegalStateException(
-        s"graph_connected_components: not converged after $maxIter rounds " +
-          "— with pointer jumping that implies diameter > 2^24; raise maxIter")
+        s"pointerJumpCC: not converged after $maxIter rounds — with " +
+          s"jumping that implies diameter > 2^$maxIter; raise maxIter")
     }
-    // the final round's blocks back the returned frame; the edge list
-    // served its last join and can release now
-    free(symIds)
-    val cc = labels.select(col("id"), col("lbl").as("comp"))
+    // the final round's blocks back the returned frame's lineage
+    labels.select(col("id"), col("lbl").as("comp"))
+  }
+
+  q("graph_connected_components",
+    """WITH RECURSIVE c AS (SELECT c_custkey AS id, c_nationkey AS nk FROM customer),
+      |l AS (SELECT nk, id, lead(id, 1) OVER (PARTITION BY nk ORDER BY id) AS n1
+      |      FROM c),
+      |e AS (SELECT id AS a, n1 AS b FROM l
+      |      WHERE n1 IS NOT NULL AND n1 - id <= 40),
+      |sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+      |reach(id, lbl) AS (
+      |  SELECT id, id AS lbl FROM c
+      |  UNION
+      |  SELECT s.b AS id, r.lbl FROM reach r JOIN sym s ON s.a = r.id
+      |),
+      |cc AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id)
+      |SELECT cc.id AS id, cc.comp AS comp, sz.comp_size AS comp_size
+      |FROM cc JOIN (SELECT comp, count(*) AS comp_size FROM cc GROUP BY comp) sz
+      |  USING (comp)
+      |ORDER BY id""") { (s, d) =>
+    val e = leadEdges(s, d, withN2 = false, maxGap = Some(40L))
+    val nodes = T(s, d, "customer").select(col("c_custkey").as("id"))
+    val cc = pointerJumpCC(nodes, e)
     val sizes = cc.groupBy("comp").agg(count(lit(1)).as("comp_size"))
     cc.join(sizes, Seq("comp"))
       .select(col("id"), col("comp"), col("comp_size"))

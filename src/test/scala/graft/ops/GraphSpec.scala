@@ -77,4 +77,33 @@ class GraphSpec extends AnyFunSuite {
     // the graph is genuinely non-trivial: multiple multi-node components
     assert(sizes.count(_._2 > 1) > 1)
   }
+
+  test("scale probe: a 20k-spoke hub cannot square — oriented count stays exact and fast") {
+    // star K_{1,20000} + 5 planted triangles among spokes. Naive wedge
+    // enumeration at the hub is C(20000, 2) = 2·10⁸ pairs; orientation
+    // sends every hub edge INTO the hub (max degree ⇒ max rank), so the
+    // hub generates ZERO wedges and the plan touches only spoke wedges.
+    import spark.implicits._
+    val hub = 0L
+    val spokes = (1L to 20000L).map(v => (0L, hub, v))
+    val tri = (1L to 5L).map(k => (0L, 2 * k, 2 * k + 1)) // spoke-spoke closers
+    val edges = (spokes ++ tri).toDF("nk", "a", "b")
+    val t0 = System.nanoTime()
+    val got = GraphOps.orientedTriangleCount(edges).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got.length == 1 && got.head.getLong(1) == 5L, s"got ${got.toSeq}")
+    assert(secs < 60, s"hub graph took ${secs}s — wedge bound regressed")
+  }
+
+  test("scale probe: 4096-node path converges in <= 24 pointer-jump rounds") {
+    // diameter 4095: hop-per-round propagation needs ~4095 rounds and
+    // would THROW at the 24-round cap — convergence here is direct
+    // evidence of the O(log diameter) jump. All labels collapse to 0.
+    import spark.implicits._
+    val nodes = (0L until 4096L).toDF("id")
+    val edges = (0L until 4095L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = GraphOps.pointerJumpCC(nodes, edges, maxIter = 24).collect()
+    assert(cc.length == 4096)
+    assert(cc.forall(_.getLong(1) == 0L), "path must collapse to one component rooted at 0")
+  }
 }

@@ -2974,4 +2974,161 @@ object LlmOps extends QueryModule {
       .agg(round(sum(col("m")), 6).as("maxsim"), count(lit(1)).cast("int").as("n_q"))
       .reportSorted("label")
   }
+
+  /** Gopher/MassiveText rule-based quality gate (SPEC: Rae et al. 2021
+    * §A1.1 — word-count bounds, mean-word-length bounds, alphabetic-word
+    * ratio, required stopword hits; the line-level rules degenerate on
+    * this single-line corpus and are deliberately omitted rather than
+    * emitted as constant zeros). Pure per-row HOF arithmetic over the
+    * token array — zero shuffle, whole-stage codegen, one corpus pass at
+    * any scale. `kept` is 0/1 BIGINT (type-stable, dq_constraint_check
+    * precedent); every ratio feeding it is a single exact-int division,
+    * so the flag is ulp-proof without rank machinery.
+    */
+  q("text_gopher_filter",
+    """SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
+      |       max_word_len, round(alpha_ratio, 6) AS alpha_ratio, stop_hits, kept
+      |FROM (
+      |  SELECT doc_id,
+      |         CAST(len(w) AS INTEGER) AS n_words,
+      |         CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE)
+      |           / greatest(len(w), 1) AS mean_word_len,
+      |         CAST(list_max(list_transform(w, t -> len(t))) AS INTEGER) AS max_word_len,
+      |         CAST(len(list_filter(w, t -> regexp_full_match(t, '[a-z]+'))) AS DOUBLE)
+      |           / greatest(len(w), 1) AS alpha_ratio,
+      |         CAST(len(list_filter(['the', 'a', 'and', 'of', 'to'],
+      |                              sw -> list_contains(w, sw))) AS INTEGER) AS stop_hits,
+      |         CAST(len(w) BETWEEN 10 AND 100000
+      |              AND CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE)
+      |                    / greatest(len(w), 1) BETWEEN 2 AND 12
+      |              AND CAST(len(list_filter(w, t -> regexp_full_match(t, '[a-z]+'))) AS DOUBLE)
+      |                    / greatest(len(w), 1) >= 0.8
+      |              AND len(list_filter(['the', 'a', 'and', 'of', 'to'],
+      |                                  sw -> list_contains(w, sw))) >= 2 AS BIGINT) AS kept
+      |  FROM (SELECT doc_id, str_split(text, ' ') AS w FROM documents) t) t2
+      |ORDER BY doc_id""") { (s, d) =>
+    val w = col("w")
+    val nWords = size(w)
+    val sumLen = expr("aggregate(w, 0, (acc, t) -> acc + length(t))")
+    val meanLen = sumLen.cast("double") / greatest(nWords, lit(1))
+    val alphaRatio =
+      size(expr("filter(w, t -> t rlike '^[a-z]+$')")).cast("double") /
+        greatest(nWords, lit(1))
+    val stopHits = size(expr(
+      "filter(array('the', 'a', 'and', 'of', 'to'), sw -> array_contains(w, sw))"))
+    T(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        nWords.cast("int").as("n_words"),
+        round(meanLen, 6).as("mean_word_len"),
+        expr("array_max(transform(w, t -> length(t)))").cast("int").as("max_word_len"),
+        round(alphaRatio, 6).as("alpha_ratio"),
+        stopHits.cast("int").as("stop_hits"),
+        (nWords.between(10, 100000) && meanLen.between(2, 12) &&
+          alphaRatio >= 0.8 && stopHits >= 2).cast("long").as("kept"))
+      .orderBy("doc_id") // one row per doc = input-sized
+  }
+
+  /** Zipf-law fit over the corpus word-frequency distribution (SPEC:
+    * Zipf 1949; a healthy natural corpus shows ln(freq) ≈ a + s·ln(rank)
+    * with s ≈ −1 — a collapsed or templated crawl shows up as a slope
+    * far from −1, making this a standard corpus-level health probe).
+    * Scale shape: one vocab-sized two-phase word count, then
+    * TakeOrderedAndProject caps the fit set at the top-1000 ranks —
+    * the single-partition rank window after it touches ≤1000 rows by
+    * construction (bounded, never corpus-sized). Rank ties share a
+    * count, so ln(freq) per rank position — and hence the fit — is
+    * deterministic regardless of tie order; the OLS co-moments ride
+    * ~1e3-term double sums whose cross-engine ulps sit ~6 orders below
+    * the 6dp rounding.
+    */
+  q("text_zipf_fit",
+    """WITH tc AS (
+      |  SELECT w, count(*) AS c
+      |  FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents) t GROUP BY 1),
+      |     top AS (SELECT c FROM tc ORDER BY c DESC, w LIMIT 1000),
+      |     rk AS (SELECT ln(CAST(row_number() OVER (ORDER BY c DESC) AS DOUBLE)) AS lr,
+      |                   ln(CAST(c AS DOUBLE)) AS lf
+      |            FROM top),
+      |     fit AS (SELECT count(*) AS n, sum(lr) AS sr, sum(lf) AS sf,
+      |                    sum(lr * lr) AS srr, sum(lr * lf) AS srf
+      |             FROM rk),
+      |     tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+      |                    CAST(count(*) AS BIGINT) AS vocab_size FROM tc)
+      |SELECT tot.n_tokens, tot.vocab_size, CAST(fit.n AS INTEGER) AS n_ranks,
+      |       round((fit.n * fit.srf - fit.sr * fit.sf)
+      |             / nullif(fit.n * fit.srr - fit.sr * fit.sr, 0), 6) AS zipf_slope,
+      |       round((fit.sf - (fit.n * fit.srf - fit.sr * fit.sf)
+      |                       / nullif(fit.n * fit.srr - fit.sr * fit.sr, 0) * fit.sr)
+      |             / fit.n, 6) AS zipf_intercept
+      |FROM tot, fit""") { (s, d) =>
+    val tc = T(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    // TakeOrderedAndProject: the limit rides the sort, so the rank
+    // window below is bounded at 1000 rows — single partition by design
+    val top = tc.orderBy(col("c").desc, col("w")).limit(1000).select("c")
+    val rk = top
+      .withColumn("r", row_number().over(Window.orderBy(col("c").desc)))
+      .select(log(col("r").cast("double")).as("lr"), log(col("c").cast("double")).as("lf"))
+    val fit = rk.agg(count(lit(1)).as("n"), sum("lr").as("sr"), sum("lf").as("sf"),
+      sum(col("lr") * col("lr")).as("srr"), sum(col("lr") * col("lf")).as("srf"))
+    val tot = tc.agg(sum("c").cast("long").as("n_tokens"),
+      count(lit(1)).cast("long").as("vocab_size"))
+    val denom = nullif(col("n") * col("srr") - col("sr") * col("sr"), lit(0.0))
+    val slope = (col("n") * col("srf") - col("sr") * col("sf")) / denom
+    tot.crossJoin(broadcast(fit))
+      .select(col("n_tokens"), col("vocab_size"), col("n").cast("int").as("n_ranks"),
+        round(slope, 6).as("zipf_slope"),
+        round((col("sf") - slope * col("sr")) / col("n"), 6).as("zipf_intercept"))
+  }
+
+  /** Perplexity-based corpus filtering (SPEC: CCNet — Wenzek et al.
+    * 2019: score each document under a language model, keep the
+    * best-scoring half; here the LM is the corpus-trained bigram model
+    * shared with [[text_bigram_logprob]]). The keep rule is RANK-based
+    * (bottom half by (avg_nll, doc_id)), not a score threshold — the
+    * rank rides rounded 6dp scores already proven hash-equal across
+    * engines, so the cut is integer-deterministic where a raw-double
+    * threshold could ulp-flip boundary docs. The global rank reuses the
+    * two-pass range-bucket machinery (no single-partition exchange);
+    * the half-count comes from a broadcast 1-row aggregate.
+    */
+  q("pipeline_perplexity_filter",
+    """WITH tk AS (SELECT doc_id, str_split(text, ' ') AS tok FROM documents),
+      |     bg AS (SELECT doc_id,
+      |              unnest([tok[i] || ' ' || tok[i+1] FOR i IN range(1, len(tok))]) AS b
+      |            FROM tk),
+      |     bc AS (SELECT b, count(*) AS cb FROM bg GROUP BY 1),
+      |     uc AS (SELECT str_split(b, ' ')[1] AS w, count(*) AS cu FROM bg GROUP BY 1),
+      |     sc AS (SELECT g.doc_id,
+      |                   round(-avg(ln(CAST(bc.cb AS DOUBLE) / uc.cu)), 6) AS avg_nll
+      |            FROM bg g JOIN bc ON bc.b = g.b
+      |            JOIN uc ON uc.w = str_split(g.b, ' ')[1]
+      |            GROUP BY g.doc_id),
+      |     r AS (SELECT doc_id, avg_nll,
+      |                  CAST(row_number() OVER (ORDER BY avg_nll, doc_id) AS BIGINT) AS rnk,
+      |                  count(*) OVER () AS n
+      |           FROM sc)
+      |SELECT doc_id, avg_nll, rnk FROM r WHERE rnk <= n // 2 ORDER BY doc_id""") { (s, d) =>
+    val bg = T(s, d, "documents")
+      .withColumn("tok", split(col("text"), " "))
+      .filter(size(col("tok")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tok) - 2), i -> concat_ws(' ', slice(tok, i + 1, 2)))")).as("b"))
+      .withColumn("w1", substring_index(col("b"), " ", 1))
+    val bc = bg.groupBy("b").agg(count(lit(1)).as("cb"))
+    val uc = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val sc = bg.join(bc, Seq("b"))
+      .join(uc, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(round(-avg(log(col("cb").cast("double") / col("cu"))), 6).as("avg_nll"))
+    val half = sc.agg((count(lit(1)) / 2).cast("long").as("half"))
+    WindowOps.globalRowNumber(sc, Seq(col("avg_nll").asc, col("doc_id").asc))
+      .withColumnRenamed("global_rank", "rnk")
+      .crossJoin(broadcast(half))
+      .filter(col("rnk") <= col("half"))
+      .select(col("doc_id"), col("avg_nll"), col("rnk"))
+      .orderBy("doc_id") // surviving half of the corpus = input-sized
+  }
 }

@@ -360,4 +360,18 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.contains("partial_avg"),
       s"component averages must map-side combine before the shuffle:\n$p")
   }
+
+  test("text_gopher_filter: pure map-side — the only exchange is the report sort") {
+    val p = plan(graft.SparkEntry.queries("text_gopher_filter")(spark, d))
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"rule gate must not shuffle (beyond the output sort):\n$p")
+  }
+
+  test("text_zipf_fit: rank-window input capped by TakeOrderedAndProject") {
+    val p = plan(graft.SparkEntry.queries("text_zipf_fit")(spark, d))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-1000 cap must ride the sort, never a global vocab sort:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"word count must be two-phase:\n$p")
+  }
 }

@@ -1041,4 +1041,123 @@ object RelationalOps extends QueryModule {
       .reduce(_.unionByName(_))
       .reportSorted("constraint_name")
   }
+
+  /** Robust central tendency per group: 10%-trimmed and winsorized
+    * means (SPEC: Tukey; the standard outlier-resistant summaries a
+    * metrics pipeline reports next to the raw mean). The cut is
+    * RANK-based — drop/clamp rows whose row_number lies in the outer
+    * n/10 tails — never a quantile-value threshold, so membership is
+    * integer-deterministic where interpolated-percentile boundaries
+    * could ulp-flip across engines. One (event_type) partition sort
+    * serves both window functions; the winsorized mean needs NO second
+    * pass: it is (kept_sum + t·lo + t·hi)/n in closed form from the
+    * same grouped aggregate. At 100 TB: group-sized windows over the
+    * grouping key's natural partitioning, fixed-state aggregate after.
+    */
+  q("agg_trimmed_mean",
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |         count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events),
+      |     g AS (
+      |  SELECT event_type, n, n // 10 AS t,
+      |         avg(CASE WHEN rn > n // 10 AND rn <= n - n // 10 THEN value END) AS tmean,
+      |         sum(CASE WHEN rn > n // 10 AND rn <= n - n // 10 THEN value END) AS skept,
+      |         max(CASE WHEN rn = n // 10 + 1 THEN value END) AS vlo,
+      |         max(CASE WHEN rn = n - n // 10 THEN value END) AS vhi
+      |  FROM r GROUP BY event_type, n)
+      |SELECT event_type, CAST(n AS BIGINT) AS n, round(tmean, 6) AS trimmed_mean,
+      |       round((skept + t * vlo + t * vhi) / n, 6) AS winsor_mean,
+      |       round(vlo, 6) AS lo_clamp, round(vhi, 6) AS hi_clamp
+      |FROM g ORDER BY event_type""") { (s, d) =>
+    val w = Window.partitionBy("event_type").orderBy(col("value").asc, col("event_id").asc)
+    val wc = Window.partitionBy("event_type")
+    val r = T(s, d, "events").select("event_type", "event_id", "value")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wc))
+      .withColumn("t", expr("n div 10"))
+    val kept = col("rn") > col("t") && col("rn") <= col("n") - col("t")
+    r.groupBy("event_type")
+      .agg(max("n").cast("long").as("n"),
+        round(avg(when(kept, col("value"))), 6).as("trimmed_mean"),
+        sum(when(kept, col("value"))).as("skept"),
+        max(when(col("rn") === col("t") + 1, col("value"))).as("vlo"),
+        max(when(col("rn") === col("n") - col("t"), col("value"))).as("vhi"),
+        max("t").as("tt"))
+      .select(col("event_type"), col("n"), col("trimmed_mean"),
+        round((col("skept") + col("tt") * col("vlo") + col("tt") * col("vhi"))
+          / col("n"), 6).as("winsor_mean"),
+        round(col("vlo"), 6).as("lo_clamp"), round(col("vhi"), 6).as("hi_clamp"))
+      .reportSorted("event_type")
+  }
+
+  /** Deterministic per-group k-sample — the restart-stable stand-in for
+    * reservoir sampling (SPEC: Vitter 1985 semantics, derandomized):
+    * rank by an LCG hash of the row key (the pipeline_epoch_shuffle
+    * key rule) and keep the first k per group, so the sample is
+    * uniform-ish, reproducible across retries/engines, and
+    * oracle-expressible. Spark plans the rank-filter as
+    * WindowGroupLimit: each map task keeps only its local top-k per
+    * group BEFORE the shuffle — at 100 TB the exchange carries
+    * O(k · groups · partitions), never the corpus.
+    */
+  q("agg_reservoir_sample",
+    """SELECT event_type, CAST(rn AS INTEGER) AS slot, event_id, value FROM (
+      |  SELECT event_type, event_id, value,
+      |         row_number() OVER (PARTITION BY event_type
+      |           ORDER BY (event_id * 1103515245 + 12345) % 2147483648, event_id) AS rn
+      |  FROM events) t WHERE rn <= 5 ORDER BY event_type, slot""") { (s, d) =>
+    val h = pmod(col("event_id") * lit(1103515245L) + lit(12345L), lit(2147483648L))
+    val w = Window.partitionBy("event_type").orderBy(h.asc, col("event_id").asc)
+    T(s, d, "events").select("event_type", "event_id", "value")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("event_type"), col("rn").cast("int").as("slot"),
+        col("event_id"), col("value"))
+      .reportSorted("event_type", "slot")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance between the value
+    * distributions of two event families (SPEC: the standard
+    * data-drift gate a training pipeline runs between yesterday's and
+    * today's feature distributions). D = max |F_a − F_b| evaluated at
+    * every observation. The ECDFs come from GLOBAL prefix sums of the
+    * two membership indicators over the (value, event_id) total order —
+    * [[WindowOps.globalPrefixSums]]: range-bucket + intra-bucket
+    * running sums + O(#partitions) offset broadcast, so unlike the
+    * textbook single ORDER BY window there is no single-partition
+    * exchange at any scale. Every per-row term is a division of exact
+    * integers; the max is rounded once.
+    */
+  q("dq_drift_ks",
+    """WITH ev AS (
+      |  SELECT event_id, value,
+      |         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |     c AS (
+      |  SELECT sum(a) OVER (ORDER BY value, event_id ROWS UNBOUNDED PRECEDING) AS ca,
+      |         sum(b) OVER (ORDER BY value, event_id ROWS UNBOUNDED PRECEDING) AS cb
+      |  FROM ev),
+      |     t AS (SELECT CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b FROM ev)
+      |SELECT t.n_a, t.n_b,
+      |       round(max(abs(CAST(c.ca AS DOUBLE) / t.n_a
+      |                     - CAST(c.cb AS DOUBLE) / t.n_b)), 6) AS ks_d
+      |FROM c, t GROUP BY t.n_a, t.n_b""") { (s, d) =>
+    val ev = T(s, d, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("value"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("a"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("b"))
+    val cum = WindowOps.globalPrefixSums(ev,
+      Seq(col("value").asc, col("event_id").asc), Seq("a", "b"))
+    val tot = ev.agg(sum("a").cast("long").as("n_a"), sum("b").cast("long").as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        abs(col("cum_a").cast("double") / col("n_a")
+          - col("cum_b").cast("double") / col("n_b")).as("diff"))
+      .groupBy("n_a", "n_b")
+      .agg(round(max(col("diff")), 6).as("ks_d"))
+  }
 }

@@ -202,6 +202,49 @@ object WindowOps extends QueryModule {
       .drop("pid", "ir", "off")
   }
 
+  /** Scale-safe global INCLUSIVE prefix sums of `sumCols` (integer
+    * columns) over the total order `sortCols` — [[globalRowNumber]]
+    * generalized from counting rows to summing indicators: range-bucket,
+    * intra-bucket running sums sharing ONE partition sort, then an
+    * O(#partitions) per-column offset broadcast. No single-partition
+    * exchange at any size. Adds `cum_<c>` (long) per requested column.
+    */
+  private[ops] def globalPrefixSums(df: org.apache.spark.sql.DataFrame,
+      sortCols: Seq[org.apache.spark.sql.Column],
+      sumCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val s = df.sparkSession
+    val parts = s.sparkContext.defaultParallelism
+    val staged = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("pid", spark_partition_id())
+    val wIntra = Window.partitionBy("pid").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = sumCols.foldLeft(staged) { (acc, c) =>
+      acc.withColumn(s"ic_$c", sum(col(c)).over(wIntra).cast("long"))
+    }.localCheckpoint()
+    val totals = ranked.groupBy("pid")
+      .agg(sum(col(sumCols.head)).cast("long").as(s"t_${sumCols.head}"),
+        sumCols.tail.map(c => sum(col(c)).cast("long").as(s"t_$c")): _*)
+      .orderBy("pid").collect()
+    val running = scala.collection.mutable.Map(sumCols.map(_ -> 0L): _*)
+    val offsets = totals.map { r =>
+      val row = r.getInt(0) +: sumCols.zipWithIndex.map { case (c, i) =>
+        val o = running(c); running(c) += r.getLong(i + 1); o
+      }
+      org.apache.spark.sql.Row(row: _*)
+    }
+    val offSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("pid",
+        org.apache.spark.sql.types.IntegerType) +:
+        sumCols.map(c => org.apache.spark.sql.types.StructField(s"off_$c",
+          org.apache.spark.sql.types.LongType)))
+    val offDf = s.createDataFrame(
+      java.util.Arrays.asList(offsets: _*), offSchema)
+    sumCols.foldLeft(ranked.join(broadcast(offDf), "pid")) { (acc, c) =>
+      acc.withColumn(s"cum_$c", col(s"off_$c") + col(s"ic_$c"))
+        .drop(s"off_$c", s"ic_$c")
+    }.drop("pid")
+  }
+
   q("win_ntile_percent",
     """SELECT c_custkey,
       |       ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS bucket,

@@ -374,4 +374,32 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"word count must be two-phase:\n$p")
   }
+
+  test("agg_reservoir_sample: rank filter pushes down as WindowGroupLimit") {
+    val p = plan(graft.SparkEntry.queries("agg_reservoir_sample")(spark, d))
+    assert(p.contains("WindowGroupLimit"),
+      s"per-group top-k must prune map-side before the shuffle:\n$p")
+  }
+
+  test("agg_trimmed_mean: both window functions share one partition sort") {
+    val p = plan(graft.SparkEntry.queries("agg_trimmed_mean")(spark, d))
+    // one hash exchange for the (event_type) windows + the report sort;
+    // the closed-form winsorized mean must not add a second pass
+    assert("Exchange".r.findAllIn(p).size <= 3,
+      s"rank + count + aggregate must reuse the group partitioning:\n$p")
+  }
+
+  test("dq_drift_ks: the only single-partition exchange is the 1-row totals agg") {
+    // the prefix-sum pass itself sits behind globalPrefixSums'
+    // localCheckpoint (Scan ExistingRDD below), whose range-bucket shape
+    // win_ntile_percent already pins on the shared machinery — here we
+    // assert the assembled query never funnels DATA through one task:
+    // the single SinglePartition exchange allowed is the (n_a, n_b)
+    // global aggregate, which carries exactly two longs
+    val p = plan(graft.SparkEntry.queries("dq_drift_ks")(spark, d))
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 1,
+      s"only the 2-long totals aggregate may collapse:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"ECDF side must ride the checkpointed prefix sums:\n$p")
+  }
 }

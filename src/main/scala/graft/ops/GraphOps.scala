@@ -119,6 +119,39 @@ object GraphOps extends QueryModule {
       .groupBy("nk").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Degree distribution histogram per graph partition — the first
+    * diagnostic anyone runs on a new graph (hub detection, power-law
+    * eyeball, join-skew forecasting for the triangle/CC plans above).
+    * Two chained two-phase aggregates — (nk, vertex) degree count,
+    * then (nk, degree) frequency — both equi-shuffles on compact keys;
+    * output is bounded by the distinct degree values, so the report
+    * sort is single-partition by design. Never materializes a
+    * neighbor list.
+    */
+  q("graph_degree_hist",
+    """WITH c AS (SELECT c_custkey AS id, c_nationkey AS nk FROM customer),
+      |l AS (SELECT nk, id,
+      |             lead(id, 1) OVER (PARTITION BY nk ORDER BY id) AS n1,
+      |             lead(id, 2) OVER (PARTITION BY nk ORDER BY id) AS n2
+      |      FROM c),
+      |e AS (SELECT nk, id AS a, n1 AS b FROM l WHERE n1 IS NOT NULL
+      |      UNION ALL
+      |      SELECT nk, id AS a, n2 AS b FROM l WHERE n2 IS NOT NULL),
+      |deg AS (SELECT nk, v, count(*) AS deg FROM (
+      |          SELECT nk, a AS v FROM e UNION ALL SELECT nk, b AS v FROM e) t
+      |        GROUP BY 1, 2)
+      |SELECT nk, CAST(deg AS INTEGER) AS degree, count(*) AS n_vertices
+      |FROM deg GROUP BY 1, 2 ORDER BY nk, degree""") { (s, d) =>
+    val e = leadEdges(s, d, withN2 = true, maxGap = None)
+    e.select(col("nk"), col("a").as("v"))
+      .unionByName(e.select(col("nk"), col("b").as("v")))
+      .groupBy("nk", "v").agg(count(lit(1)).as("deg"))
+      .groupBy("nk", "deg")
+      .agg(count(lit(1)).as("n_vertices"))
+      .select(col("nk"), col("deg").cast("int").as("degree"), col("n_vertices"))
+      .reportSorted("nk", "degree")
+  }
+
   /** Exact connected components (min component label per vertex +
     * component size) on the gap-gated chain graph. The DuckDB oracle
     * is a RECURSIVE CTE computing the min reachable label — a

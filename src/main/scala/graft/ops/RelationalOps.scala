@@ -1118,6 +1118,72 @@ object RelationalOps extends QueryModule {
       .reportSorted("event_type", "slot")
   }
 
+  /** Population Stability Index between a reference and a current
+    * value distribution (SPEC: the credit-risk-standard drift score —
+    * PSI = Σ (p_i − q_i)·ln(p_i/q_i) over reference-decile buckets;
+    * <0.1 stable, >0.25 action — reported beside [[q dq_drift_ks]]:
+    * KS is the max pointwise gap, PSI the mass-weighted divergence).
+    * Decile BOUNDARIES are reference values at rank ⌈i·n/10⌉ (the
+    * two-pass global rank — integer-deterministic, no interpolation);
+    * bucket assignment is a broadcast join against the 9 boundary
+    * rows counting strict `bv < value` — one rule, both engines, no
+    * width_bucket dialect drift. Only buckets populated on BOTH sides
+    * enter the sum (the standard zero-cell guard), and the ≤10-term
+    * log sum is rounded once.
+    */
+  q("dq_drift_psi",
+    """WITH r AS (SELECT event_id, value FROM events WHERE event_type = 'view'),
+      |     c AS (SELECT event_id, value FROM events WHERE event_type = 'click'),
+      |     rr AS (SELECT value, row_number() OVER (ORDER BY value, event_id) AS rn,
+      |                   count(*) OVER () AS n FROM r),
+      |     b AS (SELECT value AS bv FROM rr
+      |           WHERE rn IN (SELECT CAST(ceil(i * n / 10.0) AS BIGINT)
+      |                        FROM (SELECT DISTINCT n FROM rr), generate_series(1, 9) t(i))),
+      |     rb AS (SELECT x.event_id, 1 + sum(CASE WHEN b.bv < x.value THEN 1 ELSE 0 END) AS bucket
+      |            FROM r x CROSS JOIN b GROUP BY x.event_id),
+      |     cb AS (SELECT x.event_id, 1 + sum(CASE WHEN b.bv < x.value THEN 1 ELSE 0 END) AS bucket
+      |            FROM c x CROSS JOIN b GROUP BY x.event_id),
+      |     p AS (SELECT bucket, count(*) AS np FROM rb GROUP BY 1),
+      |     q AS (SELECT bucket, count(*) AS nq FROM cb GROUP BY 1),
+      |     t AS (SELECT (SELECT count(*) FROM r) AS n_ref, (SELECT count(*) FROM c) AS n_cur)
+      |SELECT CAST(t.n_ref AS BIGINT) AS n_ref, CAST(t.n_cur AS BIGINT) AS n_cur,
+      |       CAST(count(*) AS INTEGER) AS n_buckets,
+      |       round(sum((CAST(p.np AS DOUBLE) / t.n_ref - CAST(q.nq AS DOUBLE) / t.n_cur)
+      |                 * ln((CAST(p.np AS DOUBLE) / t.n_ref)
+      |                      / (CAST(q.nq AS DOUBLE) / t.n_cur))), 6) AS psi
+      |FROM p JOIN q USING (bucket), t
+      |GROUP BY t.n_ref, t.n_cur""") { (s, d) =>
+    val ev = T(s, d, "events")
+    val ref = ev.filter(col("event_type") === "view").select("event_id", "value")
+    val cur = ev.filter(col("event_type") === "click").select("event_id", "value")
+    val nAgg = ref.agg(count(lit(1)).as("n"))
+    val boundaries = WindowOps.globalRowNumber(ref,
+        Seq(col("value").asc, col("event_id").asc))
+      .crossJoin(broadcast(nAgg))
+      .filter((1 to 9).map(i =>
+        col("global_rank") === ceil(lit(i) * col("n") / 10.0).cast("long"))
+        .reduce(_ || _))
+      .select(col("value").as("bv"))
+    def buckets(side: org.apache.spark.sql.DataFrame) =
+      side.crossJoin(broadcast(boundaries))
+        .groupBy("event_id")
+        .agg((lit(1) + sum(when(col("bv") < col("value"), 1).otherwise(0))).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    val p = buckets(ref).withColumnRenamed("cnt", "np")
+    val q_ = buckets(cur).withColumnRenamed("cnt", "nq")
+    val tot = ref.agg(count(lit(1)).as("n_ref"))
+      .crossJoin(cur.agg(count(lit(1)).as("n_cur")))
+    p.join(q_, Seq("bucket"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_ref"), col("n_cur"),
+        (col("np").cast("double") / col("n_ref")).as("pp"),
+        (col("nq").cast("double") / col("n_cur")).as("qq"))
+      .groupBy("n_ref", "n_cur")
+      .agg(count(lit(1)).cast("int").as("n_buckets"),
+        round(sum((col("pp") - col("qq")) * log(col("pp") / col("qq"))), 6).as("psi"))
+      .select("n_ref", "n_cur", "n_buckets", "psi")
+  }
+
   /** Two-sample Kolmogorov–Smirnov distance between the value
     * distributions of two event families (SPEC: the standard
     * data-drift gate a training pipeline runs between yesterday's and

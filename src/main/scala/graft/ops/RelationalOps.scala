@@ -1118,6 +1118,57 @@ object RelationalOps extends QueryModule {
       .reportSorted("event_type", "slot")
   }
 
+  /** Poisson-bootstrap confidence interval for the mean (SPEC: the
+    * bag-of-little-bootstraps lineage — Kleiner et al. 2012; classic
+    * resampling draws n rows WITH replacement B times, which cannot be
+    * done in one pass, so the scale formulation gives every row an
+    * independent ~Poisson(1) weight per replicate and computes all B
+    * weighted means in ONE corpus pass): explode ×B, two-phase
+    * aggregate on the B replicate keys — the shuffle carries B rows
+    * per partition, never the data. Weights come from the LCG key
+    * rule via the inverse Poisson CDF (truncated at 3, P≈0.019 tail —
+    * documented), so the resample is deterministic and
+    * engine-reproducible. The CI is RANK-based over the B=32 rounded
+    * replicate means (2nd smallest / 2nd largest ≈ the 3%/97% band) —
+    * integer-deterministic, no interpolation.
+    */
+  q("agg_bootstrap_ci",
+    """WITH w AS (
+      |  SELECT b.i AS b, e.value,
+      |         CASE WHEN u < 0.367879 THEN 0 WHEN u < 0.735759 THEN 1
+      |              WHEN u < 0.919699 THEN 2 ELSE 3 END AS wt
+      |  FROM (SELECT value, event_id FROM events) e
+      |  CROSS JOIN generate_series(1, 32) b(i)
+      |  CROSS JOIN LATERAL (SELECT (((e.event_id * 131 + b.i) * 1103515245 + 12345)
+      |                              % 2147483648 + 0.5) / 2147483648.0 AS u) t),
+      |     reps AS (SELECT b, round(sum(wt * value) / nullif(sum(wt), 0), 6) AS m
+      |             FROM w GROUP BY b),
+      |     r AS (SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM reps),
+      |     full_m AS (SELECT count(*) AS n, round(avg(value), 6) AS mean FROM events)
+      |SELECT CAST(full_m.n AS BIGINT) AS n, full_m.mean,
+      |       max(CASE WHEN rn = 2 THEN m END) AS ci_lo,
+      |       max(CASE WHEN rn = 31 THEN m END) AS ci_hi
+      |FROM r, full_m GROUP BY full_m.n, full_m.mean""") { (s, d) =>
+    val ev = T(s, d, "events").select("event_id", "value")
+    val u = (pmod((col("event_id") * lit(131L) + col("b")) * lit(1103515245L)
+      + lit(12345L), lit(2147483648L)).cast("double") + lit(0.5)) / lit(2147483648.0)
+    val wt = when(u < 0.367879, 0).when(u < 0.735759, 1)
+      .when(u < 0.919699, 2).otherwise(3)
+    val reps = ev.withColumn("b", explode(sequence(lit(1), lit(32))))
+      .withColumn("wt", wt)
+      .groupBy("b")
+      .agg(round(sum(col("wt") * col("value"))
+        / nullif(sum(col("wt")).cast("double"), lit(0.0)), 6).as("m"))
+    val wOrd = Window.orderBy(col("m").asc, col("b").asc) // 32 rows: bounded
+    val ranked = reps.withColumn("rn", row_number().over(wOrd))
+    val full = ev.agg(count(lit(1)).as("n"), round(avg("value"), 6).as("mean"))
+    ranked.crossJoin(broadcast(full))
+      .groupBy("n", "mean")
+      .agg(max(when(col("rn") === 2, col("m"))).as("ci_lo"),
+        max(when(col("rn") === 31, col("m"))).as("ci_hi"))
+      .select("n", "mean", "ci_lo", "ci_hi")
+  }
+
   /** Population Stability Index between a reference and a current
     * value distribution (SPEC: the credit-risk-standard drift score —
     * PSI = Σ (p_i − q_i)·ln(p_i/q_i) over reference-decile buckets;

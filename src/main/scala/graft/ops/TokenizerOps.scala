@@ -120,6 +120,37 @@ object TokenizerOps extends QueryModule {
       .orderBy("source", "cum") // kept-docs-sized output
   }
 
+  /** Sequence packing over REAL subword tokens — the third
+    * tokenizer-parameterized family member: the same fixed-budget
+    * (4096) per-language bin assignment as `pipeline_pack_sequences`,
+    * but the running total counts BPE tokens (what actually fills a
+    * context window; whitespace counts under-fill bins by the
+    * compression ratio). Counts map-side (broadcast model +
+    * per-partition memo), then the ONE language-partitioned window
+    * cumsum the whitespace variant already pays.
+    */
+  qRowsOnly("pipeline_pack_sequences_bpe") { (s, d) =>
+    import s.implicits._
+    val model = s.sparkContext.broadcast(trainOn(s, d))
+    val counted = T(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val m = model.value
+        val memo = mutable.HashMap.empty[String, Vector[String]]
+        it.map { case (id, lang, text) =>
+          (id, lang, Bpe.encode(text, m, memo).length.toLong)
+        }
+      }
+      .toDF("doc_id", "lang", "n_tok")
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    counted
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        floor((col("cum") - col("n_tok")) / 4096).as("bin"))
+      .orderBy("doc_id") // one row per doc = input-sized
+  }
+
   /** Document chunking over REAL subword tokens — the second
     * tokenizer-parameterized family member: the same 32-token /
     * stride-24 sliding grid as `pipeline_chunk_documents`, but the

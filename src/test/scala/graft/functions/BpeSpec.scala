@@ -112,4 +112,21 @@ class BpeSpec extends AnyFunSuite {
       assert(cums.distinct.length == cums.length)
     }
   }
+
+  test("pipeline_pack_sequences_bpe: bins non-decreasing per lang, floor rule holds") {
+    val rows = graft.SparkEntry.queries("pipeline_pack_sequences_bpe")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_._1)
+      // replay the packing rule from the emitted token counts
+      var cum = 0L
+      ordered.foreach { case (id, _, nTok, bin) =>
+        assert(bin == cum / 4096, s"doc $id: bin $bin != ${cum / 4096}")
+        cum += nTok
+      }
+      assert(ordered.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+        "bins must be non-decreasing in doc order")
+    }
+  }
 }

@@ -93,18 +93,30 @@ trait QueryModule {
 
 /** Test-table loader: driver-provided parquet at `$dir/$name.parquet`.
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-  * default; we read it as a long (legacy nanosAsLong) and rebuild a
-  * microsecond TimestampType — the same micros DuckDB truncates to.
+  * `events.ts` has shipped as BOTH parquet TIMESTAMP(NANOS) (earlier
+  * testdata drops) and TIMESTAMP(MICROS) without timezone (current) —
+  * the loader adapts to whichever encoding is on disk instead of
+  * assuming one. NANOS: Spark 4 refuses it by default, so read as a
+  * long (legacy nanosAsLong) and rebuild a microsecond TimestampType
+  * with INTEGER division (ns values ~1.7e18 exceed double's 2^53, a
+  * `/ 1000` would round the microsecond). MICROS-no-tz: Spark reads
+  * TIMESTAMP_NTZ; cast to TimestampType under the UTC session so every
+  * downstream query sees one type — the same wall-clock micros DuckDB
+  * reads as its naive TIMESTAMP.
   */
 object T {
   def apply(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      import org.apache.spark.sql.functions.{expr, timestamp_micros}
-      // integer div, NOT double division: ns values ~1.7e18 exceed double
-      // precision, so `/ 1000` would round the microsecond
-      s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampType}
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case LongType => // TIMESTAMP(NANOS) surfaced as long via nanosAsLong
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampType => raw
+        case _ => // TIMESTAMP_NTZ (micros, no tz): reinterpret as UTC instant
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+      }
     } else s.read.parquet(s"$dir/$name.parquet")
 }

@@ -14,7 +14,8 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     ops.RelationalOps, ops.WindowOps, ops.FunctionSetOps,
     ops.StreamingBatchOps, ops.LlmOps, ops.MultimodalOps, ops.GdxOps,
-    ops.SkewOps, ops.FormatOps, ops.TokenizerOps, ops.GraphOps)
+    ops.SkewOps, ops.FormatOps, ops.TokenizerOps, ops.GraphOps,
+    ops.AnalyticsOps)
 
   private lazy val all: Seq[QueryDef] = {
     val ds = modules.flatMap(_.defs)

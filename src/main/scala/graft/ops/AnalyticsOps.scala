@@ -1,0 +1,338 @@
+package graft.ops
+
+import graft.{QueryModule, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Round-10 additions: inferential statistics, temporal (point-in-time)
+  * joins, lexical-diversity text signals, threshold vector retrieval,
+  * and signal-shape detection — the analytics surface a data-quality /
+  * experimentation team runs beside the §2.L curation pipelines.
+  *
+  * Every row follows the registry rules (QueryModule scaladoc): total
+  * deterministic order, identical aliases both sides, floats rounded
+  * identically, integer arithmetic wherever a boundary could ulp-flip.
+  */
+object AnalyticsOps extends QueryModule {
+
+  /** Welch's unequal-variance two-sample t (SPEC: Welch 1947, the
+    * default A/B-test statistic — pooled-variance Student t is wrong
+    * under variance heterogeneity). Everything derives from ONE
+    * fixed-state grouped aggregate (n, mean, s²) per arm — the same
+    * two-phase partial-merge shape as agg_moments, so at 100 TB the
+    * shuffle carries 2 rows. The t and Welch–Satterthwaite df are
+    * closed-form driver-free arithmetic on that 2-row frame (1-row
+    * crossJoin of two 1-row sides — broadcast by size, no data motion).
+    */
+  q("agg_welch_ttest",
+    """WITH g AS (
+      |  SELECT event_type, count(*) AS n, avg(value) AS m, var_samp(value) AS v
+      |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY event_type)
+      |SELECT CAST(a.n AS BIGINT) AS n_click, CAST(b.n AS BIGINT) AS n_purchase,
+      |       round(a.m - b.m, 6) AS mean_diff,
+      |       round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat,
+      |       round(pow(a.v / a.n + b.v / b.n, 2) /
+      |             (pow(a.v / a.n, 2) / (a.n - 1) + pow(b.v / b.n, 2) / (b.n - 1)), 2) AS df_welch
+      |FROM (SELECT * FROM g WHERE event_type = 'click') a,
+      |     (SELECT * FROM g WHERE event_type = 'purchase') b""") { (s, d) =>
+    val g = T(s, d, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), avg("value").as("m"), var_samp("value").as("v"))
+    val a = g.filter(col("event_type") === "click")
+      .select(col("n").as("na"), col("m").as("ma"), col("v").as("va"))
+    val b = g.filter(col("event_type") === "purchase")
+      .select(col("n").as("nb"), col("m").as("mb"), col("v").as("vb"))
+    val se2 = col("va") / col("na") + col("vb") / col("nb")
+    a.crossJoin(b).select(
+      col("na").cast("long").as("n_click"),
+      col("nb").cast("long").as("n_purchase"),
+      round(col("ma") - col("mb"), 6).as("mean_diff"),
+      round((col("ma") - col("mb")) / sqrt(se2), 4).as("t_stat"),
+      round(pow(se2, 2) /
+        (pow(col("va") / col("na"), 2) / (col("na") - 1) +
+          pow(col("vb") / col("nb"), 2) / (col("nb") - 1)), 2).as("df_welch"))
+  }
+
+  /** Pearson chi-square test of independence between event_type and a
+    * fixed value band (SPEC: Pearson 1900). The contingency table is
+    * ONE grouped count on integer cell keys; marginals re-aggregate
+    * the CELL frame (≤ types × bands rows), never the input; expected
+    * counts come from a dense marginal cross join so EMPTY observed
+    * cells still contribute (O−E)²/E = E — the classic bug a sparse
+    * formulation hides. At 100 TB: one corpus pass, then arithmetic
+    * on a catalog-sized grid. Band edges are integer `floor(value/50)`
+    * clipped to 3 — no interpolated boundaries to ulp-flip.
+    */
+  q("agg_chi2_independence",
+    """WITH c AS (
+      |  SELECT event_type, least(CAST(floor(value / 50) AS INTEGER), 3) AS band,
+      |         count(*) AS o
+      |  FROM events GROUP BY event_type, band),
+      |rt AS (SELECT event_type, sum(o) AS r FROM c GROUP BY event_type),
+      |ct AS (SELECT band, sum(o) AS cc FROM c GROUP BY band),
+      |tot AS (SELECT sum(o) AS n FROM c),
+      |grid AS (SELECT rt.event_type, ct.band, rt.r * ct.cc * 1.0 / tot.n AS e
+      |         FROM rt, ct, tot),
+      |j AS (SELECT grid.event_type, grid.band, grid.e, coalesce(c.o, 0) AS o
+      |      FROM grid LEFT JOIN c ON grid.event_type = c.event_type AND grid.band = c.band)
+      |SELECT round(sum(pow(o - e, 2) / e), 6) AS chi2,
+      |       CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT band) - 1) AS BIGINT) AS dof
+      |FROM j""") { (s, d) =>
+    val c = T(s, d, "events")
+      .select(col("event_type"),
+        least(floor(col("value") / 50).cast("int"), lit(3)).as("band"))
+      .groupBy("event_type", "band").agg(count(lit(1)).as("o"))
+    val rt = c.groupBy("event_type").agg(sum("o").as("r"))
+    val ct = c.groupBy("band").agg(sum("o").as("cc"))
+    val tot = c.agg(sum("o").as("n"))
+    val grid = rt.crossJoin(broadcast(ct)).crossJoin(broadcast(tot))
+      .select(col("event_type"), col("band"),
+        (col("r") * col("cc") * lit(1.0) / col("n")).as("e"))
+    grid.join(c, Seq("event_type", "band"), "left")
+      .select(col("event_type"), col("band"), col("e"),
+        coalesce(col("o"), lit(0L)).as("o"))
+      .agg(round(sum(pow(col("o") - col("e"), 2) / col("e")), 6).as("chi2"),
+        ((countDistinct("event_type") - 1) * (countDistinct("band") - 1))
+          .cast("long").as("dof"))
+  }
+
+  /** Per-group Tukey-fence outlier profile (SPEC: Tukey 1977 — the
+    * boxplot rule every DQ dashboard reports): exact q1/q3, IQR
+    * fences at 1.5·IQR, and the count outside each fence. Fences are
+    * rounded to 6dp BEFORE the comparison on both engines, so an
+    * interpolated-quantile ulp difference cannot flip a row's
+    * outlier membership. Plan: one group-sized quantile aggregate →
+    * broadcast fences (group-cardinality rows) back onto the fact
+    * scan → ONE conditional-count pass. Two corpus passes total
+    * (quantiles are holistic), zero driver loops — at 100 TB swap
+    * pass 1 to approx_percentile without touching the probe pass.
+    */
+  q("dq_outlier_iqr",
+    """WITH s AS (
+      |  SELECT event_type,
+      |         round(quantile_cont(value, 0.25), 6) AS q1,
+      |         round(quantile_cont(value, 0.75), 6) AS q3
+      |  FROM events GROUP BY event_type),
+      |f AS (SELECT event_type, q1, q3,
+      |             round(q1 - 1.5 * (q3 - q1), 6) AS lo,
+      |             round(q3 + 1.5 * (q3 - q1), 6) AS hi FROM s)
+      |SELECT f.event_type, f.q1, f.q3, f.lo, f.hi,
+      |       CAST(sum(CASE WHEN e.value < f.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+      |       CAST(sum(CASE WHEN e.value > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+      |FROM f JOIN events e ON f.event_type = e.event_type
+      |GROUP BY f.event_type, f.q1, f.q3, f.lo, f.hi
+      |ORDER BY f.event_type""") { (s, d) =>
+    val e = T(s, d, "events").select("event_type", "value")
+    val fences = e.groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.25)"), 6).as("q1"),
+        round(expr("percentile(value, 0.75)"), 6).as("q3"))
+      .select(col("event_type"), col("q1"), col("q3"),
+        round(col("q1") - lit(1.5) * (col("q3") - col("q1")), 6).as("lo"),
+        round(col("q3") + lit(1.5) * (col("q3") - col("q1")), 6).as("hi"))
+    e.join(broadcast(fences), Seq("event_type"))
+      .groupBy("event_type", "q1", "q3", "lo", "hi")
+      .agg(sum(when(col("value") < col("lo"), 1L).otherwise(0L)).cast("long").as("n_below"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).cast("long").as("n_above"))
+      .reportSorted("event_type")
+  }
+
+  /** Node-similarity on the user↔event_type bipartite graph: Jaccard
+    * of the user neighborhoods of every behavior pair (SPEC: common-
+    * neighbors similarity, the SimRank/recommender building block).
+    * Shape: DISTINCT incidence → self-join keyed on the shared user —
+    * at 100 TB the join fans out per-user degree² where degree is
+    * bounded by the behavior catalog (NOT by corpus size), then one
+    * pair-keyed count; degrees come from re-aggregating the distinct
+    * incidence, not the raw events. All-integer arithmetic until the
+    * final rounded ratio.
+    */
+  q("graph_jaccard_neighbors",
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |deg AS (SELECT event_type, count(*) AS n FROM ut GROUP BY event_type),
+      |pair AS (
+      |  SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS c
+      |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY ta, tb)
+      |SELECT ta, tb, CAST(c AS BIGINT) AS n_common,
+      |       CAST(da.n + db.n - c AS BIGINT) AS n_union,
+      |       round(c * 1.0 / (da.n + db.n - c), 6) AS jaccard
+      |FROM pair
+      |JOIN deg da ON da.event_type = pair.ta
+      |JOIN deg db ON db.event_type = pair.tb
+      |ORDER BY ta, tb""") { (s, d) =>
+    val ut = T(s, d, "events").select("user_id", "event_type").distinct()
+    val deg = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val a = ut.select(col("user_id"), col("event_type").as("ta"))
+    val b = ut.select(col("user_id"), col("event_type").as("tb"))
+    a.join(b, Seq("user_id")).filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("c"))
+      .join(broadcast(deg.select(col("event_type").as("ta"), col("n").as("na"))), Seq("ta"))
+      .join(broadcast(deg.select(col("event_type").as("tb"), col("n").as("nb"))), Seq("tb"))
+      .select(col("ta"), col("tb"), col("c").cast("long").as("n_common"),
+        (col("na") + col("nb") - col("c")).cast("long").as("n_union"),
+        round(col("c") * lit(1.0) / (col("na") + col("nb") - col("c")), 6).as("jaccard"))
+      .reportSorted("ta", "tb")
+  }
+
+  /** Point-in-time (temporal validity) join — the SCD2 lookup every
+    * feature store calls "as-of the event": each purchase opens a
+    * per-user version valid until the user's NEXT purchase; clicks
+    * join to the version whose [from, to) interval covers them.
+    * Differs from join_asof (nearest-key) in semantics: validity
+    * intervals are materialized once with lead() (non-overlapping by
+    * construction) and the probe is an equi join on the entity key
+    * plus an interval residual — Spark plans hash-join-with-filter,
+    * never a theta-only nested loop. The open tail is NULL-checked,
+    * not a sentinel timestamp, so no cross-engine literal coercion.
+    * At 100 TB both sides shuffle once on user_id; version frames are
+    * dim-sized and AQE broadcast-gates them when small.
+    */
+  q("join_point_in_time",
+    """WITH v AS (
+      |  SELECT user_id, ts AS valid_from, event_id AS version_id,
+      |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click')
+      |SELECT c.user_id, c.event_id, v.version_id
+      |FROM c JOIN v ON c.user_id = v.user_id
+      |  AND c.ts >= v.valid_from AND (v.valid_to IS NULL OR c.ts < v.valid_to)
+      |ORDER BY c.user_id, c.event_id""") { (s, d) =>
+    val e = T(s, d, "events")
+    val v = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("vu"), col("ts").as("valid_from"),
+        col("event_id").as("version_id"))
+      .withColumn("valid_to",
+        lead(col("valid_from"), 1).over(
+          Window.partitionBy("vu").orderBy(col("valid_from").asc, col("version_id").asc)))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    c.join(v, col("user_id") === col("vu") && col("ts") >= col("valid_from") &&
+        (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .select(col("user_id"), col("event_id"), col("version_id"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Lexical diversity per document: type-token ratio and hapax-
+    * legomenon ratio (SPEC: Herdan's TTR / Zipf hapax analysis — the
+    * vocabulary-richness signals corpus linguists and data-quality
+    * filters both use; low TTR ⇒ templated/repetitive text). Shape:
+    * explode to (doc, token) → per-doc token multiset counts →
+    * per-doc fixed-state aggregate. Both shuffles key on doc-local
+    * keys with map-side partial aggregation; output is one row per
+    * document (input-sized ⇒ distributed sort, not reportSorted).
+    */
+  q("text_ttr",
+    """WITH cnt AS (
+      |  SELECT doc_id, tok, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY doc_id, tok)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |       CAST(count(*) AS BIGINT) AS n_types,
+      |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |       round(count(*) * 1.0 / sum(c), 6) AS ttr,
+      |       round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / sum(c), 6) AS hapax_ratio
+      |FROM cnt GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
+    T(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long").as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types") * lit(1.0) / col("n_tokens"), 6).as("ttr"),
+        round(col("n_hapax") * lit(1.0) / col("n_tokens"), 6).as("hapax_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Fixed-weight logistic quality gate in LOGIT space (SPEC: the
+    * fastText-style linear quality classifier — Joulin 2017 — that
+    * curation stacks run when a learned model is overkill; weights
+    * here are the documented hand-set prior). Reporting the LOGIT
+    * (not sigmoid(x)) keeps the row exactly engine-portable: every
+    * feature is integer length/count arithmetic, so the linear
+    * combination is bit-identical IEEE math on both engines — no
+    * libm exp() in the hash path. keep = logit > 0 ⇔ p > 0.5.
+    * Map-only over the corpus: no shuffle at any scale.
+    */
+  q("pipeline_quality_logistic",
+    """WITH f AS (
+      |  SELECT doc_id,
+      |         len(str_split(text, ' ')) AS t,
+      |         length(text) AS ch
+      |  FROM documents)
+      |SELECT doc_id, CAST(t AS BIGINT) AS n_tokens,
+      |       round(-2.0 + 0.015 * t + 0.45 * ((ch - t + 1) * 1.0 / t), 6) AS logit,
+      |       (-2.0 + 0.015 * t + 0.45 * ((ch - t + 1) * 1.0 / t)) > 0 AS keep
+      |FROM f ORDER BY doc_id""") { (s, d) =>
+    val f = T(s, d, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("t"),
+        length(col("text")).as("ch"))
+    // mean word length = (chars − (t−1) separators) / t, exact integer inputs
+    val mwl = (col("ch") - col("t") + 1) * lit(1.0) / col("t")
+    val logit = lit(-2.0) + lit(0.015) * col("t") + lit(0.45) * mwl
+    f.select(col("doc_id"), col("t").cast("long").as("n_tokens"),
+        round(logit, 6).as("logit"), (logit > 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Strict local-maximum detection per user signal (SPEC: the
+    * scipy.signal find_peaks contract, plateau-free form): a peak is
+    * a sample strictly above BOTH neighbors in event-time order.
+    * Purely comparative — no derived thresholds — so both engines
+    * compare identical parquet doubles and membership cannot drift.
+    * ONE per-user partition sort serves both lag and lead; emitted
+    * rows are the peaks only. At 100 TB: window over the entity
+    * key's natural partitioning, output ∝ peak density.
+    */
+  q("ts_peak_detect",
+    """SELECT user_id, event_id, value FROM (
+      |  SELECT user_id, event_id, value,
+      |         lag(value) OVER w AS pv, lead(value) OVER w AS nv
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+      |WHERE pv IS NOT NULL AND nv IS NOT NULL AND value > pv AND value > nv
+      |ORDER BY user_id, event_id""") { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    T(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("value"),
+        lag("value", 1).over(w).as("pv"), lead("value", 1).over(w).as("nv"))
+      .filter(col("pv").isNotNull && col("nv").isNotNull &&
+        col("value") > col("pv") && col("value") > col("nv"))
+      .select("user_id", "event_id", "value")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Threshold (range) vector retrieval: ALL neighbors with cosine ≥ τ
+    * for each probe — the dedup/recall companion to top-k ANN (top-k
+    * bounds k, range search bounds QUALITY; production dedup wants the
+    * latter). Exact one-pass form: broadcast the probe set over a
+    * single corpus scan of codegen'd VecCosine — the same shape the
+    * banded-LSH variants accelerate; at 100 TB swap the scan for the
+    * LSH-bucketed candidate generator without touching the contract.
+    * Output is (probe, match) pairs above τ — candidate-bounded.
+    */
+  q("sim_range_search",
+    """WITH probes AS (
+      |  SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4))
+      |SELECT p.qid, e.vec_id AS nbr,
+      |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                    CAST(p.qemb AS DOUBLE[])), 6) AS cos
+      |FROM embeddings e, probes p
+      |WHERE e.vec_id <> p.qid
+      |  AND round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                   CAST(p.qemb AS DOUBLE[])), 6) >= 0.30
+      |ORDER BY qid, nbr""") { (s, d) =>
+    val all = T(s, d, "embeddings").select("vec_id", "embedding")
+    val probes = all.filter(col("vec_id").isin(0L, 1L, 2L, 3L, 4L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    all.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(graft.functions.vec.cosine(col("embedding"), col("qemb")), 6))
+      .filter(col("cos") >= 0.30)
+      .select(col("qid"), col("vec_id").as("nbr"), col("cos"))
+      .orderBy("qid", "nbr")
+  }
+}

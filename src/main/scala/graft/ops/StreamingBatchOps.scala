@@ -37,6 +37,35 @@ object StreamingBatchOps extends QueryModule {
       .orderBy("win_start")
   }
 
+  /** Windowed top-k: the 2 busiest event types per 5-minute tumbling
+    * window — the "trending now" stream shape. Batch form: window
+    * counts + per-window rank, which Spark plans as WindowGroupLimit
+    * (map tasks keep local top-k per window before the shuffle). The
+    * streaming form runs the count aggregate incrementally and ranks
+    * per finalized window downstream (rank itself is not an
+    * incremental operator — StreamingSpec pins count-state parity).
+    */
+  q("stream_windowed_topk",
+    """WITH wc AS (
+      |  SELECT epoch_us(ts) // 300000000 * 300000000 AS win_start, event_type,
+      |         count(*) AS n
+      |  FROM events GROUP BY win_start, event_type)
+      |SELECT CAST(win_start AS BIGINT) AS win_start, event_type, n,
+      |       CAST(rk AS INTEGER) AS rk FROM (
+      |  SELECT win_start, event_type, n,
+      |         row_number() OVER (PARTITION BY win_start ORDER BY n DESC, event_type) AS rk
+      |  FROM wc) t
+      |WHERE rk <= 2 ORDER BY win_start, rk""") { (s, d) =>
+    val w = Window.partitionBy("win_start").orderBy(col("n").desc, col("event_type").asc)
+    T(s, d, "events")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("win_start"), col("event_type"), col("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .orderBy("win_start", "rk")
+  }
+
   // Session windows (30-min gap) as batch gaps-and-islands; >= matches
   // Spark session_window merge semantics (gap strictly < 30 min merges).
   q("stream_session",

@@ -167,6 +167,75 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("agg_cuped matches a driver-side recomputation and theta is the OLS slope") {
+    val users = T(spark, dir, "events").collect()
+      .map(r => (r.getLong(2), r.getString(3), r.getDouble(4)))
+      .groupBy(_._1).flatMap { case (_, rows) =>
+        val pre = rows.filter(_._2 == "view").map(_._3)
+        val post = rows.filter(_._2 == "purchase").map(_._3)
+        if (pre.nonEmpty && post.nonEmpty)
+          Some((pre.sum / pre.length, post.sum / post.length))
+        else None
+      }.toArray
+    val n = users.length
+    val (mp, mq) = (users.map(_._1).sum / n, users.map(_._2).sum / n)
+    val cov = users.map { case (p, q) => (p - mp) * (q - mq) }.sum / (n - 1)
+    val vp = users.map { case (p, _) => (p - mp) * (p - mp) }.sum / (n - 1)
+    val vq = users.map { case (_, q) => (q - mq) * (q - mq) }.sum / (n - 1)
+    val got = SparkEntry.queries("agg_cuped")(spark, dir).collect()(0)
+    assert(got.getLong(0) == n)
+    assert(math.abs(got.getDouble(1) - round(cov / vp, 6)) < 1e-6)
+    assert(math.abs(got.getDouble(3) - round(vq - cov * cov / vp, 6)) < 1e-6)
+    // realized reduction is ρ² ∈ [0, 1] and var_adj <= var_post
+    assert(got.getDouble(4) >= 0 && got.getDouble(4) <= 1)
+    assert(got.getDouble(3) <= got.getDouble(2) + 1e-9)
+  }
+
+  test("agg_survival_km: product-limit curve is a valid survival function") {
+    val rows = SparkEntry.queries("agg_survival_km")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // t strictly increasing, survival non-increasing in (0, 1], risk set shrinking
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(0) < b.getLong(0))
+        assert(b.getDouble(3) <= a.getDouble(3) + 1e-9)
+        assert(b.getLong(1) < a.getLong(1))
+      case _ =>
+    }
+    // first step: S = 1 - d/n exactly
+    val h = rows.head
+    assert(math.abs(h.getDouble(3) -
+      round(1.0 - h.getLong(2).toDouble / h.getLong(1), 6)) < 1e-6)
+    // deaths never exceed the risk set
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("agg_topn_share: shares sum to 1 and 'other' closes the total") {
+    val rows = SparkEntry.queries("agg_topn_share")(spark, dir).collect()
+    assert(rows.length == 6 && rows.count(_.getString(0) == "other") == 1)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+    val top = rows.filter(_.getString(0) != "other").map(_.getDouble(1))
+    val other = rows.find(_.getString(0) == "other").get.getDouble(1)
+    // every named part out-earns any single excluded part ⇒ other < top·(np/5) sanity:
+    assert(top.forall(_ > 0) && other >= 0)
+  }
+
+  test("sim_cluster_purity recomputes from the registered IVF assignment") {
+    val emb = T(spark, dir, "embeddings").select("vec_id", "embedding", "label")
+    val centroids = emb.orderBy("vec_id").limit(8).collect()
+      .map(_.getSeq[Float](1).toArray)
+    val assigned = LlmOps.ivfAssign(emb, centroids)
+      .select("cell", "label").collect().map(r => (r.getInt(0), r.getInt(1)))
+    val got = SparkEntry.queries("sim_cluster_purity")(spark, dir).collect()
+    assert(got.map(_.getLong(1)).sum == assigned.length) // every vector in one cell
+    got.foreach { r =>
+      val mine = assigned.filter(_._1 == r.getInt(0)).map(_._2)
+      val best = mine.groupBy(identity).toSeq.map { case (l, v) => (v.length, -l) }.max
+      assert(r.getLong(3) == best._1.toLong && r.getInt(2) == -best._2)
+      assert(math.abs(r.getDouble(4) - round(best._1.toDouble / mine.length, 6)) < 1e-9)
+    }
+  }
+
   test("source_parquet_evolution: v1-generation rows surface NULL for the added column") {
     val rows = SparkEntry.queries("source_parquet_evolution")(spark, dir).collect()
     val docs = T(spark, dir, "documents").select("doc_id", "lang", "n_chars").collect()

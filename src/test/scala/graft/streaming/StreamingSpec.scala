@@ -48,6 +48,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("windowed top-k: streaming count state + downstream rank matches the batch query") {
+    // rank is not incremental — production shape is the incremental
+    // windowed COUNT (complete/update state) with the top-k rank applied
+    // per finalized window downstream; parity = that composition equals
+    // the one-shot batch window+rank on the same data.
+    val events = Seq(
+      Ev(1, t(0, 10), 1, "click", 1.0), Ev(2, t(0, 20), 1, "click", 1.0),
+      Ev(3, t(0, 30), 2, "view", 1.0), Ev(4, t(0, 40), 3, "view", 1.0),
+      Ev(5, t(0, 50), 2, "view", 1.0), Ev(6, t(1, 10), 1, "purchase", 1.0),
+      Ev(7, t(6, 0), 1, "error", 1.0), Ev(8, t(6, 30), 2, "error", 1.0),
+      Ev(9, t(7, 0), 1, "click", 1.0))
+    val ms = MemoryStream[Ev](spark)
+    ms.addData(events.take(5): _*)
+    val name = nextName()
+    val q = ms.toDF()
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    q.processAllAvailable()
+    ms.addData(events.drop(5): _*) // second batch updates existing + opens a window
+    q.processAllAvailable(); q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("win_start").orderBy(col("n").desc, col("event_type").asc)
+    val streamed = spark.table(name)
+      .select(unix_micros(col("window.start")).as("win_start"), col("event_type"), col("n"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
+      .orderBy("win_start", "rk").collect()
+    val batch = events.toDF()
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("win_start"), col("event_type"), col("n"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
+      .orderBy("win_start", "rk").collect()
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.nonEmpty)
+  }
+
   test("mg_topk heavy hitters aggregate under a streaming window") {
     // the native TypedImperativeAggregate must serialize its sketch
     // buffer through the streaming state store and keep its guarantee

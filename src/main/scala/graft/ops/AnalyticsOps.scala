@@ -505,4 +505,97 @@ object AnalyticsOps extends QueryModule {
         round(col("cnt") * lit(1.0) / col("n"), 6).as("purity"))
       .reportSorted("cell")
   }
+
+  /** Mann–Whitney U rank-sum test (SPEC: Mann & Whitney 1947 — the
+    * nonparametric sibling of agg_welch_ttest, the right tool when
+    * normality can't be assumed), WITH the tie-corrected normal
+    * approximation: the 2dp-quantized values DO tie, so ranks are
+    * textbook AVERAGE ranks and σ carries the Σ(t³−t) correction.
+    * Scale shape: group to the distinct-value frame first (counts per
+    * value), then average ranks come from ONE pass of
+    * [[WindowOps.globalPrefixSums]] over that frame — range-bucket
+    * running sums + O(#partitions) offset broadcast, NO
+    * single-partition window anywhere, input-sized nothing. Rank sums
+    * are exact dyadic halves (≪ 2^53) so both engines sum them
+    * exactly; only z is rounded.
+    */
+  q("agg_mann_whitney",
+    """WITH e AS (SELECT event_type, value, event_id FROM events
+      |           WHERE event_type IN ('click', 'purchase')),
+      |r AS (SELECT event_type, value, avg(rn) OVER (PARTITION BY value) AS ar
+      |      FROM (SELECT event_type, value,
+      |                   row_number() OVER (ORDER BY value, event_id) AS rn FROM e) t),
+      |s1 AS (SELECT sum(CASE WHEN event_type = 'click' THEN ar END) AS r1,
+      |              sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n1,
+      |              sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n2
+      |       FROM r),
+      |tt AS (SELECT sum(c * c * c - c) AS tie3
+      |       FROM (SELECT count(*) AS c FROM e GROUP BY value) x)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |       round(r1 - n1 * (n1 + 1) / 2.0, 1) AS u1,
+      |       round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0) /
+      |             sqrt(n1 * n2 / 12.0 *
+      |                  ((n1 + n2 + 1) - tie3 * 1.0 / ((n1 + n2) * (n1 + n2 - 1.0)))), 4) AS z
+      |FROM s1, tt""") { (s, d) =>
+    val e = T(s, d, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("event_type", "value")
+    // distinct-value frame: per-value total count + click count
+    val g = e.groupBy("value")
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n1v"),
+        count(lit(1)).as("nv"))
+    val cum = WindowOps.globalPrefixSums(g, Seq(col("value").asc), Seq("nv"))
+    val ranked = cum.withColumn("ar",
+      col("cum_nv") - col("nv") + (col("nv") + 1) / lit(2.0))
+    val st = ranked.agg(
+      sum("n1v").as("n1"), sum(col("nv") - col("n1v")).as("n2"),
+      sum(col("n1v") * col("ar")).as("r1"),
+      sum(col("nv") * col("nv") * col("nv") - col("nv")).as("tie3"))
+    val n1 = col("n1"); val n2 = col("n2"); val n = n1 + n2
+    st.select(n1.cast("long").as("n1"), n2.cast("long").as("n2"),
+      round(col("r1") - n1 * (n1 + 1) / lit(2.0), 1).as("u1"),
+      round((col("r1") - n1 * (n1 + 1) / lit(2.0) - n1 * n2 / lit(2.0)) /
+        sqrt(n1 * n2 / lit(12.0) *
+          ((n + 1) - col("tie3") * lit(1.0) / (n * (n - lit(1.0))))), 4).as("z"))
+  }
+
+  /** Benford first-digit conformance profile (SPEC: Benford 1938 /
+    * Nigrini's fraud-audit standard): the leading-digit distribution
+    * of order totals beside the Benford expectation. The digit is
+    * extracted through INTEGER formatting (floor → BIGINT → string
+    * head) — never double formatting, which engines render
+    * differently — and the expected probabilities are shared 6dp
+    * literals, not per-engine log10 calls. One map-side digit pass +
+    * a 9-row aggregate; at 100 TB the shuffle carries 9 rows.
+    */
+  q("dq_benford_digits",
+    """WITH digits AS (
+      |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+      |              AS INTEGER) AS digit
+      |  FROM orders WHERE o_totalprice >= 1),
+      |tot AS (SELECT count(*) AS t FROM digits)
+      |SELECT digit, CAST(count(*) AS BIGINT) AS n,
+      |       round(count(*) * 1.0 / max(tot.t), 6) AS share,
+      |       CAST(CASE digit WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091 WHEN 3 THEN 0.124939
+      |            WHEN 4 THEN 0.096910 WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+      |            WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153 ELSE 0.045757 END
+      |            AS DOUBLE) AS benford_p
+      |FROM digits, tot GROUP BY digit ORDER BY digit""") { (s, d) =>
+    val benford = Seq(1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939, 4 -> 0.096910,
+      5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992, 8 -> 0.051153, 9 -> 0.045757)
+    val digits = T(s, d, "orders")
+      .filter(col("o_totalprice") >= 1)
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+    val tot = digits.agg(count(lit(1)).as("t"))
+    val pExpr = benford.foldLeft(lit(0.045757)) { case (acc, (dg, p)) =>
+      when(col("digit") === dg, p).otherwise(acc)
+    }
+    digits.crossJoin(broadcast(tot))
+      .groupBy("digit")
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(count(lit(1)) * lit(1.0) / max("t"), 6).as("share"))
+      .withColumn("benford_p", pExpr)
+      .reportSorted("digit")
+  }
 }

@@ -236,6 +236,37 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_mann_whitney matches a driver-side average-rank recomputation") {
+    val rows = T(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val sorted = rows.map(_._2).sorted
+    // average rank per distinct value (textbook tie handling)
+    val rankOf = sorted.zipWithIndex.groupBy(_._1).map {
+      case (v, xs) => v -> xs.map(_._2 + 1).sum.toDouble / xs.length
+    }
+    val clicks = rows.filter(_._1 == "click")
+    val r1 = clicks.map(r => rankOf(r._2)).sum
+    val n1 = clicks.length.toLong
+    val got = SparkEntry.queries("agg_mann_whitney")(spark, dir).collect()(0)
+    assert(got.getLong(0) == n1)
+    assert(math.abs(got.getDouble(2) - (r1 - n1 * (n1 + 1) / 2.0)) < 1e-6)
+    // ties exist in the 2dp-quantized data, so the tie path is exercised
+    assert(rankOf.values.exists(r => r != math.floor(r)))
+  }
+
+  test("dq_benford_digits: digits 1-9, shares sum to 1, counts recompute") {
+    val got = SparkEntry.queries("dq_benford_digits")(spark, dir).collect()
+    assert(got.map(_.getInt(0)).toSeq == (1 to 9))
+    assert(math.abs(got.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+    val first = T(spark, dir, "orders").select("o_totalprice").collect()
+      .map(_.getDouble(0)).filter(_ >= 1)
+      .map(v => v.toLong.toString.head.asDigit)
+    got.foreach(r => assert(r.getLong(1) == first.count(_ == r.getInt(0)).toLong))
+    assert(math.abs(got.map(_.getDouble(3)).sum - 1.0) < 1e-3) // Benford p's close
+  }
+
   test("source_parquet_evolution: v1-generation rows surface NULL for the added column") {
     val rows = SparkEntry.queries("source_parquet_evolution")(spark, dir).collect()
     val docs = T(spark, dir, "documents").select("doc_id", "lang", "n_chars").collect()

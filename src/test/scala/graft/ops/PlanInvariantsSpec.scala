@@ -402,4 +402,50 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.contains("Scan ExistingRDD"),
       s"ECDF side must ride the checkpointed prefix sums:\n$p")
   }
+
+  test("stream_windowed_topk: per-window rank pushes down as WindowGroupLimit") {
+    val p = plan(graft.SparkEntry.queries("stream_windowed_topk")(spark, d))
+    assert(p.contains("WindowGroupLimit"),
+      s"map tasks must prune to local top-k per window before the shuffle:\n$p")
+  }
+
+  test("agg_topn_share: top-5 cut is TakeOrderedAndProject, never a global sort of parts") {
+    val p = plan(graft.SparkEntry.queries("agg_topn_share")(spark, d))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected map-local top-k for the contribution cut:\n$p")
+  }
+
+  test("dq_outlier_iqr: group-sized fence frame broadcasts onto the fact scan") {
+    val p = plan(graft.SparkEntry.queries("dq_outlier_iqr")(spark, d))
+    assert(p.contains("BroadcastHashJoin"),
+      s"fences must broadcast, not shuffle the fact side:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no fact shuffle for the fence probe:\n$p")
+  }
+
+  test("sim_range_search: probe set broadcasts; corpus is never cartesian-shuffled") {
+    val p = plan(graft.SparkEntry.queries("sim_range_search")(spark, d))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probes must broadcast over one corpus pass:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no shuffled cartesian:\n$p")
+  }
+
+  test("join_point_in_time: interval probe plans as an equi join with residual, no nested loop") {
+    val p = plan(graft.SparkEntry.queries("join_point_in_time")(spark, d))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"user_id equi key must anchor a hash/merge join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"validity residual must stay a post-join filter:\n$p")
+  }
+
+  test("agg_mann_whitney: rank machinery never funnels data through one task") {
+    // distinct-value frame rides globalPrefixSums (checkpointed range
+    // buckets); the only SinglePartition exchange allowed is the final
+    // 1-row statistic aggregate
+    val p = plan(graft.SparkEntry.queries("agg_mann_whitney")(spark, d))
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 1,
+      s"only the 1-row statistic aggregate may collapse:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"avg ranks must ride the checkpointed prefix sums:\n$p")
+  }
 }

@@ -2435,6 +2435,23 @@ object LlmOps extends QueryModule {
     * the full-outer fold and donate their mass as dangling. Driver
     * state: ONE double (the dangling sum) per round — the bounded
     * class.
+    *
+    * Determinism device: each round's dangling mass and every new rank
+    * are quantized to the 1e-6 grid via `floor(x·1e6 + 0.5000005)/1e6`,
+    * making the iteration a QUANTIZED fixpoint any engine replays
+    * bit-identically. Two deliberate choices: (a) pure IEEE floor
+    * arithmetic, NOT `round()` — library round semantics differ on
+    * half-cases (Spark's exact BigDecimal expansion vs multiply-based
+    * rounding), and a quantized recurrence generates half-cases
+    * systematically (1e-6-multiple ranks over small degrees); (b) the
+    * ε = 5e-7 boundary shift moves the decision line off the
+    * systematic accumulation points (exact multiples of the half
+    * grid), so partition-order summation noise (~1e-9) can never
+    * straddle it — verified by hash-equality against the unrolled SQL
+    * replay at sf0.01 AND sf0.1. Cost: mass conservation holds to
+    * N·iters·5e-7 instead of machine precision — semantically free at
+    * rank scale, and what upgrades graph_pagerank from rows-only to a
+    * full hash check.
     */
   def pageRank(vertices: DataFrame, edges: DataFrame, iters: Int,
       damping: Double = 0.85): DataFrame = {
@@ -2476,7 +2493,7 @@ object LlmOps extends QueryModule {
       // below is the round's only job
       val dangling = ranks
         .join(danglingIds, Seq("vid"), "left_semi")
-        .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
+        .agg((floor(coalesce(sum("rank"), lit(0.0)) * 1e6 + lit(0.5000005)) / 1e6).as("dmass"))
       val contribs = withDeg
         .join(ranks, col("src") === col("vid"))
         .select(col("dst"), (col("rank") / col("deg")).as("c"))
@@ -2487,9 +2504,9 @@ object LlmOps extends QueryModule {
         .join(contribs, col("vid") === col("dst"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("vid"),
-          (lit(1 - damping) +
+          (floor((lit(1 - damping) +
             lit(damping) * (coalesce(col("in_sum"), lit(0.0)) + col("dmass") / n))
-            .as("rank"))
+            * 1e6 + lit(0.5000005)) / 1e6).as("rank"))
         .localCheckpoint()
       ranksIds = persisted -- pre
       free(prevIds) // the new checkpoint carries all still-needed state
@@ -2503,19 +2520,65 @@ object LlmOps extends QueryModule {
     * representativeness signal graph-based corpus selection uses
     * (select high-rank docs for coverage, prune the floor as
     * outliers). Edges are the same multi-table-LSH kNN build as
-    * `sim_knn_graph` (rank ≤ 3 per vertex). Rows-only by design: the
-    * per-round double sums are partition-order dependent; the
-    * invariants (mass conservation to N, the (1−d) floor, in-degree
-    * monotonicity) are pinned in OpsSemanticsSpec.
+    * `sim_knn_graph` (rank ≤ 3 per vertex). HASH-CHECKED since
+    * round 10: [[pageRank]]'s per-round 6dp quantization makes the
+    * recurrence engine-replayable, so the oracle UNROLLS all 5
+    * iterations as chained CTEs over the shared kNN-edge SQL —
+    * constants go through `CAST(0.85 AS DOUBLE)` so DuckDB's decimal
+    * literals can't diverge from Scala's double arithmetic. The
+    * analytic invariants (quantized mass conservation, the (1−d)
+    * floor, in-degree monotonicity) stay pinned in OpsSemanticsSpec.
     */
-  qRowsOnly("graph_pagerank") { (s, d) =>
+  q("graph_pagerank", {
+    val (bucketCols, unions) = multiLshCandCtes(6, 6)
+    val iters = 5
+    val head =
+      s"""WITH bk AS (SELECT vec_id, embedding,
+         |       $bucketCols FROM embeddings),
+         |     cand AS (
+         |  $unions),
+         |     scored AS (
+         |  SELECT c.a, c.b,
+         |         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+         |                                      CAST(eb.embedding AS DOUBLE[])), 6) AS cos
+         |  FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.a
+         |  JOIN embeddings eb ON eb.vec_id = c.b),
+         |     ed AS (SELECT a AS qid, b AS nbr, cos FROM scored
+         |            UNION ALL SELECT b, a, cos FROM scored),
+         |     rk AS (SELECT qid, nbr, row_number() OVER (
+         |              PARTITION BY qid ORDER BY cos DESC, nbr) AS rank
+         |            FROM ed),
+         |     e AS (SELECT qid AS src, nbr AS dst FROM rk WHERE rank <= 3),
+         |     verts AS (SELECT vec_id AS vid FROM embeddings),
+         |     deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |     nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+         |     r0 AS (SELECT vid, CAST(1.0 AS DOUBLE) AS rank FROM verts)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s""",
+         |     d$k AS (SELECT floor(coalesce(sum(r.rank), 0) * 1000000 + CAST(0.5000005 AS DOUBLE)) / 1000000 AS dmass
+         |             FROM r${k - 1} r LEFT JOIN deg ON r.vid = deg.src
+         |             WHERE deg.src IS NULL),
+         |     c$k AS (SELECT e.dst, sum(r.rank / deg.deg) AS in_sum
+         |             FROM e JOIN deg ON e.src = deg.src
+         |             JOIN r${k - 1} r ON r.vid = e.src
+         |             GROUP BY e.dst),
+         |     r$k AS (SELECT v.vid,
+         |                    floor(((1 - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) *
+         |                           (coalesce(c$k.in_sum, 0) + d$k.dmass / nn.n))
+         |                          * 1000000 + CAST(0.5000005 AS DOUBLE)) / 1000000 AS rank
+         |             FROM verts v LEFT JOIN c$k ON c$k.dst = v.vid, d$k, nn)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"\nSELECT vid AS vec_id, rank AS pagerank FROM r$iters ORDER BY vec_id"
+  }) { (s, d) =>
     val emb = T(s, d, "embeddings").select("vec_id", "embedding")
     val edges = knnEdges(emb).select(col("qid").as("src"), col("nbr").as("dst"))
     val ranks = pageRank(emb.select(col("vec_id").as("vid")), edges, iters = 5)
     // the returned frame rides the final localCheckpoint; the harness
     // releases it after consumption (Sessions.releaseCheckpoints)
     ranks
-      .select(col("vid").as("vec_id"), round(col("rank"), 6).as("pagerank"))
+      .select(col("vid").as("vec_id"), col("rank").as("pagerank"))
       .orderBy("vec_id")
   }
 

@@ -242,9 +242,10 @@ class OpsSemanticsSpec extends AnyFunSuite {
     val ranks = LlmOps.pageRank(vertices, edges, iters = 10)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(ranks.size == 6, "every vertex keeps a rank row")
-    // total mass conserved: dangling redistribution keeps Σ rank = N
-    assert(math.abs(ranks.values.sum - 6.0) < 1e-6,
-      s"mass must be conserved: ${ranks.values.sum}")
+    // total mass conserved to the quantization bound: the per-round 6dp
+    // rounding (the cross-engine determinism device) costs ≤ N·iters·5e-7
+    assert(math.abs(ranks.values.sum - 6.0) < 6 * 10 * 5e-7 + 1e-9,
+      s"mass must be conserved to the quantization bound: ${ranks.values.sum}")
     // the hub out-ranks every spoke; spokes out-rank nothing below floor
     assert(ranks(0L) > ranks(1L), "in-degree must raise rank")
     // isolated vertex sits near the floor but above (1-d) exactly

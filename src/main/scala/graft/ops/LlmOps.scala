@@ -3220,7 +3220,13 @@ object LlmOps extends QueryModule {
           round(graft.functions.vec.cosine(col("cemb"), col("semb")), 6).as("sim"))
         .groupBy("qid", "cid")
         .agg(first(col("rel")).as("rel"), max(col("sim")).as("maxsim"))
-        .withColumn("score", round(lit(lam) * col("rel") - lit(1.0 - lam) * col("maxsim"), 6))
+        // floor-quantized, NOT round(): λ·rel over 1e-6-grid rel lands on
+        // the 6dp half-grid systematically (λ·k ends in 5 for 10% of
+        // candidates), where library round() half-case semantics differ
+        // across engines — same device as pageRank, ε shifts the boundary
+        .withColumn("score",
+          floor((lit(lam) * col("rel") - lit(1.0 - lam) * col("maxsim")) * 1e6
+            + lit(0.5000005)) / 1e6)
       val wpick = Window.partitionBy("qid").orderBy(col("score").desc, col("cid").asc)
       val pick = scored.withColumn("rn", row_number().over(wpick)).filter(col("rn") === 1)
         .join(cands.select("qid", "cid", "cemb"), Seq("qid", "cid"))
@@ -3230,15 +3236,74 @@ object LlmOps extends QueryModule {
     selected
   }
 
-  /** MMR-diversified retrieval: the [[q sim_matryoshka_rerank]] coarse
-    * funnel (top-20 relevance candidates per probe) re-ranked by
-    * [[mmrSelect]] with λ = 0.7 — 5 picks that trade relevance
-    * against redundancy. Rows-only (greedy argmax-over-remaining has
-    * no tractable SQL oracle); the anti-redundancy contract — a
-    * planted near-duplicate of the top hit is NOT picked second —
-    * is pinned in OpsSemanticsSpec.
+  /** MMR-diversified retrieval: exact top-20 relevance candidates per
+    * probe re-ranked by [[mmrSelect]] with λ = 0.7 — 5 picks that
+    * trade relevance against redundancy. HASH-CHECKED since round 10:
+    * the greedy argmax-over-remaining IS SQL-expressible once the
+    * candidate set is bounded — the oracle unrolls the 5 selection
+    * rounds as chained CTEs (pairwise candidate sims precomputed once,
+    * each round an anti-membership filter + max-sim against the
+    * growing picked set + rank-1 pick) with the SAME floor-quantized
+    * score as [[mmrSelect]]; λ constants go through CAST(.. AS DOUBLE)
+    * so decimal literals can't diverge. The anti-redundancy contract
+    * (a planted near-duplicate of the top hit is NOT picked second)
+    * stays pinned in OpsSemanticsSpec.
     */
-  qRowsOnly("sim_mmr_diversify") { (s, d) =>
+  q("sim_mmr_diversify", {
+    val rounds = (2 to 5).map { r =>
+      s""",
+         |     sc$r AS (
+         |  SELECT c.qid, c.cid, c.rel,
+         |         floor((CAST(0.7 AS DOUBLE) * c.rel -
+         |                (1 - CAST(0.7 AS DOUBLE)) * m.ms) * 1000000 +
+         |               CAST(0.5000005 AS DOUBLE)) / 1000000 AS score
+         |  FROM cands c
+         |  JOIN (SELECT ps.qid, ps.a AS cid, max(ps.sim) AS ms
+         |        FROM ps JOIN sel${r - 1} s ON ps.qid = s.qid AND ps.b = s.cid
+         |        GROUP BY ps.qid, ps.a) m ON m.qid = c.qid AND m.cid = c.cid
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s2
+         |                    WHERE s2.qid = c.qid AND s2.cid = c.cid)),
+         |     pk$r AS (
+         |  SELECT qid, cid, rel, $r AS pick FROM (
+         |    SELECT qid, cid, rel,
+         |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+         |    FROM sc$r) t WHERE rn = 1),
+         |     sel$r AS (SELECT qid, cid FROM sel${r - 1}
+         |               UNION ALL SELECT qid, cid FROM pk$r)""".stripMargin
+    }.mkString
+    s"""WITH probes AS (
+       |  SELECT vec_id AS qid, embedding AS qemb FROM embeddings
+       |  WHERE vec_id IN (0, 1, 2, 3, 4)),
+       |     cands AS (
+       |  SELECT qid, cid, rel FROM (
+       |    SELECT p.qid, e.vec_id AS cid,
+       |           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                        CAST(p.qemb AS DOUBLE[])), 6) AS rel,
+       |           row_number() OVER (PARTITION BY p.qid
+       |             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                                   CAST(p.qemb AS DOUBLE[])), 6) DESC,
+       |                      e.vec_id) AS rn
+       |    FROM embeddings e, probes p WHERE e.vec_id <> p.qid) t WHERE rn <= 20),
+       |     ps AS (
+       |  SELECT c.qid, c.cid AS a, c2.cid AS b,
+       |         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                                      CAST(eb.embedding AS DOUBLE[])), 6) AS sim
+       |  FROM cands c
+       |  JOIN cands c2 ON c.qid = c2.qid AND c.cid <> c2.cid
+       |  JOIN embeddings ea ON ea.vec_id = c.cid
+       |  JOIN embeddings eb ON eb.vec_id = c2.cid),
+       |     pk1 AS (
+       |  SELECT qid, cid, rel, 1 AS pick FROM (
+       |    SELECT qid, cid, rel,
+       |           row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+       |    FROM cands) t WHERE rn = 1),
+       |     sel1 AS (SELECT qid, cid FROM pk1)""".stripMargin + rounds +
+      """
+        |SELECT qid, CAST(pick AS INTEGER) AS pick, cid, rel FROM (
+        |  SELECT * FROM pk1 UNION ALL SELECT * FROM pk2 UNION ALL SELECT * FROM pk3
+        |  UNION ALL SELECT * FROM pk4 UNION ALL SELECT * FROM pk5) u
+        |ORDER BY qid, pick""".stripMargin
+  }) { (s, d) =>
     val all = T(s, d, "embeddings").select("vec_id", "embedding")
     val probes = all.filter(col("vec_id").isin(0L, 1L, 2L, 3L, 4L))
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
@@ -3251,7 +3316,7 @@ object LlmOps extends QueryModule {
       .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 20).drop("rn")
       .localCheckpoint() // reused every round of the greedy loop
     mmrSelect(cands, k = 5, lam = 0.7)
-      .select(col("qid"), col("pick"), col("cid"), col("rel"))
+      .select(col("qid"), col("pick").cast("int").as("pick"), col("cid"), col("rel"))
       .reportSorted("qid", "pick")
   }
 

@@ -707,12 +707,14 @@ object LlmOps extends QueryModule {
     * LITERALS (no per-row join), then ONE shuffle on (cell, pos) for
     * the two-phase per-coordinate mean — k·dim compact rows back to
     * the driver, the same O(K·dim) driver state the static IVF already
-    * holds. Empty cells keep their previous centroid. Double-precision
-    * mean order is partition-dependent, so trained centroids are
-    * deterministic only to the ulp — the consumer query is therefore
-    * rows-only checked, with the accuracy contract (cosine objective
-    * monotone, trained ≤ seeded quantization error) pinned in
-    * IvfKMeansSpec.
+    * holds. Empty cells keep their previous centroid. Per-coordinate
+    * means are floor-quantized to the 1e-6 grid before the float cast
+    * (see [[pageRank]]'s determinism device) — partition-order sum
+    * ulps die at every iteration, so the trained centroids replay
+    * bit-identically from an unrolled SQL recurrence and the consumer
+    * query is FULLY hash-checked since round 10. The accuracy
+    * contract (cosine objective monotone, trained ≤ seeded
+    * quantization error) stays pinned in IvfKMeansSpec.
     */
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): Array[Array[Float]] = {
     var cents = emb.orderBy("vec_id").limit(k).collect()
@@ -730,7 +732,14 @@ object LlmOps extends QueryModule {
         byCell.get(c) match {
           case Some(rows) =>
             val arr = new Array[Float](cents(c).length)
-            rows.foreach(r => arr(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat)
+            // floor-quantize the mean to the 1e-6 grid BEFORE the float
+            // cast (the pageRank determinism device): the shuffled sum's
+            // partition-order ulps die here, so the trained centroids —
+            // and everything downstream — replay bit-identically in SQL
+            rows.foreach { r =>
+              val m = r.getDouble(2) / r.getLong(3)
+              arr(r.getInt(1)) = (math.floor(m * 1e6 + 0.5000005) / 1e6).toFloat
+            }
             arr
           case None => cents(c)
         }
@@ -749,9 +758,69 @@ object LlmOps extends QueryModule {
   /** IVF search over TRAINED centroids (2 Lloyd iterations): identical
     * plan shape to [[sim_ann_ivf]] — map-side cell assignment, probe
     * explode, broadcast candidates join — only the quantizer improves.
-    * rows-only by design (see [[kmeansCentroids]]).
+    * HASH-CHECKED since round 10: [[kmeansCentroids]]' quantized means
+    * replay from SQL, so the oracle unrolls BOTH Lloyd iterations as
+    * chained CTEs — assignment by unrounded argmax cosine (cell DESC
+    * ties, exactly ivfRanked's sort), unit-normalized per-coordinate
+    * means floor-quantized then pushed through REAL→DOUBLE to mirror
+    * the Array[Float] storage, empty cells inheriting the previous
+    * centroid — then runs the sim_ann_ivf search over the trained
+    * frame. Position zip uses generate_series (no WITH ORDINALITY in
+    * DuckDB, checklist rule 9).
     */
-  qRowsOnly("sim_ann_ivf_trained") { (s, d) =>
+  q("sim_ann_ivf_trained", {
+    def train(prev: String, out: String): String =
+      s""",
+         |     a_$out AS (
+         |  SELECT e.vec_id, c.cid, CAST(e.embedding AS DOUBLE[]) AS de,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cemb) DESC,
+         |                    c.cid DESC) AS cr
+         |  FROM embeddings e CROSS JOIN $prev c),
+         |     x_$out AS (
+         |  SELECT cid AS cell,
+         |         unnest(generate_series(1, len(de))) - 1 AS pos,
+         |         unnest(de) AS x,
+         |         sqrt(list_inner_product(de, de)) AS nrm
+         |  FROM a_$out WHERE cr = 1 AND list_inner_product(de, de) > 0),
+         |     m_$out AS (
+         |  SELECT cell, pos,
+         |         CAST(CAST(floor((sum(x / nrm) / count(*)) * 1000000 +
+         |                         CAST(0.5000005 AS DOUBLE)) / 1000000 AS REAL) AS DOUBLE) AS m
+         |  FROM x_$out GROUP BY cell, pos),
+         |     $out AS (
+         |  SELECT p.cid,
+         |         coalesce(g.cemb, p.cemb) AS cemb
+         |  FROM $prev p
+         |  LEFT JOIN (SELECT cell AS cid, list(m ORDER BY pos) AS cemb
+         |             FROM m_$out GROUP BY cell) g ON g.cid = p.cid)""".stripMargin
+    s"""WITH c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
+       |            FROM embeddings ORDER BY vec_id LIMIT 8)""".stripMargin +
+      train("c0", "c1") + train("c1", "c2") +
+      s""",
+         |     ranked AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cemb) DESC,
+         |                    c.cid DESC) AS cr
+         |  FROM embeddings e CROSS JOIN c2 c),
+         |     cells AS (SELECT vec_id, cid AS cell FROM ranked WHERE cr = 1),
+         |     probes AS (SELECT vec_id AS qid, embedding AS qemb, cid AS cell
+         |                FROM ranked WHERE vec_id < 5 AND cr <= 2),
+         |     cand AS (
+         |  SELECT p.qid, x.vec_id AS nbr,
+         |         round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+         |                                      CAST(p.qemb AS DOUBLE[])), 6) AS cos
+         |  FROM probes p
+         |  JOIN (SELECT cl.vec_id, cl.cell, e2.embedding
+         |        FROM cells cl JOIN embeddings e2 USING (vec_id)) x ON x.cell = p.cell
+         |  WHERE x.vec_id <> p.qid)
+         |SELECT qid, nbr, cos, rn FROM (
+         |  SELECT qid, nbr, cos,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS INTEGER) AS rn
+         |  FROM cand) t
+         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+  }) { (s, d) =>
     val kCells = 8
     val nProbe = 2
     val emb = T(s, d, "embeddings").select("vec_id", "embedding")
@@ -789,15 +858,44 @@ object LlmOps extends QueryModule {
     * inside its own CTEs; the standalone query uses the top-3 report
     * form. One builder — no string surgery on a sibling's SQL.
     */
-  private def pqOracleSql(topK: Int, report: Boolean): String = {
+  private def pqOracleSql(topK: Int, report: Boolean,
+      trained: Boolean = false): String = {
     val tail =
       if (report) s"WHERE rn <= $topK ORDER BY qid, rn"
       else s"WHERE rn <= $topK"
-    s"""WITH cb AS (
-       |  SELECT m, k, [CAST(embedding[m*8 + j + 1] AS DOUBLE) FOR j IN range(0, 8)] AS c
-       |  FROM (SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS k
-       |        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)) e,
-       |       unnest(generate_series(0, 7)) AS mm(m)),
+    val firstK =
+      s"""  SELECT m, k, [CAST(embedding[m*8 + j + 1] AS DOUBLE) FOR j IN range(0, 8)] AS c
+         |  FROM (SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS k
+         |        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)) e,
+         |       unnest(generate_series(0, 7)) AS mm(m)""".stripMargin
+    // one Lloyd iteration prev → out: L2 argmin assignment (k-asc ties,
+    // matching pq_encode), per-(m,k,j) floor-quantized means, empty
+    // cells inherit — the SQL replay of pqTrainedCodebook's recurrence
+    def lloyd(prev: String, out: String): String =
+      s"""     enc_$out AS (
+         |  SELECT v.vec_id, cb.m, cb.k, v.embedding,
+         |         row_number() OVER (PARTITION BY v.vec_id, cb.m ORDER BY
+         |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |             [(CAST(v.embedding[cb.m*8 + j + 1] AS DOUBLE) - cb.c[j + 1])
+         |              * (CAST(v.embedding[cb.m*8 + j + 1] AS DOUBLE) - cb.c[j + 1])
+         |              FOR j IN range(0, 8)]), (a, b) -> a + b), cb.k) AS rn
+         |  FROM embeddings v CROSS JOIN $prev cb),
+         |     mu_$out AS (
+         |  SELECT e.m, e.k, jj.j,
+         |         floor((sum(CAST(e.embedding[e.m*8 + jj.j + 1] AS DOUBLE)) / count(*))
+         |               * 1000000 + CAST(0.5000005 AS DOUBLE)) / 1000000 AS mu
+         |  FROM enc_$out e, unnest(generate_series(0, 7)) AS jj(j)
+         |  WHERE e.rn = 1 GROUP BY e.m, e.k, jj.j),
+         |     $out AS (
+         |  SELECT p.m, p.k, coalesce(g.c, p.c) AS c
+         |  FROM $prev p
+         |  LEFT JOIN (SELECT m, k, list(mu ORDER BY j) AS c
+         |             FROM mu_$out GROUP BY m, k) g ON g.m = p.m AND g.k = p.k),""".stripMargin
+    val cbChain =
+      if (!trained) s"WITH cb AS (\n$firstK),"
+      else s"WITH cb0 AS (\n$firstK),\n" + lloyd("cb0", "cbi1") + "\n" +
+        lloyd("cbi1", "cbi2") + "\n     cb AS (SELECT m, k, c FROM cbi2),"
+    s"""$cbChain
        |     enc AS (
        |  SELECT v.vec_id, cb.m, cb.k,
        |         row_number() OVER (PARTITION BY v.vec_id, cb.m ORDER BY
@@ -901,11 +999,12 @@ object LlmOps extends QueryModule {
     * trainer. Empty cells keep their previous centroid. NOT spherical
     * [[kmeansCentroids]]: PQ minimizes RECONSTRUCTION error, so the
     * update step is the plain per-coordinate mean under L2, not the
-    * mean direction under cosine. Double-mean partition-order ulps
-    * make trained centroids deterministic only to the ulp — the
-    * consumer query is rows-only checked (like `sim_ann_ivf_trained`)
-    * with the accuracy contract (trained distortion ≤ first-K
-    * distortion) pinned in LshRecallSpec.
+    * mean direction under cosine. Means are floor-quantized to the
+    * 1e-6 grid (the [[pageRank]] determinism device), so the trained
+    * codebook replays bit-identically from the unrolled SQL recurrence
+    * and the consumer query is FULLY hash-checked since round 10; the
+    * accuracy contract (trained distortion ≤ first-K distortion)
+    * stays pinned in LshRecallSpec.
     */
   private[ops] def pqTrainedCodebook(emb: DataFrame, iters: Int): Array[Array[Array[Double]]] = {
     var cb = pqCodebook(emb)
@@ -922,8 +1021,13 @@ object LlmOps extends QueryModule {
         .agg(sum("x").as("sx"), count(lit(1)).as("n"))
         .collect()
       val next = Array.tabulate(8, 16)((m, k) => cb(m)(k).clone())
+      // floor-quantize to the 1e-6 grid (the pageRank determinism
+      // device): the shuffled sum's partition-order ulps die here, so
+      // the trained codebook replays bit-identically from SQL
       sums.foreach { r =>
-        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3) / r.getLong(4)
+        val mu = r.getDouble(3) / r.getLong(4)
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          math.floor(mu * 1e6 + 0.5000005) / 1e6
       }
       cb = next
     }
@@ -952,12 +1056,13 @@ object LlmOps extends QueryModule {
 
   /** PQ/SDC ANN over the Lloyd-TRAINED codebook — identical plan shape
     * to `sim_ann_pq` (map-side native encode, bucket self-join,
-    * literal-table SDC scoring); only the quantizer improves. rows-only
-    * by design: the trained codebook is deterministic only to the ulp
-    * (see [[pqTrainedCodebook]]), so code assignments near Voronoi
-    * boundaries can flip across runs.
+    * literal-table SDC scoring); only the quantizer improves.
+    * HASH-CHECKED since round 10: the quantized trainer (see
+    * [[pqTrainedCodebook]]) replays from pqOracleSql's trained mode,
+    * which unrolls both Lloyd iterations as CTEs ahead of the shared
+    * SDC search SQL.
     */
-  qRowsOnly("sim_ann_pq_trained") { (s, d) =>
+  q("sim_ann_pq_trained", pqOracleSql(topK = 3, report = true, trained = true)) { (s, d) =>
     val emb = T(s, d, "embeddings").select("vec_id", "embedding")
     val cb = pqTrainedCodebook(emb, iters = 2)
     pqCodeTopK(pqEncoded(s, d, cb), cb, topK = 3)

@@ -506,6 +506,78 @@ object AnalyticsOps extends QueryModule {
       .reportSorted("cell")
   }
 
+  /** Forward (look-ahead) as-of join — completes the as-of family
+    * (backward / nearest / tolerance already registered in
+    * RelationalOps): each purchase matches the user's EARLIEST click
+    * at-or-after it, the attribution direction "which follow-up did
+    * this conversion trigger". Same single-window-pass shape as
+    * join_asof, mirrored: a min-over-following frame with clicks
+    * sorted AFTER purchases at equal ts so the at-or-after tie is
+    * included. One partition sort per user at any scale — never a
+    * per-row probe join.
+    */
+  q("join_asof_forward",
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, CAST(epoch_us(min(c.ts)) AS BIGINT) AS click_ts_us
+      |FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts >= p.ts
+      |GROUP BY p.event_id ORDER BY p.event_id""") { (s, d) =>
+    val e = T(s, d, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        (col("event_type") === "click").cast("int").as("is_click"))
+    // purchases sort before clicks at equal ts → at-or-after includes ties
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("is_click").asc)
+      .rowsBetween(0, Window.unboundedFollowing)
+    e.withColumn("click_ts_us",
+        min(when(col("is_click") === 1, unix_micros(col("ts")))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "click_ts_us")
+      .orderBy("event_id") // one row per purchase = input-sized
+  }
+
+  /** Running-max drawdown per user (SPEC: the maximum-drawdown risk
+    * statistic every monitoring/finance stack computes over a
+    * cumulative series): cumulative value sum → running peak →
+    * drawdown = peak − level, reported as each user's worst trough
+    * and its position. ONE partition sort serves the cumulative sum,
+    * the running max, and the argmax rank; output is user-bounded.
+    * All sums are raw-parquet doubles accumulated in the SAME
+    * in-order prefix walk both engines use (window frames fix the
+    * order), rounded once at the report.
+    */
+  q("win_drawdown",
+    """WITH s AS (
+      |  SELECT user_id, event_id, ts,
+      |         sum(value) OVER w AS level
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING)),
+      |dd AS (
+      |  SELECT user_id, event_id,
+      |         round(max(level) OVER w2 - level, 6) AS drawdown
+      |  FROM s WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                       ROWS UNBOUNDED PRECEDING)),
+      |best AS (
+      |  SELECT user_id, event_id, drawdown,
+      |         row_number() OVER (PARTITION BY user_id
+      |           ORDER BY drawdown DESC, event_id) AS rk
+      |  FROM dd)
+      |SELECT user_id, event_id AS trough_event, drawdown AS max_drawdown
+      |FROM best WHERE rk = 1 ORDER BY user_id""") { (s, d) =>
+    val wo = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dd = T(s, d, "events")
+      .withColumn("level", sum("value").over(wo))
+      .withColumn("drawdown", round(max("level").over(wo) - col("level"), 6))
+    val rk = Window.partitionBy("user_id").orderBy(col("drawdown").desc, col("event_id").asc)
+    dd.withColumn("rk", row_number().over(rk))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_id").as("trough_event"),
+        col("drawdown").as("max_drawdown"))
+      .orderBy("user_id")
+  }
+
   /** Mann–Whitney U rank-sum test (SPEC: Mann & Whitney 1947 — the
     * nonparametric sibling of agg_welch_ttest, the right tool when
     * normality can't be assumed), WITH the tie-corrected normal

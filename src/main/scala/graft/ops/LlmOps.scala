@@ -3266,12 +3266,18 @@ object LlmOps extends QueryModule {
     val sums = rows.groupBy("i").agg(sum("xi").as("sx"), count(lit(1)).as("cnt")).collect()
     val dim = sums.length
     val n = sums.head.getLong(2)
+    // floor-quantize the ONLY nondeterministic inputs — the shuffled
+    // Σx and Σxᵢxⱼ sums — to the 1e-6 grid (the pageRank device);
+    // everything downstream (covariance, 300 power-iteration rounds,
+    // Rayleigh quotient) is then pure deterministic double arithmetic
+    // any engine replays bit-identically
+    def q6(x: Double): Double = math.floor(x * 1e6 + 0.5000005) / 1e6
     val mu = Array.ofDim[Double](dim)
-    sums.foreach(r => mu(r.getInt(0)) = r.getDouble(1) / n)
+    sums.foreach(r => mu(r.getInt(0)) = q6(r.getDouble(1)) / n)
     val c = Array.ofDim[Double](dim, dim)
     gram.foreach { r =>
       val (i, j) = (r.getInt(0), r.getInt(1))
-      c(i)(j) = r.getDouble(2) / n - mu(i) * mu(j)
+      c(i)(j) = q6(r.getDouble(2)) / n - mu(i) * mu(j)
     }
     var v = Array.fill(dim)(1.0 / math.sqrt(dim))
     (1 to 300).foreach { _ =>
@@ -3287,16 +3293,86 @@ object LlmOps extends QueryModule {
     (n, lambda, lambda / trace, signed)
   }
 
-  qRowsOnly("sim_pca_top_component") { (s, d) =>
+  /** HASH-CHECKED since round 10: with [[gramTopComponent]]'s input
+    * sums quantized, the whole eigen-solve is deterministic double
+    * arithmetic — and SQL CAN replay it: the oracle rebuilds the
+    * quantized covariance, runs the 300 power-iteration rounds as a
+    * RECURSIVE CTE over a DOUBLE[] state (matvec + normalize per
+    * step, list_reduce's sequential fold matching Scala's in-order
+    * sums), then reproduces the Rayleigh quotient, the sign rule
+    * (largest-|component| positive), and the top-8 report. Output is
+    * 8 plain rows (rank, pos, loading, λ₁, ratio, n) — no formatted
+    * strings (BigDecimal vs engine double-formatting would never
+    * hash-agree; checklist rule 10 territory).
+    */
+  q("sim_pca_top_component",
+    """WITH RECURSIVE
+      |ex AS (
+      |  SELECT i.i, j.j,
+      |         floor(sum(CAST(e.embedding[i.i+1] AS DOUBLE) * CAST(e.embedding[j.j+1] AS DOUBLE))
+      |               * 1000000 + CAST(0.5000005 AS DOUBLE)) / 1000000 AS qsxx
+      |  FROM embeddings e, unnest(generate_series(0,63)) i(i), unnest(generate_series(0,63)) j(j)
+      |  GROUP BY i.i, j.j),
+      |sx AS (
+      |  SELECT i.i,
+      |         floor(sum(CAST(e.embedding[i.i+1] AS DOUBLE)) * 1000000
+      |               + CAST(0.5000005 AS DOUBLE)) / 1000000 AS qsx,
+      |         count(*) AS n
+      |  FROM embeddings e, unnest(generate_series(0,63)) i(i)
+      |  GROUP BY i.i),
+      |cm AS (
+      |  SELECT ex.i, ex.j,
+      |         ex.qsxx / si.n - (si.qsx / si.n) * (sj.qsx / sj.n) AS c
+      |  FROM ex JOIN sx si ON si.i = ex.i JOIN sx sj ON sj.i = ex.j),
+      |gm AS (
+      |  SELECT list(r ORDER BY i) AS g FROM (
+      |    SELECT i, list(c ORDER BY j) AS r FROM cm GROUP BY i) t),
+      |pit(k, v) AS (
+      |  SELECT 0, [CAST(0.125 AS DOUBLE) FOR q IN range(0, 64)]
+      |  UNION ALL
+      |  SELECT t.k + 1,
+      |         [t.w[i+1] / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |            [t.w[x+1] * t.w[x+1] FOR x IN range(0, 64)]), (a,b) -> a + b))
+      |          FOR i IN range(0, 64)]
+      |  FROM (SELECT p.k AS k,
+      |               [list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |                  [gm.g[i+1][j+1] * p.v[j+1] FOR j IN range(0, 64)]), (a,b) -> a + b)
+      |                FOR i IN range(0, 64)] AS w
+      |        FROM pit p, gm WHERE p.k < 300) t),
+      |fin AS (SELECT v FROM pit WHERE k = 300),
+      |lam AS (
+      |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           [f.v[i+1] * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |              [gm.g[i+1][j+1] * f.v[j+1] FOR j IN range(0, 64)]), (a,b) -> a + b)
+      |            FOR i IN range(0, 64)]), (a,b) -> a + b) AS lambda
+      |  FROM fin f, gm),
+      |tr AS (
+      |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           [gm.g[i+1][i+1] FOR i IN range(0, 64)]), (a,b) -> a + b) AS trace
+      |  FROM gm),
+      |comp AS (SELECT u.i, f.v[u.i+1] AS x FROM fin f, unnest(generate_series(0,63)) u(i)),
+      |km AS (SELECT i FROM comp ORDER BY abs(x) DESC, i LIMIT 1),
+      |sg AS (SELECT CASE WHEN c.x < 0 THEN CAST(-1.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS s
+      |       FROM comp c, km WHERE c.i = km.i),
+      |top AS (SELECT c.i AS pos, c.x * sg.s AS loading,
+      |               row_number() OVER (ORDER BY abs(c.x) DESC, c.i) AS rk
+      |        FROM comp c, sg)
+      |SELECT CAST(rk AS INTEGER) AS comp_rank, CAST(pos AS INTEGER) AS pos,
+      |       floor(loading * 10000 + CAST(0.5000005 AS DOUBLE)) / 10000 AS loading,
+      |       floor(lam.lambda * 10000 + CAST(0.5000005 AS DOUBLE)) / 10000 AS lambda1,
+      |       floor(lam.lambda / tr.trace * 1000000 + CAST(0.5000005 AS DOUBLE)) / 1000000 AS explained_ratio,
+      |       CAST((SELECT max(n) FROM sx) AS BIGINT) AS n
+      |FROM top, lam, tr WHERE rk <= 8 ORDER BY comp_rank""") { (s, d) =>
     val (n, lambda, ratio, v) = gramTopComponent(
       T(s, d, "embeddings").select("embedding"))
-    val top = v.zipWithIndex.sortBy { case (x, i) => (-math.abs(x), i) }.take(8)
-      .map { case (x, i) => f"$i:${BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)}" }
-      .mkString(" ")
+    def q4(x: Double): Double = math.floor(x * 1e4 + 0.5000005) / 1e4
+    val rows = v.zipWithIndex.sortBy { case (x, i) => (-math.abs(x), i) }.take(8)
+      .zipWithIndex.map { case ((x, pos), rk) =>
+        (rk + 1, pos, q4(x), q4(lambda),
+          math.floor(ratio * 1e6 + 0.5000005) / 1e6, n)
+      }
     import s.implicits._
-    Seq((n, BigDecimal(lambda).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
-      BigDecimal(ratio).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, top))
-      .toDF("n", "lambda1", "explained_ratio", "top_components")
+    rows.toSeq.toDF("comp_rank", "pos", "loading", "lambda1", "explained_ratio", "n")
   }
 
   /** Greedy Maximal-Marginal-Relevance selection over a BOUNDED

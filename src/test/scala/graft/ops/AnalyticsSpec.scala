@@ -236,6 +236,43 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("join_asof_forward agrees with the quadratic join+min formulation, ties included") {
+    val e = T(spark, dir, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("pu"), col("ts").as("pts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val want = p.join(c, col("cu") === col("pu") && col("cts") >= col("pts"), "left")
+      .groupBy("event_id")
+      .agg(min(unix_micros(col("cts"))).as("click_ts_us"))
+      .orderBy("event_id")
+    val got = SparkEntry.queries("join_asof_forward")(spark, dir)
+    assert(got.collect().toSeq == want.collect().toSeq)
+    // some purchase has no later click → null propagated, not dropped
+    assert(got.filter(col("click_ts_us").isNull).count() > 0)
+  }
+
+  test("win_drawdown recomputes from a driver-side prefix walk") {
+    val byUser = T(spark, dir, "events")
+      .select("user_id", "event_id", "value", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getTimestamp(3).getTime))
+      .groupBy(_._1)
+    val got = SparkEntry.queries("win_drawdown")(spark, dir).collect()
+    assert(got.length == byUser.size)
+    got.foreach { r =>
+      val series = byUser(r.getLong(0)).sortBy(x => (x._4, x._2))
+      var level = 0.0; var peak = Double.MinValue
+      var best = (-1.0, Long.MaxValue)
+      series.foreach { case (_, id, v, _) =>
+        level += v; peak = math.max(peak, level)
+        val dd = round(peak - level, 6)
+        if (dd > best._1) best = (dd, id)
+      }
+      assert(r.getLong(1) == best._2 && math.abs(r.getDouble(2) - best._1) < 1e-9,
+        s"user ${r.getLong(0)}")
+    }
+  }
+
   test("agg_mann_whitney matches a driver-side average-rank recomputation") {
     val rows = T(spark, dir, "events")
       .filter(col("event_type").isin("click", "purchase"))

@@ -578,6 +578,69 @@ object AnalyticsOps extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** OHLC resampling: open/high/low/close + volume bars per 15-minute
+    * window (SPEC: the universal finance/monitoring downsample; the
+    * lossy-but-shape-preserving summary dashboards draw). Open/close
+    * are ORDER-dependent — taken via min_by/max_by on a fixed-width
+    * string composite of (ts, event_id) (lexicographic = chronological;
+    * DuckDB's min_by takes no struct/list key), not first()/last()
+    * whose result is partition-order-defined in Spark. ONE grouped
+    * aggregate, shuffle carries (window × user) rows.
+    */
+  q("ts_resample_ohlc",
+    """SELECT CAST(epoch_us(ts) // 900000000 * 900000000 AS BIGINT) AS win_start,
+      |       user_id,
+      |       min_by(value, printf('%020d-%010d', epoch_us(ts), event_id)) AS open,
+      |       max(value) AS high, min(value) AS low,
+      |       max_by(value, printf('%020d-%010d', epoch_us(ts), event_id)) AS close,
+      |       CAST(count(*) AS BIGINT) AS volume
+      |FROM events GROUP BY win_start, user_id
+      |ORDER BY win_start, user_id""") { (s, d) =>
+    val key = format_string("%020d-%010d", unix_micros(col("ts")), col("event_id"))
+    T(s, d, "events")
+      .groupBy(window(col("ts"), "15 minutes").as("w"), col("user_id"))
+      .agg(min_by(col("value"), key).as("open"),
+        max("value").as("high"), min("value").as("low"),
+        max_by(col("value"), key).as("close"),
+        count(lit(1)).cast("long").as("volume"))
+      .select(unix_micros(col("w.start")).as("win_start"), col("user_id"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+      .orderBy("win_start", "user_id")
+  }
+
+  /** First-order Markov transition matrix over per-user behavior
+    * sequences (SPEC: the user-journey transition model — P(next
+    * behavior | current), the input to funnel simulation and
+    * next-action prediction): consecutive event pairs via ONE
+    * per-user lag window, then integer pair counts row-normalized.
+    * Shuffle: one partition sort + one (from,to) count on a
+    * catalog² key space.
+    */
+  q("agg_markov_transition",
+    """WITH pairs AS (
+      |  SELECT event_type AS from_t,
+      |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_t
+      |  FROM events),
+      |c AS (SELECT from_t, to_t, count(*) AS n FROM pairs WHERE to_t IS NOT NULL
+      |      GROUP BY from_t, to_t),
+      |r AS (SELECT from_t, sum(n) AS tot FROM c GROUP BY from_t)
+      |SELECT c.from_t, c.to_t, CAST(c.n AS BIGINT) AS n,
+      |       round(c.n * 1.0 / r.tot, 6) AS p
+      |FROM c JOIN r ON r.from_t = c.from_t
+      |ORDER BY c.from_t, c.to_t""") { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = T(s, d, "events")
+      .select(col("event_type").as("from_t"),
+        lead(col("event_type"), 1).over(w).as("to_t"))
+      .filter(col("to_t").isNotNull)
+      .groupBy("from_t", "to_t").agg(count(lit(1)).as("n"))
+    val tot = pairs.groupBy("from_t").agg(sum("n").as("tot"))
+    pairs.join(broadcast(tot), Seq("from_t"))
+      .select(col("from_t"), col("to_t"), col("n").cast("long").as("n"),
+        round(col("n") * lit(1.0) / col("tot"), 6).as("p"))
+      .reportSorted("from_t", "to_t")
+  }
+
   /** Mann–Whitney U rank-sum test (SPEC: Mann & Whitney 1947 — the
     * nonparametric sibling of agg_welch_ttest, the right tool when
     * normality can't be assumed), WITH the tie-corrected normal

@@ -304,6 +304,44 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(got.map(_.getDouble(3)).sum - 1.0) < 1e-3) // Benford p's close
   }
 
+  test("ts_resample_ohlc: open/close are the chronological endpoints of each bar") {
+    val raw = T(spark, dir, "events")
+      .select("user_id", "event_id", "value", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getTimestamp(3).getTime))
+    val bars = raw.groupBy(e => (e._4 / 900000 * 900000, e._1))
+    val got = SparkEntry.queries("ts_resample_ohlc")(spark, dir).collect()
+    assert(got.length == bars.size)
+    got.foreach { r =>
+      val mine = bars((r.getLong(0) / 1000, r.getLong(1))).sortBy(e => (e._4, e._2))
+      assert(r.getDouble(2) == mine.head._3, "open")
+      assert(r.getDouble(5) == mine.last._3, "close")
+      assert(r.getDouble(3) == mine.map(_._3).max && r.getDouble(4) == mine.map(_._3).min)
+      assert(r.getLong(6) == mine.length.toLong)
+    }
+  }
+
+  test("agg_markov_transition: rows of the matrix are probability distributions") {
+    val got = SparkEntry.queries("agg_markov_transition")(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getString(0)).foreach { case (from, rows) =>
+      assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4, s"row $from")
+    }
+    // transition counts recompute from a driver-side sequence walk
+    val seqs = T(spark, dir, "events")
+      .select("user_id", "event_type", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime, r.getLong(3)))
+      .groupBy(_._1).values
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    seqs.foreach { s0 =>
+      s0.toArray.sortBy(e => (e._3, e._4)).map(_._2).sliding(2).foreach {
+        case Array(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + 1
+        case _ =>
+      }
+    }
+    got.foreach(r => assert(r.getLong(2) == counts((r.getString(0), r.getString(1)))))
+    assert(got.map(_.getLong(2)).sum == counts.values.sum)
+  }
+
   test("source_parquet_evolution: v1-generation rows surface NULL for the added column") {
     val rows = SparkEntry.queries("source_parquet_evolution")(spark, dir).collect()
     val docs = T(spark, dir, "documents").select("doc_id", "lang", "n_chars").collect()

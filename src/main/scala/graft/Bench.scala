@@ -49,13 +49,19 @@ object Bench {
       "lineitem", "events", "documents", "embeddings")
       .foreach(t => T(spark, sfDir, t).count())
     val prior = priorTimes(sfDir)
+    // Optional subset run for A/B bisects (e.g. "is this family slow in
+    // isolation or only inside the full session?"): SPARK_GRAFT_ONLY is
+    // an anchored regex over query keys; unset = full registry.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.pattern.matcher(name).matches()) }
     // Deterministic (sorted) order → per-query times comparable across
     // runs. Each query is timed three times and the min reported: this
     // host shows sporadic multi-second external stalls (observed moving
     // between queries run-to-run with GC quiet; a whole 2-pass run was
     // seen uniformly ~1.5× slower), and min-of-3 keeps a stall from
     // misattributing tens of seconds to whatever query it lands on.
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val firstPass = selected.map { case (name, fn) =>
       (name, fn, (1 to 3).map(_ => timeOnce(spark, sfDir, fn)))
     }
     // A stall that covers a query's whole 3-rep window inflates even the
@@ -67,8 +73,13 @@ object Bench {
     // windows — and the overall min is reported.
     val results = firstPass.map { case (name, fn, ts) =>
       val m = ts.min
+      // Prior threshold 1.35x (was 2x): the r10 driver run inflated the
+      // whole text_* family 1.5-1.9x — a sustained slow host window —
+      // and every key sat just under the old 2x gate, so no retry
+      // fired. 1.35x still never triggers on quiet same-host reruns
+      // (observed run-to-run jitter on sub-second keys is <1.3x).
       val suspect = (m > 0.3 && ts.max / m > 1.5) ||
-        prior.get(name).exists(p => m > 2 * p && m - p > 0.3)
+        prior.get(name).exists(p => m > 1.35 * p && m - p > 0.1)
       val best =
         if (suspect) math.min(m, (1 to 2).map(_ => timeOnce(spark, sfDir, fn)).min)
         else m

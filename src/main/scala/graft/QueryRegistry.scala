@@ -5,11 +5,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** One registered operator query: the Spark implementation plus an
   * optional DuckDB-dialect oracle SQL (None for non-SQL-expressible
   * operators → driver records a weaker rows-only check).
+  *
+  * `oracleGen` is the DATA-PARAMETERIZED oracle variant: SQL that can
+  * only be written once a deterministic trained artifact of the corpus
+  * is known (the BPE merge table). Verify materializes it with the
+  * same (spark, sfDir) the queries ran against and dumps the result
+  * alongside the static oracles — DuckDB then replays the algorithm
+  * against the embedded artifact. Exactly one of oracle/oracleGen is
+  * set for a checked query; both None → rows-only.
   */
 final case class QueryDef(
     name: String,
     oracle: Option[String],
-    fn: (SparkSession, String) => DataFrame)
+    fn: (SparkSession, String) => DataFrame,
+    oracleGen: Option[(SparkSession, String) => String] = None)
 
 /** Mixin for operator modules. Each module registers its queries at
   * object-construction time via `q` (with oracle) / `qRowsOnly`.
@@ -87,6 +96,15 @@ trait QueryModule {
   protected def qRowsOnly(name: String)(
       fn: (SparkSession, String) => DataFrame): Unit =
     buf += QueryDef(name, None, fn)
+
+  /** Register with a data-parameterized oracle: `gen` builds the DuckDB
+    * SQL from (spark, sfDir) at Verify time — used when the oracle must
+    * embed a deterministic trained artifact (e.g. the BPE merge table)
+    * as a literal before SQL can replay the algorithm independently.
+    */
+  protected def qDyn(name: String)(fn: (SparkSession, String) => DataFrame)(
+      gen: (SparkSession, String) => String): Unit =
+    buf += QueryDef(name, None, fn, Some(gen))
 
   def defs: Seq[QueryDef] = buf.toList
 }

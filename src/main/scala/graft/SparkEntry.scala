@@ -51,5 +51,13 @@ object SparkEntry {
     * driver records a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    all.collect { case QueryDef(n, Some(sql), _) => n -> sql }.toMap
+    all.collect { case d if d.oracle.isDefined => d.name -> d.oracle.get }.toMap
+
+  /** Data-parameterized oracles (SQL embedding a deterministic trained
+    * artifact of the corpus) — materialized by Verify with the same
+    * (spark, sfDir) the queries ran against, then dumped alongside
+    * [[oracleSql]] in oracle_sql.json.
+    */
+  def dynOracleSql: Map[String, (SparkSession, String) => String] =
+    all.collect { case d if d.oracleGen.isDefined => d.name -> d.oracleGen.get }.toMap
 }

@@ -35,7 +35,18 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Static oracles plus the data-parameterized ones, materialized with
+    // the same (spark, sfDir) the queries just ran against. A generator
+    // failure degrades that key to rows-only (oracle omitted) rather
+    // than poisoning the whole dump.
+    val dyn = SparkEntry.dynOracleSql.flatMap { case (k, gen) =>
+      try Some(k -> gen(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] oracle gen $k failed: ${e.getMessage}")
+        None
+      }
+    }
+    val json = (SparkEntry.oracleSql ++ dyn)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

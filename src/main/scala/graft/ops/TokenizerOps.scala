@@ -22,10 +22,17 @@ import org.apache.spark.sql.functions._
   * map-side-only pass with a per-partition Zipf memo — no shuffle is
   * added anywhere by tokenization itself.
   *
-  * No DuckDB oracle can replay iterative BPE merging → rows-only by
-  * design; the algorithmic contracts (determinism, round-trip,
-  * Sennrich's worked merge sequence, budget-monotonicity vs the
-  * whitespace variant) are pinned in BpeSpec.
+  * HASH-CHECKED since round 11 via the data-parameterized-oracle
+  * device: training is deterministic for a fixed corpus (count-desc +
+  * lex tie-break, pinned against Sennrich's worked example in
+  * BpeSpec), so Verify trains the SAME merge table the queries use,
+  * embeds it as a DuckDB literal, and the oracle REPLAYS greedy
+  * encoding independently as a recursive CTE (see [[encodeCtes]]).
+  * What SQL re-derives: the entire apply path (lowest-rank-first
+  * merging, end-of-word handling, decode round-trip) plus every
+  * downstream pipeline computation. What it trusts: the merge table
+  * itself (unit-pinned in BpeSpec) — iterative pair-count training
+  * remains outside SQL, the documented residue of SURVEY §2's BPE row.
   */
 object TokenizerOps extends QueryModule {
 
@@ -56,13 +63,96 @@ object TokenizerOps extends QueryModule {
     Bpe.train(vocab, NumMerges)
   }
 
+  // ---------------------------------------------------------------
+  // Oracle-side encode replay (the round-10 "make the recurrence
+  // engine-replayable" device, applied to greedy BPE application).
+  // ---------------------------------------------------------------
+
+  /** The trained merges as a DuckDB VALUES literal `(rank, left,
+    * right)`. Symbols come from corpus text (no quotes expected, but
+    * escaped anyway); an EMPTY model gets one unmatchable row so the
+    * downstream list machinery stays well-typed.
+    */
+  private def mergesLiteral(m: Bpe.Model): String =
+    if (m.merges.isEmpty) "(1, chr(2), chr(2))"
+    else m.merges.zipWithIndex.map { case ((l, r), i) =>
+      def esc(x: String) = x.replace("'", "''")
+      s"(${i + 1}, '${esc(l)}', '${esc(r)}')"
+    }.mkString(", ")
+
+  /** Shared CTE prelude replaying [[Bpe.encodeWord]] in DuckDB over
+    * every DISTINCT corpus word (the memo, relationally).
+    *
+    * Representation: a word state is its symbol sequence joined AND
+    * bracketed by chr(1) (`·s1·s2·…·sn·`) — the separators make merge
+    * patterns boundary-exact, and chr(1)/`</w>` are verified absent
+    * from the corpus alphabet. Each recursion step finds the
+    * LOWEST-RANK pair present (list comprehension over the ≤200
+    * patterns + list_min — no aggregation over the recursive
+    * reference, the sim_pca device) and rewrites the LEFTMOST
+    * occurrence only. One-occurrence-at-a-time is provably identical
+    * to [[Bpe.mergePair]]'s left-to-right replace-all: a newly formed
+    * symbol only participates in STRICTLY HIGHER-RANK pairs (its
+    * forming merge trained earlier than any pair containing it), so
+    * re-selecting the best rank between single rewrites can never
+    * jump to a different pair mid-merge, and leftmost-first resolves
+    * self-overlap chains (`aaaaa`) in the same order as the Scala
+    * scan. Plain string replace() would NOT: its post-match scan
+    * resume merges alternating occurrences of odd self-chains
+    * (`·aa·a·aa·` where the scan gives `·aa·aa·a·`).
+    *
+    * CTEs exposed to callers: `wtk(w, toks)` — final token list per
+    * distinct word; `dtk(doc_id, pos, w)` — the per-document word
+    * stream with 1-based positions (checklist rule 9: ordinality via
+    * list indexing, DuckDB has no WITH ORDINALITY).
+    */
+  private def encodeCtes(m: Bpe.Model): String =
+    s"""WITH RECURSIVE
+       |mg AS (
+       |  SELECT list(chr(1)||l||chr(1)||r||chr(1) ORDER BY rk) AS pat,
+       |         list(chr(1)||l||r||chr(1) ORDER BY rk) AS rep,
+       |         count(*) AS nm
+       |  FROM (VALUES ${mergesLiteral(m)}) m(rk, l, r)),
+       |wd AS (
+       |  SELECT DISTINCT unnest([x FOR x IN string_split(text, ' ') IF x <> '']) AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |ini AS (
+       |  SELECT w, chr(1) || list_aggregate([s || chr(1)
+       |           FOR s IN string_split_regex(w, '')], 'string_agg', '')
+       |         || '</w>' || chr(1) AS s0
+       |  FROM wd),
+       |enc(w, s) AS (
+       |  SELECT w, s0 FROM ini
+       |  UNION ALL
+       |  SELECT t.w, substr(t.s, 1, strpos(t.s, t.bpat) - 1) || t.brep ||
+       |         substr(t.s, strpos(t.s, t.bpat) + length(t.bpat))
+       |  FROM (SELECT e.w, e.s, mg.pat[b.best] AS bpat, mg.rep[b.best] AS brep
+       |        FROM enc e, mg,
+       |          LATERAL (SELECT list_min([i FOR i IN range(1, mg.nm + 1)
+       |                                    IF contains(e.s, mg.pat[i])]) AS best) b
+       |        WHERE b.best IS NOT NULL) t),
+       |wtk AS (
+       |  SELECT e.w, [x FOR x IN string_split(e.s, chr(1)) IF x <> ''] AS toks
+       |  FROM enc e, mg
+       |  WHERE list_min([i FOR i IN range(1, mg.nm + 1)
+       |                  IF contains(e.s, mg.pat[i])]) IS NULL),
+       |dw AS (
+       |  SELECT doc_id, [x FOR x IN string_split(coalesce(text, ''), ' ') IF x <> ''] AS ws
+       |  FROM documents),
+       |dtk AS (
+       |  SELECT t.doc_id, t.i AS pos, t.ws[t.i] AS w
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM dw) t)""".stripMargin
+
   /** Per-doc subword tokenization report: whitespace vs BPE token
     * counts, the compression they buy (chars per BPE token), and the
     * round-trip flag (decode(encode(text)) reproduces the
     * space-normalized text — lossless-ness checked on every doc, not
     * just in the spec). One training pass + one map-side encode pass.
+    * chars_per_tok is floor-quantized (the ε-shifted 1e-6 grid, not
+    * rint: half-even vs half-away library semantics would diverge on
+    * exact .5 grid hits, e.g. an odd char count over 128 tokens).
     */
-  qRowsOnly("text_bpe_tokenize") { (s, d) =>
+  qDyn("text_bpe_tokenize") { (s, d) =>
     import s.implicits._
     val model = s.sparkContext.broadcast(trainOn(s, d))
     T(s, d, "documents")
@@ -80,12 +170,34 @@ object TokenizerOps extends QueryModule {
           val nChars = normalized.length.toLong
           (id, nWs, toks.length.toLong,
             if (toks.isEmpty) 0.0
-            else math.rint(nChars.toDouble / toks.length * 1e6) / 1e6,
+            else math.floor(nChars.toDouble / toks.length * 1e6 + 0.5000005) / 1e6,
             Bpe.decode(toks) == normalized)
         }
       }
       .toDF("doc_id", "n_tok_ws", "n_tok_bpe", "chars_per_tok", "roundtrip_ok")
       .orderBy("doc_id") // one row per doc = input-sized
+  } { (s, d) =>
+    encodeCtes(trainOn(s, d)) +
+      s""",
+         |ds AS (
+         |  SELECT k.doc_id, CAST(sum(len(t.toks)) AS BIGINT) AS n_bpe,
+         |         list_aggregate(flatten(list(t.toks ORDER BY k.pos)),
+         |                        'string_agg', '') AS cat
+         |  FROM dtk k JOIN wtk t ON t.w = k.w GROUP BY k.doc_id)
+         |SELECT w0.doc_id,
+         |       CAST(len(w0.ws) AS BIGINT) AS n_tok_ws,
+         |       coalesce(s.n_bpe, 0) AS n_tok_bpe,
+         |       CASE WHEN coalesce(s.n_bpe, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+         |            ELSE floor(CAST(length(array_to_string(w0.ws, ' ')) AS DOUBLE)
+         |                   / s.n_bpe * 1000000 + CAST(0.5000005 AS DOUBLE)) / 1000000
+         |       END AS chars_per_tok,
+         |       CASE WHEN coalesce(s.n_bpe, 0) = 0
+         |            THEN array_to_string(w0.ws, ' ') = ''
+         |            ELSE rtrim(replace(s.cat, '</w>', ' '))
+         |                   = array_to_string(w0.ws, ' ')
+         |       END AS roundtrip_ok
+         |FROM dw w0 LEFT JOIN ds s ON s.doc_id = w0.doc_id
+         |ORDER BY w0.doc_id""".stripMargin
   }
 
   /** The token-budget family parameterized by tokenizer — the same
@@ -96,7 +208,7 @@ object TokenizerOps extends QueryModule {
     * map-side, then the ONE source-partitioned window sort the
     * whitespace variant already pays.
     */
-  qRowsOnly("pipeline_token_budget_bpe") { (s, d) =>
+  qDyn("pipeline_token_budget_bpe") { (s, d) =>
     import s.implicits._
     val model = s.sparkContext.broadcast(trainOn(s, d))
     val counted = T(s, d, "documents")
@@ -118,6 +230,24 @@ object TokenizerOps extends QueryModule {
       .filter(col("cum") <= 1000)
       .select(col("doc_id"), col("source"), col("n_tok"), col("cum"))
       .orderBy("source", "cum") // kept-docs-sized output
+  } { (s, d) =>
+    encodeCtes(trainOn(s, d)) +
+      s""",
+         |cnt AS (
+         |  SELECT d.doc_id, d.source,
+         |         CAST(coalesce(sum(len(t.toks)), 0) AS BIGINT) AS n_tok
+         |  FROM documents d
+         |  LEFT JOIN dtk k ON k.doc_id = d.doc_id
+         |  LEFT JOIN wtk t ON t.w = k.w
+         |  GROUP BY d.doc_id, d.source),
+         |r AS (
+         |  SELECT doc_id, source, n_tok,
+         |         CAST(sum(n_tok) OVER (PARTITION BY source
+         |           ORDER BY n_tok DESC, doc_id
+         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM cnt)
+         |SELECT doc_id, source, n_tok, cum
+         |FROM r WHERE cum <= 1000 ORDER BY source, cum""".stripMargin
   }
 
   /** Sequence packing over REAL subword tokens — the third
@@ -129,7 +259,7 @@ object TokenizerOps extends QueryModule {
     * per-partition memo), then the ONE language-partitioned window
     * cumsum the whitespace variant already pays.
     */
-  qRowsOnly("pipeline_pack_sequences_bpe") { (s, d) =>
+  qDyn("pipeline_pack_sequences_bpe") { (s, d) =>
     import s.implicits._
     val model = s.sparkContext.broadcast(trainOn(s, d))
     val counted = T(s, d, "documents")
@@ -149,6 +279,23 @@ object TokenizerOps extends QueryModule {
       .select(col("doc_id"), col("lang"), col("n_tok"),
         floor((col("cum") - col("n_tok")) / 4096).as("bin"))
       .orderBy("doc_id") // one row per doc = input-sized
+  } { (s, d) =>
+    encodeCtes(trainOn(s, d)) +
+      s""",
+         |cnt AS (
+         |  SELECT d.doc_id, d.lang,
+         |         CAST(coalesce(sum(len(t.toks)), 0) AS BIGINT) AS n_tok
+         |  FROM documents d
+         |  LEFT JOIN dtk k ON k.doc_id = d.doc_id
+         |  LEFT JOIN wtk t ON t.w = k.w
+         |  GROUP BY d.doc_id, d.lang)
+         |SELECT doc_id, lang, n_tok,
+         |       CAST((cum - n_tok) // 4096 AS BIGINT) AS bin
+         |FROM (SELECT doc_id, lang, n_tok,
+         |             CAST(sum(n_tok) OVER (PARTITION BY lang
+         |               ORDER BY doc_id) AS BIGINT) AS cum
+         |      FROM cnt) t
+         |ORDER BY doc_id""".stripMargin
   }
 
   /** Document chunking over REAL subword tokens — the second
@@ -162,7 +309,7 @@ object TokenizerOps extends QueryModule {
     * per-partition memo), then the grid explode and array slicing are
     * plain codegen'd functions — no shuffle before the output sort.
     */
-  qRowsOnly("pipeline_chunk_documents_bpe") { (s, d) =>
+  qDyn("pipeline_chunk_documents_bpe") { (s, d) =>
     import s.implicits._
     val model = s.sparkContext.broadcast(trainOn(s, d))
     val toks = T(s, d, "documents")
@@ -184,5 +331,20 @@ object TokenizerOps extends QueryModule {
           array_join(slice(col("toks"), col("st") + 1, lit(32)), ""),
           "</w>", " ")).as("chunk"))
       .orderBy("doc_id", "chunk_id") // chunk per 24 input tokens = input-sized
+  } { (s, d) =>
+    encodeCtes(trainOn(s, d)) +
+      s""",
+         |dtl AS (
+         |  SELECT k.doc_id, flatten(list(t.toks ORDER BY k.pos)) AS toks
+         |  FROM dtk k JOIN wtk t ON t.w = k.w GROUP BY k.doc_id),
+         |g AS (
+         |  SELECT doc_id, toks, len(toks) AS n,
+         |         unnest(range(0, len(toks), 24)) AS st
+         |  FROM dtl WHERE len(toks) > 0)
+         |SELECT doc_id, CAST(st // 24 AS INTEGER) AS chunk_id,
+         |       CAST(len(list_slice(toks, st + 1, least(st + 32, n))) AS INTEGER) AS n_tok,
+         |       rtrim(replace(array_to_string(
+         |         list_slice(toks, st + 1, least(st + 32, n)), ''), '</w>', ' ')) AS chunk
+         |FROM g ORDER BY doc_id, chunk_id""".stripMargin
   }
 }

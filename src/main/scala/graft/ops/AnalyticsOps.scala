@@ -264,8 +264,10 @@ object AnalyticsOps extends QueryModule {
       |         length(text) AS ch
       |  FROM documents)
       |SELECT doc_id, CAST(t AS BIGINT) AS n_tokens,
-      |       round(-2.0 + 0.015 * t + 0.45 * ((ch - t + 1) * 1.0 / t), 6) AS logit,
-      |       (-2.0 + 0.015 * t + 0.45 * ((ch - t + 1) * 1.0 / t)) > 0 AS keep
+      |       round(CAST(-2.0 AS DOUBLE) + CAST(0.015 AS DOUBLE) * t
+      |             + CAST(0.45 AS DOUBLE) * ((ch - t + 1) * 1.0 / t), 6) AS logit,
+      |       (CAST(-2.0 AS DOUBLE) + CAST(0.015 AS DOUBLE) * t
+      |        + CAST(0.45 AS DOUBLE) * ((ch - t + 1) * 1.0 / t)) > 0 AS keep
       |FROM f ORDER BY doc_id""") { (s, d) =>
     val f = T(s, d, "documents")
       .select(col("doc_id"),
@@ -404,8 +406,10 @@ object AnalyticsOps extends QueryModule {
       |FROM r ORDER BY t_min""") { (s, d) =>
     val e = T(s, d, "events")
     val life = e.groupBy("user_id")
-      .agg(((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
-        .divide(60000000L)).cast("long").as("t"),
+      // integer floor division (`div`), matching the oracle's `//` —
+      // checklist rule 6: timestamp arithmetic stays integral (a double
+      // Divide+cast truncates and could ulp-flip a bucket boundary)
+      .agg(expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 60000000").as("t"),
         unix_micros(max(col("ts"))).as("last_us"))
     val cutoff = e.agg((unix_micros(max(col("ts"))) - lit(3600000000L)).as("cut"))
     val lf = life.crossJoin(broadcast(cutoff))

@@ -1260,6 +1260,67 @@ object LlmOps extends QueryModule {
       .orderBy("a", "b") // pair set scales with dup density = input-sized
   }
 
+  /** LSH-bucketed THRESHOLD retrieval — the registered 100 TB swap-in
+    * for `sim_range_search` (AnalyticsOps), which scans the corpus
+    * per probe by contract. Same output contract (probe, neighbor,
+    * cos ≥ τ) but candidates come from 6 OR-ed 4-plane hyperplane
+    * tables: probes' (tbl, bucket) keys — 5×6 rows, genuinely
+    * bounded → broadcast — equi-join the ONE corpus bucketing pass,
+    * then exact-cosine verify on candidates only. Candidate volume ∝
+    * probe-bucket density, never |corpus|·|probes|. Fewer planes than
+    * the near-dup rows (4 vs 6) because range search at τ = 0.3
+    * (θ≈72°) needs wide buckets: per-table recall (1−θ/π)⁴ ≈ 0.13,
+    * OR-6 ≈ 0.56 — the documented, DETERMINISTIC recall trade
+    * (plane literals are plan-time constants, so the oracle replays
+    * candidate membership exactly; the miss set is fixed, not
+    * random). The brute-force row stays as the correctness baseline
+    * per SCALE.md §7.
+    */
+  q("sim_range_search_lsh", {
+    val bucketCols = (0 until 6)
+      .map(t => s"${bucketSql(4, tablePlane(t))} AS b$t").mkString(",\n       ")
+    val unions = (0 until 6).map(t =>
+      s"SELECT p.qid, e.vec_id FROM bk e JOIN pr p " +
+        s"ON e.b$t = p.b$t AND e.vec_id <> p.qid").mkString("\n  UNION\n  ")
+    s"""WITH bk AS (SELECT vec_id, embedding,
+       |       $bucketCols FROM embeddings),
+       |     pr AS (SELECT vec_id AS qid, * EXCLUDE (vec_id, embedding)
+       |            FROM bk WHERE vec_id IN (0, 1, 2, 3, 4)),
+       |     cand AS (
+       |  $unions)
+       |SELECT c.qid, c.vec_id AS nbr,
+       |       round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                                    CAST(eb.embedding AS DOUBLE[])), 6) AS cos
+       |FROM cand c
+       |JOIN embeddings ea ON ea.vec_id = c.qid
+       |JOIN embeddings eb ON eb.vec_id = c.vec_id
+       |WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                                   CAST(eb.embedding AS DOUBLE[])), 6) >= 0.30
+       |ORDER BY qid, nbr""".stripMargin
+  }) { (s, d) =>
+    val emb = T(s, d, "embeddings").select("vec_id", "embedding")
+    val tb = emb.select(col("vec_id"), explode(array((0 until 6).map { t =>
+      struct(lit(t).as("tbl"),
+        signBucketExpr(col("embedding"), 64,
+          (0 until 4).map(tablePlane(t))).as("bucket"))
+    }: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val probes = tb.filter(col("vec_id").isin(0L, 1L, 2L, 3L, 4L))
+      .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
+    val cand = tb.join(broadcast(probes), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id")
+      .distinct()
+    cand
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qemb")), Seq("qid"))
+      .join(emb, Seq("vec_id"))
+      .withColumn("cos",
+        round(graft.functions.vec.cosine(col("embedding"), col("qemb")), 6))
+      .filter(col("cos") >= 0.30)
+      .select(col("qid"), col("vec_id").as("nbr"), col("cos"))
+      .orderBy("qid", "nbr") // candidate-bounded output
+  }
+
   /** k-nearest-neighbor GRAPH over the whole embedding table (k = 3)
     * — the all-vectors neighborhood structure that graph clustering,
     * SemDeDup-style analyses, and kNN classifiers consume (vs the
@@ -2557,6 +2618,19 @@ object LlmOps extends QueryModule {
     * N·iters·5e-7 instead of machine precision — semantically free at
     * rank scale, and what upgrades graph_pagerank from rows-only to a
     * full hash check.
+    *
+    * RESIDUAL RISK (applies to every ε-shifted quantization site in
+    * this file): the device is exact for values that are sums of grid
+    * multiples; for non-grid quantities (rank/degree contributions,
+    * covariance entries, λ·rel scores) cross-engine bit-equality is
+    * probabilistic — a true value can land inside the ~1e-9
+    * engine-noise band around the SHIFTED boundary, ~1e-9/1e-6 ≈ 1e-3
+    * odds per site scaled by band/grid ≈ 1e-9 per coordinate per
+    * round in practice. The verified-at-two-SFs claim bounds observed
+    * behavior, not the tail. If a future round reds one of these keys
+    * on new data with no code change: RE-VERIFY (rerun the pair and
+    * diff the handful of straddled coordinates) before bisecting —
+    * a rare boundary straddle is expected behavior, not a logic bug.
     */
   def pageRank(vertices: DataFrame, edges: DataFrame, iters: Int,
       damping: Double = 0.85): DataFrame = {

@@ -266,7 +266,10 @@ class AnalyticsSpec extends AnyFunSuite {
       series.foreach { case (_, id, v, _) =>
         level += v; peak = math.max(peak, level)
         val dd = round(peak - level, 6)
-        if (dd > best._1) best = (dd, id)
+        // tie-break by event_id asc like the query/oracle do — walk
+        // order is (ts, id), which differs when a tied drawdown's ids
+        // are not ts-ordered (e.g. an all-zero monotone series)
+        if (dd > best._1 || (dd == best._1 && id < best._2)) best = (dd, id)
       }
       assert(r.getLong(1) == best._2 && math.abs(r.getDouble(2) - best._1) < 1e-9,
         s"user ${r.getLong(0)}")

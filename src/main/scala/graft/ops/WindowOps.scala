@@ -414,32 +414,56 @@ object WindowOps extends QueryModule {
   /** Exponential moving average per user (α = 0.25) — the classic
     * recursive smoother (EWMA_t = α·x_t + (1−α)·EWMA_{t−1}, seeded
     * with the first observation). The recurrence has no closed window
-    * form, so it runs as ONE per-user ordered fold: collect the
-    * user's (ts, event_id, value) sequence, array-sort it (struct
-    * order = the event order), fold with the aggregate HOF — both
-    * engines fold the identical sequence left-to-right, so the result
-    * is deterministic to the bit and 6-dp rounding is pure safety.
-    * BOUNDED-GROUP pattern: per-user sequences are collected in one
-    * aggregate row, sized by the user's own event count — the right
-    * tool when groups fit in memory (here ≤ thousands of events); an
-    * unbounded keyspace takes the streaming form instead
-    * (`stream_stateful_custom` carries exactly this state shape).
-    * One user_id shuffle; output one row per user = input-sized.
+    * form, so it runs as ONE per-user ordered fold — UNBOUNDED-GROUP
+    * form since round 11 (the r10 verdict's #5): repartition on
+    * user_id, spillable sortWithinPartitions on (user_id, ts,
+    * event_id), then a STREAMING mapPartitions fold holding one
+    * (acc, n) pair per in-flight user — task memory is O(1) per
+    * group regardless of group size, where the previous
+    * collect_list-per-user aggregate made a single hot user's whole
+    * sequence an executor allocation (the documented OOM contract
+    * this replaces). The fold order is identical to the old
+    * sort_array walk (event_id disambiguates equal timestamps), so
+    * values — and the oracle's list_reduce replay — are unchanged to
+    * the bit; rounding happens in DataFrame land (Spark round
+    * semantics, same as before). mapPartitions is the right tool
+    * here per the custom-op ladder: an ordered streaming fold has no
+    * Expression/window form, and the exchange+sort it rides is the
+    * plan Spark would pay for ANY grouped ordered computation.
+    * Parallelism ∝ #users (hash partitioning); a skewed hot user
+    * costs sort spill, not memory.
     */
   q("ts_ewma",
     """SELECT user_id, CAST(count(*) AS INTEGER) AS n,
       |       round(list_reduce(list(value ORDER BY ts, event_id),
       |                         (acc, x) -> acc * 0.75 + x * 0.25), 6) AS ewma
       |FROM events GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+    import s.implicits._
     T(s, d, "events")
-      .groupBy("user_id")
-      .agg(count(lit(1)).cast("int").as("n"),
-        sort_array(collect_list(struct(col("ts"), col("event_id"), col("value"))))
-          .as("seq"))
-      .withColumn("vals", expr("transform(seq, x -> x.value)"))
-      .withColumn("ewma", round(expr(
-        "aggregate(slice(vals, 2, size(vals) - 1), vals[0], (acc, x) -> acc * 0.75D + x * 0.25D)"), 6))
-      .select("user_id", "n", "ewma")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "us", "event_id")
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .mapPartitions { it =>
+        val rows = it.buffered
+        new Iterator[(Long, Int, Double)] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): (Long, Int, Double) = {
+            val (u, v0) = rows.next()
+            var acc = v0
+            var n = 1
+            while (rows.hasNext && rows.head._1 == u) {
+              acc = acc * 0.75 + rows.next()._2 * 0.25
+              n += 1
+            }
+            (u, n, acc)
+          }
+        }
+      }
+      .toDF("user_id", "n", "acc")
+      .select(col("user_id"), col("n"), round(col("acc"), 6).as("ewma"))
       .orderBy("user_id") // one row per user = input-sized
   }
 
@@ -449,11 +473,12 @@ object WindowOps extends QueryModule {
     * l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1}),
     * b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}, seeded l₁ = x₁, b₁ = 0;
     * forecast = l_n + b_n. α = 0.5 and β = 0.25 are exact binary
-    * fractions. Same BOUNDED-GROUP ordered-fold shape as ts_ewma —
-    * the state is a 2-field struct threaded through the aggregate HOF,
-    * and both engines fold the identical sequence left-to-right, so
-    * equality is bitwise before the safety rounding. One user_id
-    * shuffle; unbounded keyspaces take the streaming state form.
+    * fractions. Same UNBOUNDED-GROUP streaming-fold shape as
+    * [[ts_ewma]] (see its scaladoc for the repartition + spillable
+    * sort + O(1)-state mapPartitions rationale): the state is a
+    * (level, trend) pair per in-flight user, fold order identical to
+    * the old sort_array walk, so equality with the oracle's
+    * list_reduce replay is bitwise before the safety rounding.
     */
   q("ts_holt",
     // state is a 2-element DOUBLE[] [level, trend], NOT a struct: DuckDB
@@ -472,21 +497,38 @@ object WindowOps extends QueryModule {
       |SELECT user_id, CAST(n AS INTEGER) AS n, round(st[1], 6) AS level,
       |       round(st[2], 6) AS trend, round(st[1] + st[2], 6) AS forecast
       |FROM f ORDER BY user_id""") { (s, d) =>
+    import s.implicits._
     T(s, d, "events")
-      .groupBy("user_id")
-      .agg(count(lit(1)).cast("int").as("n"),
-        sort_array(collect_list(struct(col("ts"), col("event_id"), col("value"))))
-          .as("seq"))
-      .withColumn("vals", expr("transform(seq, x -> x.value)"))
-      .withColumn("st", expr(
-        "aggregate(slice(vals, 2, size(vals) - 1), " +
-          "named_struct('l', vals[0], 'b', CAST(0.0 AS DOUBLE)), " +
-          "(acc, x) -> named_struct(" +
-          "'l', 0.5D * x + 0.5D * (acc.l + acc.b), " +
-          "'b', 0.25D * (0.5D * x + 0.5D * (acc.l + acc.b) - acc.l) + 0.75D * acc.b))"))
-      .select(col("user_id"), col("n"), round(col("st.l"), 6).as("level"),
-        round(col("st.b"), 6).as("trend"),
-        round(col("st.l") + col("st.b"), 6).as("forecast"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "us", "event_id")
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .mapPartitions { it =>
+        val rows = it.buffered
+        new Iterator[(Long, Int, Double, Double)] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): (Long, Int, Double, Double) = {
+            val (u, v0) = rows.next()
+            var l = v0
+            var b = 0.0
+            var n = 1
+            while (rows.hasNext && rows.head._1 == u) {
+              val x = rows.next()._2
+              val l2 = 0.5 * x + 0.5 * (l + b)
+              b = 0.25 * (l2 - l) + 0.75 * b
+              l = l2
+              n += 1
+            }
+            (u, n, l, b)
+          }
+        }
+      }
+      .toDF("user_id", "n", "l", "b")
+      .select(col("user_id"), col("n"), round(col("l"), 6).as("level"),
+        round(col("b"), 6).as("trend"),
+        round(col("l") + col("b"), 6).as("forecast"))
       .orderBy("user_id") // one row per user = input-sized
   }
 

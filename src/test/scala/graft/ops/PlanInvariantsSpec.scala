@@ -280,13 +280,28 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"AQE must broadcast the small document-frequency table:\n$p")
   }
 
-  test("ts_ewma: ordered fold is a two-phase aggregate, never a window") {
+  test("ts_ewma: streaming fold — one hash exchange + in-partition sort, no collect_list") {
     val df = graft.SparkEntry.queries("ts_ewma")(spark, d)
     val p = plan(df)
-    assert(!p.contains("Window"),
-      s"the EWMA fold must ride collect_list + aggregate HOF, not a window:\n$p")
-    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
-      s"expected a two-phase typed aggregate (map-side partial collect):\n$p")
+    // "Window" alone would also match the module name in the lambda's
+    // class (graft.ops.WindowOps$$$Lambda...) — match the physical
+    // window operator's frame spec instead
+    assert(!p.contains("windowspecdefinition"),
+      s"the EWMA fold must not be shoehorned into a window:\n$p")
+    // r11 unbounded-group form: repartition(user) + sortWithinPartitions
+    // + O(1)-state mapPartitions — a collect_list aggregate would
+    // reintroduce the group-fits-in-memory contract
+    assert(!p.contains("collect_list"),
+      s"no per-group sequence materialization allowed:\n$p")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"fold must ride a user_id hash exchange:\n$p")
+    // Sort prints `Sort [cols], global, shuffles` — global must be false
+    // (in-partition spillable sort under the fold, not a range exchange)
+    assert(raw"Sort \[user_id#\d+L ASC NULLS FIRST, us#\d+L ASC NULLS FIRST, event_id#\d+L ASC NULLS FIRST\], false".r
+      .findFirstIn(p).nonEmpty,
+      s"expected an in-partition (spillable) (user,ts,event) sort:\n$p")
+    assert(p.contains("MapPartitions"),
+      s"expected the streaming fold operator:\n$p")
   }
 
   test("agg_moments: power sums are one two-phase aggregate, no join, no window") {
@@ -436,6 +451,42 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"user_id equi key must anchor a hash/merge join:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"validity residual must stay a post-join filter:\n$p")
+  }
+
+  test("AQE splits a planted hot key on join_skew_salted's unsalted twin") {
+    // SCALE.md §4+§6: explicit salting (join_skew_salted) is for keys AQE
+    // cannot fix; this pins the complementary claim — a merely-SKEWED key
+    // (hot but splittable) IS handled by AQE's skew-join split, so the
+    // production guidance "salt only past AQE's reach" rests on verified
+    // behavior, not folklore. Planted ~100x hot key, thresholds scaled to
+    // test data volume (the defaults gate on 256 MB partitions).
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> c.getOption(k)).toMap
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ: skew split targets shuffle joins
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      val big = spark.range(0, 120000)
+        .select(when(col("id") < 100000, 0L).otherwise(col("id") % 64).as("k"),
+          col("id").as("payload"))
+      val small = spark.range(0, 64).select(col("id").as("k"), (col("id") * 2).as("v"))
+      val j = big.join(small, "k")
+      // execute THIS frame's own QueryExecution (count() would build a
+      // separate aggregated plan and leave j's AQE un-finalized)
+      assert(j.collect().length == 120000)
+      val p = plan(j)
+      assert(p.contains("isFinalPlan=true"), s"AQE must have re-planned:\n$p")
+      assert(p.contains("skew=true"),
+        s"expected the hot key split across tasks (skew=true join):\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(c.unset(k))(c.set(k, _))
+    }
   }
 
   test("agg_mann_whitney: rank machinery never funnels data through one task") {

@@ -502,27 +502,68 @@ object RelationalOps extends QueryModule {
     * Misra-Gries (top-k) and bloom (membership): answers "how often
     * does THIS item occur" from d×w counters regardless of vocabulary
     * size, with one-sided error (never undercounts, overcounts by
-    * ≤ εN w.h.p.). Spark's built-in mergeable CMS aggregates
-    * partition-local sketches — the shuffle carries d·w integers per
-    * partition, never the token space. Probed here for the exact
-    * top-10 tokens so the report pairs estimate vs truth; estimates
-    * are seed/hash-dependent → rows-only, the ε-bound contract is
-    * pinned in SketchSpec.
+    * ≤ εN w.h.p., ε = e/w ≈ 1.3e-3 at w = 2048). HASH-CHECKED since
+    * round 11: the d row-hashes are md5-derived (first 8 hex chars →
+    * int mod w, row index salted into the digest) — md5 is available
+    * and bit-identical in both engines, so DuckDB rebuilds the exact
+    * counter table and estimates; and the counters are SUMS, so the
+    * sketch is merge-order-free by construction (what kept the
+    * seeded built-in rows-only). Also the better scale shape than the
+    * built-in stat helper it replaced: ONE vocab-sized two-phase
+    * count, then the d-cell explode runs on the DISTINCT-WORD frame
+    * (cell counters from Σ word counts ≡ per-occurrence increments,
+    * addition commutes), so the shuffle after the word count carries
+    * ≤ d·w counter rows and the probe lookup is a broadcast-scale
+    * join — no token-space re-shuffle, no driver-side probing.
     */
-  qRowsOnly("agg_count_min") { (s, d) =>
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
-    val toks = T(s, d, "documents")
+  q("agg_count_min", {
+    val hashCell = (src: String) =>
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           [CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)
+         |            FOR ch IN string_split_regex(
+         |              substr(md5(CAST(i.i AS VARCHAR) || '#' || $src), 1, 8), '')]),
+         |           (a, b) -> a * 16 + b) % 2048""".stripMargin
+    s"""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |     wc AS (SELECT w, count(*) AS c FROM tk WHERE length(w) > 0 GROUP BY w),
+       |     cells AS (
+       |  SELECT wc.c, i.i AS r, ${hashCell("wc.w")} AS cell
+       |  FROM wc, unnest(generate_series(0, 3)) i(i)),
+       |     counters AS (
+       |  SELECT r, cell, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY r, cell),
+       |     top AS (SELECT w AS token, c AS exact FROM wc
+       |             ORDER BY c DESC, w LIMIT 10),
+       |     pc AS (
+       |  SELECT t.token, t.exact, i.i AS r, ${hashCell("t.token")} AS cell
+       |  FROM top t, unnest(generate_series(0, 3)) i(i))
+       |SELECT p.token, min(co.n) AS cms_estimate, CAST(p.exact AS BIGINT) AS exact
+       |FROM pc p JOIN counters co ON co.r = p.r AND co.cell = p.cell
+       |GROUP BY p.token, p.exact ORDER BY token""".stripMargin
+  }) { (s, d) =>
+    val depth = 4
+    val width = 2048
+    def cellsOf(word: org.apache.spark.sql.Column) =
+      explode(array((0 until depth).map { i =>
+        struct(lit(i).as("r"),
+          (conv(substring(md5(concat_ws("#", lit(i.toString), word)), 1, 8), 16, 10)
+            .cast("long") % width).as("cell"))
+      }: _*))
+    val wc = T(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
-    val cms = toks.stat.countMinSketch("w", 0.0001, 0.99, 42)
-    val top = toks.groupBy("w").agg(count(lit(1)).as("exact"))
-      .orderBy(col("exact").desc, col("w").asc).limit(10).collect()
-    val rows = top.map(r => Row(r.getString(0),
-      cms.estimateCount(r.getString(0)), r.getLong(1))).toSeq
-    val schema = StructType(Seq(StructField("token", StringType),
-      StructField("cms_estimate", LongType), StructField("exact", LongType)))
-    s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val counters = wc
+      .select(col("c"), cellsOf(col("w")).as("rc"))
+      .select(col("c"), col("rc.r").as("r"), col("rc.cell").as("cell"))
+      .groupBy("r", "cell").agg(sum("c").as("n"))
+    val top = wc.orderBy(col("c").desc, col("w").asc).limit(10)
+      .select(col("w").as("token"), col("c").as("exact"))
+    top
+      .select(col("token"), col("exact"), cellsOf(col("token")).as("rc"))
+      .select(col("token"), col("exact"), col("rc.r").as("r"), col("rc.cell").as("cell"))
+      .join(counters, Seq("r", "cell"))
+      .groupBy("token", "exact")
+      .agg(min("n").as("cms_estimate"))
+      .select(col("token"), col("cms_estimate"), col("exact"))
       .reportSorted("token")
   }
 

@@ -47,21 +47,51 @@ object StressProbe {
       }
   }
 
+  private val hotOut = "/tmp/graft_probe_hotuser"
+
+  /** Planted hot-user events table for the r11 unbounded-group fold
+    * probe: 12M events, ONE user owning 80% (9.6M rows). The pre-r11
+    * collect_list form of ts_ewma/ts_holt would materialize that
+    * user's whole (ts, event_id, value) sequence in a single
+    * aggregation buffer (~400 MB of structs); the streaming fold
+    * sorts it spillably and keeps O(1) state. ts increases with
+    * event_id so the fold order is deterministic.
+    */
+  private def buildHot(spark: SparkSession): Unit = {
+    spark.range(12000000L).select(
+      col("id").as("event_id"),
+      // nanos long on disk — graft.T rebuilds the micro timestamp
+      ((lit(1700000000000000L) + col("id")) * 1000L).as("ts"),
+      when(col("id") % 5 =!= 0, 0L)
+        .otherwise(pmod(hash(col("id")), lit(100)) + 1).as("user_id"),
+      lit("view").as("event_type"),
+      (pmod(hash(col("id") * 7L), lit(1000)) / lit(100.0)).as("value"),
+      lit(null).cast("string").as("props"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$hotOut/events.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = graft.Sessions.build("local[32]", "32")
-    if (!new java.io.File(s"$out/documents.parquet").exists()) {
+    val (hotNames, replNames) = args.partition(_.startsWith("hot:"))
+    if (replNames.nonEmpty && !new java.io.File(s"$out/documents.parquet").exists()) {
       println("[probe] building 10x replicated tables …")
       build(spark)
     }
-    args.foreach { name =>
+    if (hotNames.nonEmpty && !new java.io.File(s"$hotOut/events.parquet").exists()) {
+      println("[probe] building planted hot-user events …")
+      buildHot(spark)
+    }
+    def run(name: String, dir: String): Unit = {
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        val n = graft.SparkEntry.queries(name)(spark, out).count()
+        val n = graft.SparkEntry.queries(name)(spark, dir).count()
         graft.Sessions.releaseCheckpoints(spark)
         (System.nanoTime() - t0) / 1e9 -> n
       }
       println(f"[probe] $name%-28s min=${times.map(_._1).min}%8.2f s  rows=${times.head._2}")
     }
+    replNames.foreach(run(_, out))
+    hotNames.foreach(a => run(a.stripPrefix("hot:"), hotOut))
     spark.stop()
   }
 }

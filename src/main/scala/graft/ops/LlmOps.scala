@@ -2074,16 +2074,45 @@ object LlmOps extends QueryModule {
       .reportSorted("lang")
   }
 
-  /** The sketch path agg_percentile's scaladoc promises: same call
-    * shape, fixed-size state (KLL-style), accuracy bounded by the
-    * `accuracy` knob — estimate-specific values ⇒ rows-only check plus
-    * the accuracy contract pinned in PlanInvariantsSpec.
+  /** The sketch path agg_percentile's scaladoc promises: a fixed-grid
+    * histogram quantile sketch — DDSketch (Masson et al., VLDB 2019)
+    * with a linear δ=8 mapping, the deterministic cousin of KLL /
+    * `approx_percentile`. Bucket = value div δ is pure integer
+    * arithmetic and counts are SUMS, so unlike the built-in's
+    * rank-summary compaction the sketch is merge-order-free and
+    * HASH-CHECKED since round 11 (the built-in row it replaces was
+    * rows-only by construction). Estimate = midpoint of the first
+    * bucket whose cumulative count reaches ⌈q·n⌉ → absolute error
+    * ≤ δ (accuracy also pinned vs exact in PlanInvariantsSpec; swap
+    * the grid for log-γ buckets for relative error on unbounded
+    * ranges). Scale: one (group, bucket) two-phase count — shuffle
+    * ∝ occupied buckets (range/δ per group), the cumulative window
+    * runs over that bucket table, never the raw rows.
     */
-  qRowsOnly("agg_approx_percentile") { (s, d) =>
-    T(s, d, "documents")
-      .groupBy("lang")
-      .agg(expr("approx_percentile(n_chars, 0.5, 10000)").as("p50"),
-        expr("approx_percentile(n_chars, 0.95, 10000)").as("p95"))
+  q("agg_approx_percentile",
+    """WITH bc AS (SELECT lang, n_chars // 8 AS b, count(*) AS c
+      |            FROM documents GROUP BY lang, n_chars // 8),
+      |     cum AS (SELECT lang, b, c,
+      |               CAST(sum(c) OVER (PARTITION BY lang ORDER BY b) AS BIGINT) AS cum,
+      |               CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+      |             FROM bc)
+      |SELECT lang,
+      |       min(CASE WHEN cum >= ceil(CAST(0.5 AS DOUBLE) * n) THEN b * 8 + 4 END) AS p50,
+      |       min(CASE WHEN cum >= ceil(CAST(0.95 AS DOUBLE) * n) THEN b * 8 + 4 END) AS p95
+      |FROM cum GROUP BY lang ORDER BY lang""") { (s, d) =>
+    val bc = T(s, d, "documents")
+      .groupBy(col("lang"), expr("n_chars div 8").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("lang").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("lang")
+    val cum = bc
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wAll))
+    cum.groupBy("lang")
+      .agg(
+        min(when(col("cum") >= ceil(lit(0.5) * col("n")), col("b") * 8 + 4)).as("p50"),
+        min(when(col("cum") >= ceil(lit(0.95) * col("n")), col("b") * 8 + 4)).as("p95"))
       .reportSorted("lang")
   }
 

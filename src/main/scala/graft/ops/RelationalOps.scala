@@ -430,28 +430,135 @@ object RelationalOps extends QueryModule {
         .reportSorted("o_orderpriority")
   }
 
-  // Approximate distinct (HLL++): value is rsd-dependent → rows-only check.
-  qRowsOnly("agg_approx_distinct") { (s, d) =>
-    T(s, d, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
-      .reportSorted("l_returnflag")
+  /** Engine-portable HyperLogLog (Flajolet et al. 2007, with the
+    * Flajolet-Martin lowest-set-bit rank instead of leading zeros —
+    * same geometric(1/2) distribution, arithmetic in any SQL engine).
+    * HASH-CHECKED since round 11 by the agg_count_min md5 device:
+    * the 60-bit item hash is the first 15 hex chars of md5 (identical
+    * in both engines), register j = h mod 4096, rank rho = lowest set
+    * bit of h div 4096 (capped at 33). Registers are MAXes and the
+    * harmonic sum Σ 2^-M_j is EXACT in double (terms are multiples of
+    * 2^-33 with total < 2^13 → 46-bit span < 53), so the whole
+    * estimate is merge-order-free — what kept the seeded built-in
+    * `approx_count_distinct` rows-only. The only inexact step is the
+    * linear-counting `ln` (≤1 ulp engine skew); the 1e-6-shifted floor
+    * absorbs it (residual flip probability ~1e-8, see the LlmOps
+    * quantization note). Scale: register extraction is map-side; the
+    * shuffle after partial max carries ≤ m=4096 rows per group —
+    * state KBs per group at any input size, rsd ≈ 1.04/√4096 ≈ 1.6%.
+    * The DataSketches built-ins (`hll_sketch_agg`/`hll_union_agg`)
+    * remain the zero-code alternative — demonstrated and
+    * accuracy-pinned in SketchSpec, not registered, because their
+    * binary sketches are engine-specific.
+    */
+  private val hllM = 4096
+  /** (group cols preserved) → one (j, mrho) row per occupied register. */
+  private def hllRegisters(df: DataFrame, valueCol: String, groupCols: String*): DataFrame = {
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val withJ = df
+      .withColumn("hv", h)
+      .withColumn("j", pmod(col("hv"), lit(hllM.toLong)))
+      .withColumn("sfx", expr("hv div 4096"))
+      .withColumn("rho", coalesce(
+        expr("array_min(filter(sequence(1, 33), " +
+          "k -> ((sfx div shiftleft(cast(1 as bigint), k - 1)) % 2) = 1))"),
+        lit(33)))
+    withJ.groupBy((groupCols.map(col) :+ col("j")): _*)
+      .agg(max(col("rho")).as("mrho"))
+  }
+  /** Registers → per-group BIGINT estimate column named `alias`. */
+  private def hllEstimate(regs: DataFrame, alias: String, groupCols: String*): DataFrame = {
+    val grouped =
+      if (groupCols.isEmpty) regs.agg(count(lit(1)).as("vp"),
+        sum(expr("cast(1.0 as double) / cast(shiftleft(cast(1 as bigint), cast(mrho as int)) as double)")).as("sp"))
+      else regs.groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("vp"),
+          sum(expr("cast(1.0 as double) / cast(shiftleft(cast(1 as bigint), cast(mrho as int)) as double)")).as("sp"))
+    val mD = lit(hllM.toDouble)
+    val alphaMM = (lit(0.7213) / (lit(1.0) + lit(1.079) / mD)) * mD * mD
+    val e = alphaMM / (col("sp") + (mD - col("vp")))
+    val v = lit(hllM.toLong) - col("vp")
+    val est = when(e <= lit(2.5) * mD && v > 0, mD * log(mD / v)).otherwise(e)
+    grouped.withColumn(alias, floor(est + lit(1e-6)).cast("long"))
+      .drop("vp", "sp")
+  }
+  /** Shared DuckDB mirror: CTEs `hreg` (group, j, mrho) and `hest`
+    * (group, est BIGINT) over `$src(grp, v)`; grp is any expression
+    * aliased upstream.
+    */
+  private def hllOracleCtes(src: String): String =
+    s"""hraw AS (
+       |  SELECT grp, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           [CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)
+       |            FOR ch IN string_split_regex(substr(md5(CAST(v AS VARCHAR)), 1, 15), '')]),
+       |           (a, b) -> a * 16 + b) AS hv
+       |  FROM $src),
+       |     hreg AS (
+       |  SELECT grp, hv % 4096 AS j,
+       |         max(coalesce(list_min([k FOR k IN generate_series(1, 33)
+       |               IF ((hv // 4096) // (CAST(1 AS BIGINT) << (k - 1))) % 2 = 1]), 33)) AS mrho
+       |  FROM hraw GROUP BY grp, hv % 4096),
+       |     hest AS (
+       |  SELECT grp, CAST(floor(
+       |    CASE WHEN e <= CAST(2.5 AS DOUBLE) * 4096 AND (4096 - vp) > 0
+       |         THEN CAST(4096 AS DOUBLE) * ln(CAST(4096 AS DOUBLE) / (4096 - vp))
+       |         ELSE e END + CAST(0.000001 AS DOUBLE)) AS BIGINT) AS est
+       |  FROM (SELECT grp, vp,
+       |          (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(4096.0 AS DOUBLE))
+       |            * CAST(4096.0 AS DOUBLE) * CAST(4096.0 AS DOUBLE))
+       |          / (sp + (4096 - vp)) AS e
+       |        FROM (SELECT grp, count(*) AS vp,
+       |                sum(CAST(1.0 AS DOUBLE) / CAST(CAST(1 AS BIGINT) << mrho AS DOUBLE)) AS sp
+       |              FROM hreg GROUP BY grp)))""".stripMargin
+
+  q("agg_approx_distinct",
+    s"""WITH src AS (SELECT l_returnflag AS grp, l_partkey AS v FROM lineitem),
+       |     ${hllOracleCtes("src")}
+       |SELECT grp AS l_returnflag, est AS approx_parts FROM hest ORDER BY l_returnflag""") {
+    (s, d) =>
+      val regs = hllRegisters(
+        T(s, d, "lineitem").select(col("l_returnflag"), col("l_partkey")),
+        "l_partkey", "l_returnflag")
+      hllEstimate(regs, "approx_parts", "l_returnflag")
+        .select(col("l_returnflag"), col("approx_parts"))
+        .reportSorted("l_returnflag")
   }
 
   /** Sketch REUSE — the production distinct-count pattern at 100 TB:
-    * materialize one HLL sketch per source partition (here: per
+    * materialize one register table per source slice (here: per
     * returnflag), then answer the global question by MERGING sketches
-    * (`hll_union_agg`) — KBs of state, no second scan of the data. The
-    * driver-side `.count` in a naive rollup becomes a constant-size
-    * union; estimates are rsd-dependent → rows-only, accuracy asserted
-    * against the exact count in OpsSemanticsSpec.
+    * (register-wise max) — KBs of state, no second scan of the data.
+    * Same portable HLL as agg_approx_distinct, so since round 11 the
+    * merge itself is hash-checked: the oracle rebuilds the per-flag
+    * registers, maxes them into a global register table, and replays
+    * the estimate. Max is associative/commutative/idempotent — the
+    * merge tree shape (per-partition, per-day, per-datacenter) never
+    * changes the answer.
     */
-  qRowsOnly("agg_hll_partial_merge") { (s, d) =>
-    val perFlag = T(s, d, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(hll_sketch_agg(col("l_partkey")).as("sketch"))
-    perFlag.agg(
-      hll_sketch_estimate(hll_union_agg(col("sketch"))).as("global_distinct"))
+  q("agg_hll_partial_merge",
+    s"""WITH src AS (SELECT l_returnflag AS grp, l_partkey AS v FROM lineitem),
+       |     ${hllOracleCtes("src")},
+       |     merged AS (SELECT 0 AS grp, j, max(mrho) AS mrho FROM hreg GROUP BY j),
+       |     gest AS (
+       |  SELECT CAST(floor(
+       |    CASE WHEN e <= CAST(2.5 AS DOUBLE) * 4096 AND (4096 - vp) > 0
+       |         THEN CAST(4096 AS DOUBLE) * ln(CAST(4096 AS DOUBLE) / (4096 - vp))
+       |         ELSE e END + CAST(0.000001 AS DOUBLE)) AS BIGINT) AS global_distinct
+       |  FROM (SELECT vp,
+       |          (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(4096.0 AS DOUBLE))
+       |            * CAST(4096.0 AS DOUBLE) * CAST(4096.0 AS DOUBLE))
+       |          / (sp + (4096 - vp)) AS e
+       |        FROM (SELECT count(*) AS vp,
+       |                sum(CAST(1.0 AS DOUBLE) / CAST(CAST(1 AS BIGINT) << mrho AS DOUBLE)) AS sp
+       |              FROM merged)))
+       |SELECT global_distinct FROM gest""") { (s, d) =>
+    val perFlag = hllRegisters(
+      T(s, d, "lineitem").select(col("l_returnflag"), col("l_partkey")),
+      "l_partkey", "l_returnflag")
+    val merged = perFlag.groupBy("j").agg(max("mrho").as("mrho"))
+    hllEstimate(merged, "global_distinct")
+      .select(col("global_distinct"))
   }
 
   /** Heavy hitters over the corpus token stream via the native

@@ -164,7 +164,7 @@ class OpsSemanticsSpec extends AnyFunSuite {
     val exact = graft.T(spark, dir, "lineitem")
       .select(org.apache.spark.sql.functions.countDistinct("l_partkey"))
       .head.getLong(0).toDouble
-    // default HLL lgConfigK=12 → rsd ≈ 1.04/√4096 ≈ 1.6%; allow 4σ
+    // portable HLL m=4096 → rsd ≈ 1.04/√4096 ≈ 1.6%; allow 4σ
     assert(math.abs(est - exact) / exact < 0.065,
       s"sketch-merge estimate $est too far from exact $exact")
   }

@@ -72,8 +72,8 @@ class PlanInvariantsSpec extends AnyFunSuite {
   }
 
   test("agg_approx_distinct: HLL estimate within rsd bounds of the exact count") {
-    // the one query the DuckDB oracle can't hash-check (sketch estimates
-    // are engine-specific) — its accuracy contract is pinned here instead
+    // hash-checked since r11 (md5-portable HLL, m=4096 → rsd ≈ 1.6%);
+    // this pins the ACCURACY contract the hash equality can't express
     val approx = graft.SparkEntry.queries("agg_approx_distinct")(spark, d)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = graft.T(spark, d, "lineitem")
@@ -128,7 +128,7 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(!p2.contains("SinglePartition"), s"no single-partition exchange in:\n$p2")
   }
 
-  test("agg_approx_percentile: sketch estimate is an actual data value near the exact rank") {
+  test("agg_approx_percentile: sketch estimate lands near the exact rank") {
     val approx = graft.SparkEntry.queries("agg_approx_percentile")(spark, d)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val exact = graft.SparkEntry.queries("agg_percentile")(spark, d)
@@ -136,10 +136,10 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(approx.keySet == exact.keySet)
     exact.foreach { case (lang, (p50, p95)) =>
       val (a50, a95) = approx(lang)
-      // approx_percentile returns an actual data value; with accuracy=10000
-      // on these group sizes it sits within 10% of the interpolated exact
-      assert(math.abs(a50 - p50) <= math.max(0.1 * p50, 2.0), s"$lang p50: $a50 vs $p50")
-      assert(math.abs(a95 - p95) <= math.max(0.1 * p95, 2.0), s"$lang p95: $a95 vs $p95")
+      // the δ=8 grid sketch guarantees |estimate − true quantile| ≤ δ
+      // (bucket midpoint vs any value in the target bucket)
+      assert(math.abs(a50 - p50) <= 8.0, s"$lang p50: $a50 vs $p50")
+      assert(math.abs(a95 - p95) <= 8.0, s"$lang p95: $a95 vs $p95")
     }
   }
 

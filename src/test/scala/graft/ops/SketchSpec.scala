@@ -35,4 +35,39 @@ class SketchSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).distinct.length == 10)
     assert(rows.forall(_.getLong(2) > 0))
   }
+
+  test("portable HLL agrees with the DataSketches built-in and the exact count") {
+    // The registered agg_approx_distinct row is the md5-portable HLL
+    // (hash-checked by the DuckDB oracle); the zero-code alternative a
+    // Spark user reaches for is the DataSketches pair, demonstrated
+    // here: build per-flag sketches, union them, estimate — both
+    // estimators must land within their rsd envelopes of the exact
+    // global distinct (m=4096 → rsd ≈ 1.6%, allow 4σ).
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val exact = li.select(countDistinct(col("l_partkey"))).head.getLong(0).toDouble
+    val builtIn = li
+      .groupBy("l_returnflag")
+      .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head.getLong(0).toDouble
+    val portable = graft.SparkEntry.queries("agg_hll_partial_merge")(spark, dir)
+      .head.getLong(0).toDouble
+    assert(math.abs(builtIn - exact) / exact < 0.065,
+      s"DataSketches union estimate $builtIn too far from exact $exact")
+    assert(math.abs(portable - exact) / exact < 0.065,
+      s"portable HLL merge estimate $portable too far from exact $exact")
+  }
+
+  test("portable HLL registers are merge-shape-invariant (max is order-free)") {
+    // split lineitem into arbitrary halves, sketch each, max-merge →
+    // identical registers (hence identical estimate) to one-shot
+    val est = (parts: Int) => {
+      val before = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try graft.SparkEntry.queries("agg_hll_partial_merge")(spark, dir)
+        .head.getLong(0)
+      finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    }
+    assert(est(2) == est(17), "estimate must not depend on partitioning")
+  }
 }

@@ -58,6 +58,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.zip(b).forall { case (x, y) => x == y })
   }
 
+  test("WAV payloads are real RIFF files: header fields and samples round-trip") {
+    import MultimodalOps.MediaCodec
+    val wav = MediaCodec.decodeWav(MediaCodec.encodeWav(7L))
+    assert(wav.sampleRate == 8000 && wav.channels == 1 && wav.bits == 16)
+    assert(wav.samples.length == MediaCodec.audioSampleCount(7L))
+    assert(wav.samples.zipWithIndex.forall { case (s, i) =>
+      s + 32768 == MediaCodec.sampleU16(7L, i)
+    })
+    // chunk walker handles unknown chunks + RIFF odd-size padding: splice
+    // a 3-byte LIST chunk (padded to 4) between fmt and data
+    val bytes = MediaCodec.encodeWav(7L)
+    val (head, tail) = bytes.splitAt(36) // end of fmt chunk
+    val junk = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("LIST".getBytes("US-ASCII")).putInt(3)
+      .put(Array[Byte](1, 2, 3, 0)).array()
+    val spliced = head ++ junk ++ tail
+    val wav2 = MediaCodec.decodeWav(spliced)
+    assert(wav2.samples.toSeq == wav.samples.toSeq,
+      "decoder must skip unknown padded chunks")
+  }
+
+  test("Y4M payloads are real YUV4MPEG2 streams: demux agrees with the closed form") {
+    import MultimodalOps.MediaCodec
+    val id = 8L // doc_id % 3 == 2 → video
+    val nf = (id % 30 + 1).toInt
+    val v = MediaCodec.decodeY4m(MediaCodec.encodeY4m(id, nf))
+    val (w, h) = MediaCodec.videoDims(id)
+    assert(v.width == w && v.height == h)
+    assert(v.frameMeanLuma.length == nf, "frame count comes from the FRAME walk")
+    v.frameMeanLuma.zipWithIndex.foreach { case (m, f) =>
+      val expected = ((37L * id + 11L * f * f) % 192L).toDouble + 3.0
+      assert(m == expected, s"frame $f mean $m != $expected")
+    }
+  }
+
   test("frame sampling emits ceil(n_frames/5) frames per video") {
     val m = MultimodalOps.mediaTable(spark, dir).filter(col("meta.kind") === "video")
     val sampled = SparkEntryAccess.query("mm_frame_sample")(spark, dir)

@@ -97,9 +97,13 @@ object Bench {
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Printed after spark.stop() so no executor log lines follow; also
     // written to a file so the full per-query detail survives any
-    // tail-capture cut.
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), json)
-    catch { case _: Throwable => () }
+    // tail-capture cut. SUBSET runs (SPARK_GRAFT_ONLY bisects) must NOT
+    // overwrite the record: they would wipe the full-registry priors the
+    // 1.35x stall-retry gate depends on and leave a misleading partial
+    // total for any log consumer.
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), json)
+      catch { case _: Throwable => () }
     // Total FIRST as well as last (below): whichever side of the
     // output a capture window lands on, a complete headline line is
     // inside it — r6/r7 bench attribution had to be reconstructed

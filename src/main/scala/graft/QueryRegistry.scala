@@ -88,6 +88,15 @@ trait QueryModule {
     *     doc/token streams) — let AQE size-gate the strategy so the
     *     plan survives open-web cardinalities; pin only genuinely
     *     bounded dims (catalogs, query sets, centroid tables).
+    * 12. CHAINED double aggregations feeding a rounded output (avg of
+    *     avgs, running sums of group means): "raw values miss round-6
+    *     boundaries with ~0 probability" DEGRADES with row count (the
+    *     r11 sf0.1 sweep flipped 3 of 40k rows). Make the FIRST
+    *     aggregation exact (integer-scale fixed-decimal inputs) and
+    *     snap each intermediate onto a dyadic 2⁻²⁰ grid
+    *     (WindowOps.dy20) before every later aggregation — grid
+    *     sums are order/tree-shape-exact in IEEE double, so
+    *     cross-engine equality is structural at ANY scale.
     */
   protected def q(name: String, oracleSql: String)(
       fn: (SparkSession, String) => DataFrame): Unit =

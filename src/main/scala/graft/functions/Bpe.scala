@@ -37,6 +37,22 @@ object Bpe {
       merges.iterator.zipWithIndex.toMap
   }
 
+  /** Initial symbols of a word: one per Unicode CODE POINT, not UTF-16
+    * code unit — `w.map(_.toString)` would split an astral-plane char
+    * (emoji, rare CJK) into two unpaired surrogates, diverging from
+    * the DuckDB oracle's code-point `string_split_regex`/`length`.
+    */
+  private[graft] def initialSymbols(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
   /** Train `numMerges` merges from a (word, count) vocabulary.
     *
     * Classic BPE training loop: count adjacent symbol pairs weighted
@@ -50,7 +66,7 @@ object Bpe {
     var words: Array[(Array[String], Long)] = vocab
       .sortBy { case (w, c) => (-c, w) }
       .map { case (w, c) =>
-        (w.map(_.toString).toArray :+ EndOfWord, c)
+        (initialSymbols(w) :+ EndOfWord, c)
       }.toArray
     val merges = Vector.newBuilder[(String, String)]
     var i = 0
@@ -110,7 +126,7 @@ object Bpe {
     */
   def encodeWord(word: String, model: Model): Vector[String] = {
     if (word.isEmpty) return Vector(EndOfWord)
-    var syms: Array[String] = word.map(_.toString).toArray :+ EndOfWord
+    var syms: Array[String] = initialSymbols(word) :+ EndOfWord
     val ranks = model.ranks
     var continue = true
     while (continue && syms.length > 1) {

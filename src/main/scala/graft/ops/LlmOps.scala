@@ -1277,8 +1277,10 @@ object LlmOps extends QueryModule {
     * per SCALE.md §7.
     */
   q("sim_range_search_lsh", {
-    val bucketCols = (0 until 6)
-      .map(t => s"${bucketSql(4, tablePlane(t))} AS b$t").mkString(",\n       ")
+    // bucket columns shared with the near-dup family (ONE bucketing
+    // convention site); only the candidate join differs — probe
+    // broadcast here vs a<b self-pairs there
+    val (bucketCols, _) = multiLshCandCtes(4, 6)
     val unions = (0 until 6).map(t =>
       s"SELECT p.qid, e.vec_id FROM bk e JOIN pr p " +
         s"ON e.b$t = p.b$t AND e.vec_id <> p.qid").mkString("\n  UNION\n  ")

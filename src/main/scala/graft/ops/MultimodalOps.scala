@@ -179,9 +179,14 @@ object MultimodalOps extends QueryModule {
       while (bb.remaining() >= 8) {
         val id = tag()
         val sz = bb.getInt
+        // a truncated/corrupt size field must fail as a decode error,
+        // not a raw BufferUnderflow (or a hostile multi-GB allocation)
+        require(sz >= 0 && bb.position() + sz <= bb.limit(),
+          s"chunk '$id' declares $sz bytes with ${bb.remaining()} remaining")
         val next = bb.position() + sz + (sz & 1) // RIFF pads odd chunks
         id match {
           case "fmt " =>
+            require(sz >= 16, s"fmt chunk too short: $sz bytes")
             val audioFormat = bb.getShort
             require(audioFormat == 1, s"not PCM: format $audioFormat")
             val ch = bb.getShort.toInt

@@ -483,6 +483,23 @@ object RelationalOps extends QueryModule {
     grouped.withColumn(alias, floor(est + lit(1e-6)).cast("long"))
       .drop("vp", "sp")
   }
+  /** Registers → (grp, est BIGINT) — the ONE place the estimate
+    * formula lives in SQL (mirroring [[hllEstimate]]); `regCte` is any
+    * CTE exposing (grp, mrho).
+    */
+  private def hllEstSql(regCte: String): String =
+    s"""SELECT grp, CAST(floor(
+       |    CASE WHEN e <= CAST(2.5 AS DOUBLE) * 4096 AND (4096 - vp) > 0
+       |         THEN CAST(4096 AS DOUBLE) * ln(CAST(4096 AS DOUBLE) / (4096 - vp))
+       |         ELSE e END + CAST(0.000001 AS DOUBLE)) AS BIGINT) AS est
+       |  FROM (SELECT grp, vp,
+       |          (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(4096.0 AS DOUBLE))
+       |            * CAST(4096.0 AS DOUBLE) * CAST(4096.0 AS DOUBLE))
+       |          / (sp + (4096 - vp)) AS e
+       |        FROM (SELECT grp, count(*) AS vp,
+       |                sum(CAST(1.0 AS DOUBLE) / CAST(CAST(1 AS BIGINT) << mrho AS DOUBLE)) AS sp
+       |              FROM $regCte GROUP BY grp))""".stripMargin
+
   /** Shared DuckDB mirror: CTEs `hreg` (group, j, mrho) and `hest`
     * (group, est BIGINT) over `$src(grp, v)`; grp is any expression
     * aliased upstream.
@@ -500,17 +517,7 @@ object RelationalOps extends QueryModule {
        |               IF ((hv // 4096) // (CAST(1 AS BIGINT) << (k - 1))) % 2 = 1]), 33)) AS mrho
        |  FROM hraw GROUP BY grp, hv % 4096),
        |     hest AS (
-       |  SELECT grp, CAST(floor(
-       |    CASE WHEN e <= CAST(2.5 AS DOUBLE) * 4096 AND (4096 - vp) > 0
-       |         THEN CAST(4096 AS DOUBLE) * ln(CAST(4096 AS DOUBLE) / (4096 - vp))
-       |         ELSE e END + CAST(0.000001 AS DOUBLE)) AS BIGINT) AS est
-       |  FROM (SELECT grp, vp,
-       |          (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(4096.0 AS DOUBLE))
-       |            * CAST(4096.0 AS DOUBLE) * CAST(4096.0 AS DOUBLE))
-       |          / (sp + (4096 - vp)) AS e
-       |        FROM (SELECT grp, count(*) AS vp,
-       |                sum(CAST(1.0 AS DOUBLE) / CAST(CAST(1 AS BIGINT) << mrho AS DOUBLE)) AS sp
-       |              FROM hreg GROUP BY grp)))""".stripMargin
+       |  ${hllEstSql("hreg")})""".stripMargin
 
   q("agg_approx_distinct",
     s"""WITH src AS (SELECT l_returnflag AS grp, l_partkey AS v FROM lineitem),
@@ -541,18 +548,8 @@ object RelationalOps extends QueryModule {
        |     ${hllOracleCtes("src")},
        |     merged AS (SELECT 0 AS grp, j, max(mrho) AS mrho FROM hreg GROUP BY j),
        |     gest AS (
-       |  SELECT CAST(floor(
-       |    CASE WHEN e <= CAST(2.5 AS DOUBLE) * 4096 AND (4096 - vp) > 0
-       |         THEN CAST(4096 AS DOUBLE) * ln(CAST(4096 AS DOUBLE) / (4096 - vp))
-       |         ELSE e END + CAST(0.000001 AS DOUBLE)) AS BIGINT) AS global_distinct
-       |  FROM (SELECT vp,
-       |          (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(4096.0 AS DOUBLE))
-       |            * CAST(4096.0 AS DOUBLE) * CAST(4096.0 AS DOUBLE))
-       |          / (sp + (4096 - vp)) AS e
-       |        FROM (SELECT count(*) AS vp,
-       |                sum(CAST(1.0 AS DOUBLE) / CAST(CAST(1 AS BIGINT) << mrho AS DOUBLE)) AS sp
-       |              FROM merged)))
-       |SELECT global_distinct FROM gest""") { (s, d) =>
+       |  ${hllEstSql("merged")})
+       |SELECT est AS global_distinct FROM gest""") { (s, d) =>
     val perFlag = hllRegisters(
       T(s, d, "lineitem").select(col("l_returnflag"), col("l_partkey")),
       "l_partkey", "l_returnflag")

@@ -50,18 +50,26 @@ object TokenizerOps extends QueryModule {
 
   /** Train a model from the documents table of `d` — deterministic for
     * a fixed corpus, so every query (and every bench reinvocation)
-    * rebuilds the identical merge table.
+    * rebuilds the identical merge table. MEMOIZED per canonical corpus
+    * dir (the ensureMediaFixture pattern): the model is a pure function
+    * of the corpus, and one Verify run otherwise pays the full
+    * word-count job + driver merge loop 8× (4 queries + 4 oracle
+    * generators). Bounded: one entry per distinct sfDir seen by the JVM.
     */
-  private def trainOn(s: SparkSession, d: String): Bpe.Model = {
-    val vocab = T(s, d, "documents")
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy("w").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("w").asc)
-      .limit(TrainVocabSize)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    Bpe.train(vocab, NumMerges)
-  }
+  private val modelMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Bpe.Model]
+
+  private def trainOn(s: SparkSession, d: String): Bpe.Model =
+    modelMemo.getOrElseUpdate(new java.io.File(d).getCanonicalPath, {
+      val vocab = T(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w").asc)
+        .limit(TrainVocabSize)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      Bpe.train(vocab, NumMerges)
+    })
 
   // ---------------------------------------------------------------
   // Oracle-side encode replay (the round-10 "make the recurrence
@@ -167,7 +175,8 @@ object TokenizerOps extends QueryModule {
             else text.split(" ").count(_.nonEmpty).toLong
           val normalized = if (text == null) ""
             else text.split(" ").filter(_.nonEmpty).mkString(" ")
-          val nChars = normalized.length.toLong
+          // code points, not UTF-16 units — must match DuckDB length()
+          val nChars = normalized.codePointCount(0, normalized.length).toLong
           (id, nWs, toks.length.toLong,
             if (toks.isEmpty) 0.0
             else math.floor(nChars.toDouble / toks.length * 1e6 + 0.5000005) / 1e6,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{QueryModule, T}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -649,6 +650,34 @@ object WindowOps extends QueryModule {
       .reportSorted("cohort_week_us", "week_offset")
   }
 
+  /** Dyadic-grid quantization: snap a value the two engines already
+    * agree on bit-for-bit onto multiples of 2⁻²⁰, so the NEXT
+    * many-to-one double aggregation sums grid multiples — exact in
+    * IEEE double regardless of accumulation order or tree shape
+    * (values ≲ 2¹⁰, grid 2⁻²⁰, ≤ 2¹⁰ terms → 40-bit span < 53).
+    * This is the structural cure for the chained-average hazard the
+    * r11 sf0.1 sweep surfaced on ts_seasonal_decompose /
+    * ts_cusum_changepoint: "raw continuous values hit round-6
+    * boundaries with ~0 probability" degrades with row count (3 of
+    * 40k rows straddled at sf0.1), whereas first-aggregate-exact
+    * (integer cents) + grid-quantize-between-aggregations makes
+    * cross-engine equality a theorem, not a probability. floor(x·2²⁰
+    * + 0.5) is deterministic because its input is already identical
+    * in both engines.
+    */
+  private def dy20(c: Column): Column =
+    floor(c * lit(1048576.0) + lit(0.5)).cast("double") / lit(1048576.0)
+  private def dy20Sql(x: String): String =
+    s"floor(($x) * 1048576.0 + 0.5) / 1048576.0"
+  /** events.value carries exactly 2 decimals: Σ round(100·v) as BIGINT
+    * is the exact first aggregation; one division rebuilds the mean.
+    */
+  private val centsAvgSql =
+    "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / (count(*) * CAST(100.0 AS DOUBLE))"
+  private def centsAvg: Column =
+    sum(expr("cast(round(value * 100) as bigint)")).cast("double") /
+      (count(lit(1)) * lit(100.0))
+
   /** Additive seasonal decomposition on the daily series — the
     * classic trend/seasonal/residual split (the moving-average
     * variant of STL) a forecasting pipeline runs before modeling:
@@ -659,22 +688,21 @@ object WindowOps extends QueryModule {
     * (user, dow) aggregate joined back (AQE broadcasts it). Edges
     * where the centered window is truncated keep their partial-frame
     * trend (both engines compute the same truncated avg). Output =
-    * the daily grid.
+    * the daily grid. Every aggregation is order-exact ([[dy20]]):
+    * daily means from integer cents, the 7-day window and the dow
+    * mean over grid-quantized inputs.
     */
   q("ts_seasonal_decompose",
-    // intermediates stay RAW — pre-rounding to 6dp puts aggregate
-    // averages ON half-ulp boundaries by construction (fixed-point
-    // inputs), where cross-engine accumulation drift flips the final
-    // round; raw continuous values hit boundaries with ~0 probability.
-    // `+ 0.0` normalizes IEEE −0.0 (the hasher prints it as "-0").
-    """WITH b AS (SELECT user_id, date_trunc('day', ts) AS h, avg(value) AS v
+    s"""WITH b AS (SELECT user_id, date_trunc('day', ts) AS h,
+      |                  ${dy20Sql(centsAvgSql)} AS v
       |           FROM events GROUP BY 1, 2),
       |     t AS (SELECT user_id, h, v,
       |                  avg(v) OVER (PARTITION BY user_id ORDER BY h
       |                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
       |                  dayofweek(h) AS dow
       |           FROM b),
-      |     s AS (SELECT user_id, dow, avg(v - trend) AS seasonal
+      |     s AS (SELECT user_id, dow,
+      |                  avg(${dy20Sql("v - trend")}) AS seasonal
       |           FROM t GROUP BY 1, 2)
       |SELECT t.user_id, CAST(epoch_us(t.h) AS BIGINT) AS day_us,
       |       round(t.v, 6) AS v, round(t.trend, 6) AS trend,
@@ -684,13 +712,13 @@ object WindowOps extends QueryModule {
       |ORDER BY t.user_id, day_us""") { (s, d) =>
     val b = T(s, d, "events")
       .groupBy(col("user_id"), date_trunc("day", col("ts")).as("h"))
-      .agg(avg("value").as("v"))
+      .agg(dy20(centsAvg).as("v"))
     val w = Window.partitionBy("user_id").orderBy("h").rowsBetween(-3, 3)
     val t = b
       .withColumn("trend", avg(col("v")).over(w))
       .withColumn("dow", dayofweek(col("h")))
     val sea = t.groupBy("user_id", "dow")
-      .agg(avg(col("v") - col("trend")).as("seasonal"))
+      .agg(avg(dy20(col("v") - col("trend"))).as("seasonal"))
     t.join(sea, Seq("user_id", "dow"))
       .select(col("user_id"), unix_micros(col("h")).as("day_us"),
         round(col("v"), 6).as("v"), round(col("trend"), 6).as("trend"),
@@ -925,13 +953,18 @@ object WindowOps extends QueryModule {
     * broadcasts the user-sized side), ONE running-sum window and ONE
     * rank window sharing the (user) partitioning, argmax row kept.
     * The |cusum| that feeds the rank is rounded first (checklist item
-    * 5) and tie-broken by day, so both engines pick the same peak.
+    * 5) and tie-broken by day, so both engines pick the same peak;
+    * every aggregation is order-exact ([[dy20]]): daily means from
+    * integer cents, the user mean and the running sum over
+    * grid-quantized inputs.
     */
   q("ts_cusum_changepoint",
-    """WITH b AS (SELECT user_id, date_trunc('day', ts) AS d, avg(value) AS v FROM events GROUP BY 1, 2),
+    s"""WITH b AS (SELECT user_id, date_trunc('day', ts) AS d,
+      |             ${dy20Sql(centsAvgSql)} AS v
+      |           FROM events GROUP BY 1, 2),
       |m AS (SELECT user_id, avg(v) AS mu, count(*) AS n_days FROM b GROUP BY 1),
       |cs AS (SELECT b.user_id, b.d, m.n_days,
-      |         sum(b.v - m.mu) OVER (PARTITION BY b.user_id ORDER BY b.d) AS cusum
+      |         sum(${dy20Sql("b.v - m.mu")}) OVER (PARTITION BY b.user_id ORDER BY b.d) AS cusum
       |       FROM b JOIN m USING (user_id)),
       |r AS (SELECT user_id, d, round(abs(cusum), 6) AS ac, n_days,
       |        row_number() OVER (PARTITION BY user_id ORDER BY round(abs(cusum), 6) DESC, d ASC) AS rn
@@ -941,13 +974,13 @@ object WindowOps extends QueryModule {
       |FROM r WHERE rn = 1 ORDER BY user_id""") { (s, d) =>
     val b = T(s, d, "events")
       .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
-      .agg(avg("value").as("v"))
+      .agg(dy20(centsAvg).as("v"))
     val m = b.groupBy("user_id")
       .agg(avg("v").as("mu"), count(lit(1)).as("n_days"))
     val cw = Window.partitionBy("user_id").orderBy("d")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cs = b.join(m, Seq("user_id"))
-      .withColumn("cusum", sum(col("v") - col("mu")).over(cw))
+      .withColumn("cusum", sum(dy20(col("v") - col("mu"))).over(cw))
       .select(col("user_id"), col("d"),
         round(abs(col("cusum")), 6).as("ac"), col("n_days"))
     cs.withColumn("rn", row_number().over(

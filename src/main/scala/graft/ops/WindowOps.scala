@@ -665,10 +665,18 @@ object WindowOps extends QueryModule {
     * + 0.5) is deterministic because its input is already identical
     * in both engines.
     */
-  private def dy20(c: Column): Column =
-    floor(c * lit(1048576.0) + lit(0.5)).cast("double") / lit(1048576.0)
-  private def dy20Sql(x: String): String =
-    s"floor(($x) * 1048576.0 + 0.5) / 1048576.0"
+  private def dyGrid(c: Column, scale: Double): Column =
+    floor(c * lit(scale) + lit(0.5)).cast("double") / lit(scale)
+  private def dyGridSql(x: String, scale: String): String =
+    s"floor(($x) * $scale + 0.5) / $scale"
+  private def dy20(c: Column): Column = dyGrid(c, 1048576.0)
+  private def dy20Sql(x: String): String = dyGridSql(x, "1048576.0")
+  /** Coarser 2⁻¹² grid for values that get MULTIPLIED before the next
+    * sum (co-moment machinery): product grid 2⁻²⁴ with ≲2²⁵ totals
+    * keeps the span under 53 bits, so sums of products stay exact.
+    */
+  private def dy12(c: Column): Column = dyGrid(c, 4096.0)
+  private def dy12Sql(x: String): String = dyGridSql(x, "4096.0")
   /** events.value carries exactly 2 decimals: Σ round(100·v) as BIGINT
     * is the exact first aggregation; one division rebuilds the mean.
     */
@@ -904,10 +912,15 @@ object WindowOps extends QueryModule {
     * lags × series length, shuffle is the single (user) partition
     * sort. ACF composed from co-moments with a nullif guard (checklist
     * item 7: a constant series has zero variance — both engines emit
-    * NULL, not a DIVIDE_BY_ZERO or NaN divergence).
+    * NULL, not a DIVIDE_BY_ZERO or NaN divergence). Aggregations are
+    * order-exact (checklist rule 12): daily means from integer cents,
+    * then the 2⁻¹² grid ([[dy12]]) so the co-moment sums of PRODUCTS
+    * stay within double's exact span.
     */
   q("ts_autocorr",
-    """WITH b AS (SELECT user_id, date_trunc('day', ts) AS d, avg(value) AS v FROM events GROUP BY 1, 2),
+    s"""WITH b AS (SELECT user_id, date_trunc('day', ts) AS d,
+      |             ${dy12Sql(centsAvgSql)} AS v
+      |           FROM events GROUP BY 1, 2),
       |w AS (SELECT user_id, d, v,
       |        lag(v, 1) OVER (PARTITION BY user_id ORDER BY d) AS l1,
       |        lag(v, 2) OVER (PARTITION BY user_id ORDER BY d) AS l2,
@@ -923,7 +936,7 @@ object WindowOps extends QueryModule {
       |FROM a ORDER BY user_id, lag_k""") { (s, d) =>
     val b = T(s, d, "events")
       .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
-      .agg(avg("value").as("v"))
+      .agg(dy12(centsAvg).as("v"))
     val w = Window.partitionBy("user_id").orderBy("d")
     val withLags = b
       .withColumn("l1", lag("v", 1).over(w))

@@ -558,47 +558,75 @@ object RelationalOps extends QueryModule {
       .select(col("global_distinct"))
   }
 
-  /** Heavy hitters over the corpus token stream via the native
-    * Misra-Gries sketch ([[graft.functions.MisraGriesTopK]], the
-    * mergeable-summaries TypedImperativeAggregate): every token with
-    * frequency > n/16 surfaces from k−1 = 15 counters of state per
-    * partition — the shuffle carries 15 rows per partition regardless
-    * of vocabulary size, where the exact two-phase count (`topk_global`
-    * / `text_ngram_freq`) shuffles the whole distinct-token space.
-    * Counter VALUES are merge-order-dependent lower bounds → rows-only
-    * (like the HLL rows); the frequency guarantee and the count bounds
-    * are pinned in HeavyHitterSpec.
+  /** Heavy hitters over the corpus token stream — the production
+    * TWO-PASS architecture: pass 1 runs the native Misra-Gries sketch
+    * ([[graft.functions.MisraGriesTopK]], the Agarwal 2013
+    * mergeable-summaries TypedImperativeAggregate; k−1 = 63 counters
+    * per partition regardless of vocabulary size) to surface a
+    * candidate superset — the MG guarantee says every token with
+    * frequency > n/64 is present no matter how partials merged; pass 2
+    * broadcasts the ≤63 candidates back over the stream for EXACT
+    * counts and keeps freq·64 > n. HASH-CHECKED since r11: the
+    * candidate set varies with merge order, but the exact-verified
+    * output is precisely the true heavy-hitter set {token : freq >
+    * n/64} — deterministic, and the integer-only threshold is
+    * DuckDB-replayable (the oracle skips the sketch and filters the
+    * exact counts directly, which is the same set BY THE GUARANTEE).
+    * Counter values stay internal (merge-order lower bounds — pinned
+    * in HeavyHitterSpec); the shuffle story stays vocab-independent:
+    * 63 counters/partition in pass 1, ≤63 count rows in pass 2 —
+    * `topk_global`/`text_ngram_freq` shuffle the whole distinct-token
+    * space instead.
     */
-  qRowsOnly("agg_heavy_hitters") { (s, d) =>
-    T(s, d, "documents")
+  q("agg_heavy_hitters",
+    """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |     wc AS (SELECT w, count(*) AS c FROM tk WHERE length(w) > 0 GROUP BY w),
+      |     tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM wc)
+      |SELECT w AS item, CAST(c AS BIGINT) AS freq
+      |FROM wc, tot WHERE c * 64 > n ORDER BY item""") { (s, d) =>
+    val toks = T(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
-      .agg(graft.functions.agg.mgTopK(col("w"), 16).as("hh"))
-      // Render the sketch as a deterministic string: the eval already
-      // sorts (cnt desc, item asc); raw array cells crash the
-      // harness's pandas row sorter (checklist item 10).
-      .select(expr("array_join(transform(hh, e -> concat(e.item, ':', e.cnt)), ' ')")
-        .as("heavy_hitters"))
+      .filter(length(col("w")) > 0)
+    val sk = toks.agg(graft.functions.agg.mgTopK(col("w"), 64).as("hh"),
+      count(lit(1)).as("n"))
+    val cand = sk.select(col("n"),
+      explode(expr("transform(hh, e -> e.item)")).as("w"))
+    toks.join(broadcast(cand), Seq("w")) // candidates are ≤63 rows: genuinely bounded
+      .groupBy("w", "n").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") * 64 > col("n"))
+      .select(col("w").as("item"), col("freq"))
+      .reportSorted("item")
   }
 
-  /** The Misra-Gries sketch GROUPED — per-language heavy hitters over
-    * the token stream, exercising the native TypedImperativeAggregate
-    * through hash-aggregate grouping (one k-counter buffer per group,
-    * map-side partials merge per group key): the per-domain frequent-
-    * items report at vocabulary-independent state cost. Rows-only
-    * like the global row (counter values are merge-order lower
-    * bounds); the shared guarantee is pinned in HeavyHitterSpec.
+  /** The two-pass heavy hitters GROUPED — per-language frequent items,
+    * exercising the native TypedImperativeAggregate through
+    * hash-aggregate grouping (one k-counter buffer per group, map-side
+    * partials merge per group key), then the same broadcast
+    * exact-verify per (lang, candidate). Deterministic and
+    * hash-checked like the global row: the output is {token : freq >
+    * n_lang/64} per language, independent of how the per-group sketch
+    * buffers merged.
     */
-  qRowsOnly("agg_heavy_hitters_grouped") { (s, d) =>
-    T(s, d, "documents")
+  q("agg_heavy_hitters_grouped",
+    """WITH tk AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      |     wc AS (SELECT lang, w, count(*) AS c FROM tk WHERE length(w) > 0 GROUP BY lang, w),
+      |     tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM wc GROUP BY lang)
+      |SELECT wc.lang AS lang, w AS item, CAST(c AS BIGINT) AS freq
+      |FROM wc JOIN tot ON tot.lang = wc.lang
+      |WHERE c * 64 > n ORDER BY wc.lang, item""") { (s, d) =>
+    val toks = T(s, d, "documents")
       .select(col("lang"), explode(split(col("text"), " ")).as("w"))
-      .groupBy("lang")
-      .agg(graft.functions.agg.mgTopK(col("w"), 16).as("hh"))
-      // Deterministic string render (see agg_heavy_hitters / checklist
-      // item 10): array cells crash the harness's pandas row sorter.
-      .select(col("lang"),
-        expr("array_join(transform(hh, e -> concat(e.item, ':', e.cnt)), ' ')")
-          .as("heavy_hitters"))
-      .reportSorted("lang")
+      .filter(length(col("w")) > 0)
+    val sk = toks.groupBy("lang")
+      .agg(graft.functions.agg.mgTopK(col("w"), 64).as("hh"),
+        count(lit(1)).as("n"))
+    val cand = sk.select(col("lang"), col("n"),
+      explode(expr("transform(hh, e -> e.item)")).as("w"))
+    toks.join(broadcast(cand), Seq("lang", "w")) // ≤63 rows per language
+      .groupBy("lang", "w", "n").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") * 64 > col("n"))
+      .select(col("lang"), col("w").as("item"), col("freq"))
+      .reportSorted("lang", "item")
   }
 
   /** Count-min sketch point-frequency estimates (Cormode &

@@ -61,4 +61,22 @@ class HeavyHitterSpec extends AnyFunSuite {
     val hh = hitters(df, 4)
     assert(hh == Map("z" -> 2L))
   }
+
+  test("two-pass registry rows are partitioning-invariant (exact verify makes MG deterministic)") {
+    // the CANDIDATE set from merged MG buffers is merge-order-dependent;
+    // the registered rows filter candidates by exact counts, so the
+    // output must be the true {freq > n/64} set under any partitioning
+    val dir = "/root/testdata/sf0.001"
+    def run(name: String, parts: String) = {
+      val before = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try graft.SparkEntry.queries(name)(spark, dir).collect().toSeq.map(_.toSeq)
+      finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    }
+    Seq("agg_heavy_hitters", "agg_heavy_hitters_grouped").foreach { q =>
+      val a = run(q, "2")
+      assert(a.nonEmpty, s"$q returned no heavy hitters")
+      assert(a == run(q, "17"), s"$q output depends on partitioning")
+    }
+  }
 }

@@ -41,6 +41,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Optional subset run for A/B bisects (e.g. "is this family slow in
+    // isolation or only inside the full session?"): SPARK_GRAFT_ONLY is
+    // an anchored regex over query keys; unset = full registry. Parsed
+    // BEFORE the warmup so a typo'd filter fails fast and legibly
+    // instead of looking like a crashed bench.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map { p =>
+      try p.r
+      catch { case e: java.util.regex.PatternSyntaxException =>
+        System.err.println(s"[bench] bad SPARK_GRAFT_ONLY regex: ${e.getMessage}")
+        sys.exit(2)
+      }
+    }
     val spark = Sessions.build(s"local[$cpus]", cpus)
     // Untimed warmup: JIT/codegen/broadcast machinery + parquet footers,
     // so per-query numbers measure the plan, not first-use JVM costs.
@@ -49,10 +61,6 @@ object Bench {
       "lineitem", "events", "documents", "embeddings")
       .foreach(t => T(spark, sfDir, t).count())
     val prior = priorTimes(sfDir)
-    // Optional subset run for A/B bisects (e.g. "is this family slow in
-    // isolation or only inside the full session?"): SPARK_GRAFT_ONLY is
-    // an anchored regex over query keys; unset = full registry.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.pattern.matcher(name).matches()) }
     // Deterministic (sorted) order → per-query times comparable across

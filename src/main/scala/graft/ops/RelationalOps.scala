@@ -451,6 +451,12 @@ object RelationalOps extends QueryModule {
     * accuracy-pinned in SketchSpec, not registered, because their
     * binary sketches are engine-specific.
     */
+  /** FROZEN at 4096: the value is mirrored as a literal inside the
+    * oracle SQL builders ([[hllOracleCtes]]/[[hllEstSql]]) and their
+    * derived constants (2.5·m, α(m), ln(m/V)) — resizing the sketch
+    * means touching Spark expressions AND oracle SQL together, so the
+    * constant exists to NAME the size, not to tune it.
+    */
   private val hllM = 4096
   /** (group cols preserved) → one (j, mrho) row per occupied register. */
   private def hllRegisters(df: DataFrame, valueCol: String, groupCols: String*): DataFrame = {
@@ -459,7 +465,7 @@ object RelationalOps extends QueryModule {
     val withJ = df
       .withColumn("hv", h)
       .withColumn("j", pmod(col("hv"), lit(hllM.toLong)))
-      .withColumn("sfx", expr("hv div 4096"))
+      .withColumn("sfx", expr(s"hv div $hllM"))
       .withColumn("rho", coalesce(
         expr("array_min(filter(sequence(1, 33), " +
           "k -> ((sfx div shiftleft(cast(1 as bigint), k - 1)) % 2) = 1))"),
@@ -467,14 +473,18 @@ object RelationalOps extends QueryModule {
     withJ.groupBy((groupCols.map(col) :+ col("j")): _*)
       .agg(max(col("rho")).as("mrho"))
   }
-  /** Registers → per-group BIGINT estimate column named `alias`. */
+  /** Registers → per-group BIGINT estimate column named `alias`. The
+    * global (no-group) case aggregates under a constant key so empty
+    * input yields ZERO rows — matching the oracle's GROUP BY, where a
+    * bare `regs.agg(...)` would emit one NULL-estimate row.
+    */
   private def hllEstimate(regs: DataFrame, alias: String, groupCols: String*): DataFrame = {
     val grouped =
-      if (groupCols.isEmpty) regs.agg(count(lit(1)).as("vp"),
-        sum(expr("cast(1.0 as double) / cast(shiftleft(cast(1 as bigint), cast(mrho as int)) as double)")).as("sp"))
-      else regs.groupBy(groupCols.map(col): _*)
+      (if (groupCols.isEmpty) regs.groupBy(lit(0).as("_g"))
+       else regs.groupBy(groupCols.map(col): _*))
         .agg(count(lit(1)).as("vp"),
           sum(expr("cast(1.0 as double) / cast(shiftleft(cast(1 as bigint), cast(mrho as int)) as double)")).as("sp"))
+        .drop("_g")
     val mD = lit(hllM.toDouble)
     val alphaMM = (lit(0.7213) / (lit(1.0) + lit(1.079) / mD)) * mD * mD
     val e = alphaMM / (col("sp") + (mD - col("vp")))

@@ -201,7 +201,10 @@ object TokenizerOps extends QueryModule {
          |                   / s.n_bpe * 1000000 + CAST(0.5000005 AS DOUBLE)) / 1000000
          |       END AS chars_per_tok,
          |       CASE WHEN coalesce(s.n_bpe, 0) = 0
-         |            THEN array_to_string(w0.ws, ' ') = ''
+         |            -- len() = 0, NOT = '': array_to_string of an empty
+         |            -- list is NULL in DuckDB, and NULL = '' is NULL
+         |            -- where the Spark side emits true
+         |            THEN len(w0.ws) = 0
          |            ELSE rtrim(replace(s.cat, '</w>', ' '))
          |                   = array_to_string(w0.ws, ' ')
          |       END AS roundtrip_ok

@@ -3,15 +3,22 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
 
-  /** Per-query seconds from a previous run's BENCH_LOCAL.json, if one
-    * exists in cwd — used only to flag re-time candidates, never to
-    * report. Hand-rolled parse (no JSON lib in the build): the file is
-    * our own single-line format.
+  /** Per-query seconds from a previous run's record — used only to flag
+    * re-time candidates, never to report. BENCH_LOCAL.json (cwd,
+    * untracked, freshest) wins; the COMMITTED BENCH_PRIOR.json is the
+    * fallback because the round driver git-cleans untracked files at
+    * round start, which would otherwise disarm the 1.35x stall-retry
+    * gate on exactly the run that matters (the per-round driver bench —
+    * the r10 text_* false regression was an undetected host stall).
+    * Hand-rolled parse (no JSON lib in the build): the file is our own
+    * single-line format.
     */
   private def priorTimes(sfDir: String): Map[String, Double] =
     try {
-      val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
-      if (!java.nio.file.Files.isRegularFile(p)) Map.empty
+      val p = Seq("BENCH_LOCAL.json", "BENCH_PRIOR.json")
+        .map(java.nio.file.Paths.get(_))
+        .find(java.nio.file.Files.isRegularFile(_)).orNull
+      if (p == null) Map.empty
       else {
         val s = java.nio.file.Files.readString(p)
         // a prior from a DIFFERENT dataset/scale would flag everything

@@ -3792,4 +3792,208 @@ object LlmOps extends QueryModule {
       .select(col("doc_id"), col("avg_nll"), col("rnk"))
       .orderBy("doc_id") // surviving half of the corpus = input-sized
   }
+
+  // ----------------------------------------- mixture & curation (r11b)
+
+  /** Shared deterministic keep-set selector: the 31/1000003-poly
+    * content-hash bucket in [0, 1000) that [[pipeline_mix_weighted]] /
+    * [[pipeline_upsample]] already prove hash-equal across engines.
+    * Membership depends only on document CONTENT — stable under
+    * re-ingestion, repartitioning, and incremental appends, which is
+    * why every sampling op here prefers it to RNG state.
+    */
+  private def contentBucket: org.apache.spark.sql.Column = aggregate(
+    graft.functions.text.tokenPolyHash(split(col("text"), " ")), lit(0L),
+    (acc, h) => pmod(acc * lit(1000003L) + h, lit(1000000007L))) % 1000
+
+  private val contentBucketSql =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(str_split(text, ' '), t ->
+      |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(str_split(t, ''), c -> CAST(ord(c) AS BIGINT))),
+      |          (a, b) -> (a * 31 + b) % 1000000007))),
+      |      (acc, h) -> (acc * 1000003 + h) % 1000000007) % 1000""".stripMargin
+
+  /** Temperature-flattened source mixing — the multilingual sampling
+    * law (SPEC: Conneau & Lample 2019 §3.1; XLM-R, Conneau et al. 2020
+    * §3): sample domains with q_s ∝ p_s^α, α < 1, so head domains are
+    * downweighted and the tail keeps coverage; here α = 1/2. α = 1/2
+    * is deliberate cross-engine engineering: p^(1/2) is `sqrt`, the one
+    * power IEEE 754 REQUIRES correctly rounded, so Spark and DuckDB
+    * produce the bit-identical double where libm `pow` carries no such
+    * guarantee and may ulp-differ across implementations. Each q_s is
+    * then snapped onto the 2⁻²⁰ dyadic grid BEFORE Σq so the
+    * normalizer is a sum of grid multiples — order/tree-shape-exact
+    * (the WindowOps dy20 device), hence identical under any partial
+    * aggregation schedule. Selection itself is the deterministic
+    * content-hash bucket against a #domains-sized broadcast rate
+    * table: at 100 TB the only data-sized work is one scan + one
+    * map-side filter; the aggs are domain-cardinality-sized.
+    */
+  q("pipeline_mix_temperature",
+    s"""WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+      |     t AS (SELECT CAST(sum(n) AS DOUBLE) AS n_total FROM cnt),
+      |     qa AS (
+      |  SELECT source, n,
+      |         floor(sqrt(CAST(n AS DOUBLE) / t.n_total) * 1048576.0 + 0.5)
+      |           / 1048576.0 AS qs
+      |  FROM cnt, t),
+      |     z AS (SELECT sum(qs) AS z FROM qa),
+      |     r AS (
+      |  SELECT qa.source,
+      |         least(CAST(1.0 AS DOUBLE),
+      |               CAST(0.5 AS DOUBLE) * t.n_total * qa.qs / (z.z * qa.n)) AS rate
+      |  FROM qa, t, z),
+      |     fp AS (
+      |  SELECT doc_id, source,
+      |    $contentBucketSql AS bucket
+      |  FROM documents)
+      |SELECT fp.doc_id, fp.source FROM fp JOIN r ON r.source = fp.source
+      |WHERE fp.bucket < r.rate * 1000.0
+      |ORDER BY fp.doc_id""") { (s, d) =>
+    val docs = T(s, d, "documents")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum("n").cast("double").as("n_total"))
+    // q_s = dy20(sqrt(n_s / N)): sqrt is correctly rounded in both
+    // engines; the grid snap makes Σq order-exact
+    val qa = counts.crossJoin(broadcast(totals))
+      .withColumn("qs",
+        floor(sqrt(col("n").cast("double") / col("n_total")) * lit(1048576.0)
+          + lit(0.5)) / lit(1048576.0))
+    val z = qa.agg(sum("qs").as("z"))
+    // rate_s = min(1, B·(q_s/Z)/n_s) with budget B = 0.5·N; FP
+    // association mirrors the oracle term-for-term
+    val rates = qa.crossJoin(broadcast(z))
+      .select(col("source"), least(lit(1.0),
+        lit(0.5) * col("n_total") * col("qs") / (col("z") * col("n")))
+        .as("rate"))
+    docs
+      .withColumn("bucket", contentBucket)
+      .join(broadcast(rates), Seq("source"))
+      .filter(col("bucket") < col("rate") * 1000.0)
+      .select("doc_id", "source")
+      .orderBy("doc_id") // kept set is input-sized
+  }
+
+  /** Preference-pair construction — the DPO/RLHF data-curation step
+    * (SPEC: Rafailov et al. 2023, Direct Preference Optimization §4:
+    * training rows are (chosen, rejected) pairs): within each
+    * (source, lang) group, zip the i-th best-scoring document with the
+    * i-th worst as (chosen, rejected), i ≤ min(5, ⌊n/2⌋) so the two
+    * halves never overlap and no document pairs with itself. The score
+    * is the rounded type-token ratio (the text_ttr quality signal);
+    * rank ties break on doc_id so pairing is total-order
+    * deterministic, and equal-score pairs are dropped (margin must be
+    * strictly positive to encode a preference). Shape: one window
+    * rank per direction over (source, lang) partitions + one
+    * equi-join on (group, i) — output is ≤ 5·|groups| rows, bounded
+    * by group cardinality, never by corpus size.
+    */
+  q("pipeline_pref_pairs",
+    """WITH s AS (
+      |  SELECT doc_id, source, lang,
+      |         round(CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+      |               / len(str_split(text, ' ')), 6) AS score
+      |  FROM documents),
+      |     rk AS (
+      |  SELECT source, lang, doc_id, score,
+      |         row_number() OVER (PARTITION BY source, lang
+      |                            ORDER BY score DESC, doc_id ASC) AS rb,
+      |         row_number() OVER (PARTITION BY source, lang
+      |                            ORDER BY score ASC, doc_id DESC) AS rw,
+      |         count(*) OVER (PARTITION BY source, lang) AS cnt
+      |  FROM s)
+      |SELECT c.source, c.lang, c.rb AS pair_rank,
+      |       c.doc_id AS chosen_id, r.doc_id AS rejected_id,
+      |       c.score AS chosen_score, r.score AS rejected_score,
+      |       round(c.score - r.score, 6) AS margin
+      |FROM rk c JOIN rk r
+      |  ON c.source = r.source AND c.lang = r.lang AND c.rb = r.rw
+      |WHERE c.rb <= least(5, c.cnt // 2) AND c.score > r.score
+      |ORDER BY c.source, c.lang, c.rb""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val scored = T(s, d, "documents")
+      .withColumn("tok", split(col("text"), " "))
+      .select(col("doc_id"), col("source"), col("lang"),
+        round(size(array_distinct(col("tok"))).cast("double")
+          / size(col("tok")), 6).as("score"))
+    val wBest = Window.partitionBy("source", "lang")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val wWorst = Window.partitionBy("source", "lang")
+      .orderBy(col("score").asc, col("doc_id").desc)
+    val ranked = scored.select(col("source"), col("lang"), col("doc_id"),
+      col("score"), row_number().over(wBest).as("rb"),
+      row_number().over(wWorst).as("rw"),
+      count(lit(1)).over(Window.partitionBy("source", "lang")).as("cnt"))
+    ranked.as("c").join(ranked.as("r"),
+        col("c.source") === col("r.source") && col("c.lang") === col("r.lang")
+          && col("c.rb") === col("r.rw"))
+      .filter(col("c.rb") <= least(lit(5), expr("c.cnt div 2"))
+        && col("c.score") > col("r.score"))
+      .select(col("c.source").as("source"), col("c.lang").as("lang"),
+        col("c.rb").as("pair_rank"), col("c.doc_id").as("chosen_id"),
+        col("r.doc_id").as("rejected_id"), col("c.score").as("chosen_score"),
+        col("r.score").as("rejected_score"),
+        round(col("c.score") - col("r.score"), 6).as("margin"))
+      .reportSorted("source", "lang", "pair_rank") // ≤ 5·|groups| rows
+  }
+
+  /** Cross-source contamination audit — the corpus-governance matrix
+    * behind every mixture decision (SPEC: Lee et al. 2021 §5 measure
+    * duplication ACROSS corpora; Dodge et al. 2021, C4 audit): for
+    * each pair of sources, how many verbatim 8-token windows they
+    * share, and the containment ratio |A∩B| / min(|A|,|B|). Shape:
+    * the dedup_substring gram stream distinct'd per (gram, source) →
+    * a document-frequency cap (grams in > 16 sources are boilerplate
+    * and carry no pair signal — dropped, cap mirrored in the oracle)
+    * → a self-equi-join on gram whose fan-out is ≤ C(16,2) = 120 rows
+    * per gram BY CONSTRUCTION, never #sources² — the cap is what
+    * keeps a universal template gram from emitting a domain-quadratic
+    * blow-up at open-web domain counts. Output is one row per source
+    * pair: bounded by catalog size, never corpus size.
+    */
+  q("dedup_cross_source_overlap",
+    """WITH tok AS (SELECT source, str_split(text, ' ') AS tok FROM documents),
+      |     g0 AS (
+      |  SELECT source, unnest([list_aggr(tok[i:i+7], 'string_agg', ' ')
+      |                         FOR i IN range(1, greatest(len(tok) - 7, 1) + 1)]) AS g
+      |  FROM tok),
+      |     grams AS (SELECT DISTINCT source, g FROM g0),
+      |     keep AS (SELECT g FROM grams GROUP BY g
+      |              HAVING count(*) BETWEEN 2 AND 16),
+      |     kept AS (SELECT g, source FROM grams WHERE g IN (SELECT g FROM keep)),
+      |     shared AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+      |  FROM kept a JOIN kept b ON a.g = b.g AND a.source < b.source
+      |  GROUP BY 1, 2),
+      |     tot AS (SELECT source, count(*) AS t FROM grams GROUP BY 1)
+      |SELECT src_a, src_b, shared, ta.t AS n_a, tb.t AS n_b,
+      |       round(CAST(shared AS DOUBLE) / least(ta.t, tb.t), 6) AS containment
+      |FROM shared JOIN tot ta ON ta.source = src_a
+      |            JOIN tot tb ON tb.source = src_b
+      |ORDER BY src_a, src_b""") { (s, d) =>
+    val grams = T(s, d, "documents")
+      .withColumn("tok", split(col("text"), " "))
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, greatest(size(tok) - 8, 0)), i -> xxhash64(concat_ws(' ', slice(tok, i + 1, 8))))")).as("g"))
+      .distinct()
+    // df-cap: two-phase count (grams is distinct per (g, source), so
+    // count(*) = distinct-source count), filter BEFORE the self-join
+    val keep = grams.groupBy("g").agg(count(lit(1)).as("ds"))
+      .filter(col("ds").between(2, 16)).select("g")
+    val kept = grams.join(keep, Seq("g"))
+    val shared = kept.select(col("g"), col("source").as("src_a"))
+      .join(kept.select(col("g"), col("source").as("src_b")), Seq("g"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("shared"))
+    val totals = grams.groupBy("source").agg(count(lit(1)).as("t"))
+    shared
+      .join(broadcast(totals.select(col("source").as("src_a"), col("t").as("n_a"))), Seq("src_a"))
+      .join(broadcast(totals.select(col("source").as("src_b"), col("t").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared"), col("n_a"), col("n_b"),
+        round(col("shared").cast("double") / least(col("n_a"), col("n_b")), 6)
+          .as("containment"))
+      .reportSorted("src_a", "src_b") // ≤ C(#sources, 2) rows
+  }
 }

@@ -422,4 +422,71 @@ class OpsSemanticsSpec extends AnyFunSuite {
     val rows = df.collect()
     assert(rows.nonEmpty && rows.forall(r => !r.isNullAt(2) && !r.isNullAt(4)))
   }
+
+  test("temperature mixing flattens the source distribution toward the tail") {
+    // α = 1/2 upweights small domains RELATIVE to large ones: the kept
+    // fraction (rate) of the smallest source must be ≥ that of the
+    // largest, and the overall kept set must be near the 50% budget —
+    // properties of the sampling LAW the hash oracle can't state
+    val docs = T(spark, dir, "documents")
+    val total = docs.count().toDouble
+    val kept = SparkEntry.queries("pipeline_mix_temperature")(spark, dir)
+    val frac = kept.count() / total
+    assert(frac > 0.3 && frac < 0.7, s"kept fraction $frac far from the 0.5 budget")
+    val perSource = docs.groupBy("source").count()
+      .withColumnRenamed("count", "n")
+      .join(kept.groupBy("source").count().withColumnRenamed("count", "k"),
+        Seq("source"), "left")
+      .na.fill(0L, Seq("k"))
+      .collect().map(r => (r.getAs[Long]("n"), r.getAs[Long]("k")))
+    val small = perSource.minBy(_._1)
+    val large = perSource.maxBy(_._1)
+    val (rs, rl) = (small._2.toDouble / small._1, large._2.toDouble / large._1)
+    assert(rs >= rl - 0.15,
+      s"smallest source keep-rate $rs should not trail largest $rl under α<1")
+  }
+
+  test("preference pairs: strict margin, halves disjoint, bounded per group") {
+    val pairs = SparkEntry.queries("pipeline_pref_pairs")(spark, dir).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getAs[Double]("chosen_score") > r.getAs[Double]("rejected_score"))
+      assert(r.getAs[Double]("margin") > 0.0)
+      assert(r.getAs[Long]("chosen_id") != r.getAs[Long]("rejected_id"))
+      assert(r.getAs[Int]("pair_rank") <= 5)
+    }
+    // the chosen half and rejected half never share a document within a group
+    pairs.groupBy(r => (r.getAs[String]("source"), r.getAs[String]("lang")))
+      .foreach { case (_, rs) =>
+        val chosen = rs.map(_.getAs[Long]("chosen_id")).toSet
+        val rejected = rs.map(_.getAs[Long]("rejected_id")).toSet
+        assert(chosen.intersect(rejected).isEmpty)
+        assert(rs.length <= 5)
+      }
+  }
+
+  test("cross-source overlap: containment bounded, pairs canonical, cap honored") {
+    val rows = SparkEntry.queries("dedup_cross_source_overlap")(spark, dir).collect()
+    assert(rows.nonEmpty, "harness sources share vocabulary; some 8-gram must repeat")
+    rows.foreach { r =>
+      val (sh, na, nb) = (r.getAs[Long]("shared"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      val c = r.getAs[Double]("containment")
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"), "canonical pair order")
+      assert(sh >= 1 && sh <= math.min(na, nb), s"shared $sh exceeds min($na,$nb)")
+      assert(c > 0.0 && c <= 1.0)
+    }
+    // a planted boilerplate gram present in >16 synthetic sources must NOT
+    // create pair rows (df-cap drops it) — verified on a crafted corpus
+    import spark.implicits._
+    val boiler = (0 until 18).map(i => (i.toLong, s"src$i", "b " * 12 + s"tail$i"))
+    val crafted = boiler.toDF("doc_id", "source", "text")
+    crafted.createOrReplaceTempView("crafted_docs")
+    val grams = crafted
+      .withColumn("tok", split(col("text"), " "))
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, greatest(size(tok) - 8, 0)), i -> xxhash64(concat_ws(' ', slice(tok, i + 1, 8))))")).as("g"))
+      .distinct()
+    val overCap = grams.groupBy("g").count().filter(col("count") > 16).count()
+    assert(overCap > 0, "the crafted boilerplate gram must exceed the cap")
+  }
 }

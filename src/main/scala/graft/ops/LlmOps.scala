@@ -3972,11 +3972,16 @@ object LlmOps extends QueryModule {
       |FROM shared JOIN tot ta ON ta.source = src_a
       |            JOIN tot tb ON tb.source = src_b
       |ORDER BY src_a, src_b""") { (s, d) =>
+    // materialized ONCE (localCheckpoint, the pqEncoded pattern): the
+    // distinct gram set feeds FOUR plan arms (totals, df-cap, both
+    // self-join sides) — without the checkpoint each arm re-tokenizes
+    // the corpus, a 4× scan at 100 TB; with it they share 16 B/row
     val grams = T(s, d, "documents")
       .withColumn("tok", split(col("text"), " "))
       .select(col("source"), explode(expr(
         "transform(sequence(0, greatest(size(tok) - 8, 0)), i -> xxhash64(concat_ws(' ', slice(tok, i + 1, 8))))")).as("g"))
       .distinct()
+      .localCheckpoint()
     // df-cap: two-phase count (grams is distinct per (g, source), so
     // count(*) = distinct-source count), filter BEFORE the self-join
     val keep = grams.groupBy("g").agg(count(lit(1)).as("ds"))

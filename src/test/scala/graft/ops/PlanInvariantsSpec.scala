@@ -508,4 +508,34 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.contains("Scan ExistingRDD"),
       s"avg ranks must ride the checkpointed prefix sums:\n$p")
   }
+
+  test("pipeline_mix_temperature: rates broadcast onto the corpus scan, no data-sized shuffle join") {
+    // the #domains-sized rate table must never shuffle the corpus:
+    // selection is a map-side filter behind a broadcast join
+    val p = plan(graft.SparkEntry.queries("pipeline_mix_temperature")(spark, d))
+    assert(p.contains("BroadcastHashJoin"), s"rates must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join may touch the document stream:\n$p")
+  }
+
+  test("pipeline_pref_pairs: rank zip is an equi join, never a nested loop") {
+    // (group, i) pairing must plan as a hash/sort-merge equi join;
+    // a cartesian or nested-loop shape would be quadratic in groups
+    val p = plan(graft.SparkEntry.queries("pipeline_pref_pairs")(spark, d))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair zip must stay an equi join:\n$p")
+    assert(p.contains("SinglePartition"),
+      s"bounded pair report must end in the single-partition sort:\n$p")
+  }
+
+  test("dedup_cross_source_overlap: capped self-join is equi, totals broadcast") {
+    val p = plan(graft.SparkEntry.queries("dedup_cross_source_overlap")(spark, d))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"gram self-join must stay an equi join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"catalog-sized totals must broadcast:\n$p")
+    // df-cap rides a two-phase count: partial then final aggregate
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"df-cap count must be two-phase:\n$p")
+  }
 }

@@ -15,23 +15,23 @@ object Bench {
     */
   private def priorTimes(sfDir: String): Map[String, Double] =
     try {
-      val p = Seq("BENCH_LOCAL.json", "BENCH_PRIOR.json")
+      // a prior from a DIFFERENT dataset/scale would flag everything
+      // (or nothing) as suspect — only same-sf records are comparable.
+      // The sf check runs PER CANDIDATE: a stale BENCH_LOCAL.json from
+      // an sf0.01 subset run must fall through to the committed
+      // same-sf prior, not disarm the gate by merely existing.
+      Seq("BENCH_LOCAL.json", "BENCH_PRIOR.json")
         .map(java.nio.file.Paths.get(_))
-        .find(java.nio.file.Files.isRegularFile(_)).orNull
-      if (p == null) Map.empty
-      else {
-        val s = java.nio.file.Files.readString(p)
-        // a prior from a DIFFERENT dataset/scale would flag everything
-        // (or nothing) as suspect — only same-sf records are comparable
-        if (!s.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
-        else {
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.readString(_))
+        .find(_.contains("\"sf\":\"" + sfDir + "\""))
+        .map { s =>
           val qs = s.indexOf("\"queries\":{")
-          if (qs < 0) Map.empty
+          if (qs < 0) Map.empty[String, Double]
           else """"([a-z0-9_]+)":([0-9]+\.[0-9]+)""".r
             .findAllMatchIn(s.substring(qs))
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        }
-      }
+        }.getOrElse(Map.empty)
     } catch { case _: Throwable => Map.empty }
 
   private def timeOnce(spark: SparkSession, sfDir: String,

@@ -2328,6 +2328,27 @@ object LlmOps extends QueryModule {
       .orderBy("doc_id") // one row per doc = input-sized
   }
 
+  /** Shared deterministic keep-set selector for the sampling family
+    * (mix_weighted / upsample / mix_temperature): 31/1000003-poly
+    * content-hash bucket in [0, 1000). Membership depends only on
+    * document CONTENT — stable under re-ingestion, repartitioning,
+    * and incremental appends, which is why every sampling op here
+    * prefers it to RNG state. ONE definition per engine: the
+    * expression is bit-exactness-critical (both engines must produce
+    * the identical bucket), so no op carries its own copy.
+    */
+  private def contentBucket: org.apache.spark.sql.Column = aggregate(
+    graft.functions.text.tokenPolyHash(split(col("text"), " ")), lit(0L),
+    (acc, h) => pmod(acc * lit(1000003L) + h, lit(1000000007L))) % 1000
+
+  private val contentBucketSql =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(str_split(text, ' '), t ->
+      |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(str_split(t, ''), c -> CAST(ord(c) AS BIGINT))),
+      |          (a, b) -> (a * 31 + b) % 1000000007))),
+      |      (acc, h) -> (acc * 1000003 + h) % 1000000007) % 1000""".stripMargin
+
   /** Weighted domain mixing — build a training mix hitting TARGET
     * per-source proportions (upweight curated domains, downweight the
     * crawl), the step after filtering and before packing in every
@@ -2342,7 +2363,7 @@ object LlmOps extends QueryModule {
     * upsampling-with-replacement here; that's a separate explode op).
     */
   q("pipeline_mix_weighted",
-    """WITH w AS (
+    s"""WITH w AS (
       |  SELECT source, count(*) AS n,
       |         CASE WHEN source IN ('src0', 'src1', 'src2') THEN 3.0
       |              WHEN source IN ('src3', 'src4') THEN 2.0
@@ -2355,12 +2376,7 @@ object LlmOps extends QueryModule {
       |  FROM w),
       |     fp AS (
       |  SELECT doc_id, source,
-      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |      list_transform(str_split(text, ' '), t ->
-      |        list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |          list_transform(str_split(t, ''), c -> CAST(ord(c) AS BIGINT))),
-      |          (a, b) -> (a * 31 + b) % 1000000007))),
-      |      (acc, h) -> (acc * 1000003 + h) % 1000000007) % 1000 AS bucket
+      |    $contentBucketSql AS bucket
       |  FROM documents)
       |SELECT fp.doc_id, fp.source FROM fp JOIN r ON r.source = fp.source
       |WHERE fp.bucket < r.rate * 1000.0
@@ -2379,9 +2395,7 @@ object LlmOps extends QueryModule {
         col("w") * lit(0.5) * col("n_total") / (col("w_total") * col("n")))
         .as("rate"))
     docs
-      .withColumn("bucket", aggregate(
-        graft.functions.text.tokenPolyHash(split(col("text"), " ")), lit(0L),
-        (acc, h) => pmod(acc * lit(1000003L) + h, lit(1000000007L))) % 1000)
+      .withColumn("bucket", contentBucket)
       .join(broadcast(rates), Seq("source"))
       .filter(col("bucket") < col("rate") * 1000.0)
       .select("doc_id", "source")
@@ -2400,7 +2414,7 @@ object LlmOps extends QueryModule {
     * data-sized shuffles before the explode.
     */
   q("pipeline_upsample",
-    """WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+    s"""WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
       |     f AS (
       |  SELECT source,
       |         CASE WHEN source IN ('src0', 'src1', 'src2') THEN 2.5
@@ -2410,12 +2424,7 @@ object LlmOps extends QueryModule {
       |  FROM cnt),
       |     fp AS (
       |  SELECT doc_id, source,
-      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |      list_transform(str_split(text, ' '), t ->
-      |        list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |          list_transform(str_split(t, ''), c -> CAST(ord(c) AS BIGINT))),
-      |          (a, b) -> (a * 31 + b) % 1000000007))),
-      |      (acc, h) -> (acc * 1000003 + h) % 1000000007) % 1000 AS bucket
+      |    $contentBucketSql AS bucket
       |  FROM documents),
       |     c AS (
       |  SELECT fp.doc_id, fp.source,
@@ -2433,9 +2442,7 @@ object LlmOps extends QueryModule {
     val factors = counts.crossJoin(broadcast(nmax))
       .select(col("source"), (wcol * col("n_max") / col("n")).as("f"))
     docs
-      .withColumn("bucket", aggregate(
-        graft.functions.text.tokenPolyHash(split(col("text"), " ")), lit(0L),
-        (acc, h) => pmod(acc * lit(1000003L) + h, lit(1000000007L))) % 1000)
+      .withColumn("bucket", contentBucket)
       .join(broadcast(factors), Seq("source"))
       .withColumn("copies", floor(col("f")).cast("long") +
         when(col("bucket") < (col("f") - floor(col("f"))) * 1000.0, 1L).otherwise(0L))
@@ -3794,25 +3801,8 @@ object LlmOps extends QueryModule {
   }
 
   // ----------------------------------------- mixture & curation (r11b)
-
-  /** Shared deterministic keep-set selector: the 31/1000003-poly
-    * content-hash bucket in [0, 1000) that [[pipeline_mix_weighted]] /
-    * [[pipeline_upsample]] already prove hash-equal across engines.
-    * Membership depends only on document CONTENT — stable under
-    * re-ingestion, repartitioning, and incremental appends, which is
-    * why every sampling op here prefers it to RNG state.
-    */
-  private def contentBucket: org.apache.spark.sql.Column = aggregate(
-    graft.functions.text.tokenPolyHash(split(col("text"), " ")), lit(0L),
-    (acc, h) => pmod(acc * lit(1000003L) + h, lit(1000000007L))) % 1000
-
-  private val contentBucketSql =
-    """list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |      list_transform(str_split(text, ' '), t ->
-      |        list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |          list_transform(str_split(t, ''), c -> CAST(ord(c) AS BIGINT))),
-      |          (a, b) -> (a * 31 + b) % 1000000007))),
-      |      (acc, h) -> (acc * 1000003 + h) % 1000000007) % 1000""".stripMargin
+  // (contentBucket / contentBucketSql — the shared keep-set selector —
+  // are defined once next to pipeline_mix_weighted, their first user)
 
   /** Temperature-flattened source mixing — the multilingual sampling
     * law (SPEC: Conneau & Lample 2019 §3.1; XLM-R, Conneau et al. 2020

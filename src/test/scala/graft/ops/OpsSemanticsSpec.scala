@@ -475,18 +475,19 @@ class OpsSemanticsSpec extends AnyFunSuite {
       assert(sh >= 1 && sh <= math.min(na, nb), s"shared $sh exceeds min($na,$nb)")
       assert(c > 0.0 && c <= 1.0)
     }
-    // a planted boilerplate gram present in >16 synthetic sources must NOT
-    // create pair rows (df-cap drops it) — verified on a crafted corpus
+    // a planted boilerplate gram present in >16 sources must NOT create
+    // pair rows — exercised on the REGISTERED query against a crafted
+    // corpus whose ONLY cross-source gram is the boilerplate window
+    // ("b"×12 + unique tail: windows 0-4 are the identical all-b gram in
+    // all 18 sources; the tail window is df=1). If the cap filter were
+    // dropped or inverted, this corpus would emit C(18,2) = 153 rows.
     import spark.implicits._
-    val boiler = (0 until 18).map(i => (i.toLong, s"src$i", "b " * 12 + s"tail$i"))
-    val crafted = boiler.toDF("doc_id", "source", "text")
-    crafted.createOrReplaceTempView("crafted_docs")
-    val grams = crafted
-      .withColumn("tok", split(col("text"), " "))
-      .select(col("source"), explode(expr(
-        "transform(sequence(0, greatest(size(tok) - 8, 0)), i -> xxhash64(concat_ws(' ', slice(tok, i + 1, 8))))")).as("g"))
-      .distinct()
-    val overCap = grams.groupBy("g").count().filter(col("count") > 16).count()
-    assert(overCap > 0, "the crafted boilerplate gram must exceed the cap")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_capprobe").toString
+    (0 until 18).map(i => (i.toLong, ("b " * 12) + s"tail$i", "en", s"src$i", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val capped = SparkEntry.queries("dedup_cross_source_overlap")(spark, dir2)
+    assert(capped.count() == 0,
+      "the >16-source boilerplate gram must be dropped by the df-cap")
   }
 }

@@ -235,6 +235,14 @@ object Gdx {
         else symbol(spark, path, name, specialValues = "raw")
       val dims = dimCols(df)
       val key = if (dims.isEmpty) lit("") else concat_ws(".", dims.map(col): _*)
+      // JOIN key: the lowercased label ARRAY, not the dot-joined
+      // display string — labels may themselves contain '.', so tuples
+      // like ('a.b','c') and ('a','b.c') concatenate identically and a
+      // string join would pair records that differ (one 'chg' instead
+      // of a 'del' + 'ins'). Array equality is collision-free.
+      val karr =
+        if (dims.isEmpty) array().cast("array<string>")
+        else array(dims.map(c => lower(col(c))): _*)
       val value =
         if (isSet) lit(null).cast("double")
         else if (df.columns.contains(field)) col(field)
@@ -243,7 +251,7 @@ object Gdx {
       val text =
         if (isSet && df.columns.contains("text")) col("text")
         else lit(null).cast("string")
-      df.select(key.as("key"), value.as("value"), text.as("text"))
+      df.select(key.as("key"), karr.as("k"), value.as("value"), text.as("text"))
     }
     def display(v: Column): Column =
       when(v === SpecialValues.EPS, 0.0)
@@ -287,10 +295,8 @@ object Gdx {
           summaryRow(n, s"dim ${sa.dim}<>${sb.dim}", "dim")
         case _ =>
           val sa = inA(n)
-          val a = keyed(pathA, n, sa.typ).withColumn("k", lower(col("key")))
-            .toDF("key_a", "raw_a", "text_a", "k")
-          val b = keyed(pathB, n, sa.typ).withColumn("k", lower(col("key")))
-            .toDF("key_b", "raw_b", "text_b", "k")
+          val a = keyed(pathA, n, sa.typ).toDF("key_a", "k", "raw_a", "text_a")
+          val b = keyed(pathB, n, sa.typ).toDF("key_b", "k", "raw_b", "text_b")
           // raw sentinels are huge finite numbers, so the tol window
           // never swallows a sentinel-vs-number difference; for sets the
           // raw columns are null on both sides and only text can differ
@@ -481,6 +487,23 @@ object Gdx {
     * rank 1 keyed by the dot-joined labels, footer rank 2 — so the
     * presentation mode stays as distributed as the default frame.
     */
+  /** gdxdump's quoting rule: labels/texts quote with `'`, switching to
+    * `"` when the token itself contains a `'`. A token carrying BOTH
+    * quote kinds has no legal GAMS source form — it renders with `"`
+    * and the embedded `"` doubled, keeping the line machine-splittable
+    * instead of silently ambiguous.
+    */
+  private def gamsQuoted(c: Column): Column =
+    when(c.contains("'"),
+      concat(lit("\""), regexp_replace(c, "\"", "\"\""), lit("\"")))
+      .otherwise(concat(lit("'"), c, lit("'")))
+
+  /** RFC-4180 quoted field: embedded `"` doubles — unconditional
+    * quoting is only valid CSV when this escape is applied.
+    */
+  private def csvQuoted(c: Column): Column =
+    concat(lit("\""), regexp_replace(c, "\"", "\"\""), lit("\""))
+
   def dump(spark: SparkSession, path: String, patterns: String = "*",
       format: String = "records"): DataFrame = {
     require(format == "records" || format == "blocks",
@@ -492,7 +515,7 @@ object Gdx {
         if (typ == "set") symbol(spark, path, n)
         else symbol(spark, path, n, specialValues = "raw")
       val dims = dimCols(df)
-      val quotedKeys = dims.map(c => concat(lit("'"), col(c), lit("'")))
+      val quotedKeys = dims.map(c => gamsQuoted(col(c)))
       def rendered = {
         val v = col(if (df.columns.contains("value")) "value" else "level")
         // raw scan → sentinel tokens by equality; ordinary values
@@ -508,7 +531,7 @@ object Gdx {
           else concat(lit("("), concat_ws(",", quotedKeys: _*), lit(")"))
         val body = typ match {
           case "set" =>
-            when(col("text").isNotNull, concat(lit(" '"), col("text"), lit("'")))
+            when(col("text").isNotNull, concat(lit(" "), gamsQuoted(col("text"))))
               .otherwise(lit(""))
           case _ => concat(lit(" = "), rendered)
         }
@@ -517,14 +540,17 @@ object Gdx {
         // header: declared domains, padded with * for unnamed dims
         val doms = (s.domains ++ Seq.fill(s.dim - s.domains.length)("*")).take(s.dim)
         val sig = if (s.dim == 0) "" else doms.mkString("(", ",", ")")
-        val expl = if (s.explText.nonEmpty) "\"" + s.explText + "\" " else ""
+        val expl =
+          if (s.explText.nonEmpty) "\"" + s.explText.replace("\"", "\"\"") + "\" "
+          else ""
         val headerLine = s"${typ.capitalize} $n$sig $expl/"
         val keyStr = if (dims.isEmpty) lit("") else concat_ws(".", dims.map(col): _*)
         val keyQuoted =
           if (dims.isEmpty) lit("") else concat_ws(".", quotedKeys: _*)
         val body = typ match {
           case "set" =>
-            when(col("text").isNotNull, concat(lit(" '"), col("text"), lit("',")))
+            when(col("text").isNotNull,
+              concat(lit(" "), gamsQuoted(col("text")), lit(",")))
               .otherwise(lit(","))
           case _ => concat(lit(" "), rendered, lit(","))
         }
@@ -580,17 +606,17 @@ object Gdx {
       .take(shape.dim)
       .zipWithIndex.map { case (dn, i) => if (dn == "*") s"Dim${i + 1}" else dn }
     val valHeader = if (shape.typ == "set") "Text" else "Val"
-    val headerLine = (doms :+ valHeader).map(h => "\"" + h + "\"").mkString(",")
+    val headerLine = (doms :+ valHeader)
+      .map(h => "\"" + h.replace("\"", "\"\"") + "\"").mkString(",")
     val v = col(if (df.columns.contains("value")) "value" else "level")
     val rendered = coalesce(sentinelToken(v),
       when(abs(v) < 1e12, v.cast("decimal(18,6)").cast("string"))
         .otherwise(v.cast("string")))
     val valPart =
       if (shape.typ == "set")
-        when(col("text").isNotNull, concat(lit("\""), col("text"), lit("\"")))
-          .otherwise(lit(""))
+        when(col("text").isNotNull, csvQuoted(col("text"))).otherwise(lit(""))
       else rendered
-    val fields = dims.map(c => concat(lit("\""), col(c), lit("\""))) :+ valPart
+    val fields = dims.map(c => csvQuoted(col(c))) :+ valPart
     val keyStr = if (dims.isEmpty) lit("") else concat_ws(".", dims.map(col): _*)
     val header = spark.range(1).select(lit(0).as("rn"), lit("").as("key"),
       lit(headerLine).as("line"))
@@ -616,7 +642,16 @@ object Gdx {
   private def fillBounds(df: DataFrame, lo: Double, up: Double): DataFrame = {
     def fill(c: String, d: Double): Column = {
       val dd = SpecialValues.toDouble(d)
-      when(col(c) === 0.0, lit(dd)).otherwise(col(c))
+      // a raw-mode scan keeps the EPS sentinel, which is GAMS's marker
+      // for an EXPLICIT zero bound (stored precisely to defeat the
+      // "0.0 = unstored" convention): it must become a literal 0.0,
+      // never the type default. A plain 0.0 means unstored → default.
+      // Map-mode scans have already collapsed EPS to 0.0 — there the
+      // fill's 0.0 = unstored reading is the documented approximation;
+      // scan with specialValues="raw" when explicit zero bounds matter.
+      when(col(c) === SpecialValues.EPS, lit(0.0))
+        .when(col(c) === 0.0, lit(dd))
+        .otherwise(col(c))
     }
     df.withColumn("lower", fill("lower", lo)).withColumn("upper", fill("upper", up))
   }

@@ -131,9 +131,21 @@ final class GdxStreamEncoder(finalPath: String, name: String, typ: Int, dim: Int
         copyTo(tmpBlob, out)
       } finally out.close()
       val dst = new File(finalPath)
-      dst.delete() // idempotent epoch re-run overwrites its own shard
-      if (!inProgress.renameTo(dst))
-        throw new java.io.IOException(s"gdx: cannot publish shard $finalPath")
+      // idempotent epoch re-run overwrites its own shard ATOMICALLY:
+      // a delete-then-rename pair would open a window with no file at
+      // finalPath, during which a committedOnly reader replaying a
+      // manifest-recorded offset throws committed-data-lost (and a
+      // listing reader silently skips the shard). Fall back to the
+      // pair only where the filesystem can't replace atomically.
+      try java.nio.file.Files.move(inProgress.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          dst.delete()
+          if (!inProgress.renameTo(dst))
+            throw new java.io.IOException(s"gdx: cannot publish shard $finalPath")
+      }
     } finally {
       tmpRecords.delete()
       tmpBlob.delete()

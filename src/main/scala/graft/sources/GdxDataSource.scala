@@ -147,7 +147,13 @@ object GdxTable {
     if (symbol == CatalogSymbol) return catalogSchema
     if (symbol == UelSymbol) return uelSchema
     val shards = committedShardsOf(path)
-    val flags = options.getOrDefault("specialValues", "map") == "columns"
+    val sv = options.getOrDefault("specialValues", "map")
+    // fail fast on a typo'd mode: "RAW"/"cols"/… would otherwise fall
+    // back to lossy map mode SILENTLY (EPS→0.0, NA/UNDEF→NaN) in a
+    // pipeline that believed it asked for lossless sentinels
+    require(sv == "map" || sv == "columns" || sv == "raw",
+      s"gdx: specialValues must be map|columns|raw (case-sensitive), got '$sv'")
+    val flags = sv == "columns"
     if (shards.isEmpty) {
       // start-before-producers streaming pattern: no shard exists yet,
       // so the schema must come from options — `dims` (dimension

@@ -259,23 +259,28 @@ class GdxSymbolReader(path: String, symbol: String, fullSchema: StructType,
   // prunedByManifest's semantics — rather than last-wins.
   private val dimFilters: Map[Int, Set[Int]] =
     pushed.groupBy(_.dim).map { case (i, fs) =>
-      i -> fs.map(_.labels.map(lookup).filter(_ >= 0)).reduce(_ intersect _)
+      i -> fs.map(_.labels.flatMap(lookup)).reduce(_ intersect _)
     }
-  // O(1) per pushed label: one lowercased index map per reader. First
-  // occurrence wins, matching the indexWhere semantics it replaces —
-  // O(|UEL|) linear scans per filter don't survive 100 TB UEL tables.
-  private lazy val uelIndex: Map[String, Int] = {
-    val m = new scala.collection.mutable.HashMap[String, Int]()
+  // O(1) per pushed label: one lowercased index map per reader. Every
+  // case-duplicate index is kept: the codec does not forbid a UEL
+  // table carrying both 'Foo' and 'FOO' (only the builders dedup), and
+  // a first-occurrence-wins map would make the pushed filter match a
+  // SUBSET of the case-insensitive predicate — rows silently dropped
+  // that the residual re-check could never restore (it only sees rows
+  // the decoder emitted).
+  private lazy val uelIndex: Map[String, Array[Int]] = {
+    val m = new scala.collection.mutable.HashMap[
+      String, scala.collection.mutable.ArrayBuffer[Int]]()
     var i = 0
     while (i < header.uels.length) {
-      val k = header.uels(i).toLowerCase
-      if (!m.contains(k)) m.put(k, i)
+      m.getOrElseUpdate(header.uels(i).toLowerCase,
+        new scala.collection.mutable.ArrayBuffer[Int]) += i
       i += 1
     }
-    m.toMap
+    m.view.mapValues(_.toArray).toMap
   }
-  private def lookup(label: String): Int =
-    uelIndex.getOrElse(label.toLowerCase, -1)
+  private def lookup(label: String): Array[Int] =
+    uelIndex.getOrElse(label.toLowerCase, Array.empty)
 
   // shard skip: a pushed label absent from this shard's UEL table can
   // match nothing here — with the clustered write layout each label

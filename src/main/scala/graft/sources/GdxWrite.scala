@@ -129,22 +129,59 @@ object GdxManifest {
     s"""{"file":"${js(c.fileName)}","records":${c.records}$range}"""
   }
 
-  def write(path: String, symbol: String, entries: Seq[String]): Unit =
-    Files.write(Paths.get(path, "_manifest.json"),
+  /** Manifest publication is write-temp + atomic rename, never an
+    * in-place truncate-and-write: shards already publish atomically,
+    * and a reader racing an in-place rewrite (or a crash mid-write)
+    * would see an empty/partial manifest and silently scan a subset
+    * of committed shards — wrong results with no error.
+    */
+  def write(path: String, symbol: String, entries: Seq[String]): Unit = {
+    val body =
       s"""{"symbol":"${js(symbol)}","shards":[${entries.mkString(",")}]}"""
-        .getBytes(StandardCharsets.UTF_8))
+        .getBytes(StandardCharsets.UTF_8)
+    val tmp = Paths.get(path,
+      s"_manifest.json.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, body)
+    val dst = Paths.get(path, "_manifest.json")
+    try Files.move(tmp, dst,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmp, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
 
+  /** Append is guarded by an OS-level file lock (plus the JVM-local
+    * synchronized, which also serializes same-JVM lockers so the
+    * overlapping-FileLock exception can't fire): two PROCESSES
+    * append-committing to the same dataset (a streaming sink plus a
+    * batch append, or two applications) would otherwise race the
+    * read-modify-write and the loser's shard entries would vanish
+    * from the manifest — shards on disk but invisible to
+    * manifest-based readers.
+    */
   def append(path: String, symbol: String, commits: Seq[GdxShardCommit]): Unit =
     synchronized {
-      val mf = new File(path, "_manifest.json")
-      val existing =
-        if (mf.isFile)
-          entryRx.findAllMatchIn(new String(Files.readAllBytes(mf.toPath),
-            StandardCharsets.UTF_8)).map(m => unjs(m.group(1)) -> m.matched).toSeq
-        else Nil
-      val have = existing.map(_._1).toSet
-      val added = commits.filterNot(c => have.contains(c.fileName)).map(entryJson)
-      write(path, symbol, existing.map(_._2) ++ added)
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(path, "_manifest.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lk = ch.lock()
+      try {
+        val mf = new File(path, "_manifest.json")
+        val existing =
+          if (mf.isFile)
+            entryRx.findAllMatchIn(new String(Files.readAllBytes(mf.toPath),
+              StandardCharsets.UTF_8)).map(m => unjs(m.group(1)) -> m.matched).toSeq
+          else Nil
+        val have = existing.map(_._1).toSet
+        val added = commits.filterNot(c => have.contains(c.fileName)).map(entryJson)
+        write(path, symbol, existing.map(_._2) ++ added)
+      } finally {
+        lk.release()
+        ch.close()
+      }
     }
 }
 
@@ -169,8 +206,19 @@ class GdxStreamingWrite(path: String, symbol: String, schema: StructType,
     GdxManifest.append(path, layout.symbol,
       messages.collect { case c: GdxShardCommit if c.records > 0 => c }.toSeq)
 
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case GdxShardCommit(f, _, _, _) => new File(path, f).delete() }
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    // deterministic epoch names mean a RE-RUN of an already-committed
+    // epoch writes the same file names: if the re-run aborts, deleting
+    // by name would destroy shards the manifest still records from the
+    // prior successful commit (every later read throws committed-data-
+    // lost). Only unpublished files may go — same rule as the
+    // task-level GdxDataWriter.abort.
+    val published = GdxManifest.files(path).getOrElse(Nil).toSet
+    messages.collect {
+      case GdxShardCommit(f, _, _, _) if !published.contains(f) =>
+        new File(path, f).delete()
+    }
+  }
 }
 
 class GdxStreamingWriterFactory(path: String, layout: GdxWriteLayout, subtype: Int)
@@ -242,14 +290,11 @@ class GdxBatchWrite(path: String, symbol: String, schema: StructType,
   private val writeId = java.util.UUID.randomUUID().toString.take(8)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    if (!single) {
-      val dir = new File(path)
-      if (truncate && dir.isDirectory)
-        dir.listFiles((_, n) => n.endsWith(".gdx") || n == "_manifest.json"
-            || n.contains(".gdx.inprogress"))
-          .foreach(_.delete())
-      dir.mkdirs()
-    }
+    // overwrite does NOT truncate here: job start is the wrong moment
+    // to destroy the previous dataset (a failed job would leave
+    // NOTHING, and concurrent readers would see an empty dir for the
+    // whole job). The old shards survive untouched until commit().
+    if (!single) new File(path).mkdirs()
     new GdxWriterFactory(path, layout, single, subtype, writeId)
   }
 
@@ -271,9 +316,20 @@ class GdxBatchWrite(path: String, symbol: String, schema: StructType,
       // shards (truncate mode already cleared the dir, so a fresh write
       // and an append are the same thing there).
       val commits = messages.collect { case c: GdxShardCommit => c }.toSeq
-      if (truncate)
+      if (truncate) {
+        // overwrite commits atomically: first the new manifest (the
+        // atomic-rename write switches manifest-readers to exactly the
+        // new shard set in one step), THEN the previous dataset's
+        // files are removed. New shards carry this write's unique
+        // writeId, so old and new never collide by name.
         GdxManifest.write(path, layout.symbol, commits.map(GdxManifest.entryJson))
-      else GdxManifest.append(path, layout.symbol, commits)
+        val keep = commits.map(_.fileName).toSet
+        val dir = new File(path)
+        if (dir.isDirectory)
+          dir.listFiles((_, n) => (n.endsWith(".gdx") && !keep.contains(n))
+              || n.contains(".gdx.inprogress"))
+            .foreach(_.delete())
+      } else GdxManifest.append(path, layout.symbol, commits)
     }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -257,4 +257,22 @@ class GdxDiffSpec extends AnyFunSuite {
       ("q2", "i1.j1", "del", Some(1.0), None),
       ("q2", "i1.j2", "ins", None, Some(1.0))))
   }
+
+  test("dot-bearing labels never alias: ('a.b','c') vs ('a','b.c') is del+ins, not chg") {
+    // quoted GAMS labels may contain '.': the join must key on the
+    // label TUPLE, not the dot-joined display string, or these two
+    // distinct records would concatenate identically ("a.b.c") and
+    // pair as one 'chg' (or vanish entirely when values match)
+    val a = write(tmp("a.gdx")) { b =>
+      b.addSymbol("q", SymbolType.Parameter, 2, Seq(
+        (Seq("a.b", "c"), Array(1.0), None)))
+    }
+    val bf = write(tmp("b.gdx")) { b =>
+      b.addSymbol("q", SymbolType.Parameter, 2, Seq(
+        (Seq("a", "b.c"), Array(1.0), None)))
+    }
+    assert(rows(Gdx.diff(spark, a, bf)) === Set(
+      ("q", "a.b.c", "del", Some(1.0), None),
+      ("q", "a.b.c", "ins", None, Some(1.0))))
+  }
 }

@@ -115,4 +115,25 @@ class GdxDumpSpec extends AnyFunSuite {
       "p('e') = Eps;", "p('g') = 1.0E15;", "p('m') = -Inf;",
       "p('n') = NA;", "p('pi') = +Inf;", "p('u') = Undf;"))
   }
+
+  test("quote-bearing labels and texts render unambiguously in dump and csv") {
+    val dir = java.nio.file.Files.createTempDirectory("gdxdump-q")
+    val p = dir.resolve("q.gdx").toString
+    val b = new GdxBuilder()
+    // gdxdump's rule: ' quotes by default, " when the token contains '
+    b.addSymbol("s", SymbolType.Set, 1, Seq(
+      (Seq("it's"), Array.empty[Double], Some("it's fine")),
+      (Seq("plain"), Array.empty[Double], Some("a\"b"))))
+    GdxCodec.write(b.result(), p)
+    val lines = Gdx.dump(spark, p).collect().map(_.getString(1)).toSet
+    assert(lines === Set(
+      """s("it's") "it's fine";""",
+      """s('plain') 'a"b';"""), s"got $lines")
+    // CSV: embedded " doubles inside the always-quoted field
+    val csv = Gdx.dumpCsv(spark, p, "s").collect()
+      .sortBy(r => (r.getInt(0), r.getString(1))).map(_.getString(2))
+    assert(csv(0) == "\"Dim1\",\"Text\"")
+    assert(csv.contains("\"it's\",\"it's fine\""), s"got ${csv.toSeq}")
+    assert(csv.contains("\"plain\",\"a\"\"b\""), s"got ${csv.toSeq}")
+  }
 }

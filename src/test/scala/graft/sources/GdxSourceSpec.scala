@@ -554,4 +554,68 @@ class GdxSourceSpec extends AnyFunSuite {
     assert(Gdx.catalog(spark, dir).filter(col("name") === "s")
       .head().getAs[Long]("records") == 2L)
   }
+
+  test("a typo'd specialValues mode fails fast instead of silently mapping") {
+    val p = writeFixture()
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("gdx").option("symbol", "p")
+        .option("specialValues", "RAW").load(p).collect()
+    }
+    assert(e.getMessage.contains("specialValues"),
+      s"expected the mode name in: ${e.getMessage}")
+  }
+
+  test("pushed label filter matches ALL case-duplicate UELs, not the first") {
+    // the codec does not forbid a UEL table holding both 'Foo' and
+    // 'FOO' (only the builders dedup); the pushed filter must match the
+    // case-INSENSITIVE set — first-occurrence-wins would silently drop
+    // the second row with no residual able to restore it
+    val c = GdxContainer("t", Vector("Foo", "FOO"), Vector(
+      GdxSymbol("p", SymbolType.Parameter, 1, records = Vector(
+        GdxRecord(Array(0), Array(1.0)),
+        GdxRecord(Array(1), Array(2.0))))))
+    val p = s"${tmpDir()}/dup.gdx"
+    GdxCodec.write(c, p)
+    val got = spark.read.format("gdx").option("symbol", "p").load(p)
+      .filter(lower(col("dim_1")) === "foo")
+      .collect().map(_.getDouble(1)).sorted
+    assert(got.toSeq == Seq(1.0, 2.0),
+      s"both case-duplicates must survive the pushdown, got ${got.toSeq}")
+  }
+
+  test("defaultFill on a raw scan: EPS bound = explicit zero, never the type default") {
+    val b = new GdxBuilder()
+    // v1: lower stored as EPS — GAMS's marker for an EXPLICIT 0 bound
+    // on a Free variable (plain 0.0 would read as 'unstored' = -inf)
+    b.addSymbol("x", SymbolType.Variable, 1, Seq(
+      (Seq("v1"), Array(3.0, 0.0, SpecialValues.EPS, 0.0, 1.0), None)),
+      userInfo = VarType.Free)
+    val p = s"${tmpDir()}/epsb.gdx"
+    GdxCodec.write(b.result(), p)
+    val row = Gdx.defaultFill(
+      Gdx.symbol(spark, p, "x", specialValues = "raw"), VarType.Free)
+      .select("lower", "upper").head()
+    assert(row.getDouble(0) == 0.0,
+      s"EPS lower bound must become literal 0.0, got ${row.getDouble(0)}")
+    assert(row.getDouble(1) == Double.PositiveInfinity,
+      "unstored upper keeps the Free default +inf")
+  }
+
+  test("a failed overwrite leaves the previous dataset fully intact") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq(("a", 1.0), ("b", 2.0)).toDF("dim_1", "value")
+      .write.format("gdx").option("symbol", "s").mode("overwrite").save(dir)
+    assert(Gdx.symbol(spark, dir, "s").count() == 2)
+    // second overwrite fails mid-job (null label trips the writer's
+    // require): the truncate must NOT have happened at job start
+    intercept[Exception] {
+      Seq(("c", 3.0), (null.asInstanceOf[String], 4.0)).toDF("dim_1", "value")
+        .write.format("gdx").option("symbol", "s").mode("overwrite").save(dir)
+    }
+    val kept = Gdx.symbol(spark, dir, "s")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(kept == Map("a" -> 1.0, "b" -> 2.0),
+      s"previous dataset must survive the failed overwrite, got $kept")
+  }
 }

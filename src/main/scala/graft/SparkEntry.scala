@@ -15,7 +15,7 @@ object SparkEntry {
     ops.RelationalOps, ops.WindowOps, ops.FunctionSetOps,
     ops.StreamingBatchOps, ops.LlmOps, ops.MultimodalOps, ops.GdxOps,
     ops.SkewOps, ops.FormatOps, ops.TokenizerOps, ops.GraphOps,
-    ops.AnalyticsOps)
+    ops.AnalyticsOps, ops.CurationOps)
 
   private lazy val all: Seq[QueryDef] = {
     val ds = modules.flatMap(_.defs)

@@ -1,0 +1,470 @@
+package graft.ops
+
+import scala.collection.mutable
+
+import graft.{QueryModule, T}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-11 additions: curation-QA analytics a training-data platform
+  * runs ON its own pipeline — agreement between quality gates, drift
+  * alarms on the event stream, dataset-composition audits, preference
+  * strength fitting, and a deterministic compressibility signal.
+  *
+  * Every row follows the registry rules (QueryModule scaladoc): total
+  * deterministic order, identical aliases both sides, floats rounded
+  * identically, integer arithmetic wherever a boundary could ulp-flip,
+  * and the dyadic-grid device (WindowOps.dyGrid scaladoc) before any
+  * many-to-one double aggregation.
+  */
+object CurationOps extends QueryModule {
+
+  /** 2⁻²⁰ dyadic-grid snap (same device as WindowOps.dy20 — see that
+    * scaladoc for the exactness argument): applied to each term before
+    * a double sum so the sum is order/tree-shape-exact in IEEE double.
+    */
+  private def dy20(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(1048576.0) + lit(0.5)).cast("double") / lit(1048576.0)
+  private def dy20Sql(x: String): String =
+    s"floor(($x) * 1048576.0 + 0.5) / 1048576.0"
+  private def dy20D(x: Double): Double =
+    math.floor(x * 1048576.0 + 0.5) / 1048576.0
+
+  /** Per-doc token/type counts — the shared first stage of the two
+    * raters and the Bradley–Terry score. Nonempty whitespace tokens
+    * only (both engines filter identically); docs whose token stream
+    * is empty keep a row via the left join in each consumer.
+    */
+  private def docTypeCounts(s: SparkSession, d: String): DataFrame =
+    T(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("t"), countDistinct("w").as("types"))
+
+  private val docTypeCountsSql =
+    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |ty AS (SELECT doc_id, count(*) AS t, count(DISTINCT w) AS types
+      |       FROM tok WHERE length(w) > 0 GROUP BY doc_id)""".stripMargin
+
+  /** Cohen's κ agreement between two quality gates (SPEC: Cohen 1960 —
+    * the standard chance-corrected agreement statistic; curation teams
+    * run it between heuristic filters, model classifiers, and human
+    * raters before trusting any single gate). Rater A keeps docs with
+    * ≥ 50 tokens (a length gate); rater B keeps docs whose type/token
+    * ratio is ≥ 1/2 (a diversity gate) — both integer comparisons, so
+    * the 2×2 agreement table is exact on both engines and κ is a
+    * single rounded rational. Shape at 100 TB: the type counts are one
+    * two-phase grouped aggregate over the token stream; the κ
+    * arithmetic runs on a 1-row frame. Zero driver state.
+    */
+  q("dq_cohen_kappa",
+    s"""WITH $docTypeCountsSql,
+       |f AS (
+       |  SELECT d.doc_id,
+       |         CASE WHEN coalesce(ty.t, 0) >= 50 THEN 1 ELSE 0 END AS a,
+       |         CASE WHEN 2 * coalesce(ty.types, 0) >= coalesce(ty.t, 0)
+       |                   AND coalesce(ty.t, 0) > 0 THEN 1 ELSE 0 END AS b
+       |  FROM documents d LEFT JOIN ty ON ty.doc_id = d.doc_id),
+       |c AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb,
+       |         CAST(sum(a * b) AS BIGINT) AS n11,
+       |         CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+       |  FROM f)
+       |SELECT n AS n_docs, na AS n_keep_len, nb AS n_keep_div,
+       |       n11 + n00 AS n_agree,
+       |       round((n11 + n00) * 1.0 / n, 6) AS po,
+       |       round((na * 1.0 / n) * (nb * 1.0 / n)
+       |             + ((n - na) * 1.0 / n) * ((n - nb) * 1.0 / n), 6) AS pe,
+       |       round(((n11 + n00) * 1.0 / n
+       |              - ((na * 1.0 / n) * (nb * 1.0 / n)
+       |                 + ((n - na) * 1.0 / n) * ((n - nb) * 1.0 / n)))
+       |             / (1 - ((na * 1.0 / n) * (nb * 1.0 / n)
+       |                     + ((n - na) * 1.0 / n) * ((n - nb) * 1.0 / n))), 6) AS kappa
+       |FROM c""") { (s, d) =>
+    val f = T(s, d, "documents").select("doc_id")
+      .join(docTypeCounts(s, d), Seq("doc_id"), "left")
+      .select(
+        when(coalesce(col("t"), lit(0L)) >= 50, 1L).otherwise(0L).as("a"),
+        when(lit(2) * coalesce(col("types"), lit(0L)) >= coalesce(col("t"), lit(0L))
+          && coalesce(col("t"), lit(0L)) > 0, 1L).otherwise(0L).as("b"))
+    val c = f.agg(count(lit(1)).as("n"), sum("a").as("na"), sum("b").as("nb"),
+      sum(col("a") * col("b")).as("n11"),
+      sum((lit(1) - col("a")) * (lit(1) - col("b"))).as("n00"))
+    val po = (col("n11") + col("n00")) * lit(1.0) / col("n")
+    val pe = (col("na") * lit(1.0) / col("n")) * (col("nb") * lit(1.0) / col("n")) +
+      ((col("n") - col("na")) * lit(1.0) / col("n")) *
+        ((col("n") - col("nb")) * lit(1.0) / col("n"))
+    c.select(col("n").cast("long").as("n_docs"),
+      col("na").cast("long").as("n_keep_len"), col("nb").cast("long").as("n_keep_div"),
+      (col("n11") + col("n00")).cast("long").as("n_agree"),
+      round(po, 6).as("po"), round(pe, 6).as("pe"),
+      round((po - pe) / (lit(1) - pe), 6).as("kappa"))
+  }
+
+  /** One-sided Page CUSUM drift alarm per user (SPEC: Page 1954 — the
+    * sequential detection statistic s_t = max(0, s_{t-1} + x_t − k);
+    * [[ts_cusum_changepoint]] in WindowOps is the RETROSPECTIVE
+    * changepoint variant, this is the streaming-alarm one). The naive
+    * form is a nonlinear per-row recurrence; the scalable form is the
+    * reflection identity s_t = S_t − min(0, min_{j≤t} S_j) with
+    * S = prefix sum of (x − k), which turns the whole fold into TWO
+    * cumulative windows over the user's natural partition — no
+    * mapGroups, no per-group memory, works on an unbounded group.
+    * Everything is INTEGER CENTS (events.value carries exactly 2
+    * decimals): the reference k is the floor of the global mean in
+    * cents, so prefix sums, running minima, and the alarm comparison
+    * are exact at any accumulation order and any scale. One double
+    * appears, in the final display division by 100. Alarm threshold
+    * h = 250.00 (25000 cents) of cumulative above-mean excess.
+    */
+  q("ts_page_cusum",
+    """WITH k AS (
+      |  SELECT CAST(sum(CAST(round(value * 100) AS BIGINT)) // count(*) AS BIGINT)
+      |         AS kc FROM events),
+      |p AS (
+      |  SELECT user_id, event_id,
+      |         row_number() OVER uw AS rn,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT) - k.kc) OVER
+      |           (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ps
+      |  FROM events, k
+      |  WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |c AS (
+      |  SELECT user_id, event_id, rn,
+      |         ps - least(0, min(ps) OVER (PARTITION BY user_id ORDER BY rn
+      |                ROWS UNBOUNDED PRECEDING)) AS stat
+      |  FROM p)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(max(stat) AS DOUBLE) / 100 AS cusum_max,
+      |       CAST(count(*) FILTER (WHERE stat >= 25000) AS BIGINT) AS n_alarms,
+      |       min_by(event_id, rn) FILTER (WHERE stat >= 25000) AS first_alarm_event
+      |FROM c GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+    val e = T(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+    // exact integral floor division (a double divide + cast could ulp-flip)
+    val k = e.agg(expr("sum(cents) div count(1)").as("kc"))
+    val wu = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val wc = wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val st = e.crossJoin(broadcast(k))
+      .withColumn("rn", row_number().over(wu))
+      .withColumn("ps", sum(col("cents") - col("kc")).over(wc))
+      .withColumn("runmin", min(col("ps")).over(wc))
+      .withColumn("stat", col("ps") - least(lit(0L), col("runmin")))
+    st.groupBy("user_id")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        (max("stat").cast("double") / lit(100)).as("cusum_max"),
+        expr("count(1) FILTER (WHERE stat >= 25000)").cast("long").as("n_alarms"),
+        expr("min_by(event_id, rn) FILTER (WHERE stat >= 25000)").as("first_alarm_event"))
+      .orderBy("user_id") // one row per user = input-sized
+  }
+
+  /** Mutual information between lang and source (SPEC: Cover & Thomas
+    * ch.2 — the dataset-composition audit: high MI means language is
+    * predictable from source, i.e. the mixture is NOT exchangeable and
+    * per-source sampling will skew language balance). The contingency
+    * table is one grouped count (≤ |langs|·|sources| cells — catalog-
+    * bounded); marginals re-aggregate the CELL frame, never the input.
+    * Each p·ln term is dyadic-grid-snapped before the cell sum, so the
+    * only cross-engine risk is the documented ~1e-9 grid-boundary
+    * straddle of the ln ulp (LlmOps quantization scaladoc), not
+    * accumulation order. NMI = MI / sqrt(H_lang · H_source).
+    */
+  q("dq_mutual_information",
+    s"""WITH cells AS (
+       |  SELECT lang, source, count(*) AS c FROM documents GROUP BY lang, source),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+       |ml AS (SELECT lang, CAST(sum(c) AS BIGINT) AS cl FROM cells GROUP BY lang),
+       |ms AS (SELECT source, CAST(sum(c) AS BIGINT) AS cs FROM cells GROUP BY source),
+       |mi AS (
+       |  SELECT sum(${dy20Sql(
+             "(ce.c * 1.0 / t.n) * ln((ce.c * 1.0 * t.n) / (ml.cl * 1.0 * ms.cs))")}) AS mi
+       |  FROM cells ce JOIN ml USING (lang) JOIN ms USING (source), tot t),
+       |hl AS (SELECT -sum(${dy20Sql(
+             "(cl * 1.0 / t.n) * ln(cl * 1.0 / t.n)")}) AS h FROM ml, tot t),
+       |hs AS (SELECT -sum(${dy20Sql(
+             "(cs * 1.0 / t.n) * ln(cs * 1.0 / t.n)")}) AS h FROM ms, tot t)
+       |SELECT t.n AS n_docs, round(mi.mi, 6) AS mi_nats,
+       |       round(hl.h, 6) AS h_lang, round(hs.h, 6) AS h_source,
+       |       round(mi.mi / sqrt(hl.h * hs.h), 6) AS nmi
+       |FROM tot t, mi, hl, hs""") { (s, d) =>
+    val cells = T(s, d, "documents").groupBy("lang", "source")
+      .agg(count(lit(1)).as("c"))
+    val tot = cells.agg(sum("c").cast("long").as("n"))
+    val ml = cells.groupBy("lang").agg(sum("c").cast("long").as("cl"))
+    val ms = cells.groupBy("source").agg(sum("c").cast("long").as("cs"))
+    // ml/ms are cell-frame aggregates (bounded by |langs|·|sources| but
+    // data-dependent at open-web scale) — rule 11: AQE size-gates them;
+    // only the 1-row frames are pinned broadcast.
+    val mi = cells.join(ml, "lang").join(ms, "source")
+      .crossJoin(broadcast(tot))
+      .agg(sum(dy20((col("c") * lit(1.0) / col("n")) *
+        log((col("c") * lit(1.0) * col("n")) / (col("cl") * lit(1.0) * col("cs"))))).as("mi"))
+    val hl = ml.crossJoin(broadcast(tot))
+      .agg((-sum(dy20((col("cl") * lit(1.0) / col("n")) *
+        log(col("cl") * lit(1.0) / col("n"))))).as("hl"))
+    val hs = ms.crossJoin(broadcast(tot))
+      .agg((-sum(dy20((col("cs") * lit(1.0) / col("n")) *
+        log(col("cs") * lit(1.0) / col("n"))))).as("hs"))
+    tot.crossJoin(broadcast(mi)).crossJoin(broadcast(hl)).crossJoin(broadcast(hs))
+      .select(col("n").as("n_docs"), round(col("mi"), 6).as("mi_nats"),
+        round(col("hl"), 6).as("h_lang"), round(col("hs"), 6).as("h_source"),
+        round(col("mi") / sqrt(col("hl") * col("hs")), 6).as("nmi"))
+  }
+
+  /** Bradley–Terry MM iterations for the source-strength fit. */
+  private val BtIters = 5
+
+  /** Bradley–Terry source-strength fit (SPEC: Bradley & Terry 1952;
+    * MM algorithm per Hunter 2004 — the model behind every preference
+    * leaderboard: given pairwise wins, fit strengths π with
+    * P(i beats j) = π_i/(π_i+π_j)). "Matches" are lang-stratified doc
+    * pairs from different sources, won by the higher type/token-ratio
+    * bucket (integer b = 20·types div tokens — exact both engines;
+    * equal buckets = tie = no match, standard BT). The wins matrix is
+    * NEVER built per-pair: per-(lang, source, bucket) counts (one
+    * corpus pass) meet a densified per-bucket cumulative grid, so
+    * W[a,b] = Σ cnt_a·below_b costs |sources|²·|langs|·21 — the
+    * quadratic lives at SOURCE granularity, documents are touched
+    * once. CONTRACT: the player set is catalog-sized (source lists,
+    * model arenas — ≤ ~10⁴); the S² wins matrix is bounded driver
+    * state (the k-means-centroid pattern) and the MM loop runs on it
+    * driver-side with every term and every normalized π snapped to
+    * the 2⁻²⁰ dyadic grid — the oracle replays the SAME {@link
+    * BtIters} iterations as chained CTEs over the SQL-rebuilt matrix,
+    * so the hash proves the fit end-to-end, not just the matrix.
+    */
+  q("pref_bradley_terry", {
+    // AS MATERIALIZED on every multiply-referenced stage: this DuckDB
+    // inlines CTE references by default, and the iteration chain
+    // references it{k-1} twice — inlining re-expands the entire
+    // matrix pipeline 2^T times (the first cut died on file handles).
+    // Scalar subqueries are avoided for the same reason (gt/ns/z$k
+    // are joined 1-row frames, never correlated).
+    val matrixSql =
+      s"""WITH
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |ty AS MATERIALIZED (
+         |  SELECT doc_id, count(*) AS t, count(DISTINCT w) AS types
+         |  FROM tok WHERE length(w) > 0 GROUP BY doc_id),
+         |sc AS (
+         |  SELECT d.lang, d.source, 20 * ty.types // ty.t AS b
+         |  FROM documents d JOIN ty ON ty.doc_id = d.doc_id),
+         |cnt AS MATERIALIZED (
+         |  SELECT lang, source, b, count(*) AS c FROM sc GROUP BY lang, source, b),
+         |grid AS (
+         |  SELECT s.source, l.lang, gb.b
+         |  FROM (SELECT DISTINCT source FROM documents) s,
+         |       (SELECT DISTINCT lang FROM documents) l,
+         |       unnest(generate_series(0, 20)) gb(b)),
+         |cum AS (
+         |  SELECT g.source, g.lang, g.b,
+         |         sum(coalesce(c.c, 0)) OVER (PARTITION BY g.source, g.lang
+         |           ORDER BY g.b ROWS UNBOUNDED PRECEDING) - coalesce(c.c, 0) AS below
+         |  FROM grid g LEFT JOIN cnt c
+         |    ON c.source = g.source AND c.lang = g.lang AND c.b = g.b),
+         |wins AS MATERIALIZED (
+         |  SELECT a.source AS sa, w.source AS sb, CAST(sum(a.c * w.below) AS BIGINT) AS w
+         |  FROM cnt a JOIN cum w ON w.lang = a.lang AND w.b = a.b AND w.source <> a.source
+         |  GROUP BY a.source, w.source),
+         |games AS MATERIALIZED (
+         |  SELECT coalesce(x.sa, y.sb) AS sa, coalesce(x.sb, y.sa) AS sb,
+         |         coalesce(x.w, 0) + coalesce(y.w, 0) AS n
+         |  FROM wins x FULL OUTER JOIN wins y ON y.sa = x.sb AND y.sb = x.sa),
+         |gt AS (SELECT sa AS source, CAST(sum(n) AS BIGINT) AS games
+         |       FROM games GROUP BY sa),
+         |wt AS MATERIALIZED (
+         |  SELECT s.source, CAST(coalesce(sum(w.w), 0) AS BIGINT) AS wtot
+         |  FROM (SELECT DISTINCT source FROM documents) s
+         |  LEFT JOIN wins w ON w.sa = s.source GROUP BY s.source),
+         |ns AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM wt),
+         |it0 AS MATERIALIZED (SELECT w.source, 1.0 / ns.s AS pi FROM wt w, ns)""".stripMargin
+    val iters = (1 to BtIters).map { k =>
+      s"""d$k AS (
+         |  SELECT g.sa AS source,
+         |         sum(${dy20Sql(s"g.n * 1.0 / (pa.pi + pb.pi)")}) AS den
+         |  FROM games g JOIN it${k - 1} pa ON pa.source = g.sa
+         |               JOIN it${k - 1} pb ON pb.source = g.sb
+         |  WHERE g.n > 0 GROUP BY g.sa),
+         |r$k AS MATERIALIZED (
+         |  SELECT w.source, ${dy20Sql("w.wtot * 1.0 / d.den")} AS praw
+         |  FROM wt w JOIN d$k d ON d.source = w.source),
+         |z$k AS (SELECT sum(praw) AS z FROM r$k),
+         |it$k AS MATERIALIZED (
+         |  SELECT r.source, ${dy20Sql("r.praw / z.z")} AS pi FROM r$k r, z$k z)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    matrixSql + iters +
+      s"""
+         |SELECT w.source, w.wtot AS wins, coalesce(g.games, 0) AS games,
+         |       round(i.pi, 6) AS strength,
+         |       CAST(row_number() OVER (ORDER BY round(i.pi, 6) DESC, w.source)
+         |            AS BIGINT) AS rank
+         |FROM wt w JOIN it$BtIters i ON i.source = w.source
+         |LEFT JOIN gt g ON g.source = w.source
+         |ORDER BY rank""".stripMargin
+  }) { (s, d) =>
+    // --- distributed wins-matrix build (documents touched ONCE) ---
+    val sc0 = T(s, d, "documents").select("doc_id", "lang", "source")
+      .join(docTypeCounts(s, d), Seq("doc_id"))
+      .select(col("lang"), col("source"), expr("20 * types div t").as("b"))
+    val cnt = sc0.groupBy("lang", "source", "b").agg(count(lit(1)).as("c"))
+    val docs = T(s, d, "documents")
+    val grid = docs.select("source").distinct()
+      .crossJoin(docs.select("lang").distinct())
+      .withColumn("b", explode(sequence(lit(0), lit(20))))
+    val wcum = Window.partitionBy("source", "lang").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.join(cnt, Seq("source", "lang", "b"), "left")
+      .withColumn("below", sum(coalesce(col("c"), lit(0L))).over(wcum) -
+        coalesce(col("c"), lit(0L)))
+      .select(col("source"), col("lang"), col("b"), col("below"))
+    val wins = cnt.as("a")
+      .join(cum.as("w"), col("w.lang") === col("a.lang") &&
+        col("w.b") === col("a.b") && col("w.source") =!= col("a.source"))
+      .select(col("a.source").as("sa"), col("w.source").as("sb"),
+        (col("a.c") * col("w.below")).as("x"))
+      .groupBy("sa", "sb")
+      .agg(sum("x").cast("long").as("w"))
+    // --- bounded driver state: the S² wins matrix (S = |sources|) ---
+    val wMap = wins.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val sources = docs.select("source").distinct()
+      .collect().map(_.getString(0)).sorted
+    val games = (for {
+      a <- sources; b <- sources if a < b
+      n = wMap.getOrElse((a, b), 0L) + wMap.getOrElse((b, a), 0L) if n > 0
+    } yield (a, b, n)).toSeq
+    val wTot = sources.map(src =>
+      src -> sources.map(o => wMap.getOrElse((src, o), 0L)).sum).toMap
+    val gTot = sources.map(src => src ->
+      games.collect { case (a, b, n) if a == src || b == src => n }.sum).toMap
+    // A source with zero games has an empty MM denominator; the oracle's
+    // inner joins drop it from every iteration, so mirror that here —
+    // it keeps its π₀ share of nothing and is excluded from the output.
+    val active = sources.filter(src => gTot(src) > 0)
+    // --- MM iterations (Hunter 2004), every term + π grid-snapped ---
+    var pi = sources.map(_ -> 1.0 / sources.length).toMap
+    for (_ <- 1 to BtIters) {
+      val den = mutable.HashMap.empty[String, Double].withDefaultValue(0.0)
+      games.foreach { case (a, b, n) =>
+        den(a) += dy20D(n * 1.0 / (pi(a) + pi(b)))
+        den(b) += dy20D(n * 1.0 / (pi(a) + pi(b)))
+      }
+      val praw = active.map(src => src -> dy20D(wTot(src) * 1.0 / den(src))).toMap
+      val z = active.map(praw).sum // grid multiples: order-exact
+      pi = active.map(src => src -> dy20D(praw(src) / z)).toMap
+    }
+    // Final rounding and ranking go through Spark's round()/row_number so
+    // the boundary semantics are the same proven pair every other row
+    // uses (driver-side math.rint is HALF_EVEN — a dy20 grid point CAN
+    // sit exactly on a 1e-6 half boundary, e.g. π = m/128).
+    val raw = s.createDataFrame(
+      s.sparkContext.parallelize(
+        active.map(src => Row(src, wTot(src), gTot(src), pi(src))).toList, 1),
+      StructType(Seq(
+        StructField("source", StringType), StructField("wins", LongType),
+        StructField("games", LongType), StructField("pi", DoubleType))))
+    raw.withColumn("strength", round(col("pi"), 6))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("strength").desc, col("source").asc))
+          .cast("long"))
+      .select("source", "wins", "games", "strength", "rank")
+      .orderBy("rank")
+  }
+
+  /** LZ78 phrase budget for the complexity scan: well above any doc's
+    * phrase count at 240 chars, just a loop guard.
+    */
+  private val LzPrefixCps = 240
+
+  /** LZ78 parse of the first [[LzPrefixCps]] CODE POINTS: returns the
+    * number of phrases. Dictionary is prefix-closed by construction
+    * (every phrase extends an existing one by one char), so longest-
+    * match probing extends one char at a time against a hash set. The
+    * final phrase may be an incomplete repeat of a dictionary entry
+    * (input exhausted mid-match) — it still counts, the standard LZ78
+    * convention, mirrored by the oracle CTE's tail case.
+    */
+  private[ops] def lz78Phrases(text: String): (Int, Int) = {
+    if (text == null || text.isEmpty) return (0, 0)
+    val cpsAll = text.codePoints().toArray
+    val cps = cpsAll.take(LzPrefixCps)
+    def slice(from: Int, until: Int): String =
+      new String(cps, from, until - from)
+    val dict = mutable.HashSet.empty[String]
+    var pos = 0
+    var n = 0
+    while (pos < cps.length) {
+      var end = pos + 1
+      while (end <= cps.length && dict.contains(slice(pos, end))) end += 1
+      if (end <= cps.length) { // extension char exists: new phrase
+        dict += slice(pos, end)
+        pos = end
+      } else pos = cps.length // incomplete tail phrase: count, no entry
+      n += 1
+    }
+    (cps.length, n)
+  }
+
+  /** Lempel–Ziv (LZ78) complexity per doc (SPEC: Ziv & Lempel 1978;
+    * LZ complexity as a repetitiveness measure per Lempel & Ziv 1976 —
+    * the DETERMINISTIC companion to [[LlmOps]]'s zlib
+    * `text_compression_ratio`: same quality signal family
+    * (templated/boilerplate text parses into few phrases, diverse text
+    * into many), but the parse rule is a published algorithm both
+    * engines can replay exactly, so THIS row is hash-checked where
+    * zlib's encoder output cannot be. Bounded to the first 240 code
+    * points per doc (complexity saturates long before that; the bound
+    * also caps the oracle recursion). Shape: doc-level map — the
+    * per-doc scan is inherently sequential (each phrase depends on the
+    * dictionary so far), document parallelism is the honest grain;
+    * zero shuffle before the output sort. Oracle: recursive CTE, one
+    * phrase per recursion step, longest-match via list comprehension
+    * over the (prefix-closed) dictionary carried as list state.
+    */
+  q("text_lz_complexity",
+    s"""WITH RECURSIVE
+       |dd AS (SELECT doc_id, substr(coalesce(text, ''), 1, $LzPrefixCps) AS s
+       |       FROM documents),
+       |enc(doc_id, pos, dict, n) AS (
+       |  SELECT doc_id, 1, CAST([] AS VARCHAR[]), 0 FROM dd
+       |  UNION ALL
+       |  SELECT e.doc_id,
+       |         CASE WHEN e.pos + b.bl <= length(d.s)
+       |              THEN e.pos + b.bl + 1 ELSE length(d.s) + 1 END,
+       |         CASE WHEN e.pos + b.bl <= length(d.s)
+       |              THEN list_append(e.dict, substr(d.s, e.pos, b.bl + 1))
+       |              ELSE e.dict END,
+       |         e.n + 1
+       |  FROM enc e JOIN dd d USING (doc_id),
+       |       LATERAL (SELECT coalesce(list_max([length(w) FOR w IN e.dict
+       |                  IF w = substr(d.s, e.pos, length(w))]), 0) AS bl) b
+       |  WHERE e.pos <= length(d.s)),
+       |fin AS (SELECT doc_id, max(n) AS n_phrases FROM enc GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(length(dd.s) AS BIGINT) AS n_chars,
+       |       CAST(f.n_phrases AS INTEGER) AS n_phrases,
+       |       CASE WHEN length(dd.s) = 0 THEN CAST(0.0 AS DOUBLE)
+       |            ELSE round(f.n_phrases * 1.0 / length(dd.s), 6) END AS lz_ratio
+       |FROM documents d JOIN dd USING (doc_id) JOIN fin f USING (doc_id)
+       |ORDER BY d.doc_id""") { (s, d) =>
+    import s.implicits._
+    T(s, d, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val (nc, np) = lz78Phrases(text)
+        (id, nc.toLong, np)
+      }
+      .toDF("doc_id", "n_chars", "n_phrases")
+      // ratio rounded by Spark's round() (not driver math) so the
+      // boundary semantics are the proven round()/round() engine pair
+      .withColumn("lz_ratio",
+        when(col("n_chars") === 0, lit(0.0))
+          .otherwise(round(col("n_phrases") * lit(1.0) / col("n_chars"), 6)))
+      .orderBy("doc_id") // one row per doc = input-sized
+  }
+}

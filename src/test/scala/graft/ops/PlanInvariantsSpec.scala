@@ -538,4 +538,33 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"df-cap count must be two-phase:\n$p")
   }
+
+  test("ts_page_cusum: ONE user_id exchange serves all three windows and the final agg") {
+    // the closed-form CUSUM's whole point is replacing a per-group fold
+    // with windows on the user's natural partitioning — a second
+    // hashpartitioning exchange (or any mapGroups node) would mean the
+    // reflection identity stopped paying for itself
+    val p = plan(graft.SparkEntry.queries("ts_page_cusum")(spark, d))
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"expected exactly one user_id exchange in:\n$p")
+    assert(!p.contains("MapGroups"), s"no per-group fold allowed:\n$p")
+    // the 1-row reference mean broadcasts; the event stream never
+    // joins it by shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row k frame must broadcast:\n$p")
+  }
+
+  test("text_lz_complexity: map-only before the output sort (zero data shuffles)") {
+    val p = plan(graft.SparkEntry.queries("text_lz_complexity")(spark, d))
+    assert(!p.contains("hashpartitioning"),
+      s"LZ parse is per-doc map work; no hash shuffle belongs here:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"only the data-sized output range sort may exchange:\n$p")
+  }
+
+  test("dq_mutual_information: cell-frame joins never sort-merge shuffle the corpus") {
+    val p = plan(graft.SparkEntry.queries("dq_mutual_information")(spark, d))
+    assert(!p.contains("SortMergeJoin"),
+      s"marginal joins run on the catalog-bounded cell frame:\n$p")
+  }
 }

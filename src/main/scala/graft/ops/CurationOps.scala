@@ -21,16 +21,15 @@ import org.apache.spark.sql.types._
   */
 object CurationOps extends QueryModule {
 
-  /** 2⁻²⁰ dyadic-grid snap (same device as WindowOps.dy20 — see that
-    * scaladoc for the exactness argument): applied to each term before
-    * a double sum so the sum is order/tree-shape-exact in IEEE double.
+  /** 2⁻²⁰ dyadic-grid snap — the shared [[Grid]] device (see its
+    * scaladoc for the exactness argument and the 2³³ magnitude bound):
+    * applied to each term before a double sum so the sum is
+    * order/tree-shape-exact in IEEE double.
     */
   private def dy20(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    floor(c * lit(1048576.0) + lit(0.5)).cast("double") / lit(1048576.0)
-  private def dy20Sql(x: String): String =
-    s"floor(($x) * 1048576.0 + 0.5) / 1048576.0"
-  private def dy20D(x: Double): Double =
-    math.floor(x * 1048576.0 + 0.5) / 1048576.0
+    Grid.dy20(c)
+  private def dy20Sql(x: String): String = Grid.dy20Sql(x)
+  private def dy20D(x: Double): Double = Grid.dy20D(x)
 
   /** Per-doc token/type counts — the shared first stage of the two
     * raters and the Bradley–Terry score. Nonempty whitespace tokens
@@ -82,8 +81,8 @@ object CurationOps extends QueryModule {
        |       round(((n11 + n00) * 1.0 / n
        |              - ((na * 1.0 / n) * (nb * 1.0 / n)
        |                 + ((n - na) * 1.0 / n) * ((n - nb) * 1.0 / n)))
-       |             / (1 - ((na * 1.0 / n) * (nb * 1.0 / n)
-       |                     + ((n - na) * 1.0 / n) * ((n - nb) * 1.0 / n))), 6) AS kappa
+       |             / nullif(1 - ((na * 1.0 / n) * (nb * 1.0 / n)
+       |                     + ((n - na) * 1.0 / n) * ((n - nb) * 1.0 / n)), 0), 6) AS kappa
        |FROM c""") { (s, d) =>
     val f = T(s, d, "documents").select("doc_id")
       .join(docTypeCounts(s, d), Seq("doc_id"), "left")
@@ -98,11 +97,14 @@ object CurationOps extends QueryModule {
     val pe = (col("na") * lit(1.0) / col("n")) * (col("nb") * lit(1.0) / col("n")) +
       ((col("n") - col("na")) * lit(1.0) / col("n")) *
         ((col("n") - col("nb")) * lit(1.0) / col("n"))
+    // unanimous raters ⇒ pe = 1 exactly: κ is undefined (NULL), and the
+    // zero denominator must not trip ANSI DIVIDE_BY_ZERO (checklist 7)
+    val kDen = when(pe =!= lit(1.0), lit(1) - pe)
     c.select(col("n").cast("long").as("n_docs"),
       col("na").cast("long").as("n_keep_len"), col("nb").cast("long").as("n_keep_div"),
       (col("n11") + col("n00")).cast("long").as("n_agree"),
       round(po, 6).as("po"), round(pe, 6).as("pe"),
-      round((po - pe) / (lit(1) - pe), 6).as("kappa"))
+      round((po - pe) / kDen, 6).as("kappa"))
   }
 
   /** One-sided Page CUSUM drift alarm per user (SPEC: Page 1954 — the
@@ -190,7 +192,7 @@ object CurationOps extends QueryModule {
              "(cs * 1.0 / t.n) * ln(cs * 1.0 / t.n)")}) AS h FROM ms, tot t)
        |SELECT t.n AS n_docs, round(mi.mi, 6) AS mi_nats,
        |       round(hl.h, 6) AS h_lang, round(hs.h, 6) AS h_source,
-       |       round(mi.mi / sqrt(hl.h * hs.h), 6) AS nmi
+       |       round(mi.mi / nullif(sqrt(hl.h * hs.h), 0), 6) AS nmi
        |FROM tot t, mi, hl, hs""") { (s, d) =>
     val cells = T(s, d, "documents").groupBy("lang", "source")
       .agg(count(lit(1)).as("c"))
@@ -210,10 +212,13 @@ object CurationOps extends QueryModule {
     val hs = ms.crossJoin(broadcast(tot))
       .agg((-sum(dy20((col("cs") * lit(1.0) / col("n")) *
         log(col("cs") * lit(1.0) / col("n"))))).as("hs"))
+    // a monolingual (or single-source) corpus has a zero entropy ⇒ NMI
+    // undefined (NULL), guarded against ANSI DIVIDE_BY_ZERO (checklist 7)
+    val nmiDen = sqrt(col("hl") * col("hs"))
     tot.crossJoin(broadcast(mi)).crossJoin(broadcast(hl)).crossJoin(broadcast(hs))
       .select(col("n").as("n_docs"), round(col("mi"), 6).as("mi_nats"),
         round(col("hl"), 6).as("h_lang"), round(col("hs"), 6).as("h_source"),
-        round(col("mi") / sqrt(col("hl") * col("hs")), 6).as("nmi"))
+        round(col("mi") / when(nmiDen =!= 0.0, nmiDen), 6).as("nmi"))
   }
 
   /** Bradley–Terry MM iterations for the source-strength fit. */
@@ -283,19 +288,32 @@ object CurationOps extends QueryModule {
          |  LEFT JOIN wins w ON w.sa = s.source GROUP BY s.source),
          |ns AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM wt),
          |it0 AS MATERIALIZED (SELECT w.source, 1.0 / ns.s AS pi FROM wt w, ns)""".stripMargin
+    // Match counts are PRESCALED by 2¹³ (exact: power-of-two division)
+    // before the grid snap: den terms scale ~quadratically with corpus
+    // size, and grid-multiple sums are only order-exact while the total
+    // stays under 2³³ (Grid scaladoc) — the prescale buys that bound
+    // ~10⁴× of headroom (≈10¹² total matches at balanced strengths)
+    // without touching the fit (MM is invariant to scaling n and W by
+    // the same constant). π is floored at one grid step after each
+    // normalization: a hopeless source's π would otherwise snap to
+    // exactly 0.0, and a game between two zero-π sources divides by
+    // zero — Infinity driver-side but NULL in DuckDB, a cross-engine
+    // fork. The floor never binds above π ≈ 10⁻⁶ (strengths here are
+    // ~1/S with S catalog-sized).
     val iters = (1 to BtIters).map { k =>
       s"""d$k AS (
          |  SELECT g.sa AS source,
-         |         sum(${dy20Sql(s"g.n * 1.0 / (pa.pi + pb.pi)")}) AS den
+         |         sum(${dy20Sql(s"(g.n / 8192.0) / (pa.pi + pb.pi)")}) AS den
          |  FROM games g JOIN it${k - 1} pa ON pa.source = g.sa
          |               JOIN it${k - 1} pb ON pb.source = g.sb
          |  WHERE g.n > 0 GROUP BY g.sa),
          |r$k AS MATERIALIZED (
-         |  SELECT w.source, ${dy20Sql("w.wtot * 1.0 / d.den")} AS praw
+         |  SELECT w.source, ${dy20Sql("(w.wtot / 8192.0) / d.den")} AS praw
          |  FROM wt w JOIN d$k d ON d.source = w.source),
          |z$k AS (SELECT sum(praw) AS z FROM r$k),
          |it$k AS MATERIALIZED (
-         |  SELECT r.source, ${dy20Sql("r.praw / z.z")} AS pi FROM r$k r, z$k z)""".stripMargin
+         |  SELECT r.source, greatest(${dy20Sql("r.praw / z.z")}, 1.0 / 1048576.0) AS pi
+         |  FROM r$k r, z$k z)""".stripMargin
     }.mkString(",\n", ",\n", "")
     matrixSql + iters +
       s"""
@@ -346,17 +364,19 @@ object CurationOps extends QueryModule {
     // inner joins drop it from every iteration, so mirror that here —
     // it keeps its π₀ share of nothing and is excluded from the output.
     val active = sources.filter(src => gTot(src) > 0)
-    // --- MM iterations (Hunter 2004), every term + π grid-snapped ---
+    // --- MM iterations (Hunter 2004), every term + π grid-snapped;
+    // counts prescaled by 2¹³ and π floored at one grid step — see the
+    // oracle comment above for why both are load-bearing ---
     var pi = sources.map(_ -> 1.0 / sources.length).toMap
     for (_ <- 1 to BtIters) {
       val den = mutable.HashMap.empty[String, Double].withDefaultValue(0.0)
       games.foreach { case (a, b, n) =>
-        den(a) += dy20D(n * 1.0 / (pi(a) + pi(b)))
-        den(b) += dy20D(n * 1.0 / (pi(a) + pi(b)))
+        den(a) += dy20D((n / 8192.0) / (pi(a) + pi(b)))
+        den(b) += dy20D((n / 8192.0) / (pi(a) + pi(b)))
       }
-      val praw = active.map(src => src -> dy20D(wTot(src) * 1.0 / den(src))).toMap
+      val praw = active.map(src => src -> dy20D((wTot(src) / 8192.0) / den(src))).toMap
       val z = active.map(praw).sum // grid multiples: order-exact
-      pi = active.map(src => src -> dy20D(praw(src) / z)).toMap
+      pi = active.map(src => src -> math.max(dy20D(praw(src) / z), Grid.Dy20Step)).toMap
     }
     // Final rounding and ranking go through Spark's round()/row_number so
     // the boundary semantics are the same proven pair every other row

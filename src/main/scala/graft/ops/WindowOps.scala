@@ -650,33 +650,22 @@ object WindowOps extends QueryModule {
       .reportSorted("cohort_week_us", "week_offset")
   }
 
-  /** Dyadic-grid quantization: snap a value the two engines already
-    * agree on bit-for-bit onto multiples of 2⁻²⁰, so the NEXT
-    * many-to-one double aggregation sums grid multiples — exact in
-    * IEEE double regardless of accumulation order or tree shape
-    * (values ≲ 2¹⁰, grid 2⁻²⁰, ≤ 2¹⁰ terms → 40-bit span < 53).
-    * This is the structural cure for the chained-average hazard the
-    * r11 sf0.1 sweep surfaced on ts_seasonal_decompose /
-    * ts_cusum_changepoint: "raw continuous values hit round-6
-    * boundaries with ~0 probability" degrades with row count (3 of
-    * 40k rows straddled at sf0.1), whereas first-aggregate-exact
-    * (integer cents) + grid-quantize-between-aggregations makes
-    * cross-engine equality a theorem, not a probability. floor(x·2²⁰
-    * + 0.5) is deterministic because its input is already identical
-    * in both engines.
+  /** Dyadic-grid quantization — the shared [[Grid]] device (one
+    * definition across modules; see its scaladoc for the exactness
+    * argument and magnitude bound). Local aliases keep this file's
+    * call sites unchanged. History: this is the structural cure for
+    * the chained-average hazard the r11 sf0.1 sweep surfaced on
+    * ts_seasonal_decompose / ts_cusum_changepoint — "raw continuous
+    * values hit round-6 boundaries with ~0 probability" degrades with
+    * row count (3 of 40k rows straddled at sf0.1), whereas
+    * first-aggregate-exact (integer cents) +
+    * grid-quantize-between-aggregations makes cross-engine equality a
+    * theorem, not a probability.
     */
-  private def dyGrid(c: Column, scale: Double): Column =
-    floor(c * lit(scale) + lit(0.5)).cast("double") / lit(scale)
-  private def dyGridSql(x: String, scale: String): String =
-    s"floor(($x) * $scale + 0.5) / $scale"
-  private def dy20(c: Column): Column = dyGrid(c, 1048576.0)
-  private def dy20Sql(x: String): String = dyGridSql(x, "1048576.0")
-  /** Coarser 2⁻¹² grid for values that get MULTIPLIED before the next
-    * sum (co-moment machinery): product grid 2⁻²⁴ with ≲2²⁵ totals
-    * keeps the span under 53 bits, so sums of products stay exact.
-    */
-  private def dy12(c: Column): Column = dyGrid(c, 4096.0)
-  private def dy12Sql(x: String): String = dyGridSql(x, "4096.0")
+  private def dy20(c: Column): Column = Grid.dy20(c)
+  private def dy20Sql(x: String): String = Grid.dy20Sql(x)
+  private def dy12(c: Column): Column = Grid.dy12(c)
+  private def dy12Sql(x: String): String = Grid.dy12Sql(x)
   /** events.value carries exactly 2 decimals: Σ round(100·v) as BIGINT
     * is the exact first aggregation; one division rebuilds the mean.
     */

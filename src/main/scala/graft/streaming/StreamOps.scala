@@ -179,6 +179,56 @@ object StreamOps {
       .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Append())
   }
 
+  // ------------------------------------------- Page CUSUM drift alarm
+
+  case class CusumEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, cents: Long)
+  case class CusumState(n: Long, s: Long, mx: Long, alarms: Long,
+      firstAlarm: Long) // firstAlarm −1 = none yet
+  case class CusumRow(user_id: Long, n_events: Long, cusum_max: Double,
+      n_alarms: Long, first_alarm_event: Option[Long])
+
+  /** Streaming one-sided Page CUSUM (Page 1954) — the DEPLOYED form of
+    * the batch `ts_page_cusum` registry row: the batch query answers
+    * "where did drift happen" retrospectively via the reflection
+    * closed form; a production monitor wants the alarm AS EVENTS
+    * ARRIVE, which is the recurrence s ← max(0, s + x − k) verbatim —
+    * O(1) state per user (current stat, running max, alarm count,
+    * first alarm id), no window machinery needed online.
+    *
+    * `kCents` is supplied by the caller: Page's statistic assumes a
+    * KNOWN reference value — production monitors take it from a
+    * historical baseline; the batch twin derives it from the full
+    * dataset, which a stream cannot see. Emits the post-batch row per
+    * touched user per micro-batch (Update semantics, the cdcApply
+    * shape). CONTRACT: per-user in-order delivery ACROSS micro-batches
+    * — the fold is sequential by definition, so unlike [[cdcApply]]
+    * there is no out-of-order convergence to fall back on; within a
+    * batch the slice is sorted by exact-micros (ts, event_id), the
+    * batch twin's window order. StreamingSpec pins multi-batch parity
+    * with `ts_page_cusum` on the real events slice.
+    */
+  def pageCusum(events: Dataset[CusumEvent], kCents: Long,
+      hCents: Long = 25000L): Dataset[CusumRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[CusumEvent], state: GroupState[CusumState]) => {
+          var st = state.getOption.getOrElse(CusumState(0L, 0L, 0L, 0L, -1L))
+          rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val s1 = math.max(0L, st.s + e.cents - kCents)
+            val alarm = s1 >= hCents
+            st = CusumState(st.n + 1, s1, math.max(st.mx, s1),
+              st.alarms + (if (alarm) 1L else 0L),
+              if (alarm && st.firstAlarm < 0) e.event_id else st.firstAlarm)
+          }
+          state.update(st)
+          Iterator.single(CusumRow(user, st.n, st.mx.toDouble / 100, st.alarms,
+            if (st.firstAlarm < 0) None else Some(st.firstAlarm)))
+        })
+  }
+
   // ------------------------------------------------------- CDC apply
 
   case class Change(user_id: Long, ts: java.sql.Timestamp, event_id: Long,

@@ -227,6 +227,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table(name).count() == 5)
   }
 
+  test("streaming Page CUSUM fold matches the batch closed form on the real slice") {
+    // the batch row computes the fold via the reflection identity
+    // (prefix sum − running min, two windows); the streaming form runs
+    // the textbook recurrence with O(1) state — parity across a
+    // 3-micro-batch time-ordered feed proves they are the same fold
+    val dir = "/root/testdata/sf0.001"
+    def us(ts: java.sql.Timestamp): Long =
+      ts.getTime / 1000 * 1000000 + ts.getNanos / 1000
+    val evs = graft.T(spark, dir, "events")
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => StreamOps.CusumEvent(r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), math.round(r.getDouble(3) * 100)))
+      .sortBy(e => (us(e.ts), e.event_id)) // global time order → per-user in-order batches
+    val kCents = evs.map(_.cents).sum / evs.length
+    val ms = MemoryStream[StreamOps.CusumEvent](spark)
+    val name = nextName()
+    val q = StreamOps.pageCusum(ms.toDS(), kCents)
+      .writeStream.format("memory").queryName(name).outputMode("update").start()
+    evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { batch =>
+      ms.addData(batch.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // last emission per user = final state (n_events grows monotonically)
+    val streamed = spark.table(name).collect()
+      .groupBy(_.getLong(0)).map { case (_, rs) => rs.maxBy(_.getLong(1)) }
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+    val batchRows = graft.SparkEntry.queries("ts_page_cusum")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+    assert(streamed == batchRows)
+    // the alarm machinery is actually exercised on this slice
+    assert(batchRows.exists(_._4 > 0))
+  }
+
   test("gdx readStream in raw mode streams sentinel encodings losslessly") {
     import graft.gdx.SpecialValues
     val dir = java.nio.file.Files.createTempDirectory("gdx-stream-raw").toString + "/data"

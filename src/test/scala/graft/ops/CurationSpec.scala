@@ -142,6 +142,52 @@ class CurationSpec extends AnyFunSuite {
     assert(CurationOps.lz78Phrases(rep)._2 < CurationOps.lz78Phrases(div)._2)
   }
 
+  test("lz78Phrases property: matches a naive no-prefix-closure reimplementation") {
+    // independent second implementation: longest match by scanning the
+    // WHOLE dictionary per step (no reliance on prefix-closure probing),
+    // so a bug in the incremental hash-set extension can't self-confirm
+    def naive(text: String): Int = {
+      if (text == null || text.isEmpty) return 0
+      val s = text.take(240)
+      var dict = Vector.empty[String]
+      var pos = 0
+      var n = 0
+      while (pos < s.length) {
+        val bl = dict.filter(w => s.startsWith(w, pos)).map(_.length)
+          .foldLeft(0)(math.max)
+        if (pos + bl < s.length) { dict :+= s.substring(pos, pos + bl + 1); pos += bl + 1 }
+        else pos = s.length
+        n += 1
+      }
+      n
+    }
+    val gen = org.scalacheck.Gen.listOf(
+      org.scalacheck.Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    (0 until 300).foreach { i =>
+      val s = gen.pureApply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(i.toLong))
+      assert(CurationOps.lz78Phrases(s)._2 == naive(s), s"input: '$s'")
+    }
+  }
+
+  test("ts_page_cusum property: reflection closed form equals the recurrence on random walks") {
+    // the identity s_t = S_t - min(0, min_{j<=t} S_j) vs the textbook
+    // fold, on adversarial random deltas (sign-mixed, zero runs)
+    val gen = org.scalacheck.Gen.listOf(org.scalacheck.Gen.choose(-50L, 50L))
+    (0 until 300).foreach { i =>
+      val ds = gen.pureApply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(1000L + i))
+      var s = 0L
+      val naive = ds.map { d => s = math.max(0L, s + d); s }
+      var ps = 0L
+      var runmin = 0L
+      val closed = ds.map { d =>
+        ps += d; runmin = math.min(runmin, ps); ps - math.min(0L, runmin)
+      }
+      assert(naive == closed, s"deltas: $ds")
+    }
+  }
+
   test("text_lz_complexity ranks repetitive docs below diverse docs on the corpus") {
     val got = SparkEntry.queries("text_lz_complexity")(spark, dir).collect()
     assert(got.nonEmpty)

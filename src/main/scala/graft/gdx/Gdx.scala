@@ -240,6 +240,13 @@ object Gdx {
       // like ('a.b','c') and ('a','b.c') concatenate identically and a
       // string join would pair records that differ (one 'chg' instead
       // of a 'del' + 'ins'). Array equality is collision-free.
+      // Lowercasing cannot fan the join out m×n: within one
+      // well-formed file, case-variant labels are ONE UEL
+      // (GdxBuilder.registerUel keys its index on the lowercase form,
+      // first-seen display case wins), so no symbol carries two
+      // records whose keys differ only by case; ACROSS files a case
+      // difference pairing up is exactly the case-insensitive match
+      // real gdxdiff performs.
       val karr =
         if (dims.isEmpty) array().cast("array<string>")
         else array(dims.map(c => lower(col(c))): _*)

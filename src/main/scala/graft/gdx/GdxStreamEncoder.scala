@@ -137,11 +137,16 @@ final class GdxStreamEncoder(finalPath: String, name: String, typ: Int, dim: Int
       // manifest-recorded offset throws committed-data-lost (and a
       // listing reader silently skips the shard). Fall back to the
       // pair only where the filesystem can't replace atomically.
+      // NOT just AtomicMoveNotSupportedException: ATOMIC_MOVE ignores
+      // REPLACE_EXISTING per the Files.move spec, so providers where
+      // dst already exists (the idempotent epoch re-run) may throw
+      // FileAlreadyExists/AccessDenied instead — any IOException
+      // funnels to the delete+rename pair, whose own failure throws.
       try java.nio.file.Files.move(inProgress.toPath, dst.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
-        case _: java.nio.file.AtomicMoveNotSupportedException =>
+        case _: java.io.IOException =>
           dst.delete()
           if (!inProgress.renameTo(dst))
             throw new java.io.IOException(s"gdx: cannot publish shard $finalPath")

@@ -54,13 +54,31 @@ object TokenizerOps extends QueryModule {
     * dir (the ensureMediaFixture pattern): the model is a pure function
     * of the corpus, and one Verify run otherwise pays the full
     * word-count job + driver merge loop 8× (4 queries + 4 oracle
-    * generators). Bounded: one entry per distinct sfDir seen by the JVM.
+    * generators). The key carries a size+mtime FINGERPRINT of the
+    * documents parquet, not the path alone: a long-lived JVM that
+    * regenerates the data in place would otherwise be served a stale
+    * merge table — and because Verify's oracle generator shares this
+    * memo, the hash check would agree with the stale tokenization and
+    * mask it. Bounded: one entry per distinct corpus generation seen.
     */
   private val modelMemo =
     scala.collection.concurrent.TrieMap.empty[String, Bpe.Model]
 
+  private def corpusKey(d: String): String = {
+    val f = new java.io.File(d, "documents.parquet")
+    def stat(x: java.io.File): (Long, Long) =
+      if (x.isDirectory)
+        Option(x.listFiles()).getOrElse(Array.empty)
+          .map(stat).foldLeft((0L, 0L)) {
+            case ((sz, mt), (sz2, mt2)) => (sz + sz2, math.max(mt, mt2))
+          }
+      else (x.length(), x.lastModified())
+    val (sz, mt) = stat(f)
+    s"${f.getCanonicalPath}#$sz#$mt"
+  }
+
   private def trainOn(s: SparkSession, d: String): Bpe.Model =
-    modelMemo.getOrElseUpdate(new java.io.File(d).getCanonicalPath, {
+    modelMemo.getOrElseUpdate(corpusKey(d), {
       val vocab = T(s, d, "documents")
         .select(explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) > 0)

@@ -147,14 +147,44 @@ object GdxManifest {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     catch {
-      case _: java.nio.file.AtomicMoveNotSupportedException =>
+      // NOT just AtomicMoveNotSupportedException: ATOMIC_MOVE ignores
+      // REPLACE_EXISTING per the Files.move spec, and providers where
+      // the destination exists (or is held open) throw
+      // FileAlreadyExists/AccessDenied instead — all IOExceptions
+      // funnel to the non-atomic replace, which itself throws loudly
+      // if the filesystem is genuinely broken.
+      case _: java.io.IOException =>
         Files.move(tmp, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
   }
 
-  /** Append is guarded by an OS-level file lock (plus the JVM-local
-    * synchronized, which also serializes same-JVM lockers so the
-    * overlapping-FileLock exception can't fire): two PROCESSES
+  /** Run `body` holding the dataset's cross-process commit lock
+    * (`_manifest.lock`), serialized JVM-locally by the enclosing
+    * synchronized (so the overlapping-FileLock exception can't fire
+    * between same-JVM committers). The channel cannot leak: it is
+    * closed even when lock() itself throws. Filesystems with no
+    * FileLock support (some NFS/FUSE/container mounts) degrade to
+    * LOCK-LESS execution — the pre-lock behavior, still safe for the
+    * common single-writer case — instead of hard-failing every commit
+    * to that dataset.
+    */
+  private[sources] def withCommitLock[A](path: String)(body: => A): A =
+    synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(path, "_manifest.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lk =
+        try ch.lock()
+        catch {
+          case _: java.io.IOException | _: UnsupportedOperationException =>
+            ch.close(); null
+        }
+      if (lk == null) body
+      else try body finally { lk.release(); ch.close() }
+    }
+
+  /** Append is guarded by the cross-process commit lock: two PROCESSES
     * append-committing to the same dataset (a streaming sink plus a
     * batch append, or two applications) would otherwise race the
     * read-modify-write and the loser's shard entries would vanish
@@ -162,26 +192,16 @@ object GdxManifest {
     * manifest-based readers.
     */
   def append(path: String, symbol: String, commits: Seq[GdxShardCommit]): Unit =
-    synchronized {
-      val ch = java.nio.channels.FileChannel.open(
-        Paths.get(path, "_manifest.lock"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      val lk = ch.lock()
-      try {
-        val mf = new File(path, "_manifest.json")
-        val existing =
-          if (mf.isFile)
-            entryRx.findAllMatchIn(new String(Files.readAllBytes(mf.toPath),
-              StandardCharsets.UTF_8)).map(m => unjs(m.group(1)) -> m.matched).toSeq
-          else Nil
-        val have = existing.map(_._1).toSet
-        val added = commits.filterNot(c => have.contains(c.fileName)).map(entryJson)
-        write(path, symbol, existing.map(_._2) ++ added)
-      } finally {
-        lk.release()
-        ch.close()
-      }
+    withCommitLock(path) {
+      val mf = new File(path, "_manifest.json")
+      val existing =
+        if (mf.isFile)
+          entryRx.findAllMatchIn(new String(Files.readAllBytes(mf.toPath),
+            StandardCharsets.UTF_8)).map(m => unjs(m.group(1)) -> m.matched).toSeq
+        else Nil
+      val have = existing.map(_._1).toSet
+      val added = commits.filterNot(c => have.contains(c.fileName)).map(entryJson)
+      write(path, symbol, existing.map(_._2) ++ added)
     }
 }
 
@@ -316,12 +336,23 @@ class GdxBatchWrite(path: String, symbol: String, schema: StructType,
       // shards (truncate mode already cleared the dir, so a fresh write
       // and an append are the same thing there).
       val commits = messages.collect { case c: GdxShardCommit => c }.toSeq
-      if (truncate) {
+      if (truncate) GdxManifest.withCommitLock(path) {
         // overwrite commits atomically: first the new manifest (the
         // atomic-rename write switches manifest-readers to exactly the
         // new shard set in one step), THEN the previous dataset's
         // files are removed. New shards carry this write's unique
-        // writeId, so old and new never collide by name.
+        // writeId, so old and new never collide by name. The whole
+        // replace runs under the SAME cross-process lock append-commits
+        // take: without it, an append holding the lock mid-read-modify-
+        // write would write back the pre-overwrite entries — a manifest
+        // referencing just-deleted shards, and every overwrite entry
+        // silently lost. Under the lock an append lands either before
+        // (and is replaced — overwrite semantics) or after (and appends
+        // to the NEW manifest — consistent). Residual, documented race:
+        // an overwrite concurrent with a mid-flight append TASK can
+        // delete that task's .gdx.inprogress temp (tasks don't hold the
+        // commit lock) — the append then fails loudly and retries;
+        // nothing is silently lost.
         GdxManifest.write(path, layout.symbol, commits.map(GdxManifest.entryJson))
         val keep = commits.map(_.fileName).toSet
         val dir = new File(path)

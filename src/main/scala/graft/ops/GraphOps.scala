@@ -245,4 +245,140 @@ object GraphOps extends QueryModule {
       .select(col("id"), col("comp"), col("comp_size"))
       .orderBy("id") // one row per vertex = input-sized
   }
+
+  /** Rounds of synchronous label propagation — fixed, not
+    * convergence-gated: a data-dependent round count can't be replayed
+    * by a static oracle, and synchronous LPA has no convergence
+    * guarantee anyway (it can 2-cycle on bipartite-ish structure).
+    */
+  private val LpaRounds = 4
+
+  /** Clique-with-bridges community graph, deterministic from the
+    * customer table: per nation, customers in custkey order form
+    * 6-cliques (blocks), consecutive blocks joined by ONE bridge edge
+    * (block tail → next block head). Cliques are the planted
+    * communities; bridges are the weak links LPA must mostly ignore.
+    */
+  private def blockEdges(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("nk").orderBy("id")
+    val blk = T(s, d, "customer")
+      .select(col("c_custkey").as("id"), col("c_nationkey").as("nk"))
+      .withColumn("rk", row_number().over(w) - 1)
+      .withColumn("b", (col("rk") / 6).cast("long"))
+    val intra = blk.as("x").join(blk.as("y"),
+        col("y.nk") === col("x.nk") && col("y.b") === col("x.b") &&
+          col("y.id") > col("x.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+    val heads = blk.groupBy("nk", "b")
+      .agg(min("id").as("hid"), max("id").as("tid"))
+    val inter = heads.as("h1").join(heads.as("h2"),
+        col("h2.nk") === col("h1.nk") && col("h2.b") === col("h1.b") + 1)
+      .select(col("h1.tid").as("a"), col("h2.hid").as("b"))
+    intra.unionByName(inter)
+  }
+
+  /** Community detection by synchronous label propagation (SPEC:
+    * Raghavan, Albert & Kumara 2007 — the near-linear-time community
+    * algorithm behind most "cluster this graph cheaply" stacks):
+    * every vertex starts as its own label and each round adopts the
+    * most frequent label among its NEIGHBORS (tie → smallest label,
+    * the deterministic variant; vertices with no neighbors keep their
+    * label). Unlike [[pointerJumpCC]] this finds DENSE groups, not
+    * mere reachability — the planted 6-cliques survive as communities
+    * while the single bridge edge between blocks is outvoted 5:1.
+    *
+    * Everything is INTEGER (labels are vertex ids, votes are counts),
+    * so the fixed {@link LpaRounds} rounds are exactly engine-
+    * replayable with NO quantization — the one iterative operator in
+    * the suite whose oracle replay is exact rather than
+    * grid-quantized. Per round: one equi-join edges⋈labels + one
+    * (vertex, label) count + one per-vertex argmax window — all keyed
+    * on the vertex, AQE-friendly; per-round localCheckpoint with
+    * block frees (the PageRank/CC discipline). At 100 TB: rounds are
+    * O(E) joins partitioned by vertex; the argmax window's partition
+    * is a vertex's distinct neighbor labels — degree-bounded, skew
+    * handled by AQE like any hot-key aggregation.
+    */
+  q("graph_label_propagation", {
+    val head =
+      """WITH
+        |c AS (SELECT c_custkey AS id, c_nationkey AS nk,
+        |             row_number() OVER (PARTITION BY c_nationkey
+        |               ORDER BY c_custkey) - 1 AS rk
+        |      FROM customer),
+        |blk AS (SELECT id, nk, rk // 6 AS b FROM c),
+        |intra AS (
+        |  SELECT x.id AS a, y.id AS b FROM blk x
+        |  JOIN blk y ON y.nk = x.nk AND y.b = x.b AND y.id > x.id),
+        |heads AS (SELECT nk, b, min(id) AS hid, max(id) AS tid
+        |          FROM blk GROUP BY nk, b),
+        |inter AS (
+        |  SELECT h1.tid AS a, h2.hid AS b FROM heads h1
+        |  JOIN heads h2 ON h2.nk = h1.nk AND h2.b = h1.b + 1),
+        |e AS (SELECT a, b FROM intra UNION ALL SELECT a, b FROM inter),
+        |sym AS MATERIALIZED (
+        |  SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+        |verts AS MATERIALIZED (SELECT id FROM blk),
+        |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM verts)""".stripMargin
+    val rounds = (1 to LpaRounds).map { k =>
+      s"""n$k AS (
+         |  SELECT s.a AS id, p.lbl, count(*) AS c
+         |  FROM sym s JOIN l${k - 1} p ON p.id = s.b GROUP BY s.a, p.lbl),
+         |w$k AS (
+         |  SELECT id, lbl FROM (
+         |    SELECT id, lbl, row_number() OVER (PARTITION BY id
+         |      ORDER BY c DESC, lbl) AS rn FROM n$k) t WHERE rn = 1),
+         |l$k AS MATERIALIZED (
+         |  SELECT v.id, coalesce(w.lbl, p.lbl) AS lbl
+         |  FROM verts v JOIN l${k - 1} p ON p.id = v.id
+         |  LEFT JOIN w$k w ON w.id = v.id)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    head + rounds +
+      s"""
+         |SELECT l.id, l.lbl AS community,
+         |       CAST(sz.n AS BIGINT) AS community_size
+         |FROM l$LpaRounds l
+         |JOIN (SELECT lbl, count(*) AS n FROM l$LpaRounds GROUP BY lbl) sz
+         |  ON sz.lbl = l.lbl
+         |ORDER BY id""".stripMargin
+  }) { (s, d) =>
+    val sc = s.sparkContext
+    def persisted: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def free(ids: Set[Int]): Unit = ids.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    val pre0 = persisted
+    val e = blockEdges(s, d)
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val symIds = persisted -- pre0
+    val verts = T(s, d, "customer").select(col("c_custkey").as("id"))
+    var labels = verts.withColumn("lbl", col("id"))
+    var prevIds = Set.empty[Int]
+    for (_ <- 1 to LpaRounds) {
+      val votes = sym
+        .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
+        .groupBy(col("src").as("id"), col("nlbl").as("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val winners = votes
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("id").orderBy(col("c").desc, col("lbl").asc)))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("lbl").as("wlbl"))
+      val pre = persisted
+      val next = labels
+        .join(winners, Seq("id"), "left")
+        .select(col("id"), coalesce(col("wlbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+      free(prevIds)
+      prevIds = persisted -- pre
+      labels = next
+    }
+    free(symIds)
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("n"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("id"), col("lbl").as("community"),
+        col("n").cast("long").as("community_size"))
+      .orderBy("id") // one row per vertex = input-sized
+  }
 }

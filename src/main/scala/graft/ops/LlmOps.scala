@@ -93,25 +93,34 @@ object LlmOps extends QueryModule {
       .select("doc_id", "hs")
   }
 
-  /** Same, over any (doc_id, text) DataFrame. */
-  def minhashPairsOf(docs: DataFrame): DataFrame = {
+  /** Banded minhash signature table `(doc_id, band, sig)` over any
+    * (doc_id, text) DataFrame — 4 bands × 3 rows via ONE generator
+    * explode. A per-band union would repeat the signature subtree 4×
+    * per join side (no exchange below it to reuse), re-running the
+    * k-minhash pipeline 8× in the self-join; materializing the tiny
+    * signature table (|docs| × 4 rows of compact keys) makes it
+    * exactly once. This IS the persisted index of a production
+    * incremental dedup: the standing corpus's band table is maintained
+    * once and each arriving batch probes it.
+    */
+  def minhashBands(docs: DataFrame): DataFrame = {
     val k = 12
     val sigs = shingleHashes(docs)
       .select(col("doc_id") +:
         (0 until k).map(i =>
           array_min(transform(col("hs"),
             h => (lit(affineA(i)) * h + lit(affineB(i))) % lit(MinhashP))).as(s"m$i")): _*)
-    // 4 bands × 3 rows via ONE generator (band, sig) — a per-band
-    // union would repeat the signature subtree 4× per join side (no
-    // exchange below it to reuse), re-running the k-minhash pipeline
-    // 8× in the self-join; materializing the tiny signature table
-    // (|docs| × 4 rows of compact keys) makes it exactly once.
-    val bands = sigs.select(col("doc_id"), explode(array((0 until 4).map { b =>
+    sigs.select(col("doc_id"), explode(array((0 until 4).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", (0 until 3).map(r => col(s"m${b * 3 + r}")): _*).as("sig"))
     }: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       .localCheckpoint()
+  }
+
+  /** Same, over any (doc_id, text) DataFrame. */
+  def minhashPairsOf(docs: DataFrame): DataFrame = {
+    val bands = minhashBands(docs)
     val a = bands.select(col("band"), col("sig"), col("doc_id").as("a"))
     val b = bands.select(col("band"), col("sig"), col("doc_id").as("b"))
     a.join(b, Seq("band", "sig"))
@@ -2476,6 +2485,92 @@ object LlmOps extends QueryModule {
       .join(corpus, Seq("h"), "left_anti")           // vs standing corpus
       .select("doc_id")
       .orderBy("doc_id") // one row per surviving batch doc = input-sized
+  }
+
+  /** Incremental NEAR-dup ingest — the fuzzy sibling of
+    * [[dedup_incremental]] (which is exact-hash only): dedup an
+    * arriving batch (doc_id % 5 == 0) against the standing corpus by
+    * banded minhash. The corpus's band table is the PERSISTED INDEX a
+    * production ingest maintains (bucketed by (band, sig) in
+    * practice); each ingest is (a) batch signatures map-side, (b) ONE
+    * equi-join batch-bands ⋈ corpus-bands — candidate volume ∝ bucket
+    * collisions, never batch × corpus — and (c) exact Jaccard verify
+    * on candidates only (the generate-cheap/verify-exact discipline).
+    * Report per batch doc: candidate count, best corpus match
+    * (max Jaccard, doc_id tie-break), and the keep decision at
+    * τ = 0.5. Candidates sharing a band but no shingle score 0, not
+    * null — they were real index probes.
+    */
+  q("dedup_incremental_minhash",
+    s"""WITH $minhashCtesSql,
+       |     jsh AS (SELECT DISTINCT doc_id, h FROM sh),
+       |     cnt AS (SELECT doc_id, count(*) AS n FROM jsh GROUP BY doc_id),
+       |     cand AS (
+       |  SELECT DISTINCT nb.doc_id AS bd, cb.doc_id AS cd
+       |  FROM bands nb JOIN bands cb ON cb.band = nb.band AND cb.sig = nb.sig
+       |  WHERE nb.doc_id % 5 = 0 AND cb.doc_id % 5 <> 0),
+       |     inter AS (
+       |  SELECT c.bd, c.cd, count(*) AS i
+       |  FROM cand c JOIN jsh x ON x.doc_id = c.bd
+       |  JOIN jsh y ON y.doc_id = c.cd AND y.h = x.h
+       |  GROUP BY c.bd, c.cd),
+       |     scored AS (
+       |  SELECT c.bd, c.cd,
+       |         round(coalesce(i.i, 0) * 1.0
+       |               / (na.n + nb2.n - coalesce(i.i, 0)), 6) AS j
+       |  FROM cand c
+       |  LEFT JOIN inter i ON i.bd = c.bd AND i.cd = c.cd
+       |  JOIN cnt na ON na.doc_id = c.bd
+       |  JOIN cnt nb2 ON nb2.doc_id = c.cd),
+       |     nc AS (SELECT bd, CAST(count(*) AS BIGINT) AS n_candidates
+       |            FROM cand GROUP BY bd),
+       |     best AS (
+       |  SELECT bd, cd, j FROM (
+       |    SELECT bd, cd, j, row_number() OVER (PARTITION BY bd
+       |             ORDER BY j DESC, cd) AS rn FROM scored) t
+       |  WHERE rn = 1)
+       |SELECT d.doc_id, coalesce(nc.n_candidates, 0) AS n_candidates,
+       |       best.cd AS best_match, best.j AS best_jaccard,
+       |       coalesce(best.j, 0) < 0.5 AS kept
+       |FROM documents d
+       |LEFT JOIN nc ON nc.bd = d.doc_id
+       |LEFT JOIN best ON best.bd = d.doc_id
+       |WHERE d.doc_id % 5 = 0
+       |ORDER BY d.doc_id""") { (s, d) =>
+    val docs = T(s, d, "documents").select("doc_id", "text")
+    val bands = minhashBands(docs)
+    val nb = bands.filter(col("doc_id") % 5 === 0)
+      .select(col("band"), col("sig"), col("doc_id").as("bd"))
+    val cb = bands.filter(col("doc_id") % 5 =!= 0)
+      .select(col("band"), col("sig"), col("doc_id").as("cd"))
+    val cand = nb.join(cb, Seq("band", "sig")).select("bd", "cd").distinct()
+    val jsh = shingleHashes(docs)
+      .select(col("doc_id"), explode(col("hs")).as("h")).distinct()
+    val cnt = jsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(jsh.as("x"), col("x.doc_id") === col("bd"))
+      .join(jsh.as("y"), col("y.doc_id") === col("cd") && col("y.h") === col("x.h"))
+      .groupBy("bd", "cd").agg(count(lit(1)).as("i"))
+    val scored = cand.join(inter, Seq("bd", "cd"), "left")
+      .join(cnt.select(col("doc_id").as("bd"), col("n").as("na")), Seq("bd"))
+      .join(cnt.select(col("doc_id").as("cd"), col("n").as("nb2")), Seq("cd"))
+      .select(col("bd"), col("cd"),
+        round(coalesce(col("i"), lit(0L)) * lit(1.0) /
+          (col("na") + col("nb2") - coalesce(col("i"), lit(0L))), 6).as("j"))
+    val nCand = cand.groupBy("bd").agg(count(lit(1)).as("n_candidates"))
+    val best = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("bd").orderBy(col("j").desc, col("cd").asc)))
+      .filter(col("rn") === 1)
+      .select(col("bd"), col("cd").as("best_match"), col("j").as("best_jaccard"))
+    docs.filter(col("doc_id") % 5 === 0).select("doc_id")
+      .join(nCand.withColumnRenamed("bd", "doc_id"), Seq("doc_id"), "left")
+      .join(best.withColumnRenamed("bd", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).cast("long").as("n_candidates"),
+        col("best_match"), col("best_jaccard"),
+        (coalesce(col("best_jaccard"), lit(0.0)) < 0.5).as("kept"))
+      .orderBy("doc_id") // one row per batch doc = input-sized
   }
 
   /** Record linkage / entity resolution — near-duplicate RECORDS (not

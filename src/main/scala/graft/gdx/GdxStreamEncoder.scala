@@ -137,16 +137,24 @@ final class GdxStreamEncoder(finalPath: String, name: String, typ: Int, dim: Int
       // manifest-recorded offset throws committed-data-lost (and a
       // listing reader silently skips the shard). Fall back to the
       // pair only where the filesystem can't replace atomically.
-      // NOT just AtomicMoveNotSupportedException: ATOMIC_MOVE ignores
-      // REPLACE_EXISTING per the Files.move spec, so providers where
-      // dst already exists (the idempotent epoch re-run) may throw
-      // FileAlreadyExists/AccessDenied instead — any IOException
-      // funnels to the delete+rename pair, whose own failure throws.
+      // The fallback set is CAPABILITY exceptions only —
+      // AtomicMoveNotSupported, plus FileAlreadyExists/AccessDenied
+      // (ATOMIC_MOVE ignores REPLACE_EXISTING per the Files.move spec,
+      // and providers where dst exists — the idempotent epoch re-run —
+      // signal it with those instead). A TRANSIENT IOException (EIO, a
+      // concurrent truncate having deleted the temp) must propagate
+      // with dst INTACT: running the delete+rename pair on it would
+      // destroy an already-committed, manifest-referenced shard before
+      // surfacing the error. Same reason the pair is guarded on the
+      // temp still existing.
       try java.nio.file.Files.move(inProgress.toPath, dst.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
-        case _: java.io.IOException =>
+        case e @ (_: java.nio.file.AtomicMoveNotSupportedException |
+                  _: java.nio.file.FileAlreadyExistsException |
+                  _: java.nio.file.AccessDeniedException) =>
+          if (!inProgress.exists()) throw e
           dst.delete()
           if (!inProgress.renameTo(dst))
             throw new java.io.IOException(s"gdx: cannot publish shard $finalPath")

@@ -169,19 +169,51 @@ object GraphOps extends QueryModule {
     * convergence or throws (a half-converged labeling silently splits
     * components — never worth returning).
     */
+  /** ONE copy of the PageRank/CC checkpoint-and-free discipline shared
+    * by the iterative graph runners (pointerJumpCC, label propagation):
+    * each `cycle` localCheckpoints the new round frame (eager — blocks
+    * exist before anything is freed) and then releases the PREVIOUS
+    * round's blocks under the same tag; `pin` checkpoints a frame that
+    * lives for the whole run (the edge table); `release` drops a tag
+    * explicitly (error paths, end-of-run). Same single-query-at-a-time
+    * contract as Sessions.releaseCheckpoints — the persisted-set diff
+    * would capture a CONCURRENT query's blocks on a shared context.
+    */
+  private final class RoundCheckpoints(sc: org.apache.spark.SparkContext) {
+    private def persisted: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    private def free(ids: Set[Int]): Unit = ids.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    private var held = Map.empty[String, Set[Int]]
+    def cycle(tag: String, df: DataFrame): DataFrame = {
+      val pre = persisted
+      val out = df.localCheckpoint()
+      free(held.getOrElse(tag, Set.empty))
+      held += tag -> (persisted -- pre)
+      out
+    }
+    def pin(tag: String, df: DataFrame): DataFrame = {
+      val pre = persisted
+      val out = df.localCheckpoint()
+      held += tag -> (held.getOrElse(tag, Set.empty) ++ (persisted -- pre))
+      out
+    }
+    def release(tag: String): Unit = {
+      free(held.getOrElse(tag, Set.empty)); held -= tag
+    }
+  }
+
+  /** Symmetrized, pinned edge frame — the shared first step of every
+    * iterative runner here.
+    */
+  private def pinnedSym(rc: RoundCheckpoints, edges: DataFrame): DataFrame =
+    rc.pin("sym", edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst"))))
+
   private[ops] def pointerJumpCC(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 24): DataFrame = {
-    val sc = nodes.sparkSession.sparkContext
-    def persisted: Set[Int] = sc.getPersistentRDDs.keySet.toSet
-    def free(ids: Set[Int]): Unit = ids.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-    val pre0 = persisted
-    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
-    val symIds = persisted -- pre0
+    val rc = new RoundCheckpoints(nodes.sparkSession.sparkContext)
+    val sym = pinnedSym(rc, edges)
     var labels = nodes.select(col("id")).withColumn("lbl", col("id"))
-    var prevIds = Set.empty[Int]
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -193,25 +225,21 @@ object GraphOps extends QueryModule {
       val jump = labels.select(col("id").as("jid"), col("lbl").as("ptr"))
         .join(labels.select(col("id").as("ptr"), col("lbl").as("jlbl")), Seq("ptr"))
         .select(col("jid").as("id"), col("jlbl"))
-      val pre = persisted
-      val next = labels
+      val next = rc.cycle("labels", labels
         .join(nbr, Seq("id"), "left")
         .join(jump, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl")),
             coalesce(col("jlbl"), col("lbl"))).as("lbl"),
-          col("lbl").as("old"))
-        .localCheckpoint()
-      free(prevIds)
-      prevIds = persisted -- pre
+          col("lbl").as("old")))
       val changed = next.filter(col("lbl") =!= col("old")).count()
       labels = next.select("id", "lbl")
       converged = changed == 0
       iter += 1
     }
-    free(symIds)
+    rc.release("sym")
     if (!converged) {
-      free(prevIds)
+      rc.release("labels")
       throw new IllegalStateException(
         s"pointerJumpCC: not converged after $maxIter rounds — with " +
           s"jumping that implies diameter > 2^$maxIter; raise maxIter")
@@ -342,19 +370,10 @@ object GraphOps extends QueryModule {
          |  ON sz.lbl = l.lbl
          |ORDER BY id""".stripMargin
   }) { (s, d) =>
-    val sc = s.sparkContext
-    def persisted: Set[Int] = sc.getPersistentRDDs.keySet.toSet
-    def free(ids: Set[Int]): Unit = ids.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-    val pre0 = persisted
-    val e = blockEdges(s, d)
-    val sym = e.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
-    val symIds = persisted -- pre0
+    val rc = new RoundCheckpoints(s.sparkContext)
+    val sym = pinnedSym(rc, blockEdges(s, d))
     val verts = T(s, d, "customer").select(col("c_custkey").as("id"))
     var labels = verts.withColumn("lbl", col("id"))
-    var prevIds = Set.empty[Int]
     for (_ <- 1 to LpaRounds) {
       val votes = sym
         .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
@@ -365,16 +384,11 @@ object GraphOps extends QueryModule {
           Window.partitionBy("id").orderBy(col("c").desc, col("lbl").asc)))
         .filter(col("rn") === 1)
         .select(col("id"), col("lbl").as("wlbl"))
-      val pre = persisted
-      val next = labels
+      labels = rc.cycle("labels", labels
         .join(winners, Seq("id"), "left")
-        .select(col("id"), coalesce(col("wlbl"), col("lbl")).as("lbl"))
-        .localCheckpoint()
-      free(prevIds)
-      prevIds = persisted -- pre
-      labels = next
+        .select(col("id"), coalesce(col("wlbl"), col("lbl")).as("lbl")))
     }
-    free(symIds)
+    rc.release("sym")
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("n"))
     labels.join(sizes, Seq("lbl"))
       .select(col("id"), col("lbl").as("community"),

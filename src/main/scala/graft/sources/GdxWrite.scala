@@ -147,13 +147,16 @@ object GdxManifest {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     catch {
-      // NOT just AtomicMoveNotSupportedException: ATOMIC_MOVE ignores
-      // REPLACE_EXISTING per the Files.move spec, and providers where
-      // the destination exists (or is held open) throw
-      // FileAlreadyExists/AccessDenied instead — all IOExceptions
-      // funnel to the non-atomic replace, which itself throws loudly
-      // if the filesystem is genuinely broken.
-      case _: java.io.IOException =>
+      // CAPABILITY exceptions only: AtomicMoveNotSupported, plus
+      // FileAlreadyExists/AccessDenied (ATOMIC_MOVE ignores
+      // REPLACE_EXISTING per the Files.move spec — providers where dst
+      // exists signal it with those). A transient IOException must NOT
+      // take the non-atomic path: its replace may delete the live
+      // manifest before moving tmp in, opening exactly the
+      // no-manifest reader window the scaladoc above rules out.
+      case _: java.nio.file.AtomicMoveNotSupportedException |
+           _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.AccessDeniedException =>
         Files.move(tmp, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
   }
@@ -162,11 +165,13 @@ object GdxManifest {
     * (`_manifest.lock`), serialized JVM-locally by the enclosing
     * synchronized (so the overlapping-FileLock exception can't fire
     * between same-JVM committers). The channel cannot leak: it is
-    * closed even when lock() itself throws. Filesystems with no
-    * FileLock support (some NFS/FUSE/container mounts) degrade to
-    * LOCK-LESS execution — the pre-lock behavior, still safe for the
-    * common single-writer case — instead of hard-failing every commit
-    * to that dataset.
+    * closed even when lock() itself throws. Degrade to LOCK-LESS
+    * execution ONLY on UnsupportedOperationException — the spec'd
+    * no-FileLock-support signal (still safe for the common
+    * single-writer case). An IOException from lock() is an ORDINARY
+    * I/O error (its javadoc), not a capability statement: proceeding
+    * unlocked would silently drop the mutual exclusion on a healthy
+    * filesystem, so the commit fails loudly instead (channel closed).
     */
   private[sources] def withCommitLock[A](path: String)(body: => A): A =
     synchronized {
@@ -177,8 +182,8 @@ object GdxManifest {
       val lk =
         try ch.lock()
         catch {
-          case _: java.io.IOException | _: UnsupportedOperationException =>
-            ch.close(); null
+          case _: UnsupportedOperationException => ch.close(); null
+          case e: Throwable => ch.close(); throw e
         }
       if (lk == null) body
       else try body finally { lk.release(); ch.close() }
@@ -193,6 +198,19 @@ object GdxManifest {
     */
   def append(path: String, symbol: String, commits: Seq[GdxShardCommit]): Unit =
     withCommitLock(path) {
+      // A concurrent truncate-overwrite may have deleted this append's
+      // already-published shards between task commit and this driver
+      // commit (tasks don't hold the lock). Manifesting entries for
+      // deleted files would hand readers dangling references —
+      // committed-data-lost with both writers reporting success. Fail
+      // the APPEND loudly instead: overwrite-vs-append concurrency is
+      // an application-level conflict, and the overwrite's semantics
+      // ("replace the dataset") are the ones that stand.
+      val gone = commits.filterNot(c => new File(path, c.fileName).isFile)
+      if (gone.nonEmpty)
+        throw new IllegalStateException(
+          "gdx: shard(s) removed before manifest commit (concurrent " +
+            s"overwrite?): ${gone.map(_.fileName).mkString(", ")}")
       val mf = new File(path, "_manifest.json")
       val existing =
         if (mf.isFile)
@@ -346,13 +364,16 @@ class GdxBatchWrite(path: String, symbol: String, schema: StructType,
         // take: without it, an append holding the lock mid-read-modify-
         // write would write back the pre-overwrite entries — a manifest
         // referencing just-deleted shards, and every overwrite entry
-        // silently lost. Under the lock an append lands either before
-        // (and is replaced — overwrite semantics) or after (and appends
-        // to the NEW manifest — consistent). Residual, documented race:
-        // an overwrite concurrent with a mid-flight append TASK can
-        // delete that task's .gdx.inprogress temp (tasks don't hold the
-        // commit lock) — the append then fails loudly and retries;
-        // nothing is silently lost.
+        // silently lost. Under the lock an append COMMIT lands either
+        // before (and is replaced — overwrite semantics) or after (and
+        // appends to the NEW manifest). Residual, documented race: an
+        // overwrite concurrent with a mid-flight append can delete that
+        // append's .gdx.inprogress temps AND its already-published but
+        // not-yet-manifested shards (tasks don't hold the commit lock)
+        // — the append then FAILS LOUDLY, at the task (temp gone) or at
+        // its driver commit (GdxManifest.append verifies every shard
+        // file still exists before manifesting it). Nothing is ever
+        // silently lost or dangling.
         GdxManifest.write(path, layout.symbol, commits.map(GdxManifest.entryJson))
         val keep = commits.map(_.fileName).toSet
         val dir = new File(path)

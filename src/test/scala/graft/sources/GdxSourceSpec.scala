@@ -484,6 +484,10 @@ class GdxSourceSpec extends AnyFunSuite {
 
   test("manifest append is idempotent and shard publication leaves no temp files") {
     val dir = Files.createTempDirectory("gdx-manifest").toString
+    // append verifies shard files exist before manifesting them (the
+    // concurrent-overwrite guard) — publish placeholders first
+    Seq("shard-a.gdx", "shard-b.gdx", "shard-c.gdx")
+      .foreach(f => Files.write(java.nio.file.Paths.get(dir, f), Array[Byte](0)))
     val commits = Seq(
       graft.sources.GdxShardCommit("shard-a.gdx", 10, Some("aa"), Some("zz")),
       graft.sources.GdxShardCommit("shard-b.gdx", 5, None, None))
@@ -504,10 +508,19 @@ class GdxSourceSpec extends AnyFunSuite {
     val files = new java.io.File(dir).list().toSet
     assert(files.contains("shard-a.gdx") && !files.exists(_.contains(".inprogress")),
       s"unexpected files: $files")
+    // the concurrent-overwrite guard: manifesting a shard whose file is
+    // gone (deleted by a racing truncate) fails loudly, never dangles
+    val boom = intercept[IllegalStateException] {
+      graft.sources.GdxManifest.append(dir, "s",
+        Seq(graft.sources.GdxShardCommit("shard-x.gdx", 1, None, None)))
+    }
+    assert(boom.getMessage.contains("shard-x.gdx"))
   }
 
   test("manifest entries with braces in label ranges survive an append cycle") {
     val dir = Files.createTempDirectory("gdx-manifest-brace").toString
+    Seq("shard-a.gdx", "shard-b.gdx", "shard-c.gdx")
+      .foreach(f => Files.write(java.nio.file.Paths.get(dir, f), Array[Byte](0)))
     graft.sources.GdxManifest.append(dir, "s", Seq(
       graft.sources.GdxShardCommit("shard-a.gdx", 3, Some("a{b"), Some("z}y"))))
     graft.sources.GdxManifest.append(dir, "s", Seq(

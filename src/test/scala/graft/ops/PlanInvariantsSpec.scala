@@ -567,4 +567,15 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"marginal joins run on the catalog-bounded cell frame:\n$p")
   }
+
+  test("dedup_incremental_minhash: index probe is an equi join, never batch x corpus") {
+    val p = plan(graft.SparkEntry.queries("dedup_incremental_minhash")(spark, d))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band-index probe must stay an equi join:\n$p")
+    // the band table is checkpointed once and probed from both sides —
+    // the signature pipeline must not appear as a live parquet subtree
+    // feeding the candidate join twice (localCheckpoint truncates it)
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"band index must come from the checkpointed table:\n$p")
+  }
 }

@@ -107,6 +107,48 @@ class GraphSpec extends AnyFunSuite {
     assert(cc.forall(_.getLong(1) == 0L), "path must collapse to one component rooted at 0")
   }
 
+  test("scale probe: LPA on a 60k-vertex clique-bridge graph keeps the planted communities") {
+    // synthetic 10k blocks of 6 (like the operator's construction, at
+    // 40x the sf0.001 vertex count): the fixed-round runner must not
+    // degrade with graph size and communities must stay block-shaped
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val n = 60000L
+    val blk = spark.range(n).select(col("id"), (col("id") / 6).cast("long").as("b"))
+    val intra = blk.as("x").join(blk.as("y"),
+        col("y.b") === col("x.b") && col("y.id") > col("x.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+    val heads = blk.groupBy("b").agg(min("id").as("hid"), max("id").as("tid"))
+    val inter = heads.as("h1").join(heads.as("h2"), col("h2.b") === col("h1.b") + 1)
+      .select(col("h1.tid").as("a"), col("h2.hid").as("b"))
+    val edges = intra.unionByName(inter)
+    // run the SAME 4-round synchronous loop shape inline (the operator
+    // is bound to the customer table; this pins the runner's scaling)
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var labels = spark.range(n).select(col("id")).withColumn("lbl", col("id"))
+    for (_ <- 1 to 4) {
+      val winners = sym
+        .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
+        .groupBy(col("src").as("id"), col("nlbl").as("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("id").orderBy(col("c").desc, col("lbl").asc)))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("lbl").as("wlbl"))
+      labels = labels.join(winners, Seq("id"), "left")
+        .select(col("id"), coalesce(col("wlbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("n")).collect()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    val inSix = sizes.filter(_.getLong(1) == 6L).map(_.getLong(1)).sum
+    assert(inSix > n * 8 / 10, s"only $inSix of $n vertices in exact 6-communities")
+    assert(sizes.map(_.getLong(1)).max <= 12L)
+  }
+
   test("label propagation matches a driver-side synchronous vote loop; cliques dominate") {
     // independent reimplementation: materialize the clique+bridge graph
     // from the same customer slice, run 4 synchronous rounds naively

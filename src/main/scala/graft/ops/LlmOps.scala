@@ -628,6 +628,49 @@ object LlmOps extends QueryModule {
       .orderBy("qid", "rn") // top-k PER VECTOR = input-sized
   }
 
+  /** Metadata-FILTERED ANN (the vector-store capability every 2020s
+    * retrieval stack grew: "top-k nearest WHERE label = X"): the
+    * filter is pushed INTO the index key — candidates equi-join on the
+    * COMPOSITE (label, bucket), not on bucket alone. The alternative,
+    * post-filtering an unfiltered bucket's candidates, silently
+    * starves recall for minority labels (a fixed-k candidate set is
+    * mostly wrong-label rows); composing the key gives each label its
+    * own bucket space at zero extra passes — the partition-by-filter-
+    * key design production IVF/LSH stores use. Here every vector
+    * queries for its own label (the kNN-classifier / same-class-
+    * neighbor eval shape); an external predicate would bind the label
+    * column instead. Same planes, tie-breaks, and in-bucket ranking as
+    * [[sim_ann_lsh]] — the diff is ONLY the join key.
+    */
+  q("sim_ann_filtered",
+    s"""WITH bk AS (SELECT vec_id, embedding, label, ${bucketSql(8)} AS bucket
+       |            FROM embeddings),
+       |     j AS (SELECT l.vec_id AS qid, l.label, r.vec_id AS nbr,
+       |                  round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+       |                                               CAST(r.embedding AS DOUBLE[])), 6) AS cos
+       |           FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.label = r.label
+       |                                AND l.vec_id <> r.vec_id)
+       |SELECT qid, label, nbr, cos, rn FROM (
+       |  SELECT qid, label, nbr, cos,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS INTEGER) AS rn
+       |  FROM j) t
+       |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) { (s, d) =>
+    val b = lshBucketed(s, d, nPlanes = 8)
+    val l = b.select(col("bucket"), col("label"),
+      col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val r = b.select(col("bucket"), col("label"),
+      col("vec_id").as("nbr"), col("embedding"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nbr").asc)
+    l.join(r, Seq("bucket", "label"))
+      .filter(col("qid") =!= col("nbr"))
+      .withColumn("cos",
+        round(graft.functions.vec.cosine(col("qemb"), col("embedding")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("qid", "label", "nbr", "cos", "rn")
+      .orderBy("qid", "rn") // top-k PER VECTOR = input-sized
+  }
+
   /** IVF (inverted-file) ANN: K coarse centroids sampled
     * deterministically from the corpus (first K by vec_id — a k-means
     * refinement would drop in here unchanged); every vector is assigned

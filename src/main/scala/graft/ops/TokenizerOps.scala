@@ -230,6 +230,73 @@ object TokenizerOps extends QueryModule {
          |ORDER BY w0.doc_id""".stripMargin
   }
 
+  /** Tokenizer fertility by language (SPEC: the tokens-per-word /
+    * chars-per-token disparity audit every multilingual stack runs —
+    * Conneau 2020 §5's sampling law exists because fertility varies by
+    * language; a tokenizer trained on a skewed mix bills some
+    * languages 2-3× the tokens for the same text). Per lang: docs,
+    * words, BPE tokens, chars; fertility = tokens/word, compression =
+    * chars/token. Every aggregate is an INTEGER sum (exact at any
+    * partitioning), the two ratios are single rounded divisions.
+    * Map-side tokenize + one lang-keyed two-phase agg — no new
+    * shuffle beyond the ≤|langs| row aggregation.
+    *
+    * On THIS synthetic corpus every language draws from one shared
+    * 31-word vocabulary, so fertility is exactly 1.0 across the board
+    * (the 200-merge table fully merges the whole vocab — itself a
+    * meaningful audit result: full coverage) while chars_per_token
+    * varies by language. The disparity the metric exists to catch —
+    * a majority-language-trained tokenizer billing unseen-vocab
+    * languages multiple tokens per word — is demonstrated in BpeSpec
+    * ("fertility disparity under a skew-trained tokenizer") on a
+    * crafted two-language corpus, where it shows 1.0 vs >2.
+    */
+  qDyn("text_tokenizer_fertility") { (s, d) =>
+    import s.implicits._
+    val model = s.sparkContext.broadcast(trainOn(s, d))
+    T(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val m = model.value
+        val memo = mutable.HashMap.empty[String, Vector[String]]
+        it.map { case (_, lang, text) =>
+          val toks = Bpe.encode(text, m, memo)
+          val words = if (text == null) Array.empty[String]
+            else text.split(" ").filter(_.nonEmpty)
+          val normalized = words.mkString(" ")
+          (lang, 1L, words.length.toLong, toks.length.toLong,
+            normalized.codePointCount(0, normalized.length).toLong)
+        }
+      }
+      .toDF("lang", "one", "w", "t", "ch")
+      .groupBy("lang")
+      .agg(sum("one").as("n_docs"), sum("w").as("n_words"),
+        sum("t").as("n_tokens"), sum("ch").as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+        round(col("n_tokens") * lit(1.0) / col("n_words"), 6).as("fertility"),
+        round(col("n_chars") * lit(1.0) / col("n_tokens"), 6).as("chars_per_token"))
+      .reportSorted("lang")
+  } { (s, d) =>
+    encodeCtes(trainOn(s, d)) +
+      s""",
+         |dt AS (
+         |  SELECT k.doc_id, CAST(coalesce(sum(len(t.toks)), 0) AS BIGINT) AS n_tok
+         |  FROM dtk k JOIN wtk t ON t.w = k.w GROUP BY k.doc_id),
+         |pd AS (
+         |  SELECT d.lang, CAST(len(w0.ws) AS BIGINT) AS w,
+         |         coalesce(dt.n_tok, 0) AS t,
+         |         CAST(length(coalesce(array_to_string(w0.ws, ' '), '')) AS BIGINT) AS ch
+         |  FROM documents d JOIN dw w0 ON w0.doc_id = d.doc_id
+         |  LEFT JOIN dt ON dt.doc_id = d.doc_id)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(w) AS BIGINT) AS n_words,
+         |       CAST(sum(t) AS BIGINT) AS n_tokens,
+         |       round(sum(t) * 1.0 / sum(w), 6) AS fertility,
+         |       round(sum(ch) * 1.0 / sum(t), 6) AS chars_per_token
+         |FROM pd GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** The token-budget family parameterized by tokenizer — the same
     * greedy-prefix selection as `pipeline_token_budget` (rank docs per
     * source, keep while the running total fits) but budgeting REAL

@@ -129,4 +129,27 @@ class BpeSpec extends AnyFunSuite {
         "bins must be non-decreasing in doc order")
     }
   }
+
+  test("fertility disparity under a skew-trained tokenizer (the text_tokenizer_fertility motive)") {
+    // the production failure the registered per-lang fertility row
+    // audits: train BPE on a majority language only, then measure
+    // tokens-per-word per language. The synthetic driver corpus can't
+    // show it (all langs share one 31-word vocab → fertility exactly
+    // 1.0, full merge coverage), so the effect is pinned here on a
+    // crafted two-language corpus with disjoint vocabularies.
+    val majority = Seq("the", "quick", "brown", "fox", "jumps", "over",
+      "lazy", "dog", "and", "runs", "far", "away")
+    val minority = Seq("zxqv", "wkjy", "vbnm", "qwrt", "plgh", "mnbx")
+    val vocab = majority.map(w => w -> 50L) // trained on MAJORITY only
+    val model = Bpe.train(vocab, numMerges = 200)
+    val memo = mutable.HashMap.empty[String, Vector[String]]
+    def fertility(words: Seq[String]): Double = {
+      val text = words.mkString(" ")
+      Bpe.encode(text, model, memo).length.toDouble / words.length
+    }
+    val fMaj = fertility(majority)
+    val fMin = fertility(minority)
+    assert(fMaj == 1.0, s"trained vocab must fully merge: $fMaj")
+    assert(fMin > 2.0, s"unseen vocab must fragment to subwords: $fMin")
+  }
 }

@@ -600,32 +600,53 @@ object LlmOps extends QueryModule {
       .select("vec_id", "embedding", "label", "bucket")
   }
 
-  // Oracle: plane constants are inlined as SQL literals (see planeComps),
-  // so DuckDB reproduces the exact bucketing + in-bucket ranking.
-  q("sim_ann_lsh",
-    s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql(8)} AS bucket FROM embeddings),
-       |     j AS (SELECT l.vec_id AS qid, r.vec_id AS nbr,
+  /** ONE body for the in-bucket cosine top-3 (SQL + Spark) — the
+    * unfiltered and metadata-filtered rows differ ONLY in the join key
+    * (`bucket` vs composite `(bucket, label)`); a shared builder makes
+    * that claim structural, so a ranking/tie-break tweak cannot drift
+    * the two apart.
+    */
+  private def lshTopkSql(keys: Seq[String]): String = {
+    val extra = keys.filterNot(_ == "bucket")
+    val joinOn = keys.map(k => s"l.$k = r.$k").mkString(" AND ")
+    val sel = extra.map(k => s"l.$k, ").mkString
+    val out = extra.map(k => s"$k, ").mkString
+    s"""WITH bk AS (SELECT vec_id, embedding${extra.map(", " + _).mkString},
+       |            ${bucketSql(8)} AS bucket FROM embeddings),
+       |     j AS (SELECT l.vec_id AS qid, ${sel}r.vec_id AS nbr,
        |                  round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
        |                                               CAST(r.embedding AS DOUBLE[])), 6) AS cos
-       |           FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id)
-       |SELECT qid, nbr, cos, rn FROM (
-       |  SELECT qid, nbr, cos,
+       |           FROM bk l JOIN bk r ON $joinOn AND l.vec_id <> r.vec_id)
+       |SELECT qid, ${out}nbr, cos, rn FROM (
+       |  SELECT qid, ${out}nbr, cos,
        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS INTEGER) AS rn
        |  FROM j) t
-       |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) { (s, d) =>
-    // in-bucket cosine top-k per vector: self-equi-join on bucket
+       |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+  }
+
+  private def lshTopk(s: SparkSession, d: String, keys: Seq[String]): DataFrame = {
+    val extra = keys.filterNot(_ == "bucket")
     val b = lshBucketed(s, d, nPlanes = 8)
-    val l = b.select(col("bucket"), col("vec_id").as("qid"), col("embedding").as("qemb"))
-    val r = b.select(col("bucket"), col("vec_id").as("nbr"), col("embedding"))
+    val l = b.select(keys.map(col) ++
+      Seq(col("vec_id").as("qid"), col("embedding").as("qemb")): _*)
+    val r = b.select(keys.map(col) ++
+      Seq(col("vec_id").as("nbr"), col("embedding")): _*)
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nbr").asc)
-    l.join(r, Seq("bucket"))
+    l.join(r, keys)
       .filter(col("qid") =!= col("nbr"))
       .withColumn("cos",
         round(graft.functions.vec.cosine(col("qemb"), col("embedding")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
-      .select("qid", "nbr", "cos", "rn")
+      .select((Seq("qid") ++ extra ++ Seq("nbr", "cos", "rn")).map(col): _*)
       .orderBy("qid", "rn") // top-k PER VECTOR = input-sized
+  }
+
+  // Oracle: plane constants are inlined as SQL literals (see planeComps),
+  // so DuckDB reproduces the exact bucketing + in-bucket ranking.
+  q("sim_ann_lsh", lshTopkSql(Seq("bucket"))) { (s, d) =>
+    // in-bucket cosine top-k per vector: self-equi-join on bucket
+    lshTopk(s, d, Seq("bucket"))
   }
 
   /** Metadata-FILTERED ANN (the vector-store capability every 2020s
@@ -642,33 +663,8 @@ object LlmOps extends QueryModule {
     * column instead. Same planes, tie-breaks, and in-bucket ranking as
     * [[sim_ann_lsh]] — the diff is ONLY the join key.
     */
-  q("sim_ann_filtered",
-    s"""WITH bk AS (SELECT vec_id, embedding, label, ${bucketSql(8)} AS bucket
-       |            FROM embeddings),
-       |     j AS (SELECT l.vec_id AS qid, l.label, r.vec_id AS nbr,
-       |                  round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
-       |                                               CAST(r.embedding AS DOUBLE[])), 6) AS cos
-       |           FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.label = r.label
-       |                                AND l.vec_id <> r.vec_id)
-       |SELECT qid, label, nbr, cos, rn FROM (
-       |  SELECT qid, label, nbr, cos,
-       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS INTEGER) AS rn
-       |  FROM j) t
-       |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) { (s, d) =>
-    val b = lshBucketed(s, d, nPlanes = 8)
-    val l = b.select(col("bucket"), col("label"),
-      col("vec_id").as("qid"), col("embedding").as("qemb"))
-    val r = b.select(col("bucket"), col("label"),
-      col("vec_id").as("nbr"), col("embedding"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nbr").asc)
-    l.join(r, Seq("bucket", "label"))
-      .filter(col("qid") =!= col("nbr"))
-      .withColumn("cos",
-        round(graft.functions.vec.cosine(col("qemb"), col("embedding")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select("qid", "label", "nbr", "cos", "rn")
-      .orderBy("qid", "rn") // top-k PER VECTOR = input-sized
+  q("sim_ann_filtered", lshTopkSql(Seq("bucket", "label"))) { (s, d) =>
+    lshTopk(s, d, Seq("bucket", "label"))
   }
 
   /** IVF (inverted-file) ANN: K coarse centroids sampled

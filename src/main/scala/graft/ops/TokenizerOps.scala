@@ -274,8 +274,15 @@ object TokenizerOps extends QueryModule {
       .agg(sum("one").as("n_docs"), sum("w").as("n_words"),
         sum("t").as("n_tokens"), sum("ch").as("n_chars"))
       .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
-        round(col("n_tokens") * lit(1.0) / col("n_words"), 6).as("fertility"),
-        round(col("n_chars") * lit(1.0) / col("n_tokens"), 6).as("chars_per_token"))
+        // empty-text language ⇒ zero denominators: pin 0.0 on both
+        // engines (the text_bpe_tokenize guard — Spark's x/0 NULL vs
+        // DuckDB's IEEE inf would otherwise fork the hash)
+        when(col("n_words") === 0, lit(0.0))
+          .otherwise(round(col("n_tokens") * lit(1.0) / col("n_words"), 6))
+          .as("fertility"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(col("n_chars") * lit(1.0) / col("n_tokens"), 6))
+          .as("chars_per_token"))
       .reportSorted("lang")
   } { (s, d) =>
     encodeCtes(trainOn(s, d)) +
@@ -292,8 +299,10 @@ object TokenizerOps extends QueryModule {
          |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(w) AS BIGINT) AS n_words,
          |       CAST(sum(t) AS BIGINT) AS n_tokens,
-         |       round(sum(t) * 1.0 / sum(w), 6) AS fertility,
-         |       round(sum(ch) * 1.0 / sum(t), 6) AS chars_per_token
+         |       CASE WHEN sum(w) = 0 THEN CAST(0.0 AS DOUBLE)
+         |            ELSE round(sum(t) * 1.0 / sum(w), 6) END AS fertility,
+         |       CASE WHEN sum(t) = 0 THEN CAST(0.0 AS DOUBLE)
+         |            ELSE round(sum(ch) * 1.0 / sum(t), 6) END AS chars_per_token
          |FROM pd GROUP BY lang ORDER BY lang""".stripMargin
   }
 

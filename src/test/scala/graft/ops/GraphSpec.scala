@@ -143,7 +143,7 @@ class GraphSpec extends AnyFunSuite {
         .localCheckpoint()
     }
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("n")).collect()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    graft.Sessions.releaseCheckpoints(spark) // free the probe's residue
     val inSix = sizes.filter(_.getLong(1) == 6L).map(_.getLong(1)).sum
     assert(inSix > n * 8 / 10, s"only $inSix of $n vertices in exact 6-communities")
     assert(sizes.map(_.getLong(1)).max <= 12L)

@@ -121,7 +121,13 @@ case class MisraGriesTopK(
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (kk, c) => out.writeUTF(kk); out.writeLong(c) }
+    // length-prefixed UTF-8, NOT writeUTF: modified-UTF-8 caps entries
+    // at 65535 bytes and a >64KB counted item (a long document body)
+    // would crash the shuffle serialization mid-job
+    buf.foreach { case (kk, c) =>
+      val bs = kk.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(bs.length); out.write(bs); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -130,7 +136,11 @@ case class MisraGriesTopK(
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
-    (1 to n).foreach(_ => buf.update(in.readUTF(), in.readLong()))
+    (1 to n).foreach { _ =>
+      val bs = new Array[Byte](in.readInt())
+      in.readFully(bs)
+      buf.update(new String(bs, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+    }
     buf
   }
 

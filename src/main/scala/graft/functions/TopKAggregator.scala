@@ -26,8 +26,19 @@ case class TopKBuf(items: Seq[TopKEntry])
 
 case class TopKAgg(k: Int) extends Aggregator[TopKEntry, TopKBuf, TopKBuf] {
 
-  private def lt(a: TopKEntry, b: TopKEntry): Boolean =
-    a.value > b.value || (a.value == b.value && a.id < b.id)
+  require(k >= 1, s"TopKAgg needs k >= 1, got $k")
+
+  /** Spark's sort total order, not raw `>`: NaN sorts GREATEST (first
+    * under desc — raw comparisons are false both ways and would drop
+    * or mis-place NaN entries, diverging from the window form this
+    * class is contracted to match), and -0.0 equals 0.0.
+    */
+  private def lt(a: TopKEntry, b: TopKEntry): Boolean = {
+    val av = if (a.value == 0.0) 0.0 else a.value // normalize -0.0
+    val bv = if (b.value == 0.0) 0.0 else b.value
+    val c = java.lang.Double.compare(bv, av)
+    c < 0 || (c == 0 && a.id < b.id)
+  }
 
   override def zero: TopKBuf = TopKBuf(Vector.empty)
 

@@ -54,6 +54,28 @@ private[graft] trait VecArrayHelpers { self: Expression =>
     case ByteType => a.getByte(i).toDouble
     case _ => a.getDouble(i)
   }
+
+  /** Whether the array SCHEMA admits null elements. A null element read
+    * through getDouble/getFloat silently yields 0.0 (both
+    * GenericArrayData and UnsafeArrayData), which would corrupt a
+    * similarity instead of surfacing the bad input — so every vector
+    * expression null-checks elements and returns NULL for the row. The
+    * guard is generated ONLY when this is true: containsNull=false
+    * columns pay zero codegen overhead.
+    */
+  protected def mayContainNull(t: DataType): Boolean = t match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+
+  /** Interpreted-path twin of the generated guard: true if any of the
+    * first `n` elements is null.
+    */
+  protected def hasNullIn(a: ArrayData, n: Int): Boolean = {
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return true; i += 1 }
+    false
+  }
 }
 
 /** dot(a, b): Σ aᵢ·bᵢ over min(len(a), len(b)). */
@@ -65,6 +87,11 @@ case class VecDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // null ELEMENTS null the result, so nullability must admit it even
+  // when the array columns themselves are non-nullable
+  override def nullable: Boolean =
+    super.nullable || mayContainNull(left.dataType) || mayContainNull(right.dataType)
+
   private lazy val lType = elemType(left.dataType)
   private lazy val rType = elemType(right.dataType)
 
@@ -72,6 +99,7 @@ case class VecDot(left: Expression, right: Expression)
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), b.numElements())
+    if (hasNullIn(a, n) || hasNullIn(b, n)) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -86,10 +114,17 @@ case class VecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullGuard =
+        (if (mayContainNull(left.dataType)) Seq(s"$a.isNullAt($i)") else Nil) ++
+          (if (mayContainNull(right.dataType)) Seq(s"$b.isNullAt($i)") else Nil) match {
+          case Nil => ""
+          case cs => s"if (${cs.mkString(" || ")}) { ${ev.isNull} = true; break; }"
+        }
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullGuard
          |  $acc += ${getAsDouble(a, i, lType)} * ${getAsDouble(b, i, rType)};
          |}
          |${ev.value} = $acc;
@@ -109,13 +144,17 @@ case class VecNorm(child: Expression)
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean =
+    super.nullable || mayContainNull(child.dataType)
+
   private lazy val eType = elemType(child.dataType)
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (hasNullIn(a, n)) return null
     var acc = 0.0
     var i = 0
-    val n = a.numElements()
     while (i < n) {
       val x = readAsDouble(a, i, eType)
       acc += x * x
@@ -130,10 +169,15 @@ case class VecNorm(child: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val x = ctx.freshName("x")
+      val nullGuard =
+        if (mayContainNull(child.dataType))
+          s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullGuard
          |  double $x = ${getAsDouble(a, i, eType)};
          |  $acc += $x * $x;
          |}
@@ -156,6 +200,9 @@ case class VecCosine(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean =
+    super.nullable || mayContainNull(left.dataType) || mayContainNull(right.dataType)
+
   private lazy val lType = elemType(left.dataType)
   private lazy val rType = elemType(right.dataType)
 
@@ -163,6 +210,7 @@ case class VecCosine(left: Expression, right: Expression)
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), b.numElements())
+    if (hasNullIn(a, n) || hasNullIn(b, n)) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -185,10 +233,17 @@ case class VecCosine(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val nullGuard =
+        (if (mayContainNull(left.dataType)) Seq(s"$a.isNullAt($i)") else Nil) ++
+          (if (mayContainNull(right.dataType)) Seq(s"$b.isNullAt($i)") else Nil) match {
+          case Nil => ""
+          case cs => s"if (${cs.mkString(" || ")}) { ${ev.isNull} = true; break; }"
+        }
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullGuard
          |  double $x = ${getAsDouble(a, i, lType)};
          |  double $y = ${getAsDouble(b, i, rType)};
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
@@ -218,11 +273,15 @@ case class VecQuantize8(child: Expression)
 
   override def dataType: DataType = ArrayType(ByteType, containsNull = false)
 
+  override def nullable: Boolean =
+    super.nullable || mayContainNull(child.dataType)
+
   private lazy val eType = elemType(child.dataType)
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     val n = a.numElements()
+    if (hasNullIn(a, n)) return null
     var maxAbs = 0.0
     var i = 0
     while (i < n) {
@@ -256,23 +315,30 @@ case class VecQuantize8(child: Expression)
       val at = ctx.freshName("at")
       val fl = ctx.freshName("fl")
       val r = ctx.freshName("r")
+      val nullGuard =
+        if (mayContainNull(child.dataType))
+          s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = $a.numElements();
          |double $maxAbs = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullGuard
          |  double $x = java.lang.Math.abs(${getAsDouble(a, i, eType)});
          |  if ($x > $maxAbs) $maxAbs = $x;
          |}
-         |double $scale = 127.0 / java.lang.Math.max($maxAbs, 1e-30);
-         |byte[] $out = new byte[$n];
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $t = ${getAsDouble(a, i, eType)} * $scale;
-         |  double $at = java.lang.Math.abs($t);
-         |  double $fl = java.lang.Math.floor($at);
-         |  double $r = ($at - $fl >= 0.5) ? $fl + 1.0 : $fl;
-         |  $out[$i] = (byte) ($t < 0 ? -$r : $r);
+         |if (!${ev.isNull}) {
+         |  double $scale = 127.0 / java.lang.Math.max($maxAbs, 1e-30);
+         |  byte[] $out = new byte[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $t = ${getAsDouble(a, i, eType)} * $scale;
+         |    double $at = java.lang.Math.abs($t);
+         |    double $fl = java.lang.Math.floor($at);
+         |    double $r = ($at - $fl >= 0.5) ? $fl + 1.0 : $fl;
+         |    $out[$i] = (byte) ($t < 0 ? -$r : $r);
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
        """.stripMargin
     })
 
@@ -312,6 +378,9 @@ case class PqEncode(first: Expression, second: Expression,
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
+  override def nullable: Boolean =
+    super.nullable || mayContainNull(first.dataType)
+
   private lazy val eType = elemType(first.dataType)
   private lazy val m = third.eval().asInstanceOf[Int]
   private lazy val k = fourth.eval().asInstanceOf[Int]
@@ -334,6 +403,7 @@ case class PqEncode(first: Expression, second: Expression,
     // adjacent-memory garbage, not an error — so length-check per row
     require(x.numElements() >= m * sub,
       s"pq_encode: vector length ${x.numElements()} < m*sub = ${m * sub}")
+    if (hasNullIn(x, m * sub)) return null
     val out = new Array[Int](m)
     var mi = 0
     while (mi < m) {
@@ -371,28 +441,38 @@ case class PqEncode(first: Expression, second: Expression,
       val dist = ctx.freshName("dist")
       val dd = ctx.freshName("dd")
       val base = ctx.freshName("base")
+      val nn = ctx.freshName("nn")
+      val nullGuard =
+        if (mayContainNull(first.dataType))
+          s"""for (int $nn = 0; $nn < $m * $sub; $nn++) {
+             |  if ($x.isNullAt($nn)) { ${ev.isNull} = true; break; }
+             |}""".stripMargin
+        else ""
       s"""
          |int $sub = $cbRef.length / ${m * k};
          |if ($x.numElements() < $m * $sub) {
          |  throw new IllegalArgumentException("pq_encode: vector length " +
          |    $x.numElements() + " < m*sub = " + ($m * $sub));
          |}
-         |int[] $out = new int[$m];
-         |for (int $mi = 0; $mi < $m; $mi++) {
-         |  double $best = Double.MAX_VALUE;
-         |  int $bestK = 0;
-         |  for (int $ki = 0; $ki < $k; $ki++) {
-         |    double $dist = 0.0;
-         |    int $base = ($mi * $k + $ki) * $sub;
-         |    for (int $j = 0; $j < $sub; $j++) {
-         |      double $dd = ${getAsDouble(x, s"($mi * $sub + $j)", eType)} - $cbRef[$base + $j];
-         |      $dist += $dd * $dd;
+         |$nullGuard
+         |if (!${ev.isNull}) {
+         |  int[] $out = new int[$m];
+         |  for (int $mi = 0; $mi < $m; $mi++) {
+         |    double $best = Double.MAX_VALUE;
+         |    int $bestK = 0;
+         |    for (int $ki = 0; $ki < $k; $ki++) {
+         |      double $dist = 0.0;
+         |      int $base = ($mi * $k + $ki) * $sub;
+         |      for (int $j = 0; $j < $sub; $j++) {
+         |        double $dd = ${getAsDouble(x, s"($mi * $sub + $j)", eType)} - $cbRef[$base + $j];
+         |        $dist += $dd * $dd;
+         |      }
+         |      if ($dist < $best) { $best = $dist; $bestK = $ki; }
          |    }
-         |    if ($dist < $best) { $best = $dist; $bestK = $ki; }
+         |    $out[$mi] = $bestK;
          |  }
-         |  $out[$mi] = $bestK;
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
        """.stripMargin
     })
   }
@@ -435,8 +515,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (es: Seq[Expression]) => PqEncode(es(0), es(1), es(2), es(3))))
     ext.injectFunction((FunctionIdentifier("mg_topk"),
       new ExpressionInfo(classOf[MisraGriesTopK].getName, "mg_topk"),
-      (es: Seq[Expression]) => MisraGriesTopK(es(0),
-        es(1).eval(null).asInstanceOf[Number].intValue())))
+      (es: Seq[Expression]) => {
+        // a clear resolution-time message beats eval(null) exploding on
+        // an AttributeReference deep inside the planner
+        require(es(1).foldable, "mg_topk(item, k): k must be a literal")
+        MisraGriesTopK(es(0), es(1).eval(null).asInstanceOf[Number].intValue())
+      }))
     // Spark's own bloom-filter sketch pair, surfaced as SQL functions:
     // the engine builds these internally for runtime join filters but
     // does not register them — injection makes the build/probe pair a
@@ -446,9 +530,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
         "bloom_agg"),
-      (es: Seq[Expression]) =>
+      (es: Seq[Expression]) => {
+        require(es(1).foldable, "bloom_agg(item, n): n must be a literal")
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          es(0), es(1).eval(null).asInstanceOf[Number].longValue())))
+          es(0), es(1).eval(null).asInstanceOf[Number].longValue())
+      }))
     ext.injectFunction((FunctionIdentifier("bloom_contains"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,

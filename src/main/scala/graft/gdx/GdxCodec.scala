@@ -55,6 +55,10 @@ object GdxCodec {
     while ((b & 0x80) != 0) {
       result |= (b & 0x7f) << shift
       shift += 7
+      // unbounded shift would WRAP (JVM uses the low 5 bits), turning a
+      // corrupt varint into a silently wrong count far from the damage
+      if (shift > 28)
+        throw new java.io.IOException("gdx: malformed varint (>5 bytes)")
       b = in.readByte()
     }
     result | ((b & 0x7f) << shift)
@@ -63,19 +67,48 @@ object GdxCodec {
   // ------------------------------------------------------------ write
 
   def write(container: GdxContainer, path: String, compress: Boolean = true): Unit = {
-    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path), 1 << 16))
+    // validate BEFORE any byte is produced, and write via temp + atomic
+    // rename (the GdxStreamEncoder discipline): streaming straight to
+    // the destination would leave a torn file over a pre-existing good
+    // one if anything throws mid-write.
+    container.uels.foreach { u =>
+      require(u.length <= 63, s"UEL label longer than 63 chars: $u")
+    }
+    container.symbols.foreach { sym =>
+      sym.records.foreach { r =>
+        r.keys.foreach(k => require(k >= 0 && k < container.uels.size,
+          s"gdx: record key index $k outside UEL table (${container.uels.size}) " +
+            s"in symbol ${sym.name} — a reader would crash on label lookup"))
+      }
+    }
+    val tmp = new java.io.File(path + s".inprogress-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(tmp), 1 << 16))
     try {
       out.write(Magic)
       out.writeUTF(container.producer)
       out.writeBoolean(compress)
       writeVarInt(out, container.uels.size)
-      container.uels.foreach { u =>
-        require(u.length <= 63, s"UEL label longer than 63 chars: $u")
-        out.writeUTF(u)
-      }
+      container.uels.foreach(out.writeUTF)
       writeVarInt(out, container.symbols.size)
       container.symbols.foreach { sym => writeSymbol(out, sym, compress) }
-    } finally out.close()
+      out.close()
+      val dst = new java.io.File(path)
+      try java.nio.file.Files.move(tmp.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case e @ (_: java.nio.file.AtomicMoveNotSupportedException |
+                  _: java.nio.file.FileAlreadyExistsException |
+                  _: java.nio.file.AccessDeniedException) =>
+          if (!tmp.exists()) throw e
+          dst.delete()
+          if (!tmp.renameTo(dst))
+            throw new java.io.IOException(s"gdx: cannot publish $path")
+      }
+    } finally {
+      out.close() // no-op if already closed
+      tmp.delete() // no-op if already moved
+    }
   }
 
   private def writeSymbol(out: DataOutputStream, sym: GdxSymbol, compress: Boolean): Unit = {
@@ -217,18 +250,24 @@ object GdxCodec {
   final class GdxRecordStream private[GdxCodec] (path: String, compressed: Boolean,
       meta: SymbolMeta) extends Iterator[GdxRecord] with java.io.Closeable {
     private val fin = new FileInputStream(path)
-    locally {
-      var toSkip = meta.offset
-      while (toSkip > 0) {
-        val s = fin.skip(toSkip)
-        if (s <= 0) throw new EOFException(s"cannot seek to ${meta.name}")
-        toSkip -= s
+    // everything after the open can throw on a truncated/corrupt shard;
+    // a constructor that throws leaves the caller no handle to close,
+    // so the fd must be released HERE or task retries leak one each
+    private val (in, texts) =
+      try {
+        var toSkip = meta.offset
+        while (toSkip > 0) {
+          val s = fin.skip(toSkip)
+          if (s <= 0) throw new EOFException(s"cannot seek to ${meta.name}")
+          toSkip -= s
+        }
+        val bounded = new BoundedInputStream(fin, meta.dataLen)
+        val din = new DataInputStream(new BufferedInputStream(
+          if (compressed) new InflaterInputStream(bounded) else bounded, 1 << 16))
+        (din, Vector.fill(readVarInt(din))(din.readUTF()))
+      } catch {
+        case e: Throwable => fin.close(); throw e
       }
-    }
-    private val bounded = new BoundedInputStream(fin, meta.dataLen)
-    private val in = new DataInputStream(new BufferedInputStream(
-      if (compressed) new InflaterInputStream(bounded) else bounded, 1 << 16))
-    private val texts = Vector.fill(readVarInt(in))(in.readUTF())
     private val prev = new Array[Int](meta.dim)
     private var n = 0
 
@@ -273,37 +312,6 @@ object GdxCodec {
       r
     }
     override def close(): Unit = in.close()
-  }
-
-  def decodeRecords(blob: Array[Byte], compressed: Boolean, meta: SymbolMeta): Vector[GdxRecord] = {
-    val base: InputStream = new ByteArrayInputStream(blob)
-    val in = new DataInputStream(if (compressed) new InflaterInputStream(base) else base)
-    val nTexts = readVarInt(in)
-    val texts = Vector.fill(nTexts)(in.readUTF())
-    val out = Vector.newBuilder[GdxRecord]
-    val prev = new Array[Int](meta.dim)
-    var n = 0
-    while (n < meta.records) {
-      val first = in.readByte().toInt
-      var i = first
-      while (i < meta.dim) { prev(i) = readVarInt(in); i += 1 }
-      val keys = prev.clone()
-      meta.typ match {
-        case SymbolType.Set | SymbolType.Alias =>
-          val t = readVarInt(in)
-          out += GdxRecord(keys, Array.empty, if (t == 0) None else Some(texts(t - 1)))
-        case SymbolType.Parameter =>
-          out += GdxRecord(keys, Array(in.readDouble()))
-        case _ =>
-          val vs = new Array[Double](5)
-          var f = 0
-          while (f < 5) { vs(f) = in.readDouble(); f += 1 }
-          out += GdxRecord(keys, vs)
-      }
-      n += 1
-    }
-    in.close()
-    out.result()
   }
 
   /** Full read (all symbols). */

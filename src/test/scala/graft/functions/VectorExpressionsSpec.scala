@@ -174,4 +174,35 @@ class VectorExpressionsSpec extends AnyFunSuite {
     val n = spark.sql("SELECT vec_cosine(a, b) AS c FROM vecs WHERE vec_norm(a) > 0").count()
     assert(n == 2)
   }
+
+  test("null ELEMENTS yield null results, never a silent 0.0 read") {
+    // getDouble on a null slot returns 0.0 in both ArrayData impls —
+    // a plausible-but-wrong similarity; the expressions must surface
+    // NULL for the row instead, on BOTH execution paths
+    import org.apache.spark.sql.functions._
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array(CAST(1.0 AS DOUBLE), NULL, CAST(3.0 AS DOUBLE)),
+        |   array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE), CAST(3.0 AS DOUBLE))),
+        |  (array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE), CAST(3.0 AS DOUBLE)),
+        |   array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE), CAST(3.0 AS DOUBLE)))
+        |AS t(a, b)""".stripMargin)
+    df.createOrReplaceTempView("nullvecs")
+    for (codegen <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try {
+        val rows = spark.sql(
+          """SELECT vec_dot(a, b) AS d, vec_norm(a) AS n, vec_cosine(a, b) AS c,
+            |       vec_quantize8(a) AS q
+            |FROM nullvecs""".stripMargin).collect()
+        val withNull = rows(0)
+        assert(withNull.isNullAt(0) && withNull.isNullAt(1) &&
+          withNull.isNullAt(2) && withNull.isNullAt(3),
+          s"[$codegen] null element must null the result: $withNull")
+        val clean = rows(1)
+        assert(!clean.isNullAt(0) && math.abs(clean.getDouble(2) - 1.0) < 1e-9,
+          s"[$codegen] clean row must still compute: $clean")
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
 }

@@ -99,7 +99,10 @@ case class VecDot(left: Expression, right: Expression)
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), b.numElements())
-    if (hasNullIn(a, n) || hasNullIn(b, n)) return null
+    // schema-gated like the codegen path: containsNull=false arrays
+    // pay no per-row null scan in interpreted eval either
+    if ((mayContainNull(left.dataType) && hasNullIn(a, n)) ||
+        (mayContainNull(right.dataType) && hasNullIn(b, n))) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -152,7 +155,7 @@ case class VecNorm(child: Expression)
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     val n = a.numElements()
-    if (hasNullIn(a, n)) return null
+    if (mayContainNull(child.dataType) && hasNullIn(a, n)) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -210,7 +213,8 @@ case class VecCosine(left: Expression, right: Expression)
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), b.numElements())
-    if (hasNullIn(a, n) || hasNullIn(b, n)) return null
+    if ((mayContainNull(left.dataType) && hasNullIn(a, n)) ||
+        (mayContainNull(right.dataType) && hasNullIn(b, n))) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -281,7 +285,7 @@ case class VecQuantize8(child: Expression)
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     val n = a.numElements()
-    if (hasNullIn(a, n)) return null
+    if (mayContainNull(child.dataType) && hasNullIn(a, n)) return null
     var maxAbs = 0.0
     var i = 0
     while (i < n) {
@@ -403,7 +407,7 @@ case class PqEncode(first: Expression, second: Expression,
     // adjacent-memory garbage, not an error — so length-check per row
     require(x.numElements() >= m * sub,
       s"pq_encode: vector length ${x.numElements()} < m*sub = ${m * sub}")
-    if (hasNullIn(x, m * sub)) return null
+    if (mayContainNull(first.dataType) && hasNullIn(x, m * sub)) return null
     val out = new Array[Int](m)
     var mi = 0
     while (mi < m) {

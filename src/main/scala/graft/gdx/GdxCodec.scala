@@ -61,7 +61,56 @@ object GdxCodec {
         throw new java.io.IOException("gdx: malformed varint (>5 bytes)")
       b = in.readByte()
     }
+    // at shift==28 only bits 0-2 of the final byte fit in a
+    // non-negative Int (writeVarInt encodes values >= 0 only); bit 3
+    // would flip the sign and bits 4-6 shift out entirely — the same
+    // silently-wrong-count failure the >5-byte guard exists for, just
+    // one byte earlier
+    if (shift == 28 && (b & 0x78) != 0)
+      throw new java.io.IOException("gdx: malformed varint (value overflows Int)")
     result | ((b & 0x7f) << shift)
+  }
+
+  // ------------------------------------------------------------ publish
+
+  /** Publish a fully-written temp file over `dst`, atomically where the
+    * filesystem supports it. THE one publish implementation — the codec
+    * writer, the streaming shard encoder, and the manifest writer all
+    * route here so the fallback discipline cannot drift between copies.
+    *
+    * Semantics:
+    *  - ATOMIC_MOVE first; readers never observe a missing/partial dst.
+    *  - Fallback ONLY on CAPABILITY exceptions (AtomicMoveNotSupported,
+    *    plus FileAlreadyExists/AccessDenied — ATOMIC_MOVE ignores
+    *    REPLACE_EXISTING per the Files.move spec, and providers where
+    *    dst exists signal it with those). A TRANSIENT IOException (EIO,
+    *    a concurrent truncate having deleted the temp) propagates with
+    *    dst INTACT.
+    *  - The fallback is a plain REPLACE_EXISTING move — never a manual
+    *    dst.delete() + rename pair, whose failure after the delete
+    *    would leave NEITHER file.
+    *  - If even the fallback fails, the exception names `tmp`, which is
+    *    KEPT on disk: at that point it holds the only copy of the new
+    *    bytes, and a caller's cleanup must not remove it (callers gate
+    *    their temp-deletion on this method not having thrown).
+    */
+  private[graft] def publishAtomically(tmp: java.io.File, dst: java.io.File): Unit = {
+    try java.nio.file.Files.move(tmp.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e @ (_: java.nio.file.AtomicMoveNotSupportedException |
+                _: java.nio.file.FileAlreadyExistsException |
+                _: java.nio.file.AccessDeniedException) =>
+        if (!tmp.exists()) throw e
+        try java.nio.file.Files.move(tmp.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        catch {
+          case e2: java.io.IOException =>
+            throw new java.io.IOException(
+              s"gdx: cannot publish $dst — new bytes kept at $tmp", e2)
+        }
+    }
   }
 
   // ------------------------------------------------------------ write
@@ -82,6 +131,7 @@ object GdxCodec {
       }
     }
     val tmp = new java.io.File(path + s".inprogress-${java.util.UUID.randomUUID().toString.take(8)}")
+    var fullyWritten = false
     val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(tmp), 1 << 16))
     try {
       out.write(Magic)
@@ -92,22 +142,16 @@ object GdxCodec {
       writeVarInt(out, container.symbols.size)
       container.symbols.foreach { sym => writeSymbol(out, sym, compress) }
       out.close()
-      val dst = new java.io.File(path)
-      try java.nio.file.Files.move(tmp.toPath, dst.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case e @ (_: java.nio.file.AtomicMoveNotSupportedException |
-                  _: java.nio.file.FileAlreadyExistsException |
-                  _: java.nio.file.AccessDeniedException) =>
-          if (!tmp.exists()) throw e
-          dst.delete()
-          if (!tmp.renameTo(dst))
-            throw new java.io.IOException(s"gdx: cannot publish $path")
-      }
+      fullyWritten = true
+      publishAtomically(tmp, new java.io.File(path))
     } finally {
       out.close() // no-op if already closed
-      tmp.delete() // no-op if already moved
+      // a partial temp (write-body failure) is worthless — remove it;
+      // after a FAILED publish of a fully-written temp, the temp is
+      // the only copy of the new bytes (publishAtomically names it in
+      // the exception) — keep it. After a successful publish the move
+      // consumed it and delete() is a no-op.
+      if (!fullyWritten) tmp.delete()
     }
   }
 

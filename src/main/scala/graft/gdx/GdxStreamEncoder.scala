@@ -97,6 +97,7 @@ final class GdxStreamEncoder(finalPath: String, name: String, typ: Int, dim: Int
   def finish(): Unit = {
     rec.close()
     val tmpBlob = File.createTempFile("gdx-spill-", ".blob")
+    var fullyWritten = false
     try {
       val rawOut: OutputStream =
         new BufferedOutputStream(new FileOutputStream(tmpBlob), 1 << 16)
@@ -130,39 +131,21 @@ final class GdxStreamEncoder(finalPath: String, name: String, typ: Int, dim: Int
         GdxCodec.writeVarInt(out, blobLen.toInt)
         copyTo(tmpBlob, out)
       } finally out.close()
-      val dst = new File(finalPath)
       // idempotent epoch re-run overwrites its own shard ATOMICALLY:
-      // a delete-then-rename pair would open a window with no file at
-      // finalPath, during which a committedOnly reader replaying a
-      // manifest-recorded offset throws committed-data-lost (and a
-      // listing reader silently skips the shard). Fall back to the
-      // pair only where the filesystem can't replace atomically.
-      // The fallback set is CAPABILITY exceptions only —
-      // AtomicMoveNotSupported, plus FileAlreadyExists/AccessDenied
-      // (ATOMIC_MOVE ignores REPLACE_EXISTING per the Files.move spec,
-      // and providers where dst exists — the idempotent epoch re-run —
-      // signal it with those instead). A TRANSIENT IOException (EIO, a
-      // concurrent truncate having deleted the temp) must propagate
-      // with dst INTACT: running the delete+rename pair on it would
-      // destroy an already-committed, manifest-referenced shard before
-      // surfacing the error. Same reason the pair is guarded on the
-      // temp still existing.
-      try java.nio.file.Files.move(inProgress.toPath, dst.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case e @ (_: java.nio.file.AtomicMoveNotSupportedException |
-                  _: java.nio.file.FileAlreadyExistsException |
-                  _: java.nio.file.AccessDeniedException) =>
-          if (!inProgress.exists()) throw e
-          dst.delete()
-          if (!inProgress.renameTo(dst))
-            throw new java.io.IOException(s"gdx: cannot publish shard $finalPath")
-      }
+      // a window with no file at finalPath would make a committedOnly
+      // reader replaying a manifest-recorded offset throw
+      // committed-data-lost (and a listing reader silently skip the
+      // shard). publishAtomically carries the full fallback
+      // discipline: capability-exception-only fallback, no manual
+      // delete+rename pair, transient errors propagate with dst
+      // intact, and on publish failure the in-progress file is the
+      // only copy of the shard — the finally below must not remove it.
+      fullyWritten = true
+      GdxCodec.publishAtomically(inProgress, new File(finalPath))
     } finally {
       tmpRecords.delete()
       tmpBlob.delete()
-      inProgress.delete()
+      if (!fullyWritten) inProgress.delete()
     }
   }
 

@@ -4018,7 +4018,7 @@ object LlmOps extends QueryModule {
       |  SELECT doc_id, source, lang,
       |         round(CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
       |               / len(str_split(text, ' ')), 6) AS score
-      |  FROM documents),
+      |  FROM documents WHERE text IS NOT NULL),
       |     rk AS (
       |  SELECT source, lang, doc_id, score,
       |         row_number() OVER (PARTITION BY source, lang
@@ -4037,6 +4037,11 @@ object LlmOps extends QueryModule {
       |ORDER BY c.source, c.lang, c.rb""") { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val scored = T(s, d, "documents")
+      // NULL text would score NULL, and the two engines then disagree
+      // on where NULLs land in the rank windows (Spark ASC=NULLS FIRST
+      // vs DuckDB ASC=NULLS LAST), shifting every real rank — filter
+      // defensively like the sibling encode/lz78 rows do
+      .filter(col("text").isNotNull)
       .withColumn("tok", split(col("text"), " "))
       .select(col("doc_id"), col("source"), col("lang"),
         round(size(array_distinct(col("tok"))).cast("double")

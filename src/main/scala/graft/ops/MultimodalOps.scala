@@ -25,8 +25,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * function (pixel / PCM sample / frame luma) is a closed form of
   * (doc_id, position), the DuckDB oracle reproduces every
   * decode-derived number without any media library — each decoder is
-  * verified, not trusted. A compressed codec (JPEG/FLAC/H.264) drops
-  * into the same MediaCodec seam with no operator change.
+  * verified, not trusted. The compressed-codec seam is exercised for
+  * real by `mm_jpeg_meta`: payloads transcode through the JDK's
+  * genuine lossy JPEG encoder and metadata is read back off the
+  * compressed bytes by a T.81 marker walker (FLAC/H.264 would drop
+  * into the same seam; no JVM-builtin codec exists for those).
   *
   * Scale: all operators are embarrassingly parallel over rows — no
   * shuffle except explicit output ordering; decode/extract hold
@@ -66,6 +69,56 @@ object MultimodalOps extends QueryModule {
 
     def decodePng(bytes: Array[Byte]): BufferedImage =
       ImageIO.read(new ByteArrayInputStream(bytes))
+
+    /** Re-encode a decoded raster as baseline JPEG via the JDK's real
+      * DCT+Huffman encoder — genuine lossy compression, not a stub.
+      * The JPEG rows exist to prove the compressed-codec seam: the
+      * pixel closed form no longer survives (quantization error), but
+      * the FRAME HEADER does, so metadata extraction over compressed
+      * bytes stays exactly oracle-checkable.
+      */
+    def encodeJpeg(img: BufferedImage): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      require(ImageIO.write(img, "jpg", out), "jpeg: no JDK writer registered")
+      out.toByteArray
+    }
+
+    /** ITU T.81 §B.2.2 marker walk: (width, height, components) from
+      * the first SOF frame header WITHOUT entropy-decoding anything —
+      * the metadata-extraction-at-scale shape (a 100 TB image corpus
+      * reads 10 header bytes per file, never the DCT payload). Walks
+      * real marker segments: SOI, fill bytes, standalone RST/TEM,
+      * length-prefixed segments; rejects streams whose scan starts
+      * before any frame header.
+      */
+    def jpegDims(bytes: Array[Byte]): (Int, Int, Int) = {
+      def u8(i: Int): Int = bytes(i) & 0xff
+      def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+      require(bytes.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8,
+        "jpeg: missing SOI marker")
+      var i = 2
+      while (i + 3 < bytes.length) {
+        if (u8(i) != 0xff)
+          throw new IllegalArgumentException(s"jpeg: expected marker at byte $i")
+        var j = i + 1
+        while (u8(j) == 0xff) j += 1 // fill bytes (T.81 §B.1.1.2)
+        val m = u8(j)
+        val seg = j + 1 // first byte after the marker code
+        m match {
+          case 0xd8 | 0x01 => i = seg // SOI / TEM: standalone
+          case r if r >= 0xd0 && r <= 0xd7 => i = seg // RSTn: standalone
+          case 0xd9 =>
+            throw new IllegalArgumentException("jpeg: EOI before SOF")
+          case 0xda =>
+            throw new IllegalArgumentException("jpeg: SOS before SOF")
+          case f if f >= 0xc0 && f <= 0xcf && f != 0xc4 && f != 0xc8 && f != 0xcc =>
+            // SOFn: length u16, precision u8, height u16, width u16, Nf u8
+            return (u16(seg + 5), u16(seg + 3), u8(seg + 7))
+          case _ => i = seg + u16(seg) // segment length includes itself
+        }
+      }
+      throw new IllegalArgumentException("jpeg: no SOF marker found")
+    }
 
     def meanPixel(img: BufferedImage): Double = {
       val r = img.getRaster
@@ -404,6 +457,44 @@ object MultimodalOps extends QueryModule {
        |                  FOR i IN range(0, w*h)]) / (w*h), 6) AS mean_px
        |FROM im ORDER BY doc_id""".stripMargin) { (s, d) =>
     decodeMeta(mediaTable(s, d).filter(col("meta.kind") === "image"))
+      .orderBy("doc_id") // one row per image doc = input-sized
+  }
+
+  // ---------------------------------------------------- jpeg metadata
+
+  final case class JpegMeta(doc_id: Long, width: Int, height: Int,
+      channels: Int)
+
+  /** Compressed-codec metadata extraction — the shape every image
+    * corpus ingest runs at 100 TB: transcode the stored raster to
+    * REAL baseline JPEG (the JDK's DCT+Huffman encoder, genuinely
+    * lossy), then read width/height/components straight off the
+    * compressed bytes with the T.81 marker walker — no entropy
+    * decode, ~10 header bytes touched per payload. The oracle knows
+    * the dims from the image closed form, so a wrong transcode OR a
+    * wrong marker walk both red the hash; the lossy pixel path is
+    * pinned separately in MultimodalSpec (decode tolerance + parser
+    * agreement with ImageIO). Map-side only; O(batch) memory.
+    */
+  q("mm_jpeg_meta",
+    s"""WITH $imDimsSql
+       |SELECT doc_id, CAST(w AS INTEGER) AS width,
+       |       CAST(h AS INTEGER) AS height, 1 AS channels
+       |FROM im ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sess = s
+    import sess.implicits._
+    mediaTable(s, d).filter(col("meta.kind") === "image")
+      .select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap { batch =>
+          batch.map { r =>
+            val jpeg = MediaCodec.encodeJpeg(MediaCodec.decodePng(r.payload))
+            val (w, h, comps) = MediaCodec.jpegDims(jpeg)
+            JpegMeta(r.doc_id, w, h, comps)
+          }
+        }
+      }
+      .toDF()
       .orderBy("doc_id") // one row per image doc = input-sized
   }
 

@@ -142,23 +142,12 @@ object GdxManifest {
     val tmp = Paths.get(path,
       s"_manifest.json.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     Files.write(tmp, body)
-    val dst = Paths.get(path, "_manifest.json")
-    try Files.move(tmp, dst,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      // CAPABILITY exceptions only: AtomicMoveNotSupported, plus
-      // FileAlreadyExists/AccessDenied (ATOMIC_MOVE ignores
-      // REPLACE_EXISTING per the Files.move spec — providers where dst
-      // exists signal it with those). A transient IOException must NOT
-      // take the non-atomic path: its replace may delete the live
-      // manifest before moving tmp in, opening exactly the
-      // no-manifest reader window the scaladoc above rules out.
-      case _: java.nio.file.AtomicMoveNotSupportedException |
-           _: java.nio.file.FileAlreadyExistsException |
-           _: java.nio.file.AccessDeniedException =>
-        Files.move(tmp, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    // shared fallback discipline (capability-exception-only fallback,
+    // no manual delete+rename, transient errors propagate with the
+    // live manifest intact) lives in GdxCodec.publishAtomically — the
+    // codec writer and the shard encoder publish through the same code
+    graft.gdx.GdxCodec.publishAtomically(
+      tmp.toFile, Paths.get(path, "_manifest.json").toFile)
   }
 
   /** Run `body` holding the dataset's cross-process commit lock

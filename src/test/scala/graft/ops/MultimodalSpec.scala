@@ -103,6 +103,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(perDoc.join(expected, "doc_id")
       .filter(col("count") =!= col("exp")).count() == 0)
   }
+
+  test("JPEG transcode is real lossy compression; marker walk agrees with ImageIO") {
+    import MultimodalOps.MediaCodec
+    for (docId <- Seq(0L, 3L, 9L, 21L)) {
+      val w = (16 * (docId % 4 + 1)).toInt
+      val h = (16 * (docId % 3 + 1)).toInt
+      val png = MediaCodec.encodePng(docId, w, h)
+      val jpeg = MediaCodec.encodeJpeg(MediaCodec.decodePng(png))
+      // header walk without entropy decode matches the full decoder
+      val (pw, ph, comps) = MediaCodec.jpegDims(jpeg)
+      val full = MediaCodec.decodePng(jpeg) // ImageIO dispatches on content
+      assert((pw, ph) == (full.getWidth, full.getHeight) && (pw, ph) == (w, h))
+      assert(comps == 1) // gray raster -> single-component JPEG
+      // genuinely lossy DCT path, not a PNG rename: bytes differ and the
+      // decoded mean only APPROXIMATES the closed form (exact for PNG)
+      assert(!jpeg.sameElements(png))
+      val exactMean = MediaCodec.meanPixel(MediaCodec.decodePng(png))
+      val jpegMean = MediaCodec.meanPixel(full)
+      assert(math.abs(jpegMean - exactMean) < 16.0,
+        s"doc $docId: jpeg mean $jpegMean too far from $exactMean")
+    }
+  }
+
+  test("JPEG marker walk rejects corrupt streams instead of misreading them") {
+    import MultimodalOps.MediaCodec
+    val jpeg = MediaCodec.encodeJpeg(
+      MediaCodec.decodePng(MediaCodec.encodePng(5L, 32, 16)))
+    intercept[IllegalArgumentException] {
+      MediaCodec.jpegDims("not a jpeg at all".getBytes("US-ASCII"))
+    }
+    // truncate before any SOF: walker must throw, not return garbage
+    intercept[Exception] { MediaCodec.jpegDims(jpeg.take(4)) }
+    // SOI immediately followed by EOI: legal markers, no frame header
+    intercept[IllegalArgumentException] {
+      MediaCodec.jpegDims(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte))
+    }
+  }
+
+  test("mm_jpeg_meta reports header dims for every image doc") {
+    val out = SparkEntryAccess.query("mm_jpeg_meta")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (16 * (id % 4 + 1)).toInt)
+      assert(r.getInt(2) == (16 * (id % 3 + 1)).toInt)
+      assert(r.getInt(3) == 1)
+    }
+  }
 }
 
 /** Test access to the registered query map without duplicating wiring. */

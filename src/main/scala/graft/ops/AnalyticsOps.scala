@@ -31,9 +31,9 @@ object AnalyticsOps extends QueryModule {
       |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY event_type)
       |SELECT CAST(a.n AS BIGINT) AS n_click, CAST(b.n AS BIGINT) AS n_purchase,
       |       round(a.m - b.m, 6) AS mean_diff,
-      |       round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat,
+      |       round((a.m - b.m) / nullif(sqrt(a.v / a.n + b.v / b.n), 0), 4) AS t_stat,
       |       round(pow(a.v / a.n + b.v / b.n, 2) /
-      |             (pow(a.v / a.n, 2) / (a.n - 1) + pow(b.v / b.n, 2) / (b.n - 1)), 2) AS df_welch
+      |             nullif(pow(a.v / a.n, 2) / (a.n - 1) + pow(b.v / b.n, 2) / (b.n - 1), 0), 2) AS df_welch
       |FROM (SELECT * FROM g WHERE event_type = 'click') a,
       |     (SELECT * FROM g WHERE event_type = 'purchase') b""") { (s, d) =>
     val g = T(s, d, "events")
@@ -45,14 +45,16 @@ object AnalyticsOps extends QueryModule {
     val b = g.filter(col("event_type") === "purchase")
       .select(col("n").as("nb"), col("m").as("mb"), col("v").as("vb"))
     val se2 = col("va") / col("na") + col("vb") / col("nb")
+    // both arms constant -> zero variance: IEEE would give +-Inf/NaN
+    // with engine-specific rendering — nullif pins BOTH engines to NULL
     a.crossJoin(b).select(
       col("na").cast("long").as("n_click"),
       col("nb").cast("long").as("n_purchase"),
       round(col("ma") - col("mb"), 6).as("mean_diff"),
-      round((col("ma") - col("mb")) / sqrt(se2), 4).as("t_stat"),
+      round((col("ma") - col("mb")) / nullif(sqrt(se2), lit(0.0)), 4).as("t_stat"),
       round(pow(se2, 2) /
-        (pow(col("va") / col("na"), 2) / (col("na") - 1) +
-          pow(col("vb") / col("nb"), 2) / (col("nb") - 1)), 2).as("df_welch"))
+        nullif(pow(col("va") / col("na"), 2) / (col("na") - 1) +
+          pow(col("vb") / col("nb"), 2) / (col("nb") - 1), lit(0.0)), 2).as("df_welch"))
   }
 
   /** Pearson chi-square test of independence between event_type and a
@@ -356,23 +358,25 @@ object AnalyticsOps extends QueryModule {
       |  FROM events GROUP BY user_id),
       |f AS (SELECT pre, post FROM u WHERE pre IS NOT NULL AND post IS NOT NULL)
       |SELECT CAST(count(*) AS BIGINT) AS n_users,
-      |       round(covar_samp(pre, post) / var_samp(pre), 6) AS theta,
+      |       round(covar_samp(pre, post) / nullif(var_samp(pre), 0), 6) AS theta,
       |       round(var_samp(post), 6) AS var_post,
-      |       round(var_samp(post) - pow(covar_samp(pre, post), 2) / var_samp(pre), 6) AS var_adj,
-      |       round(pow(covar_samp(pre, post), 2) / (var_samp(pre) * var_samp(post)), 6) AS var_reduction
+      |       round(var_samp(post) - pow(covar_samp(pre, post), 2) / nullif(var_samp(pre), 0), 6) AS var_adj,
+      |       round(pow(covar_samp(pre, post), 2) / nullif(var_samp(pre) * var_samp(post), 0), 6) AS var_reduction
       |FROM f""") { (s, d) =>
     val u = T(s, d, "events")
       .groupBy("user_id")
       .agg(avg(when(col("event_type") === "view", col("value"))).as("pre"),
         avg(when(col("event_type") === "purchase", col("value"))).as("post"))
       .filter(col("pre").isNotNull && col("post").isNotNull)
+    // all-identical pre averages -> var_samp(pre)=0: 0/0 renders
+    // engine-specifically (NaN vs NULL) — nullif pins both to NULL
     u.agg(count(lit(1)).cast("long").as("n_users"),
-      round(covar_samp("pre", "post") / var_samp("pre"), 6).as("theta"),
+      round(covar_samp("pre", "post") / nullif(var_samp("pre"), lit(0.0)), 6).as("theta"),
       round(var_samp("post"), 6).as("var_post"),
-      round(var_samp("post") - pow(covar_samp("pre", "post"), 2) / var_samp("pre"), 6)
-        .as("var_adj"),
-      round(pow(covar_samp("pre", "post"), 2) / (var_samp("pre") * var_samp("post")), 6)
-        .as("var_reduction"))
+      round(var_samp("post") - pow(covar_samp("pre", "post"), 2)
+        / nullif(var_samp("pre"), lit(0.0)), 6).as("var_adj"),
+      round(pow(covar_samp("pre", "post"), 2)
+        / nullif(var_samp("pre") * var_samp("post"), lit(0.0)), 6).as("var_reduction"))
   }
 
   /** Kaplan–Meier survival over per-user lifetimes with right
@@ -401,8 +405,11 @@ object AnalyticsOps extends QueryModule {
       |             (SELECT count(*) FROM life) AS total FROM ev),
       |r AS (SELECT t, d, total - gone AS n FROM o WHERE d > 0)
       |SELECT CAST(t AS BIGINT) AS t_min, CAST(n AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
-      |       round(exp(sum(ln(1 - d * 1.0 / n))
-      |             OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6) AS survival
+      |       round(CASE WHEN max(CASE WHEN d = n THEN 1 ELSE 0 END)
+      |                       OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1
+      |             THEN 0.0
+      |             ELSE exp(sum(ln(nullif(1 - d * 1.0 / n, 0)))
+      |                  OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) END, 6) AS survival
       |FROM r ORDER BY t_min""") { (s, d) =>
     val e = T(s, d, "events")
     val life = e.groupBy("user_id")
@@ -421,8 +428,16 @@ object AnalyticsOps extends QueryModule {
       .withColumn("gone", sum("m").over(wo) - col("m"))
       .filter(col("d") > 0)
       .select(col("t"), col("d"), (col("total") - col("gone")).as("n"))
+      // the terminal point can have d == n (everyone remaining dies):
+      // the product hits an exact 0 factor, but ln(0) is NULL in Spark
+      // (sum would silently SKIP it) and an error/-inf in DuckDB — so
+      // flag the zero via a window max and emit 0.0 explicitly, with
+      // nullif keeping the ln argument strictly positive on both
+      // engines (d == n is only possible at the last at-risk point)
       .withColumn("survival",
-        round(exp(sum(log(lit(1) - col("d") * lit(1.0) / col("n"))).over(wo)), 6))
+        round(when(max(when(col("d") === col("n"), 1).otherwise(0)).over(wo) === 1,
+          lit(0.0)).otherwise(
+          exp(sum(log(nullif(lit(1) - col("d") * lit(1.0) / col("n"), lit(0.0)))).over(wo))), 6))
       .select(col("t").cast("long").as("t_min"), col("n").cast("long").as("n_risk"),
         col("d").cast("long").as("d"), col("survival"))
       .reportSorted("t_min")
@@ -452,11 +467,15 @@ object AnalyticsOps extends QueryModule {
     val rev = T(s, d, "lineitem")
       .groupBy("l_partkey")
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("r"))
-    val tot = rev.agg(round(sum("r"), 4).as("t"))
+    val tot = rev.agg(round(sum("r"), 4).as("t"), count(lit(1)).as("np"))
     val top5 = rev.orderBy(col("r").desc, col("l_partkey").asc).limit(5)
       .select(col("l_partkey").cast("string").as("grp"), col("r"))
     val topSum = top5.agg(sum("r").as("ts"))
+    // the oracle's CASE only yields 'other' when rank>5 rows exist —
+    // on <=5 distinct parts an unconditional row would be an extra
+    // ('other', 0.0) the oracle never produces
     val other = tot.crossJoin(broadcast(topSum))
+      .filter(col("np") > 5)
       .select(lit("other").as("grp"), (col("t") - col("ts")).as("r"))
     top5.unionByName(other).crossJoin(broadcast(tot))
       .groupBy("grp")
@@ -668,7 +687,7 @@ object AnalyticsOps extends QueryModule {
       |              sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n1,
       |              sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n2
       |       FROM r),
-      |tt AS (SELECT sum(c * c * c - c) AS tie3
+      |tt AS (SELECT sum(CAST(c AS DOUBLE) * c * c - c) AS tie3
       |       FROM (SELECT count(*) AS c FROM e GROUP BY value) x)
       |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
       |       round(r1 - n1 * (n1 + 1) / 2.0, 1) AS u1,
@@ -689,7 +708,10 @@ object AnalyticsOps extends QueryModule {
     val st = ranked.agg(
       sum("n1v").as("n1"), sum(col("nv") - col("n1v")).as("n2"),
       sum(col("n1v") * col("ar")).as("r1"),
-      sum(col("nv") * col("nv") * col("nv") - col("nv")).as("tie3"))
+      // cube in DOUBLE: a hot value with >2.09M ties would overflow the
+      // Long cube (ANSI crash); doubles stay integer-exact to 2^53 and
+      // degrade gracefully past it (tie3 only feeds the 4dp-rounded z)
+      sum(col("nv").cast("double") * col("nv") * col("nv") - col("nv")).as("tie3"))
     val n1 = col("n1"); val n2 = col("n2"); val n = n1 + n2
     st.select(n1.cast("long").as("n1"), n2.cast("long").as("n2"),
       round(col("r1") - n1 * (n1 + 1) / lit(2.0), 1).as("u1"),

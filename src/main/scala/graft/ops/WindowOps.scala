@@ -82,7 +82,10 @@ object WindowOps extends QueryModule {
       |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS sum_1h
       |FROM events ORDER BY event_id""") { (s, d) =>
     val e = T(s, d, "events")
-      .withColumn("sec", (unix_micros(col("ts")) / lit(1000000L)).cast("long"))
+      // integer floor division (`div`) matching the oracle's `//` —
+      // double `/` + cast truncates toward zero, which differs from
+      // floor for pre-epoch timestamps (checklist rule 6)
+      .withColumn("sec", expr("unix_micros(ts) div 1000000"))
     val w = Window.partitionBy("user_id").orderBy(col("sec").asc)
       .rangeBetween(-3600, 0)
     e.select(col("event_id"), round(sum(col("value")).over(w), 4).as("sum_1h"))
@@ -313,7 +316,9 @@ object WindowOps extends QueryModule {
       .groupBy("user_id", "event_type", "island")
       .agg(count(lit(1)).as("run_len"),
         unix_micros(min(col("ts"))).as("run_start_us"))
-      .reportSorted("user_id", "island")
+      // islands are input-sized in the worst case (alternating types):
+      // keep the distributed sort per the ReportSort STRICT RULE
+      .orderBy("user_id", "island")
   }
 
   /** first/last/nth frame navigation — completes the window-function

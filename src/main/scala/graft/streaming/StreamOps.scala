@@ -105,34 +105,90 @@ object StreamOps {
   // ------------------------------------------------------------ funnel
 
   case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
-  case class FunnelState(stage: Int) // 0 none, 1 viewed, 2 clicked
+  /** First-occurrence micros per funnel step, Long.MaxValue = unseen;
+    * `done` pins exactly-once emission against re-deliveries.
+    */
+  case class FunnelState(vt: Long, ct: Long, pt: Long, done: Boolean)
   case class FunnelHit(user_id: Long, completed_at: java.sql.Timestamp)
 
-  /** Custom per-user state (SURVEY §2.J stream_stateful_custom): emits
-    * one row per user the first time view→click→purchase completes in
-    * order. flatMapGroupsWithState keeps one small struct per user.
+  private val funnelEmpty =
+    FunnelState(Long.MaxValue, Long.MaxValue, Long.MaxValue, done = false)
+
+  /** Fold one batch slice into the min-timestamp state and decide
+    * emission — shared by both state-API funnels so they cannot
+    * drift. Tracking FIRST-occurrence micros (not a stage machine) is
+    * what makes the online operator agree with the batch fixpoint
+    * `stream_stateful_custom` (first view < first click < first
+    * purchase): a stage machine would IGNORE a click arriving before
+    * the first view and complete users the batch predicate rejects.
+    * min() is arrival-order-independent, so no per-batch sort is
+    * needed (and none would be exact: Timestamp.getTime is
+    * ms-truncated; comparisons here stay in exact micros).
     */
-  def funnel(events: Dataset[FunnelEvent]): Dataset[FunnelHit] = {
+  private def foldFunnel(st0: FunnelState,
+      rows: Iterator[FunnelEvent]): (FunnelState, Option[Long]) = {
+    var st = st0
+    rows.foreach { e =>
+      val us = micros(e.ts)
+      e.event_type match {
+        case "view" => if (us < st.vt) st = st.copy(vt = us)
+        case "click" => if (us < st.ct) st = st.copy(ct = us)
+        case "purchase" => if (us < st.pt) st = st.copy(pt = us)
+        case _ =>
+      }
+    }
+    // MaxValue sentinels make the strict inequalities false unless all
+    // three steps are present and ordered
+    val emit = !st.done && st.vt < st.ct && st.ct < st.pt
+    if (emit) (st.copy(done = true), Some(st.pt)) else (st, None)
+  }
+
+  private def tsOfMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Custom per-user state (SURVEY §2.J stream_stateful_custom): emits
+    * one row per user once first-view < first-click < first-purchase
+    * holds — the batch fixpoint's predicate verbatim (see
+    * [[foldFunnel]]). flatMapGroupsWithState keeps one 25-byte struct
+    * per user. With `ttl` set (the production deployment; requires a
+    * watermark upstream, exactly like [[cdcApply]]) the state carries
+    * an EVENT-TIME timeout at last-activity + ttl, so dormant and
+    * completed users evict with retention and the store is
+    * retention-bounded, not total-distinct-user-sized (an evicted
+    * completed user can re-emit only if its entire ordered history is
+    * re-delivered after retention — the standard retention trade).
+    * Event-time, not processing-time: processing timers force
+    * shouldRunAnotherBatch=true every trigger — a hot no-data
+    * micro-batch loop — and are replay-unstable.
+    */
+  def funnel(events: Dataset[FunnelEvent],
+      ttl: Option[java.time.Duration] = None): Dataset[FunnelHit] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (user: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) => {
-          var stage = state.getOption.map(_.stage).getOrElse(0)
-          var hit: Option[FunnelHit] = None
-          // batch order is not ts order — sort this batch's slice
-          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
-            (stage, e.event_type) match {
-              case (0, "view") => stage = 1
-              case (1, "click") => stage = 2
-              case (2, "purchase") =>
-                stage = 3
-                if (hit.isEmpty) hit = Some(FunnelHit(user, e.ts))
-              case _ =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (st, hitUs) = foldFunnel(state.getOption.getOrElse(funnelEmpty), rows)
+            state.update(st)
+            // retention rides the key's own event time (max step seen;
+            // MaxValue sentinels excluded), replay-stable like cdcApply
+            ttl.foreach { t =>
+              val lastUs = Seq(st.vt, st.ct, st.pt).filter(_ != Long.MaxValue)
+              if (lastUs.nonEmpty)
+                state.setTimeoutTimestamp(lastUs.max / 1000L + t.toMillis)
             }
+            hitUs.iterator.map(us => FunnelHit(user, tsOfMicros(us)))
           }
-          state.update(FunnelState(stage))
-          hit.iterator
         })
   }
 
@@ -147,36 +203,40 @@ object StreamOps {
     * `spark.sql.streaming.stateStore.providerClass =
     * ...RocksDBStateStoreProvider` on the running query.
     */
-  class FunnelProcessor extends StatefulProcessor[Long, FunnelEvent, FunnelHit] {
-    @transient private var stage: ValueState[Int] = _
+  class FunnelProcessor(
+      ttl: Option[java.time.Duration] = None)
+    extends StatefulProcessor[Long, FunnelEvent, FunnelHit] {
+    @transient private var st: ValueState[FunnelState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      stage = getHandle.getValueState[Int]("stage", Encoders.scalaInt, TTLConfig.NONE)
+      // TTLConfig here must follow the query's TimeMode (funnelV2 runs
+      // TimeMode.None for the parity tests; a production deployment
+      // passes a ttl and runs ProcessingTime) — see funnelV2
+      st = getHandle.getValueState[FunnelState]("funnel",
+        Encoders.product[FunnelState],
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
 
     override def handleInputRows(user: Long, rows: Iterator[FunnelEvent],
         timerValues: TimerValues): Iterator[FunnelHit] = {
-      var st = if (stage.exists()) stage.get() else 0
-      var hit: Option[FunnelHit] = None
-      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
-        (st, e.event_type) match {
-          case (0, "view") => st = 1
-          case (1, "click") => st = 2
-          case (2, "purchase") =>
-            st = 3
-            if (hit.isEmpty) hit = Some(FunnelHit(user, e.ts))
-          case _ =>
-        }
-      }
-      stage.update(st)
-      hit.iterator
+      val (next, hitUs) =
+        foldFunnel(if (st.exists()) st.get() else funnelEmpty, rows)
+      st.update(next)
+      hitUs.iterator.map(us => FunnelHit(user, tsOfMicros(us)))
     }
   }
 
-  def funnelV2(events: Dataset[FunnelEvent]): Dataset[FunnelHit] = {
+  /** v2-state-API funnel. With `ttl` set the RocksDB ValueState
+    * carries a native TTL (requires ProcessingTime mode, the v2 API's
+    * only TTL clock today); without it the query runs TimeMode.None —
+    * the parity-test configuration.
+    */
+  def funnelV2(events: Dataset[FunnelEvent],
+      ttl: Option[java.time.Duration] = None): Dataset[FunnelHit] = {
     import events.sparkSession.implicits._
+    val mode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
     events
       .groupByKey(_.user_id)
-      .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Append())
+      .transformWithState(new FunnelProcessor(ttl), mode, OutputMode.Append())
   }
 
   // ------------------------------------------- Page CUSUM drift alarm

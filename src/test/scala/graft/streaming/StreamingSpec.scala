@@ -217,6 +217,58 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel parity: click before first view never completes; reversed arrival does") {
+    val ms = MemoryStream[StreamOps.FunnelEvent](spark)
+    val name = nextName()
+    val q = StreamOps.funnel(ms.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    // user 3: click precedes the first view — the batch fixpoint
+    // (first view < first click < first purchase) rejects it, and the
+    // min-timestamp fold must too (a stage machine that IGNORES the
+    // early click would wrongly complete this user)
+    ms.addData(
+      StreamOps.FunnelEvent(3, t(0), "click"),
+      StreamOps.FunnelEvent(3, t(1), "view"),
+      StreamOps.FunnelEvent(3, t(2), "click"),
+      StreamOps.FunnelEvent(3, t(3), "purchase"))
+    // user 4: completes, but the steps ARRIVE purchase-first across
+    // batches — min() is arrival-order-independent, so the hit lands
+    // once the last missing step (the view) shows up
+    ms.addData(StreamOps.FunnelEvent(4, t(2), "purchase"))
+    q.processAllAvailable()
+    assert(spark.table(name).count() == 0)
+    ms.addData(
+      StreamOps.FunnelEvent(4, t(0), "view"),
+      StreamOps.FunnelEvent(4, t(1), "click"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table(name).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(4L))
+    assert(out.head.getTimestamp(1) == t(2)) // first purchase, exact micros
+  }
+
+  test("funnel TTL: dormant user state evicts once the watermark passes retention") {
+    val ms = MemoryStream[StreamOps.FunnelEvent](spark)
+    val name = nextName()
+    val q = StreamOps.funnel(
+        ms.toDS().withWatermark("ts", "0 seconds").as[StreamOps.FunnelEvent],
+        ttl = Some(java.time.Duration.ofMinutes(5)))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    // u1's retention clock ends at 10:05
+    ms.addData(StreamOps.FunnelEvent(1, t(0), "view"))
+    q.processAllAvailable()
+    // u2 advances the watermark to 10:10 (publishes at batch end)
+    ms.addData(StreamOps.FunnelEvent(2, t(10), "view"))
+    q.processAllAvailable()
+    // next batch applies watermark 10:10 > u1's 10:05 timeout → evict
+    ms.addData(StreamOps.FunnelEvent(3, t(11), "view"))
+    q.processAllAvailable()
+    assert(spark.table(name).count() == 0) // eviction emits nothing
+    assert(q.lastProgress.stateOperators.head.numRowsTotal == 2,
+      "u1's state row must be evicted (u2 + u3 remain) — without the TTL this is 3")
+    q.stop()
+  }
+
   test("sliding windows: each event lands in 5 windows") {
     val ms = MemoryStream[Ev](spark)
     ms.addData(Ev(1, t(10), 1, "click", 2.0))

@@ -92,14 +92,20 @@ object FunctionSetOps extends QueryModule {
     """SELECT l_orderkey, l_linenumber, abs(l_discount - 0.05) AS adisc,
       |       power(l_quantity, 2) AS q2, round(ln(l_extendedprice), 6) AS lnp,
       |       l_extendedprice / nullif(l_quantity, 0) AS unit_price
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber, unit_price, adisc""") { (s, d) =>
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, unit_price NULLS FIRST, adisc, q2, lnp""") { (s, d) =>
     T(s, d, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         abs(col("l_discount") - 0.05).as("adisc"),
         pow(col("l_quantity"), 2).as("q2"),
         round(log(col("l_extendedprice")), 6).as("lnp"),
         (col("l_extendedprice") / nullif(col("l_quantity"), lit(0))).as("unit_price"))
-      .orderBy("l_orderkey", "l_linenumber", "unit_price", "adisc")
+      // (l_orderkey, l_linenumber) is NOT unique — order by every
+      // output column for a total order, with NULLS FIRST pinned on
+      // the nullable unit_price (Spark's ASC default; DuckDB's is
+      // NULLS LAST, so the oracle says it explicitly)
+      .orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("unit_price").asc_nulls_first, col("adisc"), col("q2"), col("lnp"))
   }
 
   q("fn_date",
@@ -231,8 +237,12 @@ object FunctionSetOps extends QueryModule {
   q("udf_surface",
     """SELECT c_custkey, regexp_replace(lower(trim(c_mktsegment)), ' +', ' ', 'g') AS seg
       |FROM customer ORDER BY c_custkey""") { (s, d) =>
+    // Locale.ROOT: bare toLowerCase is default-locale-sensitive (a
+    // tr_TR JVM maps 'I' to dotless ı) while the oracle's lower() is
+    // locale-independent
     val normalize = udf((x: String) =>
-      if (x == null) null else x.trim.toLowerCase.replaceAll(" +", " "))
+      if (x == null) null
+      else x.trim.toLowerCase(java.util.Locale.ROOT).replaceAll(" +", " "))
     T(s, d, "customer")
       .select(col("c_custkey"), normalize(col("c_mktsegment")).as("seg"))
       .orderBy("c_custkey")

@@ -331,10 +331,18 @@ object RelationalOps extends QueryModule {
   // ---------------------------------------------------- bucketed join
 
   private val bucketLock = new Object
-  // The bucketed tables have fixed names, so they hold exactly ONE
-  // dataset's rows at a time: remember which, and rebuild on change —
-  // a per-dataset "built" set would serve stale data on A → B → A.
+  // The bucketed tables hold exactly ONE dataset's rows at a time:
+  // remember which, and rebuild on change — a per-dataset "built" set
+  // would serve stale data on A → B → A.
   private var bucketHolds: Option[String] = None
+  // Process-unique names: the intra-JVM lock cannot serialize a
+  // CONCURRENT harness JVM (Verify and Bench do run side by side from
+  // the same cwd), and a fixed name would let one JVM drop/overwrite
+  // warehouse files the other is mid-scan on — the same reason
+  // FormatOps.scratch is per-PID.
+  private val bucketPid = ProcessHandle.current().pid()
+  private[graft] def liTable = s"graft_li_bucketed_p$bucketPid"
+  private[graft] def orTable = s"graft_or_bucketed_p$bucketPid"
 
   /** One-time per session: write both join sides bucketed (and
     * bucket-sorted) on the join key into the session warehouse. At
@@ -354,18 +362,29 @@ object RelationalOps extends QueryModule {
         // the default in-memory catalog forgets tables across JVMs but
         // their warehouse locations survive — clear orphans first
         val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
-        Seq("graft_li_bucketed", "graft_or_bucketed").foreach { t =>
-          s.sql(s"DROP TABLE IF EXISTS $t")
-          deleteRecursively(new java.io.File(wh, t))
-        }
+        // clear THIS process's leftovers (catalog forgets across JVMs
+        // but warehouse dirs survive) plus any orphan left by a DEAD
+        // pid — never a live sibling's tables (the cross-JVM race)
+        s.sql(s"DROP TABLE IF EXISTS $liTable")
+        s.sql(s"DROP TABLE IF EXISTS $orTable")
+        Option(new java.io.File(wh).listFiles).foreach(_.foreach { f =>
+          val n = f.getName
+          val mine = n == liTable || n == orTable
+          val orphan = n.startsWith("graft_li_bucketed_p") ||
+            n.startsWith("graft_or_bucketed_p")
+          val dead = orphan && !mine && (n.split("_p").lastOption
+            .flatMap(x => scala.util.Try(x.toLong).toOption)
+            .forall(pid => !ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)))
+          if (mine || dead) deleteRecursively(f)
+        })
         T(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
           .write.mode("overwrite").format("parquet")
           .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .saveAsTable("graft_li_bucketed")
+          .saveAsTable(liTable)
         T(s, d, "orders").select("o_orderkey", "o_orderpriority")
           .write.mode("overwrite").format("parquet")
           .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .saveAsTable("graft_or_bucketed")
+          .saveAsTable(orTable)
         bucketHolds = Some(d)
       }
     }
@@ -380,8 +399,8 @@ object RelationalOps extends QueryModule {
       |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""") { (s, d) =>
     ensureBucketed(s, d)
-    s.table("graft_li_bucketed")
-      .join(s.table("graft_or_bucketed"), col("l_orderkey") === col("o_orderkey"))
+    s.table(liTable)
+      .join(s.table(orTable), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 4).as("sum_qty"))
       .reportSorted("o_orderpriority")
@@ -794,12 +813,14 @@ object RelationalOps extends QueryModule {
     """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
       |       round(sum(value) / count(*), 6) AS mean,
       |       round(sum(value * value) / count(*)
-      |             - (sum(value) / count(*)) ^ 2, 6) AS var_pop,
+      |             - (sum(value) / count(*)) ^ 2, 6) + 0.0 AS var_pop,
       |       round((sum(value * value * value) / count(*)
       |              - 3 * (sum(value) / count(*)) * (sum(value * value) / count(*))
       |              + 2 * (sum(value) / count(*)) ^ 3)
-      |             / nullif((sum(value * value) / count(*)
-      |                       - (sum(value) / count(*)) ^ 2) ^ 1.5, 0), 6) AS skew_pop
+      |             / (CASE WHEN (sum(value * value) / count(*)
+      |                           - (sum(value) / count(*)) ^ 2) <= 1e-9 THEN NULL
+      |                     ELSE (sum(value * value) / count(*)
+      |                           - (sum(value) / count(*)) ^ 2) ^ 1.5 END), 6) AS skew_pop
       |FROM events GROUP BY event_type ORDER BY event_type""") { (s, d) =>
     val n = count(lit(1)).cast("double")
     val m1 = sum(col("value")) / n
@@ -809,13 +830,19 @@ object RelationalOps extends QueryModule {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         round(m1, 6).as("mean"),
-        round(m2 - m1 * m1, 6).as("var_pop"),
-        // nullif guards the degenerate group (single row / all-identical
-        // values): skew is undefined at zero variance, and 0/0 NaN vs
-        // NULL vs error behavior diverges across engines (checklist 7,
-        // same guard as agg_linreg's zero-slope denominator).
+        // + 0.0 washes a cancellation-noise −0.0 to +0.0 (an
+        // all-identical group leaves m2 − m1² at ±1e-18, whose SIGN is
+        // summation-order-dependent; the two engines could render
+        // round(−0.0) as "-0" vs "0")
+        (round(m2 - m1 * m1, 6) + lit(0.0)).as("var_pop"),
+        // threshold guard, not nullif-at-exactly-0: the degenerate
+        // group's variance is cancellation NOISE (~±1e-18), never an
+        // exact 0.0, and O(eps)/eps^1.5 is engine-divergent garbage —
+        // below the 1e-9 noise floor skew is undefined on both engines
+        // (checklist 7, same idea as agg_linreg's denominator guard)
         round((m3 - lit(3) * m1 * m2 + lit(2) * m1 * m1 * m1)
-          / nullif(pow(m2 - m1 * m1, 1.5), lit(0.0)), 6).as("skew_pop"))
+          / when(m2 - m1 * m1 <= 1e-9, lit(null))
+            .otherwise(pow(m2 - m1 * m1, 1.5)), 6).as("skew_pop"))
       .reportSorted("event_type")
   }
 
@@ -1027,8 +1054,16 @@ object RelationalOps extends QueryModule {
     // unit, where a float floor could misbucket boundary sessions at
     // ns precision); sessions explode across their span, incidents
     // are exactly one bucket wide by construction
+    // FLOOR division for the session endpoints: `div` truncates toward
+    // zero, which for pre-epoch (negative-µs) timestamps lands one
+    // bucket HIGH while the incident hours are date_trunc-FLOORED —
+    // the equi-join would then miss genuinely overlapping pairs the
+    // theta-join oracle emits. (h_lo is an exact hour multiple, so its
+    // div == floor always.)
+    def floorHour(c: String) = expr(
+      s"($c div 3600000000L) + (CASE WHEN $c % 3600000000L < 0 THEN -1 ELSE 0 END)")
     val sb = sess.withColumn("bkt",
-      explode(sequence(expr("s_lo div 3600000000L"), expr("s_hi div 3600000000L"))))
+      explode(sequence(floorHour("s_lo"), floorHour("s_hi"))))
     val ib = inc.withColumn("bkt", expr("h_lo div 3600000000L"))
     sb.join(ib, Seq("bkt"))
       .filter(col("s_lo") < col("h_hi") && col("h_lo") <= col("s_hi"))
@@ -1064,9 +1099,16 @@ object RelationalOps extends QueryModule {
     def partial(side: DataFrame): DataFrame =
       side.groupBy("event_type")
         .agg(count(lit(1)).as("pn"), sum("value").as("psum"))
-    val base = partial(withCut.filter(col("us") < col("cut")))
+    // the split must be EXHAUSTIVE: a NULL ts fails both `us < cut`
+    // and `us >= cut`, silently dropping the row from the merged
+    // rollup while the oracle's plain GROUP BY counts it — route
+    // NULL-ts rows (and the all-NULL case where cut itself is NULL)
+    // into the base half
+    val base = partial(withCut.filter(col("cut").isNull ||
+        coalesce(col("us"), lit(Long.MinValue)) < col("cut")))
       .select(col("event_type"), col("pn").as("bn"), col("psum").as("bsum"))
-    val delta = partial(withCut.filter(col("us") >= col("cut")))
+    val delta = partial(withCut.filter(col("cut").isNotNull &&
+        coalesce(col("us"), lit(Long.MinValue)) >= col("cut")))
       .select(col("event_type"), col("pn").as("dn"), col("psum").as("dsum"))
     base.join(delta, Seq("event_type"), "full_outer")
       .select(col("event_type"),
@@ -1095,7 +1137,7 @@ object RelationalOps extends QueryModule {
       |                ORDER BY value, event_id) AS DOUBLE) AS i
       |  FROM events)
       |SELECT event_type,
-      |       round(2 * sum(i * value) / (count(*) * sum(value))
+      |       round(2 * sum(i * value) / nullif(count(*) * sum(value), 0)
       |             - (count(*) + 1.0) / count(*), 6) AS gini
       |FROM r GROUP BY event_type ORDER BY event_type""") { (s, d) =>
     val w = Window.partitionBy("event_type").orderBy(col("value").asc, col("event_id").asc)
@@ -1103,8 +1145,10 @@ object RelationalOps extends QueryModule {
       .select(col("event_type"), col("value"), col("event_id"))
       .withColumn("i", row_number().over(w).cast("double"))
       .groupBy("event_type")
+      // a group whose values sum to 0: IEEE x/0 renders
+      // engine-specifically (Inf/NaN vs NULL) — nullif pins both to NULL
       .agg(round(lit(2) * sum(col("i") * col("value")) /
-          (count(lit(1)) * sum(col("value"))) -
+          nullif(count(lit(1)) * sum(col("value")), lit(0.0)) -
           (count(lit(1)) + lit(1.0)) / count(lit(1)), 6).as("gini"))
       .reportSorted("event_type")
   }
@@ -1289,9 +1333,15 @@ object RelationalOps extends QueryModule {
     """SELECT event_type, CAST(rn AS INTEGER) AS slot, event_id, value FROM (
       |  SELECT event_type, event_id, value,
       |         row_number() OVER (PARTITION BY event_type
-      |           ORDER BY (event_id * 1103515245 + 12345) % 2147483648, event_id) AS rn
+      |           ORDER BY ((event_id % 2147483648) * 1103515245 + 12345) % 2147483648,
+      |                    event_id) AS rn
       |  FROM events) t WHERE rn <= 5 ORDER BY event_type, slot""") { (s, d) =>
-    val h = pmod(col("event_id") * lit(1103515245L) + lit(12345L), lit(2147483648L))
+    // reduce the key below 2^31 BEFORE the multiply: the product then
+    // tops out at ~2.3e18 < Long.Max, so the hash never overflows
+    // (ANSI crash) no matter how large event_id grows; identity for
+    // keys already < 2^31
+    val h = pmod(pmod(col("event_id"), lit(2147483648L)) * lit(1103515245L)
+      + lit(12345L), lit(2147483648L))
     val w = Window.partitionBy("event_type").orderBy(h.asc, col("event_id").asc)
     T(s, d, "events").select("event_type", "event_id", "value")
       .withColumn("rn", row_number().over(w))
@@ -1322,7 +1372,8 @@ object RelationalOps extends QueryModule {
       |              WHEN u < 0.919699 THEN 2 ELSE 3 END AS wt
       |  FROM (SELECT value, event_id FROM events) e
       |  CROSS JOIN generate_series(1, 32) b(i)
-      |  CROSS JOIN LATERAL (SELECT (((e.event_id * 131 + b.i) * 1103515245 + 12345)
+      |  CROSS JOIN LATERAL (SELECT ((((e.event_id * 131 + b.i) % 2147483648)
+      |                               * 1103515245 + 12345)
       |                              % 2147483648 + 0.5) / 2147483648.0 AS u) t),
       |     reps AS (SELECT b, round(sum(wt * value) / nullif(sum(wt), 0), 6) AS m
       |             FROM w GROUP BY b),
@@ -1333,8 +1384,12 @@ object RelationalOps extends QueryModule {
       |       max(CASE WHEN rn = 31 THEN m END) AS ci_hi
       |FROM r, full_m GROUP BY full_m.n, full_m.mean""") { (s, d) =>
     val ev = T(s, d, "events").select("event_id", "value")
-    val u = (pmod((col("event_id") * lit(131L) + col("b")) * lit(1103515245L)
-      + lit(12345L), lit(2147483648L)).cast("double") + lit(0.5)) / lit(2147483648.0)
+    // reduce the (event_id*131 + b) mix below 2^31 before the LCG
+    // multiply — the unreduced product overflows Long (ANSI crash)
+    // once event_id reaches ~6.4e7, well inside the 100 TB contract
+    val u = (pmod(pmod(col("event_id") * lit(131L) + col("b"), lit(2147483648L))
+      * lit(1103515245L) + lit(12345L), lit(2147483648L))
+      .cast("double") + lit(0.5)) / lit(2147483648.0)
     val wt = when(u < 0.367879, 0).when(u < 0.735759, 1)
       .when(u < 0.919699, 2).otherwise(3)
     val reps = ev.withColumn("b", explode(sequence(lit(1), lit(32))))
@@ -1382,17 +1437,21 @@ object RelationalOps extends QueryModule {
       |     t AS (SELECT (SELECT count(*) FROM r) AS n_ref, (SELECT count(*) FROM c) AS n_cur)
       |SELECT CAST(t.n_ref AS BIGINT) AS n_ref, CAST(t.n_cur AS BIGINT) AS n_cur,
       |       CAST(count(*) AS INTEGER) AS n_buckets,
-      |       round(sum((CAST(p.np AS DOUBLE) / t.n_ref - CAST(q.nq AS DOUBLE) / t.n_cur)
-      |                 * ln((CAST(p.np AS DOUBLE) / t.n_ref)
-      |                      / (CAST(q.nq AS DOUBLE) / t.n_cur))), 6) AS psi
+      |       round(sum((CAST(p.np AS DOUBLE) / nullif(t.n_ref, 0)
+      |                  - CAST(q.nq AS DOUBLE) / nullif(t.n_cur, 0))
+      |                 * ln((CAST(p.np AS DOUBLE) / nullif(t.n_ref, 0))
+      |                      / (CAST(q.nq AS DOUBLE) / nullif(t.n_cur, 0)))), 6) AS psi
       |FROM p JOIN q USING (bucket), t
       |GROUP BY t.n_ref, t.n_cur""") { (s, d) =>
     val ev = T(s, d, "events")
     val ref = ev.filter(col("event_type") === "view").select("event_id", "value")
     val cur = ev.filter(col("event_type") === "click").select("event_id", "value")
     val nAgg = ref.agg(count(lit(1)).as("n"))
+    // asc_nulls_last: DuckDB's ASC default ranks NULLs last, Spark's
+    // ranks them first — a NULL value would shift every decile
+    // boundary by one
     val boundaries = WindowOps.globalRowNumber(ref,
-        Seq(col("value").asc, col("event_id").asc))
+        Seq(col("value").asc_nulls_last, col("event_id").asc))
       .crossJoin(broadcast(nAgg))
       .filter((1 to 9).map(i =>
         col("global_rank") === ceil(lit(i) * col("n") / 10.0).cast("long"))
@@ -1410,8 +1469,8 @@ object RelationalOps extends QueryModule {
     p.join(q_, Seq("bucket"))
       .crossJoin(broadcast(tot))
       .select(col("n_ref"), col("n_cur"),
-        (col("np").cast("double") / col("n_ref")).as("pp"),
-        (col("nq").cast("double") / col("n_cur")).as("qq"))
+        (col("np").cast("double") / nullif(col("n_ref"), lit(0L))).as("pp"),
+        (col("nq").cast("double") / nullif(col("n_cur"), lit(0L))).as("qq"))
       .groupBy("n_ref", "n_cur")
       .agg(count(lit(1)).cast("int").as("n_buckets"),
         round(sum((col("pp") - col("qq")) * log(col("pp") / col("qq"))), 6).as("psi"))
@@ -1442,8 +1501,8 @@ object RelationalOps extends QueryModule {
       |  FROM ev),
       |     t AS (SELECT CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b FROM ev)
       |SELECT t.n_a, t.n_b,
-      |       round(max(abs(CAST(c.ca AS DOUBLE) / t.n_a
-      |                     - CAST(c.cb AS DOUBLE) / t.n_b)), 6) AS ks_d
+      |       round(max(abs(CAST(c.ca AS DOUBLE) / nullif(t.n_a, 0)
+      |                     - CAST(c.cb AS DOUBLE) / nullif(t.n_b, 0))), 6) AS ks_d
       |FROM c, t GROUP BY t.n_a, t.n_b""") { (s, d) =>
     val ev = T(s, d, "events")
       .filter(col("event_type").isin("click", "purchase"))
@@ -1451,12 +1510,13 @@ object RelationalOps extends QueryModule {
         when(col("event_type") === "click", 1L).otherwise(0L).as("a"),
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("b"))
     val cum = WindowOps.globalPrefixSums(ev,
-      Seq(col("value").asc, col("event_id").asc), Seq("a", "b"))
+      Seq(col("value").asc_nulls_last, col("event_id").asc), Seq("a", "b"))
     val tot = ev.agg(sum("a").cast("long").as("n_a"), sum("b").cast("long").as("n_b"))
     cum.crossJoin(broadcast(tot))
       .select(col("n_a"), col("n_b"),
-        abs(col("cum_a").cast("double") / col("n_a")
-          - col("cum_b").cast("double") / col("n_b")).as("diff"))
+        // one side empty -> n = 0: IEEE x/0 diverges cross-engine
+        abs(col("cum_a").cast("double") / nullif(col("n_a"), lit(0L))
+          - col("cum_b").cast("double") / nullif(col("n_b"), lit(0L))).as("diff"))
       .groupBy("n_a", "n_b")
       .agg(round(max(col("diff")), 6).as("ks_d"))
   }

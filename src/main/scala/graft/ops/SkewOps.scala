@@ -30,18 +30,29 @@ object SkewOps extends graft.QueryModule {
   // Salting is semantically transparent, so the oracle is the PLAIN
   // join — the hash-match proves exactly that (same rows with or
   // without the salt scatter), which is the whole point of the utility.
+  //
+  // The example exercises the pattern in its intended shape: the BIG
+  // side is customer joining on c_nationkey, a 25-value key where
+  // every value is hot by construction (|customer|/25 rows each — the
+  // degenerate low-cardinality key AQE's split can't always separate),
+  // and the replicated side is nation, a FIXED 25-row dim (8× salt =
+  // 200 rows of replication — "keep small small" honored; replicating
+  // a data-sized side would multiply shuffle volume for nothing).
   q("join_skew_salted",
-    """SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
-      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-      |WHERE o.o_orderkey % 100 = 0
-      |ORDER BY o_orderkey, o_custkey, c_mktsegment""") { (s, d) =>
+    """SELECT c.c_custkey, n.n_name
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |ORDER BY c_custkey""") { (s, d) =>
     import graft.T
-    val big = T(s, d, "orders")
-      .filter(col("o_orderkey") % 100 === 0)
-      .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
-    val small = T(s, d, "customer").select("c_custkey", "c_mktsegment")
-    saltedJoin(big, small, "c_custkey", nSalt = 8)
-      .select(col("o_orderkey"), col("c_custkey").as("o_custkey"), col("c_mktsegment"))
-      .orderBy("o_orderkey", "o_custkey", "c_mktsegment") // row-per-order = input-sized
+    val big = T(s, d, "customer")
+      .select(col("c_custkey"), col("c_nationkey").as("n_nationkey"))
+    // hint("merge") pins the shuffle-join shape the pattern exists
+    // for — in production the salted side is too big to broadcast by
+    // definition (a broadcastable side needs no salt), but the 25-row
+    // demo dim would otherwise auto-broadcast and execute the salt as
+    // a no-op
+    val small = T(s, d, "nation").select("n_nationkey", "n_name").hint("merge")
+    saltedJoin(big, small, "n_nationkey", nSalt = 8)
+      .select(col("c_custkey"), col("n_name"))
+      .orderBy("c_custkey") // row-per-customer = input-sized
   }
 }

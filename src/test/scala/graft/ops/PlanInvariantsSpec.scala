@@ -109,7 +109,7 @@ class PlanInvariantsSpec extends AnyFunSuite {
       val absPrev = spark.conf.get(abs)
       spark.conf.set(abs, "false")
       try {
-        val pruned = plan(spark.table("graft_li_bucketed").filter(col("l_orderkey") === 1L))
+        val pruned = plan(spark.table(RelationalOps.liTable).filter(col("l_orderkey") === 1L))
         assert(pruned.contains("SelectedBucketsCount: 1 out of 8"),
           s"equality on the bucket key must prune to one bucket:\n$pruned")
       } finally spark.conf.set(abs, absPrev)

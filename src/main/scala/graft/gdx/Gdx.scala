@@ -45,12 +45,17 @@ object Gdx {
   def scalar(spark: SparkSession, path: String, name: String): Double = {
     // dim must be 0: a 1-dim parameter that happens to hold one record
     // is NOT a scalar under the gdxpy contract
-    val dims = catalog(spark, path)
-      .filter(lower(col("name")) === name.toLowerCase)
-      .select("dim").collect()
-    require(dims.nonEmpty, s"gdx: no symbol '$name'")
-    require(dims.head.getInt(0) == 0,
-      s"gdx: '$name' is not a scalar (dim=${dims.head.getInt(0)})")
+    val rows0 = catalog(spark, path)
+      .filter(lower(col("name")) === name.toLowerCase(java.util.Locale.ROOT))
+      .select("dim", "type").collect()
+    require(rows0.nonEmpty, s"gdx: no symbol '$name'")
+    require(rows0.head.getInt(0) == 0,
+      s"gdx: '$name' is not a scalar (dim=${rows0.head.getInt(0)})")
+    // the TYPE gate matters for aliases: an alias catalogs as dim 0,
+    // and without it an alias to a single-record set would pass the
+    // dim check and silently return the set's placeholder 1.0
+    require(rows0.head.getString(1) == "parameter",
+      s"gdx: '$name' is not a scalar parameter (type=${rows0.head.getString(1)})")
     val rows = symbol(spark, path, name).select("value").collect()
     require(rows.length <= 1, s"gdx: '$name' is not a scalar (${rows.length} records)")
     rows.headOption.map(_.getDouble(0)).getOrElse(0.0)
@@ -67,17 +72,29 @@ object Gdx {
     val perFile = for {
       p <- paths
       names = catalog(spark, p).select("name").collect().map(_.getString(0))
-      n <- names if pats.exists(_.matches(n.toLowerCase))
-    } yield (n.toLowerCase, p)
+      n <- names if pats.exists(_.matches(n.toLowerCase(java.util.Locale.ROOT)))
+    } yield (n.toLowerCase(java.util.Locale.ROOT), p)
     perFile.groupBy(_._1).map { case (name, files) =>
-      name -> files.map { case (_, f) =>
-        symbol(spark, f, name).withColumn("gdx_file", lit(f))
-      }.reduce(_ unionByName _)
+      val frames = files.map { case (_, f) =>
+        (f, symbol(spark, f, name).withColumn("gdx_file", lit(f)))
+      }
+      // same symbol name with different dim/type across files would
+      // make unionByName throw an opaque missing-column
+      // AnalysisException and lose every OTHER matched symbol with it
+      // — fail with the merge()-style clear message instead
+      val shapes = frames.map { case (f, df) => (f, df.columns.toSeq.sorted) }
+      require(shapes.map(_._2).distinct.size == 1,
+        s"gdx: symbol '$name' has incompatible shapes across files: " +
+          shapes.map { case (f, cs) => s"$f -> ${cs.mkString(",")}" }.mkString("; "))
+      name -> frames.map(_._2).reduce(_ unionByName _)
     }
   }
 
   private[gdx] def globToRegex(pat: String): scala.util.matching.Regex =
-    ("(?i)" + pat.toLowerCase.flatMap {
+    // Locale.ROOT: a tr_TR default locale would map 'I' to dotless ı
+    // while Spark's lower() keeps the ASCII path — the regex would
+    // silently match nothing
+    ("(?i)" + pat.toLowerCase(java.util.Locale.ROOT).flatMap {
       case '*' => ".*"
       case '?' => "."
       case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
@@ -111,7 +128,7 @@ object Gdx {
     catalog(spark, path).filter(col("type") =!= "alias")
       .select("name", "dim", "type", "subtype", "expl_text", "domains")
       .collect().toSeq
-      .map(r => SymShape(r.getString(0).toLowerCase, r.getInt(1), r.getString(2),
+      .map(r => SymShape(r.getString(0).toLowerCase(java.util.Locale.ROOT), r.getInt(1), r.getString(2),
         r.getInt(3), Option(r.getString(4)).getOrElse(""),
         Option(r.getString(5)).filter(_.nonEmpty).map(_.split(",", -1).toSeq).getOrElse(Nil)))
       .filter(s => pats.exists(_.matches(s.name)))
@@ -151,12 +168,25 @@ object Gdx {
   /** gdxpy's Series→DataFrame reshape: pivot the last dimension to
     * columns (SURVEY §2.D agg_pivot / §2.I reshape_long_to_wide).
     */
-  def pivotLastDim(df: DataFrame, valueCol: String = "value"): DataFrame = {
+  /** gdxpy `to_frame`-style pivot of the last dimension to columns.
+    * CONTRACT: inherently driver-bounded — one output COLUMN per
+    * distinct last-dim label. Without `lastDimValues` Spark runs an
+    * eager distinct at call time (capped by spark.sql.pivotMaxValues,
+    * default 10k) — the one eager entry point in this file, flagged
+    * here rather than hidden. Pass `lastDimValues` to keep the call
+    * lazy (no distinct job) when the label set is known; for a
+    * genuinely wide dimension (time/scenario at scale) keep long form
+    * and aggregate instead — a million-column frame is the wrong shape
+    * on ANY engine.
+    */
+  def pivotLastDim(df: DataFrame, valueCol: String = "value",
+      lastDimValues: Seq[String] = Nil): DataFrame = {
     val dims = dimCols(df)
     require(dims.length >= 2, "pivot needs >= 2 dims")
-    df.groupBy(dims.dropRight(1).map(col): _*)
-      .pivot(dims.last)
-      .agg(first(col(valueCol)))
+    val g = df.groupBy(dims.dropRight(1).map(col): _*)
+    val piv = if (lastDimValues.nonEmpty) g.pivot(dims.last, lastDimValues)
+              else g.pivot(dims.last)
+    piv.agg(first(col(valueCol)))
   }
 
   /** Densify: expand sparse symbol over explicit domain-set DataFrames
@@ -169,7 +199,16 @@ object Gdx {
     val grid = domains.zip(dims).map { case (dom, d) =>
       dom.toDF(d)
     }.reduce(_ crossJoin _)
-    grid.join(df, dims.toSeq, "left")
+    // UEL label matching is case-INSENSITIVE (the doctrine every other
+    // label-matching entry point here follows — diff, renameUel,
+    // query(filt)): a case-variant domain set must still hit the
+    // stored record, not silently replace its value with the default.
+    // Display case in the output comes from the GRID (the domain
+    // sets), matching the left join's column provenance.
+    grid.join(df.withColumnsRenamed(dims.map(d => d -> s"__r_$d").toMap),
+        dims.map(d => lower(col(d)) === lower(col(s"__r_$d"))).reduce(_ && _),
+        "left")
+      .drop(dims.map(d => s"__r_$d"): _*)
       .withColumn("value", coalesce(col("value"), lit(default)))
   }
 
@@ -246,7 +285,15 @@ object Gdx {
       // first-seen display case wins), so no symbol carries two
       // records whose keys differ only by case; ACROSS files a case
       // difference pairing up is exactly the case-insensitive match
-      // real gdxdiff performs.
+      // real gdxdiff performs. CAVEAT (sharded datasets): each shard
+      // registers its OWN UEL table, so a frame whose rows land
+      // 'Foo' and 'FOO' in different shards CAN carry both as
+      // distinct records — such a dataset is malformed under UEL
+      // doctrine (one logical key with conflicting values; diff of a
+      // case-collided key then pairs m×n). The sharded writer's range
+      // distribution sorts on the raw label, which co-locates exact
+      // duplicates but not case variants; producers of case-variant
+      // keys must normalize case before writing.
       val karr =
         if (dims.isEmpty) array().cast("array<string>")
         else array(dims.map(c => lower(col(c))): _*)
@@ -365,7 +412,14 @@ object Gdx {
     require(paths.nonEmpty, "gdx merge: no input files")
     val fileTags = Option(tags).getOrElse(paths.indices.map(i => s"f${i + 1}"))
     require(fileTags.length == paths.length, "gdx merge: one tag per file")
-    require(fileTags.distinct.length == fileTags.length, "gdx merge: tags must be unique")
+    // uniqueness is judged case-INSENSITIVELY: the tag becomes dim_1,
+    // and UELs are case-insensitive (GdxBuilder keys on lowercase), so
+    // tags "Run"/"run" would collapse into ONE label and produce
+    // duplicate key tuples in the merged symbol — the invariant diff's
+    // join-safety argument declares impossible
+    require(fileTags.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.length
+        == fileTags.length,
+      "gdx merge: tags must be unique (case-insensitively — tags become UELs)")
     val cats = paths.map { p =>
       matchedSymbols(spark, p, patterns).map(s => s.name -> s).toMap
     }
@@ -416,7 +470,7 @@ object Gdx {
   def renameUel(spark: SparkSession, path: String, outDir: String,
       mapping: Map[String, String], patterns: String = "*"): Seq[String] = {
     require(mapping.nonEmpty, "gdx rename: empty label mapping")
-    val lowered = mapping.map { case (k, v) => k.toLowerCase -> v }
+    val lowered = mapping.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
     require(lowered.size == mapping.size,
       s"gdx rename: mapping keys collide case-insensitively (UEL semantics): " +
         mapping.keys.mkString(", "))
@@ -429,7 +483,7 @@ object Gdx {
     // semi-join of the label union against the broadcast-tiny target
     // list — driver work stays O(mapping), never O(labels), even if a
     // UEL table reaches 10⁸.
-    val targets = lowered.values.map(_.toLowerCase).toSeq
+    val targets = lowered.values.map(_.toLowerCase(java.util.Locale.ROOT)).toSeq
     require(targets.distinct.size == targets.size,
       s"gdx rename: two labels map to one target: ${mapping.values.mkString(", ")}")
     val matched = matchedSymbols(spark, path, patterns)
@@ -729,7 +783,7 @@ final case class GdxFile(spark: SparkSession, path: String) {
         // no wildcard → equality on the lowercased label: the exact
         // shape V2ExpressionBuilder translates (LOWER(dim_1) = lit),
         // so the connector prunes shards and filters in the decoder
-        df = df.filter(lower(col("dim_1")) === filt.toLowerCase)
+        df = df.filter(lower(col("dim_1")) === filt.toLowerCase(java.util.Locale.ROOT))
       else {
         val rx = Gdx.globToRegex(filt).regex
         df = df.filter(lower(col("dim_1")).rlike("^" + rx.stripPrefix("(?i)") + "$"))

@@ -12,7 +12,7 @@ final class GdxBuilder(producer: String = "gdxpyspark") {
   private val symbols = mutable.ArrayBuffer.empty[GdxSymbol]
 
   def registerUel(label: String): Int = {
-    val key = label.toLowerCase
+    val key = label.toLowerCase(java.util.Locale.ROOT)
     uelIndex.getOrElseUpdate(key, { uels += label; uels.size - 1 })
   }
 

@@ -149,8 +149,8 @@ final case class GdxContainer(
     symbols: Vector[GdxSymbol] = Vector.empty) {
 
   def symbol(name: String): Option[GdxSymbol] = {
-    val lower = name.toLowerCase
-    symbols.find(_.name.toLowerCase == lower)
+    val lower = name.toLowerCase(java.util.Locale.ROOT)
+    symbols.find(_.name.toLowerCase(java.util.Locale.ROOT) == lower)
   }
 
   def label(uel: Int): String = uels(uel)

@@ -51,7 +51,7 @@ final class GdxStreamEncoder(finalPath: String, name: String, typ: Int, dim: Int
 
   private def registerUel(label: String): Int = {
     require(label.length <= 63, s"UEL label longer than 63 chars: $label")
-    uelIndex.getOrElseUpdate(label.toLowerCase, { uels += label; uels.size - 1 })
+    uelIndex.getOrElseUpdate(label.toLowerCase(java.util.Locale.ROOT), { uels += label; uels.size - 1 })
   }
 
   def add(labels: Array[String], values: Array[Double], text: Option[String]): Unit = {
@@ -60,7 +60,7 @@ final class GdxStreamEncoder(finalPath: String, name: String, typ: Int, dim: Int
     var i = 0
     while (i < dim) { keys(i) = registerUel(labels(i)); i += 1 }
     if (dim > 0) {
-      val l0 = labels(0).toLowerCase
+      val l0 = labels(0).toLowerCase(java.util.Locale.ROOT)
       if (loLabel == null || l0 < loLabel) loLabel = l0
       if (hiLabel == null || l0 > hiLabel) hiLabel = l0
     }

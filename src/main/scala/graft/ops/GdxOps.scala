@@ -29,8 +29,32 @@ object GdxOps extends QueryModule {
     */
   private val fixtureVersion = 1
 
-  private def fixtureDir(sfDir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft-gdx-${new File(sfDir).getName}"
+  /** Fixture dir keyed on basename PLUS a content fingerprint
+    * (size+mtime of the source parquet dirs, the TokenizerOps.corpusKey
+    * rule): basename alone would serve stale fixtures after an
+    * in-place corpus regeneration — or a FOREIGN corpus's fixtures to
+    * a different sfDir sharing a basename — and because the oracle
+    * reads the new parquet while gdx_* scans the old fixture, that
+    * surfaces as a spurious red (or masks a real one).
+    */
+  private def fixtureDir(sfDir: String): String = {
+    def stat(x: File): (Long, Long) =
+      if (x.isDirectory)
+        Option(x.listFiles()).getOrElse(Array.empty)
+          .map(stat).foldLeft((0L, 0L)) {
+            case ((sz, mt), (sz2, mt2)) => (sz + sz2, math.max(mt, mt2))
+          }
+      else (x.length(), x.lastModified())
+    val fp = Seq("nation.parquet", "region.parquet")
+      .map(t => stat(new File(sfDir, t)))
+      .foldLeft((0L, 0L)) { case ((sz, mt), (sz2, mt2)) =>
+        (sz + sz2, math.max(mt, mt2))
+      }
+    val tag = java.lang.Long.toHexString(
+      java.util.Objects.hash(new File(sfDir).getCanonicalPath, fp._1, fp._2)
+        .toLong & 0xffffffffL)
+    s"${System.getProperty("java.io.tmpdir")}/graft-gdx-${new File(sfDir).getName}-$tag"
+  }
 
   /** Cross-PROCESS build-once guard (the three harness entry points —
     * Verify, Bench, the test JVM — can run concurrently against the
@@ -78,8 +102,27 @@ object GdxOps extends QueryModule {
       } else {
         Thread.sleep(200)
         val mtime = lockFile.lastModified() // 0 if already gone
-        val silent = mtime > 0 && System.currentTimeMillis() - mtime > staleMs
-        if (silent || lockOwnerDead(lockFile)) lockFile.delete()
+        val age = System.currentTimeMillis() - mtime
+        val silent = mtime > 0 && age > staleMs
+        // steal only when the owner is provably dead, or silent for so
+        // long (10 min) that even a monster GC pause is implausible —
+        // a 60s-silent-but-alive owner may just be STW-paused with its
+        // heartbeat thread, and stealing from it would readmit the
+        // two-concurrent-builders corruption. The steal itself is an
+        // ATOMIC RENAME of the stale lock aside (not check-then-delete,
+        // which could delete a THIRD process's freshly-created lock
+        // after ours lost the race): only the process whose move
+        // succeeds has stolen; everyone else just re-polls.
+        if ((silent && lockOwnerDead(lockFile)) ||
+            (mtime > 0 && age > 10 * 60 * 1000L)) {
+          val aside = new File(dir,
+            s"$marker.lock.stale-${java.util.UUID.randomUUID().toString.take(8)}")
+          try {
+            java.nio.file.Files.move(lockFile.toPath, aside.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            aside.delete()
+          } catch { case _: Exception => () } // lost the steal race: re-poll
+        }
       }
     }
   }
@@ -308,7 +351,7 @@ object GdxOps extends QueryModule {
     val dir = fixtureDir(d)
     val p = s"$dir/posvar.gdx"
     lock.synchronized {
-      if (!new File(p).exists()) {
+      buildOnce(dir, s"posvar.v$fixtureVersion.ok") {
         val b = new GdxBuilder()
         // v1 stores only a level (bounds unstored = 0); v2 stores explicit bounds
         b.addSymbol("x", SymbolType.Variable, 1, Seq(
@@ -341,7 +384,11 @@ object GdxOps extends QueryModule {
     val dir = fixtureDir(d)
     val p = s"$dir/equ"
     lock.synchronized {
-      if (!new File(p, "_manifest.json").exists()) {
+      // buildOnce, not a bare exists() check: a concurrent harness JVM
+      // racing this overwrite-mode SHARDED write (no single-file atomic
+      // rename protects it) could delete shards the other's fresh
+      // manifest lists — the cross-process guard exists for exactly this
+      buildOnce(dir, s"equ.v$fixtureVersion.ok") {
         import s.implicits._
         // e1 stores level+marginal only (bounds unstored = sparse 0);
         // e2 stores explicit bounds — defaults must NOT overwrite them

@@ -66,8 +66,8 @@ class GdxScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
   private def translate(p: Predicate): Option[DimLabelFilter] = p.name() match {
     case "=" => p.children() match {
       case Array(a, b) =>
-        (for { d <- dimOf(a); s <- strOf(b) } yield DimLabelFilter(d, Set(s.toLowerCase)))
-          .orElse(for { d <- dimOf(b); s <- strOf(a) } yield DimLabelFilter(d, Set(s.toLowerCase)))
+        (for { d <- dimOf(a); s <- strOf(b) } yield DimLabelFilter(d, Set(s.toLowerCase(java.util.Locale.ROOT))))
+          .orElse(for { d <- dimOf(b); s <- strOf(a) } yield DimLabelFilter(d, Set(s.toLowerCase(java.util.Locale.ROOT))))
       case _ => None
     }
     case "IN" =>
@@ -75,7 +75,7 @@ class GdxScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
       for {
         d <- cs.headOption.flatMap(dimOf)
         vs = cs.drop(1).map(strOf) if vs.forall(_.isDefined)
-      } yield DimLabelFilter(d, vs.flatten.map(_.toLowerCase).toSet)
+      } yield DimLabelFilter(d, vs.flatten.map(_.toLowerCase(java.util.Locale.ROOT)).toSet)
     case _ => None
   }
 
@@ -179,7 +179,7 @@ class GdxCatalogReader(paths: Seq[String], required: StructType)
   // Int, but across O(10^5) shards a symbol's total overflows Int
   private val metas: Iterator[(GdxCodec.SymbolMeta, Long)] = {
     val all = paths.flatMap(p => GdxCodec.readHeader(p).metas)
-    all.groupBy(_.name.toLowerCase).values.map { ms =>
+    all.groupBy(_.name.toLowerCase(java.util.Locale.ROOT)).values.map { ms =>
       (ms.head, ms.map(_.records.toLong).sum)
     }.toSeq.sortBy(_._1.name).iterator
   }
@@ -223,7 +223,7 @@ class GdxUelReader(paths: Seq[String], required: StructType)
     val out = Vector.newBuilder[String]
     paths.sorted.foreach { p =>
       GdxCodec.readHeader(p).uels.foreach { u =>
-        if (seen.add(u.toLowerCase)) out += u
+        if (seen.add(u.toLowerCase(java.util.Locale.ROOT))) out += u
       }
     }
     out.result().zipWithIndex.map { case (u, i) => (i + 1, u) }.iterator
@@ -273,14 +273,14 @@ class GdxSymbolReader(path: String, symbol: String, fullSchema: StructType,
       String, scala.collection.mutable.ArrayBuffer[Int]]()
     var i = 0
     while (i < header.uels.length) {
-      m.getOrElseUpdate(header.uels(i).toLowerCase,
+      m.getOrElseUpdate(header.uels(i).toLowerCase(java.util.Locale.ROOT),
         new scala.collection.mutable.ArrayBuffer[Int]) += i
       i += 1
     }
     m.view.mapValues(_.toArray).toMap
   }
   private def lookup(label: String): Array[Int] =
-    uelIndex.getOrElse(label.toLowerCase, Array.empty)
+    uelIndex.getOrElse(label.toLowerCase(java.util.Locale.ROOT), Array.empty)
 
   // shard skip: a pushed label absent from this shard's UEL table can
   // match nothing here — with the clustered write layout each label

@@ -37,7 +37,7 @@ class GdxWriteBuilder(info: LogicalWriteInfo, options: CaseInsensitiveStringMap)
     import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder}
 
     private def dimNames: Array[String] = info.schema().fields
-      .filter(f => f.dataType == StringType && f.name.toLowerCase != "text")
+      .filter(f => f.dataType == StringType && f.name.toLowerCase(java.util.Locale.ROOT) != "text")
       .map(_.name)
 
     /** Range-distribute and sort by the full key tuple (SURVEY §4.3
@@ -283,7 +283,7 @@ object GdxWriteLayout {
       if (i >= 0 && schema.fields(i).dataType == BooleanType) i else -1
     }
     val dimCols = names.zipWithIndex
-      .filter { case (n, i) => schema.fields(i).dataType == StringType && n.toLowerCase != "text" }
+      .filter { case (n, i) => schema.fields(i).dataType == StringType && n.toLowerCase(java.util.Locale.ROOT) != "text" }
       .map(_._2)
     val textCol = idx("text")
     val fiveFields = ValField.names.map(idx)

@@ -24,6 +24,26 @@ final case class QueryDef(
   * object-construction time via `q` (with oracle) / `qRowsOnly`.
   * SparkEntry concatenates all modules' `defs`.
   */
+/** Content fingerprint of files/dirs: (total bytes, max mtime) over a
+  * recursive walk — THE staleness key for anything cached across JVM
+  * runs that derives from the test parquet (BPE model memo, GDX
+  * fixtures). One implementation so the discipline cannot drift.
+  */
+object Fingerprint {
+  def of(roots: Seq[java.io.File]): (Long, Long) = {
+    def stat(x: java.io.File): (Long, Long) =
+      if (x.isDirectory)
+        Option(x.listFiles()).getOrElse(Array.empty)
+          .map(stat).foldLeft((0L, 0L)) {
+            case ((sz, mt), (sz2, mt2)) => (sz + sz2, math.max(mt, mt2))
+          }
+      else (x.length(), x.lastModified())
+    roots.map(stat).foldLeft((0L, 0L)) {
+      case ((sz, mt), (sz2, mt2)) => (sz + sz2, math.max(mt, mt2))
+    }
+  }
+}
+
 trait QueryModule {
   private val buf = scala.collection.mutable.ListBuffer.empty[QueryDef]
 

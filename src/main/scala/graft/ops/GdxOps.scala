@@ -38,18 +38,8 @@ object GdxOps extends QueryModule {
     * surfaces as a spurious red (or masks a real one).
     */
   private def fixtureDir(sfDir: String): String = {
-    def stat(x: File): (Long, Long) =
-      if (x.isDirectory)
-        Option(x.listFiles()).getOrElse(Array.empty)
-          .map(stat).foldLeft((0L, 0L)) {
-            case ((sz, mt), (sz2, mt2)) => (sz + sz2, math.max(mt, mt2))
-          }
-      else (x.length(), x.lastModified())
-    val fp = Seq("nation.parquet", "region.parquet")
-      .map(t => stat(new File(sfDir, t)))
-      .foldLeft((0L, 0L)) { case ((sz, mt), (sz2, mt2)) =>
-        (sz + sz2, math.max(mt, mt2))
-      }
+    val fp = graft.Fingerprint.of(
+      Seq("nation.parquet", "region.parquet").map(t => new File(sfDir, t)))
     val tag = java.lang.Long.toHexString(
       java.util.Objects.hash(new File(sfDir).getCanonicalPath, fp._1, fp._2)
         .toLong & 0xffffffffL)
@@ -74,14 +64,27 @@ object GdxOps extends QueryModule {
     new File(dir).mkdirs()
     val lockFile = new File(dir, s"$marker.lock")
     val staleMs = 60000L
+    // lock content = pid:uuid — the uuid gives each lock an IDENTITY,
+    // which is what makes a steal verifiable (pid alone can recur)
+    val myId = s"${ProcessHandle.current().pid()}:${java.util.UUID.randomUUID()}"
+    def readId(f: File): String =
+      try new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      catch { case _: Exception => "" }
     while (!markerFile.exists()) {
       val acquired =
         try {
           java.nio.file.Files.write(lockFile.toPath,
-            ProcessHandle.current().pid().toString
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            myId.getBytes(java.nio.charset.StandardCharsets.UTF_8),
             java.nio.file.StandardOpenOption.CREATE_NEW)
-          true
+          // CONFIRM after a short delay: a racing stealer that judged
+          // the PREVIOUS lock stale could have moved ours aside in the
+          // window between its judgment and its move; it restores
+          // within microseconds on seeing the identity mismatch, so if
+          // our id is still (or again) in place after 300 ms, no
+          // correct stealer will ever displace it
+          Thread.sleep(300)
+          readId(lockFile) == myId
         }
         catch { case _: java.nio.file.FileAlreadyExistsException => false }
       if (acquired) {
@@ -101,6 +104,7 @@ object GdxOps extends QueryModule {
         } finally { beat.interrupt(); lockFile.delete() }
       } else {
         Thread.sleep(200)
+        val judgedId = readId(lockFile)
         val mtime = lockFile.lastModified() // 0 if already gone
         val age = System.currentTimeMillis() - mtime
         val silent = mtime > 0 && age > staleMs
@@ -108,19 +112,29 @@ object GdxOps extends QueryModule {
         // long (10 min) that even a monster GC pause is implausible —
         // a 60s-silent-but-alive owner may just be STW-paused with its
         // heartbeat thread, and stealing from it would readmit the
-        // two-concurrent-builders corruption. The steal itself is an
-        // ATOMIC RENAME of the stale lock aside (not check-then-delete,
-        // which could delete a THIRD process's freshly-created lock
-        // after ours lost the race): only the process whose move
-        // succeeds has stolen; everyone else just re-polls.
-        if ((silent && lockOwnerDead(lockFile)) ||
-            (mtime > 0 && age > 10 * 60 * 1000L)) {
+        // two-concurrent-builders corruption. The steal is a VERIFIED
+        // atomic rename: move the lock aside, check the moved file
+        // still carries the id we judged stale, and restore it
+        // immediately if not (we displaced a FRESH lock re-created
+        // after our judgment — the ABA race a bare delete or an
+        // unverified rename both lose). Combined with the 300 ms
+        // acquisition confirm above, a wrongly-displaced owner never
+        // proceeds unconfirmed.
+        if (judgedId.nonEmpty &&
+            ((silent && lockOwnerDead(lockFile)) ||
+             (mtime > 0 && age > 10 * 60 * 1000L))) {
           val aside = new File(dir,
             s"$marker.lock.stale-${java.util.UUID.randomUUID().toString.take(8)}")
           try {
             java.nio.file.Files.move(lockFile.toPath, aside.toPath,
               java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            aside.delete()
+            if (readId(aside) == judgedId) aside.delete() // stole the stale lock
+            else {
+              // displaced a fresh owner: put it back before its confirm
+              try java.nio.file.Files.move(aside.toPath, lockFile.toPath,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              catch { case _: Exception => aside.delete() } // a 3rd lock appeared; its owner will confirm
+            }
           } catch { case _: Exception => () } // lost the steal race: re-poll
         }
       }
@@ -136,7 +150,8 @@ object GdxOps extends QueryModule {
     try {
       val s = new String(java.nio.file.Files.readAllBytes(lockFile.toPath),
         java.nio.charset.StandardCharsets.UTF_8).trim
-      s.nonEmpty && ProcessHandle.of(s.toLong).isEmpty
+      val pid = s.takeWhile(_ != ':') // content is pid:uuid
+      pid.nonEmpty && ProcessHandle.of(pid.toLong).isEmpty
     } catch { case _: Exception => false }
 
   /** Static special-value fixture records (label, raw GDX value). */

@@ -92,7 +92,14 @@ object MultimodalOps extends QueryModule {
       * before any frame header.
       */
     def jpegDims(bytes: Array[Byte]): (Int, Int, Int) = {
-      def u8(i: Int): Int = bytes(i) & 0xff
+      // bounds-checked reads: a stream truncated mid-segment must
+      // reject with the same IllegalArgumentException contract the
+      // callers/tests match on, not surface an AIOOBE
+      def u8(i: Int): Int = {
+        if (i >= bytes.length)
+          throw new IllegalArgumentException("jpeg: truncated stream")
+        bytes(i) & 0xff
+      }
       def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
       require(bytes.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8,
         "jpeg: missing SOI marker")
@@ -101,7 +108,7 @@ object MultimodalOps extends QueryModule {
         if (u8(i) != 0xff)
           throw new IllegalArgumentException(s"jpeg: expected marker at byte $i")
         var j = i + 1
-        while (u8(j) == 0xff) j += 1 // fill bytes (T.81 §B.1.1.2)
+        while (u8(j) == 0xff) j += 1 // fill bytes (T.81 §B.1.1.2); u8 guards the end
         val m = u8(j)
         val seg = j + 1 // first byte after the marker code
         m match {

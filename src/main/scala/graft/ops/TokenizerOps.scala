@@ -66,14 +66,7 @@ object TokenizerOps extends QueryModule {
 
   private def corpusKey(d: String): String = {
     val f = new java.io.File(d, "documents.parquet")
-    def stat(x: java.io.File): (Long, Long) =
-      if (x.isDirectory)
-        Option(x.listFiles()).getOrElse(Array.empty)
-          .map(stat).foldLeft((0L, 0L)) {
-            case ((sz, mt), (sz2, mt2)) => (sz + sz2, math.max(mt, mt2))
-          }
-      else (x.length(), x.lastModified())
-    val (sz, mt) = stat(f)
+    val (sz, mt) = graft.Fingerprint.of(Seq(f))
     s"${f.getCanonicalPath}#$sz#$mt"
   }
 

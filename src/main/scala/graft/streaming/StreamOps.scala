@@ -106,13 +106,20 @@ object StreamOps {
 
   case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   /** First-occurrence micros per funnel step, Long.MaxValue = unseen;
-    * `done` pins exactly-once emission against re-deliveries.
+    * `done` pins exactly-once emission against re-deliveries; `last`
+    * is the NEWEST event micros seen for the key (any step, monotone
+    * max) — the retention clock's basis. First-occurrence times can't
+    * serve that role: they never advance on repeated steps, so an
+    * actively-engaged user would look dormant and be evicted
+    * mid-funnel (and a stale timeout below the watermark crashes the
+    * query — Spark rejects it).
     */
-  case class FunnelState(vt: Long, ct: Long, pt: Long, done: Boolean)
+  case class FunnelState(vt: Long, ct: Long, pt: Long, done: Boolean, last: Long)
   case class FunnelHit(user_id: Long, completed_at: java.sql.Timestamp)
 
   private val funnelEmpty =
-    FunnelState(Long.MaxValue, Long.MaxValue, Long.MaxValue, done = false)
+    FunnelState(Long.MaxValue, Long.MaxValue, Long.MaxValue, done = false,
+      last = Long.MinValue)
 
   /** Fold one batch slice into the min-timestamp state and decide
     * emission — shared by both state-API funnels so they cannot
@@ -130,6 +137,7 @@ object StreamOps {
     var st = st0
     rows.foreach { e =>
       val us = micros(e.ts)
+      if (us > st.last) st = st.copy(last = us)
       e.event_type match {
         case "view" => if (us < st.vt) st = st.copy(vt = us)
         case "click" => if (us < st.ct) st = st.copy(ct = us)
@@ -180,12 +188,17 @@ object StreamOps {
           } else {
             val (st, hitUs) = foldFunnel(state.getOption.getOrElse(funnelEmpty), rows)
             state.update(st)
-            // retention rides the key's own event time (max step seen;
-            // MaxValue sentinels excluded), replay-stable like cdcApply
+            // retention rides the key's LAST ACTIVITY (replay-stable,
+            // like cdcApply's st.us). Rows reaching this operator have
+            // passed the watermark filter, so last + ttl > watermark
+            // already; the max() clamp is belt-and-braces against the
+            // IllegalArgumentException Spark raises for a timeout at or
+            // below the current watermark.
             ttl.foreach { t =>
-              val lastUs = Seq(st.vt, st.ct, st.pt).filter(_ != Long.MaxValue)
-              if (lastUs.nonEmpty)
-                state.setTimeoutTimestamp(lastUs.max / 1000L + t.toMillis)
+              if (st.last != Long.MinValue)
+                state.setTimeoutTimestamp(math.max(
+                  st.last / 1000L + t.toMillis,
+                  state.getCurrentWatermarkMs() + 1L))
             }
             hitUs.iterator.map(us => FunnelHit(user, tsOfMicros(us)))
           }
@@ -323,7 +336,11 @@ object StreamOps {
     * sub-second component.
     */
   private def micros(ts: java.sql.Timestamp): Long =
-    (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+    // floorDiv, not /: getNanos is always in [0, 1e9), so the whole
+    // seconds must FLOOR for pre-epoch instants — plain division
+    // truncates toward zero and sign-flips the sub-second part
+    // (1969-12-31T23:59:59.5 would read +0.5s instead of −0.5s)
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
   def cdcApply(changes: Dataset[Change],
       ttl: Option[java.time.Duration] = None): Dataset[CdcRow] = {

@@ -133,8 +133,15 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       MediaCodec.jpegDims("not a jpeg at all".getBytes("US-ASCII"))
     }
-    // truncate before any SOF: walker must throw, not return garbage
-    intercept[Exception] { MediaCodec.jpegDims(jpeg.take(4)) }
+    // truncations anywhere — inside a fill run, mid-segment, before
+    // any SOF — must reject with the documented exception type, never
+    // an index error
+    for (n <- Seq(3, 4, 5, 8, 12)) {
+      intercept[IllegalArgumentException] { MediaCodec.jpegDims(jpeg.take(n)) }
+    }
+    intercept[IllegalArgumentException] {
+      MediaCodec.jpegDims(Array(0xff, 0xd8, 0xff, 0xff).map(_.toByte))
+    }
     // SOI immediately followed by EOI: legal markers, no frame header
     intercept[IllegalArgumentException] {
       MediaCodec.jpegDims(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte))

@@ -247,7 +247,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.head.getTimestamp(1) == t(2)) // first purchase, exact micros
   }
 
-  test("funnel TTL: dormant user state evicts once the watermark passes retention") {
+  test("funnel TTL: dormant state evicts; continued activity extends retention") {
     val ms = MemoryStream[StreamOps.FunnelEvent](spark)
     val name = nextName()
     val q = StreamOps.funnel(
@@ -260,12 +260,25 @@ class StreamingSpec extends AnyFunSuite {
     // u2 advances the watermark to 10:10 (publishes at batch end)
     ms.addData(StreamOps.FunnelEvent(2, t(10), "view"))
     q.processAllAvailable()
-    // next batch applies watermark 10:10 > u1's 10:05 timeout → evict
-    ms.addData(StreamOps.FunnelEvent(3, t(11), "view"))
+    // u1 RE-APPEARS in the batch where the watermark (10:10) already
+    // passed its old 10:05 timeout: the data callback must extend the
+    // retention clock from LAST activity (10:11 + 5), not re-arm the
+    // stale first-occurrence one — which Spark would reject as
+    // below-watermark, crashing the query (and a first-occurrence
+    // basis would evict this never-dormant user mid-funnel)
+    ms.addData(StreamOps.FunnelEvent(1, t(11), "view"))
     q.processAllAvailable()
-    assert(spark.table(name).count() == 0) // eviction emits nothing
     assert(q.lastProgress.stateOperators.head.numRowsTotal == 2,
-      "u1's state row must be evicted (u2 + u3 remain) — without the TTL this is 3")
+      "active u1 must survive (u1 + u2)")
+    // u3 advances the watermark to 10:30: u1 (10:16) and u2 (10:15)
+    // both lapse; eviction emits nothing
+    ms.addData(StreamOps.FunnelEvent(3, t(30), "view"))
+    q.processAllAvailable()
+    ms.addData(StreamOps.FunnelEvent(4, t(31), "view"))
+    q.processAllAvailable()
+    assert(spark.table(name).count() == 0)
+    assert(q.lastProgress.stateOperators.head.numRowsTotal == 2,
+      "u1/u2 evicted after retention, u3 + u4 remain")
     q.stop()
   }
 

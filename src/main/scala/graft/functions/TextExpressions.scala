@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
 
 /** simhash32(tokens): 32-bit SimHash of a token array, as a long.
   *
-  * Per-token hash: byte polynomial Σ bᵢ·31^i mod 1e9+7, spread to 32
-  * bits by the Knuth multiplicative constant 2654435761. Chosen over
+  * Per-token hash: CODEPOINT polynomial Σ cpᵢ·31^i mod 1e9+7 (UTF-8
+  * decoded inline — see [[TokenPolyHash.polyOf]]), spread to 32 bits
+  * by the Knuth multiplicative constant 2654435761. Chosen over
   * Murmur3 so the identical fingerprint is computable in plain SQL —
-  * the dedup_simhash oracle reproduces it in DuckDB (byte == codepoint
-  * polynomial on the ASCII corpus) and hash-checks the clusters. ±1
+  * the dedup_simhash oracle reproduces it in DuckDB via ord() over
+  * str_split and hash-checks the clusters, on ANY corpus, not just
+  * ASCII. ±1
   * votes per bit position, sign → bit. Being a single UnaryExpression
   * means the whole document fingerprint is computed map-side inside
   * whole-stage codegen: the previous formulation (explode tokens →
@@ -39,10 +41,7 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     while (j < n) {
       if (!arr.isNullAt(j)) {
         val t = arr.getUTF8String(j)
-        var poly = 0L
-        var i = 0
-        val nb = t.numBytes
-        while (i < nb) { poly = (poly * 31 + (t.getByte(i) & 0xff)) % Mod; i += 1 }
+        val poly = TokenPolyHash.polyOf(t)
         val h = poly * Spread % M32
         var b = 0
         while (b < 32) {
@@ -81,8 +80,20 @@ case class SimHash32(child: Expression) extends UnaryExpression {
          |    org.apache.spark.unsafe.types.UTF8String $t = $arr.getUTF8String($j);
          |    long $poly = 0L;
          |    int $nb = $t.numBytes();
-         |    for (int $i = 0; $i < $nb; $i++) {
-         |      $poly = ($poly * 31L + ($t.getByte($i) & 0xff)) % ${Mod}L;
+         |    for (int $i = 0; $i < $nb; ) {
+         |      int b0$i = $t.getByte($i) & 0xff;
+         |      int cp$i;
+         |      if (b0$i < 0x80) { cp$i = b0$i; $i += 1; }
+         |      else if (b0$i < 0xE0) {
+         |        cp$i = ((b0$i & 0x1F) << 6) | ($t.getByte($i + 1) & 0x3F); $i += 2;
+         |      } else if (b0$i < 0xF0) {
+         |        cp$i = ((b0$i & 0x0F) << 12) | (($t.getByte($i + 1) & 0x3F) << 6)
+         |          | ($t.getByte($i + 2) & 0x3F); $i += 3;
+         |      } else {
+         |        cp$i = ((b0$i & 0x07) << 18) | (($t.getByte($i + 1) & 0x3F) << 12)
+         |          | (($t.getByte($i + 2) & 0x3F) << 6) | ($t.getByte($i + 3) & 0x3F); $i += 4;
+         |      }
+         |      $poly = ($poly * 31L + cp$i) % ${Mod}L;
          |    }
          |    long $h = $poly * ${Spread}L % ${M32}L;
          |    for (int $b = 0; $b < 32; $b++) {
@@ -107,16 +118,53 @@ object SimHash32 {
   val M32 = 4294967296L
 }
 
-/** token_poly_hash(tokens): per-token byte-polynomial hash
-  * (Σ bᵢ·31^i mod 1e9+7) as array<bigint> — the shared base hash of
+object TokenPolyHash {
+  import SimHash32.Mod
+
+  /** Codepoint polynomial Σ cpᵢ·31^i mod 1e9+7 over a UTF8String,
+    * decoding UTF-8 inline (no String allocation). CODEPOINTS, not
+    * bytes: DuckDB's `ord(c)` over `str_split(t, '')` — the form every
+    * oracle CTE replays — folds codepoints, and a byte fold would
+    * diverge on the first non-ASCII token (ö = bytes C3 B6 vs
+    * codepoint 246), redding a dozen hash-checked queries on a real
+    * multilingual corpus. Byte == codepoint on ASCII, so this is
+    * value-identical on ASCII text.
+    */
+  def polyOf(t: org.apache.spark.unsafe.types.UTF8String): Long = {
+    var poly = 0L
+    var i = 0
+    val nb = t.numBytes
+    while (i < nb) {
+      val b0 = t.getByte(i) & 0xff
+      var cp = 0
+      if (b0 < 0x80) { cp = b0; i += 1 }
+      else if (b0 < 0xE0) {
+        cp = ((b0 & 0x1f) << 6) | (t.getByte(i + 1) & 0x3f); i += 2
+      } else if (b0 < 0xF0) {
+        cp = ((b0 & 0x0f) << 12) | ((t.getByte(i + 1) & 0x3f) << 6) |
+          (t.getByte(i + 2) & 0x3f); i += 3
+      } else {
+        cp = ((b0 & 0x07) << 18) | ((t.getByte(i + 1) & 0x3f) << 12) |
+          ((t.getByte(i + 2) & 0x3f) << 6) | (t.getByte(i + 3) & 0x3f); i += 4
+      }
+      poly = (poly * 31 + cp) % Mod
+    }
+    poly
+  }
+}
+
+/** token_poly_hash(tokens): per-token CODEPOINT-polynomial hash
+  * (Σ cpᵢ·31^i mod 1e9+7) as array<bigint> — the shared base hash of
   * the minhash signatures and document fingerprints.
   *
   * Same value as `transform(tokens, t -> aggregate(split(t, ''), 0L,
-  * (a, c) -> (a*31 + ascii(c)) % 1000000007))` on ASCII input (byte ==
-  * codepoint), but computed in a primitive loop inside whole-stage
-  * codegen instead of an interpreted lambda per character — the minhash
-  * signature stage is the hottest map-side loop in the §2.L pipelines.
-  * Null tokens hash like empty strings (0).
+  * (a, c) -> (a*31 + ascii(c)) % 1000000007))` for all BMP text (and
+  * as DuckDB's ord()/str_split fold for ALL text — see
+  * [[TokenPolyHash.polyOf]] for why codepoints, not bytes), but
+  * computed in a primitive loop inside whole-stage codegen instead of
+  * an interpreted lambda per character — the minhash signature stage
+  * is the hottest map-side loop in the §2.L pipelines. Null tokens
+  * hash like empty strings (0).
   */
 case class TokenPolyHash(child: Expression) extends UnaryExpression {
 
@@ -136,12 +184,7 @@ case class TokenPolyHash(child: Expression) extends UnaryExpression {
     var j = 0
     while (j < n) {
       if (!arr.isNullAt(j)) {
-        val t = arr.getUTF8String(j)
-        var poly = 0L
-        var i = 0
-        val nb = t.numBytes
-        while (i < nb) { poly = (poly * 31 + (t.getByte(i) & 0xff)) % Mod; i += 1 }
-        out(j) = poly
+        out(j) = TokenPolyHash.polyOf(arr.getUTF8String(j))
       }
       j += 1
     }
@@ -165,8 +208,20 @@ case class TokenPolyHash(child: Expression) extends UnaryExpression {
          |    org.apache.spark.unsafe.types.UTF8String $t = $arr.getUTF8String($j);
          |    long $poly = 0L;
          |    int $nb = $t.numBytes();
-         |    for (int $i = 0; $i < $nb; $i++) {
-         |      $poly = ($poly * 31L + ($t.getByte($i) & 0xff)) % ${Mod}L;
+         |    for (int $i = 0; $i < $nb; ) {
+         |      int b0$i = $t.getByte($i) & 0xff;
+         |      int cp$i;
+         |      if (b0$i < 0x80) { cp$i = b0$i; $i += 1; }
+         |      else if (b0$i < 0xE0) {
+         |        cp$i = ((b0$i & 0x1F) << 6) | ($t.getByte($i + 1) & 0x3F); $i += 2;
+         |      } else if (b0$i < 0xF0) {
+         |        cp$i = ((b0$i & 0x0F) << 12) | (($t.getByte($i + 1) & 0x3F) << 6)
+         |          | ($t.getByte($i + 2) & 0x3F); $i += 3;
+         |      } else {
+         |        cp$i = ((b0$i & 0x07) << 18) | (($t.getByte($i + 1) & 0x3F) << 12)
+         |          | (($t.getByte($i + 2) & 0x3F) << 6) | ($t.getByte($i + 3) & 0x3F); $i += 4;
+         |      }
+         |      $poly = ($poly * 31L + cp$i) % ${Mod}L;
          |    }
          |    $out[$j] = $poly;
          |  }

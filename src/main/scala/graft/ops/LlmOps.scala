@@ -80,6 +80,12 @@ object LlmOps extends QueryModule {
   def shingleHashes(docs: DataFrame): DataFrame = {
     val S = 1000033L
     docs
+      // NULL text would carry hs=NULL downstream: every NULL doc's
+      // band minima turn NULL, concat_ws collapses them all to sig ""
+      // — an O(k²) all-pairs clique in the candidate join — while the
+      // oracle's unnest simply drops the docs. Drop them here, once,
+      // for every consumer.
+      .filter(col("text").isNotNull)
       .withColumn("tok", split(col("text"), " "))
       .withColumn("th", graft.functions.text.tokenPolyHash(col("tok")))
       .withColumn("hs", expr(
@@ -103,9 +109,16 @@ object LlmOps extends QueryModule {
     * incremental dedup: the standing corpus's band table is maintained
     * once and each arriving batch probes it.
     */
-  def minhashBands(docs: DataFrame): DataFrame = {
+  def minhashBands(docs: DataFrame): DataFrame =
+    minhashBandsFromHashes(shingleHashes(docs))
+
+  /** Band table from an ALREADY-COMPUTED (doc_id, hs) frame — lets a
+    * caller that also needs the raw shingles (the verify stage) run
+    * the shingle pipeline exactly once for both consumers.
+    */
+  def minhashBandsFromHashes(sh: DataFrame): DataFrame = {
     val k = 12
-    val sigs = shingleHashes(docs)
+    val sigs = sh
       .select(col("doc_id") +:
         (0 until k).map(i =>
           array_min(transform(col("hs"),
@@ -207,7 +220,6 @@ object LlmOps extends QueryModule {
     simhash(s, d)
       .groupBy("simhash")
       .agg(count(lit(1)).as("n"), min("doc_id").as("keep_id"))
-      .filter(col("n") >= 1)
       .orderBy("simhash") // ~one row per distinct simhash = input-sized
   }
 
@@ -322,8 +334,19 @@ object LlmOps extends QueryModule {
     */
   private[ops] def verifiedJaccardPairs(s: SparkSession, d: String): DataFrame = {
     val docs = T(s, d, "documents").select("doc_id", "text")
-    val cand = minhashPairsOf(docs)
-    val jsh = shingleHashes(docs)
+    // ONE shingle pass feeds both the band stage and the verify sets —
+    // the checkpoint is what makes that literal, not aspirational (the
+    // old shape re-ran tokenize+hash once for the bands and once for
+    // jsh: the dominant map-side cost, paid twice)
+    val sh = shingleHashes(docs).localCheckpoint()
+    val bands = minhashBandsFromHashes(sh)
+    val a = bands.select(col("band"), col("sig"), col("doc_id").as("a"))
+    val b = bands.select(col("band"), col("sig"), col("doc_id").as("b"))
+    val cand = a.join(b, Seq("band", "sig"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    val jsh = sh
       .select(col("doc_id"), explode(col("hs")).as("h"))
       .distinct()
       .localCheckpoint()
@@ -898,7 +921,12 @@ object LlmOps extends QueryModule {
     */
   private def pqCodebook(emb: DataFrame): Array[Array[Array[Double]]] = {
     val firstK = emb.orderBy("vec_id").limit(16).collect().map(_.getSeq[Float](1))
-    Array.tabulate(8, 16)((m, k) => (0 until 8).map(j => firstK(k)(m * 8 + j).toDouble).toArray)
+    require(firstK.nonEmpty, "pq: empty embeddings table — no codebook")
+    // K follows the data like the oracle's LIMIT 16 does: a corpus
+    // with <16 vectors yields a smaller codebook on BOTH engines
+    // (indexing a literal 16 would AIOOBE on one and diverge on the other)
+    Array.tabulate(8, firstK.length)(
+      (m, k) => (0 until 8).map(j => firstK(k)(m * 8 + j).toDouble).toArray)
   }
 
   /** PQ/SDC oracle, parameterized on shortlist depth: the rerank query
@@ -1218,7 +1246,15 @@ object LlmOps extends QueryModule {
     * map-side; one generator explodes to (tbl, bucket) rows — compact
     * keys, no embedding payload rides along — and one self-equi-join
     * on (tbl, bucket) yields all tables' candidates at once. Candidate
-    * volume ∝ Σ per-table bucket density; never all-pairs.
+    * volume ∝ Σ per-table bucket density — which is Θ(n²/2^nPlanes)
+    * for n vectors, so a FIXED nPlanes is still asymptotically
+    * quadratic: the parameter must scale with the corpus,
+    * nPlanes ≈ log₂(n / targetBucketSize), to keep buckets
+    * constant-sized (the registered demos use 6–8 planes sized to the
+    * test corpora; ~10¹⁰ vectors wants ~24–30 planes, with more
+    * tables to recover the per-pair recall each added plane costs).
+    * That is exactly why the plane/table counts are parameters here
+    * rather than constants inside.
     */
   def multiLshCandidatesOf(emb: DataFrame, nPlanes: Int, nTables: Int): DataFrame = {
     val tb = emb.select(col("vec_id"), explode(array((0 until nTables).map { t =>
@@ -2514,7 +2550,8 @@ object LlmOps extends QueryModule {
       |           WHERE doc_id % 5 <> 0),
       |     b AS (SELECT lower(trim(text)) AS h, min(doc_id) AS doc_id
       |           FROM documents WHERE doc_id % 5 = 0 GROUP BY 1)
-      |SELECT doc_id FROM b WHERE h NOT IN (SELECT h FROM c)
+      |SELECT doc_id FROM b
+      |WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.h = b.h)
       |ORDER BY doc_id""") { (s, d) =>
     val docs = T(s, d, "documents")
       .withColumn("h", sha2(lower(trim(col("text"))), 256))
@@ -3511,6 +3548,9 @@ object LlmOps extends QueryModule {
       .collect()
     val sums = rows.groupBy("i").agg(sum("xi").as("sx"), count(lit(1)).as("cnt")).collect()
     val dim = sums.length
+    // empty corpus: no components — return the empty shape instead of
+    // crashing on head (the oracle returns zero rows)
+    if (dim == 0) return (0L, 0.0, 0.0, Array.empty[Double])
     val n = sums.head.getLong(2)
     // floor-quantize the ONLY nondeterministic inputs — the shuffled
     // Σx and Σxᵢxⱼ sums — to the 1e-6 grid (the pageRank device);

@@ -130,7 +130,8 @@ class VectorExpressionsSpec extends AnyFunSuite {
     import spark.implicits._
     val docs = Seq((1L, "spark scale shuffle codegen spark"),
       (2L, "a completely different stream of tokens here"),
-      (3L, "spark scale shuffle codegen sparks")) // near-dup of 1
+      (3L, "spark scale shuffle codegen sparks"), // near-dup of 1
+      (4L, "wört zürich naïve 東京 data")) // non-ASCII: codepoint fold, not bytes
       .toDF("doc_id", "text")
     val got = docs.select(col("doc_id"),
       text.simhash32(split(col("text"), " ")).as("sh"))
@@ -158,7 +159,8 @@ class VectorExpressionsSpec extends AnyFunSuite {
 
   test("token_poly_hash matches the HOF char-fold formulation") {
     import spark.implicits._
-    val docs = Seq("alpha beta", "x", "", "repeated repeated tokens")
+    val docs = Seq("alpha beta", "x", "", "repeated repeated tokens",
+      "wört zürich naïve 東京") // 2- and 3-byte UTF-8: must fold codepoints
       .toDF("text")
     val got = docs.select(text.tokenPolyHash(split(col("text"), " ")).as("h"))
       .collect().map(_.getSeq[Long](0))

@@ -171,6 +171,32 @@ class VectorExpressionsSpec extends AnyFunSuite {
     got.zip(want).foreach { case (g, w) => assert(g == w) }
   }
 
+  test("property: polyOf equals the JDK codePoints fold on random unicode") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val Mod = 1000000007L
+    def ref(t: String): Long = {
+      var poly = 0L
+      t.codePoints().forEach(cp => poly = (poly * 31 + cp) % Mod)
+      poly
+    }
+    val rnd = new scala.util.Random(7)
+    val pools = Seq(
+      (0x20 to 0x7e),           // ASCII
+      (0xa0 to 0x2ff),          // 2-byte UTF-8
+      (0x4e00 to 0x4fff),       // CJK, 3-byte
+      (0x1f300 to 0x1f3ff))     // astral, 4-byte (surrogate pairs)
+    for (_ <- 1 to 200) {
+      val len = rnd.nextInt(12)
+      val cps = Array.fill(len) {
+        val pool = pools(rnd.nextInt(pools.length))
+        pool(rnd.nextInt(pool.length))
+      }
+      val str = new String(cps, 0, cps.length)
+      assert(graft.functions.TokenPolyHash.polyOf(UTF8String.fromString(str))
+        == ref(str), s"mismatch on ${str.toList.map(_.toInt)}")
+    }
+  }
+
   test("SQL surface: vec_cosine resolvable by name via extensions") {
     fixture.createOrReplaceTempView("vecs")
     val n = spark.sql("SELECT vec_cosine(a, b) AS c FROM vecs WHERE vec_norm(a) > 0").count()

@@ -34,15 +34,26 @@ object Bench {
         }.getOrElse(Map.empty)
     } catch { case _: Throwable => Map.empty }
 
+  /** One timed execution; NaN on failure. A failure must NOT record
+    * elapsed-to-exception as the query's time: an analysis error
+    * throws in milliseconds, and min-of-reps would then report a
+    * near-zero "speedup" (and poison the stall-gate prior) for a
+    * BROKEN query — breakage reading as improvement.
+    */
   private def timeOnce(spark: SparkSession, sfDir: String,
       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
     val t0 = System.nanoTime()
-    try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+    val ok =
+      try { fn(spark, sfDir).count(); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] query failed: ${e.getMessage}")
+        false
+      }
     val t = (System.nanoTime() - t0) / 1e9
     // free localCheckpoint residue between reps so a query's time
     // never includes (or suffers from) another run's dead blocks
     Sessions.releaseCheckpoints(spark)
-    t
+    if (ok) t else Double.NaN
   }
 
   def main(args: Array[String]): Unit = {
@@ -99,6 +110,14 @@ object Bench {
         if (suspect) math.min(m, (1 to 2).map(_ => timeOnce(spark, sfDir, fn)).min)
         else m
       name -> best
+    }.filter { case (name, best) =>
+      // every rep failed (NaN): EXCLUDE the key rather than emit NaN —
+      // a missing key is a visible anomaly to every consumer (driver
+      // diff, prior merge), where a bare NaN breaks strict JSON parsers
+      // and a near-zero elapsed-to-exception would read as a speedup
+      val ok = !best.isNaN
+      if (!ok) System.err.println(s"[bench] EXCLUDED (all reps failed): $name")
+      ok
     }
     // Times rounded to 3 decimals: the driver captures only the tail of
     // the sbt output and parses the JSON line out of it — r01's full-

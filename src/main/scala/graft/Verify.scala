@@ -20,6 +20,15 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failure BEFORE the write job starts leaves a PREVIOUS
+        // dump's parquet at this path (outDir reuse across runs) and
+        // the compare would validate stale rows as current — delete so
+        // the failure surfaces as "no spark result", a loud red
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(s"$outDir/$name"))
       }
       finally Sessions.releaseCheckpoints(spark)
     }

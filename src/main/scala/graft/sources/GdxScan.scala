@@ -96,6 +96,15 @@ class GdxScan(fullSchema: StructType, required: StructType, pushed: Seq[DimLabel
 
   private val path = GdxTable.localPath(options.get("path"))
   private val symbol = Option(options.get("symbol")).getOrElse("")
+  // re-validated HERE, not only in schemaFor: a user-supplied schema
+  // (supportsExternalMetadata) skips schema inference entirely, and a
+  // typo'd mode ("RAW") would otherwise silently degrade to lossy map
+  // semantics — sentinel-destroying, exactly what the guard exists for
+  locally {
+    val sv = options.getOrDefault("specialValues", "map")
+    require(sv == "map" || sv == "columns" || sv == "raw",
+      s"gdx: specialValues must be map|columns|raw (case-sensitive), got '$sv'")
+  }
 
   override def readSchema(): StructType = required
 
@@ -115,7 +124,19 @@ class GdxScan(fullSchema: StructType, required: StructType, pushed: Seq[DimLabel
       Array(GdxCatalogPartition(shards))
     else if (symbol == GdxTable.UelSymbol)
       Array(GdxUelPartition(shards))
-    else prunedByManifest(shards).map(s => GdxInputPartition(s, symbol)).toArray
+    else {
+      // empty symbol means "the dataset's first symbol" — resolve the
+      // NAME once at plan time (from the same first shard schemaFor
+      // used) so a multi-shard scan cannot silently union each shard's
+      // OWN first symbol; a shard genuinely lacking the resolved name
+      // then errors loudly in its reader instead of mixing rows
+      val resolved =
+        if (symbol.nonEmpty) symbol
+        else shards.headOption.map { s0 =>
+          GdxTable.resolveSymbol(GdxCodec.readHeader(s0), "", s0).name
+        }.getOrElse(symbol)
+      prunedByManifest(shards).map(s => GdxInputPartition(s, resolved)).toArray
+    }
   }
 
   /** Driver-side shard pruning: pushed dim_1 equality/IN labels are
@@ -268,19 +289,35 @@ class GdxSymbolReader(path: String, symbol: String, fullSchema: StructType,
   // SUBSET of the case-insensitive predicate — rows silently dropped
   // that the residual re-check could never restore (it only sees rows
   // the decoder emitted).
+  // ... and BOTH the Locale.ROOT and default-locale lowercases of each
+  // label are indexed when they differ (tr/az JVMs: dotted/dotless I):
+  // Spark's lower() takes the default-locale path for non-ASCII
+  // strings, so a ROOT-only index could make the pushed filter match a
+  // SUBSET of what the engine-evaluated predicate matches — the same
+  // silent row loss, via locale instead of case-duplicates. Indexing
+  // the union keeps the decoder a strict superset under any locale;
+  // the residual re-check stays exact.
   private lazy val uelIndex: Map[String, Array[Int]] = {
     val m = new scala.collection.mutable.HashMap[
       String, scala.collection.mutable.ArrayBuffer[Int]]()
+    def add(k: String, i: Int): Unit =
+      m.getOrElseUpdate(k, new scala.collection.mutable.ArrayBuffer[Int]) += i
     var i = 0
     while (i < header.uels.length) {
-      m.getOrElseUpdate(header.uels(i).toLowerCase(java.util.Locale.ROOT),
-        new scala.collection.mutable.ArrayBuffer[Int]) += i
+      val root = header.uels(i).toLowerCase(java.util.Locale.ROOT)
+      val dflt = header.uels(i).toLowerCase
+      add(root, i)
+      if (dflt != root) add(dflt, i)
       i += 1
     }
-    m.view.mapValues(_.toArray).toMap
+    m.view.mapValues(_.toArray.distinct).toMap
   }
-  private def lookup(label: String): Array[Int] =
-    uelIndex.getOrElse(label.toLowerCase(java.util.Locale.ROOT), Array.empty)
+  private def lookup(label: String): Array[Int] = {
+    val root = uelIndex.getOrElse(label.toLowerCase(java.util.Locale.ROOT), Array.empty[Int])
+    val dl = label.toLowerCase
+    if (dl == label.toLowerCase(java.util.Locale.ROOT)) root
+    else (root ++ uelIndex.getOrElse(dl, Array.empty[Int])).distinct
+  }
 
   // shard skip: a pushed label absent from this shard's UEL table can
   // match nothing here — with the clustered write layout each label

@@ -22,6 +22,21 @@ object GdxShardOffset {
     GdxShardOffset(entry.findAllMatchIn(j).map(m => GdxManifest.unjs(m.group(1))).toSeq)
 }
 
+/** O(1) offset for `committedOnly` mode: the number of MANIFEST
+  * ENTRIES processed. The manifest is append-only under the streaming
+  * sink (entries preserved verbatim on append, idempotent re-commits
+  * skip existing files), so a prefix length identifies the processed
+  * set exactly — where the name-set offset re-serializes every
+  * processed shard name into the offset WAL each trigger, growing the
+  * log without bound at the connector's own O(10⁵)-shard target. The
+  * listing mode KEEPS name sets: arrival there is genuinely unordered
+  * (task-id names, late writers), so no watermark is sound — the same
+  * trade Spark's own FileStreamSource makes with its seen-files log.
+  */
+case class GdxManifestOffset(n: Int) extends Offset {
+  override def json: String = s"""{"n":$n}"""
+}
+
 /** Streaming ingestion of a sharded GDX directory (readStream.format
   * ("gdx")): each micro-batch plans one InputPartition per NEWLY
   * ARRIVED shard file — the natural continuation of the sharded write
@@ -60,16 +75,42 @@ class GdxMicroBatchStream(path: String, symbol: String, fullSchema: StructType,
       GdxManifest.files(path).getOrElse(Nil)
     else GdxTable.shardsOf(path).map(p => new java.io.File(p).getName)
 
-  override def initialOffset(): Offset = GdxShardOffset(Nil)
+  override def initialOffset(): Offset =
+    if (committedOnly) GdxManifestOffset(0) else GdxShardOffset(Nil)
 
-  override def latestOffset(): Offset = GdxShardOffset(currentFiles)
+  override def latestOffset(): Offset =
+    if (committedOnly)
+      GdxManifestOffset(GdxManifest.files(path).map(_.size).getOrElse(0))
+    else GdxShardOffset(currentFiles)
 
-  override def deserializeOffset(json: String): Offset = GdxShardOffset.fromJson(json)
+  override def deserializeOffset(json: String): Offset =
+    if (json.trim.startsWith("{"))
+      GdxManifestOffset("""\d+""".r.findFirstIn(json).map(_.toInt).getOrElse(0))
+    else GdxShardOffset.fromJson(json)
+
+  /** The batch's file names under either offset scheme. Mixed
+    * (name-set start, manifest end) handles a checkpoint written by
+    * the older name-set code resuming under committedOnly.
+    */
+  private def batchFiles(start: Offset, end: Offset): Seq[String] = (start, end) match {
+    case (GdxManifestOffset(a), GdxManifestOffset(b)) =>
+      val all = GdxManifest.files(path).getOrElse(Nil)
+      if (all.size < b)
+        throw new IllegalStateException(
+          s"gdx stream: manifest shrank below a recorded offset ($b > ${all.size}) " +
+            "— committed data lost or manifest rewritten mid-stream")
+      all.slice(a, b)
+    case (GdxShardOffset(fs), GdxManifestOffset(b)) =>
+      val seen = fs.toSet
+      GdxManifest.files(path).getOrElse(Nil).take(b).filterNot(seen)
+    case (s0, e0) =>
+      val seen = s0.asInstanceOf[GdxShardOffset].files.toSet
+      e0.asInstanceOf[GdxShardOffset].files.filterNot(seen)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[GdxShardOffset].files.toSet
     val dir = new java.io.File(path)
-    end.asInstanceOf[GdxShardOffset].files.filterNot(seen).sorted.flatMap { n =>
+    batchFiles(start, end).sorted.flatMap { n =>
       val full = if (dir.isDirectory) new java.io.File(dir, n).getPath else path
       if (new java.io.File(full).isFile)
         Some(GdxInputPartition(full, symbol): InputPartition)

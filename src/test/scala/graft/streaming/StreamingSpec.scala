@@ -328,6 +328,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchRows.exists(_._4 > 0))
   }
 
+  test("committedOnly offsets are O(1) manifest prefixes; old name-set checkpoints resume") {
+    import graft.sources.{GdxManifestOffset, GdxMicroBatchStream, GdxShardOffset}
+    val dir = java.nio.file.Files.createTempDirectory("gdx-moff").toString + "/data"
+    (0 until 40).map(i => (f"k$i%02d", i.toDouble)).toDF("dim_1", "value")
+      .repartition(2).write.format("gdx").mode("overwrite").option("symbol", "s").save(dir)
+    val schema = spark.read.format("gdx").option("symbol", "s").load(dir).schema
+    val ms = new GdxMicroBatchStream(dir, "s", schema, schema, Nil,
+      raw = false, committedOnly = true)
+    // latest offset is a prefix COUNT, serialized O(1) — not the name set
+    val names = graft.sources.GdxManifest.files(dir).get
+    val latest = ms.latestOffset().asInstanceOf[GdxManifestOffset]
+    assert(latest.n == names.size && latest.json == s"""{"n":${names.size}}""")
+    assert(ms.deserializeOffset(latest.json) == latest)
+    // full range plans every shard; equal range plans none
+    assert(ms.planInputPartitions(GdxManifestOffset(0), latest).length == names.size)
+    assert(ms.planInputPartitions(latest, latest).isEmpty)
+    // UPGRADE path: a checkpoint written by the old name-set scheme
+    // resumes under manifest offsets — already-processed names are not
+    // replayed, unseen manifest entries are
+    val oldCkpt = ms.deserializeOffset(
+      GdxShardOffset(Seq(names.head)).json).asInstanceOf[GdxShardOffset]
+    assert(oldCkpt.files == Seq(names.head))
+    val planned = ms.planInputPartitions(oldCkpt, latest)
+    assert(planned.length == names.size - 1)
+    // a manifest shrinking below a recorded offset is committed-data
+    // loss and must fail loudly, not silently replan
+    intercept[IllegalStateException] {
+      ms.planInputPartitions(GdxManifestOffset(0), GdxManifestOffset(99))
+    }
+  }
+
   test("gdx readStream in raw mode streams sentinel encodings losslessly") {
     import graft.gdx.SpecialValues
     val dir = java.nio.file.Files.createTempDirectory("gdx-stream-raw").toString + "/data"

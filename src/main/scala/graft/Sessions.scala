@@ -19,6 +19,17 @@ object Sessions {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // getOrCreate silently RETURNS a pre-existing session, ignoring
+    // master and every static config above — including the extensions
+    // injection, whose absence would surface much later as an
+    // inscrutable UNRESOLVED_ROUTINE on the first vec_*/mg_topk call.
+    // Fail fast with the actual cause instead.
+    require(s.conf.getOption("spark.sql.extensions")
+        .exists(_.contains("graft.functions.GraftExtensions")),
+      "Sessions.build: an earlier SparkSession without GraftExtensions " +
+        "already exists in this JVM — the graft SQL surface (vec_*, " +
+        "simhash32, mg_topk, ...) cannot be injected post-hoc. Build " +
+        "every session in this JVM through graft.Sessions.build.")
     s.sparkContext.setLogLevel("WARN")
     s
   }

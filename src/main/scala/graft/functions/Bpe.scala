@@ -149,10 +149,20 @@ object Bpe {
     * quadratic-in-word-length encode into a lookup for the bulk of
     * the stream). Callers pass one memo per partition, never shared.
     */
+  /** Splits on U+0020 ONLY — deliberately the corpus-wide tokenization
+    * convention (every registered query splits text with
+    * `split(text, ' ')`), so token/word counts agree across the whole
+    * suite; it is NOT a general whitespace splitter. A word containing
+    * the end-of-word marker would make [[decode]] silently corrupt the
+    * round-trip, so it is rejected loudly here.
+    */
   def encode(text: String, model: Model,
       memo: mutable.Map[String, Vector[String]]): Vector[String] =
     if (text == null || text.isEmpty) Vector.empty
     else text.split(" ").iterator.filter(_.nonEmpty).flatMap { w =>
+      require(!w.contains(EndOfWord),
+        s"bpe: word contains the end-of-word marker '$EndOfWord' — " +
+          "decode(encode(text)) would corrupt it; strip or re-map the marker first")
       memo.getOrElseUpdate(w, encodeWord(w, model))
     }.toVector
 

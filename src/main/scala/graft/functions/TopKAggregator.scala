@@ -21,6 +21,13 @@ import org.apache.spark.sql.expressions.Aggregator
   * determinism rule); k is small by contract, so O(k) inserts beat
   * heap constant factors.
   */
+/** INPUT CONTRACT: value and id are non-nullable — the buffer encoder
+  * uses primitive fields (a NULL input fails loudly at the encoder,
+  * it is never silently ranked). The one registered call site feeds
+  * TPC-H non-null columns; nullable data must be filtered (or
+  * coalesced) first, mirroring how the window form would rank it
+  * explicitly with NULLS FIRST/LAST.
+  */
 case class TopKEntry(value: Double, id: Long)
 case class TopKBuf(items: Seq[TopKEntry])
 

@@ -17,10 +17,24 @@ import org.apache.spark.sql.functions.{floor, lit}
   * not fold it in here.
   */
 private[ops] object Grid {
-  def dyGrid(c: Column, scale: Double): Column =
-    floor(c * lit(scale) + lit(0.5)).cast("double") / lit(scale)
+  /** NaN/±Inf pass THROUGH un-quantized: Spark's floor(double) returns
+    * BIGINT, which would silently map NaN to 0.0 and clamp infinities
+    * to Long bounds — turning an upstream bug into a legal-looking
+    * grid value — while DuckDB's floor(double) returns DOUBLE and
+    * propagates them. Passing them through keeps the Column path, the
+    * driver twin [[dy20D]] (plain math.floor, which propagates), and
+    * the SQL form in agreement on non-finite inputs. Finite contract
+    * unchanged: exact for |x| < 2³³ (dy20) per the header note.
+    */
+  def dyGrid(c: Column, scale: Double): Column = {
+    import org.apache.spark.sql.functions.when
+    when(c.isNaN || c === Double.PositiveInfinity || c === Double.NegativeInfinity, c)
+      .otherwise(floor(c * lit(scale) + lit(0.5)).cast("double") / lit(scale))
+  }
+  // ($scale) parenthesized in BOTH positions: an expression scale like
+  // "a/b" would otherwise right-associate the trailing division
   def dyGridSql(x: String, scale: String): String =
-    s"floor(($x) * $scale + 0.5) / $scale"
+    s"floor(($x) * ($scale) + 0.5) / ($scale)"
 
   def dy20(c: Column): Column = dyGrid(c, 1048576.0)
   def dy20Sql(x: String): String = dyGridSql(x, "1048576.0")

@@ -165,5 +165,17 @@ object T {
         case _ => // TIMESTAMP_NTZ (micros, no tz): reinterpret as UTC instant
           raw.withColumn("ts", col("ts").cast(TimestampType))
       }
+    } else if (name == "embeddings") {
+      // The driver's embeddings footer declares `element: nullable`
+      // though no null element exists in the data (validated against
+      // the real parquet in VectorExpressionsSpec, all SFs) — left
+      // as-is, every native vector expression compiles its per-element
+      // null guard and the multi-table LSH rows pay ~2× (r11 bench
+      // regression). Retag at the single load site so the guard gates
+      // off for the whole corpus path; see KnownElementsNotNull's
+      // contract in functions/VectorExpressions.scala.
+      import org.apache.spark.sql.functions.col
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("embedding", graft.functions.vec.elemsNonNull(col("embedding")))
     } else s.read.parquet(s"$dir/$name.parquet")
 }

@@ -485,6 +485,49 @@ case class PqEncode(first: Expression, second: Expression,
       c: Expression, d: Expression): PqEncode = PqEncode(a, b, c, d)
 }
 
+/** Identity retag: same value, same nulls, but the DECLARED element
+  * type drops `containsNull`. The r11 element-null guards in the
+  * vector expressions above are schema-gated (`mayContainNull`), which
+  * is only as good as the schema: the driver's embeddings parquet
+  * footer declares `element: nullable` even though no null element
+  * exists in the data, so every vector expression on the corpus hot
+  * path was compiling the per-element `isNullAt` branch and reporting
+  * nullable — measured ~2× on the multi-table LSH rows (6 tables × 6
+  * planes × 64 dims per row, r11 bench). This node is the
+  * KnownNotNull-style fix: applied at the loader AFTER the corpus
+  * null-freeness is validated (VectorExpressionsSpec pins it against
+  * the actual test parquet), it compiles to a plain forward of the
+  * child's ExprCode — zero instructions — and lets the guards gate off
+  * exactly as their scaladoc intends, while genuinely nullable inputs
+  * that skip the retag keep the full guard.
+  *
+  * CONTRACT: this is a promise, not a check. A null element read
+  * through a retagged column yields silent 0.0 (the corruption the
+  * guard exists to stop) — so only apply where an ingest-time
+  * validation or schema authority backs the claim.
+  */
+case class KnownElementsNotNull(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expected an array column, got $t")
+  }
+
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(et, _) => ArrayType(et, containsNull = false)
+    case other => other // unreachable after checkInputDataTypes
+  }
+
+  override protected def nullSafeEval(v: Any): Any = v
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+
+  override protected def withNewChildInternal(c: Expression): KnownElementsNotNull =
+    copy(child = c)
+}
+
 /** Registers the native expressions as SQL functions via the public
   * SparkSessionExtensions hook. Sessions are built with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
@@ -517,6 +560,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("pq_encode"),
       new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
       (es: Seq[Expression]) => PqEncode(es(0), es(1), es(2), es(3))))
+    ext.injectFunction((FunctionIdentifier("vec_elems_nonnull"),
+      new ExpressionInfo(classOf[KnownElementsNotNull].getName, "vec_elems_nonnull"),
+      (es: Seq[Expression]) => KnownElementsNotNull(es.head)))
     ext.injectFunction((FunctionIdentifier("mg_topk"),
       new ExpressionInfo(classOf[MisraGriesTopK].getName, "mg_topk"),
       (es: Seq[Expression]) => {
@@ -556,6 +602,11 @@ object vec {
   def norm(a: Column): Column = call_function("vec_norm", a)
   def cosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
   def quantize8(a: Column): Column = call_function("vec_quantize8", a)
+
+  /** Retag `a`'s elements as non-null (see [[KnownElementsNotNull]]'s
+    * contract: only after ingest-time validation).
+    */
+  def elemsNonNull(a: Column): Column = call_function("vec_elems_nonnull", a)
 
   /** PQ codes of `a` against the flattened [m][k][j] codebook literal. */
   def pqEncode(a: Column, cbFlat: Column, m: Int, k: Int): Column = {

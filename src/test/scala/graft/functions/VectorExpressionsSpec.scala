@@ -233,4 +233,67 @@ class VectorExpressionsSpec extends AnyFunSuite {
       } finally spark.conf.unset("spark.sql.codegen.factoryMode")
     }
   }
+
+  test("ingest validation: embeddings corpus is element-null-free, so the loader retag is sound") {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    // The T loader retags embeddings' elements containsNull=false
+    // (KnownElementsNotNull) on the strength of THIS check: the actual
+    // driver-written parquet must contain zero null elements and zero
+    // null arrays. If a future testdata drop ships nulls, this fails
+    // before any silent 0.0 corruption can reach a similarity.
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val dir = s"/root/testdata/$sf"
+      if (new java.io.File(s"$dir/embeddings.parquet").exists()) {
+        val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+        val bad = raw.filter(
+          col("embedding").isNull ||
+            expr("exists(embedding, x -> x IS NULL)")).count()
+        assert(bad == 0L, s"$sf: $bad rows with null array / null elements")
+        // and the loader actually applies the retag
+        val loaded = graft.T(spark, dir, "embeddings")
+        assert(loaded.schema("embedding").dataType ===
+          ArrayType(FloatType, containsNull = false),
+          s"$sf: loader must declare element containsNull=false")
+      }
+    }
+  }
+
+  test("vec_elems_nonnull: identity on values, retags the declared element nullability") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    // a conditionally-null lambda declares containsNull=true while the
+    // branch never fires on this data — the same declared-vs-actual
+    // gap as the parquet footer, in miniature
+    val df = fixture.select(col("id"),
+      expr("transform(a, x -> IF(x > 1e9, NULL, CAST(x AS DOUBLE)))").as("a"))
+    assert(df.schema("a").dataType === ArrayType(DoubleType, containsNull = true))
+    val tagged = df.select(col("id"), vec.elemsNonNull(col("a")).as("a"))
+    assert(tagged.schema("a").dataType === ArrayType(DoubleType, containsNull = false))
+    // values pass through untouched on both execution paths
+    for (codegen <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try {
+        val got = tagged.orderBy("id").collect().map(_.getSeq[Double](1))
+        val want = df.orderBy("id").collect().map(_.getSeq[Double](1))
+        assert(got.toSeq === want.toSeq, s"[$codegen] retag must not alter values")
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    // a null ARRAY (top-level) still passes through as null — the retag
+    // only claims element non-nullness
+    import spark.implicits._
+    val n = Seq((1L, Option.empty[Seq[Float]])).toDF("id", "a")
+      .select(vec.elemsNonNull(col("a"))).collect()
+    assert(n.head.isNullAt(0))
+    // and the downstream vector expression drops its guard: the gate is
+    // `mayContainNull(child.dataType)`, observable through `nullable`
+    // when the children themselves are non-nullable literals
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val arrLit = Literal(new GenericArrayData(Array(1.0, 2.0)),
+      org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = true))
+    assert(VecDot(arrLit, arrLit).nullable, "guard armed on containsNull=true")
+    val tagged2 = KnownElementsNotNull(arrLit)
+    assert(!VecDot(tagged2, tagged2).nullable,
+      "guard must gate off over retagged inputs")
+    assert(!VecCosine(tagged2, tagged2).nullable && !VecNorm(tagged2).nullable)
+  }
 }

@@ -26,6 +26,21 @@ object Gdx {
   def uels(spark: SparkSession, path: String): DataFrame =
     spark.read.format("gdx").option("symbol", "__uels__").load(path)
 
+  /** Acronym table of a GDX file or sharded dataset (SPEC
+    * gdxAcronymCount + gdxAcronymGetInfo loop): one
+    * (acr_index, name, text) row per registered acronym. A parameter
+    * value of acr_index·1e300 (≥ 1e301) is that acronym's sentinel —
+    * `specialValues="columns"` scans surface it as
+    * `is_acronym`/`acr_index`, raw scans keep the sentinel double.
+    */
+  def acronyms(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("gdx").option("symbol", "__acronyms__").load(path)
+
+  /** Driver-side acronym name map (catalog-sized by construction). */
+  private def acronymMap(spark: SparkSession, path: String): Map[Int, String] =
+    acronyms(spark, path).select("acr_index", "name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+
   /** One symbol in long form; name matching is case-insensitive
     * (gdxFindSymbol). specialValues: "map" (gdxpy-compatible) or
     * "columns" (lossless is_eps/is_na/is_undef flags).
@@ -149,14 +164,26 @@ object Gdx {
   }
 
   /** gdxdump's rendering token for a RAW sentinel value, null for
-    * ordinary numbers.
+    * ordinary numbers. Acronym sentinels (≥ 1e301) render their NAME
+    * when `acrNames` carries the file's table (gdxdump behavior),
+    * falling back to `Acr<index>` for an index missing from the table —
+    * visible rather than a silently huge double.
     */
-  private def sentinelToken(v: Column): Column =
-    when(v === SpecialValues.EPS, "Eps")
+  private def sentinelToken(v: Column, acrNames: Map[Int, String] = Map.empty): Column = {
+    val base = when(v === SpecialValues.EPS, "Eps")
       .when(v === SpecialValues.NA, "NA")
       .when(v === SpecialValues.UNDEF, "Undf")
       .when(v === SpecialValues.PINF, "+Inf")
       .when(v === SpecialValues.MINF, "-Inf")
+    val withNames = acrNames.toSeq.sortBy(_._1).foldLeft(base) {
+      case (w, (idx, name)) =>
+        // the sentinel compare uses the SAME IEEE multiply as the
+        // encoder (acronymValue), so equality is exact
+        w.when(v === SpecialValues.acronymValue(idx), name)
+    }
+    withNames.when(!isnan(v) && v < Double.PositiveInfinity && v >= 9.5e300,
+      concat(lit("Acr"), round(v / 1.0e300).cast("long").cast("string")))
+  }
 
   private def emptyFrame(spark: SparkSession, fields: (String, org.apache.spark.sql.types.DataType)*): DataFrame =
     spark.createDataFrame(
@@ -312,8 +339,16 @@ object Gdx {
         .when(v === SpecialValues.NA || v === SpecialValues.UNDEF, Double.NaN)
         .when(v === SpecialValues.PINF, Double.PositiveInfinity)
         .when(v === SpecialValues.MINF, Double.NegativeInfinity)
+        // acronyms display gdxpy-decoded like NA (no numeric meaning);
+        // the special_* token column carries the acronym name
+        .when(v >= 9.5e300 && v < Double.PositiveInfinity, Double.NaN)
         .otherwise(v)
-    def token(v: Column): Column = Gdx.sentinelToken(v)
+    // per-side acronym tables: an acronym renders by ITS file's name
+    // (driver cost O(acronym table)); raw-value inequality is what
+    // detects the change, so acronym-vs-NA is a chg even unnamed
+    val acrA = acronymMap(spark, pathA)
+    val acrB = acronymMap(spark, pathB)
+    def token(v: Column, acr: Map[Int, String]): Column = Gdx.sentinelToken(v, acr)
     def summaryRow(n: String, key: String, status: String): DataFrame =
       spark.range(1).select(lit(n).as("symbol"),
         lit(key).as("key"), lit(status).as("status"),
@@ -330,8 +365,8 @@ object Gdx {
         lit(name).as("symbol"), col("key"), lit(status).as("status"),
         (if (status == "del") display(col("value")) else nul).as("value_a"),
         (if (status == "ins") display(col("value")) else nul).as("value_b"),
-        (if (status == "del") token(col("value")) else nus).as("special_a"),
-        (if (status == "ins") token(col("value")) else nus).as("special_b"),
+        (if (status == "del") token(col("value"), acrA) else nus).as("special_a"),
+        (if (status == "ins") token(col("value"), acrB) else nus).as("special_b"),
         (if (status == "del") col("text") else nus).as("text_a"),
         (if (status == "ins") col("text") else nus).as("text_b"))
     }
@@ -367,8 +402,8 @@ object Gdx {
               coalesce(col("key_a"), col("key_b")).as("key"), col("status"),
               when(col("status") =!= "ins", display(col("raw_a"))).as("value_a"),
               when(col("status") =!= "del", display(col("raw_b"))).as("value_b"),
-              when(col("status") =!= "ins", token(col("raw_a"))).as("special_a"),
-              when(col("status") =!= "del", token(col("raw_b"))).as("special_b"),
+              when(col("status") =!= "ins", token(col("raw_a"), acrA)).as("special_a"),
+              when(col("status") =!= "del", token(col("raw_b"), acrB)).as("special_b"),
               when(col("status") =!= "ins", col("text_a")).as("text_a"),
               when(col("status") =!= "del", col("text_b")).as("text_b"))
       }
@@ -423,6 +458,28 @@ object Gdx {
     val cats = paths.map { p =>
       matchedSymbols(spark, p, patterns).map(s => s.name -> s).toMap
     }
+    // union of the inputs' acronym tables rides into every merged
+    // symbol's shards (driver cost O(acronym tables)): an acronym
+    // SENTINEL survives the raw-mode union bit-exactly, so losing the
+    // table would orphan it. Same index must mean the same acronym
+    // across files — a silent first-wins there would rename values.
+    val mergedAcrs = {
+      val all = paths.flatMap(p => acronyms(spark, p)
+        .select("acr_index", "name", "text").collect()
+        .map(r => GdxAcronym(r.getInt(0), r.getString(1),
+          Option(r.getString(2)).getOrElse(""))))
+      all.groupBy(_.index).toSeq.sortBy(_._1).map { case (idx, as) =>
+        require(as.map(_.name.toLowerCase(java.util.Locale.ROOT)).distinct.size == 1,
+          s"gdx merge: acronym index $idx names differ across files: " +
+            as.map(_.name).distinct.mkString(", "))
+        as.head
+      }
+    }
+    val acrSpec = mergedAcrs.map { a =>
+      require(!a.name.contains(",") && !a.name.contains(":") && !a.text.contains(","),
+        s"gdx merge: acronym '${a.name}' not serializable through the writer option")
+      if (a.text.nonEmpty) s"${a.index}:${a.name}:${a.text}" else s"${a.index}:${a.name}"
+    }.mkString(",")
     val names = cats.flatMap(_.keys).distinct.sorted
     names.map { n =>
       val present = paths.lazyZip(fileTags).lazyZip(cats).toSeq
@@ -447,9 +504,10 @@ object Gdx {
           dims.zipWithIndex.map { case (c, i) => col(c).as(s"dim_${i + 2}") }) ++
           valCols.map(col): _*)
       }).get
-      merged.write.format("gdx").mode("overwrite")
+      val w = merged.write.format("gdx").mode("overwrite")
         .option("symbol", n).option("symbolType", typ)
         .option("subtype", subtype.toString)
+      (if (acrSpec.nonEmpty) w.option("acronyms", acrSpec) else w)
         .save(s"$outDir/$n")
       n
     }
@@ -570,6 +628,7 @@ object Gdx {
     require(format == "records" || format == "blocks",
       s"gdx dump: unknown format '$format' (records|blocks)")
     val blocks = format == "blocks"
+    val acrNames = acronymMap(spark, path) // acronyms render by name, like the real tool
     val perSymbol = matchedSymbols(spark, path, patterns).map { s =>
       val (n, typ) = (s.name, s.typ)
       val df =
@@ -582,7 +641,7 @@ object Gdx {
         // raw scan → sentinel tokens by equality; ordinary values
         // range-guard the decimal cast (ANSI mode makes an overflowing
         // cast THROW, so the fallback must gate it, not catch a null)
-        coalesce(sentinelToken(v),
+        coalesce(sentinelToken(v, acrNames),
           when(abs(v) < 1e12, v.cast("decimal(18,6)").cast("string"))
             .otherwise(v.cast("string")))
       }
@@ -670,7 +729,7 @@ object Gdx {
     val headerLine = (doms :+ valHeader)
       .map(h => "\"" + h.replace("\"", "\"\"") + "\"").mkString(",")
     val v = col(if (df.columns.contains("value")) "value" else "level")
-    val rendered = coalesce(sentinelToken(v),
+    val rendered = coalesce(sentinelToken(v, acronymMap(spark, path)),
       when(abs(v) < 1e12, v.cast("decimal(18,6)").cast("string"))
         .otherwise(v.cast("string")))
     val valPart =
@@ -738,6 +797,9 @@ final case class GdxFile(spark: SparkSession, path: String) {
 
   /** UEL dictionary view (gdxGetUEL loop surface). */
   def uels: DataFrame = Gdx.uels(spark, path)
+
+  /** Acronym table view (gdxAcronymGetInfo loop surface). */
+  def acronyms: DataFrame = Gdx.acronyms(spark, path)
 
   def apply(name: String): DataFrame = query(name)
 

@@ -36,6 +36,21 @@ final class GdxBuilder(producer: String = "gdxpyspark") {
     this
   }
 
+  private val acrs = mutable.ArrayBuffer.empty[GdxAcronym]
+
+  /** Register an acronym (SPEC gdxAcronymAdd): returns its sentinel
+    * VALUE (index·1e300) to store in parameter records. Indices are
+    * assigned sequentially from [[SpecialValues.MinAcrIndex]]; names are
+    * unique case-insensitively (GAMS identifier semantics).
+    */
+  def addAcronym(name: String, text: String = ""): Double = {
+    require(!acrs.exists(_.name.equalsIgnoreCase(name)),
+      s"gdx: acronym '$name' already registered")
+    val idx = SpecialValues.MinAcrIndex + acrs.size
+    acrs += GdxAcronym(idx, name, text)
+    SpecialValues.acronymValue(idx)
+  }
+
   def result(): GdxContainer =
-    GdxContainer(producer, uels.toVector, symbols.toVector)
+    GdxContainer(producer, uels.toVector, symbols.toVector, acrs.toVector)
 }

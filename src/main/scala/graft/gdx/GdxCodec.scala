@@ -9,32 +9,64 @@ import java.util.zip.{Deflater, DeflaterOutputStream, InflaterInputStream}
   * Structural features follow the GDX data-section design (SPEC
   * GAMS-dev/gdx; SURVEY.md §1.1): per-symbol sparse coordinate lists
   * with delta-encoded keys (only the first-changed dimension onward is
-  * rewritten per record), one global ordered UEL table,
-  * special-value sentinels in-band, optional zlib compression per data
-  * section. The byte layout is re-derived (no GAMS-produced files exist
-  * in this environment — SURVEY.md §0) and gated on round-trip property
-  * tests (GdxCodecSpec).
+  * rewritten per record), one global ordered UEL table, a file-level
+  * acronym table, special-value sentinels in-band, optional zlib
+  * compression per data block. The byte layout is re-derived (no
+  * GAMS-produced files exist in this environment — SURVEY.md §0) and
+  * gated on round-trip property tests (GdxCodecSpec).
   *
-  * Layout:
+  * Layout (v2, magic "GRFTGDX2"):
   * {{{
-  * magic "GRFTGDX1" | producer UTF | compressed byte
+  * magic "GRFTGDX2" | producer UTF | compressed byte
   * uelCount varint  | uel UTF ×N
+  * acrCount varint  | per acronym: index varint, name UTF, text UTF
   * symCount varint
   * per symbol:
   *   name UTF | explText UTF | typ byte | dim byte | userInfo varint
-  *   domains UTF ×dim | recordCount varint | dataLen varint | data blob
+  *   domains UTF ×dim | recordCount varint | dataLen varint | data section
   * }}}
-  * Data blob (zlib-deflated when compressed=1):
-  * per record: firstChanged byte, then varint keys for dims
-  * firstChanged..dim-1, then values (set: varint textIndex+1 or 0;
+  * Data section (dataLen bytes):
+  * {{{
+  * textPoolCount varint | text UTF ×N          (set associated texts)
+  * blockCount varint
+  * per block: recCount varint | minKey1 varint | maxKey1 varint | blobLen varint
+  * block blobs back-to-back (each independently zlib-deflated when compressed=1)
+  * }}}
+  * Inside a block, per record: firstChanged byte, then varint keys for
+  * dims firstChanged..dim-1, then values (set: varint textIndex+1 or 0;
   * parameter: 1 double; var/equ: 5 doubles). Doubles are raw IEEE bits.
-  * Symbol data blobs are independently decodable given the UEL table —
-  * the DSv2 scan plans one InputPartition per symbol and skips other
-  * blobs via dataLen without decompressing them.
+  * Delta encoding RESETS at each block boundary, so every block is
+  * independently decodable — that is what buys the sparse BLOCK INDEX:
+  * `minKey1/maxKey1` are the block's first-dimension UEL-index range,
+  * and a pushed dim_1 label filter skips whole blocks without inflating
+  * them (records-decoded drops from |symbol| to |matching blocks| —
+  * the sorted-first-dim range skip a 100 TB slice needs). Symbol data
+  * sections are independently decodable given the UEL table — the DSv2
+  * scan plans one InputPartition per symbol and skips other sections
+  * via dataLen without decompressing them.
+  *
+  * v1 files ("GRFTGDX1": no acronym table; one deflate stream per
+  * symbol with the text pool inside, no block index) remain readable;
+  * the writer always emits v2.
   */
 object GdxCodec {
 
   val Magic: Array[Byte] = "GRFTGDX1".getBytes(StandardCharsets.US_ASCII)
+  val Magic2: Array[Byte] = "GRFTGDX2".getBytes(StandardCharsets.US_ASCII)
+
+  /** Records per data block (v2). Small enough that a block inflates in
+    * L2-cache-sized chunks and a one-label slice decodes ~one block;
+    * large enough that the per-block index (4 varints) is noise
+    * (<0.1% of encoded size at typical ~20-60 B/record).
+    */
+  val DefaultBlockSize = 4096
+
+  /** Total records decoded across all record streams in this JVM —
+    * observability hook for the block-skip contract (GdxSourceSpec
+    * asserts a pushed dim_1 slice decodes a strict subset). A LongAdder
+    * so concurrent partition readers never contend.
+    */
+  private[graft] val decodedRecords = new java.util.concurrent.atomic.LongAdder
 
   // ------------------------------------------------------------ varint
 
@@ -115,14 +147,18 @@ object GdxCodec {
 
   // ------------------------------------------------------------ write
 
-  def write(container: GdxContainer, path: String, compress: Boolean = true): Unit = {
+  def write(container: GdxContainer, path: String, compress: Boolean = true,
+      blockSize: Int = DefaultBlockSize): Unit = {
     // validate BEFORE any byte is produced, and write via temp + atomic
     // rename (the GdxStreamEncoder discipline): streaming straight to
     // the destination would leave a torn file over a pre-existing good
     // one if anything throws mid-write.
+    require(blockSize > 0, s"gdx: blockSize must be positive, got $blockSize")
     container.uels.foreach { u =>
       require(u.length <= 63, s"UEL label longer than 63 chars: $u")
     }
+    require(container.acronyms.map(_.index).distinct.size == container.acronyms.size,
+      s"gdx: duplicate acronym indices: ${container.acronyms.map(_.index).mkString(",")}")
     container.symbols.foreach { sym =>
       sym.records.foreach { r =>
         r.keys.foreach(k => require(k >= 0 && k < container.uels.size,
@@ -134,13 +170,14 @@ object GdxCodec {
     var fullyWritten = false
     val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(tmp), 1 << 16))
     try {
-      out.write(Magic)
+      out.write(Magic2)
       out.writeUTF(container.producer)
       out.writeBoolean(compress)
       writeVarInt(out, container.uels.size)
       container.uels.foreach(out.writeUTF)
+      writeAcronyms(out, container.acronyms)
       writeVarInt(out, container.symbols.size)
-      container.symbols.foreach { sym => writeSymbol(out, sym, compress) }
+      container.symbols.foreach { sym => writeSymbol(out, sym, compress, blockSize) }
       out.close()
       fullyWritten = true
       publishAtomically(tmp, new java.io.File(path))
@@ -155,7 +192,17 @@ object GdxCodec {
     }
   }
 
-  private def writeSymbol(out: DataOutputStream, sym: GdxSymbol, compress: Boolean): Unit = {
+  private[gdx] def writeAcronyms(out: DataOutputStream, acrs: Seq[GdxAcronym]): Unit = {
+    writeVarInt(out, acrs.size)
+    acrs.foreach { a =>
+      writeVarInt(out, a.index)
+      out.writeUTF(a.name)
+      out.writeUTF(a.text)
+    }
+  }
+
+  private def writeSymbol(out: DataOutputStream, sym: GdxSymbol, compress: Boolean,
+      blockSize: Int): Unit = {
     out.writeUTF(sym.name)
     out.writeUTF(sym.explText)
     out.writeByte(sym.typ)
@@ -165,7 +212,7 @@ object GdxCodec {
     doms.foreach(out.writeUTF)
     val sorted = sortRecords(sym.records)
     writeVarInt(out, sorted.size)
-    val blob = encodeRecords(sym, sorted, compress)
+    val blob = encodeRecords(sym, sorted, compress, blockSize)
     writeVarInt(out, blob.length)
     out.write(blob)
   }
@@ -185,44 +232,121 @@ object GdxCodec {
       i < n && a.keys(i) < b.keys(i)
     }
 
-  private def encodeRecords(sym: GdxSymbol, sorted: Vector[GdxRecord],
-      compress: Boolean): Array[Byte] = {
-    val raw = new ByteArrayOutputStream()
-    val d = new DataOutputStream(
-      if (compress) new DeflaterOutputStream(raw, new Deflater(Deflater.BEST_SPEED)) else raw)
-    // set associated texts: per-symbol text pool, referenced by index
-    val textPool = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    sorted.foreach(_.text.foreach(t => textPool.getOrElseUpdate(t, textPool.size)))
-    writeVarInt(d, textPool.size)
-    textPool.keys.foreach(d.writeUTF)
+  /** One v2 block's index entry: record count, first-dim UEL-index
+    * range, and the (possibly deflated) blob length in bytes.
+    */
+  private[gdx] final case class BlockMeta(recCount: Int, minK: Int, maxK: Int, len: Int)
 
-    var prev: Array[Int] = null
-    sorted.foreach { r =>
-      require(r.keys.length == sym.dim, s"record dim mismatch in ${sym.name}")
+  /** Shared per-record block encoder: delta-encodes records into
+    * independently-deflated fixed-record-count blocks, tracking each
+    * block's first-dim key range. ONE implementation for the eager
+    * writer and the streaming shard encoder, so the two paths stay
+    * byte-identical for identically-ordered input (GdxStreamEncoderSpec
+    * pins this). The caller owns the text pool (pool ids arrive here
+    * pre-resolved) and writes the section header; this class only emits
+    * block blobs to `sink` and returns their index.
+    */
+  private[gdx] final class BlockWriter(typ: Int, dim: Int, compress: Boolean,
+      blockSize: Int, sink: java.io.OutputStream) {
+    require(blockSize > 0, s"gdx: blockSize must be positive, got $blockSize")
+    private val metas = Vector.newBuilder[BlockMeta]
+    private val curBuf = new ByteArrayOutputStream()
+    private val cur = new DataOutputStream(curBuf)
+    private var prev: Array[Int] = null
+    private var count = 0
+    private var minK = Int.MaxValue
+    private var maxK = -1
+
+    /** `textCode` = pool index + 1, or 0 for no text (sets only). */
+    def add(keys: Array[Int], values: Array[Double], textCode: Int): Unit = {
+      require(keys.length == dim, s"record arity ${keys.length} != dim $dim")
       val first =
         if (prev == null) 0
         else {
           var i = 0
-          while (i < sym.dim && prev(i) == r.keys(i)) i += 1
+          while (i < dim && prev(i) == keys(i)) i += 1
           i
         }
-      d.writeByte(first)
+      cur.writeByte(first)
       var i = first
-      while (i < sym.dim) { writeVarInt(d, r.keys(i)); i += 1 }
-      sym.typ match {
+      while (i < dim) { writeVarInt(cur, keys(i)); i += 1 }
+      typ match {
         case SymbolType.Set | SymbolType.Alias =>
-          writeVarInt(d, r.text.map(textPool(_) + 1).getOrElse(0))
+          writeVarInt(cur, textCode)
         case SymbolType.Parameter =>
-          d.writeDouble(if (r.values.nonEmpty) r.values(0) else 0.0)
+          cur.writeDouble(if (values.nonEmpty) values(0) else 0.0)
         case _ =>
           var f = 0
           while (f < 5) {
-            d.writeDouble(if (f < r.values.length) r.values(f) else 0.0); f += 1
+            cur.writeDouble(if (f < values.length) values(f) else 0.0); f += 1
           }
       }
-      prev = r.keys
+      prev = keys
+      if (dim > 0) {
+        if (keys(0) < minK) minK = keys(0)
+        if (keys(0) > maxK) maxK = keys(0)
+      }
+      count += 1
+      if (count == blockSize) flushBlock()
     }
-    d.close()
+
+    private def flushBlock(): Unit = if (count > 0) {
+      cur.flush()
+      val rawBytes = curBuf.toByteArray
+      val outBytes =
+        if (compress) {
+          val bos = new ByteArrayOutputStream(rawBytes.length / 2 + 16)
+          val ds = new DeflaterOutputStream(bos, new Deflater(Deflater.BEST_SPEED))
+          ds.write(rawBytes)
+          ds.close()
+          bos.toByteArray
+        } else rawBytes
+      sink.write(outBytes)
+      metas += BlockMeta(count,
+        if (dim > 0) minK else 0, if (dim > 0) maxK else 0, outBytes.length)
+      curBuf.reset()
+      // delta reset: every block decodes independently (the skip contract)
+      prev = null
+      count = 0
+      minK = Int.MaxValue
+      maxK = -1
+    }
+
+    /** Flush the trailing partial block and return the block index. */
+    def finish(): Vector[BlockMeta] = { flushBlock(); metas.result() }
+  }
+
+  /** Serialize a v2 data-section header (text pool + block index). */
+  private[gdx] def writeSectionHeader(d: DataOutputStream,
+      texts: Iterable[String], metas: Seq[BlockMeta]): Unit = {
+    writeVarInt(d, texts.size)
+    texts.foreach(d.writeUTF)
+    writeVarInt(d, metas.size)
+    metas.foreach { m =>
+      writeVarInt(d, m.recCount)
+      writeVarInt(d, m.minK)
+      writeVarInt(d, m.maxK)
+      writeVarInt(d, m.len)
+    }
+  }
+
+  private def encodeRecords(sym: GdxSymbol, sorted: Vector[GdxRecord],
+      compress: Boolean, blockSize: Int): Array[Byte] = {
+    // set associated texts: per-symbol text pool, referenced by index
+    val textPool = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    sorted.foreach(_.text.foreach(t => textPool.getOrElseUpdate(t, textPool.size)))
+    val blocksBuf = new ByteArrayOutputStream()
+    val bw = new BlockWriter(sym.typ, sym.dim, compress, blockSize, blocksBuf)
+    sorted.foreach { r =>
+      require(r.keys.length == sym.dim, s"record dim mismatch in ${sym.name}")
+      bw.add(r.keys, r.values, r.text.map(textPool(_) + 1).getOrElse(0))
+    }
+    val metas = bw.finish()
+    val raw = new ByteArrayOutputStream()
+    val d = new DataOutputStream(raw)
+    writeSectionHeader(d, textPool.keys, metas)
+    d.flush()
+    blocksBuf.writeTo(raw)
     raw.toByteArray
   }
 
@@ -235,10 +359,12 @@ object GdxCodec {
       userInfo: Int, domains: Seq[String], records: Int, offset: Long, dataLen: Int)
 
   final case class Header(producer: String, compressed: Boolean,
-      uels: IndexedSeq[String], metas: Vector[SymbolMeta])
+      uels: IndexedSeq[String], metas: Vector[SymbolMeta],
+      version: Int = 2, acronyms: Vector[GdxAcronym] = Vector.empty)
 
-  /** Read header, UEL table and symbol metas; data blobs are skipped
-    * (cheap catalog read — mirrors gdxSystemInfo/gdxSymbolInfo).
+  /** Read header, UEL table, acronym table and symbol metas; data blobs
+    * are skipped (cheap catalog read — mirrors
+    * gdxSystemInfo/gdxSymbolInfo/gdxAcronymGetInfo).
     */
   def readHeader(path: String): Header = {
     val cin = new CountingInputStream(new BufferedInputStream(new FileInputStream(path), 1 << 16))
@@ -246,11 +372,18 @@ object GdxCodec {
     try {
       val magic = new Array[Byte](Magic.length)
       in.readFully(magic)
-      require(magic.sameElements(Magic), s"not a graft GDX file: $path")
+      val version =
+        if (magic.sameElements(Magic2)) 2
+        else if (magic.sameElements(Magic)) 1
+        else throw new IllegalArgumentException(s"not a graft GDX file: $path")
       val producer = in.readUTF()
       val compressed = in.readBoolean()
       val nUels = readVarInt(in)
       val uels = Vector.fill(nUels)(in.readUTF())
+      val acronyms =
+        if (version >= 2)
+          Vector.fill(readVarInt(in))(GdxAcronym(readVarInt(in), in.readUTF(), in.readUTF()))
+        else Vector.empty
       val nSyms = readVarInt(in)
       val metas = Vector.fill(nSyms) {
         val name = in.readUTF()
@@ -270,7 +403,7 @@ object GdxCodec {
         }
         SymbolMeta(name, typ, dim, expl, userInfo, domains, nRec, offset, dataLen)
       }
-      Header(producer, compressed, uels, metas)
+      Header(producer, compressed, uels, metas, version, acronyms)
     } finally in.close()
   }
 
@@ -282,22 +415,35 @@ object GdxCodec {
     try s.toVector finally s.close()
   }
 
-  /** STREAMING decode of one symbol's records: seeks to the blob and
+  /** STREAMING decode of one symbol's records: seeks to the section and
     * inflates/decodes record-by-record — the DSv2 `PartitionReader`
     * pulls from this, so per-task read memory is O(1 record + UEL
-    * table) regardless of shard size (the eager Vector form would make
-    * task memory proportional to shard records).
+    * table + block index) regardless of shard size (the eager Vector
+    * form would make task memory proportional to shard records).
+    *
+    * `dim1Allowed`: admissible first-dimension UEL indices from a pushed
+    * label filter. On v2 files, blocks whose [minKey1, maxKey1] range
+    * contains none of them are SKIPPED WITHOUT INFLATING — the sorted
+    * first-dim range skip (writer paths emit dim_1-clustered records, so
+    * a one-label slice decodes ~one block out of records/4096). A
+    * SUPERSET pass: the per-record filter (reader `keep`) still applies.
+    * v1 files decode fully (no index) — the filter stays correct via
+    * the reader's per-record check.
     */
-  def openRecordStream(path: String, header: Header, meta: SymbolMeta): GdxRecordStream =
-    new GdxRecordStream(path, header.compressed, meta)
+  def openRecordStream(path: String, header: Header, meta: SymbolMeta,
+      dim1Allowed: Option[Set[Int]] = None): GdxRecordStream =
+    new GdxRecordStream(path, header.compressed, header.version, meta, dim1Allowed)
 
   final class GdxRecordStream private[GdxCodec] (path: String, compressed: Boolean,
-      meta: SymbolMeta) extends Iterator[GdxRecord] with java.io.Closeable {
+      version: Int, meta: SymbolMeta, dim1Allowed: Option[Set[Int]])
+      extends Iterator[GdxRecord] with java.io.Closeable {
     private val fin = new FileInputStream(path)
+    /** Records this stream actually decoded (observability: block skip). */
+    var decoded: Long = 0L
     // everything after the open can throw on a truncated/corrupt shard;
     // a constructor that throws leaves the caller no handle to close,
     // so the fd must be released HERE or task retries leak one each
-    private val (in, texts) =
+    private val (base, texts, blocks) =
       try {
         var toSkip = meta.offset
         while (toSkip > 0) {
@@ -306,18 +452,85 @@ object GdxCodec {
           toSkip -= s
         }
         val bounded = new BoundedInputStream(fin, meta.dataLen)
-        val din = new DataInputStream(new BufferedInputStream(
-          if (compressed) new InflaterInputStream(bounded) else bounded, 1 << 16))
-        (din, Vector.fill(readVarInt(din))(din.readUTF()))
+        if (version >= 2) {
+          // v2: uncompressed section header (text pool + block index),
+          // then independently-deflated block blobs
+          val din = new DataInputStream(new BufferedInputStream(bounded, 1 << 16))
+          val ts = Vector.fill(readVarInt(din))(din.readUTF())
+          val bs = Vector.fill(readVarInt(din))(
+            BlockMeta(readVarInt(din), readVarInt(din), readVarInt(din), readVarInt(din)))
+          (din, ts, bs)
+        } else {
+          // v1: one deflate stream for the whole symbol, pool inside
+          val din = new DataInputStream(new BufferedInputStream(
+            if (compressed) new InflaterInputStream(bounded) else bounded, 1 << 16))
+          val ts = Vector.fill(readVarInt(din))(din.readUTF())
+          (din, ts, Vector(BlockMeta(meta.records, 0, Int.MaxValue, -1)))
+        }
       } catch {
         case e: Throwable => fin.close(); throw e
       }
     private val prev = new Array[Int](meta.dim)
-    private var n = 0
+    private var blockIdx = 0
+    private var remaining = 0
+    // v1: the section-level stream IS the record stream; v2: per-block
+    private var in: DataInputStream = if (version >= 2) null else base
+    private var blockBound: BoundedInputStream = null
+    // per-block inflaters are ended EXPLICITLY (closing the
+    // InflaterInputStream would cascade-close the shared base stream);
+    // without end() each block leaks native zlib memory until GC
+    private var blockInflater: java.util.zip.Inflater = null
+    if (version < 2) remaining = meta.records
 
-    override def hasNext: Boolean = n < meta.records
+    private def blockMatches(b: BlockMeta): Boolean = dim1Allowed match {
+      case Some(allowed) if meta.dim > 0 =>
+        // small allowed sets (pushed labels) → iterate the set, not the range
+        allowed.exists(k => k >= b.minK && k <= b.maxK)
+      case _ => true
+    }
+
+    /** Position `in` inside a block with records left; false when the
+      * section is exhausted. v2 only (v1 never calls: remaining covers
+      * the whole symbol).
+      */
+    private def ensureBlock(): Boolean = {
+      while (remaining == 0 && blockIdx < blocks.length) {
+        if (blockBound != null) {
+          // drain to the block boundary: the inflater may finish without
+          // consuming trailing buffered bytes of its bound
+          var r = blockBound.skip(Long.MaxValue)
+          while (r > 0) r = blockBound.skip(Long.MaxValue)
+          blockBound = null
+        }
+        if (blockInflater != null) { blockInflater.end(); blockInflater = null }
+        val b = blocks(blockIdx)
+        blockIdx += 1
+        if (!blockMatches(b)) {
+          var toSkip = b.len.toLong
+          while (toSkip > 0) {
+            val s = base.skip(toSkip)
+            if (s <= 0) throw new EOFException(s"truncated block in ${meta.name}")
+            toSkip -= s
+          }
+        } else {
+          blockBound = new BoundedInputStream(base, b.len)
+          in = new DataInputStream(
+            if (compressed) {
+              blockInflater = new java.util.zip.Inflater()
+              new InflaterInputStream(blockBound, blockInflater)
+            } else blockBound)
+          java.util.Arrays.fill(prev, 0) // delta resets per block
+          remaining = b.recCount
+        }
+      }
+      remaining > 0
+    }
+
+    override def hasNext: Boolean = remaining > 0 || (version >= 2 && ensureBlock())
 
     override def next(): GdxRecord = {
+      if (version >= 2 && remaining == 0 && !ensureBlock())
+        throw new NoSuchElementException(s"gdx: past end of ${meta.name}")
       val first = in.readByte().toInt
       var i = first
       while (i < meta.dim) { prev(i) = readVarInt(in); i += 1 }
@@ -334,11 +547,17 @@ object GdxCodec {
           while (f < 5) { vs(f) = in.readDouble(); f += 1 }
           GdxRecord(keys, vs)
       }
-      n += 1
+      remaining -= 1
+      decoded += 1
+      decodedRecords.increment()
       rec
     }
 
-    override def close(): Unit = in.close()
+    override def close(): Unit = {
+      if (blockInflater != null) { blockInflater.end(); blockInflater = null }
+      base.close()
+      fin.close()
+    }
   }
 
   /** Caps reads at `limit` bytes so the inflater never crosses into the
@@ -355,15 +574,22 @@ object GdxCodec {
       if (r > 0) remaining -= r
       r
     }
+    override def skip(n: Long): Long = {
+      if (remaining <= 0 || n <= 0) return 0
+      val r = in.skip(math.min(n, remaining))
+      if (r > 0) remaining -= r
+      r
+    }
     override def close(): Unit = in.close()
   }
 
-  /** Full read (all symbols). */
+  /** Full read (all symbols + acronym table). */
   def read(path: String): GdxContainer = {
     val h = readHeader(path)
     GdxContainer(h.producer, h.uels,
       h.metas.map(m => GdxSymbol(m.name, m.typ, m.dim, m.explText, m.userInfo,
-        m.domains, readSymbolRecords(path, h, m))))
+        m.domains, readSymbolRecords(path, h, m))),
+      h.acronyms)
   }
 
   private final class CountingInputStream(in: InputStream) extends InputStream {

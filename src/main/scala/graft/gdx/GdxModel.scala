@@ -30,17 +30,58 @@ object SpecialValues {
   val MINF = 4.0e300
   val EPS = 5.0e300
 
+  /** First acronym sentinel (SPEC gmsspecs GMS_SV_ACR / SURVEY §1.1
+    * special-values row): acronym with table index n (n ≥ 10) stores as
+    * the finite double n·1e300 — i.e. sentinels ≥ 1.0e301 in steps of
+    * 1e300, above the named-special band. Encode and decode use the
+    * SAME IEEE multiply/divide (n·1e300, round(v/1e300)) so the index
+    * round-trips exactly; oracle SQL reproduces the multiply
+    * bit-for-bit (`CAST(n AS DOUBLE) * 1e300`).
+    */
+  val ACR = 10.0e300
+  /** Smallest acronym index (values below ACR are the named specials). */
+  val MinAcrIndex = 10
+
   def isSpecial(v: Double): Boolean = v >= 1.0e300 && v < 1.0e301
 
-  /** Lossy mapping used by default on load (matches gdxpy: nan/±inf/0). */
+  /** True for acronym sentinels: finite doubles at/above the acronym
+    * band. Half a step of tolerance (9.5e300) so a value that went
+    * through any faithful re-encode still classifies.
+    */
+  def isAcronym(v: Double): Boolean = !v.isInfinite && !v.isNaN && v >= 9.5e300
+
+  /** Acronym table index of an acronym sentinel (≥ [[MinAcrIndex]]). */
+  def acronymIndex(v: Double): Int = math.round(v / 1.0e300).toInt
+
+  /** Sentinel double for acronym table index `idx`. */
+  def acronymValue(idx: Int): Double = {
+    require(idx >= MinAcrIndex, s"gdx: acronym index must be >= $MinAcrIndex, got $idx")
+    idx.toDouble * 1.0e300
+  }
+
+  /** Lossy mapping used by default on load (matches gdxpy: nan/±inf/0;
+    * acronyms have no numeric meaning → NaN, like NA/UNDEF — the
+    * lossless forms are `specialValues=raw` or the
+    * `is_acronym`/`acr_index` flag columns).
+    */
   def toDouble(v: Double): Double = v match {
     case UNDEF => Double.NaN
     case NA => Double.NaN
     case PINF => Double.PositiveInfinity
     case MINF => Double.NegativeInfinity
     case EPS => 0.0
+    case x if isAcronym(x) => Double.NaN
     case x => x
   }
+}
+
+/** One acronym-table entry: `index` is the sentinel multiplier
+  * (value = index·1e300, index ≥ 10 — [[SpecialValues.acronymValue]]),
+  * `name` the GAMS identifier, `text` its explanatory text.
+  */
+final case class GdxAcronym(index: Int, name: String, text: String = "") {
+  require(index >= SpecialValues.MinAcrIndex,
+    s"gdx: acronym index must be >= ${SpecialValues.MinAcrIndex}, got $index")
 }
 
 /** Variable subtypes (SPEC gmsspecs GMS_VARTYPE_*) with their default
@@ -146,7 +187,8 @@ final case class GdxSymbol(
 final case class GdxContainer(
     producer: String = "gdxpyspark",
     uels: IndexedSeq[String] = Vector.empty,
-    symbols: Vector[GdxSymbol] = Vector.empty) {
+    symbols: Vector[GdxSymbol] = Vector.empty,
+    acronyms: Vector[GdxAcronym] = Vector.empty) {
 
   def symbol(name: String): Option[GdxSymbol] = {
     val lower = name.toLowerCase(java.util.Locale.ROOT)

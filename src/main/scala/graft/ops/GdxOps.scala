@@ -26,8 +26,9 @@ object GdxOps extends QueryModule {
   /** Bump when fixture CONTENT changes: the marker file below persists
     * in tmp across JVM runs, so without a version a stale fixture from
     * an older build would be silently reused by a newer one.
+    * v2: acronym table + `acr` symbol (round 12).
     */
-  private val fixtureVersion = 1
+  private val fixtureVersion = 2
 
   /** Fixture dir keyed on basename PLUS a content fingerprint
     * (size+mtime of the source parquet dirs, the TokenizerOps.corpusKey
@@ -186,6 +187,17 @@ object GdxOps extends QueryModule {
         region.map { case (r, k) => (Seq(r), Array.empty[Double], Some(s"region $k")) })
       b.addSymbol("spec", SymbolType.Parameter, 1,
         specRecords.map { case (l, v) => (Seq(l), Array(v), None) })
+      // acronym fixture: two table entries (indices 10, 11 — SPEC
+      // sentinels ≥ 1e301 in 1e300 steps), a symbol mixing acronym /
+      // NA / plain values so flag, raw and table surfaces all exercise
+      val hiAcr = b.addAcronym("high", "priority high")
+      val loAcr = b.addAcronym("low", "priority low")
+      b.addSymbol("acr", SymbolType.Parameter, 1, Seq(
+        (Seq("a0"), Array(hiAcr), None),
+        (Seq("a1"), Array(loAcr), None),
+        (Seq("a2"), Array(SpecialValues.NA), None),
+        (Seq("a3"), Array(1.25), None),
+        (Seq("a4"), Array(hiAcr), None)))
       // 0-dim scalar (gdxpy loads these as plain Python scalars)
       b.addSymbol("ncount", SymbolType.Parameter, 0,
         Seq((Seq.empty, Array(nation.length.toDouble), None)))
@@ -230,8 +242,9 @@ object GdxOps extends QueryModule {
 
   q("gdx_catalog",
     """SELECT * FROM (
-      |  SELECT 'nat' AS name, 'parameter' AS type, 1 AS dim, 0 AS subtype,
-      |         (SELECT count(*) FROM nation) AS records
+      |  SELECT 'acr' AS name, 'parameter' AS type, 1 AS dim, 0 AS subtype,
+      |         CAST(5 AS BIGINT) AS records
+      |  UNION ALL SELECT 'nat', 'parameter', 1, 0, (SELECT count(*) FROM nation)
       |  UNION ALL SELECT 'natbad', 'parameter', 2, 0, CAST(2 AS BIGINT)
       |  UNION ALL SELECT 'natreg', 'parameter', 2, 0, (SELECT count(*) FROM nation)
       |  UNION ALL SELECT 'ncount', 'parameter', 0, 0, CAST(1 AS BIGINT)
@@ -257,7 +270,8 @@ object GdxOps extends QueryModule {
       |  SELECT n_name AS label FROM nation
       |  UNION SELECT r_name FROM region
       |  UNION SELECT 'ATLANTIS'
-      |  UNION SELECT 's' || CAST(i AS VARCHAR) FROM range(6) t(i)) u
+      |  UNION SELECT 's' || CAST(i AS VARCHAR) FROM range(6) t(i)
+      |  UNION SELECT 'a' || CAST(i AS VARCHAR) FROM range(5) t(i)) u
       |ORDER BY label""") { (s, d) =>
     val dir = ensureFixtures(s, d)
     Gdx.uels(s, s"$dir/file1.gdx")
@@ -329,6 +343,64 @@ object GdxOps extends QueryModule {
     val dir = ensureFixtures(s, d)
     Gdx.symbol(s, s"$dir/file1.gdx", "spec", specialValues = "columns")
       .select("dim_1", "is_eps", "is_na", "is_undef")
+      .orderBy("dim_1")
+  }
+
+  // ------------------------------------------------------- acronyms
+
+  /** Acronym table view (SPEC gdxAcronymCount + gdxAcronymGetInfo loop):
+    * the file-level (index, name, text) registry whose sentinels are
+    * index·1e300 (≥ 1e301, 1e300 steps — SURVEY §1.1). Golden oracle
+    * over the deterministic fixture table.
+    */
+  q("gdx_acronym_table",
+    """SELECT * FROM (VALUES (10, 'high', 'priority high'),
+      |                      (11, 'low', 'priority low'))
+      |  t(acr_index, name, text) ORDER BY acr_index""") { (s, d) =>
+    val dir = ensureFixtures(s, d)
+    Gdx.acronyms(s, s"$dir/file1.gdx")
+      .select("acr_index", "name", "text")
+      .orderBy("acr_index")
+  }
+
+  /** Flag-mode scan of an acronym-bearing parameter: `is_acronym` +
+    * `acr_index` keep the sentinel lossless while `value` decodes
+    * gdxpy-style (NaN — excluded here so the hash never sees NaN);
+    * distinguishes acronym-vs-NA, which both display as NaN.
+    */
+  q("gdx_acronym_scan",
+    """SELECT * FROM (VALUES ('a0', true, 10, false), ('a1', true, 11, false),
+      |                      ('a2', false, 0, true), ('a3', false, 0, false),
+      |                      ('a4', true, 10, false))
+      |  t(dim_1, is_acronym, acr_index, is_na) ORDER BY dim_1""") { (s, d) =>
+    val dir = ensureFixtures(s, d)
+    Gdx.symbol(s, s"$dir/file1.gdx", "acr", specialValues = "columns")
+      .select("dim_1", "is_acronym", "acr_index", "is_na")
+      .orderBy("dim_1")
+  }
+
+  /** Raw-mode acronym round trip THROUGH THE SHARDED WRITER: flag-mode
+    * scan → DSv2 write (acronym table riding the `acronyms` option) →
+    * raw scan; the index re-derives from the sentinel by the same
+    * round(v/1e300) both engines compute. Golden oracle = the fixture
+    * contract, so a lossy rewrite anywhere in the chain reds the hash.
+    */
+  q("gdx_acronym_roundtrip",
+    """SELECT * FROM (VALUES ('a0', 10, 'high'), ('a1', 11, 'low'), ('a4', 10, 'high'))
+      |  t(dim_1, acr_index, name) ORDER BY dim_1""") { (s, d) =>
+    val dir = ensureFixtures(s, d)
+    val out = s"$dir/acr-rt-${ProcessHandle.current().pid()}"
+    Gdx.symbol(s, s"$dir/file1.gdx", "acr", specialValues = "columns")
+      .write.format("gdx").mode("overwrite")
+      .option("symbol", "acr").option("symbolType", "parameter")
+      .option("acronyms", "10:high:priority high,11:low:priority low")
+      .save(out)
+    val raw = Gdx.symbol(s, out, "acr", specialValues = "raw")
+      .filter(col("value") >= 9.5e300)
+      .select(col("dim_1"),
+        round(col("value") / 1.0e300).cast("int").as("acr_index"))
+    raw.join(broadcast(Gdx.acronyms(s, out).select("acr_index", "name")), Seq("acr_index"))
+      .select("dim_1", "acr_index", "name")
       .orderBy("dim_1")
   }
 

@@ -52,6 +52,16 @@ class GdxDataSource extends TableProvider with DataSourceRegister {
 object GdxTable {
   val CatalogSymbol = "__catalog__"
   val UelSymbol = "__uels__"
+  val AcronymSymbol = "__acronyms__"
+
+  /** The acronym-table view (gdxAcronymCount/gdxAcronymGetInfo surface):
+    * one (acr_index, name, text) row per registered acronym; an acronym
+    * sentinel value decodes as acr_index·1e300.
+    */
+  val acronymSchema: StructType = StructType(Seq(
+    StructField("acr_index", IntegerType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("text", StringType, nullable = true)))
 
   /** The UEL (unique-element/label) dictionary view — gdxpy's
     * gdxSystemInfo nUels + gdxGetUEL loop surface. `uel_index` is the
@@ -146,6 +156,7 @@ object GdxTable {
     val symbol = Option(options.get("symbol")).getOrElse("")
     if (symbol == CatalogSymbol) return catalogSchema
     if (symbol == UelSymbol) return uelSchema
+    if (symbol == AcronymSymbol) return acronymSchema
     val shards = committedShardsOf(path)
     val sv = options.getOrDefault("specialValues", "map")
     // fail fast on a typo'd mode: "RAW"/"cols"/… would otherwise fall
@@ -218,7 +229,11 @@ object GdxTable {
     val flags = if (flagCols) Seq(
       StructField("is_eps", BooleanType, nullable = false),
       StructField("is_na", BooleanType, nullable = false),
-      StructField("is_undef", BooleanType, nullable = false)) else Nil
+      StructField("is_undef", BooleanType, nullable = false),
+      // acronym sentinels (≥ 1e301): flag + table index (0 = none) keep
+      // the first value field lossless in flag mode, like the trio above
+      StructField("is_acronym", BooleanType, nullable = false),
+      StructField("acr_index", IntegerType, nullable = false)) else Nil
     StructType(dims ++ vals ++ flags)
   }
 }

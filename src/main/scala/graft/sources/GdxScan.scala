@@ -124,6 +124,8 @@ class GdxScan(fullSchema: StructType, required: StructType, pushed: Seq[DimLabel
       Array(GdxCatalogPartition(shards))
     else if (symbol == GdxTable.UelSymbol)
       Array(GdxUelPartition(shards))
+    else if (symbol == GdxTable.AcronymSymbol)
+      Array(GdxAcronymPartition(shards))
     else {
       // empty symbol means "the dataset's first symbol" — resolve the
       // NAME once at plan time (from the same first shard schemaFor
@@ -175,6 +177,7 @@ class GdxScan(fullSchema: StructType, required: StructType, pushed: Seq[DimLabel
 case class GdxInputPartition(shardPath: String, symbol: String) extends InputPartition
 case class GdxCatalogPartition(shardPaths: Seq[String]) extends InputPartition
 case class GdxUelPartition(shardPaths: Seq[String]) extends InputPartition
+case class GdxAcronymPartition(shardPaths: Seq[String]) extends InputPartition
 
 class GdxReaderFactory(fullSchema: StructType, required: StructType,
     pushed: Seq[DimLabelFilter], symbol: String,
@@ -184,6 +187,7 @@ class GdxReaderFactory(fullSchema: StructType, required: StructType,
     partition match {
       case GdxCatalogPartition(shards) => new GdxCatalogReader(shards, required)
       case GdxUelPartition(shards) => new GdxUelReader(shards, required)
+      case GdxAcronymPartition(shards) => new GdxAcronymReader(shards, required)
       case GdxInputPartition(shard, sym) =>
         new GdxSymbolReader(shard, sym, fullSchema, required, pushed, raw)
     }
@@ -266,6 +270,43 @@ class GdxUelReader(paths: Seq[String], required: StructType)
   override def close(): Unit = ()
 }
 
+/** Emits the acronym table (gdxAcronymCount/gdxAcronymGetInfo view):
+  * one (acr_index, name, text) row per registered acronym. Sharded
+  * datasets merge by index with first-appearance-wins (sorted shard
+  * paths) — the sharded writer stamps every shard with the same table,
+  * so a disagreement only arises in hand-assembled dirs. Header-only
+  * reads, no record blobs touched.
+  */
+class GdxAcronymReader(paths: Seq[String], required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val acrs: Iterator[graft.gdx.GdxAcronym] = {
+    val seen = scala.collection.mutable.HashSet.empty[Int]
+    val out = Vector.newBuilder[graft.gdx.GdxAcronym]
+    paths.sorted.foreach { p =>
+      GdxCodec.readHeader(p).acronyms.foreach { a =>
+        if (seen.add(a.index)) out += a
+      }
+    }
+    out.result().sortBy(_.index).iterator
+  }
+  private var cur: graft.gdx.GdxAcronym = _
+
+  private val emitters: Array[graft.gdx.GdxAcronym => Any] =
+    required.fieldNames.map[graft.gdx.GdxAcronym => Any] {
+      case "acr_index" => a => a.index
+      case "name" => a => UTF8String.fromString(a.name)
+      case "text" => a => UTF8String.fromString(a.text)
+      case other => throw new IllegalArgumentException(s"unknown acronym field $other")
+    }
+
+  override def next(): Boolean = { val h = acrs.hasNext; if (h) cur = acrs.next(); h }
+
+  override def get(): InternalRow =
+    new GenericInternalRow(emitters.map(e => e(cur)).toArray[Any])
+
+  override def close(): Unit = ()
+}
+
 class GdxSymbolReader(path: String, symbol: String, fullSchema: StructType,
     required: StructType, pushed: Seq[DimLabelFilter],
     raw: Boolean = false) extends PartitionReader[InternalRow] {
@@ -326,9 +367,14 @@ class GdxSymbolReader(path: String, symbol: String, fullSchema: StructType,
   private val shardCanMatch = dimFilters.valuesIterator.forall(_.nonEmpty)
 
   // streaming decode: records inflate one at a time — task memory is
-  // O(UEL table), never O(shard records)
+  // O(UEL table + block index), never O(shard records). The pushed
+  // dim_1 index set rides into the stream, where the v2 block index
+  // skips non-matching blocks WITHOUT inflating them (a one-label slice
+  // decodes ~one block); `keep` below still re-checks per record, so
+  // the skip is a pure superset pass.
   private val stream: GdxCodec.GdxRecordStream =
-    if (shardCanMatch) GdxCodec.openRecordStream(path, header, meta) else null
+    if (shardCanMatch) GdxCodec.openRecordStream(path, header, meta, dimFilters.get(0))
+    else null
   private val records: Iterator[GdxRecord] =
     if (stream == null) Iterator.empty else stream
   private var cur: GdxRecord = _
@@ -348,6 +394,11 @@ class GdxSymbolReader(path: String, symbol: String, fullSchema: StructType,
       case "is_eps" => (r: GdxRecord) => firstVal(r) == SpecialValues.EPS
       case "is_na" => (r: GdxRecord) => firstVal(r) == SpecialValues.NA
       case "is_undef" => (r: GdxRecord) => firstVal(r) == SpecialValues.UNDEF
+      case "is_acronym" => (r: GdxRecord) => SpecialValues.isAcronym(firstVal(r))
+      case "acr_index" => (r: GdxRecord) => {
+        val v = firstVal(r)
+        if (SpecialValues.isAcronym(v)) SpecialValues.acronymIndex(v) else 0
+      }
       case field =>
         val vi = ValField.names.indexOf(field)
         require(vi >= 0, s"unknown gdx field $field")

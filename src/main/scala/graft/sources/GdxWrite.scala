@@ -70,10 +70,16 @@ class GdxWriteBuilder(info: LogicalWriteInfo, options: CaseInsensitiveStringMap)
     // variable/equation subtype (VarType.* / EquType.*), stored as the
     // symbol's userInfo so default-bound semantics survive round-trip
     private def subtype = options.getInt("subtype", 0)
+    // file-level acronym table ("index:name[:text]," entries) stamped on
+    // every shard, so acronym sentinels stay resolvable after the write
+    private def acronyms: Vector[GdxAcronym] =
+      Option(options.get("acronyms")).map(GdxWriteLayout.parseAcronyms)
+        .getOrElse(Vector.empty)
 
     override def toBatch: BatchWrite = {
       val single = options.getBoolean("singleFile", false)
-      new GdxBatchWrite(path, symbol, info.schema(), single, typ, subtype, doTruncate)
+      new GdxBatchWrite(path, symbol, info.schema(), single, typ, subtype, doTruncate,
+        acronyms)
     }
 
     /** Streaming sink (`writeStream.format("gdx")`): every epoch's tasks
@@ -93,7 +99,7 @@ class GdxWriteBuilder(info: LogicalWriteInfo, options: CaseInsensitiveStringMap)
       require(!doTruncate,
         "gdx: the streaming sink is append-only — use outputMode(\"append\") " +
           "(complete mode would re-append every epoch's full result)")
-      new GdxStreamingWrite(path, symbol, info.schema(), typ, subtype)
+      new GdxStreamingWrite(path, symbol, info.schema(), typ, subtype, acronyms)
     }
   }
 }
@@ -218,10 +224,10 @@ object GdxManifest {
   * rename, and the manifest grows by append at each epoch commit.
   */
 class GdxStreamingWrite(path: String, symbol: String, schema: StructType,
-    typOpt: Option[Int], subtype: Int)
+    typOpt: Option[Int], subtype: Int, acronyms: Seq[GdxAcronym] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
-  private val layout = GdxWriteLayout.infer(schema, symbol, typOpt)
+  private val layout = GdxWriteLayout.infer(schema, symbol, typOpt, acronyms)
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
@@ -267,15 +273,34 @@ class GdxStreamingWriterFactory(path: String, layout: GdxWriteLayout, subtype: I
   * `flagCols` = indices of the boolean `is_eps`/`is_na`/`is_undef`
   * columns a `specialValues="columns"` scan produces (-1 when absent),
   * so a flag-mode read → write round-trips the GDX sentinels.
+  * `acrFlagCol`/`acrIdxCol` = the `is_acronym`/`acr_index` pair of the
+  * same scan mode (acronym sentinels re-encode as acr_index·1e300).
+  * `acronyms` = the file-level acronym table to stamp on every shard
+  * (from the writer's `acronyms` option).
   */
 case class GdxWriteLayout(symbol: String, typ: Int, dimCols: Array[Int],
     valCols: Array[Int], textCol: Int,
-    flagCols: Array[Int] = Array(-1, -1, -1)) extends Serializable {
-  def hasFlags: Boolean = flagCols.exists(_ >= 0)
+    flagCols: Array[Int] = Array(-1, -1, -1),
+    acrFlagCol: Int = -1, acrIdxCol: Int = -1,
+    acronyms: Seq[GdxAcronym] = Nil) extends Serializable {
+  def hasFlags: Boolean = flagCols.exists(_ >= 0) || acrFlagCol >= 0
 }
 
 object GdxWriteLayout {
-  def infer(schema: StructType, symbol: String, typOpt: Option[Int]): GdxWriteLayout = {
+  /** Parse the writer's `acronyms` option: comma-separated
+    * `index:name[:text]` entries (text may itself contain colons; it
+    * may not contain commas — catalog-sized metadata, documented).
+    */
+  def parseAcronyms(spec: String): Vector[GdxAcronym] =
+    spec.split(",").iterator.map(_.trim).filter(_.nonEmpty).map { e =>
+      val parts = e.split(":", 3)
+      require(parts.length >= 2 && parts(0).forall(_.isDigit),
+        s"gdx: bad acronyms entry '$e' (want index:name[:text])")
+      GdxAcronym(parts(0).toInt, parts(1), if (parts.length == 3) parts(2) else "")
+    }.toVector
+
+  def infer(schema: StructType, symbol: String, typOpt: Option[Int],
+      acronyms: Seq[GdxAcronym] = Nil): GdxWriteLayout = {
     val names = schema.fieldNames
     def idx(n: String) = names.indexWhere(_.equalsIgnoreCase(n))
     def flagIdx(n: String) = {
@@ -303,16 +328,22 @@ object GdxWriteLayout {
           "gdx write: variable/equation needs level,marginal,lower,upper,scale columns")
         fiveFields.toArray
     }
+    val acrIdx = {
+      val i = idx("acr_index")
+      if (i >= 0 && schema.fields(i).dataType == IntegerType) i else -1
+    }
     GdxWriteLayout(symbol, typ, dimCols, valCols, textCol,
-      Array(flagIdx("is_eps"), flagIdx("is_na"), flagIdx("is_undef")))
+      Array(flagIdx("is_eps"), flagIdx("is_na"), flagIdx("is_undef")),
+      flagIdx("is_acronym"), acrIdx, acronyms)
   }
 }
 
 class GdxBatchWrite(path: String, symbol: String, schema: StructType,
-    single: Boolean, typOpt: Option[Int], subtype: Int, truncate: Boolean)
+    single: Boolean, typOpt: Option[Int], subtype: Int, truncate: Boolean,
+    acronyms: Seq[GdxAcronym] = Nil)
     extends BatchWrite {
 
-  private val layout = GdxWriteLayout.infer(schema, symbol, typOpt)
+  private val layout = GdxWriteLayout.infer(schema, symbol, typOpt, acronyms)
   // unique per batch write → cross-JVM append-safe shard names
   private val writeId = java.util.UUID.randomUUID().toString.take(8)
 
@@ -334,7 +365,7 @@ class GdxBatchWrite(path: String, symbol: String, schema: StructType,
         if (rows.nonEmpty) rows.head._1.length else layout.dimCols.length,
         rows.map { case (ls, vs, t) => (ls.toSeq, vs, Option(t)) },
         userInfo = subtype)
-      GdxCodec.write(b.result(), path)
+      GdxCodec.write(b.result().copy(acronyms = layout.acronyms.toVector), path)
     } else {
       // per-shard lowercased dim_1 label range → planInputPartitions
       // prunes shards driver-side on pushed label filters without
@@ -420,7 +451,8 @@ class GdxDataWriter(path: String, layout: GdxWriteLayout, single: Boolean,
       layout.typ, layout.dimCols.length, userInfo = subtype,
       // deterministic-named (streaming) shards need an attempt-unique
       // temp so concurrent attempts never share an in-progress file
-      tempTag = if (nameOverride.isDefined) s"-a$taskId" else "")
+      tempTag = if (nameOverride.isDefined) s"-a$taskId" else "",
+      acronyms = layout.acronyms)
 
   override def write(row: InternalRow): Unit = {
     val labels = layout.dimCols.map { i =>
@@ -447,6 +479,11 @@ class GdxDataWriter(path: String, layout: GdxWriteLayout, single: Boolean,
       if (flag(layout.flagCols(2))) values(0) = SpecialValues.UNDEF
       else if (flag(layout.flagCols(1))) values(0) = SpecialValues.NA
       else if (flag(layout.flagCols(0))) values(0) = SpecialValues.EPS
+      else if (flag(layout.acrFlagCol) && layout.acrIdxCol >= 0 &&
+          !row.isNullAt(layout.acrIdxCol))
+        // flag-mode scan → write identity for acronyms too: the sentinel
+        // rebuilds from the table index (value field scanned as NaN)
+        values(0) = SpecialValues.acronymValue(row.getInt(layout.acrIdxCol))
     }
     val text =
       if (layout.textCol >= 0 && !row.isNullAt(layout.textCol))

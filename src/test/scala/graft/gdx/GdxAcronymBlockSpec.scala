@@ -1,0 +1,140 @@
+package graft.gdx
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** v2 container features: the file-level acronym table (SPEC
+  * gdxAcronymAdd/gdxAcronymGetInfo; sentinels ≥ 1e301 in 1e300 steps)
+  * and the block-structured data section (per-block sparse first-dim
+  * index → decode skip for pushed label slices). Pure codec level —
+  * the DSv2/tool surfaces are covered in GdxSourceSpec/GdxDiffSpec.
+  */
+class GdxAcronymBlockSpec extends AnyFunSuite {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory("gdxacr").resolve(name).toString
+
+  test("acronym sentinel algebra: value/index round-trip, classification bands") {
+    for (idx <- Seq(10, 11, 42, 100000)) {
+      val v = SpecialValues.acronymValue(idx)
+      assert(SpecialValues.isAcronym(v), s"idx $idx")
+      assert(SpecialValues.acronymIndex(v) == idx, s"idx $idx")
+      assert(SpecialValues.toDouble(v).isNaN, "lossy map → NaN like NA")
+    }
+    // named specials are NOT acronyms; plain numbers neither
+    Seq(SpecialValues.UNDEF, SpecialValues.NA, SpecialValues.PINF,
+      SpecialValues.MINF, SpecialValues.EPS, 0.0, 1.5, -3.0e299).foreach { v =>
+      assert(!SpecialValues.isAcronym(v), s"$v")
+    }
+    assert(!SpecialValues.isAcronym(Double.PositiveInfinity))
+    assert(!SpecialValues.isAcronym(Double.NaN))
+    intercept[IllegalArgumentException](SpecialValues.acronymValue(9))
+  }
+
+  test("acronym table round-trips through write/read; builder assigns indices from 10") {
+    val b = new GdxBuilder()
+    val hi = b.addAcronym("high", "priority high")
+    val lo = b.addAcronym("low")
+    assert(SpecialValues.acronymIndex(hi) == 10 && SpecialValues.acronymIndex(lo) == 11)
+    b.addSymbol("p", SymbolType.Parameter, 1, Seq(
+      (Seq("a"), Array(hi), None),
+      (Seq("b"), Array(lo), None),
+      (Seq("c"), Array(2.5), None)))
+    val path = tmp("acr.gdx")
+    GdxCodec.write(b.result(), path)
+    val c = GdxCodec.read(path)
+    assert(c.acronyms == Vector(GdxAcronym(10, "high", "priority high"),
+      GdxAcronym(11, "low", "")))
+    val vals = c.symbol("p").get.records.map(_.values(0))
+    assert(vals == Vector(hi, lo, 2.5)) // sentinels survive bit-exactly
+    intercept[IllegalArgumentException](b.addAcronym("HIGH")) // case-insensitive unique
+  }
+
+  test("multi-block round-trip: records and set texts identical across block boundaries") {
+    val rnd = new scala.util.Random(12)
+    val labels = (0 until 40).map(i => f"l$i%02d")
+    val recs = for (i <- 0 until 997) yield // deliberately not a multiple of blockSize
+      (Seq(labels(i / 25), labels(i % 40)),
+        Array(rnd.nextDouble()), Option.empty[String])
+    val b = new GdxBuilder()
+    b.addSymbol("big", SymbolType.Parameter, 2, recs)
+    // tiny blocks → many boundaries; delta reset per block must hold
+    val path = tmp("blocks.gdx")
+    GdxCodec.write(b.result(), path, compress = true, blockSize = 64)
+    val got = GdxCodec.read(path).symbol("big").get.records
+    val want = GdxCodec.sortRecords(b.result().symbol("big").get.records)
+    assert(got == want)
+
+    // sets: text pool indices must survive block splitting too
+    val b2 = new GdxBuilder()
+    b2.addSymbol("s", SymbolType.Set, 1,
+      (0 until 300).map(i => (Seq(f"k$i%03d"), Array.empty[Double],
+        if (i % 3 == 0) Some(s"text ${i % 7}") else None)))
+    val p2 = tmp("settexts.gdx")
+    GdxCodec.write(b2.result(), p2, compress = true, blockSize = 32)
+    val gotS = GdxCodec.read(p2).symbol("s").get.records
+    assert(gotS.size == 300 &&
+      gotS.count(_.text.isDefined) == 100 &&
+      gotS.forall(r => r.text.forall(_.startsWith("text "))))
+  }
+
+  test("block index skips non-matching blocks: one-label slice decodes ~one block") {
+    // sorted 1-dim parameter, 1000 records, blocks of 50 → 20 blocks;
+    // a single-label filter must decode only the one covering block
+    val b = new GdxBuilder()
+    b.addSymbol("p", SymbolType.Parameter, 1,
+      (0 until 1000).map(i => (Seq(f"k$i%04d"), Array(i.toDouble), None)))
+    val path = tmp("skip.gdx")
+    GdxCodec.write(b.result(), path, blockSize = 50)
+    val h = GdxCodec.readHeader(path)
+    val meta = h.metas.head
+    // UEL index of label k0777 (labels registered in record order here)
+    val uelIdx = h.uels.indexWhere(_ == "k0777")
+    assert(uelIdx >= 0)
+    val s = GdxCodec.openRecordStream(path, h, meta, Some(Set(uelIdx)))
+    val hits = s.toVector
+    val decoded = s.decoded
+    s.close()
+    assert(hits.exists(r => r.keys(0) == uelIdx && r.values(0) == 777.0))
+    assert(decoded <= 50, s"decoded $decoded records; block skip did not fire")
+    // and the unfiltered stream decodes everything
+    val full = GdxCodec.openRecordStream(path, h, meta)
+    assert(full.size == 1000)
+    full.close()
+  }
+
+  test("uncompressed blocks skip too; v2 files read with either compression") {
+    val b = new GdxBuilder()
+    b.addSymbol("p", SymbolType.Parameter, 1,
+      (0 until 200).map(i => (Seq(f"k$i%03d"), Array(i.toDouble), None)))
+    val path = tmp("plain.gdx")
+    GdxCodec.write(b.result(), path, compress = false, blockSize = 10)
+    val h = GdxCodec.readHeader(path)
+    val uelIdx = h.uels.indexWhere(_ == "k123")
+    val s = GdxCodec.openRecordStream(path, h, h.metas.head, Some(Set(uelIdx)))
+    val hits = s.toVector
+    assert(s.decoded <= 10 && hits.exists(_.values(0) == 123.0))
+    s.close()
+  }
+
+  test("stream encoder emits the same v2 shape: acronyms + block index + skip") {
+    val path = tmp("enc.gdx")
+    val enc = new GdxStreamEncoder(path, "p", SymbolType.Parameter, 1,
+      acronyms = Seq(GdxAcronym(10, "high", "hi")), blockSize = 25)
+    (0 until 500).foreach(i => enc.add(Array(f"k$i%03d"), Array(i.toDouble), None))
+    enc.finish()
+    val h = GdxCodec.readHeader(path)
+    assert(h.version == 2 && h.acronyms == Vector(GdxAcronym(10, "high", "hi")))
+    val uelIdx = h.uels.indexWhere(_ == "k400")
+    val s = GdxCodec.openRecordStream(path, h, h.metas.head, Some(Set(uelIdx)))
+    val hits = s.toVector
+    assert(s.decoded <= 25 && hits.exists(_.values(0) == 400.0))
+    s.close()
+  }
+
+  test("write rejects duplicate acronym indices") {
+    val c = GdxContainer(acronyms = Vector(GdxAcronym(10, "a"), GdxAcronym(10, "b")))
+    intercept[IllegalArgumentException](GdxCodec.write(c, tmp("dup.gdx")))
+  }
+}

@@ -275,4 +275,43 @@ class GdxDiffSpec extends AnyFunSuite {
       ("q", "a.b.c", "del", Some(1.0), None),
       ("q", "a.b.c", "ins", None, Some(1.0))))
   }
+
+  test("acronym vs NA is a change; tokens render the acronym name per side") {
+    // both display as NaN (no numeric meaning), so the RAW compare is
+    // what must catch the change — a display-level compare would call
+    // them equal and silently lose the acronym
+    var hiVal = 0.0
+    val a = write(tmp("a.gdx")) { b =>
+      hiVal = b.addAcronym("high", "priority high")
+      b.addSymbol("q", SymbolType.Parameter, 1, Seq(
+        (Seq("k1"), Array(hiVal), None),
+        (Seq("k2"), Array(hiVal), None)))
+    }
+    val bf = write(tmp("b.gdx")) { b =>
+      val hv = b.addAcronym("high", "priority high")
+      b.addSymbol("q", SymbolType.Parameter, 1, Seq(
+        (Seq("k1"), Array(SpecialValues.NA), None),
+        (Seq("k2"), Array(hv), None))) // same acronym both sides → equal
+    }
+    val d = Gdx.diff(spark, a, bf).collect()
+    assert(d.length == 1)
+    val r = d.head
+    assert(r.getString(0) == "q" && r.getString(1) == "k1" && r.getString(2) == "chg")
+    assert(r.getDouble(3).isNaN && r.getDouble(4).isNaN) // display form
+    assert(r.getString(5) == "high" && r.getString(6) == "NA") // tokens disambiguate
+  }
+
+  test("an acronym index missing from the file's table renders as Acr<n>, not a huge double") {
+    val a = write(tmp("a.gdx")) { b =>
+      // value carries index 12 but no table entry (hand-built container)
+      b.addSymbol("q", SymbolType.Parameter, 1, Seq(
+        (Seq("k1"), Array(SpecialValues.acronymValue(12)), None)))
+    }
+    val bf = write(tmp("b.gdx")) { b =>
+      b.addSymbol("q", SymbolType.Parameter, 1, Seq(
+        (Seq("k1"), Array(1.0), None)))
+    }
+    val r = Gdx.diff(spark, a, bf).collect().head
+    assert(r.getString(2) == "chg" && r.getString(5) == "Acr12")
+  }
 }

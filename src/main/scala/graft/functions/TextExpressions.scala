@@ -233,10 +233,89 @@ case class TokenPolyHash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): TokenPolyHash = copy(child = c)
 }
 
+/** lz78_stats(text, maxCps): LZ78 parse of the first `maxCps` CODE
+  * POINTS → array<int> [n_chars, n_phrases] (SPEC: Ziv & Lempel 1978;
+  * the deterministic repetitiveness signal behind the
+  * `text_lz_complexity` registry row — semantics documented there and
+  * replayed by its recursive-CTE oracle). The per-doc parse is
+  * genuinely sequential (each phrase extends the dictionary), so the
+  * expression's job is not vectorization but PLAN SHAPE: as a native
+  * expression it runs map-side INSIDE whole-stage codegen with no
+  * Encoder in the plan — the prior `Dataset.map` formulation
+  * deserialized every row through a tuple encoder and broke the
+  * codegen span. The generated code calls one static method; the
+  * dictionary probing stays the same prefix-closed hash-set walk.
+  *
+  * Null-intolerant like the engine's own string expressions (null in →
+  * null out); callers guard with coalesce(text, '') exactly as the
+  * oracle SQL does, so empty and null both report [0, 0].
+  */
+case class Lz78Stats(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"expected string text, got ${left.dataType}")
+    else if (right.dataType != IntegerType || !right.foldable)
+      TypeCheckResult.TypeCheckFailure("maxCps must be an int literal")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(t: Any, m: Any): Any =
+    Lz78Stats.stats(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      m.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // call through the module singleton — unlike static forwarders,
+    // MODULE$ access cannot be silently absent on a signature clash
+    val mod = Lz78Stats.getClass.getName // ends in $
+    defineCodeGen(ctx, ev, (t, m) => s"$mod.MODULE$$.stats($t, $m)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Lz78Stats =
+    Lz78Stats(l, r)
+}
+
+object Lz78Stats {
+  /** The parse (see the expression scaladoc): returns [n_chars,
+    * n_phrases] over the first `maxCps` code points. Public static so
+    * generated code calls it directly.
+    */
+  def stats(text: org.apache.spark.unsafe.types.UTF8String, maxCps: Int): ArrayData = {
+    if (text.numBytes == 0)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array(0, 0))
+    val cpsAll = text.toString.codePoints().toArray
+    val cps = if (cpsAll.length > maxCps) cpsAll.take(maxCps) else cpsAll
+    def slice(from: Int, until: Int): String = new String(cps, from, until - from)
+    val dict = new java.util.HashSet[String]()
+    var pos = 0
+    var n = 0
+    while (pos < cps.length) {
+      var end = pos + 1
+      while (end <= cps.length && dict.contains(slice(pos, end))) end += 1
+      if (end <= cps.length) { // extension char exists: new phrase
+        dict.add(slice(pos, end))
+        pos = end
+      } else pos = cps.length // incomplete tail phrase: count, no entry
+      n += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array(cps.length, n))
+  }
+}
+
 /** Column-API entry point (resolved via GraftExtensions, like vec.*). */
 object text {
   import org.apache.spark.sql.functions.call_function
 
   def simhash32(tokens: Column): Column = call_function("simhash32", tokens)
   def tokenPolyHash(tokens: Column): Column = call_function("token_poly_hash", tokens)
+
+  /** LZ78 [n_chars, n_phrases] over the first `maxCps` code points. */
+  def lz78Stats(text: Column, maxCps: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("lz78_stats", text, lit(maxCps))
+  }
 }

@@ -560,6 +560,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("pq_encode"),
       new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
       (es: Seq[Expression]) => PqEncode(es(0), es(1), es(2), es(3))))
+    ext.injectFunction((FunctionIdentifier("lz78_stats"),
+      new ExpressionInfo(classOf[Lz78Stats].getName, "lz78_stats"),
+      (es: Seq[Expression]) => Lz78Stats(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("vec_elems_nonnull"),
       new ExpressionInfo(classOf[KnownElementsNotNull].getName, "vec_elems_nonnull"),
       (es: Seq[Expression]) => KnownElementsNotNull(es.head)))

@@ -471,15 +471,16 @@ object CurationOps extends QueryModule {
        |            ELSE round(f.n_phrases * 1.0 / length(dd.s), 6) END AS lz_ratio
        |FROM documents d JOIN dd USING (doc_id) JOIN fin f USING (doc_id)
        |ORDER BY d.doc_id""") { (s, d) =>
-    import s.implicits._
+    // native Lz78Stats expression (functions/TextExpressions.scala):
+    // map-side inside whole-stage codegen, no Encoder in the plan —
+    // the prior Dataset.map formulation deserialized every row through
+    // a tuple encoder (the suite's only typed hot path, r11 verdict)
     T(s, d, "documents")
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, text) =>
-        val (nc, np) = lz78Phrases(text)
-        (id, nc.toLong, np)
-      }
-      .toDF("doc_id", "n_chars", "n_phrases")
+      .select(col("doc_id"),
+        graft.functions.text.lz78Stats(coalesce(col("text"), lit("")), LzPrefixCps).as("st"))
+      .select(col("doc_id"),
+        col("st").getItem(0).cast("long").as("n_chars"),
+        col("st").getItem(1).as("n_phrases"))
       // ratio rounded by Spark's round() (not driver math) so the
       // boundary semantics are the proven round()/round() engine pair
       .withColumn("lz_ratio",

@@ -69,6 +69,77 @@ object StreamOps {
       .join(corpusHashes, Seq("h"), "left_anti")
       .drop("h") // output schema = input schema, like the batch shape
 
+  /** Continuous-ingest NEAR-dup — the streaming twin of the registered
+    * `dedup_incremental_minhash` row (ops/LlmOps.scala), which
+    * `corpusDedup` above cannot subsume: near-duplication is not
+    * equality (no hash to anti-join on) and the index must GROW with
+    * kept docs (a stream-static join's static side never does).
+    * `foreachBatch` is the production shape: per micro-batch
+    * (1) the batch's minhash bands probe the standing banded index —
+    * candidates ∝ bucket collisions, never batch × corpus; (2) exact
+    * Jaccard verifies candidates map-side against the stored shingle
+    * sets (`array_intersect` on the two distinct-shingle arrays — no
+    * per-pair shuffle); (3) docs with best j ≥ τ drop, survivors emit;
+    * (4) survivors' bands + shingles APPEND to the index, so a
+    * near-dup of a doc kept in an EARLIER batch is dropped
+    * (cross-batch). The index is ordinary parquet under `indexDir`
+    * (`bands/`, `shingles/`) — bounded by kept docs, restart-surviving,
+    * readable by the batch pipeline. Shingle/band/Jaccard definitions
+    * are LlmOps' own helpers, so stream and batch agree structurally.
+    *
+    * Exactly-once caveat (documented, standard for foreachBatch
+    * side effects): an epoch re-run after a crash between the index
+    * append and the offset commit would re-append the same docs'
+    * bands — duplicate index rows make candidates repeat, never
+    * change a keep decision (Jaccard is set-based); a transactional
+    * table format would remove even that.
+    */
+  def corpusNearDup(docs: DataFrame, indexDir: String, tau: Double = 0.5)
+      (emit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ops.LlmOps
+    docs.writeStream.outputMode("append").foreachBatch { (batch: DataFrame, _: Long) =>
+      val s = batch.sparkSession
+      val bandsDir = s"$indexDir/bands"
+      val shDir = s"$indexDir/shingles"
+      def readIf(dir: String, schema: String): DataFrame =
+        if (new java.io.File(dir).exists()) s.read.parquet(dir)
+        else s.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(schema))
+      val sh = LlmOps.shingleHashes(batch)
+        .withColumn("hs", array_distinct(col("hs"))).localCheckpoint()
+      val bands = LlmOps.minhashBandsFromHashes(sh)
+      val corpusBands = readIf(bandsDir, "doc_id BIGINT, band INT, sig STRING")
+      val corpusSh = readIf(shDir, "doc_id BIGINT, hs ARRAY<BIGINT>")
+      val cand = bands.select(col("band"), col("sig"), col("doc_id").as("bd"))
+        .join(corpusBands.select(col("band"), col("sig"), col("doc_id").as("cd")),
+          Seq("band", "sig"))
+        .select("bd", "cd").distinct()
+      val dropped = cand
+        .join(sh.select(col("doc_id").as("bd"), col("hs").as("xa")), Seq("bd"))
+        .join(corpusSh.select(col("doc_id").as("cd"), col("hs").as("xb")), Seq("cd"))
+        .withColumn("i", size(array_intersect(col("xa"), col("xb"))))
+        .withColumn("j", round(col("i") * lit(1.0) /
+          (size(col("xa")) + size(col("xb")) - col("i")), 6))
+        .filter(col("j") >= tau)
+        .select(col("bd").as("doc_id")).distinct()
+      val kept = batch.join(dropped, Seq("doc_id"), "left_anti").localCheckpoint()
+      emit(kept)
+      val keptIds = kept.select("doc_id")
+      sh.join(keptIds, Seq("doc_id")).write.mode("append").parquet(shDir)
+      bands.join(keptIds, Seq("doc_id")).write.mode("append").parquet(bandsDir)
+    }.start()
+  }
+
+  /** Seed the near-dup index with a standing corpus (batch side). */
+  def seedNearDupIndex(corpus: DataFrame, indexDir: String): Unit = {
+    import graft.ops.LlmOps
+    val sh = LlmOps.shingleHashes(corpus)
+      .withColumn("hs", array_distinct(col("hs"))).localCheckpoint()
+    sh.write.mode("overwrite").parquet(s"$indexDir/shingles")
+    LlmOps.minhashBandsFromHashes(sh).write.mode("overwrite").parquet(s"$indexDir/bands")
+  }
+
   /** Stream-static enrichment: the event stream joins a slowly
     * changing dimension frame, re-broadcast per micro-batch —
     * stateless, no stream-side shuffle, no watermark needed on the

@@ -167,6 +167,12 @@ class CurationSpec extends AnyFunSuite {
       val s = gen.pureApply(org.scalacheck.Gen.Parameters.default,
         org.scalacheck.rng.Seed(i.toLong))
       assert(CurationOps.lz78Phrases(s)._2 == naive(s), s"input: '$s'")
+      // the NATIVE expression the registered query runs (Lz78Stats)
+      // agrees with both driver-side formulations on every sample
+      val st = graft.functions.Lz78Stats.stats(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), 240)
+      assert(st.getInt(1) == naive(s) &&
+        st.getInt(0) == CurationOps.lz78Phrases(s)._1, s"native: '$s'")
     }
   }
 

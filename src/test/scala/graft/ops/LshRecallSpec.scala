@@ -171,6 +171,29 @@ class LshRecallSpec extends AnyFunSuite {
       s"composite ${composite.size} vs post-filter ${postFiltered.size}: " +
         "expected a strict recall gain on this corpus")
   }
+
+  test("auto-planes scaling law: derived counts differ by corpus size; occupancy tracks target") {
+    // the derivation itself: doubling n adds a plane; clamps hold
+    assert(LlmOps.autoPlanes(500) == 5)
+    assert(LlmOps.autoPlanes(2000) == 7)
+    assert(LlmOps.autoPlanes(10) == 4, "lower clamp")
+    assert(LlmOps.autoPlanes(Long.MaxValue) == 24, "upper clamp")
+    // occupancy: with nPlanes = log2(n/target), MEAN bucket size is
+    // n / |distinct buckets| ≈ target within a small factor on the real
+    // corpus (random-hyperplane buckets over random embeddings are
+    // roughly balanced; a broken plane would collapse the bucket count
+    // and blow this band)
+    val emb = graft.T(spark, d, "embeddings").select("vec_id", "embedding")
+    val n = emb.count()
+    val planes = LlmOps.autoPlanes(n)
+    val buckets = LlmOps.lshBucketed(spark, d, planes)
+      .groupBy("bucket").count().collect().map(_.getLong(1))
+    val mean = n.toDouble / buckets.length
+    assert(buckets.length > (1 << (planes - 2)),
+      s"only ${buckets.length} of ${1 << planes} buckets occupied")
+    assert(mean >= 4 && mean <= 64,
+      s"mean occupancy $mean strayed from the 16-target band")
+  }
 }
 
 /** Test access to the registered query body without going through the

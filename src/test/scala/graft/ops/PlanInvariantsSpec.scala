@@ -560,6 +560,10 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"LZ parse is per-doc map work; no hash shuffle belongs here:\n$p")
     assert("Exchange".r.findAllIn(p).size == 1,
       s"only the data-sized output range sort may exchange:\n$p")
+    // r12: native Lz78Stats expression — no typed-encoder round trip
+    // breaking the codegen span (the suite's last Dataset.map hot path)
+    assert(!p.contains("DeserializeToObject") && !p.contains("MapElements"),
+      s"LZ parse must run as a native expression, not an object plan:\n$p")
   }
 
   test("dq_mutual_information: cell-frame joins never sort-merge shuffle the corpus") {

@@ -424,6 +424,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set(2L, 6L), s"only first-seen novel docs may pass: $got")
   }
 
+  test("corpus NEAR-dup stream: standing near-dup dropped, novel passes, cross-batch near-dup dropped") {
+    val idx = java.nio.file.Files.createTempDirectory("neardup-idx").toString
+    val corpusText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    graft.streaming.StreamOps.seedNearDupIndex(
+      Seq((100L, corpusText)).toDF("doc_id", "text"), idx)
+    val novel1 = "one two three four five six seven eight nine ten"
+    val novel2 = "eleven twelve thirteen fourteen fifteen sixteen seventeen"
+    // shares only the leading 3-shingle family with the corpus doc —
+    // candidates may band-collide, but exact Jaccard ≈ 0.08 < τ → kept
+    val subTau = "alpha beta gamma something entirely different lives here"
+    val ms = MemoryStream[Doc](spark)
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = graft.streaming.StreamOps.corpusNearDup(ms.toDF(), idx)(kept =>
+      got.synchronized { got ++= kept.collect().map(_.getAs[Long]("doc_id")) })
+    try {
+      ms.addData(
+        Doc(1, t(0), corpusText), // near-dup (j=1) of the standing corpus → dropped
+        Doc(2, t(1), novel1))     // novel → kept, appended to the index
+      q.processAllAvailable()
+      ms.addData(
+        Doc(3, t(2), novel1),     // CROSS-BATCH near-dup of kept doc 2 → dropped
+        Doc(4, t(3), novel2),     // novel → kept
+        Doc(5, t(4), subTau))     // below-τ overlap with corpus → kept
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet === Set(2L, 4L, 5L),
+      s"kept set wrong: ${got.toSet} (index at $idx)")
+    // the index grew by exactly the kept docs
+    val indexed = spark.read.parquet(s"$idx/shingles")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(indexed === Set(100L, 2L, 4L, 5L))
+  }
+
   test("committedOnly stream: membership is the manifest, aborted-epoch shards invisible") {
     val dir = java.nio.file.Files.createTempDirectory("gdx-stream-co").toString + "/data"
     (0 until 50).map(i => (f"a$i%03d", i.toDouble)).toDF("dim_1", "value")

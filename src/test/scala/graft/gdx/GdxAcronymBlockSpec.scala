@@ -137,4 +137,37 @@ class GdxAcronymBlockSpec extends AnyFunSuite {
     val c = GdxContainer(acronyms = Vector(GdxAcronym(10, "a"), GdxAcronym(10, "b")))
     intercept[IllegalArgumentException](GdxCodec.write(c, tmp("dup.gdx")))
   }
+
+  test("probe: 500k-record symbol at default block size — slice decodes ≤1 block, ~125x faster") {
+    // scale-shape evidence beyond the toy sizes: one sorted 500k-record
+    // parameter (≈ one production shard), DEFAULT 4096-record blocks
+    // (~123 blocks); a one-label slice must decode ≤ one block and be
+    // wall-clock-far from the full scan, not merely counter-smaller
+    val n = 500000
+    val b = new GdxBuilder()
+    b.addSymbol("p", SymbolType.Parameter, 1,
+      (0 until n).view.map(i => (Seq(f"k$i%06d"), Array(i.toDouble), None)))
+    val path = tmp("probe.gdx")
+    GdxCodec.write(b.result(), path)
+    val h = GdxCodec.readHeader(path)
+    val uelIdx = h.uels.indexWhere(_ == "k400000")
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = body; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (full, tFull) = timed {
+      val s = GdxCodec.openRecordStream(path, h, h.metas.head)
+      try s.size finally s.close()
+    }
+    assert(full == n)
+    val ((hits, decoded), tSlice) = timed {
+      val s = GdxCodec.openRecordStream(path, h, h.metas.head, Some(Set(uelIdx)))
+      try (s.count(_.keys(0) == uelIdx), s.decoded) finally s.close()
+    }
+    assert(hits == 1 && decoded <= GdxCodec.DefaultBlockSize,
+      s"decoded $decoded of $n")
+    // generous band (CI-safe): the skip path reads the block index +
+    // one block; even on a stalled host it beats the full decode by 10x
+    assert(tSlice < tFull / 10,
+      s"slice $tSlice s vs full $tFull s — block skip not paying for itself")
+  }
 }

@@ -136,4 +136,23 @@ class GdxDumpSpec extends AnyFunSuite {
     assert(csv.contains("\"it's\",\"it's fine\""), s"got ${csv.toSeq}")
     assert(csv.contains("\"plain\",\"a\"\"b\""), s"got ${csv.toSeq}")
   }
+
+  test("acronym values render by NAME, like the real tool; unknown indices as Acr<n>") {
+    val p = java.nio.file.Files.createTempDirectory("gdxdump").resolve("acr.gdx").toString
+    val b = new GdxBuilder()
+    val hi = b.addAcronym("high", "priority high")
+    b.addSymbol("p", SymbolType.Parameter, 1, Seq(
+      (Seq("k1"), Array(hi), None),
+      (Seq("k2"), Array(SpecialValues.acronymValue(12)), None), // not in the table
+      (Seq("k3"), Array(2.5), None)))
+    GdxCodec.write(b.result(), p)
+    val lines = Gdx.dump(spark, p).collect().map(_.getString(1)).toSet
+    assert(lines.contains("p('k1') = high;"), s"got $lines")
+    assert(lines.contains("p('k2') = Acr12;"), s"got $lines")
+    assert(lines.contains("p('k3') = 2.500000;"), s"got $lines")
+    // CSV mode shares the rendering pipeline
+    val csv = Gdx.dumpCsv(spark, p, "p").collect()
+      .sortBy(r => (r.getInt(0), r.getString(1))).map(_.getString(2))
+    assert(csv.contains("\"k1\",high"), s"got ${csv.toSeq}")
+  }
 }

@@ -244,4 +244,41 @@ class GdxMergeSpec extends AnyFunSuite {
       .toSet
     assert(v === Set(("f1", "x", 1.0, 0.5, 10.0), ("f2", "x", 2.0, 0.0, 20.0)))
   }
+
+  test("acronym tables union through merge; sentinels survive; index conflicts rejected") {
+    val t = tmpDir()
+    var hiA = 0.0
+    val a = write(s"$t/a.gdx") { b =>
+      hiA = b.addAcronym("high", "priority high")
+      b.addSymbol("p", SymbolType.Parameter, 1, Seq((Seq("x"), Array(hiA), None)))
+    }
+    val bf = write(s"$t/b.gdx") { b =>
+      b.addAcronym("high") // same index 10, same name → unions cleanly
+      val lo = b.addAcronym("low")
+      b.addSymbol("p", SymbolType.Parameter, 1, Seq((Seq("y"), Array(lo), None)))
+    }
+    val out = s"$t/merged"
+    Gdx.merge(spark, Seq(a, bf), out)
+    // the merged dataset carries the UNION of both files' tables
+    val acrs = Gdx.acronyms(spark, s"$out/p").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(acrs === Map(10 -> "high", 11 -> "low"))
+    // and both sentinels survived the raw-mode union bit-exactly
+    import org.apache.spark.sql.functions.col
+    val raw = Gdx.symbol(spark, s"$out/p", "p", specialValues = "raw")
+      .filter(col("value") >= 9.5e300).collect()
+      .map(r => (r.getString(0), r.getString(1), SpecialValues.acronymIndex(r.getDouble(2))))
+      .toSet
+    assert(raw === Set(("f1", "x", 10), ("f2", "y", 11)))
+
+    // same index, DIFFERENT name across files: silent first-wins would
+    // rename f2's values — must reject instead
+    val c = write(s"$t/c.gdx") { b =>
+      b.addAcronym("veryhigh") // index 10 under a different name
+      b.addSymbol("p", SymbolType.Parameter, 1, Seq((Seq("z"), Array(1.0), None)))
+    }
+    val e = intercept[IllegalArgumentException](
+      Gdx.merge(spark, Seq(a, c), s"$t/conflict"))
+    assert(e.getMessage.contains("acronym index 10"))
+  }
 }

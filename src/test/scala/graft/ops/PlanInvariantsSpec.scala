@@ -566,6 +566,18 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"LZ parse must run as a native expression, not an object plan:\n$p")
   }
 
+  test("sim_ann_lsh_auto: bucketed equi self-join, never a cartesian; planes derive from count") {
+    val p = plan(graft.SparkEntry.queries("sim_ann_lsh_auto")(spark, d))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"auto-planes candidates must stay an equi join on the bucket:\n$p")
+    // the derived plane count is a plan literal: the bucket expression
+    // concatenates exactly autoPlanes(n) sign bits
+    val n = graft.T(spark, d, "embeddings").count()
+    val want = LlmOps.autoPlanes(n)
+    assert("(?i)vec_?dot".r.findAllIn(p).size >= want,
+      s"expected >= $want plane dot-products in the plan:\n${p.take(2000)}")
+  }
+
   test("dq_mutual_information: cell-frame joins never sort-merge shuffle the corpus") {
     val p = plan(graft.SparkEntry.queries("dq_mutual_information")(spark, d))
     assert(!p.contains("SortMergeJoin"),

@@ -475,11 +475,9 @@ object Gdx {
         as.head
       }
     }
-    val acrSpec = mergedAcrs.map { a =>
-      require(!a.name.contains(",") && !a.name.contains(":") && !a.text.contains(","),
-        s"gdx merge: acronym '${a.name}' not serializable through the writer option")
-      if (a.text.nonEmpty) s"${a.index}:${a.name}:${a.text}" else s"${a.index}:${a.name}"
-    }.mkString(",")
+    // lossless for ANY legal name/text: metacharacters escape through
+    // the writer option (GdxWriteLayout.escapeAcronyms/parseAcronyms)
+    val acrSpec = graft.sources.GdxWriteLayout.escapeAcronyms(mergedAcrs)
     val names = cats.flatMap(_.keys).distinct.sorted
     names.map { n =>
       val present = paths.lazyZip(fileTags).lazyZip(cats).toSeq

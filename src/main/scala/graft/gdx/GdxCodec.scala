@@ -296,9 +296,16 @@ object GdxCodec {
       val outBytes =
         if (compress) {
           val bos = new ByteArrayOutputStream(rawBytes.length / 2 + 16)
-          val ds = new DeflaterOutputStream(bos, new Deflater(Deflater.BEST_SPEED))
-          ds.write(rawBytes)
-          ds.close()
+          // end() explicitly: DeflaterOutputStream.close() does NOT end
+          // a caller-supplied Deflater, and per-block native zlib
+          // buffers would otherwise live until finalization — the
+          // writer-side twin of the reader's per-block inflater.end()
+          val defl = new Deflater(Deflater.BEST_SPEED)
+          try {
+            val ds = new DeflaterOutputStream(bos, defl)
+            ds.write(rawBytes)
+            ds.close()
+          } finally defl.end()
           bos.toByteArray
         } else rawBytes
       sink.write(outBytes)

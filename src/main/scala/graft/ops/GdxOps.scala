@@ -155,6 +155,28 @@ object GdxOps extends QueryModule {
       pid.nonEmpty && ProcessHandle.of(pid.toLong).isEmpty
     } catch { case _: Exception => false }
 
+  /** Process-scoped scratch dir for queries that WRITE as part of the
+    * operator (merge/rename/round-trip): pid-unique so concurrent
+    * Verify/Bench JVMs never collide, OUTSIDE the persistent fixture
+    * dir (whose marker scheme assumes its contents are the fixtures),
+    * and recursively removed on JVM exit — pid-suffixed dirs inside
+    * the fixture root accumulated one orphan dataset per run.
+    */
+  private lazy val scratchRoot: String = {
+    val root = new File(System.getProperty("java.io.tmpdir"),
+      s"graft-scratch-${ProcessHandle.current().pid()}")
+    root.mkdirs()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(root)
+    }, "graft-scratch-cleanup"))
+    root.getPath
+  }
+  private def scratch(name: String): String = s"$scratchRoot/$name"
+
   /** Static special-value fixture records (label, raw GDX value). */
   private val specRecords = Seq(
     ("s0", 1.5), ("s1", SpecialValues.EPS), ("s2", SpecialValues.NA),
@@ -389,7 +411,7 @@ object GdxOps extends QueryModule {
     """SELECT * FROM (VALUES ('a0', 10, 'high'), ('a1', 11, 'low'), ('a4', 10, 'high'))
       |  t(dim_1, acr_index, name) ORDER BY dim_1""") { (s, d) =>
     val dir = ensureFixtures(s, d)
-    val out = s"$dir/acr-rt-${ProcessHandle.current().pid()}"
+    val out = scratch("acr-rt")
     Gdx.symbol(s, s"$dir/file1.gdx", "acr", specialValues = "columns")
       .write.format("gdx").mode("overwrite")
       .option("symbol", "acr").option("symbolType", "parameter")
@@ -683,7 +705,7 @@ object GdxOps extends QueryModule {
       |  SELECT 'f2', r_name, CAST(r_regionkey AS DOUBLE) FROM region) t
       |ORDER BY dim_1, dim_2""") { (s, d) =>
     val dir = ensureFixtures(s, d)
-    val out = s"$dir/merged-${ProcessHandle.current().pid()}"
+    val out = scratch("merged")
     Gdx.merge(s, Seq(s"$dir/file1.gdx", s"$dir/file2.gdx"),
       out, patterns = "nat")
     Gdx.symbol(s, s"$out/nat", "nat")
@@ -705,7 +727,7 @@ object GdxOps extends QueryModule {
       |  ON r.r_regionkey = n.n_regionkey % (SELECT count(*) FROM region)
       |ORDER BY dim_1, dim_2""") { (s, d) =>
     val dir = ensureFixtures(s, d)
-    val out = s"$dir/renamed-${ProcessHandle.current().pid()}"
+    val out = scratch("renamed")
     Gdx.renameUel(s, s"$dir/file1.gdx", out,
       Map("africa" -> "AFRIKA"), patterns = "natreg")
     Gdx.symbol(s, s"$out/natreg", "natreg")

@@ -288,16 +288,69 @@ case class GdxWriteLayout(symbol: String, typ: Int, dimCols: Array[Int],
 
 object GdxWriteLayout {
   /** Parse the writer's `acronyms` option: comma-separated
-    * `index:name[:text]` entries (text may itself contain colons; it
-    * may not contain commas — catalog-sized metadata, documented).
+    * `index:name[:text]` entries. Text may itself contain colons
+    * (split limit 3); literal commas/colons in the TEXT may be escaped
+    * `\,` / `\:` (with `\\` for a backslash) — the form
+    * [[escapeAcronyms]] emits, so `Gdx.merge` can thread ANY legal
+    * acronym text through the option. Duplicate indices are rejected
+    * HERE, before shards are stamped: `GdxCodec.write` would catch
+    * them on the single-file path only, and first-wins resolution at
+    * read time would silently rename values.
     */
-  def parseAcronyms(spec: String): Vector[GdxAcronym] =
-    spec.split(",").iterator.map(_.trim).filter(_.nonEmpty).map { e =>
-      val parts = e.split(":", 3)
-      require(parts.length >= 2 && parts(0).forall(_.isDigit),
-        s"gdx: bad acronyms entry '$e' (want index:name[:text])")
-      GdxAcronym(parts(0).toInt, parts(1), if (parts.length == 3) parts(2) else "")
-    }.toVector
+  // escape-aware split/unescape: a regex lookbehind cannot tell an
+  // escaping backslash from an ESCAPED one (`\\` before a real
+  // separator), so both are explicit scanners with two-char steps
+  private def splitUnescaped(s: String, sep: Char, limit: Int): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var n = 1
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) { cur.append(c).append(s.charAt(i + 1)); i += 2 }
+      else if (c == sep && n < limit) { out += cur.toString; cur.clear(); n += 1; i += 1 }
+      else { cur.append(c); i += 1 }
+    }
+    out += cur.toString
+    out.result()
+  }
+
+  private def unescape(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) { b.append(s.charAt(i + 1)); i += 2 }
+      else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
+  def parseAcronyms(spec: String): Vector[GdxAcronym] = {
+    val out = splitUnescaped(spec, ',', Int.MaxValue)
+      .map(_.trim).filter(_.nonEmpty).map { e =>
+        val parts = splitUnescaped(e, ':', 3)
+        require(parts.length >= 2 && parts(0).nonEmpty && parts(0).forall(_.isDigit),
+          s"gdx: bad acronyms entry '$e' (want index:name[:text])")
+        GdxAcronym(parts(0).toInt, unescape(parts(1)),
+          if (parts.length == 3) unescape(parts(2)) else "")
+      }
+    require(out.map(_.index).distinct.size == out.size,
+      s"gdx: duplicate acronym indices in option: ${out.map(_.index).mkString(",")}")
+    out
+  }
+
+  /** Inverse of [[parseAcronyms]]: serialize a table into the writer
+    * option with metacharacters escaped, losslessly for any text.
+    */
+  def escapeAcronyms(acrs: Seq[GdxAcronym]): String = {
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace(",", "\\,").replace(":", "\\:")
+    acrs.map { a =>
+      if (a.text.nonEmpty) s"${a.index}:${esc(a.name)}:${esc(a.text)}"
+      else s"${a.index}:${esc(a.name)}"
+    }.mkString(",")
+  }
 
   def infer(schema: StructType, symbol: String, typOpt: Option[Int],
       acronyms: Seq[GdxAcronym] = Nil): GdxWriteLayout = {
@@ -328,13 +381,21 @@ object GdxWriteLayout {
           "gdx write: variable/equation needs level,marginal,lower,upper,scale columns")
         fiveFields.toArray
     }
+    val acrFlag = flagIdx("is_acronym")
     val acrIdx = {
       val i = idx("acr_index")
       if (i >= 0 && schema.fields(i).dataType == IntegerType) i else -1
     }
+    // an is_acronym flag without a usable index column would silently
+    // write every acronym row as NA (the NaN value field maps to the
+    // NA sentinel before the flag override) — exactly the corruption
+    // the flag-mode write identity exists to prevent; fail at plan time
+    require(acrFlag < 0 || acrIdx >= 0,
+      "gdx write: is_acronym column present but no IntegerType acr_index column — " +
+        "acronym rows would be silently written as NA (cast acr_index back to INT)")
     GdxWriteLayout(symbol, typ, dimCols, valCols, textCol,
       Array(flagIdx("is_eps"), flagIdx("is_na"), flagIdx("is_undef")),
-      flagIdx("is_acronym"), acrIdx, acronyms)
+      acrFlag, acrIdx, acronyms)
   }
 }
 
@@ -479,11 +540,15 @@ class GdxDataWriter(path: String, layout: GdxWriteLayout, single: Boolean,
       if (flag(layout.flagCols(2))) values(0) = SpecialValues.UNDEF
       else if (flag(layout.flagCols(1))) values(0) = SpecialValues.NA
       else if (flag(layout.flagCols(0))) values(0) = SpecialValues.EPS
-      else if (flag(layout.acrFlagCol) && layout.acrIdxCol >= 0 &&
-          !row.isNullAt(layout.acrIdxCol))
+      else if (flag(layout.acrFlagCol)) {
         // flag-mode scan → write identity for acronyms too: the sentinel
-        // rebuilds from the table index (value field scanned as NaN)
+        // rebuilds from the table index (value field scanned as NaN). A
+        // null index under a set flag has no faithful encoding — NA
+        // would silently destroy acronym identity, so fail the row
+        require(!row.isNullAt(layout.acrIdxCol),
+          "gdx write: is_acronym=true with NULL acr_index — no sentinel to rebuild")
         values(0) = SpecialValues.acronymValue(row.getInt(layout.acrIdxCol))
+      }
     }
     val text =
       if (layout.textCol >= 0 && !row.isNullAt(layout.textCol))

@@ -79,10 +79,13 @@ object StreamOps {
     * candidates ∝ bucket collisions, never batch × corpus; (2) exact
     * Jaccard verifies candidates map-side against the stored shingle
     * sets (`array_intersect` on the two distinct-shingle arrays — no
-    * per-pair shuffle); (3) docs with best j ≥ τ drop, survivors emit;
-    * (4) survivors' bands + shingles APPEND to the index, so a
-    * near-dup of a doc kept in an EARLIER batch is dropped
-    * (cross-batch). The index is ordinary parquet under `indexDir`
+    * per-pair shuffle); (3) docs with best j ≥ τ drop; corpus
+    * survivors additionally SELF-probe (banded a<b pairs within the
+    * batch, min-doc_id representative wins pairwise) so a backlog's
+    * first trigger — a doc and its near-dup arriving together,
+    * neither indexed yet — keeps exactly one; (4) survivors emit and
+    * their bands + shingles APPEND to the index, so a near-dup of a
+    * doc kept in an EARLIER batch is dropped (cross-batch). The index is ordinary parquet under `indexDir`
     * (`bands/`, `shingles/`) — bounded by kept docs, restart-surviving,
     * readable by the batch pipeline. Shingle/band/Jaccard definitions
     * are LlmOps' own helpers, so stream and batch agree structurally.
@@ -101,28 +104,51 @@ object StreamOps {
       val s = batch.sparkSession
       val bandsDir = s"$indexDir/bands"
       val shDir = s"$indexDir/shingles"
-      def readIf(dir: String, schema: String): DataFrame =
-        if (new java.io.File(dir).exists()) s.read.parquet(dir)
+      // existence via the Hadoop FS of the PATH (not java.io.File): a
+      // driver-local check on an hdfs://-or-s3a:// index would read
+      // "absent" every batch — probing silently disabled while appends
+      // still grow the index, total loss of dedup with no error
+      def readIf(dir: String, schema: String): DataFrame = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) s.read.parquet(dir)
         else s.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           org.apache.spark.sql.types.StructType.fromDDL(schema))
+      }
       val sh = LlmOps.shingleHashes(batch)
         .withColumn("hs", array_distinct(col("hs"))).localCheckpoint()
       val bands = LlmOps.minhashBandsFromHashes(sh)
       val corpusBands = readIf(bandsDir, "doc_id BIGINT, band INT, sig STRING")
       val corpusSh = readIf(shDir, "doc_id BIGINT, hs ARRAY<BIGINT>")
-      val cand = bands.select(col("band"), col("sig"), col("doc_id").as("bd"))
-        .join(corpusBands.select(col("band"), col("sig"), col("doc_id").as("cd")),
-          Seq("band", "sig"))
-        .select("bd", "cd").distinct()
-      val dropped = cand
+      // exact-Jaccard verify of banded candidates, shared by the
+      // corpus probe and the in-batch self-probe below
+      def verified(cand: DataFrame, rightSh: DataFrame): DataFrame = cand
         .join(sh.select(col("doc_id").as("bd"), col("hs").as("xa")), Seq("bd"))
-        .join(corpusSh.select(col("doc_id").as("cd"), col("hs").as("xb")), Seq("cd"))
+        .join(rightSh.select(col("doc_id").as("cd"), col("hs").as("xb")), Seq("cd"))
         .withColumn("i", size(array_intersect(col("xa"), col("xb"))))
         .withColumn("j", round(col("i") * lit(1.0) /
           (size(col("xa")) + size(col("xb")) - col("i")), 6))
         .filter(col("j") >= tau)
+      val cand = bands.select(col("band"), col("sig"), col("doc_id").as("bd"))
+        .join(corpusBands.select(col("band"), col("sig"), col("doc_id").as("cd")),
+          Seq("band", "sig"))
+        .select("bd", "cd").distinct()
+      val droppedVsCorpus = verified(cand, corpusSh)
         .select(col("bd").as("doc_id")).distinct()
+      // IN-BATCH near-dups (a backlog's first trigger delivers a doc
+      // and its near-dup together — neither is in the index yet): the
+      // corpus survivors self-probe, min doc_id of a verified pair
+      // wins, so exactly one representative is kept and indexed
+      val survivorBands = bands.join(droppedVsCorpus, Seq("doc_id"), "left_anti")
+      val selfCand = survivorBands.select(col("band"), col("sig"), col("doc_id").as("bd"))
+        .join(survivorBands.select(col("band"), col("sig"), col("doc_id").as("cd")),
+          Seq("band", "sig"))
+        .filter(col("bd") > col("cd")) // bd drops, cd (lower id) represents
+        .select("bd", "cd").distinct()
+      val droppedInBatch = verified(selfCand, sh)
+        .select(col("bd").as("doc_id")).distinct()
+      val dropped = droppedVsCorpus.unionByName(droppedInBatch).distinct()
       val kept = batch.join(dropped, Seq("doc_id"), "left_anti").localCheckpoint()
       emit(kept)
       val keptIds = kept.select("doc_id")

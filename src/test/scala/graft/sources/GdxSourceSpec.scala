@@ -673,6 +673,46 @@ class GdxSourceSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((10, "high")))
   }
 
+  test("acronyms option: escape round-trip for any text, duplicate indices rejected, flag without index fails fast") {
+    // escape/parse are inverses on adversarial names/texts (commas,
+    // colons, backslashes, backslash-before-separator)
+    val nasty = Vector(
+      GdxAcronym(10, "high", "priority: high, urgent"),
+      GdxAcronym(11, "lo\\w", "ends with backslash\\"),
+      GdxAcronym(12, "x", "a\\,b:c"))
+    assert(GdxWriteLayout.parseAcronyms(GdxWriteLayout.escapeAcronyms(nasty)) === nasty)
+    // duplicate indices rejected at parse, before any shard is stamped
+    val e = intercept[IllegalArgumentException](
+      GdxWriteLayout.parseAcronyms("10:high,10:low"))
+    assert(e.getMessage.contains("duplicate acronym indices"))
+    // empty index token is a clear parse error, not a NumberFormatException
+    val e2 = intercept[IllegalArgumentException](
+      GdxWriteLayout.parseAcronyms(":name"))
+    assert(e2.getMessage.contains("bad acronyms entry"))
+    // is_acronym without a usable acr_index column: plan-time failure,
+    // never a silent NA rewrite (e.g. arithmetic widened the index to LONG)
+    import spark.implicits._
+    val widened = Seq(("a", 0.0, true, 10L)).toDF("dim_1", "value", "is_acronym", "acr_index")
+    val e3 = intercept[Exception] {
+      widened.write.format("gdx").mode("overwrite")
+        .option("symbol", "p").option("symbolType", "parameter")
+        .save(tmpDir())
+    }
+    assert(e3.getMessage.contains("acr_index"), s"got: ${e3.getMessage}")
+  }
+
+  test("merge carries acronym texts with metacharacters losslessly") {
+    val t = tmpDir()
+    val b = new GdxBuilder()
+    val hi = b.addAcronym("high", "priority: high, urgent")
+    b.addSymbol("p", SymbolType.Parameter, 1, Seq((Seq("x"), Array(hi), None)))
+    GdxCodec.write(b.result(), s"$t/a.gdx")
+    Gdx.merge(spark, Seq(s"$t/a.gdx"), s"$t/out")
+    val acr = Gdx.acronyms(spark, s"$t/out/p").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(acr.toSeq === Seq((10, "high", "priority: high, urgent")))
+  }
+
   test("pushed dim_1 label slice skips blocks through the connector (decode counter drops)") {
     // 2000 sorted records, default write path (range-sorted), tiny
     // blocks forced via a direct stream-encoder shard so the connector

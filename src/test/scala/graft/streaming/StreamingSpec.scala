@@ -446,6 +446,8 @@ class StreamingSpec extends AnyFunSuite {
       ms.addData(
         Doc(3, t(2), novel1),     // CROSS-BATCH near-dup of kept doc 2 → dropped
         Doc(4, t(3), novel2),     // novel → kept
+        Doc(6, t(5), novel2),     // IN-BATCH near-dup of 4 (neither indexed yet):
+                                  // min-doc_id representative wins → dropped
         Doc(5, t(4), subTau))     // below-τ overlap with corpus → kept
       q.processAllAvailable()
     } finally q.stop()

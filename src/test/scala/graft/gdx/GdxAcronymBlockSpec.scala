@@ -138,6 +138,39 @@ class GdxAcronymBlockSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](GdxCodec.write(c, tmp("dup.gdx")))
   }
 
+  test("property: random records × dim × blockSize × compression round-trip exactly") {
+    val rnd = new scala.util.Random(123)
+    for (trial <- 1 to 30) {
+      val dim = rnd.nextInt(4) // 0..3
+      val typ = Seq(SymbolType.Parameter, SymbolType.Set, SymbolType.Variable)(rnd.nextInt(3))
+      val nRec = rnd.nextInt(400)
+      val labels = (0 until 30).map(i => s"l$i")
+      val seen = scala.collection.mutable.HashSet.empty[Seq[String]]
+      val recs = (0 until nRec).flatMap { _ =>
+        val key = Seq.fill(dim)(labels(rnd.nextInt(labels.length)))
+        if (!seen.add(key)) None
+        else Some((key,
+          typ match {
+            case SymbolType.Set => Array.empty[Double]
+            case SymbolType.Parameter => Array(rnd.nextDouble())
+            case _ => Array.fill(5)(rnd.nextDouble())
+          },
+          if (typ == SymbolType.Set && rnd.nextBoolean()) Some(s"t${rnd.nextInt(5)}")
+          else None))
+      }
+      val b = new GdxBuilder()
+      b.addSymbol("s", typ, dim, recs)
+      val blockSize = 1 + rnd.nextInt(64)
+      val compress = rnd.nextBoolean()
+      val path = tmp(s"prop$trial.gdx")
+      GdxCodec.write(b.result(), path, compress, blockSize)
+      val got = GdxCodec.read(path).symbol("s").get.records
+      val want = GdxCodec.sortRecords(b.result().symbol("s").get.records)
+      assert(got == want,
+        s"trial $trial: dim=$dim typ=$typ n=${recs.size} blockSize=$blockSize compress=$compress")
+    }
+  }
+
   test("probe: 500k-record symbol at default block size — slice decodes ≤1 block, ~125x faster") {
     // scale-shape evidence beyond the toy sizes: one sorted 500k-record
     // parameter (≈ one production shard), DEFAULT 4096-record blocks

@@ -342,6 +342,24 @@ object GdxOps extends QueryModule {
       .orderBy("dim_1")
   }
 
+  /** One-label slice through the FULL pruning stack — V2 predicate
+    * pushdown (`lower(dim_1) = lit`) → manifest shard pruning (plans
+    * ~1 of 4 InputPartitions) → codec-v2 block skip (non-matching
+    * blocks never inflate) → UEL-index record filter → Spark residual
+    * re-check. The registered face of gdxpy's indexed record access
+    * (r11 verdict missing #3): the oracle hash proves the slice is
+    * EXACT after all four pruning layers, at every gated SF.
+    */
+  q("gdx_sliced_scan",
+    """SELECT n_name AS dim_1, CAST(n_nationkey AS DOUBLE) AS value
+      |FROM nation WHERE lower(n_name) = 'canada' ORDER BY dim_1""") { (s, d) =>
+    val dir = ensureFixtures(s, d)
+    Gdx.symbol(s, s"$dir/sharded", "nat")
+      .filter(lower(col("dim_1")) === "canada")
+      .select("dim_1", "value")
+      .orderBy("dim_1")
+  }
+
   // ------------------------------------------------- special values
 
   q("filter_special",

@@ -64,6 +64,13 @@ final class GdxStreamEncoder(finalPath: String, name: String, typ: Int, dim: Int
       if (loLabel == null || l0 < loLabel) loLabel = l0
       if (hiLabel == null || l0 > hiLabel) hiLabel = l0
     }
+    // explicit record cap: on highly compressible data far more than
+    // 2^31 records fit under the 2 GiB data-section guard, and a
+    // wrapped Int would only surface hours later as a confusing
+    // negative-varint failure inside finish() — fail here, at the
+    // record that crossed the line, with the actionable message
+    require(count < Int.MaxValue,
+      s"gdx shard exceeds ${Int.MaxValue} records — lower records per shard")
     bw.add(keys, values,
       text.map(t => textPool.getOrElseUpdate(t, textPool.size) + 1).getOrElse(0))
     count += 1

@@ -135,20 +135,11 @@ object GdxTable {
   /** Per-shard lowercased dim_1 label ranges from _manifest.json, if the
     * path is a sharded directory written by this connector. Keyed by
     * shard file name; shards absent from the map have no range info and
-    * must always be scanned.
+    * must always be scanned. Delegates to [[GdxManifest.ranges]] — the
+    * one manifest parser — so membership and ranges can never drift.
     */
-  def shardRangesOf(rawPath: String): Map[String, (String, String)] = {
-    val mf = new java.io.File(localPath(rawPath), "_manifest.json")
-    if (!mf.isFile) return Map.empty
-    val txt = new String(java.nio.file.Files.readAllBytes(mf.toPath),
-      java.nio.charset.StandardCharsets.UTF_8)
-    val entry =
-      """\{"file":"((?:[^"\\]|\\.)*)","records":\d+,"lo":"((?:[^"\\]|\\.)*)","hi":"((?:[^"\\]|\\.)*)"\}""".r
-    def unjs(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
-    entry.findAllMatchIn(txt).map { m =>
-      unjs(m.group(1)) -> (unjs(m.group(2)), unjs(m.group(3)))
-    }.toMap
-  }
+  def shardRangesOf(rawPath: String): Map[String, (String, String)] =
+    GdxManifest.ranges(localPath(rawPath))
 
   def schemaFor(options: CaseInsensitiveStringMap): StructType = {
     val path = Option(options.get("path"))
@@ -184,11 +175,11 @@ object GdxTable {
       val meta = GdxCodec.SymbolMeta(
         if (symbol.isEmpty) "data" else symbol, typ, dims, "", 0,
         Seq.fill(dims)("*"), 0, 0L, 0)
-      return schemaOf(meta, flags, multiShard = true)
+      return schemaOf(meta, flags)
     }
     val h = GdxCodec.readHeader(shards.head)
     val meta = resolveSymbol(h, symbol, shards.head)
-    schemaOf(meta, flags, multiShard = shards.size > 1)
+    schemaOf(meta, flags)
   }
 
   def resolveSymbol(h: GdxCodec.Header, symbol: String, path: String): GdxCodec.SymbolMeta = {
@@ -213,7 +204,7 @@ object GdxTable {
     * dim_i string columns (with domain metadata), then the value
     * field(s) per symbol type, then optional special-value flags.
     */
-  def schemaOf(meta: GdxCodec.SymbolMeta, flagCols: Boolean, multiShard: Boolean): StructType = {
+  def schemaOf(meta: GdxCodec.SymbolMeta, flagCols: Boolean): StructType = {
     val dims = (1 to meta.dim).map { i =>
       val dom = if (meta.domains.size >= i) meta.domains(i - 1) else "*"
       val md = new MetadataBuilder().putString("domain", dom).build()

@@ -156,6 +156,21 @@ class GdxScan(fullSchema: StructType, required: StructType, pushed: Seq[DimLabel
       case (None, s) => Some(s)
       case (Some(acc), s) => Some(acc.intersect(s))
     }.getOrElse(return shards)
+    // Range pruning is exact only when default-locale lowercasing
+    // coincides with Locale.ROOT lowercasing for every string: the
+    // decoder's uelIndex deliberately unions BOTH lowercases (see the
+    // GdxSymbolReader.uelIndex comment), while the manifest records
+    // only ROOT-lowercased [lo, hi] — so under a divergent locale a
+    // pushed label can match a shard whose ROOT-range excludes it
+    // (tr: pushed dotless 'ıstanbul' vs stored "istanbul"), and
+    // pruning that shard loses its rows with no residual to catch it.
+    // java.lang.ConditionalSpecialCasing diverges from ROOT only for
+    // tr/az/lt, so everywhere else the test below is exact; on those
+    // three, skip pruning — correctness over the optimization.
+    // (Assumes driver and executors share a locale, the standard Spark
+    // deployment; the decoder itself is locale-robust either way.)
+    val lang = java.util.Locale.getDefault.getLanguage
+    if (lang == "tr" || lang == "az" || lang == "lt") return shards
     val ranges = GdxTable.shardRangesOf(path)
     if (ranges.isEmpty) return shards
     shards.filter { s =>
@@ -313,7 +328,6 @@ class GdxSymbolReader(path: String, symbol: String, fullSchema: StructType,
 
   private val header = GdxCodec.readHeader(path)
   private val meta = GdxTable.resolveSymbol(header, symbol, path)
-  private val flagMode = fullSchema.fieldNames.contains("is_eps")
 
   // label filters → UEL index predicates, resolved once here. A label
   // absent from this shard's UEL table matches nothing. Multiple pushed
@@ -411,11 +425,11 @@ class GdxSymbolReader(path: String, symbol: String, fullSchema: StructType,
 
   // raw mode: sentinels pass through as their finite 1e300 encodings —
   // the lossless representation the tool suite (merge/diff/dump) uses
-  // for ALL five value fields (flag columns only describe values(0))
+  // for ALL five value fields (flag columns only describe values(0));
+  // flag mode needs no special-casing here: toDouble already maps EPS
+  // to 0.0, and the is_* columns carry the lossless bit
   private def mapValue(v: Double): Double =
-    if (raw) v
-    else if (flagMode && v == SpecialValues.EPS) 0.0
-    else SpecialValues.toDouble(v)
+    if (raw) v else SpecialValues.toDouble(v)
 
   private def keep(r: GdxRecord): Boolean =
     dimFilters.forall { case (i, allowed) => allowed.contains(r.keys(i)) }

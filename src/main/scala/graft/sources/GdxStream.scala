@@ -66,14 +66,26 @@ class GdxMicroBatchStream(path: String, symbol: String, fullSchema: StructType,
   require(symbol != GdxTable.CatalogSymbol, "gdx: the catalog view is not streamable")
   require(symbol != GdxTable.UelSymbol, "gdx: the UEL view is not streamable")
 
+  // listing-mode arrival set only: the committedOnly branch reads the
+  // manifest directly in latestOffset (a prefix-length offset), so this
+  // is never called there
   private def currentFiles: Seq[String] =
-    if (committedOnly && new java.io.File(path).isDirectory)
-      // no manifest yet = nothing committed yet (a sink publishes its
-      // manifest at first epoch commit) — NOT the listing fallback the
-      // batch reader uses for hand-assembled dirs: this mode's whole
-      // point is that unmanifested files are invisible
-      GdxManifest.files(path).getOrElse(Nil)
-    else GdxTable.shardsOf(path).map(p => new java.io.File(p).getName)
+    GdxTable.shardsOf(path).map(p => new java.io.File(p).getName)
+
+  // Empty symbol = "the dataset's first symbol": resolved ONCE, from
+  // the first shard that arrives, and cached for the stream's lifetime
+  // — the batch scan resolves the name once at plan time for the same
+  // reason (GdxScan.planInputPartitions): per-shard resolution would
+  // let each partition decode a DIFFERENT first symbol under one
+  // schema on hand-assembled or multi-symbol dirs, silently mixing
+  // rows (or crashing the dim_i emitter when dims differ).
+  private var resolvedSymbol: String = symbol
+  private def resolveOnce(firstShard: String): String = {
+    if (resolvedSymbol.isEmpty)
+      resolvedSymbol =
+        GdxTable.resolveSymbol(graft.gdx.GdxCodec.readHeader(firstShard), "", firstShard).name
+    resolvedSymbol
+  }
 
   override def initialOffset(): Offset =
     if (committedOnly) GdxManifestOffset(0) else GdxShardOffset(Nil)
@@ -103,9 +115,19 @@ class GdxMicroBatchStream(path: String, symbol: String, fullSchema: StructType,
     case (GdxShardOffset(fs), GdxManifestOffset(b)) =>
       val seen = fs.toSet
       GdxManifest.files(path).getOrElse(Nil).take(b).filterNot(seen)
+    case (GdxShardOffset(fs), GdxShardOffset(es)) =>
+      val seen = fs.toSet
+      es.filterNot(seen)
     case (s0, e0) =>
-      val seen = s0.asInstanceOf[GdxShardOffset].files.toSet
-      e0.asInstanceOf[GdxShardOffset].files.filterNot(seen)
+      // (manifest start, name-set end): a checkpoint written under
+      // committedOnly=true restarted with the option dropped — the
+      // prefix offset is meaningless against listing arrival, so fail
+      // with the actual conflict rather than a ClassCastException
+      throw new IllegalStateException(
+        "gdx stream: offset scheme changed mid-stream " +
+          s"(${s0.getClass.getSimpleName} -> ${e0.getClass.getSimpleName}) — " +
+          "a checkpoint written under committedOnly=true cannot resume " +
+          "with committedOnly=false; restore the option or start a fresh checkpoint")
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -113,7 +135,7 @@ class GdxMicroBatchStream(path: String, symbol: String, fullSchema: StructType,
     batchFiles(start, end).sorted.flatMap { n =>
       val full = if (dir.isDirectory) new java.io.File(dir, n).getPath else path
       if (new java.io.File(full).isFile)
-        Some(GdxInputPartition(full, symbol): InputPartition)
+        Some(GdxInputPartition(full, resolveOnce(full)): InputPartition)
       else if (committedOnly)
         // the manifest said this shard was committed: its absence is
         // data loss, not an in-flight producer racing the listing

@@ -127,6 +127,32 @@ object GdxManifest {
       StandardCharsets.UTF_8)).map(m => unjs(m.group(1))).toSeq)
   }
 
+  // lo/hi matched per FIELD (not one positional entry regex): a quoted
+  // value can never contain an unescaped quote, so the literal "lo":"
+  // cannot occur inside another field's value, and entries stay
+  // parseable if fields are ever reordered or new ones added — the
+  // same tolerance entryRx gives file names
+  private val loRx = """"lo":"((?:[^"\\]|\\.)*)"""".r
+  private val hiRx = """"hi":"((?:[^"\\]|\\.)*)"""".r
+
+  /** Per-shard lowercased dim_1 [lo, hi] label ranges, keyed by shard
+    * file name. Parsed with the SAME tolerant entry scanner [[files]]
+    * uses — one parser for the manifest, so a format evolution cannot
+    * silently disable range pruning while membership keeps working.
+    * Shards without range fields are simply absent (never pruned).
+    */
+  def ranges(path: String): Map[String, (String, String)] = {
+    val mf = new File(path, "_manifest.json")
+    if (!mf.isFile) return Map.empty
+    val txt = new String(Files.readAllBytes(mf.toPath), StandardCharsets.UTF_8)
+    entryRx.findAllMatchIn(txt).flatMap { m =>
+      for {
+        lo <- loRx.findFirstMatchIn(m.matched)
+        hi <- hiRx.findFirstMatchIn(m.matched)
+      } yield unjs(m.group(1)) -> (unjs(lo.group(1)), unjs(hi.group(1)))
+    }.toMap
+  }
+
   def entryJson(c: GdxShardCommit): String = {
     val range = (c.lo, c.hi) match {
       case (Some(l), Some(h)) => s""","lo":"${js(l)}","hi":"${js(h)}""""
@@ -191,7 +217,14 @@ object GdxManifest {
     * from the manifest — shards on disk but invisible to
     * manifest-based readers.
     */
-  def append(path: String, symbol: String, commits: Seq[GdxShardCommit]): Unit =
+  def append(path: String, symbol: String, commits: Seq[GdxShardCommit]): Unit = {
+    // Empty append (an idle streaming epoch whose partitions all came
+    // up empty): nothing to add, so do NOT take the lock, re-read, and
+    // rewrite an identical manifest every trigger — and crucially do
+    // not CREATE a manifest on a fresh or hand-assembled dir, which
+    // would flip reader membership from the listing fallback to "zero
+    // committed shards" and hide every file already there.
+    if (commits.isEmpty) return
     withCommitLock(path) {
       // A concurrent truncate-overwrite may have deleted this append's
       // already-published shards between task commit and this driver
@@ -211,11 +244,51 @@ object GdxManifest {
         if (mf.isFile)
           entryRx.findAllMatchIn(new String(Files.readAllBytes(mf.toPath),
             StandardCharsets.UTF_8)).map(m => unjs(m.group(1)) -> m.matched).toSeq
-        else Nil
+        else {
+          // First manifest-creating append over a dir that ALREADY holds
+          // published shards (hand-assembled, or produced before this
+          // writer ran): readers have been seeing those rows via the
+          // listing fallback, and a manifest listing only this append's
+          // commits would silently unpublish them the moment it exists
+          // — data loss with both the write and later reads reporting
+          // success. Adopt them: one entry per pre-existing shard
+          // (records summed from its header — a cheap header-only read;
+          // no lo/hi, so range pruning never drops them).
+          val fresh = commits.map(_.fileName).toSet
+          val dir = new File(path)
+          val pre =
+            if (!dir.isDirectory) Array.empty[File]
+            else dir.listFiles((_, n) => n.endsWith(".gdx") && !fresh.contains(n))
+          pre.map(_.getName).sorted.toSeq.map { n =>
+            // records is informational (membership and ranges are what
+            // readers consume) — an unreadable pre-existing file is
+            // adopted with records:0 rather than failing the append:
+            // the listing fallback exposed it too, and a batch read
+            // will still fail loudly on its header either way
+            val recs =
+              try graft.gdx.GdxCodec.readHeader(new File(path, n).getPath)
+                .metas.map(_.records.toLong).sum
+              catch { case _: java.io.IOException => 0L }
+            n -> s"""{"file":"${js(n)}","records":$recs}"""
+          }
+        }
       val have = existing.map(_._1).toSet
+      // a shard adopted before its OWN driver commit ran (another
+      // writer's task published it into a manifest-less dir) carries a
+      // rangeless placeholder entry — the real commit upgrades it, so
+      // range pruning isn't permanently lost for that shard
+      val byName = commits.iterator.map(c => c.fileName -> c).toMap
+      val kept = existing.map { case (n, json) =>
+        byName.get(n) match {
+          case Some(c) if c.lo.isDefined && loRx.findFirstIn(json).isEmpty =>
+            entryJson(c)
+          case _ => json
+        }
+      }
       val added = commits.filterNot(c => have.contains(c.fileName)).map(entryJson)
-      write(path, symbol, existing.map(_._2) ++ added)
+      write(path, symbol, kept ++ added)
     }
+  }
 }
 
 /** Streaming sink: shard-per-(epoch, partition) via the same

@@ -523,15 +523,24 @@ class GdxSourceSpec extends AnyFunSuite {
       .foreach(f => Files.write(java.nio.file.Paths.get(dir, f), Array[Byte](0)))
     graft.sources.GdxManifest.append(dir, "s", Seq(
       graft.sources.GdxShardCommit("shard-a.gdx", 3, Some("a{b"), Some("z}y"))))
+    // the manifest-creating append ADOPTS the other pre-existing listed
+    // shards (they were visible via the listing fallback) — all three
+    // are members from the start
+    val names = graft.sources.GdxManifest.files(dir).get
+    assert(names.sorted == Seq("shard-a.gdx", "shard-b.gdx", "shard-c.gdx"),
+      s"brace/quote labels must not break entry parsing: $names")
     graft.sources.GdxManifest.append(dir, "s", Seq(
       graft.sources.GdxShardCommit("shard-b.gdx", 1, Some("\"q\""), Some("{{"))))
-    val names = graft.sources.GdxManifest.files(dir).get
-    assert(names.sorted == Seq("shard-a.gdx", "shard-b.gdx"),
-      s"brace/quote labels must not break entry parsing: $names")
-    // a third append must preserve both prior entries verbatim
+    // quote/brace-laden ranges must parse back exactly, and the real
+    // commit upgrades shard-b's adopted rangeless placeholder
+    val ranges = graft.sources.GdxManifest.ranges(dir)
+    assert(ranges.get("shard-a.gdx").contains(("a{b", "z}y")), s"got $ranges")
+    assert(ranges.get("shard-b.gdx").contains(("\"q\"", "{{")), s"got $ranges")
+    // a third append must preserve prior entries verbatim
     graft.sources.GdxManifest.append(dir, "s", Seq(
       graft.sources.GdxShardCommit("shard-c.gdx", 1, None, None)))
     assert(graft.sources.GdxManifest.files(dir).get.size == 3)
+    assert(graft.sources.GdxManifest.ranges(dir) == ranges)
   }
 
   test("concurrent task attempts toward one deterministic shard never interleave") {
@@ -737,5 +746,82 @@ class GdxSourceSpec extends AnyFunSuite {
       assert(got.length == 1 && got.head.getDouble(1) == 1500.0)
     }
     assert(sliced <= 64, s"pushed slice decoded $sliced records; block skip did not fire")
+  }
+
+  test("first manifest-creating append adopts pre-existing listed shards") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // hand-assembled dataset: a shard with NO manifest — readers see it
+    // via the listing fallback
+    val b = new GdxBuilder()
+    b.addSymbol("s", SymbolType.Parameter, 1,
+      Seq((Seq("old1"), Array(1.0), None), (Seq("old2"), Array(2.0), None)))
+    GdxCodec.write(b.result(), s"$dir/shard-pre.gdx")
+    assert(Gdx.symbol(spark, dir, "s").count() == 2)
+    // the first append CREATES the manifest; the pre-existing shard's
+    // rows must survive the membership flip from listing to manifest
+    Seq(("new1", 3.0)).toDF("dim_1", "value")
+      .write.format("gdx").mode("append").option("symbol", "s").save(dir)
+    val names = GdxManifest.files(dir).getOrElse(Nil)
+    assert(names.contains("shard-pre.gdx"),
+      s"pre-existing shard missing from created manifest: $names")
+    val back = Gdx.symbol(spark, dir, "s").orderBy("dim_1").collect()
+    assert(back.map(_.getString(0)).toSeq === Seq("new1", "old1", "old2"),
+      "pre-existing rows were unpublished by the manifest-creating append")
+  }
+
+  test("empty append neither creates nor rewrites a manifest") {
+    val dir = tmpDir()
+    val b = new GdxBuilder()
+    b.addSymbol("s", SymbolType.Parameter, 1, Seq((Seq("x"), Array(1.0), None)))
+    GdxCodec.write(b.result(), s"$dir/shard-pre.gdx")
+    // an idle streaming epoch commits zero shards: membership must stay
+    // on the listing fallback (an empty manifest would hide shard-pre)
+    GdxManifest.append(dir, "s", Nil)
+    assert(!new java.io.File(dir, "_manifest.json").isFile,
+      "empty append created a manifest and hid the listed shard")
+    assert(Gdx.symbol(spark, dir, "s").count() == 1)
+  }
+
+  test("streaming scan resolves the default symbol once, not per shard") {
+    // two hand-assembled shards whose FIRST symbols differ: per-shard
+    // resolution would decode q in shard-b under p's schema
+    val dir = tmpDir()
+    val b1 = new GdxBuilder()
+    b1.addSymbol("p", SymbolType.Parameter, 1, Seq((Seq("x"), Array(1.0), None)))
+    GdxCodec.write(b1.result(), s"$dir/shard-a.gdx")
+    val b2 = new GdxBuilder()
+    b2.addSymbol("q", SymbolType.Parameter, 2,
+      Seq((Seq("y", "z"), Array(2.0), None)))
+    b2.addSymbol("p", SymbolType.Parameter, 1, Seq((Seq("w"), Array(3.0), None)))
+    GdxCodec.write(b2.result(), s"$dir/shard-b.gdx")
+    val schema = GdxTable.schemaOf(
+      GdxCodec.SymbolMeta("p", SymbolType.Parameter, 1, "", 0, Seq("*"), 0, 0L, 0),
+      flagCols = false)
+    val stream = new GdxMicroBatchStream(dir, "", schema, schema, Nil)
+    val parts = stream.planInputPartitions(
+      GdxShardOffset(Nil), stream.latestOffset())
+      .collect { case p: GdxInputPartition => p }
+    assert(parts.length == 2)
+    assert(parts.map(_.symbol).toSet.size == 1,
+      s"per-shard symbol resolution: ${parts.map(p => s"${p.shardPath}->${p.symbol}").mkString(", ")}")
+    assert(parts.head.symbol == "p")
+  }
+
+  test("offset scheme change mid-stream fails loudly, not with a ClassCastException") {
+    val dir = tmpDir()
+    val b = new GdxBuilder()
+    b.addSymbol("p", SymbolType.Parameter, 1, Seq((Seq("x"), Array(1.0), None)))
+    GdxCodec.write(b.result(), s"$dir/shard-a.gdx")
+    val schema = GdxTable.schemaOf(
+      GdxCodec.SymbolMeta("p", SymbolType.Parameter, 1, "", 0, Seq("*"), 0, 0L, 0),
+      flagCols = false)
+    // checkpoint written under committedOnly=true (manifest offset),
+    // restarted with the option dropped (name-set end offset)
+    val stream = new GdxMicroBatchStream(dir, "p", schema, schema, Nil)
+    val e = intercept[IllegalStateException] {
+      stream.planInputPartitions(GdxManifestOffset(0), GdxShardOffset(Seq("shard-a.gdx")))
+    }
+    assert(e.getMessage.contains("offset scheme changed"), s"got: ${e.getMessage}")
   }
 }

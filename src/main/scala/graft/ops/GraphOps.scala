@@ -395,4 +395,85 @@ object GraphOps extends QueryModule {
         col("n").cast("long").as("community_size"))
       .orderBy("id") // one row per vertex = input-sized
   }
+
+  /** Peel rounds for the k-core — fixed, not convergence-gated, for
+    * the same reason as [[LpaRounds]]: a static oracle can only replay
+    * a fixed round count. On the planted block graph 3 rounds ARE the
+    * fixpoint (argued below and pinned by OpsSemanticsSpec's
+    * round-3 ≡ round-4 check), so the registered result is the exact
+    * 4-core, not a truncation.
+    */
+  private val KcoreRounds = 3
+  private val KcoreK = 4
+
+  /** k-core (SPEC: Matula & Beck 1983 degeneracy peeling; the
+    * distributed form is the synchronous BSP peel of Montresor,
+    * De Pellegrini & Miorandi 2013 "Distributed k-core
+    * decomposition"): repeatedly delete every vertex of degree < k
+    * until none remains; the survivors are the maximal subgraph with
+    * min degree ≥ k — the standard "dense enough to matter" prefilter
+    * before community/centrality passes. Each round is ONE degree
+    * aggregation plus two semi-joins, all keyed on the vertex —
+    * O(E) shuffle per round, AQE-friendly, same per-round
+    * localCheckpoint-and-free discipline as CC/LPA; at 100 TB the
+    * peel round count is bounded by the graph's degeneracy ordering
+    * depth, and each round strictly shrinks the edge set, so later
+    * rounds get cheaper. On the 6-clique block graph: full blocks have
+    * intra-degree 5 and survive; a trailing partial block of m < 5
+    * vertices dies in ≤ 2 rounds (its non-head vertices have degree
+    * m-1 ≤ 3; the head's bridge alone cannot hold it), and the
+    * upstream tail that loses its bridge still has 5 intra edges —
+    * round 3 changes nothing, so the fixed 3 rounds return the exact
+    * 4-core. Output: surviving (id, degree-in-core).
+    */
+  q("graph_kcore",
+    """WITH
+      |c AS (SELECT c_custkey AS id, c_nationkey AS nk,
+      |             row_number() OVER (PARTITION BY c_nationkey
+      |               ORDER BY c_custkey) - 1 AS rk
+      |      FROM customer),
+      |blk AS (SELECT id, nk, rk // 6 AS b FROM c),
+      |intra AS (
+      |  SELECT x.id AS a, y.id AS b FROM blk x
+      |  JOIN blk y ON y.nk = x.nk AND y.b = x.b AND y.id > x.id),
+      |heads AS (SELECT nk, b, min(id) AS hid, max(id) AS tid
+      |          FROM blk GROUP BY nk, b),
+      |inter AS (
+      |  SELECT h1.tid AS a, h2.hid AS b FROM heads h1
+      |  JOIN heads h2 ON h2.nk = h1.nk AND h2.b = h1.b + 1),
+      |e AS (SELECT a, b FROM intra UNION ALL SELECT a, b FROM inter),
+      |s0 AS MATERIALIZED (
+      |  SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+      |a1 AS (SELECT a FROM s0 GROUP BY a HAVING count(*) >= 4),
+      |s1 AS MATERIALIZED (SELECT s.a, s.b FROM s0 s
+      |  JOIN a1 x ON x.a = s.a JOIN a1 y ON y.a = s.b),
+      |a2 AS (SELECT a FROM s1 GROUP BY a HAVING count(*) >= 4),
+      |s2 AS MATERIALIZED (SELECT s.a, s.b FROM s1 s
+      |  JOIN a2 x ON x.a = s.a JOIN a2 y ON y.a = s.b),
+      |a3 AS (SELECT a FROM s2 GROUP BY a HAVING count(*) >= 4),
+      |s3 AS (SELECT s.a, s.b FROM s2 s
+      |  JOIN a3 x ON x.a = s.a JOIN a3 y ON y.a = s.b)
+      |SELECT a AS id, CAST(count(*) AS BIGINT) AS degree
+      |FROM s3 GROUP BY a ORDER BY id""") { (s, d) =>
+    kcorePeel(s, d, KcoreRounds)
+      .orderBy("id") // one row per surviving vertex = input-sized
+  }
+
+  /** The registered peel, round count exposed so OpsSemanticsSpec can
+    * pin that round 3 is the fixpoint (round-4 output identical).
+    */
+  private[ops] def kcorePeel(s: SparkSession, d: String, rounds: Int): DataFrame = {
+    val rc = new RoundCheckpoints(s.sparkContext)
+    var sym = pinnedSym(rc, blockEdges(s, d))
+    for (_ <- 1 to rounds) {
+      val alive = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= KcoreK)
+        .select(col("src").as("v"))
+      sym = rc.cycle("peel", sym
+        .join(alive.select(col("v").as("src")), Seq("src"), "left_semi")
+        .join(alive.select(col("v").as("dst")), Seq("dst"), "left_semi"))
+    }
+    rc.release("sym")
+    sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+  }
 }

@@ -31,6 +31,38 @@ object LlmOps extends QueryModule {
         .orderBy("doc_id") // one row per distinct doc = input-sized
   }
 
+  /** Canonicalize-then-exact dedup: aggressive text normalization
+    * (lowercase, every non-alphanumeric run → one space, trim) before
+    * the content-hash groupBy — the cheap fuzzy-exact tier every
+    * production pipeline runs between byte-exact and MinHash dedup
+    * (SPEC: C4/Gopher pre-dedup normalization; Lee et al. 2021 §3.1's
+    * "exact" tier is normalized-exact). Catches case/punctuation/
+    * whitespace mutations of the same content at exact-dedup cost: the
+    * normalize is per-row map work, the groupBy shuffles one 128-bit
+    * digest per doc (uniform keys, no skew), and the map-back join is
+    * co-partitioned on that same digest — 100 TB shape identical to
+    * dedup_exact. Output: every doc mapped to its group's canonical
+    * (min) doc_id plus the group size.
+    */
+  q("dedup_exact_normalized",
+    """WITH n AS (SELECT doc_id,
+      |             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h
+      |           FROM documents),
+      |g AS (SELECT h, min(doc_id) AS canonical_id, count(*) AS group_size
+      |      FROM n GROUP BY h)
+      |SELECT n.doc_id, g.canonical_id, CAST(g.group_size AS BIGINT) AS group_size
+      |FROM n JOIN g USING (h) ORDER BY doc_id""") { (s, d) =>
+    // Spark regexp_replace is global by default; DuckDB needs the 'g'
+    // flag — the oracle carries it so both normalize identically
+    val n = T(s, d, "documents").select(col("doc_id"),
+      md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("h"))
+    val g = n.groupBy("h").agg(min("doc_id").as("canonical_id"),
+      count(lit(1)).as("group_size"))
+    n.join(g, Seq("h"))
+      .select(col("doc_id"), col("canonical_id"), col("group_size"))
+      .orderBy("doc_id") // one row per doc = input-sized
+  }
+
   // -------------------------------------------------------- near dedup
 
   /** MinHash + banded LSH near-dup candidates.
@@ -1779,6 +1811,41 @@ object LlmOps extends QueryModule {
         round(size(expr("regexp_extract_all(text, '[^a-z0-9 ]', 0)")).cast("double")
           / greatest(col("n_chars"), lit(1)), 6).as("punct_ratio"))
       .orderBy("doc_id")
+  }
+
+  /** Flesch reading-ease readability (SPEC: Flesch 1948, the
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words) form
+    * used by readability gates in data-quality stacks): sentences =
+    * terminal-punctuation runs (min 1), syllables ≈ vowel groups —
+    * the standard dictionary-free approximation. Pure per-row regex
+    * counting, zero shuffle, embarrassingly parallel at 100 TB; the
+    * integer counts make the arithmetic bit-identical cross-engine
+    * (one round(·,6) on the final per-row score, no aggregation
+    * follows — checklist rule 5, not 12).
+    */
+  q("text_readability",
+    """SELECT doc_id,
+      |       CAST(len(str_split(text, ' ')) AS BIGINT) AS words,
+      |       CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS sentences,
+      |       CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syllables,
+      |       round(206.835
+      |             - 1.015 * (CAST(len(str_split(text, ' ')) AS DOUBLE)
+      |                        / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+      |             - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+      |                       / greatest(len(str_split(text, ' ')), 1)), 6) AS flesch
+      |FROM documents ORDER BY doc_id""") { (s, d) =>
+    val words = size(split(col("text"), " ")).cast("long")
+    val sents = greatest(
+      size(expr("regexp_extract_all(text, '[.!?]+', 0)")), lit(1)).cast("long")
+    val syls = size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")).cast("long")
+    T(s, d, "documents")
+      .select(col("doc_id"),
+        words.as("words"), sents.as("sentences"), syls.as("syllables"),
+        round(lit(206.835)
+          - lit(1.015) * (words.cast("double") / sents)
+          - lit(84.6) * (syls.cast("double") / greatest(words, lit(1L))), 6)
+          .as("flesch"))
+      .orderBy("doc_id") // one row per doc = input-sized
   }
 
   /** Repetition quality signals (SPEC: Gopher/MassiveText repetition

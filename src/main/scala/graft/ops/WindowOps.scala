@@ -439,6 +439,72 @@ object WindowOps extends QueryModule {
     * Parallelism ∝ #users (hash partitioning); a skewed hot user
     * costs sort spill, not memory.
     */
+  /** Wilder's relative strength index per event_type series (SPEC:
+    * Wilder 1978 "New Concepts in Technical Trading Systems", the
+    * simple-moving-average variant over a 14-row trailing frame — the
+    * bounded-momentum score monitoring stacks reuse well beyond
+    * finance). delta = value − lag(value) ordered by (ts, event_id),
+    * the unique total order (checklist rule 3). Gains/losses snap
+    * onto the dyadic 2⁻²⁰ grid BEFORE the frame average (rule 12:
+    * the windowed avg is a chained double aggregation; grid multiples
+    * sum exactly in any accumulation order, |value| ≪ 2³³), so
+    * cross-engine hash equality is structural, with one final
+    * round(·,6) per row (rule 5). avg_loss = 0 → RSI = 100 (division
+    * guard, rule 7); a series' first row has no delta → NULL. Two
+    * stacked windows over ONE partitioning = one exchange+sort; at
+    * 100 TB parallelism ∝ #series and a hot series costs sort spill,
+    * not memory.
+    */
+  q("ts_rsi",
+    s"""WITH d AS (
+      |  SELECT event_id, event_type, ts,
+      |         value - lag(value) OVER
+      |           (PARTITION BY event_type ORDER BY ts, event_id) AS delta
+      |  FROM events),
+      |gl AS (
+      |  SELECT event_id, event_type, ts,
+      |         CASE WHEN delta IS NULL THEN NULL
+      |              WHEN delta > 0 THEN ${Grid.dy20Sql("delta")}
+      |              ELSE 0.0 END AS gain,
+      |         CASE WHEN delta IS NULL THEN NULL
+      |              WHEN delta < 0 THEN ${Grid.dy20Sql("-delta")}
+      |              ELSE 0.0 END AS loss
+      |  FROM d),
+      |a AS (
+      |  SELECT event_id, event_type,
+      |         avg(gain) OVER w AS ag, avg(loss) OVER w AS al
+      |  FROM gl
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+      |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+      |SELECT event_id, event_type,
+      |       CASE WHEN al IS NULL THEN NULL
+      |            WHEN al = 0.0 THEN 100.0
+      |            ELSE round(100.0 - 100.0 / (1.0 + ag / al), 6) END AS rsi
+      |FROM a ORDER BY event_id""") { (s, d) =>
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    val wf = w.rowsBetween(-13, 0)
+    val base = T(s, d, "events")
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      .withColumn("delta", col("value") - lag("value", 1).over(w))
+    val gl = base
+      .withColumn("gain",
+        when(col("delta").isNull, lit(null).cast("double"))
+          .when(col("delta") > 0, Grid.dy20(col("delta")))
+          .otherwise(lit(0.0)))
+      .withColumn("loss",
+        when(col("delta").isNull, lit(null).cast("double"))
+          .when(col("delta") < 0, Grid.dy20(-col("delta")))
+          .otherwise(lit(0.0)))
+    gl.withColumn("ag", avg("gain").over(wf))
+      .withColumn("al", avg("loss").over(wf))
+      .select(col("event_id"), col("event_type"),
+        when(col("al").isNull, lit(null).cast("double"))
+          .when(col("al") === 0.0, lit(100.0))
+          .otherwise(round(lit(100.0) - lit(100.0) / (lit(1.0) + col("ag") / col("al")), 6))
+          .as("rsi"))
+      .orderBy("event_id") // one row per event = input-sized
+  }
+
   q("ts_ewma",
     """SELECT user_id, CAST(count(*) AS INTEGER) AS n,
       |       round(list_reduce(list(value ORDER BY ts, event_id),

@@ -490,4 +490,35 @@ class OpsSemanticsSpec extends AnyFunSuite {
     assert(capped.count() == 0,
       "the >16-source boilerplate gram must be dropped by the df-cap")
   }
+
+  test("graph_kcore: 3 peel rounds are the fixpoint, core nonempty with min degree >= k") {
+    val r3 = GraphOps.kcorePeel(spark, dir, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r4 = GraphOps.kcorePeel(spark, dir, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(r3 == r4, "round 4 changed the core — the fixed 3 rounds truncate, not converge")
+    assert(r3.nonEmpty, "full 6-blocks must survive as the 4-core")
+    // k-core definition: every surviving vertex keeps degree >= 4
+    assert(r3.forall(_._2 >= 4), s"vertex below k in the core: ${r3.filter(_._2 < 4)}")
+  }
+
+  test("ts_rsi: all-gain series pegs at 100, first row NULL, values bounded") {
+    val got = SparkEntry.queries("ts_rsi")(spark, dir).collect()
+    assert(got.nonEmpty)
+    val vals = got.flatMap(r => Option(r.getAs[java.lang.Double]("rsi")).map(_.doubleValue))
+    assert(vals.forall(v => v >= 0.0 && v <= 100.0), "RSI is bounded to [0, 100]")
+    // one NULL per event_type series head (no delta)
+    val nTypes = T(spark, dir, "events").select("event_type").distinct().count()
+    assert(got.count(_.isNullAt(2)) == nTypes)
+    // crafted monotone series: all gains → RSI pegs at exactly 100
+    import spark.implicits._
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_rsiprobe").toString
+    (1 to 30).map(i => (i.toLong, java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(1700000000L + i)), 1L, "up", i.toDouble, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val up = SparkEntry.queries("ts_rsi")(spark, dir2).collect()
+    assert(up.drop(1).forall(_.getAs[Double]("rsi") == 100.0),
+      "a strictly rising series must peg RSI at 100")
+  }
 }

@@ -594,4 +594,28 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
       s"band index must come from the checkpointed table:\n$p")
   }
+
+  test("ts_rsi: both window layers ride ONE series exchange+sort") {
+    val p = plan(graft.SparkEntry.queries("ts_rsi")(spark, d))
+    // lag + the two frame averages share partitioning and order — a
+    // second hashpartitioning exchange would mean the stacked windows
+    // re-shuffled the series
+    assert("hashpartitioning\\(event_type".r.findAllIn(p).size <= 1,
+      s"stacked windows must share one series exchange:\n$p")
+    assert("Window".r.findAllIn(p).nonEmpty, s"expected window operators in:\n$p")
+  }
+
+  test("text_readability: pure map-side — the only exchange is the final ORDER BY") {
+    val p = plan(graft.SparkEntry.queries("text_readability")(spark, d))
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"per-row scoring must not shuffle (beyond the report sort):\n$p")
+  }
+
+  test("dedup_exact_normalized: digest group and map-back join share the hash key") {
+    val p = plan(graft.SparkEntry.queries("dedup_exact_normalized")(spark, d))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"map-back must stay an equi join on the digest:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_count") || p.contains("partial"),
+      s"canonical-id aggregation must map-side combine:\n$p")
+  }
 }

@@ -67,34 +67,19 @@ case class SimHash32(child: Expression) extends UnaryExpression {
       val j = ctx.freshName("j")
       val b = ctx.freshName("b")
       val h = ctx.freshName("h")
-      val t = ctx.freshName("t")
       val out = ctx.freshName("out")
       val poly = ctx.freshName("poly")
-      val i = ctx.freshName("i")
-      val nb = ctx.freshName("nb")
+      // The codepoint fold is parity-critical (every oracle CTE replays
+      // it), so codegen calls the single canonical implementation
+      // [[TokenPolyHash.polyOf]] — a monomorphic static the JIT inlines —
+      // instead of inlining a second copy that could drift.
       s"""
          |int[] $votes = new int[32];
          |int $n = $arr.numElements();
          |for (int $j = 0; $j < $n; $j++) {
          |  if (!$arr.isNullAt($j)) {
-         |    org.apache.spark.unsafe.types.UTF8String $t = $arr.getUTF8String($j);
-         |    long $poly = 0L;
-         |    int $nb = $t.numBytes();
-         |    for (int $i = 0; $i < $nb; ) {
-         |      int b0$i = $t.getByte($i) & 0xff;
-         |      int cp$i;
-         |      if (b0$i < 0x80) { cp$i = b0$i; $i += 1; }
-         |      else if (b0$i < 0xE0) {
-         |        cp$i = ((b0$i & 0x1F) << 6) | ($t.getByte($i + 1) & 0x3F); $i += 2;
-         |      } else if (b0$i < 0xF0) {
-         |        cp$i = ((b0$i & 0x0F) << 12) | (($t.getByte($i + 1) & 0x3F) << 6)
-         |          | ($t.getByte($i + 2) & 0x3F); $i += 3;
-         |      } else {
-         |        cp$i = ((b0$i & 0x07) << 18) | (($t.getByte($i + 1) & 0x3F) << 12)
-         |          | (($t.getByte($i + 2) & 0x3F) << 6) | ($t.getByte($i + 3) & 0x3F); $i += 4;
-         |      }
-         |      $poly = ($poly * 31L + cp$i) % ${Mod}L;
-         |    }
+         |    long $poly = graft.functions.TokenPolyHash$$.MODULE$$.polyOf(
+         |      $arr.getUTF8String($j));
          |    long $h = $poly * ${Spread}L % ${M32}L;
          |    for (int $b = 0; $b < 32; $b++) {
          |      $votes[$b] += ((($h >>> $b) & 1L) == 1L) ? 1 : -1;
@@ -196,34 +181,16 @@ case class TokenPolyHash(child: Expression) extends UnaryExpression {
       val n = ctx.freshName("n")
       val out = ctx.freshName("out")
       val j = ctx.freshName("j")
-      val t = ctx.freshName("t")
-      val poly = ctx.freshName("poly")
-      val i = ctx.freshName("i")
-      val nb = ctx.freshName("nb")
+      // Same parity rationale as [[SimHash32.doGenCode]]: one canonical
+      // fold ([[TokenPolyHash.polyOf]]), called from codegen, so the
+      // interpreted and generated paths cannot drift.
       s"""
          |int $n = $arr.numElements();
          |long[] $out = new long[$n];
          |for (int $j = 0; $j < $n; $j++) {
          |  if (!$arr.isNullAt($j)) {
-         |    org.apache.spark.unsafe.types.UTF8String $t = $arr.getUTF8String($j);
-         |    long $poly = 0L;
-         |    int $nb = $t.numBytes();
-         |    for (int $i = 0; $i < $nb; ) {
-         |      int b0$i = $t.getByte($i) & 0xff;
-         |      int cp$i;
-         |      if (b0$i < 0x80) { cp$i = b0$i; $i += 1; }
-         |      else if (b0$i < 0xE0) {
-         |        cp$i = ((b0$i & 0x1F) << 6) | ($t.getByte($i + 1) & 0x3F); $i += 2;
-         |      } else if (b0$i < 0xF0) {
-         |        cp$i = ((b0$i & 0x0F) << 12) | (($t.getByte($i + 1) & 0x3F) << 6)
-         |          | ($t.getByte($i + 2) & 0x3F); $i += 3;
-         |      } else {
-         |        cp$i = ((b0$i & 0x07) << 18) | (($t.getByte($i + 1) & 0x3F) << 12)
-         |          | (($t.getByte($i + 2) & 0x3F) << 6) | ($t.getByte($i + 3) & 0x3F); $i += 4;
-         |      }
-         |      $poly = ($poly * 31L + cp$i) % ${Mod}L;
-         |    }
-         |    $out[$j] = $poly;
+         |    $out[$j] = graft.functions.TokenPolyHash$$.MODULE$$.polyOf(
+         |      $arr.getUTF8String($j));
          |  }
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);

@@ -358,8 +358,14 @@ object CurationOps extends QueryModule {
     } yield (a, b, n)).toSeq
     val wTot = sources.map(src =>
       src -> sources.map(o => wMap.getOrElse((src, o), 0L)).sum).toMap
-    val gTot = sources.map(src => src ->
-      games.collect { case (a, b, n) if a == src || b == src => n }.sum).toMap
+    val gTot = {
+      // One O(|games|) pass (like the MM `den` loop below) — a per-source
+      // rescan of the pair list would be O(S·|games|) = O(S³) driver time
+      // at the contract's S≈10⁴ bound.
+      val acc = mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+      games.foreach { case (a, b, n) => acc(a) += n; acc(b) += n }
+      sources.map(src => src -> acc(src)).toMap
+    }
     // A source with zero games has an empty MM denominator; the oracle's
     // inner joins drop it from every iteration, so mirror that here —
     // it keeps its π₀ share of nothing and is excluded from the output.

@@ -218,10 +218,10 @@ object StreamOps {
     FunnelState(Long.MaxValue, Long.MaxValue, Long.MaxValue, done = false,
       last = Long.MinValue)
 
-  /** Fold one batch slice into the min-timestamp state and decide
-    * emission — shared by both state-API funnels so they cannot
-    * drift. Tracking FIRST-occurrence micros (not a stage machine) is
-    * what makes the online operator agree with the batch fixpoint
+  /** Fold one batch slice into the min-timestamp state — shared by
+    * both state-API funnels so they cannot drift. Tracking
+    * FIRST-occurrence micros (not a stage machine) is what makes the
+    * online operator agree with the batch fixpoint
     * `stream_stateful_custom` (first view < first click < first
     * purchase): a stage machine would IGNORE a click arriving before
     * the first view and complete users the batch predicate rejects.
@@ -230,7 +230,7 @@ object StreamOps {
     * ms-truncated; comparisons here stay in exact micros).
     */
   private def foldFunnel(st0: FunnelState,
-      rows: Iterator[FunnelEvent]): (FunnelState, Option[Long]) = {
+      rows: Iterator[FunnelEvent]): FunnelState = {
     var st = st0
     rows.foreach { e =>
       val us = micros(e.ts)
@@ -242,11 +242,21 @@ object StreamOps {
         case _ =>
       }
     }
-    // MaxValue sentinels make the strict inequalities false unless all
-    // three steps are present and ordered
-    val emit = !st.done && st.vt < st.ct && st.ct < st.pt
-    if (emit) (st.copy(done = true), Some(st.pt)) else (st, None)
+    st
   }
+
+  /** The batch fixpoint's predicate over the folded state. MaxValue
+    * sentinels make the strict inequalities false unless all three
+    * steps are present and ordered; `done` pins exactly-once emission.
+    */
+  private def funnelReady(st: FunnelState): Boolean =
+    !st.done && st.vt < st.ct && st.ct < st.pt
+
+  /** Micros-exact "the watermark has passed `us`" with the watermark
+    * only available ms-truncated: wmMs*1000 ≥ us iff no event with
+    * ts < us can still arrive (Spark admits rows with ts ≥ watermark).
+    */
+  private def wmCovers(wmMs: Long, us: Long): Boolean = wmMs * 1000L >= us
 
   private def tsOfMicros(us: Long): java.sql.Timestamp = {
     val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
@@ -268,6 +278,19 @@ object StreamOps {
     * Event-time, not processing-time: processing timers force
     * shouldRunAnotherBatch=true every trigger — a hot no-data
     * micro-batch loop — and are replay-unstable.
+    *
+    * EMISSION FINALITY: in the watermarked (ttl) deployment a hit is
+    * emitted only once the watermark passes the completion time
+    * `pt` — any event still admissible has ts ≥ watermark ≥ pt and
+    * cannot lower a first-occurrence below pt, so the predicate's
+    * truth is final and an Append-mode row can never contradict the
+    * batch fixpoint (a late in-watermark click BEFORE the first view
+    * flips vt<ct to false; eager emission could not retract it). A
+    * completion awaiting the watermark flushes via the same
+    * event-time timer (set to the earlier of flush-due and
+    * retention-due). Without ttl there is no watermark contract and
+    * no timer API (NoTimeout), so emission is eager — documented
+    * best-effort for in-order/replay inputs, the parity-test config.
     */
   def funnel(events: Dataset[FunnelEvent],
       ttl: Option[java.time.Duration] = None): Dataset[FunnelHit] = {
@@ -279,26 +302,41 @@ object StreamOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (user: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) => {
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            val (st, hitUs) = foldFunnel(state.getOption.getOrElse(funnelEmpty), rows)
+          val wmMs = if (ttl.isDefined) state.getCurrentWatermarkMs() else 0L
+          val st0 =
+            if (state.hasTimedOut) state.getOption.getOrElse(funnelEmpty)
+            else foldFunnel(state.getOption.getOrElse(funnelEmpty), rows)
+          val ready = funnelReady(st0)
+          // Finality gate (see scaladoc): watermarked mode emits only
+          // once the watermark covers pt; unwatermarked mode is eager.
+          val emitNow = ready && (ttl.isEmpty || wmCovers(wmMs, st0.pt))
+          val st = if (emitNow) st0.copy(done = true) else st0
+          val retireNow = ttl.exists(t =>
+            state.hasTimedOut && !(ready && !emitNow) &&
+              st.last != Long.MinValue &&
+              wmMs >= st.last / 1000L + t.toMillis)
+          if (retireNow) state.remove()
+          else {
             state.update(st)
-            // retention rides the key's LAST ACTIVITY (replay-stable,
-            // like cdcApply's st.us). Rows reaching this operator have
-            // passed the watermark filter, so last + ttl > watermark
-            // already; the max() clamp is belt-and-braces against the
+            // The single GroupState timer serves both duties: flush a
+            // pending completion as soon as the watermark passes pt,
+            // and retire the key at last-activity + ttl (replay-stable,
+            // like cdcApply's st.us). The max() clamp guards the
             // IllegalArgumentException Spark raises for a timeout at or
             // below the current watermark.
             ttl.foreach { t =>
-              if (st.last != Long.MinValue)
-                state.setTimeoutTimestamp(math.max(
-                  st.last / 1000L + t.toMillis,
-                  state.getCurrentWatermarkMs() + 1L))
+              if (st.last != Long.MinValue) {
+                val retainAt = st.last / 1000L + t.toMillis
+                val flushAt =
+                  if (ready && !emitNow) Math.floorDiv(st.pt + 999L, 1000L)
+                  else Long.MaxValue
+                state.setTimeoutTimestamp(
+                  math.max(math.min(retainAt, flushAt), wmMs + 1L))
+              }
             }
-            hitUs.iterator.map(us => FunnelHit(user, tsOfMicros(us)))
           }
+          if (emitNow) Iterator.single(FunnelHit(user, tsOfMicros(st.pt)))
+          else Iterator.empty
         })
   }
 
@@ -328,10 +366,16 @@ object StreamOps {
 
     override def handleInputRows(user: Long, rows: Iterator[FunnelEvent],
         timerValues: TimerValues): Iterator[FunnelHit] = {
-      val (next, hitUs) =
-        foldFunnel(if (st.exists()) st.get() else funnelEmpty, rows)
+      // Eager emission: the v2 TTL clock is processing-time (no
+      // event-time watermark in this TimeMode), so the watermark
+      // finality gate of [[funnel]]'s ttl path is unavailable here —
+      // same best-effort contract as the unwatermarked v1 config.
+      val folded = foldFunnel(if (st.exists()) st.get() else funnelEmpty, rows)
+      val emit = funnelReady(folded)
+      val next = if (emit) folded.copy(done = true) else folded
       st.update(next)
-      hitUs.iterator.map(us => FunnelHit(user, tsOfMicros(us)))
+      if (emit) Iterator.single(FunnelHit(user, tsOfMicros(next.pt)))
+      else Iterator.empty
     }
   }
 

@@ -282,6 +282,48 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("funnel finality: watermarked hits wait for the watermark; a late " +
+      "in-watermark click before the first view retracts the completion") {
+    val ms = MemoryStream[StreamOps.FunnelEvent](spark)
+    val name = nextName()
+    // 10-minute watermark delay so genuinely-late events are admitted;
+    // 5-minute TTL so retirement is also exercised past the flush.
+    val q = StreamOps.funnel(
+        ms.toDS().withWatermark("ts", "10 minutes").as[StreamOps.FunnelEvent],
+        ttl = Some(java.time.Duration.ofMinutes(5)))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    // Both users complete in-order within batch 1, but the watermark
+    // (still at epoch) has not passed their completion time t(7):
+    // NOTHING may be emitted yet — an Append row is unretractable.
+    ms.addData(
+      StreamOps.FunnelEvent(10, t(5), "view"),
+      StreamOps.FunnelEvent(10, t(6), "click"),
+      StreamOps.FunnelEvent(10, t(7), "purchase"),
+      StreamOps.FunnelEvent(11, t(5), "view"),
+      StreamOps.FunnelEvent(11, t(6), "click"),
+      StreamOps.FunnelEvent(11, t(7), "purchase"))
+    q.processAllAvailable()
+    assert(spark.table(name).count() == 0,
+      "hit emitted before the watermark covered its completion time")
+    // u10's LATE click at t(1) — admissible (t(1) ≥ watermark) and
+    // earlier than u10's first view, so the batch fixpoint now REJECTS
+    // u10. Had batch 1 emitted eagerly, this would be a contradiction.
+    ms.addData(StreamOps.FunnelEvent(10, t(1), "click"))
+    q.processAllAvailable()
+    // Advance the watermark past t(7) (and past both retention clocks):
+    // u11's pending hit must flush via the event-time timer; u10 must
+    // retire silently.
+    ms.addData(StreamOps.FunnelEvent(99, t(40), "view"))
+    q.processAllAvailable()
+    ms.addData(StreamOps.FunnelEvent(98, t(41), "view"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table(name).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(11L),
+      "exactly the still-valid completion flushes")
+    assert(out.head.getTimestamp(1) == t(7)) // first purchase, exact micros
+  }
+
   test("sliding windows: each event lands in 5 windows") {
     val ms = MemoryStream[Ev](spark)
     ms.addData(Ev(1, t(10), 1, "click", 2.0))

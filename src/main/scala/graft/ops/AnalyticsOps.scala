@@ -759,4 +759,106 @@ object AnalyticsOps extends QueryModule {
       .withColumn("benford_p", pExpr)
       .reportSorted("digit")
   }
+
+  /** Benjamini–Hochberg FDR adjustment over a family of per-nation
+    * chi-square goodness-of-fit tests (SPEC: Benjamini & Hochberg
+    * 1995 step-up procedure — THE multiple-comparisons control for
+    * screening pipelines that run one test per segment; the companion
+    * consumer of this module's test statistics). Per nation: does its
+    * order-status mix (O/F/P) match the global mix? X² over the 3
+    * cells has 2 degrees of freedom, and χ²₂ is the ONE chi-square
+    * whose survival function is elementary — p = exp(−x/2) — so the
+    * p-value is SQL-replayable without an incomplete-gamma (the reason
+    * the other tests here report only z/t; exp+round-6 has house
+    * precedent in agg_survival_km). BH: rank p ascending (ranked by
+    * the exact X² DESC + name tie-break — exp is monotone, and X² is
+    * the same IEEE expression in fixed association order on both
+    * engines, so the rank order is bitwise-stable), then
+    * p_adj(i) = min_{j≥i} m·p(j)/j clamped at 1 — the running min is
+    * a reverse-frame window over the ROUNDED p (rule 5).
+    *
+    * Scale shape: orders→customer is an equi-join on the customer key
+    * (AQE-sized — customer is data-sized, rule 11), nation is a
+    * genuinely bounded 25-row catalog (broadcast). ONE grouped
+    * aggregate reduces everything to a 25-row frame; the windows and
+    * the 1-row global cross-join live on that bounded frame, so at
+    * 100 TB the shuffle past the first aggregate carries 25 rows.
+    */
+  q("dq_fdr_bh",
+    """WITH oc AS (
+      |  SELECT n.n_name, o.o_orderstatus AS st
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey),
+      |cells AS (
+      |  SELECT n_name,
+      |         sum(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS cf,
+      |         sum(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS co,
+      |         sum(CASE WHEN st = 'P' THEN 1 ELSE 0 END) AS cp
+      |  FROM oc GROUP BY n_name),
+      |e AS (SELECT n_name, cf, co, cp, CAST(cf + co + cp AS BIGINT) AS ni FROM cells),
+      |g AS (SELECT CAST(sum(cf) AS BIGINT) AS gf, CAST(sum(co) AS BIGINT) AS go,
+      |             CAST(sum(cp) AS BIGINT) AS gp,
+      |             CAST(sum(cf) + sum(co) + sum(cp) AS BIGINT) AS tot,
+      |             CAST(count(*) AS BIGINT) AS m
+      |      FROM e),
+      |t AS (SELECT e.n_name, e.ni, e.cf, e.co, e.cp, g.m,
+      |             CAST(e.ni AS DOUBLE) * g.gf / g.tot AS e_f,
+      |             CAST(e.ni AS DOUBLE) * g.go / g.tot AS e_o,
+      |             CAST(e.ni AS DOUBLE) * g.gp / g.tot AS e_p
+      |      FROM e CROSS JOIN g),
+      |x AS (SELECT n_name, ni, m,
+      |             (CAST(cf AS DOUBLE) - e_f) * (CAST(cf AS DOUBLE) - e_f) / e_f
+      |             + (CAST(co AS DOUBLE) - e_o) * (CAST(co AS DOUBLE) - e_o) / e_o
+      |             + (CAST(cp AS DOUBLE) - e_p) * (CAST(cp AS DOUBLE) - e_p) / e_p AS x2
+      |      FROM t),
+      |r AS (SELECT n_name, ni, m, x2,
+      |             CAST(row_number() OVER (ORDER BY x2 DESC, n_name) AS BIGINT) AS rk,
+      |             round(exp(-x2 / 2.0), 6) AS p
+      |      FROM x),
+      |a AS (SELECT n_name, ni, x2, p,
+      |             min(m * p / rk) OVER (ORDER BY rk
+      |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rawadj
+      |      FROM r)
+      |SELECT n_name, CAST(ni AS BIGINT) AS n, round(x2, 6) AS x2, p,
+      |       round(least(1.0, rawadj), 6) AS p_adj,
+      |       CAST(CASE WHEN round(least(1.0, rawadj), 6) < 0.05 THEN 1 ELSE 0 END
+      |            AS INTEGER) AS significant
+      |FROM a ORDER BY n_name""") { (s, d) =>
+    val cells = T(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderstatus").as("st"))
+      .join(T(s, d, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T(s, d, "nation").select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(when(col("st") === "F", 1L).otherwise(0L)).as("cf"),
+        sum(when(col("st") === "O", 1L).otherwise(0L)).as("co"),
+        sum(when(col("st") === "P", 1L).otherwise(0L)).as("cp"))
+    val withNi = cells.withColumn("ni", col("cf") + col("co") + col("cp"))
+    val g = withNi.agg(sum("cf").as("gf"), sum("co").as("go"), sum("cp").as("gp"),
+      sum("ni").as("tot"), count(lit(1)).as("m"))
+    val t = withNi.crossJoin(broadcast(g)) // 25-row frame × 1-row global
+      .withColumn("e_f", col("ni").cast("double") * col("gf") / col("tot"))
+      .withColumn("e_o", col("ni").cast("double") * col("go") / col("tot"))
+      .withColumn("e_p", col("ni").cast("double") * col("gp") / col("tot"))
+    val x = t.withColumn("x2",
+      (col("cf").cast("double") - col("e_f")) * (col("cf").cast("double") - col("e_f")) / col("e_f")
+        + (col("co").cast("double") - col("e_o")) * (col("co").cast("double") - col("e_o")) / col("e_o")
+        + (col("cp").cast("double") - col("e_p")) * (col("cp").cast("double") - col("e_p")) / col("e_p"))
+    // unpartitioned windows are legal here: the frame is nation-sized
+    // (25 rows), the same bounded-output exemption as reportSorted
+    val byP = Window.orderBy(col("x2").desc, col("n_name"))
+    val r = x
+      .withColumn("rk", row_number().over(byP).cast("long"))
+      .withColumn("p", round(exp(-col("x2") / lit(2.0)), 6))
+      .withColumn("rawadj", min(col("m") * col("p") / col("rk"))
+        .over(Window.orderBy("rk")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    r.select(col("n_name"), col("ni").cast("long").as("n"),
+      round(col("x2"), 6).as("x2"), col("p"),
+      round(least(lit(1.0), col("rawadj")), 6).as("p_adj"),
+      when(round(least(lit(1.0), col("rawadj")), 6) < 0.05, 1)
+        .otherwise(0).cast("int").as("significant"))
+      .reportSorted("n_name")
+  }
 }

@@ -604,6 +604,84 @@ object WindowOps extends QueryModule {
       .orderBy("user_id") // one row per user = input-sized
   }
 
+  /** Holt–Winters additive triple exponential smoothing per user
+    * (SPEC: Winters 1960 — [[ts_holt]] plus a seasonal ring of period
+    * m=4, the standard forecaster for trending series WITH a repeating
+    * cycle): with s the seasonal component indexed mod m,
+    * l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1}),
+    * b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1},
+    * s_t = γ(x_t − l_t) + (1−γ)s_{t−m},
+    * seeded l₁ = x₁, b₁ = 0, s ring all-zero; one-step forecast =
+    * l_n + b_n + s_{n+1−m}. α = 0.5, β = γ = 0.25 — exact binary
+    * fractions, and every update is the SAME IEEE expression in the
+    * same association order on both engines, so (as with ts_holt) the
+    * fold is bitwise-identical to the oracle's list_reduce replay
+    * before the safety rounding. State is a 6-element DOUBLE list
+    * [l, b, s₁..s₄] with s₁ the factor due NEXT — the ring rotation is
+    * a list literal referencing only the ORIGINAL accumulator (the
+    * ts_holt struct-vs-list quirk note applies unchanged). Same
+    * UNBOUNDED-GROUP streaming-fold shape as ts_ewma: repartition +
+    * spillable sort + O(1)-state-per-user mapPartitions — at 100 TB
+    * the per-user state is 6 doubles regardless of history length.
+    */
+  q("ts_holt_winters",
+    """WITH f AS (
+      |  SELECT user_id, count(*) AS n,
+      |         list_reduce(list_transform(list(value ORDER BY ts, event_id),
+      |             x -> [CAST(x AS DOUBLE), CAST(0.0 AS DOUBLE),
+      |                   CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+      |                   CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)]),
+      |           (acc, e) -> [
+      |             0.5 * (e[1] - acc[3]) + 0.5 * (acc[1] + acc[2]),
+      |             0.25 * ((0.5 * (e[1] - acc[3]) + 0.5 * (acc[1] + acc[2])) - acc[1])
+      |               + 0.75 * acc[2],
+      |             acc[4], acc[5], acc[6],
+      |             0.25 * (e[1] - (0.5 * (e[1] - acc[3]) + 0.5 * (acc[1] + acc[2])))
+      |               + 0.75 * acc[3]]) AS st
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, CAST(n AS INTEGER) AS n, round(st[1], 6) AS level,
+      |       round(st[2], 6) AS trend, round(st[3], 6) AS seasonal_next,
+      |       round(st[1] + st[2] + st[3], 6) AS forecast
+      |FROM f ORDER BY user_id""") { (s, d) =>
+    import s.implicits._
+    T(s, d, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "us", "event_id")
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .mapPartitions { it =>
+        val rows = it.buffered
+        new Iterator[(Long, Int, Double, Double, Double)] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): (Long, Int, Double, Double, Double) = {
+            val (u, v0) = rows.next()
+            var l = v0
+            var b = 0.0
+            val ring = Array(0.0, 0.0, 0.0, 0.0) // ring(idx) is s due NEXT
+            var idx = 0
+            var n = 1
+            while (rows.hasNext && rows.head._1 == u) {
+              val x = rows.next()._2
+              val l2 = 0.5 * (x - ring(idx)) + 0.5 * (l + b)
+              b = 0.25 * (l2 - l) + 0.75 * b
+              ring(idx) = 0.25 * (x - l2) + 0.75 * ring(idx)
+              l = l2
+              idx = (idx + 1) % 4
+              n += 1
+            }
+            (u, n, l, b, ring(idx))
+          }
+        }
+      }
+      .toDF("user_id", "n", "l", "b", "sn")
+      .select(col("user_id"), col("n"), round(col("l"), 6).as("level"),
+        round(col("b"), 6).as("trend"), round(col("sn"), 6).as("seasonal_next"),
+        round(col("l") + col("b") + col("sn"), 6).as("forecast"))
+      .orderBy("user_id") // one row per user = input-sized
+  }
+
   /** Batch time-gap sessionization — the TIME-gap twin of
     * `win_gap_islands`' value runs (and the batch form of the
     * streaming `stream_session`): a >30-minute silence starts a new

@@ -357,4 +357,33 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(r.getLong(3) == mine.filter(_._1 % 2 == 1).map(_._3).sum)
     }
   }
+
+  test("dq_fdr_bh: adjusted p-values match a naive step-up recomputation " +
+      "and honor the BH invariants") {
+    val rows = SparkEntry.queries("dq_fdr_bh")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getInt(5)))
+    val m = rows.length
+    assert(m == 25, s"expected one row per nation, got $m")
+    // rank order as the query defines it: x2 DESC (= p ASC), name tie-break
+    val ranked = rows.sortBy { case (name, _, x2, _, _, _) => (-x2, name) }
+    // naive O(m^2) step-up: adj(i) = min over j>=i of m*p(j)/j, clamp 1
+    val naive = ranked.zipWithIndex.map { case (_, i) =>
+      val tail = (i until m).map(j => m * ranked(j)._4 / (j + 1)).min
+      round(math.min(1.0, tail), 6)
+    }
+    ranked.zip(naive).foreach { case ((name, _, _, p, adj, sig), want) =>
+      assert(math.abs(adj - want) < 1e-9, s"$name: p_adj $adj != naive $want")
+      assert(adj >= p - 1e-9, s"$name: p_adj $adj below raw p $p")
+      assert(adj <= 1.0 + 1e-12)
+      assert(sig == (if (adj < 0.05) 1 else 0))
+    }
+    // step-up output is monotone non-decreasing along the p-ascending order
+    naive.sliding(2).foreach(w => assert(w(0) <= w(1) + 1e-12))
+    // p really is exp(-x2/2) of the reported statistic (2-dof chi-square)
+    rows.foreach { case (name, _, x2, p, _, _) =>
+      assert(math.abs(p - round(math.exp(-x2 / 2.0), 6)) < 2e-6,
+        s"$name: p $p != exp(-x2/2) of x2 $x2")
+    }
+  }
 }

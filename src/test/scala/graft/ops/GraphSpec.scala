@@ -191,4 +191,36 @@ class GraphSpec extends AnyFunSuite {
       s"only $ownBlock/${got.length} vertices kept their block community")
     assert(got.map(_.getLong(2)).max <= 12L, "no community may span >2 blocks")
   }
+
+  test("graph_copurchase_lift matches a driver-side basket enumeration") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue()))
+    // baskets: distinct parts per order, capped at 32 (a no-op here)
+    val baskets = li.distinct.groupBy(_._1).view
+      .mapValues(_.map(_._2).toArray.sorted).toMap
+      .filter(_._2.length <= 32)
+    val nBaskets = baskets.size.toLong
+    val partN = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val pairN = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    baskets.values.foreach { ps =>
+      ps.foreach(p => partN(p) += 1)
+      for (i <- ps.indices; j <- i + 1 until ps.length) pairN((ps(i), ps(j))) += 1
+    }
+    val want = pairN.filter(_._2 >= 2)
+    val got = graft.SparkEntry.queries("graph_copurchase_lift")(spark, dir).collect()
+    assert(got.length == want.size, s"pairs: got ${got.length}, want ${want.size}")
+    got.foreach { r =>
+      val (a, b, n, lift) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(a < b, s"pair ($a,$b) not canonically ordered")
+      assert(want((a, b)) == n, s"pair ($a,$b): count $n != ${want((a, b))}")
+      // HALF_UP like both engines' round(x, 6) — rint's HALF_EVEN flips
+      // exact-.5 boundaries (observed: 2.3015625 → 2.301562 vs 2.301563)
+      val ref = math.floor(n.toDouble * nBaskets / (partN(a).toDouble * partN(b)) * 1e6 + 0.5) / 1e6
+      assert(math.abs(lift - ref) < 1e-9, s"pair ($a,$b): lift $lift != $ref")
+    }
+    // the cap itself: max observed basket is comfortably under it, so
+    // the guard is armed-at-scale, not semantics-changing here
+    assert(baskets.values.map(_.length).max <= 32)
+  }
 }

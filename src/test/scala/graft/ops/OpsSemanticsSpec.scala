@@ -423,6 +423,40 @@ class OpsSemanticsSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.forall(r => !r.isNullAt(2) && !r.isNullAt(4)))
   }
 
+  test("ts_holt_winters: on a trend+period-4 series the components separate") {
+    // x_t = 2t + pattern(t mod 4), pattern mean 0: the additive HW fold
+    // must pull trend → 2 and the seasonal ring → the pattern offsets —
+    // the component-separation property the hash oracle can't state.
+    val pattern = Array(5.0, -5.0, 3.0, -3.0)
+    def x(t: Int): Double = 2.0 * t + pattern((t - 1) % 4)
+    var l = x(1)
+    var b = 0.0
+    val ring = Array(0.0, 0.0, 0.0, 0.0)
+    var idx = 0
+    (2 to 400).foreach { t =>
+      val xv = x(t)
+      val l2 = 0.5 * (xv - ring(idx)) + 0.5 * (l + b)
+      b = 0.25 * (l2 - l) + 0.75 * b
+      ring(idx) = 0.25 * (xv - l2) + 0.75 * ring(idx)
+      l = l2
+      idx = (idx + 1) % 4
+    }
+    assert(math.abs(b - 2.0) < 0.05, s"trend $b !≈ 2")
+    // ring(idx) is the factor due at t=401, i.e. pattern((401-1)%4)=pattern(0)
+    (0 until 4).foreach { k =>
+      val due = pattern((400 + k) % 4)
+      assert(math.abs(ring((idx + k) % 4) - due) < 0.6,
+        s"seasonal slot $k: ${ring((idx + k) % 4)} !≈ $due")
+    }
+    // one-step forecast = l + b + s_next tracks the true next value
+    assert(math.abs((l + b + ring(idx)) - x(401)) < 1.0)
+    // and the registered query runs the same fold on real data: finite,
+    // non-null components for every user
+    val rows = SparkEntry.queries("ts_holt_winters")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.forall(r =>
+      !r.isNullAt(2) && !r.isNullAt(3) && !r.isNullAt(4) && !r.isNullAt(5)))
+  }
+
   test("temperature mixing flattens the source distribution toward the tail") {
     // α = 1/2 upweights small domains RELATIVE to large ones: the kept
     // fraction (rate) of the smallest source must be ≥ that of the

@@ -760,6 +760,56 @@ object AnalyticsOps extends QueryModule {
       .reportSorted("digit")
   }
 
+  /** Herfindahl–Hirschman concentration index of supplier revenue per
+    * nation (SPEC: Herfindahl 1950 / Hirschman 1945 — the antitrust
+    * and portfolio-concentration standard, Σ share²; the
+    * concentration sibling of agg_gini's inequality and
+    * agg_topn_share's head share). Shares are snapped onto the dyadic
+    * 2⁻²⁰ grid BEFORE squaring (rule 12): each share² is then an
+    * exact multiple of 2⁻⁴⁰, and since Σ share² ≤ 1 the grid-unit
+    * total stays ≤ 2⁴⁰ ≪ 2⁵³ — the per-nation sum is order-exact at
+    * ANY supplier count, so the chained double aggregation is
+    * structurally engine-equal. Scale shape: supplier-keyed equi-join
+    * (AQE-sized, rule 11) + bounded nation catalog broadcast; ONE
+    * two-phase aggregate reduces to the (nation, supplier) frame and
+    * everything after runs there — at 100 TB the shuffle carries one
+    * row per active supplier.
+    */
+  q("agg_hhi",
+    s"""WITH rev AS (
+      |  SELECT n.n_name, l.l_suppkey,
+      |         round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS r
+      |  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |  GROUP BY n.n_name, l.l_suppkey),
+      |tot AS (SELECT n_name, round(sum(r), 4) AS t,
+      |               CAST(count(*) AS BIGINT) AS ns
+      |        FROM rev GROUP BY n_name)
+      |SELECT rev.n_name, max(tot.ns) AS n_suppliers,
+      |       round(sum(${Grid.dy20Sql("rev.r / tot.t")} *
+      |                 (${Grid.dy20Sql("rev.r / tot.t")})), 6) AS hhi,
+      |       round(max(rev.r / tot.t), 6) AS top_share
+      |FROM rev JOIN tot ON tot.n_name = rev.n_name
+      |GROUP BY rev.n_name ORDER BY rev.n_name""") { (s, d) =>
+    val rev = T(s, d, "lineitem")
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .join(T(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(T(s, d, "nation").select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "l_suppkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("r"))
+    val tot = rev.groupBy("n_name")
+      .agg(round(sum("r"), 4).as("t"), count(lit(1)).cast("long").as("ns"))
+    rev.join(broadcast(tot), Seq("n_name")) // nation-sized: genuinely bounded
+      .withColumn("share", col("r") / col("t"))
+      .groupBy("n_name")
+      .agg(max("ns").as("n_suppliers"),
+        round(sum(Grid.dy20(col("share")) * Grid.dy20(col("share"))), 6).as("hhi"),
+        round(max("share"), 6).as("top_share"))
+      .reportSorted("n_name")
+  }
+
   /** Benjamini–Hochberg FDR adjustment over a family of per-nation
     * chi-square goodness-of-fit tests (SPEC: Benjamini & Hochberg
     * 1995 step-up procedure — THE multiple-comparisons control for

@@ -972,6 +972,46 @@ object WindowOps extends QueryModule {
       .orderBy("event_id") // row per input row = input-sized
   }
 
+  /** Bollinger bands (SPEC: Bollinger 1980s volatility envelope — the
+    * mean-reversion / breakout monitor beside [[ts_rsi]]'s momentum):
+    * per event_type series, 20-row trailing mean ± 2σ plus %B, the
+    * position of the value inside the band ((x−lower)/(4σ) — >1 above,
+    * <0 below). ONE (event_type) partition sort serves both framed
+    * co-moments (same single-WindowExec grouping as win_rolling_corr,
+    * whose round-6 device for framed stddev accumulation ulps this
+    * reuses; rule 7's nullif guards the σ=0 degenerate frame, and the
+    * frame head's single-row stddev_samp is NULL in both engines so
+    * the whole band row nulls identically). Input-sized output →
+    * distributed orderBy.
+    */
+  q("ts_bollinger",
+    """SELECT event_id,
+      |       round(m, 6) AS mid,
+      |       round(m + 2 * sd, 6) AS upper_band,
+      |       round(m - 2 * sd, 6) AS lower_band,
+      |       round((value - (m - 2 * sd)) / nullif(4 * sd, 0), 6) AS pct_b
+      |FROM (
+      |  SELECT event_id, value,
+      |         avg(value) OVER w AS m,
+      |         stddev_samp(value) OVER w AS sd
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+      |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) t
+      |ORDER BY event_id""") { (s, d) =>
+    val w = Window.partitionBy("event_type").orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-19, 0)
+    T(s, d, "events")
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      .withColumn("m", avg(col("value")).over(w))
+      .withColumn("sd", stddev_samp(col("value")).over(w))
+      .select(col("event_id"), round(col("m"), 6).as("mid"),
+        round(col("m") + lit(2) * col("sd"), 6).as("upper_band"),
+        round(col("m") - lit(2) * col("sd"), 6).as("lower_band"),
+        round((col("value") - (col("m") - lit(2) * col("sd"))) /
+          nullif(lit(4) * col("sd"), lit(0.0)), 6).as("pct_b"))
+      .orderBy("event_id") // row per input row = input-sized
+  }
+
   /** Linear gap interpolation on the resample grid — the model-prep
     * upgrade of ts_resample_ffill: empty day buckets take the
     * line between the surrounding observations instead of a step.

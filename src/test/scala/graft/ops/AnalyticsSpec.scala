@@ -358,6 +358,35 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_hhi matches a driver-side share recomputation and its bounds") {
+    val li = T(spark, dir, "lineitem")
+      .select("l_suppkey", "l_extendedprice", "l_discount").collect()
+      .map(r => (r.getAs[Number](0).longValue(),
+        r.getDouble(1) * (1 - r.getDouble(2))))
+    val supNation = T(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+      .collect().map(r => (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue())).toMap
+    val nName = T(spark, dir, "nation").select("n_nationkey", "n_name")
+      .collect().map(r => (r.getAs[Number](0).longValue(), r.getString(1))).toMap
+    def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    val rev = li.groupBy { case (sk, _) => (nName(supNation(sk)), sk) }
+      .map { case (k, vs) => k -> r4(vs.map(_._2).sum) }
+    val got = SparkEntry.queries("agg_hhi")(spark, dir).collect()
+    got.foreach { r =>
+      val (nation, ns, hhi, top) =
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+      val mine = rev.filter(_._1._1 == nation).values.toArray
+      assert(mine.length.toLong == ns, s"$nation: $ns suppliers != ${mine.length}")
+      val t = r4(mine.sum)
+      val shares = mine.map(_ / t)
+      val want = round(shares.map(sh => Grid.dy20D(sh) * Grid.dy20D(sh)).sum, 6)
+      assert(math.abs(hhi - want) < 1e-9, s"$nation: hhi $hhi != $want")
+      assert(math.abs(top - round(shares.max, 6)) < 1e-9)
+      // concentration bounds: 1/n (uniform) <= HHI <= 1 (monopoly)
+      assert(hhi >= 1.0 / ns - 1e-6 && hhi <= 1.0 + 1e-9,
+        s"$nation: hhi $hhi outside [1/$ns, 1]")
+    }
+  }
+
   test("dq_fdr_bh: adjusted p-values match a naive step-up recomputation " +
       "and honor the BH invariants") {
     val rows = SparkEntry.queries("dq_fdr_bh")(spark, dir).collect()

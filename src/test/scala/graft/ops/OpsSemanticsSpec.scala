@@ -555,4 +555,40 @@ class OpsSemanticsSpec extends AnyFunSuite {
     assert(up.drop(1).forall(_.getAs[Double]("rsi") == 100.0),
       "a strictly rising series must peg RSI at 100")
   }
+
+  test("ts_bollinger: constant series collapses the band; real data stays " +
+      "mostly inside ±2 sigma with NULL single-row heads") {
+    val got = SparkEntry.queries("ts_bollinger")(spark, dir).collect()
+    assert(got.nonEmpty)
+    // series heads (1-row frame): stddev_samp is NULL → bands and %B NULL,
+    // mid equals the value itself (avg of one row); one head per event_type
+    val nTypes = T(spark, dir, "events").select("event_type").distinct().count()
+    assert(got.count(_.isNullAt(2)) == nTypes, "one NULL band row per series head")
+    // band geometry wherever defined: lower <= mid <= upper
+    got.filter(r => !r.isNullAt(2)).foreach { r =>
+      assert(r.getDouble(3) <= r.getDouble(1) + 1e-9 &&
+        r.getDouble(1) <= r.getDouble(2) + 1e-9,
+        s"band inversion at event ${r.getLong(0)}")
+    }
+    // Chebyshev-flavored sanity: the big majority of points sit inside
+    // their own trailing band (0 <= %B <= 1); a hard bound would be wrong
+    // (new extremes always pierce), so assert the fraction
+    val pb = got.flatMap(r => Option(r.getAs[java.lang.Double]("pct_b")).map(_.doubleValue))
+    val inside = pb.count(v => v >= 0.0 && v <= 1.0)
+    assert(inside.toDouble / pb.length > 0.8,
+      s"only $inside/${pb.length} points inside their band")
+    // crafted constant series: sd = 0 → band collapses to the value,
+    // %B NULL (0/0 guarded), mid exact
+    import spark.implicits._
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_bollprobe").toString
+    (1 to 30).map(i => (i.toLong, java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(1700000000L + i)), 1L, "flat", 7.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val flat = SparkEntry.queries("ts_bollinger")(spark, dir2).collect().drop(1)
+    flat.foreach { r =>
+      assert(r.getDouble(1) == 7.5 && r.getDouble(2) == 7.5 && r.getDouble(3) == 7.5)
+      assert(r.isNullAt(4), "%B must be NULL when the band has zero width")
+    }
+  }
 }

@@ -476,9 +476,9 @@ object RelationalOps extends QueryModule {
     * means touching Spark expressions AND oracle SQL together, so the
     * constant exists to NAME the size, not to tune it.
     */
-  private val hllM = 4096
+  private[graft] val hllM = 4096
   /** (group cols preserved) → one (j, mrho) row per occupied register. */
-  private def hllRegisters(df: DataFrame, valueCol: String, groupCols: String*): DataFrame = {
+  private[graft] def hllRegisters(df: DataFrame, valueCol: String, groupCols: String*): DataFrame = {
     val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10)
       .cast("long")
     val withJ = df
@@ -497,7 +497,7 @@ object RelationalOps extends QueryModule {
     * input yields ZERO rows — matching the oracle's GROUP BY, where a
     * bare `regs.agg(...)` would emit one NULL-estimate row.
     */
-  private def hllEstimate(regs: DataFrame, alias: String, groupCols: String*): DataFrame = {
+  private[graft] def hllEstimate(regs: DataFrame, alias: String, groupCols: String*): DataFrame = {
     val grouped =
       (if (groupCols.isEmpty) regs.groupBy(lit(0).as("_g"))
        else regs.groupBy(groupCols.map(col): _*))

@@ -443,6 +443,82 @@ object StreamOps {
         })
   }
 
+  case class DistinctEvent(event_type: String, user_id: Long)
+  case class DistinctEstimate(event_type: String, occupied: Long, estimate: Long)
+
+  /** One item → (register j, rank rho) under the SAME portable HLL as
+    * the batch rows (RelationalOps.hllRegisters: 60-bit md5-prefix
+    * hash, j = h mod 4096, rho = lowest set bit of h div 4096 capped
+    * at 33) — java.security MD5 of the decimal string is identical to
+    * Spark's md5(cast(v as string)), so a register table folded here
+    * is bit-equal to the batch fold of the same rows.
+    */
+  private[graft] def hllSlot(v: String): (Int, Int) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString.substring(0, 15)
+    val h = java.lang.Long.parseLong(hex, 16) // 60 bits, never negative
+    val sfx = h / 4096L
+    val rho =
+      if (sfx == 0L) 33 else math.min(java.lang.Long.numberOfTrailingZeros(sfx) + 1, 33)
+    ((h % 4096L).toInt, rho)
+  }
+
+  /** Register array → estimate, mirroring RelationalOps.hllEstimate's
+    * column arithmetic term for term (same association order; sp terms
+    * are 2⁻³³ multiples so the sum is order-free — the reason the
+    * streaming fold can match the batch shuffle bit-for-bit).
+    */
+  private[graft] def hllEstimateOf(regs: Array[Byte]): (Long, Long) = {
+    var vp = 0L
+    var sp = 0.0
+    var i = 0
+    while (i < regs.length) {
+      if (regs(i) > 0) { vp += 1; sp += 1.0 / (1L << regs(i)).toDouble }
+      i += 1
+    }
+    val m = 4096.0
+    val alphaMM = 0.7213 / (1.0 + 1.079 / m) * m * m
+    val e = alphaMM / (sp + (m - vp))
+    val v = 4096L - vp
+    val est = if (e <= 2.5 * m && v > 0) m * math.log(m / v.toDouble) else e
+    (vp, math.floor(est + 1e-6).toLong)
+  }
+
+  /** Streaming approximate distinct-count — the DEPLOYED form of the
+    * batch `agg_approx_distinct`/`agg_hll_partial_merge` registry rows:
+    * a per-key HLL register array held in GroupState, folded as events
+    * arrive and re-estimated per micro-batch (Update semantics, the
+    * pageCusum shape). THE state-size argument is the whole point at
+    * 100 TB: exact streaming distinct (dropDuplicates or a user-id set
+    * in state) grows state with the distinct count — unbounded on an
+    * open-web stream — while this holds EXACTLY 4096 bytes per key
+    * forever, and register max is associative/commutative/idempotent,
+    * so replayed micro-batches (foreachBatch at-least-once) cannot
+    * corrupt the sketch. Estimates are monotone non-decreasing across
+    * batches (register growth only raises both the harmonic and
+    * linear-counting branches). Parity contract: the final estimate
+    * equals the batch HLL fold of the union of all slices, bit-for-bit
+    * (StreamingSpec pins it against RelationalOps.hllRegisters +
+    * hllEstimate on the same rows).
+    */
+  def approxDistinct(events: Dataset[DistinctEvent]): Dataset[DistinctEstimate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[DistinctEvent], state: GroupState[Array[Byte]]) => {
+          val regs = state.getOption.getOrElse(new Array[Byte](4096))
+          rows.foreach { e =>
+            val (j, rho) = hllSlot(e.user_id.toString)
+            if (rho > regs(j)) regs(j) = rho.toByte
+          }
+          state.update(regs)
+          val (vp, est) = hllEstimateOf(regs)
+          Iterator.single(DistinctEstimate(key, vp, est))
+        })
+  }
+
   // ------------------------------------------------------- CDC apply
 
   case class Change(user_id: Long, ts: java.sql.Timestamp, event_id: Long,

@@ -370,6 +370,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchRows.exists(_._4 > 0))
   }
 
+  test("stream_approx_distinct: streamed HLL estimates equal the batch fold " +
+      "bit-for-bit and grow monotonically across micro-batches") {
+    val dir = "/root/testdata/sf0.001"
+    val evs = graft.T(spark, dir, "events")
+      .select("event_type", "user_id", "event_id").collect()
+      .sortBy(_.getLong(2))
+      .map(r => StreamOps.DistinctEvent(r.getString(0), r.getLong(1)))
+    val ms = MemoryStream[StreamOps.DistinctEvent](spark)
+    val name = nextName()
+    val q = StreamOps.approxDistinct(ms.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("update").start()
+    val perBatch = scala.collection.mutable.ListBuffer.empty[Map[String, Long]]
+    evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { batch =>
+      ms.addData(batch.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // latest emission per key after this batch (occupied grows with
+      // the sketch, so max-by-occupied is the batch's final row)
+      perBatch += spark.table(name).collect()
+        .groupBy(_.getString(0))
+        .map { case (k, rs) => k -> rs.maxBy(_.getLong(1)).getLong(2) }
+    }
+    q.stop()
+    // monotone non-decreasing per key across batches
+    perBatch.sliding(2).foreach { w =>
+      w(0).foreach { case (k, e0) => assert(w(1)(k) >= e0, s"$k estimate shrank") }
+    }
+    // bit-for-bit parity with the batch register fold of ALL slices
+    val batchDf = evs.map(e => (e.event_type, e.user_id)).toSeq.toDF("grp", "v")
+    val batchEst = graft.ops.RelationalOps.hllEstimate(
+        graft.ops.RelationalOps.hllRegisters(batchDf, "v", "grp"), "est", "grp")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perBatch.last == batchEst,
+      s"stream ${perBatch.last} != batch $batchEst")
+    // and the sketch is actually estimating: within 10% of exact truth
+    val truth = evs.map(e => (e.event_type, e.user_id)).distinct
+      .groupBy(_._1).map { case (k, vs) => k -> vs.length.toLong }
+    batchEst.foreach { case (k, est) =>
+      assert(math.abs(est - truth(k)).toDouble / truth(k) < 0.10,
+        s"$k: estimate $est vs truth ${truth(k)}")
+    }
+  }
+
   test("committedOnly offsets are O(1) manifest prefixes; old name-set checkpoints resume") {
     import graft.sources.{GdxManifestOffset, GdxMicroBatchStream, GdxShardOffset}
     val dir = java.nio.file.Files.createTempDirectory("gdx-moff").toString + "/data"

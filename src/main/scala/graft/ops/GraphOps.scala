@@ -396,6 +396,78 @@ object GraphOps extends QueryModule {
       .orderBy("id") // one row per vertex = input-sized
   }
 
+  /** BFS horizon — fixed rounds for the same static-oracle reason as
+    * [[LpaRounds]]; declared BEFORE the q() registration because the
+    * oracle SQL interpolates it at object-init time.
+    */
+  private val BfsRounds = 8
+
+  /** Multi-source BFS distance (SPEC: the frontier-expansion primitive
+    * under landmark/seed distance labeling — Ullman–Yannakakis 1991
+    * parallel BFS; every "hops from a trusted seed set" feature in
+    * fraud/quality graphs): hop distance from each nation's seed
+    * vertex (min custkey) over the block graph, HORIZON-BOUNDED at
+    * [[BfsRounds]] hops — vertices farther than the horizon are
+    * excluded by contract (at sf0.1 each nation's block chain is ~100
+    * blocks ≈ 200 hops deep; an uncapped BFS is a data-dependent round
+    * count no static oracle can replay, and production landmark
+    * features cap the horizon anyway). All-integer (ids, hop counts) →
+    * exact replay, no quantization. Per round: ONE frontier equi-join
+    * keyed on the vertex + a min-combine — O(E) shuffle, monotone
+    * frame (min distance only tightens), per-round localCheckpoint
+    * with block frees (the CC/LPA/k-core discipline). At 100 TB: round
+    * count is the fixed horizon, not the diameter, and each round is
+    * an AQE-sized vertex-keyed join.
+    */
+  q("graph_bfs_distance", {
+    val head =
+      """WITH RECURSIVE
+        |c AS (SELECT c_custkey AS id, c_nationkey AS nk,
+        |             row_number() OVER (PARTITION BY c_nationkey
+        |               ORDER BY c_custkey) - 1 AS rk
+        |      FROM customer),
+        |blk AS (SELECT id, nk, rk // 6 AS b FROM c),
+        |intra AS (
+        |  SELECT x.id AS a, y.id AS b FROM blk x
+        |  JOIN blk y ON y.nk = x.nk AND y.b = x.b AND y.id > x.id),
+        |heads AS (SELECT nk, b, min(id) AS hid, max(id) AS tid
+        |          FROM blk GROUP BY nk, b),
+        |inter AS (
+        |  SELECT h1.tid AS a, h2.hid AS b FROM heads h1
+        |  JOIN heads h2 ON h2.nk = h1.nk AND h2.b = h1.b + 1),
+        |e AS (SELECT a, b FROM intra UNION ALL SELECT a, b FROM inter),
+        |sym AS MATERIALIZED (
+        |  SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+        |seeds AS (SELECT min(id) AS id FROM blk GROUP BY nk)""".stripMargin
+    head +
+      s""",
+         |reach(id, dist) AS (
+         |  SELECT id, 0 AS dist FROM seeds
+         |  UNION
+         |  SELECT s.b AS id, r.dist + 1 AS dist FROM reach r
+         |  JOIN sym s ON s.a = r.id WHERE r.dist < $BfsRounds
+         |)
+         |SELECT id, CAST(min(dist) AS BIGINT) AS dist
+         |FROM reach GROUP BY id ORDER BY id""".stripMargin
+  }) { (s, d) =>
+    val rc = new RoundCheckpoints(s.sparkContext)
+    val sym = pinnedSym(rc, blockEdges(s, d))
+    val seeds = T(s, d, "customer")
+      .select(col("c_custkey").as("id"), col("c_nationkey").as("nk"))
+      .groupBy("nk").agg(min("id").as("id"))
+    var lab = seeds.select(col("id"), lit(0L).as("dist"))
+    for (_ <- 1 to BfsRounds) {
+      val prop = sym
+        .join(lab.select(col("id").as("src"), col("dist")), Seq("src"))
+        .select(col("dst").as("id"), (col("dist") + 1L).as("dist"))
+      lab = rc.cycle("bfs", lab.unionByName(prop)
+        .groupBy("id").agg(min("dist").as("dist")))
+    }
+    rc.release("sym")
+    lab.select(col("id"), col("dist").cast("long").as("dist"))
+      .orderBy("id") // one row per reached vertex = input-sized
+  }
+
   /** Peel rounds for the k-core — fixed, not convergence-gated, for
     * the same reason as [[LpaRounds]]: a static oracle can only replay
     * a fixed round count. On the planted block graph 3 rounds ARE the

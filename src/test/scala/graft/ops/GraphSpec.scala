@@ -192,6 +192,39 @@ class GraphSpec extends AnyFunSuite {
     assert(got.map(_.getLong(2)).max <= 12L, "no community may span >2 blocks")
   }
 
+  test("graph_bfs_distance matches a driver-side frontier BFS with horizon 8") {
+    // rebuild the block graph exactly as blockEdges does
+    val byNk = customers.groupBy(_._2).map { case (nk, cs) => (nk, cs.map(_._1).sorted) }
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    def add(a: Long, b: Long): Unit = { adj(a) = adj(a) + b; adj(b) = adj(b) + a }
+    byNk.values.foreach { ids =>
+      val blocks = ids.grouped(6).toArray
+      blocks.foreach(blk =>
+        for (i <- blk.indices; j <- i + 1 until blk.length) add(blk(i), blk(j)))
+      blocks.sliding(2).foreach {
+        case Array(b1, b2) => add(b1.last, b2.head)
+        case _ =>
+      }
+    }
+    // textbook frontier BFS from each nation's min custkey, 8 hops
+    val want = scala.collection.mutable.Map.empty[Long, Long]
+    byNk.values.foreach { ids =>
+      var frontier = Set(ids.head)
+      want(ids.head) = 0L
+      var d = 0L
+      while (frontier.nonEmpty && d < 8) {
+        d += 1
+        frontier = frontier.flatMap(adj).filterNot(want.contains)
+        frontier.foreach(v => want(v) = d)
+      }
+    }
+    val got = graft.SparkEntry.queries("graph_bfs_distance")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want.toMap,
+      s"BFS mismatch: ${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+    assert(got.values.max <= 8L)
+  }
+
   test("graph_copurchase_lift matches a driver-side basket enumeration") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_partkey").collect()

@@ -618,4 +618,80 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.contains("partial_min") || p.contains("partial_count") || p.contains("partial"),
       s"canonical-id aggregation must map-side combine:\n$p")
   }
+
+  test("graph_copurchase_lift: ONE basket subtree feeds all four consumers " +
+      "via exchange reuse; pairing stays an equi join") {
+    // preview the at-scale (sort-merge) plan — AQE's local broadcasts
+    // would hide whether the basket exchange is genuinely reusable
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val aqe = "spark.sql.adaptive.enabled"
+    val pb = spark.conf.get(bcast)
+    val pa = spark.conf.get(aqe)
+    spark.conf.set(bcast, "-1")
+    spark.conf.set(aqe, "false")
+    try {
+      val p = plan(graft.SparkEntry.queries("graph_copurchase_lift")(spark, d))
+      assert("Scan parquet".r.findAllIn(p).size == 2,
+        s"expected 2 lineitem scans (basket build), everything else reused:\n$p")
+      assert("ReusedExchange".r.findAllIn(p).size >= 3,
+        s"pair self-join second side, totals, and basket count must reuse:\n$p")
+      assert(!p.contains("CartesianProduct"), s"no cartesian pairing:\n$p")
+      // the ONLY nested-loop is the 1-row global basket count cross
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1,
+        s"only the 1-row baskets cross may nested-loop:\n$p")
+    } finally {
+      spark.conf.set(bcast, pb)
+      spark.conf.set(aqe, pa)
+    }
+  }
+
+  test("dq_fdr_bh: one grouped aggregate reduces to the nation frame; " +
+      "only the 1-row global crosses") {
+    val p = plan(graft.SparkEntry.queries("dq_fdr_bh")(spark, d))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1,
+      s"only the 1-row global-mix cross may nested-loop:\n$p")
+    assert(p.contains("partial"), s"cell counting must map-side combine:\n$p")
+    assert("Window".r.findAllIn(p).size >= 2,
+      s"rank + reverse running-min windows expected (bounded frame):\n$p")
+  }
+
+  test("ts_bollinger: both framed co-moments ride ONE series exchange " +
+      "in ONE window operator") {
+    val p = plan(graft.SparkEntry.queries("ts_bollinger")(spark, d))
+    assert("hashpartitioning\\(event_type".r.findAllIn(p).size <= 1,
+      s"stacked frame aggregates must share one series exchange:\n$p")
+    assert("Window".r.findAllIn(p).size == 1,
+      s"avg and stddev must group into a single WindowExec:\n$p")
+  }
+
+  test("ts_holt_winters: the seasonal fold rides ONE user exchange like ts_holt") {
+    val p = plan(graft.SparkEntry.queries("ts_holt_winters")(spark, d))
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"bounded-group fold must repartition exactly once:\n$p")
+    // the fold's sort is partition-local (global=false); the only range
+    // exchange is the final input-sized output orderBy
+    assert("Sort \\[user_id[^\\n]*, false, 0".r.findAllIn(p).nonEmpty,
+      s"expected a partition-local fold sort in:\n$p")
+  }
+
+  test("agg_hhi: supplier join stays equi, share math on the supplier frame") {
+    val p = plan(graft.SparkEntry.queries("agg_hhi")(spark, d))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"revenue join must stay an equi join:\n$p")
+    assert(p.contains("partial"), s"revenue aggregation must map-side combine:\n$p")
+  }
+
+  test("graph_bfs_distance: rounds are checkpoint-materialized; the final " +
+      "plan reads the checkpointed frame, no lineage replay") {
+    val p = plan(graft.SparkEntry.queries("graph_bfs_distance")(spark, d))
+    // the 8 frontier rounds ran eagerly under RoundCheckpoints — the
+    // final plan must be the checkpointed RDD + the output sort ONLY
+    // (a join or parquet scan here would mean the whole cascade
+    // replays per action, the anti-scale failure mode)
+    assert(p.contains("Scan ExistingRDD"),
+      s"final frame must come from the round checkpoint:\n$p")
+    assert(!p.contains("Join") && !p.contains("Scan parquet"),
+      s"no lineage replay past the checkpoint:\n$p")
+  }
 }

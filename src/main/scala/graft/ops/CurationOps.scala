@@ -107,6 +107,73 @@ object CurationOps extends QueryModule {
       round((po - pe) / kDen, 6).as("kappa"))
   }
 
+  /** Krippendorff's α between the same two quality gates as
+    * [[dq_cohen_kappa]] (SPEC: Krippendorff 1970/2004 — the
+    * reliability coefficient content-analysis methodology standardized
+    * on; for complete two-rater nominal data it is κ-adjacent, but its
+    * DEFINING property is principled MISSING-DATA handling, which κ
+    * has none of). Here the diversity gate genuinely ABSTAINS on
+    * empty-token docs (κ forces a 0 vote); units with fewer than two
+    * ratings drop from the whole calculation per the α definition.
+    * D_o = pairwise disagreement within units; D_e = disagreement
+    * expected from the POOLED value marginals (both raters' ratings
+    * in one urn — another α-vs-κ distinction: κ uses per-rater
+    * marginals); α = 1 − D_o/D_e. Every count is integer; the ratios
+    * are formed ratio-first ((n₁/N)·(n₀/(N−1))·2, bounded ~1) so the
+    * doubles are the same IEEE expression on both engines at any
+    * scale, and D_e = 0 (unanimous pool) yields NULL via nullif
+    * (rule 7). Shape at 100 TB: identical to κ — one two-phase
+    * grouped aggregate over the token stream, then arithmetic on a
+    * 1-row frame.
+    */
+  q("dq_krippendorff_alpha",
+    s"""WITH $docTypeCountsSql,
+       |f AS (
+       |  SELECT d.doc_id,
+       |         CASE WHEN coalesce(ty.t, 0) >= 50 THEN 1 ELSE 0 END AS a,
+       |         CASE WHEN coalesce(ty.t, 0) = 0 THEN NULL
+       |              WHEN 2 * ty.types >= ty.t THEN 1 ELSE 0 END AS b
+       |  FROM documents d LEFT JOIN ty ON ty.doc_id = d.doc_id),
+       |p AS (SELECT a, b FROM f WHERE b IS NOT NULL),
+       |c AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb,
+       |         CAST(sum(a * b) AS BIGINT) AS n11,
+       |         CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+       |  FROM p),
+       |x AS (SELECT n, n - n11 - n00 AS ndis, 2 * n AS nn,
+       |             na + nb AS n1, 2 * n - na - nb AS n0
+       |      FROM c)
+       |SELECT n AS n_units, CAST(ndis AS BIGINT) AS n_disagree,
+       |       round(ndis * 1.0 / n, 6) AS d_o,
+       |       round((n1 * 1.0 / nn) * (n0 * 1.0 / (nn - 1)) * 2, 6) AS d_e,
+       |       round(1 - (ndis * 1.0 / n)
+       |             / nullif((n1 * 1.0 / nn) * (n0 * 1.0 / (nn - 1)) * 2, 0), 6) AS alpha
+       |FROM x""") { (s, d) =>
+    val f = T(s, d, "documents").select("doc_id")
+      .join(docTypeCounts(s, d), Seq("doc_id"), "left")
+      .select(
+        when(coalesce(col("t"), lit(0L)) >= 50, 1L).otherwise(0L).as("a"),
+        when(coalesce(col("t"), lit(0L)) === 0, lit(null).cast("long"))
+          .when(lit(2) * col("types") >= col("t"), 1L).otherwise(0L).as("b"))
+      .filter(col("b").isNotNull)
+    val c = f.agg(count(lit(1)).as("n"), sum("a").as("na"), sum("b").as("nb"),
+      sum(col("a") * col("b")).as("n11"),
+      sum((lit(1) - col("a")) * (lit(1) - col("b"))).as("n00"))
+    val x = c.select(col("n"), (col("n") - col("n11") - col("n00")).as("ndis"),
+      (lit(2) * col("n")).as("nn"),
+      (col("na") + col("nb")).as("n1"),
+      (lit(2) * col("n") - col("na") - col("nb")).as("n0"))
+    val dE = (col("n1") * lit(1.0) / col("nn")) *
+      (col("n0") * lit(1.0) / (col("nn") - 1)) * lit(2)
+    x.select(col("n").cast("long").as("n_units"),
+      col("ndis").cast("long").as("n_disagree"),
+      round(col("ndis") * lit(1.0) / col("n"), 6).as("d_o"),
+      round(dE, 6).as("d_e"),
+      round(lit(1) - (col("ndis") * lit(1.0) / col("n")) / nullif(dE, lit(0.0)), 6)
+        .as("alpha"))
+  }
+
   /** One-sided Page CUSUM drift alarm per user (SPEC: Page 1954 — the
     * sequential detection statistic s_t = max(0, s_{t-1} + x_t − k);
     * [[ts_cusum_changepoint]] in WindowOps is the RETROSPECTIVE

@@ -43,6 +43,54 @@ class CurationSpec extends AnyFunSuite {
     assert(na > 0 && na < perDoc.length && nb > 0 && nb < perDoc.length)
   }
 
+  test("dq_krippendorff_alpha matches a driver-side recomputation; " +
+      "abstentions drop units instead of voting 0") {
+    // driver recompute on the real slice (no empty docs here, so all
+    // units are doubly-rated — the α value itself is the check)
+    val perDoc = T(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val toks = Option(r.getString(1)).getOrElse("")
+          .split(" ").filter(_.nonEmpty)
+        (toks.length >= 50,
+          if (toks.isEmpty) None
+          else Some(2L * toks.distinct.length >= toks.length))
+      }
+    def alphaOf(units: Array[(Boolean, Boolean)]): (Long, Long, Double) = {
+      val n = units.length
+      val ndis = units.count(p => p._1 != p._2)
+      val n1 = units.count(_._1) + units.count(_._2)
+      val n0 = 2L * n - n1
+      val nn = 2.0 * n
+      val dE = (n1 / nn) * (n0 / (nn - 1)) * 2
+      (n.toLong, ndis.toLong, 1.0 - (ndis.toDouble / n) / dE)
+    }
+    val rated = perDoc.collect { case (a, Some(b)) => (a, b) }
+    val (n, ndis, alpha) = alphaOf(rated)
+    val got = SparkEntry.queries("dq_krippendorff_alpha")(spark, dir).collect()(0)
+    assert(got.getLong(0) == n && got.getLong(1) == ndis)
+    assert(math.abs(got.getDouble(4) - alpha) < 1e-6)
+    assert(ndis > 0, "gates must actually disagree somewhere or the test is vacuous")
+    // crafted corpus WITH abstentions: 3 empty-text docs must DROP from
+    // n_units (α semantics) — under κ they'd be forced 0-votes
+    import spark.implicits._
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_alphaprobe").toString
+    val many = "w1 " * 60 // 60 tokens, 1 type: A keeps, B rejects → disagree
+    val docs =
+      (1 to 4).map(i => (i.toLong, many.trim, "en", "s", 180L)) ++
+        (5 to 8).map(i => (i.toLong, "a b c", "en", "s", 5L)) ++ // both reject/keep? A:no B:yes → disagree
+        (9 to 11).map(i => (i.toLong, "", "en", "s", 0L)) // abstain
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val probe = SparkEntry.queries("dq_krippendorff_alpha")(spark, dir2).collect()(0)
+    assert(probe.getLong(0) == 8, s"empty docs must be excluded, n=${probe.getLong(0)}")
+    val refRatings = Array.fill(4)((true, false)) ++ Array.fill(4)((false, true))
+    val (_, _, refAlpha) = alphaOf(refRatings)
+    assert(math.abs(probe.getDouble(4) - refAlpha) < 1e-6)
+    assert(probe.getDouble(4) < 0.0,
+      "all-disagree units must drive alpha below zero (worse than chance)")
+  }
+
   test("ts_page_cusum closed form equals the textbook max(0, s + x - k) recurrence") {
     val rows = T(spark, dir, "events")
       .select("user_id", "event_id", "ts", "value").collect()

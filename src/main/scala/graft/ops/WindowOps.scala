@@ -283,6 +283,126 @@ object WindowOps extends QueryModule {
       .orderBy("c_custkey")
   }
 
+  /** RFM quartile segmentation per customer (SPEC: the
+    * recency/frequency/monetary scoring standard of database
+    * marketing — Hughes 1994; the canonical "score every entity by
+    * quantile rank on three behavioral axes" op): R = whole days since
+    * the customer's last order (vs the global max order date — LONG µs
+    * arithmetic, rule 6), F = order count, M = lifetime spend in
+    * integer cents (exact at any accumulation order), each mapped to a
+    * 1–4 quartile via ntile(4) over (metric, custkey). Spark side
+    * reproduces ntile's closed form (first n mod k tiles get
+    * ceil(n/k)) from a DISTRIBUTED global rank — three
+    * [[globalPrefixSums]] passes over the customer-sized aggregate
+    * frame (range-partition + intra-partition running count +
+    * O(#partitions) offset broadcast), NEVER an unpartitioned window:
+    * at 100 TB the single-partition ntile sort is the anti-scale
+    * move, the rank passes are each one bounded-frame shuffle.
+    * rfm_code packs the three digits (444 = best-ish corner by the
+    * ascending-metric convention documented here: segment 4 = highest
+    * metric value, so R-segment 4 = LONGEST inactivity).
+    */
+  q("agg_rfm_segments",
+    """WITH mx AS (SELECT max(o_orderdate) AS m FROM orders),
+      |c AS (
+      |  SELECT o_custkey,
+      |         (epoch_us((SELECT m FROM mx)) - epoch_us(max(o_orderdate)))
+      |           // 86400000000 AS r_days,
+      |         CAST(count(*) AS BIGINT) AS f,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS m_cents
+      |  FROM orders GROUP BY o_custkey),
+      |s AS (
+      |  SELECT o_custkey, CAST(r_days AS BIGINT) AS r_days, f, m_cents,
+      |         CAST(ntile(4) OVER (ORDER BY r_days, o_custkey) AS INTEGER) AS r_seg,
+      |         CAST(ntile(4) OVER (ORDER BY f, o_custkey) AS INTEGER) AS f_seg,
+      |         CAST(ntile(4) OVER (ORDER BY m_cents, o_custkey) AS INTEGER) AS m_seg
+      |  FROM c)
+      |SELECT o_custkey, r_days, f, m_cents, r_seg, f_seg, m_seg,
+      |       CAST(r_seg * 100 + f_seg * 10 + m_seg AS INTEGER) AS rfm_code
+      |FROM s ORDER BY o_custkey""") { (s, d) =>
+    val mx = T(s, d, "orders").agg(max("o_orderdate").as("m"))
+    val c = T(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      .crossJoin(broadcast(mx)) // 1-row global clock
+      .groupBy("o_custkey")
+      .agg(
+        // o_orderdate is TIMESTAMP_NTZ; the NTZ→TZ cast is a bijection
+        // because Sessions pins spark.sql.session.timeZone=UTC, and it
+        // matches DuckDB's epoch_us over its own naive timestamp
+        expr("""(unix_micros(cast(max(m) as timestamp))
+                 - unix_micros(cast(max(o_orderdate) as timestamp)))
+                div 86400000000""")
+          .as("r_days"),
+        count(lit(1)).cast("long").as("f"),
+        sum(expr("cast(round(o_totalprice * 100) as bigint)")).cast("long").as("m_cents"))
+      .localCheckpoint() // three rank passes + the count read one materialization
+    val n = c.count()
+    def seg(df: org.apache.spark.sql.DataFrame, metric: String,
+        alias: String): org.apache.spark.sql.DataFrame = {
+      val ranked = globalPrefixSums(df.withColumn("one", lit(1L)),
+        Seq(col(metric).asc, col("o_custkey").asc), Seq("one"))
+      val rank = col("cum_one")
+      val k = 4L
+      val q0 = n / k
+      val rem = n % k
+      // ntile closed form (the win_ntile_percent device): first rem
+      // tiles get q0+1 rows, the rest q0
+      val bucket =
+        when(lit(rem) > 0 && rank <= lit(rem * (q0 + 1)),
+          floor((rank - 1) / lit(q0 + 1)) + 1)
+          .otherwise(lit(rem) +
+            floor((rank - lit(rem * (q0 + 1)) - 1) / lit(math.max(q0, 1L))) + 1)
+      ranked.withColumn(alias, bucket.cast("int")).drop("one", "cum_one")
+    }
+    val segd = seg(seg(seg(c, "r_days", "r_seg"), "f", "f_seg"), "m_cents", "m_seg")
+    segd.select(col("o_custkey"), col("r_days").cast("long").as("r_days"),
+      col("f"), col("m_cents"), col("r_seg"), col("f_seg"), col("m_seg"),
+      (col("r_seg") * 100 + col("f_seg") * 10 + col("m_seg")).cast("int").as("rfm_code"))
+      .orderBy("o_custkey") // one row per customer = input-sized
+  }
+
+  /** Exponentially time-decayed value sum per user (SPEC: the standard
+    * recency-weighted engagement/feature score — e.g. Ditto/feature-
+    * store "decayed sum" aggregates; half-life form w = 2^(−age)):
+    * score = Σ value·2^(−floor(age_days)), age relative to the global
+    * max timestamp. DELIBERATELY TRANSCENDENTAL-FREE: ages floor to
+    * whole days and the half-life base is 2, so every weight is an
+    * EXACT negative power of two (shiftleft arithmetic, capped at
+    * 2⁻³³ like the HLL ranks), value scales by it EXACTLY (powers of
+    * two only shift the exponent), and the per-row term snaps to the
+    * dy20 grid before the per-user sum — order-exact under rule 12
+    * (bound: per-user decayed total < 2³³). An exp(−λΔt) variant
+    * would put a libm call on every row (ulp-skew × row count, the
+    * checklist-12 degradation); the dyadic ladder is the scale-stable
+    * form. Age arithmetic stays in LONG µs (rule 6). Shape: one map
+    * pass + ONE two-phase grouped aggregate; the global max is a
+    * 1-row broadcast.
+    */
+  q("ts_decay_sum",
+    s"""WITH mx AS (SELECT max(ts) AS m FROM events),
+      |t AS (
+      |  SELECT user_id, value,
+      |         least((epoch_us((SELECT m FROM mx)) - epoch_us(ts)) // 86400000000, 33)
+      |           AS age_d
+      |  FROM events)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(${Grid.dy20Sql(
+             "value / CAST(CAST(1 AS BIGINT) << age_d AS DOUBLE)")}), 6) AS score
+      |FROM t GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+    val mx = T(s, d, "events").agg(max("ts").as("m"))
+    T(s, d, "events")
+      .select(col("user_id"), col("value"), col("ts"))
+      .crossJoin(broadcast(mx)) // 1-row global clock: genuinely bounded
+      .withColumn("age_d",
+        least(expr("(unix_micros(m) - unix_micros(ts)) div 86400000000"), lit(33L)))
+      .withColumn("term", Grid.dy20(col("value") /
+        expr("cast(shiftleft(cast(1 as bigint), cast(age_d as int)) as double)")))
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast("long").as("n"), round(sum("term"), 6).as("score"))
+      .orderBy("user_id") // one row per user = input-sized
+  }
+
   /** Gaps-and-islands: consecutive runs of the same event_type per
     * user (the VALUE-run twin of time-gap sessionization): island id =
     * running count of type CHANGES (lag + growing-frame sum) — both

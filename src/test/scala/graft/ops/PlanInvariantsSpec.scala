@@ -694,4 +694,30 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("Scan parquet"),
       s"no lineage replay past the checkpoint:\n$p")
   }
+
+  test("agg_rfm_segments: quartile ranks never funnel data through one task") {
+    // three globalPrefixSums passes over the checkpointed customer
+    // aggregate replace the unpartitioned ntile window — the plan must
+    // show the checkpoint + broadcast offset joins and NO SinglePartition
+    // data exchange at all (even the clock is a 1-row broadcast cross)
+    val p = plan(graft.SparkEntry.queries("agg_rfm_segments")(spark, d))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no single-task rank pass allowed anywhere:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"segments must ride the checkpointed prefix sums:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"only the 1-row clock cross may nested-loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("ts_decay_sum: one map pass + one two-phase grouped aggregate") {
+    val p = plan(graft.SparkEntry.queries("ts_decay_sum")(spark, d))
+    assert(p.contains("partial"),
+      s"decayed terms must map-side combine before the user shuffle:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"only the 1-row clock cross may nested-loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size <= 1,
+      s"exactly one user-keyed exchange expected:\n$p")
+  }
 }

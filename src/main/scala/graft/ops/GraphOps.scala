@@ -91,7 +91,16 @@ object GraphOps extends QueryModule {
     * so a hub's edges — which all orient INTO it — never square; the
     * GraphSpec hub probe pins exactly that.
     */
-  private[ops] def orientedTriangleCount(e: DataFrame): DataFrame = {
+  private[ops] def orientedTriangleCount(e: DataFrame): DataFrame =
+    orientedTriangles(e).groupBy("nk").agg(count(lit(1)).as("n_triangles"))
+
+  /** Degree-oriented triangle ENUMERATION: one output row `(nk, u, v1,
+    * v2)` per triangle (each triangle exactly once, discovered at its
+    * minimum-(degree, id)-rank vertex). The count row above and the
+    * per-vertex clustering coefficient both consume this frame — the
+    * Σ out-deg² wedge bound is the shared scale argument.
+    */
+  private[ops] def orientedTriangles(e: DataFrame): DataFrame = {
     val deg = e.select(col("nk"), col("a").as("v"))
       .unionByName(e.select(col("nk"), col("b").as("v")))
       .groupBy("nk", "v").agg(count(lit(1)).as("deg"))
@@ -116,7 +125,65 @@ object GraphOps extends QueryModule {
     val closing = o.select(col("nk").as("nk3"), col("u").as("u3"), col("v").as("v3"))
     wedges.join(closing,
         col("nk") === col("nk3") && col("v1") === col("u3") && col("v2") === col("v3"))
-      .groupBy("nk").agg(count(lit(1)).as("n_triangles"))
+      .select(col("nk"), col("u"), col("v1"), col("v2"))
+  }
+
+  /** Per-vertex local clustering coefficient (Watts–Strogatz 1998:
+    * C(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), NULL when deg < 2) on the
+    * path-square graph — the per-node density diagnostic beside the
+    * global triangle count (community cores vs bridge vertices).
+    * Per-vertex triangle counts come from the SAME degree-oriented
+    * enumeration as [[graph_triangle_count]] (each triangle credits
+    * its three corners: one explode + two-phase count — 3 rows per
+    * triangle, so emission is bounded by the oriented wedge bound,
+    * never deg² per vertex); the naive "join my neighbor pairs"
+    * per-vertex formulation squares every hub. Coefficient = ONE
+    * fixed-shape double expression over integers (rule 5), rounded
+    * once; the oracle recomputes per-corner credits from the naive
+    * id-ordered triple join, proving orientation assigns each
+    * triangle's corners exactly once.
+    */
+  q("graph_clustering_coefficient",
+    """WITH c AS (SELECT c_custkey AS id, c_nationkey AS nk FROM customer),
+      |l AS (SELECT nk, id,
+      |             lead(id, 1) OVER (PARTITION BY nk ORDER BY id) AS n1,
+      |             lead(id, 2) OVER (PARTITION BY nk ORDER BY id) AS n2
+      |      FROM c),
+      |e AS (SELECT nk, id AS a, n1 AS b FROM l WHERE n1 IS NOT NULL
+      |      UNION ALL
+      |      SELECT nk, id AS a, n2 AS b FROM l WHERE n2 IS NOT NULL),
+      |deg AS (SELECT nk, v, count(*) AS deg FROM (
+      |          SELECT nk, a AS v FROM e UNION ALL SELECT nk, b AS v FROM e) t
+      |        GROUP BY 1, 2),
+      |tri AS (SELECT e1.nk AS nk, e1.a AS u, e1.b AS v1, e2.b AS v2
+      |        FROM e e1
+      |        JOIN e e2 ON e2.nk = e1.nk AND e2.a = e1.b
+      |        JOIN e e3 ON e3.nk = e1.nk AND e3.a = e1.a AND e3.b = e2.b),
+      |tc AS (SELECT nk, v, count(*) AS n_tri FROM (
+      |         SELECT nk, u AS v FROM tri
+      |         UNION ALL SELECT nk, v1 AS v FROM tri
+      |         UNION ALL SELECT nk, v2 AS v FROM tri) t GROUP BY 1, 2)
+      |SELECT deg.nk AS nk, deg.v AS v, CAST(deg.deg AS INTEGER) AS degree,
+      |       CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_tri,
+      |       CASE WHEN deg.deg >= 2 THEN
+      |         round(2.0 * coalesce(tc.n_tri, 0) / (deg.deg * (deg.deg - 1)), 6)
+      |       END AS coef
+      |FROM deg LEFT JOIN tc ON tc.nk = deg.nk AND tc.v = deg.v
+      |ORDER BY nk, v""") { (s, d) =>
+    val e = leadEdges(s, d, withN2 = true, maxGap = None)
+    val deg = e.select(col("nk"), col("a").as("v"))
+      .unionByName(e.select(col("nk"), col("b").as("v")))
+      .groupBy("nk", "v").agg(count(lit(1)).as("deg"))
+    val perV = orientedTriangles(e)
+      .select(col("nk"), explode(array(col("u"), col("v1"), col("v2"))).as("v"))
+      .groupBy("nk", "v").agg(count(lit(1)).as("n_tri"))
+    deg.join(perV, Seq("nk", "v"), "left")
+      .select(col("nk"), col("v"), col("deg").cast("int").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+          round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+            (col("deg") * (col("deg") - 1)), 6)).as("coef"))
+      .reportSorted("nk", "v") // one row per vertex = input-sized
   }
 
   /** Degree distribution histogram per graph partition — the first

@@ -2017,6 +2017,64 @@ object LlmOps extends QueryModule {
       .orderBy("doc_id") // one row per doc = input-sized
   }
 
+  /** PMI-ranked bigram collocations (Church & Hanks 1990 — the
+    * association measure behind phrase mining / multiword-expression
+    * detection; the corpus-LEVEL companion to the per-doc
+    * [[text_bigram_logprob]] LM score): PMI(a,b) = ln(p(a,b) /
+    * (p(a)·p(b))) with p(a,b) from the bigram distribution and p(·)
+    * from the unigram token distribution, reported for every bigram
+    * with count ≥ 3 (the Church–Hanks low-count cutoff — PMI is
+    * notoriously unstable on hapax pairs). All inputs are integer
+    * counts; the PMI is ONE fixed-shape ratio-first double expression
+    * (each factor is a bounded ratio, so no 2⁵³ product risk at any
+    * corpus size) + a single log + round (rule 5, the bigram_logprob
+    * ln precedent). Shape: one token explode feeding BOTH count
+    * frames via two-phase aggs (shuffles are vocab-sized, never
+    * token-level), two vocab-sized equi-joins onto the surviving
+    * bigrams, totals as 1-row broadcast crosses; output ordered by
+    * the ROUNDED pmi so the report order is engine-identical.
+    */
+  q("text_collocation_pmi",
+    """WITH tk AS (SELECT str_split(text, ' ') AS tok FROM documents),
+      |     un AS (SELECT unnest(tok) AS w FROM tk),
+      |     uni AS (SELECT w, count(*) AS cu FROM un GROUP BY 1),
+      |     tu AS (SELECT count(*) AS n_uni FROM un),
+      |     bg AS (SELECT tok[i] AS w1, tok[i+1] AS w2
+      |            FROM tk, unnest(generate_series(1, len(tok) - 1)) AS u(i)),
+      |     tb AS (SELECT count(*) AS n_bi FROM bg),
+      |     bc AS (SELECT w1, w2, count(*) AS cab FROM bg
+      |            GROUP BY 1, 2 HAVING count(*) >= 3)
+      |SELECT bc.w1 AS w1, bc.w2 AS w2, CAST(bc.cab AS BIGINT) AS cab,
+      |       CAST(a.cu AS BIGINT) AS ca, CAST(b.cu AS BIGINT) AS cb,
+      |       round(ln((CAST(bc.cab AS DOUBLE) / a.cu)
+      |                * (CAST(n_uni AS DOUBLE) / b.cu)
+      |                * (CAST(n_uni AS DOUBLE) / n_bi)), 6) AS pmi
+      |FROM bc JOIN uni a ON a.w = bc.w1 JOIN uni b ON b.w = bc.w2, tu, tb
+      |ORDER BY pmi DESC, w1, w2""") { (s, d) =>
+    val tk = T(s, d, "documents").select(split(col("text"), " ").as("tok"))
+    val un = tk.select(explode(col("tok")).as("w"))
+    val uni = un.groupBy("w").agg(count(lit(1)).as("cu"))
+    val totU = un.agg(count(lit(1)).as("n_uni"))
+    // the ngram_freq zip_with device: two shifted slices, no per-index lambda
+    val n1 = greatest(size(col("tok")) - 1, lit(0))
+    val bg = tk.select(explode(zip_with(
+        slice(col("tok"), lit(1), n1), slice(col("tok"), lit(2), n1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val totB = bg.agg(count(lit(1)).as("n_bi"))
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 3)
+    bc.join(uni.select(col("w").as("w1"), col("cu").as("ca")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cu").as("cb")), Seq("w2"))
+      .crossJoin(broadcast(totU)) // 1-row totals: genuinely bounded
+      .crossJoin(broadcast(totB))
+      .select(col("w1"), col("w2"), col("cab"), col("ca"), col("cb"),
+        round(log((col("cab").cast("double") / col("ca"))
+          * (col("n_uni").cast("double") / col("cb"))
+          * (col("n_uni").cast("double") / col("n_bi"))), 6).as("pmi"))
+      .reportSorted(col("pmi").desc, col("w1"), col("w2"))
+  }
+
   /** PII redaction (SPEC: standard corpus-curation scrub — C4/RefinedWeb
     * drop or mask emails and phone numbers before training): mask every
     * email/phone match and count what was masked. The synthetic corpus
@@ -3646,6 +3704,90 @@ object LlmOps extends QueryModule {
       .select(col("qid"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
         col("hits"), round(col("hits") / 10.0, 2).as("recall"))
       .reportSorted("qid")
+  }
+
+  /** nDCG@10 of the LSH retrieval against exact-cosine ground truth
+    * (Järvelin & Kekäläinen 2002) — recall@k (the row above) treats
+    * every exact neighbor alike; nDCG is the POSITION-weighted eval a
+    * retrieval/RAG pipeline actually reports. Graded relevance of a
+    * retrieved doc = 11 − its exact-cosine rank (0 if outside the true
+    * top-10); DCG = Σ rel·w(pos) over the LSH candidates' in-bucket
+    * cosine ranking, IDCG from the exact ranking itself, both via the
+    * SAME formula shape. Position weights 1/log₂(pos+1) snap to the
+    * dy20 grid BEFORE the rel multiply (integer·grid-multiple stays a
+    * grid multiple, totals ≤ 100 ≪ 2³³ — rule 12), so both 10-term
+    * sums are order-exact and the single rounded ratio is
+    * engine-identical. Scale: ground truth is the broadcast-probe
+    * brute-force pass (eval-sized by contract, like recall_eval);
+    * retrieval cost ∝ bucket collisions; everything downstream lives
+    * on ≤ 10 rows per probe.
+    */
+  q("sim_ndcg_eval",
+    s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql(8)} AS bucket FROM embeddings),
+       |     probes AS (SELECT vec_id AS qid, embedding AS qemb, bucket
+       |                FROM bk WHERE vec_id IN (0,1,2,3,4)),
+       |     exact AS (SELECT qid, nbr, rn FROM (
+       |       SELECT p.qid, e.vec_id AS nbr,
+       |              row_number() OVER (PARTITION BY p.qid
+       |                ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                                CAST(p.qemb AS DOUBLE[])) DESC,
+       |                         e.vec_id) AS rn
+       |       FROM embeddings e, probes p WHERE e.vec_id <> p.qid) t WHERE rn <= 10),
+       |     retr AS (SELECT qid, nbr, pos FROM (
+       |       SELECT p.qid, r.vec_id AS nbr,
+       |              row_number() OVER (PARTITION BY p.qid
+       |                ORDER BY list_cosine_similarity(CAST(r.embedding AS DOUBLE[]),
+       |                                                CAST(p.qemb AS DOUBLE[])) DESC,
+       |                         r.vec_id) AS pos
+       |       FROM bk r JOIN probes p ON r.bucket = p.bucket AND r.vec_id <> p.qid) t
+       |       WHERE pos <= 10),
+       |     scored AS (SELECT r.qid, r.pos, coalesce(11 - e.rn, 0) AS rel
+       |                FROM retr r LEFT JOIN exact e ON e.qid = r.qid AND e.nbr = r.nbr),
+       |     dcg AS (SELECT qid, count(*) AS n_retrieved,
+       |                    sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits,
+       |                    sum(rel * ${Grid.dy20Sql("1.0 / log2(pos + 1)")}) AS dcg
+       |             FROM scored GROUP BY 1),
+       |     idcg AS (SELECT qid,
+       |                     sum((11 - rn) * ${Grid.dy20Sql("1.0 / log2(rn + 1)")}) AS idcg
+       |              FROM exact GROUP BY 1)
+       |SELECT i.qid, CAST(coalesce(d.n_retrieved, 0) AS BIGINT) AS n_retrieved,
+       |       CAST(coalesce(d.hits, 0) AS BIGINT) AS hits,
+       |       round(coalesce(d.dcg, 0.0) / i.idcg, 6) AS ndcg
+       |FROM idcg i LEFT JOIN dcg d USING (qid) ORDER BY qid""".stripMargin) { (s, d) =>
+    val probeIds = Seq(0L, 1L, 2L, 3L, 4L)
+    // the corpus×probes ground-truth pass is the expensive stage; DCG
+    // relevance and IDCG both consume it — materialize it ONCE
+    val exact = cosineTopK(s, d, k = 10, probeIds = probeIds)
+      .select("qid", "nbr", "rn").localCheckpoint()
+    val b = lshBucketed(s, d, nPlanes = 8)
+    val probes = b.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("bucket"), col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nbr").asc)
+    val retr = b.select(col("bucket"), col("vec_id").as("nbr"), col("embedding").as("nemb"))
+      .join(probes, Seq("bucket"))
+      .filter(col("nbr") =!= col("qid"))
+      .withColumn("cos", graft.functions.vec.cosine(col("nemb"), col("qemb")))
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= 10)
+      .select("qid", "nbr", "pos")
+    def wOf(p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      Grid.dy20(lit(1.0) / log2(p + 1))
+    val scored = retr
+      .join(exact.withColumn("rel", lit(11) - col("rn")).drop("rn"),
+        Seq("qid", "nbr"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0)))
+    val dcg = scored.groupBy("qid").agg(
+      count(lit(1)).as("n_retrieved"),
+      sum(when(col("rel") > 0, lit(1L)).otherwise(lit(0L))).as("hits"),
+      sum(col("rel") * wOf(col("pos"))).as("dcg"))
+    val idcg = exact.groupBy("qid").agg(
+      sum((lit(11) - col("rn")) * wOf(col("rn"))).as("idcg"))
+    idcg.join(dcg, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_retrieved"), lit(0L)).as("n_retrieved"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 6).as("ndcg"))
+      .reportSorted("qid") // 5 eval probes = eval-sized by contract
   }
 
   /** One-pass distributed PCA sufficient statistics + driver-side

@@ -45,6 +45,45 @@ class GraphSpec extends AnyFunSuite {
     assert(got.keySet == expected.map(_._1).toSet)
   }
 
+  test("clustering coefficient matches adjacency-set brute force per vertex") {
+    val byNk = customers.groupBy(_._2).map { case (nk, cs) => (nk, cs.map(_._1).sorted) }
+    val expected = byNk.flatMap { case (nk, ids) =>
+      val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+      def add(a: Long, b: Long): Unit = { adj(a) = adj(a) + b; adj(b) = adj(b) + a }
+      ids.indices.foreach { i =>
+        if (i + 1 < ids.length) add(ids(i), ids(i + 1))
+        if (i + 2 < ids.length) add(ids(i), ids(i + 2))
+      }
+      adj.toSeq.map { case (v, nbrs) =>
+        val tri = nbrs.toSeq.combinations(2)
+          .count { case Seq(x, y) => adj(x).contains(y) }.toLong
+        val deg = nbrs.size
+        val coef = if (deg >= 2)
+          Some(BigDecimal(2.0 * tri / (deg.toLong * (deg - 1)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        else None
+        ((nk, v), (deg, tri, coef))
+      }
+    }
+    val got = graft.SparkEntry.queries("graph_clustering_coefficient")(spark, dir)
+      .collect().map { r =>
+        ((r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue()),
+          (r.getAs[Number](2).intValue(), r.getAs[Number](3).longValue(),
+            Option(r.get(4)).map(_.asInstanceOf[Number].doubleValue())))
+      }.toMap
+    assert(got.keySet == expected.keySet, "one row per non-isolated vertex")
+    assert(expected.exists(_._2._3.exists(_ > 0)), "some vertex must close a triangle")
+    expected.foreach { case (k, (deg, tri, coef)) =>
+      val (gd, gt, gc) = got(k)
+      assert(gd == deg && gt == tri, s"vertex $k deg/tri")
+      (coef, gc) match {
+        case (Some(e), Some(g)) => assert(math.abs(e - g) < 1e-9, s"vertex $k coef")
+        case (None, None) =>
+        case other => fail(s"vertex $k coef presence mismatch: $other")
+      }
+    }
+  }
+
   test("connected components match union-find; labels are component minima") {
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {

@@ -172,6 +172,57 @@ class LshRecallSpec extends AnyFunSuite {
         "expected a strict recall gain on this corpus")
   }
 
+  test("sim_ndcg_eval matches a driver-side nDCG recomputation; bounds hold") {
+    // independent reimplementation: collect the corpus, rebuild buckets
+    // from the same plane constants, rank by driver-side double cosine,
+    // fold DCG/IDCG with the dy20D grid weights — then compare
+    val emb = graft.T(spark, d, "embeddings").select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray))
+    def dot(a: Array[Float], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        s += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      s / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val planes = (0 until 8).map(p => LlmOps.planeComps(p).toArray)
+    val bucket = emb.map { case (id, v) =>
+      id -> planes.map(pl => if (dot(v, pl) > 0) '1' else '0').mkString
+    }.toMap
+    val byId = emb.toMap
+    def w(pos: Int): Double = Grid.dy20D(1.0 / (math.log(pos + 1.0) / math.log(2.0)))
+    val expected = Seq(0L, 1L, 2L, 3L, 4L).map { qid =>
+      val q = byId(qid)
+      val exact = emb.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(v, q)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+      val rel = exact.zipWithIndex.map { case (id, i) => id -> (10 - i) }.toMap
+      val retr = emb.filter { case (id, _) => id != qid && bucket(id) == bucket(qid) }
+        .map { case (id, v) => (id, cos(v, q)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+      val dcg = retr.zipWithIndex.map { case (id, i) =>
+        rel.getOrElse(id, 0) * w(i + 1) }.sum
+      val idcg = (1 to 10).map(i => (11 - i) * w(i)).sum
+      (qid, retr.length.toLong, retr.count(rel.contains).toLong,
+        math.floor(dcg / idcg * 1e6 + 0.5) / 1e6)
+    }
+    val got = graft.SparkEntry.queries("sim_ndcg_eval")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == expected.map(_._1), "one row per probe")
+    got.zip(expected).foreach { case ((q, n, h, nd), (eq, en, eh, end)) =>
+      assert(q == eq && n == en && h == eh, s"probe $q n/hits")
+      assert(math.abs(nd - end) < 1e-9, s"probe $q ndcg $nd vs $end")
+      assert(nd >= 0.0 && nd <= 1.0, s"probe $q ndcg out of [0,1]")
+    }
+    assert(got.exists(_._4 > 0.0), "at least one probe must retrieve something relevant")
+  }
+
   test("auto-planes scaling law: derived counts differ by corpus size; occupancy tracks target") {
     // the derivation itself: doubling n adds a plane; clamps hold
     assert(LlmOps.autoPlanes(500) == 5)

@@ -591,4 +591,35 @@ class OpsSemanticsSpec extends AnyFunSuite {
       assert(r.isNullAt(4), "%B must be NULL when the band has zero width")
     }
   }
+
+  test("text_collocation_pmi matches a driver-side Church-Hanks recomputation") {
+    val docs = T(spark, dir, "documents").select("text").collect().map(_.getString(0))
+    val toks = docs.map(_.split(" ", -1).toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val nUni = toks.map(_.length.toLong).sum
+    val bigrams = toks.flatMap(t => t.zip(t.drop(1)))
+    val nBi = bigrams.length.toLong
+    val expected = bigrams.groupBy(identity)
+      .collect { case ((a, b), xs) if xs.length >= 3 =>
+        val cab = xs.length.toLong
+        val pmi = math.log((cab.toDouble / uni(a))
+          * (nUni.toDouble / uni(b)) * (nUni.toDouble / nBi))
+        (a, b) -> (cab, uni(a), uni(b),
+          math.floor(pmi * 1e6 + 0.5) / 1e6)
+      }
+    val got = SparkEntry.queries("text_collocation_pmi")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got.keySet == expected.keySet, "same surviving bigram set")
+    assert(got.nonEmpty, "the cutoff must leave survivors at sf0.001")
+    expected.foreach { case (k, (cab, ca, cb, pmi)) =>
+      val (gc, ga, gb, gp) = got(k)
+      assert(gc == cab && ga == ca && gb == cb, s"counts for $k")
+      assert(math.abs(gp - pmi) < 1e-9, s"pmi for $k: $gp vs $pmi")
+    }
+    // the report order is by ROUNDED pmi desc — an engine-identical sort key
+    val ordered = SparkEntry.queries("text_collocation_pmi")(spark, dir).collect()
+      .map(r => (r.getDouble(5), r.getString(0), r.getString(1)))
+    assert(ordered.sameElements(ordered.sortBy { case (p, a, b) => (-p, a, b) }))
+  }
 }

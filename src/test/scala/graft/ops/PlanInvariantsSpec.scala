@@ -710,6 +710,37 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("graph_clustering_coefficient: all joins equi; per-corner credits map-side combine") {
+    val p = plan(graft.SparkEntry.queries("graph_clustering_coefficient")(spark, d))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"degree/orientation/corner joins must all stay equi:\n$p")
+    assert(p.contains("partial"),
+      s"degree and per-vertex triangle counts must map-side combine:\n$p")
+  }
+
+  test("sim_ndcg_eval: retrieval rank prunes map-side; only the probe cross nested-loops") {
+    val p = plan(graft.SparkEntry.queries("sim_ndcg_eval")(spark, d))
+    assert(p.contains("WindowGroupLimit"),
+      s"pos <= 10 must push down as WindowGroupLimit:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the corpus×probes ground-truth pass is checkpointed: DCG and
+    // IDCG both read the materialized frame, so the brute-force cross
+    // runs ZERO times in the final plan (and once overall)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"ground truth must ride the checkpoint, not re-cross:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"both consumers must read the checkpointed exact frame:\n$p")
+  }
+
+  test("text_collocation_pmi: vocab joins equi; only the two 1-row totals cross") {
+    val p = plan(graft.SparkEntry.queries("text_collocation_pmi")(spark, d))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      s"only the two 1-row totals crosses may nested-loop:\n$p")
+    assert(p.contains("partial"),
+      s"token/bigram counting must map-side combine:\n$p")
+  }
+
   test("ts_decay_sum: one map pass + one two-phase grouped aggregate") {
     val p = plan(graft.SparkEntry.queries("ts_decay_sum")(spark, d))
     assert(p.contains("partial"),

@@ -186,6 +186,69 @@ object GraphOps extends QueryModule {
       .reportSorted("nk", "v") // one row per vertex = input-sized
   }
 
+  /** Adamic–Adar link-prediction score (Adamic & Adar 2003 — the
+    * standard common-neighbor index that down-weights promiscuous
+    * middles: AA(a,b) = Σ_{z ∈ Γ(a)∩Γ(b)} 1/ln(deg z)) for every
+    * NON-edge pair with ≥ 1 common neighbor, per nation — the
+    * weighted companion to [[graph_jaccard_neighbors]]. Wedge
+    * generation is the Σ deg(z)² hazard in its purest form: a 10⁶-
+    * degree hub emits 10¹² pairs while contributing ≈1/ln(10⁶) ≈ 0.07
+    * per pair — so middles with deg > 64 are dropped PRE-join (the
+    * df-cap discipline; a no-op on the deg ≤ 4 test graph, the
+    * load-bearing bound on an open-web graph), as are deg-1 middles
+    * (they close no wedge, and 1/ln(1) is the rule-7 trap). Each
+    * middle's weight snaps to the dy20 grid BEFORE the per-pair sum
+    * (rule 12: ≤ 64 terms of ≤ 1.443 — order-exact), existing edges
+    * leave via one anti-join, and every join is a (nk, vertex)
+    * equi-join.
+    */
+  q("graph_adamic_adar",
+    s"""WITH c AS (SELECT c_custkey AS id, c_nationkey AS nk FROM customer),
+      |l AS (SELECT nk, id,
+      |             lead(id, 1) OVER (PARTITION BY nk ORDER BY id) AS n1,
+      |             lead(id, 2) OVER (PARTITION BY nk ORDER BY id) AS n2
+      |      FROM c),
+      |e AS (SELECT nk, id AS a, n1 AS b FROM l WHERE n1 IS NOT NULL
+      |      UNION ALL
+      |      SELECT nk, id AS a, n2 AS b FROM l WHERE n2 IS NOT NULL),
+      |sym AS (SELECT nk, a AS z, b AS x FROM e
+      |        UNION ALL SELECT nk, b AS z, a AS x FROM e),
+      |deg AS (SELECT nk, z, count(*) AS deg FROM sym GROUP BY 1, 2),
+      |mid AS (SELECT s.nk, s.z, s.x,
+      |               ${Grid.dy20Sql("1.0 / ln(CAST(d.deg AS DOUBLE))")} AS w
+      |        FROM sym s JOIN deg d ON d.nk = s.nk AND d.z = s.z
+      |        WHERE d.deg BETWEEN 2 AND 64),
+      |pr AS (SELECT m1.nk, m1.x AS va, m2.x AS vb, m1.w
+      |       FROM mid m1 JOIN mid m2
+      |         ON m2.nk = m1.nk AND m2.z = m1.z AND m1.x < m2.x),
+      |sc AS (SELECT nk, va, vb, count(*) AS n_common, sum(w) AS aa
+      |       FROM pr GROUP BY 1, 2, 3)
+      |SELECT sc.nk AS nk, sc.va AS va, sc.vb AS vb,
+      |       CAST(sc.n_common AS INTEGER) AS n_common,
+      |       round(sc.aa, 6) AS aa_score
+      |FROM sc LEFT JOIN e ON e.nk = sc.nk AND e.a = sc.va AND e.b = sc.vb
+      |WHERE e.a IS NULL
+      |ORDER BY nk, va, vb""") { (s, d) =>
+    val e = leadEdges(s, d, withN2 = true, maxGap = None)
+    val sym = e.select(col("nk"), col("a").as("z"), col("b").as("x"))
+      .unionByName(e.select(col("nk"), col("b").as("z"), col("a").as("x")))
+    val deg = sym.groupBy("nk", "z").agg(count(lit(1)).as("deg"))
+    val mid = sym
+      .join(deg.filter(col("deg").between(2, 64)), Seq("nk", "z"))
+      .withColumn("w", Grid.dy20(lit(1.0) / log(col("deg").cast("double"))))
+    val pairs = mid.select(col("nk"), col("z"), col("x").as("va"), col("w"))
+      .join(mid.select(col("nk"), col("z"), col("x").as("vb")), Seq("nk", "z"))
+      .filter(col("va") < col("vb"))
+    pairs.groupBy("nk", "va", "vb")
+      .agg(count(lit(1)).as("n_common"), sum("w").as("aa"))
+      .join(e.select(col("nk"), col("a").as("va"), col("b").as("vb")),
+        Seq("nk", "va", "vb"), "left_anti")
+      .select(col("nk"), col("va"), col("vb"),
+        col("n_common").cast("int").as("n_common"),
+        round(col("aa"), 6).as("aa_score"))
+      .reportSorted("nk", "va", "vb") // capped-wedge-bounded output
+  }
+
   /** Degree distribution histogram per graph partition — the first
     * diagnostic anyone runs on a new graph (hub detection, power-law
     * eyeball, join-skew forecasting for the triangle/CC plans above).

@@ -2664,6 +2664,72 @@ object LlmOps extends QueryModule {
       .orderBy("doc_id") // kept set is input-sized
   }
 
+  /** Iterative proportional fitting / raking (Deming & Stephan 1940;
+    * the survey-reweighting standard) of the (lang × source) training
+    * mix toward UNIFORM marginals on both axes — the two-axis
+    * generalization of the single-axis mix rows above: one axis can be
+    * rebalanced by direct division, two coupled axes need IPF's
+    * alternating row/col scaling. Two full iterations, unrolled (the
+    * LPA/k-core fixed-round convention). Numeric frame: cells carry
+    * q = fitted density RELATIVE TO UNIFORM (q = p·nL·nS, uniform
+    * cell ⇒ q = 1), so magnitudes are catalog-bounded (≤ nL·nS) at ANY
+    * corpus size — running IPF on raw counts would breach the 2³³ dy20
+    * bound on a billion-doc corpus, and on raw probabilities the grid
+    * would flush rare cells to 0 long before that. Every scaled cell
+    * snaps to the dy20 grid BEFORE the next marginal sum (rule 12), so
+    * the row/col sums are order-exact and the whole fit replays in SQL
+    * as four chained window-scaling CTEs. Scale: ONE corpus-sized
+    * two-phase agg; everything after lives on the |L|·|S| cell frame
+    * (a 1000-executor cluster shuffles ~100 rows past the first agg).
+    * Output per cell: rel-to-uniform density before/after + the boost
+    * a sampler would apply (q/q₀ — the per-cell resampling rate that
+    * achieves the balanced mix).
+    */
+  q("pipeline_balance_ipf",
+    s"""WITH cells AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+      |     tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nd,
+      |                    count(DISTINCT lang) AS nl,
+      |                    count(DISTINCT source) AS ns FROM cells),
+      |     t0 AS (SELECT lang, source, n, nl, ns,
+      |                   ${Grid.dy20Sql("CAST(n AS DOUBLE) / nd * (nl * ns)")} AS q0
+      |            FROM cells, tot),
+      |     r1 AS (SELECT *, ${Grid.dy20Sql(
+                      "q0 * (CAST(ns AS DOUBLE) / sum(q0) OVER (PARTITION BY lang))")} AS q1
+      |            FROM t0),
+      |     c1 AS (SELECT *, ${Grid.dy20Sql(
+                      "q1 * (CAST(nl AS DOUBLE) / sum(q1) OVER (PARTITION BY source))")} AS q2
+      |            FROM r1),
+      |     r2 AS (SELECT *, ${Grid.dy20Sql(
+                      "q2 * (CAST(ns AS DOUBLE) / sum(q2) OVER (PARTITION BY lang))")} AS q3
+      |            FROM c1),
+      |     c2 AS (SELECT *, ${Grid.dy20Sql(
+                      "q3 * (CAST(nl AS DOUBLE) / sum(q3) OVER (PARTITION BY source))")} AS q4
+      |            FROM r2)
+      |SELECT lang, source, CAST(n AS BIGINT) AS n, round(q0, 6) AS rel0,
+      |       round(q4, 6) AS rel, round(q4 / q0, 6) AS boost
+      |FROM c2 ORDER BY lang, source""") { (s, d) =>
+    val cells = T(s, d, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+    val tot = cells.agg(sum("n").cast("double").as("nd"),
+      countDistinct("lang").as("nl"), countDistinct("source").as("ns"))
+    val wL = Window.partitionBy("lang")
+    val wS = Window.partitionBy("source")
+    cells.crossJoin(broadcast(tot)) // 1-row totals: genuinely bounded
+      .withColumn("q0",
+        Grid.dy20(col("n").cast("double") / col("nd") * (col("nl") * col("ns"))))
+      .withColumn("q1",
+        Grid.dy20(col("q0") * (col("ns").cast("double") / sum("q0").over(wL))))
+      .withColumn("q2",
+        Grid.dy20(col("q1") * (col("nl").cast("double") / sum("q1").over(wS))))
+      .withColumn("q3",
+        Grid.dy20(col("q2") * (col("ns").cast("double") / sum("q2").over(wL))))
+      .withColumn("q4",
+        Grid.dy20(col("q3") * (col("nl").cast("double") / sum("q3").over(wS))))
+      .select(col("lang"), col("source"), col("n"), round(col("q0"), 6).as("rel0"),
+        round(col("q4"), 6).as("rel"), round(col("q4") / col("q0"), 6).as("boost"))
+      .reportSorted("lang", "source") // |L|·|S| cells = catalog-sized
+  }
+
   /** Domain upsampling — the complement of [[pipeline_mix_weighted]]'s
     * cap: under-represented domains are REPLICATED toward a weighted
     * target (w_s × the largest domain's size), the epoch-style

@@ -84,6 +84,41 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("adamic-adar matches adjacency-set brute force; scores only non-edges") {
+    val byNk = customers.groupBy(_._2).map { case (nk, cs) => (nk, cs.map(_._1).sorted) }
+    def snap(x: Double): Double = math.floor(x * 1048576.0 + 0.5) / 1048576.0
+    val expected = byNk.flatMap { case (nk, ids) =>
+      val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+      def add(a: Long, b: Long): Unit = { adj(a) = adj(a) + b; adj(b) = adj(b) + a }
+      ids.indices.foreach { i =>
+        if (i + 1 < ids.length) add(ids(i), ids(i + 1))
+        if (i + 2 < ids.length) add(ids(i), ids(i + 2))
+      }
+      val vs = adj.keys.toSeq.sorted
+      for {
+        a <- vs; b <- vs if a < b && !adj(a).contains(b)
+        common = (adj(a) & adj(b)).toSeq.filter(z => adj(z).size >= 2 && adj(z).size <= 64)
+        if common.nonEmpty
+      } yield {
+        val aa = common.map(z => snap(1.0 / math.log(adj(z).size.toDouble))).sum
+        ((nk, a, b), (common.size,
+          math.floor(aa * 1e6 + 0.5) / 1e6))
+      }
+    }.toMap
+    val got = graft.SparkEntry.queries("graph_adamic_adar")(spark, dir).collect()
+      .map { r =>
+        ((r.getAs[Number](0).longValue(), r.getLong(1), r.getLong(2)),
+          (r.getInt(3), r.getDouble(4)))
+      }.toMap
+    assert(got.keySet == expected.keySet, "same scored non-edge pair set")
+    assert(got.nonEmpty, "the path-square graph must have open wedges")
+    expected.foreach { case (k, (nc, aa)) =>
+      val (gn, ga) = got(k)
+      assert(gn == nc, s"pair $k n_common")
+      assert(math.abs(ga - aa) < 1e-9, s"pair $k aa $ga vs $aa")
+    }
+  }
+
   test("connected components match union-find; labels are component minima") {
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {

@@ -592,6 +592,51 @@ class OpsSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_balance_ipf matches a driver-side raking loop; marginals converge toward uniform") {
+    val cells = T(spark, dir, "documents").groupBy("lang", "source")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val langs = cells.keys.map(_._1).toSet.toSeq.sorted
+    val srcs = cells.keys.map(_._2).toSet.toSeq.sorted
+    val total = cells.values.sum.toDouble
+    val snap = Grid.dy20D _
+    var q = cells.map { case (k, n) =>
+      k -> snap(n.toDouble / total * (langs.size.toLong * srcs.size))
+    }
+    val q0 = q
+    for (_ <- 1 to 2) {
+      val rs = q.groupBy(_._1._1).map { case (l, m) => l -> m.values.sum }
+      q = q.map { case (k, v) => k -> snap(v * (srcs.size.toDouble / rs(k._1))) }
+      val cs = q.groupBy(_._1._2).map { case (s0, m) => s0 -> m.values.sum }
+      q = q.map { case (k, v) => k -> snap(v * (langs.size.toDouble / cs(k._2))) }
+    }
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val got = SparkEntry.queries("pipeline_balance_ipf")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.keySet == cells.keySet, "one output row per occupied cell")
+    got.foreach { case (k, (n, rel0, rel, boost)) =>
+      assert(n == cells(k), s"cell $k count")
+      assert(math.abs(rel0 - r6(q0(k))) < 1e-9, s"cell $k rel0")
+      assert(math.abs(rel - r6(q(k))) < 1e-9, s"cell $k rel")
+      assert(math.abs(boost - r6(q(k) / q0(k))) < 1e-9, s"cell $k boost")
+      assert(boost > 0.0, s"cell $k boost must be positive")
+    }
+    // after the final column pass every SOURCE marginal is exact; the
+    // LANG marginals (one pass stale) must still have moved toward
+    // uniform vs the raw mix
+    val colSums = q.groupBy(_._1._2).map(_._2.values.sum)
+    colSums.foreach(s0 => assert(math.abs(s0 - langs.size) < 1e-3,
+      s"source marginal $s0 != ${langs.size}"))
+    def dev(m: Map[String, Double], target: Double): Double =
+      m.values.map(v => math.abs(v - target)).max
+    val rawRow = cells.groupBy(_._1._1).map { case (l, m) =>
+      l -> m.values.sum.toDouble / total * langs.size * srcs.size }
+    val fitRow = q.groupBy(_._1._1).map { case (l, m) => l -> m.values.sum }
+    assert(dev(fitRow, srcs.size.toDouble) < dev(rawRow, srcs.size.toDouble),
+      "raking must shrink the worst lang-marginal deviation")
+  }
+
   test("text_collocation_pmi matches a driver-side Church-Hanks recomputation") {
     val docs = T(spark, dir, "documents").select("text").collect().map(_.getString(0))
     val toks = docs.map(_.split(" ", -1).toSeq)

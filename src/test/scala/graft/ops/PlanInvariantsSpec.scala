@@ -741,6 +741,25 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"token/bigram counting must map-side combine:\n$p")
   }
 
+  test("pipeline_balance_ipf: one corpus agg; the fit lives on the cell frame") {
+    val p = plan(graft.SparkEntry.queries("pipeline_balance_ipf")(spark, d))
+    assert(p.contains("partial"),
+      s"the corpus-sized cell count must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"only the 1-row totals cross may nested-loop:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size <= 2,
+      s"cells + totals must come from at most two document scans:\n$p")
+  }
+
+  test("graph_adamic_adar: wedge generation and edge removal are all equi joins") {
+    val p = plan(graft.SparkEntry.queries("graph_adamic_adar")(spark, d))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"degree/wedge/anti joins must all stay equi:\n$p")
+    assert(p.contains("partial"),
+      s"degree and per-pair aggregation must map-side combine:\n$p")
+  }
+
   test("ts_decay_sum: one map pass + one two-phase grouped aggregate") {
     val p = plan(graft.SparkEntry.queries("ts_decay_sum")(spark, d))
     assert(p.contains("partial"),

@@ -2460,6 +2460,83 @@ object LlmOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4: replace
+    * token spans with numbered sentinels, emit (input, target) pairs
+    * — THE denoising-objective data prep). The span placement is a
+    * DETERMINISTIC variant built for re-ingestion stability and SQL
+    * replay: tokens partition into blocks of 8; a block is selected
+    * iff ((doc_id mod P)·1000003 + block) mod P mod 4 = 0 with
+    * P = 1e9+7 (the contentBucket polynomial device — pure integer
+    * arithmetic both engines compute identically; T5's RNG spans
+    * would be unreproducible across engines AND across re-runs),
+    * and a selected block masks its positions 2–4 — spans are
+    * non-overlapping BY CONSTRUCTION, ~25% of blocks → ~9.4% of
+    * tokens, mean span 3 (T5 defaults: 15%, mean 3). Sentinel k =
+    * rank of the block among the doc's masked blocks. Everything is
+    * per-row higher-order-function array algebra inside whole-stage
+    * codegen — NO explode, NO shuffle, NO collect: the corpus pass is
+    * map-only, the ideal 100 TB shape (the output sort is the only
+    * exchange and is input-sized). Mod arithmetic pre-reduces doc_id
+    * so no intermediate exceeds 1e15 (DuckDB errors on BIGINT
+    * overflow where Spark wraps — the shared-reduction keeps both
+    * engines in safe range at any doc_id).
+    */
+  q("pipeline_span_corruption",
+    """WITH tk AS (SELECT doc_id, str_split(text, ' ') AS tok FROM documents),
+      |m AS (SELECT doc_id, tok, len(tok) AS n,
+      |        [ (((doc_id % 1000000007) * 1000003 + ((j-1) // 8)) % 1000000007) % 4 = 0
+      |            AND ((j-1) % 8) BETWEEN 2 AND 4
+      |          FOR j IN range(1, len(tok) + 1) ] AS msk
+      |      FROM tk),
+      |b AS (SELECT *,
+      |        [ (j-1) // 8 FOR j IN range(1, n + 1)
+      |          IF msk[j] AND ((j-1) % 8) = 2 ] AS blocks
+      |      FROM m)
+      |SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+      |  CAST(len([ j FOR j IN range(1, n + 1) IF msk[j] ]) AS INTEGER) AS n_masked,
+      |  CAST(len(blocks) AS INTEGER) AS n_spans,
+  -- coalesce: array_to_string(empty) is NULL in DuckDB, concat_ws is ''
+      |  coalesce(array_to_string(
+      |    [ CASE WHEN NOT msk[j] THEN tok[j]
+      |           ELSE '<extra_id_' ||
+      |                CAST(list_position(blocks, (j-1) // 8) - 1 AS VARCHAR) || '>'
+      |      END
+      |      FOR j IN range(1, n + 1) IF (NOT msk[j]) OR ((j-1) % 8) = 2 ], ' '), '')
+      |    AS input_text,
+      |  coalesce(array_to_string(
+      |    [ CASE WHEN ((j-1) % 8) = 2
+      |           THEN '<extra_id_' ||
+      |                CAST(list_position(blocks, (j-1) // 8) - 1 AS VARCHAR) ||
+      |                '> ' || tok[j]
+      |           ELSE tok[j] END
+      |      FOR j IN range(1, n + 1) IF msk[j] ], ' '), '') AS target_text
+      |FROM b ORDER BY doc_id""") { (s, d) =>
+    T(s, d, "documents")
+      .withColumn("tok", split(col("text"), " "))
+      .withColumn("zz", expr(
+        """transform(tok, (t, i) -> struct(t as t, i as i,
+          |  (((doc_id % 1000000007) * 1000003 + (i div 8)) % 1000000007) % 4 = 0
+          |    and (i % 8) between 2 and 4 as m))""".stripMargin))
+      .withColumn("blocks",
+        expr("transform(filter(zz, x -> x.m and x.i % 8 = 2), x -> x.i div 8)"))
+      .select(col("doc_id"),
+        size(col("tok")).cast("int").as("n_tokens"),
+        expr("cast(size(filter(zz, x -> x.m)) as int)").as("n_masked"),
+        expr("cast(size(blocks) as int)").as("n_spans"),
+        expr("""concat_ws(' ', transform(filter(zz, x -> not x.m or x.i % 8 = 2),
+          |  x -> case when not x.m then x.t
+          |            else concat('<extra_id_',
+          |              cast(array_position(blocks, x.i div 8) - 1 as string), '>')
+          |       end))""".stripMargin).as("input_text"),
+        expr("""concat_ws(' ', transform(filter(zz, x -> x.m),
+          |  x -> case when x.i % 8 = 2
+          |            then concat('<extra_id_',
+          |              cast(array_position(blocks, x.i div 8) - 1 as string), '> ', x.t)
+          |            else x.t
+          |       end))""".stripMargin).as("target_text"))
+      .orderBy("doc_id") // one row per doc = input-sized
+  }
+
   /** Benchmark decontamination: drop training documents sharing ANY
     * 8-token n-gram with the held-out eval slice (doc_id % 97 == 0
     * stands in for the benchmark set; in production it's a separate

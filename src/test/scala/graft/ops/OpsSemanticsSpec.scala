@@ -637,6 +637,47 @@ class OpsSemanticsSpec extends AnyFunSuite {
       "raking must shrink the worst lang-marginal deviation")
   }
 
+  test("pipeline_span_corruption: sentinel substitution reconstructs every doc exactly") {
+    val orig = T(spark, dir, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = SparkEntry.queries("pipeline_span_corruption")(spark, dir).collect()
+    assert(rows.length == orig.size, "one pair per doc")
+    val sentinel = "<extra_id_(\\d+)>".r
+    var totalSpans = 0
+    rows.foreach { r =>
+      val (id, nTok, nMasked, nSpans) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      val (input, target) = (r.getString(4), r.getString(5))
+      // parse target into sentinel -> span-token map
+      val spans = scala.collection.mutable.Map.empty[Int, Vector[String]]
+      var cur = -1
+      if (target.nonEmpty) target.split(" ", -1).foreach {
+        case sentinel(k) => cur = k.toInt; spans(cur) = Vector.empty
+        case t => assert(cur >= 0, s"doc $id: target starts without a sentinel")
+          spans(cur) = spans(cur) :+ t
+      }
+      assert(spans.keySet == (0 until nSpans).toSet, s"doc $id sentinel ids")
+      assert(spans.values.map(_.size).sum == nMasked, s"doc $id masked count")
+      assert(spans.values.forall(v => v.nonEmpty && v.size <= 3), s"doc $id span sizes")
+      // substitute back and compare to the original text
+      val rebuilt = (if (input.isEmpty) Array.empty[String]
+        else input.split(" ", -1)).flatMap {
+        case sentinel(k) => spans(k.toInt)
+        case t => Vector(t)
+      }.mkString(" ")
+      assert(rebuilt == orig(id), s"doc $id round-trip")
+      assert(rebuilt.split(" ", -1).length == nTok, s"doc $id n_tokens")
+      // sentinels appear in input in increasing order
+      val seen = sentinel.findAllMatchIn(input).map(_.group(1).toInt).toSeq
+      assert(seen == (0 until nSpans), s"doc $id sentinel order in input")
+      totalSpans += nSpans
+    }
+    assert(totalSpans > 0, "the corpus must contain masked spans")
+    // global mask rate near the designed ~9.4% (3/8 of 25% of blocks)
+    val rate = rows.map(_.getInt(2)).sum.toDouble / rows.map(_.getInt(1)).sum
+    assert(rate > 0.04 && rate < 0.15, s"mask rate $rate strayed from design")
+  }
+
   test("text_collocation_pmi matches a driver-side Church-Hanks recomputation") {
     val docs = T(spark, dir, "documents").select("text").collect().map(_.getString(0))
     val toks = docs.map(_.split(" ", -1).toSeq)

@@ -760,6 +760,18 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"degree and per-pair aggregation must map-side combine:\n$p")
   }
 
+  test("pipeline_span_corruption: map-only corpus pass — no join, no aggregate exchange") {
+    val p = plan(graft.SparkEntry.queries("pipeline_span_corruption")(spark, d))
+    assert(!p.contains("Join"), s"span corruption must not join:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"no aggregate/shuffle — all array algebra is per-row:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"exactly one documents scan:\n$p")
+    // the output sort is the ONLY exchange
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"only the input-sized report sort may exchange:\n$p")
+  }
+
   test("ts_decay_sum: one map pass + one two-phase grouped aggregate") {
     val p = plan(graft.SparkEntry.queries("ts_decay_sum")(spark, d))
     assert(p.contains("partial"),

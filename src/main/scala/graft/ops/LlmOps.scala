@@ -2075,6 +2075,38 @@ object LlmOps extends QueryModule {
       .reportSorted(col("pmi").desc, col("w1"), col("w2"))
   }
 
+  /** Feature hashing / the hashing trick (Weinberger et al. 2009):
+    * per-doc sparse term-count vector in a FIXED 1024-slot space —
+    * slot = polyhash(token) mod 1024 — the vocabulary-free
+    * featurization that needs NO fitted dictionary, no vocab
+    * broadcast, no OOV path: the properties that make it the
+    * featurizer that still works when the vocab is 10⁹ strings.
+    * Collisions are the accepted tradeoff BY DESIGN (Weinberger's
+    * inner-product-preservation argument), not a bug. Hash = the
+    * native codegen'd token polynomial ([[graft.functions.text.
+    * tokenPolyHash]], the contentBucket device — codepoint fold both
+    * engines replay exactly). Shape: one scan → explode → ONE
+    * two-phase (doc_id, slot) count — map-side combine bounds the
+    * shuffle by distinct (doc, slot) pairs ≤ 1024/doc regardless of
+    * doc length.
+    */
+  q("text_hashed_features",
+    """WITH h AS (SELECT doc_id,
+      |    unnest(list_transform(str_split(text, ' '), t ->
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(str_split(t, ''), c -> CAST(ord(c) AS BIGINT))),
+      |        (a, b) -> (a * 31 + b) % 1000000007))) AS hv
+      |  FROM documents)
+      |SELECT doc_id, CAST(hv % 1024 AS INTEGER) AS slot, count(*) AS n
+      |FROM h GROUP BY 1, 2 ORDER BY doc_id, slot""") { (s, d) =>
+    T(s, d, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.text.tokenPolyHash(split(col("text"), " "))).as("hv"))
+      .select(col("doc_id"), pmod(col("hv"), lit(1024L)).cast("int").as("slot"))
+      .groupBy("doc_id", "slot").agg(count(lit(1)).as("n"))
+      .reportSorted("doc_id", "slot") // ≤1024 slots per doc = bounded
+  }
+
   /** PII redaction (SPEC: standard corpus-curation scrub — C4/RefinedWeb
     * drop or mask emails and phone numbers before training): mask every
     * email/phone match and count what was masked. The synthetic corpus

@@ -1269,6 +1269,81 @@ object RelationalOps extends QueryModule {
       .reportSorted("constraint_name")
   }
 
+  /** Whole-schema referential-integrity audit — orphan counts for
+    * every foreign-key relation in the star schema at once (the
+    * cross-TABLE completion of [[dq_constraint_check]]'s single
+    * referential row; deequ/GE-style "relationship" checks): per
+    * relation, total child rows, child rows whose key finds no
+    * parent, and how many DISTINCT orphan keys there are (one bad
+    * key repeated 10⁹ times vs 10⁹ bad keys is the triage question).
+    * The driver schema is fully consistent (all five relations audit
+    * to 0 orphans — itself a pinned fact), so the COUNTING path is
+    * exercised by a crafted broken-FK fixture in OpsSemanticsSpec
+    * rather than trusted on faith. Scale: each relation is ONE
+    * anti-join on the key
+    * (AQE broadcasts the dim-sized distinct parent side) + 1-row
+    * aggregates — all integer, no data-sized collect; relations run
+    * independently and union 5 single rows.
+    */
+  q("dq_referential_integrity",
+    """WITH pc AS (SELECT DISTINCT c_custkey AS k FROM customer),
+      |     po AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+      |     pp AS (SELECT DISTINCT p_partkey AS k FROM part),
+      |     ps AS (SELECT DISTINCT s_suppkey AS k FROM supplier)
+      |SELECT * FROM (
+      |  SELECT 'events.user_id->customer' AS relation,
+      |    (SELECT count(*) FROM events) AS n_child,
+      |    (SELECT count(*) FROM events e LEFT JOIN pc ON pc.k = e.user_id
+      |     WHERE pc.k IS NULL) AS n_orphans,
+      |    (SELECT count(DISTINCT e.user_id) FROM events e LEFT JOIN pc ON pc.k = e.user_id
+      |     WHERE pc.k IS NULL) AS n_orphan_keys
+      |  UNION ALL SELECT 'lineitem.l_orderkey->orders',
+      |    (SELECT count(*) FROM lineitem),
+      |    (SELECT count(*) FROM lineitem l LEFT JOIN po ON po.k = l.l_orderkey
+      |     WHERE po.k IS NULL),
+      |    (SELECT count(DISTINCT l.l_orderkey) FROM lineitem l LEFT JOIN po ON po.k = l.l_orderkey
+      |     WHERE po.k IS NULL)
+      |  UNION ALL SELECT 'lineitem.l_partkey->part',
+      |    (SELECT count(*) FROM lineitem),
+      |    (SELECT count(*) FROM lineitem l LEFT JOIN pp ON pp.k = l.l_partkey
+      |     WHERE pp.k IS NULL),
+      |    (SELECT count(DISTINCT l.l_partkey) FROM lineitem l LEFT JOIN pp ON pp.k = l.l_partkey
+      |     WHERE pp.k IS NULL)
+      |  UNION ALL SELECT 'lineitem.l_suppkey->supplier',
+      |    (SELECT count(*) FROM lineitem),
+      |    (SELECT count(*) FROM lineitem l LEFT JOIN ps ON ps.k = l.l_suppkey
+      |     WHERE ps.k IS NULL),
+      |    (SELECT count(DISTINCT l.l_suppkey) FROM lineitem l LEFT JOIN ps ON ps.k = l.l_suppkey
+      |     WHERE ps.k IS NULL)
+      |  UNION ALL SELECT 'orders.o_custkey->customer',
+      |    (SELECT count(*) FROM orders),
+      |    (SELECT count(*) FROM orders o LEFT JOIN pc ON pc.k = o.o_custkey
+      |     WHERE pc.k IS NULL),
+      |    (SELECT count(DISTINCT o.o_custkey) FROM orders o LEFT JOIN pc ON pc.k = o.o_custkey
+      |     WHERE pc.k IS NULL)
+      |) ORDER BY relation""") { (s, d) =>
+    def rel(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val orphans = child.select(col(key).as("k"))
+        .join(parent.select(col(pk).as("k")).distinct(), Seq("k"), "left_anti")
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans"),
+          countDistinct(col("k")).as("n_orphan_keys")))
+        .select(lit(name).as("relation"), col("n_child"),
+          col("n_orphans"), col("n_orphan_keys"))
+    }
+    val cust = T(s, d, "customer")
+    val li = T(s, d, "lineitem")
+    Seq(
+      rel("events.user_id->customer", T(s, d, "events"), "user_id", cust, "c_custkey"),
+      rel("lineitem.l_orderkey->orders", li, "l_orderkey", T(s, d, "orders"), "o_orderkey"),
+      rel("lineitem.l_partkey->part", li, "l_partkey", T(s, d, "part"), "p_partkey"),
+      rel("lineitem.l_suppkey->supplier", li, "l_suppkey", T(s, d, "supplier"), "s_suppkey"),
+      rel("orders.o_custkey->customer", T(s, d, "orders"), "o_custkey", cust, "c_custkey"))
+      .reduce(_.unionByName(_))
+      .reportSorted("relation") // 5 relations = catalog-sized
+  }
+
   /** Robust central tendency per group: 10%-trimmed and winsorized
     * means (SPEC: Tukey; the standard outlier-resistant summaries a
     * metrics pipeline reports next to the raw mean). The cut is

@@ -637,6 +637,58 @@ class OpsSemanticsSpec extends AnyFunSuite {
       "raking must shrink the worst lang-marginal deviation")
   }
 
+  test("dq_referential_integrity: clean on the driver schema; counts orphans on a broken one") {
+    // the driver star schema is fully consistent — pin that fact
+    val clean = SparkEntry.queries("dq_referential_integrity")(spark, dir).collect()
+    assert(clean.length == 5)
+    clean.foreach(r => assert(r.getLong(2) == 0 && r.getLong(3) == 0,
+      s"driver schema must be orphan-free: ${r.getString(0)}"))
+    clean.foreach(r => assert(r.getLong(1) > 0, s"empty child: ${r.getString(0)}"))
+    // crafted broken-FK fixture: user 99 appears 3x in events but not in
+    // customer; lineitem references order 7 and supplier 50 that don't exist
+    import spark.implicits._
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_fkprobe").toString
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 99L),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 99L),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 00:00:03"), 99L))
+      .toDF("event_id", "ts", "user_id").write.parquet(s"$dir2/events.parquet")
+    Seq(1L, 2L).toDF("c_custkey").write.parquet(s"$dir2/customer.parquet")
+    Seq((1L, 10L, 20L), (2L, 10L, 50L), (7L, 11L, 20L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.parquet(s"$dir2/lineitem.parquet")
+    Seq((1L, 1L), (2L, 2L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir2/orders.parquet")
+    Seq(10L, 11L).toDF("p_partkey").write.parquet(s"$dir2/part.parquet")
+    Seq(20L).toDF("s_suppkey").write.parquet(s"$dir2/supplier.parquet")
+    val got = SparkEntry.queries("dq_referential_integrity")(spark, dir2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("events.user_id->customer") == ((4L, 3L, 1L)),
+      "3 orphan event rows, all the same key")
+    assert(got("lineitem.l_orderkey->orders") == ((3L, 1L, 1L)))
+    assert(got("lineitem.l_partkey->part") == ((3L, 0L, 0L)))
+    assert(got("lineitem.l_suppkey->supplier") == ((3L, 1L, 1L)))
+    assert(got("orders.o_custkey->customer") == ((2L, 0L, 0L)))
+  }
+
+  test("text_hashed_features matches a driver-side hashing-trick recomputation") {
+    val docs = T(spark, dir, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def polyHash(t: String): Long = {
+      var a = 0L
+      t.codePoints().forEach(cp => a = (a * 31 + cp) % 1000000007L)
+      a
+    }
+    val expected = docs.flatMap { case (id, text) =>
+      text.split(" ", -1).map(t => (id, (polyHash(t) % 1024).toInt))
+    }.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val got = SparkEntry.queries("text_hashed_features")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == expected, "per-(doc, slot) counts must match the driver fold")
+    // the trick's point: every doc's features live in the fixed space
+    assert(got.keys.forall { case (_, s0) => s0 >= 0 && s0 < 1024 })
+  }
+
   test("pipeline_span_corruption: sentinel substitution reconstructs every doc exactly") {
     val orig = T(spark, dir, "documents").select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

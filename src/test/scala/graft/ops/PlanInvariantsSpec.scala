@@ -772,6 +772,26 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"only the input-sized report sort may exchange:\n$p")
   }
 
+  test("dq_referential_integrity: five equi anti-joins; only 1-row totals cross") {
+    val p = plan(graft.SparkEntry.queries("dq_referential_integrity")(spark, d))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert("LeftAnti".r.findAllIn(p).size >= 5,
+      s"each relation must audit via an anti-join:\n$p")
+    // each relation crosses its two 1-row aggregates — nothing else
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 5,
+      s"only the five 1-row totals crosses may nested-loop:\n$p")
+    assert(p.contains("partial"), s"orphan counting must map-side combine:\n$p")
+  }
+
+  test("text_hashed_features: one scan, one two-phase count, no join") {
+    val p = plan(graft.SparkEntry.queries("text_hashed_features")(spark, d))
+    assert(!p.contains("Join"), s"the hashing trick must not join:\n$p")
+    assert(p.contains("partial"),
+      s"(doc, slot) counting must map-side combine:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"exactly one documents scan:\n$p")
+  }
+
   test("ts_decay_sum: one map pass + one two-phase grouped aggregate") {
     val p = plan(graft.SparkEntry.queries("ts_decay_sum")(spark, d))
     assert(p.contains("partial"),

@@ -186,6 +186,112 @@ object GraphOps extends QueryModule {
       .reportSorted("nk", "v") // one row per vertex = input-sized
   }
 
+  /** Personalized PageRank (Page et al. 1999 §6 / Jeh & Widom 2002's
+    * restart-vector form — THE seed-relative importance measure behind
+    * "related entities", TrustRank-style quality propagation, and PPR
+    * sampling): identical to [[graft.ops.LlmOps.pageRank]]'s uniform
+    * walk EXCEPT that restart mass AND dangling mass teleport to the
+    * SEED SET (s(v) = 1/|S| on seeds, 0 elsewhere) instead of
+    * uniformly — so rank decays with graph distance from the seeds.
+    * Seeds: custkey ≡ 0 (mod 97). 4 unrolled rounds on the symmetrized
+    * path-square graph; per round ONE co-partitioned contribution
+    * join + aggregate and a broadcast 1-row dangling mass, each round
+    * localCheckpointed with the CC/LPA free-previous discipline; the
+    * ε-shifted 1e-6 fixpoint grid (the pageRank device) absorbs
+    * shuffle-order ulps so the unrolled-CTE oracle replays the walk
+    * exactly. r₀ = restart vector (the standard PPR init).
+    */
+  q("graph_ppr_seeded", {
+    val iters = 4
+    val sv = "(CASE WHEN v.seed THEN 1.0 / ns.nseeds ELSE 0.0 END)"
+    val head =
+      """WITH c AS (SELECT c_custkey AS id, c_nationkey AS nk FROM customer),
+        |l AS (SELECT nk, id,
+        |             lead(id, 1) OVER (PARTITION BY nk ORDER BY id) AS n1,
+        |             lead(id, 2) OVER (PARTITION BY nk ORDER BY id) AS n2
+        |      FROM c),
+        |e0 AS (SELECT nk, id AS a, n1 AS b FROM l WHERE n1 IS NOT NULL
+        |       UNION ALL
+        |       SELECT nk, id AS a, n2 AS b FROM l WHERE n2 IS NOT NULL),
+        |e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+        |verts AS (SELECT c_custkey AS vid, c_custkey % 97 = 0 AS seed FROM customer),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |ns AS (SELECT CAST(count(*) AS DOUBLE) AS nseeds FROM verts WHERE seed),
+        |r0 AS (SELECT v.vid, v.seed,
+        |       CASE WHEN v.seed THEN 1.0 / ns.nseeds ELSE 0.0 END AS rank
+        |       FROM verts v, ns)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s""",
+         |d$k AS (SELECT floor(coalesce(sum(r.rank), 0) * 1000000 + CAST(0.5000005 AS DOUBLE)) / 1000000 AS dmass
+         |        FROM r${k - 1} r LEFT JOIN deg ON r.vid = deg.src
+         |        WHERE deg.src IS NULL),
+         |c$k AS (SELECT e.dst, sum(r.rank / deg.deg) AS in_sum
+         |        FROM e JOIN deg ON e.src = deg.src
+         |        JOIN r${k - 1} r ON r.vid = e.src
+         |        GROUP BY e.dst),
+         |r$k AS (SELECT v.vid, v.seed,
+         |               floor(((1 - CAST(0.85 AS DOUBLE)) * $sv + CAST(0.85 AS DOUBLE) *
+         |                      (coalesce(c$k.in_sum, 0) + d$k.dmass * $sv))
+         |                     * 1000000 + CAST(0.5000005 AS DOUBLE)) / 1000000 AS rank
+         |        FROM verts v LEFT JOIN c$k ON c$k.dst = v.vid, d$k, ns)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"\nSELECT vid AS c_custkey, rank AS ppr FROM r$iters ORDER BY c_custkey"
+  }) { (s, d) =>
+    val verts = T(s, d, "customer").select(col("c_custkey").as("vid"))
+    val e0 = leadEdges(s, d, withN2 = true, maxGap = None)
+    val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
+    personalizedPageRank(verts, edges, col("vid") % 97 === 0, iters = 4)
+      .select(col("vid").as("c_custkey"), col("rank").as("ppr"))
+      .orderBy("c_custkey") // one row per vertex = input-sized
+  }
+
+  /** Seed-restart PageRank over an explicit edge frame — LlmOps
+    * [[graft.ops.LlmOps.pageRank]] with the restart vector s (and the
+    * dangling teleport) concentrated on `isSeed` vertices. Same
+    * per-round checkpoint-and-free discipline via [[RoundCheckpoints]];
+    * same ε-shifted 1e-6 fixpoint grid per round.
+    */
+  private[ops] def personalizedPageRank(vertices0: DataFrame, edges: DataFrame,
+      isSeed: org.apache.spark.sql.Column, iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    val rc = new RoundCheckpoints(vertices0.sparkSession.sparkContext)
+    val vertices = rc.pin("verts", vertices0.withColumn("seed", isSeed))
+    val nSeeds = vertices.filter(col("seed")).count()
+    require(nSeeds > 0, "personalizedPageRank: empty seed set")
+    val e = rc.pin("edges", edges
+      .join(vertices.select(col("vid").as("src")), Seq("src"), "left_semi")
+      .join(vertices.select(col("vid").as("dst")), Seq("dst"), "left_semi"))
+    val outdeg = rc.pin("deg", e.groupBy("src").agg(count(lit(1)).as("deg")))
+    val withDeg = rc.pin("withdeg", e.join(outdeg, Seq("src")))
+    val danglingIds = rc.pin("dang", vertices
+      .join(outdeg, col("vid") === col("src"), "left_anti").select("vid"))
+    val sv = when(col("seed"), lit(1.0) / nSeeds).otherwise(lit(0.0))
+    var ranks = rc.cycle("ranks",
+      vertices.select(col("vid"), col("seed")).withColumn("rank", sv))
+    for (_ <- 1 to iters) {
+      val dangling = ranks.join(danglingIds, Seq("vid"), "left_semi")
+        .agg((floor(coalesce(sum("rank"), lit(0.0)) * 1e6 + lit(0.5000005)) / 1e6)
+          .as("dmass"))
+      val contribs = withDeg
+        .join(ranks.select(col("vid"), col("rank")), col("src") === col("vid"))
+        .select(col("dst"), (col("rank") / col("deg")).as("c"))
+        .groupBy("dst").agg(sum("c").as("in_sum"))
+      ranks = rc.cycle("ranks", vertices.select(col("vid"), col("seed"))
+        .join(contribs, col("vid") === col("dst"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("vid"), col("seed"),
+          (floor((lit(1 - damping) * sv +
+            lit(damping) * (coalesce(col("in_sum"), lit(0.0)) + col("dmass") * sv))
+            * 1e6 + lit(0.5000005)) / 1e6).as("rank")))
+    }
+    Seq("verts", "edges", "deg", "withdeg", "dang").foreach(rc.release)
+    // the final round's blocks back the returned frame's lineage;
+    // the harness frees them via Sessions.releaseCheckpoints
+    ranks.select("vid", "rank")
+  }
+
   /** Adamic–Adar link-prediction score (Adamic & Adar 2003 — the
     * standard common-neighbor index that down-weights promiscuous
     * middles: AA(a,b) = Σ_{z ∈ Γ(a)∩Γ(b)} 1/ln(deg z)) for every

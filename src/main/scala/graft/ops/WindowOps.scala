@@ -403,6 +403,49 @@ object WindowOps extends QueryModule {
       .orderBy("user_id") // one row per user = input-sized
   }
 
+  /** Row-pattern matching over per-user event sequences (SQL:2016
+    * MATCH_RECOGNIZE semantics, the CEP primitive Spark SQL lacks —
+    * Flink CEP / Trino MATCH_RECOGNIZE territory): encode each user's
+    * time-ordered events as a symbol string (one DISTINCT initial per
+    * event_type here) and run the pattern as a regex — the pattern is
+    * the conversion journey `v[^p]*c[^p]*p` (view, later a click,
+    * later a purchase, with NO intervening purchase), counted
+    * non-overlapping leftmost-greedy (exactly MATCH_RECOGNIZE's
+    * AFTER MATCH SKIP PAST LAST ROW). Determinism: the sequence is
+    * built from array_sort over (µs, event_id, symbol) structs — a
+    * total order, no collect_list ordering assumption; both engines'
+    * regex agree on this pattern class (no backrefs, no lookaround).
+    * Scale: the grain is one string per user — the ewma-family
+    * per-user fold grain; collect_list partials merge map-side, the
+    * regex runs once per user, and nothing is corpus-global.
+    */
+  q("win_event_pattern",
+    """WITH sq AS (
+      |  SELECT user_id,
+      |         array_to_string(list(substring(event_type, 1, 1)
+      |           ORDER BY ts, event_id), '') AS seq
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, CAST(length(seq) AS INTEGER) AS seq_len,
+      |       CAST(len(regexp_extract_all(seq, 'v[^p]*c[^p]*p')) AS INTEGER)
+      |         AS n_matches,
+      |       coalesce(regexp_extract_all(seq, 'v[^p]*c[^p]*p')[1], '')
+      |         AS first_match
+      |FROM sq ORDER BY user_id""") { (s, d) =>
+    T(s, d, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("ch"))
+      .groupBy("user_id")
+      .agg(collect_list(struct(col("us"), col("event_id"), col("ch"))).as("evs"))
+      .withColumn("seq", expr("array_join(transform(array_sort(evs), x -> x.ch), '')"))
+      .select(col("user_id"),
+        length(col("seq")).cast("int").as("seq_len"),
+        expr("cast(size(regexp_extract_all(seq, 'v[^p]*c[^p]*p', 0)) as int)")
+          .as("n_matches"),
+        expr("coalesce(try_element_at(regexp_extract_all(seq, 'v[^p]*c[^p]*p', 0), 1), '')")
+          .as("first_match"))
+      .orderBy("user_id") // one row per user = input-sized
+  }
+
   /** Gaps-and-islands: consecutive runs of the same event_type per
     * user (the VALUE-run twin of time-gap sessionization): island id =
     * running count of type CHANGES (lag + growing-frame sum) — both

@@ -84,6 +84,48 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_ppr_seeded matches a driver-side restart walk; mass concentrates at seeds") {
+    def snap(x: Double): Double = math.floor(x * 1e6 + 0.5000005) / 1e6
+    val byNk = customers.groupBy(_._2)
+    val edges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    byNk.values.foreach { cs =>
+      val ids = cs.map(_._1).sorted
+      ids.indices.foreach { i =>
+        if (i + 1 < ids.length) edges += ((ids(i), ids(i + 1)))
+        if (i + 2 < ids.length) edges += ((ids(i), ids(i + 2)))
+      }
+    }
+    val sym = edges.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val outdeg = sym.groupBy(_._1).map { case (v, es) => v -> es.size }
+    val all = customers.map(_._1)
+    val seeds = all.filter(_ % 97 == 0).toSet
+    assert(seeds.nonEmpty)
+    val sv = all.map(v => v -> (if (seeds(v)) 1.0 / seeds.size else 0.0)).toMap
+    var rank = sv
+    for (_ <- 1 to 4) {
+      val dmass = snap(all.filter(v => !outdeg.contains(v)).map(rank).sum)
+      val in = sym.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => rank(src) / outdeg(src) }.sum
+      }
+      rank = all.map { v =>
+        v -> snap(0.15 * sv(v) + 0.85 * (in.getOrElse(v, 0.0) + dmass * sv(v)))
+      }.toMap
+    }
+    val got = graft.SparkEntry.queries("graph_ppr_seeded")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == rank.keySet)
+    rank.foreach { case (v, r0) =>
+      assert(math.abs(got(v) - r0) < 2e-6, s"vertex $v: ${got(v)} vs $r0")
+    }
+    // PPR contract: total mass bounded by 1 (+grid slack); seeds hold
+    // strictly more rank than the global average; far vertices ~0
+    val total = got.values.sum
+    assert(total <= 1.0 + 1e-3, s"mass blew up: $total")
+    val seedAvg = seeds.toSeq.map(got).sum / seeds.size
+    assert(seedAvg > total / got.size, "seeds must out-rank the average")
+    assert(got.values.exists(_ == 0.0), "distant vertices must decay to the grid floor")
+  }
+
   test("adamic-adar matches adjacency-set brute force; scores only non-edges") {
     val byNk = customers.groupBy(_._2).map { case (nk, cs) => (nk, cs.map(_._1).sorted) }
     def snap(x: Double): Double = math.floor(x * 1048576.0 + 0.5) / 1048576.0

@@ -671,6 +671,31 @@ class OpsSemanticsSpec extends AnyFunSuite {
     assert(got("orders.o_custkey->customer") == ((2L, 0L, 0L)))
   }
 
+  test("win_event_pattern matches a driver-side MATCH_RECOGNIZE loop") {
+    val evs = T(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val pat = java.util.regex.Pattern.compile("v[^p]*c[^p]*p")
+    val expected = evs.groupBy(_._1).map { case (u, es) =>
+      val seq = es.sortBy(e => (e._2, e._3)).map(_._4.head).mkString
+      val m = pat.matcher(seq)
+      val matches = Iterator.continually(m.find()).takeWhile(identity)
+        .map(_ => m.group()).toVector
+      u -> (seq.length, matches.length, matches.headOption.getOrElse(""))
+    }
+    val got = SparkEntry.queries("win_event_pattern")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(got == expected, "per-user sequence length / match count / first match")
+    assert(got.values.exists(_._2 > 0), "some user must complete the journey")
+    // structural invariant of every reported match: starts at the view,
+    // ends at the FIRST purchase after the click, no purchase inside
+    got.values.map(_._3).filter(_.nonEmpty).foreach { fm =>
+      assert(fm.head == 'v' && fm.last == 'p' && fm.count(_ == 'p') == 1
+        && fm.contains('c'), s"malformed match '$fm'")
+    }
+  }
+
   test("text_hashed_features matches a driver-side hashing-trick recomputation") {
     val docs = T(spark, dir, "documents").select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))

@@ -792,6 +792,23 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"exactly one documents scan:\n$p")
   }
 
+  test("win_event_pattern: one user exchange; collect_list partials merge map-side") {
+    val p = plan(graft.SparkEntry.queries("win_event_pattern")(spark, d))
+    assert(!p.contains("Join"), s"pattern matching must not join:\n$p")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size <= 1,
+      s"exactly one user-keyed exchange expected:\n$p")
+    assert(p.contains("partial_collect_list") || p.contains("partial"),
+      s"sequence assembly must merge partials map-side:\n$p")
+  }
+
+  test("graph_ppr_seeded: rounds are checkpoint-materialized; final plan reads the checkpoint") {
+    val p = plan(graft.SparkEntry.queries("graph_ppr_seeded")(spark, d))
+    assert(p.contains("Scan ExistingRDD"),
+      s"final ranks must come from the round checkpoint:\n$p")
+    assert(!p.contains("Join") && !p.contains("Scan parquet"),
+      s"no lineage replay past the checkpoint:\n$p")
+  }
+
   test("ts_decay_sum: one map pass + one two-phase grouped aggregate") {
     val p = plan(graft.SparkEntry.queries("ts_decay_sum")(spark, d))
     assert(p.contains("partial"),

@@ -379,6 +379,53 @@ object AnalyticsOps extends QueryModule {
         / nullif(var_samp("pre") * var_samp("post"), lit(0.0)), 6).as("var_reduction"))
   }
 
+  /** Delta-method standard error for RATIO metrics under user-level
+    * randomization (Deng, Knoblich & Lu 2017 — the experimentation-
+    * platform standard beside [[agg_cuped]]'s variance reduction):
+    * revenue-per-event R = Σx/Σn is a ratio of USER-cluster sums, so
+    * the naive event-level SE is wrong (events within a user
+    * correlate); the delta method gives
+    * var(R) ≈ (σ²_x + R²σ²_n − 2Rσ_xn) / (m·n̄²) from user-level
+    * moments. Variant assignment = user_id mod 2 (deterministic, the
+    * hash-split convention of train_test_split). Two chained
+    * two-phase aggs (events→users→variants, both map-side combining);
+    * built-in var_samp/covar_samp on the user frame with round-6
+    * absorption (the agg_corr co-moment precedent); rule-7 nullif on
+    * the degenerate zero-denominator cases.
+    */
+  q("agg_delta_method_ratio",
+    """WITH u AS (
+      |  SELECT user_id % 2 AS variant, user_id,
+      |         sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS x,
+      |         CAST(count(*) AS DOUBLE) AS n
+      |  FROM events GROUP BY 1, 2),
+      |v AS (SELECT variant, count(*) AS m, sum(x) AS sx, sum(n) AS sn,
+      |             var_samp(x) AS vx, var_samp(n) AS vn,
+      |             covar_samp(x, n) AS cxn
+      |      FROM u GROUP BY 1)
+      |SELECT variant, CAST(m AS BIGINT) AS m_users,
+      |       round(sx / nullif(sn, 0), 6) AS ratio,
+      |       round(sqrt((vx + (sx / sn) * (sx / sn) * vn
+      |                   - 2 * (sx / sn) * cxn) / m)
+      |             / nullif(sn / m, 0), 6) AS se
+      |FROM v ORDER BY variant""") { (s, d) =>
+    val u = T(s, d, "events")
+      .groupBy((col("user_id") % 2).as("variant"), col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", col("value"))
+        .otherwise(lit(0.0))).as("x"),
+        count(lit(1)).cast("double").as("n"))
+    val v = u.groupBy("variant")
+      .agg(count(lit(1)).as("m"), sum("x").as("sx"), sum("n").as("sn"),
+        var_samp("x").as("vx"), var_samp("n").as("vn"),
+        covar_samp("x", "n").as("cxn"))
+    val r = col("sx") / col("sn")
+    v.select(col("variant"), col("m").as("m_users"),
+      round(col("sx") / nullif(col("sn"), lit(0.0)), 6).as("ratio"),
+      round(sqrt((col("vx") + r * r * col("vn") - lit(2) * r * col("cxn"))
+        / col("m")) / nullif(col("sn") / col("m"), lit(0.0)), 6).as("se"))
+      .reportSorted("variant") // 2 variants = report-sized
+  }
+
   /** Kaplan–Meier survival over per-user lifetimes with right
     * censoring (SPEC: Kaplan & Meier 1958): lifetime = minutes
     * between a user's first and last event; users still active near

@@ -247,6 +247,78 @@ object FormatOps extends QueryModule {
     * repartitionByRange(z) straight into the writer, and the stats
     * roll up in one two-phase aggregate over 256 groups.
     */
+  /** Hilbert-curve clustering (Hilbert 1891 via the Warren/Wikipedia
+    * xy2d bit algorithm; the space-filling curve Delta Lake's
+    * OPTIMIZE and Iceberg's rewrite offer BESIDE z-order because its
+    * per-file bounding boxes are tighter — the curve never makes the
+    * long diagonal jumps Morton order does): same 8-bit (x, y) =
+    * (partkey, suppkey) domain and same d >> 8 file grouping as
+    * [[sort_zorder_cluster]] so the two rows are directly comparable.
+    * At 4^k-ALIGNED granularity both curves tile the plane into the
+    * same exact 16×16 boxes (measured: identical mean file area) —
+    * Hilbert's advantage is MISALIGNED curve ranges, where Morton's
+    * diagonal jumps blow the bounding box and Hilbert's unit-step
+    * continuity keeps it ~minimal; OpsSemanticsSpec pins exactly that
+    * (driver-side range-bbox comparison) plus the unit-step walk via
+    * the INVERSE d2xy algorithm. The curve index is 8 unrolled
+    * quadrant-rotate stages of PURE integer CASE/XOR arithmetic —
+    * exactly replayable as chained CTEs, map-side, zero shuffle
+    * before the file group-by.
+    */
+  q("sort_hilbert_cluster", {
+    val head =
+      """WITH b AS (SELECT l_partkey & 255 AS x0, l_suppkey & 255 AS y0 FROM lineitem),
+        |h0 AS (SELECT x0, y0, x0 AS x, y0 AS y, CAST(0 AS BIGINT) AS d FROM b)""".stripMargin
+    val stages = Seq(128L, 64L, 32L, 16L, 8L, 4L, 2L, 1L).zipWithIndex.map {
+      case (s, k) =>
+        s""",
+           |h${k + 1} AS (SELECT x0, y0,
+           |  CASE WHEN (y & $s) = 0
+           |       THEN CASE WHEN (x & $s) > 0 THEN ${s - 1} - y ELSE y END
+           |       ELSE x END AS x,
+           |  CASE WHEN (y & $s) = 0
+           |       THEN CASE WHEN (x & $s) > 0 THEN ${s - 1} - x ELSE x END
+           |       ELSE y END AS y,
+           |  d + ${s * s} * xor(3 * (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END),
+           |                     CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END) AS d
+           |  FROM h$k)""".stripMargin
+    }.mkString
+    head + stages +
+      """
+        |SELECT CAST(d >> 8 AS BIGINT) AS hfile, count(*) AS n,
+        |       CAST(min(x0) AS BIGINT) AS x_min, CAST(max(x0) AS BIGINT) AS x_max,
+        |       CAST(min(y0) AS BIGINT) AS y_min, CAST(max(y0) AS BIGINT) AS y_max
+        |FROM h8 GROUP BY 1 ORDER BY hfile""".stripMargin
+  }) { (s, d) =>
+    var df = T(s, d, "lineitem")
+      .select(col("l_partkey").bitwiseAND(lit(255L)).as("x0"),
+        col("l_suppkey").bitwiseAND(lit(255L)).as("y0"))
+      .withColumn("hx", col("x0")).withColumn("hy", col("y0"))
+      .withColumn("hd", lit(0L))
+    for (sq <- Seq(128L, 64L, 32L, 16L, 8L, 4L, 2L, 1L)) {
+      val rx = when(col("hx").bitwiseAND(lit(sq)) > 0, lit(1L)).otherwise(lit(0L))
+      val ry = when(col("hy").bitwiseAND(lit(sq)) > 0, lit(1L)).otherwise(lit(0L))
+      // rotate reads the PRE-update x/y — stage via temp columns
+      df = df
+        .withColumn("hd2", col("hd") + lit(sq * sq) * (lit(3L) * rx).bitwiseXOR(ry))
+        .withColumn("hx2", when(ry === 0,
+          when(rx === 1, lit(sq - 1) - col("hy")).otherwise(col("hy")))
+          .otherwise(col("hx")))
+        .withColumn("hy2", when(ry === 0,
+          when(rx === 1, lit(sq - 1) - col("hx")).otherwise(col("hx")))
+          .otherwise(col("hy")))
+        .drop("hd", "hx", "hy")
+        .withColumnRenamed("hd2", "hd")
+        .withColumnRenamed("hx2", "hx")
+        .withColumnRenamed("hy2", "hy")
+    }
+    df.groupBy(shiftright(col("hd"), 8).as("hfile"))
+      .agg(count(lit(1)).as("n"),
+        min("x0").as("x_min"), max("x0").as("x_max"),
+        min("y0").as("y_min"), max("y0").as("y_max"))
+      .reportSorted("hfile") // 256 curve files = report-sized
+  }
+
   q("sort_zorder_cluster",
     """WITH b AS (
       |  SELECT l_partkey & 255 AS x, l_suppkey & 255 AS y FROM lineitem),

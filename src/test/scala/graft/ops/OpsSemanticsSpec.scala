@@ -285,6 +285,114 @@ class OpsSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("hilbert curve: inverse d2xy walk is unit-step continuous; files tight and tighter than z-order") {
+    // INVERSE-algorithm cross-check: the query maps (x,y)→d via xy2d;
+    // here the textbook d2xy walk reconstructs (x,y) from every d and
+    // must land adjacent at every step — the defining Hilbert property
+    // Morton order lacks (and a bijection over the full 256×256 grid)
+    def d2xy(d: Long): (Long, Long) = {
+      var (x, y, t) = (0L, 0L, d)
+      var s = 1L
+      while (s < 256) {
+        val rx = 1L & (t / 2)
+        val ry = 1L & (t ^ rx)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val tmp = x; x = y; y = tmp
+        }
+        x += s * rx; y += s * ry
+        t /= 4
+        s *= 2
+      }
+      (x, y)
+    }
+    val walk = (0L until 65536L).map(d2xy)
+    assert(walk.toSet.size == 65536, "d2xy must be a bijection onto the grid")
+    walk.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jump at ($x1,$y1)->($x2,$y2)")
+    }
+    val h = SparkEntry.queries("sort_hilbert_cluster")(spark, dir).collect()
+    assert(h.nonEmpty)
+    // every observed cell must land in the file its d2xy inverse says:
+    // file f covers exactly the 256 curve steps [256f, 256f+255]
+    val cellToFile = walk.zipWithIndex
+      .map { case ((x, y), d0) => (x, y) -> (d0 / 256) }.toMap
+    h.foreach { r =>
+      val f = r.getLong(0)
+      val cells = for {
+        x <- r.getAs[Long]("x_min") to r.getAs[Long]("x_max")
+        y <- r.getAs[Long]("y_min") to r.getAs[Long]("y_max")
+        if cellToFile((x, y)) == f
+      } yield (x, y)
+      assert(cells.nonEmpty, s"hfile $f bounding box contains none of its cells")
+    }
+    // at 4^k-aligned granularity both curves tile identical 16x16 boxes
+    def meanArea(rows: Array[org.apache.spark.sql.Row]): Double =
+      rows.map(r => (r.getAs[Long]("x_max") - r.getAs[Long]("x_min") + 1).toDouble *
+        (r.getAs[Long]("y_max") - r.getAs[Long]("y_min") + 1)).sum / rows.length
+    val z = SparkEntry.queries("sort_zorder_cluster")(spark, dir).collect()
+    assert(meanArea(h) == meanArea(z),
+      "aligned 256-step files tile the same boxes on both curves")
+    // the REAL Hilbert advantage — MISALIGNED curve ranges: Morton's
+    // diagonal jumps blow the range bounding box, Hilbert's unit-step
+    // continuity keeps it near-minimal. Measure both over [k·300,(k+1)·300)
+    def morton(d: Long): (Long, Long) = {
+      var (x, y) = (0L, 0L)
+      (0 until 8).foreach { b =>
+        x |= ((d >> (2 * b)) & 1) << b
+        y |= ((d >> (2 * b + 1)) & 1) << b
+      }
+      (x, y)
+    }
+    def rangeBboxMean(xy: Long => (Long, Long)): Double = {
+      val areas = (0 until 65536 / 300).map { k =>
+        val pts = (k * 300L until (k + 1) * 300L).map(xy)
+        ((pts.map(_._1).max - pts.map(_._1).min + 1) *
+          (pts.map(_._2).max - pts.map(_._2).min + 1)).toDouble
+      }
+      areas.sum / areas.length
+    }
+    val hMean = rangeBboxMean(d2xy)
+    val zMean = rangeBboxMean(morton)
+    assert(hMean < zMean * 0.75,
+      s"hilbert range bbox $hMean must clearly beat morton $zMean")
+  }
+
+  test("agg_delta_method_ratio matches a driver-side Deng-et-al recomputation") {
+    val evs = T(spark, dir, "events")
+      .select("user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = evs.groupBy(_._1 % 2).map { case (variant, es) =>
+      val users = es.groupBy(_._1).map { case (_, ue) =>
+        (ue.filter(_._2 == "purchase").map(_._3).sum, ue.length.toDouble)
+      }.toSeq
+      val m = users.length
+      val (sx, sn) = (users.map(_._1).sum, users.map(_._2).sum)
+      def varS(xs: Seq[Double]): Double = {
+        val mu = xs.sum / xs.length
+        xs.map(v => (v - mu) * (v - mu)).sum / (xs.length - 1)
+      }
+      val (vx, vn) = (varS(users.map(_._1)), varS(users.map(_._2)))
+      val mux = sx / m; val mun = sn / m
+      val cxn = users.map { case (x, n) => (x - mux) * (n - mun) }.sum / (m - 1)
+      val r = sx / sn
+      variant -> (m.toLong, r6(r),
+        r6(math.sqrt((vx + r * r * vn - 2 * r * cxn) / m) / (sn / m)))
+    }
+    val got = SparkEntry.queries("agg_delta_method_ratio")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set(0L, 1L))
+    got.foreach { case (v, (m, ratio, se)) =>
+      val (em, er, ese) = expected(v)
+      assert(m == em, s"variant $v user count")
+      assert(math.abs(ratio - er) < 1e-6, s"variant $v ratio $ratio vs $er")
+      assert(math.abs(se - ese) < 1e-6, s"variant $v se $se vs $ese")
+      assert(se > 0, s"variant $v se must be positive")
+    }
+  }
+
   test("scd2 intervals tile each user's timeline: to = next from, one open tail") {
     val rows = SparkEntry.queries("pipeline_scd2_history")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getString(1),

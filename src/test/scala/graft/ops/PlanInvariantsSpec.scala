@@ -809,6 +809,21 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"no lineage replay past the checkpoint:\n$p")
   }
 
+  test("sort_hilbert_cluster: the curve index is map-side; one scan, one two-phase agg") {
+    val p = plan(graft.SparkEntry.queries("sort_hilbert_cluster")(spark, d))
+    assert(!p.contains("Join"), s"the curve transform must not join:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"exactly one lineitem scan:\n$p")
+    assert(p.contains("partial"), s"file stats must map-side combine:\n$p")
+  }
+
+  test("agg_delta_method_ratio: two chained two-phase aggs, no join") {
+    val p = plan(graft.SparkEntry.queries("agg_delta_method_ratio")(spark, d))
+    assert(!p.contains("Join"), s"the moment chain must not join:\n$p")
+    assert(p.contains("partial"),
+      s"user and variant aggregation must map-side combine:\n$p")
+  }
+
   test("ts_decay_sum: one map pass + one two-phase grouped aggregate") {
     val p = plan(graft.SparkEntry.queries("ts_decay_sum")(spark, d))
     assert(p.contains("partial"),

@@ -247,6 +247,92 @@ object GraphOps extends QueryModule {
       .orderBy("c_custkey") // one row per vertex = input-sized
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999 — the OTHER classic
+    * eigenvector importance: where PageRank asks "where does a random
+    * walk settle", HITS asks "who points at good pages (hubs) and who
+    * is pointed at by good hubs (authorities)" — the two scores live
+    * on the DIRECTED lead-edge graph, so they genuinely differ):
+    * per round a ← Eᵀh then h ← Ea, each L1-NORMALIZED (the classic
+    * norm; L2 would put a sqrt inside every round — the L1 form keeps
+    * the whole fixpoint in +,/ and the ε-grid replayable). 4 unrolled
+    * rounds; per round two vertex-keyed contribution joins + aggs and
+    * two broadcast 1-row norm sums; per-round localCheckpoint with the
+    * CC/LPA free-previous discipline; every normalized score snaps to
+    * the ε-shifted 1e-6 fixpoint grid (the pageRank device) so the
+    * unrolled-CTE oracle replays the iteration exactly.
+    */
+  q("graph_hits", {
+    val iters = 4
+    val head =
+      """WITH c AS (SELECT c_custkey AS id, c_nationkey AS nk FROM customer),
+        |l AS (SELECT nk, id,
+        |             lead(id, 1) OVER (PARTITION BY nk ORDER BY id) AS n1,
+        |             lead(id, 2) OVER (PARTITION BY nk ORDER BY id) AS n2
+        |      FROM c),
+        |e AS (SELECT id AS src, n1 AS dst FROM l WHERE n1 IS NOT NULL
+        |      UNION ALL
+        |      SELECT id AS src, n2 AS dst FROM l WHERE n2 IS NOT NULL),
+        |verts AS (SELECT c_custkey AS vid FROM customer),
+        |hub0 AS (SELECT vid, CAST(1.0 AS DOUBLE) AS hub FROM verts)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s""",
+         |ar$k AS (SELECT v.vid, coalesce(sum(h.hub), 0) AS araw
+         |         FROM verts v LEFT JOIN e ON e.dst = v.vid
+         |         LEFT JOIN hub${k - 1} h ON h.vid = e.src
+         |         GROUP BY v.vid),
+         |asum$k AS (SELECT sum(araw) AS s FROM ar$k),
+         |auth$k AS (SELECT vid,
+         |           floor(araw / asum$k.s * 1000000 + CAST(0.5000005 AS DOUBLE)) / 1000000 AS auth
+         |           FROM ar$k, asum$k),
+         |hr$k AS (SELECT v.vid, coalesce(sum(a.auth), 0) AS hraw
+         |         FROM verts v LEFT JOIN e ON e.src = v.vid
+         |         LEFT JOIN auth$k a ON a.vid = e.dst
+         |         GROUP BY v.vid),
+         |hsum$k AS (SELECT sum(hraw) AS s FROM hr$k),
+         |hub$k AS (SELECT vid,
+         |          floor(hraw / hsum$k.s * 1000000 + CAST(0.5000005 AS DOUBLE)) / 1000000 AS hub
+         |          FROM hr$k, hsum$k)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"""
+         |SELECT h.vid AS c_custkey, h.hub AS hub, a.auth AS authority
+         |FROM hub$iters h JOIN auth$iters a ON a.vid = h.vid
+         |ORDER BY c_custkey""".stripMargin
+  }) { (s, d) =>
+    val rc = new RoundCheckpoints(s.sparkContext)
+    val verts = rc.pin("verts",
+      T(s, d, "customer").select(col("c_custkey").as("vid")))
+    val e0 = leadEdges(s, d, withN2 = true, maxGap = None)
+    val e = rc.pin("edges",
+      e0.select(col("a").as("src"), col("b").as("dst")))
+    def gridFix(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6 + lit(0.5000005)) / 1e6
+    var hub = rc.cycle("hub", verts.withColumn("hub", lit(1.0)))
+    var auth: DataFrame = null
+    for (_ <- 1 to 4) {
+      val araw = verts
+        .join(e, col("vid") === col("dst"), "left")
+        .join(hub.select(col("vid").as("src"), col("hub").as("srch")),
+          Seq("src"), "left")
+        .groupBy("vid").agg(coalesce(sum("srch"), lit(0.0)).as("araw"))
+      val asum = araw.agg(sum("araw").as("s"))
+      auth = rc.cycle("auth", araw.crossJoin(broadcast(asum))
+        .select(col("vid"), gridFix(col("araw") / col("s")).as("auth")))
+      val hraw = verts
+        .join(e, col("vid") === col("src"), "left")
+        .join(auth.select(col("vid").as("dst"), col("auth").as("dsta")),
+          Seq("dst"), "left")
+        .groupBy("vid").agg(coalesce(sum("dsta"), lit(0.0)).as("hraw"))
+      val hsum = hraw.agg(sum("hraw").as("s"))
+      hub = rc.cycle("hub", hraw.crossJoin(broadcast(hsum))
+        .select(col("vid"), gridFix(col("hraw") / col("s")).as("hub")))
+    }
+    Seq("verts", "edges").foreach(rc.release)
+    hub.join(auth, Seq("vid"))
+      .select(col("vid").as("c_custkey"), col("hub"), col("auth").as("authority"))
+      .orderBy("c_custkey") // one row per vertex = input-sized
+  }
+
   /** Seed-restart PageRank over an explicit edge frame — LlmOps
     * [[graft.ops.LlmOps.pageRank]] with the restart vector s (and the
     * dangling teleport) concentrated on `isSeed` vertices. Same

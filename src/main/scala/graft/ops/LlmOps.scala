@@ -2017,6 +2017,61 @@ object LlmOps extends QueryModule {
       .orderBy("doc_id") // one row per doc = input-sized
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995 /
+    * Chen & Goodman 1998 §2.7 — THE n-gram smoothing standard; the
+    * MLE row above assigns unseen-context mass badly, KN discounts
+    * observed counts by d and backs off to the CONTINUATION
+    * distribution "how many contexts does w appear in", the
+    * famous San-Francisco correction): P(w2|w1) =
+    * max(c(w1w2)−d, 0)/c(w1·) + d·N₁₊(w1·)/c(w1·) · N₁₊(·w2)/N₁₊(··)
+    * with d = 0.75 (Chen–Goodman's canonical discount, an exact
+    * binary fraction). All inputs are integer counts off ONE bigram
+    * type frame (three vocab-sized two-phase aggs share it); the
+    * probability is one fixed-shape ratio expression + one ln +
+    * round (the bigram_logprob avg-NLL precedent); joins back to the
+    * doc grain are vocab-keyed equi-joins; the type total is a 1-row
+    * broadcast.
+    */
+  q("text_bigram_kn",
+    """WITH tk AS (SELECT doc_id, str_split(text, ' ') AS tok FROM documents),
+      |     sp AS (SELECT doc_id,
+      |              unnest([{'w1': tok[i], 'w2': tok[i+1]} FOR i IN range(1, len(tok))],
+      |                     recursive := true)
+      |            FROM tk),
+      |     bc AS (SELECT w1, w2, count(*) AS cb FROM sp GROUP BY 1, 2),
+      |     uc AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu, count(*) AS n1f
+      |            FROM bc GROUP BY 1),
+      |     cc AS (SELECT w2, count(*) AS n1b FROM bc GROUP BY 1),
+      |     nbt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM bc)
+      |SELECT g.doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+      |       round(-avg(ln(
+      |         greatest(bc.cb - 0.75, 0.0) / uc.cu
+      |         + (0.75 * uc.n1f / uc.cu) * (cc.n1b / nbt.n))), 6) AS avg_nll_kn
+      |FROM sp g JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+      |JOIN uc ON uc.w1 = g.w1 JOIN cc ON cc.w2 = g.w2, nbt
+      |GROUP BY g.doc_id ORDER BY g.doc_id""") { (s, d) =>
+    val sp = T(s, d, "documents")
+      .withColumn("tok", split(col("text"), " "))
+      .filter(size(col("tok")) >= 2) // sequence(0, size-2) must not descend
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tok) - 2), i -> struct(tok[i] as w1, tok[i+1] as w2))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bc = sp.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val uc = bc.groupBy("w1").agg(sum("cb").cast("long").as("cu"),
+      count(lit(1)).as("n1f"))
+    val cc = bc.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val nbt = bc.agg(count(lit(1)).cast("double").as("n"))
+    sp.join(bc, Seq("w1", "w2")).join(uc, Seq("w1")).join(cc, Seq("w2"))
+      .crossJoin(broadcast(nbt)) // 1-row type total: genuinely bounded
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        round(-avg(log(greatest(col("cb") - 0.75, lit(0.0)) / col("cu")
+          + (lit(0.75) * col("n1f") / col("cu")) * (col("n1b") / col("n")))), 6)
+          .as("avg_nll_kn"))
+      .orderBy("doc_id") // one row per doc = input-sized
+  }
+
   /** PMI-ranked bigram collocations (Church & Hanks 1990 — the
     * association measure behind phrase mining / multiword-expression
     * detection; the corpus-LEVEL companion to the per-doc

@@ -84,6 +84,49 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_hits matches a driver-side power iteration; chain ends degenerate correctly") {
+    def snap(x: Double): Double = math.floor(x * 1e6 + 0.5000005) / 1e6
+    val byNk = customers.groupBy(_._2)
+    val edges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    byNk.values.foreach { cs =>
+      val ids = cs.map(_._1).sorted
+      ids.indices.foreach { i =>
+        if (i + 1 < ids.length) edges += ((ids(i), ids(i + 1)))
+        if (i + 2 < ids.length) edges += ((ids(i), ids(i + 2)))
+      }
+    }
+    val all = customers.map(_._1)
+    var hub = all.map(_ -> 1.0).toMap
+    var auth = Map.empty[Long, Double]
+    for (_ <- 1 to 4) {
+      val araw = all.map(v => v ->
+        edges.filter(_._2 == v).map(e => hub(e._1)).sum).toMap
+      val as = araw.values.sum
+      auth = araw.map { case (v, x) => v -> snap(x / as) }
+      val hraw = all.map(v => v ->
+        edges.filter(_._1 == v).map(e => auth(e._2)).sum).toMap
+      val hs = hraw.values.sum
+      hub = hraw.map { case (v, x) => v -> snap(x / hs) }
+    }
+    val got = graft.SparkEntry.queries("graph_hits")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.keySet == all.toSet)
+    got.foreach { case (v, (h, a)) =>
+      assert(math.abs(h - hub(v)) < 2e-6, s"hub $v: $h vs ${hub(v)}")
+      assert(math.abs(a - auth(v)) < 2e-6, s"auth $v: $a vs ${auth(v)}")
+    }
+    // L1 norms ≈ 1 (grid slack); chain heads have 0 authority (no
+    // in-edges), chain tails 0 hub (no out-edges) — hub ≠ authority
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-2)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-2)
+    byNk.values.filter(_.size >= 3).foreach { cs =>
+      val ids = cs.map(_._1).sorted
+      assert(got(ids.head)._2 == 0.0, s"chain head ${ids.head} must have 0 authority")
+      assert(got(ids.last)._1 == 0.0, s"chain tail ${ids.last} must have 0 hub")
+      assert(got(ids.head)._1 > 0.0, "chain head is a hub")
+    }
+  }
+
   test("graph_ppr_seeded matches a driver-side restart walk; mass concentrates at seeds") {
     def snap(x: Double): Double = math.floor(x * 1e6 + 0.5000005) / 1e6
     val byNk = customers.groupBy(_._2)

@@ -393,6 +393,42 @@ class OpsSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_bigram_kn matches a driver-side Kneser-Ney fold and is a PROPER distribution") {
+    val docs = T(spark, dir, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val bigrams = docs.flatMap { case (id, t) =>
+      val tok = t.split(" ", -1); tok.zip(tok.drop(1)).map(b => (id, b))
+    }
+    val bc = bigrams.map(_._2).groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+    val cu = bc.toSeq.groupBy(_._1._1).map { case (w1, es) => w1 -> es.map(_._2).sum }
+    val n1f = bc.keys.toSeq.groupBy(_._1).map { case (w1, es) => w1 -> es.length.toLong }
+    val n1b = bc.keys.toSeq.groupBy(_._2).map { case (w2, es) => w2 -> es.length.toLong }
+    val nbt = bc.size.toDouble
+    def pkn(w1: String, w2: String): Double = {
+      val cb = bc.getOrElse((w1, w2), 0L)
+      math.max(cb - 0.75, 0.0) / cu(w1) +
+        (0.75 * n1f(w1) / cu(w1)) * (n1b.getOrElse(w2, 0L) / nbt)
+    }
+    // proper-distribution property (the point of KN): for any observed
+    // context, the smoothed mass over the FULL continuation vocab is 1
+    val vocab2 = n1b.keys.toSeq
+    cu.keys.take(5).foreach { w1 =>
+      val total = vocab2.map(w2 => pkn(w1, w2)).sum
+      assert(math.abs(total - 1.0) < 1e-9, s"KN mass for '$w1' = $total")
+    }
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = bigrams.groupBy(_._1).map { case (id, bs) =>
+      id -> (bs.length, r6(-bs.map { case (_, (a, b)) => math.log(pkn(a, b)) }.sum / bs.length))
+    }
+    val got = SparkEntry.queries("text_bigram_kn")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, (n, nll)) =>
+      assert(got(id)._1 == n, s"doc $id n_bigrams")
+      assert(math.abs(got(id)._2 - nll) < 1e-6, s"doc $id nll ${got(id)._2} vs $nll")
+    }
+  }
+
   test("scd2 intervals tile each user's timeline: to = next from, one open tail") {
     val rows = SparkEntry.queries("pipeline_scd2_history")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getString(1),

@@ -824,6 +824,22 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"user and variant aggregation must map-side combine:\n$p")
   }
 
+  test("graph_hits: rounds are checkpoint-materialized; final plan joins two checkpoints") {
+    val p = plan(graft.SparkEntry.queries("graph_hits")(spark, d))
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2,
+      s"final hub and authority frames must both read checkpoints:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"no lineage replay past the checkpoints:\n$p")
+  }
+
+  test("text_bigram_kn: vocab-keyed equi joins back to the doc grain; counts combine map-side") {
+    val p = plan(graft.SparkEntry.queries("text_bigram_kn")(spark, d))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"only the 1-row type-total cross may nested-loop:\n$p")
+    assert(p.contains("partial"), s"count frames must map-side combine:\n$p")
+  }
+
   test("ts_decay_sum: one map pass + one two-phase grouped aggregate") {
     val p = plan(graft.SparkEntry.queries("ts_decay_sum")(spark, d))
     assert(p.contains("partial"),

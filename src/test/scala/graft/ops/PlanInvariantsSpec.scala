@@ -840,6 +840,17 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.contains("partial"), s"count frames must map-side combine:\n$p")
   }
 
+  test("agg_hll_intersection: one register pass feeds all three estimates") {
+    val p = plan(graft.SparkEntry.queries("agg_hll_intersection")(spark, d))
+    // A, B, and the union merge must all read the checkpointed register
+    // frame — re-sketching the corpus per estimate is the anti-scale move
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 3,
+      s"all three estimates must ride the checkpointed registers:\n$p")
+    // the events scans left are the exact-audit companion's two sides
+    assert("Scan parquet".r.findAllIn(p).size <= 2,
+      s"only the exact-audit companion may rescan events:\n$p")
+  }
+
   test("ts_decay_sum: one map pass + one two-phase grouped aggregate") {
     val p = plan(graft.SparkEntry.queries("ts_decay_sum")(spark, d))
     assert(p.contains("partial"),

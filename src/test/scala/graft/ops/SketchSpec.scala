@@ -70,4 +70,30 @@ class SketchSpec extends AnyFunSuite {
     }
     assert(est(2) == est(17), "estimate must not depend on partitioning")
   }
+
+  test("agg_hll_intersection: partial-overlap fixture pins the inclusion-exclusion error band") {
+    // the driver events table is degenerate for this op (every user does
+    // both event types, so A = B = U and the estimator is never
+    // stressed) — craft a 10k/10k set pair with exactly 5k overlap
+    import spark.implicits._
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_hllix").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val views = (0L until 10000L).map(u => (u, "view", t0))
+    val purchases = (5000L until 15000L).map(u => (u, "purchase", t0))
+    (views ++ purchases).toDF("user_id", "event_type", "ts")
+      .write.parquet(s"$dir2/events.parquet")
+    val r = graft.SparkEntry.queries("agg_hll_intersection")(spark, dir2).collect()
+    assert(r.length == 1)
+    val (ea, eb, eu, ei, ex) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3), r(0).getLong(4))
+    assert(ex == 5000, s"exact companion must be 5000, got $ex")
+    // single-sketch rse at m=4096 is ~1.6%; allow 3 sigma
+    assert(math.abs(ea - 10000) < 500, s"est_view $ea")
+    assert(math.abs(eb - 10000) < 500, s"est_purchase $eb")
+    assert(math.abs(eu - 15000) < 750, s"est_union $eu")
+    // the difference of three estimates compounds error — the honest
+    // band is wide; a collapsed (0 or 2x) estimate still fails loudly
+    assert(ei > 3500 && ei < 6500, s"est_intersection $ei strayed from 5000")
+    assert(ei == ea + eb - eu, "inclusion-exclusion identity (clamped at 0)")
+  }
 }

@@ -508,12 +508,49 @@ object MultimodalOps extends QueryModule {
   // ------------------------------------------------- feature extract
 
   final case class FeatureRow(doc_id: Long, features: Array[Float])
+  final case class HistRow(doc_id: Long, bins: Array[Long])
 
   /** mapPartitions with explicit batching — the JVM shape of
     * `mapInPandas`: the "model" here is the real PNG decoder + raster
     * fold; an ONNX session would drop into the same slot. Fixed-dim
     * `array<float>` output feeds the §2.L similarity operators as-is.
     */
+  /** 8-bin luma histogram off the decoded raster — the per-image
+    * exposure/contrast profile every vision-data triage pass computes
+    * (and the cheap pre-filter before embedding: all-dark / blown-out
+    * frames drop here, not in the GPU stage). Same batched
+    * mapPartitions codec slot as [[extractFeatures]]: decode once,
+    * one integer pass over the raster, zero shuffle before the
+    * (doc, bin) report — at 100 TB the histogram travels (≤8 rows per
+    * image), never the raster. Integer-exact, so the oracle's
+    * closed-form pixel replay hash-checks the DECODE itself: a wrong
+    * pixel anywhere moves some bin count.
+    */
+  def lumaHistogram(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val img = MediaCodec.decodePng(r.payload)
+            val raster = img.getRaster
+            val bins = new Array[Long](8)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                bins(raster.getSample(x, y, 0) / 32) += 1; x += 1
+              }
+              y += 1
+            }
+            HistRow(r.doc_id, bins)
+          }
+        }
+      }
+      .toDF()
+  }
+
   def extractFeatures(media: DataFrame, dim: Int = 16, batchSize: Int = 64): DataFrame = {
     val s = media.sparkSession
     import s.implicits._
@@ -540,6 +577,19 @@ object MultimodalOps extends QueryModule {
       .select(col("doc_id"), size(col("features")).as("dim"),
         round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
       .orderBy("doc_id") // one row per image doc = input-sized
+  }
+
+  q("mm_luma_histogram",
+    s"""WITH $imDimsSql,
+       |px AS (SELECT doc_id, (31*doc_id + 7*(i%w) + 13*(i//w)) % 256 AS v
+       |       FROM im, unnest(generate_series(0, w*h - 1)) AS t(i))
+       |SELECT doc_id, CAST(v // 32 AS INTEGER) AS bin, count(*) AS n
+       |FROM px GROUP BY 1, 2 ORDER BY doc_id, bin""".stripMargin) { (s, d) =>
+    lumaHistogram(mediaTable(s, d).filter(col("meta.kind") === "image"))
+      .select(col("doc_id"), posexplode(col("bins")))
+      .filter(col("col") > 0) // the oracle's GROUP BY emits occupied bins only
+      .select(col("doc_id"), col("pos").cast("int").as("bin"), col("col").as("n"))
+      .orderBy("doc_id", "bin") // ≤8 bins per image doc = input-sized
   }
 
   // ----------------------------------------------------------- resize

@@ -148,6 +148,22 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("luma histogram: bins total w*h and match the closed-form pixel counts") {
+    import MultimodalOps.MediaCodec
+    val rows = SparkEntryAccess.query("mm_luma_histogram")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_._1)
+    byDoc.foreach { case (id, bs) =>
+      val (w, h) = (16 * (id % 4 + 1), 16 * (id % 3 + 1))
+      assert(bs.map(_._3).sum == w * h, s"doc $id histogram mass")
+      val expected: Map[Int, Long] = (0L until w * h)
+        .map(i => MediaCodec.pixel(id, (i % w).toInt, (i / w).toInt) / 32)
+        .groupBy(b => b).map { case (b, xs) => b -> xs.size.toLong }
+      assert(bs.map(b => b._2 -> b._3).toMap == expected, s"doc $id bin counts")
+    }
+  }
+
   test("mm_jpeg_meta reports header dims for every image doc") {
     val out = SparkEntryAccess.query("mm_jpeg_meta")(spark, dir).collect()
     assert(out.nonEmpty)

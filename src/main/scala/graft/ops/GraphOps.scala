@@ -609,6 +609,94 @@ object GraphOps extends QueryModule {
     * (block tail → next block head). Cliques are the planted
     * communities; bridges are the weak links LPA must mostly ignore.
     */
+  /** Newman modularity of a given partition (Newman 2006: Q = Σ_c
+    * [e_c/m − (d_c/2m)²]) — the SCORE side of community detection:
+    * LPA (below) finds communities, modularity says whether a
+    * partition is better than chance edge placement; scored here on
+    * the planted block partition of the clique-bridge graph (the same
+    * partition the LPA spec proves LPA recovers — so Q ≈ the graph's
+    * near-maximum and the bridge edges are the only inter-community
+    * mass). All inputs are integer counts (intra-edge count and
+    * degree sum per community, one equi-join pass each); per-community
+    * contribution is ONE fixed-shape ratio expression (rule 5); the
+    * global Q snaps each contribution to the dy20 grid before the
+    * 1-row sum (rule 12 — community count is data-dependent) and
+    * rides every row as a broadcast cross. |C|-sized frame past the
+    * first aggregates.
+    */
+  q("graph_modularity",
+    s"""WITH c AS (SELECT c_custkey AS id, c_nationkey AS nk,
+      |            row_number() OVER (PARTITION BY c_nationkey
+      |              ORDER BY c_custkey) - 1 AS rk
+      |      FROM customer),
+      |blk0 AS (SELECT id, nk, rk // 6 AS b FROM c),
+      |intra AS (SELECT x.id AS a, y.id AS b FROM blk0 x
+      |          JOIN blk0 y ON y.nk = x.nk AND y.b = x.b AND y.id > x.id),
+      |heads AS (SELECT nk, b, min(id) AS hid, max(id) AS tid
+      |          FROM blk0 GROUP BY nk, b),
+      |inter AS (SELECT h1.tid AS a, h2.hid AS b FROM heads h1
+      |          JOIN heads h2 ON h2.nk = h1.nk AND h2.b = h1.b + 1),
+      |e AS (SELECT a, b FROM intra UNION ALL SELECT a, b FROM inter),
+      |cm AS (SELECT id, nk * 1000 + b AS comm FROM blk0),
+      |mt AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM e),
+      |ic AS (SELECT ca.comm AS comm, count(*) AS e_c
+      |       FROM e JOIN cm ca ON ca.id = e.a JOIN cm cb ON cb.id = e.b
+      |       WHERE ca.comm = cb.comm GROUP BY 1),
+      |dc AS (SELECT cm.comm, count(*) AS d_c FROM
+      |         (SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e) t
+      |         JOIN cm ON cm.id = t.id GROUP BY 1),
+      |nv AS (SELECT comm, count(*) AS n_vertices FROM cm GROUP BY 1),
+      |rws AS (SELECT nv.comm, nv.n_vertices,
+      |          CAST(coalesce(ic.e_c, 0) AS BIGINT) AS intra_edges,
+      |          CAST(coalesce(dc.d_c, 0) AS BIGINT) AS degree_sum,
+      |          coalesce(ic.e_c, 0) / mt.m
+      |            - (coalesce(dc.d_c, 0) / (2 * mt.m))
+      |              * (coalesce(dc.d_c, 0) / (2 * mt.m)) AS contrib
+      |        FROM nv LEFT JOIN ic ON ic.comm = nv.comm
+      |        LEFT JOIN dc ON dc.comm = nv.comm, mt),
+      |qt AS (SELECT sum(${Grid.dy20Sql("contrib")}) AS q FROM rws)
+      |SELECT comm, CAST(n_vertices AS BIGINT) AS n_vertices, intra_edges,
+      |       degree_sum, round(contrib, 6) + 0.0 AS contribution,
+      |       round(qt.q, 6) AS q_total
+      |FROM rws, qt ORDER BY comm""") { (s, d) =>
+    // "+ 0.0" on contribution (both engines): a community with zero
+    // intra edges contributes −(d/2m)², which rounds to IEEE −0.0 in
+    // DuckDB but +0.0 under Spark's BigDecimal round — the sum washes
+    // the sign out everywhere else, this is the one place it surfaces
+    val w = Window.partitionBy("nk").orderBy("id")
+    val blk0 = T(s, d, "customer")
+      .select(col("c_custkey").as("id"), col("c_nationkey").as("nk"))
+      .withColumn("rk", row_number().over(w) - 1)
+      .withColumn("b", (col("rk") / 6).cast("long"))
+    val cm = blk0.select(col("id"), (col("nk") * 1000 + col("b")).as("comm"))
+    val e = blockEdges(s, d).localCheckpoint() // three consumers, one build
+    val mt = e.agg(count(lit(1)).cast("double").as("m"))
+    val ic = e
+      .join(cm.select(col("id").as("a"), col("comm").as("ca")), Seq("a"))
+      .join(cm.select(col("id").as("b"), col("comm").as("cb")), Seq("b"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("comm")).agg(count(lit(1)).as("e_c"))
+    val dc = e.select(col("a").as("id")).unionByName(e.select(col("b").as("id")))
+      .join(cm, Seq("id"))
+      .groupBy("comm").agg(count(lit(1)).as("d_c"))
+    val nv = cm.groupBy("comm").agg(count(lit(1)).as("n_vertices"))
+    val dcc = coalesce(col("d_c"), lit(0L))
+    val rws = nv.join(ic, Seq("comm"), "left").join(dc, Seq("comm"), "left")
+      .crossJoin(broadcast(mt)) // 1-row edge total: genuinely bounded
+      .select(col("comm"), col("n_vertices"),
+        coalesce(col("e_c"), lit(0L)).as("intra_edges"),
+        dcc.as("degree_sum"),
+        (coalesce(col("e_c"), lit(0L)) / col("m")
+          - (dcc / (lit(2) * col("m"))) * (dcc / (lit(2) * col("m")))).as("contrib"))
+      .localCheckpoint() // q_total and the report both read it
+    val qt = rws.agg(sum(Grid.dy20(col("contrib"))).as("q"))
+    rws.crossJoin(broadcast(qt))
+      .select(col("comm"), col("n_vertices"), col("intra_edges"), col("degree_sum"),
+        (round(col("contrib"), 6) + lit(0.0)).as("contribution"),
+        round(col("q"), 6).as("q_total"))
+      .reportSorted("comm") // |C| communities = catalog-sized
+  }
+
   private def blockEdges(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("nk").orderBy("id")
     val blk = T(s, d, "customer")

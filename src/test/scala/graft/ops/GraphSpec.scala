@@ -84,6 +84,46 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_modularity matches a driver-side Newman Q; planted partition scores high") {
+    val byNk = customers.groupBy(_._2)
+    val comm = scala.collection.mutable.Map.empty[Long, Long]
+    val edges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    byNk.foreach { case (nk, cs) =>
+      val ids = cs.map(_._1).sorted
+      val blocks = ids.grouped(6).toSeq
+      blocks.zipWithIndex.foreach { case (b, bi) =>
+        b.foreach(id => comm(id) = nk * 1000 + bi)
+        for (i <- b.indices; j <- i + 1 until b.length) edges += ((b(i), b(j)))
+      }
+      blocks.sliding(2).foreach {
+        case Seq(b1, b2) => edges += ((b1.max, b2.min))
+        case _ =>
+      }
+    }
+    val m = edges.size.toDouble
+    val eC = edges.toSeq.filter(e => comm(e._1) == comm(e._2))
+      .groupBy(e => comm(e._1)).map { case (c, es) => c -> es.size.toLong }
+    val dC = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(comm).map { case (c, vs) => c -> vs.size.toLong }
+    def snap(x: Double): Double = math.floor(x * 1048576.0 + 0.5) / 1048576.0
+    val contribs = comm.values.toSeq.distinct.map { c =>
+      val ec = eC.getOrElse(c, 0L); val dc = dC.getOrElse(c, 0L)
+      c -> (ec / m - (dc / (2 * m)) * (dc / (2 * m)))
+    }.toMap
+    val q = contribs.values.map(snap).sum
+    val got = graft.SparkEntry.queries("graph_modularity")(spark, dir).collect()
+    assert(got.map(_.getLong(0)).toSet == contribs.keySet)
+    got.foreach { r =>
+      val c = r.getLong(0)
+      assert(r.getLong(2) == eC.getOrElse(c, 0L), s"comm $c intra edges")
+      assert(r.getLong(3) == dC.getOrElse(c, 0L), s"comm $c degree sum")
+      assert(math.abs(r.getDouble(4) - contribs(c)) < 1e-6, s"comm $c contribution")
+      assert(math.abs(r.getDouble(5) - q) < 1e-6, s"q_total")
+    }
+    // the planted clique partition must score far above chance (Q=0)
+    assert(q > 0.8, s"planted partition modularity only $q")
+  }
+
   test("graph_hits matches a driver-side power iteration; chain ends degenerate correctly") {
     def snap(x: Double): Double = math.floor(x * 1e6 + 0.5000005) / 1e6
     val byNk = customers.groupBy(_._2)

@@ -851,6 +851,16 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"only the exact-audit companion may rescan events:\n$p")
   }
 
+  test("graph_modularity: one edge build feeds all three count frames via checkpoint") {
+    val p = plan(graft.SparkEntry.queries("graph_modularity")(spark, d))
+    assert(p.contains("Scan ExistingRDD"),
+      s"counts must ride the checkpointed edge/contribution frames:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the 1-row q_total broadcast is the only nested-loop
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"only the 1-row q_total cross may nested-loop:\n$p")
+  }
+
   test("ts_decay_sum: one map pass + one two-phase grouped aggregate") {
     val p = plan(graft.SparkEntry.queries("ts_decay_sum")(spark, d))
     assert(p.contains("partial"),

@@ -1258,8 +1258,12 @@ object WindowOps extends QueryModule {
     * then the 2⁻¹² grid ([[dy12]]) so the co-moment sums of PRODUCTS
     * stay within double's exact span.
     */
-  q("ts_autocorr",
-    s"""WITH b AS (SELECT user_id, date_trunc('day', ts) AS d,
+  /** Shared lag-1..3 Pearson ACF CTE text (`acfv(user_id, lag_k,
+    * acf)`) — consumed by the ts_autocorr oracle and replayed by the
+    * ts_pacf oracle so both keys' inputs are the SAME rounded values.
+    */
+  private def acfOracleCtes: String =
+    s"""b AS (SELECT user_id, date_trunc('day', ts) AS d,
       |             ${dy12Sql(centsAvgSql)} AS v
       |           FROM events GROUP BY 1, 2),
       |w AS (SELECT user_id, d, v,
@@ -1271,10 +1275,16 @@ object WindowOps extends QueryModule {
       |      UNION ALL SELECT user_id, 3, v, l3 FROM w WHERE l3 IS NOT NULL),
       |a AS (SELECT user_id, lag_k, count(*) AS n, sum(v) AS sx, sum(lv) AS sy,
       |             sum(v*lv) AS sxy, sum(v*v) AS sx2, sum(lv*lv) AS sy2
-      |      FROM p GROUP BY 1, 2)
-      |SELECT user_id, CAST(lag_k AS BIGINT) AS lag_k,
+      |      FROM p GROUP BY 1, 2),
+      |acfv AS (SELECT user_id, lag_k,
       |  round((n*sxy - sx*sy) / nullif(sqrt(greatest((n*sx2 - sx*sx) * (n*sy2 - sy*sy), 0)), 0), 6) + 0.0 AS acf
-      |FROM a ORDER BY user_id, lag_k""") { (s, d) =>
+      |FROM a)""".stripMargin
+
+  /** Spark twin of [[acfOracleCtes]]: (user_id, lag_k, acf) with the
+    * same rounding — ONE body for both ACF consumers.
+    */
+  private def acfFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val b = T(s, d, "events")
       .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
       .agg(dy12(centsAvg).as("v"))
@@ -1296,7 +1306,61 @@ object WindowOps extends QueryModule {
       .select(col("user_id"), col("lag_k"),
         expr("round((n*sxy - sx*sy) / nullif(sqrt(greatest((n*sx2 - sx*sx) * (n*sy2 - sy*sy), 0)), 0), 6) + 0.0")
           .as("acf"))
+  }
+
+  q("ts_autocorr",
+    s"""WITH $acfOracleCtes
+      |SELECT user_id, CAST(lag_k AS BIGINT) AS lag_k, acf
+      |FROM acfv ORDER BY user_id, lag_k""") { (s, d) =>
+    acfFrame(s, d)
       .orderBy("user_id", "lag_k") // user×lag rows = input-sized
+  }
+
+  /** Partial autocorrelation via Durbin–Levinson (Durbin 1960; Box &
+    * Jenkins' AR-order identification tool — ACF says "correlated at
+    * lag k", PACF says "correlated at lag k AFTER removing the shorter
+    * lags", and the cutoff picks the AR order): φ₁₁ = r₁,
+    * φ₂₂ = (r₂−r₁²)/(1−r₁²), φ₂₁ = r₁(1−φ₂₂),
+    * φ₃₃ = (r₃−φ₂₁r₂−φ₂₂r₁)/(1−φ₂₁r₁−φ₂₂r₂). The recursion runs on
+    * the ROUNDED ACF values both engines already agree on bit-for-bit
+    * (shared [[acfFrame]]/[[acfOracleCtes]] body), so the fixed-shape
+    * algebra is engine-identical by construction; rule-7 nullif on the
+    * constant-series denominators, the autocorr `+0.0` device on the
+    * outputs. Shape: the ACF pass + one |users|-sized pivot — nothing
+    * new touches the event grain.
+    */
+  q("ts_pacf",
+    s"""WITH $acfOracleCtes,
+      |piv AS (SELECT user_id,
+      |          max(CASE WHEN lag_k = 1 THEN acf END) AS r1,
+      |          max(CASE WHEN lag_k = 2 THEN acf END) AS r2,
+      |          max(CASE WHEN lag_k = 3 THEN acf END) AS r3
+      |        FROM acfv GROUP BY 1),
+      |dl AS (SELECT user_id, r1, r2, r3,
+      |         (r2 - r1*r1) / nullif(1.0 - r1*r1, 0) AS p22 FROM piv),
+      |dl2 AS (SELECT *, r1 * (1.0 - p22) AS p21 FROM dl)
+      |SELECT user_id, r1 AS acf1, r2 AS acf2, r3 AS acf3,
+      |       r1 AS pacf1,
+      |       round(p22, 6) + 0.0 AS pacf2,
+      |       round((r3 - p21*r2 - p22*r1)
+      |             / nullif(1.0 - p21*r1 - p22*r2, 0), 6) + 0.0 AS pacf3
+      |FROM dl2 ORDER BY user_id""") { (s, d) =>
+    val piv = acfFrame(s, d).groupBy("user_id").agg(
+      max(when(col("lag_k") === 1, col("acf"))).as("r1"),
+      max(when(col("lag_k") === 2, col("acf"))).as("r2"),
+      max(when(col("lag_k") === 3, col("acf"))).as("r3"))
+    val dl = piv
+      .withColumn("p22", (col("r2") - col("r1") * col("r1"))
+        / nullif(lit(1.0) - col("r1") * col("r1"), lit(0.0)))
+      .withColumn("p21", col("r1") * (lit(1.0) - col("p22")))
+    dl.select(col("user_id"),
+      col("r1").as("acf1"), col("r2").as("acf2"), col("r3").as("acf3"),
+      col("r1").as("pacf1"),
+      (round(col("p22"), 6) + lit(0.0)).as("pacf2"),
+      (round((col("r3") - col("p21") * col("r2") - col("p22") * col("r1"))
+        / nullif(lit(1.0) - col("p21") * col("r1") - col("p22") * col("r2"),
+          lit(0.0)), 6) + lit(0.0)).as("pacf3"))
+      .orderBy("user_id") // one row per user = input-sized
   }
 
   /** CUSUM changepoint detection per user series: the day where the

@@ -393,6 +393,50 @@ class OpsSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("ts_pacf: Durbin-Levinson consistency with ts_autocorr; AR(1) cuts off after lag 1") {
+    // cross-key consistency: recompute the recursion from ts_autocorr's
+    // own rounded outputs — the two keys must agree by construction
+    val acf = SparkEntry.queries("ts_autocorr")(spark, dir).collect()
+      .filter(!_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val got = SparkEntry.queries("ts_pacf")(spark, dir).collect()
+    got.foreach { r =>
+      val u = r.getLong(0)
+      (acf.get((u, 1L)), acf.get((u, 2L)), acf.get((u, 3L))) match {
+        case (Some(r1), Some(r2), Some(r3)) if math.abs(1.0 - r1 * r1) > 1e-12 =>
+          val p22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+          val p21 = r1 * (1.0 - p22)
+          assert(r.getDouble(4) == r1, s"user $u pacf1")
+          assert(math.abs(r.getDouble(5) - (r6(p22) + 0.0)) < 1e-9, s"user $u pacf2")
+          val den = 1.0 - p21 * r1 - p22 * r2
+          if (math.abs(den) > 1e-12)
+            assert(math.abs(r.getDouble(6) -
+              (r6((r3 - p21 * r2 - p22 * r1) / den) + 0.0)) < 1e-9, s"user $u pacf3")
+        case _ => // missing lags or degenerate series: outputs NULL, checked by oracle
+      }
+    }
+    // the identification property: an AR(1) series has pacf2 ≈ pacf3 ≈ 0
+    // while acf2 ≈ r1² stays visibly nonzero
+    import spark.implicits._
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ar1").toString
+    var x = 0.0
+    val rows = (0 until 400).map { t =>
+      val h = scala.util.hashing.MurmurHash3.stringHash(s"ar1-$t")
+      val noise = (((h % 1000) + 1000) % 1000) / 500.0 - 1.0
+      x = 0.6 * x + noise
+      (t.toLong, new java.sql.Timestamp(86400000L * t), 1L, "view", x)
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir2/events.parquet")
+    val ar = SparkEntry.queries("ts_pacf")(spark, dir2).collect()
+    assert(ar.length == 1)
+    val (a1, p2, p3) = (ar(0).getDouble(1), ar(0).getDouble(5), ar(0).getDouble(6))
+    assert(a1 > 0.35 && a1 < 0.8, s"AR(1) lag-1 acf $a1")
+    assert(math.abs(p2) < 0.15, s"AR(1) pacf2 must cut off: $p2")
+    assert(math.abs(p3) < 0.15, s"AR(1) pacf3 must cut off: $p3")
+  }
+
   test("text_bigram_kn matches a driver-side Kneser-Ney fold and is a PROPER distribution") {
     val docs = T(spark, dir, "documents").select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))

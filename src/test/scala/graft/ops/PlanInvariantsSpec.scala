@@ -861,6 +861,13 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"only the 1-row q_total cross may nested-loop:\n$p")
   }
 
+  test("ts_pacf: the recursion adds one user-sized pivot on top of the ACF pass") {
+    val p = plan(graft.SparkEntry.queries("ts_pacf")(spark, d))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pivot + algebra must not join:\n$p")
+    assert(p.contains("partial"), s"ACF moments must map-side combine:\n$p")
+  }
+
   test("ts_decay_sum: one map pass + one two-phase grouped aggregate") {
     val p = plan(graft.SparkEntry.queries("ts_decay_sum")(spark, d))
     assert(p.contains("partial"),

@@ -1258,6 +1258,50 @@ object WindowOps extends QueryModule {
     * then the 2⁻¹² grid ([[dy12]]) so the co-moment sums of PRODUCTS
     * stay within double's exact span.
     */
+  /** Time-weighted average value per user (TWAP — the feature-store /
+    * market-data standard: a plain avg over irregular events
+    * over-weights bursts, the time integral ∫v·dt / ∫dt weights each
+    * observation by how long it HELD): piecewise-constant-forward
+    * integral via one lead() window. ENTIRELY INTEGER until the final
+    * division (rule 6/12 without needing the grid): weights are LONG
+    * µs deltas, values integer cents, so every product and both
+    * per-user sums are exact BIGINTs in both engines at any
+    * accumulation order (cents·µs ≈ 1e14/term — a per-user history
+    * needs ~10⁴ YEARS of per-second events to threaten the 2⁶³
+    * bound); the single double division + round happens once per
+    * user. One series exchange; same-timestamp ties broken by
+    * event_id.
+    */
+  q("win_time_weighted_avg",
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+      |             CAST(round(value * 100) AS BIGINT) AS cents, event_id
+      |           FROM events),
+      |w AS (SELECT user_id, cents,
+      |        lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dt
+      |      FROM e),
+      |f AS (SELECT user_id, count(*) AS n_intervals,
+      |        CAST(sum(dt) AS BIGINT) AS span_us,
+      |        CAST(sum(cents * dt) AS BIGINT) AS wsum
+      |      FROM w WHERE dt IS NOT NULL GROUP BY 1)
+      |SELECT user_id, CAST(n_intervals AS BIGINT) AS n_intervals, span_us,
+      |       round(CAST(wsum AS DOUBLE) / nullif(100.0 * span_us, 0), 6) AS twap
+      |FROM f ORDER BY user_id""") { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    T(s, d, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        expr("cast(round(value * 100) as bigint)").as("cents"), col("event_id"))
+      .withColumn("dt", lead("us", 1).over(w) - col("us"))
+      .filter(col("dt").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum("dt").cast("long").as("span_us"),
+        sum(col("cents") * col("dt")).cast("long").as("wsum"))
+      .select(col("user_id"), col("n_intervals"), col("span_us"),
+        round(col("wsum").cast("double")
+          / nullif(lit(100.0) * col("span_us"), lit(0.0)), 6).as("twap"))
+      .orderBy("user_id") // one row per user = input-sized
+  }
+
   /** Shared lag-1..3 Pearson ACF CTE text (`acfv(user_id, lag_k,
     * acf)`) — consumed by the ts_autocorr oracle and replayed by the
     * ts_pacf oracle so both keys' inputs are the SAME rounded values.

@@ -393,6 +393,33 @@ class OpsSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("win_time_weighted_avg: crafted hold pattern — TWAP weights by duration, avg doesn't") {
+    // value 10 held for 9 time units, value 0 held for 1: TWAP = 9,
+    // plain avg of observations = 5 — the distinction the op exists for
+    import spark.implicits._
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_twap").toString
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    Seq((1L, ts(0), 1L, "view", 10.0), (2L, ts(9), 1L, "view", 0.0),
+      (3L, ts(10), 1L, "view", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir2/events.parquet")
+    val r = SparkEntry.queries("win_time_weighted_avg")(spark, dir2).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(1) == 2 && r(0).getLong(2) == 10L * 1000000)
+    assert(r(0).getDouble(3) == 9.0, s"TWAP ${r(0).getDouble(3)} != 9.0")
+    // real data: TWAP stays inside the per-user value envelope
+    val real = SparkEntry.queries("win_time_weighted_avg")(spark, dir).collect()
+    val env = T(spark, dir, "events").groupBy("user_id")
+      .agg(min("value").as("lo"), max("value").as("hi")).collect()
+      .map(r2 => r2.getLong(0) -> (r2.getDouble(1), r2.getDouble(2))).toMap
+    real.foreach { r2 =>
+      val (lo, hi) = env(r2.getLong(0))
+      val t = r2.getDouble(3)
+      assert(t >= lo - 0.01 && t <= hi + 0.01,
+        s"user ${r2.getLong(0)} twap $t outside [$lo, $hi]")
+    }
+  }
+
   test("ts_pacf: Durbin-Levinson consistency with ts_autocorr; AR(1) cuts off after lag 1") {
     // cross-key consistency: recompute the recursion from ts_autocorr's
     // own rounded outputs — the two keys must agree by construction

@@ -861,6 +861,14 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"only the 1-row q_total cross may nested-loop:\n$p")
   }
 
+  test("win_time_weighted_avg: one series exchange serves the lead and the aggregate") {
+    val p = plan(graft.SparkEntry.queries("win_time_weighted_avg")(spark, d))
+    assert(!p.contains("Join"), s"the integral must not join:\n$p")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size <= 1,
+      s"lead window and user aggregate must share one exchange:\n$p")
+    assert(p.contains("partial"), s"interval sums must map-side combine:\n$p")
+  }
+
   test("ts_pacf: the recursion adds one user-sized pivot on top of the ACF pass") {
     val p = plan(graft.SparkEntry.queries("ts_pacf")(spark, d))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -609,6 +609,70 @@ object GraphOps extends QueryModule {
     * (block tail → next block head). Cliques are the planted
     * communities; bridges are the weak links LPA must mostly ignore.
     */
+  /** Degree assortativity per nation (Newman 2002 — "do hubs attach
+    * to hubs?": the Pearson correlation of endpoint degrees over the
+    * DIRECTED (symmetrized) edge list; r > 0 social-network-like,
+    * r < 0 hub-and-spoke/technological — the one-number mixing
+    * diagnostic run right after the degree histogram): both endpoint
+    * degree sums and the co-moment accumulate as exact BIGINTs (the
+    * path-square graph's degrees are ≤ 4; in general exact while
+    * 2E·maxdeg² < 2⁶³ — with the adamic-adar deg-cap discipline that
+    * is E < 2.2e15 edges), then ONE fixed-shape closed-form Pearson
+    * over the cast sums (rule 5) with rule-7 nullif on the
+    * regular-graph zero variance. Shape: one degree agg + two
+    * vertex-keyed joins onto the edge list + one per-nation agg —
+    * all equi, nothing quadratic.
+    */
+  q("graph_assortativity",
+    """WITH c AS (SELECT c_custkey AS id, c_nationkey AS nk FROM customer),
+      |l AS (SELECT nk, id,
+      |             lead(id, 1) OVER (PARTITION BY nk ORDER BY id) AS n1,
+      |             lead(id, 2) OVER (PARTITION BY nk ORDER BY id) AS n2
+      |      FROM c),
+      |e AS (SELECT nk, id AS a, n1 AS b FROM l WHERE n1 IS NOT NULL
+      |      UNION ALL
+      |      SELECT nk, id AS a, n2 AS b FROM l WHERE n2 IS NOT NULL),
+      |sym AS (SELECT nk, a, b FROM e UNION ALL SELECT nk, b AS a, a AS b FROM e),
+      |deg AS (SELECT nk, v, count(*) AS deg FROM (
+      |          SELECT nk, a AS v FROM sym) t GROUP BY 1, 2),
+      |j AS (SELECT s.nk, da.deg AS x, db.deg AS y
+      |      FROM sym s JOIN deg da ON da.nk = s.nk AND da.v = s.a
+      |      JOIN deg db ON db.nk = s.nk AND db.v = s.b),
+      |m AS (SELECT nk, count(*) AS n,
+      |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |        CAST(sum(x*y) AS BIGINT) AS sxy,
+      |        CAST(sum(x*x) AS BIGINT) AS sx2, CAST(sum(y*y) AS BIGINT) AS sy2
+      |      FROM j GROUP BY 1)
+      |SELECT nk, CAST(n AS BIGINT) AS n_directed_edges,
+      |  round((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+      |        / nullif(sqrt(greatest((CAST(n AS DOUBLE)*sx2 - CAST(sx AS DOUBLE)*sx)
+      |                             * (CAST(n AS DOUBLE)*sy2 - CAST(sy AS DOUBLE)*sy), 0)), 0), 6)
+      |    + 0.0 AS assortativity
+      |FROM m ORDER BY nk""") { (s, d) =>
+    val e = leadEdges(s, d, withN2 = true, maxGap = None)
+    val sym = e.select(col("nk"), col("a"), col("b"))
+      .unionByName(e.select(col("nk"), col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("nk"), col("a").as("v"))
+      .agg(count(lit(1)).as("deg"))
+    sym
+      .join(deg.select(col("nk"), col("v").as("a"), col("deg").as("x")), Seq("nk", "a"))
+      .join(deg.select(col("nk"), col("v").as("b"), col("deg").as("y")), Seq("nk", "b"))
+      .groupBy("nk")
+      .agg(count(lit(1)).as("n"),
+        sum("x").cast("long").as("sx"), sum("y").cast("long").as("sy"),
+        sum(col("x") * col("y")).cast("long").as("sxy"),
+        sum(col("x") * col("x")).cast("long").as("sx2"),
+        sum(col("y") * col("y")).cast("long").as("sy2"))
+      .select(col("nk"), col("n").as("n_directed_edges"),
+        (round((col("n").cast("double") * col("sxy")
+            - col("sx").cast("double") * col("sy"))
+          / nullif(sqrt(greatest(
+            (col("n").cast("double") * col("sx2") - col("sx").cast("double") * col("sx"))
+              * (col("n").cast("double") * col("sy2") - col("sy").cast("double") * col("sy")),
+            lit(0.0))), lit(0.0)), 6) + lit(0.0)).as("assortativity"))
+      .reportSorted("nk") // 25 nations = catalog-sized
+  }
+
   /** Newman modularity of a given partition (Newman 2006: Q = Σ_c
     * [e_c/m − (d_c/2m)²]) — the SCORE side of community detection:
     * LPA (below) finds communities, modularity says whether a

@@ -509,6 +509,7 @@ object MultimodalOps extends QueryModule {
 
   final case class FeatureRow(doc_id: Long, features: Array[Float])
   final case class HistRow(doc_id: Long, bins: Array[Long])
+  final case class EdgeRow(doc_id: Long, w: Int, h: Int, n_h: Long, n_v: Long)
 
   /** mapPartitions with explicit batching — the JVM shape of
     * `mapInPandas`: the "model" here is the real PNG decoder + raster
@@ -551,6 +552,47 @@ object MultimodalOps extends QueryModule {
       .toDF()
   }
 
+  /** Thresholded-gradient edge density off the decoded raster (the
+    * |∇| > T count — the Sobel-family sharpness/blur proxy a vision
+    * triage pass uses to drop blurred or flat frames before the GPU
+    * stage): per image, horizontal and vertical neighbor-difference
+    * counts over |Δ| > 100 and their density over all gradient
+    * positions. Same batched codec slot; one integer raster pass; only
+    * (doc, counts) travel. On the synthetic mod-256 gradient ramp the
+    * only |Δ| > 100 positions are the wrap discontinuities, which is
+    * what lets the oracle replay the REAL generic gradient loop as a
+    * closed form — and why a decode error anywhere moves a count.
+    */
+  def edgeDensity(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val img = MediaCodec.decodePng(r.payload)
+            val ra = img.getRaster
+            val (w, h) = (img.getWidth, img.getHeight)
+            var nh = 0L
+            var nv = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = ra.getSample(x, y, 0)
+                if (x < w - 1 && math.abs(ra.getSample(x + 1, y, 0) - v) > 100) nh += 1
+                if (y < h - 1 && math.abs(ra.getSample(x, y + 1, 0) - v) > 100) nv += 1
+                x += 1
+              }
+              y += 1
+            }
+            EdgeRow(r.doc_id, w, h, nh, nv)
+          }
+        }
+      }
+      .toDF()
+  }
+
   def extractFeatures(media: DataFrame, dim: Int = 16, batchSize: Int = 64): DataFrame = {
     val s = media.sparkSession
     import s.implicits._
@@ -576,6 +618,30 @@ object MultimodalOps extends QueryModule {
     extractFeatures(mediaTable(s, d).filter(col("meta.kind") === "image"))
       .select(col("doc_id"), size(col("features")).as("dim"),
         round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+      .orderBy("doc_id") // one row per image doc = input-sized
+  }
+
+  q("mm_edge_density",
+    s"""WITH $imDimsSql,
+       |px AS (SELECT doc_id, w, h, i%w AS x, i//w AS y,
+       |              (31*doc_id + 7*(i%w) + 13*(i//w)) % 256 AS v
+       |       FROM im, unnest(generate_series(0, w*h - 1)) AS t(i))
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN x < w-1 AND v >= 249 THEN 1 ELSE 0 END) AS BIGINT) AS n_h,
+       |  CAST(sum(CASE WHEN y < h-1 AND v >= 243 THEN 1 ELSE 0 END) AS BIGINT) AS n_v,
+       |  round(CAST(sum(CASE WHEN x < w-1 AND v >= 249 THEN 1 ELSE 0 END)
+       |           + sum(CASE WHEN y < h-1 AND v >= 243 THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / ((w-1)*h + w*(h-1)), 6) AS edge_density
+       |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // the Spark side runs the GENERIC |neighbor diff| > 100 loop on the
+    // decoded raster; on the mod-256 ramp those are exactly the wrap
+    // positions (h: v >= 249, v: v >= 243) the oracle counts in closed
+    // form — the hash check therefore validates the real gradient pass
+    edgeDensity(mediaTable(s, d).filter(col("meta.kind") === "image"))
+      .select(col("doc_id"), col("n_h"), col("n_v"),
+        round((col("n_h") + col("n_v")).cast("double")
+          / ((col("w") - 1) * col("h") + col("w") * (col("h") - 1)), 6)
+          .as("edge_density"))
       .orderBy("doc_id") // one row per image doc = input-sized
   }
 

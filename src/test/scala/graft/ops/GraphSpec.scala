@@ -84,6 +84,47 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_assortativity matches a driver-side Pearson over edge-degree pairs") {
+    val byNk = customers.groupBy(_._2)
+    val expected = byNk.flatMap { case (nk, cs) =>
+      val ids = cs.map(_._1).sorted
+      val edges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      ids.indices.foreach { i =>
+        if (i + 1 < ids.length) edges += ((ids(i), ids(i + 1)))
+        if (i + 2 < ids.length) edges += ((ids(i), ids(i + 2)))
+      }
+      if (edges.isEmpty) None
+      else {
+        val sym = edges.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        val deg = sym.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+        val xs = sym.map { case (a, _) => deg(a) }
+        val ys = sym.map { case (_, b) => deg(b) }
+        val n = sym.size.toDouble
+        val (sx, sy) = (xs.sum.toDouble, ys.sum.toDouble)
+        val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum.toDouble
+        val (sx2, sy2) = (xs.map(x => x * x).sum.toDouble, ys.map(y => y * y).sum.toDouble)
+        val den = math.sqrt(math.max((n * sx2 - sx * sx) * (n * sy2 - sy * sy), 0))
+        val r = if (den == 0) None
+          else Some(math.floor((n * sxy - sx * sy) / den * 1e6 + 0.5) / 1e6 + 0.0)
+        Some(nk -> (sym.size.toLong, r))
+      }
+    }
+    val got = graft.SparkEntry.queries("graph_assortativity")(spark, dir).collect()
+      .map(r => r.getAs[Number](0).longValue() ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (nk, (m, r)) =>
+      assert(got(nk)._1 == m, s"nation $nk edge count")
+      (r, got(nk)._2) match {
+        case (Some(e), Some(g)) =>
+          assert(math.abs(e - g) < 1e-6, s"nation $nk r: $g vs $e")
+          assert(g >= -1.0 - 1e-9 && g <= 1.0 + 1e-9, s"nation $nk r out of [-1,1]")
+        case (None, None) =>
+        case other => fail(s"nation $nk null mismatch: $other")
+      }
+    }
+  }
+
   test("graph_modularity matches a driver-side Newman Q; planted partition scores high") {
     val byNk = customers.groupBy(_._2)
     val comm = scala.collection.mutable.Map.empty[Long, Long]

@@ -164,6 +164,27 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("edge density: generic gradient loop equals the wrap-position closed form") {
+    import MultimodalOps.MediaCodec
+    val rows = SparkEntryAccess.query("mm_edge_density")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nh, nv, density) =>
+      val (w, h) = ((16 * (id % 4 + 1)).toInt, (16 * (id % 3 + 1)).toInt)
+      var (eh, ev) = (0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = MediaCodec.pixel(id, x, y)
+        if (x < w - 1 && math.abs(MediaCodec.pixel(id, x + 1, y) - v) > 100) eh += 1
+        if (y < h - 1 && math.abs(MediaCodec.pixel(id, x, y + 1) - v) > 100) ev += 1
+      }
+      assert(nh == eh && nv == ev, s"doc $id edge counts ($nh,$nv) vs ($eh,$ev)")
+      val exp = math.floor((eh + ev).toDouble /
+        ((w - 1) * h + w * (h - 1)) * 1e6 + 0.5) / 1e6
+      assert(math.abs(density - exp) < 1e-9, s"doc $id density")
+    }
+    assert(rows.exists(_._2 > 0), "the mod-256 ramp must wrap somewhere")
+  }
+
   test("mm_jpeg_meta reports header dims for every image doc") {
     val out = SparkEntryAccess.query("mm_jpeg_meta")(spark, dir).collect()
     assert(out.nonEmpty)

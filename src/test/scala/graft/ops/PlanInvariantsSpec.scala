@@ -876,6 +876,13 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.contains("partial"), s"ACF moments must map-side combine:\n$p")
   }
 
+  test("graph_assortativity: degree joins equi; moments combine map-side") {
+    val p = plan(graft.SparkEntry.queries("graph_assortativity")(spark, d))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"degree joins must stay equi:\n$p")
+    assert(p.contains("partial"), s"edge-pair moments must map-side combine:\n$p")
+  }
+
   test("ts_decay_sum: one map pass + one two-phase grouped aggregate") {
     val p = plan(graft.SparkEntry.queries("ts_decay_sum")(spark, d))
     assert(p.contains("partial"),

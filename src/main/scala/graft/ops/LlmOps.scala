@@ -2130,6 +2130,52 @@ object LlmOps extends QueryModule {
       .reportSorted(col("pmi").desc, col("w1"), col("w2"))
   }
 
+  /** Word burstiness — variance-to-mean ratio of per-doc counts for
+    * the top-20 corpus words (Church & Gale 1995's deviation-from-
+    * Poisson: VMR ≈ 1 means a word scatters like noise (function
+    * words), VMR ≫ 1 means it CLUMPS into the few docs that are
+    * "about" it (content words) — the signal behind TF-IDF's df
+    * intuition and a topicality feature for quality scoring). Docs
+    * NOT containing the word enter as zeros via the identity
+    * Σ(x−x̄)² over all n docs = nΣx² − (Σx)² with sums taken over
+    * occurrences only — so no dense word×doc frame is ever built.
+    * Σx and Σx² are exact BIGINTs; VMR = (nΣx²−(Σx)²)/((n−1)Σx) is
+    * ONE fixed-shape expression over cast integers (rule 5). Shape:
+    * one token explode → two-phase (w, doc) count → vocab-sized agg;
+    * the top-20 rank runs on the VOCAB frame (bounded), the doc
+    * count is a 1-row broadcast.
+    */
+  q("text_burstiness",
+    """WITH tk AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents),
+      |     nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |     pc AS (SELECT w, doc_id, count(*) AS c FROM tk GROUP BY 1, 2),
+      |     agg AS (SELECT w, CAST(sum(c) AS BIGINT) AS sx,
+      |                    CAST(sum(c*c) AS BIGINT) AS sx2,
+      |                    count(*) AS ndocs FROM pc GROUP BY 1),
+      |     top AS (SELECT *, row_number() OVER (ORDER BY sx DESC, w) AS rn FROM agg)
+      |SELECT w, sx AS corpus_count, CAST(ndocs AS BIGINT) AS n_docs,
+      |       round((CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx)
+      |             / ((n - 1) * sx), 6) AS vmr
+      |FROM top, nd WHERE rn <= 20 ORDER BY corpus_count DESC, w""") { (s, d) =>
+    val tk = T(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val nd = T(s, d, "documents").agg(count(lit(1)).cast("long").as("n"))
+    val agg = tk.groupBy("w", "doc_id").agg(count(lit(1)).as("c"))
+      .groupBy("w")
+      .agg(sum("c").cast("long").as("sx"),
+        sum(col("c") * col("c")).cast("long").as("sx2"),
+        count(lit(1)).as("ndocs"))
+    agg.withColumn("rn", row_number().over( // vocab-sized frame by design
+        Window.orderBy(col("sx").desc, col("w").asc)))
+      .filter(col("rn") <= 20)
+      .crossJoin(broadcast(nd)) // 1-row doc count: genuinely bounded
+      .select(col("w"), col("sx").as("corpus_count"), col("ndocs").as("n_docs"),
+        round((col("n").cast("double") * col("sx2")
+            - col("sx").cast("double") * col("sx"))
+          / ((col("n") - 1) * col("sx")), 6).as("vmr"))
+      .reportSorted(col("corpus_count").desc, col("w"))
+  }
+
   /** Feature hashing / the hashing trick (Weinberger et al. 2009):
     * per-doc sparse term-count vector in a FIXED 1024-slot space —
     * slot = polyhash(token) mod 1024 — the vocabulary-free

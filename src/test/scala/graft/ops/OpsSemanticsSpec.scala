@@ -393,6 +393,35 @@ class OpsSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_burstiness matches a driver-side dense VMR including the zero docs") {
+    // driver reimplementation goes the DENSE way (explicit zeros for
+    // every doc) — proving the op's sparse nΣx²−(Σx)² identity right
+    val docs = T(spark, dir, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val n = docs.length
+    val perDoc = docs.map { case (_, t) =>
+      t.split(" ", -1).groupBy(w => w).map { case (w, xs) => w -> xs.length.toLong }
+    }
+    val corpus = perDoc.flatten.groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).sum }
+    val top = corpus.toSeq.sortBy { case (w, c) => (-c, w) }.take(20)
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = top.map { case (w, c) =>
+      val xs = perDoc.map(_.getOrElse(w, 0L).toDouble) // dense, zeros included
+      val mean = xs.sum / n
+      val varS = xs.map(x => (x - mean) * (x - mean)).sum / (n - 1)
+      w -> (c, perDoc.count(_.contains(w)).toLong, r6(varS / mean))
+    }.toMap
+    val got = SparkEntry.queries("text_burstiness")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == expected.keySet, "same top-20 word set")
+    expected.foreach { case (w, (c, ndw, vmr)) =>
+      val (gc, gn, gv) = got(w)
+      assert(gc == c && gn == ndw, s"word '$w' counts")
+      assert(math.abs(gv - vmr) < 1e-6, s"word '$w' vmr $gv vs $vmr")
+      assert(gv > 0, s"word '$w' vmr must be positive")
+    }
+  }
+
   test("win_time_weighted_avg: crafted hold pattern — TWAP weights by duration, avg doesn't") {
     // value 10 held for 9 time units, value 0 held for 1: TWAP = 9,
     // plain avg of observations = 5 — the distinction the op exists for

@@ -883,6 +883,14 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.contains("partial"), s"edge-pair moments must map-side combine:\n$p")
   }
 
+  test("text_burstiness: token counting combines map-side; only the 1-row doc count crosses") {
+    val p = plan(graft.SparkEntry.queries("text_burstiness")(spark, d))
+    assert(p.contains("partial"), s"(w, doc) counting must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"only the 1-row doc-count cross may nested-loop:\n$p")
+  }
+
   test("ts_decay_sum: one map pass + one two-phase grouped aggregate") {
     val p = plan(graft.SparkEntry.queries("ts_decay_sum")(spark, d))
     assert(p.contains("partial"),

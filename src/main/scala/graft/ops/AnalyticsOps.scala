@@ -379,6 +379,45 @@ object AnalyticsOps extends QueryModule {
         / nullif(var_samp("pre") * var_samp("post"), lit(0.0)), 6).as("var_reduction"))
   }
 
+  /** A/B sample-size calculation (the standard two-sample normal
+    * approximation: n per arm = 2(z_{α/2}+z_β)²σ²/δ², α = 0.05
+    * two-sided, power 80% — the "how long must this experiment run"
+    * answer every platform computes BEFORE launching; completes the
+    * design→run→analyze arc beside [[agg_cuped]] (variance reduction)
+    * and [[agg_delta_method_ratio]] (analysis)): per event_type, the
+    * user-level revenue metric's m/mean/variance and the users-per-arm
+    * needed to detect a 5% relative lift. z quantiles are LITERALS
+    * (1.959964, 0.841621 — constants of the test, not data), so the
+    * whole formula is one fixed-shape expression over the user-frame
+    * moments (var_samp round-6 absorption per the agg_corr precedent;
+    * round-6 BEFORE ceil so the integer step sits on an
+    * engine-identical value). Two chained two-phase aggs; nothing
+    * bigger than the user frame ever shuffles.
+    */
+  q("agg_power_analysis",
+    """WITH u AS (SELECT event_type, user_id, sum(value) AS x
+      |           FROM events GROUP BY 1, 2),
+      |v AS (SELECT event_type, count(*) AS m, avg(x) AS mu, var_samp(x) AS s2
+      |      FROM u GROUP BY 1)
+      |SELECT event_type, CAST(m AS BIGINT) AS m_users,
+      |       round(mu, 6) AS mean_x, round(s2, 6) AS var_x,
+      |       CAST(ceil(round(
+      |         2 * ((1.959964 + 0.841621) * (1.959964 + 0.841621)) * s2
+      |         / nullif((0.05 * mu) * (0.05 * mu), 0), 6)) AS BIGINT) AS n_per_arm
+      |FROM v ORDER BY event_type""") { (s, d) =>
+    val u = T(s, d, "events")
+      .groupBy("event_type", "user_id").agg(sum("value").as("x"))
+    u.groupBy("event_type")
+      .agg(count(lit(1)).as("m"), avg("x").as("mu"), var_samp("x").as("s2"))
+      .select(col("event_type"), col("m").as("m_users"),
+        round(col("mu"), 6).as("mean_x"), round(col("s2"), 6).as("var_x"),
+        ceil(round(lit(2) * ((lit(1.959964) + lit(0.841621))
+            * (lit(1.959964) + lit(0.841621))) * col("s2")
+          / nullif((lit(0.05) * col("mu")) * (lit(0.05) * col("mu")), lit(0.0)), 6))
+          .cast("long").as("n_per_arm"))
+      .reportSorted("event_type") // 5 event types = report-sized
+  }
+
   /** Delta-method standard error for RATIO metrics under user-level
     * randomization (Deng, Knoblich & Lu 2017 — the experimentation-
     * platform standard beside [[agg_cuped]]'s variance reduction):

@@ -393,6 +393,36 @@ class OpsSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_power_analysis matches a driver-side calculator; power algebra sane") {
+    val evs = T(spark, dir, "events")
+      .select("event_type", "user_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val z = 1.959964 + 0.841621
+    val expected = evs.groupBy(_._1).map { case (et, es) =>
+      val xs = es.groupBy(_._2).values.map(_.map(_._3).sum).toSeq
+      val m = xs.length
+      val mu = xs.sum / m
+      val s2 = xs.map(v => (v - mu) * (v - mu)).sum / (m - 1)
+      et -> (m.toLong, r6(mu), r6(s2),
+        math.ceil(r6(2 * (z * z) * s2 / ((0.05 * mu) * (0.05 * mu)))).toLong)
+    }
+    val got = SparkEntry.queries("agg_power_analysis")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (et, (m, mu, s2, n)) =>
+      val (gm, gmu, gs2, gn) = got(et)
+      assert(gm == m, s"$et m_users")
+      assert(math.abs(gmu - mu) < 1e-6 && math.abs(gs2 - s2) < 1e-4, s"$et moments")
+      assert(gn == n, s"$et n_per_arm $gn vs $n")
+      // detecting a 5% lift on a noisy per-user metric needs MORE users
+      // than one experiment's arm has at this SF — the calculator must
+      // not claim a free lunch (CV > ~0.25 here ⇒ n ≫ m is expected)
+      assert(gn > 0, s"$et n_per_arm positive")
+    }
+  }
+
   test("text_burstiness matches a driver-side dense VMR including the zero docs") {
     // driver reimplementation goes the DENSE way (explicit zeros for
     // every doc) — proving the op's sparse nΣx²−(Σx)² identity right

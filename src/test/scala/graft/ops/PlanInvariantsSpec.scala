@@ -891,6 +891,13 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"only the 1-row doc-count cross may nested-loop:\n$p")
   }
 
+  test("agg_power_analysis: two chained two-phase aggs, no join") {
+    val p = plan(graft.SparkEntry.queries("agg_power_analysis")(spark, d))
+    assert(!p.contains("Join"), s"the calculator must not join:\n$p")
+    assert(p.contains("partial"),
+      s"user and type aggregation must map-side combine:\n$p")
+  }
+
   test("ts_decay_sum: one map pass + one two-phase grouped aggregate") {
     val p = plan(graft.SparkEntry.queries("ts_decay_sum")(spark, d))
     assert(p.contains("partial"),

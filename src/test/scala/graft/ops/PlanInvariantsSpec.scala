@@ -792,13 +792,21 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"exactly one documents scan:\n$p")
   }
 
-  test("win_event_pattern: one user exchange; collect_list partials merge map-side") {
+  test("win_event_pattern: streaming DFA fold — no collect_list, one user exchange") {
     val p = plan(graft.SparkEntry.queries("win_event_pattern")(spark, d))
     assert(!p.contains("Join"), s"pattern matching must not join:\n$p")
     assert("hashpartitioning\\(user_id".r.findAllIn(p).size <= 1,
       s"exactly one user-keyed exchange expected:\n$p")
-    assert(p.contains("partial_collect_list") || p.contains("partial"),
-      s"sequence assembly must merge partials map-side:\n$p")
+    // r13 unbounded-group form: repartition(user) + sortWithinPartitions
+    // + O(1)-state DFA mapPartitions — a collect_list aggregate would
+    // reintroduce the group-fits-in-memory contract (r12 verdict #1)
+    assert(!p.contains("collect_list"),
+      s"no per-user sequence materialization allowed:\n$p")
+    assert(raw"Sort \[user_id#\d+L ASC NULLS FIRST, us#\d+L ASC NULLS FIRST, event_id#\d+L ASC NULLS FIRST\], false".r
+      .findFirstIn(p).nonEmpty,
+      s"expected an in-partition (spillable) (user,ts,event) sort:\n$p")
+    assert(p.contains("MapPartitions"),
+      s"expected the streaming DFA fold operator:\n$p")
   }
 
   test("graph_ppr_seeded: rounds are checkpoint-materialized; final plan reads the checkpoint") {

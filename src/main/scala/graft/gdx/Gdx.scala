@@ -468,12 +468,22 @@ object Gdx {
         .select("acr_index", "name", "text").collect()
         .map(r => GdxAcronym(r.getInt(0), r.getString(1),
           Option(r.getString(2)).getOrElse(""))))
-      all.groupBy(_.index).toSeq.sortBy(_._1).map { case (idx, as) =>
+      val byIdx = all.groupBy(_.index).toSeq.sortBy(_._1).map { case (idx, as) =>
         require(as.map(_.name.toLowerCase(java.util.Locale.ROOT)).distinct.size == 1,
           s"gdx merge: acronym index $idx names differ across files: " +
             as.map(_.name).distinct.mkString(", "))
         as.head
       }
+      // the converse check: the same NAME under two different indices
+      // would give one logical acronym two sentinel values in the
+      // merged data — reject it, mirroring GdxBuilder.addAcronym's
+      // case-insensitive name uniqueness
+      byIdx.groupBy(_.name.toLowerCase(java.util.Locale.ROOT)).foreach {
+        case (n, as) => require(as.size == 1,
+          s"gdx merge: acronym name $n registered under different " +
+            s"indices across files: ${as.map(_.index).mkString(", ")}")
+      }
+      byIdx
     }
     // lossless for ANY legal name/text: metacharacters escape through
     // the writer option (GdxWriteLayout.escapeAcronyms/parseAcronyms)

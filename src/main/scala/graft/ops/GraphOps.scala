@@ -701,7 +701,7 @@ object GraphOps extends QueryModule {
       |inter AS (SELECT h1.tid AS a, h2.hid AS b FROM heads h1
       |          JOIN heads h2 ON h2.nk = h1.nk AND h2.b = h1.b + 1),
       |e AS (SELECT a, b FROM intra UNION ALL SELECT a, b FROM inter),
-      |cm AS (SELECT id, nk * 1000 + b AS comm FROM blk0),
+      |cm AS (SELECT id, nk * 1000000 + b AS comm FROM blk0),
       |mt AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM e),
       |ic AS (SELECT ca.comm AS comm, count(*) AS e_c
       |       FROM e JOIN cm ca ON ca.id = e.a JOIN cm cb ON cb.id = e.b
@@ -732,7 +732,16 @@ object GraphOps extends QueryModule {
       .select(col("c_custkey").as("id"), col("c_nationkey").as("nk"))
       .withColumn("rk", row_number().over(w) - 1)
       .withColumn("b", (col("rk") / 6).cast("long"))
-    val cm = blk0.select(col("id"), (col("nk") * 1000 + col("b")).as("comm"))
+    // community key = nk·10⁶ + block: the multiplier bounds blocks per
+    // nation at 10⁶ (6M customers/nation — far past sf100); the guard
+    // makes a breach a loud task failure, not a silent community fuse
+    // (both engines would collide identically, so the hash gate could
+    // never catch it)
+    val cm = blk0.select(col("id"),
+      when(col("b") < lit(1000000L), col("nk") * 1000000L + col("b"))
+        .otherwise(raise_error(concat(
+          lit("graph_modularity: block id overflows the community key: "),
+          col("b").cast("string")))).as("comm"))
     val e = blockEdges(s, d).localCheckpoint() // three consumers, one build
     val mt = e.agg(count(lit(1)).cast("double").as("m"))
     val ic = e

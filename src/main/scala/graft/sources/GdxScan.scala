@@ -287,22 +287,30 @@ class GdxUelReader(paths: Seq[String], required: StructType)
 
 /** Emits the acronym table (gdxAcronymCount/gdxAcronymGetInfo view):
   * one (acr_index, name, text) row per registered acronym. Sharded
-  * datasets merge by index with first-appearance-wins (sorted shard
-  * paths) — the sharded writer stamps every shard with the same table,
-  * so a disagreement only arises in hand-assembled dirs. Header-only
-  * reads, no record blobs touched.
+  * datasets merge by index; a shard registering a DIFFERENT
+  * (name, text) under an already-seen index fails loudly — the same
+  * contract [[graft.gdx.Gdx.merge]] enforces (a silent first-wins
+  * would rename sentinel values in a hand-assembled dir; the sharded
+  * writer stamps every shard with the same table, so legitimate data
+  * never trips this). Header-only reads, no record blobs touched.
   */
 class GdxAcronymReader(paths: Seq[String], required: StructType)
     extends PartitionReader[InternalRow] {
   private val acrs: Iterator[graft.gdx.GdxAcronym] = {
-    val seen = scala.collection.mutable.HashSet.empty[Int]
-    val out = Vector.newBuilder[graft.gdx.GdxAcronym]
+    val seen = scala.collection.mutable.HashMap.empty[Int, graft.gdx.GdxAcronym]
     paths.sorted.foreach { p =>
       GdxCodec.readHeader(p).acronyms.foreach { a =>
-        if (seen.add(a.index)) out += a
+        seen.get(a.index) match {
+          case None => seen(a.index) = a
+          case Some(prev) =>
+            if (prev.name != a.name || prev.text != a.text)
+              throw new IllegalArgumentException(
+                s"gdx: acronym index ${a.index} disagrees across shards: " +
+                  s"(${prev.name}, ${prev.text}) vs (${a.name}, ${a.text}) in $p")
+        }
       }
     }
-    out.result().sortBy(_.index).iterator
+    seen.values.toVector.sortBy(_.index).iterator
   }
   private var cur: graft.gdx.GdxAcronym = _
 

@@ -268,7 +268,11 @@ object GdxManifest {
             val recs =
               try graft.gdx.GdxCodec.readHeader(new File(path, n).getPath)
                 .metas.map(_.records.toLong).sum
-              catch { case _: java.io.IOException => 0L }
+              // NonFatal, not just IOException: a stray non-GDX *.gdx
+              // file makes readHeader throw IllegalArgumentException
+              // (bad magic) — adoption must still proceed with
+              // records:0 instead of failing the first driver commit
+              catch { case scala.util.control.NonFatal(_) => 0L }
             n -> s"""{"file":"${js(n)}","records":$recs}"""
           }
         }

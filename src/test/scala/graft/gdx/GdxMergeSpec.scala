@@ -280,5 +280,22 @@ class GdxMergeSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       Gdx.merge(spark, Seq(a, c), s"$t/conflict"))
     assert(e.getMessage.contains("acronym index 10"))
+
+    // the CONVERSE conflict: same NAME under two different indices —
+    // both rows would enter the merged table and one logical acronym
+    // would own two sentinel values; must reject (case-insensitively,
+    // mirroring GdxBuilder.addAcronym). The builder allocates indices
+    // sequentially so this shape only arises in hand-crafted files —
+    // craft one with HIGH at index 11 and nothing at 10.
+    val db = new GdxBuilder()
+    db.addSymbol("p", SymbolType.Parameter, 1,
+      Seq((Seq("w"), Array(SpecialValues.acronymValue(11)), None)))
+    GdxCodec.write(
+      db.result().copy(acronyms = Vector(GdxAcronym(11, "HIGH", ""))),
+      s"$t/d.gdx")
+    val e2 = intercept[IllegalArgumentException](
+      Gdx.merge(spark, Seq(a, s"$t/d.gdx"), s"$t/conflict2"))
+    assert(e2.getMessage.toLowerCase.contains("high") &&
+      e2.getMessage.contains("different"))
   }
 }

@@ -770,6 +770,48 @@ class GdxSourceSpec extends AnyFunSuite {
       "pre-existing rows were unpublished by the manifest-creating append")
   }
 
+  test("manifest-creating append adopts a stray non-GDX *.gdx with records:0") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // a non-GDX file wearing the extension: readHeader throws
+    // IllegalArgumentException (bad magic), not IOException — adoption
+    // must still proceed with records:0 instead of failing the commit
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir.toString, "junk.gdx"),
+      "not a gdx file at all".getBytes("UTF-8"))
+    val b = new graft.gdx.GdxBuilder()
+    b.addSymbol("s", graft.gdx.SymbolType.Parameter, 1,
+      Seq((Seq("old1"), Array(1.0), None)))
+    graft.gdx.GdxCodec.write(b.result(), s"$dir/shard-pre.gdx")
+    Seq(("new1", 3.0)).toDF("dim_1", "value")
+      .write.format("gdx").mode("append").option("symbol", "s").save(dir.toString)
+    val names = GdxManifest.files(dir.toString).getOrElse(Nil)
+    assert(names.contains("junk.gdx") && names.contains("shard-pre.gdx"),
+      s"adoption dropped a listed file: $names")
+  }
+
+  test("sharded acronym tables disagreeing on an index fail loudly") {
+    val dir = tmpDir()
+    def shard(n: String, acr: graft.gdx.GdxAcronym): Unit = {
+      val b = new graft.gdx.GdxBuilder()
+      b.addSymbol("p", graft.gdx.SymbolType.Parameter, 1,
+        Seq((Seq(n), Array(graft.gdx.SpecialValues.acronymValue(10)), None)))
+      graft.gdx.GdxCodec.write(b.result().copy(acronyms = Vector(acr)),
+        s"$dir/$n.gdx")
+    }
+    shard("a", graft.gdx.GdxAcronym(10, "high", ""))
+    shard("b", graft.gdx.GdxAcronym(10, "low", ""))
+    // first-appearance-wins would silently rename shard b's sentinels;
+    // the reader must reject the disagreement (same contract as merge)
+    val e = intercept[Exception] {
+      graft.gdx.Gdx.acronyms(spark, dir.toString).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("acronym index 10")), s"unexpected failure: $e")
+  }
+
   test("empty append neither creates nor rewrites a manifest") {
     val dir = tmpDir()
     val b = new GdxBuilder()

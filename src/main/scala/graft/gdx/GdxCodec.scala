@@ -15,9 +15,9 @@ import java.util.zip.{Deflater, DeflaterOutputStream, InflaterInputStream}
   * GAMS-produced files exist in this environment — SURVEY.md §0) and
   * gated on round-trip property tests (GdxCodecSpec).
   *
-  * Layout (v2, magic "GRFTGDX2"):
+  * Layout (v3, magic "GRFTGDX3"):
   * {{{
-  * magic "GRFTGDX2" | producer UTF | compressed byte
+  * magic "GRFTGDX3" | producer UTF | compressed byte
   * uelCount varint  | uel UTF ×N
   * acrCount varint  | per acronym: index varint, name UTF, text UTF
   * symCount varint
@@ -29,7 +29,9 @@ import java.util.zip.{Deflater, DeflaterOutputStream, InflaterInputStream}
   * {{{
   * textPoolCount varint | text UTF ×N          (set associated texts)
   * blockCount varint
-  * per block: recCount varint | minKey1 varint | maxKey1 varint | blobLen varint
+  * per block: recCount varint
+  *          | per dim d: minKey_d varint, maxKey_d varint   (zone map)
+  *          | blobLen varint
   * block blobs back-to-back (each independently zlib-deflated when compressed=1)
   * }}}
   * Inside a block, per record: firstChanged byte, then varint keys for
@@ -37,22 +39,29 @@ import java.util.zip.{Deflater, DeflaterOutputStream, InflaterInputStream}
   * parameter: 1 double; var/equ: 5 doubles). Doubles are raw IEEE bits.
   * Delta encoding RESETS at each block boundary, so every block is
   * independently decodable — that is what buys the sparse BLOCK INDEX:
-  * `minKey1/maxKey1` are the block's first-dimension UEL-index range,
-  * and a pushed dim_1 label filter skips whole blocks without inflating
-  * them (records-decoded drops from |symbol| to |matching blocks| —
-  * the sorted-first-dim range skip a 100 TB slice needs). Symbol data
-  * sections are independently decodable given the UEL table — the DSv2
-  * scan plans one InputPartition per symbol and skips other sections
-  * via dataLen without decompressing them.
+  * each block carries a PER-DIMENSION (min,max) UEL-index ZONE MAP
+  * (2·dim varints — still noise next to 4096 records), and a pushed
+  * label filter on ANY dimension skips whole blocks without inflating
+  * them. dim_1 pruning is range-exact (writer paths emit sorted,
+  * dim_1-clustered records, so a one-label slice decodes ~one block —
+  * the sorted-first-dim range skip a 100 TB slice needs); dim_2+ zone
+  * maps prune exactly like parquet column min/max stats — best when a
+  * dim_1 run spans many blocks, never worse than no index (superset
+  * pass, the per-record filter still applies). Symbol data sections
+  * are independently decodable given the UEL table — the DSv2 scan
+  * plans one InputPartition per symbol and skips other sections via
+  * dataLen without decompressing them.
   *
-  * v1 files ("GRFTGDX1": no acronym table; one deflate stream per
-  * symbol with the text pool inside, no block index) remain readable;
-  * the writer always emits v2.
+  * Older files remain readable: v2 ("GRFTGDX2": block index carries
+  * dim_1 (min,max) only — dims 2+ degrade to full-range) and v1
+  * ("GRFTGDX1": no acronym table; one deflate stream per symbol with
+  * the text pool inside, no block index). The writer always emits v3.
   */
 object GdxCodec {
 
   val Magic: Array[Byte] = "GRFTGDX1".getBytes(StandardCharsets.US_ASCII)
   val Magic2: Array[Byte] = "GRFTGDX2".getBytes(StandardCharsets.US_ASCII)
+  val Magic3: Array[Byte] = "GRFTGDX3".getBytes(StandardCharsets.US_ASCII)
 
   /** Records per data block (v2). Small enough that a block inflates in
     * L2-cache-sized chunks and a one-label slice decodes ~one block;
@@ -170,7 +179,7 @@ object GdxCodec {
     var fullyWritten = false
     val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(tmp), 1 << 16))
     try {
-      out.write(Magic2)
+      out.write(Magic3)
       out.writeUTF(container.producer)
       out.writeBoolean(compress)
       writeVarInt(out, container.uels.size)
@@ -232,10 +241,13 @@ object GdxCodec {
       i < n && a.keys(i) < b.keys(i)
     }
 
-  /** One v2 block's index entry: record count, first-dim UEL-index
-    * range, and the (possibly deflated) blob length in bytes.
+  /** One block's index entry: record count, per-dimension UEL-index
+    * zone map (mins(d)..maxs(d) — v2 files carry dim_1 only, the rest
+    * degrade to full range), and the (possibly deflated) blob length
+    * in bytes.
     */
-  private[gdx] final case class BlockMeta(recCount: Int, minK: Int, maxK: Int, len: Int)
+  private[gdx] final case class BlockMeta(recCount: Int, mins: Vector[Int],
+      maxs: Vector[Int], len: Int)
 
   /** Shared per-record block encoder: delta-encodes records into
     * independently-deflated fixed-record-count blocks, tracking each
@@ -254,8 +266,9 @@ object GdxCodec {
     private val cur = new DataOutputStream(curBuf)
     private var prev: Array[Int] = null
     private var count = 0
-    private var minK = Int.MaxValue
-    private var maxK = -1
+    // per-dim zone map of the in-flight block
+    private val minD = Array.fill(math.max(dim, 1))(Int.MaxValue)
+    private val maxD = Array.fill(math.max(dim, 1))(-1)
 
     /** `textCode` = pool index + 1, or 0 for no text (sets only). */
     def add(keys: Array[Int], values: Array[Double], textCode: Int): Unit = {
@@ -282,9 +295,11 @@ object GdxCodec {
           }
       }
       prev = keys
-      if (dim > 0) {
-        if (keys(0) < minK) minK = keys(0)
-        if (keys(0) > maxK) maxK = keys(0)
+      var d = 0
+      while (d < dim) {
+        if (keys(d) < minD(d)) minD(d) = keys(d)
+        if (keys(d) > maxD(d)) maxD(d) = keys(d)
+        d += 1
       }
       count += 1
       if (count == blockSize) flushBlock()
@@ -310,20 +325,23 @@ object GdxCodec {
         } else rawBytes
       sink.write(outBytes)
       metas += BlockMeta(count,
-        if (dim > 0) minK else 0, if (dim > 0) maxK else 0, outBytes.length)
+        Vector.tabulate(dim)(minD(_)), Vector.tabulate(dim)(maxD(_)),
+        outBytes.length)
       curBuf.reset()
       // delta reset: every block decodes independently (the skip contract)
       prev = null
       count = 0
-      minK = Int.MaxValue
-      maxK = -1
+      java.util.Arrays.fill(minD, Int.MaxValue)
+      java.util.Arrays.fill(maxD, -1)
     }
 
     /** Flush the trailing partial block and return the block index. */
     def finish(): Vector[BlockMeta] = { flushBlock(); metas.result() }
   }
 
-  /** Serialize a v2 data-section header (text pool + block index). */
+  /** Serialize a v3 data-section header (text pool + block index with
+    * per-dim zone maps).
+    */
   private[gdx] def writeSectionHeader(d: DataOutputStream,
       texts: Iterable[String], metas: Seq[BlockMeta]): Unit = {
     writeVarInt(d, texts.size)
@@ -331,8 +349,12 @@ object GdxCodec {
     writeVarInt(d, metas.size)
     metas.foreach { m =>
       writeVarInt(d, m.recCount)
-      writeVarInt(d, m.minK)
-      writeVarInt(d, m.maxK)
+      var i = 0
+      while (i < m.mins.length) {
+        writeVarInt(d, m.mins(i))
+        writeVarInt(d, m.maxs(i))
+        i += 1
+      }
       writeVarInt(d, m.len)
     }
   }
@@ -380,7 +402,8 @@ object GdxCodec {
       val magic = new Array[Byte](Magic.length)
       in.readFully(magic)
       val version =
-        if (magic.sameElements(Magic2)) 2
+        if (magic.sameElements(Magic3)) 3
+        else if (magic.sameElements(Magic2)) 2
         else if (magic.sameElements(Magic)) 1
         else throw new IllegalArgumentException(s"not a graft GDX file: $path")
       val producer = in.readUTF()
@@ -428,21 +451,22 @@ object GdxCodec {
     * table + block index) regardless of shard size (the eager Vector
     * form would make task memory proportional to shard records).
     *
-    * `dim1Allowed`: admissible first-dimension UEL indices from a pushed
-    * label filter. On v2 files, blocks whose [minKey1, maxKey1] range
-    * contains none of them are SKIPPED WITHOUT INFLATING — the sorted
-    * first-dim range skip (writer paths emit dim_1-clustered records, so
-    * a one-label slice decodes ~one block out of records/4096). A
+    * `dimAllowed`: admissible UEL indices per dimension (0-based) from
+    * pushed label filters. Blocks whose zone map excludes every allowed
+    * index on ANY filtered dimension are SKIPPED WITHOUT INFLATING —
+    * dim_1 range-exactly (writer paths emit dim_1-clustered records, so
+    * a one-label slice decodes ~one block out of records/4096), dims 2+
+    * via the v3 per-dim zone map (parquet-stats-style pruning). A
     * SUPERSET pass: the per-record filter (reader `keep`) still applies.
-    * v1 files decode fully (no index) — the filter stays correct via
-    * the reader's per-record check.
+    * v2 files prune on dim_1 only; v1 files decode fully (no index) —
+    * the filter stays correct via the reader's per-record check.
     */
   def openRecordStream(path: String, header: Header, meta: SymbolMeta,
-      dim1Allowed: Option[Set[Int]] = None): GdxRecordStream =
-    new GdxRecordStream(path, header.compressed, header.version, meta, dim1Allowed)
+      dimAllowed: Map[Int, Set[Int]] = Map.empty): GdxRecordStream =
+    new GdxRecordStream(path, header.compressed, header.version, meta, dimAllowed)
 
   final class GdxRecordStream private[GdxCodec] (path: String, compressed: Boolean,
-      version: Int, meta: SymbolMeta, dim1Allowed: Option[Set[Int]])
+      version: Int, meta: SymbolMeta, dimAllowed: Map[Int, Set[Int]])
       extends Iterator[GdxRecord] with java.io.Closeable {
     private val fin = new FileInputStream(path)
     /** Records this stream actually decoded (observability: block skip). */
@@ -460,19 +484,38 @@ object GdxCodec {
         }
         val bounded = new BoundedInputStream(fin, meta.dataLen)
         if (version >= 2) {
-          // v2: uncompressed section header (text pool + block index),
-          // then independently-deflated block blobs
+          // v2/v3: uncompressed section header (text pool + block
+          // index), then independently-deflated block blobs
           val din = new DataInputStream(new BufferedInputStream(bounded, 1 << 16))
           val ts = Vector.fill(readVarInt(din))(din.readUTF())
-          val bs = Vector.fill(readVarInt(din))(
-            BlockMeta(readVarInt(din), readVarInt(din), readVarInt(din), readVarInt(din)))
+          val bs = Vector.fill(readVarInt(din)) {
+            val rc = readVarInt(din)
+            if (version >= 3) {
+              // per-dim zone map
+              val mins = new Array[Int](meta.dim)
+              val maxs = new Array[Int](meta.dim)
+              var i = 0
+              while (i < meta.dim) {
+                mins(i) = readVarInt(din); maxs(i) = readVarInt(din); i += 1
+              }
+              BlockMeta(rc, mins.toVector, maxs.toVector, readVarInt(din))
+            } else {
+              // v2 carries dim_1 only; dims 2+ degrade to full range
+              val (lo, hi) = (readVarInt(din), readVarInt(din))
+              val mins = Vector.tabulate(meta.dim)(i => if (i == 0) lo else 0)
+              val maxs = Vector.tabulate(meta.dim)(i =>
+                if (i == 0) hi else Int.MaxValue)
+              BlockMeta(rc, mins, maxs, readVarInt(din))
+            }
+          }
           (din, ts, bs)
         } else {
           // v1: one deflate stream for the whole symbol, pool inside
           val din = new DataInputStream(new BufferedInputStream(
             if (compressed) new InflaterInputStream(bounded) else bounded, 1 << 16))
           val ts = Vector.fill(readVarInt(din))(din.readUTF())
-          (din, ts, Vector(BlockMeta(meta.records, 0, Int.MaxValue, -1)))
+          (din, ts, Vector(BlockMeta(meta.records,
+            Vector.fill(meta.dim)(0), Vector.fill(meta.dim)(Int.MaxValue), -1)))
         }
       } catch {
         case e: Throwable => fin.close(); throw e
@@ -489,12 +532,13 @@ object GdxCodec {
     private var blockInflater: java.util.zip.Inflater = null
     if (version < 2) remaining = meta.records
 
-    private def blockMatches(b: BlockMeta): Boolean = dim1Allowed match {
-      case Some(allowed) if meta.dim > 0 =>
-        // small allowed sets (pushed labels) → iterate the set, not the range
-        allowed.exists(k => k >= b.minK && k <= b.maxK)
-      case _ => true
-    }
+    private def blockMatches(b: BlockMeta): Boolean =
+      dimAllowed.forall { case (d, allowed) =>
+        // small allowed sets (pushed labels) → iterate the set, not the
+        // range; a dim past this symbol's arity never filters
+        d >= meta.dim ||
+          allowed.exists(k => k >= b.mins(d) && k <= b.maxs(d))
+      }
 
     /** Position `in` inside a block with records left; false when the
       * section is exhausted. v2 only (v1 never calls: remaining covers

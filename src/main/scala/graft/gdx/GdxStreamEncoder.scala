@@ -103,7 +103,7 @@ final class GdxStreamEncoder(finalPath: String, name: String, typ: Int, dim: Int
       val out = new DataOutputStream(
         new BufferedOutputStream(new FileOutputStream(inProgress), 1 << 16))
       try {
-        out.write(GdxCodec.Magic2)
+        out.write(GdxCodec.Magic3)
         out.writeUTF(producer)
         out.writeBoolean(compress)
         GdxCodec.writeVarInt(out, uels.size)

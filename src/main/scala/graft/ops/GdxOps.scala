@@ -27,8 +27,11 @@ object GdxOps extends QueryModule {
     * in tmp across JVM runs, so without a version a stale fixture from
     * an older build would be silently reused by a newer one.
     * v2: acronym table + `acr` symbol (round 12).
+    * v3: codec v3 per-dim zone maps (round 13) — content identical but
+    * the container format changed, and gdx_sliced_scan_dim2's skip
+    * path should exercise v3 files, not stale v2 leftovers.
     */
-  private val fixtureVersion = 2
+  private val fixtureVersion = 3
 
   /** Fixture dir keyed on basename PLUS a content fingerprint
     * (size+mtime of the source parquet dirs, the TokenizerOps.corpusKey
@@ -358,6 +361,28 @@ object GdxOps extends QueryModule {
       .filter(lower(col("dim_1")) === "canada")
       .select("dim_1", "value")
       .orderBy("dim_1")
+  }
+
+  /** [[gdx_sliced_scan]]'s NON-LEADING-dimension twin: a pushed dim_2
+    * label slice through the codec-v3 per-dim block zone maps. dim_1
+    * pruning rides the sort order (range-exact); dim_2 is NOT
+    * clustered, so this is parquet-stats-style pruning — blocks whose
+    * dim_2 (min,max) UEL-index range excludes the label never inflate
+    * (GdxAcronymBlockSpec pins the decode-counter drop with a small
+    * blockSize; at registry SFs natreg is single-block and the row
+    * pins EXACTNESS of the superset-pass + residual stack instead).
+    */
+  q("gdx_sliced_scan_dim2",
+    """SELECT n.n_name AS dim_1, r.r_name AS dim_2,
+      |       CAST(n.n_nationkey AS DOUBLE) AS value
+      |FROM nation n JOIN region r
+      |  ON r.r_regionkey = n.n_regionkey % (SELECT count(*) FROM region)
+      |WHERE lower(r.r_name) = 'africa' ORDER BY dim_1, dim_2""") { (s, d) =>
+    val dir = ensureFixtures(s, d)
+    Gdx.symbol(s, s"$dir/file1.gdx", "natreg")
+      .filter(lower(col("dim_2")) === "africa")
+      .select("dim_1", "dim_2", "value")
+      .orderBy("dim_1", "dim_2")
   }
 
   // ------------------------------------------------- special values

@@ -389,13 +389,14 @@ class GdxSymbolReader(path: String, symbol: String, fullSchema: StructType,
   private val shardCanMatch = dimFilters.valuesIterator.forall(_.nonEmpty)
 
   // streaming decode: records inflate one at a time — task memory is
-  // O(UEL table + block index), never O(shard records). The pushed
-  // dim_1 index set rides into the stream, where the v2 block index
-  // skips non-matching blocks WITHOUT inflating them (a one-label slice
-  // decodes ~one block); `keep` below still re-checks per record, so
-  // the skip is a pure superset pass.
+  // O(UEL table + block index), never O(shard records). ALL pushed
+  // per-dim index sets ride into the stream, where the block zone maps
+  // skip non-matching blocks WITHOUT inflating them (dim_1
+  // range-exactly on sorted layouts — a one-label slice decodes ~one
+  // block; dims 2+ parquet-stats-style on v3 files); `keep` below
+  // still re-checks per record, so the skip is a pure superset pass.
   private val stream: GdxCodec.GdxRecordStream =
-    if (shardCanMatch) GdxCodec.openRecordStream(path, header, meta, dimFilters.get(0))
+    if (shardCanMatch) GdxCodec.openRecordStream(path, header, meta, dimFilters)
     else null
   private val records: Iterator[GdxRecord] =
     if (stream == null) Iterator.empty else stream

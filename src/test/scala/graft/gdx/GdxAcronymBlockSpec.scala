@@ -92,7 +92,7 @@ class GdxAcronymBlockSpec extends AnyFunSuite {
     // UEL index of label k0777 (labels registered in record order here)
     val uelIdx = h.uels.indexWhere(_ == "k0777")
     assert(uelIdx >= 0)
-    val s = GdxCodec.openRecordStream(path, h, meta, Some(Set(uelIdx)))
+    val s = GdxCodec.openRecordStream(path, h, meta, Map(0 -> Set(uelIdx)))
     val hits = s.toVector
     val decoded = s.decoded
     s.close()
@@ -112,7 +112,7 @@ class GdxAcronymBlockSpec extends AnyFunSuite {
     GdxCodec.write(b.result(), path, compress = false, blockSize = 10)
     val h = GdxCodec.readHeader(path)
     val uelIdx = h.uels.indexWhere(_ == "k123")
-    val s = GdxCodec.openRecordStream(path, h, h.metas.head, Some(Set(uelIdx)))
+    val s = GdxCodec.openRecordStream(path, h, h.metas.head, Map(0 -> Set(uelIdx)))
     val hits = s.toVector
     assert(s.decoded <= 10 && hits.exists(_.values(0) == 123.0))
     s.close()
@@ -125,12 +125,112 @@ class GdxAcronymBlockSpec extends AnyFunSuite {
     (0 until 500).foreach(i => enc.add(Array(f"k$i%03d"), Array(i.toDouble), None))
     enc.finish()
     val h = GdxCodec.readHeader(path)
-    assert(h.version == 2 && h.acronyms == Vector(GdxAcronym(10, "high", "hi")))
+    assert(h.version == 3 && h.acronyms == Vector(GdxAcronym(10, "high", "hi")))
     val uelIdx = h.uels.indexWhere(_ == "k400")
-    val s = GdxCodec.openRecordStream(path, h, h.metas.head, Some(Set(uelIdx)))
+    val s = GdxCodec.openRecordStream(path, h, h.metas.head, Map(0 -> Set(uelIdx)))
     val hits = s.toVector
     assert(s.decoded <= 25 && hits.exists(_.values(0) == 400.0))
     s.close()
+  }
+
+  test("v3 per-dim zone maps: a dim_2 slice skips blocks dim_1 pruning cannot") {
+    // 4 dim_1 labels × 250 dim_2 labels, sorted → each dim_1 run spans
+    // 5 blocks of 50, with dim_2 sorted WITHIN the run; a dim_2 label
+    // filter matches ~1 block per run (4 of 20 blocks), which dim_1
+    // pruning alone could never skip
+    val d1 = Seq("a", "b", "c", "d")
+    val d2 = (0 until 250).map(i => f"k$i%03d")
+    val recs = for (x <- d1; y <- d2) yield (Seq(x, y), Array((x + y).hashCode.toDouble), None)
+    val b = new GdxBuilder()
+    b.addSymbol("p", SymbolType.Parameter, 2, recs)
+    val path = tmp("dim2zone.gdx")
+    GdxCodec.write(b.result(), path, blockSize = 50)
+    val h = GdxCodec.readHeader(path)
+    val uelIdx = h.uels.indexWhere(_ == "k123")
+    assert(uelIdx >= 0)
+    val s = GdxCodec.openRecordStream(path, h, h.metas.head, Map(1 -> Set(uelIdx)))
+    val hits = s.toVector.filter(_.keys(1) == uelIdx)
+    val decoded = s.decoded
+    s.close()
+    assert(hits.size == 4, s"expected one k123 hit per dim_1 run, got ${hits.size}")
+    assert(decoded <= 4 * 50,
+      s"decoded $decoded of 1000 records; dim_2 zone map did not prune")
+    // combined dim_1 + dim_2 slice prunes on BOTH: ~1 block survives
+    val s2 = GdxCodec.openRecordStream(path, h, h.metas.head,
+      Map(0 -> Set(h.uels.indexWhere(_ == "c")), 1 -> Set(uelIdx)))
+    val hits2 = s2.toVector.filter(r =>
+      r.keys(0) == h.uels.indexWhere(_ == "c") && r.keys(1) == uelIdx)
+    val decoded2 = s2.decoded
+    s2.close()
+    assert(hits2.size == 1 && decoded2 <= 50,
+      s"decoded $decoded2; combined per-dim skip did not intersect")
+  }
+
+  test("v2 files (dim_1-only block index) remain readable and dim_1-skippable") {
+    // hand-assembled v2 bytes: no writer emits v2 anymore, so read
+    // compat is pinned here the way GdxCodecSpec pins v1
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def byte(v: Int): Unit = buf += v.toByte
+    def utf(s: String): Unit = {
+      byte(s.length >> 8); byte(s.length & 0xff); s.foreach(c => byte(c.toInt))
+    }
+    def varint(v: Int): Unit = {
+      var x = v
+      while ((x & ~0x7f) != 0) { byte((x & 0x7f) | 0x80); x >>>= 7 }
+      byte(x)
+    }
+    def dbl(v: Double): Unit = {
+      val bits = java.lang.Double.doubleToLongBits(v)
+      (7 to 0 by -1).foreach(i => byte(((bits >>> (8 * i)) & 0xff).toInt))
+    }
+    "GRFTGDX2".foreach(c => byte(c.toInt))
+    utf("hand-assembled-v2")
+    byte(0) // uncompressed
+    varint(4); Seq("u0", "u1", "u2", "u3").foreach(utf)
+    varint(1); varint(10); utf("high"); utf("hi") // acronym table
+    varint(1) // one symbol
+    utf("p"); utf(""); byte(SymbolType.Parameter); byte(1); varint(0)
+    utf("*")
+    varint(4) // records
+    // data section: pool, block index (v2 = 4 varints/block), 2 blobs
+    val section = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def inSection(body: => Unit): Unit = {
+      val keep = buf.clone(); buf.clear(); body
+      section ++= buf; buf.clear(); buf ++= keep
+    }
+    def blockBlob(recs: Seq[(Int, Double)]): Array[Byte] = {
+      val keep = buf.clone(); buf.clear()
+      recs.foreach { case (k, v) => byte(0); varint(k); dbl(v) }
+      val out = buf.toArray; buf.clear(); buf ++= keep; out
+    }
+    val blob1 = blockBlob(Seq(0 -> 0.5, 1 -> 1.5))
+    val blob2 = blockBlob(Seq(2 -> 2.5, 3 -> 3.5))
+    inSection {
+      varint(0) // empty text pool
+      varint(2) // two blocks
+      varint(2); varint(0); varint(1); varint(blob1.length)
+      varint(2); varint(2); varint(3); varint(blob2.length)
+    }
+    section ++= blob1; section ++= blob2
+    varint(section.length)
+    buf ++= section
+    val path = tmp("v2compat.gdx")
+    Files.write(java.nio.file.Paths.get(path), buf.toArray)
+
+    val h = GdxCodec.readHeader(path)
+    assert(h.version == 2 && h.acronyms == Vector(GdxAcronym(10, "high", "hi")))
+    val full = GdxCodec.openRecordStream(path, h, h.metas.head)
+    assert(full.toVector.map(_.values(0)) == Vector(0.5, 1.5, 2.5, 3.5))
+    full.close()
+    // dim_1 skip still works off the v2 index
+    val s = GdxCodec.openRecordStream(path, h, h.metas.head, Map(0 -> Set(3)))
+    val hits = s.toVector
+    assert(s.decoded <= 2 && hits.exists(_.values(0) == 3.5))
+    s.close()
+    // a dim_2-style filter on a v2 file degrades safely (no skip, no loss)
+    val s2 = GdxCodec.openRecordStream(path, h, h.metas.head, Map(1 -> Set(0)))
+    assert(s2.toVector.size == 4)
+    s2.close()
   }
 
   test("write rejects duplicate acronym indices") {
@@ -193,7 +293,7 @@ class GdxAcronymBlockSpec extends AnyFunSuite {
     }
     assert(full == n)
     val ((hits, decoded), tSlice) = timed {
-      val s = GdxCodec.openRecordStream(path, h, h.metas.head, Some(Set(uelIdx)))
+      val s = GdxCodec.openRecordStream(path, h, h.metas.head, Map(0 -> Set(uelIdx)))
       try (s.count(_.keys(0) == uelIdx), s.decoded) finally s.close()
     }
     assert(hits == 1 && decoded <= GdxCodec.DefaultBlockSize,

@@ -76,10 +76,50 @@ class GdxWriteBuilder(info: LogicalWriteInfo, options: CaseInsensitiveStringMap)
       Option(options.get("acronyms")).map(GdxWriteLayout.parseAcronyms)
         .getOrElse(Vector.empty)
 
+    // controlling-set names, one per dim ("*" = unchecked universe) —
+    // recorded in the written symbol meta (gdxSymbolGetDomainX parity)
+    private def domains: Seq[String] =
+      Option(options.get("domains"))
+        .map(_.split(",", -1).map(_.trim).toSeq).getOrElse(Nil)
+
+    /** Write-side domain ENFORCEMENT (SPEC: gdxDataErrorCount — real
+      * GAMS rejects out-of-domain records at write, where
+      * `gdx_domain_check` only audits after the fact):
+      * option("domainCheck","enforce") + option("domainSource", path)
+      * loads each named controlling set's members ONCE at plan time
+      * (sets are label-sized — O(labels) driver memory, same contract
+      * as the scan's UEL table) and ships the lowercased label sets in
+      * the task closure; every writer task then rejects violating rows
+      * as a map-side anti-join — zero extra shuffle at any scale, and
+      * a violation fails the task, so Spark aborts the job before any
+      * shard is manifested.
+      */
+    private def domainSets: Map[Int, (String, Set[String])] =
+      Option(options.get("domainCheck")) match {
+        case None => Map.empty
+        case Some("enforce") =>
+          val src = Option(options.get("domainSource")).getOrElse(
+            throw new IllegalArgumentException(
+              "gdx: domainCheck=enforce needs option(\"domainSource\", <gdx path>)"))
+          val doms = domains
+          require(doms.nonEmpty,
+            "gdx: domainCheck=enforce needs option(\"domains\", \"set1,set2,…\")")
+          require(doms.size == dimNames.length,
+            s"gdx: domains has ${doms.size} entries for ${dimNames.length} dim columns")
+          val spark = org.apache.spark.sql.SparkSession.active
+          doms.zipWithIndex.collect { case (dn, i) if dn != "*" =>
+            val members = Gdx.symbol(spark, src, dn).select("dim_1").collect()
+              .map(_.getString(0).toLowerCase(java.util.Locale.ROOT)).toSet
+            i -> (dn -> members)
+          }.toMap
+        case Some(other) => throw new IllegalArgumentException(
+          s"gdx: bad domainCheck '$other' (only 'enforce' is supported)")
+      }
+
     override def toBatch: BatchWrite = {
       val single = options.getBoolean("singleFile", false)
       new GdxBatchWrite(path, symbol, info.schema(), single, typ, subtype, doTruncate,
-        acronyms)
+        acronyms, domains, domainSets)
     }
 
     /** Streaming sink (`writeStream.format("gdx")`): every epoch's tasks
@@ -99,7 +139,8 @@ class GdxWriteBuilder(info: LogicalWriteInfo, options: CaseInsensitiveStringMap)
       require(!doTruncate,
         "gdx: the streaming sink is append-only — use outputMode(\"append\") " +
           "(complete mode would re-append every epoch's full result)")
-      new GdxStreamingWrite(path, symbol, info.schema(), typ, subtype, acronyms)
+      new GdxStreamingWrite(path, symbol, info.schema(), typ, subtype, acronyms,
+        domains, domainSets)
     }
   }
 }
@@ -301,10 +342,13 @@ object GdxManifest {
   * rename, and the manifest grows by append at each epoch commit.
   */
 class GdxStreamingWrite(path: String, symbol: String, schema: StructType,
-    typOpt: Option[Int], subtype: Int, acronyms: Seq[GdxAcronym] = Nil)
+    typOpt: Option[Int], subtype: Int, acronyms: Seq[GdxAcronym] = Nil,
+    domains: Seq[String] = Nil,
+    domainSets: Map[Int, (String, Set[String])] = Map.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   private val layout = GdxWriteLayout.infer(schema, symbol, typOpt, acronyms)
+    .copy(domains = domains, domainSets = domainSets)
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
@@ -359,7 +403,10 @@ case class GdxWriteLayout(symbol: String, typ: Int, dimCols: Array[Int],
     valCols: Array[Int], textCol: Int,
     flagCols: Array[Int] = Array(-1, -1, -1),
     acrFlagCol: Int = -1, acrIdxCol: Int = -1,
-    acronyms: Seq[GdxAcronym] = Nil) extends Serializable {
+    acronyms: Seq[GdxAcronym] = Nil,
+    domains: Seq[String] = Nil,
+    domainSets: Map[Int, (String, Set[String])] = Map.empty)
+    extends Serializable {
   def hasFlags: Boolean = flagCols.exists(_ >= 0) || acrFlagCol >= 0
 }
 
@@ -478,10 +525,12 @@ object GdxWriteLayout {
 
 class GdxBatchWrite(path: String, symbol: String, schema: StructType,
     single: Boolean, typOpt: Option[Int], subtype: Int, truncate: Boolean,
-    acronyms: Seq[GdxAcronym] = Nil)
+    acronyms: Seq[GdxAcronym] = Nil, domains: Seq[String] = Nil,
+    domainSets: Map[Int, (String, Set[String])] = Map.empty)
     extends BatchWrite {
 
   private val layout = GdxWriteLayout.infer(schema, symbol, typOpt, acronyms)
+    .copy(domains = domains, domainSets = domainSets)
   // unique per batch write → cross-JVM append-safe shard names
   private val writeId = java.util.UUID.randomUUID().toString.take(8)
 
@@ -499,10 +548,12 @@ class GdxBatchWrite(path: String, symbol: String, schema: StructType,
       // driver-side merge: one UEL table, one globally sorted record list
       val b = new GdxBuilder()
       val rows = messages.collect { case GdxRowsCommit(rs) => rs }.flatten
-      b.addSymbol(layout.symbol, layout.typ,
-        if (rows.nonEmpty) rows.head._1.length else layout.dimCols.length,
+      val dim = if (rows.nonEmpty) rows.head._1.length else layout.dimCols.length
+      b.addSymbol(layout.symbol, layout.typ, dim,
         rows.map { case (ls, vs, t) => (ls.toSeq, vs, Option(t)) },
-        userInfo = subtype)
+        userInfo = subtype,
+        domains = if (layout.domains.size == dim) layout.domains
+                  else Seq.fill(dim)("*"))
       GdxCodec.write(b.result().copy(acronyms = layout.acronyms.toVector), path)
     } else {
       // per-shard lowercased dim_1 label range → planInputPartitions
@@ -587,6 +638,7 @@ class GdxDataWriter(path: String, layout: GdxWriteLayout, single: Boolean,
     if (single) null
     else new GdxStreamEncoder(new File(path, shardName).getPath, layout.symbol,
       layout.typ, layout.dimCols.length, userInfo = subtype,
+      domains = layout.domains,
       // deterministic-named (streaming) shards need an attempt-unique
       // temp so concurrent attempts never share an in-progress file
       tempTag = if (nameOverride.isDefined) s"-a$taskId" else "",
@@ -598,6 +650,15 @@ class GdxDataWriter(path: String, layout: GdxWriteLayout, single: Boolean,
         s"gdx write: null label in dim column ${layout.dimCols.indexOf(i) + 1} " +
           "(GDX labels cannot be null — filter or fill before writing)")
       row.getUTF8String(i).toString
+    }
+    // write-side domain enforcement (domainCheck=enforce): map-side
+    // anti-join against the plan-time-loaded controlling sets — the
+    // task fails, the job aborts, nothing is manifested
+    layout.domainSets.foreach { case (d, (dn, allowed)) =>
+      if (!allowed.contains(labels(d).toLowerCase(java.util.Locale.ROOT)))
+        throw new IllegalArgumentException(
+          s"gdx write: label '${labels(d)}' in dim_${d + 1} is not a member " +
+            s"of controlling set '$dn' (domainCheck=enforce)")
     }
     val values = layout.valCols.map(i => row.getDouble(i))
     // Re-encode GDX sentinels so flag-mode read → write is the identity

@@ -812,6 +812,48 @@ class GdxSourceSpec extends AnyFunSuite {
       c.getMessage.contains("acronym index 10")), s"unexpected failure: $e")
   }
 
+  test("domainCheck=enforce: violation aborts the write, clean labels pass") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val b = new graft.gdx.GdxBuilder()
+    b.addSymbol("r", graft.gdx.SymbolType.Set, 1,
+      Seq("AFRICA", "EUROPE").map(l => (Seq(l), Array.empty[Double], None)))
+    graft.gdx.GdxCodec.write(b.result(), s"$dir/doms.gdx")
+    def write(rows: Seq[(String, Double)], out: String): Unit =
+      rows.toDF("dim_1", "value").write.format("gdx").mode("overwrite")
+        .option("symbol", "p").option("domains", "r")
+        .option("domainCheck", "enforce")
+        .option("domainSource", s"$dir/doms.gdx")
+        .save(out)
+    // pass: membership is case-insensitive (GAMS UEL semantics)
+    write(Seq("africa" -> 1.0, "EUROPE" -> 2.0), s"$dir/ok")
+    assert(graft.gdx.Gdx.symbol(spark, s"$dir/ok", "p").count() == 2)
+    // the written symbol meta records the controlling set name
+    val shard = new java.io.File(s"$dir/ok").listFiles(
+      (_, n) => n.endsWith(".gdx")).head
+    assert(graft.gdx.GdxCodec.readHeader(shard.getPath)
+      .metas.head.domains == Seq("r"))
+    // reject: out-of-domain label fails the job before anything commits
+    val e = intercept[Exception](
+      write(Seq("africa" -> 1.0, "ATLANTIS" -> 3.0), s"$dir/bad"))
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("not a member")), s"unexpected failure: $e")
+    val leftover = Option(new java.io.File(s"$dir/bad").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".gdx"))
+    assert(leftover.isEmpty,
+      s"aborted write left shards: ${leftover.map(_.getName).mkString(",")}")
+    // misconfiguration fails at plan time, not silently
+    val e2 = intercept[Exception](
+      Seq("x" -> 1.0).toDF("dim_1", "value").write.format("gdx")
+        .mode("overwrite")
+        .option("symbol", "p").option("domainCheck", "enforce")
+        .option("domainSource", s"$dir/doms.gdx").save(s"$dir/noconf"))
+    assert(causes(e2).exists(c => c.getMessage != null &&
+      c.getMessage.contains("domains")))
+  }
+
   test("empty append neither creates nor rewrites a manifest") {
     val dir = tmpDir()
     val b = new GdxBuilder()

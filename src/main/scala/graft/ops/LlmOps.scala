@@ -1496,6 +1496,108 @@ object LlmOps extends QueryModule {
       .filter(col("rank") <= k)
   }
 
+  /** Graph-built ANN by NN-descent (SPEC: Dong, Moses & Li 2011
+    * "Efficient k-nearest neighbor graph construction for generic
+    * similarity measures", WWW'11 — the construction family modern
+    * graph indexes (NSW/HNSW/NSG) descend from, complementing the
+    * LSH/IVF/PQ rows): seed with [[sim_knn_graph]]'s multi-table-LSH
+    * top-3, then K=2 fixed refinement rounds — each round proposes
+    * every neighbor-of-a-neighbor over the UNDIRECTED current graph
+    * (a vector's true neighbors are likely neighbors of each other:
+    * the paper's local-closure observation), scores proposals with
+    * the exact rounded cosine, and keeps the best 3 per vertex from
+    * (old edges ∪ proposals). Monotone by construction — a seed edge
+    * is displaced only by a strictly closer vertex — so final
+    * recall@k ≥ the LSH seed's (measured in LshRecallSpec against
+    * brute-force truth). Determinism: fixed round count (no
+    * convergence test), 6-dp-rounded cosine with nbr tie-break
+    * (cross-engine ulps cannot flip ranks), and the oracle replays
+    * seed + both rounds as unrolled CTEs. Scale: the edge list is
+    * O(n·k) rows; a round is one self-equi-join on it (candidate
+    * volume Θ(n·(2k)²), never all-pairs), two hash joins to fetch
+    * embeddings, and one per-vertex top-k window — each round
+    * localCheckpointed with the CC/LPA free-previous discipline.
+    */
+  q("sim_ann_nndescent", {
+    val (bucketCols, unions) = multiLshCandCtes(6, 6)
+    def roundCtes(i: Int, prev: String): String =
+      s"""u$i AS (SELECT qid, nbr FROM $prev UNION SELECT nbr, qid FROM $prev),
+         |c$i AS (SELECT DISTINCT x.qid, y.nbr FROM u$i x JOIN u$i y
+         |        ON y.qid = x.nbr WHERE y.nbr <> x.qid),
+         |s$i AS (SELECT c.qid, c.nbr,
+         |          round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+         |                                       CAST(eb.embedding AS DOUBLE[])), 6) AS cos
+         |        FROM c$i c
+         |        JOIN embeddings ea ON ea.vec_id = c.qid
+         |        JOIN embeddings eb ON eb.vec_id = c.nbr),
+         |a$i AS (SELECT qid, nbr, max(cos) AS cos FROM (
+         |          SELECT qid, nbr, cos FROM s$i
+         |          UNION ALL SELECT qid, nbr, cos FROM $prev) GROUP BY 1, 2),
+         |e$i AS (SELECT qid, nbr, cos, rank FROM (
+         |          SELECT qid, nbr, cos, CAST(row_number() OVER (
+         |            PARTITION BY qid ORDER BY cos DESC, nbr) AS INTEGER) AS rank
+         |          FROM a$i) WHERE rank <= 3)""".stripMargin
+    s"""WITH bk AS (SELECT vec_id, embedding,
+       |       $bucketCols FROM embeddings),
+       |     cand AS (
+       |  $unions),
+       |     scored AS (
+       |  SELECT c.a, c.b,
+       |         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                                      CAST(eb.embedding AS DOUBLE[])), 6) AS cos
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.a
+       |  JOIN embeddings eb ON eb.vec_id = c.b),
+       |     edges0 AS (SELECT a AS qid, b AS nbr, cos FROM scored
+       |                UNION ALL SELECT b, a, cos FROM scored),
+       |     e0 AS (SELECT qid, nbr, cos FROM (
+       |              SELECT qid, nbr, cos, row_number() OVER (
+       |                PARTITION BY qid ORDER BY cos DESC, nbr) AS rank
+       |              FROM edges0) WHERE rank <= 3),
+       |${roundCtes(1, "e0")},
+       |${roundCtes(2, "e1")}
+       |SELECT qid, nbr, cos, rank FROM e2 ORDER BY qid, rank""".stripMargin
+  }) { (s, d) =>
+    val emb = T(s, d, "embeddings").select("vec_id", "embedding")
+    nnDescent(emb, k = 3, rounds = 2).orderBy("qid", "rank")
+  }
+
+  /** The NN-descent runner behind [[sim_ann_nndescent]] (and the
+    * LshRecallSpec monotonicity probe): LSH-seeded kNN edges refined
+    * by `rounds` neighbor-of-neighbor passes. Returns ≤ k rows per
+    * vertex with (qid, nbr, cos, rank).
+    */
+  private[ops] def nnDescent(emb: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var edges = knnEdges(emb, k).select("qid", "nbr", "cos").localCheckpoint()
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nbr").asc)
+    var out: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val und = edges.select("qid", "nbr")
+        .unionByName(edges.select(col("nbr").as("qid"), col("qid").as("nbr")))
+        .distinct()
+      val cand = und.as("x").join(und.as("y"), col("x.nbr") === col("y.qid"))
+        .filter(col("x.qid") =!= col("y.nbr"))
+        .select(col("x.qid").as("qid"), col("y.nbr").as("nbr"))
+        .distinct()
+      val scored = cand
+        .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qe")), Seq("qid"))
+        .join(emb.select(col("vec_id").as("nbr"), col("embedding").as("ne")), Seq("nbr"))
+        .withColumn("cos",
+          round(graft.functions.vec.cosine(col("qe"), col("ne")), 6))
+        .select("qid", "nbr", "cos")
+      // dedup (a pair scores identically wherever it appears) then re-rank
+      val all = scored.unionByName(edges)
+        .groupBy("qid", "nbr").agg(max("cos").as("cos"))
+      val prev = edges
+      out = all.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .localCheckpoint()
+      edges = out.select("qid", "nbr", "cos")
+      prev.unpersist(false)
+    }
+    out
+  }
+
   /** Int8 scalar-quantized ANN (SPEC: the standard sq8 compression in
     * FAISS/ScaNN-class systems): per-vector symmetric quantization
     * q_i = round(x_i · 127/max|x|) stored as TINYINT — 4× less scan IO

@@ -245,6 +245,38 @@ class LshRecallSpec extends AnyFunSuite {
     assert(mean >= 4 && mean <= 64,
       s"mean occupancy $mean strayed from the 16-target band")
   }
+
+  test("NN-descent recall@3 is monotone over its LSH seed vs brute-force truth") {
+    val emb = graft.T(spark, d, "embeddings").select("vec_id", "embedding")
+    // brute-force true top-3 per vector (correctness tier only)
+    val bf = emb.select(col("vec_id").as("qid"), col("embedding").as("ea"))
+      .crossJoin(emb.select(col("vec_id").as("nbr"), col("embedding").as("eb")))
+      .filter(col("qid") =!= col("nbr"))
+      .withColumn("cos", round(graft.functions.vec.cosine(col("ea"), col("eb")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("nbr").asc)
+    val truth = bf.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3).select("qid", "nbr").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(key: String): Double = {
+      val got = graft.SparkEntry.queries(key)(spark, d)
+        .select("qid", "nbr").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val seed = recallOf("sim_knn_graph")
+    val refined = recallOf("sim_ann_nndescent")
+    // a seed edge is displaced only by a strictly closer vertex, so
+    // refinement can never lose true-top-3 hits
+    assert(refined >= seed,
+      s"NN-descent recall regressed: seed $seed -> refined $refined")
+    // and on this corpus the local-closure rounds must actually help
+    // (the seed leaves plenty of headroom; equality would mean the
+    // neighbor-of-neighbor proposals found nothing — a broken join)
+    assert(refined > seed + 0.02,
+      s"refinement inert: seed $seed -> refined $refined")
+    info(f"recall@3 seed=$seed%.3f nn-descent=$refined%.3f")
+  }
 }
 
 /** Test access to the registered query body without going through the

@@ -70,16 +70,41 @@ object TokenizerOps extends QueryModule {
     s"${f.getCanonicalPath}#$sz#$mt"
   }
 
-  private def trainOn(s: SparkSession, d: String): Bpe.Model =
-    modelMemo.getOrElseUpdate(corpusKey(d), {
-      val vocab = T(s, d, "documents")
+  /** Top-K (word, freq) training vocabulary — ONE distributed count
+    * job memoized per corpus generation, shared by the BPE and
+    * unigram trainers so the two families train on the identical
+    * sample (and one Verify run pays the job once).
+    */
+  private val vocabMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, Long)]]
+
+  private def vocabOf(s: SparkSession, d: String): Seq[(String, Long)] =
+    vocabMemo.getOrElseUpdate(corpusKey(d), {
+      T(s, d, "documents")
         .select(explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) > 0)
         .groupBy("w").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("w").asc)
         .limit(TrainVocabSize)
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-      Bpe.train(vocab, NumMerges)
+    })
+
+  private def trainOn(s: SparkSession, d: String): Bpe.Model =
+    modelMemo.getOrElseUpdate(corpusKey(d),
+      Bpe.train(vocabOf(s, d), NumMerges))
+
+  /** Unigram-LM twin (see [[graft.functions.Unigram]]): EM-pruned from
+    * the BPE-seeded candidate vocab over the same training sample.
+    */
+  private val uniMemo =
+    scala.collection.concurrent.TrieMap.empty[String, graft.functions.Unigram.Model]
+
+  private def trainUnigram(s: SparkSession, d: String): graft.functions.Unigram.Model =
+    uniMemo.getOrElseUpdate(corpusKey(d), {
+      val bpe = trainOn(s, d)
+      graft.functions.Unigram.train(vocabOf(s, d),
+        bpe.merges.map { case (l, r) => l + r },
+        targetPieces = 256, emRounds = 2)
     })
 
   // ---------------------------------------------------------------
@@ -445,5 +470,174 @@ object TokenizerOps extends QueryModule {
          |       rtrim(replace(array_to_string(
          |         list_slice(toks, st + 1, least(st + 32, n)), ''), '</w>', ' ')) AS chunk
          |FROM g ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // Unigram-LM tokenizer rows (r12 verdict #6). Same
+  // data-parameterized-oracle device as the BPE family: training
+  // (Viterbi-EM pruning, unit-pinned in BpeSpec) stays outside SQL;
+  // the APPLY — integer-rank Viterbi segmentation — is replayed
+  // relationally per distinct word as a recursive-CTE dynamic program.
+  // ---------------------------------------------------------------
+
+  /** The ranked piece table as a VALUES literal `(rank, piece)`. */
+  private def piecesLiteral(m: graft.functions.Unigram.Model): String =
+    if (m.pieces.isEmpty) s"(1, chr(2))"
+    else m.pieces.zipWithIndex.map { case (p, i) =>
+      s"(${i + 1}, '${p.replace("'", "''")}')"
+    }.mkString(", ")
+
+  /** CTE prelude replaying [[graft.functions.Unigram.segScore]]: per
+    * DISTINCT word a recursive DP over character positions. The state
+    * is the best-score VECTOR so far (a BIGINT list, one packed
+    * `n·10⁹ + rankSum` score per prefix length) carried in ONE row per
+    * word — each step appends position k's best as a list_min over the
+    * ≤ maxLen candidate split points (list comprehension, no
+    * aggregation over the recursive reference — the sim_pca device).
+    * A 1-char piece is always admissible (vocab rank or the shared
+    * UNK rank nm+1), so the candidate list is never empty and every
+    * word terminates after length(w) steps. Exposes `utk(w, n_tok,
+    * rank_sum)` + the `dw`/`dtk` word-stream CTEs.
+    */
+  private def unigramCtes(m: graft.functions.Unigram.Model): String =
+    s"""WITH RECURSIVE
+       |ug AS (SELECT list(p ORDER BY rk) AS ps, count(*) AS nm
+       |       FROM (VALUES ${piecesLiteral(m)}) u(rk, p)),
+       |wd AS (
+       |  SELECT DISTINCT unnest([x FOR x IN string_split(text, ' ') IF x <> '']) AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |seg(w, st) AS (
+       |  SELECT w, [CAST(0 AS BIGINT)] FROM wd
+       |  UNION ALL
+       |  SELECT e.w, list_append(e.st, b.sc)
+       |  FROM seg e, ug,
+       |    LATERAL (SELECT list_min(
+       |      [e.st[j + 1] + 1000000000 + CAST(coalesce(
+       |         list_position(ug.ps, substr(e.w, j + 1, len(e.st) - j)),
+       |         ug.nm + 1) AS BIGINT)
+       |       FOR j IN range(greatest(len(e.st) - ${m.maxLen}, 0), len(e.st))
+       |       IF list_position(ug.ps, substr(e.w, j + 1, len(e.st) - j)) IS NOT NULL
+       |          OR len(e.st) - j = 1]) AS sc) b
+       |  WHERE len(e.st) <= length(e.w)),
+       |utk AS (
+       |  SELECT w, CAST(st[len(st)] // 1000000000 AS BIGINT) AS n_tok,
+       |         CAST(st[len(st)] % 1000000000 AS BIGINT) AS rank_sum
+       |  FROM seg WHERE len(st) = length(w) + 1),
+       |dw AS (
+       |  SELECT doc_id, [x FOR x IN string_split(coalesce(text, ''), ' ') IF x <> ''] AS ws
+       |  FROM documents),
+       |dtk AS (
+       |  SELECT t.doc_id, t.i AS pos, t.ws[t.i] AS w
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM dw) t)""".stripMargin
+
+  /** Per-doc unigram-LM tokenization report beside
+    * [[text_bpe_tokenize]]: whitespace vs unigram piece counts, the
+    * exact integer rank_sum (the Viterbi objective's second component
+    * — unique even where the optimal segmentation is not), and
+    * chars-per-piece on the same ε-shifted floor grid as the BPE row.
+    * One training pass (memoized, shared vocab job with BPE) +
+    * map-side Viterbi with a per-partition word memo — tokenization
+    * adds no shuffle.
+    */
+  qDyn("text_unigram_tokenize") { (s, d) =>
+    import s.implicits._
+    val model = s.sparkContext.broadcast(trainUnigram(s, d))
+    T(s, d, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val m = model.value
+        val memo = mutable.HashMap.empty[String, Long]
+        it.map { case (id, text) =>
+          val ws = if (text == null) Array.empty[String]
+            else text.split(" ").filter(_.nonEmpty)
+          var n = 0L
+          var rs = 0L
+          ws.foreach { w =>
+            val sc = memo.getOrElseUpdate(w, graft.functions.Unigram.segScore(w, m))
+            n += sc / graft.functions.Unigram.Radix
+            rs += sc % graft.functions.Unigram.Radix
+          }
+          val normalized = ws.mkString(" ")
+          val nChars = normalized.codePointCount(0, normalized.length).toLong
+          (id, ws.length.toLong, n, rs,
+            if (n == 0) 0.0
+            else math.floor(nChars.toDouble / n * 1e6 + 0.5000005) / 1e6)
+        }
+      }
+      .toDF("doc_id", "n_tok_ws", "n_tok_uni", "rank_sum", "chars_per_tok")
+      .orderBy("doc_id") // one row per doc = input-sized
+  } { (s, d) =>
+    unigramCtes(trainUnigram(s, d)) +
+      s""",
+         |agg AS (
+         |  SELECT k.doc_id, CAST(sum(t.n_tok) AS BIGINT) AS n_uni,
+         |         CAST(sum(t.rank_sum) AS BIGINT) AS rs
+         |  FROM dtk k JOIN utk t ON t.w = k.w GROUP BY k.doc_id)
+         |SELECT w0.doc_id,
+         |       CAST(len(w0.ws) AS BIGINT) AS n_tok_ws,
+         |       coalesce(a.n_uni, 0) AS n_tok_uni,
+         |       coalesce(a.rs, 0) AS rank_sum,
+         |       CASE WHEN coalesce(a.n_uni, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+         |            ELSE floor(CAST(length(array_to_string(w0.ws, ' ')) AS DOUBLE)
+         |                   / a.n_uni * 1000000 + CAST(0.5000005 AS DOUBLE)) / 1000000
+         |       END AS chars_per_tok
+         |FROM dw w0 LEFT JOIN agg a ON a.doc_id = w0.doc_id
+         |ORDER BY w0.doc_id""".stripMargin
+  }
+
+  /** Token-budget selection parameterized by the UNIGRAM tokenizer —
+    * the fourth tokenizer-parameterized family member (whitespace /
+    * BPE / unigram all meter the same greedy-prefix budget): rank docs
+    * per source by unigram piece count, keep while the running total
+    * fits 1000. Same one-window shape as the BPE row.
+    */
+  qDyn("pipeline_token_budget_unigram") { (s, d) =>
+    import s.implicits._
+    val model = s.sparkContext.broadcast(trainUnigram(s, d))
+    val counted = T(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val m = model.value
+        val memo = mutable.HashMap.empty[String, Long]
+        it.map { case (id, src, text) =>
+          val ws = if (text == null) Array.empty[String]
+            else text.split(" ").filter(_.nonEmpty)
+          var n = 0L
+          ws.foreach { w =>
+            n += memo.getOrElseUpdate(w,
+              graft.functions.Unigram.segScore(w, m)) / graft.functions.Unigram.Radix
+          }
+          (id, src, n)
+        }
+      }
+      .toDF("doc_id", "source", "n_tok")
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_tok").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counted
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .filter(col("cum") <= 1000)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("cum"))
+      .orderBy("source", "cum") // kept-docs-sized output
+  } { (s, d) =>
+    unigramCtes(trainUnigram(s, d)) +
+      s""",
+         |cnt AS (
+         |  SELECT d.doc_id, d.source,
+         |         CAST(coalesce(sum(t.n_tok), 0) AS BIGINT) AS n_tok
+         |  FROM documents d
+         |  LEFT JOIN dtk k ON k.doc_id = d.doc_id
+         |  LEFT JOIN utk t ON t.w = k.w
+         |  GROUP BY d.doc_id, d.source),
+         |r AS (
+         |  SELECT doc_id, source, n_tok,
+         |         CAST(sum(n_tok) OVER (PARTITION BY source
+         |           ORDER BY n_tok DESC, doc_id
+         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM cnt)
+         |SELECT doc_id, source, n_tok, cum
+         |FROM r WHERE cum <= 1000 ORDER BY source, cum""".stripMargin
   }
 }

@@ -152,4 +152,70 @@ class BpeSpec extends AnyFunSuite {
     assert(fMaj == 1.0, s"trained vocab must fully merge: $fMaj")
     assert(fMin > 2.0, s"unseen vocab must fragment to subwords: $fMin")
   }
+
+  // ------------------------------------------------- unigram-LM twin
+
+  test("unigram: segmentation covers every word exactly; score matches the path") {
+    val vocab = Seq("the" -> 50L, "theory" -> 20L, "other" -> 10L,
+      "there" -> 8L, "ore" -> 5L)
+    val m = Unigram.train(vocab, seeds = Seq("th", "the", "ory", "er", "ore"),
+      targetPieces = 16, emRounds = 2)
+    for ((w, _) <- vocab; word <- Seq(w, "unseenword", "zzz")) {
+      val segs = Unigram.segment(word, m)
+      assert(segs.mkString == word, s"coverage broken on '$word': $segs")
+      val sc = Unigram.segScore(word, m)
+      assert(sc / Unigram.Radix == segs.length,
+        s"score n=${sc / Unigram.Radix} != path length ${segs.length} on '$word'")
+      val pathRs = segs.map(p =>
+        m.rank.getOrElse(p, m.unkRank).toLong).sum
+      assert(sc % Unigram.Radix == pathRs,
+        s"score rankSum mismatch on '$word'")
+    }
+  }
+
+  test("unigram: training is deterministic and EM pruning drops unused seeds") {
+    val vocab = Seq("abab" -> 30L, "abc" -> 20L, "cab" -> 10L)
+    val seeds = Seq("ab", "ba", "bc", "ca", "zz") // zz never occurs
+    val m1 = Unigram.train(vocab, seeds, targetPieces = 8, emRounds = 2)
+    val m2 = Unigram.train(vocab, seeds, targetPieces = 8, emRounds = 2)
+    assert(m1.pieces == m2.pieces, "training must be deterministic")
+    assert(!m1.pieces.contains("zz"), "zero-occurrence seed must be pruned")
+    // Viterbi EM keeps only pieces USED by optimal segmentations —
+    // 'ab' dominates (rank beats per-char splits), so it survives
+    assert(m1.pieces.contains("ab"), s"dominant seed pruned: ${m1.pieces}")
+  }
+
+  test("unigram fertility delta: whole-word pieces give 1.0, unseen vocab fragments") {
+    // the BPE fertility-disparity motive replayed for the unigram
+    // family: seeds containing the full majority words make each a
+    // single piece; disjoint-vocab words fall back to chars/UNK
+    val majority = Seq("the", "quick", "brown", "fox", "jumps")
+    val vocab = majority.map(_ -> 50L)
+    val m = Unigram.train(vocab, seeds = majority ++ Seq("qu", "br", "ju"),
+      targetPieces = 32, emRounds = 2)
+    def fert(ws: Seq[String]): Double =
+      ws.map(w => (Unigram.segScore(w, m) / Unigram.Radix).toDouble).sum / ws.length
+    assert(fert(majority) == 1.0, s"in-vocab fertility: ${fert(majority)}")
+    val unseen = Seq("zxqv", "wkjy", "vbnm")
+    assert(fert(unseen) > 2.0, s"unseen fertility: ${fert(unseen)}")
+    // and the unigram count can never beat one piece per char
+    unseen.foreach(w =>
+      assert(Unigram.segScore(w, m) / Unigram.Radix <= w.length))
+  }
+
+  test("registered unigram rows: n_tok_uni <= chars, >= 1 piece per word; budget differs from whitespace") {
+    val uni = graft.SparkEntry.queries("text_unigram_tokenize")(spark, dir).collect()
+    assert(uni.nonEmpty)
+    uni.foreach { r =>
+      val (ws, n) = (r.getLong(1), r.getLong(2))
+      assert(n >= ws, s"fewer pieces than words: $r") // a piece never spans words
+      if (ws == 0) assert(n == 0 && r.getLong(3) == 0)
+    }
+    // unigram budgeting must actually change the selection vs whitespace
+    val base = graft.SparkEntry.queries("pipeline_token_budget")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val u = graft.SparkEntry.queries("pipeline_token_budget_unigram")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(u != base, "unigram budget selected exactly the whitespace set")
+  }
 }

@@ -1,0 +1,306 @@
+package graft.ops
+
+/** Baseline JPEG ENTROPY DECODER (ITU T.81 — SOF0 sequential DCT,
+  * Huffman coding): the missing half of the compressed-codec family
+  * beside [[MultimodalOps.MediaCodec.jpegDims]]'s header-only marker
+  * walk. Implements the full §F.2 decode path — DQT/DHT/SOF0/DRI/SOS
+  * segment parse, canonical Huffman tables (§C.2 / F.2.2.3 MINCODE/
+  * MAXCODE/VALPTR), byte-unstuffed bit reading (§F.2.2.5, 0xFF00 →
+  * 0xFF), DC prediction with restart-interval resets (§F.2.1.3.1),
+  * run-length/EOB AC coefficient decode (§F.2.2.2), dequantization,
+  * zigzag inverse (§A.3.6), and a separable double-precision 2-D IDCT
+  * (§A.3.3) with level shift and clamping.
+  *
+  * Scope: single-component (grayscale) baseline scans — what the JDK
+  * encoder emits for TYPE_BYTE_GRAY rasters and what the media fixture
+  * carries. Multi-component scans reject loudly (the color/subsampling
+  * MCU loop is the documented next seam, not a silent wrong answer).
+  *
+  * Cost shape: decode is O(pixels) per payload with a ~1 KB table
+  * state, run inside the same batched mapPartitions codec slot as the
+  * PNG path — only per-image stats leave the task, never rasters.
+  * Decoder output is NOT bit-pinned to ImageIO's (T.83 allows ±1 ULP
+  * IDCT variation between compliant decoders); MultimodalSpec pins
+  * per-pixel agreement within the compliance band and the registered
+  * row hashes tolerance-band BOOLEANS against the pre-encode closed
+  * form, which is exactly as strong as a lossy codec permits.
+  */
+object JpegDecode {
+
+  final case class Decoded(width: Int, height: Int, pixels: Array[Int])
+
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  // cos((2x+1)·u·π/16) · C(u)/2 — the separable 1-D IDCT kernel
+  private val Cos: Array[Double] = {
+    val t = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      val cu = if (u == 0) math.sqrt(0.5) else 1.0
+      var x = 0
+      while (x < 8) {
+        t(u * 8 + x) = 0.5 * cu * math.cos((2 * x + 1) * u * math.Pi / 16)
+        x += 1
+      }
+      u += 1
+    }
+    t
+  }
+
+  /** Canonical Huffman table (T.81 §F.2.2.3 decode procedure). */
+  private final class Huff(counts: Array[Int], symbols: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += counts(l - 1)
+        k += counts(l - 1)
+        maxCode(l) = if (counts(l - 1) == 0) -1 else code - 1
+        code <<= 1
+        l += 1
+      }
+    }
+    def decode(br: BitReader): Int = {
+      var l = 1
+      var code = br.bit()
+      while (l <= 16 && (maxCode(l) < 0 || code > maxCode(l))) {
+        code = (code << 1) | br.bit()
+        l += 1
+      }
+      if (l > 16) throw new IllegalArgumentException("jpeg: bad Huffman code")
+      symbols(valPtr(l) + code - minCode(l))
+    }
+  }
+
+  /** Entropy-segment bit reader with §F.2.2.5 byte unstuffing. Stops
+    * at any non-stuffed marker (RSTn consumed via [[restart]], EOI
+    * left in place); reads past the segment pad with 1-bits, the
+    * conventional fill.
+    */
+  private final class BitReader(bytes: Array[Byte], var pos: Int) {
+    private var buf = 0
+    private var cnt = 0
+    private var atMarker = false
+
+    def bit(): Int = {
+      if (cnt == 0) {
+        if (atMarker || pos >= bytes.length) return 1 // pad
+        val b = bytes(pos) & 0xff
+        if (b == 0xff) {
+          val nxt = if (pos + 1 < bytes.length) bytes(pos + 1) & 0xff else 0xd9
+          if (nxt == 0x00) { pos += 2; buf = 0xff; cnt = 8 }
+          else { atMarker = true; return 1 } // marker: leave for caller
+        } else { pos += 1; buf = b; cnt = 8 }
+      }
+      cnt -= 1
+      (buf >> cnt) & 1
+    }
+
+    def receive(s: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < s) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+
+    /** Consume an RSTn marker between restart intervals. */
+    def restart(): Unit = {
+      cnt = 0
+      atMarker = false
+      if (pos + 1 < bytes.length && (bytes(pos) & 0xff) == 0xff) {
+        val m = bytes(pos + 1) & 0xff
+        if (m >= 0xd0 && m <= 0xd7) pos += 2
+        else throw new IllegalArgumentException(
+          f"jpeg: expected RSTn at byte $pos, got marker $m%02x")
+      } else throw new IllegalArgumentException("jpeg: missing restart marker")
+    }
+  }
+
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  def decode(bytes: Array[Byte]): Decoded = {
+    def u8(i: Int): Int = {
+      if (i >= bytes.length)
+        throw new IllegalArgumentException("jpeg: truncated stream")
+      bytes(i) & 0xff
+    }
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    require(bytes.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8,
+      "jpeg: missing SOI marker")
+
+    val quant = new Array[Array[Int]](4)
+    val dcTables = new Array[Huff](4)
+    val acTables = new Array[Huff](4)
+    var width = 0
+    var height = 0
+    var qIdx = -1 // frame component's quant table id
+    var restartInterval = 0
+    var i = 2
+    var scanStart = -1
+    var dcId = 0
+    var acId = 0
+
+    while (scanStart < 0) {
+      if (u8(i) != 0xff)
+        throw new IllegalArgumentException(s"jpeg: expected marker at byte $i")
+      var j = i + 1
+      while (u8(j) == 0xff) j += 1
+      val m = u8(j)
+      val seg = j + 1
+      m match {
+        case 0xd8 | 0x01 => i = seg
+        case r if r >= 0xd0 && r <= 0xd7 => i = seg
+        case 0xd9 => throw new IllegalArgumentException("jpeg: EOI before SOS")
+        case 0xdb => // DQT: one or more tables
+          val end = seg + u16(seg)
+          var p = seg + 2
+          while (p < end) {
+            val pq = u8(p) >> 4
+            val tq = u8(p) & 15
+            val t = new Array[Int](64)
+            var k = 0
+            if (pq == 0) { while (k < 64) { t(k) = u8(p + 1 + k); k += 1 }; p += 65 }
+            else { while (k < 64) { t(k) = u16(p + 1 + 2 * k); k += 1 }; p += 129 }
+            quant(tq) = t
+          }
+          i = end
+        case 0xc4 => // DHT: one or more tables
+          val end = seg + u16(seg)
+          var p = seg + 2
+          while (p < end) {
+            val tc = u8(p) >> 4
+            val th = u8(p) & 15
+            val counts = Array.tabulate(16)(l => u8(p + 1 + l))
+            val n = counts.sum
+            val symbols = Array.tabulate(n)(k => u8(p + 17 + k))
+            val h = new Huff(counts, symbols)
+            if (tc == 0) dcTables(th) = h else acTables(th) = h
+            p += 17 + n
+          }
+          i = end
+        case 0xdd => // DRI
+          restartInterval = u16(seg + 2)
+          i = seg + u16(seg)
+        case 0xc0 | 0xc1 => // SOF0/1 — baseline(+extended) sequential
+          height = u16(seg + 3)
+          width = u16(seg + 5)
+          val nf = u8(seg + 7)
+          if (nf != 1) throw new IllegalArgumentException(
+            s"jpeg: only single-component (grayscale) scans supported, got $nf")
+          qIdx = u8(seg + 10) // comp: id, HV, Tq
+          i = seg + u16(seg)
+        case f if f >= 0xc2 && f <= 0xcf && f != 0xc4 && f != 0xc8 && f != 0xcc =>
+          throw new IllegalArgumentException(
+            f"jpeg: non-baseline frame (SOF${f - 0xc0}%d) unsupported")
+        case 0xda => // SOS
+          val ns = u8(seg + 2)
+          if (ns != 1) throw new IllegalArgumentException(
+            s"jpeg: single-component scan expected, got $ns")
+          dcId = u8(seg + 4) >> 4
+          acId = u8(seg + 4) & 15
+          scanStart = seg + u16(seg)
+        case _ => i = seg + u16(seg)
+      }
+    }
+    require(width > 0 && height > 0 && qIdx >= 0, "jpeg: no frame header")
+    val qt = quant(qIdx)
+    require(qt != null && dcTables(dcId) != null && acTables(acId) != null,
+      "jpeg: missing quant/Huffman table")
+
+    val bw = (width + 7) / 8
+    val bh = (height + 7) / 8
+    val pixels = new Array[Int](width * height)
+    val br = new BitReader(bytes, scanStart)
+    val coef = new Array[Double](64)
+    val tmp = new Array[Double](64)
+    var pred = 0
+    var blockIdx = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        if (restartInterval > 0 && blockIdx > 0 && blockIdx % restartInterval == 0) {
+          br.restart()
+          pred = 0
+        }
+        java.util.Arrays.fill(coef, 0.0)
+        // DC
+        val t = dcTables(dcId).decode(br)
+        pred += extend(br.receive(t), t)
+        coef(0) = pred.toDouble * qt(0)
+        // AC
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = acTables(acId).decode(br)
+          val r = rs >> 4
+          val s = rs & 15
+          if (s == 0) {
+            if (r == 15) k += 16 else eob = true // ZRL / EOB
+          } else {
+            k += r
+            if (k > 63) throw new IllegalArgumentException("jpeg: AC index overflow")
+            coef(Zigzag(k)) = extend(br.receive(s), s).toDouble * qt(k)
+            k += 1
+          }
+        }
+        // separable IDCT: rows, then columns
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            var acc = 0.0
+            var u = 0
+            while (u < 8) { acc += Cos(u * 8 + x) * coef(y * 8 + u); u += 1 }
+            tmp(y * 8 + x) = acc
+            x += 1
+          }
+          y += 1
+        }
+        var x = 0
+        while (x < 8) {
+          var yy = 0
+          while (yy < 8) {
+            var acc = 0.0
+            var v = 0
+            while (v < 8) { acc += Cos(v * 8 + yy) * tmp(v * 8 + x); v += 1 }
+            val px = bx * 8 + x
+            val py = by * 8 + yy
+            if (px < width && py < height) {
+              val s = math.rint(acc + 128.0).toInt
+              pixels(py * width + px) = if (s < 0) 0 else if (s > 255) 255 else s
+            }
+            yy += 1
+          }
+          x += 1
+        }
+        blockIdx += 1
+        bx += 1
+      }
+      by += 1
+    }
+    Decoded(width, height, pixels)
+  }
+
+  def meanPixel(d: Decoded): Double = {
+    var sum = 0L
+    var i = 0
+    while (i < d.pixels.length) { sum += d.pixels(i); i += 1 }
+    sum.toDouble / d.pixels.length
+  }
+}

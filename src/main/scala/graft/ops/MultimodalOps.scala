@@ -83,6 +83,25 @@ object MultimodalOps extends QueryModule {
       out.toByteArray
     }
 
+    /** Baseline JPEG at an explicit quality — the decode row uses a
+      * high setting so the tolerance band vs the pre-encode closed
+      * form stays tight (the mod-256 sawtooth raster is adversarially
+      * high-frequency; default ~0.75 quality smears its wrap edges).
+      */
+    def encodeJpeg(img: BufferedImage, quality: Float): Array[Byte] = {
+      val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      val out = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(out)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally { ios.close(); writer.dispose() }
+      out.toByteArray
+    }
+
     /** ITU T.81 §B.2.2 marker walk: (width, height, components) from
       * the first SOF frame header WITHOUT entropy-decoding anything —
       * the metadata-extraction-at-scale shape (a 100 TB image corpus
@@ -498,6 +517,72 @@ object MultimodalOps extends QueryModule {
             val jpeg = MediaCodec.encodeJpeg(MediaCodec.decodePng(r.payload))
             val (w, h, comps) = MediaCodec.jpegDims(jpeg)
             JpegMeta(r.doc_id, w, h, comps)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id") // one row per image doc = input-sized
+  }
+
+  // ---------------------------------------------------- jpeg decode
+
+  final case class JpegDecodeRow(doc_id: Long, width: Int, height: Int,
+      mean_err_le_half: Boolean, max_err_le_16: Boolean)
+
+  /** FULL baseline-JPEG entropy decode (r12 verdict #2 — the
+    * compressed-codec family's missing half beside [[mm_jpeg_meta]]'s
+    * header walk): transcode the stored raster to real baseline JPEG
+    * at quality 0.95 (the JDK's DCT+Huffman encoder — genuinely
+    * lossy), then run [[JpegDecode]]'s from-scratch Huffman + dequant
+    * + IDCT pipeline over the compressed bytes and compare the DECODED
+    * raster against the pre-encode closed form. JPEG is lossy, so the
+    * hashable output is the TOLERANCE BAND, not pixels: per image,
+    * |decoded mean − closed-form mean| ≤ 0.5 and max per-pixel error
+    * ≤ 16 (measured worst case on this raster family: 0.016 / 7 —
+    * the mod-256 sawtooth is adversarially high-frequency, so these
+    * bands have real teeth; a broken Huffman table, wrong dequant, or
+    * IDCT bug blows them immediately and reds the hash). Decoder
+    * correctness against an INDEPENDENT implementation is pinned in
+    * MultimodalSpec: per-pixel agreement with ImageIO's own decode
+    * within ±1 (the T.83 compliance allowance). Same batched
+    * mapPartitions codec slot as every decode row — only booleans and
+    * dims leave the task.
+    */
+  q("mm_jpeg_decode",
+    s"""WITH $imDimsSql
+       |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |       true AS mean_err_le_half, true AS max_err_le_16
+       |FROM im ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sess = s
+    import sess.implicits._
+    mediaTable(s, d).filter(col("meta.kind") === "image")
+      .select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap { batch =>
+          batch.map { r =>
+            val jpeg = MediaCodec.encodeJpeg(MediaCodec.decodePng(r.payload), 0.95f)
+            val dec = JpegDecode.decode(jpeg)
+            var sum = 0L
+            var cfSum = 0L
+            var maxErr = 0
+            var y = 0
+            while (y < dec.height) {
+              var x = 0
+              while (x < dec.width) {
+                val got = dec.pixels(y * dec.width + x)
+                val want = MediaCodec.pixel(r.doc_id, x, y)
+                sum += got
+                cfSum += want
+                val e = math.abs(got - want)
+                if (e > maxErr) maxErr = e
+                x += 1
+              }
+              y += 1
+            }
+            val n = dec.width.toLong * dec.height
+            JpegDecodeRow(r.doc_id, dec.width, dec.height,
+              math.abs(sum.toDouble / n - cfSum.toDouble / n) <= 0.5,
+              maxErr <= 16)
           }
         }
       }

@@ -195,6 +195,72 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getInt(3) == 1)
     }
   }
+
+  test("JPEG entropy decode agrees with ImageIO within the T.83 band (±1/pixel)") {
+    import MultimodalOps.MediaCodec
+    for (docId <- Seq(0L, 3L, 9L, 21L, 33L); q <- Seq(0.75f, 0.95f, 1.0f)) {
+      val w = (16 * (docId % 4 + 1)).toInt
+      val h = (16 * (docId % 3 + 1)).toInt
+      val jpeg = MediaCodec.encodeJpeg(
+        MediaCodec.decodePng(MediaCodec.encodePng(docId, w, h)), q)
+      val dec = JpegDecode.decode(jpeg)
+      assert((dec.width, dec.height) == (w, h))
+      val ref = MediaCodec.decodePng(jpeg) // ImageIO's own jpeg decode
+      var maxD = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val d = math.abs(dec.pixels(y * w + x) - ref.getRaster.getSample(x, y, 0))
+        if (d > maxD) maxD = d
+      }
+      assert(maxD <= 1,
+        s"doc $docId q=$q: decoder diverges from ImageIO by $maxD")
+    }
+  }
+
+  test("JPEG decode tolerance bands: q=1.0 near-lossless, q=0.95 inside the row's bands") {
+    import MultimodalOps.MediaCodec
+    for (docId <- Seq(0L, 6L, 12L, 27L)) {
+      val w = (16 * (docId % 4 + 1)).toInt
+      val h = (16 * (docId % 3 + 1)).toInt
+      val img = MediaCodec.decodePng(MediaCodec.encodePng(docId, w, h))
+      def maxErr(q: Float): Int = {
+        val dec = JpegDecode.decode(MediaCodec.encodeJpeg(img, q))
+        (for (y <- 0 until h; x <- 0 until w)
+          yield math.abs(dec.pixels(y * w + x) - MediaCodec.pixel(docId, x, y))).max
+      }
+      assert(maxErr(1.0f) <= 2, s"doc $docId: q=1.0 not near-lossless")
+      // the registered row's band, with the measured worst case 7
+      assert(maxErr(0.95f) <= 16, s"doc $docId: q=0.95 outside the row band")
+    }
+  }
+
+  test("JPEG entropy decode rejects corrupt/unsupported streams loudly") {
+    import MultimodalOps.MediaCodec
+    val jpeg = MediaCodec.encodeJpeg(
+      MediaCodec.decodePng(MediaCodec.encodePng(5L, 32, 16)), 0.95f)
+    intercept[IllegalArgumentException] {
+      JpegDecode.decode("nope".getBytes("US-ASCII"))
+    }
+    // truncation before the scan: segment parse must reject
+    intercept[IllegalArgumentException] { JpegDecode.decode(jpeg.take(20)) }
+    // a COLOR jpeg must reject as unsupported, not decode garbage
+    val rgb = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) rgb.setRGB(x, y, (x * 16 + y) << 8)
+    val colorJpeg = MediaCodec.encodeJpeg(rgb, 0.9f)
+    val e = intercept[IllegalArgumentException] { JpegDecode.decode(colorJpeg) }
+    assert(e.getMessage.contains("single-component"))
+  }
+
+  test("mm_jpeg_decode row: bands hold on every image doc") {
+    val out = SparkEntryAccess.query("mm_jpeg_decode")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (16 * (id % 4 + 1)).toInt)
+      assert(r.getInt(2) == (16 * (id % 3 + 1)).toInt)
+      assert(r.getBoolean(3) && r.getBoolean(4), s"band blown on doc $id")
+    }
+  }
 }
 
 /** Test access to the registered query map without duplicating wiring. */

@@ -183,7 +183,11 @@ class GdxScan(fullSchema: StructType, required: StructType, pushed: Seq[DimLabel
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GdxReaderFactory(fullSchema, required, pushed, symbol,
-      raw = options.getOrDefault("specialValues", "map") == "raw")
+      raw = options.getOrDefault("specialValues", "map") == "raw",
+      // vectorized by default; option("vectorized","false") keeps the
+      // row path reachable (debug/bisect escape hatch, and the A/B
+      // handle the SCALE.md throughput numbers were measured with)
+      vectorized = options.getBoolean("vectorized", true))
 
   override def description(): String =
     s"GdxScan(path=$path, symbol=$symbol, pushed=${pushed.mkString(",")})"
@@ -196,7 +200,8 @@ case class GdxAcronymPartition(shardPaths: Seq[String]) extends InputPartition
 
 class GdxReaderFactory(fullSchema: StructType, required: StructType,
     pushed: Seq[DimLabelFilter], symbol: String,
-    raw: Boolean = false) extends PartitionReaderFactory {
+    raw: Boolean = false, vectorized: Boolean = true)
+    extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
@@ -205,6 +210,22 @@ class GdxReaderFactory(fullSchema: StructType, required: StructType,
       case GdxAcronymPartition(shards) => new GdxAcronymReader(shards, required)
       case GdxInputPartition(shard, sym) =>
         new GdxSymbolReader(shard, sym, fullSchema, required, pushed, raw)
+    }
+
+  // vectorized path for symbol record scans (the data-sized reads —
+  // catalog/UEL/acronym views are header-sized and stay row-based):
+  // every symbol column type has an OnHeapColumnVector filler, so the
+  // decision is unconditional per partition type
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    vectorized && partition.isInstanceOf[GdxInputPartition]
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    partition match {
+      case GdxInputPartition(shard, sym) =>
+        new GdxSymbolColumnarReader(shard, sym, required, pushed, raw)
+      case other => throw new IllegalStateException(
+        s"columnar read requested for non-symbol partition $other")
     }
 }
 
@@ -330,12 +351,18 @@ class GdxAcronymReader(paths: Seq[String], required: StructType)
   override def close(): Unit = ()
 }
 
-class GdxSymbolReader(path: String, symbol: String, fullSchema: StructType,
-    required: StructType, pushed: Seq[DimLabelFilter],
-    raw: Boolean = false) extends PartitionReader[InternalRow] {
+/** Shared symbol-decode core behind BOTH reader shapes (row-at-a-time
+  * [[GdxSymbolReader]] and vectorized [[GdxSymbolColumnarReader]]):
+  * header + UEL index resolution, pushed-filter translation, the
+  * block-skipping record stream, and the residual per-record check —
+  * one implementation, so the two paths can never drift on pruning or
+  * filter semantics.
+  */
+private[sources] final class GdxSymbolDecode(path: String, symbol: String,
+    pushed: Seq[DimLabelFilter], raw: Boolean) {
 
-  private val header = GdxCodec.readHeader(path)
-  private val meta = GdxTable.resolveSymbol(header, symbol, path)
+  val header = GdxCodec.readHeader(path)
+  val meta = GdxTable.resolveSymbol(header, symbol, path)
 
   // label filters → UEL index predicates, resolved once here. A label
   // absent from this shard's UEL table matches nothing. Multiple pushed
@@ -400,7 +427,43 @@ class GdxSymbolReader(path: String, symbol: String, fullSchema: StructType,
     else null
   private val records: Iterator[GdxRecord] =
     if (stream == null) Iterator.empty else stream
+
+  def firstVal(r: GdxRecord): Double =
+    if (r.values.nonEmpty) r.values(0) else 0.0
+
+  // raw mode: sentinels pass through as their finite 1e300 encodings —
+  // the lossless representation the tool suite (merge/diff/dump) uses
+  // for ALL five value fields (flag columns only describe values(0));
+  // flag mode needs no special-casing here: toDouble already maps EPS
+  // to 0.0, and the is_* columns carry the lossless bit
+  def mapValue(v: Double): Double =
+    if (raw) v else SpecialValues.toDouble(v)
+
+  private def keep(r: GdxRecord): Boolean =
+    dimFilters.forall { case (i, allowed) => allowed.contains(r.keys(i)) }
+
+  /** Next record passing the residual per-record filter; null at end. */
+  def nextKept(): GdxRecord = {
+    while (records.hasNext) {
+      val r = records.next()
+      if (keep(r)) return r
+    }
+    null
+  }
+
+  def close(): Unit = if (stream != null) stream.close()
+}
+
+class GdxSymbolReader(path: String, symbol: String, fullSchema: StructType,
+    required: StructType, pushed: Seq[DimLabelFilter],
+    raw: Boolean = false) extends PartitionReader[InternalRow] {
+
+  private val core = new GdxSymbolDecode(path, symbol, pushed, raw)
+  private val header = core.header
+  private val meta = core.meta
   private var cur: GdxRecord = _
+  private def firstVal(r: GdxRecord): Double = core.firstVal(r)
+  private def mapValue(v: Double): Double = core.mapValue(v)
 
   // projection plan: for each required field, a function of the record
   private val emitters: Array[GdxRecord => Any] = required.fields.map { f =>
@@ -429,30 +492,109 @@ class GdxSymbolReader(path: String, symbol: String, fullSchema: StructType,
     }
   }
 
-  private def firstVal(r: GdxRecord): Double =
-    if (r.values.nonEmpty) r.values(0) else 0.0
-
-  // raw mode: sentinels pass through as their finite 1e300 encodings —
-  // the lossless representation the tool suite (merge/diff/dump) uses
-  // for ALL five value fields (flag columns only describe values(0));
-  // flag mode needs no special-casing here: toDouble already maps EPS
-  // to 0.0, and the is_* columns carry the lossless bit
-  private def mapValue(v: Double): Double =
-    if (raw) v else SpecialValues.toDouble(v)
-
-  private def keep(r: GdxRecord): Boolean =
-    dimFilters.forall { case (i, allowed) => allowed.contains(r.keys(i)) }
-
-  override def next(): Boolean = {
-    while (records.hasNext) {
-      val r = records.next()
-      if (keep(r)) { cur = r; return true }
-    }
-    false
-  }
+  override def next(): Boolean = { cur = core.nextKept(); cur != null }
 
   override def get(): InternalRow =
     new GenericInternalRow(emitters.map(e => e(cur)).toArray[Any])
 
-  override def close(): Unit = if (stream != null) stream.close()
+  override def close(): Unit = core.close()
+}
+
+/** Vectorized symbol reader ([[SupportsColumnarReads]] path): decodes
+  * straight into `OnHeapColumnVector`s and hands Spark whole
+  * `ColumnarBatch`es — no per-row `GenericInternalRow` allocation, no
+  * per-field boxing, and the downstream plan consumes the batch inside
+  * whole-stage codegen's vectorized loop, the same contract as the
+  * parquet vectorized reader (the r12 verdict's #4: at 100 TB the
+  * row-at-a-time scan is the bottleneck). Dimension labels fill from a
+  * per-UEL byte cache (each label's UTF-8 bytes encode ONCE per reader,
+  * not once per record — the decoder's analog of dictionary encoding).
+  * Same [[GdxSymbolDecode]] core as the row reader: block skipping,
+  * pushed-filter residual, special-value mapping all shared.
+  */
+class GdxSymbolColumnarReader(path: String, symbol: String,
+    required: StructType, pushed: Seq[DimLabelFilter], raw: Boolean,
+    batchSize: Int = GdxCodec.DefaultBlockSize)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private val core = new GdxSymbolDecode(path, symbol, pushed, raw)
+  private val vectors: Array[OnHeapColumnVector] =
+    OnHeapColumnVector.allocateColumns(batchSize, required)
+  private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
+
+  // lazily-encoded label bytes, keyed by UEL index (shared across dims)
+  private val labelBytes = new Array[Array[Byte]](core.header.uels.length)
+  private def bytesOf(uel: Int): Array[Byte] = {
+    var b = labelBytes(uel)
+    if (b == null) {
+      b = core.header.uels(uel).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      labelBytes(uel) = b
+    }
+    b
+  }
+
+  // per-field vector fillers — the columnar twin of the row emitters
+  private val fillers: Array[(GdxRecord, Int, OnHeapColumnVector) => Unit] =
+    required.fields.map[(GdxRecord, Int, OnHeapColumnVector) => Unit] { f =>
+      f.name match {
+        case n if n.startsWith("dim_") =>
+          val i = n.stripPrefix("dim_").toInt - 1
+          (r, row, v) => { val b = bytesOf(r.keys(i)); v.putByteArray(row, b, 0, b.length) }
+        case "text" =>
+          (r, row, v) => r.text match {
+            case Some(t) =>
+              val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              v.putByteArray(row, b, 0, b.length)
+            case None => v.putNull(row)
+          }
+        case "value" if core.meta.typ == SymbolType.Set ||
+            core.meta.typ == SymbolType.Alias =>
+          (_, row, v) => v.putDouble(row, 1.0)
+        case "value" =>
+          (r, row, v) => v.putDouble(row, core.mapValue(r.values(0)))
+        case "is_eps" =>
+          (r, row, v) => v.putBoolean(row, core.firstVal(r) == SpecialValues.EPS)
+        case "is_na" =>
+          (r, row, v) => v.putBoolean(row, core.firstVal(r) == SpecialValues.NA)
+        case "is_undef" =>
+          (r, row, v) => v.putBoolean(row, core.firstVal(r) == SpecialValues.UNDEF)
+        case "is_acronym" =>
+          (r, row, v) => v.putBoolean(row, SpecialValues.isAcronym(core.firstVal(r)))
+        case "acr_index" =>
+          (r, row, v) => {
+            val x = core.firstVal(r)
+            v.putInt(row, if (SpecialValues.isAcronym(x)) SpecialValues.acronymIndex(x) else 0)
+          }
+        case field =>
+          val vi = ValField.names.indexOf(field)
+          require(vi >= 0, s"unknown gdx field $field")
+          (r, row, v) => v.putDouble(row,
+            core.mapValue(if (vi < r.values.length) r.values(vi) else 0.0))
+      }
+    }
+
+  override def next(): Boolean = {
+    var i = 0
+    while (i < vectors.length) { vectors(i).reset(); i += 1 }
+    var n = 0
+    var r = core.nextKept()
+    while (r != null) {
+      var c = 0
+      while (c < fillers.length) { fillers(c)(r, n, vectors(c)); c += 1 }
+      n += 1
+      r = if (n < batchSize) core.nextKept() else null
+    }
+    batch.setNumRows(n)
+    n > 0
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit = {
+    batch.close()
+    core.close()
+  }
 }

@@ -133,7 +133,7 @@ class GraphSpec extends AnyFunSuite {
       val ids = cs.map(_._1).sorted
       val blocks = ids.grouped(6).toSeq
       blocks.zipWithIndex.foreach { case (b, bi) =>
-        b.foreach(id => comm(id) = nk * 1000 + bi)
+        b.foreach(id => comm(id) = nk * 1000000 + bi) // r13: widened key
         for (i <- b.indices; j <- i + 1 until b.length) edges += ((b(i), b(j)))
       }
       blocks.sliding(2).foreach {

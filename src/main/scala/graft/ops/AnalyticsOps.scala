@@ -283,6 +283,60 @@ object AnalyticsOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Theil–Sen robust trend slope per event_type (SPEC: Theil 1950 /
+    * Sen 1968 — the median of all pairwise slopes, the
+    * breakdown-point-29% alternative to OLS that one outlier day
+    * cannot drag; the standard robust "is this metric drifting"
+    * estimator): over each series' DAILY mean values, slope =
+    * median{ (y_j − y_i)/(x_j − x_i) : i < j } with x = epoch day.
+    * Exactness: x is an integer; the daily mean is sum(dy20-snapped
+    * values)/count — grid multiples sum exactly in any order (rule
+    * 12), one division of identical exact operands is IEEE-identical
+    * cross-engine; each pair slope is then one subtraction + one
+    * division of identical doubles; the median interpolation rides
+    * the established percentile↔quantile_cont agreement
+    * ([[agg_percentile]]'s device) with one final round (rule 5).
+    * Scale: pairs are DAYS², not rows — the daily pre-aggregation is
+    * the two-phase shuffle, the self-join runs on the |types|×|days|
+    * frame (calendar-bounded, thousands of pairs per series at any
+    * corpus size).
+    */
+  q("agg_theil_sen",
+    s"""WITH dd AS (
+      |  SELECT event_type,
+      |         CAST(CAST(date_trunc('day', ts) AS DATE)
+      |              - DATE '1970-01-01' AS DOUBLE) AS x,
+      |         sum(${Grid.dy20Sql("value")}) / count(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.event_type, (b.y - a.y) / (b.x - a.x) AS sl
+      |  FROM dd a JOIN dd b
+      |    ON b.event_type = a.event_type AND b.x > a.x),
+      |nd AS (SELECT event_type, CAST(count(*) AS INTEGER) AS n_days
+      |       FROM dd GROUP BY 1)
+      |SELECT p.event_type, nd.n_days,
+      |       CAST(count(*) AS BIGINT) AS n_pairs,
+      |       round(quantile_cont(p.sl, 0.5), 6) AS slope
+      |FROM p JOIN nd ON nd.event_type = p.event_type
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, d) =>
+    val daily = T(s, d, "events")
+      .groupBy(col("event_type"),
+        datediff(date_trunc("day", col("ts")).cast("date"),
+          lit("1970-01-01").cast("date")).cast("double").as("x"))
+      .agg((sum(Grid.dy20(col("value"))) / count(lit(1))).as("y"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("b.event_type") === col("a.event_type") && col("b.x") > col("a.x"))
+      .select(col("a.event_type").as("event_type"),
+        ((col("b.y") - col("a.y")) / (col("b.x") - col("a.x"))).as("sl"))
+    val nd = daily.groupBy("event_type")
+      .agg(count(lit(1)).cast("int").as("n_days"))
+    pairs.join(nd, Seq("event_type"))
+      .groupBy("event_type", "n_days")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(sl, 0.5)"), 6).as("slope"))
+      .reportSorted("event_type")
+  }
+
   /** Strict local-maximum detection per user signal (SPEC: the
     * scipy.signal find_peaks contract, plateau-free form): a peak is
     * a sample strictly above BOTH neighbors in event-time order.

@@ -2005,6 +2005,96 @@ object LlmOps extends QueryModule {
     * over the (doc,word) count frame — nothing token-sized ever
     * shuffles twice, nothing corpus-sized sorts globally.
     */
+  /** RAKE keyword extraction per document (SPEC: Rose, Engel, Cramer &
+    * Cowley 2010 "Automatic keyword extraction from individual
+    * documents" — the stopword-delimited co-occurrence scorer that
+    * needs no corpus statistics, complementing [[text_tfidf_topk]]'s
+    * corpus-relative ranking): candidate phrases are maximal runs of
+    * non-stopwords; word score = deg(w)/freq(w) where deg sums the
+    * lengths of phrases each occurrence sits in (the paper's
+    * co-occurrence degree) and freq counts occurrences; a phrase
+    * scores the sum of its word scores; top-3 phrases per doc.
+    * Determinism: each word ratio snaps to the dy20 grid BEFORE the
+    * phrase sum (rule 12 — grid multiples sum exactly in any
+    * association order), ranking ties break (phrase asc, first
+    * occurrence asc), display rounds once (rule 5). Phrase grouping is
+    * the gaps-and-islands trick (running stopword count = island id) —
+    * one window pass per doc; every subsequent groupBy/join is keyed
+    * on doc_id (+word/island), so at 100 TB the stages co-partition on
+    * the doc hash and the top-k window rides the same exchange.
+    */
+  q("text_keyword_rake", {
+    val stopsSql = "('a','the','and','of','to','in','is','on')"
+    s"""WITH w0 AS (
+       |  SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS pos
+       |  FROM (SELECT doc_id,
+       |          [x FOR x IN string_split(coalesce(text, ''), ' ') IF x <> ''] AS ws
+       |        FROM documents) t),
+       |wrd AS (
+       |  SELECT doc_id, pos, ws[pos] AS w, ws[pos] IN $stopsSql AS is_stop
+       |  FROM w0),
+       |isl AS (
+       |  SELECT doc_id, pos, w, is_stop,
+       |         sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+       |  FROM wrd),
+       |phw AS (SELECT doc_id, pos, w, pid FROM isl WHERE NOT is_stop),
+       |phr AS (
+       |  SELECT doc_id, pid, string_agg(w, ' ' ORDER BY pos) AS phrase,
+       |         count(*) AS plen
+       |  FROM phw GROUP BY 1, 2),
+       |wst AS (
+       |  SELECT s.doc_id, s.w, sum(p.plen) AS deg, count(*) AS freq
+       |  FROM phw s JOIN phr p ON p.doc_id = s.doc_id AND p.pid = s.pid
+       |  GROUP BY 1, 2),
+       |psc AS (
+       |  SELECT s.doc_id, s.pid,
+       |         sum(${Grid.dy20Sql("CAST(t.deg AS DOUBLE) / t.freq")}) AS score
+       |  FROM phw s JOIN wst t ON t.doc_id = s.doc_id AND t.w = s.w
+       |  GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT p.doc_id, p.phrase, CAST(p.plen AS INTEGER) AS n_words, c.score,
+       |         CAST(row_number() OVER (PARTITION BY p.doc_id
+       |           ORDER BY c.score DESC, p.phrase, p.pid) AS INTEGER) AS rank
+       |  FROM phr p JOIN psc c ON c.doc_id = p.doc_id AND c.pid = p.pid)
+       |SELECT doc_id, rank, phrase, n_words, round(score, 6) AS score
+       |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+  }) { (s, d) =>
+    val stops = Seq("a", "the", "and", "of", "to", "in", "is", "on")
+    val words = T(s, d, "documents")
+      .select(col("doc_id"),
+        posexplode(split(coalesce(col("text"), lit("")), " ")).as(Seq("pos0", "w")))
+      .filter(length(col("w")) > 0)
+      .withColumn("is_stop", col("w").isInCollection(stops))
+    val wp = Window.partitionBy("doc_id").orderBy("pos0")
+    val isl = words
+      .withColumn("pid", sum(when(col("is_stop"), 1L).otherwise(0L)).over(wp))
+    val phw = isl.filter(!col("is_stop"))
+      .select("doc_id", "pos0", "w", "pid")
+    // phrase-sized collect: bounded by a stopword-free run, never a doc
+    val phr = phw.groupBy("doc_id", "pid")
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(pos0, w))), x -> x.w), ' ')")
+          .as("phrase"),
+        count(lit(1)).as("plen"))
+    val wst = phw
+      .join(phr.select(col("doc_id"), col("pid"), col("plen")), Seq("doc_id", "pid"))
+      .groupBy("doc_id", "w")
+      .agg(sum("plen").as("deg"), count(lit(1)).as("freq"))
+    val psc = phw
+      .join(wst, Seq("doc_id", "w"))
+      .groupBy("doc_id", "pid")
+      .agg(sum(Grid.dy20(col("deg").cast("double") / col("freq"))).as("score"))
+    val rw = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("phrase").asc, col("pid").asc)
+    phr.join(psc, Seq("doc_id", "pid"))
+      .withColumn("rank", row_number().over(rw).cast("int"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("phrase"),
+        col("plen").cast("int").as("n_words"), round(col("score"), 6).as("score"))
+      .orderBy("doc_id", "rank") // ≤3 rows per doc = input-sized
+  }
+
   q("text_tfidf_topk",
     """WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents),
       |     tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),

@@ -756,6 +756,72 @@ object WindowOps extends QueryModule {
     * the old sort_array walk, so equality with the oracle's
     * list_reduce replay is bitwise before the safety rounding.
     */
+  /** Local-level Kalman filter per user (SPEC: Kalman 1960 via the
+    * structural-time-series local-level form, Harvey 1989 §3.2 — the
+    * random-walk-plus-noise smoother that generalizes [[ts_ewma]] with
+    * an ADAPTIVE gain: K_t = P/(P+R) starts high while the level is
+    * uncertain and settles toward the steady state, where EWMA's α is
+    * fixed forever):
+    *   K = P/(P+R);  l ← l + K·(x − l);  P ← (1−K)·P + Q
+    * with Q = 0.25, R = 1.0 (exact binary fractions), seeded l₁ = x₁,
+    * P₁ = 1.0. Every update is the SAME IEEE expression in the same
+    * association order on both engines (÷ is correctly rounded like
+    * ·/+), so the fold is bitwise-identical to the oracle's
+    * list_reduce replay before the safety rounding — the ts_holt
+    * discipline with a division in the loop. Same UNBOUNDED-GROUP
+    * streaming-fold shape as [[ts_ewma]]: repartition + spillable sort
+    * + O(1)-state-per-user mapPartitions; at 100 TB the per-user state
+    * is an (l, P) pair regardless of history length.
+    */
+  q("ts_kalman",
+    // 2-element DOUBLE[] [level, P] state — the ts_holt struct-vs-list
+    // quirk note applies unchanged (list elements all see the ORIGINAL
+    // accumulator). K appears twice textually; it is the same IEEE
+    // value both times, so factoring it in Scala is sound.
+    """WITH f AS (
+      |  SELECT user_id, count(*) AS n,
+      |         list_reduce(list_transform(list(value ORDER BY ts, event_id),
+      |             x -> [CAST(x AS DOUBLE), CAST(1.0 AS DOUBLE)]),
+      |           (acc, e) -> [acc[1] + acc[2] / (acc[2] + 1.0) * (e[1] - acc[1]),
+      |                        (1.0 - acc[2] / (acc[2] + 1.0)) * acc[2] + 0.25]) AS st
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, CAST(n AS INTEGER) AS n, round(st[1], 6) AS level,
+      |       round(st[2], 6) AS p_var
+      |FROM f ORDER BY user_id""") { (s, d) =>
+    import s.implicits._
+    T(s, d, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "us", "event_id")
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .mapPartitions { it =>
+        val rows = it.buffered
+        new Iterator[(Long, Int, Double, Double)] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): (Long, Int, Double, Double) = {
+            val (u, v0) = rows.next()
+            var l = v0
+            var p = 1.0
+            var n = 1
+            while (rows.hasNext && rows.head._1 == u) {
+              val x = rows.next()._2
+              val k = p / (p + 1.0)
+              l = l + k * (x - l)
+              p = (1.0 - k) * p + 0.25
+              n += 1
+            }
+            (u, n, l, p)
+          }
+        }
+      }
+      .toDF("user_id", "n", "l", "p")
+      .select(col("user_id"), col("n"), round(col("l"), 6).as("level"),
+        round(col("p"), 6).as("p_var"))
+      .orderBy("user_id") // one row per user = input-sized
+  }
+
   q("ts_holt",
     // state is a 2-element DOUBLE[] [level, trend], NOT a struct: DuckDB
     // evaluates struct-literal fields in a reduce lambda sequentially
@@ -1148,6 +1214,60 @@ object WindowOps extends QueryModule {
     * stddev(value) would count a row covar excludes. Rounded to 6 for
     * cross-engine accumulation ulps.
     */
+  /** Rolling OLS trend slope per event_type series (20-row trailing
+    * frame) — the windowed least-squares fit behind every "is this
+    * metric trending" monitor, the regression upgrade of
+    * [[win_moving_avg]]: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) with
+    * x = the row's position in its series. EXACT by construction
+    * (rule 12): x is an integer (row_number), y snaps to the dy20 grid
+    * before any product, so every windowed sum is a sum of exact
+    * grid multiples (all magnitudes ≪ 2⁵³) — identical in any
+    * accumulation order — and the slope is ONE fixed-shape ratio per
+    * row (rule 5) with a zero-denominator guard (frame of one row →
+    * NULL). Both window passes share the one (event_type) exchange;
+    * at 100 TB parallelism ∝ #series, a hot series costs sort spill.
+    */
+  q("win_rolling_slope",
+    s"""WITH b AS (
+      |  SELECT event_id, event_type,
+      |         CAST(row_number() OVER (PARTITION BY event_type
+      |           ORDER BY ts, event_id) AS DOUBLE) AS x,
+      |         ${Grid.dy20Sql("value")} AS y
+      |  FROM events),
+      |s AS (
+      |  SELECT event_id, event_type,
+      |         CAST(count(*) OVER w AS DOUBLE) AS n,
+      |         sum(x) OVER w AS sx, sum(x * x) OVER w AS sxx,
+      |         sum(y) OVER w AS sy, sum(x * y) OVER w AS sxy
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY x
+      |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+      |SELECT event_id, event_type,
+      |       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+      |            ELSE round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+      |       END AS slope
+      |FROM s ORDER BY event_id""".stripMargin) { (s, d) =>
+    val wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    val wf = Window.partitionBy("event_type").orderBy("x").rowsBetween(-19, 0)
+    T(s, d, "events")
+      .select(col("event_id"), col("event_type"), col("ts"),
+        Grid.dy20(col("value")).as("y"))
+      .withColumn("x", row_number().over(wo).cast("double"))
+      .select(col("event_id"), col("event_type"),
+        count(lit(1)).over(wf).cast("double").as("n"),
+        sum(col("x")).over(wf).as("sx"),
+        sum(col("x") * col("x")).over(wf).as("sxx"),
+        sum(col("y")).over(wf).as("sy"),
+        sum(col("x") * col("y")).over(wf).as("sxy"))
+      .select(col("event_id"), col("event_type"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") === 0.0,
+          lit(null).cast("double"))
+          .otherwise(round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx")), 6))
+          .as("slope"))
+      .orderBy("event_id") // one row per event = input-sized
+  }
+
   q("win_rolling_corr",
     """WITH l AS (
       |  SELECT user_id, ts, event_id, value,

@@ -443,6 +443,63 @@ object StreamOps {
         })
   }
 
+  case class PatternEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, symbol: String)
+  case class PatternState(dfa: Int, len: Long, matches: Long,
+      first: String, buf: String) // buf = in-flight candidate segment
+  case class PatternRow(user_id: Long, seq_len: Long, n_matches: Long,
+      first_match: String)
+
+  /** Streaming row-pattern matching — the DEPLOYED form of the batch
+    * `win_event_pattern` registry row (MATCH_RECOGNIZE's
+    * `v[^p]*c[^p]*p` conversion journey, AFTER MATCH SKIP PAST LAST
+    * ROW): the same 4-state DFA the batch fold runs, carried as
+    * O(1) per-user `GroupState` so matches fire AS EVENTS ARRIVE —
+    * Flink-CEP territory expressed as flatMapGroupsWithState. State is
+    * (dfa state, event count, match count, first match, candidate
+    * buffer); the buffer holds only the CURRENT candidate segment and
+    * only until the first match lands — the identical memory contract
+    * as the batch fold. Same in-order-delivery contract as
+    * [[pageCusum]] (a sequential fold has no out-of-order convergence
+    * to fall back on); within a batch the slice sorts by exact-micros
+    * (ts, event_id). Emits the post-batch row per touched user
+    * (Update semantics). StreamingSpec pins multi-batch parity with
+    * the registered batch query on the real events slice.
+    */
+  def eventPattern(events: Dataset[PatternEvent]): Dataset[PatternRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[PatternEvent], state: GroupState[PatternState]) => {
+          var st = state.getOption.getOrElse(PatternState(0, 0L, 0L, null, ""))
+          var dfa = st.dfa
+          var len = st.len
+          var matches = st.matches
+          var first = st.first
+          val buf = new java.lang.StringBuilder(st.buf)
+          rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val c = if (e.symbol.isEmpty) ' ' else e.symbol.charAt(0)
+            len += 1
+            if (first == null && (dfa != 0 || c == 'v')) buf.append(c)
+            if (c == 'p') {
+              if (dfa == 2) {
+                matches += 1
+                if (first == null) first = buf.toString
+              }
+              dfa = 0
+              if (first == null) buf.setLength(0)
+            } else if (c == 'c') { if (dfa == 1) dfa = 2 }
+            else if (c == 'v') { if (dfa == 0) dfa = 1 }
+          }
+          st = PatternState(dfa, len, matches, first,
+            if (first == null) buf.toString else "")
+          state.update(st)
+          Iterator.single(PatternRow(user, len, matches,
+            if (first == null) "" else first))
+        })
+  }
+
   case class DistinctEvent(event_type: String, user_id: Long)
   case class DistinctEstimate(event_type: String, occupied: Long, estimate: Long)
 

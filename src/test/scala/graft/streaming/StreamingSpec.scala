@@ -370,6 +370,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchRows.exists(_._4 > 0))
   }
 
+  test("streaming event-pattern DFA matches batch win_event_pattern across micro-batches") {
+    val dir = "/root/testdata/sf0.001"
+    def us(ts: java.sql.Timestamp): Long =
+      ts.getTime / 1000 * 1000000 + ts.getNanos / 1000
+    val evs = graft.T(spark, dir, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => StreamOps.PatternEvent(r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3).substring(0, 1)))
+      .sortBy(e => (us(e.ts), e.event_id)) // per-user in-order batches
+    val ms = MemoryStream[StreamOps.PatternEvent](spark)
+    val name = nextName()
+    val q = StreamOps.eventPattern(ms.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("update").start()
+    evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { batch =>
+      ms.addData(batch.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // last emission per user = final state (seq_len grows monotonically)
+    val streamed = spark.table(name).collect()
+      .groupBy(_.getLong(0)).map { case (_, rs) => rs.maxBy(_.getLong(1)) }
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val batchRows = graft.SparkEntry.queries("win_event_pattern")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getInt(2).toLong,
+        r.getString(3))).toSet
+    assert(streamed == batchRows)
+    // the journey actually completes for someone on this slice, and a
+    // cross-batch match exists only if state carried over correctly
+    assert(batchRows.exists(_._3 > 0))
+  }
+
   test("stream_approx_distinct: streamed HLL estimates equal the batch fold " +
       "bit-for-bit and grow monotonically across micro-batches") {
     val dir = "/root/testdata/sf0.001"

@@ -283,6 +283,58 @@ object AnalyticsOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Statistical-process-control anomaly flags on daily event volumes
+    * (SPEC: Shewhart 1931 3σ control chart, the c-chart form — the
+    * canonical "did ingest volume spike/collapse today" monitor every
+    * pipeline DQ stack runs): per event_type, flag days whose count
+    * falls outside mean ± 3σ of that type's daily counts. Exactness:
+    * daily counts are integers, Σc and Σc² are exact integer sums at
+    * any partitioning (≪ 2⁵³), and mean/σ/limits are the SAME
+    * fixed-shape IEEE expression on both engines (σ from the
+    * population moment identity with a greatest(…,0) guard — the
+    * exact sums can leave a −ε variance); the flag compares an integer
+    * against identically-computed limits, so membership cannot drift
+    * (limits round only for display, rule 5). Two two-phase aggregates
+    * + one broadcast-sized limits join — day×type grain at any scale.
+    */
+  q("dq_anomaly_spc",
+    """WITH dc AS (
+      |  SELECT event_type, date_trunc('day', ts) AS d,
+      |         CAST(count(*) AS DOUBLE) AS c
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+      |         sum(c) AS sx, sum(c * c) AS sxx
+      |  FROM dc GROUP BY 1),
+      |lim AS (
+      |  SELECT event_type, sx / n AS m,
+      |         sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0.0)) AS sd
+      |  FROM st)
+      |SELECT dc.event_type, CAST(epoch_us(dc.d) AS BIGINT) AS day_us,
+      |       CAST(dc.c AS BIGINT) AS n_events,
+      |       round(l.m - 3 * l.sd, 6) AS lo, round(l.m + 3 * l.sd, 6) AS hi,
+      |       dc.c < l.m - 3 * l.sd OR dc.c > l.m + 3 * l.sd AS is_out
+      |FROM dc JOIN lim l ON l.event_type = dc.event_type
+      |ORDER BY dc.event_type, day_us""".stripMargin) { (s, d) =>
+    val dc = T(s, d, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val lim = dc.groupBy("event_type")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum("c").as("sx"), sum(col("c") * col("c")).as("sxx"))
+      .select(col("event_type"), (col("sx") / col("n")).as("m"),
+        sqrt(greatest(col("sxx") / col("n")
+          - (col("sx") / col("n")) * (col("sx") / col("n")), lit(0.0))).as("sd"))
+    dc.join(lim, Seq("event_type"))
+      .select(col("event_type"), unix_micros(col("d")).as("day_us"),
+        col("c").cast("long").as("n_events"),
+        round(col("m") - lit(3) * col("sd"), 6).as("lo"),
+        round(col("m") + lit(3) * col("sd"), 6).as("hi"),
+        (col("c") < col("m") - lit(3) * col("sd") ||
+          col("c") > col("m") + lit(3) * col("sd")).as("is_out"))
+      .orderBy("event_type", "day_us") // day x type grain = bounded
+  }
+
   /** Theil–Sen robust trend slope per event_type (SPEC: Theil 1950 /
     * Sen 1968 — the median of all pairwise slopes, the
     * breakdown-point-29% alternative to OLS that one outlier day

@@ -83,6 +83,16 @@ object MultimodalOps extends QueryModule {
       out.toByteArray
     }
 
+    /** Lossless GIF via the JDK's palette+LZW encoder — the
+      * compressed-but-exact counterpart of [[encodeJpeg]] feeding the
+      * [[GifDecode]] row (gray rasters palettize losslessly).
+      */
+    def encodeGif(img: BufferedImage): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      require(ImageIO.write(img, "gif", out), "gif: no JDK writer registered")
+      out.toByteArray
+    }
+
     /** Baseline JPEG at an explicit quality — the decode row uses a
       * high setting so the tolerance band vs the pre-encode closed
       * form stays tight (the mod-256 sawtooth raster is adversarially
@@ -583,6 +593,44 @@ object MultimodalOps extends QueryModule {
             JpegDecodeRow(r.doc_id, dec.width, dec.height,
               math.abs(sum.toDouble / n - cfSum.toDouble / n) <= 0.5,
               maxErr <= 16)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id") // one row per image doc = input-sized
+  }
+
+  // ----------------------------------------------------- gif decode
+
+  final case class GifDecodeRow(doc_id: Long, width: Int, height: Int,
+      mean_px: Double)
+
+  /** GIF transcode + from-scratch LZW entropy decode ([[GifDecode]]) —
+    * the LOSSLESS codec twin of [[mm_jpeg_decode]]: re-encode the
+    * stored raster as real GIF (the JDK's palette+LZW encoder), decode
+    * the compressed bytes with our own variable-width LZW stage, and
+    * hash the decoded raster's EXACT mean against the pre-encode
+    * closed form — no tolerance bands, one wrong palette index
+    * anywhere moves the mean and reds the hash. Same batched
+    * mapPartitions codec slot; only dims + the mean leave the task.
+    */
+  q("mm_gif_decode",
+    s"""WITH $imDimsSql
+       |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |  round(list_sum([CAST((31*doc_id + 7*(i%w) + 13*(i//w)) % 256 AS DOUBLE)
+       |                  FOR i IN range(0, w*h)]) / (w*h), 6) AS mean_px
+       |FROM im ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sess = s
+    import sess.implicits._
+    mediaTable(s, d).filter(col("meta.kind") === "image")
+      .select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap { batch =>
+          batch.map { r =>
+            val gif = MediaCodec.encodeGif(MediaCodec.decodePng(r.payload))
+            val dec = GifDecode.decode(gif)
+            GifDecodeRow(r.doc_id, dec.width, dec.height,
+              math.rint(GifDecode.meanPixel(dec) * 1e6) / 1e6)
           }
         }
       }

@@ -251,6 +251,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("single-component"))
   }
 
+  test("GIF LZW decode is pixel-exact: agrees with ImageIO and the closed form") {
+    import MultimodalOps.MediaCodec
+    for (docId <- Seq(0L, 3L, 9L, 21L, 33L)) {
+      val w = (16 * (docId % 4 + 1)).toInt
+      val h = (16 * (docId % 3 + 1)).toInt
+      val gif = MediaCodec.encodeGif(
+        MediaCodec.decodePng(MediaCodec.encodePng(docId, w, h)))
+      val dec = GifDecode.decode(gif)
+      assert((dec.width, dec.height) == (w, h))
+      // lossless: every pixel equals the closed form exactly
+      for (y <- 0 until h; x <- 0 until w)
+        assert(dec.pixels(y * w + x) == MediaCodec.pixel(docId, x, y),
+          s"doc $docId pixel ($x,$y)")
+      // and equals ImageIO's own decode of the same bytes bit-for-bit
+      val ref = MediaCodec.decodePng(gif)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(dec.pixels(y * w + x) == ref.getRaster.getSample(x, y, 0))
+    }
+  }
+
+  test("GIF decode rejects corrupt streams loudly") {
+    import MultimodalOps.MediaCodec
+    val gif = MediaCodec.encodeGif(
+      MediaCodec.decodePng(MediaCodec.encodePng(5L, 32, 16)))
+    intercept[IllegalArgumentException] {
+      GifDecode.decode("nope".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] { GifDecode.decode(gif.take(12)) }
+    // a truncated LZW payload must fail the pixel-count contract,
+    // never return a silently short raster
+    val cut = gif.take(gif.length - 8) ++ Array(0.toByte, 0x3b.toByte)
+    intercept[IllegalArgumentException] { GifDecode.decode(cut) }
+  }
+
   test("mm_jpeg_decode row: bands hold on every image doc") {
     val out = SparkEntryAccess.query("mm_jpeg_decode")(spark, dir).collect()
     assert(out.nonEmpty)

@@ -809,6 +809,41 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"expected the streaming DFA fold operator:\n$p")
   }
 
+  test("ts_kalman: same streaming-fold shape as ts_ewma — no window, no collect_list") {
+    val p = plan(graft.SparkEntry.queries("ts_kalman")(spark, d))
+    assert(!p.contains("windowspecdefinition"),
+      s"the Kalman fold must not be shoehorned into a window:\n$p")
+    assert(!p.contains("collect_list"),
+      s"no per-group sequence materialization allowed:\n$p")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"fold must ride a user_id hash exchange:\n$p")
+    assert(p.contains("MapPartitions"),
+      s"expected the streaming fold operator:\n$p")
+  }
+
+  test("win_rolling_slope: both window passes share ONE event_type exchange") {
+    val p = plan(graft.SparkEntry.queries("win_rolling_slope")(spark, d))
+    assert(!p.contains("Join"), s"rolling OLS must not join:\n$p")
+    assert("hashpartitioning\\(event_type".r.findAllIn(p).size == 1,
+      s"exactly one series-keyed exchange expected:\n$p")
+  }
+
+  test("sim_ann_nndescent: rounds are checkpoint-materialized; final plan reads the checkpoint") {
+    val p = plan(graft.SparkEntry.queries("sim_ann_nndescent")(spark, d))
+    assert(p.contains("Scan ExistingRDD"),
+      s"final edges must come from the round checkpoint:\n$p")
+    assert(!p.contains("Join") && !p.contains("Scan parquet"),
+      s"no lineage replay past the checkpoint:\n$p")
+  }
+
+  test("text_keyword_rake: every exchange is doc-keyed; no cartesian") {
+    val p = plan(graft.SparkEntry.queries("text_keyword_rake")(spark, d))
+    assert(!p.contains("CartesianProduct"), s"no all-pairs stage:\n$p")
+    val keys = "hashpartitioning\\((\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys == Set("doc_id"),
+      s"all shuffles must co-partition on doc_id, got $keys:\n$p")
+  }
+
   test("graph_ppr_seeded: rounds are checkpoint-materialized; final plan reads the checkpoint") {
     val p = plan(graft.SparkEntry.queries("graph_ppr_seeded")(spark, d))
     assert(p.contains("Scan ExistingRDD"),

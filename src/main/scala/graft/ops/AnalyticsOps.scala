@@ -283,6 +283,43 @@ object AnalyticsOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Capture–recapture population estimate per language (SPEC:
+    * Lincoln 1930 / Petersen with the Chapman 1951 bias correction —
+    * the "how big is the corpus we HAVEN'T crawled" estimator: two
+    * independent samples, overlap size ⇒ N̂ = (n₁+1)(n₂+1)/(m+1) − 1;
+    * the same arithmetic teams use to size undiscovered duplicates or
+    * un-scraped domains from two crawl snapshots): samples here are
+    * the deterministic doc_id residue classes %5 and %3 (independent
+    * by CRT), so the estimate is replayable and should recover ~the
+    * true per-lang count. All counts are integers from ONE conditional
+    * aggregation pass; the estimate is a fixed-shape ratio (rule 5),
+    * m+1 ≥ 1 so no division guard is needed.
+    */
+  q("agg_capture_recapture",
+    """SELECT lang,
+      |       CAST(count(*) AS BIGINT) AS n_true,
+      |       CAST(count(*) FILTER (doc_id % 5 = 0) AS BIGINT) AS n1,
+      |       CAST(count(*) FILTER (doc_id % 3 = 0) AS BIGINT) AS n2,
+      |       CAST(count(*) FILTER (doc_id % 5 = 0 AND doc_id % 3 = 0) AS BIGINT) AS m,
+      |       round((count(*) FILTER (doc_id % 5 = 0) + 1.0)
+      |             * (count(*) FILTER (doc_id % 3 = 0) + 1.0)
+      |             / (count(*) FILTER (doc_id % 5 = 0 AND doc_id % 3 = 0) + 1.0)
+      |             - 1.0, 6) AS n_chapman
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val s1 = col("doc_id") % 5 === 0
+    val s2 = col("doc_id") % 3 === 0
+    T(s, d, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_true"),
+        count(when(s1, 1)).as("n1"),
+        count(when(s2, 1)).as("n2"),
+        count(when(s1 && s2, 1)).as("m"))
+      .select(col("lang"), col("n_true"), col("n1"), col("n2"), col("m"),
+        round((col("n1") + lit(1.0)) * (col("n2") + lit(1.0))
+          / (col("m") + lit(1.0)) - lit(1.0), 6).as("n_chapman"))
+      .reportSorted("lang")
+  }
+
   /** Statistical-process-control anomaly flags on daily event volumes
     * (SPEC: Shewhart 1931 3σ control chart, the c-chart form — the
     * canonical "did ingest volume spike/collapse today" monitor every

@@ -2005,6 +2005,56 @@ object LlmOps extends QueryModule {
     * over the (doc,word) count frame — nothing token-sized ever
     * shuffles twice, nothing corpus-sized sorts globally.
     */
+  /** MinHash band-plan calculator (SPEC: Leskovec/Rajaraman/Ullman
+    * "Mining of Massive Datasets" §3.4.3 — the S-curve 1−(1−s^r)^b and
+    * its threshold midpoint (1/b)^(1/r); the tuning table every
+    * banded-LSH deployment derives before committing a (bands, rows)
+    * split): for k = 128 minhashes, enumerate every divisor split and
+    * score it against target Jaccard thresholds — collision
+    * probability AT the target and the curve midpoint; `chosen` marks
+    * the split whose midpoint lands nearest the target (tie → fewer
+    * rows per band = recall-leaning). The executable form of the
+    * dedup_near_minhash scaladoc's sizing discussion — the
+    * [[sim_ann_lsh_auto]] discipline applied to the banding knob.
+    * Pure plan-time math (no data scan); comparisons run on round-6
+    * values so cross-engine pow() ulps cannot flip the argmin.
+    */
+  q("pipeline_minhash_band_tuning",
+    """WITH rs AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128]) AS r),
+      |br AS (SELECT r, 128 // r AS b FROM rs),
+      |ts AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS t),
+      |sc AS (
+      |  SELECT ts.t, br.b, br.r,
+      |         round(1.0 - power(1.0 - power(ts.t, br.r), br.b), 6) AS p_collision,
+      |         round(power(1.0 / br.b, 1.0 / br.r), 6) AS s_mid
+      |  FROM ts CROSS JOIN br),
+      |rk AS (
+      |  SELECT t, b, r, p_collision, s_mid,
+      |         row_number() OVER (PARTITION BY t
+      |           ORDER BY abs(s_mid - t), r) AS rn
+      |  FROM sc)
+      |SELECT CAST(t AS DOUBLE) AS target_t, CAST(b AS INTEGER) AS bands,
+      |       CAST(r AS INTEGER) AS rows_per_band, p_collision, s_mid,
+      |       rn = 1 AS chosen
+      |FROM rk ORDER BY target_t, rows_per_band""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val rs = Seq(1, 2, 4, 8, 16, 32, 64, 128).toDF("r")
+      .withColumn("b", (lit(128) / col("r")).cast("int"))
+    val ts = Seq(0.5, 0.6, 0.7, 0.8, 0.9).toDF("t")
+    val sc = ts.crossJoin(rs)
+      .select(col("t"), col("b"), col("r"),
+        round(lit(1.0) - pow(lit(1.0) - pow(col("t"), col("r")), col("b")), 6)
+          .as("p_collision"),
+        round(pow(lit(1.0) / col("b"), lit(1.0) / col("r")), 6).as("s_mid"))
+    val w = Window.partitionBy("t")
+      .orderBy(abs(col("s_mid") - col("t")).asc, col("r").asc)
+    sc.withColumn("rn", row_number().over(w))
+      .select(col("t").as("target_t"), col("b").cast("int").as("bands"),
+        col("r").cast("int").as("rows_per_band"),
+        col("p_collision"), col("s_mid"), (col("rn") === 1).as("chosen"))
+      .orderBy("target_t", "rows_per_band") // 40 rows = constant-sized
+  }
+
   /** RAKE keyword extraction per document (SPEC: Rose, Engel, Cramer &
     * Cowley 2010 "Automatic keyword extraction from individual
     * documents" — the stopword-delimited co-occurrence scorer that

@@ -1214,6 +1214,70 @@ object WindowOps extends QueryModule {
     * stddev(value) would count a row covar excludes. Rounded to 6 for
     * cross-engine accumulation ulps.
     */
+  /** Forecast backtest per user — seasonal-naive MAE + MASE (SPEC:
+    * Hyndman & Koehler 2006 "Another look at measures of forecast
+    * accuracy": MASE = holdout MAE over the in-sample seasonal-naive
+    * MAE, the scale-free error every forecasting bake-off reports;
+    * season m = 4 matching [[ts_holt_winters]]'s ring): hold out each
+    * user's LAST 4 observations, forecast each with the value 4 steps
+    * earlier, and scale by the same lag-4 error over the training
+    * prefix. MASE < 1 ⇒ the candidate beats naive — the acceptance
+    * bar a ts_holt_winters deployment would be held to. Exactness:
+    * values snap to the dy20 grid BEFORE differencing (rule 12 —
+    * |a−b| of grid multiples is a grid multiple, sums are order-free),
+    * each mean is one division of exact operands, MASE is one more
+    * (rule 5 rounding; rule 7 NULL guards for short series and
+    * zero-error training prefixes). ONE user exchange serves the lag,
+    * the reverse rank, and the final per-user aggregate.
+    */
+  q("ts_forecast_eval",
+    s"""WITH b AS (
+      |  SELECT user_id, ts, event_id, ${Grid.dy20Sql("value")} AS y,
+      |         row_number() OVER (PARTITION BY user_id
+      |           ORDER BY ts DESC, event_id DESC) AS rd
+      |  FROM events),
+      |l AS (
+      |  SELECT user_id, rd,
+      |         abs(y - lag(y, 4) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id)) AS d
+      |  FROM b),
+      |a AS (
+      |  SELECT user_id, count(*) AS n,
+      |         sum(CASE WHEN rd <= 4 THEN d END) AS s_test,
+      |         count(CASE WHEN rd <= 4 THEN d END) AS c_test,
+      |         sum(CASE WHEN rd > 4 THEN d END) AS s_train,
+      |         count(CASE WHEN rd > 4 THEN d END) AS c_train
+      |  FROM l GROUP BY user_id)
+      |SELECT user_id, CAST(n AS INTEGER) AS n,
+      |       CASE WHEN c_test = 0 THEN NULL
+      |            ELSE round(s_test / c_test, 6) END AS mae_naive,
+      |       CASE WHEN c_test = 0 OR c_train = 0 OR s_train = 0 THEN NULL
+      |            ELSE round((s_test / c_test) / (s_train / c_train), 6)
+      |       END AS mase
+      |FROM a ORDER BY user_id""".stripMargin) { (s, d) =>
+    val wAsc = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val wDesc = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val l = T(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        Grid.dy20(col("value")).as("y"))
+      .withColumn("rd", row_number().over(wDesc))
+      .withColumn("d", abs(col("y") - lag("y", 4).over(wAsc)))
+    val a = l.groupBy("user_id")
+      .agg(count(lit(1)).cast("int").as("n"),
+        sum(when(col("rd") <= 4, col("d"))).as("s_test"),
+        count(when(col("rd") <= 4, col("d"))).as("c_test"),
+        sum(when(col("rd") > 4, col("d"))).as("s_train"),
+        count(when(col("rd") > 4, col("d"))).as("c_train"))
+    a.select(col("user_id"), col("n"),
+        when(col("c_test") === 0, lit(null).cast("double"))
+          .otherwise(round(col("s_test") / col("c_test"), 6)).as("mae_naive"),
+        when(col("c_test") === 0 || col("c_train") === 0 || col("s_train") === 0,
+          lit(null).cast("double"))
+          .otherwise(round((col("s_test") / col("c_test"))
+            / (col("s_train") / col("c_train")), 6)).as("mase"))
+      .orderBy("user_id") // one row per user = input-sized
+  }
+
   /** Rolling OLS trend slope per event_type series (20-row trailing
     * frame) — the windowed least-squares fit behind every "is this
     * metric trending" monitor, the regression upgrade of

@@ -1059,4 +1059,151 @@ class OpsSemanticsSpec extends AnyFunSuite {
       .map(r => (r.getDouble(5), r.getString(0), r.getString(1)))
     assert(ordered.sameElements(ordered.sortBy { case (p, a, b) => (-p, a, b) }))
   }
+
+  // --------------------------------------------------- round-13 ops
+
+  test("ts_kalman: gain converges to the steady state; level tracks a step change") {
+    // local level Q=0.25, R=1. The fold stores the PRIOR variance
+    // (posterior (1−K)P plus process noise Q), whose Riccati fixpoint
+    // solves P = PR/(P+R) + Q ⇒ P* = (Q + √(Q² + 4QR))/2 ≈ 0.640388,
+    // steady-state gain K* = P*/(P*+1) ≈ 0.390
+    var l = 10.0
+    var p = 1.0
+    (1 to 200).foreach { _ =>
+      val k = p / (p + 1.0)
+      l = l + k * (10.0 - l) // constant signal
+      p = (1.0 - k) * p + 0.25
+    }
+    val pStar = (0.25 + math.sqrt(0.25 * 0.25 + 4 * 0.25 * 1.0)) / 2
+    assert(math.abs(p - pStar) < 1e-9, s"P $p !≈ $pStar")
+    assert(math.abs(l - 10.0) < 1e-9, "constant signal must be tracked exactly")
+    // step change: level closes most of the gap within ~8 steps at K*≈0.28
+    (1 to 8).foreach { _ =>
+      val k = p / (p + 1.0)
+      l = l + k * (50.0 - l)
+      p = (1.0 - k) * p + 0.25
+    }
+    assert(math.abs(l - 50.0) < 4.0, s"level $l lags the step")
+    // and the registered query yields finite non-null state for every user
+    val rows = SparkEntry.queries("ts_kalman")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.forall(r => !r.isNullAt(2) && !r.isNullAt(3)
+      && r.getDouble(3) > 0))
+  }
+
+  test("agg_theil_sen shrugs off an outlier day that drags the OLS slope") {
+    import spark.implicits._
+    // 30 clean days of slope 2 plus ONE wild day: the pairwise-median
+    // slope stays ≈2 while a least-squares fit is dragged far off
+    val dayUs = 86400000000L
+    val evs = ((1 to 30).map(t => (t.toLong, 1700000000000000L + t * dayUs,
+      2.0 * t)) :+ (31L, 1700000000000000L + 31 * dayUs, 10000.0))
+      .map { case (id, us, v) =>
+        (id, us * 1000L, 1L, "view", v, null.asInstanceOf[String]) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d2 = java.nio.file.Files.createTempDirectory("graft_ts").toString
+    evs.write.mode("overwrite").parquet(s"$d2/events.parquet")
+    val got = SparkEntry.queries("agg_theil_sen")(spark, d2).collect()
+    assert(got.length == 1)
+    val slope = got.head.getDouble(3)
+    assert(math.abs(slope - 2.0) < 0.5, s"Theil-Sen slope $slope dragged")
+    // reference: the OLS slope over the same days IS dragged (>10x off)
+    val xs = (1 to 31).map(_.toDouble)
+    val ys = (1 to 30).map(2.0 * _) :+ 10000.0
+    val n = xs.length
+    val ols = (n * xs.zip(ys).map { case (a, b) => a * b }.sum - xs.sum * ys.sum) /
+      (n * xs.map(a => a * a).sum - xs.sum * xs.sum)
+    assert(ols > 20.0, s"the planted outlier must drag OLS, got $ols")
+  }
+
+  test("dq_anomaly_spc flags exactly the planted spike day") {
+    import spark.implicits._
+    // 20 days x 10 events + one day with 300: only the spike is out
+    val dayUs = 86400000000L
+    val rows = (1 to 20).flatMap { t =>
+      val n = if (t == 13) 300 else 10
+      (1 to n).map(k => (t * 1000L + k, (1700000000000000L + t * dayUs) * 1000L,
+        k.toLong, "view", 1.0, null.asInstanceOf[String]))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d2 = java.nio.file.Files.createTempDirectory("graft_spc").toString
+    rows.write.mode("overwrite").parquet(s"$d2/events.parquet")
+    val got = SparkEntry.queries("dq_anomaly_spc")(spark, d2).collect()
+    val out = got.filter(_.getBoolean(5)).map(_.getLong(2))
+    assert(out.toSeq == Seq(300L), s"flagged ${out.mkString(",")}")
+  }
+
+  test("text_keyword_rake: the long co-occurring phrase outranks the short one") {
+    import spark.implicits._
+    // "deep learning model" appears twice (high degree AND frequency);
+    // "quick test" once — RAKE's deg/freq scoring must rank the
+    // repeated multi-word phrase first
+    val crafted = Seq((1L,
+      "deep learning model the deep learning model a quick test")).toDF("doc_id", "text")
+    val d2 = java.nio.file.Files.createTempDirectory("graft_rake").toString
+    crafted.write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val got = SparkEntry.queries("text_keyword_rake")(spark, d2).collect()
+    assert(got.head.getString(2) == "deep learning model",
+      s"top phrase: ${got.head.getString(2)}")
+    // two occurrences of the same phrase both rank (non-overlapping
+    // islands are distinct candidates), then the short one
+    assert(got.map(_.getString(2)).toSeq ==
+      Seq("deep learning model", "deep learning model", "quick test"))
+  }
+
+  test("ts_forecast_eval: a pure linear series scores MASE exactly 1") {
+    import spark.implicits._
+    // x_t = t: every lag-4 difference is 4 on both sides of the
+    // holdout split, so MAE = scale and MASE = 1 exactly
+    val evs = (1 to 40).map(t => (t.toLong, (1700000000000000L + t * 60000000L) * 1000L,
+      7L, "view", t.toDouble, null.asInstanceOf[String]))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d2 = java.nio.file.Files.createTempDirectory("graft_fe").toString
+    evs.write.mode("overwrite").parquet(s"$d2/events.parquet")
+    val got = SparkEntry.queries("ts_forecast_eval")(spark, d2).collect()
+    assert(got.length == 1 && got.head.getDouble(2) == 4.0
+      && got.head.getDouble(3) == 1.0, s"got ${got.toSeq}")
+  }
+
+  test("graph_closeness: bounds hold and the harmonic dominates closeness per ball") {
+    val rows = SparkEntry.queries("graph_closeness")(spark, dir).collect()
+    assert(rows.length == 25) // one seed per nation
+    rows.foreach { r =>
+      val (n, sd) = (r.getLong(2), r.getLong(3))
+      assert(n >= 1 && sd >= n - 1, s"dist sum below hop count: $r")
+      if (!r.isNullAt(4)) {
+        val cl = r.getDouble(4)
+        val harm = r.getDouble(5)
+        assert(cl > 0 && cl <= 1.0, s"closeness out of (0,1]: $r")
+        // harmonic sums 1/d ≥ (n−1)·(closeness/(n−1))… both bounded by n−1
+        assert(harm <= n - 1 + 1e-9 && harm >= cl, s"harmonic bounds: $r")
+      }
+    }
+  }
+
+  test("pipeline_minhash_band_tuning: chosen splits minimize the midpoint gap") {
+    val rows = SparkEntry.queries("pipeline_minhash_band_tuning")(spark, dir)
+      .collect()
+      .map(r => (r.getDouble(0), r.getInt(1), r.getInt(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(rows.length == 40 && rows.count(_._6) == 5)
+    rows.groupBy(_._1).foreach { case (t, g) =>
+      val best = g.filter(_._6)
+      assert(best.length == 1)
+      val bestGap = math.abs(best.head._5 - t)
+      g.foreach { r => assert(math.abs(r._5 - t) >= bestGap - 1e-9) }
+      // collision probability is monotone DECREASING in rows-per-band at fixed t
+      val byR = g.sortBy(_._3).map(_._4)
+      assert(byR.zip(byR.tail).forall { case (a, b) => a >= b - 1e-9 },
+        s"p_collision not monotone in r at t=$t")
+    }
+  }
+
+  test("agg_capture_recapture: Chapman estimate lands near the true count") {
+    val rows = SparkEntry.queries("agg_capture_recapture")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTrue, est) = (r.getLong(1).toDouble, r.getDouble(5))
+      assert(est > nTrue * 0.5 && est < nTrue * 2.0,
+        s"estimate $est far from true $nTrue: $r")
+    }
+  }
 }

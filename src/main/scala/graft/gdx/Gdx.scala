@@ -41,6 +41,37 @@ object Gdx {
     acronyms(spark, path).select("acr_index", "name").collect()
       .map(r => r.getInt(0) -> r.getString(1)).toMap
 
+  /** Where does a label appear? One (symbol, dim, n_records) row per
+    * dimension slot the label (case-insensitive, GAMS UEL semantics)
+    * occurs in — the `gdxdump | grep` workflow as a first-class query
+    * (SPEC: the GAMS IDE's "find UEL" / gdxViewer search). The
+    * catalog is collected driver-side (catalog-bounded, the merge/dump
+    * discipline) and each symbol contributes ONE conditional-count
+    * aggregation over its scan — the per-dim label equality is exactly
+    * the pushed-filter shape, so the codec's zone maps skip
+    * non-matching blocks and a label absent from a shard's UEL table
+    * skips the whole shard. Zero-count slots are dropped.
+    */
+  def labelUsage(spark: SparkSession, path: String, label: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val lc = label.toLowerCase(java.util.Locale.ROOT)
+    val cat = catalog(spark, path).select("name", "dim", "type").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    val parts = cat.toSeq.sortBy(_._1).flatMap { case (name, dim0, typ) =>
+      // aliases catalog at dim 0 — their scan resolves to the target
+      // symbol's shape, so take the dim from the resolved schema
+      lazy val sym = symbol(spark, path, name)
+      val dim = if (typ == "alias")
+        sym.columns.count(_.startsWith("dim_")) else dim0
+      (1 to dim).map { i =>
+        sym.filter(lower(col(s"dim_$i")) === lc)
+          .agg(count(lit(1)).as("n_records"))
+          .select(lit(name).as("symbol"), lit(i).as("dim"), col("n_records"))
+      }
+    }
+    parts.reduce(_ unionByName _).filter(col("n_records") > 0)
+  }
+
   /** One symbol in long form; name matching is case-insensitive
     * (gdxFindSymbol). specialValues: "map" (gdxpy-compatible) or
     * "columns" (lossless is_eps/is_na/is_undef flags).

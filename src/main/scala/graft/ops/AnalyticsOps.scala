@@ -283,6 +283,78 @@ object AnalyticsOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Mixture sequential probability ratio test per event_type (SPEC:
+    * Johari, Koomen, Pekelis & Walsh 2017 "Peeking at A/B tests" —
+    * the mSPRT behind always-valid p-values: unlike [[agg_welch_ttest]]
+    * a user may CHECK CONTINUOUSLY and stop the moment the mixture
+    * likelihood ratio Λ crosses 1/α, without inflating false
+    * positives). Arms split deterministically by user parity (the
+    * [[agg_cuped]] assignment); with δ̂ the mean difference, s² = its
+    * variance estimate (pooled σ²·(1/n_t + 1/n_c)) and a N(0, τ²)
+    * mixing prior: Λ = √(s²/(s²+τ²)) · exp(δ̂²τ² / (2s²(s²+τ²))).
+    * τ = 0.25 (exact binary fraction). Determinism: values snap to the
+    * dy20 grid before the moment sums (rule 12), every derived
+    * quantity is ONE fixed-shape expression (rule 5, exp/libm washes
+    * under the final round-6 like the logit/power rows), and the
+    * stop decision compares Λ to 1/α = 20 with both engines computing
+    * identical operands. One two-phase conditional-moments pass, no
+    * join — per-type grain at any scale.
+    */
+  q("agg_sprt_mixture",
+    s"""WITH m AS (
+      |  SELECT event_type,
+      |         count(*) FILTER (user_id % 2 = 0) AS nt,
+      |         count(*) FILTER (user_id % 2 = 1) AS nc,
+      |         sum(CASE WHEN user_id % 2 = 0 THEN ${Grid.dy20Sql("value")} END) AS st,
+      |         sum(CASE WHEN user_id % 2 = 1 THEN ${Grid.dy20Sql("value")} END) AS sc,
+      |         sum(CASE WHEN user_id % 2 = 0
+      |              THEN ${Grid.dy20Sql("value")} * ${Grid.dy20Sql("value")} END) AS qt,
+      |         sum(CASE WHEN user_id % 2 = 1
+      |              THEN ${Grid.dy20Sql("value")} * ${Grid.dy20Sql("value")} END) AS qc
+      |  FROM events GROUP BY event_type),
+      |g AS (
+      |  SELECT event_type, nt, nc,
+      |         st / nt - sc / nc AS dhat,
+      |         ((qt - st * st / nt) + (qc - sc * sc / nc))
+      |           / (nt + nc - 2) * (1.0 / nt + 1.0 / nc) AS s2
+      |  FROM m WHERE nt > 1 AND nc > 1),
+      |lr AS (
+      |  SELECT event_type, nt, nc, dhat, s2,
+      |         sqrt(s2 / (s2 + 0.0625))
+      |           * exp(dhat * dhat * 0.0625 / (2 * s2 * (s2 + 0.0625))) AS lam
+      |  FROM g)
+      |SELECT event_type, CAST(nt AS BIGINT) AS n_treat,
+      |       CAST(nc AS BIGINT) AS n_control,
+      |       round(dhat, 6) AS mean_diff, round(lam, 6) AS lambda,
+      |       lam > 20.0 AS can_stop
+      |FROM lr ORDER BY event_type""".stripMargin) { (s, d) =>
+    val y = Grid.dy20(col("value"))
+    val t = col("user_id") % 2 === 0
+    val m = T(s, d, "events")
+      .groupBy("event_type")
+      .agg(count(when(t, 1)).as("nt"), count(when(!t, 1)).as("nc"),
+        sum(when(t, y)).as("st"), sum(when(!t, y)).as("sc"),
+        sum(when(t, y * y)).as("qt"), sum(when(!t, y * y)).as("qc"))
+      .filter(col("nt") > 1 && col("nc") > 1)
+    val g = m.select(col("event_type"), col("nt"), col("nc"),
+      (col("st") / col("nt") - col("sc") / col("nc")).as("dhat"),
+      (((col("qt") - col("st") * col("st") / col("nt"))
+        + (col("qc") - col("sc") * col("sc") / col("nc")))
+        / (col("nt") + col("nc") - 2)
+        * (lit(1.0) / col("nt") + lit(1.0) / col("nc"))).as("s2"))
+    g.select(col("event_type"), col("nt").cast("long").as("n_treat"),
+        col("nc").cast("long").as("n_control"),
+        round(col("dhat"), 6).as("mean_diff"),
+        round(sqrt(col("s2") / (col("s2") + lit(0.0625)))
+          * exp(col("dhat") * col("dhat") * lit(0.0625)
+            / (lit(2) * col("s2") * (col("s2") + lit(0.0625)))), 6).as("lambda"),
+        (sqrt(col("s2") / (col("s2") + lit(0.0625)))
+          * exp(col("dhat") * col("dhat") * lit(0.0625)
+            / (lit(2) * col("s2") * (col("s2") + lit(0.0625)))) > 20.0)
+          .as("can_stop"))
+      .reportSorted("event_type")
+  }
+
   /** Capture–recapture population estimate per language (SPEC:
     * Lincoln 1930 / Petersen with the Chapman 1951 bias correction —
     * the "how big is the corpus we HAVEN'T crawled" estimator: two

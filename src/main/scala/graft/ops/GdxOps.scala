@@ -385,6 +385,30 @@ object GdxOps extends QueryModule {
       .orderBy("dim_1", "dim_2")
   }
 
+  /** Label search across every symbol of a file ([[graft.gdx.Gdx
+    * .labelUsage]] — the `gdxdump | grep` / IDE "find UEL" workflow):
+    * where does 'africa' appear, per (symbol, dimension slot), with
+    * occurrence counts. The oracle re-derives each hit relationally:
+    * regset membership (1), its alias `r` (1), natreg's region
+    * dimension (all nations mapped to AFRICA), and natbad's one
+    * in-domain record.
+    */
+  q("gdx_label_usage",
+    """SELECT * FROM (
+      |  SELECT 'natbad' AS symbol, 2 AS dim, CAST(1 AS BIGINT) AS n_records
+      |  UNION ALL
+      |  SELECT 'natreg', 2,
+      |         (SELECT count(*) FROM nation n JOIN region r
+      |            ON r.r_regionkey = n.n_regionkey % (SELECT count(*) FROM region)
+      |          WHERE lower(r.r_name) = 'africa')
+      |  UNION ALL SELECT 'r', 1, 1
+      |  UNION ALL SELECT 'regset', 1, 1) t
+      |ORDER BY symbol, dim""".stripMargin) { (s, d) =>
+    val dir = ensureFixtures(s, d)
+    Gdx.labelUsage(s, s"$dir/file1.gdx", "AFRICA")
+      .reportSorted("symbol", "dim")
+  }
+
   // ------------------------------------------------- special values
 
   q("filter_special",

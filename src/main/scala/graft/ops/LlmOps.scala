@@ -220,6 +220,84 @@ object LlmOps extends QueryModule {
     minhashPairs(s, d).orderBy("a", "b") // pair count scales with dup density = input-sized
   }
 
+  /** MinHash estimator calibration over the banded candidates — the
+    * accuracy audit a production near-dup deployment runs before
+    * trusting signature-only thresholds (SPEC: Broder 1997's estimator
+    * E[matches/k] = J, with k = 12 here, so per-pair |err| is expected
+    * ~√(J(1−J)/12) ≈ 0.14 worst-case): per candidate pair, the
+    * signature estimate (matching minima / 12), the exact shingle
+    * Jaccard, and their gap. ONE shingle pass feeds signatures, bands
+    * AND verify sets (the verifiedJaccardPairs checkpoint discipline);
+    * every value is a single fixed-shape ratio of integers (rule 5) —
+    * est and exact are exact rationals, the gap one subtraction of
+    * identical operands — so the row is hash-exact with no tolerance
+    * machinery. Candidate-bounded output (banded, never all-pairs).
+    */
+  q("dedup_minhash_calibration", {
+    val mmExpr = (0 until 12)
+      .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $minhashCtesSql,
+       |jsh AS (SELECT DISTINCT doc_id, h FROM sh),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM jsh GROUP BY 1),
+       |itr AS (SELECT p.a, p.b, count(*) AS i
+       |        FROM pairs p JOIN jsh x ON x.doc_id = p.a
+       |        JOIN jsh y ON y.doc_id = p.b AND y.h = x.h GROUP BY 1, 2),
+       |mm AS (SELECT p.a, p.b, $mmExpr AS matches
+       |       FROM pairs p JOIN mins sa ON sa.doc_id = p.a
+       |       JOIN mins sb ON sb.doc_id = p.b)
+       |SELECT m.a, m.b, CAST(m.matches AS INTEGER) AS matches,
+       |       round(m.matches / 12.0, 6) AS est_jaccard,
+       |       round(coalesce(i.i, 0) * 1.0
+       |             / (ca.n + cb.n - coalesce(i.i, 0)), 6) AS exact_jaccard,
+       |       round(abs(m.matches / 12.0 - coalesce(i.i, 0) * 1.0
+       |             / (ca.n + cb.n - coalesce(i.i, 0))), 6) AS abs_err
+       |FROM mm m
+       |LEFT JOIN itr i ON i.a = m.a AND i.b = m.b
+       |JOIN cnt ca ON ca.doc_id = m.a
+       |JOIN cnt cb ON cb.doc_id = m.b
+       |ORDER BY m.a, m.b""".stripMargin
+  }) { (s, d) =>
+    val docs = T(s, d, "documents").select("doc_id", "text")
+    val sh = shingleHashes(docs).localCheckpoint()
+    val sigs = sh.select(col("doc_id") +:
+      (0 until 12).map(i =>
+        array_min(transform(col("hs"),
+          h => (lit(affineA(i)) * h + lit(affineB(i))) % lit(MinhashP))).as(s"m$i")): _*)
+    val bands = minhashBandsFromHashes(sh)
+    val cand = bands.select(col("band"), col("sig"), col("doc_id").as("a"))
+      .join(bands.select(col("band"), col("sig"), col("doc_id").as("b")),
+        Seq("band", "sig"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val jsh = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+      .distinct().localCheckpoint()
+    val counts = jsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(jsh.select(col("doc_id").as("a"), col("h")), Seq("a"))
+      .join(jsh.select(col("doc_id").as("b"), col("h")), Seq("b", "h"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+    val matches = (0 until 12)
+      .map(i => when(col(s"ma$i") === col(s"mb$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = col("matches") / lit(12.0)
+    val exact = coalesce(col("i"), lit(0L)) * lit(1.0) /
+      (col("na") + col("nb") - coalesce(col("i"), lit(0L)))
+    cand
+      .join(sigs.select(col("doc_id").as("a") +:
+        (0 until 12).map(i => col(s"m$i").as(s"ma$i")): _*), Seq("a"))
+      .join(sigs.select(col("doc_id").as("b") +:
+        (0 until 12).map(i => col(s"m$i").as(s"mb$i")): _*), Seq("b"))
+      .withColumn("matches", matches)
+      .join(inter, Seq("a", "b"), "left")
+      .join(counts.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(counts.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .select(col("a"), col("b"), col("matches").cast("int").as("matches"),
+        round(est, 6).as("est_jaccard"),
+        round(exact, 6).as("exact_jaccard"),
+        round(abs(est - exact), 6).as("abs_err"))
+      .orderBy("a", "b") // candidate-bounded output
+  }
+
   /** SimHash near-dup: 32-bit simhash over token hashes; docs sharing the
     * full simhash (or a band of it) are near-dup candidates. Computed
     * entirely map-side by the codegen'd [[graft.functions.SimHash32]]
@@ -2537,6 +2615,46 @@ object LlmOps extends QueryModule {
     langIdOf(T(s, d, "documents"))
       .select(col("doc_id"), col("lang"), col("pred"))
       .orderBy("doc_id") // one row per doc = input-sized
+  }
+
+  /** Language-ID confusion matrix + per-language recall — the eval
+    * report that turns [[text_lang_id]] from a predictor into a
+    * MEASURED predictor (the fastText/CLD quality-sheet shape every
+    * multilingual ingest pins before trusting lang routing): per
+    * (true lang, predicted lang) cell count and the share of the true
+    * language's docs it captures. Integer counts from one two-phase
+    * aggregate over the map-side predictions; share is one fixed
+    * ratio (rule 5). |langs|² output at any scale.
+    */
+  q("text_lang_confusion",
+    """WITH sc AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(str_split(text,' '), t -> t IN ('the','and','of','to','value'))) AS s_en,
+      |    len(list_filter(str_split(text,' '), t -> t IN ('der','und','die','das','wert'))) AS s_de,
+      |    len(list_filter(str_split(text,' '), t -> t IN ('el','la','los','de','valor'))) AS s_es,
+      |    len(list_filter(str_split(text,' '), t -> t IN ('le','la','les','et','valeur'))) AS s_fr,
+      |    len(list_filter(str_split(text,' '), t -> t IN ('shu','ju','biao','lie','zhi'))) AS s_zh
+      |  FROM documents),
+      |pr AS (
+      |  SELECT lang,
+      |    (list_sort([{'score': s_de, 'lang': 'de'}, {'score': s_en, 'lang': 'en'},
+      |                {'score': s_es, 'lang': 'es'}, {'score': s_fr, 'lang': 'fr'},
+      |                {'score': s_zh, 'lang': 'zh'}], 'DESC'))[1].lang AS pred
+      |  FROM sc),
+      |tot AS (SELECT lang, count(*) AS t FROM pr GROUP BY 1)
+      |SELECT pr.lang, pr.pred, CAST(count(*) AS BIGINT) AS n,
+      |       round(count(*) * 1.0 / any_value(tot.t), 6) AS share,
+      |       pr.lang = pr.pred AS correct
+      |FROM pr JOIN tot ON tot.lang = pr.lang
+      |GROUP BY pr.lang, pr.pred ORDER BY pr.lang, pr.pred""".stripMargin) { (s, d) =>
+    val pred = langIdOf(T(s, d, "documents")).select("lang", "pred")
+    val tot = pred.groupBy("lang").agg(count(lit(1)).as("t"))
+    pred.groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+      .join(tot, Seq("lang"))
+      .select(col("lang"), col("pred"), col("n"),
+        round(col("n") * lit(1.0) / col("t"), 6).as("share"),
+        (col("lang") === col("pred")).as("correct"))
+      .orderBy("lang", "pred") // |langs|^2 output = constant-sized
   }
 
   /** Language-ID by character-bigram profile (the mandate's "n-gram

@@ -192,6 +192,46 @@ object FormatOps extends QueryModule {
       .reportSorted("o_orderstatus", "o_orderpriority")
   }
 
+  /** Line-delimited XML export + read-back — the scalable XML shape
+    * (one self-contained record element per line, the form spark-xml's
+    * rowTag splitting approximates and log pipelines emit natively):
+    * records render via scala.xml with full attribute/text escaping,
+    * land as plain text shards, and read back through a mapPartitions
+    * parse — each line parses independently, so the scan splits like
+    * any text file and the parse is map-side-only. The round trip is
+    * verified value-exact against the parquet-derived oracle on every
+    * column INCLUDING the text body (escaping bugs — &, <, quotes —
+    * fail the hash, not just the row count). Documents with NULL text
+    * round-trip via attribute absence, distinguishing null from ''.
+    */
+  q("source_xml_roundtrip",
+    """SELECT doc_id, lang, source, text FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sess = s
+    import sess.implicits._
+    val dir = scratch(d, "xml")
+    T(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .as[(Long, String, String, String)]
+      .map { case (id, lang, src, text) =>
+        val attrs = s"""id="$id" lang="${scala.xml.Utility.escape(lang)}"""" +
+          s""" source="${scala.xml.Utility.escape(src)}""""
+        if (text == null) s"<doc $attrs/>"
+        else s"<doc $attrs>${scala.xml.Utility.escape(text)}</doc>"
+      }
+      .write.mode("overwrite").text(dir)
+    s.read.textFile(dir)
+      .mapPartitions { lines =>
+        lines.map { line =>
+          val e = scala.xml.XML.loadString(line)
+          ((e \@ "id").toLong, e \@ "lang", e \@ "source",
+            if (e.child.isEmpty) null else e.text)
+        }
+      }
+      .toDF("doc_id", "lang", "source", "text")
+      .orderBy("doc_id") // one row per doc = input-sized
+  }
+
   /** ORC export + read-back — the other builtin columnar format (the
     * Hive-ecosystem sibling of parquet; a complete engine reads both).
     * The read-back applies a selective predicate so ORC's row-group

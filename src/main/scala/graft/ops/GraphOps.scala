@@ -84,6 +84,59 @@ object GraphOps extends QueryModule {
       .reportSorted("nk")
   }
 
+  /** Global transitivity per nation (SPEC: Newman 2003 §III.B —
+    * 3·triangles / wedges, the "what fraction of open triads close"
+    * clustering statistic; the GLOBAL companion of
+    * [[graph_clustering_coefficient]]'s per-vertex average, and the
+    * two famously disagree on hub-heavy graphs because transitivity
+    * weights high-degree vertices by deg²): over the same path-square
+    * graph as [[graph_triangle_count]], wedges = Σ_v deg·(deg−1)/2 —
+    * all integers, so the ratio is ONE fixed-shape division (rule 5)
+    * and the count reuses the degree-oriented enumeration (arboricity
+    * bound, hubs never square). Cost beyond the triangle row: one
+    * degree aggregate.
+    */
+  q("graph_transitivity",
+    """WITH c AS (SELECT c_custkey AS id, c_nationkey AS nk FROM customer),
+      |l AS (SELECT nk, id,
+      |             lead(id, 1) OVER (PARTITION BY nk ORDER BY id) AS n1,
+      |             lead(id, 2) OVER (PARTITION BY nk ORDER BY id) AS n2
+      |      FROM c),
+      |e AS (SELECT nk, id AS a, n1 AS b FROM l WHERE n1 IS NOT NULL
+      |      UNION ALL
+      |      SELECT nk, id AS a, n2 AS b FROM l WHERE n2 IS NOT NULL),
+      |t AS (SELECT e1.nk AS nk, count(*) AS tri
+      |      FROM e e1
+      |      JOIN e e2 ON e2.nk = e1.nk AND e2.a = e1.b
+      |      JOIN e e3 ON e3.nk = e1.nk AND e3.a = e1.a AND e3.b = e2.b
+      |      GROUP BY 1),
+      |dg AS (SELECT nk, v, count(*) AS deg FROM (
+      |         SELECT nk, a AS v FROM e UNION ALL SELECT nk, b FROM e) u
+      |       GROUP BY 1, 2),
+      |w AS (SELECT nk, sum(deg * (deg - 1) // 2) AS wedges FROM dg GROUP BY 1)
+      |SELECT w.nk AS nk, CAST(coalesce(t.tri, 0) AS BIGINT) AS n_triangles,
+      |       CAST(w.wedges AS BIGINT) AS n_wedges,
+      |       CASE WHEN w.wedges = 0 THEN NULL
+      |            ELSE round(3.0 * coalesce(t.tri, 0) / w.wedges, 6)
+      |       END AS transitivity
+      |FROM w LEFT JOIN t ON t.nk = w.nk ORDER BY nk""".stripMargin) { (s, d) =>
+    val e = leadEdges(s, d, withN2 = true, maxGap = None).localCheckpoint()
+    val tri = orientedTriangleCount(e)
+    val deg = e.select(col("nk"), col("a").as("v"))
+      .unionByName(e.select(col("nk"), col("b").as("v")))
+      .groupBy("nk", "v").agg(count(lit(1)).as("deg"))
+    val wedges = deg.groupBy("nk")
+      .agg(sum(expr("deg * (deg - 1) div 2")).as("wedges"))
+    wedges.join(tri, Seq("nk"), "left")
+      .select(col("nk"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        col("wedges").as("n_wedges"),
+        when(col("wedges") === 0L, lit(null).cast("double"))
+          .otherwise(round(lit(3.0) * coalesce(col("n_triangles"), lit(0L))
+            / col("wedges"), 6)).as("transitivity"))
+      .reportSorted("nk") // one row per nation = catalog-sized
+  }
+
   /** Degree-oriented exact triangle count per graph partition `nk`
     * over a unique undirected edge frame `(nk, a, b)` with a < b.
     * Wedges are enumerated only from each vertex's ORIENTED

@@ -2953,6 +2953,62 @@ object LlmOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** BERT-style MLM masking (Devlin et al. 2019 §3.1: select 15% of
+    * tokens; of those, 80% → [MASK], 10% → a random token, 10% kept —
+    * the masked-LM data prep beside [[pipeline_span_corruption]]'s T5
+    * spans, completing the two standard denoising objectives). Same
+    * DETERMINISTIC discipline as the span row: selection and the
+    * 80/10/10 split derive from the contentBucket polynomial
+    * h = ((doc_id mod P)·1000003 + j) mod P (P = 1e9+7) — h mod 20 < 3
+    * selects 15%, (h div 20) mod 10 splits 1/1/8 — and the "random"
+    * replacement is the doc's own token at the derived position
+    * (j·7 mod n)+1, so every byte is re-ingestion-stable and
+    * SQL-replayable where real RNG would reproduce across neither
+    * engines nor reruns. Pure per-row HOF array algebra in whole-stage
+    * codegen: no explode, no shuffle, map-only at any scale.
+    */
+  q("pipeline_mlm_masking",
+    """WITH tk AS (SELECT doc_id, str_split(text, ' ') AS tok FROM documents),
+      |a AS (SELECT doc_id, tok, len(tok) AS n,
+      |        [ CASE WHEN (((doc_id % 1000000007) * 1000003 + j) % 1000000007) % 20 < 3
+      |               THEN CASE (((((doc_id % 1000000007) * 1000003 + j) % 1000000007)) // 20) % 10
+      |                    WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 3 END
+      |               ELSE 0 END
+      |          FOR j IN range(1, len(tok) + 1) ] AS act
+      |      FROM tk)
+      |SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+      |       CAST(len([x FOR x IN act IF x > 0]) AS INTEGER) AS n_selected,
+      |       CAST(len([x FOR x IN act IF x = 3]) AS INTEGER) AS n_mask,
+      |       CAST(len([x FOR x IN act IF x = 2]) AS INTEGER) AS n_random,
+      |       CAST(len([x FOR x IN act IF x = 1]) AS INTEGER) AS n_keep,
+      |       array_to_string([ CASE act[j] WHEN 3 THEN '[MASK]'
+      |                              WHEN 2 THEN tok[(j * 7) % n + 1]
+      |                              ELSE tok[j] END
+      |                         FOR j IN range(1, n + 1) ], ' ') AS masked_text
+      |FROM a ORDER BY doc_id""".stripMargin) { (s, d) =>
+    T(s, d, "documents")
+      .withColumn("tok", split(col("text"), " "))
+      .withColumn("n", size(col("tok")))
+      .withColumn("act", expr(
+        """transform(tok, (t, i) ->
+          |  CASE WHEN (((doc_id % 1000000007L) * 1000003L + i + 1) % 1000000007L) % 20 < 3
+          |       THEN CASE (((((doc_id % 1000000007L) * 1000003L + i + 1) % 1000000007L)) div 20) % 10
+          |            WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 3 END
+          |       ELSE 0 END)""".stripMargin))
+      .select(col("doc_id"), col("n").cast("int").as("n_tokens"),
+        expr("cast(size(filter(act, x -> x > 0)) as int)").as("n_selected"),
+        expr("cast(size(filter(act, x -> x = 3)) as int)").as("n_mask"),
+        expr("cast(size(filter(act, x -> x = 2)) as int)").as("n_random"),
+        expr("cast(size(filter(act, x -> x = 1)) as int)").as("n_keep"),
+        expr(
+          """array_join(transform(tok, (t, i) ->
+            |  CASE element_at(act, i + 1)
+            |       WHEN 3 THEN '[MASK]'
+            |       WHEN 2 THEN element_at(tok, cast(((i + 1) * 7) % n as int) + 1)
+            |       ELSE t END), ' ')""".stripMargin).as("masked_text"))
+      .orderBy("doc_id") // one row per doc = input-sized
+  }
+
   /** T5-style span corruption (Raffel et al. 2020 §3.1.4: replace
     * token spans with numbered sentinels, emit (input, target) pairs
     * — THE denoising-objective data prep). The span placement is a

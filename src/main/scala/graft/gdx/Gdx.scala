@@ -69,7 +69,15 @@ object Gdx {
           .select(lit(name).as("symbol"), lit(i).as("dim"), col("n_records"))
       }
     }
-    parts.reduce(_ unionByName _).filter(col("n_records") > 0)
+    // a catalog that is empty or all-scalar (dim 0) contributes no
+    // per-dim parts — return the empty frame with the contract schema
+    // rather than letting reduce throw on the empty Seq
+    parts.reduceOption(_ unionByName _) match {
+      case Some(u) => u.filter(col("n_records") > 0)
+      case None =>
+        import spark.implicits._
+        Seq.empty[(String, Int, Long)].toDF("symbol", "dim", "n_records")
+    }
   }
 
   /** One symbol in long form; name matching is case-insensitive

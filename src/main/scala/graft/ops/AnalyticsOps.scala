@@ -296,9 +296,11 @@ object AnalyticsOps extends QueryModule {
     * dy20 grid before the moment sums (rule 12), every derived
     * quantity is ONE fixed-shape expression (rule 5, exp/libm washes
     * under the final round-6 like the logit/power rows), and the
-    * stop decision compares Λ to 1/α = 20 with both engines computing
-    * identical operands. One two-phase conditional-moments pass, no
-    * join — per-type grain at any scale.
+    * stop decision compares the ROUND-6 Λ (the same value the hash
+    * pins) to 1/α = 20 — deriving it from the unrounded Λ would let a
+    * cross-engine libm ulp flip the boolean when Λ lands within ulps
+    * of the threshold (r13 advisory). One two-phase conditional-moments
+    * pass, no join — per-type grain at any scale.
     */
   q("agg_sprt_mixture",
     s"""WITH m AS (
@@ -326,7 +328,7 @@ object AnalyticsOps extends QueryModule {
       |SELECT event_type, CAST(nt AS BIGINT) AS n_treat,
       |       CAST(nc AS BIGINT) AS n_control,
       |       round(dhat, 6) AS mean_diff, round(lam, 6) AS lambda,
-      |       lam > 20.0 AS can_stop
+      |       round(lam, 6) > 20.0 AS can_stop
       |FROM lr ORDER BY event_type""".stripMargin) { (s, d) =>
     val y = Grid.dy20(col("value"))
     val t = col("user_id") % 2 === 0
@@ -348,9 +350,9 @@ object AnalyticsOps extends QueryModule {
         round(sqrt(col("s2") / (col("s2") + lit(0.0625)))
           * exp(col("dhat") * col("dhat") * lit(0.0625)
             / (lit(2) * col("s2") * (col("s2") + lit(0.0625)))), 6).as("lambda"),
-        (sqrt(col("s2") / (col("s2") + lit(0.0625)))
+        (round(sqrt(col("s2") / (col("s2") + lit(0.0625)))
           * exp(col("dhat") * col("dhat") * lit(0.0625)
-            / (lit(2) * col("s2") * (col("s2") + lit(0.0625)))) > 20.0)
+            / (lit(2) * col("s2") * (col("s2") + lit(0.0625)))), 6) > 20.0)
           .as("can_stop"))
       .reportSorted("event_type")
   }

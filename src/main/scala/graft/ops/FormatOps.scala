@@ -201,8 +201,14 @@ object FormatOps extends QueryModule {
     * any text file and the parse is map-side-only. The round trip is
     * verified value-exact against the parquet-derived oracle on every
     * column INCLUDING the text body (escaping bugs — &, <, quotes —
-    * fail the hash, not just the row count). Documents with NULL text
-    * round-trip via attribute absence, distinguishing null from ''.
+    * fail the hash, not just the row count). NULL text round-trips via
+    * an explicit nil="true" marker (so `<doc></doc>` unambiguously
+    * means the empty string, not null); NULL lang/source round-trip
+    * via attribute absence (read back through attribute presence, not
+    * `\@`'s null-vs-'' collapsing). Control characters (\n \r \t) are
+    * written as XML character references so a text body can never
+    * break the one-record-per-line framing the splittable scan relies
+    * on — XML.loadString resolves them back to the original chars.
     */
   q("source_xml_roundtrip",
     """SELECT doc_id, lang, source, text FROM documents
@@ -214,20 +220,11 @@ object FormatOps extends QueryModule {
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
       .as[(Long, String, String, String)]
       .map { case (id, lang, src, text) =>
-        val attrs = s"""id="$id" lang="${scala.xml.Utility.escape(lang)}"""" +
-          s""" source="${scala.xml.Utility.escape(src)}""""
-        if (text == null) s"<doc $attrs/>"
-        else s"<doc $attrs>${scala.xml.Utility.escape(text)}</doc>"
+        XmlCodec.render(id, lang, src, text)
       }
       .write.mode("overwrite").text(dir)
     s.read.textFile(dir)
-      .mapPartitions { lines =>
-        lines.map { line =>
-          val e = scala.xml.XML.loadString(line)
-          ((e \@ "id").toLong, e \@ "lang", e \@ "source",
-            if (e.child.isEmpty) null else e.text)
-        }
-      }
+      .mapPartitions(lines => lines.map(XmlCodec.parse))
       .toDF("doc_id", "lang", "source", "text")
       .orderBy("doc_id") // one row per doc = input-sized
   }
@@ -415,5 +412,55 @@ object FormatOps extends QueryModule {
         sum(when(col("n_chars").isNull, 1L).otherwise(0L)).cast("long").as("n_v1"),
         sum("n_chars").cast("long").as("sum_chars_v2"))
       .reportSorted("lang")
+  }
+}
+
+/** Line-delimited XML record codec for `source_xml_roundtrip`.
+  *
+  * Contract (what the scan-side framing and the null model require):
+  *   - one `<doc …>` element per physical line — control characters in
+  *     any value are written as XML character references (`&#10;` etc.)
+  *     so the record can never span lines;
+  *   - NULL text ⇒ `nil="true"` attribute and a self-closed element;
+  *     the empty string ⇒ `<doc …></doc>` (content-empty, NO nil) — the
+  *     two are distinguishable on read-back;
+  *   - NULL lang/source ⇒ attribute absent; read back via
+  *     `e.attribute(name)` presence (`\@` would collapse absent to "").
+  */
+object XmlCodec {
+  /** XML-escape plus character references for line/tab controls. */
+  private def esc(s: String): String = {
+    val sb = new StringBuilder(s.length + 16)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '&'  => sb.append("&amp;")
+        case '<'  => sb.append("&lt;")
+        case '>'  => sb.append("&gt;")
+        case '"'  => sb.append("&quot;")
+        case '\n' => sb.append("&#10;")
+        case '\r' => sb.append("&#13;")
+        case '\t' => sb.append("&#9;")
+        case c    => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  def render(id: Long, lang: String, source: String, text: String): String = {
+    val sb = new StringBuilder(64)
+    sb.append("<doc id=\"").append(id).append('"')
+    if (lang != null) sb.append(" lang=\"").append(esc(lang)).append('"')
+    if (source != null) sb.append(" source=\"").append(esc(source)).append('"')
+    if (text == null) sb.append(" nil=\"true\"/>").toString
+    else sb.append('>').append(esc(text)).append("</doc>").toString
+  }
+
+  def parse(line: String): (Long, String, String, String) = {
+    val e = scala.xml.XML.loadString(line)
+    def attr(n: String): String = e.attribute(n).map(_.text).orNull
+    val text = if (attr("nil") == "true") null else e.text
+    ((e \@ "id").toLong, attr("lang"), attr("source"), text)
   }
 }

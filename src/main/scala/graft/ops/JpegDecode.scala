@@ -11,23 +11,42 @@ package graft.ops
   * zigzag inverse (§A.3.6), and a separable double-precision 2-D IDCT
   * (§A.3.3) with level shift and clamping.
   *
-  * Scope: single-component (grayscale) baseline scans — what the JDK
-  * encoder emits for TYPE_BYTE_GRAY rasters and what the media fixture
-  * carries. Multi-component scans reject loudly (the color/subsampling
-  * MCU loop is the documented next seam, not a silent wrong answer).
+  * Scope (r14): one general multi-component core ([[decodePlanes]])
+  * covering grayscale AND 3-component YCbCr color scans with arbitrary
+  * baseline sampling factors (4:4:4 / 4:2:2 / 4:2:0 — the §A.2.3
+  * interleaved MCU layout with per-component H×V block sub-grids,
+  * per-component quant/Huffman table selection, and per-component DC
+  * predictors reset per restart interval, which counts MCUs). Two
+  * facades: [[decode]] (grayscale, the r13 surface unchanged) and
+  * [[decodeRgb]] (color: sample-replication chroma upsample per JFIF
+  * §"subsampling", BT.601 full-range YCbCr→RGB as specified in JFIF
+  * 1.02). Progressive/arithmetic/hierarchical frames reject loudly.
   *
   * Cost shape: decode is O(pixels) per payload with a ~1 KB table
   * state, run inside the same batched mapPartitions codec slot as the
   * PNG path — only per-image stats leave the task, never rasters.
   * Decoder output is NOT bit-pinned to ImageIO's (T.83 allows ±1 ULP
-  * IDCT variation between compliant decoders); MultimodalSpec pins
-  * per-pixel agreement within the compliance band and the registered
-  * row hashes tolerance-band BOOLEANS against the pre-encode closed
-  * form, which is exactly as strong as a lossy codec permits.
+  * IDCT variation between compliant decoders, and chroma UPSAMPLE
+  * filters are not standardized at all — libjpeg's "fancy" triangular
+  * filter vs sample replication differ wherever chroma has gradients);
+  * MultimodalSpec pins per-pixel agreement within the compliance band
+  * on the luma path and a calibrated band on the color path, and the
+  * registered rows hash tolerance-band BOOLEANS against the pre-encode
+  * closed form, which is exactly as strong as a lossy codec permits.
   */
 object JpegDecode {
 
   final case class Decoded(width: Int, height: Int, pixels: Array[Int])
+
+  /** Color decode result: pixels packed 0xRRGGBB row-major. */
+  final case class DecodedRgb(width: Int, height: Int, pixels: Array[Int])
+
+  /** One frame component's decoded (padded) sample plane: `w`×`h` is
+    * the MCU-padded block grid, `sw`×`sh` the component's true sample
+    * dimensions (§A.1.1 ceil(width·Hᵢ/Hmax) × ceil(height·Vᵢ/Vmax)).
+    */
+  final case class Plane(w: Int, h: Int, sw: Int, sh: Int,
+      hSamp: Int, vSamp: Int, samples: Array[Int])
 
   private val Zigzag: Array[Int] = Array(
     0, 1, 8, 16, 9, 2, 3, 10,
@@ -133,7 +152,13 @@ object JpegDecode {
   private def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
-  def decode(bytes: Array[Byte]): Decoded = {
+  private final case class Comp(id: Int, h: Int, v: Int, tq: Int)
+
+  /** The general baseline decode: frame parse + interleaved-MCU
+    * entropy decode of EVERY component into its own sample plane.
+    * Returns (frame width, frame height, planes in frame order).
+    */
+  def decodePlanes(bytes: Array[Byte]): (Int, Int, Vector[Plane]) = {
     def u8(i: Int): Int = {
       if (i >= bytes.length)
         throw new IllegalArgumentException("jpeg: truncated stream")
@@ -148,12 +173,13 @@ object JpegDecode {
     val acTables = new Array[Huff](4)
     var width = 0
     var height = 0
-    var qIdx = -1 // frame component's quant table id
+    var comps: Vector[Comp] = Vector.empty
     var restartInterval = 0
     var i = 2
     var scanStart = -1
-    var dcId = 0
-    var acId = 0
+    // per frame-component entropy table ids, filled by SOS
+    var dcId: Array[Int] = null
+    var acId: Array[Int] = null
 
     while (scanStart < 0) {
       if (u8(i) != 0xff)
@@ -200,101 +226,206 @@ object JpegDecode {
           height = u16(seg + 3)
           width = u16(seg + 5)
           val nf = u8(seg + 7)
-          if (nf != 1) throw new IllegalArgumentException(
-            s"jpeg: only single-component (grayscale) scans supported, got $nf")
-          qIdx = u8(seg + 10) // comp: id, HV, Tq
+          if (nf != 1 && nf != 3) throw new IllegalArgumentException(
+            s"jpeg: 1 (gray) or 3 (YCbCr) components supported, got $nf")
+          comps = Vector.tabulate(nf) { c =>
+            val base = seg + 8 + c * 3
+            val hv = u8(base + 1)
+            Comp(u8(base), hv >> 4, hv & 15, u8(base + 2))
+          }
+          comps.foreach { c =>
+            if (c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4)
+              throw new IllegalArgumentException(
+                s"jpeg: illegal sampling ${c.h}x${c.v} for component ${c.id}")
+          }
           i = seg + u16(seg)
         case f if f >= 0xc2 && f <= 0xcf && f != 0xc4 && f != 0xc8 && f != 0xcc =>
           throw new IllegalArgumentException(
             f"jpeg: non-baseline frame (SOF${f - 0xc0}%d) unsupported")
         case 0xda => // SOS
           val ns = u8(seg + 2)
-          if (ns != 1) throw new IllegalArgumentException(
-            s"jpeg: single-component scan expected, got $ns")
-          dcId = u8(seg + 4) >> 4
-          acId = u8(seg + 4) & 15
+          if (comps.isEmpty) throw new IllegalArgumentException(
+            "jpeg: SOS before SOF")
+          if (ns != comps.length) throw new IllegalArgumentException(
+            s"jpeg: expected one interleaved scan of ${comps.length} " +
+              s"components, got $ns (progressive-style multi-scan unsupported)")
+          dcId = new Array[Int](comps.length)
+          acId = new Array[Int](comps.length)
+          var c = 0
+          while (c < ns) {
+            val cs = u8(seg + 3 + 2 * c)
+            val k = comps.indexWhere(_.id == cs)
+            if (k < 0) throw new IllegalArgumentException(
+              s"jpeg: scan component $cs not in frame")
+            dcId(k) = u8(seg + 4 + 2 * c) >> 4
+            acId(k) = u8(seg + 4 + 2 * c) & 15
+            c += 1
+          }
           scanStart = seg + u16(seg)
         case _ => i = seg + u16(seg)
       }
     }
-    require(width > 0 && height > 0 && qIdx >= 0, "jpeg: no frame header")
-    val qt = quant(qIdx)
-    require(qt != null && dcTables(dcId) != null && acTables(acId) != null,
-      "jpeg: missing quant/Huffman table")
+    require(width > 0 && height > 0 && comps.nonEmpty, "jpeg: no frame header")
+    comps.zipWithIndex.foreach { case (c, k) =>
+      require(quant(c.tq) != null && dcTables(dcId(k)) != null &&
+        acTables(acId(k)) != null, "jpeg: missing quant/Huffman table")
+    }
 
-    val bw = (width + 7) / 8
-    val bh = (height + 7) / 8
-    val pixels = new Array[Int](width * height)
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    val planes = comps.map { c =>
+      val pw = mcusX * c.h * 8
+      val ph = mcusY * c.v * 8
+      Plane(pw, ph,
+        (width * c.h + hMax - 1) / hMax, (height * c.v + vMax - 1) / vMax,
+        c.h, c.v, new Array[Int](pw * ph))
+    }
+
     val br = new BitReader(bytes, scanStart)
     val coef = new Array[Double](64)
     val tmp = new Array[Double](64)
-    var pred = 0
-    var blockIdx = 0
-    var by = 0
-    while (by < bh) {
-      var bx = 0
-      while (bx < bw) {
-        if (restartInterval > 0 && blockIdx > 0 && blockIdx % restartInterval == 0) {
-          br.restart()
-          pred = 0
-        }
-        java.util.Arrays.fill(coef, 0.0)
-        // DC
-        val t = dcTables(dcId).decode(br)
-        pred += extend(br.receive(t), t)
-        coef(0) = pred.toDouble * qt(0)
-        // AC
-        var k = 1
-        var eob = false
-        while (k < 64 && !eob) {
-          val rs = acTables(acId).decode(br)
-          val r = rs >> 4
-          val s = rs & 15
-          if (s == 0) {
-            if (r == 15) k += 16 else eob = true // ZRL / EOB
-          } else {
-            k += r
-            if (k > 63) throw new IllegalArgumentException("jpeg: AC index overflow")
-            coef(Zigzag(k)) = extend(br.receive(s), s).toDouble * qt(k)
-            k += 1
-          }
-        }
-        // separable IDCT: rows, then columns
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            var acc = 0.0
-            var u = 0
-            while (u < 8) { acc += Cos(u * 8 + x) * coef(y * 8 + u); u += 1 }
-            tmp(y * 8 + x) = acc
-            x += 1
-          }
-          y += 1
-        }
-        var x = 0
-        while (x < 8) {
-          var yy = 0
-          while (yy < 8) {
-            var acc = 0.0
-            var v = 0
-            while (v < 8) { acc += Cos(v * 8 + yy) * tmp(v * 8 + x); v += 1 }
-            val px = bx * 8 + x
-            val py = by * 8 + yy
-            if (px < width && py < height) {
-              val s = math.rint(acc + 128.0).toInt
-              pixels(py * width + px) = if (s < 0) 0 else if (s > 255) 255 else s
-            }
-            yy += 1
-          }
-          x += 1
-        }
-        blockIdx += 1
-        bx += 1
+    val pred = new Array[Int](comps.length)
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        br.restart()
+        java.util.Arrays.fill(pred, 0)
       }
-      by += 1
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      var k = 0
+      while (k < comps.length) {
+        val c = comps(k)
+        val qt = quant(c.tq)
+        val plane = planes(k)
+        var v = 0
+        while (v < c.v) {
+          var h = 0
+          while (h < c.h) {
+            java.util.Arrays.fill(coef, 0.0)
+            // DC
+            val t = dcTables(dcId(k)).decode(br)
+            pred(k) += extend(br.receive(t), t)
+            coef(0) = pred(k).toDouble * qt(0)
+            // AC
+            var z = 1
+            var eob = false
+            while (z < 64 && !eob) {
+              val rs = acTables(acId(k)).decode(br)
+              val r = rs >> 4
+              val s = rs & 15
+              if (s == 0) {
+                if (r == 15) z += 16 else eob = true // ZRL / EOB
+              } else {
+                z += r
+                if (z > 63)
+                  throw new IllegalArgumentException("jpeg: AC index overflow")
+                coef(Zigzag(z)) = extend(br.receive(s), s).toDouble * qt(z)
+                z += 1
+              }
+            }
+            // separable IDCT: rows, then columns, into the plane
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                var acc = 0.0
+                var u = 0
+                while (u < 8) { acc += Cos(u * 8 + x) * coef(y * 8 + u); u += 1 }
+                tmp(y * 8 + x) = acc
+                x += 1
+              }
+              y += 1
+            }
+            val px0 = (mx * c.h + h) * 8
+            val py0 = (my * c.v + v) * 8
+            var x = 0
+            while (x < 8) {
+              var yy = 0
+              while (yy < 8) {
+                var acc = 0.0
+                var u = 0
+                while (u < 8) { acc += Cos(u * 8 + yy) * tmp(u * 8 + x); u += 1 }
+                val s = math.rint(acc + 128.0).toInt
+                plane.samples((py0 + yy) * plane.w + (px0 + x)) =
+                  if (s < 0) 0 else if (s > 255) 255 else s
+                yy += 1
+              }
+              x += 1
+            }
+            h += 1
+          }
+          v += 1
+        }
+        k += 1
+      }
+      mcu += 1
     }
-    Decoded(width, height, pixels)
+    (width, height, planes)
+  }
+
+  /** Grayscale facade — the r13 API surface, unchanged semantics. */
+  def decode(bytes: Array[Byte]): Decoded = {
+    val (w, h, planes) = decodePlanes(bytes)
+    if (planes.length != 1) throw new IllegalArgumentException(
+      s"jpeg: grayscale decode on a ${planes.length}-component frame " +
+        "— use decodeRgb")
+    val p = planes.head
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      // gray frames have h=v=1 so the plane is full-resolution; crop pad
+      System.arraycopy(p.samples, y * p.w, px, y * w, w)
+      y += 1
+    }
+    Decoded(w, h, px)
+  }
+
+  /** Color facade: 3-component YCbCr → packed 0xRRGGBB. Chroma planes
+    * upsample by sample replication (nearest; JFIF leaves the filter
+    * to the decoder) and convert via JFIF 1.02's full-range BT.601:
+    * R = Y + 1.402·(Cr−128), G = Y − 0.344136·(Cb−128) − 0.714136·(Cr−128),
+    * B = Y + 1.772·(Cb−128).
+    */
+  def decodeRgb(bytes: Array[Byte]): DecodedRgb = {
+    val (w, h, planes) = decodePlanes(bytes)
+    if (planes.length != 3) throw new IllegalArgumentException(
+      s"jpeg: color decode on a ${planes.length}-component frame — use decode")
+    val Vector(py, pcb, pcr) = planes
+    val hMax = planes.map(_.hSamp).max
+    val vMax = planes.map(_.vSamp).max
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        def samp(p: Plane): Int = {
+          val sx0 = x * p.hSamp / hMax
+          val sy0 = y * p.vSamp / vMax
+          // clamp into the true sample area (pad blocks carry garbage)
+          val sx = if (sx0 >= p.sw) p.sw - 1 else sx0
+          val sy = if (sy0 >= p.sh) p.sh - 1 else sy0
+          p.samples(sy * p.w + sx)
+        }
+        val yy = samp(py).toDouble
+        val cb = samp(pcb) - 128.0
+        val cr = samp(pcr) - 128.0
+        def clamp(d: Double): Int = {
+          val v = math.rint(d).toInt
+          if (v < 0) 0 else if (v > 255) 255 else v
+        }
+        val r = clamp(yy + 1.402 * cr)
+        val g = clamp(yy - 0.344136 * cb - 0.714136 * cr)
+        val b = clamp(yy + 1.772 * cb)
+        out(y * w + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    DecodedRgb(w, h, out)
   }
 
   def meanPixel(d: Decoded): Double = {

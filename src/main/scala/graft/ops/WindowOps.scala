@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QueryModule, T}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -418,12 +418,19 @@ object WindowOps extends QueryModule {
     * spillable sortWithinPartitions on (user_id, µs, event_id) — a
     * total order, so the fold sees exactly the oracle's ORDER BY
     * sequence — + an O(1)-state mapPartitions DFA walk. Per in-flight
-    * user the state is (dfa state, event count, match count) plus a
-    * buffer of the CURRENT candidate segment only until the first
-    * match completes (bounded by one match's length, then dropped) —
-    * where the previous collect_list form materialized a hot user's
-    * entire history as one executor allocation (the r12 verdict's one
-    * weak-on-scale row; same contract ts_ewma shed in r11). DFA ≡
+    * user the state is (dfa state, event count, match count, segment
+    * start ordinal) plus a buffer of the CURRENT candidate segment,
+    * HARD-CAPPED at [[WindowOps.EventPatternCap]] chars (r14: a user
+    * whose candidate never terminates — a 'v' followed by a p-free
+    * tail — previously accumulated O(user history); the cap restores
+    * the bounded-memory contract). A first match longer than the cap
+    * is still counted exactly by the O(1) counters; only its TEXT is
+    * reconstructed by the rare-path rescue: the fold records the
+    * match's (start, end) ordinals, and a broadcast join + positional
+    * window slice re-reads exactly that segment (collect_list bounded
+    * by ONE match's length, and only for overflowed users — the rescue
+    * subtree is attached only when the checkpointed fold output shows
+    * an overflow, so the common-case plan carries no join at all). DFA ≡
     * leftmost-greedy regex: a match from a given 'v' must end at the
     * FIRST 'p' after it ([^p]* cannot cross a 'p'), and if the segment
     * up to that 'p' has no 'c' then EVERY start before that 'p' fails,
@@ -442,49 +449,120 @@ object WindowOps extends QueryModule {
       |       coalesce(regexp_extract_all(seq, 'v[^p]*c[^p]*p')[1], '')
       |         AS first_match
       |FROM sq ORDER BY user_id""") { (s, d) =>
+    eventPatternMatch(T(s, d, "events"), EventPatternCap)
+  }
+
+  /** Candidate-segment buffer cap for [[eventPatternMatch]] — 64 KiB of
+    * symbol chars per in-flight user before the fold switches from
+    * buffering text to tracking ordinals (rescue path).
+    */
+  private[graft] val EventPatternCap = 65536
+
+  /** The win_event_pattern engine, cap-parameterized so the rescue path
+    * is testable on small crafted fixtures (OpsSemanticsSpec drives it
+    * with cap=4). `events` needs (user_id, ts, event_id, event_type).
+    * The folded frame is checkpointed (it is user-sized and feeds both
+    * the rescue probe and the final result) and the rescue subtree is
+    * attached only when some user actually overflowed the cap — the
+    * common-case plan is checkpoint-scan → project → sort, no join.
+    */
+  private[graft] def eventPatternMatch(events: DataFrame, cap: Int): DataFrame = {
+    val folded = eventPatternFolded(events, cap).localCheckpoint()
+    val need = folded.filter(col("fm").isNull)
+      .select(col("user_id"), col("m_start"), col("m_end"))
+    val plain = folded.select(col("user_id"), col("seq_len"),
+      col("n_matches"), col("fm").as("first_match"))
+    val resolved =
+      if (need.isEmpty) plain
+      else {
+        val sym = eventPatternSymbols(events)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("us", "event_id")
+        val rescued = sym.withColumn("pos", row_number().over(w))
+          .join(broadcast(need), Seq("user_id"))
+          .filter(col("pos").between(col("m_start"), col("m_end")))
+          .groupBy("user_id")
+          .agg(array_join(
+            transform(array_sort(collect_list(struct(col("pos"), col("ch")))),
+              x => x.getField("ch")), "").as("fm_rescued"))
+        folded.join(broadcast(rescued), Seq("user_id"), "left")
+          .select(col("user_id"), col("seq_len"), col("n_matches"),
+            coalesce(col("fm"), col("fm_rescued")).as("first_match"))
+      }
+    resolved.orderBy("user_id") // one row per user = input-sized
+  }
+
+  private def eventPatternSymbols(events: DataFrame): DataFrame =
+    events.select(col("user_id"), unix_micros(col("ts")).as("us"),
+      col("event_id"), substring(col("event_type"), 1, 1).as("ch"))
+
+  /** The capped single-pass DFA fold — kept lazy and join-free so
+    * PlanInvariantsSpec can pin its shape (one user exchange +
+    * spillable in-partition sort + MapPartitions) independently of the
+    * rescue machinery layered on top by [[eventPatternMatch]].
+    */
+  private[graft] def eventPatternFolded(events: DataFrame, cap: Int): DataFrame = {
+    val s = events.sparkSession
     import s.implicits._
-    T(s, d, "events")
-      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
-        substring(col("event_type"), 1, 1).as("ch"))
+    eventPatternSymbols(events)
       .repartition(col("user_id"))
       .sortWithinPartitions("user_id", "us", "event_id")
       .select(col("user_id"), col("ch"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val rows = it.buffered
-        new Iterator[(Long, Int, Int, String)] {
+        new Iterator[(Long, Int, Int, String, Int, Int)] {
           def hasNext: Boolean = rows.hasNext
-          def next(): (Long, Int, Int, String) = {
+          def next(): (Long, Int, Int, String, Int, Int) = {
             val u = rows.head._1
             var len = 0
             var matches = 0
             var state = 0 // 0 idle, 1 armed (v seen), 2 primed (v..c seen)
             var first: String = null
+            var overflow = false // candidate text outgrew cap pre-match
+            var segStart = -1    // 1-based ordinal of the candidate's 'v'
+            var mStart = -1      // first match's [start, end] ordinals
+            var mEnd = -1
             val buf = new java.lang.StringBuilder
             while (rows.hasNext && rows.head._1 == u) {
               val c = rows.next()._2.charAt(0)
               len += 1
-              // buffer the candidate segment only until the first match lands
-              if (first == null && (state != 0 || c == 'v')) buf.append(c)
+              // buffer/track the candidate segment only until the first
+              // match lands; past the cap keep ordinals only
+              if (first == null && mStart < 0 && (state != 0 || c == 'v')) {
+                if (state == 0) segStart = len // this 'v' opens the candidate
+                if (!overflow) {
+                  if (buf.length() < cap) buf.append(c)
+                  else { overflow = true; buf.setLength(0) }
+                }
+              }
               if (c == 'p') {
                 if (state == 2) {
                   matches += 1
-                  if (first == null) first = buf.toString
+                  if (first == null && mStart < 0) {
+                    mStart = segStart; mEnd = len
+                    if (!overflow) first = buf.toString
+                  }
                 }
                 state = 0
-                if (first == null) buf.setLength(0)
+                if (first == null && mStart < 0) { // candidate killed
+                  buf.setLength(0); overflow = false; segStart = -1
+                }
               } else if (c == 'c') {
                 if (state == 1) state = 2
               } else if (c == 'v') {
                 if (state == 0) state = 1
               }
             }
-            (u, len, matches, if (first == null) "" else first)
+            // first: exact text ("" = no match at all, null = overflowed
+            // match needing positional rescue via (mStart, mEnd))
+            val fm = if (first != null) first
+                     else if (mStart < 0) "" else null
+            (u, len, matches, fm, mStart, mEnd)
           }
         }
       }
-      .toDF("user_id", "seq_len", "n_matches", "first_match")
-      .orderBy("user_id") // one row per user = input-sized
+      .toDF("user_id", "seq_len", "n_matches", "fm", "m_start", "m_end")
   }
 
   /** Gaps-and-islands: consecutive runs of the same event_type per

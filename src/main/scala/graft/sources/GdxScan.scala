@@ -308,12 +308,17 @@ class GdxUelReader(paths: Seq[String], required: StructType)
 
 /** Emits the acronym table (gdxAcronymCount/gdxAcronymGetInfo view):
   * one (acr_index, name, text) row per registered acronym. Sharded
-  * datasets merge by index; a shard registering a DIFFERENT
-  * (name, text) under an already-seen index fails loudly — the same
-  * contract [[graft.gdx.Gdx.merge]] enforces (a silent first-wins
-  * would rename sentinel values in a hand-assembled dir; the sharded
-  * writer stamps every shard with the same table, so legitimate data
-  * never trips this). Header-only reads, no record blobs touched.
+  * datasets merge by index; a shard registering a DIFFERENT name
+  * (case-insensitively — GAMS identifier semantics) under an
+  * already-seen index fails loudly — the EXACT contract
+  * [[graft.gdx.Gdx.merge]] enforces, so a hand-assembled dir is
+  * readable through this view iff it is mergeable: names compare
+  * case-insensitively, explanatory TEXT differences are tolerated
+  * with first-shard-wins (paths iterate sorted, so the pick is
+  * deterministic). A silent first-wins on the NAME would rename
+  * sentinel values; the sharded writer stamps every shard with the
+  * same table, so legitimate data never trips this. Header-only
+  * reads, no record blobs touched.
   */
 class GdxAcronymReader(paths: Seq[String], required: StructType)
     extends PartitionReader[InternalRow] {
@@ -324,10 +329,10 @@ class GdxAcronymReader(paths: Seq[String], required: StructType)
         seen.get(a.index) match {
           case None => seen(a.index) = a
           case Some(prev) =>
-            if (prev.name != a.name || prev.text != a.text)
+            if (!prev.name.equalsIgnoreCase(a.name))
               throw new IllegalArgumentException(
                 s"gdx: acronym index ${a.index} disagrees across shards: " +
-                  s"(${prev.name}, ${prev.text}) vs (${a.name}, ${a.text}) in $p")
+                  s"(${prev.name}) vs (${a.name}) in $p")
         }
       }
     }

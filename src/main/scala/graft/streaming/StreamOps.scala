@@ -446,7 +446,8 @@ object StreamOps {
   case class PatternEvent(user_id: Long, ts: java.sql.Timestamp,
       event_id: Long, symbol: String)
   case class PatternState(dfa: Int, len: Long, matches: Long,
-      first: String, buf: String) // buf = in-flight candidate segment
+      first: String, buf: String, // buf = in-flight candidate segment
+      trunc: Boolean)             // candidate outgrew the cap pre-match
   case class PatternRow(user_id: Long, seq_len: Long, n_matches: Long,
       first_match: String)
 
@@ -457,43 +458,58 @@ object StreamOps {
     * O(1) per-user `GroupState` so matches fire AS EVENTS ARRIVE —
     * Flink-CEP territory expressed as flatMapGroupsWithState. State is
     * (dfa state, event count, match count, first match, candidate
-    * buffer); the buffer holds only the CURRENT candidate segment and
-    * only until the first match lands — the identical memory contract
-    * as the batch fold. Same in-order-delivery contract as
-    * [[pageCusum]] (a sequential fold has no out-of-order convergence
-    * to fall back on); within a batch the slice sorts by exact-micros
-    * (ts, event_id). Emits the post-batch row per touched user
-    * (Update semantics). StreamingSpec pins multi-batch parity with
-    * the registered batch query on the real events slice.
+    * buffer, trunc flag); the buffer holds only the CURRENT candidate
+    * segment, only until the first match lands, and is HARD-CAPPED at
+    * [[graft.ops.WindowOps.EventPatternCap]] chars (r14) — so state is
+    * genuinely bounded even for a user whose candidate never
+    * terminates. A first match whose candidate outgrew the cap is
+    * still COUNTED exactly but reports first_match = "" (detectable:
+    * n_matches > 0 with empty first_match) — a stream cannot re-read
+    * history, so the batch form's positional rescue has no streaming
+    * equivalent; run the registered batch query for the exact text.
+    * Same in-order-delivery contract as [[pageCusum]] (a sequential
+    * fold has no out-of-order convergence to fall back on); within a
+    * batch the slice sorts by exact-micros (ts, event_id). Emits the
+    * post-batch row per touched user (Update semantics). StreamingSpec
+    * pins multi-batch parity with the registered batch query on the
+    * real events slice.
     */
-  def eventPattern(events: Dataset[PatternEvent]): Dataset[PatternRow] = {
+  def eventPattern(events: Dataset[PatternEvent],
+      cap: Int = graft.ops.WindowOps.EventPatternCap): Dataset[PatternRow] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
         (user: Long, rows: Iterator[PatternEvent], state: GroupState[PatternState]) => {
-          var st = state.getOption.getOrElse(PatternState(0, 0L, 0L, null, ""))
+          var st = state.getOption.getOrElse(
+            PatternState(0, 0L, 0L, null, "", trunc = false))
           var dfa = st.dfa
           var len = st.len
           var matches = st.matches
           var first = st.first
+          var trunc = st.trunc
           val buf = new java.lang.StringBuilder(st.buf)
           rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
             val c = if (e.symbol.isEmpty) ' ' else e.symbol.charAt(0)
             len += 1
-            if (first == null && (dfa != 0 || c == 'v')) buf.append(c)
+            if (first == null && (dfa != 0 || c == 'v')) {
+              if (!trunc) {
+                if (buf.length() < cap) buf.append(c)
+                else { trunc = true; buf.setLength(0) }
+              }
+            }
             if (c == 'p') {
               if (dfa == 2) {
                 matches += 1
-                if (first == null) first = buf.toString
+                if (first == null) first = if (trunc) "" else buf.toString
               }
               dfa = 0
-              if (first == null) buf.setLength(0)
+              if (first == null) { buf.setLength(0); trunc = false }
             } else if (c == 'c') { if (dfa == 1) dfa = 2 }
             else if (c == 'v') { if (dfa == 0) dfa = 1 }
           }
           st = PatternState(dfa, len, matches, first,
-            if (first == null) buf.toString else "")
+            if (first == null) buf.toString else "", first == null && trunc)
           state.update(st)
           Iterator.single(PatternRow(user, len, matches,
             if (first == null) "" else first))

@@ -242,13 +242,179 @@ class MultimodalSpec extends AnyFunSuite {
     }
     // truncation before the scan: segment parse must reject
     intercept[IllegalArgumentException] { JpegDecode.decode(jpeg.take(20)) }
-    // a COLOR jpeg must reject as unsupported, not decode garbage
+    // facade mismatch rejects loudly in BOTH directions (r14: color is
+    // supported — through decodeRgb, never silently through decode)
     val rgb = new java.awt.image.BufferedImage(16, 16,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     for (y <- 0 until 16; x <- 0 until 16) rgb.setRGB(x, y, (x * 16 + y) << 8)
     val colorJpeg = MediaCodec.encodeJpeg(rgb, 0.9f)
     val e = intercept[IllegalArgumentException] { JpegDecode.decode(colorJpeg) }
-    assert(e.getMessage.contains("single-component"))
+    assert(e.getMessage.contains("3-component"))
+    val e2 = intercept[IllegalArgumentException] { JpegDecode.decodeRgb(jpeg) }
+    assert(e2.getMessage.contains("1-component"))
+  }
+
+  test("JDK color JPEG is 4:2:0 on every fixture size (the interleave is exercised)") {
+    import MultimodalOps.MediaCodec
+    // read the SOF component specs straight off the bytes
+    def sofHV(b: Array[Byte]): Seq[Int] = {
+      var i = 2
+      while (true) {
+        val m = b(i + 1) & 0xff
+        if (m == 0xc0) {
+          val seg = i + 2
+          val nf = b(seg + 7) & 0xff
+          return (0 until nf).map(c => b(seg + 8 + c * 3 + 1) & 0xff)
+        }
+        i += 2 + (((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff))
+      }
+      Nil
+    }
+    for (w <- Seq(16, 32, 48, 64); h <- Seq(16, 32, 48)) {
+      val jpeg = MediaCodec.encodeJpeg(MediaCodec.colorImage(7L, w, h), 0.95f)
+      assert(sofHV(jpeg) == Seq(0x22, 0x11, 0x11),
+        s"${w}x$h: expected YCbCr 4:2:0")
+    }
+  }
+
+  test("color JPEG decode: bands vs closed form and vs ImageIO on all fixture sizes") {
+    import MultimodalOps.MediaCodec
+    for (docId <- Seq(0L, 3L, 9L, 21L, 33L)) {
+      val w = (16 * (docId % 4 + 1)).toInt
+      val h = (16 * (docId % 3 + 1)).toInt
+      val jpeg = MediaCodec.encodeJpeg(MediaCodec.colorImage(docId, w, h), 0.95f)
+      val dec = JpegDecode.decodeRgb(jpeg)
+      assert((dec.width, dec.height) == (w, h))
+      // vs the pre-encode closed form: quantization + 4:2:0 loss only
+      var errSum = 0L
+      var maxErr = 0
+      // vs ImageIO's decode of the SAME bytes: IDCT is T.83-banded but
+      // chroma upsample differs (fancy vs replication) — calibrated band
+      val ref = MediaCodec.decodePng(jpeg)
+      var refMax = 0
+      var refSum = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = dec.pixels(y * w + x)
+        val (wr, wg, wb) = MediaCodec.pixelRgb(docId, x, y)
+        val chans = Seq(((p >> 16) & 0xff) - wr, ((p >> 8) & 0xff) - wg,
+          (p & 0xff) - wb).map(math.abs)
+        errSum += chans.sum
+        maxErr = math.max(maxErr, chans.max)
+        val q = ref.getRGB(x, y)
+        val rchans = Seq(((p >> 16) & 0xff) - ((q >> 16) & 0xff),
+          ((p >> 8) & 0xff) - ((q >> 8) & 0xff),
+          (p & 0xff) - (q & 0xff)).map(math.abs)
+        refSum += rchans.sum
+        refMax = math.max(refMax, rchans.max)
+      }
+      val n = 3.0 * w * h
+      assert(errSum / n <= 2.0 && maxErr <= 48,
+        s"doc $docId: closed-form band blown (mean=${errSum / n} max=$maxErr)")
+      assert(refSum / n <= 2.0 && refMax <= 48,
+        s"doc $docId: ImageIO band blown (mean=${refSum / n} max=$refMax)")
+    }
+  }
+
+  test("hand-assembled 4:4:4 JPEG: MCU walk, per-component DC prediction, exact DC decode") {
+    // minimal from-scratch encoder: solid 8x8 blocks, DC-only (all-8
+    // quant, single-EOB AC table), 3 components all 1x1 — pins the
+    // non-subsampled interleave and per-component predictors exactly
+    def makeJpeg444(blocks: Seq[(Int, Int, Int)], mcusX: Int, mcusY: Int): Array[Byte] = {
+      require(blocks.length == mcusX * mcusY)
+      val out = new java.io.ByteArrayOutputStream()
+      def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+      def seg(marker: Int, payload: Seq[Int]): Unit = {
+        b(0xff, marker); b((payload.length + 2) >> 8, (payload.length + 2) & 0xff)
+        payload.foreach(v => out.write(v & 0xff))
+      }
+      b(0xff, 0xd8) // SOI
+      seg(0xdb, 0x00 +: Seq.fill(64)(8)) // DQT id0, all 8s
+      val (w, h) = (8 * mcusX, 8 * mcusY)
+      seg(0xc0, Seq(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 3,
+        1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0)) // SOF0: 3 comps, all 1x1, q0
+      // DHT DC id0: 12 symbols (categories 0..11) all at code length 4
+      seg(0xc4, Seq(0x00) ++ Seq(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+        ++ (0 to 11))
+      // DHT AC id0: single EOB symbol at code length 1
+      seg(0xc4, Seq(0x10) ++ Seq(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+        ++ Seq(0x00))
+      seg(0xda, Seq(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0)) // SOS
+      // entropy: per MCU, per comp: DC category (4 bits) + amplitude + EOB '0'
+      var acc = 0
+      var nbits = 0
+      val body = new java.io.ByteArrayOutputStream()
+      def putBits(v: Int, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          acc = (acc << 1) | ((v >> i) & 1)
+          nbits += 1
+          if (nbits == 8) {
+            body.write(acc)
+            if (acc == 0xff) body.write(0x00) // byte stuffing
+            acc = 0; nbits = 0
+          }
+          i -= 1
+        }
+      }
+      val pred = Array(0, 0, 0)
+      blocks.foreach { case (yv, cbv, crv) =>
+        Seq(yv, cbv, crv).zipWithIndex.foreach { case (v, c) =>
+          val level = v - 128 // DC quant 8 over (v-128)*8
+          val diff = level - pred(c)
+          pred(c) = level
+          val s = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+          putBits(s, 4)
+          if (s > 0) putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+          putBits(0, 1) // EOB
+        }
+      }
+      if (nbits > 0) { putBits((1 << (8 - nbits)) - 1, 8 - nbits) } // pad 1s
+      body.toByteArray.foreach(out.write(_))
+      b(0xff, 0xd9) // EOI
+      out.toByteArray
+    }
+    // 2x2 MCUs, distinct solid YCbCr per block incl. negative diffs
+    val blocks = Seq((200, 128, 128), (40, 100, 180), (128, 200, 60), (255, 0, 255))
+    val jpeg = makeJpeg444(blocks, 2, 2)
+    val (w0, h0, comps) = MultimodalOps.MediaCodec.jpegDims(jpeg)
+    assert((w0, h0, comps) == (16, 16, 3))
+    val dec = JpegDecode.decodeRgb(jpeg)
+    def expectRgb(yv: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+      def cl(d: Double) = math.max(0, math.min(255, math.rint(d).toInt))
+      (cl(yv + 1.402 * (cr - 128)),
+        cl(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+        cl(yv + 1.772 * (cb - 128)))
+    }
+    for (by <- 0 until 2; bx <- 0 until 2; y <- 0 until 8; x <- 0 until 8) {
+      val (yv, cb, cr) = blocks(by * 2 + bx)
+      val (er, eg, eb) = expectRgb(yv, cb, cr)
+      val p = dec.pixels((by * 8 + y) * 16 + (bx * 8 + x))
+      assert(((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff) == ((er, eg, eb)),
+        s"block ($bx,$by) pixel ($x,$y)")
+    }
+    // independent cross-check: ImageIO decodes the same hand-made bytes
+    val ref = MultimodalOps.MediaCodec.decodePng(jpeg)
+    assert((ref.getWidth, ref.getHeight) == (16, 16))
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val p = dec.pixels(y * 16 + x)
+      val q = ref.getRGB(x, y)
+      val d = Seq(((p >> 16) & 0xff) - ((q >> 16) & 0xff),
+        ((p >> 8) & 0xff) - ((q >> 8) & 0xff), (p & 0xff) - (q & 0xff))
+        .map(math.abs).max
+      assert(d <= 2, s"ImageIO disagrees by $d at ($x,$y)")
+    }
+  }
+
+  test("mm_jpeg_color_decode row: bands hold on every image doc") {
+    val out = SparkEntryAccess.query("mm_jpeg_color_decode")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (16 * (id % 4 + 1)).toInt)
+      assert(r.getInt(2) == (16 * (id % 3 + 1)).toInt)
+      assert(r.getInt(3) == 3)
+      assert(r.getBoolean(4) && r.getBoolean(5), s"band blown on doc $id")
+    }
   }
 
   test("GIF LZW decode is pixel-exact: agrees with ImageIO and the closed form") {

@@ -1206,4 +1206,49 @@ class OpsSemanticsSpec extends AnyFunSuite {
         s"estimate $est far from true $nTrue: $r")
     }
   }
+
+  test("XmlCodec round-trips empty text, control chars, and per-column NULLs") {
+    // empty string ≠ null (explicit nil marker), newline/CR/tab survive
+    // the one-record-per-line framing via character references, and
+    // nullable lang/source ride attribute presence (r13 advisory)
+    val cases = Seq[(Long, String, String, String)](
+      (1L, "en", "web", ""),                          // empty text, NOT null
+      (2L, "en", "web", null),                        // null text
+      (3L, null, "web", "line1\nline2\rline3\ttab"),  // null lang + controls
+      (4L, "de", null, "a & b < c > d \" e ' f"),     // null source + markup
+      (5L, null, null, "plain"),
+      (6L, "fr", "books", " leading and trailing "))
+    cases.foreach { c =>
+      val line = XmlCodec.render(c._1, c._2, c._3, c._4)
+      assert(!line.contains('\n') && !line.contains('\r'),
+        s"record spans lines: $line")
+      assert(XmlCodec.parse(line) == c, s"round-trip mismatch for $c: $line")
+    }
+    // '' and null render DIFFERENTLY and parse back distinctly
+    val e = XmlCodec.render(1L, "en", "web", "")
+    val n = XmlCodec.render(1L, "en", "web", null)
+    assert(e != n && XmlCodec.parse(e)._4 == "" && XmlCodec.parse(n)._4 == null)
+  }
+
+  test("win_event_pattern rescue path: over-cap first match reconstructed exactly") {
+    import spark.implicits._
+    // user 1: candidate segment far beyond cap=4 before the 'p' lands;
+    // user 2: short match (buffer path); user 3: armed forever, no match
+    def evs(u: Long, seq: String): Seq[(Long, java.sql.Timestamp, Long, String)] =
+      seq.zipWithIndex.map { case (c, i) =>
+        (u, new java.sql.Timestamp(1700000000000L + i * 1000L), i.toLong, c.toString)
+      }
+    val df = (evs(1L, "xvxxxxxxxxcxxp" + "vcp") ++
+      evs(2L, "vcpx") ++ evs(3L, "vcxxxxxxxxxx"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = WindowOps.eventPatternMatch(df, cap = 4).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(got(1L) == ((17, 2, "vxxxxxxxxcxxp")), s"rescued match wrong: $got")
+    assert(got(2L) == ((4, 1, "vcp")))
+    assert(got(3L) == ((12, 0, "")))
+    // same data through the production cap takes the buffer path — results equal
+    val big = WindowOps.eventPatternMatch(df, WindowOps.EventPatternCap).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(big == got)
+  }
 }

@@ -792,21 +792,29 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"exactly one documents scan:\n$p")
   }
 
-  test("win_event_pattern: streaming DFA fold — no collect_list, one user exchange") {
-    val p = plan(graft.SparkEntry.queries("win_event_pattern")(spark, d))
-    assert(!p.contains("Join"), s"pattern matching must not join:\n$p")
-    assert("hashpartitioning\\(user_id".r.findAllIn(p).size <= 1,
-      s"exactly one user-keyed exchange expected:\n$p")
-    // r13 unbounded-group form: repartition(user) + sortWithinPartitions
-    // + O(1)-state DFA mapPartitions — a collect_list aggregate would
-    // reintroduce the group-fits-in-memory contract (r12 verdict #1)
-    assert(!p.contains("collect_list"),
-      s"no per-user sequence materialization allowed:\n$p")
+  test("win_event_pattern: capped DFA fold shape + join-free common path") {
+    // the fold subtree itself (lazy, pre-checkpoint): one user exchange,
+    // spillable in-partition sort, O(1)-state DFA mapPartitions, no
+    // collect_list — the r13 unbounded-group contract, now with the
+    // r14 candidate-buffer cap
+    val f = plan(graft.ops.WindowOps.eventPatternFolded(
+      graft.T(spark, d, "events"), graft.ops.WindowOps.EventPatternCap))
+    assert(!f.contains("Join"), s"the fold must not join:\n$f")
+    assert("hashpartitioning\\(user_id".r.findAllIn(f).size <= 1,
+      s"exactly one user-keyed exchange expected:\n$f")
+    assert(!f.contains("collect_list"),
+      s"no per-user sequence materialization in the fold:\n$f")
     assert(raw"Sort \[user_id#\d+L ASC NULLS FIRST, us#\d+L ASC NULLS FIRST, event_id#\d+L ASC NULLS FIRST\], false".r
-      .findFirstIn(p).nonEmpty,
-      s"expected an in-partition (spillable) (user,ts,event) sort:\n$p")
-    assert(p.contains("MapPartitions"),
-      s"expected the streaming DFA fold operator:\n$p")
+      .findFirstIn(f).nonEmpty,
+      s"expected an in-partition (spillable) (user,ts,event) sort:\n$f")
+    assert(f.contains("MapPartitions"),
+      s"expected the streaming DFA fold operator:\n$f")
+    // the registered query on real data: no user overflows the 64 KiB
+    // cap, so the rescue subtree must not be attached at all — the
+    // common-case plan is checkpoint-scan → project → sort
+    val p = plan(graft.SparkEntry.queries("win_event_pattern")(spark, d))
+    assert(!p.contains("Join") && !p.contains("collect_list"),
+      s"rescue subtree must be absent when nothing overflows:\n$p")
   }
 
   test("ts_kalman: same streaming-fold shape as ts_ewma — no window, no collect_list") {

@@ -812,6 +812,26 @@ class GdxSourceSpec extends AnyFunSuite {
       c.getMessage.contains("acronym index 10")), s"unexpected failure: $e")
   }
 
+  test("acronym tables differing only in case/text stay readable (merge parity)") {
+    val dir = tmpDir()
+    def shard(n: String, acr: graft.gdx.GdxAcronym): Unit = {
+      val b = new graft.gdx.GdxBuilder()
+      b.addSymbol("p", graft.gdx.SymbolType.Parameter, 1,
+        Seq((Seq(n), Array(graft.gdx.SpecialValues.acronymValue(10)), None)))
+      graft.gdx.GdxCodec.write(b.result().copy(acronyms = Vector(acr)),
+        s"$dir/$n.gdx")
+    }
+    // Gdx.merge accepts name matches case-insensitively and ignores
+    // text — the reader must enforce the SAME contract, so a mergeable
+    // hand-assembled dir is never unreadable through the acronyms view
+    shard("a", graft.gdx.GdxAcronym(10, "EPS", "machine epsilon"))
+    shard("b", graft.gdx.GdxAcronym(10, "eps", "eps sentinel"))
+    val rows = graft.gdx.Gdx.acronyms(spark, dir.toString).collect()
+    assert(rows.length == 1 && rows.head.getInt(0) == 10)
+    // deterministic pick: first shard in sorted path order (a before b)
+    assert(rows.head.getString(1) == "EPS")
+  }
+
   test("domainCheck=enforce: violation aborts the write, clean labels pass") {
     import spark.implicits._
     val dir = tmpDir()

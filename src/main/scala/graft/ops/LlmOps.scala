@@ -1596,25 +1596,30 @@ object LlmOps extends QueryModule {
     * embeddings, and one per-vertex top-k window — each round
     * localCheckpointed with the CC/LPA free-previous discipline.
     */
+  /** One NN-descent round as unrolled oracle CTEs (shared by
+    * [[sim_ann_nndescent]] and [[sim_ann_nndescent_auto]]).
+    */
+  private def nndRoundCtes(i: Int, prev: String): String =
+    s"""u$i AS (SELECT qid, nbr FROM $prev UNION SELECT nbr, qid FROM $prev),
+       |c$i AS (SELECT DISTINCT x.qid, y.nbr FROM u$i x JOIN u$i y
+       |        ON y.qid = x.nbr WHERE y.nbr <> x.qid),
+       |s$i AS (SELECT c.qid, c.nbr,
+       |          round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                                       CAST(eb.embedding AS DOUBLE[])), 6) AS cos
+       |        FROM c$i c
+       |        JOIN embeddings ea ON ea.vec_id = c.qid
+       |        JOIN embeddings eb ON eb.vec_id = c.nbr),
+       |a$i AS (SELECT qid, nbr, max(cos) AS cos FROM (
+       |          SELECT qid, nbr, cos FROM s$i
+       |          UNION ALL SELECT qid, nbr, cos FROM $prev) GROUP BY 1, 2),
+       |e$i AS (SELECT qid, nbr, cos, rank FROM (
+       |          SELECT qid, nbr, cos, CAST(row_number() OVER (
+       |            PARTITION BY qid ORDER BY cos DESC, nbr) AS INTEGER) AS rank
+       |          FROM a$i) WHERE rank <= 3)""".stripMargin
+
   q("sim_ann_nndescent", {
     val (bucketCols, unions) = multiLshCandCtes(6, 6)
-    def roundCtes(i: Int, prev: String): String =
-      s"""u$i AS (SELECT qid, nbr FROM $prev UNION SELECT nbr, qid FROM $prev),
-         |c$i AS (SELECT DISTINCT x.qid, y.nbr FROM u$i x JOIN u$i y
-         |        ON y.qid = x.nbr WHERE y.nbr <> x.qid),
-         |s$i AS (SELECT c.qid, c.nbr,
-         |          round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
-         |                                       CAST(eb.embedding AS DOUBLE[])), 6) AS cos
-         |        FROM c$i c
-         |        JOIN embeddings ea ON ea.vec_id = c.qid
-         |        JOIN embeddings eb ON eb.vec_id = c.nbr),
-         |a$i AS (SELECT qid, nbr, max(cos) AS cos FROM (
-         |          SELECT qid, nbr, cos FROM s$i
-         |          UNION ALL SELECT qid, nbr, cos FROM $prev) GROUP BY 1, 2),
-         |e$i AS (SELECT qid, nbr, cos, rank FROM (
-         |          SELECT qid, nbr, cos, CAST(row_number() OVER (
-         |            PARTITION BY qid ORDER BY cos DESC, nbr) AS INTEGER) AS rank
-         |          FROM a$i) WHERE rank <= 3)""".stripMargin
+    def roundCtes(i: Int, prev: String): String = nndRoundCtes(i, prev)
     s"""WITH bk AS (SELECT vec_id, embedding,
        |       $bucketCols FROM embeddings),
        |     cand AS (
@@ -1645,8 +1650,17 @@ object LlmOps extends QueryModule {
     * by `rounds` neighbor-of-neighbor passes. Returns ≤ k rows per
     * vertex with (qid, nbr, cos, rank).
     */
-  private[ops] def nnDescent(emb: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var edges = knnEdges(emb, k).select("qid", "nbr", "cos").localCheckpoint()
+  private[ops] def nnDescent(emb: DataFrame, k: Int, rounds: Int): DataFrame =
+    nnDescentFrom(emb, knnEdges(emb, k).select("qid", "nbr", "cos"), k, rounds)
+
+  /** NN-descent refinement from an EXPLICIT seed edge list (qid, nbr,
+    * cos) — lets [[sim_ann_nndescent_auto]] swap the fixed-plane
+    * multi-table seed for the corpus-count-derived single-table one
+    * without duplicating the round machinery.
+    */
+  private[ops] def nnDescentFrom(emb: DataFrame, seed: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    var edges = seed.localCheckpoint()
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nbr").asc)
     var out: DataFrame = null
     for (_ <- 1 to rounds) {
@@ -1849,6 +1863,64 @@ object LlmOps extends QueryModule {
        |WHERE round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
        |                                   CAST(r.embedding AS DOUBLE[])), 6) >= 0.45
        |ORDER BY a, b""".stripMargin
+  }
+
+  /** NN-descent with the PRODUCTION seed (r13 verdict #3 — the one
+    * superlinear edge removed from the registered surface):
+    * [[sim_ann_nndescent]]'s refinement rounds over a seed whose plane
+    * count derives from the corpus count ([[autoPlanes]], the
+    * [[sim_ann_lsh_auto]] scaling law) instead of knnEdges' fixed
+    * 6-plane multi-table demo constant — candidate volume Θ(n·16) at
+    * ANY corpus size, vs Θ(n²/2⁶) for the fixed seed. One single-table
+    * bucket join seeds top-3 edges per vertex; two neighbor-of-neighbor
+    * rounds refine on the O(n·k) edge list exactly as the fixed-seed
+    * row does (shared [[nnDescentFrom]] machinery, CC-style
+    * localCheckpoint discipline). Data-parameterized oracle: the SQL is
+    * BUILT from the same derived plane count, so the gate at different
+    * SFs replays DIFFERENT derivations (sf0.01: 5 planes; sf0.1: 7) —
+    * `n_planes` rides the output to prove it. Recall monotonicity over
+    * this seed is pinned in LshRecallSpec alongside the fixed-seed row.
+    */
+  qDyn("sim_ann_nndescent_auto") { (s, d) =>
+    val n = T(s, d, "embeddings").count()
+    val nPlanes = autoPlanes(n)
+    val emb = T(s, d, "embeddings").select("vec_id", "embedding")
+    val b = lshBucketed(s, d, nPlanes)
+    val l = b.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ua"))
+    val r = b.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("ub"))
+    val pairs = l.join(r, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos", round(graft.functions.vec.cosine(col("ua"), col("ub")), 6))
+      .select("a", "b", "cos")
+      .distinct() // a pair may collide in one bucket only (single table)
+    val mirrored = pairs.select(col("a").as("qid"), col("b").as("nbr"), col("cos"))
+      .unionByName(pairs.select(col("b").as("qid"), col("a").as("nbr"), col("cos")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nbr").asc)
+    val seed = mirrored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3).select("qid", "nbr", "cos")
+    nnDescentFrom(emb, seed, k = 3, rounds = 2)
+      .withColumn("n_planes", lit(nPlanes))
+      .orderBy("qid", "rank") // ≤3 rows per vector = input-sized
+  } { (s, d) =>
+    val n = T(s, d, "embeddings").count()
+    val nPlanes = autoPlanes(n)
+    s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql(nPlanes)} AS bucket
+       |            FROM embeddings),
+       |     scored AS (
+       |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b,
+       |         round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+       |                                      CAST(r.embedding AS DOUBLE[])), 6) AS cos
+       |  FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+       |     edges0 AS (SELECT a AS qid, b AS nbr, cos FROM scored
+       |                UNION ALL SELECT b, a, cos FROM scored),
+       |     e0 AS (SELECT qid, nbr, cos FROM (
+       |              SELECT qid, nbr, cos, row_number() OVER (
+       |                PARTITION BY qid ORDER BY cos DESC, nbr) AS rank
+       |              FROM edges0) WHERE rank <= 3),
+       |${nndRoundCtes(1, "e0")},
+       |${nndRoundCtes(2, "e1")}
+       |SELECT qid, nbr, cos, rank, $nPlanes AS n_planes FROM e2
+       |ORDER BY qid, rank""".stripMargin
   }
 
   /** Per-label centroid cosine — embedding-quality/outlier scoring:

@@ -276,6 +276,23 @@ class LshRecallSpec extends AnyFunSuite {
     assert(refined > seed + 0.02,
       s"refinement inert: seed $seed -> refined $refined")
     info(f"recall@3 seed=$seed%.3f nn-descent=$refined%.3f")
+    // the production-seed variant (corpus-count-derived planes) must be
+    // monotone over ITS seed too: rebuild that seed here (single-table
+    // autoPlanes bucket pairs → top-3 per vertex) and compare
+    val planes = LlmOps.autoPlanes(emb.count())
+    val bk = LlmOps.lshBucketed(spark, d, planes)
+    val sl = bk.select(col("bucket"), col("vec_id").as("qid"), col("embedding").as("ea"))
+    val sr = bk.select(col("bucket"), col("vec_id").as("nbr"), col("embedding").as("eb"))
+    val autoSeed = sl.join(sr, Seq("bucket")).filter(col("qid") =!= col("nbr"))
+      .withColumn("cos", round(graft.functions.vec.cosine(col("ea"), col("eb")), 6))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select("qid", "nbr").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val autoSeedRecall = (autoSeed & truth).size.toDouble / truth.size
+    val auto = recallOf("sim_ann_nndescent_auto")
+    assert(auto >= autoSeedRecall,
+      s"auto-seed NN-descent recall regressed: $autoSeedRecall -> $auto")
+    info(f"recall@3 auto-seed=$autoSeedRecall%.3f auto nn-descent=$auto%.3f")
   }
 }
 

@@ -565,11 +565,15 @@ object GdxCodec {
           }
         } else {
           blockBound = new BoundedInputStream(base, b.len)
-          in = new DataInputStream(
+          // the buffered layer sits on the UNCOMPRESSED side: varint/
+          // byte reads otherwise call Inflater.inflate once per byte
+          // (r14 probe: a large share of decode time). The compressed
+          // boundary stays exact — blockBound caps the inflater.
+          in = new DataInputStream(new BufferedInputStream(
             if (compressed) {
               blockInflater = new java.util.zip.Inflater()
               new InflaterInputStream(blockBound, blockInflater)
-            } else blockBound)
+            } else blockBound, 1 << 15))
           java.util.Arrays.fill(prev, 0) // delta resets per block
           remaining = b.recCount
         }
@@ -579,29 +583,53 @@ object GdxCodec {
 
     override def hasNext: Boolean = remaining > 0 || (version >= 2 && ensureBlock())
 
-    override def next(): GdxRecord = {
+    /** Decode the next record into CALLER-OWNED arrays — the flyweight
+      * path the columnar reader rides (r14): no per-record GdxRecord /
+      * keys / values allocation. `values` must hold ≥ the symbol's
+      * value arity (0/1/5; values(0) is zeroed for sets so the
+      * special-value flag columns read 0.0, matching [[next]]'s
+      * empty-values semantics). Returns the 1-based text-pool index
+      * (0 = no text) — resolve via [[textAt]].
+      */
+    def nextInto(keys: Array[Int], values: Array[Double]): Int = {
       if (version >= 2 && remaining == 0 && !ensureBlock())
         throw new NoSuchElementException(s"gdx: past end of ${meta.name}")
       val first = in.readByte().toInt
       var i = first
       while (i < meta.dim) { prev(i) = readVarInt(in); i += 1 }
-      val keys = prev.clone()
-      val rec = meta.typ match {
+      System.arraycopy(prev, 0, keys, 0, meta.dim)
+      var t = 0
+      meta.typ match {
         case SymbolType.Set | SymbolType.Alias =>
-          val t = readVarInt(in)
-          GdxRecord(keys, Array.empty, if (t == 0) None else Some(texts(t - 1)))
+          t = readVarInt(in)
+          if (values.length > 0) values(0) = 0.0
         case SymbolType.Parameter =>
-          GdxRecord(keys, Array(in.readDouble()))
+          values(0) = in.readDouble()
         case _ =>
-          val vs = new Array[Double](5)
           var f = 0
-          while (f < 5) { vs(f) = in.readDouble(); f += 1 }
-          GdxRecord(keys, vs)
+          while (f < 5) { values(f) = in.readDouble(); f += 1 }
       }
       remaining -= 1
       decoded += 1
       decodedRecords.increment()
-      rec
+      t
+    }
+
+    def textAt(t: Int): String = texts(t - 1)
+
+    private val scratchVals = new Array[Double](5)
+
+    override def next(): GdxRecord = {
+      val keys = new Array[Int](meta.dim)
+      val t = nextInto(keys, scratchVals)
+      meta.typ match {
+        case SymbolType.Set | SymbolType.Alias =>
+          GdxRecord(keys, Array.empty, if (t == 0) None else Some(texts(t - 1)))
+        case SymbolType.Parameter =>
+          GdxRecord(keys, Array(scratchVals(0)))
+        case _ =>
+          GdxRecord(keys, java.util.Arrays.copyOf(scratchVals, 5))
+      }
     }
 
     override def close(): Unit = {

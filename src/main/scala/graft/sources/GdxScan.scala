@@ -456,6 +456,31 @@ private[sources] final class GdxSymbolDecode(path: String, symbol: String,
     null
   }
 
+  /** Flyweight twin of [[nextKept]] for the columnar reader: decodes
+    * into caller-owned arrays (no per-record allocation), returning the
+    * 1-based text-pool index (0 = none) or -1 at stream end.
+    */
+  def nextKeptInto(keys: Array[Int], values: Array[Double]): Int = {
+    if (stream == null) return -1
+    while (stream.hasNext) {
+      val t = stream.nextInto(keys, values)
+      if (keepKeys(keys)) return t
+    }
+    -1
+  }
+
+  private def keepKeys(keys: Array[Int]): Boolean =
+    dimFilters.forall { case (i, allowed) => allowed.contains(keys(i)) }
+
+  def textOf(t: Int): String = stream.textAt(t)
+
+  /** Stored value arity of this symbol (0 set/alias, 1 parameter, 5). */
+  val valueArity: Int = meta.typ match {
+    case SymbolType.Set | SymbolType.Alias => 0
+    case SymbolType.Parameter => 1
+    case _ => 5
+  }
+
   def close(): Unit = if (stream != null) stream.close()
 }
 
@@ -511,18 +536,22 @@ class GdxSymbolReader(path: String, symbol: String, fullSchema: StructType,
   * per-field boxing, and the downstream plan consumes the batch inside
   * whole-stage codegen's vectorized loop, the same contract as the
   * parquet vectorized reader (the r12 verdict's #4: at 100 TB the
-  * row-at-a-time scan is the bottleneck). Dimension labels fill from a
-  * per-UEL byte cache (each label's UTF-8 bytes encode ONCE per reader,
-  * not once per record — the decoder's analog of dictionary encoding).
-  * Same [[GdxSymbolDecode]] core as the row reader: block skipping,
-  * pushed-filter residual, special-value mapping all shared.
+  * row-at-a-time scan is the bottleneck). Dimension columns are
+  * DICTIONARY-ENCODED since r14: the GDX UEL table is the dictionary
+  * (labels byte-encode once per reader), each row stores only a 4-byte
+  * UEL id, and `getUTF8String` decodes zero-copy through the
+  * `Dictionary` hook — the identical layout the parquet reader gives
+  * dictionary-encoded pages, eliminating the per-row label byte copy
+  * the r13 reader paid. Same [[GdxSymbolDecode]] core as the row
+  * reader: block skipping, pushed-filter residual, special-value
+  * mapping all shared.
   */
 class GdxSymbolColumnarReader(path: String, symbol: String,
     required: StructType, pushed: Seq[DimLabelFilter], raw: Boolean,
     batchSize: Int = GdxCodec.DefaultBlockSize)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
-  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.execution.vectorized.{Dictionary, OnHeapColumnVector, WritableColumnVector}
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
   private val core = new GdxSymbolDecode(path, symbol, pushed, raw)
@@ -541,56 +570,95 @@ class GdxSymbolColumnarReader(path: String, symbol: String,
     b
   }
 
-  // per-field vector fillers — the columnar twin of the row emitters
-  private val fillers: Array[(GdxRecord, Int, OnHeapColumnVector) => Unit] =
-    required.fields.map[(GdxRecord, Int, OnHeapColumnVector) => Unit] { f =>
+  /** The UEL table AS the column dictionary (r13 verdict #4): dim
+    * columns store 4-byte dictionary IDs (the record's raw UEL index)
+    * instead of copying each label's UTF-8 bytes into the vector per
+    * row — the same layout the parquet vectorized reader uses for
+    * dictionary-encoded pages. `decodeToBinary` returns the CACHED
+    * per-UEL byte array (encoded once per reader), which
+    * `getUTF8String` wraps zero-copy.
+    */
+  private val uelDict: Dictionary = new Dictionary {
+    override def decodeToInt(id: Int): Int = throw new UnsupportedOperationException
+    override def decodeToLong(id: Int): Long = throw new UnsupportedOperationException
+    override def decodeToFloat(id: Int): Float = throw new UnsupportedOperationException
+    override def decodeToDouble(id: Int): Double = throw new UnsupportedOperationException
+    override def decodeToBinary(id: Int): Array[Byte] = bytesOf(id)
+  }
+  // per-column dictionary-id vectors (non-null only for dim_ columns)
+  private val dimIds: Array[WritableColumnVector] =
+    required.fields.zipWithIndex.map { case (f, c) =>
+      if (f.name.startsWith("dim_")) {
+        vectors(c).setDictionary(uelDict)
+        vectors(c).reserveDictionaryIds(batchSize)
+      } else null
+    }
+
+  // flyweight record state: the decode fills these caller-owned arrays
+  // (no GdxRecord / keys / values allocation per record)
+  private val recKeys = new Array[Int](math.max(core.meta.dim, 1))
+  private val recVals = new Array[Double](5)
+  private def firstVal: Double = if (core.valueArity == 0) 0.0 else recVals(0)
+  // text-pool bytes encode once per distinct text (pool-sized cache)
+  private val textBytes = new scala.collection.mutable.HashMap[Int, Array[Byte]]()
+
+  // per-field vector fillers — the columnar twin of the row emitters;
+  // textIdx is the 1-based text-pool index (0 = none)
+  private val fillers: Array[(Int, Int, OnHeapColumnVector) => Unit] =
+    required.fields.zipWithIndex.map[(Int, Int, OnHeapColumnVector) => Unit] { case (f, c) =>
       f.name match {
         case n if n.startsWith("dim_") =>
           val i = n.stripPrefix("dim_").toInt - 1
-          (r, row, v) => { val b = bytesOf(r.keys(i)); v.putByteArray(row, b, 0, b.length) }
+          val ids = dimIds(c)
+          (_t, row, _v) => ids.putInt(row, recKeys(i))
         case "text" =>
-          (r, row, v) => r.text match {
-            case Some(t) =>
-              val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          (t, row, v) =>
+            if (t == 0) v.putNull(row)
+            else {
+              val b = textBytes.getOrElseUpdate(t, core.textOf(t)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
               v.putByteArray(row, b, 0, b.length)
-            case None => v.putNull(row)
-          }
+            }
         case "value" if core.meta.typ == SymbolType.Set ||
             core.meta.typ == SymbolType.Alias =>
-          (_, row, v) => v.putDouble(row, 1.0)
+          (_t, row, v) => v.putDouble(row, 1.0)
         case "value" =>
-          (r, row, v) => v.putDouble(row, core.mapValue(r.values(0)))
+          (_t, row, v) => v.putDouble(row, core.mapValue(recVals(0)))
         case "is_eps" =>
-          (r, row, v) => v.putBoolean(row, core.firstVal(r) == SpecialValues.EPS)
+          (_t, row, v) => v.putBoolean(row, firstVal == SpecialValues.EPS)
         case "is_na" =>
-          (r, row, v) => v.putBoolean(row, core.firstVal(r) == SpecialValues.NA)
+          (_t, row, v) => v.putBoolean(row, firstVal == SpecialValues.NA)
         case "is_undef" =>
-          (r, row, v) => v.putBoolean(row, core.firstVal(r) == SpecialValues.UNDEF)
+          (_t, row, v) => v.putBoolean(row, firstVal == SpecialValues.UNDEF)
         case "is_acronym" =>
-          (r, row, v) => v.putBoolean(row, SpecialValues.isAcronym(core.firstVal(r)))
+          (_t, row, v) => v.putBoolean(row, SpecialValues.isAcronym(firstVal))
         case "acr_index" =>
-          (r, row, v) => {
-            val x = core.firstVal(r)
+          (_t, row, v) => {
+            val x = firstVal
             v.putInt(row, if (SpecialValues.isAcronym(x)) SpecialValues.acronymIndex(x) else 0)
           }
         case field =>
           val vi = ValField.names.indexOf(field)
           require(vi >= 0, s"unknown gdx field $field")
-          (r, row, v) => v.putDouble(row,
-            core.mapValue(if (vi < r.values.length) r.values(vi) else 0.0))
+          (_t, row, v) => v.putDouble(row,
+            core.mapValue(if (vi < core.valueArity) recVals(vi) else 0.0))
       }
     }
 
   override def next(): Boolean = {
     var i = 0
-    while (i < vectors.length) { vectors(i).reset(); i += 1 }
+    while (i < vectors.length) {
+      vectors(i).reset() // keeps the dictionary; ids vector resets below
+      if (dimIds(i) != null) dimIds(i).reset()
+      i += 1
+    }
     var n = 0
-    var r = core.nextKept()
-    while (r != null) {
+    var t = core.nextKeptInto(recKeys, recVals)
+    while (t >= 0) {
       var c = 0
-      while (c < fillers.length) { fillers(c)(r, n, vectors(c)); c += 1 }
+      while (c < fillers.length) { fillers(c)(t, n, vectors(c)); c += 1 }
       n += 1
-      r = if (n < batchSize) core.nextKept() else null
+      t = if (n < batchSize) core.nextKeptInto(recKeys, recVals) else -1
     }
     batch.setNumRows(n)
     n > 0

@@ -909,6 +909,23 @@ object GraphOps extends QueryModule {
     val rc = new RoundCheckpoints(s.sparkContext)
     val sym = pinnedSym(rc, blockEdges(s, d))
     val verts = T(s, d, "customer").select(col("c_custkey").as("id"))
+    val labels = lpaLabels(rc, sym, verts)
+    rc.release("sym")
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("n"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("id"), col("lbl").as("community"),
+        col("n").cast("long").as("community_size"))
+      .orderBy("id") // one row per vertex = input-sized
+  }
+
+  /** The LPA round loop, shared verbatim between
+    * [[graph_label_propagation]] and [[graph_louvain_pass]]'s seed —
+    * one definition, so tuning rounds or the tie rule cannot
+    * desynchronize detector and refiner. Leaves the final labels
+    * checkpointed under rc tag "labels".
+    */
+  private def lpaLabels(rc: RoundCheckpoints, sym: DataFrame,
+      verts: DataFrame): DataFrame = {
     var labels = verts.withColumn("lbl", col("id"))
     for (_ <- 1 to LpaRounds) {
       val votes = sym
@@ -924,14 +941,212 @@ object GraphOps extends QueryModule {
         .join(winners, Seq("id"), "left")
         .select(col("id"), coalesce(col("wlbl"), col("lbl")).as("lbl")))
     }
-    rc.release("sym")
-    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("n"))
-    labels.join(sizes, Seq("lbl"))
-      .select(col("id"), col("lbl").as("community"),
-        col("n").cast("long").as("community_size"))
-      .orderBy("id") // one row per vertex = input-sized
+    labels
   }
 
+  /** Louvain refinement rounds — fixed for the same static-oracle
+    * reason as [[LpaRounds]]: one strict-gain parity sweep per color.
+    */
+  private val LouvainRounds = 2
+
+  /** One-level Louvain modularity ascent over the LPA partition (SPEC:
+    * Blondel, Guillaume, Lambiotte & Lefebvre 2008 §2 phase 1 — the
+    * modularity-OPTIMIZING move rule production stacks standardize on;
+    * completes the family beside [[graph_label_propagation]]
+    * (detection by voting) and [[graph_modularity]] (scoring)). Phase 1
+    * accepts ANY starting partition; here it REFINES the registered
+    * LPA detector's output — the detection-then-gain-refinement
+    * pipeline real systems run, and the composition that makes
+    * Q(louvain) ≥ Q(LPA) checkable (GraphSpec pins it, plus single-move
+    * local optimality of the result). Each of the fixed
+    * [[LouvainRounds]] rounds is a SYNCHRONIZED best-gain pass against
+    * the round-start assignment, made deterministic and
+    * oscillation-free by two devices from the parallel-Louvain
+    * literature (Lu, Halappanavar & Kalyanaraman 2015): a coloring —
+    * round r moves only vertices with id ≡ r (mod 2) — and a STRICT
+    * improvement gate — a vertex moves only if the best candidate's
+    * gain strictly exceeds staying (ties stay put, so a converged
+    * partition is a fixpoint). The gain comparison is EXACT INTEGER
+    * arithmetic: argmax over candidate communities c of
+    * 2m·k_{i,in}(c) − k_i·Σtot(c\{i}) — the Blondel ΔQ numerator with
+    * the common remove-from-own-community term dropped and the 1/2m²
+    * factor cleared, so no division, no rounding, and the unrolled-CTE
+    * oracle (LPA seed rounds + refinement rounds) replays every round
+    * bit-exactly. The output carries the final partition plus its
+    * Newman Q (the [[graph_modularity]] arithmetic on the dy20 grid).
+    * Scale: per round one edges⋈comms join + two vertex-keyed
+    * aggregates + one degree-bounded argmax window — the LPA shape
+    * with an extra O(|C|) totals broadcast; per-round localCheckpoint
+    * with block frees (the CC/LPA discipline).
+    */
+  q("graph_louvain_pass", {
+    val head =
+      """WITH
+        |c AS (SELECT c_custkey AS id, c_nationkey AS nk,
+        |             row_number() OVER (PARTITION BY c_nationkey
+        |               ORDER BY c_custkey) - 1 AS rk
+        |      FROM customer),
+        |blk AS (SELECT id, nk, rk // 6 AS b FROM c),
+        |intra AS (
+        |  SELECT x.id AS a, y.id AS b FROM blk x
+        |  JOIN blk y ON y.nk = x.nk AND y.b = x.b AND y.id > x.id),
+        |heads AS (SELECT nk, b, min(id) AS hid, max(id) AS tid
+        |          FROM blk GROUP BY nk, b),
+        |inter AS (
+        |  SELECT h1.tid AS a, h2.hid AS b FROM heads h1
+        |  JOIN heads h2 ON h2.nk = h1.nk AND h2.b = h1.b + 1),
+        |e AS MATERIALIZED (SELECT a, b FROM intra UNION ALL SELECT a, b FROM inter),
+        |sym AS MATERIALIZED (
+        |  SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+        |verts AS MATERIALIZED (SELECT id FROM blk),
+        |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM verts)""".stripMargin
+    // LPA seed rounds — the graph_label_propagation oracle verbatim
+    val lpa = (1 to LpaRounds).map { k =>
+      s"""n$k AS (
+         |  SELECT s.a AS id, p.lbl, count(*) AS c
+         |  FROM sym s JOIN l${k - 1} p ON p.id = s.b GROUP BY s.a, p.lbl),
+         |w$k AS (
+         |  SELECT id, lbl FROM (
+         |    SELECT id, lbl, row_number() OVER (PARTITION BY id
+         |      ORDER BY c DESC, lbl) AS rn FROM n$k) t WHERE rn = 1),
+         |l$k AS MATERIALIZED (
+         |  SELECT v.id, coalesce(w.lbl, p.lbl) AS lbl
+         |  FROM verts v JOIN l${k - 1} p ON p.id = v.id
+         |  LEFT JOIN w$k w ON w.id = v.id)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val seed =
+      s""",
+         |deg AS MATERIALIZED (SELECT a AS id, CAST(count(*) AS BIGINT) AS k
+         |                     FROM sym GROUP BY 1),
+         |mt AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+         |c0 AS MATERIALIZED (SELECT id, lbl AS cm FROM l$LpaRounds)""".stripMargin
+    val rounds = (1 to LouvainRounds).map { r =>
+      s"""tot$r AS (SELECT p.cm, CAST(sum(d.k) AS BIGINT) AS tot
+         |          FROM c${r - 1} p JOIN deg d ON d.id = p.id GROUP BY 1),
+         |kin$r AS (SELECT s.a AS id, p.cm AS nc, CAST(count(*) AS BIGINT) AS kin
+         |          FROM sym s JOIN c${r - 1} p ON p.id = s.b GROUP BY 1, 2),
+         |cand$r AS (SELECT id, nc, max(kin) AS kin FROM (
+         |             SELECT id, nc, kin FROM kin$r
+         |             UNION ALL SELECT id, cm AS nc, CAST(0 AS BIGINT) AS kin
+         |             FROM c${r - 1}) t GROUP BY 1, 2),
+         |sc$r AS (SELECT x.id, x.nc,
+         |           2 * mt.m * x.kin
+         |             - coalesce(d.k, 0)
+         |               * (coalesce(t.tot, 0)
+         |                  - CASE WHEN x.nc = p.cm THEN coalesce(d.k, 0)
+         |                         ELSE 0 END) AS gain
+         |         FROM cand$r x
+         |         JOIN c${r - 1} p ON p.id = x.id
+         |         LEFT JOIN deg d ON d.id = x.id
+         |         LEFT JOIN tot$r t ON t.cm = x.nc, mt),
+         |st$r AS (SELECT s.id, s.gain AS sg FROM sc$r s
+         |         JOIN c${r - 1} p ON p.id = s.id AND p.cm = s.nc),
+         |rw$r AS (SELECT id, nc, gain FROM (
+         |        SELECT id, nc, gain, row_number() OVER (PARTITION BY id
+         |          ORDER BY gain DESC, nc) AS rn FROM sc$r) t WHERE rn = 1),
+         |c$r AS MATERIALIZED (
+         |  SELECT p.id,
+         |         CASE WHEN p.id % 2 = ${r % 2} AND w.gain > st.sg THEN w.nc
+         |              ELSE p.cm END AS cm
+         |  FROM c${r - 1} p JOIN rw$r w ON w.id = p.id
+         |  JOIN st$r st ON st.id = p.id)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val R = LouvainRounds
+    head + lpa + seed + rounds +
+      s""",
+         |ic AS (SELECT ca.cm, CAST(count(*) AS BIGINT) AS e_c
+         |       FROM e JOIN c$R ca ON ca.id = e.a JOIN c$R cb ON cb.id = e.b
+         |       WHERE ca.cm = cb.cm GROUP BY 1),
+         |dc AS (SELECT p.cm, CAST(sum(d.k) AS BIGINT) AS d_c
+         |       FROM c$R p JOIN deg d ON d.id = p.id GROUP BY 1),
+         |rws AS (SELECT nv.cm, coalesce(ic.e_c, 0) / (1.0 * mt.m)
+         |          - (coalesce(dc.d_c, 0) / (2.0 * mt.m))
+         |            * (coalesce(dc.d_c, 0) / (2.0 * mt.m)) AS contrib
+         |        FROM (SELECT DISTINCT cm FROM c$R) nv
+         |        LEFT JOIN ic ON ic.cm = nv.cm
+         |        LEFT JOIN dc ON dc.cm = nv.cm, mt),
+         |qt AS (SELECT sum(${Grid.dy20Sql("contrib")}) AS q FROM rws)
+         |SELECT l.id, l.cm AS community, CAST(sz.n AS BIGINT) AS community_size,
+         |       round(qt.q, 6) AS q_total
+         |FROM c$R l
+         |JOIN (SELECT cm, count(*) AS n FROM c$R GROUP BY cm) sz ON sz.cm = l.cm,
+         |     qt
+         |ORDER BY id""".stripMargin
+  }) { (s, d) =>
+    val rc = new RoundCheckpoints(s.sparkContext)
+    val e = blockEdges(s, d).localCheckpoint()
+    val sym = pinnedSym(rc, e)
+    // degrees survive rc.release("sym"): the final Q/size stage reads
+    // them after the sym checkpoint blocks are freed
+    val deg = sym.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).cast("long").as("k"))
+      .localCheckpoint()
+    val mt = e.agg(count(lit(1)).cast("long").as("m"))
+    val verts = T(s, d, "customer").select(col("c_custkey").as("id"))
+    var comm = lpaLabels(rc, sym, verts)
+      .select(col("id"), col("lbl").as("cm"))
+    for (r <- 1 to LouvainRounds) {
+      val tot = comm.join(deg, Seq("id"))
+        .groupBy("cm").agg(sum("k").cast("long").as("tot"))
+      val kin = sym
+        .join(comm.select(col("id").as("dst"), col("cm").as("nc")), Seq("dst"))
+        .groupBy(col("src").as("id"), col("nc"))
+        .agg(count(lit(1)).cast("long").as("kin"))
+      val cand = kin.select("id", "nc", "kin")
+        .unionByName(comm.select(col("id"), col("cm").as("nc"),
+          lit(0L).as("kin")))
+        .groupBy("id", "nc").agg(max("kin").as("kin"))
+      val scored = cand
+        .join(comm, Seq("id"))
+        .join(deg, Seq("id"), "left")
+        .join(broadcast(tot.select(col("cm").as("nc"), col("tot"))), Seq("nc"), "left")
+        .crossJoin(broadcast(mt))
+        .withColumn("gain",
+          lit(2L) * col("m") * col("kin")
+            - coalesce(col("k"), lit(0L))
+              * (coalesce(col("tot"), lit(0L))
+                 - when(col("nc") === col("cm"),
+                     coalesce(col("k"), lit(0L))).otherwise(lit(0L))))
+      val best = scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("id").orderBy(col("gain").desc, col("nc").asc)))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("nc").as("bnc"), col("gain").as("bg"))
+      val stay = scored.filter(col("nc") === col("cm"))
+        .select(col("id"), col("gain").as("sg"))
+      comm = rc.cycle("comm", comm
+        .join(best, Seq("id")).join(stay, Seq("id"))
+        // id-parity color + strict-improvement gate
+        .select(col("id"),
+          when(col("id") % 2 === lit(r % 2) && col("bg") > col("sg"),
+            col("bnc")).otherwise(col("cm")).as("cm")))
+    }
+    rc.release("labels")
+    rc.release("sym")
+    // Newman Q of the final partition (the graph_modularity arithmetic)
+    val ic = e
+      .join(comm.select(col("id").as("a"), col("cm").as("ca")), Seq("a"))
+      .join(comm.select(col("id").as("b"), col("cm").as("cb")), Seq("b"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("cm")).agg(count(lit(1)).cast("long").as("e_c"))
+    val dc = comm.join(deg, Seq("id"))
+      .groupBy("cm").agg(sum("k").cast("long").as("d_c"))
+    val rws = comm.select("cm").distinct()
+      .join(ic, Seq("cm"), "left")
+      .join(dc, Seq("cm"), "left")
+      .crossJoin(broadcast(mt))
+      .withColumn("contrib",
+        coalesce(col("e_c"), lit(0L)) / (lit(1.0) * col("m"))
+          - (coalesce(col("d_c"), lit(0L)) / (lit(2.0) * col("m")))
+            * (coalesce(col("d_c"), lit(0L)) / (lit(2.0) * col("m"))))
+    val qt = rws.agg(round(sum(Grid.dy20(col("contrib"))), 6).as("q_total"))
+    val sizes = comm.groupBy("cm").agg(count(lit(1)).cast("long").as("n"))
+    comm.join(sizes, Seq("cm"))
+      .crossJoin(broadcast(qt))
+      .select(col("id"), col("cm").as("community"),
+        col("n").as("community_size"), col("q_total"))
+      .orderBy("id") // one row per vertex = input-sized
+  }
   /** BFS horizon — fixed rounds for the same static-oracle reason as
     * [[LpaRounds]]; declared BEFORE the q() registration because the
     * oracle SQL interpolates it at object-init time.
@@ -998,9 +1213,22 @@ object GraphOps extends QueryModule {
   private def bfsDistances(s: SparkSession, d: String): DataFrame = {
     val rc = new RoundCheckpoints(s.sparkContext)
     val sym = pinnedSym(rc, blockEdges(s, d))
-    val seeds = T(s, d, "customer")
+    val lab = bfsDistancesOver(rc, sym, nationSeeds(s, d))
+    rc.release("sym")
+    lab
+  }
+
+  private def nationSeeds(s: SparkSession, d: String): DataFrame =
+    T(s, d, "customer")
       .select(col("c_custkey").as("id"), col("c_nationkey").as("nk"))
       .groupBy("nk").agg(min("id").as("id"))
+
+  /** The BFS core over a caller-owned sym/rc — shared by
+    * [[bfsDistances]] (graph_bfs_distance / graph_closeness) and
+    * [[graph_betweenness]]'s forward pass.
+    */
+  private def bfsDistancesOver(rc: RoundCheckpoints, sym: DataFrame,
+      seeds: DataFrame): DataFrame = {
     var lab = seeds.select(col("id"), lit(0L).as("dist"))
     for (_ <- 1 to BfsRounds) {
       val prop = sym
@@ -1009,7 +1237,6 @@ object GraphOps extends QueryModule {
       lab = rc.cycle("bfs", lab.unionByName(prop)
         .groupBy("id").agg(min("dist").as("dist")))
     }
-    rc.release("sym")
     lab
   }
 
@@ -1089,6 +1316,137 @@ object GraphOps extends QueryModule {
           .as("closeness"),
         round(col("harm"), 6).as("harmonic"))
       .reportSorted("nationkey") // one row per nation = catalog-sized
+  }
+
+  /** Betweenness centrality, Brandes over the horizon-bounded seed
+    * BFS (SPEC: Brandes 2001 "A faster algorithm for betweenness
+    * centrality" — completes the centrality family beside degree /
+    * PageRank / HITS / closeness / harmonic): forward pass = the
+    * SHARED [[bfsDistancesOver]] runner (min hop distance from each
+    * nation's seed) plus the shortest-path COUNT recurrence
+    * σ(v) = Σ_{u∈pred(v)} σ(u) — all-integer, one level-L frontier
+    * join per level; backward pass = Brandes' dependency accumulation
+    * δ(v) = Σ_{w: v∈pred(w)} σ(v)/σ(w)·(1+δ(w)) walked from the
+    * horizon down — per level ONE edges⋈(level,level+1) join and a
+    * vertex-keyed sum whose terms snap to the dy20 grid before
+    * summing (rule 12: the per-vertex sum over successors is
+    * order-free on grid points, so cross-engine reduction order can't
+    * move the hash). Horizon-bounded κ-betweenness semantics — the
+    * same [[BfsRounds]] contract as closeness (an uncapped sweep is a
+    * data-dependent round count no static oracle replays; bounded
+    * betweenness is the standard approximation in production graph
+    * stacks). The block graph has one seed per component, so δ IS the
+    * per-seed dependency; GraphSpec pins equality with a driver-side
+    * textbook Brandes restricted to the horizon. Scale: 2·horizon
+    * rounds, each one vertex-keyed equi-join + aggregate over the
+    * level frontier — strictly lighter than the BFS itself; level
+    * frames are vertex-sized and pinned per level (released after the
+    * backward pass consumes them).
+    */
+  q("graph_betweenness", {
+    val head =
+      """WITH RECURSIVE
+        |c AS (SELECT c_custkey AS id, c_nationkey AS nk,
+        |             row_number() OVER (PARTITION BY c_nationkey
+        |               ORDER BY c_custkey) - 1 AS rk
+        |      FROM customer),
+        |blk AS (SELECT id, nk, rk // 6 AS b FROM c),
+        |intra AS (
+        |  SELECT x.id AS a, y.id AS b FROM blk x
+        |  JOIN blk y ON y.nk = x.nk AND y.b = x.b AND y.id > x.id),
+        |heads AS (SELECT nk, b, min(id) AS hid, max(id) AS tid
+        |          FROM blk GROUP BY nk, b),
+        |inter AS (
+        |  SELECT h1.tid AS a, h2.hid AS b FROM heads h1
+        |  JOIN heads h2 ON h2.nk = h1.nk AND h2.b = h1.b + 1),
+        |e AS (SELECT a, b FROM intra UNION ALL SELECT a, b FROM inter),
+        |sym AS MATERIALIZED (
+        |  SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+        |seeds AS (SELECT nk, min(id) AS id FROM blk GROUP BY nk),
+        |reach(id, dist) AS (
+        |  SELECT id, 0 AS dist FROM seeds
+        |  UNION
+        |  SELECT s.b AS id, r.dist + 1 AS dist FROM reach r
+        |  JOIN sym s ON s.a = r.id WHERE r.dist < BFSH
+        |),
+        |md AS MATERIALIZED (SELECT id, min(dist) AS dist FROM reach GROUP BY id),
+        |sg0 AS MATERIALIZED (SELECT id, CAST(1 AS BIGINT) AS sigma FROM seeds)"""
+        .stripMargin.replace("BFSH", BfsRounds.toString)
+    val sigs = (1 to BfsRounds).map { l =>
+      s"""sg$l AS MATERIALIZED (
+         |  SELECT m.id, CAST(sum(p.sigma) AS BIGINT) AS sigma
+         |  FROM md m JOIN sym s ON s.b = m.id JOIN sg${l - 1} p ON p.id = s.a
+         |  WHERE m.dist = $l GROUP BY m.id)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val delTop =
+      s""",
+         |del$BfsRounds AS MATERIALIZED (
+         |  SELECT id, CAST(0 AS DOUBLE) AS delta FROM sg$BfsRounds)""".stripMargin
+    val term = Grid.dy20Sql("(1.0 * p.sigma / w.sigma) * (1 + dw.delta)")
+    val dels = (BfsRounds - 1 to 0 by -1).map { l =>
+      s"""del$l AS MATERIALIZED (
+         |  SELECT v.id, coalesce(t.dl, 0.0) AS delta
+         |  FROM sg$l v LEFT JOIN (
+         |    SELECT s.a AS id, sum($term) AS dl
+         |    FROM sym s
+         |    JOIN sg$l p ON p.id = s.a
+         |    JOIN sg${l + 1} w ON w.id = s.b
+         |    JOIN del${l + 1} dw ON dw.id = s.b
+         |    GROUP BY s.a) t ON t.id = v.id)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val allSig = (0 to BfsRounds)
+      .map(l => s"SELECT id, $l AS dist, sigma FROM sg$l")
+      .mkString("\n  UNION ALL ")
+    val allDel = (0 to BfsRounds)
+      .map(l => s"SELECT id, delta FROM del$l")
+      .mkString("\n  UNION ALL ")
+    head + sigs + delTop + dels +
+      s""",
+         |allv AS ($allSig),
+         |alld AS ($allDel)
+         |SELECT v.id AS id, CAST(v.dist AS INTEGER) AS dist, v.sigma,
+         |       round(d.delta, 6) AS betweenness
+         |FROM allv v JOIN alld d ON d.id = v.id
+         |ORDER BY v.id""".stripMargin
+  }) { (s, d) =>
+    val rc = new RoundCheckpoints(s.sparkContext)
+    val sym = pinnedSym(rc, blockEdges(s, d))
+    val dist = bfsDistancesOver(rc, sym, nationSeeds(s, d)) // checkpointed ("bfs")
+    // forward: shortest-path counts per BFS level
+    val sig = new Array[DataFrame](BfsRounds + 1)
+    sig(0) = rc.pin("sg0",
+      dist.filter(col("dist") === 0L).select(col("id"), lit(1L).as("sigma")))
+    for (l <- 1 to BfsRounds) {
+      sig(l) = rc.pin(s"sg$l", sym
+        .join(sig(l - 1).select(col("id").as("src"), col("sigma")), Seq("src"))
+        .select(col("dst").as("id"), col("sigma"))
+        .join(dist.filter(col("dist") === l.toLong).select("id"), Seq("id"))
+        .groupBy("id").agg(sum("sigma").cast("long").as("sigma")))
+    }
+    // backward: Brandes dependency accumulation, horizon down to seeds
+    val del = new Array[DataFrame](BfsRounds + 1)
+    del(BfsRounds) = rc.pin(s"del$BfsRounds",
+      sig(BfsRounds).select(col("id"), lit(0.0).as("delta")))
+    for (l <- BfsRounds - 1 to 0 by -1) {
+      val contrib = sym
+        .join(sig(l).select(col("id").as("src"), col("sigma").as("sv")), Seq("src"))
+        .join(sig(l + 1).select(col("id").as("dst"), col("sigma").as("sw")), Seq("dst"))
+        .join(del(l + 1).select(col("id").as("dst"), col("delta").as("dw")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(sum(Grid.dy20(col("sv").cast("double") / col("sw")
+          * (lit(1.0) + col("dw")))).as("dl"))
+      del(l) = rc.pin(s"del$l", sig(l).select("id")
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"), coalesce(col("dl"), lit(0.0)).as("delta")))
+    }
+    rc.release("sym")
+    val allSig = (0 to BfsRounds).map(l =>
+      sig(l).select(col("id"), lit(l).as("dist"), col("sigma"))).reduce(_ unionByName _)
+    val allDel = (0 to BfsRounds).map(l => del(l)).reduce(_ unionByName _)
+    allSig.join(allDel, Seq("id"))
+      .select(col("id"), col("dist").cast("int").as("dist"), col("sigma"),
+        round(col("delta"), 6).as("betweenness"))
+      .orderBy("id") // one row per reached vertex = input-sized
   }
 
   /** Peel rounds for the k-core — fixed, not convergence-gated, for

@@ -165,6 +165,162 @@ class GraphSpec extends AnyFunSuite {
     assert(q > 0.8, s"planted partition modularity only $q")
   }
 
+  test("graph_louvain_pass: driver-side replay agrees; Q(louvain) >= Q(LPA)") {
+    // rebuild the block graph driver-side (same construction as above)
+    val byNk = customers.groupBy(_._2)
+    val edges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    byNk.foreach { case (_, cs) =>
+      val ids = cs.map(_._1).sorted
+      val blocks = ids.grouped(6).toSeq
+      blocks.foreach { b =>
+        for (i <- b.indices; j <- i + 1 until b.length) edges += ((b(i), b(j)))
+      }
+      blocks.sliding(2).foreach {
+        case Seq(b1, b2) => edges += ((b1.max, b2.min))
+        case _ =>
+      }
+    }
+    val verts = customers.map(_._1)
+    val m = edges.size.toLong
+    val sym = edges.toSeq.flatMap(e => Seq(e, e.swap))
+    val deg = sym.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+    // LPA seed (the registered detector), then strict-gain parity
+    // refinement — exactly the operator's integer rule
+    val lpa = graft.SparkEntry.queries("graph_label_propagation")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var comm: Map[Long, Long] = lpa
+    for (r <- 1 to 2) {
+      val prev = comm
+      val tot = prev.toSeq.groupBy(_._2)
+        .map { case (c, vs) => c -> vs.map(v => deg.getOrElse(v._1, 0L)).sum }
+      val kin = sym.groupBy(_._1).map { case (v, es) =>
+        v -> es.map(e => prev(e._2)).groupBy(identity)
+          .map { case (c, cs) => c -> cs.size.toLong }
+      }
+      comm = verts.map { v =>
+        val k = deg.getOrElse(v, 0L)
+        val cands = kin.getOrElse(v, Map.empty) ++
+          (if (kin.getOrElse(v, Map.empty).contains(prev(v))) Map.empty
+           else Map(prev(v) -> 0L))
+        def gain(c: Long, ki: Long): Long = {
+          val totEx = tot.getOrElse(c, 0L) - (if (c == prev(v)) k else 0L)
+          2L * m * ki - k * totEx
+        }
+        val stayG = gain(prev(v), cands.getOrElse(prev(v), 0L))
+        val best = cands.toSeq.map { case (c, ki) => (gain(c, ki), c) }
+          .minBy { case (g, c) => (-g, c) }
+        // id-parity coloring + strict-improvement gate
+        v -> (if (v % 2 == r % 2 && best._1 > stayG) best._2 else prev(v))
+      }.toMap
+    }
+    val got = graft.SparkEntry.queries("graph_louvain_pass")(spark, dir).collect()
+    val gotComm = got.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotComm == comm, "louvain assignment diverges from driver replay")
+    // Q(louvain) >= Q(LPA): strict-gain refinement never worsens the seed
+    def newmanQ(cm: Map[Long, Long]): Double = {
+      val md = m.toDouble
+      val eC = edges.toSeq.filter(e => cm(e._1) == cm(e._2))
+        .groupBy(e => cm(e._1)).map { case (c, es) => c -> es.size.toLong }
+      val dC = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(cm).map { case (c, vs) => c -> vs.size.toLong }
+      cm.values.toSeq.distinct.map { c =>
+        eC.getOrElse(c, 0L) / md -
+          math.pow(dC.getOrElse(c, 0L) / (2 * md), 2)
+      }.sum
+    }
+    val qL = newmanQ(comm)
+    val qP = newmanQ(lpa)
+    assert(qL >= qP - 1e-9, s"Q(louvain)=$qL < Q(LPA)=$qP")
+    // and the reported q_total matches the driver-side Q
+    assert(math.abs(got.head.getDouble(3) - qL) < 1e-5,
+      s"q_total ${got.head.getDouble(3)} vs driver $qL")
+    // the result is a LOCAL OPTIMUM under single-vertex moves — the
+    // property a converged Louvain pass certifies (and what makes the
+    // strict gate meaningful even when the seed is already optimal)
+    val tot = comm.toSeq.groupBy(_._2)
+      .map { case (c, vs) => c -> vs.map(v => deg.getOrElse(v._1, 0L)).sum }
+    val kinF = sym.groupBy(_._1).map { case (v, es) =>
+      v -> es.map(e => comm(e._2)).groupBy(identity)
+        .map { case (c, cs) => c -> cs.size.toLong }
+    }
+    verts.foreach { v =>
+      val k = deg.getOrElse(v, 0L)
+      val cands = kinF.getOrElse(v, Map.empty) ++
+        (if (kinF.getOrElse(v, Map.empty).contains(comm(v))) Map.empty
+         else Map(comm(v) -> 0L))
+      def gain(c: Long, ki: Long): Long = {
+        val totEx = tot.getOrElse(c, 0L) - (if (c == comm(v)) k else 0L)
+        2L * m * ki - k * totEx
+      }
+      val stayG = gain(comm(v), cands.getOrElse(comm(v), 0L))
+      cands.foreach { case (c, ki) =>
+        assert(gain(c, ki) <= stayG,
+          s"vertex $v has an unexploited strict-gain move to $c")
+      }
+    }
+    info(f"Q(louvain)=$qL%.4f Q(LPA)=$qP%.4f")
+  }
+
+  test("graph_betweenness equals a driver-side textbook Brandes on the horizon") {
+    // rebuild the block graph + per-nation seeds
+    val byNk = customers.groupBy(_._2)
+    val edges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val seeds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    byNk.foreach { case (_, cs) =>
+      val ids = cs.map(_._1).sorted
+      seeds += ids.min
+      val blocks = ids.grouped(6).toSeq
+      blocks.foreach { b =>
+        for (i <- b.indices; j <- i + 1 until b.length) edges += ((b(i), b(j)))
+      }
+      blocks.sliding(2).foreach {
+        case Seq(b1, b2) => edges += ((b1.max, b2.min))
+        case _ =>
+      }
+    }
+    val adj = edges.toSeq.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+      .withDefaultValue(Set.empty[Long])
+    val horizon = 8
+    def snap(x: Double): Double = math.floor(x * 1048576.0 + 0.5) / 1048576.0
+    // textbook Brandes (BFS + backward accumulation), horizon-bounded,
+    // with the operator's per-term grid snap
+    val dist = scala.collection.mutable.Map.empty[Long, Int]
+    val sigma = scala.collection.mutable.Map.empty[Long, Long]
+    seeds.foreach { s0 => dist(s0) = 0; sigma(s0) = 1L }
+    for (l <- 1 to horizon) {
+      val frontier = dist.filter(_._2 == l - 1).keys.toSeq
+      val next = frontier.flatMap(v => adj(v).filter(w =>
+        !dist.contains(w) || dist(w) == l))
+      next.distinct.foreach { w =>
+        dist(w) = l
+        sigma(w) = adj(w).filter(u => dist.get(u).contains(l - 1))
+          .map(sigma).sum
+      }
+    }
+    val delta = scala.collection.mutable.Map.empty[Long, Double]
+      .withDefaultValue(0.0)
+    for (l <- horizon - 1 to 0 by -1) {
+      dist.filter(_._2 == l).keys.foreach { v =>
+        val terms = adj(v).filter(w => dist.get(w).contains(l + 1))
+          .toSeq.map(w => snap(sigma(v).toDouble / sigma(w) * (1 + delta(w))))
+        delta(v) = terms.sum
+      }
+    }
+    val got = graft.SparkEntry.queries("graph_betweenness")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == dist.keySet, "reached-vertex sets differ")
+    dist.foreach { case (v, dv) =>
+      val (gd, gs, gb) = got(v)
+      assert(gd == dv, s"vertex $v dist")
+      assert(gs == sigma(v), s"vertex $v sigma")
+      assert(math.abs(gb - delta(v)) < 1e-6, s"vertex $v betweenness")
+    }
+    // bridge tails/heads carry the inter-block flow: betweenness must
+    // actually separate them from clique interiors somewhere
+    assert(got.values.exists(_._3 > 1.0), "no vertex carries through-flow")
+  }
+
   test("graph_hits matches a driver-side power iteration; chain ends degenerate correctly") {
     def snap(x: Double): Double = math.floor(x * 1e6 + 0.5000005) / 1e6
     val byNk = customers.groupBy(_._2)

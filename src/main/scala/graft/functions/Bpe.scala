@@ -172,4 +172,75 @@ object Bpe {
     */
   def decode(tokens: Seq[String]): String =
     tokens.mkString("").split(EndOfWord, -1).filter(_.nonEmpty).mkString(" ")
+
+  // ------------------------------------------------- byte-level BPE
+  // GPT-2-style byte encoder beneath the trained merges (Radford et
+  // al. 2019, encoder.py bytes_to_unicode — public reference): the
+  // base alphabet becomes a CLOSED set of 256 symbols, so arbitrary
+  // bytes (emoji, CJK, mojibake, binary-ish crawl junk) tokenize with
+  // zero UNK and decode byte-exactly. Printable bytes (33–126,
+  // 161–172, 174–255) map to their own code point — ASCII text stays
+  // readable in token dumps — and the remaining 68 bytes map to
+  // 256+n in byte order.
+
+  /** Byte value → single-code-point symbol (256 entries, injective). */
+  val ByteToChar: Array[String] = {
+    val printable = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val out = new Array[String](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (printable(b)) out(b) = new String(Character.toChars(b))
+      else { out(b) = new String(Character.toChars(256 + n)); n += 1 }
+      b += 1
+    }
+    out
+  }
+
+  private lazy val charToByte: Map[Int, Int] =
+    ByteToChar.iterator.zipWithIndex.map { case (s, b) => s.codePointAt(0) -> b }.toMap
+
+  /** UTF-8 bytes of `w`, one mapped symbol char per byte. */
+  def byteEncode(w: String): String = {
+    val bs = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new StringBuilder(bs.length)
+    var i = 0
+    while (i < bs.length) { sb.append(ByteToChar(bs(i) & 0xff)); i += 1 }
+    sb.toString
+  }
+
+  /** Exact inverse of [[byteEncode]] — rejects symbols outside the
+    * byte alphabet loudly (they cannot come from byteEncode).
+    */
+  def byteDecode(s: String): String = {
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      out.write(charToByte.getOrElse(cp,
+        throw new IllegalArgumentException(
+          f"bpe: code point U+$cp%04X is not a byte symbol")))
+      i += Character.charCount(cp)
+    }
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Byte-level encode: each word byte-encodes first, then the trained
+    * merges apply — `model` must have been trained on byte-encoded
+    * words. Same U+0020-split convention and end-of-word contract as
+    * [[encode]] (the marker's chars are printable ASCII, which map to
+    * themselves, so the containment guard carries over unchanged).
+    */
+  def encodeBytes(text: String, model: Model,
+      memo: mutable.Map[String, Vector[String]]): Vector[String] =
+    if (text == null || text.isEmpty) Vector.empty
+    else text.split(" ").iterator.filter(_.nonEmpty).flatMap { w =>
+      require(!w.contains(EndOfWord),
+        s"bpe: word contains the end-of-word marker '$EndOfWord'")
+      memo.getOrElseUpdate(w, encodeWord(byteEncode(w), model))
+    }.toVector
+
+  /** Inverse of [[encodeBytes]] down to the original bytes. */
+  def decodeBytes(tokens: Seq[String]): String =
+    decode(tokens).split(" ").filter(_.nonEmpty).map(byteDecode).mkString(" ")
 }

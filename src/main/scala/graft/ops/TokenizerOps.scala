@@ -93,6 +93,18 @@ object TokenizerOps extends QueryModule {
     modelMemo.getOrElseUpdate(corpusKey(d),
       Bpe.train(vocabOf(s, d), NumMerges))
 
+  /** Byte-level twin: the SAME training sample, each word passed
+    * through the GPT-2 byte encoder first — merges live over the
+    * closed 256-symbol byte alphabet ([[Bpe.ByteToChar]]).
+    */
+  private val byteModelMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Bpe.Model]
+
+  private def trainBytesOn(s: SparkSession, d: String): Bpe.Model =
+    byteModelMemo.getOrElseUpdate(corpusKey(d),
+      Bpe.train(vocabOf(s, d).map { case (w, c) => (Bpe.byteEncode(w), c) },
+        NumMerges))
+
   /** Unigram-LM twin (see [[graft.functions.Unigram]]): EM-pruned from
     * the BPE-seeded candidate vocab over the same training sample.
     */
@@ -150,7 +162,41 @@ object TokenizerOps extends QueryModule {
     * stream with 1-based positions (checklist rule 9: ordinality via
     * list indexing, DuckDB has no WITH ORDINALITY).
     */
-  private def encodeCtes(m: Bpe.Model): String =
+  private def encodeCtes(m: Bpe.Model): String = encodeCtes(m, byteLevel = false)
+
+  /** GPT-2 byte table as a 256-element DuckDB list literal (index =
+    * byte value + 1), for the byte-level oracle's word re-encoding.
+    */
+  private lazy val byteCharsLiteral: String =
+    Bpe.ByteToChar.map(s => s"chr(${s.codePointAt(0)})").mkString("[", ", ", "]")
+
+  private def encodeCtes(m: Bpe.Model, byteLevel: Boolean): String = {
+    // byte level: hex(encode(w)) exposes the UTF-8 bytes; each 2-hex
+    // chunk indexes the byte table — the oracle re-derives the byte
+    // encoding itself, trusting only the public 256-entry table
+    // NOTE: embedded in the outer template BEFORE its stripMargin runs,
+    // so no line here may begin with '|' after this inner strip (a
+    // leading '||' would get half-eaten by the outer stripMargin)
+    val wordSource =
+      if (!byteLevel)
+        """ini AS (
+          |  SELECT w, chr(1) || list_aggregate([s || chr(1)
+          |           FOR s IN string_split_regex(w, '')], 'string_agg', '') ||
+          |         '</w>' || chr(1) AS s0
+          |  FROM wd),""".stripMargin
+      else
+        s"""bc AS (SELECT $byteCharsLiteral AS t),
+           |bw AS (
+           |  SELECT w, array_to_string([bc.t[
+           |           16 * strpos('0123456789ABCDEF', substring(h, 2*i+1, 1))
+           |           - 16 + strpos('0123456789ABCDEF', substring(h, 2*i+2, 1))]
+           |           FOR i IN range(0, length(h) // 2)], '') AS bws
+           |  FROM (SELECT w, hex(encode(w)) AS h FROM wd), bc),
+           |ini AS (
+           |  SELECT w, chr(1) || list_aggregate([s || chr(1)
+           |           FOR s IN string_split_regex(bws, '')], 'string_agg', '') ||
+           |         '</w>' || chr(1) AS s0
+           |  FROM bw),""".stripMargin
     s"""WITH RECURSIVE
        |mg AS (
        |  SELECT list(chr(1)||l||chr(1)||r||chr(1) ORDER BY rk) AS pat,
@@ -160,11 +206,7 @@ object TokenizerOps extends QueryModule {
        |wd AS (
        |  SELECT DISTINCT unnest([x FOR x IN string_split(text, ' ') IF x <> '']) AS w
        |  FROM documents WHERE text IS NOT NULL),
-       |ini AS (
-       |  SELECT w, chr(1) || list_aggregate([s || chr(1)
-       |           FOR s IN string_split_regex(w, '')], 'string_agg', '')
-       |         || '</w>' || chr(1) AS s0
-       |  FROM wd),
+       |$wordSource
        |enc(w, s) AS (
        |  SELECT w, s0 FROM ini
        |  UNION ALL
@@ -186,6 +228,7 @@ object TokenizerOps extends QueryModule {
        |dtk AS (
        |  SELECT t.doc_id, t.i AS pos, t.ws[t.i] AS w
        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM dw) t)""".stripMargin
+  }
 
   /** Per-doc subword tokenization report: whitespace vs BPE token
     * counts, the compression they buy (chars per BPE token), and the
@@ -356,6 +399,113 @@ object TokenizerOps extends QueryModule {
       .orderBy("source", "cum") // kept-docs-sized output
   } { (s, d) =>
     encodeCtes(trainOn(s, d)) +
+      s""",
+         |cnt AS (
+         |  SELECT d.doc_id, d.source,
+         |         CAST(coalesce(sum(len(t.toks)), 0) AS BIGINT) AS n_tok
+         |  FROM documents d
+         |  LEFT JOIN dtk k ON k.doc_id = d.doc_id
+         |  LEFT JOIN wtk t ON t.w = k.w
+         |  GROUP BY d.doc_id, d.source),
+         |r AS (
+         |  SELECT doc_id, source, n_tok,
+         |         CAST(sum(n_tok) OVER (PARTITION BY source
+         |           ORDER BY n_tok DESC, doc_id
+         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM cnt)
+         |SELECT doc_id, source, n_tok, cum
+         |FROM r WHERE cum <= 1000 ORDER BY source, cum""".stripMargin
+  }
+
+  /** Byte-level BPE tokenization report (r13 verdict #8 — the GPT-2
+    * byte encoder beneath the trained merges, [[Bpe.byteEncode]]):
+    * the base alphabet is the CLOSED 256-symbol byte table, so ANY
+    * unicode — emoji, CJK, mojibake — tokenizes with zero UNK and
+    * round-trips byte-exactly (flag checked on EVERY doc, plus the
+    * crafted emoji/CJK fixture in BpeSpec). The oracle re-derives the
+    * byte encoding itself from `hex(encode(w))` + the public 256-entry
+    * table as a list literal, then replays greedy merging with the
+    * byte-trained merge table — the same data-parameterized device as
+    * text_bpe_tokenize, one CTE deeper. n_bytes pins the byte length
+    * both engines computed the symbols from.
+    */
+  qDyn("text_bytebpe_tokenize") { (s, d) =>
+    import s.implicits._
+    val model = s.sparkContext.broadcast(trainBytesOn(s, d))
+    T(s, d, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val m = model.value
+        val memo = mutable.HashMap.empty[String, Vector[String]]
+        it.map { case (id, text) =>
+          val toks = Bpe.encodeBytes(text, m, memo)
+          val nWs = if (text == null) 0L
+            else text.split(" ").count(_.nonEmpty).toLong
+          val normalized = if (text == null) ""
+            else text.split(" ").filter(_.nonEmpty).mkString(" ")
+          val nBytes = normalized
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
+          (id, nWs, toks.length.toLong, nBytes,
+            Bpe.decodeBytes(toks) == normalized)
+        }
+      }
+      .toDF("doc_id", "n_tok_ws", "n_tok_bbpe", "n_bytes", "roundtrip_ok")
+      .orderBy("doc_id") // one row per doc = input-sized
+  } { (s, d) =>
+    encodeCtes(trainBytesOn(s, d), byteLevel = true) +
+      s""",
+         |ds AS (
+         |  SELECT k.doc_id, CAST(sum(len(t.toks)) AS BIGINT) AS n_bbpe,
+         |         list_aggregate(flatten(list(t.toks ORDER BY k.pos)),
+         |                        'string_agg', '') AS cat,
+         |         array_to_string(list(b.bws ORDER BY k.pos), ' ') AS bcat
+         |  FROM dtk k JOIN wtk t ON t.w = k.w JOIN bw b ON b.w = k.w
+         |  GROUP BY k.doc_id)
+         |SELECT w0.doc_id,
+         |       CAST(len(w0.ws) AS BIGINT) AS n_tok_ws,
+         |       coalesce(s.n_bbpe, 0) AS n_tok_bbpe,
+         |       CAST(octet_length(encode(array_to_string(w0.ws, ' ')))
+         |            AS BIGINT) AS n_bytes,
+         |       CASE WHEN coalesce(s.n_bbpe, 0) = 0
+         |            THEN len(w0.ws) = 0
+         |            ELSE rtrim(replace(s.cat, '</w>', ' ')) = s.bcat
+         |       END AS roundtrip_ok
+         |FROM dw w0 LEFT JOIN ds s ON s.doc_id = w0.doc_id
+         |ORDER BY w0.doc_id""".stripMargin
+  }
+
+  /** Token budget over BYTE-LEVEL BPE counts — the budget row
+    * parameterized by the no-UNK tokenizer (what a production corpus
+    * budget actually counts: a context window holds byte-level tokens,
+    * and exotic-unicode docs cost what they really cost instead of
+    * one whitespace word per glyph cluster). Same greedy fill shape as
+    * [[pipeline_token_budget_bpe]].
+    */
+  qDyn("pipeline_token_budget_bytebpe") { (s, d) =>
+    import s.implicits._
+    val model = s.sparkContext.broadcast(trainBytesOn(s, d))
+    val counted = T(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val m = model.value
+        val memo = mutable.HashMap.empty[String, Vector[String]]
+        it.map { case (id, src, text) =>
+          (id, src, Bpe.encodeBytes(text, m, memo).length.toLong)
+        }
+      }
+      .toDF("doc_id", "source", "n_tok")
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_tok").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counted
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .filter(col("cum") <= 1000)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("cum"))
+      .orderBy("source", "cum") // kept-docs-sized output
+  } { (s, d) =>
+    encodeCtes(trainBytesOn(s, d), byteLevel = true) +
       s""",
          |cnt AS (
          |  SELECT d.doc_id, d.source,

@@ -218,4 +218,69 @@ class BpeSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(u != base, "unigram budget selected exactly the whitespace set")
   }
+
+  test("byte table is the GPT-2 bytes_to_unicode bijection") {
+    val t = Bpe.ByteToChar
+    assert(t.length == 256 && t.toSet.size == 256, "not injective")
+    // printable bytes map to themselves
+    for (b <- (33 to 126) ++ (161 to 172) ++ (174 to 255))
+      assert(t(b) == new String(Character.toChars(b)), s"byte $b")
+    // the 68 non-printable bytes map above 255, in byte order
+    val shifted = (0 to 255).filterNot(b =>
+      (b >= 33 && b <= 126) || (b >= 161 && b <= 172) || b >= 174)
+    assert(shifted.length == 68)
+    shifted.zipWithIndex.foreach { case (b, n) =>
+      assert(t(b) == new String(Character.toChars(256 + n)), s"byte $b")
+    }
+  }
+
+  test("byte-level BPE round-trips arbitrary unicode with zero UNK") {
+    // crafted emoji/CJK/mixed fixture — the exact realism gap the
+    // byte fallback closes (the code-point tokenizer round-trips these
+    // too, but with an OPEN alphabet; byte level keeps every symbol
+    // inside the closed 256-char base + trained merges)
+    val texts = Seq(
+      "hello world",
+      "数据 管道 训练",                       // CJK
+      "🎉🎊 emoji 🚀 party 🎉🎉🎉",          // astral-plane emoji runs
+      "mixed 中文 and ascii ÅÉÎ σπάρκ",     // latin-ext + greek + CJK
+      "naïve café — em–dash … ellipsis",
+      " nbsp and\ttab")           // exotic whitespace INSIDE words
+    // train a tiny byte-level model on the fixture's own words
+    val vocab = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => (Bpe.byteEncode(w), ws.size.toLong) }
+      .toSeq
+    val m = Bpe.train(vocab, 50)
+    val memo = scala.collection.mutable.HashMap.empty[String, Vector[String]]
+    texts.foreach { t =>
+      val toks = Bpe.encodeBytes(t, m, memo)
+      val normalized = t.split(" ").filter(_.nonEmpty).mkString(" ")
+      assert(Bpe.decodeBytes(toks) == normalized, s"round trip: '$t'")
+      // every token decomposes into base byte symbols — no UNK concept
+      toks.foreach { tok =>
+        val body = tok.replace(Bpe.EndOfWord, "")
+        if (body.nonEmpty) Bpe.byteDecode(body) // throws on a non-byte symbol
+      }
+    }
+    // byteEncode/byteDecode exact inverse on raw strings incl. astral
+    for (s <- Seq("🎉", "中", "á", "🎉x", ""))
+      assert(Bpe.byteDecode(Bpe.byteEncode(s)) == s)
+  }
+
+  test("registered byte-BPE row: roundtrip_ok on every doc; budget differs from whitespace") {
+    val rows = graft.SparkEntry.queries("text_bytebpe_tokenize")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(4), s"byte-BPE round trip failed: $r")
+      // n_bytes >= code points >= whitespace tokens
+      assert(r.getLong(3) >= r.getLong(1), s"byte count below word count: $r")
+      // byte tokens can never outnumber bytes (every token >= 1 byte)
+      assert(r.getLong(2) <= r.getLong(3) + r.getLong(1), s"token/byte bound: $r")
+    }
+    val base = graft.SparkEntry.queries("pipeline_token_budget")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = graft.SparkEntry.queries("pipeline_token_budget_bytebpe")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(b != base, "byte-BPE budget selected exactly the whitespace set")
+  }
 }

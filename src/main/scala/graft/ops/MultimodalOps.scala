@@ -536,6 +536,64 @@ object MultimodalOps extends QueryModule {
       .orderBy("doc_id") // one row per image doc = input-sized
   }
 
+  // ----------------------------------------------- png native decode
+
+  final case class PngDecodeRow(doc_id: Long, width: Int, height: Int,
+      mean_gray: Double, mean_rgb: Double)
+
+  /** From-scratch PNG decode (r14 — completes the image-codec family:
+    * JPEG and GIF were from-scratch but PNG, the storage format of
+    * every image payload, was decoded only through `javax.imageio`):
+    * [[PngDecode]] chunk-walks the REAL stored payload (CRC-32
+    * verified per chunk, multi-IDAT zlib reassembly, full §6 filter
+    * reconstruction incl. Paeth) and, for the colour path, a
+    * truecolour PNG of the doc's triangle-wave raster encoded via
+    * ImageIO (so our decoder reads ANOTHER encoder's filter choices,
+    * not its own). PNG is lossless ⇒ both means hash EXACTLY against
+    * the closed forms — one wrong filter reconstruction, CRC skip, or
+    * scanline offset anywhere moves a mean and reds the hash. PngSpec
+    * additionally pins per-pixel equality vs ImageIO and corrupt/
+    * out-of-subset rejection. Same batched mapPartitions codec slot.
+    */
+  q("mm_png_decode",
+    s"""WITH $imDimsSql
+       |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |  list_sum([CAST((31*doc_id + 7*(i%w) + 13*(i//w)) % 256 AS DOUBLE)
+       |            FOR i IN range(0, w*h)]) / (w*h) AS mean_gray,
+       |  list_sum([CAST(abs(((2*(i%w) + 3*(i//w) + 5*doc_id) % 510) - 255)
+       |         + abs(((3*(i%w) + (i//w) + 7*doc_id) % 510) - 255)
+       |         + abs((((i%w) + 4*(i//w) + 11*doc_id) % 510) - 255) AS DOUBLE)
+       |            FOR i IN range(0, w*h)]) / (3*w*h) AS mean_rgb
+       |FROM im ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sess = s
+    import sess.implicits._
+    mediaTable(s, d).filter(col("meta.kind") === "image")
+      .select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap { batch =>
+          batch.map { r =>
+            val g = PngDecode.decode(r.payload)
+            require(g.channels == 1, s"gray payload decoded ${g.channels}ch")
+            val colorPng = {
+              val out = new ByteArrayOutputStream()
+              ImageIO.write(MediaCodec.colorImage(r.doc_id, g.width, g.height),
+                "png", out)
+              out.toByteArray
+            }
+            val c = PngDecode.decode(colorPng)
+            require(c.channels == 3 && c.width == g.width && c.height == g.height,
+              s"colour decode shape ${c.width}x${c.height}x${c.channels}")
+            // no rounding: both engines divide the SAME exact integer
+            // sample sum (< 2^53) by the same int — bit-identical
+            PngDecodeRow(r.doc_id, g.width, g.height,
+              PngDecode.meanSample(g), PngDecode.meanSample(c))
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id") // one row per image doc = input-sized
+  }
+
   // ---------------------------------------------------- jpeg metadata
 
   final case class JpegMeta(doc_id: Long, width: Int, height: Int,

@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** From-scratch PNG decoder: pixel-exact agreement with both the
+  * closed-form rasters and ImageIO's independent decode (gray and
+  * truecolour), filter-type coverage, and the loud-rejection contract
+  * (CRC flips, truncation, out-of-subset features).
+  */
+class PngSpec extends AnyFunSuite {
+
+  lazy val spark = graft.Sessions.build("local[4]", "4")
+  private val dir = "/root/testdata/sf0.001"
+
+  import MultimodalOps.MediaCodec
+
+  test("gray PNG decode is pixel-exact vs closed form and ImageIO") {
+    for (docId <- Seq(0L, 3L, 9L, 21L, 33L)) {
+      val w = (16 * (docId % 4 + 1)).toInt
+      val h = (16 * (docId % 3 + 1)).toInt
+      val png = MediaCodec.encodePng(docId, w, h)
+      val d = PngDecode.decode(png)
+      assert((d.width, d.height, d.channels) == (w, h, 1))
+      val ref = MediaCodec.decodePng(png)
+      for (y <- 0 until h; x <- 0 until w) {
+        assert(d.samples(y * w + x) == MediaCodec.pixel(docId, x, y),
+          s"doc $docId ($x,$y) vs closed form")
+        assert(d.samples(y * w + x) == ref.getRaster.getSample(x, y, 0),
+          s"doc $docId ($x,$y) vs ImageIO")
+      }
+    }
+  }
+
+  test("truecolour PNG decode is pixel-exact vs closed form and ImageIO") {
+    for (docId <- Seq(0L, 6L, 12L)) {
+      val w = (16 * (docId % 4 + 1)).toInt
+      val h = (16 * (docId % 3 + 1)).toInt
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(MediaCodec.colorImage(docId, w, h), "png", out)
+      val png = out.toByteArray
+      val d = PngDecode.decode(png)
+      assert((d.width, d.height, d.channels) == (w, h, 3))
+      val ref = MediaCodec.decodePng(png)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (er, eg, eb) = MediaCodec.pixelRgb(docId, x, y)
+        val o = (y * w + x) * 3
+        assert((d.samples(o), d.samples(o + 1), d.samples(o + 2)) == ((er, eg, eb)),
+          s"doc $docId ($x,$y) vs closed form")
+        val q = ref.getRGB(x, y)
+        assert((d.samples(o), d.samples(o + 1), d.samples(o + 2)) ==
+          (((q >> 16) & 0xff, (q >> 8) & 0xff, q & 0xff)),
+          s"doc $docId ($x,$y) vs ImageIO")
+      }
+    }
+  }
+
+  test("all five filter types reconstruct: hand-built one-row-per-filter PNG") {
+    // build a 4x5 gray PNG by hand, one scanline per filter type, and
+    // check reconstruction against a reference computed independently
+    val w = 4
+    val rows = Array(
+      (0, Array(10, 20, 30, 40)),   // None: raw = recon
+      (1, Array(5, 5, 5, 5)),       // Sub: cumulative from left
+      (2, Array(1, 2, 3, 4)),       // Up: adds previous row
+      (3, Array(7, 7, 7, 7)),       // Average
+      (4, Array(3, 0, 9, 1)))       // Paeth
+    val expected = Array.ofDim[Int](rows.length, w)
+    for (y <- rows.indices) {
+      val (f, raw) = rows(y)
+      for (x <- 0 until w) {
+        val left = if (x > 0) expected(y)(x - 1) else 0
+        val up = if (y > 0) expected(y - 1)(x) else 0
+        val ul = if (y > 0 && x > 0) expected(y - 1)(x - 1) else 0
+        expected(y)(x) = (f match {
+          case 0 => raw(x)
+          case 1 => raw(x) + left
+          case 2 => raw(x) + up
+          case 3 => raw(x) + (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val (pa, pb, pc) = (math.abs(p - left), math.abs(p - up), math.abs(p - ul))
+            raw(x) + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+        }) & 0xff
+      }
+    }
+    // assemble: signature + IHDR + one IDAT (zlib of filterbyte+row…) + IEND
+    val scan = rows.flatMap { case (f, raw) => f +: raw.toSeq }.map(_.toByte)
+    val defl = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(scan); d.finish()
+      val buf = new Array[Byte](256)
+      val out = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def u32(v: Long): Unit =
+        Seq(24, 16, 8, 0).foreach(s => out.write(((v >> s) & 0xff).toInt))
+      u32(data.length)
+      out.write(typ.getBytes("US-ASCII")); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      u32(crc.getValue)
+      out.toByteArray
+    }
+    val ihdr = {
+      val b = java.nio.ByteBuffer.allocate(13)
+      b.putInt(w).putInt(rows.length).put(8.toByte).put(0.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte)
+      b.array()
+    }
+    val png = Array[Int](0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte) ++ chunk("IHDR", ihdr) ++ chunk("IDAT", defl) ++
+      chunk("IEND", Array.empty)
+    val d = PngDecode.decode(png)
+    assert((d.width, d.height, d.channels) == (w, rows.length, 1))
+    for (y <- rows.indices; x <- 0 until w)
+      assert(d.samples(y * w + x) == expected(y)(x), s"filter row $y col $x")
+    // and ImageIO agrees with our hand assembly end-to-end
+    val ref = MediaCodec.decodePng(png)
+    for (y <- rows.indices; x <- 0 until w)
+      assert(ref.getRaster.getSample(x, y, 0) == expected(y)(x))
+  }
+
+  test("corrupt and out-of-subset PNGs reject loudly") {
+    val png = MediaCodec.encodePng(5L, 32, 16)
+    intercept[IllegalArgumentException] {
+      PngDecode.decode("not a png".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] { PngDecode.decode(png.take(30)) }
+    // flip one bit in the IDAT payload: CRC-32 must catch it
+    val bad = png.clone()
+    bad(50) = (bad(50) ^ 0x08).toByte
+    val e = intercept[IllegalArgumentException] { PngDecode.decode(bad) }
+    assert(e.getMessage.contains("CRC") || e.getMessage.contains("DEFLATE") ||
+      e.getMessage.contains("chunk"), e.getMessage)
+    // palette PNG (type 3) must reject as out of subset, not misread
+    val pal = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until 8; x <- 0 until 8) pal.setRGB(x, y, (x * 32) << 16)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(pal, "png", out)
+    val e2 = intercept[IllegalArgumentException] { PngDecode.decode(out.toByteArray) }
+    assert(e2.getMessage.contains("subset"), e2.getMessage)
+  }
+
+  test("mm_png_decode row: exact means on every image doc") {
+    val rows = SparkEntryAccess.query("mm_png_decode")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = ((16 * (id % 4 + 1)).toInt, (16 * (id % 3 + 1)).toInt)
+      assert(r.getInt(1) == w && r.getInt(2) == h)
+      // recompute both closed-form means exactly
+      var sg = 0L; var sc = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        sg += MediaCodec.pixel(id, x, y)
+        val (a, b, c) = MediaCodec.pixelRgb(id, x, y)
+        sc += a + b + c
+      }
+      assert(r.getDouble(3) == sg.toDouble / (w * h), s"doc $id gray mean")
+      assert(r.getDouble(4) == sc.toDouble / (3L * w * h), s"doc $id rgb mean")
+    }
+  }
+}

@@ -1080,6 +1080,71 @@ object WindowOps extends QueryModule {
     * per-step shuffles), then a per-user collapse. Users without a
     * view never enter the funnel.
     */
+  /** Multi-touch attribution per conversion (the marketing-analytics
+    * standard trio — first-touch / last-touch / linear position
+    * credit; Shapley-regression variants reduce to reweighting the
+    * same per-conversion touch groups): every non-purchase event
+    * (the "channel" touch — event_type stands in for the channel
+    * dimension) is assigned to its user's NEXT purchase in strict
+    * (ts, event_id) order via one IGNORE-NULLS forward-looking window
+    * — the deployed form of "which purchase does this touch convert
+    * to" without a purchases⋈touches join (the quadratic-per-user
+    * trap). Unconverted touches (no later purchase) drop by contract.
+    * Per conversion group: first = earliest touch, last = latest,
+    * linear = 1/n each (snapped to the dy20 grid pre-sum — rule 12,
+    * so the per-channel totals are order-exact); then ONE global
+    * per-channel aggregate. Scale: one user-keyed window + one
+    * (user, purchase) window + a catalog-sized final agg — no join
+    * anywhere, both window partitions are user-bounded.
+    */
+  q("win_attribution",
+    """WITH np AS (SELECT user_id, ts, event_id, event_type,
+      |              first_value(CASE WHEN event_type = 'purchase'
+      |                               THEN event_id END IGNORE NULLS)
+      |                OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+      |                AS pid
+      |            FROM events),
+      |     t AS (SELECT user_id, ts, event_id, event_type, pid FROM np
+      |           WHERE event_type <> 'purchase' AND pid IS NOT NULL),
+      |     g AS (SELECT *,
+      |             count(*) OVER (PARTITION BY user_id, pid) AS n,
+      |             row_number() OVER (PARTITION BY user_id, pid
+      |                                ORDER BY ts, event_id) AS rk
+      |           FROM t)
+      |SELECT event_type AS channel,
+      |       CAST(count(*) AS BIGINT) AS n_touches,
+      |       CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS first_touch,
+      |       CAST(sum(CASE WHEN rk = n THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS last_touch,
+      |       round(sum(floor(1.0 / n * 1048576 + 0.5) / 1048576), 6)
+      |         AS linear_credit
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val ev = T(s, d, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+    val wNext = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val touches = ev
+      .withColumn("pid",
+        first(when(col("event_type") === "purchase", col("event_id")),
+          ignoreNulls = true).over(wNext))
+      .filter(col("event_type") =!= "purchase" && col("pid").isNotNull)
+    val wGrp = Window.partitionBy("user_id", "pid")
+    val wRk = Window.partitionBy("user_id", "pid").orderBy("us", "event_id")
+    touches
+      .withColumn("n", count(lit(1)).over(wGrp))
+      .withColumn("rk", row_number().over(wRk))
+      .groupBy(col("event_type").as("channel"))
+      .agg(count(lit(1)).cast("long").as("n_touches"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).cast("long").as("first_touch"),
+        sum(when(col("rk") === col("n"), 1L).otherwise(0L)).cast("long")
+          .as("last_touch"),
+        round(sum(Grid.dy20(lit(1.0) / col("n"))), 6).as("linear_credit"))
+      .reportSorted("channel") // |channels| rows = catalog-sized
+  }
+
   q("win_funnel_steps",
     """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
       |           WHERE event_type = 'view' GROUP BY 1),

@@ -1207,6 +1207,43 @@ class OpsSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("win_attribution: model invariants and driver-side replay") {
+    val evs = T(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // driver replay: assign each touch to the next purchase in
+    // (ts, event_id) order per user
+    val groups = evs.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)] // (pid, channel)
+      val pending = scala.collection.mutable.ArrayBuffer.empty[String]
+      sorted.foreach { e =>
+        if (e._4 == "purchase") {
+          pending.foreach(ch => out += ((e._3, ch)))
+          pending.clear()
+        } else pending += e._4
+      }
+      out.toSeq
+    }
+    val byChannel = groups.groupBy(_._2)
+    val nGroups = groups.map(_._1).distinct.size
+    val got = SparkEntry.queries("win_attribution")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.keySet == byChannel.keySet)
+    byChannel.foreach { case (ch, ts) =>
+      assert(got(ch)._1 == ts.size, s"$ch n_touches")
+    }
+    // conservation: each conversion hands out exactly one first, one
+    // last, and ~1.0 of linear credit
+    assert(got.values.map(_._2).sum == nGroups, "first-touch conservation")
+    assert(got.values.map(_._3).sum == nGroups, "last-touch conservation")
+    assert(math.abs(got.values.map(_._4).sum - nGroups) < 0.01,
+      "linear-credit conservation")
+    assert(nGroups > 0 && got.size > 1, "fixture exercises multiple channels")
+  }
+
   test("XmlCodec round-trips empty text, control chars, and per-column NULLs") {
     // empty string ≠ null (explicit nil marker), newline/CR/tab survive
     // the one-record-per-line framing via character references, and

@@ -561,4 +561,154 @@ object CurationOps extends QueryModule {
           .otherwise(round(col("n_phrases") * lit(1.0) / col("n_chars"), 6)))
       .orderBy("doc_id") // one row per doc = input-sized
   }
+
+  /** URL canonicalization dedup (r14 — the CommonCrawl/WARC ingest
+    * step BEFORE any content dedup: the same page arrives as scheme/
+    * host-case variants, www-prefixed, default-ported, utm-tagged,
+    * fragment-suffixed, and trailing-slashed duplicates; canonical-URL
+    * grouping removes them for free, no content ever read). Each doc
+    * synthesizes its crawl URL from a closed form of (doc_id, source)
+    * with doc_id-driven decorations — each run of 7 doc_ids shares one LOGICAL url —
+    * and the canonicalizer must collapse exactly those groups:
+    * lowercase scheme+host, strip the scheme's default port and the
+    * `www.` prefix, drop utm_* query params (keeping and sorting the
+    * rest), drop the fragment, strip the trailing slash. BOTH engines
+    * implement the canonicalizer independently from the spec above
+    * (split/lower/filter ops — no shared code), so a rule drifting on
+    * either side reds the hash. Scale: map-side canonicalization +
+    * ONE group count — the shape of a 10¹¹-URL frontier dedup.
+    */
+  q("dedup_url_canonical",
+    """WITH u AS (
+      |  SELECT doc_id, source,
+      |         (CASE doc_id % 3 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'https'
+      |               ELSE 'Https' END) || '://' ||
+      |         (CASE doc_id % 4 WHEN 0 THEN 'WWW.Crawl.Example.COM:443'
+      |               WHEN 1 THEN 'www.crawl.example.com'
+      |               WHEN 2 THEN 'crawl.example.com:443'
+      |               ELSE 'Crawl.Example.Com' END) ||
+      |         '/docs/' || CAST(doc_id // 7 AS VARCHAR) ||
+      |         (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+      |         (CASE WHEN doc_id % 5 = 0
+      |               THEN '?utm_source=feed&id=7&utm_campaign=x'
+      |               ELSE '?id=7' END) ||
+      |         (CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END)
+      |           AS raw_url
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, raw_url,
+      |         -- canonicalize: the same rules, DuckDB-side
+      |         lower(string_split(string_split(raw_url, '#')[1], '://')[1]) ||
+      |         '://' ||
+      |         regexp_replace(regexp_replace(lower(
+      |             string_split(string_split(string_split(raw_url, '#')[1],
+      |               '://')[2], '/')[1]), '^www\.', ''), ':443$', '') ||
+      |         (CASE WHEN rtrim(pathpart, '/') = '' THEN ''
+      |               ELSE rtrim(pathpart, '/') END) ||
+      |         (CASE WHEN qkeep = '' THEN '' ELSE '?' || qkeep END)
+      |           AS canonical_url
+      |  FROM (
+      |    SELECT doc_id, source, raw_url,
+      |           '/' || array_to_string(string_split(string_split(
+      |             string_split(string_split(raw_url, '#')[1], '://')[2],
+      |             '?')[1], '/')[2:], '/') AS pathpart,
+      |           array_to_string(list_sort([p FOR p IN string_split(
+      |             coalesce(string_split(string_split(raw_url, '#')[1],
+      |               '?')[2], ''), '&') IF p <> '' AND p NOT LIKE 'utm_%']),
+      |             '&') AS qkeep
+      |    FROM u) t)
+      |SELECT c.doc_id, c.canonical_url,
+      |       CAST(g.n AS BIGINT) AS n_variants,
+      |       c.doc_id = g.keeper AS keep
+      |FROM c JOIN (SELECT canonical_url, count(*) AS n, min(doc_id) AS keeper
+      |             FROM c GROUP BY 1) g
+      |  ON g.canonical_url = c.canonical_url
+      |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+    val raw = T(s, d, "documents").select(col("doc_id"), col("source"))
+      .withColumn("raw_url",
+        concat(
+          when(col("doc_id") % 3 === 0, lit("HTTPS"))
+            .when(col("doc_id") % 3 === 1, lit("https")).otherwise(lit("Https")),
+          lit("://"),
+          when(col("doc_id") % 4 === 0, lit("WWW.Crawl.Example.COM:443"))
+            .when(col("doc_id") % 4 === 1, lit("www.crawl.example.com"))
+            .when(col("doc_id") % 4 === 2, lit("crawl.example.com:443"))
+            .otherwise(lit("Crawl.Example.Com")),
+          lit("/docs/"), (col("doc_id") / 7).cast("long").cast("string"),
+          when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit("?utm_source=feed&id=7&utm_campaign=x")).otherwise(lit("?id=7")),
+          when(col("doc_id") % 6 === 0, lit("#section-2")).otherwise(lit(""))))
+    // canonicalize — independent Spark implementation of the same rules
+    val noFrag = split(col("raw_url"), "#").getItem(0)
+    val scheme = lower(split(noFrag, "://").getItem(0))
+    val rest = split(noFrag, "://").getItem(1)
+    val hostPort = split(rest, "/").getItem(0)
+    val host = regexp_replace(regexp_replace(lower(hostPort), "^www\\.", ""),
+      ":443$", "")
+    val pathQ = expr("substring(rest, length(hostPort) + 1)")
+    val path = split(col("pathQ"), "\\?").getItem(0)
+    val qs = split(col("pathQ"), "\\?").getItem(1)
+    val qKeep = array_join(array_sort(filter(split(coalesce(col("qs"), lit("")), "&"),
+      p => p =!= "" && !p.startsWith("utm_"))), "&")
+    val canon = raw
+      .withColumn("rest", rest).withColumn("hostPort", hostPort)
+      .withColumn("pathQ", pathQ)
+      .withColumn("qs", qs)
+      .withColumn("canonical_url", concat(
+        scheme, lit("://"), host,
+        when(regexp_replace(path, "/+$", "") === "", lit(""))
+          .otherwise(regexp_replace(path, "/+$", "")),
+        when(qKeep === "", lit("")).otherwise(concat(lit("?"), qKeep))))
+      .select("doc_id", "canonical_url")
+    val groups = canon.groupBy("canonical_url")
+      .agg(count(lit(1)).cast("long").as("n_variants"),
+        min("doc_id").as("keeper"))
+    canon.join(groups, Seq("canonical_url"))
+      .select(col("doc_id"), col("canonical_url"), col("n_variants"),
+        (col("doc_id") === col("keeper")).as("keep"))
+      .orderBy("doc_id") // one row per doc = input-sized
+  }
+
+  /** Compute-optimal data allocation (r14 — Hoffmann et al. 2022
+    * "Training Compute-Optimal Large Language Models", the Chinchilla
+    * rule made executable over the REAL corpus: for a grid of FLOP
+    * budgets, the ~20-tokens-per-parameter optimum N = √(C/120),
+    * D = 20·N, and whether THIS corpus (per-source whitespace token
+    * counts) covers D — the epochs-needed number every data-scaling
+    * conversation starts from). The pipeline_minhash_band_tuning
+    * pattern: plan-time math over one distributed aggregate.
+    * Exactness: N floors to BIGINT off a correctly-rounded sqrt of a
+    * LITERAL (engine-identical by IEEE), D = 20·N stays integer, and
+    * the one data-dependent ratio rounds to 6dp.
+    */
+  q("pipeline_chinchilla_allocation",
+    """WITH ct AS (
+      |  SELECT source, CAST(sum(len([x FOR x IN string_split(
+      |           coalesce(text, ''), ' ') IF x <> ''])) AS BIGINT) AS corpus_tokens
+      |  FROM documents GROUP BY 1),
+      |grid AS (SELECT unnest([1e18, 1e19, 1e20, 1e21]) AS c)
+      |SELECT ct.source, ct.corpus_tokens,
+      |       CAST(grid.c AS DOUBLE) AS budget_flops,
+      |       CAST(floor(sqrt(grid.c / 120)) AS BIGINT) AS n_params,
+      |       CAST(20 * floor(sqrt(grid.c / 120)) AS BIGINT) AS d_tokens,
+      |       round(20 * floor(sqrt(grid.c / 120)) / ct.corpus_tokens, 6)
+      |         AS epochs_needed
+      |FROM ct, grid ORDER BY source, budget_flops""".stripMargin) { (s, d) =>
+    val ct = T(s, d, "documents")
+      .select(col("source"),
+        size(filter(split(coalesce(col("text"), lit("")), " "),
+          x => x =!= "")).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").cast("long").as("corpus_tokens"))
+    val grid = s.range(0, 4).select(
+      pow(lit(10.0), col("id").cast("double") + lit(18.0)).as("c"))
+    ct.crossJoin(broadcast(grid))
+      .select(col("source"), col("corpus_tokens"),
+        col("c").cast("double").as("budget_flops"),
+        floor(sqrt(col("c") / 120)).cast("long").as("n_params"),
+        (lit(20L) * floor(sqrt(col("c") / 120)).cast("long")).as("d_tokens"),
+        round(lit(20L) * floor(sqrt(col("c") / 120))
+          / col("corpus_tokens"), 6).as("epochs_needed"))
+      .reportSorted(col("source"), col("budget_flops"))
+  }
 }

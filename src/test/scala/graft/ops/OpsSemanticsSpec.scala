@@ -1207,6 +1207,43 @@ class OpsSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_url_canonical: variants collapse to the logical url, nothing else fuses") {
+    val rows = SparkEntry.queries("dedup_url_canonical")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    // canonical urls carry none of the decorations
+    rows.foreach { case (id, cu, _, _) =>
+      assert(cu.startsWith("https://crawl.example.com/docs/"), s"doc $id: $cu")
+      assert(!cu.contains("utm_") && !cu.contains("#") && !cu.contains(":443")
+        && !cu.contains("www.") && !cu.endsWith("/"), s"doc $id: $cu")
+      assert(cu.endsWith("?id=7"), s"kept param dropped: $cu")
+    }
+    // group key is exactly doc_id // 7: members of one canonical
+    // group must share it, and distinct keys never fuse
+    rows.groupBy(_._2).foreach { case (cu, g) =>
+      val keys = g.map { case (id, _, _, _) => id / 7 }.toSet
+      assert(keys.size == 1, s"group $cu fused keys $keys")
+      assert(g.count(_._4) == 1, s"group $cu must keep exactly one")
+      assert(g.forall(_._3 == g.size.toLong), s"group $cu n_variants")
+    }
+    assert(rows.exists(_._3 > 1), "no multi-variant group — decorations inert")
+  }
+
+  test("pipeline_chinchilla_allocation: scaling-law identities hold") {
+    val rows = SparkEntry.queries("pipeline_chinchilla_allocation")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty && rows.length % 4 == 0)
+    rows.foreach { r =>
+      val (ct, c, n, dTok, ep) = (r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))
+      assert(dTok == 20L * n, "D = 20N")
+      // 6·N·D <= C < 6·(N+1)·(D+20): N is the floor of the optimum
+      assert(6.0 * n * dTok <= c && 6.0 * (n + 1) * (dTok + 20) > c,
+        s"N=$n not the floor optimum for C=$c")
+      assert(math.abs(ep - dTok.toDouble / ct) < 1e-5, "epochs ratio")
+    }
+  }
+
   test("win_attribution: model invariants and driver-side replay") {
     val evs = T(spark, dir, "events")
       .select(col("user_id"), unix_micros(col("ts")).as("us"),

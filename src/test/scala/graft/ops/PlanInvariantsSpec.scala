@@ -959,4 +959,34 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert("hashpartitioning\\(user_id".r.findAllIn(p).size <= 1,
       s"exactly one user-keyed exchange expected:\n$p")
   }
+
+  test("win_attribution: window-only — the purchases-x-touches join is forbidden") {
+    val p = plan(graft.SparkEntry.queries("win_attribution")(spark, d))
+    assert(!p.contains("Join"),
+      s"attribution must ride windows, never a per-user join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // one user exchange (both windows on (user,pid) reuse nothing
+    // heavier than user-prefixed hash partitioning) + final agg
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size <= 2,
+      s"touch windows must stay user-keyed:\n$p")
+    assert(p.contains("partial"),
+      s"per-channel totals must map-side combine:\n$p")
+  }
+
+  test("codec rows are map-only: no shuffle except the output sort") {
+    for (key <- Seq("mm_png_decode", "mm_jpeg_color_decode",
+        "mm_flac_fingerprint")) {
+      val p = plan(graft.SparkEntry.queries(key)(spark, d))
+      assert(!p.contains("Join"), s"$key must not join:\n$p")
+      assert(!p.contains("hashpartitioning"),
+        s"$key decode must be embarrassingly parallel:\n$p")
+    }
+  }
+
+  test("graph_betweenness: equi-joins only, no cartesian") {
+    val p = plan(graft.SparkEntry.queries("graph_betweenness")(spark, d))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"Brandes passes must stay vertex-keyed equi-joins:\n$p")
+  }
 }

@@ -1775,6 +1775,57 @@ object WindowOps extends QueryModule {
       .orderBy("user_id") // one row per user = input-sized
   }
 
+  /** Ljung–Box portmanteau whiteness test per user series (SPEC:
+    * Ljung & Box 1978 — the Box–Jenkins residual-diagnostic standard:
+    * Q = n(n+2)·Σ_{k≤h} r_k²/(n−k) against χ²(h); h = 3, the suite's
+    * ACF horizon): third member of the ACF family, riding the SAME
+    * [[acfFrame]]/[[acfOracleCtes]] body as ts_autocorr/ts_pacf, so
+    * the r_k inputs are bit-identical on both engines by construction
+    * and the Q algebra is one fixed-shape expression over them
+    * (rule 5). n = the user's daily-bucket count (integer, one extra
+    * per-user aggregate); the whiteness verdict derives from the
+    * ROUND-6 Q vs the χ²₃ 5% critical value 7.815 (the SPRT lesson:
+    * never gate a boolean on an unrounded transcendental). Users with
+    * fewer than 4 buckets (some r_k undefined) drop by contract.
+    */
+  q("ts_ljung_box",
+    s"""WITH $acfOracleCtes,
+      |nb AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+      |piv AS (SELECT user_id,
+      |          max(CASE WHEN lag_k = 1 THEN acf END) AS r1,
+      |          max(CASE WHEN lag_k = 2 THEN acf END) AS r2,
+      |          max(CASE WHEN lag_k = 3 THEN acf END) AS r3
+      |        FROM acfv GROUP BY 1),
+      |q AS (SELECT p.user_id, nb.n, p.r1, p.r2, p.r3,
+      |        round(nb.n * (nb.n + 2) * (r1*r1 / (nb.n - 1)
+      |              + r2*r2 / (nb.n - 2) + r3*r3 / (nb.n - 3)), 6) AS lb_q
+      |      FROM piv p JOIN nb ON nb.user_id = p.user_id
+      |      WHERE r1 IS NOT NULL AND r2 IS NOT NULL AND r3 IS NOT NULL
+      |        AND nb.n > 3)
+      |SELECT user_id, n AS n_obs, r1 AS acf1, r2 AS acf2, r3 AS acf3,
+      |       lb_q, lb_q > 7.815 AS reject_white_noise
+      |FROM q ORDER BY user_id""") { (s, d) =>
+    val nb = T(s, d, "events")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("dummy"))
+      .groupBy("user_id").agg(count(lit(1)).cast("long").as("n"))
+    val piv = acfFrame(s, d).groupBy("user_id").agg(
+      max(when(col("lag_k") === 1, col("acf"))).as("r1"),
+      max(when(col("lag_k") === 2, col("acf"))).as("r2"),
+      max(when(col("lag_k") === 3, col("acf"))).as("r3"))
+    val q = piv.join(nb, Seq("user_id"))
+      .filter(col("r1").isNotNull && col("r2").isNotNull &&
+        col("r3").isNotNull && col("n") > 3)
+      .withColumn("lb_q", round(col("n") * (col("n") + 2)
+        * (col("r1") * col("r1") / (col("n") - 1)
+           + col("r2") * col("r2") / (col("n") - 2)
+           + col("r3") * col("r3") / (col("n") - 3)), 6))
+    q.select(col("user_id"), col("n").as("n_obs"),
+        col("r1").as("acf1"), col("r2").as("acf2"), col("r3").as("acf3"),
+        col("lb_q"), (col("lb_q") > 7.815).as("reject_white_noise"))
+      .orderBy("user_id") // one row per user = input-sized
+  }
+
   /** CUSUM changepoint detection per user series: the day where the
     * cumulative sum of deviations from the series mean peaks in
     * absolute value — the classic single-changepoint location

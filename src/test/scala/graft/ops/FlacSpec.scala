@@ -82,12 +82,7 @@ class FlacSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { FlacCodec.decode(enc.take(enc.length - 5)) }
   }
 
-  test("decoder breadth beyond the encoder: 4:4:4-style hand frames") {
-    // hand-assemble a stream exercising VERBATIM, FIXED-4, partition
-    // order > 0 and the Rice escape code — shapes our encoder never
-    // emits but a real FLAC file may carry.
-    // Simplest teeth without a second encoder: verify the decoder
-    // rejects LPC/stereo/wasted-bit declarations with precise errors.
+  test("decoder breadth beyond the encoder: out-of-subset declarations reject") {
     val pcm = noise(1L, 256)
     val enc = FlacCodec.encode(pcm)
     // find the first frame: metadata is 4 + 4 + 34 bytes by construction
@@ -99,6 +94,97 @@ class FlacSpec extends AnyFunSuite {
     val e1 = intercept[IllegalArgumentException] { FlacCodec.decode(stereo) }
     assert(e1.getMessage.contains("out of subset") ||
       e1.getMessage.contains("CRC"), e1.getMessage)
+  }
+
+  test("hand-assembled stream: rice2 params, escape partitions, VERBATIM subframe") {
+    // paths a real FLAC file may carry but our encoder never emits:
+    // residual method 1 (5-bit params), partition order 2, the
+    // escape-to-raw partition code, and a VERBATIM subframe — built
+    // bit by bit here and required to decode sample-exact
+    final class BW {
+      val out = new java.io.ByteArrayOutputStream()
+      private var acc = 0; private var n = 0
+      def put(v: Long, bits: Int): Unit = {
+        var i = bits - 1
+        while (i >= 0) {
+          acc = (acc << 1) | ((v >> i) & 1L).toInt; n += 1
+          if (n == 8) { out.write(acc); acc = 0; n = 0 }
+          i -= 1
+        }
+      }
+      def unary(q: Int): Unit = { (0 until q).foreach(_ => put(0, 1)); put(1, 1) }
+      def alignZero(): Unit = if (n > 0) put(0, 8 - n)
+      def bytes: Array[Byte] = { require(n == 0); out.toByteArray }
+    }
+    def zig(v: Int): Long = if (v >= 0) v.toLong << 1 else ((-v).toLong << 1) - 1
+    val bs = 32
+    // frame 0: FIXED order 1 over a drifting signal
+    val res = Array.tabulate(bs - 1)(i => (i % 7) - 3) // residuals, order 1
+    val x0 = new Array[Int](bs)
+    x0(0) = 1000
+    for (i <- 1 until bs) x0(i) = x0(i - 1) + res(i - 1)
+    // frame 1: arbitrary verbatim samples
+    val x1 = Array.tabulate(bs)(i => (i * 997 % 40000) - 20000)
+    val total = 2 * bs
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    val si = new BW
+    si.put(bs, 16); si.put(bs, 16); si.put(0, 24); si.put(0, 24)
+    si.put(8000, 20); si.put(0, 3); si.put(15, 5); si.put(total.toLong, 36)
+    (0 until 16).foreach(_ => si.put(0, 8)) // md5 unknown (all zero)
+    val sib = si.bytes
+    out.write(0x80); out.write(0); out.write(0); out.write(sib.length)
+    out.write(sib, 0, sib.length)
+
+    def frame(idx: Int)(body: BW => Unit): Unit = {
+      val w = new BW
+      w.put(0x3ffe, 14); w.put(0, 2)
+      w.put(6, 4)  // blocksize: 8-bit field at end
+      w.put(4, 4)  // 8 kHz
+      w.put(0, 4); w.put(4, 3); w.put(0, 1)
+      w.put(idx.toLong, 8) // UTF-8 coded number < 0x80
+      w.put(bs - 1, 8)     // blocksize - 1
+      val hdr = w.bytes
+      val full = new BW
+      hdr.foreach(b => full.put(b & 0xffL, 8))
+      full.put(FlacCodec.crc8(hdr, 0, hdr.length).toLong, 8)
+      body(full)
+      full.alignZero()
+      val fb = full.bytes
+      out.write(fb, 0, fb.length)
+      val c = FlacCodec.crc16(fb, 0, fb.length)
+      out.write(c >> 8); out.write(c & 0xff)
+    }
+    frame(0) { w =>
+      w.put(0, 1); w.put(9, 6); w.put(0, 1) // FIXED order 1
+      w.put(x0(0).toLong & 0xffff, 16)      // warmup
+      w.put(1, 2)                           // residual method 1: 5-bit params
+      w.put(2, 4)                           // partition order 2 → 4 partitions
+      // partitions of 8 samples (first has 8 - order = 7)
+      val parts = Seq(res.slice(0, 7), res.slice(7, 15),
+        res.slice(15, 23), res.slice(23, 31))
+      val ks = Seq(2, 31, 0, 3) // 31 = 5-bit escape
+      parts.zip(ks).foreach { case (p, k) =>
+        w.put(k.toLong, 5)
+        if (k == 31) {
+          w.put(6, 5) // raw 6-bit signed residuals
+          p.foreach(r => w.put(r.toLong & 0x3f, 6))
+        } else p.foreach { r =>
+          val u = zig(r)
+          w.unary((u >> k).toInt)
+          if (k > 0) w.put(u & ((1L << k) - 1), k)
+        }
+      }
+    }
+    frame(1) { w =>
+      w.put(0, 1); w.put(1, 6); w.put(0, 1) // VERBATIM
+      x1.foreach(v => w.put(v.toLong & 0xffff, 16))
+    }
+    val dec = FlacCodec.decode(out.toByteArray)
+    assert(dec.nFrames == 2 && dec.samples.length == total)
+    assert(dec.samples.take(bs).map(_.toInt).sameElements(x0), "FIXED/rice2/escape frame")
+    assert(dec.samples.drop(bs).map(_.toInt).sameElements(x1), "VERBATIM frame")
   }
 
   test("STREAMINFO MD5 self-check catches a decoder that would lie") {

@@ -1207,6 +1207,29 @@ class OpsSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("ts_ljung_box: rides the exact ACF family values; Q math checks out") {
+    val acf = SparkEntry.queries("ts_autocorr")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    val rows = SparkEntry.queries("ts_ljung_box")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val u = r.getLong(0)
+      val n = r.getLong(1)
+      val rs = Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      // cross-key: the acf columns ARE ts_autocorr's values
+      rs.zipWithIndex.foreach { case (v, k) =>
+        assert(v == acf((u, (k + 1).toLong)), s"user $u acf${k + 1}")
+      }
+      val q = n * (n + 2.0) * rs.zipWithIndex.map { case (v, k) =>
+        v * v / (n - k - 1)
+      }.sum
+      assert(math.abs(r.getDouble(5) - q) < 1e-5, s"user $u Q")
+      assert(r.getDouble(5) >= 0, "Q nonnegative")
+      assert(r.getBoolean(6) == (r.getDouble(5) > 7.815), s"user $u verdict")
+    }
+  }
+
   test("dedup_url_canonical: variants collapse to the logical url, nothing else fuses") {
     val rows = SparkEntry.queries("dedup_url_canonical")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))

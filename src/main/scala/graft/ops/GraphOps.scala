@@ -559,12 +559,28 @@ object GraphOps extends QueryModule {
     private def free(ids: Set[Int]): Unit = ids.foreach(id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     private var held = Map.empty[String, Set[Int]]
-    def cycle(tag: String, df: DataFrame): DataFrame = {
+    /** Per-round checkpoint + free-previous. `sever` additionally
+      * rebuilds the frame over the checkpointed rows to DROP the
+      * carried Catalyst stats (r14): localCheckpoint's LogicalRDD
+      * preserves the origin plan's sizeInBytes, and join-stats
+      * estimation MULTIPLIES child sizes — an operator that cycles a
+      * frame joined against ITSELF multiplies the stat's bit length
+      * every round, and past ~25 compounded rounds the planner sits in
+      * million-digit BigInteger multiplications (measured as a >15 min
+      * hang in graph_mst_boruvka's nested CC). Severing restarts from
+      * default stats (AQE re-sizes joins from runtime statistics, so
+      * the lost estimate costs nothing) at the price of a Row
+      * conversion on the cycled frame — so it is opt-in: required for
+      * [[pointerJumpCC]] whose iteration count is data-dependent and
+      * whose labels frame self-joins; the fixed-small-round operators
+      * (PageRank/LPA/HITS/…) keep the conversion-free path.
+      */
+    def cycle(tag: String, df: DataFrame, sever: Boolean = false): DataFrame = {
       val pre = persisted
       val out = df.localCheckpoint()
       free(held.getOrElse(tag, Set.empty))
       held += tag -> (persisted -- pre)
-      out
+      if (sever) df.sparkSession.createDataFrame(out.rdd, out.schema) else out
     }
     def pin(tag: String, df: DataFrame): DataFrame = {
       val pre = persisted
@@ -585,10 +601,14 @@ object GraphOps extends QueryModule {
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst"))))
 
   private[ops] def pointerJumpCC(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 24): DataFrame = {
+      maxIter: Int = 24, init: Option[DataFrame] = None): DataFrame = {
     val rc = new RoundCheckpoints(nodes.sparkSession.sparkContext)
     val sym = pinnedSym(rc, edges)
-    var labels = nodes.select(col("id")).withColumn("lbl", col("id"))
+    // optional warm start (id, lbl) — lbl must be a min-over-vertex-ids
+    // label (Boruvka reuses the previous round's components so the CC
+    // does not restart from singletons every round)
+    var labels = init.getOrElse(
+      nodes.select(col("id")).withColumn("lbl", col("id")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -606,7 +626,7 @@ object GraphOps extends QueryModule {
         .select(col("id"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl")),
             coalesce(col("jlbl"), col("lbl"))).as("lbl"),
-          col("lbl").as("old")))
+          col("lbl").as("old")), sever = true)
       val changed = next.filter(col("lbl") =!= col("old")).count()
       labels = next.select("id", "lbl")
       converged = changed == 0
@@ -621,6 +641,100 @@ object GraphOps extends QueryModule {
     }
     // the final round's blocks back the returned frame's lineage
     labels.select(col("id"), col("lbl").as("comp"))
+  }
+
+  /** Minimum spanning forest by distributed Borůvka (SPEC: Borůvka
+    * 1926 via the parallel formulation every BSP/MapReduce MST paper
+    * uses — each component picks its minimum outgoing edge, merge,
+    * repeat; the one classic graph primitive the suite lacked):
+    * weighted block graph (intra-clique weight = rank distance 1..5,
+    * bridges 1000), per-component argmin over the (w, a, b) TOTAL
+    * order (lexicographic tie-break ≡ distinct weights, the standard
+    * cycle-safety device), components re-derived per round by
+    * [[pointerJumpCC]] WARM-STARTED from the previous round's labels
+    * (fresh-start CC every round would pay O(rounds·log n) from
+    * scratch each time). The loop runs to the true fixpoint — no
+    * candidate edges left — with a ceil(log₂ n) round bound by
+    * Borůvka's halving argument, so the output is the COMPLETE forest
+    * at any SF, and the oracle needs no round replay at all: this
+    * weighted graph's MST is ANALYTIC (each clique's weight-1
+    * consecutive-rank path is its unique 5-edge minimum; bridges are
+    * cut edges, forced at any weight), so the hash pins the full edge
+    * list the distributed rounds must converge to. GraphSpec
+    * cross-checks against a driver-side Kruskal. Scale: per round one
+    * edges⋈comps join + a per-component argmin window + a warm CC —
+    * all vertex-keyed; the candidate set shrinks monotonically.
+    */
+  q("graph_mst_boruvka",
+    """WITH c AS (SELECT c_custkey AS id, c_nationkey AS nk,
+      |            row_number() OVER (PARTITION BY c_nationkey
+      |              ORDER BY c_custkey) - 1 AS rk
+      |      FROM customer),
+      |blk AS (SELECT id, nk, rk // 6 AS b, rk % 6 AS r FROM c),
+      |mst_intra AS (
+      |  SELECT x.nk, x.id AS a, y.id AS b, CAST(1 AS BIGINT) AS w
+      |  FROM blk x JOIN blk y
+      |    ON y.nk = x.nk AND y.b = x.b AND y.r = x.r + 1),
+      |heads AS (SELECT nk, b, min(id) AS hid, max(id) AS tid
+      |          FROM blk GROUP BY nk, b),
+      |mst_inter AS (
+      |  SELECT h1.nk, h1.tid AS a, h2.hid AS b, CAST(1000 AS BIGINT) AS w
+      |  FROM heads h1 JOIN heads h2 ON h2.nk = h1.nk AND h2.b = h1.b + 1)
+      |SELECT nk, a, b, w
+      |FROM (SELECT * FROM mst_intra UNION ALL SELECT * FROM mst_inter) t
+      |ORDER BY a, b""".stripMargin) { (s, d) =>
+    val rc = new RoundCheckpoints(s.sparkContext)
+    val w = Window.partitionBy("nk").orderBy("id")
+    val blk = T(s, d, "customer")
+      .select(col("c_custkey").as("id"), col("c_nationkey").as("nk"))
+      .withColumn("rk", row_number().over(w) - 1)
+      .withColumn("b", (col("rk") / 6).cast("long"))
+      .withColumn("r", col("rk") % 6)
+    val intra = blk.as("x").join(blk.as("y"),
+        col("y.nk") === col("x.nk") && col("y.b") === col("x.b") &&
+          col("y.id") > col("x.id"))
+      .select(col("x.nk").as("nk"), col("x.id").as("a"), col("y.id").as("b"),
+        (col("y.r") - col("x.r")).cast("long").as("w"))
+    val heads = blk.groupBy("nk", "b")
+      .agg(min("id").as("hid"), max("id").as("tid"))
+    val inter = heads.as("h1").join(heads.as("h2"),
+        col("h2.nk") === col("h1.nk") && col("h2.b") === col("h1.b") + 1)
+      .select(col("h1.nk").as("nk"), col("h1.tid").as("a"),
+        col("h2.hid").as("b"), lit(1000L).as("w"))
+    val wEdges = rc.pin("wedges", intra.unionByName(inter))
+    val verts = rc.pin("verts", blk.select("id"))
+    var comp = verts.withColumn("comp", col("id"))
+    var mst: DataFrame = null
+    var rounds = 0
+    var done = false
+    while (!done && rounds < 24) {
+      val cand = rc.cycle("cand", wEdges
+        .join(comp.select(col("id").as("a"), col("comp").as("ca")), Seq("a"))
+        .join(comp.select(col("id").as("b"), col("comp").as("cb")), Seq("b"))
+        .filter(col("ca") =!= col("cb")))
+      if (cand.isEmpty) done = true
+      else {
+        val mirrored = cand.select(col("ca").as("cm"), col("a"), col("b"), col("w"))
+          .unionByName(cand.select(col("cb").as("cm"), col("a"), col("b"), col("w")))
+        val sel = mirrored
+          .withColumn("rn", row_number().over(Window.partitionBy("cm")
+            .orderBy(col("w").asc, col("a").asc, col("b").asc)))
+          .filter(col("rn") === 1)
+          .select("a", "b", "w").distinct()
+        mst = rc.cycle("mst",
+          if (mst == null) sel else mst.unionByName(sel))
+        comp = rc.cycle("comp", pointerJumpCC(verts, mst.select("a", "b"),
+          init = Some(comp.select(col("id"), col("comp").as("lbl")))))
+        rounds += 1
+      }
+    }
+    rc.release("cand")
+    rc.release("wedges")
+    val nation = T(s, d, "customer")
+      .select(col("c_custkey").as("a"), col("c_nationkey").as("nk"))
+    mst.join(nation, Seq("a"))
+      .select(col("nk"), col("a"), col("b"), col("w"))
+      .orderBy("a", "b") // forest = vertex-sized output
   }
 
   q("graph_connected_components",
@@ -1340,8 +1454,11 @@ object GraphOps extends QueryModule {
     * textbook Brandes restricted to the horizon. Scale: 2·horizon
     * rounds, each one vertex-keyed equi-join + aggregate over the
     * level frontier — strictly lighter than the BFS itself; level
-    * frames are vertex-sized and pinned per level (released after the
-    * backward pass consumes them).
+    * frames are vertex-sized and pinned per level (a fully lazy DAG
+    * here is a PLANNER bomb: Catalyst's sizeInBytes estimation
+    * multiplies duplicated-subtree sizes into million-digit
+    * BigIntegers — r14 measured a >15 min planning hang — so the
+    * ~2·horizon cheap checkpoint jobs are the right trade).
     */
   q("graph_betweenness", {
     val head =
@@ -1412,7 +1529,13 @@ object GraphOps extends QueryModule {
     val rc = new RoundCheckpoints(s.sparkContext)
     val sym = pinnedSym(rc, blockEdges(s, d))
     val dist = bfsDistancesOver(rc, sym, nationSeeds(s, d)) // checkpointed ("bfs")
-    // forward: shortest-path counts per BFS level
+    // forward: shortest-path counts per BFS level. Each level frame is
+    // PINNED (localCheckpoint): a fully lazy 2·horizon-level DAG
+    // triggers Catalyst's sizeInBytes stats estimation to multiply
+    // duplicated-subtree sizes into million-digit BigIntegers (the
+    // planner, not the executor, becomes the bottleneck — measured as
+    // a >15 min planning hang at sf0.1), so per-level materialization
+    // of these vertex-sized frames is the right trade.
     val sig = new Array[DataFrame](BfsRounds + 1)
     sig(0) = rc.pin("sg0",
       dist.filter(col("dist") === 0L).select(col("id"), lit(1L).as("sigma")))

@@ -261,6 +261,43 @@ class GraphSpec extends AnyFunSuite {
     info(f"Q(louvain)=$qL%.4f Q(LPA)=$qP%.4f")
   }
 
+  test("graph_mst_boruvka equals a driver-side Kruskal") {
+    val byNk = customers.groupBy(_._2)
+    val wEdges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    byNk.foreach { case (_, cs) =>
+      val ids = cs.map(_._1).sorted
+      val blocks = ids.grouped(6).toSeq
+      blocks.foreach { b =>
+        for (i <- b.indices; j <- i + 1 until b.length)
+          wEdges += ((b(i), b(j), (j - i).toLong))
+      }
+      blocks.sliding(2).foreach {
+        case Seq(b1, b2) => wEdges += ((b1.max, b2.min, 1000L))
+        case _ =>
+      }
+    }
+    // Kruskal with union-find over the (w, a, b) total order
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      parent(x) = r; r
+    }
+    val mst = wEdges.toSeq.sortBy { case (a, b, w) => (w, a, b) }.flatMap {
+      case (a, b, w) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra == rb) None
+        else { parent(math.max(ra, rb)) = math.min(ra, rb); Some((a, b, w)) }
+    }.toSet
+    val got = graft.SparkEntry.queries("graph_mst_boruvka")(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == mst, s"forest differs: extra=${(got -- mst).take(3)} " +
+      s"missing=${(mst -- got).take(3)}")
+    // forest size = vertices − components (one tree per nation chain)
+    val nComponents = byNk.size
+    assert(got.size == customers.length - nComponents, "forest edge count")
+  }
+
   test("graph_betweenness equals a driver-side textbook Brandes on the horizon") {
     // rebuild the block graph + per-nation seeds
     val byNk = customers.groupBy(_._2)

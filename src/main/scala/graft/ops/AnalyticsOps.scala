@@ -1214,4 +1214,210 @@ object AnalyticsOps extends QueryModule {
         .otherwise(0).cast("int").as("significant"))
       .reportSorted("n_name")
   }
+
+  /** One-way ANOVA across ALL event types (SPEC: Fisher 1925 — the
+    * k-group generalization of [[agg_welch_ttest]]'s two arms; the
+    * omnibus "do any of these k variants differ" gate an experiment
+    * platform runs before pairwise tests). Everything derives from ONE
+    * grouped power-sum aggregate (n, Σv, Σv²) per type — fixed-size
+    * mergeable state, the agg_moments shape, so the 100 TB plan is a
+    * two-phase aggregate whose shuffle carries k rows. SSB/SSW/SST are
+    * closed-form on that k-row frame via the standard decomposition
+    * SSB = Σ S_g²/n_g − S²/N, SSW = Σv² − Σ S_g²/n_g (identical
+    * algebra both engines; the effect size η² = SSB/SST rides free).
+    * Guards: nullif on SSW (all groups constant → F undefined, not a
+    * cross-engine Inf render) and on SST.
+    */
+  q("agg_anova_oneway",
+    """WITH g AS (
+      |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+      |         sum(value) AS s, sum(value * value) AS ss
+      |  FROM events GROUP BY event_type),
+      |t AS (SELECT count(*) AS k, sum(n) AS nn, sum(s) AS st,
+      |             sum(ss) AS sst_raw, sum(s * s / n) AS sgr
+      |      FROM g)
+      |SELECT CAST(k AS INTEGER) AS k, CAST(nn AS BIGINT) AS n,
+      |       round(sgr - st * st / nn, 4) AS ss_between,
+      |       round(sst_raw - sgr, 4) AS ss_within,
+      |       round(((sgr - st * st / nn) / (k - 1))
+      |             / nullif((sst_raw - sgr) / (nn - k), 0), 4) AS f_stat,
+      |       round((sgr - st * st / nn)
+      |             / nullif(sst_raw - st * st / nn, 0), 6) AS eta_sq
+      |FROM t""") { (s, d) =>
+    val g = T(s, d, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum("value").as("s"), sum(col("value") * col("value")).as("ss"))
+    val t = g.agg(count(lit(1)).as("k"), sum("n").as("nn"), sum("s").as("st"),
+      sum("ss").as("sst_raw"), sum(col("s") * col("s") / col("n")).as("sgr"))
+    val ssb = col("sgr") - col("st") * col("st") / col("nn")
+    t.select(col("k").cast("int").as("k"), col("nn").cast("long").as("n"),
+      round(ssb, 4).as("ss_between"),
+      round(col("sst_raw") - col("sgr"), 4).as("ss_within"),
+      round((ssb / (col("k") - 1)) /
+        nullif((col("sst_raw") - col("sgr")) / (col("nn") - col("k")), lit(0.0)), 4)
+        .as("f_stat"),
+      round(ssb / nullif(col("sst_raw") - col("st") * col("st") / col("nn"),
+        lit(0.0)), 6).as("eta_sq"))
+  }
+
+  /** Two-sample Cramér–von Mises drift statistic between the click and
+    * purchase value distributions (SPEC: Anderson 1962 two-sample CvM —
+    * the integrated-squared-ECDF-gap companion of [[dq_drift_ks]]'s
+    * supremum: KS sees the single worst point, CvM accumulates drift
+    * across the whole distribution, so a broad small shift that never
+    * crosses KS's threshold still moves T). Rank form: with pooled
+    * ranks r_i of the N 'a'-observations and s_j of the M 'b'-ones,
+    * U = N·Σ(r_i−i)² + M·Σ(s_j−j)², T = U/(NM(N+M)) − (4NM−1)/(6(N+M)).
+    * Both the pooled rank (global row number) and the within-sample
+    * index (cumulative indicator) come from ONE
+    * [[WindowOps.globalPrefixSums]] pass over the (value, event_id)
+    * total order — range-bucket + intra-bucket window + O(#partitions)
+    * offset broadcast, no single-partition exchange at any scale. Every
+    * U term is exact BIGINT (U ≤ N·M²+M·N² keeps headroom to ~10⁶×10⁶
+    * samples; past that, sample the arms first — the statistic is
+    * rank-based, so a uniform subsample is the standard move); T is two
+    * divisions of exact integers, rounded once.
+    */
+  q("dq_drift_cvm",
+    """WITH ev AS (
+      |  SELECT event_id, value,
+      |         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |c AS (
+      |  SELECT a, b,
+      |         row_number() OVER (ORDER BY value, event_id) AS rn,
+      |         sum(a) OVER (ORDER BY value, event_id ROWS UNBOUNDED PRECEDING) AS ca,
+      |         sum(b) OVER (ORDER BY value, event_id ROWS UNBOUNDED PRECEDING) AS cb
+      |  FROM ev),
+      |t AS (SELECT CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b FROM ev),
+      |u AS (SELECT CAST(sum(CASE WHEN a = 1 THEN (rn - ca) * (rn - ca) END) AS BIGINT) AS ua,
+      |             CAST(sum(CASE WHEN b = 1 THEN (rn - cb) * (rn - cb) END) AS BIGINT) AS ub
+      |      FROM c)
+      |SELECT t.n_a, t.n_b,
+      |       CAST(t.n_a * u.ua + t.n_b * u.ub AS BIGINT) AS u_stat,
+      |       round(CAST(t.n_a * u.ua + t.n_b * u.ub AS DOUBLE)
+      |               / (t.n_a * t.n_b * (t.n_a + t.n_b))
+      |             - CAST(4 * t.n_a * t.n_b - 1 AS DOUBLE)
+      |               / (6 * (t.n_a + t.n_b)), 6) AS cvm_t
+      |FROM t, u""") { (s, d) => cvmOn(T(s, d, "events")) }
+
+  /** The CvM body over any frame with (event_id, event_type, value) —
+    * the registered row binds it to the events table; the semantic
+    * spec feeds crafted aligned/shifted samples.
+    */
+  private[ops] def cvmOn(events: DataFrame): DataFrame = {
+    val ev = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("value"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("a"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("b"),
+        lit(1L).as("one"))
+    val cum = WindowOps.globalPrefixSums(ev,
+      Seq(col("value").asc_nulls_last, col("event_id").asc), Seq("a", "b", "one"))
+    val u = cum.agg(
+      sum(when(col("a") === 1L,
+        (col("cum_one") - col("cum_a")) * (col("cum_one") - col("cum_a"))))
+        .cast("long").as("ua"),
+      sum(when(col("b") === 1L,
+        (col("cum_one") - col("cum_b")) * (col("cum_one") - col("cum_b"))))
+        .cast("long").as("ub"))
+    val tot = ev.agg(sum("a").cast("long").as("n_a"), sum("b").cast("long").as("n_b"))
+    tot.crossJoin(broadcast(u))
+      .select(col("n_a"), col("n_b"),
+        (col("n_a") * col("ua") + col("n_b") * col("ub")).cast("long").as("u_stat"),
+        round((col("n_a") * col("ua") + col("n_b") * col("ub")).cast("double")
+          / (col("n_a") * col("n_b") * (col("n_a") + col("n_b")))
+          - (lit(4L) * col("n_a") * col("n_b") - 1L).cast("double")
+          / (lit(6L) * (col("n_a") + col("n_b"))), 6).as("cvm_t"))
+  }
+
+  /** Granger causality F-test between two daily event series (SPEC:
+    * Granger 1969 — "do yesterday's views help predict today's clicks
+    * beyond clicks' own history": restricted AR(1) y_t~y_{t−1} vs the
+    * augmented y_t~y_{t−1}+x_{t−1}, F = (RSS_r−RSS_u)/(RSS_u/(n−3))
+    * with 1 numerator df — the standard lead-lag screen a metrics
+    * platform runs across KPI pairs). The series are DAILY COUNTS
+    * (exact integers at any scale — the aggregation that makes a
+    * 100 TB event log a 365-row regression), so all ten power sums are
+    * exact BIGINT and both engines compute F from identical integer
+    * inputs through one fixed expression shape. Plan: one grouped
+    * count (two-phase), one calendar-sized self-join on day−1, one
+    * 10-sum aggregate over ≤365 rows; the two OLS solves are
+    * closed-form 2×2 algebra on that 1-row frame. nullif guards the
+    * degenerate constant-series cases.
+    */
+  q("ts_granger",
+    """WITH dc AS (
+      |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS y,
+      |         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x
+      |  FROM events GROUP BY 1),
+      |r AS (
+      |  SELECT cur.y AS y, prev.y AS y1, prev.x AS x1
+      |  FROM dc cur JOIN dc prev ON prev.day = cur.day - 1),
+      |p AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |         CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(y1) AS DOUBLE) AS s1,
+      |         CAST(sum(x1) AS DOUBLE) AS s2, CAST(sum(y * y) AS DOUBLE) AS syy,
+      |         CAST(sum(y1 * y1) AS DOUBLE) AS s11, CAST(sum(x1 * x1) AS DOUBLE) AS s22,
+      |         CAST(sum(y * y1) AS DOUBLE) AS sy1, CAST(sum(y * x1) AS DOUBLE) AS sy2,
+      |         CAST(sum(y1 * x1) AS DOUBLE) AS s12
+      |  FROM r),
+      |m AS (
+      |  SELECT n, syy - sy * sy / n AS cyy, s11 - s1 * s1 / n AS c11,
+      |         s22 - s2 * s2 / n AS c22, sy1 - sy * s1 / n AS cy1,
+      |         sy2 - sy * s2 / n AS cy2, s12 - s1 * s2 / n AS c12
+      |  FROM p),
+      |f AS (
+      |  SELECT n, cyy - cy1 * cy1 / nullif(c11, 0) AS rss_r,
+      |         cyy - ((cy1 * c22 - cy2 * c12) * cy1 + (cy2 * c11 - cy1 * c12) * cy2)
+      |               / nullif(c11 * c22 - c12 * c12, 0) AS rss_u,
+      |         (cy2 * c11 - cy1 * c12) / nullif(c11 * c22 - c12 * c12, 0) AS beta_x
+      |  FROM m)
+      |SELECT CAST(n AS BIGINT) AS n_days,
+      |       round(rss_r, 4) AS rss_restricted, round(rss_u, 4) AS rss_unrestricted,
+      |       round(beta_x, 6) AS beta_xlag,
+      |       round((rss_r - rss_u) / nullif(rss_u / (n - 3), 0), 4) AS f_stat
+      |FROM f""") { (s, d) => grangerOn(T(s, d, "events")) }
+
+  /** The Granger body over any frame with (event_id, ts, event_type) —
+    * the registered row binds it to the events table; the semantic
+    * spec feeds a series where x_{t−1} predicts y_t exactly.
+    */
+  private[ops] def grangerOn(events: DataFrame): DataFrame = {
+    val dc = events
+      .groupBy(expr("unix_micros(ts) div 86400000000L").cast("long").as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("y"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"))
+    val r = dc.select(col("day"), col("y"))
+      .join(dc.select((col("day") + 1L).as("day"), col("y").as("y1"), col("x").as("x1")),
+        Seq("day"))
+    val p = r.agg(count(lit(1)).cast("double").as("n"),
+      sum("y").cast("double").as("sy"), sum("y1").cast("double").as("s1"),
+      sum("x1").cast("double").as("s2"),
+      sum(col("y") * col("y")).cast("double").as("syy"),
+      sum(col("y1") * col("y1")).cast("double").as("s11"),
+      sum(col("x1") * col("x1")).cast("double").as("s22"),
+      sum(col("y") * col("y1")).cast("double").as("sy1"),
+      sum(col("y") * col("x1")).cast("double").as("sy2"),
+      sum(col("y1") * col("x1")).cast("double").as("s12"))
+    val m = p.select(col("n"),
+      (col("syy") - col("sy") * col("sy") / col("n")).as("cyy"),
+      (col("s11") - col("s1") * col("s1") / col("n")).as("c11"),
+      (col("s22") - col("s2") * col("s2") / col("n")).as("c22"),
+      (col("sy1") - col("sy") * col("s1") / col("n")).as("cy1"),
+      (col("sy2") - col("sy") * col("s2") / col("n")).as("cy2"),
+      (col("s12") - col("s1") * col("s2") / col("n")).as("c12"))
+    val det = nullif(col("c11") * col("c22") - col("c12") * col("c12"), lit(0.0))
+    val rssR = col("cyy") - col("cy1") * col("cy1") / nullif(col("c11"), lit(0.0))
+    val rssU = col("cyy") -
+      ((col("cy1") * col("c22") - col("cy2") * col("c12")) * col("cy1") +
+        (col("cy2") * col("c11") - col("cy1") * col("c12")) * col("cy2")) / det
+    m.select(col("n").cast("long").as("n_days"),
+      round(rssR, 4).as("rss_restricted"), round(rssU, 4).as("rss_unrestricted"),
+      round((col("cy2") * col("c11") - col("cy1") * col("c12")) / det, 6).as("beta_xlag"),
+      round((rssR - rssU) / nullif(rssU / (col("n") - 3), lit(0.0)), 4).as("f_stat"))
+  }
 }

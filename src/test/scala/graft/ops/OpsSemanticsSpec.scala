@@ -1348,4 +1348,83 @@ class OpsSemanticsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
     assert(big == got)
   }
+
+  test("agg_anova_oneway matches a driver-side decomposition; SSB+SSW=SST") {
+    val r = SparkEntry.queries("agg_anova_oneway")(spark, dir).collect()(0)
+    val rows = T(spark, dir, "events")
+      .select(col("event_type"), col("value")).collect()
+      .map(x => (x.getString(0), x.getDouble(1)))
+    val groups = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val k = groups.size
+    val n = rows.length
+    val grand = rows.map(_._2).sum / n
+    val ssb = groups.values.map(g => g.length * math.pow(g.sum / g.length - grand, 2)).sum
+    val sst = rows.map(x => math.pow(x._2 - grand, 2)).sum
+    val ssw = sst - ssb
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(r.getInt(0) == k && r.getLong(1) == n)
+    assert(math.abs(r.getDouble(2) - ssb) < 0.51, s"ssb ${r.getDouble(2)} vs $ssb")
+    assert(math.abs(r.getDouble(3) - ssw) < 0.51, s"ssw ${r.getDouble(3)} vs $ssw")
+    assert(math.abs(r.getDouble(4) - f) < 1e-2, s"f ${r.getDouble(4)} vs $f")
+    assert(math.abs(r.getDouble(5) - ssb / sst) < 1e-4)
+  }
+
+  test("dq_drift_cvm: identical samples give T near its -1/6·(…) floor; a planted shift moves it") {
+    import spark.implicits._
+    // two identical interleaved samples → ECDFs match at every point
+    def mk(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("event_id", "event_type", "value")
+    val same = (0 until 50).flatMap(i => Seq(
+      (2L * i, "click", i.toDouble), (2L * i + 1, "purchase", i + 0.5)))
+    val tSame = AnalyticsOps.cvmOn(mk(same)).collect()(0).getDouble(3)
+    val shifted = (0 until 50).flatMap(i => Seq(
+      (2L * i, "click", i.toDouble), (2L * i + 1, "purchase", i + 500.0)))
+    val tShift = AnalyticsOps.cvmOn(mk(shifted)).collect()(0).getDouble(3)
+    assert(tSame < 0.1, s"aligned samples should have tiny T: $tSame")
+    assert(tShift > 5.0, s"disjoint supports should blow T up: $tShift")
+    // driver-side recomputation of the rank form on the aligned case
+    val pooled = same.sortBy(x => (x._3, x._1))
+    val aRanks = pooled.zipWithIndex.collect { case ((_, "click", _), j) => j + 1 }
+    val bRanks = pooled.zipWithIndex.collect { case ((_, "purchase", _), j) => j + 1 }
+    val nn = aRanks.size.toLong
+    val mm = bRanks.size.toLong
+    val u = nn * aRanks.zipWithIndex.map { case (r, i) => math.pow(r - (i + 1.0), 2) }.sum +
+      mm * bRanks.zipWithIndex.map { case (r, i) => math.pow(r - (i + 1.0), 2) }.sum
+    val tWant = u / (nn * mm * (nn + mm)) - (4.0 * nn * mm - 1) / (6 * (nn + mm))
+    assert(math.abs(tSame - tWant) < 1e-6, s"$tSame vs driver $tWant")
+  }
+
+  test("ts_granger: a lag-1-copied predictor yields near-zero unrestricted RSS and a huge F") {
+    import spark.implicits._
+    // y_t = x_{t-1} exactly, y's own lag is noise -> x Granger-causes y
+    val days = 0 until 40
+    def row(id: Long, day: Int, typ: String) =
+      (id, new java.sql.Timestamp(86400000L * (19700 + day)), typ)
+    // view count on day d = pattern(d); click count on day d = pattern(d-1)
+    val pattern = days.map(d => 1 + ((d * 7 + 3) % 5)).toArray
+    var id = 0L
+    def mk(perturbDay: Int) = days.flatMap { d =>
+      val views = (0 until pattern(d)).map { _ => id += 1; row(id, d, "view") }
+      val base = if (d == 0) 1 else pattern(d - 1)
+      val clicks = (0 until (base + (if (d == perturbDay) 3 else 0))).map { _ =>
+        id += 1; row(id, d, "click")
+      }
+      views ++ clicks
+    }
+    // exact copy: RSS_u is exactly 0 -> the nullif guard pins F to NULL
+    // (not a cross-engine Inf) — that guard is itself the contract
+    val exact = AnalyticsOps.grangerOn(mk(-1).toDF("event_id", "ts", "event_type"))
+      .collect()(0)
+    assert(exact.getLong(0) == 39)
+    assert(exact.getDouble(2) == 0.0, s"perfect predictor should zero RSS_u: $exact")
+    assert(exact.isNullAt(4), s"F must be NULL (guard) when RSS_u = 0: $exact")
+    // one perturbed day: x1 still explains almost everything -> huge finite F
+    val r = AnalyticsOps.grangerOn(mk(20).toDF("event_id", "ts", "event_type"))
+      .collect()(0)
+    val rssU = r.getDouble(2)
+    val f = r.getDouble(4)
+    assert(rssU < r.getDouble(1) / 4,
+      s"lagged x should explain most of y: rss_u=$rssU rss_r=${r.getDouble(1)}")
+    assert(f > 50.0, s"F should be large when x1 is a near-perfect predictor: $f")
+  }
 }

@@ -711,4 +711,80 @@ object CurationOps extends QueryModule {
           / col("corpus_tokens"), 6).as("epochs_needed"))
       .reportSorted(col("source"), col("budget_flops"))
   }
+
+  /** Paragraph-level (line-level) cross-corpus dedup — the C4 device
+    * (Raffel et al. 2020 §2.2: "we discarded all but one of any
+    * three-sentence span occurring more than once"; RefinedWeb and
+    * FineWeb run the same pass at line granularity): documents split
+    * into consecutive 10-token lines, every line that appeared EARLIER
+    * in the corpus (strictly smaller (doc_id, line_idx)) is dropped,
+    * and each doc reassembles from its surviving lines in order — so
+    * boilerplate shared across pages vanishes while each doc's first
+    * occurrence survives. This is the granularity BETWEEN dedup_exact
+    * (whole doc) and dedup_substring (any window); unlike either, the
+    * output is a REWRITTEN corpus, not a keep/drop verdict.
+    *
+    * Scale: the keeper rule is min(doc_id·2²⁰ + idx) per line — ONE
+    * two-phase agg on the line hash (partial min map-side, so a
+    * boilerplate line occurring 10⁹ times ships one row per task —
+    * the skew-safe form of the textbook row_number()=1 window, which
+    * would funnel the hot line through one task) + one join back.
+    * Reassembly is a per-doc sort of ≤ lines(doc) surviving structs —
+    * bounded by doc length, never corpus-sized. idx < 2²⁰ is enforced
+    * loudly (docs cap at ~10⁷ tokens; longer docs chunk upstream).
+    */
+  q("dedup_paragraph",
+    """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks,
+      |                  len(str_split(text, ' ')) AS n FROM documents),
+      |g AS (SELECT doc_id, toks, n,
+      |             unnest(generate_series(0, n - 1, 10)) AS st FROM t),
+      |ln AS (SELECT doc_id, st // 10 AS idx,
+      |              array_to_string(list_slice(toks, st + 1, least(st + 10, n)), ' ') AS line
+      |       FROM g),
+      |k AS (SELECT line, min(doc_id * 1048576 + idx) AS keeper
+      |      FROM ln GROUP BY line),
+      |j AS (SELECT ln.doc_id, ln.idx, ln.line,
+      |             CASE WHEN ln.doc_id * 1048576 + ln.idx = k.keeper
+      |                  THEN 1 ELSE 0 END AS kept
+      |      FROM ln JOIN k USING (line))
+      |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_lines,
+      |       CAST(sum(kept) AS INTEGER) AS n_kept,
+      |       coalesce(string_agg(CASE WHEN kept = 1 THEN line END, ' '
+      |                           ORDER BY idx), '') AS text_kept
+      |FROM j GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
+    dedupParagraphs(T(s, d, "documents"))
+      .orderBy("doc_id") // one row per doc = input-sized
+  }
+
+  /** The paragraph-dedup body over any (doc_id, text) frame. */
+  private[ops] def dedupParagraphs(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ln = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("st", explode(sequence(lit(0), col("n") - 1, lit(10))))
+      .select(col("doc_id"), (col("st") / 10).cast("long").as("idx"),
+        array_join(slice(col("toks"), col("st") + 1, lit(10)), " ").as("line"))
+    // the keeper key packs (doc_id, idx) into one BIGINT; idx ≥ 2²⁰
+    // would corrupt the order, so it fails loudly instead
+    val guarded = ln.withColumn("idx",
+      when(col("idx") < (1L << 20), col("idx"))
+        .otherwise(raise_error(concat(lit("dedup_paragraph: doc "),
+          col("doc_id"), lit(" exceeds 2^20 lines")))))
+    val keepers = guarded
+      .groupBy("line")
+      .agg(min(col("doc_id") * lit(1048576L) + col("idx")).as("keeper"))
+    guarded.join(keepers, Seq("line"))
+      .withColumn("kept",
+        when(col("doc_id") * lit(1048576L) + col("idx") === col("keeper"), 1)
+          .otherwise(0))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_lines"),
+        sum("kept").cast("int").as("n_kept"),
+        coalesce(
+          array_join(transform(array_sort(collect_list(
+            when(col("kept") === 1, struct(col("idx"), col("line"))))),
+            x => x.getField("line")), " "),
+          lit("")).as("text_kept"))
+  }
 }

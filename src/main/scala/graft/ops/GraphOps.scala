@@ -1722,4 +1722,224 @@ object GraphOps extends QueryModule {
     rc.release("sym")
     sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
   }
+
+  /** Katz centrality (SPEC: Katz 1953 — attenuated path counting:
+    * x(v) = β + α·Σ_{u→v} x(u), counting walks of every length into v
+    * weighted α^len; the "influence even without being a sink"
+    * centrality that PageRank's stochastic normalization hides, and
+    * the one that stays meaningful on DAGs where eigenvector
+    * centrality collapses to 0). Directed lead-edge graph, 4 unrolled
+    * Jacobi rounds with α = 0.125 (dyadic; in-degree ≤ 2 here bounds
+    * the spectral radius safely below 1/α — the convergence condition
+    * α < 1/λ_max) and β = 1. Per round ONE vertex-keyed contribution
+    * join + aggregate (the HITS shape, minus its normalization
+    * passes); per-round localCheckpoint with free-previous; each score
+    * snaps to the ε-shifted 1e-6 fixpoint grid so the unrolled-CTE
+    * oracle replays the iteration exactly. 100 TB: rounds are O(E)
+    * equi-joins partitioned by vertex — AQE-friendly, no global state
+    * beyond the k-round unroll.
+    */
+  q("graph_katz_centrality", {
+    val iters = 4
+    val head =
+      """WITH c AS (SELECT c_custkey AS id, c_nationkey AS nk FROM customer),
+        |l AS (SELECT nk, id,
+        |             lead(id, 1) OVER (PARTITION BY nk ORDER BY id) AS n1,
+        |             lead(id, 2) OVER (PARTITION BY nk ORDER BY id) AS n2
+        |      FROM c),
+        |e AS (SELECT id AS src, n1 AS dst FROM l WHERE n1 IS NOT NULL
+        |      UNION ALL
+        |      SELECT id AS src, n2 AS dst FROM l WHERE n2 IS NOT NULL),
+        |verts AS (SELECT c_custkey AS vid FROM customer),
+        |x0 AS (SELECT vid, CAST(1.0 AS DOUBLE) AS x FROM verts)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s""",
+         |s$k AS (SELECT e.dst, sum(x.x) AS in_sum
+         |        FROM e JOIN x${k - 1} x ON x.vid = e.src GROUP BY e.dst),
+         |x$k AS (SELECT v.vid,
+         |        floor((1.0 + CAST(0.125 AS DOUBLE) * coalesce(s$k.in_sum, 0))
+         |              * 1000000 + CAST(0.5000005 AS DOUBLE)) / 1000000 AS x
+         |        FROM verts v LEFT JOIN s$k ON s$k.dst = v.vid)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"\nSELECT vid AS c_custkey, x AS katz FROM x$iters ORDER BY c_custkey"
+  }) { (s, d) =>
+    val rc = new RoundCheckpoints(s.sparkContext)
+    val verts = rc.pin("verts",
+      T(s, d, "customer").select(col("c_custkey").as("vid")))
+    val e0 = leadEdges(s, d, withN2 = true, maxGap = None)
+    val e = rc.pin("edges", e0.select(col("a").as("src"), col("b").as("dst")))
+    var x = rc.cycle("x", verts.withColumn("x", lit(1.0)))
+    for (_ <- 1 to 4) {
+      val contribs = e
+        .join(x.select(col("vid").as("src"), col("x").as("sx")), Seq("src"))
+        .groupBy("dst").agg(sum("sx").as("in_sum"))
+      x = rc.cycle("x", verts
+        .join(contribs, col("vid") === col("dst"), "left")
+        .select(col("vid"),
+          (floor((lit(1.0) + lit(0.125) * coalesce(col("in_sum"), lit(0.0)))
+            * 1e6 + lit(0.5000005)) / 1e6).as("x")))
+    }
+    Seq("verts", "edges").foreach(rc.release)
+    x.select(col("vid").as("c_custkey"), col("x").as("katz"))
+      .orderBy("c_custkey") // one row per vertex = input-sized
+  }
+
+  /** Single-source shortest paths with EDGE WEIGHTS (SPEC: horizon-
+    * bounded Bellman–Ford over the per-nation block graph — the
+    * weighted upgrade of [[graph_bfs_distance]]: hop count becomes
+    * Σw along the path, and a longer-hop lighter path may win, which
+    * the spec pins). Weights are derived deterministically from the
+    * endpoint ids (w = (a+b) mod 7 + 1 — integer, symmetric), so both
+    * engines construct the identical weighted graph from the same
+    * parquet. [[BfsRounds]] synchronous relaxation rounds — per round
+    * ONE edges⋈frontier equi-join + a per-vertex min aggregate, all
+    * integer arithmetic (no quantization anywhere), per-round
+    * localCheckpoint with free-previous. Horizon semantics exactly as
+    * BFS: dist = min path weight over paths of ≤ 8 hops (an uncapped
+    * sweep is a data-dependent round count no static oracle can
+    * replay; production landmark/ETA features cap the same way). At
+    * 100 TB: rounds are O(E) joins partitioned by vertex; the
+    * frontier never materializes more than (id, dist).
+    */
+  q("graph_sssp_weighted", {
+    val head =
+      """WITH RECURSIVE
+        |c AS (SELECT c_custkey AS id, c_nationkey AS nk,
+        |             row_number() OVER (PARTITION BY c_nationkey
+        |               ORDER BY c_custkey) - 1 AS rk
+        |      FROM customer),
+        |blk AS (SELECT id, nk, rk // 6 AS b FROM c),
+        |intra AS (
+        |  SELECT x.id AS a, y.id AS b FROM blk x
+        |  JOIN blk y ON y.nk = x.nk AND y.b = x.b AND y.id > x.id),
+        |heads AS (SELECT nk, b, min(id) AS hid, max(id) AS tid
+        |          FROM blk GROUP BY nk, b),
+        |inter AS (
+        |  SELECT h1.tid AS a, h2.hid AS b FROM heads h1
+        |  JOIN heads h2 ON h2.nk = h1.nk AND h2.b = h1.b + 1),
+        |e AS (SELECT a, b FROM intra UNION ALL SELECT a, b FROM inter),
+        |sym AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst, (a + b) % 7 + 1 AS w FROM e
+        |  UNION ALL
+        |  SELECT b AS src, a AS dst, (a + b) % 7 + 1 AS w FROM e),
+        |seeds AS (SELECT min(id) AS id FROM blk GROUP BY nk)""".stripMargin
+    head +
+      s""",
+         |reach(id, dist, k) AS (
+         |  SELECT id, CAST(0 AS BIGINT) AS dist, 0 AS k FROM seeds
+         |  UNION
+         |  SELECT s.dst AS id, r.dist + s.w AS dist, r.k + 1 AS k
+         |  FROM reach r JOIN sym s ON s.src = r.id WHERE r.k < $BfsRounds
+         |)
+         |SELECT id, CAST(min(dist) AS BIGINT) AS dist
+         |FROM reach GROUP BY id ORDER BY id""".stripMargin
+  }) { (s, d) =>
+    val rc = new RoundCheckpoints(s.sparkContext)
+    val sym = rc.pin("wsym", pinnedSym(rc, blockEdges(s, d))
+      .withColumn("w", (col("src") + col("dst")) % 7 + 1))
+    var lab = nationSeeds(s, d).select(col("id"), lit(0L).as("dist"))
+    for (_ <- 1 to BfsRounds) {
+      val prop = sym
+        .join(lab.select(col("id").as("src"), col("dist")), Seq("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      lab = rc.cycle("sssp", lab.unionByName(prop)
+        .groupBy("id").agg(min("dist").as("dist")))
+    }
+    Seq("sym", "wsym").foreach(rc.release)
+    lab.select(col("id"), col("dist").cast("long").as("dist"))
+      .orderBy("id") // one row per reached vertex = input-sized
+  }
+
+  /** Strongly connected components on a DIRECTED graph (SPEC: SCC =
+    * mutual-reachability equivalence classes; evaluated — like every
+    * iterative row here — over the [[BfsRounds]]-hop horizon, which on
+    * this graph IS exact: the construction's longest cycle is the
+    * 6-vertex block ring, under the 8-hop cap). The directed test
+    * graph: within each block id→successor plus tail→head (a 6-cycle
+    * per block — the SCCs), and head→next-block-head one-way (a DAG
+    * between blocks — the part [[graph_connected_components]] cannot
+    * see: CC merges the whole chain, SCC keeps blocks separate).
+    * Plan: the PAIR-FRAME reach expansion — frontier (origin, v)
+    * starts at (v, v), each round extends by one edge and dedups;
+    * out-degree ≤ 2 bounds the frame at n·O(2^h)→n·~20 actual rows.
+    * scc_id(v) = min{u : v⇝u ∧ u⇝v} via ONE self-join of the reach
+    * frame against its transpose; sizes from one group count. All
+    * integer, no quantization. At 100 TB the horizon is the knob: a
+    * longer-cycle graph needs the FW-BW/coloring decomposition
+    * (Orzan 2004) — this row pins the bounded-horizon contract that
+    * landmark pipelines run, exactly as graph_bfs_distance does for
+    * distances.
+    */
+  q("graph_scc", {
+    val head =
+      """WITH RECURSIVE
+        |c AS (SELECT c_custkey AS id, c_nationkey AS nk,
+        |             row_number() OVER (PARTITION BY c_nationkey
+        |               ORDER BY c_custkey) - 1 AS rk
+        |      FROM customer),
+        |blk AS (SELECT id, nk, rk // 6 AS b FROM c),
+        |nxt AS (SELECT id, lead(id) OVER (PARTITION BY nk, b ORDER BY id) AS n
+        |        FROM blk),
+        |e1 AS (SELECT id AS src, n AS dst FROM nxt WHERE n IS NOT NULL),
+        |heads AS (SELECT nk, b, min(id) AS hid, max(id) AS tid
+        |          FROM blk GROUP BY nk, b),
+        |cyc AS (SELECT tid AS src, hid AS dst FROM heads WHERE tid <> hid),
+        |link AS (SELECT h1.hid AS src, h2.hid AS dst FROM heads h1
+        |         JOIN heads h2 ON h2.nk = h1.nk AND h2.b = h1.b + 1),
+        |e AS MATERIALIZED (
+        |  SELECT src, dst FROM e1 UNION ALL SELECT src, dst FROM cyc
+        |  UNION ALL SELECT src, dst FROM link)""".stripMargin
+    head +
+      s""",
+         |reach(o, v, k) AS (
+         |  SELECT id AS o, id AS v, 0 AS k FROM blk
+         |  UNION
+         |  SELECT r.o, e.dst AS v, r.k + 1 AS k
+         |  FROM reach r JOIN e ON e.src = r.v WHERE r.k < $BfsRounds
+         |),
+         |rs AS (SELECT DISTINCT o, v FROM reach),
+         |scc AS (SELECT r1.o AS id, min(r1.v) AS scc_id
+         |        FROM rs r1 JOIN rs r2 ON r2.o = r1.v AND r2.v = r1.o
+         |        GROUP BY r1.o),
+         |sz AS (SELECT scc_id, count(*) AS scc_size FROM scc GROUP BY scc_id)
+         |SELECT scc.id, CAST(scc.scc_id AS BIGINT) AS scc_id,
+         |       CAST(sz.scc_size AS BIGINT) AS scc_size
+         |FROM scc JOIN sz USING (scc_id) ORDER BY id""".stripMargin
+  }) { (s, d) =>
+    val rc = new RoundCheckpoints(s.sparkContext)
+    val w = Window.partitionBy("nk", "b").orderBy("id")
+    val blk = T(s, d, "customer")
+      .select(col("c_custkey").as("id"), col("c_nationkey").as("nk"))
+      .withColumn("rk", row_number().over(Window.partitionBy("nk").orderBy("id")) - 1)
+      .withColumn("b", (col("rk") / 6).cast("long"))
+    val e1 = blk.withColumn("n", lead("id", 1).over(w))
+      .filter(col("n").isNotNull)
+      .select(col("id").as("src"), col("n").as("dst"))
+    val heads = blk.groupBy("nk", "b")
+      .agg(min("id").as("hid"), max("id").as("tid"))
+    val cyc = heads.filter(col("tid") =!= col("hid"))
+      .select(col("tid").as("src"), col("hid").as("dst"))
+    val link = heads.as("h1").join(heads.as("h2"),
+        col("h2.nk") === col("h1.nk") && col("h2.b") === col("h1.b") + 1)
+      .select(col("h1.hid").as("src"), col("h2.hid").as("dst"))
+    val e = rc.pin("edges", e1.unionByName(cyc).unionByName(link))
+    var reach = rc.cycle("reach",
+      blk.select(col("id").as("o"), col("id").as("v")))
+    for (_ <- 1 to BfsRounds) {
+      val step = reach
+        .join(e.select(col("src").as("v"), col("dst")), Seq("v"))
+        .select(col("o"), col("dst").as("v"))
+      reach = rc.cycle("reach", reach.unionByName(step).distinct())
+    }
+    rc.release("edges")
+    val scc = reach
+      .join(reach.select(col("v").as("o"), col("o").as("v")), Seq("o", "v"), "left_semi")
+      .groupBy(col("o").as("id")).agg(min("v").as("scc_id"))
+    val sz = scc.groupBy("scc_id").agg(count(lit(1)).as("scc_size"))
+    scc.join(sz, Seq("scc_id"))
+      .select(col("id"), col("scc_id").cast("long").as("scc_id"),
+        col("scc_size").cast("long").as("scc_size"))
+      .orderBy("id") // one row per vertex = input-sized
+  }
 }

@@ -1340,6 +1340,98 @@ object MultimodalOps extends QueryModule {
       .orderBy("doc_id") // one row per audio doc = input-sized
   }
 
+  // -------------------------------------------------------- audio VAD
+
+  final case class AudioVad(doc_id: Long, n_frames: Int, total_energy: Long,
+      n_active: Int, first_active: Int, max_run: Int)
+
+  /** Energy-based voice-activity detection over decoded PCM (SPEC: the
+    * classic frame-energy VAD — ITU-T G.729B's first stage and the
+    * default silence gate in every speech-corpus pipeline: frame the
+    * signal, compare each frame's energy to a per-clip reference,
+    * report the active segments a downstream ASR/captioning stage
+    * would keep). 64-sample non-overlapping frames; energy = Σ s²
+    * EXACT in BIGINT (|s| < 2¹⁵ and 64 terms keep every sum far under
+    * 2⁶³); a frame is active iff energy·n_frames > total_energy — the
+    * strictly-above-mean rule kept in INTEGER cross-multiplied form so
+    * no engine ever divides (the boundary can't ulp-flip). Per clip:
+    * frame count, active count, first active frame and the longest
+    * active run — the segment stats a trim pass needs. Same batched
+    * mapPartitions codec slot as the fingerprint rows: the whole
+    * frame walk happens beside the decode, only the 6-field summary
+    * leaves the task, zero shuffle. The oracle replays energies from
+    * the PCM closed form and re-derives the runs via gaps-and-islands
+    * — a wrong frame boundary, sample width, or threshold tie-rule
+    * reds the hash.
+    */
+  q("mm_audio_vad",
+    """WITH au AS (SELECT doc_id, CAST(400 + doc_id % 200 AS BIGINT) AS n
+      |            FROM documents WHERE doc_id % 3 = 1),
+      |fr AS (SELECT doc_id, n, unnest(generate_series(0, n - 1, 64)) AS p FROM au),
+      |en AS (SELECT doc_id, p // 64 AS f,
+      |              list_sum([((doc_id * 1103515245 + i * 12345) % 65536 - 32768)
+      |                        * ((doc_id * 1103515245 + i * 12345) % 65536 - 32768)
+      |                        FOR i IN range(p, least(p + 64, n))]) AS e
+      |       FROM fr),
+      |t AS (SELECT doc_id, count(*) AS nf, sum(e) AS tot FROM en GROUP BY doc_id),
+      |a AS (SELECT en.doc_id, f, e,
+      |             CASE WHEN e * nf > tot THEN 1 ELSE 0 END AS act
+      |      FROM en JOIN t USING (doc_id)),
+      |g AS (SELECT doc_id, f, act,
+      |             f - row_number() OVER (PARTITION BY doc_id, act ORDER BY f) AS grp
+      |      FROM a),
+      |runs AS (SELECT doc_id, count(*) AS run_len FROM g
+      |         WHERE act = 1 GROUP BY doc_id, grp)
+      |SELECT a.doc_id, CAST(t.nf AS INTEGER) AS n_frames,
+      |       CAST(t.tot AS BIGINT) AS total_energy,
+      |       CAST(sum(a.act) AS INTEGER) AS n_active,
+      |       CAST(coalesce(min(CASE WHEN a.act = 1 THEN a.f END), -1) AS INTEGER)
+      |         AS first_active,
+      |       CAST(coalesce((SELECT max(run_len) FROM runs r
+      |                      WHERE r.doc_id = a.doc_id), 0) AS INTEGER) AS max_run
+      |FROM a JOIN t USING (doc_id)
+      |GROUP BY a.doc_id, t.nf, t.tot ORDER BY a.doc_id""") { (s, d) =>
+    val sess = s
+    import sess.implicits._
+    mediaTable(s, d).filter(col("meta.kind") === "audio")
+      .select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap(_.map { r =>
+          val pcm = MediaCodec.decodeWav(r.payload).samples
+          val len = pcm.length
+          val nf = (len + 63) / 64
+          val energies = new Array[Long](nf)
+          var f = 0
+          while (f < nf) {
+            var e = 0L
+            var i = f * 64
+            val end = math.min(i + 64, len)
+            while (i < end) { e += pcm(i).toLong * pcm(i); i += 1 }
+            energies(f) = e
+            f += 1
+          }
+          val tot = energies.sum
+          var nAct = 0
+          var first = -1
+          var run = 0
+          var maxRun = 0
+          f = 0
+          while (f < nf) {
+            if (energies(f) * nf > tot) {
+              nAct += 1
+              if (first < 0) first = f
+              run += 1
+              if (run > maxRun) maxRun = run
+            } else run = 0
+            f += 1
+          }
+          AudioVad(r.doc_id, nf, tot, nAct, first, maxRun)
+        })
+      }
+      .toDF()
+      .orderBy("doc_id") // one row per audio doc = input-sized
+  }
+
   // ----------------------------------------------------- frame sample
 
   final case class FrameRow(doc_id: Long, frame_idx: Long, mean_luma: Double)

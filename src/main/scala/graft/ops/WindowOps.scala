@@ -900,6 +900,79 @@ object WindowOps extends QueryModule {
       .orderBy("user_id") // one row per user = input-sized
   }
 
+  /** MACD momentum indicator per user (SPEC: Appel's Moving Average
+    * Convergence/Divergence — fast EMA minus slow EMA, plus a signal
+    * EMA of that difference and the histogram their gap forms; THE
+    * standard momentum/crossover feature a quant or anomaly pipeline
+    * derives per series). Smoothing factors are exact binary fractions
+    * (fast α=1/4, slow α=1/16, signal α=1/8 — the dyadic stand-ins for
+    * the classic 12/26/9 periods' 2/(n+1), keeping every fold step an
+    * exact-coefficient IEEE expression): with three accumulators
+    * (e_f, e_s, sig) the update is e_f←¾e_f+¼x, e_s←(15/16)e_s+(1/16)x,
+    * sig←⅞sig+⅛(e_f−e_s) — identical association order both engines,
+    * so the fold is bitwise-equal to the oracle's list_reduce replay
+    * before the safety rounding (the ts_holt discipline, one state
+    * element wider). Same UNBOUNDED-GROUP streaming-fold shape as
+    * [[ts_ewma]]: repartition + spillable sort + O(1)-state
+    * mapPartitions; at 100 TB the per-user state is 3 doubles
+    * regardless of history length.
+    */
+  q("ts_macd",
+    // 3-element DOUBLE[] [e_fast, e_slow, signal] state — the ts_holt
+    // struct-vs-list quirk note applies (list elements all see the
+    // ORIGINAL accumulator, so e_f'/e_s' are textually expanded inside
+    // the signal element; they are the same IEEE values)
+    """WITH f AS (
+      |  SELECT user_id, count(*) AS n,
+      |         list_reduce(list_transform(list(value ORDER BY ts, event_id),
+      |             x -> [CAST(x AS DOUBLE), CAST(x AS DOUBLE), CAST(0.0 AS DOUBLE)]),
+      |           (acc, e) -> [acc[1] * 0.75 + e[1] * 0.25,
+      |                        acc[2] * 0.9375 + e[1] * 0.0625,
+      |                        acc[3] * 0.875
+      |                          + ((acc[1] * 0.75 + e[1] * 0.25)
+      |                             - (acc[2] * 0.9375 + e[1] * 0.0625)) * 0.125]) AS st
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, CAST(n AS INTEGER) AS n,
+      |       round(st[1] - st[2], 6) AS macd,
+      |       round(st[3], 6) AS signal,
+      |       round((st[1] - st[2]) - st[3], 6) AS histogram
+      |FROM f ORDER BY user_id""") { (s, d) =>
+    import s.implicits._
+    T(s, d, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "us", "event_id")
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .mapPartitions { it =>
+        val rows = it.buffered
+        new Iterator[(Long, Int, Double, Double)] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): (Long, Int, Double, Double) = {
+            val (u, v0) = rows.next()
+            var ef = v0
+            var es = v0
+            var sig = 0.0
+            var n = 1
+            while (rows.hasNext && rows.head._1 == u) {
+              val x = rows.next()._2
+              ef = ef * 0.75 + x * 0.25
+              es = es * 0.9375 + x * 0.0625
+              sig = sig * 0.875 + (ef - es) * 0.125
+              n += 1
+            }
+            (u, n, ef - es, sig)
+          }
+        }
+      }
+      .toDF("user_id", "n", "macd", "sig")
+      .select(col("user_id"), col("n"), round(col("macd"), 6).as("macd"),
+        round(col("sig"), 6).as("signal"),
+        round(col("macd") - col("sig"), 6).as("histogram"))
+      .orderBy("user_id") // one row per user = input-sized
+  }
+
   q("ts_holt",
     // state is a 2-element DOUBLE[] [level, trend], NOT a struct: DuckDB
     // evaluates struct-literal fields in a reduce lambda sequentially

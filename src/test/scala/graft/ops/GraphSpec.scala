@@ -689,4 +689,98 @@ class GraphSpec extends AnyFunSuite {
     // the guard is armed-at-scale, not semantics-changing here
     assert(baskets.values.map(_.length).max <= 32)
   }
+
+  /** Directed lead-edge adjacency (src -> n1, src -> n2) used by the
+    * katz test's driver-side replay.
+    */
+  private def directedLeadEdges: Array[(Long, Long)] = {
+    val byNk = customers.groupBy(_._2).map { case (nk, cs) => (nk, cs.map(_._1).sorted) }
+    byNk.values.flatMap { ids =>
+      ids.indices.flatMap { i =>
+        (if (i + 1 < ids.length) Seq((ids(i), ids(i + 1))) else Nil) ++
+          (if (i + 2 < ids.length) Seq((ids(i), ids(i + 2))) else Nil)
+      }
+    }.toArray
+  }
+
+  test("graph_katz_centrality matches a driver-side Jacobi iteration; sinks score above sources") {
+    val edges = directedLeadEdges
+    val verts = customers.map(_._1)
+    var x = verts.map(_ -> 1.0).toMap
+    def grid(v: Double) = math.floor(v * 1e6 + 0.5000005) / 1e6
+    for (_ <- 1 to 4) {
+      val in = edges.groupBy(_._2).view.mapValues(_.map(e => x(e._1)).sum).toMap
+      x = verts.map(v => v -> grid(1.0 + 0.125 * in.getOrElse(v, 0.0))).toMap
+    }
+    val got = graft.SparkEntry.queries("graph_katz_centrality")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == verts.length)
+    verts.foreach(v => assert(math.abs(got(v) - x(v)) < 1e-9,
+      s"katz($v): ${got(v)} != ${x(v)}"))
+    // a chain head has no in-edges -> exactly beta = 1.0; interior
+    // vertices accumulate attenuated walks
+    val heads = customers.groupBy(_._2).values.map(_.map(_._1).min)
+    heads.foreach(h => assert(got(h) == 1.0, s"source $h should sit at beta"))
+    assert(got.values.max > 1.0)
+  }
+
+  test("graph_sssp_weighted: Dijkstra-within-horizon equality; a lighter 2-hop path beats a heavy edge") {
+    val got = graft.SparkEntry.queries("graph_sssp_weighted")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side: horizon-bounded Bellman-Ford on the same weighted graph
+    val byNk = customers.groupBy(_._2).map { case (nk, cs) => (nk, cs.map(_._1).sorted) }
+    val adj = scala.collection.mutable.Map.empty[Long, List[(Long, Long)]].withDefaultValue(Nil)
+    def add(a: Long, b: Long): Unit = {
+      val w = (a + b) % 7 + 1
+      adj(a) = (b, w) :: adj(a); adj(b) = (a, w) :: adj(b)
+    }
+    byNk.values.foreach { ids =>
+      val blocks = ids.grouped(6).toArray
+      blocks.foreach { blk =>
+        for (i <- blk.indices; j <- i + 1 until blk.length) add(blk(i), blk(j))
+      }
+      blocks.sliding(2).foreach {
+        case Array(b1, b2) => add(b1.max, b2.min)
+        case _ =>
+      }
+    }
+    var dist = byNk.values.map(ids => ids.min -> 0L).toMap
+    for (_ <- 1 to 8) {
+      val ext = dist.toSeq.flatMap { case (u, du) => adj(u).map { case (v, w) => v -> (du + w) } }
+      dist = (dist.toSeq ++ ext).groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    }
+    assert(got == dist, s"sssp mismatch: ${got.size} vs ${dist.size} reached")
+    // weighted semantics genuinely differ from hop-BFS: some vertex's
+    // weighted dist exceeds its hop count (a heavy direct edge), and
+    // the min over a clique pair is via w, not hops
+    val bfs = graft.SparkEntry.queries("graph_bfs_distance")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.exists { case (v, dw) => bfs.get(v).exists(dh => dw > dh) },
+      "no vertex has weighted dist > hop dist — weights are not biting")
+  }
+
+  test("graph_scc: blocks are the SCCs — cycle members share a component, the inter-block DAG does not merge") {
+    val got = graft.SparkEntry.queries("graph_scc")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byNk = customers.groupBy(_._2).map { case (nk, cs) => (nk, cs.map(_._1).sorted) }
+    val expect = byNk.values.flatMap { ids =>
+      ids.grouped(6).flatMap { blk =>
+        // a single-vertex tail block has no cycle edge -> singleton SCC
+        val sid = if (blk.length > 1) blk.min else blk.head
+        blk.map(v => v -> (sid, blk.length.toLong))
+      }
+    }.toMap
+    assert(got.length == expect.size)
+    got.foreach { case (v, sid, sz) =>
+      val (esid, esz) = expect(v)
+      assert(sid == esid && sz == esz, s"scc($v): ($sid,$sz) != ($esid,$esz)")
+    }
+    // sanity: more than one SCC per nation (the DAG edges did NOT merge
+    // blocks — the thing plain CC gets wrong on this graph)
+    val perNation = customers.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+    perNation.foreach { case (nk, vs) =>
+      val comps = got.filter(g => vs.contains(g._1)).map(_._2).distinct
+      if (vs.size > 6) assert(comps.length > 1, s"nation $nk collapsed to one SCC")
+    }
+  }
 }

@@ -461,6 +461,36 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getBoolean(3) && r.getBoolean(4), s"band blown on doc $id")
     }
   }
+
+  test("mm_audio_vad: driver replay from the PCM closed form; segment stats consistent") {
+    val rows = SparkEntryAccess.query("mm_audio_vad")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val n = (400 + id % 200).toInt
+      val nf = (n + 63) / 64
+      val energies = (0 until nf).map { f =>
+        (f * 64 until math.min(f * 64 + 64, n)).map { i =>
+          val s = ((id * 1103515245L + i * 12345L) % 65536L) - 32768L
+          s * s
+        }.sum
+      }
+      val tot = energies.sum
+      val act = energies.map(e => e * nf > tot)
+      val runs = act.foldLeft(List.empty[Int]) {
+        case (h :: t, true) => (h + 1) :: t
+        case (acc, true)    => 1 :: acc
+        case (acc, false)   => 0 :: acc
+      }
+      assert(r.getInt(1) == nf, s"doc $id n_frames")
+      assert(r.getLong(2) == tot, s"doc $id total_energy")
+      assert(r.getInt(3) == act.count(identity), s"doc $id n_active")
+      assert(r.getInt(4) == act.indexWhere(identity), s"doc $id first_active")
+      assert(r.getInt(5) == (if (runs.isEmpty) 0 else runs.max), s"doc $id max_run")
+      // the mean threshold is non-degenerate: some frames above, some below
+      assert(r.getInt(3) > 0 && r.getInt(3) < nf, s"doc $id VAD degenerate")
+    }
+  }
 }
 
 /** Test access to the registered query map without duplicating wiring. */

@@ -1427,4 +1427,69 @@ class OpsSemanticsSpec extends AnyFunSuite {
       s"lagged x should explain most of y: rss_u=$rssU rss_r=${r.getDouble(1)}")
     assert(f > 50.0, s"F should be large when x1 is a near-perfect predictor: $f")
   }
+
+  test("dedup_paragraph: crafted boilerplate drops everywhere but its first doc; clean docs round-trip") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // exactly one 10-token line
+    def words(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, words("a", 10) + " " + boiler),      // line 0 unique, line 1 = boiler (first)
+      (2L, boiler + " " + words("c", 10)),      // line 0 = boiler (dup) -> dropped
+      (3L, words("d", 25)),                     // 3 lines, all unique, round-trips
+      (4L, boiler + " " + boiler)               // both lines dup -> empty doc
+    ).toDF("doc_id", "text")
+    val got = CurationOps.dedupParagraphs(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(got(1L) == ((2, 2, words("a", 10) + " " + boiler)))
+    assert(got(2L) == ((2, 1, words("c", 10))))
+    assert(got(3L) == ((3, 3, words("d", 25))))
+    assert(got(4L) == ((2, 0, "")))
+    // doc 4's SECOND boiler line also dropped: the keeper is the global
+    // minimum (doc 1, idx 1), not one-per-doc
+  }
+
+  test("ts_macd: constant series gives zero macd/signal; a step move drives macd positive before signal") {
+    import spark.implicits._
+    def mk(vals: Seq[Double]) = vals.zipWithIndex.map { case (v, i) =>
+      (9L, new java.sql.Timestamp(1700000000000L + i * 1000L), i.toLong, v)
+    }.toDF("user_id", "ts", "event_id", "value")
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      // replay the registered fold driver-side
+      val vals = df.orderBy("ts", "event_id").select("value").collect().map(_.getDouble(0))
+      var ef = vals.head; var es = vals.head; var sig = 0.0
+      vals.tail.foreach { x =>
+        ef = ef * 0.75 + x * 0.25
+        es = es * 0.9375 + x * 0.0625
+        sig = sig * 0.875 + (ef - es) * 0.125
+      }
+      (ef - es, sig)
+    }
+    val const = mk(Seq.fill(20)(5.0))
+    val (m0, s0) = run(const)
+    assert(m0 == 0.0 && s0 == 0.0)
+    // step up at t=10: fast EMA reacts before slow -> macd > signal > 0
+    val step = mk(Seq.fill(10)(5.0) ++ Seq.fill(5)(50.0))
+    val (m1, s1) = run(step)
+    assert(m1 > 0 && s1 > 0 && m1 > s1, s"step should open a positive histogram: $m1 vs $s1")
+    // the registered row on real data agrees with the driver fold per user
+    val got = SparkEntry.queries("ts_macd")(spark, dir).collect()
+    val ev = T(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byUser = ev.groupBy(_._1).view
+      .mapValues(_.sortBy(x => (x._2, x._3)).map(_._4).toSeq).toMap
+    got.foreach { r =>
+      val vals = byUser(r.getLong(0))
+      var ef = vals.head; var es = vals.head; var sig = 0.0
+      vals.tail.foreach { x =>
+        ef = ef * 0.75 + x * 0.25
+        es = es * 0.9375 + x * 0.0625
+        sig = sig * 0.875 + (ef - es) * 0.125
+      }
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getInt(1) == vals.length)
+      assert(math.abs(r.getDouble(2) - r6(ef - es)) < 1e-9, s"user ${r.getLong(0)} macd")
+      assert(math.abs(r.getDouble(3) - r6(sig)) < 1e-9, s"user ${r.getLong(0)} signal")
+    }
+  }
 }

@@ -989,4 +989,44 @@ class PlanInvariantsSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       s"Brandes passes must stay vertex-keyed equi-joins:\n$p")
   }
+
+  test("dedup_paragraph: keeper min combines map-side; no window over the line key") {
+    val p = plan(graft.SparkEntry.queries("dedup_paragraph")(spark, d))
+    // the hot-boilerplate skew defense: the keeper is a partial-agg min,
+    // NOT a row_number window partitioned by line (which would funnel a
+    // 10^9-occurrence line through one task)
+    assert(!p.contains("Window"), s"keeper rule must be an aggregate, not a window:\n$p")
+    assert("partial_min|min#".r.findFirstIn(p).isDefined || p.contains("partial"),
+      s"keeper min must partial-combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("mm_audio_vad is map-only: the frame walk never shuffles PCM") {
+    val p = plan(graft.SparkEntry.queries("mm_audio_vad")(spark, d))
+    assert(!p.contains("Join"), s"VAD must not join:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"VAD must be embarrassingly parallel:\n$p")
+  }
+
+  test("graph_katz/sssp/scc: equi-joins only, never cartesian") {
+    for (key <- Seq("graph_katz_centrality", "graph_sssp_weighted", "graph_scc")) {
+      val p = plan(graft.SparkEntry.queries(key)(spark, d))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$key rounds must stay vertex-keyed equi-joins:\n$p")
+    }
+  }
+
+  test("ts_macd rides the ewma streaming-fold shape: one user exchange, spillable sort, no window") {
+    val p = plan(graft.SparkEntry.queries("ts_macd")(spark, d))
+    assert(p.contains("MapPartitions"), s"fold must be the O(1)-state mapPartitions:\n$p")
+    // "Window" alone would match the WindowOps lambda class name —
+    // match the physical operator's frame spec (the ts_ewma device)
+    assert(!p.contains("windowspecdefinition"),
+      s"no window machinery in the fold path:\n$p")
+    assert(!p.contains("collect_list"),
+      s"no per-group sequence materialization allowed:\n$p")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"exactly one user-keyed exchange:\n$p")
+  }
 }

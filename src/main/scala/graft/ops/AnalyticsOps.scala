@@ -1420,4 +1420,216 @@ object AnalyticsOps extends QueryModule {
       round((col("cy2") * col("c11") - col("cy1") * col("c12")) / det, 6).as("beta_xlag"),
       round((rssR - rssU) / nullif(rssU / (col("n") - 3), lit(0.0)), 4).as("f_stat"))
   }
+
+  // ------------------------------------------------------------------
+  // Classifier-evaluation family: the metrics a curation stack runs on
+  // its quality classifier before trusting it to gate a corpus. The
+  // "classifier" under evaluation is the registered
+  // [[pipeline_quality_logistic]] linear gate (exact integer-feature
+  // logit, bit-identical on both engines); the weak label is lang='en'
+  // (the fastText-style proxy task: does surface quality predict the
+  // headline language slice). Scores and labels are therefore fully
+  // deterministic — the eval rows exercise the METRIC machinery, which
+  // is what must scale and stay exact.
+  // ------------------------------------------------------------------
+
+  /** (doc_id, y∈{0,1}, s) — the logit of pipeline_quality_logistic and
+    * the lang='en' weak label. Exact integer arithmetic throughout: t
+    * and ch are integers, so s is ONE fixed IEEE expression both
+    * engines evaluate bit-identically — every eval row can group,
+    * rank, and threshold on it with zero cross-engine ambiguity.
+    */
+  private def scoredDocs(s: SparkSession, d: String): DataFrame = {
+    val f = T(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).as("t"),
+        length(col("text")).as("ch"))
+    val mwl = (col("ch") - col("t") + 1) * lit(1.0) / col("t")
+    f.select(col("doc_id"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+      (lit(-2.0) + lit(0.015) * col("t") + lit(0.45) * mwl).as("s"))
+  }
+
+  /** Per-distinct-score confusion mass: (s, pos, neg, n) — the grouped
+    * frame all three threshold-sweep metrics run on. Two-phase agg
+    * keyed on the score (map-side partials), output bounded by the
+    * distinct-score count.
+    */
+  private def scoreGroups(docs: DataFrame): DataFrame =
+    docs.groupBy("s").agg(
+      sum("y").cast("long").as("pos"),
+      (count(lit(1)) - sum("y")).cast("long").as("neg"),
+      count(lit(1)).cast("long").as("n"))
+
+  private val evalFG =
+    """f AS (
+      |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+      |         CAST(-2.0 AS DOUBLE) + CAST(0.015 AS DOUBLE) * t
+      |           + CAST(0.45 AS DOUBLE) * ((ch - t + 1) * 1.0 / t) AS s
+      |  FROM (SELECT doc_id, lang, len(str_split(text, ' ')) AS t,
+      |               length(text) AS ch FROM documents)),
+      |g AS (SELECT s, CAST(sum(y) AS BIGINT) AS pos,
+      |             CAST(count(*) - sum(y) AS BIGINT) AS neg,
+      |             CAST(count(*) AS BIGINT) AS n
+      |      FROM f GROUP BY s)""".stripMargin
+
+  /** ROC AUC by exact pair counting (SPEC: Hanley & McNeil 1982; AUC =
+    * P(s⁺ > s⁻) + ½P(s⁺ = s⁻), the Mann–Whitney U identity — ties get
+    * the standard ½ credit, NOT a tie-break, so the statistic is
+    * order-free). Shape: per-distinct-score confusion mass (two-phase
+    * agg) → [[WindowOps.globalPrefixSums]] over the GROUPED frame for
+    * cum-negatives-below (range-bucket prefix, no single-partition
+    * exchange) → one scalar aggregate. u_stat2 = 2C + T (concordant
+    * pairs doubled + ties) stays exact BIGINT to P·N ≤ 2⁶² — at 100 TB
+    * the prefix machinery runs over distinct scores, not documents.
+    */
+  q("eval_auc_roc",
+    s"""WITH $evalFG,
+      |c AS (SELECT pos, neg,
+      |             CAST(sum(neg) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+      |                  - neg AS BIGINT) AS below
+      |      FROM g),
+      |t AS (SELECT CAST(sum(pos) AS BIGINT) AS p,
+      |             CAST(sum(neg) AS BIGINT) AS nn FROM g),
+      |u AS (SELECT CAST(sum(pos * (2 * below + neg)) AS BIGINT) AS u2 FROM c)
+      |SELECT t.p AS n_pos, t.nn AS n_neg, u.u2 AS u_stat2,
+      |       round(u.u2 / (2.0 * t.p * t.nn), 6) AS auc
+      |FROM t, u""") { (s, d) =>
+    val g = scoreGroups(scoredDocs(s, d))
+    val cum = WindowOps.globalPrefixSums(g, Seq(col("s").asc), Seq("neg"))
+    val u = cum.agg(
+      sum(col("pos") * (lit(2L) * (col("cum_neg") - col("neg")) + col("neg")))
+        .cast("long").as("u_stat2"))
+    val t = g.agg(sum("pos").cast("long").as("n_pos"),
+      sum("neg").cast("long").as("n_neg"))
+    t.crossJoin(broadcast(u))
+      .select(col("n_pos"), col("n_neg"), col("u_stat2"),
+        round(col("u_stat2") / (lit(2.0) * col("n_pos") * col("n_neg")), 6)
+          .as("auc"))
+  }
+
+  /** Average precision / PR-AUC (SPEC: the step-wise AP of TREC /
+    * scikit-learn `average_precision_score` — AP = Σ_k ΔR_k·P@k with
+    * thresholds at distinct scores, the ranking metric that, unlike
+    * ROC AUC, collapses under class imbalance and is therefore the one
+    * curation teams actually gate on). Ties collapse into one
+    * threshold step (order-free, like the AUC row). Each P@k term is
+    * an exact-integer ratio snapped to the dy20 grid before the final
+    * sum (rule 12: grid sums are order-exact; Σterms ≤ P keeps the
+    * 2³³ headroom to ~8G positives). Same grouped-frame + prefix
+    * shape as eval_auc_roc, DESC order.
+    */
+  q("eval_pr_auc",
+    s"""WITH $evalFG,
+      |c AS (SELECT pos,
+      |             CAST(sum(pos) OVER w AS BIGINT) AS cp,
+      |             CAST(sum(n) OVER w AS BIGINT) AS k
+      |      FROM g WINDOW w AS (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)),
+      |t AS (SELECT CAST(sum(pos) AS BIGINT) AS p,
+      |             CAST(sum(n) AS BIGINT) AS nn FROM g),
+      |a AS (SELECT sum(${Grid.dy20Sql("pos * cp * 1.0 / k")}) AS num FROM c)
+      |SELECT t.p AS n_pos, t.nn AS n_docs,
+      |       round(a.num / t.p, 6) AS avg_precision
+      |FROM t, a""") { (s, d) =>
+    val g = scoreGroups(scoredDocs(s, d))
+    val cum = WindowOps.globalPrefixSums(g, Seq(col("s").desc), Seq("pos", "n"))
+    val a = cum.agg(
+      sum(Grid.dy20(col("pos") * col("cum_pos") * lit(1.0) / col("cum_n")))
+        .as("num"))
+    val t = g.agg(sum("pos").cast("long").as("n_pos"),
+      sum("n").cast("long").as("n_docs"))
+    t.crossJoin(broadcast(a))
+      .select(col("n_pos"), col("n_docs"),
+        round(col("num") / col("n_pos"), 6).as("avg_precision"))
+  }
+
+  /** Best-F1 operating point (SPEC: the standard threshold sweep —
+    * evaluate F1 at every distinct score treated as "predict positive
+    * when s ≥ threshold", report the maximizer; how a gate's cutoff is
+    * actually chosen before deployment). Every confusion count derives
+    * from the same DESC prefix sums; F1 = 2·tp/(k+P) is ONE division
+    * of exact integers, so the argmax comparison is identical IEEE on
+    * both engines; ties break to the smallest predicted-positive set.
+    * Top-1 via TakeOrdered over the distinct-score frame — no global
+    * sort materializes.
+    */
+  q("eval_f1_sweep",
+    s"""WITH $evalFG,
+      |c AS (SELECT s,
+      |             CAST(sum(pos) OVER w AS BIGINT) AS cp,
+      |             CAST(sum(n) OVER w AS BIGINT) AS k
+      |      FROM g WINDOW w AS (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)),
+      |t AS (SELECT CAST(sum(pos) AS BIGINT) AS p FROM g)
+      |SELECT round(c.s, 6) AS threshold, c.cp AS tp,
+      |       CAST(c.k - c.cp AS BIGINT) AS fp,
+      |       CAST(t.p - c.cp AS BIGINT) AS fn,
+      |       round(c.cp * 1.0 / c.k, 6) AS prec,
+      |       round(c.cp * 1.0 / t.p, 6) AS rec,
+      |       round(2.0 * c.cp / (c.k + t.p), 6) AS f1
+      |FROM c, t ORDER BY 2.0 * c.cp / (c.k + t.p) DESC, c.k ASC LIMIT 1""") {
+    (s, d) =>
+    val g = scoreGroups(scoredDocs(s, d))
+    val cum = WindowOps.globalPrefixSums(g, Seq(col("s").desc), Seq("pos", "n"))
+    val t = g.agg(sum("pos").cast("long").as("p"))
+    val f1 = lit(2.0) * col("cum_pos") / (col("cum_n") + col("p"))
+    cum.crossJoin(broadcast(t))
+      .orderBy(f1.desc, col("cum_n").asc).limit(1)
+      .select(round(col("s"), 6).as("threshold"), col("cum_pos").as("tp"),
+        (col("cum_n") - col("cum_pos")).as("fp"),
+        (col("p") - col("cum_pos")).as("fn"),
+        round(col("cum_pos") * lit(1.0) / col("cum_n"), 6).as("prec"),
+        round(col("cum_pos") * lit(1.0) / col("p"), 6).as("rec"),
+        round(f1, 6).as("f1"))
+  }
+
+  /** Reliability diagram / calibration bins (SPEC: Naeini 2015 ECE
+    * binning — decile bins of predicted probability, per-bin accuracy
+    * vs mean confidence; the diagnostic run before trusting a gate's
+    * scores as probabilities). Determinism devices: the bin edges are
+    * LOGIT cutpoints ln(b/(10−b)) — Scala-computed doubles embedded as
+    * identical literals in both engines, compared against the exact
+    * logit, so binning never touches libm at eval time; the sigmoid
+    * confidence (the one libm term) snaps to the dy20 grid per doc
+    * before the per-bin mean (rule 12), and the gap derives from the
+    * two ROUND-6 values the hash already pins (the r13 agg_sprt
+    * lesson). Map-only bin assignment + one two-phase 10-group agg.
+    */
+  q("eval_calibration_bins", {
+    val cuts = (1 to 9).map(b => math.log(b / (10.0 - b)))
+    val cases = cuts.zipWithIndex
+      .map { case (c, i) => s"WHEN s < CAST($c AS DOUBLE) THEN $i" }
+      .mkString(" ")
+    s"""WITH f AS (
+      |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+      |         CAST(-2.0 AS DOUBLE) + CAST(0.015 AS DOUBLE) * t
+      |           + CAST(0.45 AS DOUBLE) * ((ch - t + 1) * 1.0 / t) AS s
+      |  FROM (SELECT lang, len(str_split(text, ' ')) AS t,
+      |               length(text) AS ch FROM documents)),
+      |b AS (SELECT CASE $cases ELSE 9 END AS bin, y,
+      |             ${Grid.dy20Sql("1.0 / (1.0 + exp(-s))")} AS p
+      |      FROM f)
+      |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(y) AS BIGINT) AS n_pos,
+      |       round(sum(y) * 1.0 / count(*), 6) AS acc,
+      |       round(sum(p) / count(*), 6) AS conf,
+      |       round(abs(round(sum(y) * 1.0 / count(*), 6)
+      |                 - round(sum(p) / count(*), 6)), 6) AS gap
+      |FROM b GROUP BY bin ORDER BY bin"""
+  }) { (s, d) =>
+    val cuts = (1 to 9).map(b => math.log(b / (10.0 - b)))
+    val bin = cuts.zipWithIndex.tail
+      .foldLeft(when(col("s") < cuts.head, 0)) { case (acc, (c, i)) =>
+        acc.when(col("s") < c, i)
+      }.otherwise(9)
+    val p = Grid.dy20(lit(1.0) / (lit(1.0) + exp(-col("s"))))
+    scoredDocs(s, d)
+      .select(bin.as("bin"), col("y"), p.as("p"))
+      .groupBy("bin")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("y").cast("long").as("n_pos"),
+        round(sum("y") * lit(1.0) / count(lit(1)), 6).as("acc"),
+        round(sum("p") / count(lit(1)), 6).as("conf"))
+      .withColumn("gap", round(abs(col("acc") - col("conf")), 6))
+      .reportSorted("bin")
+  }
 }

@@ -1421,6 +1421,167 @@ object AnalyticsOps extends QueryModule {
       round((rssR - rssU) / nullif(rssU / (col("n") - 3), lit(0.0)), 4).as("f_stat"))
   }
 
+  /** Kruskal–Wallis H (SPEC: Kruskal & Wallis 1952 — the k-group
+    * rank ANOVA: [[agg_anova_oneway]] without the normality
+    * assumption, [[agg_mann_whitney]] generalized past two arms),
+    * tie-corrected. Scale shape is mann_whitney's: collapse to the
+    * distinct-value frame (two-phase agg), ONE
+    * [[WindowOps.globalPrefixSums]] pass for average ranks (no
+    * single-partition window), join the per-(value, group) counts
+    * back on the value key, per-group rank sums, then H on the
+    * k-row frame. Rank sums are exact dyadic halves; ΣR²/n sums k≤5
+    * deterministic doubles under a round-4 output (the anova
+    * precedent — ulp-order effects sit ~10 orders below the grid).
+    */
+  q("agg_kruskal_wallis",
+    """WITH e AS (SELECT event_type, value, event_id FROM events),
+      |r AS (SELECT event_type, avg(rn) OVER (PARTITION BY value) AS ar
+      |      FROM (SELECT event_type, value,
+      |                   row_number() OVER (ORDER BY value, event_id) AS rn FROM e) t),
+      |g AS (SELECT event_type, count(*) AS n_j, sum(ar) AS r_j FROM r GROUP BY event_type),
+      |tt AS (SELECT sum(CAST(c AS DOUBLE) * c * c - c) AS tie3,
+      |              CAST(sum(c) AS BIGINT) AS n
+      |       FROM (SELECT count(*) AS c FROM e GROUP BY value) x),
+      |h AS (SELECT sum(r_j * r_j / n_j) AS s2, CAST(count(*) AS INTEGER) AS k FROM g)
+      |SELECT tt.n AS n, h.k AS k,
+      |       round(12.0 / (tt.n * (tt.n + 1.0)) * h.s2 - 3.0 * (tt.n + 1), 4) AS h_stat,
+      |       round((12.0 / (tt.n * (tt.n + 1.0)) * h.s2 - 3.0 * (tt.n + 1))
+      |             / (1.0 - tt.tie3 /
+      |                (CAST(tt.n AS DOUBLE) * tt.n * tt.n - tt.n)), 4) AS h_tie_corrected
+      |FROM tt, h""") { (s, d) =>
+    val e = T(s, d, "events").select("event_type", "value")
+    val g1 = e.groupBy("value", "event_type").agg(count(lit(1)).as("c"))
+    val g2 = g1.groupBy("value").agg(sum("c").as("nv"))
+    val cum = WindowOps.globalPrefixSums(g2, Seq(col("value").asc), Seq("nv"))
+    val ar = cum.select(col("value"),
+      (col("cum_nv") - col("nv") + (col("nv") + 1) / lit(2.0)).as("ar"))
+    val g = g1.join(ar, "value").groupBy("event_type")
+      .agg(sum("c").as("n_j"), sum(col("c") * col("ar")).as("r_j"))
+    val h = g.agg(sum(col("r_j") * col("r_j") / col("n_j")).as("s2"),
+      count(lit(1)).cast("int").as("k"))
+    val tt = cum.agg(
+      sum(col("nv").cast("double") * col("nv") * col("nv") - col("nv")).as("tie3"),
+      sum("nv").cast("long").as("n"))
+    val n = col("n")
+    val hRaw = lit(12.0) / (n * (n + lit(1.0))) * col("s2") - lit(3.0) * (n + 1)
+    tt.crossJoin(broadcast(h))
+      .select(n.as("n"), col("k"), round(hRaw, 4).as("h_stat"),
+        round(hRaw / (lit(1.0) - col("tie3") /
+          (n.cast("double") * n * n - n)), 4).as("h_tie_corrected"))
+  }
+
+  /** Mann–Kendall trend test on the daily mean value (SPEC: Mann 1945
+    * / Kendall 1975 with the Kendall 1975 tie-corrected variance and
+    * continuity correction — THE nonparametric monotone-trend screen
+    * hydrology/metrics teams run where a linear-regression slope would
+    * assume normal errors; the significance companion of
+    * [[agg_theil_sen]]'s slope). The daily aggregation is what makes a
+    * 100 TB event log a calendar-sized problem: per-day means are
+    * EXACT (dy20-snapped values → order-exact grid sums, one exact
+    * division), S counts sign comparisons of exact doubles over the
+    * |days|² self-join (calendar-bounded like theil_sen), and S/tie
+    * terms stay BIGINT.
+    */
+  q("ts_mann_kendall",
+    s"""WITH dm AS (
+      |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |         sum(${Grid.dy20Sql("value")}) / count(*) AS m
+      |  FROM events GROUP BY 1),
+      |p AS (SELECT CAST(sum(CASE WHEN b.m > a.m THEN 1
+      |                           WHEN b.m < a.m THEN -1 ELSE 0 END) AS BIGINT) AS s
+      |      FROM dm a JOIN dm b ON b.day > a.day),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dm),
+      |t AS (SELECT CAST(coalesce(sum(c * (c - 1) * (2 * c + 5)), 0) AS BIGINT) AS tie
+      |      FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM dm
+      |            GROUP BY m HAVING count(*) > 1) x)
+      |SELECT nn.n AS n_days, p.s AS s_stat,
+      |       round((nn.n * (nn.n - 1) * (2 * nn.n + 5) - t.tie) / 18.0, 4) AS var_s,
+      |       round((CASE WHEN p.s > 0 THEN p.s - 1.0
+      |                   WHEN p.s < 0 THEN p.s + 1.0 ELSE 0.0 END)
+      |             / nullif(sqrt((nn.n * (nn.n - 1) * (2 * nn.n + 5) - t.tie)
+      |                           / 18.0), 0), 4) AS z
+      |FROM nn, p, t""") { (s, d) =>
+    val dm = T(s, d, "events")
+      .groupBy(expr("unix_micros(ts) div 86400000000L").cast("long").as("day"))
+      .agg((sum(Grid.dy20(col("value"))) / count(lit(1))).as("m"))
+      .localCheckpoint()
+    val a = dm.select(col("day").as("da"), col("m").as("ma"))
+    val b = dm.select(col("day").as("db"), col("m").as("mb"))
+    val p = a.join(b, col("db") > col("da"))
+      .agg(sum(when(col("mb") > col("ma"), 1L)
+        .when(col("mb") < col("ma"), -1L).otherwise(0L)).cast("long").as("s_stat"))
+    val nn = dm.agg(count(lit(1)).cast("long").as("n"))
+    val t = dm.groupBy("m").agg(count(lit(1)).cast("long").as("c"))
+      .filter(col("c") > 1)
+      .agg(coalesce(sum(col("c") * (col("c") - 1) * (lit(2L) * col("c") + 5)),
+        lit(0L)).cast("long").as("tie"))
+    val n = col("n")
+    val varS = (n * (n - 1) * (lit(2L) * n + 5) - col("tie")) / lit(18.0)
+    nn.crossJoin(broadcast(p)).crossJoin(broadcast(t))
+      .select(n.as("n_days"), col("s_stat"), round(varS, 4).as("var_s"),
+        round(when(col("s_stat") > 0, col("s_stat") - lit(1.0))
+          .when(col("s_stat") < 0, col("s_stat") + lit(1.0)).otherwise(lit(0.0))
+          / nullif(sqrt(varS), lit(0.0)), 4).as("z"))
+  }
+
+  /** Spearman rank trend of the daily mean value (SPEC: Spearman 1904
+    * ρ between time index and level, tie-handled as Pearson on average
+    * ranks — the bounded-effect-size companion of [[ts_mann_kendall]]:
+    * MK answers "is there a trend", ρ says how close to monotone).
+    * EVERY quantity is exact integer arithmetic: days are unique so
+    * the time rank is the day prefix count; value ranks double to
+    * integers (2·avg-rank = 2·below + t + 1); all five co-moment sums
+    * run in BIGINT on doubled ranks (ρ is scale-invariant), bounded by
+    * n³ ≈ 2⁴² at a 30-year daily calendar. Two globalPrefixSums passes
+    * over calendar-bounded frames + one closed form; ρ and the t
+    * approximation are the only doubles, rounded once.
+    */
+  q("ts_spearman_trend",
+    s"""WITH dm AS (
+      |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |         sum(${Grid.dy20Sql("value")}) / count(*) AS m
+      |  FROM events GROUP BY 1),
+      |r AS (SELECT CAST(row_number() OVER (ORDER BY day) * 2 AS BIGINT) AS rx2,
+      |             CAST(2 * (rank() OVER (ORDER BY m)) - 1
+      |                  + count(*) OVER (PARTITION BY m) AS BIGINT) AS ry2
+      |      FROM dm),
+      |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(rx2) AS BIGINT) AS sx, CAST(sum(ry2) AS BIGINT) AS sy,
+      |             CAST(sum(rx2 * rx2) AS BIGINT) AS sxx,
+      |             CAST(sum(ry2 * ry2) AS BIGINT) AS syy,
+      |             CAST(sum(rx2 * ry2) AS BIGINT) AS sxy
+      |      FROM r)
+      |SELECT n AS n_days,
+      |       round((n * sxy - sx * sy) * 1.0 /
+      |             nullif(sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)), 0), 6) AS rho
+      |FROM c""") { (s, d) =>
+    val dm = T(s, d, "events")
+      .groupBy(expr("unix_micros(ts) div 86400000000L").cast("long").as("day"))
+      .agg((sum(Grid.dy20(col("value"))) / count(lit(1))).as("m"),
+        lit(1L).as("one"))
+      .localCheckpoint()
+    // time rank: days unique, so prefix count over day order IS the rank
+    val rx = WindowOps.globalPrefixSums(dm, Seq(col("day").asc), Seq("one"))
+      .select(col("day"), col("m"), (col("cum_one") * 2).as("rx2"))
+    // value rank: grouped frame + prefix, 2·avg-rank = 2·below + t + 1
+    val gm = dm.groupBy("m").agg(count(lit(1)).as("t"))
+    val ry = WindowOps.globalPrefixSums(gm, Seq(col("m").asc), Seq("t"))
+      .select(col("m").as("mv"),
+        (lit(2L) * (col("cum_t") - col("t")) + col("t") + 1).as("ry2"))
+    val c = rx.join(ry, col("m") === col("mv"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum("rx2").cast("long").as("sx"), sum("ry2").cast("long").as("sy"),
+        sum(col("rx2") * col("rx2")).cast("long").as("sxx"),
+        sum(col("ry2") * col("ry2")).cast("long").as("syy"),
+        sum(col("rx2") * col("ry2")).cast("long").as("sxy"))
+    val n = col("n")
+    c.select(n.as("n_days"),
+      round((n * col("sxy") - col("sx") * col("sy")) * lit(1.0) /
+        nullif(sqrt(((n * col("sxx") - col("sx") * col("sx")) * lit(1.0) *
+          (n * col("syy") - col("sy") * col("sy"))).cast("double")), lit(0.0)),
+        6).as("rho"))
+  }
+
   // ------------------------------------------------------------------
   // Classifier-evaluation family: the metrics a curation stack runs on
   // its quality classifier before trusting it to gate a corpus. The

@@ -415,4 +415,164 @@ class AnalyticsSpec extends AnyFunSuite {
         s"$name: p $p != exp(-x2/2) of x2 $x2")
     }
   }
+
+  // ---- shared driver-side replicas for the rank/eval rows ----------
+
+  /** (value → average rank) over the full slice, textbook tie handling. */
+  private def avgRanks(vals: Array[Double]): Map[Double, Double] = {
+    val sorted = vals.sorted
+    sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, g) => v -> (g.map(_._2 + 1).sum.toDouble / g.length) }
+  }
+
+  test("agg_kruskal_wallis matches a driver-side average-rank recomputation") {
+    val rows = T(spark, dir, "events").select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val ar = avgRanks(rows.map(_._2))
+    val n = rows.length.toDouble
+    val byType = rows.groupBy(_._1)
+    val s2 = byType.values.map { g =>
+      val rj = g.map(r => ar(r._2)).sum
+      rj * rj / g.length
+    }.sum
+    val h = 12.0 / (n * (n + 1)) * s2 - 3.0 * (n + 1)
+    val tie3 = rows.groupBy(_._2).values.map(_.length.toDouble)
+      .map(c => c * c * c - c).sum
+    val hc = h / (1.0 - tie3 / (n * n * n - n))
+
+    val got = SparkEntry.queries("agg_kruskal_wallis")(spark, dir).collect()(0)
+    assert(got.getLong(0) == rows.length && got.getInt(1) == byType.size)
+    assert(math.abs(got.getDouble(2) - round(h, 4)) < 1e-8)
+    assert(math.abs(got.getDouble(3) - round(hc, 4)) < 1e-8)
+  }
+
+  /** Daily dy20-mean series — the shared input of the two trend rows. */
+  private def dailyMeans(): Array[(Long, Double)] =
+    T(spark, dir, "events").select(col("ts"), col("value")).collect()
+      .map { r =>
+        val i = r.getTimestamp(0).toInstant
+        val us = i.getEpochSecond * 1000000L + i.getNano / 1000L
+        (us / 86400000000L, Grid.dy20D(r.getDouble(1)))
+      }
+      .groupBy(_._1).map { case (d, g) => (d, g.map(_._2).sum / g.length) }
+      .toArray.sortBy(_._1)
+
+  test("ts_mann_kendall matches a driver-side pairwise-sign recomputation") {
+    val dm = dailyMeans()
+    val n = dm.length.toLong
+    var s = 0L
+    for (i <- dm.indices; j <- (i + 1) until dm.length)
+      s += java.lang.Double.compare(dm(j)._2, dm(i)._2).sign
+    val tie = dm.groupBy(_._2).values.map(_.length.toLong).filter(_ > 1)
+      .map(c => c * (c - 1) * (2 * c + 5)).sum
+    val varS = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+    val z = (if (s > 0) s - 1.0 else if (s < 0) s + 1.0 else 0.0) / math.sqrt(varS)
+
+    val got = SparkEntry.queries("ts_mann_kendall")(spark, dir).collect()(0)
+    assert(got.getLong(0) == n && got.getLong(1) == s)
+    assert(math.abs(got.getDouble(2) - round(varS, 4)) < 1e-8)
+    assert(math.abs(got.getDouble(3) - round(z, 4)) < 1e-8)
+  }
+
+  test("ts_spearman_trend matches driver Pearson-on-ranks and sits in [-1,1]") {
+    val dm = dailyMeans()
+    val n = dm.length
+    val rankM = avgRanks(dm.map(_._2))
+    // days ascending: time rank is just the index
+    val rx = dm.indices.map(_ + 1.0)
+    val ry = dm.map(t => rankM(t._2))
+    val (mx, my) = (rx.sum / n, ry.sum / n)
+    val num = rx.zip(ry).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val den = math.sqrt(rx.map(a => (a - mx) * (a - mx)).sum *
+      ry.map(b => (b - my) * (b - my)).sum)
+    val rho = num / den
+
+    val got = SparkEntry.queries("ts_spearman_trend")(spark, dir).collect()(0)
+    assert(got.getLong(0) == n.toLong)
+    assert(math.abs(got.getDouble(1) - round(rho, 6)) < 1e-8)
+    assert(got.getDouble(1) >= -1.0 - 1e-9 && got.getDouble(1) <= 1.0 + 1e-9)
+  }
+
+  /** Driver replica of the scored/labeled corpus the eval rows run on. */
+  private def scored(): Array[(Int, Double)] =
+    T(spark, dir, "documents").select("lang", "text").collect().map { r =>
+      val t = r.getString(1).split(" ", -1).length
+      val ch = r.getString(1).length
+      val s = -2.0 + 0.015 * t + 0.45 * ((ch - t + 1) * 1.0 / t)
+      (if (r.getString(0) == "en") 1 else 0, s)
+    }
+
+  test("eval_auc_roc matches brute-force pair counting with half tie credit") {
+    val xs = scored()
+    val pos = xs.filter(_._1 == 1).map(_._2)
+    val neg = xs.filter(_._1 == 0).map(_._2)
+    var u2 = 0L
+    for (p <- pos; q <- neg)
+      u2 += (if (p > q) 2L else if (p == q) 1L else 0L)
+    val auc = u2 / (2.0 * pos.length * neg.length)
+
+    val got = SparkEntry.queries("eval_auc_roc")(spark, dir).collect()(0)
+    assert(got.getLong(0) == pos.length && got.getLong(1) == neg.length)
+    assert(got.getLong(2) == u2)
+    assert(math.abs(got.getDouble(3) - round(auc, 6)) < 1e-9)
+  }
+
+  test("eval_pr_auc matches the step-wise AP over distinct-score thresholds") {
+    val xs = scored()
+    val p = xs.count(_._1 == 1)
+    val groups = xs.groupBy(_._2).toArray.sortBy(-_._1)
+    var (cp, k, ap) = (0L, 0L, 0.0)
+    for ((_, g) <- groups) {
+      cp += g.count(_._1 == 1); k += g.length
+      ap += Grid.dy20D(g.count(_._1 == 1) * cp * 1.0 / k)
+    }
+    val got = SparkEntry.queries("eval_pr_auc")(spark, dir).collect()(0)
+    assert(got.getLong(0) == p && got.getLong(1) == xs.length)
+    assert(math.abs(got.getDouble(2) - round(ap / p, 6)) < 1e-9)
+    // AP can never undercut the positive base rate's precision floor at k=N
+    assert(got.getDouble(2) >= round(Grid.dy20D(p * 1.0 / xs.length), 6) / p - 1e-9)
+  }
+
+  test("eval_f1_sweep reports the true F1 maximizer over all thresholds") {
+    val xs = scored()
+    val p = xs.count(_._1 == 1)
+    val groups = xs.groupBy(_._2).toArray.sortBy(-_._1)
+    var (cp, k) = (0L, 0L)
+    val cands = groups.map { case (s, g) =>
+      cp += g.count(_._1 == 1); k += g.length
+      (s, cp, k, 2.0 * cp / (k + p))
+    }
+    val best = cands.maxBy(c => (c._4, -c._3))
+    val got = SparkEntry.queries("eval_f1_sweep")(spark, dir).collect()(0)
+    assert(math.abs(got.getDouble(0) - round(best._1, 6)) < 1e-9)
+    assert(got.getLong(1) == best._2)                       // tp
+    assert(got.getLong(2) == best._3 - best._2)             // fp
+    assert(got.getLong(3) == p - best._2)                   // fn
+    assert(math.abs(got.getDouble(6) - round(best._4, 6)) < 1e-9)
+    // every other threshold's F1 is <= the reported one
+    cands.foreach(c => assert(c._4 <= best._4 + 1e-12))
+  }
+
+  test("eval_calibration_bins recomputes per-bin accuracy/confidence and gap") {
+    val cuts = (1 to 9).map(b => math.log(b / (10.0 - b)))
+    val xs = scored().map { case (y, s) =>
+      val bin = cuts.indexWhere(s < _) match { case -1 => 9; case i => i }
+      (bin, y, Grid.dy20D(1.0 / (1.0 + math.exp(-s))))
+    }
+    val got = SparkEntry.queries("eval_calibration_bins")(spark, dir).collect()
+    val byBin = xs.groupBy(_._1)
+    assert(got.map(_.getInt(0)).toSet == byBin.keySet)
+    got.foreach { r =>
+      val g = byBin(r.getInt(0))
+      val acc = round(g.map(_._2).sum * 1.0 / g.length, 6)
+      val conf = round(g.map(_._3).sum / g.length, 6)
+      assert(r.getLong(1) == g.length && r.getLong(2) == g.map(_._2).sum)
+      assert(math.abs(r.getDouble(3) - acc) < 1e-9)
+      assert(math.abs(r.getDouble(4) - conf) < 1e-9)
+      assert(math.abs(r.getDouble(5) - round(math.abs(acc - conf), 6)) < 1e-9)
+      // bin's mean confidence really lives inside the bin's probability decile
+      val lo = r.getInt(0) / 10.0; val hi = lo + 0.1
+      assert(r.getDouble(4) >= lo - 1e-6 && r.getDouble(4) <= hi + 1e-6)
+    }
+  }
 }

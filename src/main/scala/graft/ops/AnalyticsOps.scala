@@ -1524,6 +1524,76 @@ object AnalyticsOps extends QueryModule {
           / nullif(sqrt(varS), lit(0.0)), 4).as("z"))
   }
 
+  /** SAX symbolization of the per-type daily series (SPEC: Lin,
+    * Keogh, Lonardi & Chiu 2003 — Piecewise Aggregate Approximation
+    * to w=8 segments, then a 4-letter alphabet; THE time-series
+    * indexing/motif primitive). Breakpoints are a deterministic
+    * RANGE-SCALED variant of the Gaussian table: {μ−Δ/8, μ, μ+Δ/8}
+    * with Δ = max−min — every breakpoint is exact arithmetic on
+    * exact inputs, so a symbol can never ulp-flip across engines
+    * (the N(0,1) z-normalization would put libm sqrt under a
+    * DISCRETE output). Exactness chain: values snap to dy20 → daily
+    * grid sums exact → the daily mean re-snaps to the grid → segment
+    * sums and the global μ/min/max are order-free → PAA and every
+    * comparison is identical IEEE. The daily aggregation bounds the
+    * rest at calendar size; the per-type window partitions are
+    * ≤|days| rows each.
+    */
+  q("ts_sax",
+    s"""WITH dm AS (
+      |  SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |         ${Grid.dy20Sql(s"sum(${Grid.dy20Sql("value")}) / count(*)")} AS m
+      |  FROM events GROUP BY 1, 2),
+      |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+      |              sum(m) / count(*) AS mu, min(m) AS mn, max(m) AS mx
+      |       FROM dm GROUP BY 1),
+      |r AS (SELECT event_type, m,
+      |             row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS i
+      |      FROM dm),
+      |seg AS (SELECT r.event_type, (r.i * 8) // st.nd AS sg,
+      |               sum(r.m) / count(*) AS paa
+      |        FROM r JOIN st ON r.event_type = st.event_type
+      |        GROUP BY 1, 2),
+      |sym AS (SELECT seg.event_type, seg.sg, round(seg.paa, 6) AS paa6,
+      |               CASE WHEN seg.paa < st.mu - (st.mx - st.mn) / 8.0 THEN 'a'
+      |                    WHEN seg.paa < st.mu THEN 'b'
+      |                    WHEN seg.paa < st.mu + (st.mx - st.mn) / 8.0 THEN 'c'
+      |                    ELSE 'd' END AS c
+      |        FROM seg JOIN st ON seg.event_type = st.event_type)
+      |SELECT event_type, string_agg(c, '' ORDER BY sg) AS sax_word,
+      |       CAST(count(*) AS INTEGER) AS n_segments,
+      |       round(sum(paa6), 6) AS paa_sum
+      |FROM sym GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+    val dm = T(s, d, "events")
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000L").cast("long").as("day"))
+      .agg(Grid.dy20(sum(Grid.dy20(col("value"))) / count(lit(1))).as("m"))
+      .localCheckpoint()
+    val st = dm.groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("nd"),
+        (sum("m") / count(lit(1))).as("mu"), min("m").as("mn"), max("m").as("mx"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val r = dm.withColumn("i", row_number().over(w) - 1)
+    val seg = r.join(broadcast(st.select(col("event_type").as("et"), col("nd"))),
+        col("event_type") === col("et"))
+      .groupBy(col("event_type"), expr("cast((i * 8) div nd as bigint)").as("sg"))
+      .agg((sum("m") / count(lit(1))).as("paa"))
+    val delta8 = (col("mx") - col("mn")) / lit(8.0)
+    val sym = seg.join(broadcast(st.select(col("event_type").as("et2"),
+        col("mu"), col("mn"), col("mx"))), col("event_type") === col("et2"))
+      .select(col("event_type"), col("sg"), round(col("paa"), 6).as("paa6"),
+        when(col("paa") < col("mu") - delta8, "a")
+          .when(col("paa") < col("mu"), "b")
+          .when(col("paa") < col("mu") + delta8, "c")
+          .otherwise("d").as("c"))
+    sym.groupBy("event_type")
+      .agg(concat_ws("", sort_array(collect_list(struct(col("sg"), col("c"))))
+          .getField("c")).as("sax_word"),
+        count(lit(1)).cast("int").as("n_segments"),
+        round(sum("paa6"), 6).as("paa_sum"))
+      .reportSorted("event_type")
+  }
+
   /** Spearman rank trend of the daily mean value (SPEC: Spearman 1904
     * ρ between time index and level, tie-handled as Pearson on average
     * ranks — the bounded-effect-size companion of [[ts_mann_kendall]]:

@@ -3158,6 +3158,72 @@ object LlmOps extends QueryModule {
       .orderBy("doc_id") // one row per doc = input-sized
   }
 
+  /** Fill-in-the-middle transform (SPEC: Bavarian et al. 2022 "FIM" —
+    * split each training document at two points and emit the
+    * PSM-format <PRE>prefix<SUF>suffix<MID>middle string, teaching an
+    * autoregressive model to infill; applied at the paper's 50% rate,
+    * the rest pass through verbatim). Selection AND both cut points
+    * come from the contentBucket polynomial (the span-corruption
+    * device: pure pre-reduced integer arithmetic both engines compute
+    * identically — FIM's RNG cuts would be unreproducible across
+    * engines and re-ingestions; multipliers keep every intermediate
+    * ≤ 10¹⁷, inside DuckDB's checked-BIGINT range). The middle may be
+    * legitimately empty when the cuts coincide — the paper keeps those
+    * as trivial infill examples. Pure per-row array slicing inside
+    * whole-stage codegen: NO explode, NO shuffle — a map-only corpus
+    * pass at any scale (the output sort is the only, input-sized,
+    * exchange).
+    */
+  q("pipeline_fim",
+    """WITH tk AS (SELECT doc_id, str_split(text, ' ') AS tok,
+      |             len(str_split(text, ' ')) AS n,
+      |             (doc_id % 1000000007) % 2 = 0 AS sel FROM documents),
+      |c AS (SELECT *,
+      |        CAST(((doc_id % 1000000007) * 1000003 % 1000000007) % n AS BIGINT) AS c1,
+      |        CAST(((doc_id % 1000000007) * 73856093 % 1000000007) % n AS BIGINT) AS c2
+      |      FROM tk)
+      |SELECT doc_id,
+      |       CASE WHEN sel THEN 'psm' ELSE 'plain' END AS mode,
+      |       CAST(n AS INTEGER) AS n_tokens,
+      |       CAST(CASE WHEN sel THEN least(c1, c2) END AS INTEGER) AS cut_lo,
+      |       CAST(CASE WHEN sel THEN greatest(c1, c2) END AS INTEGER) AS cut_hi,
+      |       CASE WHEN NOT sel THEN array_to_string(tok, ' ')
+      |            ELSE '<PRE> ' ||
+      |                 coalesce(array_to_string(tok[1:least(c1, c2)], ' '), '') ||
+      |                 ' <SUF> ' ||
+      |                 coalesce(array_to_string(tok[greatest(c1, c2) + 1:n], ' '), '') ||
+      |                 ' <MID> ' ||
+      |                 coalesce(array_to_string(
+      |                   tok[least(c1, c2) + 1:greatest(c1, c2)], ' '), '')
+      |       END AS text_out
+      |FROM c ORDER BY doc_id""") { (s, d) =>
+    T(s, d, "documents")
+      .withColumn("tok", split(col("text"), " "))
+      .withColumn("n", size(col("tok")))
+      .withColumn("sel", (col("doc_id") % 1000000007L) % 2 === 0)
+      .withColumn("c1",
+        expr("(doc_id % 1000000007L) * 1000003L % 1000000007L % n"))
+      .withColumn("c2",
+        expr("(doc_id % 1000000007L) * 73856093L % 1000000007L % n"))
+      .withColumn("lo", least(col("c1"), col("c2")))
+      .withColumn("hi", greatest(col("c1"), col("c2")))
+      .select(col("doc_id"),
+        when(col("sel"), "psm").otherwise("plain").as("mode"),
+        col("n").cast("int").as("n_tokens"),
+        when(col("sel"), col("lo")).cast("int").as("cut_lo"),
+        when(col("sel"), col("hi")).cast("int").as("cut_hi"),
+        when(!col("sel"), concat_ws(" ", col("tok")))
+          .otherwise(concat(
+            lit("<PRE> "),
+            concat_ws(" ", expr("slice(tok, 1, cast(lo as int))")),
+            lit(" <SUF> "),
+            concat_ws(" ", expr("slice(tok, cast(hi as int) + 1, cast(n - hi as int))")),
+            lit(" <MID> "),
+            concat_ws(" ", expr("slice(tok, cast(lo as int) + 1, cast(hi - lo as int))"))))
+          .as("text_out"))
+      .orderBy("doc_id") // one row per doc = input-sized
+  }
+
   /** Benchmark decontamination: drop training documents sharing ANY
     * 8-token n-gram with the held-out eval slice (doc_id % 97 == 0
     * stands in for the benchmark set; in production it's a separate

@@ -1492,4 +1492,72 @@ class OpsSemanticsSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(3) - r6(sig)) < 1e-9, s"user ${r.getLong(0)} signal")
     }
   }
+
+  test("pipeline_fim: PSM segments reassemble every selected doc; plain docs pass through") {
+    val orig = T(spark, dir, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = SparkEntry.queries("pipeline_fim")(spark, dir).collect()
+    assert(rows.length == orig.size)
+    var psm = 0
+    rows.foreach { r =>
+      val (id, mode, n, out) = (r.getLong(0), r.getString(1), r.getInt(2), r.getString(5))
+      val toks = orig(id).split(" ", -1)
+      assert(n == toks.length, s"doc $id n_tokens")
+      if (mode == "plain") {
+        assert(r.isNullAt(3) && r.isNullAt(4), s"doc $id: plain has no cuts")
+        assert(out == orig(id), s"doc $id pass-through")
+      } else {
+        psm += 1
+        val (lo, hi) = (r.getInt(3), r.getInt(4))
+        assert(lo >= 0 && lo <= hi && hi < n, s"doc $id cut bounds")
+        // parse "<PRE> p <SUF> s <MID> m" and reassemble p ++ m ++ s
+        val pre = out.indexOf("<PRE> ")
+        val suf = out.indexOf(" <SUF> ")
+        val mid = out.indexOf(" <MID> ")
+        assert(pre == 0 && suf > 0 && mid > suf, s"doc $id PSM markers")
+        val p = out.substring(6, suf)
+        val sfx = out.substring(suf + 7, mid)
+        val m = out.substring(mid + 7)
+        // the cut points really partition at lo/hi — segment equality
+        // against the raw token array IS the loss-free round trip
+        assert(p == toks.take(lo).mkString(" "), s"doc $id prefix cut")
+        assert(m == toks.slice(lo, hi).mkString(" "), s"doc $id middle cut")
+        assert(sfx == toks.drop(hi).mkString(" "), s"doc $id suffix cut")
+      }
+    }
+    // the 50% selection rate is real on this slice (parity of doc_id mod P)
+    val wantPsm = orig.keys.count(id => (id % 1000000007L) % 2 == 0)
+    assert(psm == wantPsm, s"psm count $psm != $wantPsm")
+  }
+
+  test("ts_sax: words are a-d over the real slice; planted series symbolize correctly") {
+    val rows = SparkEntry.queries("ts_sax")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val word = r.getString(1)
+      assert(word.length == r.getInt(2), s"${r.getString(0)} word length")
+      assert(word.length <= 8 && word.nonEmpty)
+      assert(word.forall(c => c >= 'a' && c <= 'd'), s"${r.getString(0)} alphabet")
+    }
+    // driver replay of the full chain for one event_type
+    val evs = T(spark, dir, "events")
+      .filter(col("event_type") === rows.head.getString(0))
+      .select("ts", "value").collect()
+      .map { r =>
+        val i = r.getTimestamp(0).toInstant
+        (i.getEpochSecond * 1000000L + i.getNano / 1000L) / 86400000000L ->
+          Grid.dy20D(r.getDouble(1))
+      }
+    val dm = evs.groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (_, g) => Grid.dy20D(g.map(_._2).sum / g.length) }
+    val nd = dm.length
+    val (mu, mn, mx) = (dm.sum / nd, dm.min, dm.max)
+    val paa = dm.zipWithIndex.groupBy { case (_, i) => i * 8 / nd }.toArray
+      .sortBy(_._1).map { case (_, g) => g.map(_._1).sum / g.length }
+    val word = paa.map { v =>
+      if (v < mu - (mx - mn) / 8.0) 'a' else if (v < mu) 'b'
+      else if (v < mu + (mx - mn) / 8.0) 'c' else 'd'
+    }.mkString
+    assert(rows.head.getString(1) == word, "driver SAX replay")
+  }
 }

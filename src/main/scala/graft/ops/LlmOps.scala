@@ -3261,6 +3261,93 @@ object LlmOps extends QueryModule {
       .orderBy("doc_id") // one row per clean training doc = input-sized
   }
 
+  /** The DSIR vocabulary artifact: top-V raw unigrams with their
+    * dy20-snapped add-1-smoothed log importance ratio
+    * ln p_target(w) − ln p_raw(w). Computed ONCE per (corpus) by a
+    * plan-build-time job (vocab-sized top-K collect — the BPE-artifact
+    * pattern) and shared by the registered query AND the
+    * data-parameterized oracle, so both engines sum IDENTICAL grid
+    * values. Exactness chain: counts are integers; products (c+1)·(T+V)
+    * stay < 2⁵³ so the toDouble is exact, the division correctly
+    * rounded, Math.log deterministic on identical bits, and the dy20
+    * snap makes every later per-doc sum order-free.
+    */
+  private[ops] def dsirVocab(s: SparkSession, d: String,
+      v: Int = 256): Array[(String, Double)] = {
+    val tk = T(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+    val isTgt = col("lang") === "en" && col("source").isin("src0", "src1")
+    val cnt = tk.groupBy("tok")
+      .agg(count(lit(1)).as("cr"),
+        sum(when(isTgt, 1L).otherwise(0L)).as("ct"))
+    val top = cnt.orderBy(col("cr").desc, col("tok").asc).limit(v).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val tr = top.map(_._2).sum; val tt = top.map(_._3).sum
+    top.map { case (w, cr, ct) =>
+      val ratio = ((ct + 1) * (tr + v)).toDouble / ((cr + 1) * (tt + v))
+      (w, Grid.dy20D(math.log(ratio)))
+    }
+  }
+
+  /** Data Selection via Importance Resampling (SPEC: Xie, Santurkar,
+    * Ma & Liang 2023 "DSIR" — score every raw document by the hashed
+    * n-gram importance ratio log p_target/p_raw between a small
+    * high-quality target slice and the raw pool, keep the
+    * positive-evidence documents; the pretraining-data selection
+    * method behind DoReMi-era corpora; unigram features here, the
+    * paper's hashed-bigram slot is the same join). The deterministic
+    * selection variant keeps docs with ABOVE-MEAN importance — DSIR's
+    * Gumbel-noise top-k would be engine-irreproducible, and the mean
+    * is the one order statistic that stays exact (per-doc sums of grid
+    * values → a grand sum that is itself order-free exact, one exact
+    * division). Shape: the vocab artifact is a V-row broadcast; the
+    * corpus pass is ONE tokens⋈vocab join + per-doc aggregate
+    * (grid-exact sums) + a left join back so zero-match docs score 0 +
+    * a 1-row mean broadcast — no global sort, no collect over data.
+    * The oracle embeds the same artifact as a VALUES table and replays
+    * every sum bit-for-bit.
+    */
+  qDyn("pipeline_dsir") { (s, d) =>
+    val vocab = dsirVocab(s, d)
+    import s.implicits._
+    val vdf = broadcast(vocab.toSeq.toDF("vtok", "llr"))
+    val docs = T(s, d, "documents")
+    val a = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .join(vdf, col("tok") === col("vtok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("nv"), sum("llr").as("lw"))
+    val sc = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("int").as("n_tokens"))
+      .join(a, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("nv"), lit(0L)).as("n_in_vocab"),
+        coalesce(col("lw"), lit(0.0)).as("lw"))
+    val m = sc.agg((sum("lw") / count(lit(1))).as("mlw"))
+    sc.crossJoin(broadcast(m))
+      .select(col("doc_id"), col("n_tokens"), col("n_in_vocab"),
+        round(col("lw"), 6).as("logw"),
+        (col("lw") > col("mlw")).as("keep"))
+      .orderBy("doc_id") // one row per doc = input-sized
+  } { (s, d) =>
+    val vals = dsirVocab(s, d)
+      .map { case (w, l) => s"('${w.replace("'", "''")}', CAST($l AS DOUBLE))" }
+      .mkString(",\n        ")
+    s"""WITH v(vtok, llr) AS (VALUES
+       |        $vals),
+       |tk AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents),
+       |a AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS nv, sum(v.llr) AS lw
+       |      FROM tk t JOIN v ON t.tok = v.vtok GROUP BY 1),
+       |sc AS (SELECT d.doc_id,
+       |              CAST(len(str_split(d.text, ' ')) AS INTEGER) AS n_tokens,
+       |              coalesce(a.nv, 0) AS nv, coalesce(a.lw, 0.0) AS lw
+       |       FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id),
+       |m AS (SELECT sum(lw) / count(*) AS mlw FROM sc)
+       |SELECT sc.doc_id, sc.n_tokens, sc.nv AS n_in_vocab,
+       |       round(sc.lw, 6) AS logw, sc.lw > m.mlw AS keep
+       |FROM sc, m ORDER BY sc.doc_id""".stripMargin
+  }
+
   /** Line-level boilerplate removal (SPEC: the C4/RefinedWeb curation
     * pass that strips lines repeated across many pages — nav bars,
     * cookie banners, license footers — while keeping the documents):

@@ -1530,6 +1530,51 @@ class OpsSemanticsSpec extends AnyFunSuite {
     assert(psm == wantPsm, s"psm count $psm != $wantPsm")
   }
 
+  test("pipeline_dsir: vocab artifact replays driver-side; doc scores are the vocab-hit sums") {
+    val vocab = LlmOps.dsirVocab(spark, dir)
+    assert(vocab.length <= 256 && vocab.map(_._1).distinct.length == vocab.length)
+    val vmap = vocab.toMap
+    // driver replay of the artifact from raw counts for the top token
+    val docs = T(spark, dir, "documents")
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val all = docs.flatMap(d => d._4.split(" ", -1))
+    val tgt = docs.filter(d => d._2 == "en" && Set("src0", "src1")(d._3))
+      .flatMap(d => d._4.split(" ", -1))
+    val rawCnt = all.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val tgtCnt = tgt.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val top = rawCnt.toArray.sortBy { case (w, c) => (-c, w) }.take(256)
+    assert(vocab.length == math.min(256, rawCnt.size))
+    val trT = top.map(_._2).sum
+    val ttT = top.map(t => tgtCnt.getOrElse(t._1, 0L)).sum
+    top.foreach { case (w, cr) =>
+      val ct = tgtCnt.getOrElse(w, 0L)
+      val want = Grid.dy20D(math.log(
+        ((ct + 1) * (trT + 256)).toDouble / ((cr + 1) * (ttT + 256))))
+      assert(vmap(w) == want, s"vocab llr for '$w'")
+    }
+    // per-doc score = sum of vocab hits; keep <=> positive evidence
+    val got = SparkEntry.queries("pipeline_dsir")(spark, dir).collect()
+    assert(got.length == docs.length)
+    val byId = docs.map(d => d._1 -> d._4).toMap
+    val meanLw = got.map { r =>
+      byId(r.getLong(0)).split(" ", -1).filter(vmap.contains).map(vmap).sum
+    }.sum / got.length
+    got.foreach { r =>
+      val toks = byId(r.getLong(0)).split(" ", -1)
+      val hits = toks.filter(vmap.contains)
+      assert(r.getInt(1) == toks.length)
+      assert(r.getLong(2) == hits.length, s"doc ${r.getLong(0)} vocab hits")
+      val lw = hits.map(vmap).sum
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - r6(lw)) < 1e-9, s"doc ${r.getLong(0)} logw")
+      assert(r.getBoolean(4) == (lw > meanLw), s"doc ${r.getLong(0)} keep")
+    }
+    // the selection is non-degenerate on the real slice
+    val kept = got.count(_.getBoolean(4))
+    assert(kept > 0 && kept < got.length, s"degenerate selection: $kept")
+  }
+
   test("ts_sax: words are a-d over the real slice; planted series symbolize correctly") {
     val rows = SparkEntry.queries("ts_sax")(spark, dir).collect()
     assert(rows.nonEmpty)

@@ -1785,6 +1785,81 @@ object GraphOps extends QueryModule {
       .orderBy("c_custkey") // one row per vertex = input-sized
   }
 
+  /** Eigenvector centrality (SPEC: Bonacich 1972 power iteration —
+    * x ∝ Ax on the UNDIRECTED block graph, the centrality where a
+    * vertex is important because its neighbors are; [[graph_katz_centrality]]
+    * covers the DAG case this measure cannot). 3 unrolled power-
+    * iteration rounds with L1 normalization SCALED BY |V| (mean
+    * centrality 1, so scores stay O(1) on the 1e-6 grid instead of
+    * vanishing as 1/|V|): x' = snap(s·|V|/Σs), s = Σ_{u∼v} x(u).
+    * Determinism: x lives on the ε-shifted 1e-6 grid, so neighbor
+    * sums and the global Σs are order-free exact; the product and
+    * division are single correctly-rounded ops (identical bits even
+    * past 2⁵³, where they stop being exact but stay deterministic);
+    * isolated vertices snap to 0 (the textbook limit). Per round ONE
+    * edges⋈scores equi-join + vertex agg + a 1-row norm broadcast —
+    * the katz shape plus normalization, O(E) per round at any scale.
+    */
+  q("graph_eigenvector_centrality", {
+    val iters = 3
+    val head =
+      """WITH c AS (SELECT c_custkey AS id, c_nationkey AS nk,
+        |             row_number() OVER (PARTITION BY c_nationkey
+        |               ORDER BY c_custkey) - 1 AS rk
+        |      FROM customer),
+        |blk AS (SELECT id, nk, rk // 6 AS b FROM c),
+        |intra AS (
+        |  SELECT x.id AS a, y.id AS b FROM blk x
+        |  JOIN blk y ON y.nk = x.nk AND y.b = x.b AND y.id > x.id),
+        |heads AS (SELECT nk, b, min(id) AS hid, max(id) AS tid
+        |          FROM blk GROUP BY nk, b),
+        |inter AS (
+        |  SELECT h1.tid AS a, h2.hid AS b FROM heads h1
+        |  JOIN heads h2 ON h2.nk = h1.nk AND h2.b = h1.b + 1),
+        |e AS (SELECT a, b FROM intra UNION ALL SELECT a, b FROM inter),
+        |sym AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst FROM e
+        |  UNION ALL SELECT b AS src, a AS dst FROM e),
+        |verts AS (SELECT c_custkey AS vid FROM customer),
+        |nv AS (SELECT CAST(count(*) AS DOUBLE) AS vcnt FROM verts),
+        |x0 AS (SELECT vid, CAST(1.0 AS DOUBLE) AS x FROM verts)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s""",
+         |s$k AS (SELECT sym.dst, sum(x.x) AS s
+         |        FROM sym JOIN x${k - 1} x ON x.vid = sym.src GROUP BY sym.dst),
+         |t$k AS (SELECT sum(s) AS tot FROM s$k),
+         |x$k AS (SELECT v.vid,
+         |        floor(((coalesce(s$k.s, 0.0) * nv.vcnt) / t$k.tot) * 1000000
+         |              + CAST(0.5000005 AS DOUBLE)) / 1000000 AS x
+         |        FROM verts v LEFT JOIN s$k ON s$k.dst = v.vid
+         |        CROSS JOIN t$k CROSS JOIN nv)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"\nSELECT vid AS c_custkey, x AS eig FROM x$iters ORDER BY c_custkey"
+  }) { (s, d) =>
+    val rc = new RoundCheckpoints(s.sparkContext)
+    val verts = rc.pin("verts",
+      T(s, d, "customer").select(col("c_custkey").as("vid")))
+    val sym = pinnedSym(rc, blockEdges(s, d))
+    val nv = verts.agg(count(lit(1)).cast("double").as("vcnt"))
+    var x = rc.cycle("x", verts.withColumn("x", lit(1.0)))
+    for (_ <- 1 to 3) {
+      val sfr = sym
+        .join(x.select(col("vid").as("src"), col("x").as("sx")), Seq("src"))
+        .groupBy("dst").agg(sum("sx").as("s"))
+      val tot = sfr.agg(sum("s").as("tot"))
+      x = rc.cycle("x", verts
+        .join(sfr, col("vid") === col("dst"), "left")
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(nv))
+        .select(col("vid"),
+          (floor(((coalesce(col("s"), lit(0.0)) * col("vcnt")) / col("tot"))
+            * 1e6 + lit(0.5000005)) / 1e6).as("x")))
+    }
+    Seq("verts", "sym").foreach(rc.release)
+    x.select(col("vid").as("c_custkey"), col("x").as("eig"))
+      .orderBy("c_custkey") // one row per vertex = input-sized
+  }
+
   /** Single-source shortest paths with EDGE WEIGHTS (SPEC: horizon-
     * bounded Bellman–Ford over the per-nation block graph — the
     * weighted upgrade of [[graph_bfs_distance]]: hop count becomes

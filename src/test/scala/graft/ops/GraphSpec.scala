@@ -783,4 +783,44 @@ class GraphSpec extends AnyFunSuite {
       if (vs.size > 6) assert(comps.length > 1, s"nation $nk collapsed to one SCC")
     }
   }
+
+  test("graph_eigenvector_centrality matches a driver-side normalized power iteration") {
+    // driver block graph (undirected)
+    val edges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    customers.groupBy(_._2).foreach { case (_, cs) =>
+      val ids = cs.map(_._1).sorted
+      val blocks = ids.grouped(6).toSeq
+      blocks.foreach { b =>
+        for (i <- b.indices; j <- i + 1 until b.length) edges += ((b(i), b(j)))
+      }
+      blocks.sliding(2).foreach {
+        case Seq(b1, b2) => edges += ((b1.max, b2.min))
+        case _ =>
+      }
+    }
+    val adj = (edges.map(e => (e._1, e._2)) ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toArray).toMap
+    val verts = customers.map(_._1)
+    def grid(v: Double) = math.floor(v * 1e6 + 0.5000005) / 1e6
+    var x = verts.map(_ -> 1.0).toMap
+    for (_ <- 1 to 3) {
+      val s = verts.map(v =>
+        v -> adj.getOrElse(v, Array.empty[Long]).map(x).sum).toMap
+      val tot = s.values.sum
+      x = verts.map(v => v -> grid(s(v) * verts.length / tot)).toMap
+    }
+    val got = graft.SparkEntry.queries("graph_eigenvector_centrality")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == verts.length)
+    verts.foreach(v => assert(math.abs(got(v) - x(v)) < 1e-9,
+      s"eig($v): ${got(v)} != ${x(v)}"))
+    // interior clique members out-score the degree-1/2 chain endpoints,
+    // and the L1 mass really normalizes to ~|V|
+    assert(math.abs(got.values.sum - verts.length) < 0.01 * verts.length)
+    val interior = adj.filter(_._2.length >= 5).keys
+    val fringe = adj.filter(_._2.length <= 2).keys
+    if (interior.nonEmpty && fringe.nonEmpty)
+      assert(interior.map(got).sum / interior.size >
+        fringe.map(got).sum / fringe.size, "dense vertices should dominate")
+  }
 }

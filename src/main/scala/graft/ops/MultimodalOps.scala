@@ -632,6 +632,54 @@ object MultimodalOps extends QueryModule {
       .orderBy("doc_id") // one row per image doc = input-sized
   }
 
+  final case class ExifRow(doc_id: Long, width: Int, height: Int,
+      make: String, orientation: Int, iso: Int, taken_at: String)
+
+  /** EXIF/TIFF metadata extraction (SPEC: TIFF 6.0 IFD walk + Exif
+    * DC-008 tags — the camera sidecar every crawled photo carries and
+    * every ingest strips into typed columns). Each image doc's
+    * metadata renders through [[ExifCodec]]'s encoder into a real
+    * little-endian APP1 payload (IFD0 + Exif sub-IFD, out-of-line
+    * ASCII values) and the JUDGED decoder walks the offset graph back
+    * out; every field is a closed form of doc_id, so the oracle
+    * recomputes the decoded values without parsing a byte — one wrong
+    * offset, endian read, inline/out-of-line decision or sub-IFD hop
+    * reds the hash. Byte-order breadth (a hand-built big-endian
+    * stream) and corrupt-payload rejection are pinned in
+    * MultimodalSpec. Map-only batched codec slot, O(entries) per
+    * payload, no shuffle.
+    */
+  q("mm_exif_parse",
+    """SELECT doc_id,
+      |       CAST(16 * (doc_id % 4 + 1) AS INTEGER) AS width,
+      |       CAST(16 * (doc_id % 3 + 1) AS INTEGER) AS height,
+      |       'cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
+      |       CAST(doc_id % 8 + 1 AS INTEGER) AS orientation,
+      |       CAST(100 * (doc_id % 16 + 1) AS INTEGER) AS iso,
+      |       '2021:06:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+      |         || ' 08:30:00' AS taken_at
+      |FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""") { (s, d) =>
+    val sess = s
+    import sess.implicits._
+    T(s, d, "documents").filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.grouped(64).flatMap { batch =>
+          batch.map { id =>
+            val payload = ExifCodec.encode(
+              16 * (id % 4 + 1), 16 * (id % 3 + 1), s"cam${id % 5}",
+              (id % 8 + 1).toInt, (100 * (id % 16 + 1)).toInt,
+              f"2021:06:${id % 28 + 1}%02d 08:30:00")
+            val e = ExifCodec.decode(payload)
+            ExifRow(id, e.width.toInt, e.height.toInt, e.make,
+              e.orientation, e.iso, e.datetime)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id") // one row per image doc = input-sized
+  }
+
   // ---------------------------------------------------- jpeg decode
 
   final case class JpegDecodeRow(doc_id: Long, width: Int, height: Int,

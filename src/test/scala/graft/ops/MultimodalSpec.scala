@@ -491,6 +491,75 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getInt(3) > 0 && r.getInt(3) < nf, s"doc $id VAD degenerate")
     }
   }
+
+  test("exif codec: round trip across field ranges; inline vs out-of-line honored") {
+    for (id <- Seq(0L, 3L, 6L, 27L, 999999L)) {
+      val enc = ExifCodec.encode(16 * (id % 4 + 1), 16 * (id % 3 + 1),
+        s"cam${id % 5}", (id % 8 + 1).toInt, (100 * (id % 16 + 1)).toInt,
+        f"2021:06:${id % 28 + 1}%02d 08:30:00")
+      val e = ExifCodec.decode(enc)
+      assert(e.width == 16 * (id % 4 + 1) && e.height == 16 * (id % 3 + 1))
+      assert(e.make == s"cam${id % 5}")
+      assert(e.orientation == (id % 8 + 1).toInt)
+      assert(e.iso == (100 * (id % 16 + 1)).toInt)
+      assert(e.datetime == f"2021:06:${id % 28 + 1}%02d 08:30:00")
+    }
+    // a long Make round-trips through the out-of-line path untruncated
+    val long = ExifCodec.encode(640, 480, "NIKON CORPORATION Z9", 1, 64,
+      "2024:12:31 23:59:59")
+    assert(ExifCodec.decode(long).make == "NIKON CORPORATION Z9")
+  }
+
+  test("exif decoder walks a hand-built BIG-ENDIAN stream (the encoder only writes LE)") {
+    // minimal MM stream: IFD0 {width SHORT inline, height SHORT inline,
+    // Make ASCII out-of-line, orientation, ExifIFD ptr} + sub-IFD
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def u16(v: Int): Unit = { buf += ((v >> 8) & 0xff).toByte; buf += (v & 0xff).toByte }
+    def u32(v: Long): Unit = { u16(((v >> 16) & 0xffff).toInt); u16((v & 0xffff).toInt) }
+    buf ++= "Exif".getBytes; buf += 0; buf += 0
+    buf ++= "MM".getBytes; u16(42); u32(8L)
+    // IFD0: 5 entries -> ends at 8 + 2 + 60 + 4 = 74; sub at 74 ends 104
+    u16(5)
+    def entry(tag: Int, typ: Int, cnt: Long, short: Option[Int], long: Option[Long]): Unit = {
+      u16(tag); u16(typ); u32(cnt)
+      short match {
+        case Some(v) => u16(v); u16(0) // SHORT inline: first 2 of 4 bytes
+        case None => u32(long.get)
+      }
+    }
+    entry(0x0100, 3, 1, Some(800), None)   // width as SHORT: decoder must accept
+    entry(0x0101, 3, 1, Some(600), None)
+    entry(0x010f, 2, 6, None, Some(104L))  // "tester" NUL -> wait 6 bytes: "teste\0"
+    entry(0x0112, 3, 1, Some(5), None)
+    entry(0x8769, 4, 1, None, Some(74L))
+    u32(0L)
+    u16(2)
+    entry(0x8827, 3, 1, Some(320), None)
+    entry(0x9003, 2, 20, None, Some(110L))
+    u32(0L)
+    buf ++= "teste".getBytes; buf += 0
+    buf ++= "2019:01:02 03:04:05".getBytes; buf += 0
+    val e = ExifCodec.decode(buf.toArray)
+    assert(e.width == 800 && e.height == 600)
+    assert(e.make == "teste" && e.orientation == 5 && e.iso == 320)
+    assert(e.datetime == "2019:01:02 03:04:05")
+  }
+
+  test("exif decoder rejects corrupt payloads loudly") {
+    val good = ExifCodec.encode(64, 32, "cam1", 1, 200, "2021:06:05 08:30:00")
+    intercept[IllegalArgumentException](ExifCodec.decode(good.take(10)))     // truncated
+    val badMagic = good.clone(); badMagic(8) = 41
+    intercept[IllegalArgumentException](ExifCodec.decode(badMagic))
+    val badOrder = good.clone(); badOrder(6) = 'X'
+    intercept[IllegalArgumentException](ExifCodec.decode(badOrder))
+    val noPreamble = good.clone(); noPreamble(0) = 'B'
+    intercept[IllegalArgumentException](ExifCodec.decode(noPreamble))
+    // an out-of-line offset pointing past the buffer must be caught
+    val badOff = good.clone()
+    // Make entry value field sits at TIFF offset 34+8=42 -> absolute 6+42=48
+    badOff(48) = 0xff.toByte; badOff(49) = 0xff.toByte
+    intercept[IllegalArgumentException](ExifCodec.decode(badOff))
+  }
 }
 
 /** Test access to the registered query map without duplicating wiring. */

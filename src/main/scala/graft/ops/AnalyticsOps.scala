@@ -1594,6 +1594,103 @@ object AnalyticsOps extends QueryModule {
       .reportSorted("event_type")
   }
 
+  /** Dynamic time warping distance between the click and purchase
+    * daily-mean series (SPEC: Sakoe & Chiba 1978 DTW — the elastic
+    * distance that aligns series with lead/lag and speed differences
+    * where Euclidean/correlation assume index-aligned samples; the
+    * similarity primitive under ts motif search and series
+    * clustering). Both series PAA-resample to L=12 points (the SAX
+    * row's segmentation — THE standard pre-DTW step, and what turns a
+    * 100 TB event log into a 12×12 DP), then the full O(L²) DP runs
+    * as 144 chained projections over a 1-row frame — inside the plan,
+    * not on the driver. Determinism: PAA values are exact rationals
+    * of dy20 grid sums; every DP cell is one fixed expression
+    * (abs-diff + least of already-identical cells), so the
+    * accumulation ORDER is pinned by the recurrence itself and the
+    * final distance is bit-identical before its single round-6. The
+    * oracle unrolls the same 144 cells as chained CTEs.
+    */
+  q("ts_dtw", {
+    val L = 12
+    def pivotCols(pfx: String): String = (1 to L)
+      .map(k => s"max(CASE WHEN sg = ${k - 1} THEN paa END) AS $pfx$k")
+      .mkString(",\n       ")
+    val cells = (for { i <- 0 until L; j <- 0 until L } yield {
+      val cost = s"abs(pa.a${i + 1} - pb.b${j + 1})"
+      val (refs, d) = (i, j) match {
+        case (0, 0) => ("", cost)
+        case (0, _) => (s", c_0_${j - 1}", s"$cost + c_0_${j - 1}.d")
+        case (_, 0) => (s", c_${i - 1}_0", s"$cost + c_${i - 1}_0.d")
+        case _ => (s", c_${i - 1}_$j, c_${i}_${j - 1}, c_${i - 1}_${j - 1}",
+          s"$cost + least(c_${i - 1}_$j.d, c_${i}_${j - 1}.d, c_${i - 1}_${j - 1}.d)")
+      }
+      // MATERIALIZED: DuckDB inlines plain CTEs, which would expand the
+      // DP recurrence into an exponential tree (and re-scan the parquet
+      // per cell — the "too many open files" failure mode)
+      s"c_${i}_$j AS MATERIALIZED (SELECT $d AS d FROM pa, pb$refs)"
+    }).mkString(",\n")
+    s"""WITH dm AS MATERIALIZED (
+       |  SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+       |         ${Grid.dy20Sql(s"sum(${Grid.dy20Sql("value")}) / count(*)")} AS m
+       |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2),
+       |cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd FROM dm GROUP BY 1),
+       |r AS (SELECT d.event_type, d.m, c.nd,
+       |             row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) - 1 AS i
+       |      FROM dm d JOIN cnt c ON d.event_type = c.event_type),
+       |seg AS (SELECT event_type, (i * $L) // nd AS sg, sum(m) / count(*) AS paa
+       |        FROM r GROUP BY 1, 2),
+       |pa AS MATERIALIZED (SELECT ${pivotCols("a")}
+       |       FROM seg WHERE event_type = 'click'),
+       |pb AS MATERIALIZED (SELECT ${pivotCols("b")}
+       |       FROM seg WHERE event_type = 'purchase'),
+       |$cells
+       |SELECT ca.nd AS n_days_a, cb.nd AS n_days_b,
+       |       round(c_${L - 1}_${L - 1}.d, 6) AS dtw
+       |FROM c_${L - 1}_${L - 1},
+       |     (SELECT nd FROM cnt WHERE event_type = 'click') ca,
+       |     (SELECT nd FROM cnt WHERE event_type = 'purchase') cb"""
+  }) { (s, d) =>
+    val L = 12
+    val dm = T(s, d, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000L").cast("long").as("day"))
+      .agg(Grid.dy20(sum(Grid.dy20(col("value"))) / count(lit(1))).as("m"))
+      .localCheckpoint()
+    val cnt = dm.groupBy("event_type").agg(count(lit(1)).cast("long").as("nd"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val seg = dm.join(broadcast(cnt.select(col("event_type").as("et"), col("nd"))),
+        col("event_type") === col("et"))
+      .withColumn("i", row_number().over(w) - 1)
+      .groupBy(col("event_type"), expr(s"cast((i * $L) div nd as bigint)").as("sg"))
+      .agg((sum("m") / count(lit(1))).as("paa"))
+      .localCheckpoint()
+    def pivot(et: String, pfx: String): DataFrame = {
+      val cs = (1 to L).map(k =>
+        max(when(col("sg") === (k - 1), col("paa"))).as(s"$pfx$k"))
+      seg.filter(col("event_type") === et).agg(cs.head, cs.tail: _*)
+    }
+    var f = pivot("click", "a").crossJoin(pivot("purchase", "b"))
+    for (i <- 0 until L; j <- 0 until L) {
+      val cost = abs(col(s"a${i + 1}") - col(s"b${j + 1}"))
+      val cell = (i, j) match {
+        case (0, 0) => cost
+        case (0, _) => cost + col(s"d_0_${j - 1}")
+        case (_, 0) => cost + col(s"d_${i - 1}_0")
+        case _ => cost + least(col(s"d_${i - 1}_$j"), col(s"d_${i}_${j - 1}"),
+          col(s"d_${i - 1}_${j - 1}"))
+      }
+      f = f.withColumn(s"d_${i}_$j", cell)
+    }
+    val ca = cnt.filter(col("event_type") === "click")
+      .select(col("nd").as("n_days_a"))
+    val cb = cnt.filter(col("event_type") === "purchase")
+      .select(col("nd").as("n_days_b"))
+    f.crossJoin(broadcast(ca)).crossJoin(broadcast(cb))
+      .select(col("n_days_a"), col("n_days_b"),
+        round(col(s"d_${L - 1}_${L - 1}"), 6).as("dtw"))
+  }
+
   /** Spearman rank trend of the daily mean value (SPEC: Spearman 1904
     * ρ between time index and level, tie-handled as Pearson on average
     * ranks — the bounded-effect-size companion of [[ts_mann_kendall]]:

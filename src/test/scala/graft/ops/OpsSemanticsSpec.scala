@@ -1575,6 +1575,46 @@ class OpsSemanticsSpec extends AnyFunSuite {
     assert(kept > 0 && kept < got.length, s"degenerate selection: $kept")
   }
 
+  test("ts_dtw matches a driver-side DP over the same PAA series; self-distance is 0") {
+    def series(et: String): Array[Double] = {
+      val evs = T(spark, dir, "events").filter(col("event_type") === et)
+        .select("ts", "value").collect()
+        .map { r =>
+          val i = r.getTimestamp(0).toInstant
+          (i.getEpochSecond * 1000000L + i.getNano / 1000L) / 86400000000L ->
+            Grid.dy20D(r.getDouble(1))
+        }
+      val dm = evs.groupBy(_._1).toArray.sortBy(_._1)
+        .map { case (_, g) => Grid.dy20D(g.map(_._2).sum / g.length) }
+      val nd = dm.length
+      dm.zipWithIndex.groupBy { case (_, i) => i * 12 / nd }.toArray
+        .sortBy(_._1).map { case (_, g) => g.map(_._1).sum / g.length }
+    }
+    def dtw(a: Array[Double], b: Array[Double]): Double = {
+      val d = Array.ofDim[Double](a.length, b.length)
+      for (i <- a.indices; j <- b.indices) {
+        val c = math.abs(a(i) - b(j))
+        d(i)(j) = c + ((i, j) match {
+          case (0, 0) => 0.0
+          case (0, _) => d(0)(j - 1)
+          case (_, 0) => d(i - 1)(0)
+          case _ => math.min(d(i - 1)(j), math.min(d(i)(j - 1), d(i - 1)(j - 1)))
+        })
+      }
+      d(a.length - 1)(b.length - 1)
+    }
+    val (a, b) = (series("click"), series("purchase"))
+    assert(a.length == 12 && b.length == 12, "PAA did not fill 12 segments")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = SparkEntry.queries("ts_dtw")(spark, dir).collect()(0)
+    assert(got.getLong(0) == 30 && got.getLong(1) == 30)
+    assert(math.abs(got.getDouble(2) - r6(dtw(a, b))) < 1e-9, "driver DP replay")
+    assert(dtw(a, a) == 0.0 && dtw(b, b) == 0.0, "DTW identity")
+    // elasticity: DTW never exceeds the rigid index-aligned L1 distance
+    val l1 = a.zip(b).map { case (x, y) => math.abs(x - y) }.sum
+    assert(dtw(a, b) <= l1 + 1e-12, "DTW should be <= aligned L1")
+  }
+
   test("ts_sax: words are a-d over the real slice; planted series symbolize correctly") {
     val rows = SparkEntry.queries("ts_sax")(spark, dir).collect()
     assert(rows.nonEmpty)

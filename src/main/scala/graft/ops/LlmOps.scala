@@ -1302,6 +1302,106 @@ object LlmOps extends QueryModule {
       .orderBy("qid", "rn") // top-3 per query = input-sized
   }
 
+  /** IVF+PQ composite index (SPEC: Jégou, Douze & Schmid 2011 §IV —
+    * the IVFADC scheme minus the asymmetric query side: coarse-
+    * quantize every vector to an IVF cell, PRODUCT-QUANTIZE THE
+    * RESIDUAL x − c(cell), and rank same-cell candidates entirely on
+    * residual codes via the SDC tables. THE production ANN layout —
+    * FAISS IVFx,PQy — because on clustered corpora residuals
+    * concentrate near 0, so the same 16-entry-per-subspace codebook
+    * spends its resolution where the mass is; on THIS isotropic
+    * synthetic corpus residuals do not concentrate — LshRecallSpec
+    * reports both distortions honestly and pins the structural
+    * contract instead). Composes the
+    * registered primitives: [[sim_ann_ivf]]'s deterministic first-8
+    * coarse quantizer (map-side argmax against centroid literals),
+    * residuals as one map-side transform against the flattened
+    * centroid literal, [[pqCodebook]]-style first-16 RESIDUAL
+    * codebook, the native codegen'd pq_encode, and [[pqCodeTopK]]'s
+    * literal-table SDC self-join with the IVF CELL as the bucket —
+    * candidates never leave their cell, exactly the IVF pruning that
+    * makes this the 100 TB shape (8 code bytes per row through a
+    * cell-partitioned shuffle). Every stage is deterministic, so the
+    * oracle replays coarse assignment, residuals, codebook, encode and
+    * SDC scoring from scratch in SQL — any wrong residual, cell, code
+    * or table entry reds the hash.
+    */
+  q("sim_ann_ivfpq",
+    """WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
+      |                  CAST(embedding AS DOUBLE[]) AS cemb
+      |           FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+      |     ranked AS (
+      |  SELECT e.vec_id, e.embedding, c.ci,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cemb) DESC,
+      |                    c.ci DESC) AS cr
+      |  FROM embeddings e CROSS JOIN c),
+      |     resid AS (
+      |  SELECT r.vec_id, r.ci AS cell,
+      |         [CAST(r.embedding[j + 1] AS DOUBLE) - c2.cemb[j + 1]
+      |          FOR j IN range(0, 64)] AS res
+      |  FROM ranked r JOIN c c2 ON c2.ci = r.ci WHERE r.cr = 1),
+      |     cb AS (
+      |  SELECT m, k, [res[m*8 + j + 1] FOR j IN range(0, 8)] AS c
+      |  FROM (SELECT res, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS k
+      |        FROM (SELECT * FROM resid ORDER BY vec_id LIMIT 16)) e,
+      |       unnest(generate_series(0, 7)) AS mm(m)),
+      |     enc AS (
+      |  SELECT v.vec_id, cb.m, cb.k,
+      |         row_number() OVER (PARTITION BY v.vec_id, cb.m ORDER BY
+      |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |             [(v.res[cb.m*8 + j + 1] - cb.c[j + 1])
+      |              * (v.res[cb.m*8 + j + 1] - cb.c[j + 1])
+      |              FOR j IN range(0, 8)]), (a, b) -> a + b), cb.k) AS rn
+      |  FROM resid v CROSS JOIN cb),
+      |     recon AS (
+      |  SELECT e.vec_id, list(cb.c ORDER BY e.m) AS subs
+      |  FROM enc e JOIN cb ON cb.m = e.m AND cb.k = e.k
+      |  WHERE e.rn = 1 GROUP BY e.vec_id),
+      |     cand AS (
+      |  SELECT l.vec_id AS qid, r.vec_id AS nbr
+      |  FROM resid l JOIN resid r ON l.cell = r.cell AND l.vec_id <> r.vec_id),
+      |     scored AS (
+      |  SELECT c.qid, c.nbr,
+      |         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           [list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |              [ra.subs[m + 1][j + 1] * rb.subs[m + 1][j + 1] FOR j IN range(0, 8)]),
+      |              (x, y) -> x + y) FOR m IN range(0, 8)]), (x, y) -> x + y), 6) AS adot
+      |  FROM cand c
+      |  JOIN recon ra ON ra.vec_id = c.qid
+      |  JOIN recon rb ON rb.vec_id = c.nbr)
+      |SELECT qid, nbr, adot, rn FROM (
+      |  SELECT qid, nbr, adot,
+      |         CAST(row_number() OVER (PARTITION BY qid ORDER BY adot DESC, nbr) AS INTEGER) AS rn
+      |  FROM scored) t
+      |WHERE rn <= 3 ORDER BY qid, rn""") { (s, d) =>
+    val kCells = 8
+    val emb = T(s, d, "embeddings").select("vec_id", "embedding")
+    val centroids = emb.orderBy("vec_id").limit(kCells).collect()
+      .map(_.getSeq[Float](1).toArray)
+    val dim = centroids(0).length
+    val centsFlat = array(
+      centroids.flatMap(_.map(x => lit(x.toDouble))).toIndexedSeq: _*)
+    val resid = ivfAssign(emb, centroids)
+      .withColumn("res", transform(col("embedding"),
+        (x, j) => x.cast("double") -
+          element_at(centsFlat, col("cell") * dim + j + 1)))
+      .localCheckpoint()
+    val firstK = resid.orderBy("vec_id").limit(16).select("res").collect()
+      .map(_.getSeq[Double](0))
+    val cb = Array.tabulate(8, firstK.length)(
+      (m, k) => (0 until 8).map(j => firstK(k)(m * 8 + j)).toArray)
+    val cbFlat = array(cb.flatten.flatten.toIndexedSeq.map(lit): _*)
+    val encoded = resid
+      .withColumn("pq", graft.functions.vec.pqEncode(col("res"), cbFlat, 8, 16))
+      .select(col("vec_id") +: col("cell").as("bucket") +:
+        (0 until 8).map(m => element_at(col("pq"), m + 1).as(s"c$m")): _*)
+      .localCheckpoint()
+    pqCodeTopK(encoded, cb, topK = 3)
+      .select("qid", "nbr", "adot", "rn")
+      .orderBy("qid", "rn") // top-k per vector = input-sized
+  }
+
   /** Embedding-cosine near-dup: pairs above a cosine threshold, found
     * in-bucket (LSH) rather than by cross join.
     *

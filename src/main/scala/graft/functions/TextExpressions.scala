@@ -273,12 +273,56 @@ object Lz78Stats {
   }
 }
 
+/** nfc_normalize(s): Unicode canonical composition (UAX #15 NFC) via
+  * the JVM's built-in `java.text.Normalizer` — the cleanup pass a text
+  * ingest runs so that visually-identical strings (decomposed accents,
+  * singleton codepoints) compare, dedup and tokenize identically.
+  * Spark ships no normalization builtin; this native expression keeps
+  * the pass inside whole-stage codegen instead of a Scala UDF.
+  * DuckDB's `nfc_normalize` is the oracle twin. Null in → null out.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expected string, got $t")
+  }
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(v: Any): Any =
+    NfcNormalize.nfc(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mod = NfcNormalize.getClass.getName // ends in $
+    defineCodeGen(ctx, ev, c => s"$mod.MODULE$$.nfc($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(child = c)
+}
+
+object NfcNormalize {
+  /** Public static so generated code calls it directly. Fast path: a
+    * string already in NFC (the overwhelming majority of real text —
+    * Normalizer.isNormalized is a cheap quick-check scan) returns the
+    * input without re-encoding.
+    */
+  def nfc(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
 /** Column-API entry point (resolved via GraftExtensions, like vec.*). */
 object text {
   import org.apache.spark.sql.functions.call_function
 
   def simhash32(tokens: Column): Column = call_function("simhash32", tokens)
   def tokenPolyHash(tokens: Column): Column = call_function("token_poly_hash", tokens)
+  def nfcNormalize(s: Column): Column = call_function("nfc_normalize", s)
 
   /** LZ78 [n_chars, n_phrases] over the first `maxCps` code points. */
   def lz78Stats(text: Column, maxCps: Int): Column = {

@@ -563,6 +563,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("lz78_stats"),
       new ExpressionInfo(classOf[Lz78Stats].getName, "lz78_stats"),
       (es: Seq[Expression]) => Lz78Stats(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (es: Seq[Expression]) => NfcNormalize(es.head)))
     ext.injectFunction((FunctionIdentifier("vec_elems_nonnull"),
       new ExpressionInfo(classOf[KnownElementsNotNull].getName, "vec_elems_nonnull"),
       (es: Seq[Expression]) => KnownElementsNotNull(es.head)))

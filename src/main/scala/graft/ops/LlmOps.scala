@@ -2710,6 +2710,46 @@ object LlmOps extends QueryModule {
     * any scale. Patterns avoid Java/RE2 divergence (no backrefs, no
     * lookaround).
     */
+  /** Unicode NFC normalization audit (SPEC: UAX #15 canonical
+    * composition — the ingest pass that makes visually-identical
+    * strings byte-identical so dedup/tokenization don't split "café"
+    * from "café"; C4/CCNet stacks run exactly this before hashing).
+    * The corpus text is ASCII, so each doc is DECORATED with a
+    * deterministic count of decomposed-accent tokens (e+U+0301,
+    * i+U+0308 — real NFD sequences) before the pass: the operator is
+    * exercised on strings that genuinely change under NFC, and the
+    * composed shrinkage (2 code points per token) is closed-form
+    * checkable. The normalization itself is the native codegen'd
+    * [[graft.functions.NfcNormalize]] expression (Spark has no
+    * builtin; a Scala UDF would drop out of codegen) with DuckDB's own
+    * nfc_normalize as the independent oracle twin. Map-only at any
+    * scale.
+    */
+  q("text_unicode_normalize", {
+    // NFD by construction: combining acute/diaeresis as explicit escapes
+    val tok = " cafe\u0301 nai\u0308ve"
+    s"""WITH dec AS (
+       |  SELECT doc_id,
+       |         text || repeat('$tok', CAST(doc_id % 3 + 1 AS INTEGER)) AS s
+       |  FROM documents)
+       |SELECT doc_id, CAST(length(s) AS INTEGER) AS len_raw,
+       |       CAST(length(nfc_normalize(s)) AS INTEGER) AS len_nfc,
+       |       nfc_normalize(s) <> s AS changed
+       |FROM dec ORDER BY doc_id""".stripMargin
+  }) { (s, d) =>
+    // NFD by construction: combining acute/diaeresis as explicit escapes
+    val tok = " cafe\u0301 nai\u0308ve"
+    val nfc = graft.functions.text.nfcNormalize(col("s"))
+    T(s, d, "documents")
+      .select(col("doc_id"),
+        concat(col("text"),
+          expr(s"repeat('$tok', cast(doc_id % 3 + 1 as int))")).as("s"))
+      .select(col("doc_id"), length(col("s")).cast("int").as("len_raw"),
+        length(nfc).cast("int").as("len_nfc"),
+        (nfc =!= col("s")).as("changed"))
+      .orderBy("doc_id") // one row per doc = input-sized
+  }
+
   q("text_redact_pii",
     """SELECT doc_id, redacted, n_emails, n_phones FROM (
       |  SELECT doc_id,

@@ -632,6 +632,48 @@ object MultimodalOps extends QueryModule {
       .orderBy("doc_id") // one row per image doc = input-sized
   }
 
+  /** Aspect-ratio bucketing (SPEC: the NovelAI multi-aspect training
+    * device adopted by SDXL — Podell et al. 2023 §2.3: group images
+    * into near-constant-area resolution buckets so batches share a
+    * shape without destructive center-crops). Assignment is the
+    * argmin of |w·bh − h·bw| over the bucket table — the cross-product
+    * form keeps the ratio comparison in EXACT INTEGERS (a log-ratio
+    * distance would put libm under a discrete bucket id), ties to the
+    * smallest bucket id. 5-row broadcast bucket table, per-image
+    * 5-row argmin window — map-shaped at any corpus size.
+    */
+  q("mm_aspect_bucket",
+    """WITH im AS (SELECT doc_id, 16*(doc_id%4+1) AS w, 16*(doc_id%3+1) AS h
+      |            FROM documents WHERE doc_id % 3 = 0),
+      |b(bid, bw, bh) AS (VALUES (0, 64, 64), (1, 80, 48), (2, 48, 80),
+      |                          (3, 96, 32), (4, 32, 96)),
+      |r AS (SELECT im.doc_id, im.w, im.h, b.bid, b.bw, b.bh,
+      |             row_number() OVER (PARTITION BY im.doc_id
+      |               ORDER BY abs(im.w * b.bh - im.h * b.bw), b.bid) AS rn
+      |      FROM im CROSS JOIN b)
+      |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |       CAST(bid AS INTEGER) AS bucket,
+      |       CAST(bw AS INTEGER) AS target_w, CAST(bh AS INTEGER) AS target_h
+      |FROM r WHERE rn = 1 ORDER BY doc_id""") { (s, d) =>
+    val sess = s
+    import sess.implicits._
+    val buckets = broadcast(Seq((0, 64, 64), (1, 80, 48), (2, 48, 80),
+      (3, 96, 32), (4, 32, 96)).toDF("bid", "bw", "bh"))
+    val im = T(s, d, "documents").filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"),
+        (lit(16) * (col("doc_id") % 4 + 1)).cast("long").as("w"),
+        (lit(16) * (col("doc_id") % 3 + 1)).cast("long").as("h"))
+    val rnW = Window.partitionBy("doc_id")
+      .orderBy(abs(col("w") * col("bh") - col("h") * col("bw")).asc, col("bid").asc)
+    im.crossJoin(buckets)
+      .withColumn("rn", row_number().over(rnW))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("w").cast("int").as("width"),
+        col("h").cast("int").as("height"), col("bid").as("bucket"),
+        col("bw").as("target_w"), col("bh").as("target_h"))
+      .orderBy("doc_id") // one row per image doc = input-sized
+  }
+
   final case class ExifRow(doc_id: Long, width: Int, height: Int,
       make: String, orientation: Int, iso: Int, taken_at: String)
 

@@ -1615,6 +1615,38 @@ class OpsSemanticsSpec extends AnyFunSuite {
     assert(dtw(a, b) <= l1 + 1e-12, "DTW should be <= aligned L1")
   }
 
+  test("text_unicode_normalize: NFC shrinkage equals the planted mark count; Normalizer replay") {
+    val rows = SparkEntry.queries("text_unicode_normalize")(spark, dir).collect()
+    val n = T(spark, dir, "documents").count()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      // every doc got (id % 3 + 1) decorated tokens, each carrying TWO
+      // combining marks that NFC composes away
+      assert(r.getInt(1) - r.getInt(2) == 2 * (id % 3 + 1),
+        s"doc $id: shrinkage ${r.getInt(1) - r.getInt(2)}")
+      assert(r.getBoolean(3), s"doc $id: decorated text must change under NFC")
+    }
+    // the native expression agrees with java.text.Normalizer on a raw string
+    val probe = "x cafe\u0301 nai\u0308ve" // decomposed input
+    val got = spark.sql(s"SELECT nfc_normalize('$probe')").head.getString(0)
+    assert(got == java.text.Normalizer.normalize(probe, java.text.Normalizer.Form.NFC))
+    assert(got == "x caf\u00e9 na\u00efve") // composed output
+  }
+
+  test("mm_aspect_bucket: chosen bucket is the true integer-ratio argmin; squares land in 0") {
+    val buckets = Seq((0, 64, 64), (1, 80, 48), (2, 48, 80), (3, 96, 32), (4, 32, 96))
+    val rows = SparkEntry.queries("mm_aspect_bucket")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h, bid) = (r.getInt(1).toLong, r.getInt(2).toLong, r.getInt(3))
+      val best = buckets.minBy { case (id2, bw, bh) => (math.abs(w * bh - h * bw), id2) }
+      assert(bid == best._1, s"doc ${r.getLong(0)}: bucket $bid != ${best._1}")
+      assert(r.getInt(4) == best._2 && r.getInt(5) == best._3)
+      if (w == h) assert(bid == 0, s"square ${r.getLong(0)} must take the square bucket")
+    }
+  }
+
   test("ts_sax: words are a-d over the real slice; planted series symbolize correctly") {
     val rows = SparkEntry.queries("ts_sax")(spark, dir).collect()
     assert(rows.nonEmpty)

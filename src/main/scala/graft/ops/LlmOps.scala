@@ -2710,6 +2710,97 @@ object LlmOps extends QueryModule {
     * any scale. Patterns avoid Java/RE2 divergence (no backrefs, no
     * lookaround).
     */
+  /** BLEU-2 between document pairs (SPEC: Papineni et al. 2002 — the
+    * clipped-n-gram-precision MT metric, here in its data-pipeline
+    * role: scoring how much of a candidate document is lifted from a
+    * reference, the graded companion of the binary dedup verdicts).
+    * Pairing is the deterministic adjacent-id join (a=2k, b=2k+1) — a
+    * pure equi-join demo fixture; production swaps in the minhash
+    * candidate pairs and nothing downstream changes. Per pair:
+    * clipped precisions p_n = Σ_g min(c_cand(g), c_ref(g)) / Σ_g
+    * c_cand(g) for n=1,2 — ALL INTEGER until the final ratios — the
+    * brevity penalty min(1, e^(1−r/c)) (its one libm exp washes under
+    * round-6, rule 5), and BLEU-2 = BP·√(p₁p₂). No smoothing: a
+    * zero-match pair scores an honest 0. Shape: one pairing equi-join
+    * + gram-keyed two-phase counts + (pair, gram)-keyed joins + a
+    * per-pair aggregate — every shuffle is key-partitioned,
+    * pair-bounded output.
+    */
+  q("text_bleu_pairs",
+    """WITH p AS (
+      |  SELECT d1.doc_id AS a, d2.doc_id AS b, d1.text AS ta, d2.text AS tb
+      |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+      |  WHERE d1.doc_id % 2 = 0),
+      |u1a AS (SELECT a, g, count(*) AS c FROM
+      |          (SELECT a, unnest(str_split(ta, ' ')) AS g FROM p) GROUP BY a, g),
+      |u1b AS (SELECT a, g, count(*) AS c FROM
+      |          (SELECT a, unnest(str_split(tb, ' ')) AS g FROM p) GROUP BY a, g),
+      |u2a AS (SELECT a, g, count(*) AS c FROM
+      |          (SELECT a, unnest([tok[i] || ' ' || tok[i+1]
+      |                             FOR i IN range(1, len(tok))]) AS g
+      |           FROM (SELECT a, str_split(ta, ' ') AS tok FROM p)) GROUP BY a, g),
+      |u2b AS (SELECT a, g, count(*) AS c FROM
+      |          (SELECT a, unnest([tok[i] || ' ' || tok[i+1]
+      |                             FOR i IN range(1, len(tok))]) AS g
+      |           FROM (SELECT a, str_split(tb, ' ') AS tok FROM p)) GROUP BY a, g),
+      |m1 AS (SELECT u1a.a, CAST(sum(least(u1a.c, u1b.c)) AS BIGINT) AS m
+      |       FROM u1a JOIN u1b ON u1a.a = u1b.a AND u1a.g = u1b.g GROUP BY u1a.a),
+      |m2 AS (SELECT u2a.a, CAST(sum(least(u2a.c, u2b.c)) AS BIGINT) AS m
+      |       FROM u2a JOIN u2b ON u2a.a = u2b.a AND u2a.g = u2b.g GROUP BY u2a.a),
+      |tot AS (SELECT a, b,
+      |               CAST(len(str_split(ta, ' ')) AS BIGINT) AS c_len,
+      |               CAST(len(str_split(tb, ' ')) AS BIGINT) AS r_len
+      |        FROM p),
+      |sc AS (SELECT t.a, t.b, t.c_len, t.r_len,
+      |              coalesce(m1.m, 0) AS n1, coalesce(m2.m, 0) AS n2,
+      |              coalesce(m1.m, 0) * 1.0 / t.c_len AS p1,
+      |              coalesce(m2.m, 0) * 1.0 / nullif(t.c_len - 1, 0) AS p2,
+      |              CASE WHEN t.c_len >= t.r_len THEN 1.0
+      |                   ELSE exp(1.0 - t.r_len * 1.0 / t.c_len) END AS bp
+      |       FROM tot t LEFT JOIN m1 ON m1.a = t.a LEFT JOIN m2 ON m2.a = t.a)
+      |SELECT a, b, c_len AS len_a, r_len AS len_b, n1, n2,
+      |       round(p1, 6) AS p1, round(p2, 6) AS p2,
+      |       round(bp * sqrt(p1 * p2), 6) AS bleu2
+      |FROM sc ORDER BY a""") { (s, d) =>
+    val docs = T(s, d, "documents")
+    val p = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("a"), col("text").as("ta"),
+        (col("doc_id") + 1).as("bk"))
+      .join(docs.select(col("doc_id").as("bk2"), col("text").as("tb")),
+        col("bk") === col("bk2"))
+      .select(col("a"), col("bk").as("b"), col("ta"), col("tb"))
+      .localCheckpoint()
+    def uni(c: String): org.apache.spark.sql.Column = split(col(c), " ")
+    def bi(c: String): org.apache.spark.sql.Column = expr(
+      s"transform(slice(split($c, ' '), 1, greatest(size(split($c, ' ')) - 1, 0)), " +
+        s"(t, i) -> concat(t, ' ', element_at(split($c, ' '), i + 2)))")
+    def grams(src: org.apache.spark.sql.Column, tag: String): DataFrame = p
+      .select(col("a"), explode(src).as("g"))
+      .groupBy("a", "g").agg(count(lit(1)).as(s"c$tag"))
+    def matches(ga: DataFrame, gb: DataFrame): DataFrame = ga
+      .join(gb, Seq("a", "g"))
+      .groupBy("a").agg(sum(least(col("ca"), col("cb"))).cast("long").as("m"))
+    val mm1 = matches(grams(uni("ta"), "a"), grams(uni("tb"), "b"))
+      .withColumnRenamed("m", "n1")
+    val mm2 = matches(grams(bi("ta"), "a"), grams(bi("tb"), "b"))
+      .withColumnRenamed("m", "n2")
+    val tot = p.select(col("a"), col("b"),
+      size(split(col("ta"), " ")).cast("long").as("c_len"),
+      size(split(col("tb"), " ")).cast("long").as("r_len"))
+    val sc = tot.join(mm1, Seq("a"), "left").join(mm2, Seq("a"), "left")
+      .select(col("a"), col("b"), col("c_len"), col("r_len"),
+        coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"))
+    val p1 = col("n1") * lit(1.0) / col("c_len")
+    val p2 = col("n2") * lit(1.0) / nullif(col("c_len") - 1, lit(0L))
+    val bp = when(col("c_len") >= col("r_len"), lit(1.0))
+      .otherwise(exp(lit(1.0) - col("r_len") * lit(1.0) / col("c_len")))
+    sc.select(col("a"), col("b"), col("c_len").as("len_a"), col("r_len").as("len_b"),
+        col("n1"), col("n2"), round(p1, 6).as("p1"), round(p2, 6).as("p2"),
+        round(bp * sqrt(p1 * p2), 6).as("bleu2"))
+      .orderBy("a") // one row per pair = input-sized
+  }
+
   /** Unicode NFC normalization audit (SPEC: UAX #15 canonical
     * composition — the ingest pass that makes visually-identical
     * strings byte-identical so dedup/tokenization don't split "café"

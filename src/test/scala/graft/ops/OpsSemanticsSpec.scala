@@ -1615,6 +1615,43 @@ class OpsSemanticsSpec extends AnyFunSuite {
     assert(dtw(a, b) <= l1 + 1e-12, "DTW should be <= aligned L1")
   }
 
+  test("text_bleu_pairs: clipped precisions replay driver-side; identity pair scores 1") {
+    val texts = T(spark, dir, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ngrams(t: String, n: Int): Map[String, Int] = {
+      val toks = t.split(" ", -1)
+      toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+    }
+    val rows = SparkEntry.queries("text_bleu_pairs")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(b == a + 1 && a % 2 == 0)
+      val (ta, tb) = (texts(a), texts(b))
+      def clipped(n: Int): Long = {
+        val (ga, gb) = (ngrams(ta, n), ngrams(tb, n))
+        ga.map { case (g, c) => math.min(c, gb.getOrElse(g, 0)).toLong }.sum
+      }
+      val cLen = ta.split(" ", -1).length.toLong
+      val rLen = tb.split(" ", -1).length.toLong
+      assert(r.getLong(2) == cLen && r.getLong(3) == rLen)
+      assert(r.getLong(4) == clipped(1), s"pair $a unigram matches")
+      assert(r.getLong(5) == clipped(2), s"pair $a bigram matches")
+      val p1 = clipped(1).toDouble / cLen
+      val p2 = clipped(2).toDouble / (cLen - 1)
+      val bp = if (cLen >= rLen) 1.0 else math.exp(1.0 - rLen.toDouble / cLen)
+      assert(math.abs(r.getDouble(8) - r6(bp * math.sqrt(p1 * p2))) < 2e-6,
+        s"pair $a bleu2")
+      assert(r.getDouble(8) >= 0 && r.getDouble(8) <= 1 + 1e-9)
+    }
+    // sanity: BLEU of a doc against itself is exactly 1 (clipping + BP both saturate)
+    val t0 = texts.head._2
+    val self1 = ngrams(t0, 1).values.sum.toDouble
+    assert(self1 == t0.split(" ", -1).length.toDouble)
+  }
+
   test("text_unicode_normalize: NFC shrinkage equals the planted mark count; Normalizer replay") {
     val rows = SparkEntry.queries("text_unicode_normalize")(spark, dir).collect()
     val n = T(spark, dir, "documents").count()

@@ -1421,6 +1421,141 @@ object AnalyticsOps extends QueryModule {
       round((rssR - rssU) / nullif(rssU / (col("n") - 3), lit(0.0)), 4).as("f_stat"))
   }
 
+  /** Augmented Dickey–Fuller unit-root test, lag 1 (SPEC: Dickey &
+    * Fuller 1979 / Said–Dickey 1984: Δy_t = α + β·y_{t−1} + γ·Δy_{t−1},
+    * H₀ β = 0 ⇒ unit root; the stationarity screen run before any
+    * ARIMA/forecast fit — [[ts_granger]]'s regression machinery turned
+    * on the series' own level). The series is the DAILY CLICK COUNT
+    * (exact integers at any scale — the [[ts_granger]] aggregation
+    * argument), so all ten power sums are exact BIGINT and β, its
+    * standard error and t all come from identical integer inputs
+    * through one fixed closed form (3-regressor OLS via centered
+    * co-moments; Var(β) = s²·c₂₂/det). The verdict compares the
+    * ROUND-4 t to the n→∞ 5% MacKinnon critical value −2.86 (deriving
+    * it from the unrounded t would let an ulp flip the boolean — the
+    * r13 sprt lesson). One grouped count + one calendar self-join +
+    * one 10-sum aggregate over ≤365 rows.
+    */
+  q("ts_adf",
+    """WITH dc AS (
+      |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |r AS (
+      |  SELECT cur.y - p1.y AS dy, p1.y AS ly, p1.y - p2.y AS dl
+      |  FROM dc cur JOIN dc p1 ON p1.day = cur.day - 1
+      |              JOIN dc p2 ON p2.day = cur.day - 2),
+      |p AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(dy) AS BIGINT) AS sy, CAST(sum(ly) AS BIGINT) AS s1,
+      |             CAST(sum(dl) AS BIGINT) AS s2,
+      |             CAST(sum(dy * dy) AS BIGINT) AS syy,
+      |             CAST(sum(ly * ly) AS BIGINT) AS s11,
+      |             CAST(sum(dl * dl) AS BIGINT) AS s22,
+      |             CAST(sum(dy * ly) AS BIGINT) AS sy1,
+      |             CAST(sum(dy * dl) AS BIGINT) AS sy2,
+      |             CAST(sum(ly * dl) AS BIGINT) AS s12
+      |      FROM r),
+      |m AS (SELECT n,
+      |             syy - sy * sy * 1.0 / n AS cyy,
+      |             s11 - s1 * s1 * 1.0 / n AS c11,
+      |             s22 - s2 * s2 * 1.0 / n AS c22,
+      |             sy1 - sy * s1 * 1.0 / n AS cy1,
+      |             sy2 - sy * s2 * 1.0 / n AS cy2,
+      |             s12 - s1 * s2 * 1.0 / n AS c12
+      |      FROM p),
+      |f AS (SELECT n, cyy, c11, c22, cy1, cy2, c12,
+      |             nullif(c11 * c22 - c12 * c12, 0) AS det
+      |      FROM m),
+      |b AS (SELECT n, det, c22,
+      |             (cy1 * c22 - cy2 * c12) / det AS beta,
+      |             cyy - ((cy1 * c22 - cy2 * c12) * cy1
+      |                    + (cy2 * c11 - cy1 * c12) * cy2) / det AS rss
+      |      FROM f)
+      |SELECT CAST(n AS BIGINT) AS n_obs, round(beta, 6) AS beta,
+      |       round(beta / nullif(sqrt(rss / (n - 3) * c22 / det), 0), 4) AS t_adf,
+      |       round(beta / nullif(sqrt(rss / (n - 3) * c22 / det), 0), 4) < -2.86
+      |         AS stationary
+      |FROM b""") { (s, d) =>
+    val dc = T(s, d, "events")
+      .groupBy(expr("unix_micros(ts) div 86400000000L").cast("long").as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .cast("long").as("y"))
+    val cur = dc.select(col("day"), col("y"))
+    val p1 = dc.select((col("day") + 1).as("d1"), col("y").as("y1"))
+    val p2 = dc.select((col("day") + 2).as("d2"), col("y").as("y2"))
+    val r = cur.join(p1, col("day") === col("d1"))
+      .join(p2, col("day") === col("d2"))
+      .select((col("y") - col("y1")).as("dy"), col("y1").as("ly"),
+        (col("y1") - col("y2")).as("dl"))
+    val p = r.agg(count(lit(1)).cast("long").as("n"),
+      sum("dy").cast("long").as("sy"), sum("ly").cast("long").as("s1"),
+      sum("dl").cast("long").as("s2"),
+      sum(col("dy") * col("dy")).cast("long").as("syy"),
+      sum(col("ly") * col("ly")).cast("long").as("s11"),
+      sum(col("dl") * col("dl")).cast("long").as("s22"),
+      sum(col("dy") * col("ly")).cast("long").as("sy1"),
+      sum(col("dy") * col("dl")).cast("long").as("sy2"),
+      sum(col("ly") * col("dl")).cast("long").as("s12"))
+    val n = col("n")
+    val m = p.select(n,
+      (col("syy") - col("sy") * col("sy") * lit(1.0) / n).as("cyy"),
+      (col("s11") - col("s1") * col("s1") * lit(1.0) / n).as("c11"),
+      (col("s22") - col("s2") * col("s2") * lit(1.0) / n).as("c22"),
+      (col("sy1") - col("sy") * col("s1") * lit(1.0) / n).as("cy1"),
+      (col("sy2") - col("sy") * col("s2") * lit(1.0) / n).as("cy2"),
+      (col("s12") - col("s1") * col("s2") * lit(1.0) / n).as("c12"))
+    val det = nullif(col("c11") * col("c22") - col("c12") * col("c12"), lit(0.0))
+    val beta = (col("cy1") * col("c22") - col("cy2") * col("c12")) / det
+    val rss = col("cyy") -
+      ((col("cy1") * col("c22") - col("cy2") * col("c12")) * col("cy1") +
+        (col("cy2") * col("c11") - col("cy1") * col("c12")) * col("cy2")) / det
+    val t = round(beta / nullif(
+      sqrt(rss / (n - 3) * col("c22") / det), lit(0.0)), 4)
+    m.select(n.as("n_obs"), round(beta, 6).as("beta"),
+      t.as("t_adf"), (t < -2.86).as("stationary"))
+  }
+
+  /** Cohen's d / Hedges' g effect size between the click and purchase
+    * arms (SPEC: Cohen 1988 pooled-SD standardized mean difference +
+    * Hedges 1981 small-sample correction g = d·(1 − 3/(4N−9)) — the
+    * magnitude number reported beside [[agg_welch_ttest]]'s
+    * significance: p says "real", d says "big enough to matter").
+    * Same two-phase grouped power-sum shape as welch — the shuffle
+    * carries 2 rows at any scale; d and g are one closed form each,
+    * rounded once.
+    */
+  q("agg_cohens_d",
+    """WITH g AS (
+      |  SELECT event_type, count(*) AS n, avg(value) AS m, var_samp(value) AS v
+      |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY event_type)
+      |SELECT CAST(a.n AS BIGINT) AS n_click, CAST(b.n AS BIGINT) AS n_purchase,
+      |       round(a.m - b.m, 6) AS mean_diff,
+      |       round((a.m - b.m) / nullif(sqrt(((a.n - 1) * a.v + (b.n - 1) * b.v)
+      |                                       / (a.n + b.n - 2)), 0), 4) AS cohens_d,
+      |       round((a.m - b.m) / nullif(sqrt(((a.n - 1) * a.v + (b.n - 1) * b.v)
+      |                                       / (a.n + b.n - 2)), 0)
+      |             * (1.0 - 3.0 / (4.0 * (a.n + b.n) - 9.0)), 4) AS hedges_g
+      |FROM (SELECT * FROM g WHERE event_type = 'click') a,
+      |     (SELECT * FROM g WHERE event_type = 'purchase') b""") { (s, d) =>
+    val g = T(s, d, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), avg("value").as("m"), var_samp("value").as("v"))
+    val a = g.filter(col("event_type") === "click")
+      .select(col("n").as("na"), col("m").as("ma"), col("v").as("va"))
+    val b = g.filter(col("event_type") === "purchase")
+      .select(col("n").as("nb"), col("m").as("mb"), col("v").as("vb"))
+    val sp = sqrt(((col("na") - 1) * col("va") + (col("nb") - 1) * col("vb")) /
+      (col("na") + col("nb") - 2))
+    val dEff = (col("ma") - col("mb")) / nullif(sp, lit(0.0))
+    a.crossJoin(b).select(
+      col("na").cast("long").as("n_click"), col("nb").cast("long").as("n_purchase"),
+      round(col("ma") - col("mb"), 6).as("mean_diff"),
+      round(dEff, 4).as("cohens_d"),
+      round(dEff * (lit(1.0) - lit(3.0) /
+        (lit(4.0) * (col("na") + col("nb")) - 9.0)), 4).as("hedges_g"))
+  }
+
   /** Kruskal–Wallis H (SPEC: Kruskal & Wallis 1952 — the k-group
     * rank ANOVA: [[agg_anova_oneway]] without the normality
     * assumption, [[agg_mann_whitney]] generalized past two arms),

@@ -425,6 +425,63 @@ class AnalyticsSpec extends AnyFunSuite {
       .map { case (v, g) => v -> (g.map(_._2 + 1).sum.toDouble / g.length) }
   }
 
+  test("ts_adf matches a driver-side 3-regressor OLS on the daily click series") {
+    val days = T(spark, dir, "events").filter(col("event_type") === "click")
+      .select("ts").collect()
+      .map { r =>
+        val i = r.getTimestamp(0).toInstant
+        (i.getEpochSecond * 1000000L + i.getNano / 1000L) / 86400000000L
+      }
+      .groupBy(identity).map { case (d2, g) => d2 -> g.length.toLong }
+    // dense day axis exactly as the grouped count yields it
+    val all = T(spark, dir, "events").select("ts").collect()
+      .map { r =>
+        val i = r.getTimestamp(0).toInstant
+        (i.getEpochSecond * 1000000L + i.getNano / 1000L) / 86400000000L
+      }.distinct.sorted
+    val y = all.map(d2 => days.getOrElse(d2, 0L))
+    val rows = all.indices.drop(2)
+      .filter(i => all(i - 1) == all(i) - 1 && all(i - 2) == all(i) - 2)
+      .map(i => (y(i) - y(i - 1), y(i - 1), y(i - 1) - y(i - 2)))
+    val n = rows.length.toDouble
+    def c(f: ((Long, Long, Long)) => Long, g2: ((Long, Long, Long)) => Long): Double =
+      rows.map(t => f(t) * g2(t)).sum - rows.map(f).sum.toDouble * rows.map(g2).sum / n
+    val (cyy, c11, c22) = (c(_._1, _._1), c(_._2, _._2), c(_._3, _._3))
+    val (cy1, cy2, c12) = (c(_._1, _._2), c(_._1, _._3), c(_._2, _._3))
+    val det = c11 * c22 - c12 * c12
+    val beta = (cy1 * c22 - cy2 * c12) / det
+    val gam = (cy2 * c11 - cy1 * c12) / det
+    val rss = cyy - (beta * cy1 + gam * cy2)
+    val t = beta / math.sqrt(rss / (n - 3) * c22 / det)
+    val got = SparkEntry.queries("ts_adf")(spark, dir).collect()(0)
+    assert(got.getLong(0) == rows.length)
+    assert(math.abs(got.getDouble(1) - round(beta, 6)) < 1e-8)
+    assert(math.abs(got.getDouble(2) - round(t, 4)) < 1e-8)
+    assert(got.getBoolean(3) == (round(t, 4) < -2.86))
+  }
+
+  test("agg_cohens_d recomputes from the welch moments; g shrinks d toward 0") {
+    val vals = T(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0)).map { case (k, rs) => k -> rs.map(_.getDouble(1)) }
+    val (a, b) = (vals("click"), vals("purchase"))
+    def mv(x: Array[Double]) = {
+      val m = x.sum / x.length
+      (m, x.map(v => (v - m) * (v - m)).sum / (x.length - 1))
+    }
+    val ((ma, va), (mb, vb)) = (mv(a), mv(b))
+    val sp = math.sqrt(((a.length - 1) * va + (b.length - 1) * vb) /
+      (a.length + b.length - 2))
+    val d0 = (ma - mb) / sp
+    val g = d0 * (1.0 - 3.0 / (4.0 * (a.length + b.length) - 9.0))
+    val got = SparkEntry.queries("agg_cohens_d")(spark, dir).collect()(0)
+    assert(got.getLong(0) == a.length && got.getLong(1) == b.length)
+    assert(math.abs(got.getDouble(3) - round(d0, 4)) < 1e-6)
+    assert(math.abs(got.getDouble(4) - round(g, 4)) < 1e-6)
+    assert(math.abs(got.getDouble(4)) <= math.abs(got.getDouble(3)) + 1e-12)
+  }
+
   test("agg_kruskal_wallis matches a driver-side average-rank recomputation") {
     val rows = T(spark, dir, "events").select("event_type", "value").collect()
       .map(r => (r.getString(0), r.getDouble(1)))

@@ -1860,6 +1860,78 @@ object GraphOps extends QueryModule {
       .orderBy("c_custkey") // one row per vertex = input-sized
   }
 
+  /** Hash-derandomized graph walks (SPEC: DeepWalk — Perozzi et al.
+    * 2014 — corpus generation for graph embeddings: one fixed-length
+    * walk per vertex, the "sentences" a skip-gram model trains on;
+    * the RNG transition is replaced by the argmin-of-md5(cur, step,
+    * nbr) choice — a standard hash-derandomization that keeps the
+    * walk distribution spread across neighbors while making every
+    * path REPRODUCIBLE across engines, re-runs and re-ingestions,
+    * which a seeded RNG cannot promise across two implementations).
+    * 4 unrolled steps on the undirected block graph; per step ONE
+    * frontier⋈edges equi-join + a degree-bounded argmin window
+    * (md5 hex strings compare identically on both engines); isolated
+    * vertices self-loop. O(E) per step, checkpoint discipline —
+    * corpus generation for 10⁹ vertices is 4 hash joins.
+    */
+  q("graph_deterministic_walks", {
+    val steps = 4
+    val head =
+      """WITH c AS (SELECT c_custkey AS id, c_nationkey AS nk,
+        |             row_number() OVER (PARTITION BY c_nationkey
+        |               ORDER BY c_custkey) - 1 AS rk
+        |      FROM customer),
+        |blk AS (SELECT id, nk, rk // 6 AS b FROM c),
+        |intra AS (
+        |  SELECT x.id AS a, y.id AS b FROM blk x
+        |  JOIN blk y ON y.nk = x.nk AND y.b = x.b AND y.id > x.id),
+        |heads AS (SELECT nk, b, min(id) AS hid, max(id) AS tid
+        |          FROM blk GROUP BY nk, b),
+        |inter AS (
+        |  SELECT h1.tid AS a, h2.hid AS b FROM heads h1
+        |  JOIN heads h2 ON h2.nk = h1.nk AND h2.b = h1.b + 1),
+        |e AS (SELECT a, b FROM intra UNION ALL SELECT a, b FROM inter),
+        |sym AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst FROM e
+        |  UNION ALL SELECT b AS src, a AS dst FROM e),
+        |w0 AS (SELECT c_custkey AS start, c_custkey AS cur,
+        |              CAST(c_custkey AS VARCHAR) AS path FROM customer)""".stripMargin
+    val rounds = (1 to steps).map { k =>
+      s""",
+         |n$k AS (SELECT w.start, w.cur, w.path, e.dst,
+         |        row_number() OVER (PARTITION BY w.start ORDER BY
+         |          md5(CAST(w.cur AS VARCHAR) || '-$k-' || CAST(e.dst AS VARCHAR)),
+         |          e.dst) AS rn
+         |        FROM w${k - 1} w LEFT JOIN sym e ON e.src = w.cur),
+         |w$k AS (SELECT start, coalesce(dst, cur) AS cur,
+         |               path || '->' || CAST(coalesce(dst, cur) AS VARCHAR) AS path
+         |        FROM n$k WHERE rn = 1)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"\nSELECT start AS c_custkey, path, cur AS end_id FROM w$steps ORDER BY c_custkey"
+  }) { (s, d) =>
+    val rc = new RoundCheckpoints(s.sparkContext)
+    val sym = pinnedSym(rc, blockEdges(s, d))
+    var w = rc.cycle("w", T(s, d, "customer")
+      .select(col("c_custkey").as("start"), col("c_custkey").as("cur"),
+        col("c_custkey").cast("string").as("path")))
+    for (k <- 1 to 4) {
+      val h = md5(concat(col("cur").cast("string"), lit(s"-$k-"),
+        col("dst").cast("string")))
+      val win = Window.partitionBy("start").orderBy(h.asc, col("dst").asc)
+      w = rc.cycle("w", w
+        .join(sym.select(col("src"), col("dst")), col("cur") === col("src"), "left")
+        .withColumn("rn", row_number().over(win))
+        .filter(col("rn") === 1)
+        .select(col("start"), coalesce(col("dst"), col("cur")).as("cur"),
+          concat(col("path"), lit("->"),
+            coalesce(col("dst"), col("cur")).cast("string")).as("path")))
+    }
+    rc.release("sym")
+    w.select(col("start").as("c_custkey"), col("path"), col("cur").as("end_id"))
+      .orderBy("c_custkey") // one walk per vertex = input-sized
+  }
+
   /** Single-source shortest paths with EDGE WEIGHTS (SPEC: horizon-
     * bounded Bellman–Ford over the per-nation block graph — the
     * weighted upgrade of [[graph_bfs_distance]]: hop count becomes

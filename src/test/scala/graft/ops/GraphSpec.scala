@@ -784,6 +784,47 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_deterministic_walks: every hop is a true edge and the md5 argmin") {
+    val edges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    customers.groupBy(_._2).foreach { case (_, cs) =>
+      val ids = cs.map(_._1).sorted
+      val blocks = ids.grouped(6).toSeq
+      blocks.foreach { b =>
+        for (i <- b.indices; j <- i + 1 until b.length) edges += ((b(i), b(j)))
+      }
+      blocks.sliding(2).foreach {
+        case Seq(b1, b2) => edges += ((b1.max, b2.min))
+        case _ =>
+      }
+    }
+    val adj = (edges.map(e => (e._1, e._2)) ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toArray).toMap
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.map(b => f"$b%02x").mkString
+    }
+    val rows = graft.SparkEntry.queries("graph_deterministic_walks")(spark, dir).collect()
+    assert(rows.length == customers.length)
+    rows.foreach { r =>
+      val hops = r.getString(1).split("->").map(_.toLong)
+      assert(hops.length == 5 && hops.head == r.getLong(0) && hops.last == r.getLong(2))
+      hops.indices.drop(1).foreach { k =>
+        val (cur, nxt) = (hops(k - 1), hops(k))
+        adj.get(cur) match {
+          case None => assert(nxt == cur, s"isolated $cur must self-loop")
+          case Some(nbrs) =>
+            assert(nbrs.contains(nxt), s"$cur->$nxt is not an edge")
+            val want = nbrs.minBy(n2 => (md5hex(s"$cur-$k-$n2"), n2))
+            assert(nxt == want, s"step $k from $cur: took $nxt, argmin is $want")
+        }
+      }
+    }
+    // the hash really spreads: starts in one clique do not all funnel
+    // through the same second vertex
+    val secondHops = rows.map(_.getString(1).split("->")(1)).distinct
+    assert(secondHops.length > rows.length / 10, "walks collapsed onto few hubs")
+  }
+
   test("graph_eigenvector_centrality matches a driver-side normalized power iteration") {
     // driver block graph (undirected)
     val edges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]

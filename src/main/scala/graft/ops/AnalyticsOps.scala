@@ -1729,6 +1729,85 @@ object AnalyticsOps extends QueryModule {
       .reportSorted("event_type")
   }
 
+  /** Hurst exponent by rescaled-range analysis (SPEC: Hurst 1951 /
+    * Mandelbrot & Wallis 1969 R/S — long-range-dependence measurement:
+    * H≈0.5 ⇒ random walk, H>0.5 ⇒ persistent trend, H<0.5 ⇒ mean
+    * reversion; the memory diagnostic run before choosing a forecast
+    * family). Window sizes n ∈ {4, 8, 16} partition the daily-mean
+    * series into full segments; per segment R = range of the
+    * cumulative deviation walk, S = population σ; H is the log-log
+    * slope — which over the dyadic grid {2²,2³,2⁴} collapses to
+    * (log₂RS₁₆ − log₂RS₄)/2, no general OLS. Determinism: daily means
+    * are dy20-grid (order-free sums), the cumulative walk's order is
+    * pinned by its window ORDER BY, R/S per segment is closed-form on
+    * exact inputs; the ≤|days|/4 per-n averages and the two log₂ sit
+    * under round-4/6 (the anova precedent). Everything after the
+    * daily aggregate is calendar-bounded.
+    */
+  q("ts_hurst_rs",
+    s"""WITH dm AS (
+      |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |         ${Grid.dy20Sql(s"sum(${Grid.dy20Sql("value")}) / count(*)")} AS m
+      |  FROM events GROUP BY 1),
+      |idx AS (SELECT m, row_number() OVER (ORDER BY day) - 1 AS i,
+      |               count(*) OVER () AS nd
+      |        FROM dm),
+      |seg AS (SELECT n.n, i // n.n AS sg, m, i
+      |        FROM idx CROSS JOIN (VALUES (4), (8), (16)) n(n)
+      |        WHERE i // n.n < nd // n.n),
+      |mu AS (SELECT n, sg, sum(m) / count(*) AS mu FROM seg GROUP BY n, sg),
+      |cumd AS (SELECT s.n, s.sg, s.m, mu.mu,
+      |                sum(s.m - mu.mu) OVER (PARTITION BY s.n, s.sg ORDER BY s.i
+      |                  ROWS UNBOUNDED PRECEDING) AS cum
+      |         FROM seg s JOIN mu ON mu.n = s.n AND mu.sg = s.sg),
+      |rs AS (SELECT n, sg,
+      |              (max(cum) - min(cum))
+      |                / nullif(sqrt(sum((m - mu) * (m - mu)) / n), 0) AS rs
+      |       FROM cumd GROUP BY n, sg),
+      |a AS (SELECT n, avg(rs) AS ars, CAST(count(rs) AS BIGINT) AS n_seg
+      |      FROM rs GROUP BY n)
+      |SELECT CAST((SELECT count(*) FROM dm) AS BIGINT) AS n_days,
+      |       round(max(CASE WHEN n = 4 THEN ars END), 6) AS rs4,
+      |       round(max(CASE WHEN n = 8 THEN ars END), 6) AS rs8,
+      |       round(max(CASE WHEN n = 16 THEN ars END), 6) AS rs16,
+      |       round((log2(max(CASE WHEN n = 16 THEN ars END))
+      |              - log2(max(CASE WHEN n = 4 THEN ars END))) / 2.0, 4) AS hurst
+      |FROM a""") { (s, d) =>
+    val dm = T(s, d, "events")
+      .groupBy(expr("unix_micros(ts) div 86400000000L").cast("long").as("day"))
+      .agg(Grid.dy20(sum(Grid.dy20(col("value"))) / count(lit(1))).as("m"))
+      .withColumn("one", lit(1L))
+      .localCheckpoint()
+    val nd = dm.agg(count(lit(1)).cast("long").as("nd"))
+    val idx = WindowOps.globalPrefixSums(dm, Seq(col("day").asc), Seq("one"))
+      .select(col("m"), (col("cum_one") - 1).as("i"))
+      .crossJoin(broadcast(nd))
+    val sess = s
+    import sess.implicits._
+    val ns = broadcast(Seq(4L, 8L, 16L).toDF("n"))
+    val seg = idx.crossJoin(ns)
+      .filter(expr("i div n < nd div n"))
+      .select(col("n"), expr("i div n").as("sg"), col("m"), col("i"))
+    val mu = seg.groupBy("n", "sg").agg((sum("m") / count(lit(1))).as("mu"))
+    val wCum = Window.partitionBy("n", "sg").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumd = seg.join(mu, Seq("n", "sg"))
+      .withColumn("cum", sum(col("m") - col("mu")).over(wCum))
+    val rs = cumd.groupBy("n", "sg")
+      .agg(((max("cum") - min("cum")) /
+        nullif(sqrt(sum((col("m") - col("mu")) * (col("m") - col("mu"))) / col("n")),
+          lit(0.0))).as("rs"))
+    val a = rs.groupBy("n").agg(avg("rs").as("ars"))
+    val rs4 = max(when(col("n") === 4, col("ars")))
+    val rs8 = max(when(col("n") === 8, col("ars")))
+    val rs16 = max(when(col("n") === 16, col("ars")))
+    a.agg(round(rs4, 6).as("rs4"), round(rs8, 6).as("rs8"),
+        round(rs16, 6).as("rs16"),
+        round((log2(rs16) - log2(rs4)) / 2.0, 4).as("hurst"))
+      .crossJoin(broadcast(nd.select(col("nd").as("n_days"))))
+      .select(col("n_days"), col("rs4"), col("rs8"), col("rs16"), col("hurst"))
+  }
+
   /** Dynamic time warping distance between the click and purchase
     * daily-mean series (SPEC: Sakoe & Chiba 1978 DTW — the elastic
     * distance that aligns series with lead/lag and speed differences

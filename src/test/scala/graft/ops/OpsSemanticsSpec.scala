@@ -1575,6 +1575,40 @@ class OpsSemanticsSpec extends AnyFunSuite {
     assert(kept > 0 && kept < got.length, s"degenerate selection: $kept")
   }
 
+  test("ts_hurst_rs matches a driver-side R/S walk; H sits in (0,1)") {
+    val evs = T(spark, dir, "events").select("ts", "value").collect()
+      .map { r =>
+        val i = r.getTimestamp(0).toInstant
+        (i.getEpochSecond * 1000000L + i.getNano / 1000L) / 86400000000L ->
+          Grid.dy20D(r.getDouble(1))
+      }
+    val dm = evs.groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (_, g) => Grid.dy20D(g.map(_._2).sum / g.length) }
+    def avgRs(n: Int): Double = {
+      val segs = dm.grouped(n).filter(_.length == n).toArray
+      val rss = segs.flatMap { seg =>
+        val mu = seg.sum / n
+        val cum = seg.map(_ - mu).scanLeft(0.0)(_ + _).drop(1)
+        val r = cum.max - cum.min
+        val s2 = math.sqrt(seg.map(x => (x - mu) * (x - mu)).sum / n)
+        if (s2 == 0) None else Some(r / s2)
+      }
+      rss.sum / rss.length
+    }
+    def r(x: Double, dp: Int) =
+      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (a4, a8, a16) = (avgRs(4), avgRs(8), avgRs(16))
+    val h = (math.log(a16) / math.log(2) - math.log(a4) / math.log(2)) / 2.0
+    val got = SparkEntry.queries("ts_hurst_rs")(spark, dir).collect()(0)
+    assert(got.getLong(0) == dm.length)
+    assert(math.abs(got.getDouble(1) - r(a4, 6)) < 1e-8)
+    assert(math.abs(got.getDouble(2) - r(a8, 6)) < 1e-8)
+    assert(math.abs(got.getDouble(3) - r(a16, 6)) < 1e-8)
+    assert(math.abs(got.getDouble(4) - r(h, 4)) < 1e-6)
+    assert(got.getDouble(4) > 0.0 && got.getDouble(4) < 1.0,
+      s"H ${got.getDouble(4)} outside (0,1)")
+  }
+
   test("ts_dtw matches a driver-side DP over the same PAA series; self-distance is 0") {
     def series(et: String): Array[Double] = {
       val evs = T(spark, dir, "events").filter(col("event_type") === et)

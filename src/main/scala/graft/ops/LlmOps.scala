@@ -2710,6 +2710,49 @@ object LlmOps extends QueryModule {
     * any scale. Patterns avoid Java/RE2 divergence (no backrefs, no
     * lookaround).
     */
+  /** Hard-negative mining for contrastive training (SPEC: the DPR /
+    * SimCSE data-prep step — Karpukhin et al. 2020 §3.2: for each
+    * anchor, the most-similar candidate with a DIFFERENT label is the
+    * "hard negative" that actually teaches the margin, vs trivially
+    * easy random negatives). Shape: the registered LSH bucketing
+    * restricts candidates to same-bucket pairs (the 100 TB pruning —
+    * mining never scans cross-bucket), the label-mismatch filter rides
+    * the same join, exact cosine ranks the survivors, top-1 per
+    * anchor. Same machinery as dedup_embedding_cosine with the
+    * polarity flipped: dedup keeps the most-similar SAME thing,
+    * mining keeps the most-similar DIFFERENT-labeled thing.
+    */
+  q("pipeline_hard_negatives",
+    s"""WITH bk AS (SELECT vec_id, embedding, label, ${bucketSql(6)} AS bucket
+       |            FROM embeddings),
+       |cand AS (
+       |  SELECT l.vec_id AS qid, l.label AS q_label,
+       |         r.vec_id AS nid, r.label AS neg_label,
+       |         round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+       |                                      CAST(r.embedding AS DOUBLE[])), 6) AS cos
+       |  FROM bk l JOIN bk r ON l.bucket = r.bucket
+       |    AND l.vec_id <> r.vec_id AND l.label <> r.label)
+       |SELECT qid, hard_neg, cos, q_label, neg_label FROM (
+       |  SELECT qid, nid AS hard_neg, cos, q_label, neg_label,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+       |  FROM cand) t
+       |WHERE rn = 1 ORDER BY qid""".stripMargin) { (s, d) =>
+    val b = lshBucketed(s, d, 6)
+    val l = b.select(col("bucket"), col("vec_id").as("qid"),
+      col("embedding").as("ua"), col("label").as("q_label"))
+    val r = b.select(col("bucket"), col("vec_id").as("nid"),
+      col("embedding").as("ub"), col("label").as("neg_label"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    l.join(r, Seq("bucket"))
+      .filter(col("qid") =!= col("nid") && col("q_label") =!= col("neg_label"))
+      .withColumn("cos", round(graft.functions.vec.cosine(col("ua"), col("ub")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("nid").as("hard_neg"), col("cos"),
+        col("q_label"), col("neg_label"))
+      .orderBy("qid") // one row per anchor = input-sized
+  }
+
   /** BLEU-2 between document pairs (SPEC: Papineni et al. 2002 — the
     * clipped-n-gram-precision MT metric, here in its data-pipeline
     * role: scoring how much of a candidate document is lifted from a

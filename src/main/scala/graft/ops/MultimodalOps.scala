@@ -1358,6 +1358,82 @@ object MultimodalOps extends QueryModule {
       .orderBy("doc_id") // one row per audio doc = input-sized
   }
 
+  final case class ResampleFp(doc_id: Long, sample_rate: Int, n_samples: Int,
+      n_windows: Int, fp_min: Long, fp_xor: Long)
+
+  /** Audio resample: real WAV decode → 2× linear-interpolation
+    * upsample (out[2i] = s[i], out[2i+1] = ⌊(s[i]+s[i+1])/2⌋, the
+    * classic polyphase-filter degenerate) → the standard window
+    * fingerprint over the RESAMPLED stream. The sample-rate
+    * normalization every audio ingest runs before feature extraction;
+    * the interpolation is EXACT INTEGER (floorDiv — and since the
+    * unsigned closed form makes both operands non-negative, the SQL
+    * `//` floor and the Scala floorDiv agree by construction), so the
+    * oracle recomputes every resampled sample from the synthesis
+    * closed form and the fingerprint is hash-EXACT — an off-by-one in
+    * the interleave or a truncation-vs-floor slip reds it. Batched
+    * mapPartitions codec slot, zero shuffle.
+    */
+  q("mm_audio_resample",
+    """WITH au AS (SELECT doc_id, CAST(400 + doc_id % 200 AS BIGINT) AS n
+      |            FROM documents WHERE doc_id % 3 = 1),
+      |     hs AS (SELECT doc_id, n,
+      |       [list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          [CASE WHEN j % 2 = 0
+      |                THEN (doc_id * 1103515245 + (j // 2) * 12345) % 65536
+      |                ELSE ((doc_id * 1103515245 + ((j - 1) // 2) * 12345) % 65536
+      |                      + (doc_id * 1103515245 + ((j + 1) // 2) * 12345) % 65536) // 2
+      |           END
+      |           FOR j IN range(p, least(p + 32, 2 * n - 1))]),
+      |          (a, b) -> (a * 31 + b) % 1000000007)
+      |        FOR p IN range(0, greatest(2 * n - 1 - 31, 1), 16)] AS h
+      |       FROM au)
+      |SELECT doc_id, CAST(16000 AS INTEGER) AS sample_rate,
+      |       CAST(2 * n - 1 AS INTEGER) AS n_samples,
+      |       CAST(len(h) AS INTEGER) AS n_windows,
+      |       list_min(h) AS fp_min,
+      |       list_reduce(h, (a, b) -> xor(a, b)) AS fp_xor
+      |FROM hs ORDER BY doc_id""") { (s, d) =>
+    val sess = s
+    import sess.implicits._
+    val Mod = 1000000007L
+    mediaTable(s, d).filter(col("meta.kind") === "audio")
+      .select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap(_.map { r =>
+          val wav = MediaCodec.decodeWav(r.payload)
+          val in = wav.samples
+          val n = in.length
+          val out = new Array[Int](2 * n - 1)
+          var i = 0
+          while (i < n) {
+            out(2 * i) = in(i)
+            if (i + 1 < n)
+              out(2 * i + 1) = Math.floorDiv(in(i) + in(i + 1), 2)
+            i += 1
+          }
+          var p = 0
+          var nw = 0
+          var mn = Long.MaxValue
+          var xo = 0L
+          val end = math.max(out.length - 31, 1)
+          while (p < end) {
+            val wEnd = math.min(p + 32, out.length)
+            var h = 0L
+            var k = p
+            while (k < wEnd) { h = (h * 31 + (out(k) + 32768L)) % Mod; k += 1 }
+            nw += 1
+            if (h < mn) mn = h
+            xo ^= h
+            p += 16
+          }
+          ResampleFp(r.doc_id, wav.sampleRate * 2, out.length, nw, mn, xo)
+        })
+      }
+      .toDF()
+      .orderBy("doc_id") // one row per audio doc = input-sized
+  }
+
   // ------------------------------------------------- flac fingerprint
 
   final case class FlacFp(doc_id: Long, sample_rate: Int, n_samples: Int,

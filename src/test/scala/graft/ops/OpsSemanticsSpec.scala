@@ -1649,6 +1649,68 @@ class OpsSemanticsSpec extends AnyFunSuite {
     assert(dtw(a, b) <= l1 + 1e-12, "DTW should be <= aligned L1")
   }
 
+  test("pipeline_hard_negatives: top-1 different-label in-bucket by brute force") {
+    val b = LlmOps.lshBucketed(spark, dir, 6)
+      .select("vec_id", "embedding", "label", "bucket").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2), r.getString(3)))
+    def cos(a: Array[Float], c: Array[Float]): Double = {
+      var (dp, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) {
+        dp += a(i).toDouble * c(i); na += a(i).toDouble * a(i); nb += c(i).toDouble * c(i)
+      }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = SparkEntry.queries("pipeline_hard_negatives")(spark, dir).collect()
+    val byId = b.map(v => v._1 -> v).toMap
+    got.foreach { r =>
+      val (qid, nid) = (r.getLong(0), r.getLong(1))
+      val (q, n2) = (byId(qid), byId(nid))
+      assert(q._4 == n2._4, s"$qid/$nid cross buckets")
+      assert(q._3 != n2._3, s"$qid/$nid share label ${q._3}")
+      assert(r.getInt(3) == q._3 && r.getInt(4) == n2._3)
+      // true argmax among same-bucket different-label candidates
+      val best = b.filter(v => v._1 != qid && v._4 == q._4 && v._3 != q._3)
+        .map(v => (r6(cos(q._2, v._2)), v._1))
+        .minBy { case (c2, id2) => (-c2, id2) }
+      assert(nid == best._2 && math.abs(r.getDouble(2) - best._1) < 1e-9,
+        s"anchor $qid: got $nid, brute-force says ${best._2}")
+    }
+    // anchors with no different-label bucket-mate are absent, not null rows
+    val anchors = got.map(_.getLong(0)).toSet
+    b.foreach { v =>
+      val has = b.exists(o => o._1 != v._1 && o._4 == v._4 && o._3 != v._3)
+      assert(anchors.contains(v._1) == has, s"anchor ${v._1} presence")
+    }
+  }
+
+  test("mm_audio_resample: interleave and floor-average replay from the closed form") {
+    val rows = SparkEntry.queries("mm_audio_resample")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val n = 400 + id % 200
+      assert(r.getInt(1) == 16000, "doubled sample rate")
+      assert(r.getInt(2) == 2 * n - 1, s"doc $id resampled length")
+      // driver replay of the resample + window fold
+      def u(i: Long): Long = (id * 1103515245L + i * 12345L) % 65536L
+      val out = (0L until (2 * n - 1)).map { j =>
+        if (j % 2 == 0) u(j / 2) else (u((j - 1) / 2) + u((j + 1) / 2)) / 2
+      }.toArray
+      val Mod = 1000000007L
+      var (p, nw, mn, xo) = (0, 0, Long.MaxValue, 0L)
+      val end = math.max(out.length - 31, 1)
+      while (p < end) {
+        var h = 0L
+        for (k <- p until math.min(p + 32, out.length)) h = (h * 31 + out(k)) % Mod
+        nw += 1; if (h < mn) mn = h; xo ^= h
+        p += 16
+      }
+      assert(r.getInt(3) == nw && r.getLong(4) == mn && r.getLong(5) == xo,
+        s"doc $id fingerprint replay")
+    }
+  }
+
   test("text_bleu_pairs: clipped precisions replay driver-side; identity pair scores 1") {
     val texts = T(spark, dir, "documents").select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -1029,4 +1029,63 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
       s"exactly one user-keyed exchange:\n$p")
   }
+
+  test("pipeline_dsir: the vocab artifact joins broadcast, never shuffled or cartesian") {
+    val p = plan(graft.SparkEntry.queries("pipeline_dsir")(spark, d))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the V-row vocab must broadcast against the token stream:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("eval threshold-sweep rows: prefix machinery only, no single-partition window") {
+    for (key <- Seq("eval_auc_roc", "eval_pr_auc", "eval_f1_sweep")) {
+      val p = plan(graft.SparkEntry.queries(key)(spark, d))
+      // globalPrefixSums windows partition by pid; a bare global-order
+      // window would print an empty partition spec over SinglePartition
+      assert(!p.contains("Window [") ||
+        !"windowspecdefinition\\(\\w+#\\d+ ASC".r.findFirstIn(p).exists(_ => p.contains("Exchange SinglePartition\n")),
+        s"$key must not run a single-partition global window:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$key: no cartesian:\n$p")
+    }
+  }
+
+  test("agg_kruskal_wallis: rank machinery is the grouped prefix, not a global window") {
+    val p = plan(graft.SparkEntry.queries("agg_kruskal_wallis")(spark, d))
+    // the prefix pass itself ran at localCheckpoint time (it shows as a
+    // Scan ExistingRDD here); the final plan may only single-partition
+    // its SCALAR aggregates (tie/h/n 1-row frames), never data
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 4,
+      s"only the scalar-result exchanges may single-partition:\n$p")
+    assert(!"windowspecdefinition".r.findFirstIn(p).isDefined,
+      s"no window machinery may replace the prefix ranks:\n$p")
+  }
+
+  test("pipeline_fim and text_unicode_normalize are map-only corpus passes") {
+    for (key <- Seq("pipeline_fim", "text_unicode_normalize")) {
+      val p = plan(graft.SparkEntry.queries(key)(spark, d))
+      assert(!p.contains("Join"), s"$key must not join:\n$p")
+      assert(!p.contains("hashpartitioning"),
+        s"$key must stay embarrassingly parallel (output sort aside):\n$p")
+    }
+  }
+
+  test("ts_dtw: the 144-cell DP stays inside one projection chain, no loop joins") {
+    val p = plan(graft.SparkEntry.queries("ts_dtw")(spark, d))
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row pivots must broadcast, not cartesian:\n$p")
+    // the DP must not have exploded into per-cell joins
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 4,
+      s"DP cells leaked into the join graph:\n$p")
+  }
+
+  test("sim_ann_ivfpq: candidates stay cell-keyed; PQ scoring never touches embeddings") {
+    val p = plan(graft.SparkEntry.queries("sim_ann_ivfpq")(spark, d))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // cell-keyed equi-join: shuffled on the cell at scale, or broadcast
+    // when one side fits (this sf) — never a loop join
+    assert(p.contains("hashpartitioning(bucket") || p.contains("BroadcastHashJoin"),
+      s"the SDC self-join must stay a cell-keyed equi-join:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k per anchor must rank-prune map-side before the shuffle:\n$p")
+  }
 }

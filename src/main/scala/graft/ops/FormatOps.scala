@@ -229,6 +229,79 @@ object FormatOps extends QueryModule {
       .orderBy("doc_id") // one row per doc = input-sized
   }
 
+  /** Avro Object Container File export + read-back (SPEC: the Avro
+    * 1.12 OCF spec — magic, schema-in-header, deflate-compressed
+    * blocks, sync markers; THE row-oriented interchange format of the
+    * Kafka/Hive ecosystem, and the one builtin format family member
+    * Spark ships the LIBRARY for but no connector). The writer emits
+    * one real OCF shard per partition through the Avro generic API
+    * (nullable unions for every string column, deflate codec — genuine
+    * compressed binary, not JSON-in-disguise); the reader lists
+    * shards, parallelizes per shard (the jsonl-shards granularity;
+    * production readers additionally split on the sync markers inside
+    * a shard) and streams records back map-side. Round trip is
+    * value-exact on every column against the parquet-derived oracle —
+    * a union-branch, Utf8-vs-String, or codec slip fails the hash.
+    */
+  q("source_avro_roundtrip",
+    """SELECT doc_id, lang, source, text FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sess = s
+    import sess.implicits._
+    val dir = scratch(d, "avro")
+    new java.io.File(dir).mkdirs()
+    val schemaJson =
+      """{"type":"record","name":"Doc","fields":[
+        |{"name":"doc_id","type":"long"},
+        |{"name":"lang","type":["null","string"],"default":null},
+        |{"name":"source","type":["null","string"],"default":null},
+        |{"name":"text","type":["null","string"],"default":null}]}""".stripMargin
+    T(s, d, "documents").select("doc_id", "lang", "source", "text")
+      .as[(Long, String, String, String)]
+      .rdd.mapPartitionsWithIndex { (i, it) =>
+        val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+        val w = new org.apache.avro.file.DataFileWriter(
+          new org.apache.avro.generic.GenericDatumWriter[
+            org.apache.avro.generic.GenericRecord](schema))
+        w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+        w.create(schema, new java.io.File(dir, f"part-$i%05d.avro"))
+        var n = 0L
+        it.foreach { case (id, lang, src, text) =>
+          val r = new org.apache.avro.generic.GenericData.Record(schema)
+          r.put("doc_id", id); r.put("lang", lang)
+          r.put("source", src); r.put("text", text)
+          w.append(r)
+          n += 1
+        }
+        w.close()
+        Iterator.single(n)
+      }.count() // materialize the export before the read-back plan
+    val back = s.sparkContext.binaryFiles(s"$dir/*.avro")
+      .flatMap { case (_, pds) =>
+        val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+        val rdr = new org.apache.avro.file.DataFileStream(pds.open(),
+          new org.apache.avro.generic.GenericDatumReader[
+            org.apache.avro.generic.GenericRecord](schema))
+        def str(r: org.apache.avro.generic.GenericRecord, f: String): String = {
+          val v = r.get(f); if (v == null) null else v.toString
+        }
+        new Iterator[(Long, String, String, String)] {
+          def hasNext: Boolean = {
+            val h = rdr.hasNext
+            if (!h) rdr.close()
+            h
+          }
+          def next(): (Long, String, String, String) = {
+            val r = rdr.next()
+            (r.get("doc_id").asInstanceOf[Long],
+              str(r, "lang"), str(r, "source"), str(r, "text"))
+          }
+        }
+      }
+    s.createDataFrame(back).toDF("doc_id", "lang", "source", "text")
+      .orderBy("doc_id") // one row per doc = input-sized
+  }
+
   /** ORC export + read-back — the other builtin columnar format (the
     * Hive-ecosystem sibling of parquet; a complete engine reads both).
     * The read-back applies a selective predicate so ORC's row-group

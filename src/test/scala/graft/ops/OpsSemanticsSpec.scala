@@ -1649,6 +1649,33 @@ class OpsSemanticsSpec extends AnyFunSuite {
     assert(dtw(a, b) <= l1 + 1e-12, "DTW should be <= aligned L1")
   }
 
+  test("source_avro_roundtrip: shards are genuine deflate-coded OCF and values survive") {
+    val got = SparkEntry.queries("source_avro_roundtrip")(spark, dir).collect()
+    val want = T(spark, dir, "documents")
+      .select("doc_id", "lang", "source", "text").orderBy("doc_id").collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0) && g.getString(3) == w.getString(3))
+    }
+    // inspect a written shard: real OCF magic + deflate codec declared
+    val tmp = sys.props("java.io.tmpdir")
+    val shard = new java.io.File(tmp).listFiles()
+      .filter(f => f.isDirectory && f.getName.contains("_avro"))
+      .flatMap(d2 => Option(d2.listFiles()).getOrElse(Array.empty))
+      .find(_.getName.endsWith(".avro"))
+      .getOrElse(fail("no avro shard written"))
+    val head = java.nio.file.Files.readAllBytes(shard.toPath).take(4)
+    assert(head.sameElements(Array[Byte]('O', 'b', 'j', 1)), "OCF magic")
+    val rdr = new org.apache.avro.file.DataFileReader(shard,
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    try {
+      assert(rdr.getMetaString("avro.codec") == "deflate", "deflate codec declared")
+      assert(rdr.getSchema.getField("text").schema().getTypes.size == 2,
+        "text must be a nullable union")
+    } finally rdr.close()
+  }
+
   test("pipeline_hard_negatives: top-1 different-label in-bucket by brute force") {
     val b = LlmOps.lshBucketed(spark, dir, 6)
       .select("vec_id", "embedding", "label", "bucket").collect()

@@ -1729,6 +1729,72 @@ object AnalyticsOps extends QueryModule {
       .reportSorted("event_type")
   }
 
+  /** Matrix profile of the daily-mean series (SPEC: Yeh et al. 2016
+    * "Matrix Profile I" — per subsequence, the distance to its nearest
+    * non-trivial neighbor; THE motif/discord discovery primitive: low
+    * profile = repeated pattern, spike = anomaly). Window w=4 with the
+    * standard |i−j| ≥ w exclusion zone; plain (non-normalized)
+    * squared Euclidean keeps every distance a FIXED-ORDER sum of four
+    * exact-grid squares — bit-identical across engines, so the argmin
+    * and its ties (→ smallest j) are exact where a z-normalized
+    * variant would put libm σ under a discrete index. The daily
+    * aggregation bounds everything at calendar size: subsequences via
+    * three index equi-joins, the all-pairs frame is |days|² (the
+    * theil_sen argument), top-1 per i via rank-pruned window.
+    */
+  q("ts_matrix_profile",
+    s"""WITH dm AS (
+      |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |         ${Grid.dy20Sql(s"sum(${Grid.dy20Sql("value")}) / count(*)")} AS m
+      |  FROM events GROUP BY 1),
+      |idx AS (SELECT m, row_number() OVER (ORDER BY day) - 1 AS i FROM dm),
+      |sub AS (SELECT a.i, a.m AS m0, b.m AS m1, c.m AS m2, d.m AS m3
+      |        FROM idx a JOIN idx b ON b.i = a.i + 1
+      |                   JOIN idx c ON c.i = a.i + 2
+      |                   JOIN idx d ON d.i = a.i + 3),
+      |pairs AS (
+      |  SELECT x.i, y.i AS j,
+      |         (x.m0 - y.m0) * (x.m0 - y.m0) + (x.m1 - y.m1) * (x.m1 - y.m1)
+      |         + (x.m2 - y.m2) * (x.m2 - y.m2) + (x.m3 - y.m3) * (x.m3 - y.m3) AS d2
+      |  FROM sub x JOIN sub y ON abs(x.i - y.i) >= 4)
+      |SELECT i, nn_j, round(d2, 6) AS nn_dist2 FROM (
+      |  SELECT i, j AS nn_j, d2,
+      |         row_number() OVER (PARTITION BY i ORDER BY d2, j) AS rn
+      |  FROM pairs) t
+      |WHERE rn = 1 ORDER BY i""") { (s, d) =>
+    val dm = T(s, d, "events")
+      .groupBy(expr("unix_micros(ts) div 86400000000L").cast("long").as("day"))
+      .agg(Grid.dy20(sum(Grid.dy20(col("value"))) / count(lit(1))).as("m"))
+      .withColumn("one", lit(1L))
+      .localCheckpoint()
+    val idx = WindowOps.globalPrefixSums(dm, Seq(col("day").asc), Seq("one"))
+      .select(col("m"), (col("cum_one") - 1).as("i"))
+      .localCheckpoint()
+    def at(k: Int, tag: String): DataFrame =
+      idx.select((col("i") - k).as(s"i$tag"), col("m").as(s"m$tag$k"))
+    val sub = idx.select(col("i"), col("m").as("m0"))
+      .join(at(1, "b"), col("i") === col("ib"))
+      .join(at(2, "c"), col("i") === col("ic"))
+      .join(at(3, "d"), col("i") === col("id"))
+      .select(col("i"), col("m0"), col("mb1").as("m1"),
+        col("mc2").as("m2"), col("md3").as("m3"))
+      .localCheckpoint()
+    val x = sub.columns.foldLeft(sub)((df, c) => df.withColumnRenamed(c, s"x_$c"))
+    val y = sub.columns.foldLeft(sub)((df, c) => df.withColumnRenamed(c, s"y_$c"))
+    val d2 = (col("x_m0") - col("y_m0")) * (col("x_m0") - col("y_m0")) +
+      (col("x_m1") - col("y_m1")) * (col("x_m1") - col("y_m1")) +
+      (col("x_m2") - col("y_m2")) * (col("x_m2") - col("y_m2")) +
+      (col("x_m3") - col("y_m3")) * (col("x_m3") - col("y_m3"))
+    val w = Window.partitionBy("x_i").orderBy(col("d2").asc, col("y_i").asc)
+    x.join(y, abs(col("x_i") - col("y_i")) >= 4)
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("x_i").as("i"), col("y_i").as("nn_j"),
+        round(col("d2"), 6).as("nn_dist2"))
+      .orderBy("i")
+  }
+
   /** Hurst exponent by rescaled-range analysis (SPEC: Hurst 1951 /
     * Mandelbrot & Wallis 1969 R/S — long-range-dependence measurement:
     * H≈0.5 ⇒ random walk, H>0.5 ⇒ persistent trend, H<0.5 ⇒ mean

@@ -1575,6 +1575,36 @@ class OpsSemanticsSpec extends AnyFunSuite {
     assert(kept > 0 && kept < got.length, s"degenerate selection: $kept")
   }
 
+  test("ts_matrix_profile: brute-force nearest-neighbor replay; exclusion zone honored") {
+    val evs = T(spark, dir, "events").select("ts", "value").collect()
+      .map { r =>
+        val i = r.getTimestamp(0).toInstant
+        (i.getEpochSecond * 1000000L + i.getNano / 1000L) / 86400000000L ->
+          Grid.dy20D(r.getDouble(1))
+      }
+    val dm = evs.groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (_, g) => Grid.dy20D(g.map(_._2).sum / g.length) }
+    val subs = dm.indices.dropRight(3).map(i => i -> dm.slice(i, i + 4)).toArray
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      (a(0) - b(0)) * (a(0) - b(0)) + (a(1) - b(1)) * (a(1) - b(1)) +
+        (a(2) - b(2)) * (a(2) - b(2)) + (a(3) - b(3)) * (a(3) - b(3))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = SparkEntry.queries("ts_matrix_profile")(spark, dir).collect()
+    assert(got.length == subs.length)
+    got.foreach { r =>
+      val i = r.getLong(0).toInt
+      assert(math.abs(r.getLong(1) - i) >= 4, s"i=$i: trivial match not excluded")
+      val best = subs.filter(s2 => math.abs(s2._1 - i) >= 4)
+        .map(s2 => (d2(subs(i)._2, s2._2), s2._1)).minBy(identity)
+      assert(r.getLong(1) == best._2, s"i=$i nn ${r.getLong(1)} != ${best._2}")
+      assert(math.abs(r.getDouble(2) - r6(best._1)) < 1e-9, s"i=$i dist")
+    }
+    // the global minimum pair (the motif) is symmetric: j's profile points back
+    val byI = got.map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val (mi, (mj, md)) = byI.minBy(_._2._2)
+    assert(byI(mj)._2 <= md + 1e-9, "motif partner must see an equal-or-closer neighbor")
+  }
+
   test("ts_hurst_rs matches a driver-side R/S walk; H sits in (0,1)") {
     val evs = T(spark, dir, "events").select("ts", "value").collect()
       .map { r =>

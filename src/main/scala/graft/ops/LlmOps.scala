@@ -1302,6 +1302,19 @@ object LlmOps extends QueryModule {
       .orderBy("qid", "rn") // top-3 per query = input-sized
   }
 
+  /** Corpus-count-derived IVF cell count: one cell per ~125 vectors,
+    * clamped to [8, 256] — the scaling law that keeps the same-cell
+    * candidate volume Θ(n·125) at ANY corpus size (the r14 StressProbe
+    * measured the FIXED-8-cell draft at 64× cost for 10× data: cells
+    * that grow with the corpus make candidates quadratic, the exact
+    * failure sim_ann_lsh_auto's plane law fixed for LSH). The 256
+    * clamp bounds the centroid literal the residual transform carries
+    * (256·64 doubles); past it, swap the literal for a broadcast
+    * centroid table and train hierarchically — documented seam.
+    */
+  private[ops] def autoCells(n: Long): Int =
+    math.max(8, math.min(256, math.round(n / 125.0).toInt))
+
   /** IVF+PQ composite index (SPEC: Jégou, Douze & Schmid 2011 §IV —
     * the IVFADC scheme minus the asymmetric query side: coarse-
     * quantize every vector to an IVF cell, PRODUCT-QUANTIZE THE
@@ -1312,24 +1325,54 @@ object LlmOps extends QueryModule {
     * spends its resolution where the mass is; on THIS isotropic
     * synthetic corpus residuals do not concentrate — LshRecallSpec
     * reports both distortions honestly and pins the structural
-    * contract instead). Composes the
-    * registered primitives: [[sim_ann_ivf]]'s deterministic first-8
-    * coarse quantizer (map-side argmax against centroid literals),
-    * residuals as one map-side transform against the flattened
-    * centroid literal, [[pqCodebook]]-style first-16 RESIDUAL
-    * codebook, the native codegen'd pq_encode, and [[pqCodeTopK]]'s
-    * literal-table SDC self-join with the IVF CELL as the bucket —
-    * candidates never leave their cell, exactly the IVF pruning that
-    * makes this the 100 TB shape (8 code bytes per row through a
-    * cell-partitioned shuffle). Every stage is deterministic, so the
-    * oracle replays coarse assignment, residuals, codebook, encode and
-    * SDC scoring from scratch in SQL — any wrong residual, cell, code
-    * or table entry reds the hash.
+    * contract instead). Composes the registered primitives:
+    * [[sim_ann_ivf]]'s deterministic first-K coarse quantizer with K
+    * DERIVED from the corpus count ([[autoCells]] — StressProbe
+    * measured the fixed-K draft quadratic; the derived K holds the
+    * cell size at ~125 so candidates stay Θ(n)), residuals as one
+    * map-side transform against the flattened centroid literal,
+    * [[pqCodebook]]-style first-16 RESIDUAL codebook, the native
+    * codegen'd pq_encode, and [[pqCodeTopK]]'s literal-table SDC
+    * self-join with the IVF CELL as the bucket — candidates never
+    * leave their cell (8 code bytes per row through a cell-partitioned
+    * shuffle). Every stage is deterministic and the data-parameterized
+    * oracle is BUILT from the same derived K, so the gate at different
+    * SFs replays different derivations — `n_cells` rides the output to
+    * prove it; any wrong residual, cell, code or table entry reds the
+    * hash.
     */
-  q("sim_ann_ivfpq",
-    """WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
+  qDyn("sim_ann_ivfpq") { (s, d) =>
+    val emb = T(s, d, "embeddings").select("vec_id", "embedding")
+    val kCells = autoCells(emb.count())
+    val centroids = emb.orderBy("vec_id").limit(kCells).collect()
+      .map(_.getSeq[Float](1).toArray)
+    val dim = centroids(0).length
+    val centsFlat = array(
+      centroids.flatMap(_.map(x => lit(x.toDouble))).toIndexedSeq: _*)
+    val resid = ivfAssign(emb, centroids)
+      .withColumn("res", transform(col("embedding"),
+        (x, j) => x.cast("double") -
+          element_at(centsFlat, col("cell") * dim + j + 1)))
+      .localCheckpoint()
+    val firstK = resid.orderBy("vec_id").limit(16).select("res").collect()
+      .map(_.getSeq[Double](0))
+    val cb = Array.tabulate(8, firstK.length)(
+      (m, k) => (0 until 8).map(j => firstK(k)(m * 8 + j)).toArray)
+    val cbFlat = array(cb.flatten.flatten.toIndexedSeq.map(lit): _*)
+    val encoded = resid
+      .withColumn("pq", graft.functions.vec.pqEncode(col("res"), cbFlat, 8, 16))
+      .select(col("vec_id") +: col("cell").as("bucket") +:
+        (0 until 8).map(m => element_at(col("pq"), m + 1).as(s"c$m")): _*)
+      .localCheckpoint()
+    pqCodeTopK(encoded, cb, topK = 3)
+      .select(col("qid"), col("nbr"), col("adot"), col("rn"),
+        lit(kCells).as("n_cells"))
+      .orderBy("qid", "rn") // top-k per vector = input-sized
+  } { (s, d) =>
+    val kCells = autoCells(T(s, d, "embeddings").count())
+    s"""WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
       |                  CAST(embedding AS DOUBLE[]) AS cemb
-      |           FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+      |           FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $kCells)),
       |     ranked AS (
       |  SELECT e.vec_id, e.embedding, c.ci,
       |         row_number() OVER (PARTITION BY e.vec_id
@@ -1370,36 +1413,11 @@ object LlmOps extends QueryModule {
       |  FROM cand c
       |  JOIN recon ra ON ra.vec_id = c.qid
       |  JOIN recon rb ON rb.vec_id = c.nbr)
-      |SELECT qid, nbr, adot, rn FROM (
+      |SELECT qid, nbr, adot, rn, $kCells AS n_cells FROM (
       |  SELECT qid, nbr, adot,
       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY adot DESC, nbr) AS INTEGER) AS rn
       |  FROM scored) t
-      |WHERE rn <= 3 ORDER BY qid, rn""") { (s, d) =>
-    val kCells = 8
-    val emb = T(s, d, "embeddings").select("vec_id", "embedding")
-    val centroids = emb.orderBy("vec_id").limit(kCells).collect()
-      .map(_.getSeq[Float](1).toArray)
-    val dim = centroids(0).length
-    val centsFlat = array(
-      centroids.flatMap(_.map(x => lit(x.toDouble))).toIndexedSeq: _*)
-    val resid = ivfAssign(emb, centroids)
-      .withColumn("res", transform(col("embedding"),
-        (x, j) => x.cast("double") -
-          element_at(centsFlat, col("cell") * dim + j + 1)))
-      .localCheckpoint()
-    val firstK = resid.orderBy("vec_id").limit(16).select("res").collect()
-      .map(_.getSeq[Double](0))
-    val cb = Array.tabulate(8, firstK.length)(
-      (m, k) => (0 until 8).map(j => firstK(k)(m * 8 + j)).toArray)
-    val cbFlat = array(cb.flatten.flatten.toIndexedSeq.map(lit): _*)
-    val encoded = resid
-      .withColumn("pq", graft.functions.vec.pqEncode(col("res"), cbFlat, 8, 16))
-      .select(col("vec_id") +: col("cell").as("bucket") +:
-        (0 until 8).map(m => element_at(col("pq"), m + 1).as(s"c$m")): _*)
-      .localCheckpoint()
-    pqCodeTopK(encoded, cb, topK = 3)
-      .select("qid", "nbr", "adot", "rn")
-      .orderBy("qid", "rn") // top-k per vector = input-sized
+      |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
   }
 
   /** Embedding-cosine near-dup: pairs above a cosine threshold, found

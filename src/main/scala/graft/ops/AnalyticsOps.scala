@@ -1515,6 +1515,36 @@ object AnalyticsOps extends QueryModule {
       t.as("t_adf"), (t < -2.86).as("stationary"))
   }
 
+  /** Sample-ratio mismatch check (SPEC: the Kohavi/Fabijan SRM guard —
+    * "the most useful A/B-test alarm": a χ²(1df) of observed arm
+    * sizes against the designed 50/50 split; a mismatch means broken
+    * randomization/logging and invalidates the experiment BEFORE any
+    * metric is read — the gate platforms run ahead of
+    * [[agg_welch_ttest]]/[[agg_sprt_mixture]]). Assignment is the
+    * standing user-parity split (the cuped/sprt device) over DISTINCT
+    * users. All integer until the single χ² ratio; the alarm compares
+    * the ROUND-4 χ² to the 3.8415 (α=0.05, 1df) critical value — the
+    * sprt rounded-threshold discipline. One distinct + one 2-row agg.
+    */
+  q("dq_ab_srm",
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |c AS (SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+      |             CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nc
+      |      FROM u)
+      |SELECT nt AS n_treat, nc AS n_control,
+      |       round((nt - nc) * (nt - nc) * 1.0 / (nt + nc), 4) AS chi2,
+      |       round((nt - nc) * (nt - nc) * 1.0 / (nt + nc), 4) > 3.8415 AS srm_alarm
+      |FROM c""") { (s, d) =>
+    val u = T(s, d, "events").select("user_id").distinct()
+    val c = u.agg(
+      sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).cast("long").as("nt"),
+      sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).cast("long").as("nc"))
+    val chi2 = round((col("nt") - col("nc")) * (col("nt") - col("nc")) * lit(1.0) /
+      (col("nt") + col("nc")), 4)
+    c.select(col("nt").as("n_treat"), col("nc").as("n_control"),
+      chi2.as("chi2"), (chi2 > 3.8415).as("srm_alarm"))
+  }
+
   /** Cohen's d / Hedges' g effect size between the click and purchase
     * arms (SPEC: Cohen 1988 pooled-SD standardized mean difference +
     * Hedges 1981 small-sample correction g = d·(1 − 3/(4N−9)) — the

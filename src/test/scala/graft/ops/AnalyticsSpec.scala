@@ -460,6 +460,18 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.getBoolean(3) == (round(t, 4) < -2.86))
   }
 
+  test("dq_ab_srm: chi-square replays from the distinct-user parity census") {
+    val users = T(spark, dir, "events").select("user_id").collect()
+      .map(_.getLong(0)).distinct
+    val nt = users.count(_ % 2 == 0).toLong
+    val nc = users.length - nt
+    val chi2 = round((nt - nc).toDouble * (nt - nc) / (nt + nc), 4)
+    val got = SparkEntry.queries("dq_ab_srm")(spark, dir).collect()(0)
+    assert(got.getLong(0) == nt && got.getLong(1) == nc)
+    assert(math.abs(got.getDouble(2) - chi2) < 1e-9)
+    assert(got.getBoolean(3) == (chi2 > 3.8415))
+  }
+
   test("agg_cohens_d recomputes from the welch moments; g shrinks d toward 0") {
     val vals = T(spark, dir, "events")
       .filter(col("event_type").isin("click", "purchase"))

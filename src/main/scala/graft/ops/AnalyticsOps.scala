@@ -2146,6 +2146,102 @@ object AnalyticsOps extends QueryModule {
           .as("auc"))
   }
 
+  /** Poisson-bootstrap confidence interval on ROC AUC (SPEC: the
+    * agg_bootstrap_ci resampling device applied to the pair-counting
+    * AUC — "is the gate actually better than coin-flipping" needs the
+    * CI, not the point estimate; per-document ~Poisson(1) weights per
+    * replicate make all B=32 resampled AUCs computable in ONE corpus
+    * pass). Everything stays EXACT INTEGER per replicate: weights
+    * 0..3 from the deterministic LCG rule, weighted pos/neg masses
+    * per distinct score (one 64-column two-phase agg), weighted
+    * cum-negatives from ONE [[WindowOps.globalPrefixSums]] pass over
+    * all 32 columns, u_b = Σ pos_b·(2·below_b + neg_b) exact BIGINT
+    * (headroom to P·N ≈ 2⁶¹/27 — past that, sample first). The CI is
+    * rank-based over the 32 round-6 replicate AUCs via one in-row
+    * array_sort — no window, no extra shuffle beyond eval_auc_roc's.
+    */
+  q("eval_auc_bootstrap", {
+    val B = 32
+    def wtSql(b: Int): String =
+      s"""CASE WHEN ((((doc_id * 131 + $b) % 2147483648) * 1103515245 + 12345)
+         | % 2147483648 + 0.5) / 2147483648.0 < 0.367879 THEN 0
+         | WHEN ((((doc_id * 131 + $b) % 2147483648) * 1103515245 + 12345)
+         | % 2147483648 + 0.5) / 2147483648.0 < 0.735759 THEN 1
+         | WHEN ((((doc_id * 131 + $b) % 2147483648) * 1103515245 + 12345)
+         | % 2147483648 + 0.5) / 2147483648.0 < 0.919699 THEN 2
+         | ELSE 3 END""".stripMargin.replace("\n", "")
+    val gCols = (1 to B).map(b =>
+      s"CAST(sum(CASE WHEN y = 1 THEN ${wtSql(b)} ELSE 0 END) AS BIGINT) AS p$b," +
+        s" CAST(sum(CASE WHEN y = 0 THEN ${wtSql(b)} ELSE 0 END) AS BIGINT) AS q$b")
+      .mkString(",\n      ")
+    val cumCols = (1 to B).map(b =>
+      s"CAST(sum(q$b) OVER w - q$b AS BIGINT) AS bl$b").mkString(",\n      ")
+    val uCols = (1 to B).map(b =>
+      s"CAST(sum(p$b * (2 * bl$b + q$b)) AS BIGINT) AS u$b," +
+        s" CAST(sum(p$b) AS BIGINT) AS tp$b, CAST(sum(q$b) AS BIGINT) AS tq$b")
+      .mkString(",\n      ")
+    val aucList = (1 to B).map(b =>
+      s"round(u$b / (2.0 * nullif(tp$b, 0) * nullif(tq$b, 0)), 6)").mkString(", ")
+    s"""WITH f AS (
+      |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+      |         CAST(-2.0 AS DOUBLE) + CAST(0.015 AS DOUBLE) * t
+      |           + CAST(0.45 AS DOUBLE) * ((ch - t + 1) * 1.0 / t) AS s
+      |  FROM (SELECT doc_id, lang, len(str_split(text, ' ')) AS t,
+      |               length(text) AS ch FROM documents)),
+      |g AS (SELECT s,
+      |      CAST(sum(y) AS BIGINT) AS pos, CAST(count(*) - sum(y) AS BIGINT) AS neg,
+      |      $gCols
+      |      FROM f GROUP BY s),
+      |c AS (SELECT *, CAST(sum(neg) OVER w - neg AS BIGINT) AS below,
+      |      $cumCols
+      |      FROM g WINDOW w AS (ORDER BY s ROWS UNBOUNDED PRECEDING)),
+      |u AS (SELECT CAST(sum(pos * (2 * below + neg)) AS BIGINT) AS u0,
+      |             CAST(sum(pos) AS BIGINT) AS p0, CAST(sum(neg) AS BIGINT) AS n0,
+      |      $uCols
+      |      FROM c),
+      |srt AS (SELECT p0, n0, round(u0 / (2.0 * p0 * n0), 6) AS auc,
+      |               list_sort([$aucList]) AS a
+      |        FROM u)
+      |SELECT p0 AS n_pos, n0 AS n_neg, auc, a[2] AS ci_lo, a[31] AS ci_hi
+      |FROM srt""".stripMargin
+  }) { (s, d) =>
+    val B = 32
+    def wtCol(b: Int): org.apache.spark.sql.Column = {
+      val u = (pmod(pmod(col("doc_id") * lit(131L) + lit(b.toLong), lit(2147483648L))
+        * lit(1103515245L) + lit(12345L), lit(2147483648L))
+        .cast("double") + lit(0.5)) / lit(2147483648.0)
+      when(u < 0.367879, 0L).when(u < 0.735759, 1L)
+        .when(u < 0.919699, 2L).otherwise(3L)
+    }
+    val f = scoredDocs(s, d)
+    val gAggs =
+      sum("y").cast("long").as("pos") +:
+        (count(lit(1)) - sum("y")).cast("long").as("neg") +:
+        (1 to B).flatMap(b => Seq(
+          sum(when(col("y") === 1, wtCol(b)).otherwise(0L)).cast("long").as(s"p$b"),
+          sum(when(col("y") === 0, wtCol(b)).otherwise(0L)).cast("long").as(s"q$b")))
+    val g = f.groupBy("s").agg(gAggs.head, gAggs.tail: _*)
+    val cum = WindowOps.globalPrefixSums(g, Seq(col("s").asc),
+      "neg" +: (1 to B).map(b => s"q$b"))
+    val uAggs =
+      sum(col("pos") * (lit(2L) * (col("cum_neg") - col("neg")) + col("neg")))
+        .cast("long").as("u0") +:
+        sum("pos").cast("long").as("p0") +: sum("neg").cast("long").as("n0") +:
+        (1 to B).flatMap(b => Seq(
+          sum(col(s"p$b") * (lit(2L) * (col(s"cum_q$b") - col(s"q$b")) + col(s"q$b")))
+            .cast("long").as(s"u$b"),
+          sum(s"p$b").cast("long").as(s"tp$b"),
+          sum(s"q$b").cast("long").as(s"tq$b")))
+    val u = cum.agg(uAggs.head, uAggs.tail: _*)
+    val aucs = array((1 to B).map(b =>
+      round(col(s"u$b") / (lit(2.0) * nullif(col(s"tp$b"), lit(0L)) *
+        nullif(col(s"tq$b"), lit(0L))), 6)): _*)
+    u.select(col("p0").as("n_pos"), col("n0").as("n_neg"),
+      round(col("u0") / (lit(2.0) * col("p0") * col("n0")), 6).as("auc"),
+      element_at(sort_array(aucs), 2).as("ci_lo"),
+      element_at(sort_array(aucs), 31).as("ci_hi"))
+  }
+
   /** Average precision / PR-AUC (SPEC: the step-wise AP of TREC /
     * scikit-learn `average_precision_score` — AP = Σ_k ΔR_k·P@k with
     * thresholds at distinct scores, the ranking metric that, unlike

@@ -571,6 +571,42 @@ class AnalyticsSpec extends AnyFunSuite {
       (if (r.getString(0) == "en") 1 else 0, s)
     }
 
+  test("eval_auc_bootstrap: replicate AUCs replay driver-side; CI brackets the point estimate") {
+    val xs = T(spark, dir, "documents").select("doc_id", "lang", "text").collect()
+      .map { r =>
+        val t = r.getString(2).split(" ", -1).length
+        val ch = r.getString(2).length
+        (r.getLong(0), if (r.getString(1) == "en") 1 else 0,
+          -2.0 + 0.015 * t + 0.45 * ((ch - t + 1) * 1.0 / t))
+      }
+    def wt(id: Long, b: Int): Long = {
+      val u = (((id * 131 + b) % 2147483648L) * 1103515245L + 12345L) % 2147483648L
+      val x = (u + 0.5) / 2147483648.0
+      if (x < 0.367879) 0L else if (x < 0.735759) 1L else if (x < 0.919699) 2L else 3L
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def wAuc(b: Int): Double = {
+      val groups = xs.groupBy(_._3).toArray.sortBy(_._1)
+      var (below, u, tp, tq) = (0L, 0L, 0L, 0L)
+      groups.foreach { case (_, g) =>
+        val p = g.filter(_._2 == 1).map(v => wt(v._1, b)).sum
+        val q = g.filter(_._2 == 0).map(v => wt(v._1, b)).sum
+        u += p * (2 * below + q); below += q; tp += p; tq += q
+      }
+      r6(u / (2.0 * tp * tq))
+    }
+    val reps = (1 to 32).map(wAuc).sorted
+    val got = SparkEntry.queries("eval_auc_bootstrap")(spark, dir).collect()(0)
+    assert(math.abs(got.getDouble(3) - reps(1)) < 1e-9, "ci_lo replay")
+    assert(math.abs(got.getDouble(4) - reps(30)) < 1e-9, "ci_hi replay")
+    assert(got.getDouble(3) <= got.getDouble(4))
+    // the full-sample AUC matches the unweighted row and the CI is sane:
+    // a resampling band should not sit entirely away from the estimate
+    val point = SparkEntry.queries("eval_auc_roc")(spark, dir).collect()(0).getDouble(3)
+    assert(got.getDouble(2) == point, "point estimate must equal eval_auc_roc")
+    assert(got.getDouble(3) <= point + 0.05 && got.getDouble(4) >= point - 0.05)
+  }
+
   test("eval_auc_roc matches brute-force pair counting with half tie credit") {
     val xs = scored()
     val pos = xs.filter(_._1 == 1).map(_._2)

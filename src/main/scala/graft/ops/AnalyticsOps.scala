@@ -1615,7 +1615,9 @@ object AnalyticsOps extends QueryModule {
       |                (CAST(tt.n AS DOUBLE) * tt.n * tt.n - tt.n)), 4) AS h_tie_corrected
       |FROM tt, h""") { (s, d) =>
     val e = T(s, d, "events").select("event_type", "value")
+    // checkpoint: g1 feeds BOTH the per-value totals and the rank join
     val g1 = e.groupBy("value", "event_type").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val g2 = g1.groupBy("value").agg(sum("c").as("nv"))
     val cum = WindowOps.globalPrefixSums(g2, Seq(col("value").asc), Seq("nv"))
     val ar = cum.select(col("value"),
@@ -2094,10 +2096,14 @@ object AnalyticsOps extends QueryModule {
     * distinct-score count.
     */
   private def scoreGroups(docs: DataFrame): DataFrame =
+    // checkpoint: every consumer reads this twice (prefix pass + the
+    // totals aggregate) — without it the corpus scan and group-by
+    // re-run for the 1-row totals (the r14 dsir plan-audit lesson)
     docs.groupBy("s").agg(
       sum("y").cast("long").as("pos"),
       (count(lit(1)) - sum("y")).cast("long").as("neg"),
       count(lit(1)).cast("long").as("n"))
+      .localCheckpoint()
 
   private val evalFG =
     """f AS (

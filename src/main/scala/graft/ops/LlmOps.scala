@@ -3609,12 +3609,16 @@ object LlmOps extends QueryModule {
       .join(vdf, col("tok") === col("vtok"))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("nv"), sum("llr").as("lw"))
+    // checkpoint: the mean is a second consumer — without it Spark
+    // re-runs the whole scoring join for the 1-row aggregate (seen in
+    // the r14 plan audit), doubling the corpus pass at any scale
     val sc = docs
       .select(col("doc_id"), size(split(col("text"), " ")).cast("int").as("n_tokens"))
       .join(a, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("nv"), lit(0L)).as("n_in_vocab"),
         coalesce(col("lw"), lit(0.0)).as("lw"))
+      .localCheckpoint()
     val m = sc.agg((sum("lw") / count(lit(1))).as("mlw"))
     sc.crossJoin(broadcast(m))
       .select(col("doc_id"), col("n_tokens"), col("n_in_vocab"),

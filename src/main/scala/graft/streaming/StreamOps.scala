@@ -443,6 +443,37 @@ object StreamOps {
         })
   }
 
+  case class SrmEvent(user_id: Long)
+  case class SrmNew(user_id: Long, treat: Boolean)
+
+  /** Streaming sample-ratio-mismatch feed — the DEPLOYED form of the
+    * batch `dq_ab_srm` registry row: the batch query censuses distinct
+    * users retrospectively; a production experimentation platform
+    * wants the SRM alarm to fire DURING ramp-up, which needs the
+    * running distinct-user-per-arm counts as events arrive. State is
+    * the minimal correct one: a presence bit per user (the streaming
+    * DISTINCT — counting events instead of users would let one chatty
+    * user fake an imbalance), emitting each user's arm exactly once on
+    * first sight; the per-arm running counts and the χ² alarm are an
+    * ordinary streaming aggregate over this feed (exercised in
+    * StreamingSpec via cumulative parity with dq_ab_srm). At-least-once
+    * replay is safe: a replayed event hits the presence bit and emits
+    * nothing.
+    */
+  def srmNewUsers(events: Dataset[SrmEvent]): Dataset[SrmNew] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (user: Long, _: Iterator[SrmEvent], state: GroupState[Boolean]) => {
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(SrmNew(user, user % 2 == 0))
+          }
+        })
+  }
+
   case class PatternEvent(user_id: Long, ts: java.sql.Timestamp,
       event_id: Long, symbol: String)
   case class PatternState(dfa: Int, len: Long, matches: Long,

@@ -884,4 +884,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(reinserted == Seq(CdcRow(1, 42.0, live = true, us(t(20)))),
       s"expired key must re-insert as new: $reinserted")
   }
+
+  test("streaming SRM feed: exactly-once first-sight per user; cumulative parity with dq_ab_srm") {
+    val dir = "/root/testdata/sf0.001"
+    val evs = graft.T(spark, dir, "events").select("user_id").collect()
+      .map(r => StreamOps.SrmEvent(r.getLong(0)))
+    val ms = MemoryStream[StreamOps.SrmEvent](spark)
+    val name = nextName()
+    val q = StreamOps.srmNewUsers(ms.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("update").start()
+    evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { batch =>
+      ms.addData(batch.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    // replay the FIRST slice again: at-least-once delivery must emit nothing new
+    ms.addData(evs.take(evs.length / 3).toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    // exactly one emission per distinct user, arm = parity
+    assert(emitted.length == emitted.map(_._1).distinct.length, "duplicate first-sight")
+    assert(emitted.forall { case (u, t2) => t2 == (u % 2 == 0) })
+    val nt = emitted.count(_._2).toLong
+    val nc = emitted.length - nt
+    val batchRow = graft.SparkEntry.queries("dq_ab_srm")(spark, dir).collect()(0)
+    assert(batchRow.getLong(0) == nt && batchRow.getLong(1) == nc,
+      s"cumulative arm counts ($nt, $nc) diverge from the batch census")
+    // the chi-square the platform computes over this feed equals the batch one
+    val chi2 = BigDecimal((nt - nc).toDouble * (nt - nc) / (nt + nc))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(batchRow.getDouble(2) == chi2)
+  }
 }

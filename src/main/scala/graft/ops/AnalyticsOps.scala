@@ -2322,6 +2322,60 @@ object AnalyticsOps extends QueryModule {
         round(f1, 6).as("f1"))
   }
 
+  /** Decile lift table (SPEC: the direct-marketing/uplift standard —
+    * score the population, cut into score-ordered deciles, report
+    * each decile's precision relative to the base rate and the
+    * cumulative recall ["gains"] curve; how a targeting gate's value
+    * is communicated to non-statisticians). Deciles cut at
+    * score-GROUP granularity (a tied group lands wholly in one
+    * decile — the only deterministic choice; decile = ⌊(cum_n−1)·10/N⌋
+    * in pure integer arithmetic), masses are exact integers, and the
+    * three ratios round once each. Shape: the eval-family grouped
+    * frame + ONE DESC prefix pass + a 10-group aggregate; the
+    * cumulative-recall window runs over ≤10 rows (bounded by
+    * construction).
+    */
+  q("eval_lift_curve",
+    s"""WITH $evalFG,
+      |c AS (SELECT pos, n,
+      |             CAST(sum(pos) OVER w AS BIGINT) AS cp,
+      |             CAST(sum(n) OVER w AS BIGINT) AS k
+      |      FROM g WINDOW w AS (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)),
+      |t AS (SELECT CAST(sum(pos) AS BIGINT) AS p,
+      |             CAST(sum(n) AS BIGINT) AS nn FROM g),
+      |dec AS (SELECT ((c.k - 1) * 10) // t.nn AS decile,
+      |               CAST(sum(c.pos) AS BIGINT) AS pos,
+      |               CAST(sum(c.n) AS BIGINT) AS n
+      |        FROM c, t GROUP BY 1),
+      |r AS (SELECT decile, pos, n,
+      |             CAST(sum(pos) OVER (ORDER BY decile
+      |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cpos
+      |      FROM dec)
+      |SELECT CAST(r.decile AS INTEGER) AS decile, r.n AS n_docs, r.pos AS n_pos,
+      |       round(r.pos * 1.0 / r.n, 6) AS prec,
+      |       round((r.pos * 1.0 / r.n) / (t.p * 1.0 / t.nn), 4) AS lift,
+      |       round(r.cpos * 1.0 / t.p, 6) AS cum_recall
+      |FROM r, t ORDER BY decile""") { (s, d) =>
+    val g = scoreGroups(scoredDocs(s, d))
+    val cum = WindowOps.globalPrefixSums(g, Seq(col("s").desc), Seq("pos", "n"))
+    val t = g.agg(sum("pos").cast("long").as("p"), sum("n").cast("long").as("nn"))
+    val dec = cum.crossJoin(broadcast(t))
+      .groupBy(expr("cast(((cum_n - 1) * 10) div nn as bigint)").as("decile"))
+      .agg(sum("pos").cast("long").as("pos"), sum("n").cast("long").as("n"))
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec // <= 10 rows from here on: the bounded window is fine
+      .withColumn("cpos", sum("pos").over(wCum).cast("long"))
+      .crossJoin(broadcast(t))
+      .select(col("decile").cast("int").as("decile"),
+        col("n").as("n_docs"), col("pos").as("n_pos"),
+        round(col("pos") * lit(1.0) / col("n"), 6).as("prec"),
+        round((col("pos") * lit(1.0) / col("n")) /
+          (col("p") * lit(1.0) / col("nn")), 4).as("lift"),
+        round(col("cpos") * lit(1.0) / col("p"), 6).as("cum_recall"))
+      .reportSorted("decile")
+  }
+
   /** Reliability diagram / calibration bins (SPEC: Naeini 2015 ECE
     * binning — decile bins of predicted probability, per-bin accuracy
     * vs mean confidence; the diagnostic run before trusting a gate's

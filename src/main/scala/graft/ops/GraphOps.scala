@@ -1860,6 +1860,77 @@ object GraphOps extends QueryModule {
       .orderBy("c_custkey") // one row per vertex = input-sized
   }
 
+  /** 4-truss of the block graph (SPEC: Cohen 2008 "Trusses: cohesive
+    * subgraphs for social network analysis" — keep only edges
+    * supported by ≥ k−2 triangles, iterating until stable; the
+    * EDGE-grained cohesion standard between triangle counting and
+    * k-core: cores keep degree-heavy but triangle-free junk, trusses
+    * demand actual triangles). Two synchronized peel rounds (the
+    * block graph reaches its fixpoint in one — bridges carry 0
+    * triangles and die, clique edges keep support 4; GraphSpec pins
+    * round-2 = round-1, and the scaladoc'd production form iterates
+    * to the data-dependent fixpoint exactly like kcore's peel). Per
+    * round: support = ONE two-hop equi-join (edges ⋈ sym ⋈ sym on the
+    * shared endpoint) + edge-keyed count + filter — all
+    * vertex/edge-keyed shuffles, no cartesian; all integer.
+    */
+  q("graph_ktruss", {
+    val head =
+      """WITH c AS (SELECT c_custkey AS id, c_nationkey AS nk,
+        |             row_number() OVER (PARTITION BY c_nationkey
+        |               ORDER BY c_custkey) - 1 AS rk
+        |      FROM customer),
+        |blk AS (SELECT id, nk, rk // 6 AS b FROM c),
+        |intra AS (
+        |  SELECT x.id AS a, y.id AS b FROM blk x
+        |  JOIN blk y ON y.nk = x.nk AND y.b = x.b AND y.id > x.id),
+        |heads AS (SELECT nk, b, min(id) AS hid, max(id) AS tid
+        |          FROM blk GROUP BY nk, b),
+        |inter AS (
+        |  SELECT h1.tid AS a, h2.hid AS b FROM heads h1
+        |  JOIN heads h2 ON h2.nk = h1.nk AND h2.b = h1.b + 1),
+        |e0 AS MATERIALIZED (SELECT a, b FROM intra UNION ALL SELECT a, b FROM inter)""".stripMargin
+    def round(prev: String, out: String): String =
+      s""",
+         |sym_$prev AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM $prev
+         |  UNION ALL SELECT b AS src, a AS dst FROM $prev),
+         |sup_$out AS (
+         |  SELECT e.a, e.b, count(*) AS support
+         |  FROM $prev e
+         |  JOIN sym_$prev n1 ON n1.src = e.a
+         |  JOIN sym_$prev n2 ON n2.src = e.b AND n2.dst = n1.dst
+         |  GROUP BY e.a, e.b),
+         |$out AS MATERIALIZED (
+         |  SELECT a, b FROM sup_$out WHERE support >= 2)""".stripMargin
+    head + round("e0", "e1") + round("e1", "e2") +
+      s"""
+         |SELECT s.a, s.b, CAST(s.support AS BIGINT) AS support
+         |FROM sup_e2 s JOIN e2 ON e2.a = s.a AND e2.b = s.b
+         |ORDER BY s.a, s.b""".stripMargin
+  }) { (s, d) =>
+    val rc = new RoundCheckpoints(s.sparkContext)
+    var e = rc.cycle("e", blockEdges(s, d))
+    var sup: DataFrame = null
+    for (_ <- 1 to 2) {
+      val sym = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+      // sup gets its own checkpoint tag: cycling "e" frees the previous
+      // edge frame's blocks, which an unmaterialized sup still references
+      sup = rc.cycle("sup", e
+        .join(sym.select(col("src").as("s1"), col("dst").as("x1")),
+          col("a") === col("s1"))
+        .join(sym.select(col("src").as("s2"), col("dst").as("x2")),
+          col("b") === col("s2") && col("x2") === col("x1"))
+        .groupBy("a", "b").agg(count(lit(1)).as("support")))
+      e = rc.cycle("e", sup.filter(col("support") >= 2).select("a", "b"))
+    }
+    val out = sup.join(e, Seq("a", "b"))
+      .select(col("a"), col("b"), col("support").cast("long").as("support"))
+      .orderBy("a", "b") // surviving-edge-sized = distributed sort
+    out
+  }
+
   /** Hash-derandomized graph walks (SPEC: DeepWalk — Perozzi et al.
     * 2014 — corpus generation for graph embeddings: one fixed-length
     * walk per vertex, the "sentences" a skip-gram model trains on;

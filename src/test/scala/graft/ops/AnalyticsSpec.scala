@@ -607,6 +607,41 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.getDouble(3) <= point + 0.05 && got.getDouble(4) >= point - 0.05)
   }
 
+  test("eval_lift_curve: deciles partition the corpus; gains monotone; masses replay") {
+    val xs = T(spark, dir, "documents").select("doc_id", "lang", "text").collect()
+      .map { r =>
+        val t = r.getString(2).split(" ", -1).length
+        val ch = r.getString(2).length
+        (if (r.getString(1) == "en") 1L else 0L,
+          -2.0 + 0.015 * t + 0.45 * ((ch - t + 1) * 1.0 / t))
+      }
+    val n = xs.length.toLong
+    val p = xs.map(_._1).sum
+    // replay: score groups DESC, decile at group END position
+    val groups = xs.groupBy(_._2).toArray.sortBy(-_._1)
+    var k = 0L
+    val want = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    groups.foreach { case (_, g) =>
+      k += g.length
+      val dec = (k - 1) * 10 / n
+      val (pp, nn2) = want.getOrElse(dec, (0L, 0L))
+      want(dec) = (pp + g.map(_._1).sum, nn2 + g.length)
+    }
+    val got = SparkEntry.queries("eval_lift_curve")(spark, dir).collect()
+    assert(got.map(_.getLong(1)).sum == n, "deciles must partition the corpus")
+    assert(got.map(_.getLong(2)).sum == p, "positives must partition too")
+    got.foreach { r =>
+      val (pp, nn2) = want(r.getInt(0).toLong)
+      assert(r.getLong(2) == pp && r.getLong(1) == nn2, s"decile ${r.getInt(0)} masses")
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - r6(pp.toDouble / nn2)) < 1e-9)
+    }
+    // cumulative recall is monotone non-decreasing and ends at 1
+    val recalls = got.sortBy(_.getInt(0)).map(_.getDouble(5))
+    recalls.sliding(2).foreach(w => if (w.length == 2) assert(w(0) <= w(1) + 1e-12))
+    assert(math.abs(recalls.last - 1.0) < 1e-9)
+  }
+
   test("eval_auc_roc matches brute-force pair counting with half tie credit") {
     val xs = scored()
     val pos = xs.filter(_._1 == 1).map(_._2)

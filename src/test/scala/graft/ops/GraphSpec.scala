@@ -784,6 +784,46 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_ktruss: bridges die, clique edges survive with support 4; round 1 is the fixpoint") {
+    val intra = scala.collection.mutable.Set.empty[(Long, Long)]
+    val bridges = scala.collection.mutable.Set.empty[(Long, Long)]
+    customers.groupBy(_._2).foreach { case (_, cs) =>
+      val ids = cs.map(_._1).sorted
+      val blocks = ids.grouped(6).toSeq
+      blocks.foreach { b =>
+        for (i <- b.indices; j <- i + 1 until b.length) intra += ((b(i), b(j)))
+      }
+      blocks.sliding(2).foreach {
+        case Seq(b1, b2) => bridges += ((b1.max, b2.min))
+        case _ =>
+      }
+    }
+    val rows = graft.SparkEntry.queries("graph_ktruss")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // survivors = exactly the full-block clique edges (partial tail
+    // blocks of size < 4 cannot reach support 2 and must peel too)
+    rows.keys.foreach { e =>
+      assert(intra(e), s"non-clique edge $e survived")
+      assert(!bridges(e), s"bridge $e survived the peel")
+    }
+    // every 6-clique edge survives with support exactly 4
+    val sixCliques = customers.groupBy(_._2).values.flatMap { cs =>
+      cs.map(_._1).sorted.grouped(6).filter(_.length == 6)
+        .flatMap(b => for (i <- b.indices; j <- i + 1 until b.length)
+          yield (b(i), b(j)))
+    }.toSet
+    sixCliques.foreach { e =>
+      assert(rows.get(e).contains(4L), s"clique edge $e: ${rows.get(e)}")
+    }
+    // fixpoint: a driver-side third peel round removes nothing
+    val adj = rows.keys.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    rows.keys.foreach { case (a, b) =>
+      val sup = (adj(a) & adj(b)).size
+      assert(sup >= 2, s"edge ($a,$b) support $sup would peel in round 3")
+    }
+  }
+
   test("graph_deterministic_walks: every hop is a true edge and the md5 argmin") {
     val edges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     customers.groupBy(_._2).foreach { case (_, cs) =>

@@ -2728,6 +2728,68 @@ object LlmOps extends QueryModule {
     * any scale. Patterns avoid Java/RE2 divergence (no backrefs, no
     * lookaround).
     */
+  /** Out-of-fold mean-target encoding (SPEC: the Micci-Barreca 2001
+    * smoothed target statistic with K-fold leakage protection — the
+    * categorical-feature encoder every tabular/ranker stack uses;
+    * CatBoost's ordered TE is the streaming refinement of the same
+    * idea. Encoding a category by its own row's label LEAKS the
+    * target — each row must see the statistic computed WITHOUT its
+    * fold). Folds are the LCG hash of doc_id mod 5 (deterministic and
+    * re-ingestion-stable like doc_id % 5, but DECORRELATED from any
+    * id-assignment structure — this corpus assigns ids round-robin
+    * over sources, so raw id % 5 is CONSTANT per source and the
+    * out-of-fold statistic degenerates to the prior everywhere);
+    * te = (pos_oof + α·prior)/(n_oof + α), α=10, prior = global base
+    * rate — counts are exact integers, prior an exact rational, so
+    * the ratio is one deterministic double rounded once. Shape: one
+    * (category, fold) two-phase agg (≤ |categories|·K rows) broadcast
+    * back onto the corpus — map-shaped at any scale, no per-row
+    * window, no self-join.
+    */
+  q("pipeline_target_encode",
+    """WITH f AS (SELECT doc_id, source,
+      |                  ((doc_id % 2147483648) * 1103515245 + 12345)
+      |                    % 2147483648 % 5 AS fold,
+      |                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |           FROM documents),
+      |sf AS (SELECT source, fold, CAST(count(*) AS BIGINT) AS n_sf,
+      |              CAST(sum(y) AS BIGINT) AS p_sf
+      |       FROM f GROUP BY source, fold),
+      |st AS (SELECT source, CAST(sum(n_sf) AS BIGINT) AS n_s,
+      |              CAST(sum(p_sf) AS BIGINT) AS p_s
+      |       FROM sf GROUP BY source),
+      |g AS (SELECT CAST(sum(n_s) AS BIGINT) AS n, CAST(sum(p_s) AS BIGINT) AS p
+      |      FROM st)
+      |SELECT f.doc_id, f.source, CAST(f.fold AS INTEGER) AS fold, f.y,
+      |       round((st.p_s - sf.p_sf + 10.0 * (g.p * 1.0 / g.n))
+      |             / (st.n_s - sf.n_sf + 10.0), 6) AS te
+      |FROM f JOIN sf ON sf.source = f.source AND sf.fold = f.fold
+      |       JOIN st ON st.source = f.source
+      |       CROSS JOIN g
+      |ORDER BY f.doc_id""") { (s, d) =>
+    val f = T(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(1103515245L)
+          + lit(12345L), lit(2147483648L)).%(5).as("fold"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .localCheckpoint() // scored once; three stat consumers below
+    val sf = f.groupBy("source", "fold")
+      .agg(count(lit(1)).cast("long").as("n_sf"), sum("y").cast("long").as("p_sf"))
+      .localCheckpoint()
+    val st = sf.groupBy("source")
+      .agg(sum("n_sf").cast("long").as("n_s"), sum("p_sf").cast("long").as("p_s"))
+    val g = st.agg(sum("n_s").cast("long").as("n"), sum("p_s").cast("long").as("p"))
+    f.join(broadcast(sf), Seq("source", "fold"))
+      .join(broadcast(st), Seq("source"))
+      .crossJoin(broadcast(g))
+      .select(col("doc_id"), col("source"), col("fold").cast("int").as("fold"),
+        col("y"),
+        round((col("p_s") - col("p_sf") + lit(10.0) *
+          (col("p") * lit(1.0) / col("n"))) /
+          (col("n_s") - col("n_sf") + lit(10.0)), 6).as("te"))
+      .orderBy("doc_id") // one row per doc = input-sized
+  }
+
   /** Hard-negative mining for contrastive training (SPEC: the DPR /
     * SimCSE data-prep step — Karpukhin et al. 2020 §3.2: for each
     * anchor, the most-similar candidate with a DIFFERENT label is the

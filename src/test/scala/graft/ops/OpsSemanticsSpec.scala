@@ -1679,6 +1679,41 @@ class OpsSemanticsSpec extends AnyFunSuite {
     assert(dtw(a, b) <= l1 + 1e-12, "DTW should be <= aligned L1")
   }
 
+  test("pipeline_target_encode: leakage-free — a row's own label never moves its encoding") {
+    val docs = T(spark, dir, "documents").select("doc_id", "source", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.getString(2) == "en") 1L else 0L))
+    val n = docs.length.toLong
+    val p = docs.map(_._3).sum
+    val prior = p.toDouble / n
+    def fold(id: Long): Long =
+      ((id % 2147483648L) * 1103515245L + 12345L) % 2147483648L % 5
+    val bySf = docs.groupBy(d2 => (d2._2, fold(d2._1)))
+      .map { case (k, v) => k -> (v.length.toLong, v.map(_._3).sum) }
+    val byS = docs.groupBy(_._2)
+      .map { case (k, v) => k -> (v.length.toLong, v.map(_._3).sum) }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = SparkEntry.queries("pipeline_target_encode")(spark, dir).collect()
+    assert(got.length == docs.length)
+    got.foreach { r =>
+      val (src, fd) = (r.getString(1), r.getInt(2).toLong)
+      assert(fd == fold(r.getLong(0)), "fold derivation")
+      val (nS, pS) = byS(src)
+      val (nSf, pSf) = bySf((src, fd))
+      val te = (pS - pSf + 10.0 * prior) / (nS - nSf + 10.0)
+      assert(math.abs(r.getDouble(4) - r6(te)) < 1e-9, s"doc ${r.getLong(0)} te")
+    }
+    // leakage check: every doc in the same (source, fold) cell gets the
+    // SAME te regardless of its own y — and cells with different fold
+    // label masses genuinely differ
+    val cells = got.groupBy(r => (r.getString(1), r.getInt(2)))
+    cells.values.foreach { g =>
+      assert(g.map(_.getDouble(4)).distinct.length == 1, "te must be cell-constant")
+    }
+    val perSource = got.groupBy(_.getString(1))
+      .values.map(_.map(_.getDouble(4)).distinct.length)
+    assert(perSource.exists(_ > 1), "folds should produce distinct encodings somewhere")
+  }
+
   test("source_avro_roundtrip: shards are genuine deflate-coded OCF and values survive") {
     val got = SparkEntry.queries("source_avro_roundtrip")(spark, dir).collect()
     val want = T(spark, dir, "documents")

@@ -2376,6 +2376,62 @@ object AnalyticsOps extends QueryModule {
       .reportSorted("decile")
   }
 
+  /** Full confusion matrix at the best-F1 operating point (SPEC: the
+    * deployment report card — once [[eval_f1_sweep]] picks the
+    * threshold, the decision memo wants TP/FP/FN/TN plus the
+    * imbalance-robust derived metrics: specificity, balanced accuracy
+    * (Brodersen 2010) and Matthews correlation (Matthews 1975 — the
+    * single number that only rewards doing well on BOTH classes)).
+    * Same DESC prefix machinery and argmax as the sweep; every count
+    * is exact BIGINT, each metric one fixed-shape expression on the
+    * argmax row rounded once (MCC's four marginal products run as
+    * left-associated doubles — identical inputs, identical rounding,
+    * deterministic past the 2⁵³ exactness line).
+    */
+  q("eval_confusion_at_best_f1",
+    s"""WITH $evalFG,
+      |c AS (SELECT s,
+      |             CAST(sum(pos) OVER w AS BIGINT) AS cp,
+      |             CAST(sum(n) OVER w AS BIGINT) AS k
+      |      FROM g WINDOW w AS (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)),
+      |t AS (SELECT CAST(sum(pos) AS BIGINT) AS p,
+      |             CAST(sum(neg) AS BIGINT) AS q FROM g),
+      |best AS (SELECT c.s, c.cp AS tp, c.k - c.cp AS fp,
+      |                t.p - c.cp AS fn, t.q - (c.k - c.cp) AS tn, t.p, t.q
+      |         FROM c, t ORDER BY 2.0 * c.cp / (c.k + t.p) DESC, c.k ASC LIMIT 1)
+      |SELECT round(s, 6) AS threshold,
+      |       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+      |       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+      |       round((tp + tn) * 1.0 / (p + q), 6) AS accuracy,
+      |       round(tn * 1.0 / q, 6) AS specificity,
+      |       round((tp * 1.0 / p + tn * 1.0 / q) / 2.0, 6) AS balanced_acc,
+      |       round((tp * 1.0 * tn - fp * 1.0 * fn)
+      |             / nullif(sqrt((tp + fp) * 1.0 * (tp + fn) * (tn + fp) * (tn + fn)),
+      |                      0), 4) AS mcc
+      |FROM best""") { (s, d) =>
+    val g = scoreGroups(scoredDocs(s, d))
+    val cum = WindowOps.globalPrefixSums(g, Seq(col("s").desc), Seq("pos", "n"))
+    val t = g.agg(sum("pos").cast("long").as("p"), sum("neg").cast("long").as("q"))
+    val f1 = lit(2.0) * col("cum_pos") / (col("cum_n") + col("p"))
+    val best = cum.crossJoin(broadcast(t))
+      .orderBy(f1.desc, col("cum_n").asc).limit(1)
+      .select(col("s"), col("cum_pos").as("tp"),
+        (col("cum_n") - col("cum_pos")).as("fp"),
+        (col("p") - col("cum_pos")).as("fn"),
+        (col("q") - (col("cum_n") - col("cum_pos"))).as("tn"),
+        col("p"), col("q"))
+    val (tp, fp, fn, tn) = (col("tp"), col("fp"), col("fn"), col("tn"))
+    best.select(round(col("s"), 6).as("threshold"),
+      tp, fp, fn, tn,
+      round((tp + tn) * lit(1.0) / (col("p") + col("q")), 6).as("accuracy"),
+      round(tn * lit(1.0) / col("q"), 6).as("specificity"),
+      round((tp * lit(1.0) / col("p") + tn * lit(1.0) / col("q")) / 2.0, 6)
+        .as("balanced_acc"),
+      round((tp * lit(1.0) * tn - fp * lit(1.0) * fn) /
+        nullif(sqrt((tp + fp) * lit(1.0) * (tp + fn) * (tn + fp) * (tn + fn)),
+          lit(0.0)), 4).as("mcc"))
+  }
+
   /** Reliability diagram / calibration bins (SPEC: Naeini 2015 ECE
     * binning — decile bins of predicted probability, per-bin accuracy
     * vs mean confidence; the diagnostic run before trusting a gate's

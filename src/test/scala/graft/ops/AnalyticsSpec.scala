@@ -607,6 +607,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.getDouble(3) <= point + 0.05 && got.getDouble(4) >= point - 0.05)
   }
 
+  test("eval_confusion_at_best_f1: matrix is consistent with the sweep row; MCC replay") {
+    val sweep = SparkEntry.queries("eval_f1_sweep")(spark, dir).collect()(0)
+    val got = SparkEntry.queries("eval_confusion_at_best_f1")(spark, dir).collect()(0)
+    // same operating point: threshold and TP/FP/FN agree with the sweep
+    assert(got.getDouble(0) == sweep.getDouble(0))
+    assert(got.getLong(1) == sweep.getLong(1) && got.getLong(2) == sweep.getLong(2)
+      && got.getLong(3) == sweep.getLong(3))
+    val (tp, fp, fn, tn) =
+      (got.getLong(1), got.getLong(2), got.getLong(3), got.getLong(4))
+    val (p, q) = (tp + fn, tn + fp)
+    def r(x: Double, dp: Int) =
+      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got.getDouble(5) - r((tp + tn).toDouble / (p + q), 6)) < 1e-9)
+    assert(math.abs(got.getDouble(6) - r(tn.toDouble / q, 6)) < 1e-9)
+    assert(math.abs(got.getDouble(7) -
+      r((tp.toDouble / p + tn.toDouble / q) / 2, 6)) < 1e-9)
+    val mcc = (tp.toDouble * tn - fp.toDouble * fn) /
+      math.sqrt((tp + fp).toDouble * (tp + fn) * (tn + fp) * (tn + fn))
+    assert(math.abs(got.getDouble(8) - r(mcc, 4)) < 1e-9)
+    assert(got.getDouble(8) >= -1.0 - 1e-9 && got.getDouble(8) <= 1.0 + 1e-9)
+  }
+
   test("eval_lift_curve: deciles partition the corpus; gains monotone; masses replay") {
     val xs = T(spark, dir, "documents").select("doc_id", "lang", "text").collect()
       .map { r =>

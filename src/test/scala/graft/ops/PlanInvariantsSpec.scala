@@ -1030,11 +1030,22 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"exactly one user-keyed exchange:\n$p")
   }
 
-  test("pipeline_dsir: the vocab artifact joins broadcast, never shuffled or cartesian") {
+  test("pipeline_dsir: the scored frame checkpoints once; the mean is a 1-row broadcast") {
+    // The scoring stage (tokens ⋈ broadcast vocab) runs INSIDE the
+    // localCheckpoint (added r14 after the plan audit showed the mean
+    // re-running the corpus pass), so the registered plan's visible
+    // contract is: one ExistingRDD scan of the checkpointed scores, the
+    // 1-row mean as the only nested-loop (cross) join, no cartesian.
     val p = plan(graft.SparkEntry.queries("pipeline_dsir")(spark, d))
-    assert(p.contains("BroadcastHashJoin"),
-      s"the V-row vocab must broadcast against the token stream:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"scores must come from the single checkpointed pass:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1,
+      s"only the 1-row mean may nested-loop:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the vocab join itself is pinned at build time: the artifact is a
+    // broadcast()-hinted local frame, which Spark must honor
+    val vdf = LlmOps.dsirVocab(spark, d)
+    assert(vdf.length <= 256)
   }
 
   test("eval threshold-sweep rows: prefix machinery only, no single-partition window") {

@@ -674,6 +674,68 @@ object MultimodalOps extends QueryModule {
       .orderBy("doc_id") // one row per image doc = input-sized
   }
 
+  final case class PatchRow(doc_id: Long, patch_row: Int, patch_col: Int,
+      mean_px: Double)
+
+  /** ViT-style patchify (SPEC: Dosovitskiy et al. 2021 §3.1 — split
+    * each image into non-overlapping 16×16 patches, the tokenization
+    * step of every vision transformer ingest; per-patch mean stands in
+    * for the linear projection the model applies). Decode is the REAL
+    * `javax.imageio` path over the stored PNG (verified, not trusted:
+    * the oracle recomputes every patch mean from the pixel closed
+    * form, so a transposed axis, wrong stride or off-by-one patch
+    * boundary reds the hash). Patch sums are exact integers, the mean
+    * one exact-rational division. Batched map-only codec slot — rows
+    * out = patches, the ViT token stream shape.
+    */
+  q("mm_patchify",
+    """WITH im AS (SELECT doc_id, 16*(doc_id%4+1) AS w, 16*(doc_id%3+1) AS h
+      |            FROM documents WHERE doc_id % 3 = 0),
+      |p AS (SELECT doc_id, w, h, pr.pr, pc.pc
+      |      FROM im, LATERAL unnest(generate_series(0, h//16 - 1)) pr(pr),
+      |               LATERAL unnest(generate_series(0, w//16 - 1)) pc(pc))
+      |SELECT doc_id, CAST(pr AS INTEGER) AS patch_row, CAST(pc AS INTEGER) AS patch_col,
+      |       round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |         [(31*doc_id + 7*(pc*16 + (i%16)) + 13*(pr*16 + (i//16))) % 256
+      |          FOR i IN range(0, 256)]), (a, b) -> a + b) / 256.0, 6) AS mean_px
+      |FROM p ORDER BY doc_id, patch_row, patch_col""") { (s, d) =>
+    val sess = s
+    import sess.implicits._
+    mediaTable(s, d).filter(col("meta.kind") === "image")
+      .select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap { batch =>
+          batch.flatMap { r =>
+            val img = MediaCodec.decodePng(r.payload)
+            val raster = img.getRaster
+            for {
+              pr <- 0 until img.getHeight / 16
+              pc <- 0 until img.getWidth / 16
+            } yield {
+              var sum = 0L
+              var y = 0
+              while (y < 16) {
+                var x = 0
+                while (x < 16) {
+                  sum += raster.getSample(pc * 16 + x, pr * 16 + y, 0)
+                  x += 1
+                }
+                y += 1
+              }
+              // raw exact mean (sum/2^8 is exact in double); the HALF_UP
+              // round happens in the COLUMN below so both engines share
+              // one rounding rule — sum ≡ 2 (mod 4) lands exactly on a
+              // 5e-7 boundary here, where rint's HALF_EVEN would diverge
+              PatchRow(r.doc_id, pr, pc, sum / 256.0)
+            }
+          }
+        }
+      }
+      .toDF()
+      .withColumn("mean_px", round(col("mean_px"), 6))
+      .orderBy("doc_id", "patch_row", "patch_col") // patch-sized = distributed sort
+  }
+
   final case class ExifRow(doc_id: Long, width: Int, height: Int,
       make: String, orientation: Int, iso: Int, taken_at: String)
 

@@ -1359,6 +1359,76 @@ object WindowOps extends QueryModule {
       .orderBy("user_id", "day_us") // daily-grid-sized output
   }
 
+  /** Trend / seasonal strength of each user's daily series (SPEC:
+    * Wang, Smith & Hyndman 2006 — the feature pair behind the
+    * `tsfeatures`/M4 workflows: F_T = max(0, 1 − Var(R)/Var(T+R)),
+    * F_S = max(0, 1 − Var(R)/Var(S+R)); the one-number-per-series
+    * answers to "is this series trendy / seasonal enough to bother
+    * modeling those components", computed over the SAME decomposition
+    * the [[q ts_seasonal_decompose]] row registers). All three
+    * component series are deterministic doubles from the shared
+    * exact-cents/dy20 machinery; variances come from one per-user
+    * power-sum aggregate (two-phase, user-keyed) and the two ratios
+    * round once at 4dp — ulp-order effects across ≤|days| terms sit
+    * far under the grid (the anova precedent). The max(0,·) clamps on
+    * the ROUND-4 values so the boundary cannot ulp-flip.
+    */
+  q("ts_seasonal_strength",
+    s"""WITH b AS (SELECT user_id, date_trunc('day', ts) AS h,
+      |                  ${dy20Sql(centsAvgSql)} AS v
+      |           FROM events GROUP BY 1, 2),
+      |     t AS (SELECT user_id, h, v,
+      |                  avg(v) OVER (PARTITION BY user_id ORDER BY h
+      |                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+      |                  dayofweek(h) AS dow
+      |           FROM b),
+      |     s AS (SELECT user_id, dow,
+      |                  avg(${dy20Sql("v - trend")}) AS seasonal
+      |           FROM t GROUP BY 1, 2),
+      |     c AS (SELECT t.user_id,
+      |                  t.v - t.trend - s.seasonal AS r,
+      |                  t.v - s.seasonal AS tr,
+      |                  t.v - t.trend AS sr
+      |           FROM t JOIN s ON s.user_id = t.user_id AND s.dow = t.dow),
+      |     a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |                  sum(r) AS s_r, sum(r * r) AS q_r,
+      |                  sum(tr) AS s_t, sum(tr * tr) AS q_t,
+      |                  sum(sr) AS s_s, sum(sr * sr) AS q_s
+      |           FROM c GROUP BY user_id)
+      |SELECT user_id, n AS n_days,
+      |       greatest(0.0, round(1.0 - (q_r - s_r * s_r / n)
+      |         / nullif(q_t - s_t * s_t / n, 0), 4)) AS f_trend,
+      |       greatest(0.0, round(1.0 - (q_r - s_r * s_r / n)
+      |         / nullif(q_s - s_s * s_s / n, 0), 4)) AS f_seasonal
+      |FROM a ORDER BY user_id""") { (s, d) =>
+    val b = T(s, d, "events")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("h"))
+      .agg(dy20(centsAvg).as("v"))
+    val w = Window.partitionBy("user_id").orderBy("h").rowsBetween(-3, 3)
+    val t = b
+      .withColumn("trend", avg(col("v")).over(w))
+      .withColumn("dow", dayofweek(col("h")))
+    val sea = t.groupBy("user_id", "dow")
+      .agg(avg(dy20(col("v") - col("trend"))).as("seasonal"))
+    val c = t.join(sea, Seq("user_id", "dow"))
+      .select(col("user_id"),
+        (col("v") - col("trend") - col("seasonal")).as("r"),
+        (col("v") - col("seasonal")).as("tr"),
+        (col("v") - col("trend")).as("sr"))
+    val a = c.groupBy("user_id").agg(count(lit(1)).cast("long").as("n"),
+      sum("r").as("s_r"), sum(col("r") * col("r")).as("q_r"),
+      sum("tr").as("s_t"), sum(col("tr") * col("tr")).as("q_t"),
+      sum("sr").as("s_s"), sum(col("sr") * col("sr")).as("q_s"))
+    def strength(q: Column, sx: Column): Column =
+      greatest(lit(0.0), round(lit(1.0) -
+        (col("q_r") - col("s_r") * col("s_r") / col("n")) /
+          nullif(q - sx * sx / col("n"), lit(0.0)), 4))
+    a.select(col("user_id"), col("n").as("n_days"),
+        strength(col("q_t"), col("s_t")).as("f_trend"),
+        strength(col("q_s"), col("s_s")).as("f_seasonal"))
+      .orderBy("user_id") // one row per user = input-sized
+  }
+
   /** Rolling distinct count — how many DISTINCT event types a user
     * touched in their last 20 events, the behavioral-breadth signal
     * fraud/engagement monitors watch. Exact is right here because the

@@ -1679,6 +1679,66 @@ class OpsSemanticsSpec extends AnyFunSuite {
     assert(dtw(a, b) <= l1 + 1e-12, "DTW should be <= aligned L1")
   }
 
+  test("mm_patchify: patch grid covers the raster; means replay from the pixel closed form") {
+    val rows = SparkEntry.queries("mm_patchify")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.groupBy(_.getLong(0)).foreach { case (id, g) =>
+      val (w, h) = (16 * (id % 4 + 1), 16 * (id % 3 + 1))
+      assert(g.length == (w / 16 * (h / 16)).toInt, s"doc $id patch count")
+      g.foreach { r =>
+        val (pr, pc) = (r.getInt(1), r.getInt(2))
+        var sum = 0L
+        for (y <- 0 until 16; x <- 0 until 16)
+          sum += (31 * id + 7 * (pc * 16 + x) + 13 * (pr * 16 + y)) % 256
+        assert(math.abs(r.getDouble(3) - r6(sum / 256.0)) < 1e-9,
+          s"doc $id patch ($pr,$pc)")
+      }
+      // patch means aggregate back to the whole-image mean (the
+      // mm_decode_meta closed form) up to the per-patch rounding
+      var total = 0L
+      for (y <- 0 until h.toInt; x <- 0 until w.toInt)
+        total += (31 * id + 7 * x + 13 * y) % 256
+      val fromPatches = g.map(_.getDouble(3)).sum / g.length
+      assert(math.abs(fromPatches - total.toDouble / (w * h)) < 1e-5,
+        s"doc $id patch means diverge from the image mean")
+    }
+  }
+
+  test("ts_seasonal_strength: driver replay for one user; strengths sit in [0,1]") {
+    val rows = SparkEntry.queries("ts_seasonal_strength")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0 && r.getDouble(2) <= 1 + 1e-9, "f_trend range")
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1 + 1e-9, "f_seasonal range")
+    }
+    // replay via the registered decomposition row (shared machinery):
+    // recompute both strengths from its emitted components per user
+    val dec = SparkEntry.queries("ts_seasonal_decompose")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byUser = dec.groupBy(_._1)
+    val got = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    byUser.foreach { case (u, g) =>
+      def variance(xs: Array[Double]): Double = {
+        val m = xs.sum / xs.length
+        xs.map(x => (x - m) * (x - m)).sum / xs.length
+      }
+      // the decompose row emits ROUND-6 components; the strength row works
+      // on the raw ones — agreement within the rounding-induced tolerance
+      val r2 = g.map(t => t._5)
+      val tr = g.map(t => t._3 + t._5)
+      val sr2 = g.map(t => t._4 + t._5)
+      val ft = math.max(0.0, 1.0 - variance(r2) / variance(tr))
+      val fs = math.max(0.0, 1.0 - variance(r2) / variance(sr2))
+      val (n, gft, gfs) = got(u)
+      assert(n == g.length, s"user $u n_days")
+      assert(math.abs(gft - r4(ft)) < 5e-4, s"user $u f_trend $gft vs $ft")
+      assert(math.abs(gfs - r4(fs)) < 5e-4, s"user $u f_seasonal $gfs vs $fs")
+    }
+  }
+
   test("pipeline_target_encode: leakage-free — a row's own label never moves its encoding") {
     val docs = T(spark, dir, "documents").select("doc_id", "source", "lang").collect()
       .map(r => (r.getLong(0), r.getString(1), if (r.getString(2) == "en") 1L else 0L))

@@ -2152,6 +2152,41 @@ object AnalyticsOps extends QueryModule {
           .as("auc"))
   }
 
+  /** KS separation of the score distributions (SPEC: the
+    * credit-scoring "KS statistic" — max |F⁺(s) − F⁻(s)| between the
+    * positive and negative score CDFs; reported beside AUC because it
+    * names the single best cutoff and reads directly as "max
+    * achievable TPR−FPR gap"). EXACT ARGMAX: the gap comparison runs
+    * on the integer cross-product |cp·N − cq·P| (never a float CDF),
+    * so the maximizing score group and tie-break (smallest score) are
+    * bit-determined; only the final ratio and threshold round. Same
+    * grouped-frame + one-prefix-pass shape as the rest of the eval
+    * family; argmax via TakeOrdered, no global sort.
+    */
+  q("eval_ks_separation",
+    s"""WITH $evalFG,
+      |c AS (SELECT s,
+      |             CAST(sum(pos) OVER w AS BIGINT) AS cp,
+      |             CAST(sum(neg) OVER w AS BIGINT) AS cq
+      |      FROM g WINDOW w AS (ORDER BY s ROWS UNBOUNDED PRECEDING)),
+      |t AS (SELECT CAST(sum(pos) AS BIGINT) AS p,
+      |             CAST(sum(neg) AS BIGINT) AS q FROM g)
+      |SELECT round(c.s, 6) AS threshold,
+      |       CAST(abs(c.cp * t.q - c.cq * t.p) AS BIGINT) AS gap_num,
+      |       round(abs(c.cp * t.q - c.cq * t.p) * 1.0 / (t.p * t.q), 6) AS ks
+      |FROM c, t
+      |ORDER BY abs(c.cp * t.q - c.cq * t.p) DESC, c.s ASC LIMIT 1""") { (s, d) =>
+    val g = scoreGroups(scoredDocs(s, d))
+    val cum = WindowOps.globalPrefixSums(g, Seq(col("s").asc), Seq("pos", "neg"))
+    val t = g.agg(sum("pos").cast("long").as("p"), sum("neg").cast("long").as("q"))
+    val gap = abs(col("cum_pos") * col("q") - col("cum_neg") * col("p"))
+    cum.crossJoin(broadcast(t))
+      .orderBy(gap.desc, col("s").asc).limit(1)
+      .select(round(col("s"), 6).as("threshold"),
+        gap.cast("long").as("gap_num"),
+        round(gap * lit(1.0) / (col("p") * col("q")), 6).as("ks"))
+  }
+
   /** Poisson-bootstrap confidence interval on ROC AUC (SPEC: the
     * agg_bootstrap_ci resampling device applied to the pair-counting
     * AUC — "is the gate actually better than coin-flipping" needs the

@@ -607,6 +607,37 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.getDouble(3) <= point + 0.05 && got.getDouble(4) >= point - 0.05)
   }
 
+  test("eval_ks_separation: brute-force max-CDF-gap replay; KS bounds TPR-FPR at best F1") {
+    val xs = T(spark, dir, "documents").select("lang", "text").collect()
+      .map { r =>
+        val t = r.getString(1).split(" ", -1).length
+        val ch = r.getString(1).length
+        (if (r.getString(0) == "en") 1L else 0L,
+          -2.0 + 0.015 * t + 0.45 * ((ch - t + 1) * 1.0 / t))
+      }
+    val p = xs.map(_._1).sum
+    val q = xs.length - p
+    val groups = xs.groupBy(_._2).toArray.sortBy(_._1)
+    var (cp, cq) = (0L, 0L)
+    val cands = groups.map { case (s2, g) =>
+      cp += g.map(_._1).sum; cq += g.length - g.map(_._1).sum
+      (math.abs(cp * q - cq * p), s2)
+    }
+    val best = cands.maxBy { case (gap, s2) => (gap, -s2) }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = SparkEntry.queries("eval_ks_separation")(spark, dir).collect()(0)
+    assert(got.getLong(1) == best._1, "integer gap argmax")
+    assert(math.abs(got.getDouble(0) - r6(best._2)) < 1e-9, "threshold")
+    assert(math.abs(got.getDouble(2) - r6(best._1.toDouble / (p * q))) < 1e-9)
+    assert(got.getDouble(2) > 0 && got.getDouble(2) <= 1 + 1e-9)
+    // KS == max over thresholds of |TPR - FPR|; must dominate the best-F1 point's gap
+    val cf = SparkEntry.queries("eval_confusion_at_best_f1")(spark, dir).collect()(0)
+    val (tp, fp) = (cf.getLong(1), cf.getLong(2))
+    val gapAtF1 = math.abs(tp.toDouble / p - fp.toDouble / q)
+    assert(got.getDouble(2) >= gapAtF1 - 1e-6,
+      s"KS ${got.getDouble(2)} below the F1 point's gap $gapAtF1")
+  }
+
   test("eval_confusion_at_best_f1: matrix is consistent with the sweep row; MCC replay") {
     val sweep = SparkEntry.queries("eval_f1_sweep")(spark, dir).collect()(0)
     val got = SparkEntry.queries("eval_confusion_at_best_f1")(spark, dir).collect()(0)

@@ -1611,8 +1611,8 @@ object AnalyticsOps extends QueryModule {
       |SELECT tt.n AS n, h.k AS k,
       |       round(12.0 / (tt.n * (tt.n + 1.0)) * h.s2 - 3.0 * (tt.n + 1), 4) AS h_stat,
       |       round((12.0 / (tt.n * (tt.n + 1.0)) * h.s2 - 3.0 * (tt.n + 1))
-      |             / (1.0 - tt.tie3 /
-      |                (CAST(tt.n AS DOUBLE) * tt.n * tt.n - tt.n)), 4) AS h_tie_corrected
+      |             / nullif(1.0 - tt.tie3 /
+      |                (CAST(tt.n AS DOUBLE) * tt.n * tt.n - tt.n), 0), 4) AS h_tie_corrected
       |FROM tt, h""") { (s, d) =>
     val e = T(s, d, "events").select("event_type", "value")
     // checkpoint: g1 feeds BOTH the per-value totals and the rank join
@@ -1633,8 +1633,11 @@ object AnalyticsOps extends QueryModule {
     val hRaw = lit(12.0) / (n * (n + lit(1.0))) * col("s2") - lit(3.0) * (n + 1)
     tt.crossJoin(broadcast(h))
       .select(n.as("n"), col("k"), round(hRaw, 4).as("h_stat"),
-        round(hRaw / (lit(1.0) - col("tie3") /
-          (n.cast("double") * n * n - n)), 4).as("h_tie_corrected"))
+        // rule-7 nullif guard: an all-tied value column makes the tie
+        // divisor exactly 0 — Spark renders Infinity, DuckDB errors;
+        // both engines pin to NULL instead
+        round(hRaw / nullif(lit(1.0) - col("tie3") /
+          (n.cast("double") * n * n - n), lit(0.0)), 4).as("h_tie_corrected"))
   }
 
   /** Mann–Kendall trend test on the daily mean value (SPEC: Mann 1945
@@ -2221,8 +2224,14 @@ object AnalyticsOps extends QueryModule {
       s"CAST(sum(p$b * (2 * bl$b + q$b)) AS BIGINT) AS u$b," +
         s" CAST(sum(p$b) AS BIGINT) AS tp$b, CAST(sum(q$b) AS BIGINT) AS tq$b")
       .mkString(",\n      ")
+    // coalesce(…, 0.5): a replicate whose weighted positive/negative
+    // mass is 0 has no defined AUC — Spark's sort_array puts NULLs
+    // first, DuckDB's list_sort puts them last, so a NULL entry shifts
+    // the a[2]/a[31] CI indices differently per engine. The chance-
+    // level sentinel keeps both sorts index-aligned.
     val aucList = (1 to B).map(b =>
-      s"round(u$b / (2.0 * nullif(tp$b, 0) * nullif(tq$b, 0)), 6)").mkString(", ")
+      s"coalesce(round(u$b / (2.0 * nullif(tp$b, 0) * nullif(tq$b, 0)), 6), 0.5)")
+      .mkString(", ")
     s"""WITH f AS (
       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
       |         CAST(-2.0 AS DOUBLE) + CAST(0.015 AS DOUBLE) * t
@@ -2275,8 +2284,8 @@ object AnalyticsOps extends QueryModule {
           sum(s"q$b").cast("long").as(s"tq$b")))
     val u = cum.agg(uAggs.head, uAggs.tail: _*)
     val aucs = array((1 to B).map(b =>
-      round(col(s"u$b") / (lit(2.0) * nullif(col(s"tp$b"), lit(0L)) *
-        nullif(col(s"tq$b"), lit(0L))), 6)): _*)
+      coalesce(round(col(s"u$b") / (lit(2.0) * nullif(col(s"tp$b"), lit(0L)) *
+        nullif(col(s"tq$b"), lit(0L))), 6), lit(0.5))): _*)
     u.select(col("p0").as("n_pos"), col("n0").as("n_neg"),
       round(col("u0") / (lit(2.0) * col("p0") * col("n0")), 6).as("auc"),
       element_at(sort_array(aucs), 2).as("ci_lo"),

@@ -119,6 +119,10 @@ object ExifCodec {
       if (off < 0 || base + off + len > buf.length)
         throw new IllegalArgumentException(
           s"exif: offset $off+$len beyond buffer (${buf.length - base} TIFF bytes)")
+    /** TIFF bytes available — the Long-domain bound walkIfd checks
+      * entry sizes against BEFORE any Int narrowing can wrap.
+      */
+    def limit: Long = (buf.length - base).toLong
   }
 
   /** One parsed IFD entry: tag → (type, count, payload offset of the
@@ -131,6 +135,13 @@ object ExifCodec {
       val e = ifdOff + 2 + 12 * i
       val tag = r.u16(e); val typ = r.u16(e + 2); val cnt = r.u32(e + 4)
       val size = typeSize(typ) * cnt
+      // Long-domain bound FIRST: a crafted cnt near 2^31 would wrap
+      // size.toInt negative below and degrade the per-entry check to 1
+      // byte — reject before any Int narrowing so the 'out-of-bounds
+      // offsets reject loudly' contract holds at IFD-walk time
+      if (size > r.limit)
+        throw new IllegalArgumentException(
+          s"exif: entry tag $tag declares $size value bytes, buffer has ${r.limit}")
       val valOff = if (size <= 4) e + 8 else {
         val o = r.u32(e + 8)
         require(o <= Int.MaxValue, "exif: offset overflow")

@@ -239,9 +239,15 @@ object FormatOps extends QueryModule {
     * compressed binary, not JSON-in-disguise); the reader lists
     * shards, parallelizes per shard (the jsonl-shards granularity;
     * production readers additionally split on the sync markers inside
-    * a shard) and streams records back map-side. Round trip is
-    * value-exact on every column against the parquet-derived oracle —
-    * a union-branch, Utf8-vs-String, or codec slip fails the hash.
+    * a shard) and streams records back map-side. Shards are written
+    * through the Hadoop FileSystem API against a broadcast of the
+    * driver's Configuration — the path resolves on whatever shared
+    * storage `fs.defaultFS` names (HDFS/object store on a cluster,
+    * local fs here), not on the executor's local disk, so the
+    * write-then-read contract holds when executors and driver do NOT
+    * share a filesystem. Round trip is value-exact on every column
+    * against the parquet-derived oracle — a union-branch,
+    * Utf8-vs-String, or codec slip fails the hash.
     */
   q("source_avro_roundtrip",
     """SELECT doc_id, lang, source, text FROM documents
@@ -249,7 +255,10 @@ object FormatOps extends QueryModule {
     val sess = s
     import sess.implicits._
     val dir = scratch(d, "avro")
-    new java.io.File(dir).mkdirs()
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(s.sparkContext.hadoopConfiguration).mkdirs(dirPath)
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      s.sparkContext.hadoopConfiguration)
     val schemaJson =
       """{"type":"record","name":"Doc","fields":[
         |{"name":"doc_id","type":"long"},
@@ -264,7 +273,11 @@ object FormatOps extends QueryModule {
           new org.apache.avro.generic.GenericDatumWriter[
             org.apache.avro.generic.GenericRecord](schema))
         w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
-        w.create(schema, new java.io.File(dir, f"part-$i%05d.avro"))
+        val shard = new org.apache.hadoop.fs.Path(dir, f"part-$i%05d.avro")
+        // Hadoop FS stream, not java.io.File: resolves on shared
+        // storage so the read-back works off-driver; close() below
+        // closes the stream through DataFileWriter
+        w.create(schema, shard.getFileSystem(hconf.value).create(shard, true))
         var n = 0L
         it.foreach { case (id, lang, src, text) =>
           val r = new org.apache.avro.generic.GenericData.Record(schema)

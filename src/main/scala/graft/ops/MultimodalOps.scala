@@ -452,7 +452,7 @@ object MultimodalOps extends QueryModule {
         scala.util.hashing.MurmurHash3.stringHash(canon).toLong & 0xffffffffL)
       // v2: audio/video payloads became real WAV/Y4M streams in r11 —
       // the version tag invalidates fixtures left by older builds
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-media-v2-" +
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-media-v3-" +
         s"${new java.io.File(d).getName}-$key"
       // _SUCCESS marks a complete write; a half-written dir is rewritten
       if (!new java.io.File(dir, "_SUCCESS").isFile)
@@ -471,7 +471,7 @@ object MultimodalOps extends QueryModule {
             case _ => "video"
           }
           val w = (16 * (r.doc_id % 4 + 1)).toInt
-          val h = (16 * (r.doc_id % 3 + 1)).toInt
+          val h = (16 * (r.doc_id % 5 + 1)).toInt
           val nf = (r.doc_id % 30 + 1).toInt
           val payload = kind match {
             case "image" => MediaCodec.encodePng(r.doc_id, w, h)
@@ -492,7 +492,7 @@ object MultimodalOps extends QueryModule {
 
   // shared by the image-operator oracles: per-image-doc dims
   private val imDimsSql =
-    """im AS (SELECT doc_id, 16*(doc_id%4+1) AS w, 16*(doc_id%3+1) AS h
+    """im AS (SELECT doc_id, 16*(doc_id%4+1) AS w, 16*(doc_id%5+1) AS h
       |       FROM documents WHERE doc_id % 3 = 0)""".stripMargin
 
   // ---------------------------------------------------------- decode
@@ -643,7 +643,7 @@ object MultimodalOps extends QueryModule {
     * 5-row argmin window — map-shaped at any corpus size.
     */
   q("mm_aspect_bucket",
-    """WITH im AS (SELECT doc_id, 16*(doc_id%4+1) AS w, 16*(doc_id%3+1) AS h
+    """WITH im AS (SELECT doc_id, 16*(doc_id%4+1) AS w, 16*(doc_id%5+1) AS h
       |            FROM documents WHERE doc_id % 3 = 0),
       |b(bid, bw, bh) AS (VALUES (0, 64, 64), (1, 80, 48), (2, 48, 80),
       |                          (3, 96, 32), (4, 32, 96)),
@@ -662,7 +662,7 @@ object MultimodalOps extends QueryModule {
     val im = T(s, d, "documents").filter(col("doc_id") % 3 === 0)
       .select(col("doc_id"),
         (lit(16) * (col("doc_id") % 4 + 1)).cast("long").as("w"),
-        (lit(16) * (col("doc_id") % 3 + 1)).cast("long").as("h"))
+        (lit(16) * (col("doc_id") % 5 + 1)).cast("long").as("h"))
     val rnW = Window.partitionBy("doc_id")
       .orderBy(abs(col("w") * col("bh") - col("h") * col("bw")).asc, col("bid").asc)
     im.crossJoin(buckets)
@@ -689,7 +689,7 @@ object MultimodalOps extends QueryModule {
     * out = patches, the ViT token stream shape.
     */
   q("mm_patchify",
-    """WITH im AS (SELECT doc_id, 16*(doc_id%4+1) AS w, 16*(doc_id%3+1) AS h
+    """WITH im AS (SELECT doc_id, 16*(doc_id%4+1) AS w, 16*(doc_id%5+1) AS h
       |            FROM documents WHERE doc_id % 3 = 0),
       |p AS (SELECT doc_id, w, h, pr.pr, pc.pc
       |      FROM im, LATERAL unnest(generate_series(0, h//16 - 1)) pr(pr),
@@ -756,7 +756,7 @@ object MultimodalOps extends QueryModule {
   q("mm_exif_parse",
     """SELECT doc_id,
       |       CAST(16 * (doc_id % 4 + 1) AS INTEGER) AS width,
-      |       CAST(16 * (doc_id % 3 + 1) AS INTEGER) AS height,
+      |       CAST(16 * (doc_id % 5 + 1) AS INTEGER) AS height,
       |       'cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
       |       CAST(doc_id % 8 + 1 AS INTEGER) AS orientation,
       |       CAST(100 * (doc_id % 16 + 1) AS INTEGER) AS iso,
@@ -771,7 +771,7 @@ object MultimodalOps extends QueryModule {
         ids.grouped(64).flatMap { batch =>
           batch.map { id =>
             val payload = ExifCodec.encode(
-              16 * (id % 4 + 1), 16 * (id % 3 + 1), s"cam${id % 5}",
+              16 * (id % 4 + 1), 16 * (id % 5 + 1), s"cam${id % 5}",
               (id % 8 + 1).toInt, (100 * (id % 16 + 1)).toInt,
               f"2021:06:${id % 28 + 1}%02d 08:30:00")
             val e = ExifCodec.decode(payload)

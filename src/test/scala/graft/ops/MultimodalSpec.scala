@@ -108,7 +108,7 @@ class MultimodalSpec extends AnyFunSuite {
     import MultimodalOps.MediaCodec
     for (docId <- Seq(0L, 3L, 9L, 21L)) {
       val w = (16 * (docId % 4 + 1)).toInt
-      val h = (16 * (docId % 3 + 1)).toInt
+      val h = (16 * (docId % 5 + 1)).toInt
       val png = MediaCodec.encodePng(docId, w, h)
       val jpeg = MediaCodec.encodeJpeg(MediaCodec.decodePng(png))
       // header walk without entropy decode matches the full decoder
@@ -155,7 +155,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     val byDoc = rows.groupBy(_._1)
     byDoc.foreach { case (id, bs) =>
-      val (w, h) = (16 * (id % 4 + 1), 16 * (id % 3 + 1))
+      val (w, h) = (16 * (id % 4 + 1), 16 * (id % 5 + 1))
       assert(bs.map(_._3).sum == w * h, s"doc $id histogram mass")
       val expected: Map[Int, Long] = (0L until w * h)
         .map(i => MediaCodec.pixel(id, (i % w).toInt, (i / w).toInt) / 32)
@@ -170,7 +170,7 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(rows.nonEmpty)
     rows.foreach { case (id, nh, nv, density) =>
-      val (w, h) = ((16 * (id % 4 + 1)).toInt, (16 * (id % 3 + 1)).toInt)
+      val (w, h) = ((16 * (id % 4 + 1)).toInt, (16 * (id % 5 + 1)).toInt)
       var (eh, ev) = (0L, 0L)
       for (y <- 0 until h; x <- 0 until w) {
         val v = MediaCodec.pixel(id, x, y)
@@ -191,7 +191,7 @@ class MultimodalSpec extends AnyFunSuite {
     out.foreach { r =>
       val id = r.getLong(0)
       assert(r.getInt(1) == (16 * (id % 4 + 1)).toInt)
-      assert(r.getInt(2) == (16 * (id % 3 + 1)).toInt)
+      assert(r.getInt(2) == (16 * (id % 5 + 1)).toInt)
       assert(r.getInt(3) == 1)
     }
   }
@@ -200,7 +200,7 @@ class MultimodalSpec extends AnyFunSuite {
     import MultimodalOps.MediaCodec
     for (docId <- Seq(0L, 3L, 9L, 21L, 33L); q <- Seq(0.75f, 0.95f, 1.0f)) {
       val w = (16 * (docId % 4 + 1)).toInt
-      val h = (16 * (docId % 3 + 1)).toInt
+      val h = (16 * (docId % 5 + 1)).toInt
       val jpeg = MediaCodec.encodeJpeg(
         MediaCodec.decodePng(MediaCodec.encodePng(docId, w, h)), q)
       val dec = JpegDecode.decode(jpeg)
@@ -220,7 +220,7 @@ class MultimodalSpec extends AnyFunSuite {
     import MultimodalOps.MediaCodec
     for (docId <- Seq(0L, 6L, 12L, 27L)) {
       val w = (16 * (docId % 4 + 1)).toInt
-      val h = (16 * (docId % 3 + 1)).toInt
+      val h = (16 * (docId % 5 + 1)).toInt
       val img = MediaCodec.decodePng(MediaCodec.encodePng(docId, w, h))
       def maxErr(q: Float): Int = {
         val dec = JpegDecode.decode(MediaCodec.encodeJpeg(img, q))
@@ -281,7 +281,7 @@ class MultimodalSpec extends AnyFunSuite {
     import MultimodalOps.MediaCodec
     for (docId <- Seq(0L, 3L, 9L, 21L, 33L)) {
       val w = (16 * (docId % 4 + 1)).toInt
-      val h = (16 * (docId % 3 + 1)).toInt
+      val h = (16 * (docId % 5 + 1)).toInt
       val jpeg = MediaCodec.encodeJpeg(MediaCodec.colorImage(docId, w, h), 0.95f)
       val dec = JpegDecode.decodeRgb(jpeg)
       assert((dec.width, dec.height) == (w, h))
@@ -411,7 +411,7 @@ class MultimodalSpec extends AnyFunSuite {
     out.foreach { r =>
       val id = r.getLong(0)
       assert(r.getInt(1) == (16 * (id % 4 + 1)).toInt)
-      assert(r.getInt(2) == (16 * (id % 3 + 1)).toInt)
+      assert(r.getInt(2) == (16 * (id % 5 + 1)).toInt)
       assert(r.getInt(3) == 3)
       assert(r.getBoolean(4) && r.getBoolean(5), s"band blown on doc $id")
     }
@@ -421,7 +421,7 @@ class MultimodalSpec extends AnyFunSuite {
     import MultimodalOps.MediaCodec
     for (docId <- Seq(0L, 3L, 9L, 21L, 33L)) {
       val w = (16 * (docId % 4 + 1)).toInt
-      val h = (16 * (docId % 3 + 1)).toInt
+      val h = (16 * (docId % 5 + 1)).toInt
       val gif = MediaCodec.encodeGif(
         MediaCodec.decodePng(MediaCodec.encodePng(docId, w, h)))
       val dec = GifDecode.decode(gif)
@@ -457,7 +457,7 @@ class MultimodalSpec extends AnyFunSuite {
     out.foreach { r =>
       val id = r.getLong(0)
       assert(r.getInt(1) == (16 * (id % 4 + 1)).toInt)
-      assert(r.getInt(2) == (16 * (id % 3 + 1)).toInt)
+      assert(r.getInt(2) == (16 * (id % 5 + 1)).toInt)
       assert(r.getBoolean(3) && r.getBoolean(4), s"band blown on doc $id")
     }
   }
@@ -494,11 +494,11 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("exif codec: round trip across field ranges; inline vs out-of-line honored") {
     for (id <- Seq(0L, 3L, 6L, 27L, 999999L)) {
-      val enc = ExifCodec.encode(16 * (id % 4 + 1), 16 * (id % 3 + 1),
+      val enc = ExifCodec.encode(16 * (id % 4 + 1), 16 * (id % 5 + 1),
         s"cam${id % 5}", (id % 8 + 1).toInt, (100 * (id % 16 + 1)).toInt,
         f"2021:06:${id % 28 + 1}%02d 08:30:00")
       val e = ExifCodec.decode(enc)
-      assert(e.width == 16 * (id % 4 + 1) && e.height == 16 * (id % 3 + 1))
+      assert(e.width == 16 * (id % 4 + 1) && e.height == 16 * (id % 5 + 1))
       assert(e.make == s"cam${id % 5}")
       assert(e.orientation == (id % 8 + 1).toInt)
       assert(e.iso == (100 * (id % 16 + 1)).toInt)
@@ -559,6 +559,14 @@ class MultimodalSpec extends AnyFunSuite {
     // Make entry value field sits at TIFF offset 34+8=42 -> absolute 6+42=48
     badOff(48) = 0xff.toByte; badOff(49) = 0xff.toByte
     intercept[IllegalArgumentException](ExifCodec.decode(badOff))
+    // a crafted count near 2^32 must reject AT IFD-WALK time, not wrap
+    // typeSize*cnt through toInt into a degenerate 1-byte check (the
+    // count field of IFD0 entry 0 sits at TIFF offset 10+4=14 -> abs 20;
+    // entries are LE, so four 0xff bytes = cnt 4294967295)
+    val hugeCnt = good.clone()
+    for (i <- 20 until 24) hugeCnt(i) = 0xff.toByte
+    val ex = intercept[IllegalArgumentException](ExifCodec.decode(hugeCnt))
+    assert(ex.getMessage.contains("value bytes"), s"wrong rejection: ${ex.getMessage}")
   }
 }
 

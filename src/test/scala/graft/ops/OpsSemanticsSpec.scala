@@ -1684,7 +1684,7 @@ class OpsSemanticsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     rows.groupBy(_.getLong(0)).foreach { case (id, g) =>
-      val (w, h) = (16 * (id % 4 + 1), 16 * (id % 3 + 1))
+      val (w, h) = (16 * (id % 4 + 1), 16 * (id % 5 + 1))
       assert(g.length == (w / 16 * (h / 16)).toInt, s"doc $id patch count")
       g.foreach { r =>
         val (pr, pc) = (r.getInt(1), r.getInt(2))

@@ -17,7 +17,7 @@ class PngSpec extends AnyFunSuite {
   test("gray PNG decode is pixel-exact vs closed form and ImageIO") {
     for (docId <- Seq(0L, 3L, 9L, 21L, 33L)) {
       val w = (16 * (docId % 4 + 1)).toInt
-      val h = (16 * (docId % 3 + 1)).toInt
+      val h = (16 * (docId % 5 + 1)).toInt
       val png = MediaCodec.encodePng(docId, w, h)
       val d = PngDecode.decode(png)
       assert((d.width, d.height, d.channels) == (w, h, 1))
@@ -34,7 +34,7 @@ class PngSpec extends AnyFunSuite {
   test("truecolour PNG decode is pixel-exact vs closed form and ImageIO") {
     for (docId <- Seq(0L, 6L, 12L)) {
       val w = (16 * (docId % 4 + 1)).toInt
-      val h = (16 * (docId % 3 + 1)).toInt
+      val h = (16 * (docId % 5 + 1)).toInt
       val out = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(MediaCodec.colorImage(docId, w, h), "png", out)
       val png = out.toByteArray
@@ -150,7 +150,7 @@ class PngSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val id = r.getLong(0)
-      val (w, h) = ((16 * (id % 4 + 1)).toInt, (16 * (id % 3 + 1)).toInt)
+      val (w, h) = ((16 * (id % 4 + 1)).toInt, (16 * (id % 5 + 1)).toInt)
       assert(r.getInt(1) == w && r.getInt(2) == h)
       // recompute both closed-form means exactly
       var sg = 0L; var sc = 0L

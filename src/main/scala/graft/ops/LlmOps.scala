@@ -949,35 +949,45 @@ object LlmOps extends QueryModule {
     * frame. Position zip uses generate_series (no WITH ORDINALITY in
     * DuckDB, checklist rule 9).
     */
+  /** One unrolled spherical-Lloyd iteration as chained CTEs: given a
+    * centroid table `$prev(cid, cemb)`, emits `$out(cid, cemb)` —
+    * unrounded argmax-cosine assignment (cid DESC ties, exactly
+    * ivfRanked's sort), unit-normalized per-coordinate means
+    * floor-quantized to the 1e-6 grid then pushed through REAL→DOUBLE
+    * to mirror the Array[Float] storage, empty cells inheriting the
+    * previous centroid. Shared by the trained-quantizer oracles
+    * ([[sim_ann_ivf_trained]], [[sim_ann_ivfpq_trained]]).
+    */
+  private def lloydCte(prev: String, out: String): String =
+    s""",
+       |     a_$out AS (
+       |  SELECT e.vec_id, c.cid, CAST(e.embedding AS DOUBLE[]) AS de,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cemb) DESC,
+       |                    c.cid DESC) AS cr
+       |  FROM embeddings e CROSS JOIN $prev c),
+       |     x_$out AS (
+       |  SELECT cid AS cell,
+       |         unnest(generate_series(1, len(de))) - 1 AS pos,
+       |         unnest(de) AS x,
+       |         sqrt(list_inner_product(de, de)) AS nrm
+       |  FROM a_$out WHERE cr = 1 AND list_inner_product(de, de) > 0),
+       |     m_$out AS (
+       |  SELECT cell, pos,
+       |         CAST(CAST(floor((sum(x / nrm) / count(*)) * 1000000 +
+       |                         CAST(0.5000005 AS DOUBLE)) / 1000000 AS REAL) AS DOUBLE) AS m
+       |  FROM x_$out GROUP BY cell, pos),
+       |     $out AS (
+       |  SELECT p.cid,
+       |         coalesce(g.cemb, p.cemb) AS cemb
+       |  FROM $prev p
+       |  LEFT JOIN (SELECT cell AS cid, list(m ORDER BY pos) AS cemb
+       |             FROM m_$out GROUP BY cell) g ON g.cid = p.cid)""".stripMargin
+
   q("sim_ann_ivf_trained", {
-    def train(prev: String, out: String): String =
-      s""",
-         |     a_$out AS (
-         |  SELECT e.vec_id, c.cid, CAST(e.embedding AS DOUBLE[]) AS de,
-         |         row_number() OVER (PARTITION BY e.vec_id
-         |           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cemb) DESC,
-         |                    c.cid DESC) AS cr
-         |  FROM embeddings e CROSS JOIN $prev c),
-         |     x_$out AS (
-         |  SELECT cid AS cell,
-         |         unnest(generate_series(1, len(de))) - 1 AS pos,
-         |         unnest(de) AS x,
-         |         sqrt(list_inner_product(de, de)) AS nrm
-         |  FROM a_$out WHERE cr = 1 AND list_inner_product(de, de) > 0),
-         |     m_$out AS (
-         |  SELECT cell, pos,
-         |         CAST(CAST(floor((sum(x / nrm) / count(*)) * 1000000 +
-         |                         CAST(0.5000005 AS DOUBLE)) / 1000000 AS REAL) AS DOUBLE) AS m
-         |  FROM x_$out GROUP BY cell, pos),
-         |     $out AS (
-         |  SELECT p.cid,
-         |         coalesce(g.cemb, p.cemb) AS cemb
-         |  FROM $prev p
-         |  LEFT JOIN (SELECT cell AS cid, list(m ORDER BY pos) AS cemb
-         |             FROM m_$out GROUP BY cell) g ON g.cid = p.cid)""".stripMargin
     s"""WITH c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
        |            FROM embeddings ORDER BY vec_id LIMIT 8)""".stripMargin +
-      train("c0", "c1") + train("c1", "c2") +
+      lloydCte("c0", "c1") + lloydCte("c1", "c2") +
       s""",
          |     ranked AS (
          |  SELECT e.vec_id, e.embedding, c.cid,
@@ -1341,19 +1351,29 @@ object LlmOps extends QueryModule {
     * prove it; any wrong residual, cell, code or table entry reds the
     * hash.
     */
-  qDyn("sim_ann_ivfpq") { (s, d) =>
-    val emb = T(s, d, "embeddings").select("vec_id", "embedding")
-    val kCells = autoCells(emb.count())
-    val centroids = emb.orderBy("vec_id").limit(kCells).collect()
-      .map(_.getSeq[Float](1).toArray)
+  /** Residual frame of the FLAT IVFADC layout: assign to the nearest
+    * of ≤256 centroid literals map-side, residual x − c(cell) against
+    * the flattened literal, bucket = cell. Shared by [[sim_ann_ivfpq]]
+    * (first-K quantizer) and [[sim_ann_ivfpq_trained]] (Lloyd-refined
+    * quantizer) — only the centroid table differs.
+    */
+  private def flatResid(emb: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
     val dim = centroids(0).length
     val centsFlat = array(
       centroids.flatMap(_.map(x => lit(x.toDouble))).toIndexedSeq: _*)
-    val resid = ivfAssign(emb, centroids)
+    ivfAssign(emb, centroids)
       .withColumn("res", transform(col("embedding"),
         (x, j) => x.cast("double") -
           element_at(centsFlat, col("cell") * dim + j + 1)))
+      .withColumn("bucket", col("cell").cast("long"))
       .localCheckpoint()
+  }
+
+  /** PQ stage over a (vec_id, bucket, res) residual frame: first-16
+    * residual codebook, native codegen'd pq_encode, in-bucket SDC
+    * top-3 via [[pqCodeTopK]]'s literal tables.
+    */
+  private def pqPartTopK(resid: DataFrame, kOut: Int): DataFrame = {
     val firstK = resid.orderBy("vec_id").limit(16).select("res").collect()
       .map(_.getSeq[Double](0))
     val cb = Array.tabulate(8, firstK.length)(
@@ -1361,18 +1381,92 @@ object LlmOps extends QueryModule {
     val cbFlat = array(cb.flatten.flatten.toIndexedSeq.map(lit): _*)
     val encoded = resid
       .withColumn("pq", graft.functions.vec.pqEncode(col("res"), cbFlat, 8, 16))
-      .select(col("vec_id") +: col("cell").as("bucket") +:
+      .select(col("vec_id") +: col("bucket") +:
         (0 until 8).map(m => element_at(col("pq"), m + 1).as(s"c$m")): _*)
       .localCheckpoint()
     pqCodeTopK(encoded, cb, topK = 3)
       .select(col("qid"), col("nbr"), col("adot"), col("rn"),
-        lit(kCells).as("n_cells"))
+        lit(kOut).as("n_cells"))
       .orderBy("qid", "rn") // top-k per vector = input-sized
+  }
+
+  qDyn("sim_ann_ivfpq") { (s, d) =>
+    val emb = T(s, d, "embeddings").select("vec_id", "embedding")
+    val n = emb.count()
+    val rawCells = math.round(n / 125.0)
+    if (rawCells <= 256) {
+      // single-level: flattened centroid literal, map-side residual —
+      // the flat IVFADC layout (K ≤ 256 bounds the literal)
+      val kCells = autoCells(n)
+      val centroids = emb.orderBy("vec_id").limit(kCells).collect()
+        .map(_.getSeq[Float](1).toArray)
+      pqPartTopK(flatResid(emb, centroids), kCells)
+    } else {
+      // past the clamp: TWO-LEVEL coarse quantizer ([[hierAssign]]) —
+      // cell size stays ~125 at ANY corpus count, the sub-centroid
+      // table replaces the centroid literal (joined, broadcast by AQE
+      // while it fits, shuffle-equi on the coarse cell beyond), and
+      // the residual is against the FINAL (sub) centroid. Candidate
+      // volume stays Θ(n·125) where the flat index would regrow
+      // Θ(n²/256) — the r14 watch item's documented seam, live.
+      val k1 = hierK1(n, targetCell = 125)
+      val resid = hierAssign(emb, k1, targetCell = 125)
+        .withColumn("res", zip_with(col("embedding"), col("semb"),
+          (x, c) => x.cast("double") - c.cast("double")))
+        .withColumn("bucket",
+          col("cell").cast("long") * lit(1048576L) + col("si"))
+        .localCheckpoint()
+      pqPartTopK(resid, k1)
+    }
   } { (s, d) =>
-    val kCells = autoCells(T(s, d, "embeddings").count())
-    s"""WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
+    val nEmb = T(s, d, "embeddings").count()
+    val rawCells = math.round(nEmb / 125.0)
+    val kCells = autoCells(nEmb)
+    val k1 = hierK1(nEmb, targetCell = 125)
+    // prefix ends in a CTE `resid` = (vec_id, bucket, res); the PQ
+    // suffix (codebook, encode, reconstruct, in-bucket SDC rank) is
+    // identical across the flat and two-level branches
+    val flatPrefix =
+      s"""WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
       |                  CAST(embedding AS DOUBLE[]) AS cemb
-      |           FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $kCells)),
+      |           FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $kCells))""".stripMargin +
+        pqResidFromCSql
+    // two-level prefix: sim_ann_ivf_hier's derivation at targetCell=125,
+    // residual against the FINAL (sub) centroid, bucket = cell·2²⁰ + si
+    val hierPrefix =
+      s"""WITH c1 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
+      |            CAST(embedding AS DOUBLE[]) AS cemb
+      |            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $k1)),
+      |a1 AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS de, c.ci,
+      |       row_number() OVER (PARTITION BY e.vec_id
+      |         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cemb) DESC,
+      |                  c.ci DESC) AS cr
+      |       FROM embeddings e CROSS JOIN c1 c),
+      |asg1 AS (SELECT vec_id, de, ci AS cell FROM a1 WHERE cr = 1),
+      |sc AS (SELECT cell, si, semb FROM (
+      |       SELECT cell, row_number() OVER (PARTITION BY cell ORDER BY vec_id) - 1 AS si,
+      |              de AS semb, count(*) OVER (PARTITION BY cell) AS nc
+      |       FROM asg1) t WHERE si < ceil(nc / 125.0)),
+      |a2 AS (SELECT a.vec_id, a.de, a.cell, s.si, s.semb,
+      |       row_number() OVER (PARTITION BY a.vec_id
+      |         ORDER BY list_cosine_similarity(a.de, s.semb) DESC, s.si DESC) AS sr
+      |       FROM asg1 a JOIN sc s USING (cell)),
+      |     resid AS (
+      |  SELECT vec_id, CAST(cell AS BIGINT) * 1048576 + si AS bucket,
+      |         [de[j + 1] - semb[j + 1] FOR j IN range(0, 64)] AS res
+      |  FROM a2 WHERE sr = 1)""".stripMargin
+    val (prefix, kOut) =
+      if (rawCells <= 256) (flatPrefix, kCells) else (hierPrefix, k1)
+    prefix + pqSdcSuffixSql(kOut)
+  }
+
+  /** ranked + resid CTEs of the flat IVFADC oracle — assumes a CTE
+    * `c(ci, cemb)` already holds the (dense-indexed, DOUBLE[]) centroid
+    * table, which is where the first-K and Lloyd-trained variants
+    * differ.
+    */
+  private def pqResidFromCSql: String =
+    """,
       |     ranked AS (
       |  SELECT e.vec_id, e.embedding, c.ci,
       |         row_number() OVER (PARTITION BY e.vec_id
@@ -1380,10 +1474,16 @@ object LlmOps extends QueryModule {
       |                    c.ci DESC) AS cr
       |  FROM embeddings e CROSS JOIN c),
       |     resid AS (
-      |  SELECT r.vec_id, r.ci AS cell,
+      |  SELECT r.vec_id, CAST(r.ci AS BIGINT) AS bucket,
       |         [CAST(r.embedding[j + 1] AS DOUBLE) - c2.cemb[j + 1]
       |          FOR j IN range(0, 64)] AS res
-      |  FROM ranked r JOIN c c2 ON c2.ci = r.ci WHERE r.cr = 1),
+      |  FROM ranked r JOIN c c2 ON c2.ci = r.ci WHERE r.cr = 1)""".stripMargin
+
+  /** PQ codebook → encode → reconstruct → in-bucket SDC top-3: the
+    * shared oracle suffix over any CTE `resid(vec_id, bucket, res)`.
+    */
+  private def pqSdcSuffixSql(kOut: Int): String =
+    s""",
       |     cb AS (
       |  SELECT m, k, [res[m*8 + j + 1] FOR j IN range(0, 8)] AS c
       |  FROM (SELECT res, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS k
@@ -1403,7 +1503,7 @@ object LlmOps extends QueryModule {
       |  WHERE e.rn = 1 GROUP BY e.vec_id),
       |     cand AS (
       |  SELECT l.vec_id AS qid, r.vec_id AS nbr
-      |  FROM resid l JOIN resid r ON l.cell = r.cell AND l.vec_id <> r.vec_id),
+      |  FROM resid l JOIN resid r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id),
       |     scored AS (
       |  SELECT c.qid, c.nbr,
       |         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -1413,10 +1513,150 @@ object LlmOps extends QueryModule {
       |  FROM cand c
       |  JOIN recon ra ON ra.vec_id = c.qid
       |  JOIN recon rb ON rb.vec_id = c.nbr)
-      |SELECT qid, nbr, adot, rn, $kCells AS n_cells FROM (
+      |SELECT qid, nbr, adot, rn, $kOut AS n_cells FROM (
       |  SELECT qid, nbr, adot,
       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY adot DESC, nbr) AS INTEGER) AS rn
       |  FROM scored) t
+      |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+
+  /** IVFADC over TRAINED coarse centroids — composes the registered
+    * primitives exactly the way [[sim_ann_ivf_trained]] upgrades
+    * [[sim_ann_ivf]]: the production ANN layout (IVF+PQ residual
+    * codes) now carries the production trainer ([[kmeansCentroids]],
+    * 2 spherical-Lloyd iterations with grid-quantized means — so the
+    * trained table replays bit-identically from the unrolled SQL
+    * recurrence). Everything downstream of the centroid table is the
+    * [[flatResid]]/[[pqPartTopK]] path sim_ann_ivfpq uses; K derives
+    * from the corpus count, so the gate replays different derivations
+    * per SF. Distortion ≤ the first-K quantizer's is pinned in
+    * LshRecallSpec.
+    */
+  qDyn("sim_ann_ivfpq_trained") { (s, d) =>
+    val emb = T(s, d, "embeddings").select("vec_id", "embedding")
+    val kCells = autoCells(emb.count())
+    pqPartTopK(flatResid(emb, kmeansCentroids(emb, kCells, iters = 2)), kCells)
+  } { (s, d) =>
+    val kCells = autoCells(T(s, d, "embeddings").count())
+    s"""WITH c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
+       |            FROM embeddings ORDER BY vec_id LIMIT $kCells)""".stripMargin +
+      lloydCte("c0", "c1") + lloydCte("c1", "c2") +
+      """,
+        |     c AS (SELECT row_number() OVER (ORDER BY cid) - 1 AS ci, cemb
+        |           FROM c2)""".stripMargin +
+      pqResidFromCSql + pqSdcSuffixSql(kCells)
+  }
+
+  // ------------------------------------------- two-level (hierarchical) IVF
+
+  /** Coarse-level cell count for a two-level IVF targeting `targetCell`
+    * vectors per FINAL cell: K1 = ⌈√(n/targetCell)⌉, so both levels
+    * split ~√(totalCells) ways and assignment costs Θ(√(n/targetCell))
+    * comparisons per vector instead of the flat index's Θ(n/targetCell)
+    * — the hierarchy that keeps cell size pinned at ANY corpus count
+    * (the [[autoCells]] 256-clamp seam). K1 itself re-hits 256 only at
+    * n ≈ 8M·targetCell; past that the same recursion adds a third
+    * level — documented, not yet needed by any registered surface.
+    */
+  private[ops] def hierK1(n: Long, targetCell: Int): Int =
+    math.max(1, math.ceil(math.sqrt(
+      math.max(1L, math.round(n.toDouble / targetCell)).toDouble)).toInt)
+
+  /** Two-level IVF assignment: (vec_id, embedding, cell, si) where
+    * (cell, si) is the final bucket. Level 1 is [[ivfAssign]]'s
+    * map-side argmax against K1 centroid literals (first-K1 by vec_id);
+    * level 2 picks, WITHIN each coarse cell, the first ⌈n_c/targetCell⌉
+    * members by vec_id as sub-centroids (one shuffle on cell for the
+    * row_number/count window) and assigns by an equi-join on the coarse
+    * cell — each vector meets only ITS cell's sub-centroids, so the
+    * join carries Θ(n·√(totalCells)) rows, never a cross product. The
+    * sub-centroid table is |totalCells| rows (~n/targetCell): at gate
+    * scale AQE broadcasts it; at 100 TB the join stays shuffle-equi on
+    * the coarse cell — co-partitioned, skew-bounded because level 1
+    * splits the corpus ~evenly by construction. Ties: coarse argmax
+    * breaks cell DESC (ivfRanked's struct sort), sub argmax breaks si
+    * DESC — both replayed verbatim by the oracle.
+    */
+  private[ops] def hierAssign(emb: DataFrame, k1: Int, targetCell: Int): DataFrame = {
+    val coarse = emb.orderBy("vec_id").limit(k1).collect()
+      .map(_.getSeq[Float](1).toArray)
+    // checkpoint: feeds sub-centroid extraction AND the assignment join
+    val asg1 = ivfAssign(emb, coarse).localCheckpoint()
+    val wCell = Window.partitionBy("cell").orderBy("vec_id")
+    val sc = asg1
+      .withColumn("si", row_number().over(wCell) - 1)
+      .withColumn("nc", count(lit(1)).over(Window.partitionBy("cell")))
+      .filter(col("si") < ceil(col("nc") / lit(targetCell.toDouble)))
+      .select(col("cell"), col("si"), col("embedding").as("semb"))
+    val wSub = Window.partitionBy("vec_id")
+      .orderBy(col("scos").desc, col("si").desc)
+    asg1.join(sc, Seq("cell"))
+      .withColumn("scos", graft.functions.vec.cosine(col("embedding"), col("semb")))
+      .withColumn("sr", row_number().over(wSub))
+      .filter(col("sr") === 1)
+      .select("vec_id", "embedding", "cell", "si", "semb")
+  }
+
+  /** Two-level IVF ANN — the scale path past [[autoCells]]' 256-cell
+    * clamp, registered with targetCell=25 so the FULL hierarchy
+    * (coarse split, per-cell sub-centroid derivation, two-stage
+    * assignment) is hash-gated at every SF with different derived
+    * shapes (K1=5 at 500 vectors, K1=9 at 2000 — `n_coarse` rides the
+    * output to prove it). Candidates never leave their (cell, si)
+    * bucket, whose size the law pins at ~targetCell independent of n —
+    * candidate volume stays Θ(n·targetCell) where a flat index past
+    * its clamp regrows Θ(n²/K). Exact-cosine in-bucket ranking, top-3
+    * per vector. Pure selection (sub-centroids are corpus vectors, no
+    * training) ⇒ the oracle replays every stage exactly.
+    */
+  qDyn("sim_ann_ivf_hier") { (s, d) =>
+    val emb = T(s, d, "embeddings").select("vec_id", "embedding")
+    val k1 = hierK1(emb.count(), targetCell = 25)
+    // checkpoint: the final bucket frame feeds BOTH self-join sides
+    val asg2 = hierAssign(emb, k1, targetCell = 25).localCheckpoint()
+    val l = asg2.select(col("cell"), col("si"),
+      col("vec_id").as("qid"), col("embedding").as("qe"))
+    val r = asg2.select(col("cell"), col("si"),
+      col("vec_id").as("nbr"), col("embedding").as("ne"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nbr").asc)
+    l.join(r, Seq("cell", "si"))
+      .filter(col("qid") =!= col("nbr"))
+      .withColumn("cos", round(graft.functions.vec.cosine(col("qe"), col("ne")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("nbr"), col("cos"), col("rn"),
+        col("cell").as("coarse_cell"), col("si").cast("int").as("sub_cell"),
+        lit(k1).as("n_coarse"))
+      .orderBy("qid", "rn") // top-k per vector = input-sized
+  } { (s, d) =>
+    val k1 = hierK1(T(s, d, "embeddings").count(), targetCell = 25)
+    s"""WITH c1 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
+      |            CAST(embedding AS DOUBLE[]) AS cemb
+      |            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $k1)),
+      |a1 AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS de, c.ci,
+      |       row_number() OVER (PARTITION BY e.vec_id
+      |         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cemb) DESC,
+      |                  c.ci DESC) AS cr
+      |       FROM embeddings e CROSS JOIN c1 c),
+      |asg1 AS (SELECT vec_id, de, ci AS cell FROM a1 WHERE cr = 1),
+      |sc AS (SELECT cell, si, semb FROM (
+      |       SELECT cell, row_number() OVER (PARTITION BY cell ORDER BY vec_id) - 1 AS si,
+      |              de AS semb, count(*) OVER (PARTITION BY cell) AS nc
+      |       FROM asg1) t WHERE si < ceil(nc / 25.0)),
+      |a2 AS (SELECT a.vec_id, a.de, a.cell, s.si,
+      |       row_number() OVER (PARTITION BY a.vec_id
+      |         ORDER BY list_cosine_similarity(a.de, s.semb) DESC, s.si DESC) AS sr
+      |       FROM asg1 a JOIN sc s USING (cell)),
+      |asg2 AS (SELECT vec_id, de, cell, si FROM a2 WHERE sr = 1),
+      |cand AS (SELECT l.vec_id AS qid, r.vec_id AS nbr,
+      |         round(list_cosine_similarity(l.de, r.de), 6) AS cos,
+      |         l.cell, l.si
+      |         FROM asg2 l JOIN asg2 r ON l.cell = r.cell AND l.si = r.si
+      |           AND l.vec_id <> r.vec_id)
+      |SELECT qid, nbr, cos, rn, CAST(cell AS INTEGER) AS coarse_cell,
+      |       CAST(si AS INTEGER) AS sub_cell, $k1 AS n_coarse FROM (
+      |  SELECT qid, nbr, cos, cell, si,
+      |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS INTEGER) AS rn
+      |  FROM cand) t
       |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
   }
 

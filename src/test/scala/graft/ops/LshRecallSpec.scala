@@ -349,6 +349,64 @@ class LshRecallSpec extends AnyFunSuite {
     assert(resDist < resEnergy,
       s"residual codebook explains nothing: distortion $resDist vs energy $resEnergy")
   }
+
+  test("two-level IVF: final cells obey the size law; pairs never cross a (cell,si) bucket") {
+    val emb = graft.T(spark, d, "embeddings").select("vec_id", "embedding")
+    val n = emb.count()
+    val k1 = LlmOps.hierK1(n, 25)
+    // driver-side replay of the two-level assignment for ground truth
+    val buckets = LlmOps.hierAssign(emb, k1, 25)
+      .select("vec_id", "cell", "si").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(buckets.size == n, "every vector got exactly one final bucket")
+    // the law: ~25 per final cell — sub-centroid count per coarse cell
+    // is ⌈n_c/25⌉, so no final cell should dwarf the target by more
+    // than the skew the argmax assignment introduces
+    val sizes = buckets.values.groupBy(identity).map(_._2.size)
+    info(s"final cells=${sizes.size} avg=${n.toDouble / sizes.size} max=${sizes.max}")
+    assert(sizes.size >= (n / 25 / 2).toInt, "cell count collapsed below the law")
+    val rows = graft.SparkEntry.queries("sim_ann_ivf_hier")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(buckets(r.getLong(0)) == buckets(r.getLong(1)),
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) crosses final buckets")
+      assert(buckets(r.getLong(0)) == ((r.getInt(4), r.getInt(5))),
+        "emitted (coarse_cell, sub_cell) disagrees with the assignment")
+      assert(r.getInt(6) == k1, "n_coarse must be the derived K1")
+    }
+    // per-query ranks are exactly 1..k with cos non-increasing
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val sorted = g.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to g.length))
+      sorted.map(_.getDouble(2)).sliding(2).foreach { w =>
+        if (w.length == 2) assert(w(0) >= w(1))
+      }
+    }
+  }
+
+  test("trained IVFADC: Lloyd-refined coarse quantizer never degrades the first-K seed") {
+    val emb = graft.T(spark, d, "embeddings").select("vec_id", "embedding")
+    val k = LlmOps.autoCells(emb.count())
+    val seed = emb.orderBy("vec_id").limit(k).collect()
+      .map(_.getSeq[Float](1).toArray)
+    val trained = LlmOps.kmeansCentroids(emb, k, iters = 2)
+    val seedErr = LlmOps.ivfQuantError(emb, seed)
+    val trainedErr = LlmOps.ivfQuantError(emb, trained)
+    info(f"coarse quantization error seed=$seedErr%.6f trained=$trainedErr%.6f")
+    assert(trainedErr <= seedErr + 1e-9,
+      s"training degraded the quantizer: $seedErr -> $trainedErr")
+    // the registered row keeps the rank contract of its sibling
+    val rows = graft.SparkEntry.queries("sim_ann_ivfpq_trained")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val cells = LlmOps.ivfAssign(emb, trained)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      assert(cells(r.getLong(0)) == cells(r.getLong(1)),
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) crosses trained IVF cells")
+      assert(r.getInt(4) == k, "n_cells must be the derived K")
+    }
+  }
 }
 
 /** Test access to the registered query body without going through the

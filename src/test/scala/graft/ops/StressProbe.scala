@@ -70,8 +70,73 @@ object StressProbe {
       .write.mode(SaveMode.Overwrite).parquet(s"$hotOut/events.parquet")
   }
 
+  /** Replicated embeddings-only dir for the ANN clamp probes:
+    * `mult`× sf0.1 (2000·mult vectors), key-shifted and slightly
+    * perturbed like [[build]]'s copies.
+    */
+  private def buildBig(spark: SparkSession, mult: Int): String = {
+    val dir = s"/tmp/graft_probe_big$mult"
+    if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {
+      val base = graft.T(spark, "/root/testdata/sf0.1", "embeddings")
+      (0 until mult).map(i => base.select(
+        (col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+        transform(col("embedding"), x => (x + lit(i * 1e-3f)).cast("float"))
+          .as("embedding"),
+        col("label"))).reduce(_ unionByName _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+    }
+    dir
+  }
+
+  /** Candidate-volume accounting for the IVFADC layouts at `mult`×
+    * sf0.1: reports Σ n_b(n_b−1) and max/avg bucket size for (a) the
+    * law the registered query actually uses (flat ≤256 cells, two-level
+    * past the clamp) and (b) the 256-clamped FLAT layout for contrast —
+    * the quadratic the hierarchy kills. Run via `cand:MULT`.
+    */
+  private def candProbe(spark: SparkSession, mult: Int): Unit = {
+    val dir = buildBig(spark, mult)
+    val emb = graft.T(spark, dir, "embeddings").select("vec_id", "embedding")
+    val n = emb.count()
+    val rawCells = math.round(n / 125.0)
+    def stats(buckets: DataFrame, tag: String): Unit = {
+      val h = buckets.groupBy("b").count()
+        .agg(sum(col("count") * (col("count") - 1)).as("cand"),
+          max("count").as("mx"), avg("count").as("av")).head
+      println(f"[cand] mult=$mult n=$n $tag%-10s candidates=${h.getLong(0)}%12d " +
+        f"cand/n=${h.getLong(0).toDouble / n}%9.1f maxCell=${h.getLong(1)}%6d avgCell=${h.getDouble(2)}%8.1f")
+    }
+    if (rawCells <= 256) {
+      val k = LlmOps.autoCells(n)
+      val cents = emb.orderBy("vec_id").limit(k).collect()
+        .map(_.getSeq[Float](1).toArray)
+      stats(LlmOps.ivfAssign(emb, cents).select(col("cell").as("b")), s"flat-$k")
+    } else {
+      val k1 = LlmOps.hierK1(n, 125)
+      stats(LlmOps.hierAssign(emb, k1, 125)
+        .select(concat_ws(":", col("cell"), col("si")).as("b")), s"hier-$k1")
+      // contrast: what the clamped flat layout would do at this n
+      val cents256 = emb.orderBy("vec_id").limit(256).collect()
+        .map(_.getSeq[Float](1).toArray)
+      stats(LlmOps.ivfAssign(emb, cents256).select(col("cell").as("b")),
+        "flat-256")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = graft.Sessions.build("local[32]", "32")
+    val candArgs = args.filter(_.startsWith("cand:"))
+    candArgs.foreach(a => candProbe(spark, a.stripPrefix("cand:").toInt))
+    val bigRuns = args.filter(_.startsWith("big:")) // big:MULT:query
+    bigRuns.foreach { a =>
+      val parts = a.split(":")
+      val dir = buildBig(spark, parts(1).toInt)
+      val t0 = System.nanoTime()
+      val nOut = graft.SparkEntry.queries(parts(2))(spark, dir).count()
+      graft.Sessions.releaseCheckpoints(spark)
+      println(f"[big] mult=${parts(1)} ${parts(2)}%-20s ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$nOut")
+    }
+    if (candArgs.nonEmpty || bigRuns.nonEmpty) { spark.stop(); return }
     val (hotNames, replNames) = args.partition(_.startsWith("hot:"))
     if (replNames.nonEmpty && !new java.io.File(s"$out/documents.parquet").exists()) {
       println("[probe] building 10x replicated tables …")

@@ -152,6 +152,28 @@ object MultimodalOps extends QueryModule {
       out.toByteArray
     }
 
+    /** PROGRESSIVE (SOF2) JPEG via the JDK writer's default scan
+      * script — the libjpeg sequence: interleaved first-DC scan with
+      * Al=1, spectral-band AC first scans at Al=2/1, two successive-
+      * approximation AC refinement passes and a DC refinement pass.
+      * Feeds the [[JpegDecode.decodeProgressivePlanes]] row with
+      * ANOTHER encoder's scan structure, not our own.
+      */
+    def encodeJpegProgressive(img: BufferedImage, quality: Float): Array[Byte] = {
+      val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val out = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(out)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally { ios.close(); writer.dispose() }
+      out.toByteArray
+    }
+
     /** ITU T.81 §B.2.2 marker walk: (width, height, components) from
       * the first SOF frame header WITHOUT entropy-decoding anything —
       * the metadata-extraction-at-scale shape (a 100 TB image corpus
@@ -821,6 +843,65 @@ object MultimodalOps extends QueryModule {
         rows.grouped(64).flatMap { batch =>
           batch.map { r =>
             val jpeg = MediaCodec.encodeJpeg(MediaCodec.decodePng(r.payload), 0.95f)
+            val dec = JpegDecode.decode(jpeg)
+            var sum = 0L
+            var cfSum = 0L
+            var maxErr = 0
+            var y = 0
+            while (y < dec.height) {
+              var x = 0
+              while (x < dec.width) {
+                val got = dec.pixels(y * dec.width + x)
+                val want = MediaCodec.pixel(r.doc_id, x, y)
+                sum += got
+                cfSum += want
+                val e = math.abs(got - want)
+                if (e > maxErr) maxErr = e
+                x += 1
+              }
+              y += 1
+            }
+            val n = dec.width.toLong * dec.height
+            JpegDecodeRow(r.doc_id, dec.width, dec.height,
+              math.abs(sum.toDouble / n - cfSum.toDouble / n) <= 0.5,
+              maxErr <= 16)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id") // one row per image doc = input-sized
+  }
+
+  /** PROGRESSIVE JPEG decode (r14 verdict #2 — the largest remaining
+    * multimodal realism gap: a large share of real web-crawl JPEGs are
+    * SOF2): transcode the doc raster to a REAL progressive stream via
+    * the JDK writer's libjpeg-style scan script (interleaved first-DC
+    * with point transform, spectral-band AC first scans, successive-
+    * approximation AC/DC refinement passes), then entropy-decode it
+    * with [[JpegDecode.decodeProgressivePlanes]] — multi-scan
+    * coefficient accumulation, EOB-run decode, §G.1.2.3 correction
+    * bits — and band the result against the pre-encode closed form
+    * exactly like the sequential row (lossy ⇒ booleans, same 0.5/16
+    * gray bands). MultimodalSpec additionally pins per-pixel ±1
+    * agreement with ImageIO's OWN progressive decode (gray) and the
+    * calibrated color bands, plus wrong-frame routing and truncation
+    * rejection. Same batched map-only codec slot.
+    */
+  q("mm_jpeg_progressive_decode",
+    s"""WITH $imDimsSql
+       |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |       true AS mean_err_le_half, true AS max_err_le_16
+       |FROM im ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sess = s
+    import sess.implicits._
+    mediaTable(s, d).filter(col("meta.kind") === "image")
+      .select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap { batch =>
+          batch.map { r =>
+            val jpeg = MediaCodec.encodeJpegProgressive(
+              MediaCodec.decodePng(r.payload), 0.95f)
+            require(JpegDecode.sofType(jpeg) == 2, "fixture must be SOF2")
             val dec = JpegDecode.decode(jpeg)
             var sum = 0L
             var cfSum = 0L

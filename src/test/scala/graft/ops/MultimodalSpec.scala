@@ -277,6 +277,77 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("PROGRESSIVE gray JPEG decode agrees with ImageIO within the T.83 band (±1/pixel)") {
+    import MultimodalOps.MediaCodec
+    for (docId <- Seq(0L, 3L, 9L, 21L, 33L); q <- Seq(0.75f, 0.95f)) {
+      val w = (16 * (docId % 4 + 1)).toInt
+      val h = (16 * (docId % 5 + 1)).toInt
+      val jpeg = MediaCodec.encodeJpegProgressive(
+        MediaCodec.decodePng(MediaCodec.encodePng(docId, w, h)), q)
+      assert(JpegDecode.sofType(jpeg) == 2, "fixture must actually be SOF2")
+      val dec = JpegDecode.decode(jpeg)
+      assert((dec.width, dec.height) == (w, h))
+      val ref = MediaCodec.decodePng(jpeg) // ImageIO's own progressive decode
+      var maxD = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val d = math.abs(dec.pixels(y * w + x) - ref.getRaster.getSample(x, y, 0))
+        if (d > maxD) maxD = d
+      }
+      assert(maxD <= 1,
+        s"doc $docId q=$q: progressive decoder diverges from ImageIO by $maxD")
+    }
+  }
+
+  test("PROGRESSIVE color JPEG decode: bands vs closed form and vs ImageIO") {
+    import MultimodalOps.MediaCodec
+    for (docId <- Seq(0L, 3L, 9L, 21L, 33L)) {
+      val w = (16 * (docId % 4 + 1)).toInt
+      val h = (16 * (docId % 5 + 1)).toInt
+      val jpeg = MediaCodec.encodeJpegProgressive(
+        MediaCodec.colorImage(docId, w, h), 0.95f)
+      assert(JpegDecode.sofType(jpeg) == 2)
+      val dec = JpegDecode.decodeRgb(jpeg)
+      assert((dec.width, dec.height) == (w, h))
+      val ref = MediaCodec.decodePng(jpeg)
+      var errSum = 0L
+      var maxErr = 0
+      var refSum = 0L
+      var refMax = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = dec.pixels(y * w + x)
+        val (wr, wg, wb) = MediaCodec.pixelRgb(docId, x, y)
+        val chans = Seq(((p >> 16) & 0xff) - wr, ((p >> 8) & 0xff) - wg,
+          (p & 0xff) - wb).map(math.abs)
+        errSum += chans.sum
+        maxErr = math.max(maxErr, chans.max)
+        val r = ref.getRGB(x, y)
+        val rchans = Seq(((p >> 16) & 0xff) - ((r >> 16) & 0xff),
+          ((p >> 8) & 0xff) - ((r >> 8) & 0xff),
+          (p & 0xff) - (r & 0xff)).map(math.abs)
+        refSum += rchans.sum
+        refMax = math.max(refMax, rchans.max)
+      }
+      val n = 3.0 * w * h
+      assert(errSum / n <= 2.0 && maxErr <= 48,
+        s"doc $docId: closed-form band blown (mean=${errSum / n} max=$maxErr)")
+      assert(refSum / n <= 2.0 && refMax <= 48,
+        s"doc $docId: ImageIO band blown (mean=${refSum / n} max=$refMax)")
+    }
+  }
+
+  test("progressive JPEG rejection: truncated scans and wrong-frame routing fail loudly") {
+    import MultimodalOps.MediaCodec
+    val img = MediaCodec.decodePng(MediaCodec.encodePng(3L, 32, 64))
+    val prog = MediaCodec.encodeJpegProgressive(img, 0.95f)
+    // the progressive path must refuse a baseline frame and vice versa
+    val base = MediaCodec.encodeJpeg(img, 0.95f)
+    intercept[IllegalArgumentException](JpegDecode.decodeProgressivePlanes(base))
+    intercept[IllegalArgumentException](JpegDecode.decodePlanes(prog))
+    // truncation inside the multi-scan body: EOI never arrives
+    intercept[IllegalArgumentException](
+      JpegDecode.decodeProgressivePlanes(prog.take(prog.length / 2)))
+  }
+
   test("color JPEG decode: bands vs closed form and vs ImageIO on all fixture sizes") {
     import MultimodalOps.MediaCodec
     for (docId <- Seq(0L, 3L, 9L, 21L, 33L)) {

@@ -10,25 +10,34 @@ package graft.ops
   * Encoder (fixture side, real compression): fixed-blocksize streams —
   * fLaC magic, STREAMINFO with true min/max blocksize, 20-bit sample
   * rate, 36-bit total-sample count and the REAL MD5 of the unencoded
-  * little-endian PCM; per frame the spec frame header (14-bit sync,
-  * blocksize/rate codes with end-of-header overflow fields, UTF-8-coded
-  * frame number, CRC-8) and one mono SUBFRAME chosen per block among
-  * CONSTANT / VERBATIM / FIXED orders 0..2 by measured bit cost,
-  * residuals coded with partitioned Rice (any requested partition
-  * order, 4-bit parameters), frame CRC-16.
+  * interleaved little-endian PCM; per frame the spec frame header
+  * (14-bit sync, blocksize/rate codes with end-of-header overflow
+  * fields, UTF-8-coded frame number, CRC-8) and subframes chosen per
+  * block among CONSTANT / VERBATIM / FIXED 0..2 / Levinson–Durbin LPC
+  * orders {2,4,8} (precision-12 quantized coefficients + shift) by
+  * measured bit cost, residuals coded with partitioned Rice (any
+  * requested partition order, 4-bit parameters), frame CRC-16.
+  * [[encodeStereo]] (r15) additionally cost-searches all four §9.1.4
+  * channel assignments per frame — independent, left/side, right/side,
+  * mid/side — the loose-mid-side strategy real encoders run.
   *
   * Decoder (the judged artifact, strictly wider than the encoder):
   * walks any metadata blocks, decodes CONSTANT / VERBATIM / FIXED
-  * orders 0..4 subframes, partitioned Rice at ANY partition order for
-  * both 4-bit (method 0) and 5-bit (method 1) parameters including the
-  * escape-to-raw code, all blocksize/sample-rate header encodings, and
-  * VERIFIES every integrity field — frame sync, CRC-8, CRC-16,
-  * sequential frame numbering, total-sample count, and the STREAMINFO
-  * MD5 against the decoded PCM. Out-of-subset features (stereo
-  * channel assignments, LPC subframes, wasted bits, non-16-bit
-  * samples, variable blocking) reject loudly — never a silent wrong
-  * answer. Cost: O(samples) per payload, O(block) state, run inside
-  * the same batched mapPartitions codec slot as every decoder.
+  * orders 0..4 / LPC orders 1..32 subframes (64-bit predictor
+  * accumulation, shift-after-sum), §9.2.3 wasted bits, mono and ALL
+  * FOUR stereo channel assignments (decorrelated side channels at 17
+  * bits; mid/side reconstructed exactly via 2·mid + (side&1)),
+  * partitioned Rice at ANY partition order for both 4-bit (method 0)
+  * and 5-bit (method 1) parameters including the escape-to-raw code,
+  * all blocksize/sample-rate header encodings, and VERIFIES every
+  * integrity field — frame sync, CRC-8, CRC-16, sequential frame
+  * numbering, total-sample count, and the STREAMINFO MD5 against the
+  * decoded PCM. Out-of-subset features (3+ channels, non-16-bit
+  * samples, variable blocking, negative LPC shifts) reject loudly —
+  * never a silent wrong answer. Real `flac`-encoder files are
+  * LPC+stereo almost always — this closes the r14 "accepts only its
+  * own encoder's output" gap. Cost: O(samples·order) per payload,
+  * O(block) state, the same batched mapPartitions codec slot.
   */
 object FlacCodec {
 
@@ -87,7 +96,9 @@ object FlacCodec {
     private val out = new java.io.ByteArrayOutputStream()
     private var acc = 0
     private var n = 0
+    private var count = 0L
     def put(v: Long, bits: Int): Unit = {
+      count += bits
       var i = bits - 1
       while (i >= 0) {
         acc = (acc << 1) | ((v >> i) & 1L).toInt
@@ -99,6 +110,8 @@ object FlacCodec {
     def putUnary(q: Int): Unit = { var i = 0; while (i < q) { put(0, 1); i += 1 }; put(1, 1) }
     def alignZero(): Unit = if (n > 0) put(0, 8 - n)
     def bytes: Array[Byte] = { require(n == 0, "unaligned"); out.toByteArray }
+    /** Bits written so far — the encoder's mode-choice cost metric. */
+    def nbits: Long = count
   }
 
   // ------------------------------------------------------ bit reader
@@ -158,12 +171,247 @@ object FlacCodec {
     6 -> 22050, 7 -> 24000, 8 -> 32000, 9 -> 44100, 10 -> 48000, 11 -> 96000)
 
   // ---------------------------------------------------------- encode
+
+  /** Rice-code a zigzagged residual span into `sw` as one partitioned
+    * residual (method 0, 4-bit parameters) — shared by the FIXED and
+    * LPC subframe writers.
+    */
+  private def writeResidual(sw: BitWriter, us: Array[Long], n: Int,
+      order: Int, p: Int): Unit = {
+    sw.put(0, 2) // rice method 0 (4-bit parameters)
+    sw.put(p, 4)
+    var part = 0
+    while (part < (1 << p)) {
+      val from = math.max(order, (n >> p) * part)
+      val until = (n >> p) * (part + 1)
+      val (k, _) = riceParam(us, from, until)
+      sw.put(k, 4)
+      var i = from
+      while (i < until) {
+        sw.putUnary((us(i) >> k).toInt)
+        if (k > 0) sw.put(us(i) & ((1L << k) - 1), k)
+        i += 1
+      }
+      part += 1
+    }
+  }
+
+  /** Best 4-bit Rice parameter for a residual span and its bit cost. */
+  private def riceParam(us: Array[Long], from: Int, until: Int): (Int, Long) = {
+    val m = until - from
+    var uSum = 0L
+    var i = from
+    while (i < until) { uSum += us(i); i += 1 }
+    val mean = if (m == 0) 0L else uSum / m
+    var k = 0
+    while (k < 14 && (mean >> (k + 1)) != 0) k += 1
+    var cost = 0L
+    i = from
+    while (i < until) { cost += (us(i) >> k) + 1 + k; i += 1 }
+    (k, cost)
+  }
+
+  /** Levinson–Durbin LPC analysis: autocorrelation → reflection
+    * recursion → precision-12 quantized coefficients + shift. None when
+    * the signal carries no usable correlation structure (silence,
+    * degenerate recursion, shift underflow) — callers fall back to the
+    * FIXED/VERBATIM candidates.
+    */
+  private def lpcAnalyze(x: Array[Int], n: Int, order: Int): Option[(Array[Int], Int, Int)] = {
+    if (n <= order + 1) return None
+    val ac = new Array[Double](order + 1)
+    var lag = 0
+    while (lag <= order) {
+      var s = 0.0
+      var i = lag
+      while (i < n) { s += x(i).toDouble * x(i - lag); i += 1 }
+      ac(lag) = s
+      lag += 1
+    }
+    if (ac(0) <= 0.0) return None
+    val a = new Array[Double](order)
+    var err = ac(0)
+    var m = 0
+    while (m < order) {
+      var acc = ac(m + 1)
+      var j = 0
+      while (j < m) { acc -= a(j) * ac(m - j); j += 1 }
+      val k = acc / err
+      if (k.isNaN || k.isInfinite) return None
+      val na = new Array[Double](m + 1)
+      j = 0
+      while (j < m) { na(j) = a(j) - k * a(m - 1 - j); j += 1 }
+      na(m) = k
+      System.arraycopy(na, 0, a, 0, m + 1)
+      err *= (1 - k * k)
+      if (err <= 0) return None
+      m += 1
+    }
+    val prec = 12
+    val cmax = a.map(math.abs).max
+    if (!(cmax > 0) || cmax.isInfinite) return None
+    var shift = prec - 1 - (math.getExponent(cmax) + 1)
+    if (shift > 15) shift = 15
+    if (shift < 0) return None // coefficients too large for the subset
+    val lim = 1 << (prec - 1)
+    val q = a.map { c =>
+      val v = math.round(c * (1L << shift)).toInt
+      math.max(-lim, math.min(lim - 1, v))
+    }
+    if (q.forall(_ == 0)) return None
+    Some((q, prec, shift))
+  }
+
+  /** Encode ONE subframe of `n` samples at `bps` effective bits:
+    * cost-picks CONSTANT / VERBATIM / FIXED 0..2 / LPC {2,4,8} by
+    * measured bit count (the real-encoder shape — LPC wins on
+    * correlated signals, FIXED on polynomial ones, VERBATIM on noise).
+    * Side channels call with bps=17.
+    */
+  private def writeSubframe(sw: BitWriter, x: Array[Int], n: Int, bps: Int,
+      partitionOrder: Int): Unit = {
+    def legalPartOrder(order: Int): Int = {
+      var p = math.max(0, math.min(14, partitionOrder))
+      while (p > 0 && (n % (1 << p) != 0 || (n >> p) <= order)) p -= 1
+      p
+    }
+    def mask(v: Int, bits: Int): Long = v.toLong & ((1L << bits) - 1)
+    if (x.take(n).forall(_ == x(0))) {
+      sw.put(0, 1); sw.put(0, 6); sw.put(0, 1) // CONSTANT
+      sw.put(mask(x(0), bps), bps)
+      return
+    }
+    // FIXED candidates
+    var bestFixed = 0
+    var bestFixedCost = Long.MaxValue
+    val maxOrder = math.min(2, n - 1)
+    var o = 0
+    while (o <= maxOrder) {
+      val us = new Array[Long](n)
+      var i = o
+      while (i < n) { us(i) = zigzag(fixedResidual(x, i, o)); i += 1 }
+      val p = legalPartOrder(o)
+      var cost = bps.toLong * o + 6
+      var part = 0
+      while (part < (1 << p)) {
+        val from = math.max(o, (n >> p) * part)
+        val until = (n >> p) * (part + 1)
+        cost += riceParam(us, from, until)._2 + 4
+        part += 1
+      }
+      if (cost < bestFixedCost) { bestFixedCost = cost; bestFixed = o }
+      o += 1
+    }
+    // LPC candidates
+    var bestLpc: Option[(Int, Array[Int], Int, Int, Array[Long])] = None
+    var bestLpcCost = Long.MaxValue
+    for (order <- Seq(2, 4, 8) if order < n) {
+      lpcAnalyze(x, n, order).foreach { case (coef, prec, shift) =>
+        val us = new Array[Long](n)
+        var i = order
+        var ok = true
+        while (i < n && ok) {
+          var acc = 0L
+          var j = 0
+          while (j < order) { acc += coef(j).toLong * x(i - 1 - j); j += 1 }
+          val res = x(i).toLong - (acc >> shift)
+          if (res < Int.MinValue || res > Int.MaxValue) ok = false
+          else us(i) = zigzag(res.toInt)
+          i += 1
+        }
+        if (ok) {
+          val p = legalPartOrder(order)
+          var cost = bps.toLong * order + 4 + 5 + prec.toLong * order + 6
+          var part = 0
+          while (part < (1 << p)) {
+            val from = math.max(order, (n >> p) * part)
+            val until = (n >> p) * (part + 1)
+            cost += riceParam(us, from, until)._2 + 4
+            part += 1
+          }
+          if (cost < bestLpcCost) {
+            bestLpcCost = cost
+            bestLpc = Some((order, coef, prec, shift, us))
+          }
+        }
+      }
+    }
+    val verbatimCost = bps.toLong * n
+    if (verbatimCost <= bestFixedCost && verbatimCost <= bestLpcCost) {
+      sw.put(0, 1); sw.put(1, 6); sw.put(0, 1) // VERBATIM
+      var i = 0
+      while (i < n) { sw.put(mask(x(i), bps), bps); i += 1 }
+    } else if (bestLpcCost < bestFixedCost) {
+      val (order, coef, prec, shift, us) = bestLpc.get
+      sw.put(0, 1); sw.put(32 + order - 1, 6); sw.put(0, 1) // LPC(order)
+      var i = 0
+      while (i < order) { sw.put(mask(x(i), bps), bps); i += 1 }
+      sw.put(prec - 1, 4)
+      sw.put(shift, 5)
+      i = 0
+      while (i < order) { sw.put(mask(coef(i), prec), prec); i += 1 }
+      writeResidual(sw, us, n, order, legalPartOrder(order))
+    } else {
+      val order = bestFixed
+      sw.put(0, 1); sw.put(8 + order, 6); sw.put(0, 1) // FIXED(order)
+      var i = 0
+      while (i < order) { sw.put(mask(x(i), bps), bps); i += 1 }
+      val us = new Array[Long](n)
+      i = order
+      while (i < n) { us(i) = zigzag(fixedResidual(x, i, order)); i += 1 }
+      writeResidual(sw, us, n, order, legalPartOrder(order))
+    }
+  }
+
+  /** CRC-8-finished frame header for frame `f` of `n` samples:
+    * `chNibble` 0 = mono, 1 = independent stereo, 8/9/10 = left-side /
+    * right-side / mid-side.
+    */
+  private def frameHeaderBytes(f: Long, n: Int, sampleRate: Int,
+      chNibble: Int): Array[Byte] = {
+    val w = new BitWriter
+    w.put(0x3ffe, 14) // sync
+    w.put(0, 1)       // reserved
+    w.put(0, 1)       // fixed blocksize strategy
+    val bsLog = 31 - Integer.numberOfLeadingZeros(n)
+    val bsPow = n >= 256 && (n & (n - 1)) == 0 && bsLog <= 15
+    w.put(if (bsPow) bsLog - 8 + 8 else 7, 4) // 8..15 = 256·2^k, 7 = u16 at end
+    val rc = RateCodes.collectFirst { case (c, r) if r == sampleRate => c }
+    w.put(rc.getOrElse(13).toLong, 4) // 13 = 16-bit Hz at end
+    w.put(chNibble, 4)
+    w.put(4, 3)  // sample size: 16-bit
+    w.put(0, 1)  // reserved
+    putUtf8(w, f)
+    if (!bsPow) w.put(n - 1, 16)
+    if (rc.isEmpty) w.put(sampleRate, 16)
+    headerWithCrc8(w)
+  }
+
+  private def writeStreamInfo(out: java.io.ByteArrayOutputStream,
+      blockSize: Int, sampleRate: Int, channels: Int, totalSamples: Long,
+      md5: Array[Byte]): Unit = {
+    val si = new BitWriter
+    si.put(blockSize, 16)
+    si.put(blockSize, 16)
+    si.put(0, 24); si.put(0, 24) // min/max framesize unknown
+    si.put(sampleRate, 20)
+    si.put(channels - 1, 3)
+    si.put(15, 5) // bits - 1
+    si.put(totalSamples, 36)
+    md5.foreach(b => si.put(b & 0xffL, 8))
+    val siBytes = si.bytes
+    out.write(0x80) // last=1, type=0 (STREAMINFO)
+    out.write(siBytes.length >> 16); out.write(siBytes.length >> 8)
+    out.write(siBytes.length & 0xff)
+    out.write(siBytes, 0, siBytes.length)
+  }
+
   /** Mono 16-bit fixed-blocksize FLAC. Real Rice compression; the
     * subframe per block is the cheapest of CONSTANT / VERBATIM /
-    * FIXED 0..2 by measured bit cost. `partitionOrder` > 0 splits each
-    * FIXED residual into 2^p Rice partitions with independent
-    * parameters (the layout real encoders emit; also exercises the
-    * decoder's partition walk in round-trip tests).
+    * FIXED 0..2 / LPC {2,4,8} by measured bit cost (r15: LPC joined
+    * the candidate set — the decoder accepted it already).
+    * `partitionOrder` > 0 splits each residual into 2^p Rice
+    * partitions with independent parameters.
     */
   def encode(pcm: Array[Short], sampleRate: Int = 8000,
       blockSize: Int = 256, partitionOrder: Int = 0): Array[Byte] = {
@@ -171,130 +419,78 @@ object FlacCodec {
     require(blockSize >= 16 && blockSize <= 65535, s"flac: blocksize $blockSize")
     val out = new java.io.ByteArrayOutputStream()
     out.write('f'); out.write('L'); out.write('a'); out.write('C')
-    // STREAMINFO, last-metadata flag set
-    val si = new BitWriter
-    // fixed-blocksize stream: min == max == blocksize (the possibly
-    // shorter final frame is excluded by convention, as libFLAC does)
-    si.put(blockSize, 16)
-    si.put(blockSize, 16)
-    si.put(0, 24); si.put(0, 24) // min/max framesize unknown
-    si.put(sampleRate, 20)
-    si.put(0, 3)  // channels - 1
-    si.put(15, 5) // bits - 1
-    si.put(pcm.length.toLong, 36)
-    val md5 = pcmMd5(pcm)
-    md5.foreach(b => si.put(b & 0xffL, 8))
-    val siBytes = si.bytes
-    out.write(0x80) // last=1, type=0 (STREAMINFO)
-    out.write(siBytes.length >> 16); out.write(siBytes.length >> 8)
-    out.write(siBytes.length & 0xff)
-    out.write(siBytes, 0, siBytes.length)
-
+    writeStreamInfo(out, blockSize, sampleRate, 1, pcm.length.toLong, pcmMd5(pcm))
     val nFrames = (pcm.length + blockSize - 1) / blockSize
     var f = 0
     while (f < nFrames) {
       val off = f * blockSize
       val n = math.min(blockSize, pcm.length - off)
-      val w = new BitWriter
-      w.put(0x3ffe, 14) // sync
-      w.put(0, 1)       // reserved
-      w.put(0, 1)       // fixed blocksize strategy
-      // blocksize code: power-of-two table when it fits, else 16-bit field
-      val bsLog = 31 - Integer.numberOfLeadingZeros(n)
-      val bsPow = n >= 256 && (n & (n - 1)) == 0 && bsLog <= 15
-      w.put(if (bsPow) bsLog - 8 + 8 else 7, 4) // 8..15 = 256·2^k, 7 = u16 at end
-      val rc = RateCodes.collectFirst { case (c, r) if r == sampleRate => c }
-      w.put(rc.getOrElse(13).toLong, 4) // 13 = 16-bit Hz at end
-      w.put(0, 4)  // channel assignment: mono
-      w.put(4, 3)  // sample size: 16-bit
-      w.put(0, 1)  // reserved
-      // UTF-8-coded frame number (subset: < 2^31)
-      putUtf8(w, f.toLong)
-      if (!bsPow) w.put(n - 1, 16)
-      if (rc.isEmpty) w.put(sampleRate, 16)
-      val hdr = headerWithCrc8(w)
-      // subframe: cost-pick CONSTANT / VERBATIM / FIXED 0..2
+      val sw = new BitWriter
+      frameHeaderBytes(f.toLong, n, sampleRate, 0)
+        .foreach(b => sw.put(b & 0xffL, 8))
       val x = new Array[Int](n)
       var i = 0
       while (i < n) { x(i) = pcm(off + i); i += 1 }
-      val const = n > 0 && x.forall(_ == x(0))
+      writeSubframe(sw, x, n, 16, partitionOrder)
+      sw.alignZero()
+      val frame = sw.bytes
+      out.write(frame, 0, frame.length)
+      out.write(crc16(frame, 0, frame.length) >> 8)
+      out.write(crc16(frame, 0, frame.length) & 0xff)
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** STEREO 16-bit fixed-blocksize FLAC (r15): per frame the encoder
+    * measures all four §9.1.4 channel assignments — independent L/R,
+    * left/side, right/side, mid/side (side at 17 bits) — by encoding
+    * each candidate pair into a scratch writer and keeps the cheapest,
+    * exactly libFLAC's loose mid-side search. MD5 is over the
+    * interleaved little-endian PCM per spec, so [[decode]]'s
+    * verification carries over unchanged.
+    */
+  def encodeStereo(left: Array[Short], right: Array[Short],
+      sampleRate: Int = 8000, blockSize: Int = 256,
+      partitionOrder: Int = 0): Array[Byte] = {
+    require(left.nonEmpty && left.length == right.length,
+      "flac: stereo channels must be equal-length and non-empty")
+    require(blockSize >= 16 && blockSize <= 65535, s"flac: blocksize $blockSize")
+    val inter = new Array[Short](2 * left.length)
+    var i = 0
+    while (i < left.length) {
+      inter(2 * i) = left(i); inter(2 * i + 1) = right(i); i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    writeStreamInfo(out, blockSize, sampleRate, 2, left.length.toLong,
+      pcmMd5(inter))
+    val nFrames = (left.length + blockSize - 1) / blockSize
+    var f = 0
+    while (f < nFrames) {
+      val off = f * blockSize
+      val n = math.min(blockSize, left.length - off)
+      val l = Array.tabulate(n)(i => left(off + i).toInt)
+      val r = Array.tabulate(n)(i => right(off + i).toInt)
+      val mid = Array.tabulate(n)(i => (l(i) + r(i)) >> 1)
+      val side = Array.tabulate(n)(i => l(i) - r(i))
+      // (chNibble, subframe0, bps0, subframe1, bps1)
+      val modes = Seq(
+        (1, l, 16, r, 16),
+        (8, l, 16, side, 17),
+        (9, side, 17, r, 16),
+        (10, mid, 16, side, 17))
+      val best = modes.minBy { case (_, c0, b0, c1, b1) =>
+        val scratch = new BitWriter
+        writeSubframe(scratch, c0, n, b0, partitionOrder)
+        writeSubframe(scratch, c1, n, b1, partitionOrder)
+        scratch.nbits
+      }
       val sw = new BitWriter
-      hdr.foreach(b => sw.put(b & 0xffL, 8))
-      // partition order must divide the blocksize with ≥ order samples
-      // in the first partition; fall back toward 0 until it fits
-      def legalPartOrder(order: Int): Int = {
-        var p = math.max(0, math.min(14, partitionOrder))
-        while (p > 0 && (n % (1 << p) != 0 || (n >> p) <= order)) p -= 1
-        p
-      }
-      // choose the Rice parameter for a residual span and its bit cost
-      def riceParam(us: Array[Long], from: Int, until: Int): (Int, Long) = {
-        val m = until - from
-        var uSum = 0L
-        var i2 = from
-        while (i2 < until) { uSum += us(i2); i2 += 1 }
-        val mean = if (m == 0) 0L else uSum / m
-        var k = 0
-        while (k < 14 && (mean >> (k + 1)) != 0) k += 1
-        var cost = 0L
-        i2 = from
-        while (i2 < until) { cost += (us(i2) >> k) + 1 + k; i2 += 1 }
-        (k, cost)
-      }
-      if (const) {
-        sw.put(0, 1); sw.put(0, 6); sw.put(0, 1) // CONSTANT
-        sw.put(x(0).toLong & 0xffff, 16)
-      } else {
-        val maxOrder = math.min(2, n - 1)
-        var best = 0
-        var bestCost = Long.MaxValue
-        var o = 0
-        while (o <= maxOrder) {
-          val us = new Array[Long](n)
-          var i2 = o
-          while (i2 < n) { us(i2) = zigzag(fixedResidual(x, i2, o)); i2 += 1 }
-          val p = legalPartOrder(o)
-          var cost = 16L * o + 6 // warmup + residual header bits
-          var part = 0
-          while (part < (1 << p)) {
-            val from = math.max(o, (n >> p) * part)
-            val until = (n >> p) * (part + 1)
-            cost += riceParam(us, from, until)._2 + 4
-            part += 1
-          }
-          if (cost < bestCost) { bestCost = cost; best = o }
-          o += 1
-        }
-        if (bestCost >= 16L * n) {
-          sw.put(0, 1); sw.put(1, 6); sw.put(0, 1) // VERBATIM is cheaper
-          var i3 = 0
-          while (i3 < n) { sw.put(x(i3).toLong & 0xffff, 16); i3 += 1 }
-        } else {
-          sw.put(0, 1); sw.put(8 + best, 6); sw.put(0, 1) // FIXED(order)
-          var i3 = 0
-          while (i3 < best) { sw.put(x(i3).toLong & 0xffff, 16); i3 += 1 }
-          val us = new Array[Long](n)
-          i3 = best
-          while (i3 < n) { us(i3) = zigzag(fixedResidual(x, i3, best)); i3 += 1 }
-          val p = legalPartOrder(best)
-          sw.put(0, 2) // rice method 0 (4-bit parameters)
-          sw.put(p, 4)
-          var part = 0
-          while (part < (1 << p)) {
-            val from = math.max(best, (n >> p) * part)
-            val until = (n >> p) * (part + 1)
-            val (k, _) = riceParam(us, from, until)
-            sw.put(k, 4)
-            i3 = from
-            while (i3 < until) {
-              sw.putUnary((us(i3) >> k).toInt)
-              if (k > 0) sw.put(us(i3) & ((1L << k) - 1), k)
-              i3 += 1
-            }
-            part += 1
-          }
-        }
-      }
+      frameHeaderBytes(f.toLong, n, sampleRate, best._1)
+        .foreach(b => sw.put(b & 0xffL, 8))
+      writeSubframe(sw, best._2, n, best._3, partitionOrder)
+      writeSubframe(sw, best._4, n, best._5, partitionOrder)
       sw.alignZero()
       val frame = sw.bytes
       out.write(frame, 0, frame.length)
@@ -398,14 +594,14 @@ object FlacCodec {
       pos += len
     }
     require(sawStreamInfo, "flac: no STREAMINFO")
-    if (channels != 1) throw new IllegalArgumentException(
-      s"flac: only mono in subset, got $channels channels")
+    if (channels != 1 && channels != 2) throw new IllegalArgumentException(
+      s"flac: only mono/stereo in subset, got $channels channels")
     if (bits != 16) throw new IllegalArgumentException(
       s"flac: only 16-bit in subset, got $bits")
-    require(totalSamples > 0 && totalSamples <= Int.MaxValue,
+    require(totalSamples > 0 && totalSamples * channels <= Int.MaxValue,
       s"flac: total samples $totalSamples")
 
-    val outPcm = new Array[Short](totalSamples.toInt)
+    val outPcm = new Array[Short](totalSamples.toInt * channels)
     var got = 0
     var frameIdx = 0L
     while (got < totalSamples) {
@@ -420,8 +616,20 @@ object FlacCodec {
       val bsCode = br.get(4).toInt
       val srCode = br.get(4).toInt
       val chCode = br.get(4).toInt
-      if (chCode != 0) throw new IllegalArgumentException(
-        f"flac: channel assignment $chCode%d (stereo/decorrelated) out of subset")
+      // §9.1.4: 0 = mono, 1 = independent stereo, 8/9/10 = left-side /
+      // right-side / mid-side decorrelation; 2..7 (3-8 independent
+      // channels) stay out of subset, 11..15 are reserved
+      val frameChannels = chCode match {
+        case 0 => 1
+        case 1 | 8 | 9 | 10 => 2
+        case c if c >= 2 && c <= 7 => throw new IllegalArgumentException(
+          s"flac: ${c + 1} independent channels out of subset")
+        case c => throw new IllegalArgumentException(
+          s"flac: reserved channel assignment $c")
+      }
+      if (frameChannels != channels) throw new IllegalArgumentException(
+        s"flac: channel assignment $chCode needs $frameChannels channels, " +
+          s"STREAMINFO has $channels")
       val ssCode = br.get(3).toInt
       if (ssCode != 4) throw new IllegalArgumentException(
         s"flac: sample-size code $ssCode (not 16-bit) out of subset")
@@ -454,44 +662,30 @@ object FlacCodec {
       if (got + blockSize > totalSamples) throw new IllegalArgumentException(
         s"flac: frames overrun STREAMINFO total ($got + $blockSize > $totalSamples)")
 
-      // one mono subframe
-      if (br.bit() != 0)
-        throw new IllegalArgumentException("flac: subframe pad bit set")
-      val typ = br.get(6).toInt
-      if (br.bit() != 0) throw new IllegalArgumentException(
-        "flac: wasted-bits subframes out of subset")
-      val x = new Array[Int](blockSize)
-      typ match {
-        case 0 => // CONSTANT
-          val v = br.getSigned(16)
-          java.util.Arrays.fill(x, v)
-        case 1 => // VERBATIM
-          var i = 0
-          while (i < blockSize) { x(i) = br.getSigned(16); i += 1 }
-        case t if t >= 8 && t <= 12 => // FIXED order 0..4
-          val order = t - 8
-          require(order <= blockSize, "flac: order exceeds blocksize")
-          var i = 0
-          while (i < order) { x(i) = br.getSigned(16); i += 1 }
-          decodeResidual(br, x, order, blockSize)
-          // undo the predictor
-          i = order
-          while (i < blockSize) {
-            val p = order match {
-              case 0 => 0
-              case 1 => x(i - 1)
-              case 2 => 2 * x(i - 1) - x(i - 2)
-              case 3 => 3 * x(i - 1) - 3 * x(i - 2) + x(i - 3)
-              case _ => 4 * x(i - 1) - 6 * x(i - 2) + 4 * x(i - 3) - x(i - 4)
-            }
-            x(i) += p
-            i += 1
+      // subframes: decorrelated SIDE channels carry one extra bit
+      // (§9.2.2 — the difference of two n-bit values needs n+1)
+      val chans: Array[Array[Int]] = chCode match {
+        case 0 => Array(decodeSubframe(br, blockSize, 16))
+        case 1 => Array(decodeSubframe(br, blockSize, 16),
+          decodeSubframe(br, blockSize, 16))
+        case 8 => // left/side: R = L − S
+          val l = decodeSubframe(br, blockSize, 16)
+          val s = decodeSubframe(br, blockSize, 17)
+          Array(l, Array.tabulate(blockSize)(i => l(i) - s(i)))
+        case 9 => // right/side: L = S + R
+          val s = decodeSubframe(br, blockSize, 17)
+          val r = decodeSubframe(br, blockSize, 16)
+          Array(Array.tabulate(blockSize)(i => s(i) + r(i)), r)
+        case _ => // mid/side: L+R = 2·mid + (side&1), L−R = side — exact
+          val m = decodeSubframe(br, blockSize, 16)
+          val s = decodeSubframe(br, blockSize, 17)
+          val l = Array.tabulate(blockSize) { i =>
+            // (L+R) = 2·mid + (side&1); adding side gives 2L — even, so
+            // the arithmetic shift is an exact halving for either sign
+            (((m(i) << 1) | (s(i) & 1)) + s(i)) >> 1
           }
-        case t if t >= 32 =>
-          throw new IllegalArgumentException(
-            s"flac: LPC subframe (order ${t - 31}) out of subset")
-        case t =>
-          throw new IllegalArgumentException(s"flac: reserved subframe type $t")
+          val r = Array.tabulate(blockSize)(i => l(i) - s(i))
+          Array(l, r)
       }
       br.align()
       val dataEnd = br.bytePos
@@ -500,10 +694,14 @@ object FlacCodec {
         throw new IllegalArgumentException("flac: frame CRC-16 mismatch")
       var i = 0
       while (i < blockSize) {
-        val v = x(i)
-        if (v < Short.MinValue || v > Short.MaxValue)
-          throw new IllegalArgumentException(s"flac: sample $v out of 16-bit range")
-        outPcm(got + i) = v.toShort
+        var ch = 0
+        while (ch < channels) {
+          val v = chans(ch)(i)
+          if (v < Short.MinValue || v > Short.MaxValue)
+            throw new IllegalArgumentException(s"flac: sample $v out of 16-bit range")
+          outPcm((got + i) * channels + ch) = v.toShort
+          ch += 1
+        }
         i += 1
       }
       got += blockSize
@@ -513,6 +711,79 @@ object FlacCodec {
     if (!java.util.Arrays.equals(pcmMd5(outPcm), md5) && md5.exists(_ != 0))
       throw new IllegalArgumentException("flac: decoded PCM fails STREAMINFO MD5")
     Decoded(sampleRate, channels, bits, frameIdx.toInt, outPcm)
+  }
+
+  /** One subframe at `bps` effective bits (17 for decorrelated SIDE
+    * channels): CONSTANT / VERBATIM / FIXED 0..4 / LPC 1..32, with
+    * §9.2.3 wasted-bits handling (unary count k ⇒ decode at bps−k,
+    * shift left k at the end). LPC reconstruction accumulates
+    * Σ qcoef·history in 64-bit then applies the quantization shift —
+    * the order the spec mandates (shift AFTER the sum).
+    */
+  private def decodeSubframe(br: BitReader, blockSize: Int, bps: Int): Array[Int] = {
+    if (br.bit() != 0)
+      throw new IllegalArgumentException("flac: subframe pad bit set")
+    val typ = br.get(6).toInt
+    val wasted = if (br.bit() == 1) br.unary() + 1 else 0
+    val ebps = bps - wasted
+    if (ebps <= 0) throw new IllegalArgumentException(
+      s"flac: wasted bits $wasted exceed sample size $bps")
+    val x = new Array[Int](blockSize)
+    typ match {
+      case 0 => // CONSTANT
+        java.util.Arrays.fill(x, br.getSigned(ebps))
+      case 1 => // VERBATIM
+        var i = 0
+        while (i < blockSize) { x(i) = br.getSigned(ebps); i += 1 }
+      case t if t >= 8 && t <= 12 => // FIXED order 0..4
+        val order = t - 8
+        require(order <= blockSize, "flac: order exceeds blocksize")
+        var i = 0
+        while (i < order) { x(i) = br.getSigned(ebps); i += 1 }
+        decodeResidual(br, x, order, blockSize)
+        i = order
+        while (i < blockSize) {
+          val p = order match {
+            case 0 => 0
+            case 1 => x(i - 1)
+            case 2 => 2 * x(i - 1) - x(i - 2)
+            case 3 => 3 * x(i - 1) - 3 * x(i - 2) + x(i - 3)
+            case _ => 4 * x(i - 1) - 6 * x(i - 2) + 4 * x(i - 3) - x(i - 4)
+          }
+          x(i) += p
+          i += 1
+        }
+      case t if t >= 32 => // LPC, order 1..32 (§9.2.5)
+        val order = t - 31
+        require(order <= blockSize, "flac: LPC order exceeds blocksize")
+        var i = 0
+        while (i < order) { x(i) = br.getSigned(ebps); i += 1 }
+        val prec = br.get(4).toInt + 1
+        if (prec == 16) throw new IllegalArgumentException(
+          "flac: invalid LPC coefficient precision code 15")
+        val shift = br.getSigned(5)
+        if (shift < 0) throw new IllegalArgumentException(
+          "flac: negative LPC shift is reserved")
+        val coef = new Array[Int](order)
+        i = 0
+        while (i < order) { coef(i) = br.getSigned(prec); i += 1 }
+        decodeResidual(br, x, order, blockSize)
+        i = order
+        while (i < blockSize) {
+          var acc = 0L
+          var j = 0
+          while (j < order) { acc += coef(j).toLong * x(i - 1 - j); j += 1 }
+          x(i) += (acc >> shift).toInt
+          i += 1
+        }
+      case t =>
+        throw new IllegalArgumentException(s"flac: reserved subframe type $t")
+    }
+    if (wasted > 0) {
+      var i = 0
+      while (i < blockSize) { x(i) <<= wasted; i += 1 }
+    }
+    x
   }
 
   private def decodeResidual(br: BitReader, x: Array[Int], order: Int,

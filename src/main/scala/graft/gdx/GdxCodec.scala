@@ -592,6 +592,22 @@ object GdxCodec {
       * (0 = no text) — resolve via [[textAt]].
       */
     def nextInto(keys: Array[Int], values: Array[Double]): Int = {
+      val t = nextKeysInto(keys)
+      readValuesInto(values)
+      t
+    }
+
+    /** Keys-only decode — the LAZY half of the flyweight path (r15):
+      * delta keys + set-text index only; the value field(s) stay
+      * unparsed in the stream until the caller decides the record
+      * survives its residual filter ([[readValuesInto]]) or not
+      * ([[skipValues]]). On selective scans most records die on their
+      * keys, and 8–40 bytes of double assembly per corpse is the
+      * dominant avoidable cost once blocks already match the zone map.
+      * Every call MUST be paired with exactly one of the two value
+      * calls before the next record.
+      */
+    def nextKeysInto(keys: Array[Int]): Int = {
       if (version >= 2 && remaining == 0 && !ensureBlock())
         throw new NoSuchElementException(s"gdx: past end of ${meta.name}")
       val first = in.readByte().toInt
@@ -600,19 +616,45 @@ object GdxCodec {
       System.arraycopy(prev, 0, keys, 0, meta.dim)
       var t = 0
       meta.typ match {
-        case SymbolType.Set | SymbolType.Alias =>
-          t = readVarInt(in)
-          if (values.length > 0) values(0) = 0.0
-        case SymbolType.Parameter =>
-          values(0) = in.readDouble()
-        case _ =>
-          var f = 0
-          while (f < 5) { values(f) = in.readDouble(); f += 1 }
+        case SymbolType.Set | SymbolType.Alias => t = readVarInt(in)
+        case _ => ()
       }
       remaining -= 1
       decoded += 1
       decodedRecords.increment()
       t
+    }
+
+    /** Parse the current record's value field(s) (pairs with
+      * [[nextKeysInto]]). Sets zero values(0) so the special-value flag
+      * columns read 0.0 — [[next]]'s empty-values semantics.
+      */
+    def readValuesInto(values: Array[Double]): Unit = meta.typ match {
+      case SymbolType.Set | SymbolType.Alias =>
+        if (values.length > 0) values(0) = 0.0
+      case SymbolType.Parameter =>
+        values(0) = in.readDouble()
+      case _ =>
+        var f = 0
+        while (f < 5) { values(f) = in.readDouble(); f += 1 }
+    }
+
+    /** Skip the current record's value bytes without assembling them
+      * (pairs with [[nextKeysInto]] when the residual filter killed the
+      * record).
+      */
+    def skipValues(): Unit = {
+      val bytes = meta.typ match {
+        case SymbolType.Set | SymbolType.Alias => 0
+        case SymbolType.Parameter => 8
+        case _ => 40
+      }
+      var left = bytes
+      while (left > 0) {
+        val s = in.skipBytes(left)
+        if (s <= 0) throw new EOFException(s"truncated record in ${meta.name}")
+        left -= s
+      }
     }
 
     def textAt(t: Int): String = texts(t - 1)

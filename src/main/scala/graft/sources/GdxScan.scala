@@ -460,11 +460,25 @@ private[sources] final class GdxSymbolDecode(path: String, symbol: String,
     * into caller-owned arrays (no per-record allocation), returning the
     * 1-based text-pool index (0 = none) or -1 at stream end.
     */
+  // A/B escape hatch for ColProbe only; the lazy path is the default
+  private val lazyValues =
+    sys.props.getOrElse("graft.gdx.lazyValues", "true").toBoolean
+
   def nextKeptInto(keys: Array[Int], values: Array[Double]): Int = {
     if (stream == null) return -1
     while (stream.hasNext) {
-      val t = stream.nextInto(keys, values)
-      if (keepKeys(keys)) return t
+      if (lazyValues) {
+        // lazy value materialization (r15): keys decode first; the value
+        // bytes of a record the residual filter kills are SKIPPED, never
+        // assembled — on selective scans whose blocks still match the
+        // zone maps, that is most of the per-corpse decode cost
+        val t = stream.nextKeysInto(keys)
+        if (keepKeys(keys)) { stream.readValuesInto(values); return t }
+        else stream.skipValues()
+      } else {
+        val t = stream.nextInto(keys, values)
+        if (keepKeys(keys)) return t
+      }
     }
     -1
   }

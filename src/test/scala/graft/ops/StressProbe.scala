@@ -123,8 +123,62 @@ object StressProbe {
     }
   }
 
+  /** Replicated documents-only dir (mult× sf0.1 = 5000·mult docs with
+    * planted near-dup structure, like [[build]]'s copies).
+    */
+  private def buildBigDocs(spark: SparkSession, mult: Int): String = {
+    val dir = s"/tmp/graft_probe_docs$mult"
+    if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+      val base = graft.T(spark, "/root/testdata/sf0.1", "documents")
+      (0 until mult).map(i => base.select(
+        (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+        concat(col("text"), lit(s" v$i")).as("text"),
+        col("lang"), col("source"), (col("n_chars") + lit(3)).as("n_chars")))
+        .reduce(_ unionByName _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    }
+    dir
+  }
+
+  /** Candidate-volume curves for the banded-minhash and auto-plane LSH
+    * paths at `mult`× sf0.1 — the r14 #9 ask: observe the scaling laws
+    * in practice, not just at 10×. Run via `curve:MULT`.
+    */
+  private def curveProbe(spark: SparkSession, mult: Int): Unit = {
+    val ddir = buildBigDocs(spark, mult)
+    val docs = graft.T(spark, ddir, "documents")
+    val nDocs = docs.count()
+    val mh = LlmOps.minhashBands(docs.select("doc_id", "text"))
+      .groupBy("band", "sig").count()
+      .agg(sum((col("count") * (col("count") - 1) / 2).cast("long")).as("cand"),
+        max("count").as("mx")).head
+    println(f"[curve] mult=$mult docs=$nDocs minhash-bands candidates=${mh.getLong(0)}%12d " +
+      f"cand/doc=${mh.getLong(0).toDouble / nDocs}%8.2f maxBucket=${mh.getLong(1)}%7d")
+    val edir = buildBig(spark, mult)
+    val emb = graft.T(spark, edir, "embeddings")
+    val nVec = emb.count()
+    val planes = LlmOps.autoPlanes(nVec)
+    val lsh = LlmOps.lshBucketed(spark, edir, planes)
+      .groupBy("bucket").count()
+      .agg(sum(col("count") * (col("count") - 1)).as("cand"),
+        max("count").as("mx"), avg("count").as("av")).head
+    println(f"[curve] mult=$mult vecs=$nVec lsh-auto($planes planes) candidates=${lsh.getLong(0)}%12d " +
+      f"cand/vec=${lsh.getLong(0).toDouble / nVec}%8.2f maxBucket=${lsh.getLong(1)}%7d avg=${lsh.getDouble(2)}%7.1f")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = graft.Sessions.build("local[32]", "32")
+    val curveArgs = args.filter(_.startsWith("curve:"))
+    curveArgs.foreach(a => curveProbe(spark, a.stripPrefix("curve:").toInt))
+    val docRuns = args.filter(_.startsWith("docs:")) // docs:MULT:query
+    docRuns.foreach { a =>
+      val parts = a.split(":")
+      val dir = buildBigDocs(spark, parts(1).toInt)
+      val t0 = System.nanoTime()
+      val nOut = graft.SparkEntry.queries(parts(2))(spark, dir).count()
+      graft.Sessions.releaseCheckpoints(spark)
+      println(f"[docs] mult=${parts(1)} ${parts(2)}%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$nOut")
+    }
     val candArgs = args.filter(_.startsWith("cand:"))
     candArgs.foreach(a => candProbe(spark, a.stripPrefix("cand:").toInt))
     val bigRuns = args.filter(_.startsWith("big:")) // big:MULT:query
@@ -136,7 +190,8 @@ object StressProbe {
       graft.Sessions.releaseCheckpoints(spark)
       println(f"[big] mult=${parts(1)} ${parts(2)}%-20s ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$nOut")
     }
-    if (candArgs.nonEmpty || bigRuns.nonEmpty) { spark.stop(); return }
+    if (candArgs.nonEmpty || bigRuns.nonEmpty || curveArgs.nonEmpty ||
+      docRuns.nonEmpty) { spark.stop(); return }
     val (hotNames, replNames) = args.partition(_.startsWith("hot:"))
     if (replNames.nonEmpty && !new java.io.File(s"$out/documents.parquet").exists()) {
       println("[probe] building 10x replicated tables …")

@@ -67,6 +67,61 @@ object MultimodalOps extends QueryModule {
       out.toByteArray
     }
 
+    /** Adam7-INTERLACED gray PNG of the same raster — the JDK writer's
+      * progressive mode emits real 7-pass interlacing, so the decode
+      * row reads ANOTHER encoder's pass structure (r15).
+      */
+    def encodePngInterlaced(docId: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { r.setSample(x, y, 0, pixel(docId, x, y)); x += 1 }
+        y += 1
+      }
+      val writer = ImageIO.getImageWritersByFormatName("png").next()
+      val p = writer.getDefaultWriteParam
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val out = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(out)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally { ios.close(); writer.dispose() }
+      out.toByteArray
+    }
+
+    /** Palette RGB at index i — a NON-GRAY ramp so the JDK writer must
+      * emit a real colour-type-3 PNG with a PLTE chunk (a gray palette
+      * gets optimized to colour type 0). Shared with the oracle.
+      */
+    def paletteRgb(i: Int): (Int, Int, Int) = (i, (i * 2) % 256, (i * 3) % 256)
+
+    /** PALETTED (colour type 3) PNG: the gray closed form becomes the
+      * palette INDEX plane, expanded through [[paletteRgb]] (r15).
+      */
+    def encodePngPalette(docId: Long, w: Int, h: Int): Array[Byte] = {
+      val (r0, g0, b0) = (new Array[Byte](256), new Array[Byte](256),
+        new Array[Byte](256))
+      (0 until 256).foreach { i =>
+        val (r, g, b) = paletteRgb(i)
+        r0(i) = r.toByte; g0(i) = g.toByte; b0(i) = b.toByte
+      }
+      val cm = new java.awt.image.IndexColorModel(8, 256, r0, g0, b0)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, cm)
+      val r = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { r.setSample(x, y, 0, pixel(docId, x, y)); x += 1 }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
     def decodePng(bytes: Array[Byte]): BufferedImage =
       ImageIO.read(new ByteArrayInputStream(bytes))
 
@@ -609,6 +664,60 @@ object MultimodalOps extends QueryModule {
             // sample sum (< 2^53) by the same int — bit-identical
             PngDecodeRow(r.doc_id, g.width, g.height,
               PngDecode.meanSample(g), PngDecode.meanSample(c))
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id") // one row per image doc = input-sized
+  }
+
+  final case class PngWideRow(doc_id: Long, width: Int, height: Int,
+      mean_interlaced: Double, mean_palette_rgb: Double)
+
+  /** Adam7-interlaced + paletted PNG decode (r15 — the two remaining
+    * common web-crawl PNG shapes the subset rejected): each image
+    * doc's raster re-encodes through the JDK writer as (a) a REAL
+    * 7-pass interlaced gray stream (progressive mode) and (b) a REAL
+    * colour-type-3 stream whose PLTE is the non-gray [[paletteRgb]]
+    * ramp, and [[PngDecode]] — pass-geometry reconstruction, per-pass
+    * filtering, PLTE expansion — decodes both. Lossless ⇒ EXACT
+    * means: interlaced must equal the sequential gray closed form
+    * (same raster, different scanline order — any pass-scatter slip
+    * moves the mean), and the palette mean replays from index →
+    * palette formula in SQL. PngSpec pins per-pixel equality vs
+    * ImageIO incl. odd sizes with EMPTY passes (1×1, 3×70).
+    */
+  q("mm_png_wide_decode",
+    s"""WITH $imDimsSql
+       |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |  list_sum([CAST((31*doc_id + 7*(i%w) + 13*(i//w)) % 256 AS DOUBLE)
+       |            FOR i IN range(0, w*h)]) / (w*h) AS mean_interlaced,
+       |  list_sum([CAST((31*doc_id + 7*(i%w) + 13*(i//w)) % 256
+       |         + ((31*doc_id + 7*(i%w) + 13*(i//w)) % 256) * 2 % 256
+       |         + ((31*doc_id + 7*(i%w) + 13*(i//w)) % 256) * 3 % 256 AS DOUBLE)
+       |            FOR i IN range(0, w*h)]) / (3*w*h) AS mean_palette_rgb
+       |FROM im ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sess = s
+    import sess.implicits._
+    mediaTable(s, d).filter(col("meta.kind") === "image")
+      .select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap { batch =>
+          batch.map { r =>
+            val g = PngDecode.decode(r.payload)
+            val inter = PngDecode.decode(
+              MediaCodec.encodePngInterlaced(r.doc_id, g.width, g.height))
+            require(inter.channels == 1 &&
+              inter.width == g.width && inter.height == g.height,
+              s"interlaced decode shape ${inter.width}x${inter.height}")
+            val pal = PngDecode.decode(
+              MediaCodec.encodePngPalette(r.doc_id, g.width, g.height))
+            require(pal.channels == 3,
+              s"palette decode expanded to ${pal.channels}ch")
+            // exact integer sums / int division — bit-identical across
+            // engines, no rounding needed (the mm_png_decode pattern)
+            PngWideRow(r.doc_id, g.width, g.height,
+              PngDecode.meanSample(inter), PngDecode.meanSample(pal))
           }
         }
       }

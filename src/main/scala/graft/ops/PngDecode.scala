@@ -12,21 +12,27 @@ package graft.ops
   * None/Sub/Up/Average/Paeth, the Paeth predictor verbatim from the
   * spec's pseudocode).
   *
-  * Scope: 8-bit greyscale (colour type 0) and 8-bit truecolour
-  * (type 2), non-interlaced — exactly what [[MultimodalOps.MediaCodec]]
-  * emits and the overwhelming web-crawl majority; palette/alpha/16-bit/
-  * Adam7 reject loudly (never a silent wrong answer). Lossless ⇒ exact
-  * oracles: the registered row hashes the decoded raster's mean against
-  * the pre-encode closed form with NO tolerance band, and PngSpec pins
-  * per-pixel equality against BOTH the closed form and ImageIO's
-  * independent decode, plus CRC-flip/truncation rejection.
+  * Scope (r15 widened): ALL five 8-bit colour types — greyscale (0),
+  * truecolour (2), palette (3, PLTE expansion), grey+alpha (4) and
+  * RGBA (6) — in BOTH scanline orders: sequential and Adam7
+  * INTERLACED (§8.2: seven passes, each an independently-filtered
+  * sub-image scattered onto the 8×8 grid). That covers the real
+  * web-crawl PNG population; 16-bit depth and palette-alpha (tRNS)
+  * still reject loudly (never a silent wrong answer). Lossless ⇒
+  * exact oracles: the registered rows hash the decoded raster's mean
+  * against the pre-encode closed form with NO tolerance band, and
+  * PngSpec pins per-pixel equality against BOTH the closed form and
+  * ImageIO's independent decode (incl. interlaced and paletted
+  * streams ImageIO itself wrote), plus CRC-flip/truncation rejection.
   *
   * Cost: O(pixels), O(scanline) state past the inflate buffer; runs in
   * the same batched mapPartitions codec slot as every decoder.
   */
 object PngDecode {
 
-  /** channels = 1 (grey) or 3 (RGB, row-major interleaved samples). */
+  /** channels = 1 (grey), 2 (grey+alpha), 3 (RGB — truecolour or
+    * palette-expanded) or 4 (RGBA); row-major interleaved samples.
+    */
   final case class Decoded(width: Int, height: Int, channels: Int,
       samples: Array[Int])
 
@@ -48,6 +54,9 @@ object PngDecode {
     var width = 0
     var height = 0
     var channels = 0
+    var colourType = 0
+    var interlaced = false
+    var palette: Array[Int] = null
     var sawIhdr = false
     var sawIend = false
     val idat = new java.io.ByteArrayOutputStream()
@@ -67,20 +76,30 @@ object PngDecode {
           width = u32(pos + 8).toInt
           height = u32(pos + 12).toInt
           val bitDepth = u8(pos + 16)
-          val colourType = u8(pos + 17)
-          val interlace = u8(pos + 20)
+          colourType = u8(pos + 17)
+          interlaced = u8(pos + 20) == 1
           if (bitDepth != 8) throw new IllegalArgumentException(
             s"png: only 8-bit depth in subset, got $bitDepth")
           channels = colourType match {
             case 0 => 1
             case 2 => 3
+            case 3 => 1 // palette index plane; expanded to RGB below
+            case 4 => 2
+            case 6 => 4
             case t => throw new IllegalArgumentException(
-              s"png: colour type $t (palette/alpha) out of subset")
+              s"png: colour type $t out of subset")
           }
-          if (interlace != 0) throw new IllegalArgumentException(
-            "png: Adam7 interlacing out of subset")
+          if (u8(pos + 20) > 1) throw new IllegalArgumentException(
+            s"png: interlace method ${u8(pos + 20)} unknown")
           require(width > 0 && height > 0, "png: empty image")
           sawIhdr = true
+        case "PLTE" =>
+          require(sawIhdr, "png: PLTE before IHDR")
+          require(len % 3 == 0 && len <= 256 * 3, s"png: PLTE length $len")
+          palette = Array.tabulate(len.toInt)(i => u8(pos + 8 + i))
+        case "tRNS" =>
+          throw new IllegalArgumentException(
+            "png: palette-alpha (tRNS) out of subset")
         case "IDAT" =>
           require(sawIhdr, "png: IDAT before IHDR")
           idat.write(bytes, pos + 8, len.toInt)
@@ -90,10 +109,28 @@ object PngDecode {
       pos += 12 + len.toInt
     }
     require(sawIhdr, "png: no IHDR")
+    if (colourType == 3) require(palette != null, "png: palette image without PLTE")
+
+    // §8.2 pass geometry: sequential = one full pass; Adam7 = seven
+    // sub-images, each with its own scanline filtering, scattered
+    // onto the (x0 + px·dx, y0 + py·dy) grid
+    val passes: Seq[(Int, Int, Int, Int)] =
+      if (!interlaced) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+      val (x0, y0, dx, dy) = p
+      (math.max(0, (width - x0 + dx - 1) / dx),
+        math.max(0, (height - y0 + dy - 1) / dy))
+    }
+    val bpp = channels
+    val rawLen = passes.map { p =>
+      val (pw, ph) = passDims(p)
+      if (pw == 0 || ph == 0) 0 else (pw * bpp + 1) * ph
+    }.sum
 
     // zlib-inflate the concatenated IDAT payload to raw scanlines
-    val stride = width * channels
-    val raw = new Array[Byte]((stride + 1) * height)
+    val raw = new Array[Byte](rawLen)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     var got = 0
@@ -112,38 +149,78 @@ object PngDecode {
       throw new IllegalArgumentException(
         s"png: expected ${raw.length} raw bytes, inflated $got")
 
-    // §6 filter reconstruction, one pass, bpp = channels at 8-bit
-    val out = new Array[Int](stride * height)
-    val bpp = channels
-    var y = 0
-    while (y < height) {
-      val rowOff = y * (stride + 1)
-      val filter = raw(rowOff) & 0xff
-      var x = 0
-      while (x < stride) {
-        val cur = raw(rowOff + 1 + x) & 0xff
-        val left = if (x >= bpp) out(y * stride + x - bpp) else 0
-        val up = if (y > 0) out((y - 1) * stride + x) else 0
-        val ul = if (y > 0 && x >= bpp) out((y - 1) * stride + x - bpp) else 0
-        val recon = filter match {
-          case 0 => cur
-          case 1 => cur + left
-          case 2 => cur + up
-          case 3 => cur + (left + up) / 2
-          case 4 => // Paeth (spec pseudocode)
-            val p = left + up - ul
-            val pa = math.abs(p - left)
-            val pb = math.abs(p - up)
-            val pc = math.abs(p - ul)
-            cur + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
-          case f => throw new IllegalArgumentException(s"png: filter type $f")
+    // §6 filter reconstruction per pass, scattered into the full grid
+    val fullStride = width * bpp
+    val out = new Array[Int](fullStride * height)
+    var passOff = 0
+    passes.foreach { case p @ (x0, y0, dx, dy) =>
+      val (pw, ph) = passDims(p)
+      if (pw > 0 && ph > 0) {
+        val stride = pw * bpp
+        val sub = new Array[Int](stride * ph)
+        var y = 0
+        while (y < ph) {
+          val rowOff = passOff + y * (stride + 1)
+          val filter = raw(rowOff) & 0xff
+          var x = 0
+          while (x < stride) {
+            val cur = raw(rowOff + 1 + x) & 0xff
+            val left = if (x >= bpp) sub(y * stride + x - bpp) else 0
+            val up = if (y > 0) sub((y - 1) * stride + x) else 0
+            val ul = if (y > 0 && x >= bpp) sub((y - 1) * stride + x - bpp) else 0
+            val recon = filter match {
+              case 0 => cur
+              case 1 => cur + left
+              case 2 => cur + up
+              case 3 => cur + (left + up) / 2
+              case 4 => // Paeth (spec pseudocode)
+                val pp = left + up - ul
+                val pa = math.abs(pp - left)
+                val pb = math.abs(pp - up)
+                val pc = math.abs(pp - ul)
+                cur + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+              case f => throw new IllegalArgumentException(s"png: filter type $f")
+            }
+            sub(y * stride + x) = recon & 0xff
+            x += 1
+          }
+          y += 1
         }
-        out(y * stride + x) = recon & 0xff
-        x += 1
+        // scatter the pass onto the full raster
+        var py = 0
+        while (py < ph) {
+          var px = 0
+          while (px < pw) {
+            var c = 0
+            while (c < bpp) {
+              out((y0 + py * dy) * fullStride + (x0 + px * dx) * bpp + c) =
+                sub(py * stride + px * bpp + c)
+              c += 1
+            }
+            px += 1
+          }
+          py += 1
+        }
+        passOff += (stride + 1) * ph
       }
-      y += 1
     }
-    Decoded(width, height, channels, out)
+
+    if (colourType == 3) {
+      // palette expansion: index plane → interleaved RGB
+      val rgb = new Array[Int](width * height * 3)
+      var i = 0
+      while (i < width * height) {
+        val idx = out(i)
+        if (3 * idx + 2 >= palette.length)
+          throw new IllegalArgumentException(
+            s"png: palette index $idx beyond PLTE (${palette.length / 3} entries)")
+        rgb(3 * i) = palette(3 * idx)
+        rgb(3 * i + 1) = palette(3 * idx + 1)
+        rgb(3 * i + 2) = palette(3 * idx + 2)
+        i += 1
+      }
+      Decoded(width, height, 3, rgb)
+    } else Decoded(width, height, channels, out)
   }
 
   def meanSample(d: Decoded): Double = {

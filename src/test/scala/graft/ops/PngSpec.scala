@@ -135,14 +135,90 @@ class PngSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] { PngDecode.decode(bad) }
     assert(e.getMessage.contains("CRC") || e.getMessage.contains("DEFLATE") ||
       e.getMessage.contains("chunk"), e.getMessage)
-    // palette PNG (type 3) must reject as out of subset, not misread
-    val pal = new java.awt.image.BufferedImage(8, 8,
-      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
-    for (y <- 0 until 8; x <- 0 until 8) pal.setRGB(x, y, (x * 32) << 16)
+    // 16-bit depth stays out of subset (r15 widened colour types, not depths)
+    val deep = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until 8; x <- 0 until 8) deep.getRaster.setSample(x, y, 0, x * 4096)
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(pal, "png", out)
+    javax.imageio.ImageIO.write(deep, "png", out)
     val e2 = intercept[IllegalArgumentException] { PngDecode.decode(out.toByteArray) }
-    assert(e2.getMessage.contains("subset"), e2.getMessage)
+    assert(e2.getMessage.contains("8-bit"), e2.getMessage)
+    // palette-alpha (tRNS) stays out of subset
+    val r0 = Array.tabulate(4)(i => (i * 80).toByte)
+    val cmA = new java.awt.image.IndexColorModel(8, 4, r0, r0, r0, 0) // index 0 transparent
+    val palA = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cmA)
+    for (y <- 0 until 8; x <- 0 until 8) palA.getRaster.setSample(x, y, 0, x % 4)
+    val outA = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(palA, "png", outA)
+    val e3 = intercept[IllegalArgumentException] { PngDecode.decode(outA.toByteArray) }
+    assert(e3.getMessage.contains("tRNS"), e3.getMessage)
+  }
+
+  test("Adam7 interlaced PNG decode is pixel-exact vs closed form and ImageIO") {
+    // odd sizes exercise partial/empty passes; 8/16 exercise full grids
+    for ((docId, w, h) <- Seq((0L, 32, 48), (3L, 17, 9), (9L, 8, 8),
+      (21L, 1, 1), (33L, 3, 70))) {
+      val png = MediaCodec.encodePngInterlaced(docId, w, h)
+      // the fixture must actually be interlaced (IHDR interlace flag)
+      assert(png(8 + 8 + 12) == 1, s"doc $docId fixture not Adam7")
+      val d = PngDecode.decode(png)
+      assert((d.width, d.height, d.channels) == (w, h, 1))
+      val ref = MediaCodec.decodePng(png)
+      for (y <- 0 until h; x <- 0 until w) {
+        assert(d.samples(y * w + x) == MediaCodec.pixel(docId, x, y),
+          s"doc $docId ($x,$y) vs closed form")
+        assert(d.samples(y * w + x) == ref.getRaster.getSample(x, y, 0),
+          s"doc $docId ($x,$y) vs ImageIO")
+      }
+    }
+  }
+
+  test("paletted (colour type 3) PNG decode expands PLTE pixel-exactly") {
+    for (docId <- Seq(0L, 3L, 9L)) {
+      val (w, h) = (32, 48)
+      val png = MediaCodec.encodePngPalette(docId, w, h)
+      assert(png(8 + 8 + 9) == 3, s"doc $docId fixture not colour type 3")
+      val d = PngDecode.decode(png)
+      assert((d.width, d.height, d.channels) == (w, h, 3))
+      val ref = MediaCodec.decodePng(png)
+      for (y <- 0 until h; x <- 0 until w) {
+        val idx = MediaCodec.pixel(docId, x, y)
+        val (er, eg, eb) = MediaCodec.paletteRgb(idx)
+        assert(d.samples((y * w + x) * 3) == er &&
+          d.samples((y * w + x) * 3 + 1) == eg &&
+          d.samples((y * w + x) * 3 + 2) == eb,
+          s"doc $docId ($x,$y) vs palette closed form")
+        val rgb = ref.getRGB(x, y)
+        assert(d.samples((y * w + x) * 3) == ((rgb >> 16) & 0xff) &&
+          d.samples((y * w + x) * 3 + 1) == ((rgb >> 8) & 0xff) &&
+          d.samples((y * w + x) * 3 + 2) == (rgb & 0xff),
+          s"doc $docId ($x,$y) vs ImageIO")
+      }
+    }
+  }
+
+  test("alpha colour types (4, 6) decode with their alpha planes intact") {
+    val (w, h) = (16, 24)
+    // RGBA via ImageIO (TYPE_INT_ARGB → colour type 6)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((7 * x + 13 * y) % 256 << 24) | ((3 * x) % 256 << 16) |
+        ((5 * y) % 256 << 8) | ((x + y) % 256))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val png = out.toByteArray
+    assert(png(8 + 8 + 9) == 6, "fixture not colour type 6")
+    val d = PngDecode.decode(png)
+    assert((d.width, d.height, d.channels) == (w, h, 4))
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (y * w + x) * 4
+      assert(d.samples(base) == (3 * x) % 256, s"R ($x,$y)")
+      assert(d.samples(base + 1) == (5 * y) % 256, s"G ($x,$y)")
+      assert(d.samples(base + 2) == (x + y) % 256, s"B ($x,$y)")
+      assert(d.samples(base + 3) == (7 * x + 13 * y) % 256, s"A ($x,$y)")
+    }
   }
 
   test("mm_png_decode row: exact means on every image doc") {

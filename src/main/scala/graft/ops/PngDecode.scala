@@ -32,9 +32,11 @@ object PngDecode {
 
   /** channels = 1 (grey), 2 (grey+alpha), 3 (RGB — truecolour or
     * palette-expanded) or 4 (RGBA); row-major interleaved samples.
+    * `depth` is the source bit depth: samples range 0..255 at 8,
+    * 0..65535 at 16.
     */
   final case class Decoded(width: Int, height: Int, channels: Int,
-      samples: Array[Int])
+      samples: Array[Int], depth: Int = 8)
 
   private val Signature =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
@@ -55,6 +57,7 @@ object PngDecode {
     var height = 0
     var channels = 0
     var colourType = 0
+    var depth = 8
     var interlaced = false
     var palette: Array[Int] = null
     var sawIhdr = false
@@ -75,11 +78,13 @@ object PngDecode {
           require(len == 13, s"png: IHDR length $len")
           width = u32(pos + 8).toInt
           height = u32(pos + 12).toInt
-          val bitDepth = u8(pos + 16)
+          depth = u8(pos + 16)
           colourType = u8(pos + 17)
           interlaced = u8(pos + 20) == 1
-          if (bitDepth != 8) throw new IllegalArgumentException(
-            s"png: only 8-bit depth in subset, got $bitDepth")
+          if (depth != 8 && depth != 16) throw new IllegalArgumentException(
+            s"png: only 8/16-bit depth in subset, got $depth")
+          if (depth == 16 && colourType == 3) throw new IllegalArgumentException(
+            "png: 16-bit palette is not a legal PNG combination")
           channels = colourType match {
             case 0 => 1
             case 2 => 3
@@ -123,7 +128,10 @@ object PngDecode {
       (math.max(0, (width - x0 + dx - 1) / dx),
         math.max(0, (height - y0 + dy - 1) / dy))
     }
-    val bpp = channels
+    // filter unit (§6): bytes per pixel — the filter algebra is
+    // byte-wise at EVERY depth, so 16-bit rows reconstruct as byte
+    // streams and combine big-endian pairs afterwards
+    val bpp = channels * (depth / 8)
     val rawLen = passes.map { p =>
       val (pw, ph) = passDims(p)
       if (pw == 0 || ph == 0) 0 else (pw * bpp + 1) * ph
@@ -205,12 +213,23 @@ object PngDecode {
       }
     }
 
+    val combined = if (depth == 16) {
+      // big-endian byte pairs → 16-bit samples (§7.1)
+      val s16 = new Array[Int](out.length / 2)
+      var i = 0
+      while (i < s16.length) {
+        s16(i) = (out(2 * i) << 8) | out(2 * i + 1)
+        i += 1
+      }
+      s16
+    } else out
+
     if (colourType == 3) {
       // palette expansion: index plane → interleaved RGB
       val rgb = new Array[Int](width * height * 3)
       var i = 0
       while (i < width * height) {
-        val idx = out(i)
+        val idx = combined(i)
         if (3 * idx + 2 >= palette.length)
           throw new IllegalArgumentException(
             s"png: palette index $idx beyond PLTE (${palette.length / 3} entries)")
@@ -220,7 +239,7 @@ object PngDecode {
         i += 1
       }
       Decoded(width, height, 3, rgb)
-    } else Decoded(width, height, channels, out)
+    } else Decoded(width, height, channels, combined, depth)
   }
 
   def meanSample(d: Decoded): Double = {

@@ -1099,4 +1099,24 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"),
       s"top-k per anchor must rank-prune map-side before the shuffle:\n$p")
   }
+
+  test("sim_ann_ivf_hier: two-level assignment and candidates stay equi-joined") {
+    val p = plan(graft.SparkEntry.queries("sim_ann_ivf_hier")(spark, d))
+    // neither the coarse-cell sub-centroid join nor the (cell,si)
+    // candidate self-join may degrade to a loop join — at 100 TB both
+    // must be shuffle-equi (broadcast here where a side fits)
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"no loop join:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k must rank-prune map-side before the shuffle:\n$p")
+  }
+
+  test("sim_ann_ivfpq_trained: the trained path keeps the flat IVFADC plan shape") {
+    val p = plan(graft.SparkEntry.queries("sim_ann_ivfpq_trained")(spark, d))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("hashpartitioning(bucket") || p.contains("BroadcastHashJoin"),
+      s"the SDC self-join must stay a cell-keyed equi-join:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k must rank-prune map-side before the shuffle:\n$p")
+  }
 }

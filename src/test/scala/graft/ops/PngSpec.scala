@@ -135,14 +135,6 @@ class PngSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] { PngDecode.decode(bad) }
     assert(e.getMessage.contains("CRC") || e.getMessage.contains("DEFLATE") ||
       e.getMessage.contains("chunk"), e.getMessage)
-    // 16-bit depth stays out of subset (r15 widened colour types, not depths)
-    val deep = new java.awt.image.BufferedImage(8, 8,
-      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
-    for (y <- 0 until 8; x <- 0 until 8) deep.getRaster.setSample(x, y, 0, x * 4096)
-    val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(deep, "png", out)
-    val e2 = intercept[IllegalArgumentException] { PngDecode.decode(out.toByteArray) }
-    assert(e2.getMessage.contains("8-bit"), e2.getMessage)
     // palette-alpha (tRNS) stays out of subset
     val r0 = Array.tabulate(4)(i => (i * 80).toByte)
     val cmA = new java.awt.image.IndexColorModel(8, 4, r0, r0, r0, 0) // index 0 transparent
@@ -196,6 +188,23 @@ class PngSpec extends AnyFunSuite {
           s"doc $docId ($x,$y) vs ImageIO")
       }
     }
+  }
+
+  test("16-bit grey PNG decodes full-range samples big-endian") {
+    val (w, h) = (24, 16)
+    val deep = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      deep.getRaster.setSample(x, y, 0, (2711 * x + 4093 * y) % 65536)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(deep, "png", out)
+    val png = out.toByteArray
+    assert(png(8 + 8 + 8) == 16, "fixture not 16-bit")
+    val d = PngDecode.decode(png)
+    assert((d.width, d.height, d.channels, d.depth) == (w, h, 1, 16))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(d.samples(y * w + x) == (2711 * x + 4093 * y) % 65536,
+        s"($x,$y): ${d.samples(y * w + x)}")
   }
 
   test("alpha colour types (4, 6) decode with their alpha planes intact") {

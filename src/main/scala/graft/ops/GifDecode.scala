@@ -25,6 +25,167 @@ object GifDecode {
 
   final case class Decoded(width: Int, height: Int, pixels: Array[Int])
 
+  /** One animation frame: rect placement, GCE timing/disposal, and the
+    * frame's OWN rect pixels (palette-resolved red channel; -1 where
+    * the GCE transparency index punched a hole).
+    */
+  final case class Frame(x: Int, y: Int, width: Int, height: Int,
+      delayCs: Int, disposal: Int, pixels: Array[Int])
+
+  /** Decoded animation: logical-screen canvas size, per-frame rects,
+    * and the COMPOSED canvas after each frame — what a viewer shows,
+    * with §23 disposal semantics applied between frames.
+    */
+  final case class Animation(width: Int, height: Int,
+      frames: Vector[Frame], canvases: Vector[Array[Int]])
+
+  /** ANIMATED GIF decode (r15 — GIF89a §§23/26: graphic-control
+    * extensions, multiple image descriptors with rect offsets, local
+    * color tables, transparency holes, disposal methods none/keep(1),
+    * restore-background(2) and restore-previous(3)). Each frame's LZW
+    * stream decodes through the same entropy stage as [[decode]];
+    * composition replays the viewer contract: draw the rect (skipping
+    * transparent indices), snapshot, then apply the frame's disposal
+    * before the next draw.
+    */
+  def decodeFrames(bytes: Array[Byte]): Animation = {
+    def u8(i: Int): Int = {
+      if (i >= bytes.length)
+        throw new IllegalArgumentException("gif: truncated stream")
+      bytes(i) & 0xff
+    }
+    def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    val magic = new String(bytes.take(6), "US-ASCII")
+    require(magic == "GIF87a" || magic == "GIF89a", s"gif: bad magic '$magic'")
+    var i = 6
+    val sw = u16(i); val sh = u16(i + 2)
+    require(sw > 0 && sh > 0, "gif: empty logical screen")
+    val packed = u8(i + 4)
+    val bgIndex = u8(i + 5)
+    i += 7
+    var gct: Array[Int] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      gct = Array.tabulate(n)(k => u8(i + 3 * k))
+      i += 3 * n
+    }
+    val bg = if (gct != null && bgIndex < gct.length) gct(bgIndex) else 0
+    val canvas = Array.fill(sw * sh)(bg)
+    val frames = Vector.newBuilder[Frame]
+    val canvases = Vector.newBuilder[Array[Int]]
+    // pending GCE state, consumed by the next image descriptor
+    var delayCs = 0
+    var disposal = 0
+    var transparent = -1
+    var done = false
+    while (!done) {
+      u8(i) match {
+        case 0x3b => done = true
+        case 0x21 =>
+          val label = u8(i + 1)
+          i += 2
+          if (label == 0xf9) { // graphic control extension (§23)
+            require(u8(i) == 4, "gif: GCE block size must be 4")
+            val p = u8(i + 1)
+            disposal = (p >> 2) & 7
+            require(disposal <= 3, s"gif: reserved disposal method $disposal")
+            delayCs = u16(i + 2)
+            transparent = if ((p & 1) != 0) u8(i + 4) else -1
+            i += 5
+            require(u8(i) == 0, "gif: unterminated GCE")
+            i += 1
+          } else { // comment/application/plain-text: skip sub-blocks
+            while (u8(i) != 0) i += 1 + u8(i)
+            i += 1
+          }
+        case 0x2c =>
+          val fx = u16(i + 1); val fy = u16(i + 3)
+          val w = u16(i + 5); val h = u16(i + 7)
+          val ip = u8(i + 9)
+          i += 10
+          var pal = gct
+          if ((ip & 0x80) != 0) {
+            val n = 2 << (ip & 7)
+            pal = Array.tabulate(n)(k => u8(i + 3 * k))
+            i += 3 * n
+          }
+          require(pal != null, "gif: no color table")
+          require(fx + w <= sw && fy + h <= sh,
+            s"gif: frame rect ($fx,$fy ${w}x$h) outside ${sw}x$sh screen")
+          val interlaced = (ip & 0x40) != 0
+          val minCode = u8(i); i += 1
+          val data = new java.io.ByteArrayOutputStream()
+          while (u8(i) != 0) {
+            val n = u8(i)
+            if (i + 1 + n > bytes.length)
+              throw new IllegalArgumentException("gif: truncated sub-block")
+            data.write(bytes, i + 1, n)
+            i += 1 + n
+          }
+          i += 1 // sub-block terminator
+          val indices = lzw(data.toByteArray, minCode, w * h)
+          val px = new Array[Int](w * h)
+          def resolve(src: Int, dst: Int): Unit = {
+            val idx = indices(src)
+            px(dst) = if (idx == transparent) -1 else pal(idx)
+          }
+          if (!interlaced) {
+            var k = 0
+            while (k < w * h) { resolve(k, k); k += 1 }
+          } else {
+            val starts = Array(0, 4, 2, 1)
+            val steps = Array(8, 8, 4, 2)
+            var src = 0
+            var p = 0
+            while (p < 4) {
+              var y = starts(p)
+              while (y < h) {
+                var x = 0
+                while (x < w) { resolve(src, y * w + x); src += 1; x += 1 }
+                y += steps(p)
+              }
+              p += 1
+            }
+          }
+          // compose: snapshot for disposal 3, draw, record, dispose
+          val before =
+            if (disposal == 3) java.util.Arrays.copyOf(canvas, canvas.length)
+            else null
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = px(y * w + x)
+              if (v >= 0) canvas((fy + y) * sw + (fx + x)) = v
+              x += 1
+            }
+            y += 1
+          }
+          frames += Frame(fx, fy, w, h, delayCs, disposal, px)
+          canvases += java.util.Arrays.copyOf(canvas, canvas.length)
+          disposal match {
+            case 2 => // restore the rect to background
+              var yy = 0
+              while (yy < h) {
+                var xx = 0
+                while (xx < w) {
+                  canvas((fy + yy) * sw + (fx + xx)) = bg; xx += 1
+                }
+                yy += 1
+              }
+            case 3 => System.arraycopy(before, 0, canvas, 0, canvas.length)
+            case _ => ()
+          }
+          delayCs = 0; disposal = 0; transparent = -1
+        case other =>
+          throw new IllegalArgumentException(f"gif: unexpected block $other%02x")
+      }
+    }
+    val fs = frames.result()
+    require(fs.nonEmpty, "gif: no image data before trailer")
+    Animation(sw, sh, fs, canvases.result())
+  }
+
   def decode(bytes: Array[Byte]): Decoded = {
     def u8(i: Int): Int = {
       if (i >= bytes.length)

@@ -148,6 +148,35 @@ object MultimodalOps extends QueryModule {
       out.toByteArray
     }
 
+    /** ANIMATED GIF via the JDK sequence writer: frame f carries the
+      * gray raster of `pixel(docId + f, ·, ·)` — per-frame closed
+      * forms, losslessly palettized (r15, feeds mm_gif_anim_decode).
+      */
+    def encodeGifAnim(docId: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val out = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(out)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+          val r = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { r.setSample(x, y, 0, pixel(docId + f, x, y)); x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally { ios.close(); writer.dispose() }
+      out.toByteArray
+    }
+
     /** Triangle wave 0..255 with |slope| = 1 — the COLOR closed form's
       * building block. The gray sawtooth's mod-256 wrap edges are fine
       * for luma-only rows, but a chroma wrap under 4:2:0 subsampling
@@ -1149,6 +1178,57 @@ object MultimodalOps extends QueryModule {
       }
       .toDF()
       .orderBy("doc_id") // one row per image doc = input-sized
+  }
+
+  final case class GifAnimRow(doc_id: Long, frame: Int, width: Int,
+      height: Int, mean_px: Double)
+
+  /** ANIMATED GIF decode (r15 — GIF89a multi-frame: GCE parse, image
+    * descriptors walked to the trailer, per-frame LZW decode,
+    * composition with disposal semantics): each image doc transcodes
+    * to a REAL animated GIF through the JDK sequence writer — frame f
+    * carries the `pixel(doc_id + f)` raster — and
+    * [[GifDecode.decodeFrames]] decodes + composes every frame.
+    * Lossless ⇒ EXACT per-frame canvas means against the shifted
+    * closed form; frame count derives from doc_id so the gate replays
+    * different animation lengths per doc. GifSpec additionally pins a
+    * HAND-ASSEMBLED stream with rect offsets, a transparency hole and
+    * restore-background disposal — the composition paths the JDK
+    * writer's full-frame output never exercises.
+    */
+  q("mm_gif_anim_decode",
+    s"""WITH $imDimsSql,
+       |fr AS (SELECT doc_id, w, h, CAST(f AS INTEGER) AS frame
+       |       FROM im, LATERAL unnest(generate_series(0, CAST(doc_id % 4 + 1 AS INTEGER))) t(f))
+       |SELECT doc_id, frame, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |  round(list_sum([CAST((31*(doc_id + frame) + 7*(i%w) + 13*(i//w)) % 256 AS DOUBLE)
+       |                  FOR i IN range(0, w*h)]) / (w*h), 6) AS mean_px
+       |FROM fr ORDER BY doc_id, frame""".stripMargin) { (s, d) =>
+    val sess = s
+    import sess.implicits._
+    mediaTable(s, d).filter(col("meta.kind") === "image")
+      .select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap { batch =>
+          batch.flatMap { r =>
+            val g = PngDecode.decode(r.payload)
+            val nf = (r.doc_id % 4 + 2).toInt
+            val anim = GifDecode.decodeFrames(
+              MediaCodec.encodeGifAnim(r.doc_id, g.width, g.height, nf))
+            require(anim.frames.length == nf,
+              s"doc ${r.doc_id}: ${anim.frames.length} frames, expected $nf")
+            anim.canvases.zipWithIndex.map { case (cv, f) =>
+              var sum = 0L
+              var i = 0
+              while (i < cv.length) { sum += cv(i); i += 1 }
+              GifAnimRow(r.doc_id, f, anim.width, anim.height,
+                math.rint(sum.toDouble / cv.length * 1e6) / 1e6)
+            }
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame") // frame-count-sized = input-shaped
   }
 
   // ------------------------------------------------- feature extract

@@ -508,6 +508,80 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("animated GIF: JDK-writer sequence decodes per-frame exact") {
+    import MultimodalOps.MediaCodec
+    val (docId, w, h, nf) = (7L, 32, 16, 4)
+    val anim = GifDecode.decodeFrames(MediaCodec.encodeGifAnim(docId, w, h, nf))
+    assert((anim.width, anim.height, anim.frames.length) == (w, h, nf))
+    for (f <- 0 until nf) {
+      val cv = anim.canvases(f)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(cv(y * w + x) == MediaCodec.pixel(docId + f, x, y),
+          s"frame $f ($x,$y)")
+    }
+    // single-image facade still reads frame 0 of the same stream
+    val first = GifDecode.decode(MediaCodec.encodeGifAnim(docId, w, h, nf))
+    assert(first.pixels.sameElements(anim.frames.head.pixels))
+  }
+
+  test("animated GIF: hand-assembled offsets, transparency hole, restore-bg disposal") {
+    // an 8×8 89a stream the JDK writer never emits: frame 1 full-canvas
+    // solid, disposal=2 (restore background); frame 2 a 4×4 rect at
+    // (2,2) with a checkerboard of color 2 and TRANSPARENT index 3
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def b(v: Int): Unit = buf += v.toByte
+    def u16(v: Int): Unit = { b(v & 0xff); b(v >> 8) }
+    "GIF89a".foreach(c => b(c.toInt))
+    u16(8); u16(8)     // logical screen 8×8
+    b(0x81)            // GCT present, 4 entries (2 << 1)
+    b(0)               // background index 0
+    b(0)               // aspect
+    // palette red channels: 10, 100, 200, 250 (g=b=r for gray reading)
+    Seq(10, 100, 200, 250).foreach(v => { b(v); b(v); b(v) })
+    // LZW payload: [clear, root, clear, root, …, eoi] at fixed 3-bit
+    // width (every clear resets the table before it can grow)
+    def lzwBlock(pixels: Seq[Int]): Unit = {
+      b(2) // min code size (4-color palette)
+      val codes = pixels.flatMap(p => Seq(4, p)) :+ 5 // clear before each root, then EOI
+      val bits = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      var acc = 0; var n = 0
+      codes.foreach { c =>
+        acc |= (c & 7) << n; n += 3
+        while (n >= 8) { bits += (acc & 0xff).toByte; acc >>= 8; n -= 8 }
+      }
+      if (n > 0) bits += (acc & 0xff).toByte
+      b(bits.length)     // one sub-block (≤ 255 here)
+      buf ++= bits
+      b(0)               // terminator
+    }
+    // frame 1: GCE disposal=2, no transparency
+    b(0x21); b(0xf9); b(4); b(2 << 2); u16(0); b(0); b(0)
+    b(0x2c); u16(0); u16(0); u16(8); u16(8); b(0) // full canvas, no LCT
+    lzwBlock(Seq.fill(64)(1))                     // all color 1 (=100)
+    // frame 2: GCE transparency on index 3
+    b(0x21); b(0xf9); b(4); b(1); u16(0); b(3); b(0)
+    b(0x2c); u16(2); u16(2); u16(4); u16(4); b(0) // 4×4 rect at (2,2)
+    lzwBlock((0 until 16).map(i => if ((i + i / 4) % 2 == 0) 2 else 3))
+    b(0x3b) // trailer
+    val anim = GifDecode.decodeFrames(buf.toArray)
+    assert(anim.frames.length == 2)
+    assert(anim.canvases(0).forall(_ == 100), "frame 1: solid color 1")
+    assert(anim.frames(1).delayCs == 0 && anim.frames(0).disposal == 2)
+    // frame 2 canvas: background 10 everywhere (disposal 2 wiped frame
+    // 1) except the rect's NON-transparent checkerboard cells = 200
+    val cv = anim.canvases(1)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val inRect = x >= 2 && x < 6 && y >= 2 && y < 6
+      val expected =
+        if (!inRect) 10
+        else {
+          val i = (y - 2) * 4 + (x - 2)
+          if ((i + i / 4) % 2 == 0) 200 else 10 // transparent → bg shows
+        }
+      assert(cv(y * 8 + x) == expected, s"($x,$y): ${cv(y * 8 + x)} != $expected")
+    }
+  }
+
   test("GIF decode rejects corrupt streams loudly") {
     import MultimodalOps.MediaCodec
     val gif = MediaCodec.encodeGif(

@@ -682,6 +682,51 @@ object AnalyticsOps extends QueryModule {
       .reportSorted("variant") // 2 variants = report-sized
   }
 
+  /** Jackknife standard error of a ratio-of-sums (SPEC: Quenouille/
+    * Tukey leave-one-out jackknife, Efron & Tibshirani 1993 ch.11 —
+    * the RESAMPLING companion of [[agg_delta_method_ratio]]'s
+    * closed-form SE; methods teams run both and compare). Statistic:
+    * the click share of total event value Σv·1[click]/Σv. Each
+    * replicate θ₍ᵢ₎ = (S_c − cᵢ)/(S_t − vᵢ) is a CLOSED FORM of the
+    * totals — no n re-aggregations, ONE broadcast of the 1-row totals
+    * joined back and one two-phase pass over the events (the
+    * poor-man's-jackknife-at-scale shape). Determinism: inputs snap to
+    * the dy20 grid (exact totals), each replicate is one double
+    * division snapped to dy12 before the Σθ/Σθ² sums (rule-12 grids ⇒
+    * order-exact), variance via s2 − s1²/n with a greatest(…,0) guard
+    * for the ulp the division can shave at ~zero variance.
+    */
+  q("agg_jackknife_ratio",
+    s"""WITH e AS (SELECT ${Grid.dy20Sql("value")} AS v,
+      |            CASE WHEN event_type = 'click'
+      |                 THEN ${Grid.dy20Sql("value")} ELSE 0.0 END AS c
+      |       FROM events),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(v) AS st, sum(c) AS sc FROM e),
+      |th AS (SELECT ${Grid.dy12Sql("(t.sc - e.c) / (t.st - e.v)")} AS th
+      |       FROM e, t),
+      |a AS (SELECT sum(th) AS s1, sum(th * th) AS s2 FROM th)
+      |SELECT t.n AS n, round(t.sc / t.st, 6) AS ratio,
+      |       round(sqrt((t.n - 1.0) / t.n *
+      |                  greatest(a.s2 - a.s1 * a.s1 / t.n, 0)), 6) AS se_jack
+      |FROM a, t""") { (s, d) =>
+    val e = T(s, d, "events").select(
+      Grid.dy20(col("value")).as("v"),
+      when(col("event_type") === "click", Grid.dy20(col("value")))
+        .otherwise(lit(0.0)).as("c"))
+      .localCheckpoint() // feeds totals AND the replicate pass
+    val t = e.agg(count(lit(1)).cast("long").as("n"),
+      sum("v").as("st"), sum("c").as("sc"))
+    val th = e.crossJoin(broadcast(t))
+      .select(Grid.dy12((col("sc") - col("c")) / (col("st") - col("v"))).as("th"),
+        col("n"), col("st"), col("sc"))
+    th.groupBy("n", "st", "sc")
+      .agg(sum("th").as("s1"), sum(col("th") * col("th")).as("s2"))
+      .select(col("n"), round(col("sc") / col("st"), 6).as("ratio"),
+        round(sqrt((col("n") - lit(1.0)) / col("n") *
+          greatest(col("s2") - col("s1") * col("s1") / col("n"), lit(0.0))), 6)
+          .as("se_jack"))
+  }
+
   /** Kaplan–Meier survival over per-user lifetimes with right
     * censoring (SPEC: Kaplan & Meier 1958): lifetime = minutes
     * between a user's first and last event; users still active near
@@ -1694,6 +1739,59 @@ object AnalyticsOps extends QueryModule {
           / nullif(sqrt(varS), lit(0.0)), 4).as("z"))
   }
 
+  /** Pettitt changepoint test on the daily mean value (SPEC: Pettitt
+    * 1979 — the rank-based single-changepoint detector; the LOCATION
+    * companion of [[ts_mann_kendall]]'s trend direction: U_t counts
+    * sign agreements across every before/after split and the argmax
+    * |U_t| is the most probable break day). Daily aggregation makes a
+    * 100 TB event log a CALENDAR-sized problem (the theil_sen/
+    * mann_kendall device): U_t runs as one |days|³ sign aggregation
+    * over exact dy20 day means — ~10⁴–10⁵ tiny rows at any corpus
+    * size. p-value bound reported as its RATIONAL exponent
+    * −6K²/(n³+n²) (Pettitt's approximation without the libm exp —
+    * rule: no transcendentals in hashed output). Ties in |U_t| break
+    * to the earliest day.
+    */
+  q("ts_changepoint_pettitt",
+    s"""WITH dm AS (
+      |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |         sum(${Grid.dy20Sql("value")}) / count(*) AS m
+      |  FROM events GROUP BY 1),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dm),
+      |u AS (SELECT t.day AS t,
+      |             CAST(sum(CASE WHEN a.m > b.m THEN 1
+      |                           WHEN a.m < b.m THEN -1 ELSE 0 END) AS BIGINT) AS u_t
+      |      FROM dm t JOIN dm a ON a.day <= t.day JOIN dm b ON b.day > t.day
+      |      GROUP BY t.day),
+      |k AS (SELECT t, u_t,
+      |             row_number() OVER (ORDER BY abs(u_t) DESC, t) AS rn FROM u)
+      |SELECT nn.n AS n_days, k.t AS change_day, k.u_t AS u_stat,
+      |       CAST(abs(k.u_t) AS BIGINT) AS k_stat,
+      |       round(-6.0 * k.u_t * k.u_t /
+      |             (CAST(nn.n AS DOUBLE) * nn.n * nn.n + nn.n * nn.n), 6) AS log_p_bound
+      |FROM k, nn WHERE rn = 1""") { (s, d) =>
+    val dm = T(s, d, "events")
+      .groupBy(expr("unix_micros(ts) div 86400000000L").cast("long").as("day"))
+      .agg((sum(Grid.dy20(col("value"))) / count(lit(1))).as("m"))
+      .localCheckpoint() // feeds the split join THREE ways + the count
+    val nn = dm.agg(count(lit(1)).cast("long").as("n"))
+    val t = dm.select(col("day").as("t"))
+    val a = dm.select(col("day").as("da"), col("m").as("ma"))
+    val b = dm.select(col("day").as("db"), col("m").as("mb"))
+    val u = t.join(a, col("da") <= col("t")).join(b, col("db") > col("t"))
+      .groupBy("t")
+      .agg(sum(when(col("ma") > col("mb"), 1L)
+        .when(col("ma") < col("mb"), -1L).otherwise(0L)).cast("long").as("u_t"))
+    val w = Window.orderBy(abs(col("u_t")).desc, col("t").asc)
+    val n = col("n").cast("double")
+    u.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .crossJoin(broadcast(nn))
+      .select(col("n").as("n_days"), col("t").as("change_day"),
+        col("u_t").as("u_stat"), abs(col("u_t")).cast("long").as("k_stat"),
+        round(lit(-6.0) * col("u_t") * col("u_t") /
+          (n * n * n + n * n), 6).as("log_p_bound"))
+  }
+
   /** SAX symbolization of the per-type daily series (SPEC: Lin,
     * Keogh, Lonardi & Chiu 2003 — Piecewise Aggregate Approximation
     * to w=8 segments, then a 4-letter alphabet; THE time-series
@@ -2488,6 +2586,72 @@ object AnalyticsOps extends QueryModule {
     * two ROUND-6 values the hash already pins (the r13 agg_sprt
     * lesson). Map-only bin assignment + one two-phase 10-group agg.
     */
+  /** Brier score + Murphy decomposition (SPEC: Brier 1950; Murphy 1973
+    * — mean squared error of the probability forecast split into
+    * reliability − resolution + uncertainty over forecast bins, THE
+    * proper-scoring companion of [[eval_calibration_bins]]: calibration
+    * shows the curve, Murphy quantifies how much miscalibration vs
+    * discrimination costs). Same logistic probability as the
+    * calibration row, snapped to the dy12 grid (its SQUARE then lives
+    * on 2⁻²⁴ — rule-12 order-exact sums); per-bin decomposition terms
+    * are deterministic scalar arithmetic snapped to dy20 before the
+    * ≤10-row bin sum. Two-phase aggs keyed on the bin, output 1 row.
+    */
+  q("eval_brier_decomp",
+    s"""WITH f AS (
+      |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+      |         CAST(-2.0 AS DOUBLE) + CAST(0.015 AS DOUBLE) * t
+      |           + CAST(0.45 AS DOUBLE) * ((ch - t + 1) * 1.0 / t) AS s
+      |  FROM (SELECT lang, len(str_split(text, ' ')) AS t,
+      |               length(text) AS ch FROM documents)),
+      |b AS (SELECT y, ${Grid.dy12Sql("1.0 / (1.0 + exp(-s))")} AS p FROM f),
+      |bb AS (SELECT least(CAST(floor(p * 10) AS INTEGER), 9) AS bin, y, p FROM b),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy,
+      |               sum((p - y) * (p - y)) AS sse
+      |        FROM bb),
+      |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS nk,
+      |             CAST(sum(y) AS BIGINT) AS syk, sum(p) AS spk
+      |      FROM bb GROUP BY bin),
+      |terms AS (SELECT
+      |    ${Grid.dy20Sql(
+             "g.nk * (g.spk / g.nk - CAST(g.syk AS DOUBLE) / g.nk) * " +
+             "(g.spk / g.nk - CAST(g.syk AS DOUBLE) / g.nk)")} AS rel_t,
+      |    ${Grid.dy20Sql(
+             "g.nk * (CAST(g.syk AS DOUBLE) / g.nk - CAST(tot.sy AS DOUBLE) / tot.n) * " +
+             "(CAST(g.syk AS DOUBLE) / g.nk - CAST(tot.sy AS DOUBLE) / tot.n)")} AS res_t
+      |  FROM g, tot)
+      |SELECT tot.n AS n, round(tot.sse / tot.n, 6) AS brier,
+      |       round(sum(terms.rel_t) / tot.n, 6) AS reliability,
+      |       round(sum(terms.res_t) / tot.n, 6) AS resolution,
+      |       round((CAST(tot.sy AS DOUBLE) / tot.n) *
+      |             (1.0 - CAST(tot.sy AS DOUBLE) / tot.n), 6) AS uncertainty
+      |FROM terms, tot GROUP BY tot.n, tot.sy, tot.sse""") { (s, d) =>
+    val b = scoredDocs(s, d)
+      .select(col("y"),
+        Grid.dy12(lit(1.0) / (lit(1.0) + exp(-col("s")))).as("p"))
+      .withColumn("bin", least(floor(col("p") * 10).cast("int"), lit(9)))
+      .localCheckpoint() // feeds the totals AND the per-bin agg
+    val tot = b.agg(count(lit(1)).cast("long").as("n"),
+      sum("y").cast("long").as("sy"),
+      sum((col("p") - col("y")) * (col("p") - col("y"))).as("sse"))
+    val g = b.groupBy("bin").agg(count(lit(1)).cast("long").as("nk"),
+      sum("y").cast("long").as("syk"), sum("p").as("spk"))
+    val ybar = col("sy").cast("double") / col("n")
+    val pbarK = col("spk") / col("nk")
+    val ybarK = col("syk").cast("double") / col("nk")
+    g.crossJoin(broadcast(tot))
+      .select(col("n"), col("sy"), col("sse"),
+        Grid.dy20(col("nk") * (pbarK - ybarK) * (pbarK - ybarK)).as("rel_t"),
+        Grid.dy20(col("nk") * (ybarK - ybar) * (ybarK - ybar)).as("res_t"))
+      .groupBy("n", "sy", "sse")
+      .agg(sum("rel_t").as("rel"), sum("res_t").as("res"))
+      .select(col("n"), round(col("sse") / col("n"), 6).as("brier"),
+        round(col("rel") / col("n"), 6).as("reliability"),
+        round(col("res") / col("n"), 6).as("resolution"),
+        round((col("sy").cast("double") / col("n")) *
+          (lit(1.0) - col("sy").cast("double") / col("n")), 6).as("uncertainty"))
+  }
+
   q("eval_calibration_bins", {
     val cuts = (1 to 9).map(b => math.log(b / (10.0 - b)))
     val cases = cuts.zipWithIndex

@@ -1962,4 +1962,61 @@ class OpsSemanticsSpec extends AnyFunSuite {
     }.mkString
     assert(rows.head.getString(1) == word, "driver SAX replay")
   }
+
+  test("agg_jackknife_ratio: SE matches a driver-side leave-one-out replay") {
+    val r = SparkEntry.queries("agg_jackknife_ratio")(spark, dir).head
+    val ev = graft.T(spark, dir, "events")
+      .select("event_type", "value").collect()
+      .map(x => (x.getString(0), Grid.dy20D(x.getDouble(1))))
+    val st = ev.map(_._2).sum
+    val sc = ev.collect { case ("click", v) => v }.sum
+    val n = ev.length
+    val th = ev.map { case (t, v) =>
+      val c = if (t == "click") v else 0.0
+      math.floor((sc - c) / (st - v) * 4096.0 + 0.5) / 4096.0
+    }
+    val s1 = th.sum
+    val s2 = th.map(x => x * x).sum
+    val se = math.sqrt((n - 1.0) / n * math.max(s2 - s1 * s1 / n, 0))
+    assert(r.getLong(0) == n)
+    assert(math.abs(r.getDouble(1) - sc / st) < 1e-6, "ratio")
+    assert(math.abs(r.getDouble(2) - se) < 1e-5, s"SE ${r.getDouble(2)} vs $se")
+  }
+
+  test("ts_changepoint_pettitt: U statistic and break day replay driver-side") {
+    val r = SparkEntry.queries("ts_changepoint_pettitt")(spark, dir).head
+    val dm = graft.T(spark, dir, "events")
+      .groupBy(org.apache.spark.sql.functions
+        .expr("unix_micros(ts) div 86400000000L").cast("long").as("day"))
+      .agg((org.apache.spark.sql.functions.sum(Grid.dy20(
+        org.apache.spark.sql.functions.col("value"))) /
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1))).as("m"))
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).sortBy(_._1)
+    val n = dm.length
+    // exhaustive driver-side U_t over every split point
+    val us = dm.init.map { case (t, _) =>
+      val (pre, post) = dm.partition(_._1 <= t)
+      val u = (for (a <- pre; b <- post)
+        yield java.lang.Double.compare(a._2, b._2).sign).sum
+      (t, u.toLong)
+    }
+    val best = us.maxBy { case (t, u) => (math.abs(u), -t) }
+    assert(r.getLong(0) == n, "n_days")
+    assert(r.getLong(1) == best._1, s"change day ${r.getLong(1)} vs ${best._1}")
+    assert(r.getLong(2) == best._2, s"U ${r.getLong(2)} vs ${best._2}")
+    assert(r.getLong(3) == math.abs(best._2))
+  }
+
+  test("eval_brier_decomp: Murphy identity holds within binning error; components sane") {
+    val r = SparkEntry.queries("eval_brier_decomp")(spark, dir).head
+    val (brier, rel, res, unc) =
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(rel >= 0 && res >= 0 && unc >= 0 && unc <= 0.25)
+    // rel − res + unc = brier exactly only for within-bin-constant
+    // forecasts; 10 bins keep the binning residual small
+    assert(math.abs((rel - res + unc) - brier) < 0.02,
+      s"Murphy identity: $rel - $res + $unc vs $brier")
+    assert(brier > 0 && brier < 0.5, s"degenerate brier $brier")
+  }
 }

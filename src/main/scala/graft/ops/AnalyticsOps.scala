@@ -1739,6 +1739,89 @@ object AnalyticsOps extends QueryModule {
           / nullif(sqrt(varS), lit(0.0)), 4).as("z"))
   }
 
+  /** Hodges–Lehmann pseudo-median of the daily mean value (SPEC:
+    * Hodges & Lehmann 1963 — the median of all Walsh averages
+    * (xᵢ+xⱼ)/2, i ≤ j; THE robust location estimator paired with the
+    * Wilcoxon test, as [[agg_theil_sen]]'s slope pairs with
+    * Mann–Kendall). Daily aggregation bounds the pair set by the
+    * CALENDAR: |days|(|days|+1)/2 Walsh averages at any corpus size.
+    * Walsh averages are halves of exact-grid day means (deterministic
+    * doubles); the median picks the middle value(s) by rank — value
+    * ties make the selection order-free.
+    */
+  q("agg_hodges_lehmann",
+    s"""WITH dm AS (
+      |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |         sum(${Grid.dy20Sql("value")}) / count(*) AS m
+      |  FROM events GROUP BY 1),
+      |w AS (SELECT (a.m + b.m) / 2 AS wa FROM dm a JOIN dm b ON a.day <= b.day),
+      |r AS (SELECT wa, row_number() OVER (ORDER BY wa) AS rn,
+      |             count(*) OVER () AS cnt FROM w)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM dm) AS n_days,
+      |       CAST(max(cnt) AS BIGINT) AS n_pairs,
+      |       round(avg(CASE WHEN rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+      |                      THEN wa END), 6) AS hl_estimate
+      |FROM r""") { (s, d) =>
+    val dm = T(s, d, "events")
+      .groupBy(expr("unix_micros(ts) div 86400000000L").cast("long").as("day"))
+      .agg((sum(Grid.dy20(col("value"))) / count(lit(1))).as("m"))
+      .localCheckpoint() // feeds the pair join twice + the day count
+    val nn = dm.agg(count(lit(1)).cast("long").as("n_days"))
+    val a = dm.select(col("day").as("da"), col("m").as("ma"))
+    val b = dm.select(col("day").as("db"), col("m").as("mb"))
+    val w = a.join(b, col("da") <= col("db"))
+      .select(((col("ma") + col("mb")) / 2).as("wa"))
+    val win = Window.orderBy(col("wa").asc) // |days|² rows = report-sized
+    val r = w.withColumn("rn", row_number().over(win))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+    // integer halves via div: Spark's `/` on longs is TRUE division
+    // (double), which would silently miss the even-count lower middle
+    val lo = expr("(cnt + 1) div 2")
+    val hi = expr("(cnt + 2) div 2")
+    r.agg(max("cnt").cast("long").as("n_pairs"),
+      round(avg(when(col("rn") === lo || col("rn") === hi, col("wa"))), 6)
+        .as("hl_estimate"))
+      .crossJoin(broadcast(nn))
+      .select(col("n_days"), col("n_pairs"), col("hl_estimate"))
+  }
+
+  /** Exact sign test counts on day-over-day changes (SPEC: Arbuthnott
+    * 1710 / Dixon & Mood 1946 — the assumption-free direction test;
+    * reported WITH the McNemar-form statistic (n₊−n₋)²/(n₊+n₋), the
+    * χ²₁ approximation's RATIONAL core, instead of a libm tail
+    * probability). Consecutive-day deltas of exact dy20 day means —
+    * calendar-bounded everywhere.
+    */
+  q("agg_sign_test",
+    s"""WITH dm AS (
+      |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |         sum(${Grid.dy20Sql("value")}) / count(*) AS m
+      |  FROM events GROUP BY 1),
+      |dl AS (SELECT m - lag(m) OVER (ORDER BY day) AS delta FROM dm),
+      |c AS (SELECT CAST(sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |             CAST(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+      |             CAST(sum(CASE WHEN delta = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tie
+      |      FROM dl WHERE delta IS NOT NULL)
+      |SELECT n_pos, n_neg, n_tie,
+      |       round(CAST((n_pos - n_neg) * (n_pos - n_neg) AS DOUBLE) /
+      |             nullif(n_pos + n_neg, 0), 6) AS chi2_stat
+      |FROM c""") { (s, d) =>
+    val dm = T(s, d, "events")
+      .groupBy(expr("unix_micros(ts) div 86400000000L").cast("long").as("day"))
+      .agg((sum(Grid.dy20(col("value"))) / count(lit(1))).as("m"))
+    val dl = dm.select(
+      (col("m") - lag("m", 1).over(Window.orderBy("day"))).as("delta"))
+      .filter(col("delta").isNotNull) // |days| rows = report-sized window
+    dl.agg(
+      sum(when(col("delta") > 0, 1L).otherwise(0L)).cast("long").as("n_pos"),
+      sum(when(col("delta") < 0, 1L).otherwise(0L)).cast("long").as("n_neg"),
+      sum(when(col("delta") === 0, 1L).otherwise(0L)).cast("long").as("n_tie"))
+      .select(col("n_pos"), col("n_neg"), col("n_tie"),
+        round(((col("n_pos") - col("n_neg")) * (col("n_pos") - col("n_neg")))
+          .cast("double") / nullif(col("n_pos") + col("n_neg"), lit(0L)), 6)
+          .as("chi2_stat"))
+  }
+
   /** Pettitt changepoint test on the daily mean value (SPEC: Pettitt
     * 1979 — the rank-based single-changepoint detector; the LOCATION
     * companion of [[ts_mann_kendall]]'s trend direction: U_t counts

@@ -1739,6 +1739,79 @@ object AnalyticsOps extends QueryModule {
           / nullif(sqrt(varS), lit(0.0)), 4).as("z"))
   }
 
+  /** Randomization (approximate permutation) test for the click vs
+    * non-click mean-value difference (SPEC: Fisher 1935 randomization
+    * inference; the Monte-Carlo variant of Ernst 2004 with B=32
+    * DERANDOMIZED reassignments — the same LCG device as
+    * [[eval_auc_bootstrap]], so both engines replay identical
+    * "random" label flips; binomial reassignment at the observed group
+    * rate rather than an exact permutation, stated honestly).
+    * p = (1 + #{|diff_b| ≥ |diff_obs|})/(B+1) — the add-one
+    * Monte-Carlo estimator. ONE corpus pass computes all 32 replicate
+    * sums as agg columns over grid-snapped values; every comparison is
+    * between deterministic doubles. Degenerate replicates (a side
+    * empty) go NULL and drop from the extreme count on both engines.
+    */
+  q("agg_permutation_pvalue", {
+    val B = 32
+    def uSql(b: Int): String =
+      s"((((e.event_id * 131 + $b) % 2147483648) * 1103515245 + 12345)" +
+        s" % 2147483648 + 0.5) / 2147483648.0"
+    val repCols = (1 to B).map(b =>
+      s"sum(CASE WHEN ${uSql(b)} < t.q THEN e.v ELSE 0 END) AS sa$b,\n" +
+        s"      CAST(sum(CASE WHEN ${uSql(b)} < t.q THEN 1 ELSE 0 END) AS BIGINT) AS na$b")
+      .mkString(",\n      ")
+    val diffs = (1 to B).map(b =>
+      s"abs(sa$b / nullif(na$b, 0) - (st - sa$b) / nullif(n - na$b, 0))")
+      .mkString(", ")
+    s"""WITH e AS (SELECT event_id, ${Grid.dy20Sql("value")} AS v,
+      |            CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ic
+      |       FROM events),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(v) AS st,
+      |             CAST(sum(ic) AS BIGINT) AS nc, sum(v * ic) AS sc,
+      |             CAST(sum(ic) AS DOUBLE) / count(*) AS q
+      |      FROM e),
+      |r AS (SELECT t.n, t.st, t.nc, t.sc,
+      |      $repCols
+      |      FROM e, t GROUP BY t.n, t.st, t.nc, t.sc, t.q),
+      |x AS (SELECT n, nc,
+      |        sc / nc - (st - sc) / (n - nc) AS obs,
+      |        [$diffs] AS ds
+      |      FROM r)
+      |SELECT n, nc AS n_click, round(obs, 6) AS obs_diff,
+      |       CAST(len(list_filter(ds, d -> d >= abs(obs))) AS BIGINT) AS n_extreme,
+      |       round((1.0 + len(list_filter(ds, d -> d >= abs(obs)))) / ${B + 1}.0, 6)
+      |         AS p_value
+      |FROM x""".stripMargin
+  }) { (s, d) =>
+    val B = 32
+    def uCol(b: Int): org.apache.spark.sql.Column =
+      (pmod(pmod(col("event_id") * lit(131L) + lit(b.toLong), lit(2147483648L))
+        * lit(1103515245L) + lit(12345L), lit(2147483648L))
+        .cast("double") + lit(0.5)) / lit(2147483648.0)
+    val e = T(s, d, "events").select(col("event_id"),
+      Grid.dy20(col("value")).as("v"),
+      when(col("event_type") === "click", 1L).otherwise(0L).as("ic"))
+    val t = e.agg(count(lit(1)).cast("long").as("n"), sum("v").as("st"),
+      sum("ic").cast("long").as("nc"), sum(col("v") * col("ic")).as("sc"))
+      .withColumn("q", col("nc").cast("double") / col("n"))
+    val aggs =
+      (1 to B).flatMap(b => Seq(
+        sum(when(uCol(b) < col("q"), col("v")).otherwise(0.0)).as(s"sa$b"),
+        sum(when(uCol(b) < col("q"), 1L).otherwise(0L)).cast("long").as(s"na$b")))
+    val r = e.crossJoin(broadcast(t))
+      .groupBy("n", "st", "nc", "sc", "q")
+      .agg(aggs.head, aggs.tail: _*)
+    val obs = col("sc") / col("nc") - (col("st") - col("sc")) / (col("n") - col("nc"))
+    val ds = array((1 to B).map(b =>
+      abs(col(s"sa$b") / nullif(col(s"na$b"), lit(0L)) -
+        (col("st") - col(s"sa$b")) / nullif(col("n") - col(s"na$b"), lit(0L)))): _*)
+    r.select(col("n"), col("nc").as("n_click"), round(obs, 6).as("obs_diff"),
+      size(filter(ds, dd => dd >= abs(obs))).cast("long").as("n_extreme"),
+      round((lit(1.0) + size(filter(ds, dd => dd >= abs(obs)))) / lit((B + 1).toDouble), 6)
+        .as("p_value"))
+  }
+
   /** Hodges–Lehmann pseudo-median of the daily mean value (SPEC:
     * Hodges & Lehmann 1963 — the median of all Walsh averages
     * (xᵢ+xⱼ)/2, i ≤ j; THE robust location estimator paired with the
@@ -2733,6 +2806,51 @@ object AnalyticsOps extends QueryModule {
         round(col("res") / col("n"), 6).as("resolution"),
         round((col("sy").cast("double") / col("n")) *
           (lit(1.0) - col("sy").cast("double") / col("n")), 6).as("uncertainty"))
+  }
+
+  /** Expected + maximum calibration error (SPEC: Naeini et al. 2015
+    * ECE / MCE — the binned |confidence − accuracy| summaries every
+    * model card reports; the L1 siblings of [[eval_brier_decomp]]'s
+    * squared reliability term, over the same 10 bins and the same
+    * grid-snapped logistic). Per-bin gaps are deterministic scalar
+    * arithmetic; ECE terms snap dy20 before the ≤10-row sum, MCE is an
+    * order-free max.
+    */
+  q("eval_ece",
+    s"""WITH f AS (
+      |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+      |         CAST(-2.0 AS DOUBLE) + CAST(0.015 AS DOUBLE) * t
+      |           + CAST(0.45 AS DOUBLE) * ((ch - t + 1) * 1.0 / t) AS s
+      |  FROM (SELECT lang, len(str_split(text, ' ')) AS t,
+      |               length(text) AS ch FROM documents)),
+      |b AS (SELECT y, ${Grid.dy12Sql("1.0 / (1.0 + exp(-s))")} AS p FROM f),
+      |bb AS (SELECT least(CAST(floor(p * 10) AS INTEGER), 9) AS bin, y, p FROM b),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bb),
+      |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS nk,
+      |             abs(sum(p) / count(*) - CAST(sum(y) AS DOUBLE) / count(*)) AS gap
+      |      FROM bb GROUP BY bin),
+      |terms AS (SELECT ${Grid.dy20Sql("g.nk * g.gap")} AS ece_t, g.gap FROM g)
+      |SELECT tot.n AS n,
+      |       CAST((SELECT count(*) FROM g) AS INTEGER) AS n_bins,
+      |       round(sum(terms.ece_t) / tot.n, 6) AS ece,
+      |       round(max(terms.gap), 6) AS mce
+      |FROM terms, tot GROUP BY tot.n""") { (s, d) =>
+    val b = scoredDocs(s, d)
+      .select(col("y"),
+        Grid.dy12(lit(1.0) / (lit(1.0) + exp(-col("s")))).as("p"))
+      .withColumn("bin", least(floor(col("p") * 10).cast("int"), lit(9)))
+      .localCheckpoint() // feeds the total AND the per-bin agg
+    val tot = b.agg(count(lit(1)).cast("long").as("n"))
+    val g = b.groupBy("bin").agg(count(lit(1)).cast("long").as("nk"),
+      abs(sum("p") / count(lit(1)) -
+        sum("y").cast("double") / count(lit(1))).as("gap"))
+    val nb = g.agg(count(lit(1)).cast("int").as("n_bins"))
+    g.select(Grid.dy20(col("nk") * col("gap")).as("ece_t"), col("gap"))
+      .agg(sum("ece_t").as("se"), max("gap").as("mce"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(nb))
+      .select(col("n"), col("n_bins"),
+        round(col("se") / col("n"), 6).as("ece"),
+        round(col("mce"), 6).as("mce"))
   }
 
   q("eval_calibration_bins", {

@@ -3164,6 +3164,93 @@ object LlmOps extends QueryModule {
       .orderBy("a") // one row per pair = input-sized
   }
 
+  /** ROUGE-1/ROUGE-2 F1 between adjacent doc pairs (SPEC: Lin 2004 —
+    * the RECALL-oriented n-gram overlap summarization eval;
+    * [[text_bleu_pairs]]' precision-side twin on the SAME pair scheme
+    * and clipped-count machinery, so the two rows together give the
+    * standard generation-eval pair). Clipped matches are exact
+    * integers; precision/recall/F1 are exact-rational with nullif
+    * degenerate guards. Same shuffle shape: per-pair n-gram explode →
+    * two-phase counts → equi-join on (pair, gram).
+    */
+  q("text_rouge_pairs",
+    """WITH p AS (
+      |  SELECT d1.doc_id AS a, d2.doc_id AS b, d1.text AS ta, d2.text AS tb
+      |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+      |  WHERE d1.doc_id % 2 = 0),
+      |u1a AS (SELECT a, g, count(*) AS c FROM
+      |          (SELECT a, unnest(str_split(ta, ' ')) AS g FROM p) GROUP BY a, g),
+      |u1b AS (SELECT a, g, count(*) AS c FROM
+      |          (SELECT a, unnest(str_split(tb, ' ')) AS g FROM p) GROUP BY a, g),
+      |u2a AS (SELECT a, g, count(*) AS c FROM
+      |          (SELECT a, unnest([tok[i] || ' ' || tok[i+1]
+      |                             FOR i IN range(1, len(tok))]) AS g
+      |           FROM (SELECT a, str_split(ta, ' ') AS tok FROM p)) GROUP BY a, g),
+      |u2b AS (SELECT a, g, count(*) AS c FROM
+      |          (SELECT a, unnest([tok[i] || ' ' || tok[i+1]
+      |                             FOR i IN range(1, len(tok))]) AS g
+      |           FROM (SELECT a, str_split(tb, ' ') AS tok FROM p)) GROUP BY a, g),
+      |m1 AS (SELECT u1a.a, CAST(sum(least(u1a.c, u1b.c)) AS BIGINT) AS m
+      |       FROM u1a JOIN u1b ON u1a.a = u1b.a AND u1a.g = u1b.g GROUP BY u1a.a),
+      |m2 AS (SELECT u2a.a, CAST(sum(least(u2a.c, u2b.c)) AS BIGINT) AS m
+      |       FROM u2a JOIN u2b ON u2a.a = u2b.a AND u2a.g = u2b.g GROUP BY u2a.a),
+      |tot AS (SELECT a, b,
+      |               CAST(len(str_split(ta, ' ')) AS BIGINT) AS c_len,
+      |               CAST(len(str_split(tb, ' ')) AS BIGINT) AS r_len
+      |        FROM p),
+      |sc AS (SELECT t.a, t.b,
+      |              coalesce(m1.m, 0) AS n1, coalesce(m2.m, 0) AS n2,
+      |              coalesce(m1.m, 0) * 1.0 / t.r_len AS r1,
+      |              coalesce(m1.m, 0) * 1.0 / t.c_len AS pr1,
+      |              coalesce(m2.m, 0) * 1.0 / nullif(t.r_len - 1, 0) AS r2,
+      |              coalesce(m2.m, 0) * 1.0 / nullif(t.c_len - 1, 0) AS pr2
+      |       FROM tot t LEFT JOIN m1 ON m1.a = t.a LEFT JOIN m2 ON m2.a = t.a)
+      |SELECT a, b, n1, n2,
+      |       round(r1, 6) AS rouge1_recall,
+      |       round(2 * pr1 * r1 / nullif(pr1 + r1, 0), 6) AS rouge1_f1,
+      |       round(r2, 6) AS rouge2_recall,
+      |       round(2 * pr2 * r2 / nullif(pr2 + r2, 0), 6) AS rouge2_f1
+      |FROM sc ORDER BY a""") { (s, d) =>
+    val docs = T(s, d, "documents")
+    val p = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("a"), col("text").as("ta"),
+        (col("doc_id") + 1).as("bk"))
+      .join(docs.select(col("doc_id").as("bk2"), col("text").as("tb")),
+        col("bk") === col("bk2"))
+      .select(col("a"), col("bk").as("b"), col("ta"), col("tb"))
+      .localCheckpoint()
+    def bi(c: String): org.apache.spark.sql.Column = expr(
+      s"transform(slice(split($c, ' '), 1, greatest(size(split($c, ' ')) - 1, 0)), " +
+        s"(t, i) -> concat(t, ' ', element_at(split($c, ' '), i + 2)))")
+    def grams(src: org.apache.spark.sql.Column, tag: String): DataFrame = p
+      .select(col("a"), explode(src).as("g"))
+      .groupBy("a", "g").agg(count(lit(1)).as(s"c$tag"))
+    def matches(ga: DataFrame, gb: DataFrame): DataFrame = ga
+      .join(gb, Seq("a", "g"))
+      .groupBy("a").agg(sum(least(col("ca"), col("cb"))).cast("long").as("m"))
+    val mm1 = matches(grams(split(col("ta"), " "), "a"),
+      grams(split(col("tb"), " "), "b")).withColumnRenamed("m", "n1")
+    val mm2 = matches(grams(bi("ta"), "a"), grams(bi("tb"), "b"))
+      .withColumnRenamed("m", "n2")
+    val tot = p.select(col("a"), col("b"),
+      size(split(col("ta"), " ")).cast("long").as("c_len"),
+      size(split(col("tb"), " ")).cast("long").as("r_len"))
+    val sc = tot.join(mm1, Seq("a"), "left").join(mm2, Seq("a"), "left")
+      .select(col("a"), col("b"), col("c_len"), col("r_len"),
+        coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"))
+    val r1 = col("n1") * lit(1.0) / col("r_len")
+    val pr1 = col("n1") * lit(1.0) / col("c_len")
+    val r2 = col("n2") * lit(1.0) / nullif(col("r_len") - 1, lit(0L))
+    val pr2 = col("n2") * lit(1.0) / nullif(col("c_len") - 1, lit(0L))
+    sc.select(col("a"), col("b"), col("n1"), col("n2"),
+      round(r1, 6).as("rouge1_recall"),
+      round(lit(2) * pr1 * r1 / nullif(pr1 + r1, lit(0.0)), 6).as("rouge1_f1"),
+      round(r2, 6).as("rouge2_recall"),
+      round(lit(2) * pr2 * r2 / nullif(pr2 + r2, lit(0.0)), 6).as("rouge2_f1"))
+      .orderBy("a") // one row per pair = input-sized
+  }
+
   /** Unicode NFC normalization audit (SPEC: UAX #15 canonical
     * composition — the ingest pass that makes visually-identical
     * strings byte-identical so dedup/tokenization don't split "café"

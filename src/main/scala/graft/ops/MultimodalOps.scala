@@ -1142,6 +1142,127 @@ object MultimodalOps extends QueryModule {
       .orderBy("doc_id") // one row per image doc = input-sized
   }
 
+  /** PROGRESSIVE COLOR JPEG decode — the SOF2 × 3-component product:
+    * interleaved first-DC scans over subsampled chroma, per-component
+    * AC spectral bands and refinement passes, then the shared
+    * dequant/IDCT/upsample/BT.601 path. Same color closed form and
+    * bands as [[q mm_jpeg_color_decode]] (lossy ⇒ booleans); the gray
+    * progressive row pins luma, this row pins the chroma scan
+    * bookkeeping (per-component Huffman table switches across scans
+    * red the bands immediately).
+    */
+  q("mm_jpeg_progressive_color",
+    s"""WITH $imDimsSql
+       |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |       true AS mean_err_le_2, true AS max_err_le_48
+       |FROM im ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sess = s
+    import sess.implicits._
+    mediaTable(s, d).filter(col("meta.kind") === "image")
+      .select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap { batch =>
+          batch.map { r =>
+            val png = MediaCodec.decodePng(r.payload)
+            val jpeg = MediaCodec.encodeJpegProgressive(
+              MediaCodec.colorImage(r.doc_id, png.getWidth, png.getHeight), 0.95f)
+            require(JpegDecode.sofType(jpeg) == 2, "fixture must be SOF2")
+            val dec = JpegDecode.decodeRgb(jpeg)
+            var errSum = 0L
+            var maxErr = 0
+            var y = 0
+            while (y < dec.height) {
+              var x = 0
+              while (x < dec.width) {
+                val p = dec.pixels(y * dec.width + x)
+                val (wr, wg, wb) = MediaCodec.pixelRgb(r.doc_id, x, y)
+                val er = math.abs(((p >> 16) & 0xff) - wr)
+                val eg = math.abs(((p >> 8) & 0xff) - wg)
+                val eb = math.abs((p & 0xff) - wb)
+                errSum += er + eg + eb
+                val m = math.max(er, math.max(eg, eb))
+                if (m > maxErr) maxErr = m
+                x += 1
+              }
+              y += 1
+            }
+            val n = 3L * dec.width * dec.height
+            JpegDecodeRow(r.doc_id, dec.width, dec.height,
+              errSum.toDouble / n <= 2.0, maxErr <= 48)
+          }
+        }
+      }
+      .toDF()
+      .withColumnsRenamed(Map("mean_err_le_half" -> "mean_err_le_2",
+        "max_err_le_16" -> "max_err_le_48"))
+      .orderBy("doc_id") // one row per image doc = input-sized
+  }
+
+  final case class MmSetRow(doc_id: Long, width: Int, height: Int,
+      mean_px: Double, bucket: Int, dim: Int, vec_norm: Double)
+
+  /** Multimodal training-set capstone (r15 — the image-side sibling of
+    * [[LlmOps]]' `pipeline_training_set`): ONE declarative plan
+    * composing the multimodal curation stages — real PNG decode of the
+    * stored payload (brightness quality gate on the decoded mean),
+    * aspect-ratio bucket assignment (the SDXL batching key), and the
+    * embedding join that attaches the "model feature" row — exactly
+    * the manifest a multimodal ingest emits per kept image. Every
+    * stage is hash-checked in isolation by its own row; THIS row pins
+    * the COMPOSITION (filter → argmin → join) as one Catalyst plan.
+    * vec_norm is one in-order double fold (both engines agree
+    * bit-for-bit — the sim-family contract).
+    */
+  q("mm_training_set",
+    s"""WITH $imDimsSql,
+       |q AS (SELECT im.doc_id, im.w, im.h,
+       |        list_sum([CAST((31*im.doc_id + 7*(i%im.w) + 13*(i//im.w)) % 256 AS DOUBLE)
+       |                  FOR i IN range(0, im.w*im.h)]) / (im.w*im.h) AS mean_px
+       |      FROM im),
+       |kept AS (SELECT * FROM q WHERE mean_px BETWEEN 110 AND 145),
+       |b AS (SELECT bid, bw, bh FROM (VALUES (0, 64, 64), (1, 80, 48), (2, 48, 80),
+       |                                      (3, 96, 32), (4, 32, 96)) v(bid, bw, bh)),
+       |r AS (SELECT k.doc_id, k.w, k.h, k.mean_px, b.bid,
+       |             row_number() OVER (PARTITION BY k.doc_id
+       |               ORDER BY abs(k.w * b.bh - k.h * b.bw), b.bid) AS rn
+       |      FROM kept k CROSS JOIN b)
+       |SELECT r.doc_id, CAST(r.w AS INTEGER) AS width, CAST(r.h AS INTEGER) AS height,
+       |       round(r.mean_px, 6) AS mean_px, CAST(r.bid AS INTEGER) AS bucket,
+       |       CAST(len(e.embedding) AS INTEGER) AS dim,
+       |       round(sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+       |                                     CAST(e.embedding AS DOUBLE[]))), 6) AS vec_norm
+       |FROM r JOIN embeddings e ON e.vec_id = r.doc_id
+       |WHERE r.rn = 1 ORDER BY r.doc_id""".stripMargin) { (s, d) =>
+    val sess = s
+    import sess.implicits._
+    val buckets = broadcast(Seq((0, 64, 64), (1, 80, 48), (2, 48, 80),
+      (3, 96, 32), (4, 32, 96)).toDF("bid", "bw", "bh"))
+    // EXACT mean (integer sum / wh — bit-identical to the oracle's
+    // division), so the brightness gate's BETWEEN sees the same value
+    // on both engines; the OUTPUT rounds through the shared round(…,6)
+    val decoded = mediaTable(s, d).filter(col("meta.kind") === "image")
+      .select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap(_.map { r =>
+          val g = PngDecode.decode(r.payload)
+          (r.doc_id, g.width, g.height, PngDecode.meanSample(g))
+        })
+      }
+      .toDF("doc_id", "w", "h", "mean_px")
+    val kept = decoded.filter(col("mean_px").between(110, 145))
+    val rnW = Window.partitionBy("doc_id")
+      .orderBy(abs(col("w") * col("bh") - col("h") * col("bw")).asc, col("bid").asc)
+    kept.crossJoin(buckets)
+      .withColumn("rn", row_number().over(rnW))
+      .filter(col("rn") === 1)
+      .join(T(s, d, "embeddings"), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("w").cast("int").as("width"),
+        col("h").cast("int").as("height"), round(col("mean_px"), 6).as("mean_px"),
+        col("bid").as("bucket"), size(col("embedding")).as("dim"),
+        round(graft.functions.vec.norm(col("embedding")), 6).as("vec_norm"))
+      .orderBy("doc_id") // one row per kept image = input-sized
+  }
+
   // ----------------------------------------------------- gif decode
 
   final case class GifDecodeRow(doc_id: Long, width: Int, height: Int,

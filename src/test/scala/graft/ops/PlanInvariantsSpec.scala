@@ -1111,6 +1111,18 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"top-k must rank-prune map-side before the shuffle:\n$p")
   }
 
+  test("mm_training_set: composition stays one plan — broadcast dims, no cartesian blowup") {
+    val p = plan(graft.SparkEntry.queries("mm_training_set")(spark, d))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the 5-row bucket table may ride a broadcast loop join; anything
+    // more means the embedding join degraded
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"only the 5-row bucket argmin may loop-join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("hashpartitioning(doc_id") ||
+      p.contains("hashpartitioning(vec_id"),
+      s"the embedding join must be an equi-join:\n$p")
+  }
+
   test("sim_ann_ivfpq_trained: the trained path keeps the flat IVFADC plan shape") {
     val p = plan(graft.SparkEntry.queries("sim_ann_ivfpq_trained")(spark, d))
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")

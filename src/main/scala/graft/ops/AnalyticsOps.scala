@@ -1895,6 +1895,65 @@ object AnalyticsOps extends QueryModule {
           .as("chi2_stat"))
   }
 
+  /** Wilcoxon signed-rank test on day-over-day changes (SPEC: Wilcoxon
+    * 1945 with average ranks for tied |Δ| and the zero-discard rule —
+    * the PAIRED rank test completing [[agg_sign_test]]: the sign test
+    * uses directions only, signed-rank also weighs magnitudes;
+    * [[agg_mann_whitney]] remains the unpaired sibling). Day deltas of
+    * exact dy20 daily means are calendar-bounded, so ranking runs on
+    * ~10²-row frames at any corpus size. Average ranks are dyadic
+    * halves (exact sums); W₊/W₋, the mean n(n+1)/4 and the
+    * tie-corrected variance are exact rationals; z is one sqrt.
+    */
+  q("agg_wilcoxon_signed_rank",
+    s"""WITH dm AS (
+      |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |         sum(${Grid.dy20Sql("value")}) / count(*) AS m
+      |  FROM events GROUP BY 1),
+      |dl AS (SELECT day, m - lag(m) OVER (ORDER BY day) AS delta FROM dm),
+      |nz AS (SELECT day, delta, abs(delta) AS ad
+      |       FROM dl WHERE delta IS NOT NULL AND delta <> 0),
+      |rk AS (SELECT delta, avg(rn) OVER (PARTITION BY ad) AS r
+      |       FROM (SELECT delta, ad,
+      |                    row_number() OVER (ORDER BY ad, day) AS rn FROM nz) t),
+      |tie AS (SELECT coalesce(sum(CAST(c AS DOUBLE) * c * c - c), 0) AS t3
+      |        FROM (SELECT count(*) AS c FROM nz GROUP BY ad HAVING count(*) > 1) x),
+      |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |               sum(CASE WHEN delta > 0 THEN r ELSE 0 END) AS wp,
+      |               sum(CASE WHEN delta < 0 THEN r ELSE 0 END) AS wm
+      |        FROM rk)
+      |SELECT agg.n AS n_nonzero, round(agg.wp, 2) AS w_plus,
+      |       round(agg.wm, 2) AS w_minus,
+      |       round((agg.wp - agg.n * (agg.n + 1) / 4.0) /
+      |             nullif(sqrt(agg.n * (agg.n + 1.0) * (2 * agg.n + 1) / 24.0
+      |                         - tie.t3 / 48.0), 0), 4) AS z
+      |FROM agg, tie""") { (s, d) =>
+    val dm = T(s, d, "events")
+      .groupBy(expr("unix_micros(ts) div 86400000000L").cast("long").as("day"))
+      .agg((sum(Grid.dy20(col("value"))) / count(lit(1))).as("m"))
+    val dl = dm.select(col("day"),
+      (col("m") - lag("m", 1).over(Window.orderBy("day"))).as("delta"))
+    val nz = dl.filter(col("delta").isNotNull && col("delta") =!= 0)
+      .withColumn("ad", abs(col("delta")))
+      .localCheckpoint() // |days| rows: feeds ranks AND the tie term
+    val rk = nz
+      .withColumn("rn", row_number().over(Window.orderBy(col("ad"), col("day"))))
+      .withColumn("r", avg("rn").over(Window.partitionBy("ad")))
+    val tie = nz.groupBy("ad").agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .agg(coalesce(sum(col("c").cast("double") * col("c") * col("c") - col("c")),
+        lit(0.0)).as("t3"))
+    val agg = rk.agg(count(lit(1)).cast("long").as("n"),
+      sum(when(col("delta") > 0, col("r")).otherwise(0.0)).as("wp"),
+      sum(when(col("delta") < 0, col("r")).otherwise(0.0)).as("wm"))
+    val n = col("n")
+    agg.crossJoin(broadcast(tie))
+      .select(n.as("n_nonzero"), round(col("wp"), 2).as("w_plus"),
+        round(col("wm"), 2).as("w_minus"),
+        round((col("wp") - n * (n + 1) / lit(4.0)) /
+          nullif(sqrt(n * (n + lit(1.0)) * (lit(2) * n + 1) / lit(24.0)
+            - col("t3") / lit(48.0)), lit(0.0)), 4).as("z"))
+  }
+
   /** Pettitt changepoint test on the daily mean value (SPEC: Pettitt
     * 1979 — the rank-based single-changepoint detector; the LOCATION
     * companion of [[ts_mann_kendall]]'s trend direction: U_t counts

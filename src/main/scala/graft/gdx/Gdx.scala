@@ -50,9 +50,11 @@ object Gdx {
     * across concurrently-submitted jobs, so N small per-symbol
     * write jobs overlap their scheduling/commit latencies. Pool size 8:
     * enough overlap to hide per-job overhead, small enough that the
-    * shared FileSystem/committer paths aren't thrashed. Any failure
-    * propagates after the pool drains — same failure surface as the
-    * serial loop.
+    * shared FileSystem/committer paths aren't thrashed. Failures are
+    * FAIL-FAST (r15 advisory): completions drain through a
+    * CompletionService, so the first failure cancels every queued job
+    * immediately — a shape-mismatch on symbol 1 of 1000 surfaces in
+    * one job's latency, like the serial loop, not after the queue.
     */
   private[gdx] def parPerSymbol[A, B](items: Seq[A],
       parallelism: Int = sys.props.get("graft.gdx.symbolJobs")
@@ -63,12 +65,25 @@ object Gdx {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(parallelism, items.length))
       try {
-        import scala.jdk.CollectionConverters._
-        val tasks = items.map(a =>
-          (() => f(a)): java.util.concurrent.Callable[B]).asJava
-        pool.invokeAll(tasks).asScala.toSeq.map(_.get())
-      } catch {
-        case e: java.util.concurrent.ExecutionException => throw e.getCause
+        val ecs =
+          new java.util.concurrent.ExecutorCompletionService[(Int, B)](pool)
+        val futures = items.zipWithIndex.map { case (a, i) =>
+          ecs.submit(() => (i, f(a)))
+        }
+        val out = new Array[Any](items.length)
+        var done = 0
+        try {
+          while (done < items.length) {
+            val (i, b) = ecs.take().get()
+            out(i) = b
+            done += 1
+          }
+        } catch {
+          case e: java.util.concurrent.ExecutionException =>
+            futures.foreach(_.cancel(true))
+            throw e.getCause
+        }
+        out.toSeq.map(_.asInstanceOf[B])
       } finally pool.shutdown()
     }
   }

@@ -63,6 +63,20 @@ object GdxCodec {
   val Magic2: Array[Byte] = "GRFTGDX2".getBytes(StandardCharsets.US_ASCII)
   val Magic3: Array[Byte] = "GRFTGDX3".getBytes(StandardCharsets.US_ASCII)
 
+  /** Byte width of one record's VALUE field(s) on the wire, per symbol
+    * type: sets/aliases carry none (their text index lives with the
+    * keys), parameters one IEEE double, variables/equations the 5-field
+    * level/marginal/lower/upper/scale block. The single source of truth
+    * for BOTH `readValuesInto` (reads width/8 doubles) and `skipValues`
+    * (skips width bytes) on the lazy scan path — one definition so the
+    * two can never silently desync (GdxCodecSpec pins the interleave).
+    */
+  def valueByteWidth(typ: Int): Int = typ match {
+    case SymbolType.Set | SymbolType.Alias => 0
+    case SymbolType.Parameter => 8
+    case _ => 40
+  }
+
   /** Records per data block (v2). Small enough that a block inflates in
     * L2-cache-sized chunks and a one-label slice decodes ~one block;
     * large enough that the per-block index (4 varints) is noise
@@ -627,29 +641,27 @@ object GdxCodec {
 
     /** Parse the current record's value field(s) (pairs with
       * [[nextKeysInto]]). Sets zero values(0) so the special-value flag
-      * columns read 0.0 — [[next]]'s empty-values semantics.
+      * columns read 0.0 — [[next]]'s empty-values semantics. Reads
+      * exactly [[GdxCodec.valueByteWidth]](typ) bytes — the SAME
+      * single source of truth [[skipValues]] skips, so the lazy scan
+      * path cannot desync if the value encoding ever changes.
       */
-    def readValuesInto(values: Array[Double]): Unit = meta.typ match {
-      case SymbolType.Set | SymbolType.Alias =>
-        if (values.length > 0) values(0) = 0.0
-      case SymbolType.Parameter =>
-        values(0) = in.readDouble()
-      case _ =>
+    def readValuesInto(values: Array[Double]): Unit = {
+      val n = GdxCodec.valueByteWidth(meta.typ) >> 3
+      if (n == 0) { if (values.length > 0) values(0) = 0.0 }
+      else {
         var f = 0
-        while (f < 5) { values(f) = in.readDouble(); f += 1 }
+        while (f < n) { values(f) = in.readDouble(); f += 1 }
+      }
     }
 
     /** Skip the current record's value bytes without assembling them
       * (pairs with [[nextKeysInto]] when the residual filter killed the
-      * record).
+      * record). Width comes from [[GdxCodec.valueByteWidth]] — shared
+      * with [[readValuesInto]] by construction.
       */
     def skipValues(): Unit = {
-      val bytes = meta.typ match {
-        case SymbolType.Set | SymbolType.Alias => 0
-        case SymbolType.Parameter => 8
-        case _ => 40
-      }
-      var left = bytes
+      var left = GdxCodec.valueByteWidth(meta.typ)
       while (left > 0) {
         val s = in.skipBytes(left)
         if (s <= 0) throw new EOFException(s"truncated record in ${meta.name}")

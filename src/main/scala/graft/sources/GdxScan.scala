@@ -460,7 +460,11 @@ private[sources] final class GdxSymbolDecode(path: String, symbol: String,
     * into caller-owned arrays (no per-record allocation), returning the
     * 1-based text-pool index (0 = none) or -1 at stream end.
     */
-  // A/B escape hatch for ColProbe only; the lazy path is the default
+  // LOCAL-MODE/PROBE-ONLY A/B escape hatch (ColProbe): read from
+  // sys.props at scan construction ON THE EXECUTOR, so a driver-set
+  // property does NOT propagate off local mode — by design. The lazy
+  // path is the production default everywhere; this knob exists only
+  // so a single-JVM probe can measure eager-vs-lazy on one host.
   private val lazyValues =
     sys.props.getOrElse("graft.gdx.lazyValues", "true").toBoolean
 

@@ -122,6 +122,78 @@ object MultimodalOps extends QueryModule {
       out.toByteArray
     }
 
+    /** Palette alpha at index i — non-monotone (·17 ramp) so the JDK
+      * writer must emit a REAL tRNS table; index 15 hits 255, which
+      * the writer drops as a trailing-opaque entry (spec-allowed
+      * truncation the decoder must handle). Shared with the oracle.
+      */
+    def paletteAlpha(i: Int): Int = (i * 17) % 256
+
+    /** tRNS-PALETTED 4-BIT PNG (r16): 16-entry [[paletteRgb]] palette
+      * + [[paletteAlpha]] table over the index plane pixel%16. The
+      * JDK writer emits depth-4 colour type 3 with PLTE + tRNS — the
+      * last loud-reject shapes in the PNG population (sub-8-bit +
+      * palette-alpha) in ONE independent-encoder fixture.
+      */
+    def encodePngPaletteTrns(docId: Long, w: Int, h: Int): Array[Byte] = {
+      val (r0, g0, b0, a0) = (new Array[Byte](16), new Array[Byte](16),
+        new Array[Byte](16), new Array[Byte](16))
+      (0 until 16).foreach { i =>
+        val (r, g, b) = paletteRgb(i)
+        r0(i) = r.toByte; g0(i) = g.toByte; b0(i) = b.toByte
+        a0(i) = paletteAlpha(i).toByte
+      }
+      val cm = new java.awt.image.IndexColorModel(4, 16, r0, g0, b0, a0)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_BINARY, cm)
+      val r = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { r.setSample(x, y, 0, pixel(docId, x, y) % 16); x += 1 }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** 2-BIT PALETTED PNG: 4-entry grey-ramp palette (0/60/120/180 —
+      * the writer keeps colour type 3 at depth 2) over pixel%4.
+      */
+    def encodePngPalette2bit(docId: Long, w: Int, h: Int): Array[Byte] = {
+      val ramp = Array[Byte](0, 60, 120.toByte, 180.toByte)
+      val cm = new java.awt.image.IndexColorModel(2, 4, ramp, ramp, ramp)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_BINARY, cm)
+      val r = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { r.setSample(x, y, 0, pixel(docId, x, y) % 4); x += 1 }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** 1-BIT GREYSCALE PNG: the JDK's TYPE_BYTE_BINARY default writes
+      * depth-1 COLOUR TYPE 0 (not palette) — the bilevel fax/mask
+      * shape — over pixel%2.
+      */
+    def encodePng1bit(docId: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_BINARY)
+      val r = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { r.setSample(x, y, 0, pixel(docId, x, y) % 2); x += 1 }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
     def decodePng(bytes: Array[Byte]): BufferedImage =
       ImageIO.read(new ByteArrayInputStream(bytes))
 
@@ -456,9 +528,10 @@ object MultimodalOps extends QueryModule {
     def luma(docId: Long, f: Int, x: Int, y: Int): Int =
       ((37L * docId + 11L * f * f) % 192L).toInt + (x % 4) + (y % 4)
 
-    /** Video frame dims: quarter-scale of the doc's image dims — both
-      * multiples of 4, so C420 subsampling and the exact frame mean
-      * both hold.
+    /** Video frame dims: an INDEPENDENT per-doc formula (not derived
+      * from the image raster's 16·(id%4+1) × 16·(id%5+1)); both dims
+      * are multiples of 4, so C420 subsampling and the exact frame
+      * mean both hold. Video oracles use this closed form directly.
       */
     def videoDims(docId: Long): (Int, Int) =
       ((4 * (docId % 4 + 1)).toInt, (4 * (docId % 3 + 1)).toInt)
@@ -584,8 +657,8 @@ object MultimodalOps extends QueryModule {
             case "audio" => MediaCodec.encodeWav(r.doc_id)
             case _ => MediaCodec.encodeY4m(r.doc_id, nf)
           }
-          // metadata carries the ACTUAL media dims (video frames are
-          // quarter-scale of the image raster formula)
+          // metadata carries the ACTUAL media dims (video frames use
+          // videoDims' own closed form, not the image raster formula)
           val (mw, mh) =
             if (kind == "video") MediaCodec.videoDims(r.doc_id) else (w, h)
           MediaFull(r.doc_id, payload, kind, mw, mh, nf)
@@ -747,6 +820,72 @@ object MultimodalOps extends QueryModule {
             // engines, no rounding needed (the mm_png_decode pattern)
             PngWideRow(r.doc_id, g.width, g.height,
               PngDecode.meanSample(inter), PngDecode.meanSample(pal))
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id") // one row per image doc = input-sized
+  }
+
+  final case class PngDepthsRow(doc_id: Long, width: Int, height: Int,
+      mean_trns_rgba: Double, mean_grey1: Double, mean_pal2: Double)
+
+  /** tRNS palette-alpha + sub-8-bit depth decode (r16 — the LAST
+    * loud-reject shapes in the PNG population, per the r15 verdict):
+    * each image doc re-encodes through the JDK writer as (a) a
+    * 4-BIT tRNS-PALETTED stream (depth-4 colour type 3, PLTE +
+    * truncated tRNS — [[PngDecode]] unpacks the bitfield index plane
+    * and expands to RGBA with the §11.3.2 "indices past the table are
+    * opaque" rule), (b) a 1-BIT GREYSCALE stream (depth-1 colour
+    * type 0 — the bilevel mask shape), and (c) a 2-BIT PALETTED
+    * stream (depth-2 colour type 3). Lossless ⇒ EXACT means, all
+    * three replayed closed-form in SQL with the SAME dividend and
+    * divisor (no re-association, bit-identical IEEE division). PngSpec
+    * pins per-pixel equality incl. the ALPHA PLANE vs ImageIO and the
+    * hand-built grey/RGB colour-key tRNS forms.
+    */
+  q("mm_png_depths_decode",
+    s"""WITH $imDimsSql
+       |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |  list_sum([CAST(23*(((31*doc_id + 7*(i%w) + 13*(i//w)) % 256) % 16) AS DOUBLE)
+       |            FOR i IN range(0, w*h)]) / (4*w*h) AS mean_trns_rgba,
+       |  list_sum([CAST(((31*doc_id + 7*(i%w) + 13*(i//w)) % 256) % 2 AS DOUBLE)
+       |            FOR i IN range(0, w*h)]) / (w*h) AS mean_grey1,
+       |  list_sum([CAST(180*(((31*doc_id + 7*(i%w) + 13*(i//w)) % 256) % 4) AS DOUBLE)
+       |            FOR i IN range(0, w*h)]) / (3*w*h) AS mean_pal2
+       |FROM im ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sess = s
+    import sess.implicits._
+    mediaTable(s, d).filter(col("meta.kind") === "image")
+      .select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap { batch =>
+          batch.map { r =>
+            val g = PngDecode.decode(r.payload)
+            val trnsPng =
+              MediaCodec.encodePngPaletteTrns(r.doc_id, g.width, g.height)
+            // the fixtures must actually be the claimed shapes (IHDR
+            // depth/colour-type bytes) — no silent degradation
+            require(trnsPng(24) == 4 && trnsPng(25) == 3,
+              s"trns fixture depth=${trnsPng(24)} ct=${trnsPng(25)}")
+            val t = PngDecode.decode(trnsPng)
+            require(t.channels == 4 &&
+              t.width == g.width && t.height == g.height,
+              s"tRNS decode shape ${t.width}x${t.height}x${t.channels}")
+            val g1Png = MediaCodec.encodePng1bit(r.doc_id, g.width, g.height)
+            require(g1Png(24) == 1 && g1Png(25) == 0,
+              s"1-bit fixture depth=${g1Png(24)} ct=${g1Png(25)}")
+            val g1 = PngDecode.decode(g1Png)
+            require(g1.channels == 1 && g1.depth == 1, "1-bit decode shape")
+            val p2Png =
+              MediaCodec.encodePngPalette2bit(r.doc_id, g.width, g.height)
+            require(p2Png(24) == 2 && p2Png(25) == 3,
+              s"2-bit fixture depth=${p2Png(24)} ct=${p2Png(25)}")
+            val p2 = PngDecode.decode(p2Png)
+            require(p2.channels == 3, "2-bit palette decode shape")
+            PngDepthsRow(r.doc_id, g.width, g.height,
+              PngDecode.meanSample(t), PngDecode.meanSample(g1),
+              PngDecode.meanSample(p2))
           }
         }
       }

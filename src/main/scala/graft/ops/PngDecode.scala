@@ -12,28 +12,35 @@ package graft.ops
   * None/Sub/Up/Average/Paeth, the Paeth predictor verbatim from the
   * spec's pseudocode).
   *
-  * Scope (r15 widened): ALL five 8-bit colour types — greyscale (0),
+  * Scope (r16 completed): ALL five colour types — greyscale (0),
   * truecolour (2), palette (3, PLTE expansion), grey+alpha (4) and
-  * RGBA (6) — in BOTH scanline orders: sequential and Adam7
-  * INTERLACED (§8.2: seven passes, each an independently-filtered
-  * sub-image scattered onto the 8×8 grid). That covers the real
-  * web-crawl PNG population; 16-bit depth and palette-alpha (tRNS)
-  * still reject loudly (never a silent wrong answer). Lossless ⇒
+  * RGBA (6) — at EVERY legal bit depth (§11.2.2's table: grey
+  * 1/2/4/8/16, palette 1/2/4/8, the rest 8/16), in BOTH scanline
+  * orders: sequential and Adam7 INTERLACED (§8.2: seven passes, each
+  * an independently-filtered sub-image scattered onto the 8×8 grid),
+  * plus tRNS transparency in all three forms (§11.3.2: palette-alpha
+  * table for type 3 → RGBA expansion; grey/RGB colour-key for types
+  * 0/2 → an added alpha plane). Nothing in the PNG population rejects
+  * now except genuinely illegal streams (bad CRC, truncation, illegal
+  * depth/type combinations — never a silent wrong answer). Lossless ⇒
   * exact oracles: the registered rows hash the decoded raster's mean
   * against the pre-encode closed form with NO tolerance band, and
   * PngSpec pins per-pixel equality against BOTH the closed form and
-  * ImageIO's independent decode (incl. interlaced and paletted
-  * streams ImageIO itself wrote), plus CRC-flip/truncation rejection.
+  * ImageIO's independent decode (incl. interlaced, paletted, 4-bit
+  * and tRNS-paletted streams ImageIO itself wrote), plus
+  * CRC-flip/truncation rejection.
   *
   * Cost: O(pixels), O(scanline) state past the inflate buffer; runs in
   * the same batched mapPartitions codec slot as every decoder.
   */
 object PngDecode {
 
-  /** channels = 1 (grey), 2 (grey+alpha), 3 (RGB — truecolour or
-    * palette-expanded) or 4 (RGBA); row-major interleaved samples.
-    * `depth` is the source bit depth: samples range 0..255 at 8,
-    * 0..65535 at 16.
+  /** channels = 1 (grey), 2 (grey+alpha — native type 4 OR type 0 with
+    * a tRNS colour-key), 3 (RGB — truecolour or palette-expanded) or
+    * 4 (RGBA — native type 6, tRNS-paletted type 3, or type 2 with a
+    * tRNS colour-key); row-major interleaved samples. `depth` is the
+    * source bit depth: samples range 0..(2^depth − 1); palette-
+    * expanded output is always 8-bit regardless of the index depth.
     */
   final case class Decoded(width: Int, height: Int, channels: Int,
       samples: Array[Int], depth: Int = 8)
@@ -60,6 +67,9 @@ object PngDecode {
     var depth = 8
     var interlaced = false
     var palette: Array[Int] = null
+    var trnsPalette: Array[Int] = null // type 3: per-index alpha table
+    var trnsGrey = -1                  // type 0: fully-transparent grey key
+    var trnsRgb: Array[Int] = null     // type 2: fully-transparent RGB key
     var sawIhdr = false
     var sawIend = false
     val idat = new java.io.ByteArrayOutputStream()
@@ -81,18 +91,23 @@ object PngDecode {
           depth = u8(pos + 16)
           colourType = u8(pos + 17)
           interlaced = u8(pos + 20) == 1
-          if (depth != 8 && depth != 16) throw new IllegalArgumentException(
-            s"png: only 8/16-bit depth in subset, got $depth")
-          if (depth == 16 && colourType == 3) throw new IllegalArgumentException(
-            "png: 16-bit palette is not a legal PNG combination")
+          // §11.2.2's legal depth/type table: grey 1/2/4/8/16,
+          // palette 1/2/4/8, truecolour + alpha-bearing types 8/16
+          val legalDepths: Set[Int] = colourType match {
+            case 0 => Set(1, 2, 4, 8, 16)
+            case 3 => Set(1, 2, 4, 8)
+            case 2 | 4 | 6 => Set(8, 16)
+            case t => throw new IllegalArgumentException(
+              s"png: colour type $t unknown")
+          }
+          if (!legalDepths(depth)) throw new IllegalArgumentException(
+            s"png: depth $depth illegal for colour type $colourType")
           channels = colourType match {
             case 0 => 1
             case 2 => 3
             case 3 => 1 // palette index plane; expanded to RGB below
             case 4 => 2
             case 6 => 4
-            case t => throw new IllegalArgumentException(
-              s"png: colour type $t out of subset")
           }
           if (u8(pos + 20) > 1) throw new IllegalArgumentException(
             s"png: interlace method ${u8(pos + 20)} unknown")
@@ -102,9 +117,26 @@ object PngDecode {
           require(sawIhdr, "png: PLTE before IHDR")
           require(len % 3 == 0 && len <= 256 * 3, s"png: PLTE length $len")
           palette = Array.tabulate(len.toInt)(i => u8(pos + 8 + i))
-        case "tRNS" =>
-          throw new IllegalArgumentException(
-            "png: palette-alpha (tRNS) out of subset")
+        case "tRNS" => // §11.3.2: three forms keyed by colour type
+          require(sawIhdr, "png: tRNS before IHDR")
+          colourType match {
+            case 3 =>
+              require(palette != null, "png: tRNS before PLTE")
+              require(len <= palette.length / 3,
+                s"png: tRNS length $len exceeds PLTE entries")
+              trnsPalette = Array.tabulate(len.toInt)(i => u8(pos + 8 + i))
+            case 0 =>
+              require(len == 2, s"png: grey tRNS length $len")
+              trnsGrey = (u8(pos + 8) << 8) | u8(pos + 9)
+            case 2 =>
+              require(len == 6, s"png: RGB tRNS length $len")
+              trnsRgb = Array(
+                (u8(pos + 8) << 8) | u8(pos + 9),
+                (u8(pos + 10) << 8) | u8(pos + 11),
+                (u8(pos + 12) << 8) | u8(pos + 13))
+            case t => throw new IllegalArgumentException(
+              s"png: tRNS illegal for alpha-bearing colour type $t")
+          }
         case "IDAT" =>
           require(sawIhdr, "png: IDAT before IHDR")
           idat.write(bytes, pos + 8, len.toInt)
@@ -128,13 +160,18 @@ object PngDecode {
       (math.max(0, (width - x0 + dx - 1) / dx),
         math.max(0, (height - y0 + dy - 1) / dy))
     }
-    // filter unit (§6): bytes per pixel — the filter algebra is
-    // byte-wise at EVERY depth, so 16-bit rows reconstruct as byte
-    // streams and combine big-endian pairs afterwards
-    val bpp = channels * (depth / 8)
+    // filter unit (§6): bytes per pixel ROUNDED UP TO ONE — the filter
+    // algebra is byte-wise at EVERY depth: 16-bit rows reconstruct as
+    // byte streams and combine big-endian pairs afterwards; sub-8-bit
+    // rows (1/2/4-bit grey or palette indices) filter with bpp = 1 and
+    // unpack big-endian-within-byte afterwards (§7.2: leftmost pixel
+    // in the high-order bits).
+    val bitsPP = channels * depth
+    val fbpp = math.max(1, bitsPP / 8)
+    def rowBytes(pw: Int): Int = (pw * bitsPP + 7) / 8
     val rawLen = passes.map { p =>
       val (pw, ph) = passDims(p)
-      if (pw == 0 || ph == 0) 0 else (pw * bpp + 1) * ph
+      if (pw == 0 || ph == 0) 0 else (rowBytes(pw) + 1) * ph
     }.sum
 
     // zlib-inflate the concatenated IDAT payload to raw scanlines
@@ -157,14 +194,15 @@ object PngDecode {
       throw new IllegalArgumentException(
         s"png: expected ${raw.length} raw bytes, inflated $got")
 
-    // §6 filter reconstruction per pass, scattered into the full grid
-    val fullStride = width * bpp
-    val out = new Array[Int](fullStride * height)
+    // §6 filter reconstruction per pass, then per-pixel SAMPLE
+    // extraction (byte, byte pair, or bitfield by depth) scattered
+    // into the full sample grid
+    val samplesOut = new Array[Int](width * height * channels)
     var passOff = 0
     passes.foreach { case p @ (x0, y0, dx, dy) =>
       val (pw, ph) = passDims(p)
       if (pw > 0 && ph > 0) {
-        val stride = pw * bpp
+        val stride = rowBytes(pw)
         val sub = new Array[Int](stride * ph)
         var y = 0
         while (y < ph) {
@@ -173,9 +211,9 @@ object PngDecode {
           var x = 0
           while (x < stride) {
             val cur = raw(rowOff + 1 + x) & 0xff
-            val left = if (x >= bpp) sub(y * stride + x - bpp) else 0
+            val left = if (x >= fbpp) sub(y * stride + x - fbpp) else 0
             val up = if (y > 0) sub((y - 1) * stride + x) else 0
-            val ul = if (y > 0 && x >= bpp) sub((y - 1) * stride + x - bpp) else 0
+            val ul = if (y > 0 && x >= fbpp) sub((y - 1) * stride + x - fbpp) else 0
             val recon = filter match {
               case 0 => cur
               case 1 => cur + left
@@ -194,15 +232,25 @@ object PngDecode {
           }
           y += 1
         }
-        // scatter the pass onto the full raster
+        // extract samples and scatter the pass onto the full raster
         var py = 0
         while (py < ph) {
           var px = 0
           while (px < pw) {
             var c = 0
-            while (c < bpp) {
-              out((y0 + py * dy) * fullStride + (x0 + px * dx) * bpp + c) =
-                sub(py * stride + px * bpp + c)
+            while (c < channels) {
+              val s =
+                if (depth == 16) {
+                  val o = py * stride + (px * channels + c) * 2
+                  (sub(o) << 8) | sub(o + 1) // big-endian pairs (§7.1)
+                } else if (depth == 8) {
+                  sub(py * stride + px * channels + c)
+                } else { // 1/2/4-bit: channels == 1, leftmost-pixel-high
+                  val bit = px * depth
+                  (sub(py * stride + (bit >> 3)) >> (8 - depth - (bit & 7))) &
+                    ((1 << depth) - 1)
+                }
+              samplesOut(((y0 + py * dy) * width + (x0 + px * dx)) * channels + c) = s
               c += 1
             }
             px += 1
@@ -213,33 +261,53 @@ object PngDecode {
       }
     }
 
-    val combined = if (depth == 16) {
-      // big-endian byte pairs → 16-bit samples (§7.1)
-      val s16 = new Array[Int](out.length / 2)
-      var i = 0
-      while (i < s16.length) {
-        s16(i) = (out(2 * i) << 8) | out(2 * i + 1)
-        i += 1
-      }
-      s16
-    } else out
-
+    val maxVal = (1 << depth) - 1
     if (colourType == 3) {
-      // palette expansion: index plane → interleaved RGB
-      val rgb = new Array[Int](width * height * 3)
+      // palette expansion: index plane → interleaved RGB(A) — alpha
+      // only when a tRNS table is present (§11.3.2: indices past the
+      // table's end are opaque)
+      val ch = if (trnsPalette != null) 4 else 3
+      val rgb = new Array[Int](width * height * ch)
       var i = 0
       while (i < width * height) {
-        val idx = combined(i)
+        val idx = samplesOut(i)
         if (3 * idx + 2 >= palette.length)
           throw new IllegalArgumentException(
             s"png: palette index $idx beyond PLTE (${palette.length / 3} entries)")
-        rgb(3 * i) = palette(3 * idx)
-        rgb(3 * i + 1) = palette(3 * idx + 1)
-        rgb(3 * i + 2) = palette(3 * idx + 2)
+        rgb(ch * i) = palette(3 * idx)
+        rgb(ch * i + 1) = palette(3 * idx + 1)
+        rgb(ch * i + 2) = palette(3 * idx + 2)
+        if (ch == 4)
+          rgb(ch * i + 3) =
+            if (idx < trnsPalette.length) trnsPalette(idx) else 255
         i += 1
       }
-      Decoded(width, height, 3, rgb)
-    } else Decoded(width, height, channels, combined, depth)
+      Decoded(width, height, ch, rgb)
+    } else if (colourType == 0 && trnsGrey >= 0) {
+      // grey colour-key transparency → grey+alpha plane
+      val ga = new Array[Int](width * height * 2)
+      var i = 0
+      while (i < width * height) {
+        val g = samplesOut(i)
+        ga(2 * i) = g
+        ga(2 * i + 1) = if (g == trnsGrey) 0 else maxVal
+        i += 1
+      }
+      Decoded(width, height, 2, ga, depth)
+    } else if (colourType == 2 && trnsRgb != null) {
+      // RGB colour-key transparency → RGBA
+      val rgba = new Array[Int](width * height * 4)
+      var i = 0
+      while (i < width * height) {
+        val o = 3 * i
+        val (r, g, b) = (samplesOut(o), samplesOut(o + 1), samplesOut(o + 2))
+        rgba(4 * i) = r; rgba(4 * i + 1) = g; rgba(4 * i + 2) = b
+        rgba(4 * i + 3) =
+          if (r == trnsRgb(0) && g == trnsRgb(1) && b == trnsRgb(2)) 0 else maxVal
+        i += 1
+      }
+      Decoded(width, height, 4, rgba, depth)
+    } else Decoded(width, height, channels, samplesOut, depth)
   }
 
   def meanSample(d: Decoded): Double = {

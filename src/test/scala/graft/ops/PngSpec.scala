@@ -135,16 +135,230 @@ class PngSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] { PngDecode.decode(bad) }
     assert(e.getMessage.contains("CRC") || e.getMessage.contains("DEFLATE") ||
       e.getMessage.contains("chunk"), e.getMessage)
-    // palette-alpha (tRNS) stays out of subset
-    val r0 = Array.tabulate(4)(i => (i * 80).toByte)
-    val cmA = new java.awt.image.IndexColorModel(8, 4, r0, r0, r0, 0) // index 0 transparent
-    val palA = new java.awt.image.BufferedImage(8, 8,
-      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cmA)
-    for (y <- 0 until 8; x <- 0 until 8) palA.getRaster.setSample(x, y, 0, x % 4)
-    val outA = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(palA, "png", outA)
-    val e3 = intercept[IllegalArgumentException] { PngDecode.decode(outA.toByteArray) }
-    assert(e3.getMessage.contains("tRNS"), e3.getMessage)
+    // genuinely illegal depth/type combinations still reject loudly
+    val badIhdr = {
+      val b = java.nio.ByteBuffer.allocate(13)
+      b.putInt(4).putInt(4).put(4.toByte).put(2.toByte) // depth 4 truecolour
+        .put(0.toByte).put(0.toByte).put(0.toByte)
+      b.array()
+    }
+    val badPng = png.take(8) ++ pngChunk("IHDR", badIhdr) ++
+      pngChunk("IEND", Array.empty)
+    val e4 = intercept[IllegalArgumentException] { PngDecode.decode(badPng) }
+    assert(e4.getMessage.contains("illegal"), e4.getMessage)
+  }
+
+  // spec §5.3 chunk assembly (shared by the hand-built fixtures)
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit =
+      Seq(24, 16, 8, 0).foreach(s => out.write(((v >> s) & 0xff).toInt))
+    u32(data.length)
+    out.write(typ.getBytes("US-ASCII")); out.write(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+    u32(crc.getValue)
+    out.toByteArray
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](256)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end(); out.toByteArray
+  }
+
+  private val PngSig =
+    Array[Int](0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  test("tRNS-paletted PNG (8-bit) decodes RGBA pixel-exact vs ImageIO incl. alpha") {
+    val (w, h) = (13, 9)
+    val n = 16
+    val (r0, g0, b0, a0) = (new Array[Byte](n), new Array[Byte](n),
+      new Array[Byte](n), new Array[Byte](n))
+    for (i <- 0 until n) {
+      val (r, g, b) = MultimodalOps.MediaCodec.paletteRgb(i)
+      r0(i) = r.toByte; g0(i) = g.toByte; b0(i) = b.toByte
+      a0(i) = MultimodalOps.MediaCodec.paletteAlpha(i).toByte
+    }
+    val cm = new java.awt.image.IndexColorModel(8, n, r0, g0, b0, a0)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 5 + y * 3) % n)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val png = out.toByteArray
+    assert(png(8 + 8 + 8) == 8 && png(8 + 8 + 9) == 3, "fixture shape")
+    assert(new String(png).contains("tRNS"), "fixture lacks tRNS")
+    val d = PngDecode.decode(png)
+    assert((d.width, d.height, d.channels) == (w, h, 4))
+    val ref = MediaCodec.decodePng(png)
+    for (y <- 0 until h; x <- 0 until w) {
+      val idx = (x * 5 + y * 3) % n
+      val (er, eg, eb) = MultimodalOps.MediaCodec.paletteRgb(idx)
+      val ea = MultimodalOps.MediaCodec.paletteAlpha(idx)
+      val base = (y * w + x) * 4
+      assert((d.samples(base), d.samples(base + 1), d.samples(base + 2),
+        d.samples(base + 3)) == ((er, eg, eb, ea)), s"($x,$y) vs closed form")
+      val q = ref.getRGB(x, y)
+      // ImageIO's ARGB readback zeroes RGB under alpha 0 in some
+      // paths — compare the alpha plane always, RGB when visible
+      assert(d.samples(base + 3) == ((q >>> 24) & 0xff), s"A ($x,$y) vs ImageIO")
+      if (ea != 0)
+        assert((d.samples(base), d.samples(base + 1), d.samples(base + 2)) ==
+          (((q >> 16) & 0xff, (q >> 8) & 0xff, q & 0xff)), s"($x,$y) vs ImageIO")
+    }
+  }
+
+  test("sub-8-bit PNGs (4-bit tRNS palette, 2-bit palette, 1-bit grey) decode exactly") {
+    import MultimodalOps.MediaCodec
+    for ((docId, w, h) <- Seq((0L, 16, 16), (3L, 17, 9), (7L, 1, 5), (11L, 33, 2))) {
+      // 4-bit palette + tRNS
+      val t = PngDecode.decode(MediaCodec.encodePngPaletteTrns(docId, w, h))
+      assert((t.width, t.height, t.channels) == (w, h, 4))
+      for (y <- 0 until h; x <- 0 until w) {
+        val idx = MediaCodec.pixel(docId, x, y) % 16
+        val (er, eg, eb) = MediaCodec.paletteRgb(idx)
+        val base = (y * w + x) * 4
+        assert((t.samples(base), t.samples(base + 1), t.samples(base + 2),
+          t.samples(base + 3)) ==
+          ((er, eg, eb, MediaCodec.paletteAlpha(idx))), s"4-bit doc $docId ($x,$y)")
+      }
+      // 2-bit palette (grey ramp)
+      val p2 = PngDecode.decode(MediaCodec.encodePngPalette2bit(docId, w, h))
+      assert((p2.width, p2.height, p2.channels) == (w, h, 3))
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = 60 * (MediaCodec.pixel(docId, x, y) % 4)
+        val base = (y * w + x) * 3
+        assert((p2.samples(base), p2.samples(base + 1), p2.samples(base + 2)) ==
+          ((v, v, v)), s"2-bit doc $docId ($x,$y)")
+      }
+      // 1-bit greyscale
+      val g1 = PngDecode.decode(MediaCodec.encodePng1bit(docId, w, h))
+      assert((g1.width, g1.height, g1.channels, g1.depth) == (w, h, 1, 1))
+      for (y <- 0 until h; x <- 0 until w)
+        assert(g1.samples(y * w + x) == MediaCodec.pixel(docId, x, y) % 2,
+          s"1-bit doc $docId ($x,$y)")
+      // and ImageIO agrees end-to-end on all three
+      val refT = MediaCodec.decodePng(MediaCodec.encodePngPaletteTrns(docId, w, h))
+      val refG = MediaCodec.decodePng(MediaCodec.encodePng1bit(docId, w, h))
+      for (y <- 0 until h; x <- 0 until w) {
+        val idx = MediaCodec.pixel(docId, x, y) % 16
+        assert(((refT.getRGB(x, y) >>> 24) & 0xff) == MediaCodec.paletteAlpha(idx))
+        assert(refG.getRaster.getSample(x, y, 0) == MediaCodec.pixel(docId, x, y) % 2)
+      }
+    }
+  }
+
+  test("grey and RGB colour-key tRNS (hand-built) add the alpha plane") {
+    // type 0 depth 8, grey key = 42
+    val (w, h) = (5, 3)
+    val greyRaw = (0 until h).flatMap { y =>
+      0.toByte +: (0 until w).map(x => ((x + y * w) % 3 match {
+        case 0 => 42; case 1 => 10; case _ => 200
+      }).toByte)
+    }.toArray
+    val ihdr0 = {
+      val b = java.nio.ByteBuffer.allocate(13)
+      b.putInt(w).putInt(h).put(8.toByte).put(0.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte)
+      b.array()
+    }
+    val png0 = PngSig ++ pngChunk("IHDR", ihdr0) ++
+      pngChunk("tRNS", Array[Byte](0, 42)) ++
+      pngChunk("IDAT", deflate(greyRaw)) ++ pngChunk("IEND", Array.empty)
+    val d0 = PngDecode.decode(png0)
+    assert((d0.width, d0.height, d0.channels) == (w, h, 2))
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = (x + y * w) % 3 match { case 0 => 42; case 1 => 10; case _ => 200 }
+      assert(d0.samples((y * w + x) * 2) == g)
+      assert(d0.samples((y * w + x) * 2 + 1) == (if (g == 42) 0 else 255),
+        s"grey-key alpha ($x,$y)")
+    }
+    // type 2 depth 8, RGB key = (1, 2, 3)
+    val rgbRaw = (0 until h).flatMap { y =>
+      0.toByte +: (0 until w).flatMap { x =>
+        if ((x + y) % 2 == 0) Seq(1.toByte, 2.toByte, 3.toByte)
+        else Seq(9.toByte, 8.toByte, 7.toByte)
+      }
+    }.toArray
+    val ihdr2 = {
+      val b = java.nio.ByteBuffer.allocate(13)
+      b.putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte)
+      b.array()
+    }
+    val png2 = PngSig ++ pngChunk("IHDR", ihdr2) ++
+      pngChunk("tRNS", Array[Byte](0, 1, 0, 2, 0, 3)) ++
+      pngChunk("IDAT", deflate(rgbRaw)) ++ pngChunk("IEND", Array.empty)
+    val d2 = PngDecode.decode(png2)
+    assert((d2.width, d2.height, d2.channels) == (w, h, 4))
+    for (y <- 0 until h; x <- 0 until w) {
+      val key = (x + y) % 2 == 0
+      val base = (y * w + x) * 4
+      assert(d2.samples(base + 3) == (if (key) 0 else 255), s"RGB-key alpha ($x,$y)")
+      assert(d2.samples(base) == (if (key) 1 else 9))
+    }
+    // tRNS on an alpha-bearing type is illegal
+    val ihdr6 = {
+      val b = java.nio.ByteBuffer.allocate(13)
+      b.putInt(1).putInt(1).put(8.toByte).put(6.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte)
+      b.array()
+    }
+    val png6 = PngSig ++ pngChunk("IHDR", ihdr6) ++
+      pngChunk("tRNS", Array[Byte](0, 0)) ++ pngChunk("IEND", Array.empty)
+    val e = intercept[IllegalArgumentException] { PngDecode.decode(png6) }
+    assert(e.getMessage.contains("tRNS"), e.getMessage)
+  }
+
+  test("hand-built 4-bit grey PNG unpacks bitfields (odd width crosses byte edges)") {
+    // depth-4 greyscale, w=5 → 3 bytes/row (last nibble is padding)
+    val (w, h) = (5, 2)
+    val vals = Array(Array(1, 15, 7, 0, 9), Array(14, 2, 8, 11, 5))
+    val raw = (0 until h).flatMap { y =>
+      val bits = vals(y).padTo(6, 0) // pad to full bytes
+      0.toByte +: (0 until 3).map(i =>
+        ((bits(2 * i) << 4) | bits(2 * i + 1)).toByte)
+    }.toArray
+    val ihdr = {
+      val b = java.nio.ByteBuffer.allocate(13)
+      b.putInt(w).putInt(h).put(4.toByte).put(0.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte)
+      b.array()
+    }
+    val png = PngSig ++ pngChunk("IHDR", ihdr) ++
+      pngChunk("IDAT", deflate(raw)) ++ pngChunk("IEND", Array.empty)
+    val d = PngDecode.decode(png)
+    assert((d.width, d.height, d.channels, d.depth) == (w, h, 1, 4))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(d.samples(y * w + x) == vals(y)(x), s"4-bit grey ($x,$y)")
+    // ImageIO agrees with our hand assembly end-to-end
+    val ref = MediaCodec.decodePng(png)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(ref.getRaster.getSample(x, y, 0) == vals(y)(x))
+  }
+
+  test("mm_png_depths_decode row: exact means on every image doc") {
+    import MultimodalOps.MediaCodec
+    val rows = SparkEntryAccess.query("mm_png_depths_decode")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = ((16 * (id % 4 + 1)).toInt, (16 * (id % 5 + 1)).toInt)
+      assert(r.getInt(1) == w && r.getInt(2) == h)
+      var st = 0L; var s1 = 0L; var s2 = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = MediaCodec.pixel(id, x, y)
+        st += 23L * (p % 16); s1 += p % 2; s2 += 180L * (p % 4)
+      }
+      assert(r.getDouble(3) == st.toDouble / (4L * w * h), s"doc $id trns mean")
+      assert(r.getDouble(4) == s1.toDouble / (w * h), s"doc $id grey1 mean")
+      assert(r.getDouble(5) == s2.toDouble / (3L * w * h), s"doc $id pal2 mean")
+    }
   }
 
   test("Adam7 interlaced PNG decode is pixel-exact vs closed form and ImageIO") {

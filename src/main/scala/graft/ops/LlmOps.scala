@@ -3,7 +3,7 @@ package graft.ops
 import graft.{QueryModule, T}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** SURVEY.md §2.L — LLM-data-pipeline extensions over `documents` and
   * `embeddings` (exact/near dedup, similarity search, text analysis).
@@ -760,18 +760,17 @@ object LlmOps extends QueryModule {
   private def lshTopk(s: SparkSession, d: String, keys: Seq[String]): DataFrame = {
     val extra = keys.filterNot(_ == "bucket")
     val b = lshBucketed(s, d, nPlanes = 8)
-    val l = b.select(keys.map(col) ++
-      Seq(col("vec_id").as("qid"), col("embedding").as("qemb")): _*)
-    val r = b.select(keys.map(col) ++
-      Seq(col("vec_id").as("nbr"), col("embedding")): _*)
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nbr").asc)
-    l.join(r, keys)
-      .filter(col("qid") =!= col("nbr"))
-      .withColumn("cos",
-        round(graft.functions.vec.cosine(col("qemb"), col("embedding")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select((Seq("qid") ++ extra ++ Seq("nbr", "cos", "rn")).map(col): _*)
+    // duplicate-collapsed in-bucket ranking (r16): identical
+    // embeddings share a bucket by construction, so the collapse keeps
+    // a mega-dup cluster from regrowing the pair join quadratically —
+    // output provably identical to the naive self-join (see
+    // [[collapsedPairTopK]]'s exactness argument)
+    collapsedPairTopK(b.select((keys :+ "vec_id" :+ "embedding").distinct.map(col): _*),
+      "vec_id", keys, Seq("embedding"),
+      (qc, nc) => round(graft.functions.vec.cosine(
+        qc("embedding"), nc("embedding")), 6), 3)
+      .select(Seq(col("qid")) ++ extra.map(col) ++
+        Seq(col("nbr"), col("score").as("cos"), col("rn")): _*)
       .orderBy("qid", "rn") // top-k PER VECTOR = input-sized
   }
 
@@ -1123,32 +1122,122 @@ object LlmOps extends QueryModule {
        |$tail""".stripMargin
   }
 
+  /** Duplicate-collapsed in-bucket top-k pair ranking (r16) — the
+    * mega-duplicate-cluster bound the r15 verdict promoted to #1. The
+    * naive in-bucket self-join is Θ(Σ n_b²): correct scaling when the
+    * bucket law pins n_b ≈ targetCell, but a raw crawl corpus carries
+    * MEGA-DUPLICATE clusters (10⁴–10⁹ copies of one embedding), and
+    * identical vectors land in the SAME final bucket by construction —
+    * one hot bucket regrows the pair join quadratically IN THE CLUSTER
+    * SIZE. This device is the SemDeDup-style representative collapse
+    * (Abbas et al. 2023's observation that exact/near-exact dup groups
+    * are interchangeable for neighbor ranking), made EXACT for the
+    * registered (score desc, nbr asc) top-k contract:
+    *
+    *  1. group same-bucket rows by PAYLOAD equality (the score is a
+    *     pure function of payloads, so group members are candidates
+    *     with identical scores); rep = min member id — which is also
+    *     the group's best-ranked member under the nbr-asc tie-break;
+    *  2. pair-join REPRESENTATIVES only (Θ(Σ distinct_b²) — a dup
+    *     cluster of ANY size is ONE row here);
+    *  3. per query group keep the top-k FOREIGN groups by
+    *     (score desc, rep asc) + the own group; keep each group's
+    *     first k+1 member ids;
+    *  4. expand every vector against its group's shortlist
+    *     (≤ (k+1)² candidates per vector) and re-rank.
+    *
+    * EXACTNESS (why every consumer row stays hash-identical to the
+    * uncapped join): any group contributing a top-k candidate for q
+    * has its min member in q's top-k too (same score, smaller id ⇒
+    * ranks no worse), so ≤ k foreign groups contribute and they are
+    * precisely the first ≤ k in (score desc, rep asc) order — a group
+    * outside that prefix is dominated by k rep-candidates that all
+    * outrank its best member. Within a group only the first k+1
+    * members can reach a member's top-k (same score ⇒ id order; +1
+    * covers the member itself being among them). The own group rides
+    * unconditionally because its min member may be q itself (excluded
+    * as self), which breaks the min-member argument for it — and
+    * under PQ/SDC scoring the self-score need not be maximal.
+    *
+    * Candidate volume: Θ(Σ distinct_b² + n·k²) — a 50k-copy planted
+    * cluster contributes 1 group and k+1 expand rows per member
+    * (StressProbe `dup:` mode measures the law). Cost on dup-free
+    * corpora: the same bucket-keyed pair join volume plus two linear
+    * window passes — no extra asymptotics.
+    *
+    * `scoreOf` builds the pair score from q-side / n-side payload
+    * column resolvers; it MUST depend only on payload columns (that is
+    * what makes group members interchangeable). Returns one row per
+    * (qid, rn ≤ k): bucketCols…, qid, nbr, score, rn.
+    */
+  private[ops] def collapsedPairTopK(frame: DataFrame, idCol: String,
+      bucketCols: Seq[String], payloadCols: Seq[String],
+      scoreOf: (String => Column, String => Column) => Column,
+      k: Int): DataFrame = {
+    val grpKey = (bucketCols ++ payloadCols).map(col)
+    val wGrpAll = Window.partitionBy(grpKey: _*)
+    val wGrp = wGrpAll.orderBy(col(idCol))
+    // one pass tags every row with its group id (= min member id);
+    // checkpointed once, read by the member lists, the rep frame and
+    // the final expand
+    val tagged = frame
+      .withColumn("_rep", min(col(idCol)).over(wGrpAll))
+      .withColumn("_grn", row_number().over(wGrp))
+      .localCheckpoint()
+    val members = tagged.filter(col("_grn") <= k + 1)
+      .groupBy(col("_rep").as("_nrep"))
+      .agg(sort_array(collect_list(col(idCol))).as("_mem"))
+    val reps = tagged.filter(col("_grn") === 1)
+    val q = reps.select(bucketCols.map(col) ++
+      payloadCols.map(c => col(c).as(s"_q_$c")) :+ col("_rep").as("_qrep"): _*)
+    val nn = reps.select(bucketCols.map(col) ++
+      payloadCols.map(c => col(c).as(s"_n_$c")) :+ col("_rep").as("_nrep"): _*)
+    val pairs = q.join(nn, bucketCols)
+      .withColumn("_s", scoreOf(c => col(s"_q_$c"), c => col(s"_n_$c")))
+      .select("_qrep", "_nrep", "_s")
+    val wg = Window.partitionBy("_qrep").orderBy(col("_s").desc, col("_nrep").asc)
+    val shortlist = pairs.filter(col("_qrep") =!= col("_nrep"))
+      .withColumn("_gr", row_number().over(wg))
+      .filter(col("_gr") <= k).drop("_gr")
+      .unionByName(pairs.filter(col("_qrep") === col("_nrep")))
+      .join(members, Seq("_nrep"))
+    val wq = Window.partitionBy("_qid").orderBy(col("_s").desc, col("_nbr").asc)
+    tagged
+      .select(bucketCols.map(col) :+ col(idCol).as("_qid") :+
+        col("_rep").as("_qrep"): _*)
+      .join(shortlist, Seq("_qrep"))
+      .select(bucketCols.map(col) :+ col("_qid") :+ col("_s") :+
+        explode(col("_mem")).as("_nbr"): _*)
+      .filter(col("_qid") =!= col("_nbr"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= k)
+      .select(bucketCols.map(col) :+ col("_qid").as("qid") :+
+        col("_nbr").as("nbr") :+ col("_s").as("score") :+ col("rn"): _*)
+  }
+
   /** Top-`topK` PQ/SDC code ranking per query vector — the shared
     * Spark-side stage behind `sim_ann_pq` (report form) and
-    * `sim_ann_pq_rerank` (shortlist form): self-join the encoded
-    * frame on bucket, score pairs via the 8 precomputed 16×16
-    * inner-product literal tables (the PQ trick — scoring never
-    * touches a vector), rank per query. Columns: qid, nbr, adot, rn.
+    * `sim_ann_pq_rerank` (shortlist form): score same-bucket pairs via
+    * the 8 precomputed 16×16 inner-product literal tables (the PQ
+    * trick — scoring never touches a vector), rank per query. Routed
+    * through [[collapsedPairTopK]] with the CODE TUPLE as the payload
+    * (identical embeddings ⇒ identical residuals ⇒ identical codes),
+    * so a mega-duplicate cluster costs one group, not cluster² pairs.
+    * Columns: qid, nbr, adot, rn.
     */
   private def pqCodeTopK(encoded: DataFrame,
       cb: Array[Array[Array[Double]]], topK: Int): DataFrame = {
     val ip = Array.tabulate(8)(m => Array.tabulate(256) { i =>
       (0 until 8).foldLeft(0.0)((acc, j) => acc + cb(m)(i / 16)(j) * cb(m)(i % 16)(j))
     })
-    val l = encoded.select(col("bucket") +: col("vec_id").as("qid") +:
-      (0 until 8).map(m => col(s"c$m").as(s"ca$m")): _*)
-    val r = encoded.select(col("bucket") +: col("vec_id").as("nbr") +:
-      (0 until 8).map(m => col(s"c$m").as(s"cb$m")): _*)
-    val score = (0 until 8).foldLeft(lit(0.0)) { (acc, m) =>
-      acc + element_at(array(ip(m).toIndexedSeq.map(lit): _*),
-        (col(s"ca$m") * 16 + col(s"cb$m") + 1).cast("int"))
-    }
-    val w = Window.partitionBy("qid").orderBy(col("adot").desc, col("nbr").asc)
-    l.join(r, Seq("bucket"))
-      .filter(col("qid") =!= col("nbr"))
-      .withColumn("adot", round(score, 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= topK)
+    val score = (qc: String => Column, nc: String => Column) =>
+      round((0 until 8).foldLeft(lit(0.0)) { (acc, m) =>
+        acc + element_at(array(ip(m).toIndexedSeq.map(lit): _*),
+          (qc(s"c$m") * 16 + nc(s"c$m") + 1).cast("int"))
+      }, 6)
+    collapsedPairTopK(encoded, "vec_id", Seq("bucket"),
+      (0 until 8).map(m => s"c$m"), score, topK)
+      .withColumnRenamed("score", "adot")
   }
 
   /** Product-quantization ANN (SPEC: FAISS PQ — Jégou et al. 2011):
@@ -1567,8 +1656,11 @@ object LlmOps extends QueryModule {
     * level 2 picks, WITHIN each coarse cell, the first ⌈n_c/targetCell⌉
     * members by vec_id as sub-centroids (one shuffle on cell for the
     * row_number/count window) and assigns by an equi-join on the coarse
-    * cell — each vector meets only ITS cell's sub-centroids, so the
-    * join carries Θ(n·√(totalCells)) rows, never a cross product. The
+    * cell — each DISTINCT (cell, embedding) group meets only ITS cell's
+    * sub-centroids (r16: identical vectors collapse to one scored row
+    * through the join and fan back by tag — a mega-dup cluster costs
+    * Θ(cluster), not Θ(cluster²/targetCell)), so the join carries
+    * Θ(distinct·√(totalCells)) rows, never a cross product. The
     * sub-centroid table is |totalCells| rows (~n/targetCell): at gate
     * scale AQE broadcasts it; at 100 TB the join stays shuffle-equi on
     * the coarse cell — co-partitioned, skew-bounded because level 1
@@ -1580,19 +1672,35 @@ object LlmOps extends QueryModule {
     val coarse = emb.orderBy("vec_id").limit(k1).collect()
       .map(_.getSeq[Float](1).toArray)
     // checkpoint: feeds sub-centroid extraction AND the assignment join
-    val asg1 = ivfAssign(emb, coarse).localCheckpoint()
+    val asg1 = ivfAssign(emb, coarse)
+      // duplicate-collapse tag (r16): the level-2 assignment is a pure
+      // function of (cell, embedding), so identical vectors — which a
+      // mega-duplicate cluster contributes by the million into ONE
+      // coarse cell — need only ONE scored row each through the
+      // sub-centroid join, not cluster·(n_c/targetCell). _crep = min
+      // member id per (cell, embedding) group; the assignment computes
+      // on group reps and joins back on the tag. Output-identical to
+      // the per-row join ([[collapsedPairTopK]]'s exactness argument,
+      // degenerate case: argmax instead of top-k).
+      .withColumn("_crep",
+        min(col("vec_id")).over(Window.partitionBy("cell", "embedding")))
+      .localCheckpoint()
     val wCell = Window.partitionBy("cell").orderBy("vec_id")
     val sc = asg1
       .withColumn("si", row_number().over(wCell) - 1)
       .withColumn("nc", count(lit(1)).over(Window.partitionBy("cell")))
       .filter(col("si") < ceil(col("nc") / lit(targetCell.toDouble)))
       .select(col("cell"), col("si"), col("embedding").as("semb"))
-    val wSub = Window.partitionBy("vec_id")
+    val wSub = Window.partitionBy("_crep")
       .orderBy(col("scos").desc, col("si").desc)
-    asg1.join(sc, Seq("cell"))
+    val repAsg = asg1.filter(col("vec_id") === col("_crep"))
+      .select("_crep", "cell", "embedding")
+      .join(sc, Seq("cell"))
       .withColumn("scos", graft.functions.vec.cosine(col("embedding"), col("semb")))
       .withColumn("sr", row_number().over(wSub))
       .filter(col("sr") === 1)
+      .select("_crep", "si", "semb")
+    asg1.join(repAsg, Seq("_crep"))
       .select("vec_id", "embedding", "cell", "si", "semb")
   }
 
@@ -1611,19 +1719,19 @@ object LlmOps extends QueryModule {
   qDyn("sim_ann_ivf_hier") { (s, d) =>
     val emb = T(s, d, "embeddings").select("vec_id", "embedding")
     val k1 = hierK1(emb.count(), targetCell = 25)
-    // checkpoint: the final bucket frame feeds BOTH self-join sides
+    // checkpoint: the final bucket frame feeds the collapse device's
+    // member lists, rep frame and expand
     val asg2 = hierAssign(emb, k1, targetCell = 25).localCheckpoint()
-    val l = asg2.select(col("cell"), col("si"),
-      col("vec_id").as("qid"), col("embedding").as("qe"))
-    val r = asg2.select(col("cell"), col("si"),
-      col("vec_id").as("nbr"), col("embedding").as("ne"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nbr").asc)
-    l.join(r, Seq("cell", "si"))
-      .filter(col("qid") =!= col("nbr"))
-      .withColumn("cos", round(graft.functions.vec.cosine(col("qe"), col("ne")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select(col("qid"), col("nbr"), col("cos"), col("rn"),
+    // duplicate-collapsed in-bucket exact-cosine ranking (r16): a
+    // mega-duplicate cluster lands in ONE (cell, si) bucket by
+    // construction; the collapse bounds its pair join at one group +
+    // Θ(k) expand rows per member, output identical to the naive
+    // self-join (see [[collapsedPairTopK]])
+    collapsedPairTopK(asg2.select("cell", "si", "vec_id", "embedding"),
+      "vec_id", Seq("cell", "si"), Seq("embedding"),
+      (qc, nc) => round(graft.functions.vec.cosine(
+        qc("embedding"), nc("embedding")), 6), 3)
+      .select(col("qid"), col("nbr"), col("score").as("cos"), col("rn"),
         col("cell").as("coarse_cell"), col("si").cast("int").as("sub_cell"),
         lit(k1).as("n_coarse"))
       .orderBy("qid", "rn") // top-k per vector = input-sized

@@ -536,6 +536,76 @@ object MultimodalOps extends QueryModule {
     def videoDims(docId: Long): (Int, Int) =
       ((4 * (docId % 4 + 1)).toInt, (4 * (docId % 3 + 1)).toInt)
 
+    /** MJPEG stream (r16, SURVEY §7.7): N REAL baseline-JPEG frames
+      * back-to-back — the classic MJPEG-in-AVI payload without the
+      * RIFF wrapper (each chunk is a complete JFIF frame; open formats
+      * like MJPEG-over-HTTP ship exactly this concatenation). Each
+      * frame is the JDK encoder's genuinely lossy DCT+Huffman output
+      * over the SAME [[luma]] closed form the Y4M fixture carries, so
+      * the decode side replays the video oracles.
+      */
+    def encodeMjpeg(docId: Long, nFrames: Int): Array[Byte] = {
+      val (w, h) = videoDims(docId)
+      val out = new ByteArrayOutputStream()
+      var f = 0
+      while (f < nFrames) {
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+        val r = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { r.setSample(x, y, 0, luma(docId, f, x, y)); x += 1 }
+          y += 1
+        }
+        out.write(encodeJpeg(img, 0.95f))
+        f += 1
+      }
+      out.toByteArray
+    }
+
+    /** Demux a raw MJPEG stream into its JPEG frames by the T.81
+      * SEGMENT WALK (not a byte scan: a DQT/DHT payload may contain
+      * the FFD9 byte pair, so only length-directed walking is sound):
+      * per frame SOI, then marker segments by their length fields;
+      * after SOS the entropy data advances over stuffed FF00 and
+      * RST0-7 until the next true marker (EOI for baseline one-scan
+      * frames). Truncated or misframed streams reject loudly.
+      */
+    def mjpegFrames(bytes: Array[Byte]): Vector[Array[Byte]] = {
+      def u8(p: Int): Int = {
+        if (p >= bytes.length)
+          throw new IllegalArgumentException("mjpeg: truncated stream")
+        bytes(p) & 0xff
+      }
+      val out = Vector.newBuilder[Array[Byte]]
+      var i = 0
+      while (i < bytes.length) {
+        require(u8(i) == 0xff && u8(i + 1) == 0xd8, s"mjpeg: expected SOI at $i")
+        val start = i
+        i += 2
+        var done = false
+        while (!done) {
+          require(u8(i) == 0xff, s"mjpeg: bad marker byte at $i")
+          val m = u8(i + 1)
+          if (m == 0xd9) { i += 2; done = true } // EOI
+          else if (m == 0xda) { // SOS: header, then entropy data
+            i += 2 + ((u8(i + 2) << 8) | u8(i + 3))
+            var run = true
+            while (run) {
+              if (u8(i) == 0xff) {
+                val n = u8(i + 1)
+                if (n == 0x00 || (n >= 0xd0 && n <= 0xd7)) i += 2
+                else run = false
+              } else i += 1
+            }
+          } else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
+          else i += 2 + ((u8(i + 2) << 8) | u8(i + 3))
+        }
+        out += java.util.Arrays.copyOfRange(bytes, start, i)
+      }
+      out.result()
+    }
+
     /** Real YUV4MPEG2 encoder: spec header line, then per frame a
       * FRAME marker + planar Y (w·h) and C420 U/V (w/2·h/2) planes.
       */
@@ -2328,5 +2398,75 @@ object MultimodalOps extends QueryModule {
       .filter(col("d").isNull || abs(col("d")) > 24)
       .select("doc_id", "frame_idx", "mean_luma")
       .orderBy("doc_id", "frame_idx") // scene starts ∝ cut density = input-sized
+  }
+
+  final case class VidRow(doc_id: Long, nf: Int)
+  final case class MjpegRow(doc_id: Long, n_frames: Int, width: Int,
+      height: Int, mean_err_le_half: Boolean, max_err_le_16: Boolean)
+
+  /** MJPEG video decode (r16 — SURVEY §7.7's composable half of the
+    * video-codec scope): transcode each video doc to a REAL MJPEG
+    * stream (concatenated baseline-JPEG frames from the JDK's lossy
+    * encoder over the [[MediaCodec.luma]] closed form), demux it by
+    * the T.81 segment walk ([[MediaCodec.mjpegFrames]] — length-
+    * directed, never a byte scan), and run the cross-verified
+    * [[JpegDecode]] entropy+IDCT core on EVERY frame. Honest because
+    * each frame's decoder is independently ImageIO-verified (the
+    * JpegDecode contract) — unlike H.264/VP9, no second decoder is
+    * needed beyond what the JPEG family already carries. JPEG is
+    * lossy, so the hashable output is the [[mm_jpeg_decode]]-style
+    * tolerance band per DOC across all frames (|frame mean − closed
+    * form| ≤ 0.5, max per-pixel error ≤ 16) plus the exact demux
+    * structure: frame count and dims replay closed-form in SQL — a
+    * misframed demux, wrong scan-order decode, or off-by-one frame
+    * index reds the hash. Same batched mapPartitions codec slot;
+    * only booleans and dims leave the task.
+    */
+  q("mm_mjpeg_frames",
+    """SELECT doc_id, CAST(doc_id % 30 + 1 AS INTEGER) AS n_frames,
+      |       CAST(4 * (doc_id % 4 + 1) AS INTEGER) AS width,
+      |       CAST(4 * (doc_id % 3 + 1) AS INTEGER) AS height,
+      |       true AS mean_err_le_half, true AS max_err_le_16
+      |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sess = s
+    import sess.implicits._
+    mediaTable(s, d).filter(col("meta.kind") === "video")
+      .select(col("doc_id"), col("meta.n_frames").as("nf")).as[VidRow]
+      .mapPartitions { rows =>
+        rows.grouped(16).flatMap { batch =>
+          batch.map { r =>
+            val frames = MediaCodec.mjpegFrames(
+              MediaCodec.encodeMjpeg(r.doc_id, r.nf))
+            val (w, h) = MediaCodec.videoDims(r.doc_id)
+            var meanOk = true
+            var maxOk = true
+            frames.zipWithIndex.foreach { case (fb, f) =>
+              val dec = JpegDecode.decode(fb)
+              require(dec.width == w && dec.height == h,
+                s"mjpeg frame $f dims ${dec.width}x${dec.height}")
+              var sum = 0L
+              var maxErr = 0
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = dec.pixels(y * w + x)
+                  sum += p
+                  val e = math.abs(p - MediaCodec.luma(r.doc_id, f, x, y))
+                  if (e > maxErr) maxErr = e
+                  x += 1
+                }
+                y += 1
+              }
+              val cfMean = ((37L * r.doc_id + 11L * f * f) % 192L) + 3.0
+              if (math.abs(sum.toDouble / (w * h) - cfMean) > 0.5) meanOk = false
+              if (maxErr > 16) maxOk = false
+            }
+            MjpegRow(r.doc_id, frames.length, w, h, meanOk, maxOk)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id") // one row per video doc = input-sized
   }
 }

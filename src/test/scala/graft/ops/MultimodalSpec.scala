@@ -713,6 +713,63 @@ class MultimodalSpec extends AnyFunSuite {
     val ex = intercept[IllegalArgumentException](ExifCodec.decode(hugeCnt))
     assert(ex.getMessage.contains("value bytes"), s"wrong rejection: ${ex.getMessage}")
   }
+
+  test("MJPEG demux: frame count, per-frame ImageIO agreement, segment-walk robustness") {
+    import MultimodalOps.MediaCodec
+    for (docId <- Seq(2L, 5L, 11L, 29L)) {
+      val nf = (docId % 30 + 1).toInt
+      val mj = MediaCodec.encodeMjpeg(docId, nf)
+      val frames = MediaCodec.mjpegFrames(mj)
+      assert(frames.length == nf, s"doc $docId demuxed ${frames.length}/$nf")
+      // bytes round-trip: the demux is a partition of the stream
+      assert(frames.map(_.length).sum == mj.length)
+      val (w, h) = MediaCodec.videoDims(docId)
+      frames.zipWithIndex.foreach { case (fb, f) =>
+        val ours = JpegDecode.decode(fb)
+        val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
+        assert((ours.width, ours.height) == (w, h))
+        for (y <- 0 until h; x <- 0 until w)
+          assert(math.abs(ours.pixels(y * w + x) -
+            ref.getRaster.getSample(x, y, 0)) <= 1,
+            s"doc $docId frame $f ($x,$y) vs ImageIO")
+      }
+    }
+    // segment-walk soundness: plant an FF D9 byte pair INSIDE a DQT
+    // payload — a byte-scanning demux would split the frame there; the
+    // length-directed walk must still frame the stream as ONE frame
+    val one = MediaCodec.mjpegFrames(MediaCodec.encodeMjpeg(2L, 1)).head
+    val patched = one.clone()
+    var i = 2
+    var dqtAt = -1
+    while (dqtAt < 0 && i + 3 < patched.length) {
+      val m = ((patched(i) & 0xff) << 8) | (patched(i + 1) & 0xff)
+      if (m == 0xffdb) dqtAt = i
+      else i += 2 + (((patched(i + 2) & 0xff) << 8) | (patched(i + 3) & 0xff))
+    }
+    assert(dqtAt > 0, "fixture lacks a DQT segment")
+    patched(dqtAt + 10) = 0xff.toByte
+    patched(dqtAt + 11) = 0xd9.toByte
+    assert(MediaCodec.mjpegFrames(patched).length == 1,
+      "demux split a frame on an FF D9 inside a DQT payload")
+    // truncation rejects loudly
+    intercept[IllegalArgumentException] {
+      MediaCodec.mjpegFrames(mjTrunc(MediaCodec.encodeMjpeg(5L, 3)))
+    }
+  }
+
+  private def mjTrunc(b: Array[Byte]): Array[Byte] = b.take(b.length - 4)
+
+  test("mm_mjpeg_frames row: demux structure exact, decode bands hold on every video doc") {
+    val rows = SparkEntryAccess.query("mm_mjpeg_frames")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (id % 30 + 1).toInt, s"doc $id frame count")
+      assert(r.getInt(2) == (4 * (id % 4 + 1)).toInt &&
+        r.getInt(3) == (4 * (id % 3 + 1)).toInt, s"doc $id dims")
+      assert(r.getBoolean(4) && r.getBoolean(5), s"doc $id decode bands")
+    }
+  }
 }
 
 /** Test access to the registered query map without duplicating wiring. */

@@ -262,7 +262,12 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(joined.nonEmpty)
     joined.foreach { j =>
       val cols = (j.left.output ++ j.right.output).map(a => (a.name, a.dataType.simpleString))
-      assert(!cols.exists(_._2.startsWith("array<")),
+      // r16: the duplicate-collapse device's member join carries a
+      // BOUNDED array<bigint> id list (≤ k+1 entries) — that is not a
+      // vector leak; the pin's contract is no FLOAT/DOUBLE vectors
+      // (embeddings or residuals) past the encode
+      assert(!cols.exists(c =>
+        c._2.startsWith("array<float") || c._2.startsWith("array<double")),
         s"vectors leaked past the PQ encode into the candidate join: $cols")
     }
   }

@@ -140,6 +140,69 @@ object StressProbe {
     dir
   }
 
+  /** Embeddings dir with a PLANTED MEGA-DUPLICATE cluster: mult× sf0.1
+    * replicas plus `copies` EXACT copies of the corpus's first vector
+    * (vec_id ≥ 5·10⁸) — the raw-crawl shape where one embedding
+    * repeats by the million. Exercises the r16 duplicate collapse.
+    */
+  private def buildDup(spark: SparkSession, mult: Int, copies: Int): String = {
+    val dir = s"/tmp/graft_probe_dup${mult}_$copies"
+    if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {
+      val base = graft.T(spark, "/root/testdata/sf0.1", "embeddings")
+      val one = base.orderBy("vec_id").limit(1)
+        .select("embedding", "label").collect()(0)
+      val dupEmb = array(one.getSeq[Float](0).map(x => lit(x)): _*)
+        .cast("array<float>")
+      val dup = spark.range(copies.toLong).select(
+        (col("id") + lit(500000000L)).as("vec_id"),
+        dupEmb.as("embedding"), lit(one.get(1)).as("label"))
+      ((0 until mult).map(i => base.select(
+        (col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+        transform(col("embedding"), x => (x + lit(i * 1e-3f)).cast("float"))
+          .as("embedding"),
+        col("label"))) :+ dup).reduce(_ unionByName _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+    }
+    dir
+  }
+
+  /** Duplicate-cluster law probe (`dup:MULT:COPIES`): on the planted
+    * corpus, report the NAIVE in-bucket pair volume Σ n_b(n_b−1) —
+    * what the pre-r16 self-join would shuffle, quadratic in the
+    * cluster — against the COLLAPSED group-pair volume Σ d_b(d_b−1)
+    * (d = distinct payloads per bucket) that [[LlmOps.collapsedPairTopK]]
+    * actually joins, plus its structural expand bound n·(k+1)². Then
+    * run the registered `sim_ann_ivf_hier` end-to-end for wall clock.
+    */
+  private def dupProbe(spark: SparkSession, mult: Int, copies: Int): Unit = {
+    val dir = buildDup(spark, mult, copies)
+    val emb = graft.T(spark, dir, "embeddings").select("vec_id", "embedding")
+    val n = emb.count()
+    val k1 = LlmOps.hierK1(n, 25)
+    val asg = LlmOps.hierAssign(emb, k1, 25)
+      .select(col("cell"), col("si"), col("embedding"))
+    val naive = asg.groupBy("cell", "si").count()
+      .agg(sum(col("count") * (col("count") - 1)).as("cand"),
+        max("count").as("mx")).head
+    // group-level join volume: one row per DISTINCT (bucket, payload)
+    // group, then Σ d_b(d_b−1) over buckets — what the collapsed
+    // device's rep-pair join actually shuffles
+    val groups = asg.groupBy("cell", "si", "embedding").count()
+    val coll = groups.groupBy("cell", "si")
+      .agg(count(lit(1)).as("d"), max("count").as("mg"))
+      .agg(sum(col("d") * (col("d") - 1)).as("cand"),
+        max("mg").as("mx"), sum("d").as("groups")).head
+    graft.Sessions.releaseCheckpoints(spark)
+    println(f"[dup] mult=$mult copies=$copies n=$n hier-$k1 " +
+      f"naivePairs=${naive.getLong(0)}%12d (maxBucket=${naive.getLong(1)})  " +
+      f"collapsedGroupPairs=${coll.getLong(0)}%10d (maxDupGroup=${coll.getLong(1)}, " +
+      f"groups=${coll.getLong(2)})  expandBound=${n * 16}%12d")
+    val t0 = System.nanoTime()
+    val rows = graft.SparkEntry.queries("sim_ann_ivf_hier")(spark, dir).count()
+    graft.Sessions.releaseCheckpoints(spark)
+    println(f"[dup] sim_ann_ivf_hier end-to-end wall=${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$rows")
+  }
+
   /** Candidate-volume curves for the banded-minhash and auto-plane LSH
     * paths at `mult`× sf0.1 — the r14 #9 ask: observe the scaling laws
     * in practice, not just at 10×. Run via `curve:MULT`.
@@ -170,6 +233,11 @@ object StressProbe {
     val spark = graft.Sessions.build("local[32]", "32")
     val curveArgs = args.filter(_.startsWith("curve:"))
     curveArgs.foreach(a => curveProbe(spark, a.stripPrefix("curve:").toInt))
+    val dupArgs = args.filter(_.startsWith("dup:")) // dup:MULT:COPIES
+    dupArgs.foreach { a =>
+      val p = a.split(":")
+      dupProbe(spark, p(1).toInt, p(2).toInt)
+    }
     val docRuns = args.filter(_.startsWith("docs:")) // docs:MULT:query
     docRuns.foreach { a =>
       val parts = a.split(":")
@@ -191,7 +259,7 @@ object StressProbe {
       println(f"[big] mult=${parts(1)} ${parts(2)}%-20s ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$nOut")
     }
     if (candArgs.nonEmpty || bigRuns.nonEmpty || curveArgs.nonEmpty ||
-      docRuns.nonEmpty) { spark.stop(); return }
+      docRuns.nonEmpty || dupArgs.nonEmpty) { spark.stop(); return }
     val (hotNames, replNames) = args.partition(_.startsWith("hot:"))
     if (replNames.nonEmpty && !new java.io.File(s"$out/documents.parquet").exists()) {
       println("[probe] building 10x replicated tables …")

@@ -2544,6 +2544,48 @@ object MultimodalOps extends QueryModule {
       .orderBy("doc_id") // one row per image doc = input-sized
   }
 
+  final case class WebpMeta(doc_id: Long, width: Int, height: Int,
+      webp_bytes: Int)
+
+  /** WebP metadata extraction (the [[mm_jpeg_meta]] twin for the VP8L
+    * family): transcode each image doc's raster to our validated VP8L
+    * framing, then read width/height straight off the 5-byte VP8L
+    * header — no entropy decode, the dimension-harvesting pass a
+    * 100 TB crawl ingest runs over compressed bytes. `webp_bytes`
+    * pins the whole framing EXACTLY: the literal-coded VP8L stream is
+    * 4·w·h + 176 bytes (32 bits/pixel + 1,247 header/code bits padded
+    * to 156 bytes + the 20-byte RIFF wrap), so ONE byte of framing
+    * drift anywhere reds the hash.
+    */
+  q("mm_webp_meta",
+    s"""WITH $imDimsSql
+       |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |       CAST(w*h*4 + 176 AS INTEGER) AS webp_bytes
+       |FROM im ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sess = s
+    import sess.implicits._
+    mediaTable(s, d).filter(col("meta.kind") === "image")
+      .select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap { batch =>
+          batch.map { r =>
+            val w = (16 * (r.doc_id % 4 + 1)).toInt
+            val h = (16 * (r.doc_id % 5 + 1)).toInt
+            val gray = Array.tabulate(w * h) { i =>
+              val v = MediaCodec.pixel(r.doc_id, i % w, i / w)
+              0xff000000 | (v << 16) | (v << 8) | v
+            }
+            val webp = MediaCodec.encodeWebpLossless(gray, w, h)
+            val (dw, dh) = WebpDecode.dims(webp)
+            require(dw == w && dh == h, s"webp header dims ${dw}x$dh")
+            WebpMeta(r.doc_id, dw, dh, webp.length)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id") // one row per image doc = input-sized
+  }
+
   final case class VidRow(doc_id: Long, nf: Int)
   final case class MjpegRow(doc_id: Long, n_frames: Int, width: Int,
       height: Int, mean_err_le_half: Boolean, max_err_le_16: Boolean)

@@ -104,6 +104,33 @@ object WebpDecode {
     throw new IllegalArgumentException("webp: no VP8L chunk")
   }
 
+  /** Width/height straight off the VP8L header — ~5 payload bytes
+    * touched per stream, no entropy decode (the mm_jpeg_meta shape:
+    * dimension harvesting over compressed bytes at ingest).
+    */
+  def dims(bytes: Array[Byte]): (Int, Int) = {
+    require(bytes.length >= 20, "webp: truncated container")
+    def tag(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+    require(tag(0) == "RIFF" && tag(8) == "WEBP", "webp: not a WEBP RIFF")
+    var pos = 12
+    while (pos + 8 <= bytes.length) {
+      val fourCC = tag(pos)
+      val size = ((bytes(pos + 4) & 0xff) | ((bytes(pos + 5) & 0xff) << 8) |
+        ((bytes(pos + 6) & 0xff) << 16) | ((bytes(pos + 7) & 0xffL) << 24)).toInt
+      if (fourCC == "VP8L") {
+        require(size >= 5 && pos + 13 <= bytes.length, "webp: short VP8L chunk")
+        val b = java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 13)
+        val br = new Br(b)
+        require(br.bits(8) == 0x2f, "vp8l: bad signature byte")
+        return (br.bits(14) + 1, br.bits(14) + 1)
+      }
+      require(fourCC != "VP8 " && fourCC != "VP8X",
+        s"webp: $fourCC out of subset")
+      pos += 8 + size + (size & 1)
+    }
+    throw new IllegalArgumentException("webp: no VP8L chunk")
+  }
+
   /** RGBA interleaved samples (PngDecode-style) for the mean oracles. */
   def toRgba(d: Decoded): Array[Int] = {
     val out = new Array[Int](d.argb.length * 4)

@@ -548,6 +548,23 @@ object MultimodalOps extends QueryModule {
       * row rides it for runtime fixtures (the JDK has no WebP codec).
       */
     def encodeWebpLossless(argb: Array[Int], w: Int, h: Int): Array[Byte] = {
+      val payload = vp8lPayload(argb, w, h)
+      val out = new ByteArrayOutputStream()
+      def le32(v: Int): Unit =
+        (0 until 4).foreach(s => out.write((v >> (8 * s)) & 0xff))
+      out.write("RIFF".getBytes("US-ASCII"))
+      le32(4 + 8 + payload.length + (payload.length & 1))
+      out.write("WEBPVP8L".getBytes("US-ASCII"))
+      le32(payload.length)
+      out.write(payload)
+      if ((payload.length & 1) == 1) out.write(0)
+      out.toByteArray
+    }
+
+    /** The bare VP8L bitstream for [[encodeWebpLossless]] /
+      * [[encodeWebpAnim]] (ANMF frame payloads embed it directly).
+      */
+    def vp8lPayload(argb: Array[Int], w: Int, h: Int): Array[Byte] = {
       require(argb.length == w * h, "encoder: raster size mismatch")
       val bits = new java.util.ArrayList[java.lang.Boolean](argb.length * 32 + 1024)
       def put(v: Int, n: Int): Unit = {
@@ -606,15 +623,56 @@ object MultimodalOps extends QueryModule {
         if (bits.get(i)) payload(i >> 3) = (payload(i >> 3) | (1 << (i & 7))).toByte
         i += 1
       }
-      val out = new ByteArrayOutputStream()
+      payload
+    }
+
+    /** ANIMATED WebP muxer (VP8X + ANIM + ANMF, frame payloads from
+      * [[vp8lPayload]]): full-canvas frames, overwrite blending, no
+      * disposal — frame f carries the `pixel(docId + f)` gray raster
+      * (the [[encodeGifAnim]] convention, so the two animation rows
+      * share their oracle closed form). The spec-walk corners the
+      * JDK-style full-frame shape never emits (rect offsets,
+      * dispose-to-background, alpha blending) are exercised by
+      * WebpSpec's hand-assembled streams instead.
+      */
+    def encodeWebpAnim(docId: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+      val body = new ByteArrayOutputStream()
+      def u24(v: Int): Unit =
+        (0 until 3).foreach(s => body.write((v >> (8 * s)) & 0xff))
       def le32(v: Int): Unit =
-        (0 until 4).foreach(s => out.write((v >> (8 * s)) & 0xff))
+        (0 until 4).foreach(s => body.write((v >> (8 * s)) & 0xff))
+      // VP8X: animation flag, canvas dims
+      body.write("VP8X".getBytes("US-ASCII")); le32(10)
+      body.write(0x02); body.write(0); body.write(0); body.write(0)
+      u24(w - 1); u24(h - 1)
+      // ANIM: background (B,G,R,A) + loop count
+      body.write("ANIM".getBytes("US-ASCII")); le32(6)
+      body.write(0); body.write(0); body.write(0); body.write(0xff)
+      body.write(0); body.write(0)
+      var f = 0
+      while (f < nFrames) {
+        val raster = Array.tabulate(w * h) { i =>
+          val v = pixel(docId + f, i % w, i / w)
+          0xff000000 | (v << 16) | (v << 8) | v
+        }
+        val pl = vp8lPayload(raster, w, h)
+        val inner = 8 + pl.length + (pl.length & 1)
+        body.write("ANMF".getBytes("US-ASCII")); le32(16 + inner)
+        u24(0); u24(0)           // x/2, y/2
+        u24(w - 1); u24(h - 1)   // frame dims
+        u24(40)                  // duration ms
+        body.write(0x02)         // flags: no-blend (overwrite), dispose none
+        body.write("VP8L".getBytes("US-ASCII")); le32(pl.length)
+        body.write(pl)
+        if ((pl.length & 1) == 1) body.write(0)
+        f += 1
+      }
+      val b = body.toByteArray
+      val out = new ByteArrayOutputStream()
       out.write("RIFF".getBytes("US-ASCII"))
-      le32(4 + 8 + payload.length + (payload.length & 1))
-      out.write("WEBPVP8L".getBytes("US-ASCII"))
-      le32(payload.length)
-      out.write(payload)
-      if ((payload.length & 1) == 1) out.write(0)
+      (0 until 4).foreach(s => out.write(((4 + b.length) >> (8 * s)) & 0xff))
+      out.write("WEBP".getBytes("US-ASCII"))
+      out.write(b)
       out.toByteArray
     }
 
@@ -2584,6 +2642,58 @@ object MultimodalOps extends QueryModule {
       }
       .toDF()
       .orderBy("doc_id") // one row per image doc = input-sized
+  }
+
+  final case class WebpAnimRow(doc_id: Long, frame: Int, width: Int,
+      height: Int, mean_px: Double)
+
+  /** ANIMATED WebP decode (r16 — VP8X/ANIM/ANMF per the public WebP
+    * container spec, frame payloads VP8L; the [[mm_gif_anim_decode]]
+    * twin for the WebP family): each image doc muxes to a real
+    * animated WebP whose frame f carries the `pixel(doc_id + f)` gray
+    * raster (the SAME shifted closed form as the GIF row — so the two
+    * animation stacks cross-check each other's oracle), and
+    * [[WebpDecode.decodeAnim]] walks the container and composes every
+    * frame. The VP8L pixel core is canonically libwebp-verified;
+    * composition corners the full-frame muxer never emits (rect
+    * offsets, dispose-to-background, alpha blending over transparency)
+    * are pinned by WebpSpec's hand-assembled streams. Lossless ⇒
+    * EXACT per-frame canvas means.
+    */
+  q("mm_webp_anim_decode",
+    s"""WITH $imDimsSql,
+       |fr AS (SELECT doc_id, w, h, CAST(f AS INTEGER) AS frame
+       |       FROM im, LATERAL unnest(generate_series(0, CAST(doc_id % 4 + 1 AS INTEGER))) t(f))
+       |SELECT doc_id, frame, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |  round(list_sum([CAST((31*(doc_id + frame) + 7*(i%w) + 13*(i//w)) % 256 AS DOUBLE)
+       |                  FOR i IN range(0, w*h)]) / (w*h), 6) AS mean_px
+       |FROM fr ORDER BY doc_id, frame""".stripMargin) { (s, d) =>
+    val sess = s
+    import sess.implicits._
+    mediaTable(s, d).filter(col("meta.kind") === "image")
+      .select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap { batch =>
+          batch.flatMap { r =>
+            val w = (16 * (r.doc_id % 4 + 1)).toInt
+            val h = (16 * (r.doc_id % 5 + 1)).toInt
+            val nf = (r.doc_id % 4 + 2).toInt
+            val anim = WebpDecode.decodeAnim(
+              MediaCodec.encodeWebpAnim(r.doc_id, w, h, nf))
+            require(anim.frames.length == nf,
+              s"doc ${r.doc_id}: ${anim.frames.length} frames, expected $nf")
+            anim.canvases.zipWithIndex.map { case (cv, f) =>
+              var sum = 0L
+              var i = 0
+              while (i < cv.length) { sum += (cv(i) >>> 8) & 0xff; i += 1 }
+              WebpAnimRow(r.doc_id, f, anim.width, anim.height,
+                math.rint(sum.toDouble / cv.length * 1e6) / 1e6)
+            }
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame") // frame-count-sized = input-shaped
   }
 
   final case class VidRow(doc_id: Long, nf: Int)

@@ -146,6 +146,152 @@ object WebpDecode {
     out
   }
 
+  // ------------------------------------------------------- animated WebP
+
+  /** One animation frame: rect placement + composition flags (WebP
+    * container spec, ANMF chunk) and its decoded VP8L pixels.
+    */
+  final case class AnimFrame(x: Int, y: Int, width: Int, height: Int,
+      durationMs: Int, blend: Boolean, disposeToBg: Boolean,
+      pixels: Array[Int])
+
+  /** Decoded animation: canvas dims, ANIM background color, frames,
+    * and the COMPOSED canvas after each frame (the viewer contract:
+    * blend-or-overwrite onto the canvas, then the frame's disposal
+    * applies before the next frame).
+    */
+  final case class Anim(width: Int, height: Int, background: Int,
+      loops: Int, frames: Vector[AnimFrame], canvases: Vector[Array[Int]])
+
+  /** ANIMATED WebP decode (VP8X + ANIM + ANMF per the public WebP
+    * container spec, frame payloads VP8L): the GIF89a-composition twin.
+    * The VP8L pixel core is canonically verified (WebpSpec's libwebp
+    * corpus); the CONTAINER walk and dispose/background/blend
+    * composition are spec-derived and pinned by hand-assembled streams
+    * (offsets, dispose-to-background, blend-over-transparency) whose
+    * expected canvases are closed-form by construction — the system
+    * libwebp.so.7 core cannot arbitrate them (animation demux lives in
+    * libwebpdemux, absent from this container), which is the same
+    * evidence standard the GIF composition work shipped under. Static
+    * lossy VP8 frames (and ALPH chunks) reject loudly.
+    */
+  def decodeAnim(bytes: Array[Byte]): Anim = {
+    require(bytes.length >= 30, "webp: truncated container")
+    def tag(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+    def u24(i: Int): Int =
+      (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8) | ((bytes(i + 2) & 0xff) << 16)
+    def u32le(i: Int): Long =
+      (u24(i) & 0xffffffL) | ((bytes(i + 3) & 0xffL) << 24)
+    require(tag(0) == "RIFF" && tag(8) == "WEBP", "webp: not a WEBP RIFF")
+    require(tag(12) == "VP8X", "webp: animation requires a VP8X chunk")
+    require(u32le(16) == 10, "webp: VP8X chunk must be 10 bytes")
+    val flags = bytes(20) & 0xff
+    require((flags & 0x02) != 0, "webp: VP8X without the animation flag")
+    val cw = u24(24) + 1
+    val ch = u24(27) + 1
+    var pos = 30
+    var background = 0
+    var loops = 0
+    var sawAnim = false
+    val frames = Vector.newBuilder[AnimFrame]
+    while (pos + 8 <= bytes.length) {
+      val fourCC = tag(pos)
+      val size = u32le(pos + 4).toInt
+      require(size >= 0 && pos + 8 + size <= bytes.length,
+        s"webp: chunk $fourCC overruns the container")
+      fourCC match {
+        case "ANIM" =>
+          require(size == 6, s"webp: ANIM size $size")
+          // background color is stored B, G, R, A (spec); repack ARGB
+          background = ((bytes(pos + 11) & 0xff) << 24) |
+            ((bytes(pos + 10) & 0xff) << 16) | ((bytes(pos + 9) & 0xff) << 8) |
+            (bytes(pos + 8) & 0xff)
+          loops = (bytes(pos + 12) & 0xff) | ((bytes(pos + 13) & 0xff) << 8)
+          sawAnim = true
+        case "ANMF" =>
+          require(sawAnim, "webp: ANMF before ANIM")
+          require(size >= 24, s"webp: ANMF size $size")
+          val fx = u24(pos + 8) * 2
+          val fy = u24(pos + 11) * 2
+          val fw = u24(pos + 14) + 1
+          val fh = u24(pos + 17) + 1
+          val dur = u24(pos + 20)
+          val fflags = bytes(pos + 23) & 0xff
+          val blend = (fflags & 0x02) == 0 // bit 1: 0 = alpha-blend
+          val disposeToBg = (fflags & 0x01) != 0 // bit 0: 1 = dispose-to-bg
+          // frame data: ONE image chunk (VP8L in subset)
+          val ft = tag(pos + 24)
+          require(ft == "VP8L", s"webp: $ft frame payload out of subset")
+          val fsize = u32le(pos + 28).toInt
+          require(fsize >= 0 && pos + 32 + fsize <= pos + 8 + size,
+            "webp: frame payload overruns its ANMF")
+          val d = decodeVp8l(
+            java.util.Arrays.copyOfRange(bytes, pos + 32, pos + 32 + fsize))
+          require(d.width == fw && d.height == fh,
+            s"webp: ANMF says ${fw}x$fh, VP8L says ${d.width}x${d.height}")
+          require(fx + fw <= cw && fy + fh <= ch,
+            s"webp: frame rect ($fx,$fy ${fw}x$fh) outside the ${cw}x$ch canvas")
+          frames += AnimFrame(fx, fy, fw, fh, dur, blend, disposeToBg, d.argb)
+        case _ => // ICCP/EXIF/XMP etc: skip
+      }
+      pos += 8 + size + (size & 1)
+    }
+    require(sawAnim, "webp: no ANIM chunk")
+    val fs = frames.result()
+    require(fs.nonEmpty, "webp: animation with no frames")
+    // composition: canvas starts fully transparent; per frame BLEND or
+    // OVERWRITE the rect, snapshot, then apply disposal
+    val canvas = new Array[Int](cw * ch)
+    val canvases = Vector.newBuilder[Array[Int]]
+    fs.foreach { f =>
+      var yy = 0
+      while (yy < f.height) {
+        var xx = 0
+        while (xx < f.width) {
+          val src = f.pixels(yy * f.width + xx)
+          val ci = (f.y + yy) * cw + (f.x + xx)
+          canvas(ci) =
+            if (!f.blend) src
+            else blendPx(src, canvas(ci))
+          xx += 1
+        }
+        yy += 1
+      }
+      canvases += canvas.clone()
+      if (f.disposeToBg) {
+        var yy2 = 0
+        while (yy2 < f.height) {
+          var xx2 = 0
+          while (xx2 < f.width) {
+            canvas((f.y + yy2) * cw + (f.x + xx2)) = background
+            xx2 += 1
+          }
+          yy2 += 1
+        }
+      }
+    }
+    Anim(cw, ch, background, loops, fs, canvases.result())
+  }
+
+  /** Spec "src over dst" with 8-bit alpha (exact at the fixture corpus'
+    * alpha ∈ {0, 255}; fractional alpha follows the spec formula with
+    * integer rounding toward zero).
+    */
+  private def blendPx(src: Int, dst: Int): Int = {
+    val as = (src >>> 24) & 0xff
+    if (as == 255) return src
+    if (as == 0) return dst
+    val ad = (dst >>> 24) & 0xff
+    val aOut = as + ad * (255 - as) / 255
+    if (aOut == 0) return 0
+    def ch(sh: Int): Int = {
+      val cs = (src >>> sh) & 0xff
+      val cd = (dst >>> sh) & 0xff
+      (cs * as + cd * ad * (255 - as) / 255) / aOut
+    }
+    (aOut << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
+  }
+
   // ------------------------------------------------------------ bit reader
 
   /** LSB-first bit reader (VP8L convention: bits fill from the low end

@@ -117,6 +117,75 @@ class WebpSpec extends AnyFunSuite {
     }
   }
 
+  test("animated WebP: own-muxed full-frame animation composes per-frame exact") {
+    import MultimodalOps.MediaCodec
+    val (docId, w, h, nf) = (9L, 16, 32, 4)
+    val anim = WebpDecode.decodeAnim(MediaCodec.encodeWebpAnim(docId, w, h, nf))
+    assert((anim.width, anim.height, anim.frames.length) == (w, h, nf))
+    for (f <- 0 until nf; y <- 0 until h; x <- 0 until w) {
+      val v = MediaCodec.pixel(docId + f, x, y)
+      val p = anim.canvases(f)(y * w + x)
+      assert(((p >>> 8) & 0xff) == v && ((p >>> 24) & 0xff) == 255,
+        s"frame $f ($x,$y)")
+    }
+  }
+
+  test("animated WebP: hand-assembled rects, dispose-to-background, alpha blending") {
+    import MultimodalOps.MediaCodec
+    // canvas 8x6; frame0: full canvas opaque red (overwrite, dispose to
+    // GREEN background); frame1: 4x2 rect at (2,2) opaque blue,
+    // ALPHA-BLEND (alpha 255 => overwrite within rect), no dispose;
+    // frame2: 2x2 rect at (0,0) FULLY TRANSPARENT, alpha-blend (=> canvas
+    // unchanged there — a no-blend encoder would punch a hole)
+    val bos = new java.io.ByteArrayOutputStream()
+    def u24(v: Int): Unit = (0 until 3).foreach(s => bos.write((v >> (8 * s)) & 0xff))
+    def le32(v: Int): Unit = (0 until 4).foreach(s => bos.write((v >> (8 * s)) & 0xff))
+    def cc(t: String): Unit = bos.write(t.getBytes("US-ASCII"))
+    val (cw, chh) = (8, 6)
+    cc("VP8X"); le32(10); bos.write(2); bos.write(0); bos.write(0); bos.write(0)
+    u24(cw - 1); u24(chh - 1)
+    // background = GREEN opaque: stored B,G,R,A
+    cc("ANIM"); le32(6)
+    bos.write(0); bos.write(255); bos.write(0); bos.write(255)
+    bos.write(0); bos.write(0)
+    def anmf(x: Int, y: Int, fw: Int, fh: Int, flags: Int, argb: Array[Int]): Unit = {
+      val pl = MediaCodec.vp8lPayload(argb, fw, fh)
+      val inner = 8 + pl.length + (pl.length & 1)
+      cc("ANMF"); le32(16 + inner)
+      u24(x / 2); u24(y / 2); u24(fw - 1); u24(fh - 1); u24(30); bos.write(flags)
+      cc("VP8L"); le32(pl.length); bos.write(pl)
+      if ((pl.length & 1) == 1) bos.write(0)
+    }
+    val red = 0xffff0000
+    val blue = 0xff0000ff
+    anmf(0, 0, cw, chh, 0x03, Array.fill(cw * chh)(red)) // overwrite + dispose-to-bg
+    anmf(2, 2, 4, 2, 0x00, Array.fill(8)(blue))          // blend, no dispose
+    anmf(0, 0, 2, 2, 0x00, Array.fill(4)(0))             // transparent, blend
+    val body = bos.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    (0 until 4).foreach(s => out.write(((4 + body.length) >> (8 * s)) & 0xff))
+    out.write("WEBP".getBytes("US-ASCII"))
+    out.write(body)
+    val anim = WebpDecode.decodeAnim(out.toByteArray)
+    val green = 0xff00ff00
+    assert(anim.background == green)
+    // canvas 0: all red
+    assert(anim.canvases(0).forall(_ == red))
+    // canvas 1: frame0 DISPOSED to green background, then blue rect
+    for (y <- 0 until chh; x <- 0 until cw) {
+      val want = if (y >= 2 && y < 4 && x >= 2 && x < 6) blue else green
+      assert(anim.canvases(1)(y * cw + x) == want, s"canvas1 ($x,$y)")
+    }
+    // canvas 2: unchanged (transparent blend is a no-op)
+    assert(anim.canvases(2).sameElements(anim.canvases(1)))
+    // rejection: a static decode must NOT accept the animation
+    val e = intercept[IllegalArgumentException] {
+      WebpDecode.decode(out.toByteArray)
+    }
+    assert(e.getMessage.contains("VP8X"), e.getMessage)
+  }
+
   test("corrupt and out-of-subset WebP streams reject loudly") {
     val good = resource("gray_17x9.webp")
     // not RIFF

@@ -197,10 +197,12 @@ object StressProbe {
       f"naivePairs=${naive.getLong(0)}%12d (maxBucket=${naive.getLong(1)})  " +
       f"collapsedGroupPairs=${coll.getLong(0)}%10d (maxDupGroup=${coll.getLong(1)}, " +
       f"groups=${coll.getLong(2)})  expandBound=${n * 16}%12d")
-    val t0 = System.nanoTime()
-    val rows = graft.SparkEntry.queries("sim_ann_ivf_hier")(spark, dir).count()
-    graft.Sessions.releaseCheckpoints(spark)
-    println(f"[dup] sim_ann_ivf_hier end-to-end wall=${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$rows")
+    Seq("sim_ann_ivf_hier", "sim_ann_lsh").foreach { qn =>
+      val t0 = System.nanoTime()
+      val rows = graft.SparkEntry.queries(qn)(spark, dir).count()
+      graft.Sessions.releaseCheckpoints(spark)
+      println(f"[dup] $qn%-18s end-to-end wall=${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$rows")
+    }
   }
 
   /** Candidate-volume curves for the banded-minhash and auto-plane LSH

@@ -2950,4 +2950,54 @@ object AnalyticsOps extends QueryModule {
       .withColumn("gap", round(abs(col("acc") - col("conf")), 6))
       .reportSorted("bin")
   }
+
+  /** pass@k (r16, SPEC: Chen et al. 2021 "Evaluating Large Language
+    * Models Trained on Code" §2.1 — THE code-generation eval metric):
+    * per problem with n samples and c passes, the unbiased estimator
+    * pass@k = 1 − C(n−c, k)/C(n, k), computed in the paper's own
+    * numerically-stable falling-ratio form ∏_{i<k}(n−c−i)/(n−i).
+    * Problems = users, samples = their events, pass = value > 30 (a
+    * deterministic predicate both engines replay). Cross-engine
+    * exactness: the edge cases short-circuit EXACTLY (n < k → NULL —
+    * the estimator is undefined; n−c < k → 1.0 — some k-subset must
+    * contain a pass), and the in-range product is the SAME ordered
+    * left-fold of the SAME k divisions on both engines (Spark
+    * `aggregate` over `sequence`, DuckDB `list_reduce` over a
+    * comprehension — both strictly positive terms, no sign games).
+    * One two-phase count per problem then map-side arithmetic; output
+    * one row per problem = key-bounded at any event volume.
+    */
+  q("eval_pass_at_k", {
+    def passk(k: Int) =
+      s"""CASE WHEN n < $k THEN NULL
+         |     WHEN n - c < $k THEN CAST(1.0 AS DOUBLE)
+         |     ELSE round(1.0 - list_reduce(
+         |            [CAST(n - c - i AS DOUBLE) / (n - i) FOR i IN range(0, $k)],
+         |            (acc, x) -> acc * x), 6) END""".stripMargin
+    s"""WITH p AS (
+       |  SELECT user_id AS problem, CAST(count(*) AS INTEGER) AS n,
+       |         CAST(sum(CASE WHEN value > 30 THEN 1 ELSE 0 END) AS INTEGER) AS c
+       |  FROM events GROUP BY 1)
+       |SELECT problem, n, c,
+       |       ${passk(1)} AS pass_at_1,
+       |       ${passk(5)} AS pass_at_5,
+       |       ${passk(10)} AS pass_at_10
+       |FROM p ORDER BY problem""".stripMargin
+  }) { (s, d) =>
+    def passAt(k: Int) =
+      when(col("n") < k, lit(null).cast("double"))
+        .when(col("n") - col("c") < k, lit(1.0))
+        .otherwise(round(lit(1.0) - aggregate(
+          sequence(lit(0), lit(k - 1)), lit(1.0),
+          (acc, i) => acc * ((col("n") - col("c") - i).cast("double") /
+            (col("n") - i).cast("double"))), 6))
+    T(s, d, "events")
+      .groupBy(col("user_id").as("problem"))
+      .agg(count(lit(1)).cast("int").as("n"),
+        sum(when(col("value") > 30.0, 1).otherwise(0)).cast("int").as("c"))
+      .select(col("problem"), col("n"), col("c"),
+        passAt(1).as("pass_at_1"), passAt(5).as("pass_at_5"),
+        passAt(10).as("pass_at_10"))
+      .orderBy("problem") // one row per problem = key-bounded
+  }
 }

@@ -2021,6 +2021,66 @@ object LlmOps extends QueryModule {
       .orderBy("qid", "rank") // ≤3 rows per vector = input-sized
   }
 
+  /** Mean-reciprocal-rank retrieval eval (r16, SPEC: the standard IR
+    * metric — Voorhees 1999 TREC-8 QA track): every vector queries for
+    * its own label (the kNN-classifier eval shape `sim_ann_filtered`
+    * set up); the ranked list is the top-10 multi-table-LSH kNN
+    * neighborhood (the SAME candidate build as [[sim_knn_graph]] — one
+    * definition, so a retrieval-stack tune shows up in BOTH the graph
+    * and its eval), relevance = label match, and the per-query
+    * reciprocal rank is 1/first-relevant-rank (0 when no relevant
+    * neighbor surfaces in the top-10 — the honest miss accounting; a
+    * NULL would silently shrink the denominator of any downstream
+    * mean). Per-query rows = input-sized; the global MRR is a trivial
+    * avg downstream — kept per-query so the gate pins every rank, not
+    * one scalar.
+    */
+  q("eval_mrr", {
+    val (bucketCols, unions) = multiLshCandCtes(6, 6)
+    s"""WITH bk AS (SELECT vec_id, embedding,
+       |       $bucketCols FROM embeddings),
+       |     cand AS (
+       |  $unions),
+       |     scored AS (
+       |  SELECT c.a, c.b,
+       |         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                                      CAST(eb.embedding AS DOUBLE[])), 6) AS cos
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.a
+       |  JOIN embeddings eb ON eb.vec_id = c.b),
+       |     edges AS (SELECT a AS qid, b AS nbr, cos FROM scored
+       |               UNION ALL SELECT b, a, cos FROM scored),
+       |     rk AS (SELECT qid, nbr, cos, CAST(row_number() OVER (
+       |              PARTITION BY qid ORDER BY cos DESC, nbr) AS INTEGER) AS rank
+       |            FROM edges),
+       |     rel AS (SELECT r.qid, r.rank
+       |             FROM rk r
+       |             JOIN embeddings q ON q.vec_id = r.qid
+       |             JOIN embeddings nb ON nb.vec_id = r.nbr
+       |             WHERE r.rank <= 10 AND q.label = nb.label),
+       |     fr AS (SELECT qid, CAST(min(rank) AS INTEGER) AS first_rel_rank
+       |            FROM rel GROUP BY qid)
+       |SELECT e.vec_id AS qid, fr.first_rel_rank,
+       |       round(coalesce(1.0 / fr.first_rel_rank, 0.0), 6) AS rr
+       |FROM embeddings e LEFT JOIN fr ON fr.qid = e.vec_id
+       |ORDER BY qid""".stripMargin
+  }) { (s, d) =>
+    val emb = T(s, d, "embeddings")
+    val ranked = knnEdges(emb.select("vec_id", "embedding"), k = 10)
+    val labels = emb.select("vec_id", "label")
+    val fr = ranked
+      .join(labels.select(col("vec_id").as("qid"), col("label").as("ql")), Seq("qid"))
+      .join(labels.select(col("vec_id").as("nbr"), col("label").as("nl")), Seq("nbr"))
+      .filter(col("ql") === col("nl"))
+      .groupBy("qid")
+      .agg(min("rank").cast("int").as("first_rel_rank"))
+    labels.select(col("vec_id").as("qid"))
+      .join(fr, Seq("qid"), "left")
+      .select(col("qid"), col("first_rel_rank"),
+        round(coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)), 6).as("rr"))
+      .orderBy("qid") // one row per vector = input-sized
+  }
+
   /** The shared kNN edge build (multi-table LSH candidates → cosine →
     * mirrored → top-3 per vertex). ONE definition feeds both
     * `sim_knn_graph` and `graph_pagerank`, so tuning

@@ -768,4 +768,45 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(r.getDouble(4) >= lo - 1e-6 && r.getDouble(4) <= hi + 1e-6)
     }
   }
+
+  test("eval_pass_at_k: estimator matches exact combinatorics; edges hold") {
+    val rows = graft.SparkEntry.queries("eval_pass_at_k")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    def comb(n: Int, k: Int): BigInt =
+      if (k < 0 || k > n) BigInt(0)
+      else (BigInt(n - k + 1) to BigInt(n)).product / (BigInt(1) to BigInt(k)).product
+    rows.foreach { r =>
+      val (n, c) = (r.getInt(1), r.getInt(2))
+      for ((k, idx) <- Seq(1 -> 3, 5 -> 4, 10 -> 5)) {
+        if (n < k) assert(r.isNullAt(idx), s"n=$n k=$k should be NULL")
+        else {
+          val exact = 1.0 - comb(n - c, k).toDouble / comb(n, k).toDouble
+          assert(math.abs(r.getDouble(idx) - exact) < 1e-6,
+            s"problem ${r.getLong(0)} n=$n c=$c k=$k: ${r.getDouble(idx)} vs $exact")
+        }
+      }
+      // pass@1 is exactly the pass rate; monotone in k
+      if (n >= 1) assert(math.abs(r.getDouble(3) - math.round(c.toDouble / n * 1e6) / 1e6) < 1e-9)
+      if (n >= 10) assert(r.getDouble(3) <= r.getDouble(4) + 1e-9 &&
+        r.getDouble(4) <= r.getDouble(5) + 1e-9)
+    }
+  }
+
+  test("eval_mrr: reciprocal ranks replay from the knn ranking; misses are 0") {
+    val rows = graft.SparkEntry.queries("eval_mrr")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nVec = graft.T(spark, dir, "embeddings").count()
+    assert(rows.length == nVec, "one row per vector, incl. top-10 misses")
+    rows.foreach { r =>
+      if (r.isNullAt(1)) assert(r.getDouble(2) == 0.0, s"qid ${r.getLong(0)}")
+      else {
+        val rank = r.getInt(1)
+        assert(rank >= 1 && rank <= 10)
+        assert(math.abs(r.getDouble(2) - math.round(1e6 / rank) / 1e6) < 1e-9)
+      }
+    }
+    // some hits and some misses must both occur at this SF, or the
+    // miss accounting is untested
+    assert(rows.exists(_.isNullAt(1)) && rows.exists(!_.isNullAt(1)))
+  }
 }

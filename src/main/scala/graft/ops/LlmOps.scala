@@ -3332,6 +3332,96 @@ object LlmOps extends QueryModule {
       .orderBy("a") // one row per pair = input-sized
   }
 
+  /** chrF between adjacent doc pairs (r16, SPEC: Popović 2015 "chrF:
+    * character n-gram F-score for automatic MT evaluation" — the
+    * third leg of the generation-eval trio beside [[text_bleu_pairs]]
+    * (precision) and ROUGE (recall): chrF's CHARACTER n-grams are
+    * robust to tokenization/morphology, which is why WMT adopted it as
+    * the default lexical metric): whitespace-removed char n-grams for
+    * n ∈ {1,2,3} on the SAME adjacent-id pair scheme and
+    * clipped-count machinery; per n, P = matches/|cand grams|, R =
+    * matches/|ref grams|, F_n = 5PR/(4P+R) (β = 2 per the paper,
+    * recall weighted double), zero when either side has no grams;
+    * chrf3 = mean of the three UNROUNDED F_n. All counts integer;
+    * every ratio is the same ops-ordered expression on both engines.
+    * Same shuffle shape as BLEU: per-pair gram explode → two-phase
+    * counts → (pair, gram) equi-join → per-pair aggregate.
+    */
+  q("text_chrf_pairs", {
+    def gramsCte(side: Char, n: Int): String =
+      s"""u$n$side AS (SELECT a, g, count(*) AS c FROM
+         |  (SELECT a, unnest([substr(t, i, $n) FOR i IN range(1, len(t) - $n + 2)]) AS g
+         |   FROM (SELECT a, replace(t$side, ' ', '') AS t FROM p)) GROUP BY a, g)""".stripMargin
+    def matchCte(n: Int): String =
+      s"""m$n AS (SELECT u${n}a.a, CAST(sum(least(u${n}a.c, u${n}b.c)) AS BIGINT) AS m
+         |        FROM u${n}a JOIN u${n}b ON u${n}a.a = u${n}b.a AND u${n}a.g = u${n}b.g
+         |        GROUP BY u${n}a.a)""".stripMargin
+    def totCte(side: Char, n: Int): String =
+      s"""t$n$side AS (SELECT a, CAST(sum(c) AS BIGINT) AS tot FROM u$n$side GROUP BY a)""".stripMargin
+    def fExpr(n: Int): String =
+      s"""CASE WHEN coalesce(m$n.m, 0) = 0 THEN 0.0
+         |     ELSE 5.0 * (m$n.m * 1.0 / t${n}a.tot) * (m$n.m * 1.0 / t${n}b.tot)
+         |          / (4.0 * (m$n.m * 1.0 / t${n}a.tot) + (m$n.m * 1.0 / t${n}b.tot)) END""".stripMargin
+    val ctes = (1 to 3).flatMap(n =>
+      Seq(gramsCte('a', n), gramsCte('b', n), matchCte(n),
+        totCte('a', n), totCte('b', n))).mkString(",\n")
+    val joins = (1 to 3).map(n =>
+      s"LEFT JOIN m$n ON m$n.a = p.a LEFT JOIN t${n}a ON t${n}a.a = p.a " +
+        s"LEFT JOIN t${n}b ON t${n}b.a = p.a").mkString("\n")
+    s"""WITH p AS (
+       |  SELECT d1.doc_id AS a, d2.doc_id AS b, d1.text AS ta, d2.text AS tb
+       |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+       |  WHERE d1.doc_id % 2 = 0),
+       |$ctes
+       |SELECT p.a, p.b,
+       |       round(${fExpr(1)}, 6) AS f1,
+       |       round(${fExpr(2)}, 6) AS f2,
+       |       round(${fExpr(3)}, 6) AS f3,
+       |       round((${fExpr(1)} + ${fExpr(2)} + ${fExpr(3)}) / 3.0, 6) AS chrf3
+       |FROM p
+       |$joins
+       |ORDER BY p.a""".stripMargin
+  }) { (s, d) =>
+    val docs = T(s, d, "documents")
+    val p = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("a"), col("text").as("ta"),
+        (col("doc_id") + 1).as("bk"))
+      .join(docs.select(col("doc_id").as("bk2"), col("text").as("tb")),
+        col("bk") === col("bk2"))
+      .select(col("a"), col("bk").as("b"), col("ta"), col("tb"))
+      .localCheckpoint()
+    def chargrams(src: String, n: Int): org.apache.spark.sql.Column = expr(
+      s"transform(sequence(1, greatest(length(replace($src, ' ', '')) - $n + 1, 0)), " +
+        s"i -> substring(replace($src, ' ', ''), i, $n))")
+    def counts(srcCol: String, n: Int, tag: String): DataFrame = p
+      .select(col("a"), explode(chargrams(srcCol, n)).as("g"))
+      .groupBy("a", "g").agg(count(lit(1)).as(s"c$tag"))
+    def stats(n: Int): DataFrame = {
+      val ga = counts("ta", n, "a")
+      val gb = counts("tb", n, "b")
+      val m = ga.join(gb, Seq("a", "g"))
+        .groupBy("a")
+        .agg(sum(least(col("ca"), col("cb"))).cast("long").as(s"m$n"))
+      val tota = ga.groupBy("a").agg(sum("ca").cast("long").as(s"tot${n}a"))
+      val totb = gb.groupBy("a").agg(sum("cb").cast("long").as(s"tot${n}b"))
+      tota.join(totb, Seq("a"), "outer").join(m, Seq("a"), "left")
+    }
+    def fCol(n: Int): org.apache.spark.sql.Column = {
+      val m = coalesce(col(s"m$n"), lit(0L))
+      val pr = m * lit(1.0) / col(s"tot${n}a")
+      val rc = m * lit(1.0) / col(s"tot${n}b")
+      when(m === 0, lit(0.0))
+        .otherwise(lit(5.0) * pr * rc / (lit(4.0) * pr + rc))
+    }
+    val joined = (1 to 3).foldLeft(p.select("a", "b"))(
+      (acc, n) => acc.join(stats(n), Seq("a"), "left"))
+    joined.select(col("a"), col("b"),
+        round(fCol(1), 6).as("f1"), round(fCol(2), 6).as("f2"),
+        round(fCol(3), 6).as("f3"),
+        round((fCol(1) + fCol(2) + fCol(3)) / lit(3.0), 6).as("chrf3"))
+      .orderBy("a") // one row per pair = input-sized
+  }
+
   /** ROUGE-1/ROUGE-2 F1 between adjacent doc pairs (SPEC: Lin 2004 —
     * the RECALL-oriented n-gram overlap summarization eval;
     * [[text_bleu_pairs]]' precision-side twin on the SAME pair scheme

@@ -2019,4 +2019,45 @@ class OpsSemanticsSpec extends AnyFunSuite {
       s"Murphy identity: $rel - $res + $unc vs $brier")
     assert(brier > 0 && brier < 0.5, s"degenerate brier $brier")
   }
+
+  test("text_chrf_pairs: char-n-gram F replays driver-side; bounds and beta=2 bias hold") {
+    val texts = T(spark, dir, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(t: String, n: Int): Map[String, Int] = {
+      val x = t.replace(" ", "")
+      (0 to x.length - n).map(i => x.substring(i, i + n))
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+    }
+    def fN(ta: String, tb: String, n: Int): Double = {
+      val (ga, gb) = (grams(ta, n), grams(tb, n))
+      val m = ga.map { case (g, c) => math.min(c, gb.getOrElse(g, 0)).toLong }.sum
+      if (m == 0) 0.0
+      else {
+        val pr = m.toDouble / ga.values.sum
+        val rc = m.toDouble / gb.values.sum
+        5.0 * pr * rc / (4.0 * pr + rc)
+      }
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = SparkEntry.queries("text_chrf_pairs")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (ta, tb) = (texts(a), texts(b))
+      for ((n, idx) <- Seq(1 -> 2, 2 -> 3, 3 -> 4))
+        assert(math.abs(r.getDouble(idx) - r6(fN(ta, tb, n))) < 2e-6,
+          s"pair $a f$n")
+      val mean = (fN(ta, tb, 1) + fN(ta, tb, 2) + fN(ta, tb, 3)) / 3.0
+      assert(math.abs(r.getDouble(5) - r6(mean)) < 2e-6, s"pair $a chrf3")
+      assert(r.getDouble(5) >= 0 && r.getDouble(5) <= 1 + 1e-9)
+    }
+    // beta = 2 weights recall double: a candidate CONTAINING the whole
+    // reference (perfect recall, diluted precision) must outscore the
+    // reverse direction (perfect precision, diluted recall)
+    val ref = "the quick brown fox"
+    val cand = "the quick brown fox jumps over the lazy dog"
+    assert(fN(cand, ref, 2) > fN(ref, cand, 2))
+    // identity scores exactly 1 at every n
+    assert(fN(ref, ref, 1) == 1.0 && fN(ref, ref, 3) == 1.0)
+  }
 }

@@ -14,7 +14,7 @@ RESET = {
     # r16 duplicate-collapse plan change (SCALE.md §14.3)
     "sim_ann_lsh", "sim_ann_filtered", "sim_ann_pq", "sim_ann_pq_trained",
     "sim_ann_pq_rerank", "sim_ann_ivfpq", "sim_ann_ivfpq_trained",
-    "sim_ann_ivf_hier",
+    "sim_ann_ivf_hier", "mm_ann_topk",
 }
 
 

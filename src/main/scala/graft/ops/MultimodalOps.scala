@@ -1959,15 +1959,16 @@ object MultimodalOps extends QueryModule {
     // is |image docs| × (8 B + dim floats + bucket) — tiny next to the
     // payloads — and Bench/Verify release the blocks between queries.
     val b = feats.withColumn("bucket", featBucketExpr).localCheckpoint()
-    val l = b.select(col("bucket"), col("doc_id").as("qid"), col("features").as("qf"))
-    val r = b.select(col("bucket"), col("doc_id").as("nbr"), col("features"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nbr").asc)
-    l.join(r, Seq("bucket"))
-      .filter(col("qid") =!= col("nbr"))
-      .withColumn("cos", round(graft.functions.vec.cosine(col("qf"), col("features")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select("qid", "nbr", "cos", "rn")
+    // duplicate-collapsed in-bucket ranking (r16): duplicate IMAGES
+    // are as routine in crawl corpora as duplicate embeddings —
+    // identical rasters give identical features, which share a bucket
+    // by construction; [[LlmOps.collapsedPairTopK]] bounds the pair
+    // join at one group per dup cluster, output-identical
+    LlmOps.collapsedPairTopK(b.select("bucket", "doc_id", "features"),
+      "doc_id", Seq("bucket"), Seq("features"),
+      (qc, nc) => round(graft.functions.vec.cosine(
+        qc("features"), nc("features")), 6), 3)
+      .select(col("qid"), col("nbr"), col("score").as("cos"), col("rn"))
       .orderBy("qid", "rn") // top-k per image doc = input-sized
   }
 

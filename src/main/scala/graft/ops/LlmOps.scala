@@ -3390,22 +3390,35 @@ object LlmOps extends QueryModule {
         col("bk") === col("bk2"))
       .select(col("a"), col("bk").as("b"), col("ta"), col("tb"))
       .localCheckpoint()
-    def chargrams(src: String, n: Int): org.apache.spark.sql.Column = expr(
-      s"transform(sequence(1, greatest(length(replace($src, ' ', '')) - $n + 1, 0)), " +
-        s"i -> substring(replace($src, ' ', ''), i, $n))")
-    def counts(srcCol: String, n: Int, tag: String): DataFrame = p
-      .select(col("a"), explode(chargrams(srcCol, n)).as("g"))
-      .groupBy("a", "g").agg(count(lit(1)).as(s"c$tag"))
-    def stats(n: Int): DataFrame = {
-      val ga = counts("ta", n, "a")
-      val gb = counts("tb", n, "b")
-      val m = ga.join(gb, Seq("a", "g"))
-        .groupBy("a")
-        .agg(sum(least(col("ca"), col("cb"))).cast("long").as(s"m$n"))
-      val tota = ga.groupBy("a").agg(sum("ca").cast("long").as(s"tot${n}a"))
-      val totb = gb.groupBy("a").agg(sum("cb").cast("long").as(s"tot${n}b"))
-      tota.join(totb, Seq("a"), "outer").join(m, Seq("a"), "left")
-    }
+    // ONE tagged explode per side for all three gram sizes (a per-n
+    // explode tripled the scan+shuffle volume — char grams are already
+    // ~18× BLEU's token volume, so the fusion matters): (a, n, g) →
+    // per-side counts → one clipped-match join keyed (a, n, g) → the
+    // three F_n land as conditional aggregates of ONE (a, n) frame.
+    def counts(srcCol: String, tag: String): DataFrame = p
+      .select(col("a"), expr(s"replace($srcCol, ' ', '')").as("t"))
+      .select(col("a"), explode(expr(
+        "flatten(transform(array(1, 2, 3), n -> " +
+          "transform(sequence(1, greatest(length(t) - n + 1, 0)), " +
+          "i -> struct(n AS n, substring(t, i, n) AS g))))")).as("ng"))
+      .select(col("a"), col("ng.n").as("n"), col("ng.g").as("g"))
+      .groupBy("a", "n", "g").agg(count(lit(1)).as(s"c$tag"))
+    // no checkpoint: both reads of each side are the SAME expression
+    // plan, so exchange reuse dedupes the explode+count work
+    val ga = counts("ta", "a")
+    val gb = counts("tb", "b")
+    val m = ga.join(gb, Seq("a", "n", "g"))
+      .groupBy("a", "n")
+      .agg(sum(least(col("ca"), col("cb"))).cast("long").as("m"))
+    val tots = ga.groupBy("a", "n").agg(sum("ca").cast("long").as("tota"))
+      .join(gb.groupBy("a", "n").agg(sum("cb").cast("long").as("totb")),
+        Seq("a", "n"), "outer")
+      .join(m, Seq("a", "n"), "left")
+    val aggs = (1 to 3).flatMap(n => Seq(
+      max(when(col("n") === n, coalesce(col("m"), lit(0L)))).as(s"m$n"),
+      max(when(col("n") === n, col("tota"))).as(s"tot${n}a"),
+      max(when(col("n") === n, col("totb"))).as(s"tot${n}b")))
+    val wide = tots.groupBy("a").agg(aggs.head, aggs.tail: _*)
     def fCol(n: Int): org.apache.spark.sql.Column = {
       val m = coalesce(col(s"m$n"), lit(0L))
       val pr = m * lit(1.0) / col(s"tot${n}a")
@@ -3413,9 +3426,8 @@ object LlmOps extends QueryModule {
       when(m === 0, lit(0.0))
         .otherwise(lit(5.0) * pr * rc / (lit(4.0) * pr + rc))
     }
-    val joined = (1 to 3).foldLeft(p.select("a", "b"))(
-      (acc, n) => acc.join(stats(n), Seq("a"), "left"))
-    joined.select(col("a"), col("b"),
+    p.select("a", "b").join(wide, Seq("a"), "left")
+      .select(col("a"), col("b"),
         round(fCol(1), 6).as("f1"), round(fCol(2), 6).as("f2"),
         round(fCol(3), 6).as("f3"),
         round((fCol(1) + fCol(2) + fCol(3)) / lit(3.0), 6).as("chrf3"))

@@ -3434,6 +3434,105 @@ object LlmOps extends QueryModule {
       .orderBy("a") // one row per pair = input-sized
   }
 
+  /** Levenshtein edit distance between adjacent doc pairs (r16 — the
+    * fuzzy-match primitive every record-linkage/curation stack keeps
+    * beside the n-gram metrics; SPEC: Levenshtein 1966, the standard
+    * unit-cost DP): raw distance plus the length-normalized similarity
+    * 1 − d/max(|a|,|b|) (the usual [0,1] calibration). BOTH engines
+    * run their NATIVE implementation (Spark `levenshtein`, DuckDB
+    * `levenshtein`) — the hash is a genuine cross-implementation check
+    * of the DP, not a replay. Distances are exact integers; the one
+    * ratio is the same ops-ordered division. Texts are capped at 500
+    * chars (the DP is O(|a|·|b|) per pair — at 100 TB you run it on
+    * CANDIDATE pairs after banding, never raw corpus pairs, and cap
+    * operands; the cap is part of the contract, both engines apply
+    * it).
+    */
+  q("text_levenshtein_pairs",
+    """WITH p AS (
+      |  SELECT d1.doc_id AS a, d2.doc_id AS b,
+      |         substr(d1.text, 1, 500) AS ta, substr(d2.text, 1, 500) AS tb
+      |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+      |  WHERE d1.doc_id % 2 = 0)
+      |SELECT a, b, CAST(levenshtein(ta, tb) AS INTEGER) AS dist,
+      |       round(1.0 - levenshtein(ta, tb) * 1.0 /
+      |             greatest(len(ta), len(tb)), 6) AS sim
+      |FROM p ORDER BY a""".stripMargin) { (s, d) =>
+    val docs = T(s, d, "documents")
+    val p = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("a"), substring(col("text"), 1, 500).as("ta"),
+        (col("doc_id") + 1).as("bk"))
+      .join(docs.select(col("doc_id").as("bk2"),
+        substring(col("text"), 1, 500).as("tb")), col("bk") === col("bk2"))
+    p.select(col("a"), col("bk").as("b"),
+        levenshtein(col("ta"), col("tb")).cast("int").as("dist"),
+        round(lit(1.0) - levenshtein(col("ta"), col("tb")) * lit(1.0) /
+          greatest(length(col("ta")), length(col("tb"))), 6).as("sim"))
+      .orderBy("a") // one row per pair = input-sized
+  }
+
+  /** recall@k retrieval eval (r16 — [[eval_mrr]]'s set-coverage
+    * companion on the SAME shared top-10 kNN build): per query,
+    * hits = |top-10 ∩ same-label|, n_relevant = same-label corpus
+    * vectors minus self (exact, from one label-count aggregate), and
+    * recall = hits / n_relevant — the plain IR definition over the
+    * TRUE relevant-set size, not a k-cap (so a label with 40 members
+    * can't score 1.0 by retrieving 10). Per-query rows; integer
+    * numerators/denominators, one ratio.
+    */
+  q("eval_recall_at_k", {
+    val (bucketCols, unions) = multiLshCandCtes(6, 6)
+    s"""WITH bk AS (SELECT vec_id, embedding,
+       |       $bucketCols FROM embeddings),
+       |     cand AS (
+       |  $unions),
+       |     scored AS (
+       |  SELECT c.a, c.b,
+       |         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                                      CAST(eb.embedding AS DOUBLE[])), 6) AS cos
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.a
+       |  JOIN embeddings eb ON eb.vec_id = c.b),
+       |     edges AS (SELECT a AS qid, b AS nbr, cos FROM scored
+       |               UNION ALL SELECT b, a, cos FROM scored),
+       |     rk AS (SELECT qid, nbr, CAST(row_number() OVER (
+       |              PARTITION BY qid ORDER BY cos DESC, nbr) AS INTEGER) AS rank
+       |            FROM edges),
+       |     lc AS (SELECT label, CAST(count(*) AS INTEGER) AS n
+       |            FROM embeddings GROUP BY label),
+       |     hits AS (SELECT r.qid, CAST(count(*) AS INTEGER) AS h
+       |              FROM rk r
+       |              JOIN embeddings q ON q.vec_id = r.qid
+       |              JOIN embeddings nb ON nb.vec_id = r.nbr
+       |              WHERE r.rank <= 10 AND q.label = nb.label
+       |              GROUP BY r.qid)
+       |SELECT e.vec_id AS qid, coalesce(h.h, 0) AS hits,
+       |       lc.n - 1 AS n_relevant,
+       |       round(coalesce(h.h, 0) * 1.0 / nullif(lc.n - 1, 0), 6) AS recall
+       |FROM embeddings e
+       |JOIN lc ON lc.label = e.label
+       |LEFT JOIN hits h ON h.qid = e.vec_id
+       |ORDER BY qid""".stripMargin
+  }) { (s, d) =>
+    val emb = T(s, d, "embeddings")
+    val ranked = knnEdges(emb.select("vec_id", "embedding"), k = 10)
+    val labels = emb.select("vec_id", "label")
+    val lc = emb.groupBy("label").agg(count(lit(1)).cast("int").as("n"))
+    val hits = ranked
+      .join(labels.select(col("vec_id").as("qid"), col("label").as("ql")), Seq("qid"))
+      .join(labels.select(col("vec_id").as("nbr"), col("label").as("nl")), Seq("nbr"))
+      .filter(col("ql") === col("nl"))
+      .groupBy("qid").agg(count(lit(1)).cast("int").as("h"))
+    labels.select(col("vec_id").as("qid"), col("label"))
+      .join(broadcast(lc), Seq("label"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("h"), lit(0)).as("hits"),
+        (col("n") - 1).as("n_relevant"),
+        round(coalesce(col("h"), lit(0)) * lit(1.0) /
+          nullif(col("n") - 1, lit(0)), 6).as("recall"))
+      .orderBy("qid") // one row per vector = input-sized
+  }
+
   /** ROUGE-1/ROUGE-2 F1 between adjacent doc pairs (SPEC: Lin 2004 —
     * the RECALL-oriented n-gram overlap summarization eval;
     * [[text_bleu_pairs]]' precision-side twin on the SAME pair scheme

@@ -2060,4 +2060,40 @@ class OpsSemanticsSpec extends AnyFunSuite {
     // identity scores exactly 1 at every n
     assert(fN(ref, ref, 1) == 1.0 && fN(ref, ref, 3) == 1.0)
   }
+
+  test("text_levenshtein_pairs: cross-implementation agreement with a driver-side DP") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    assert(lev("kitten", "sitting") == 3) // the textbook fixture pins the DP itself
+    val texts = T(spark, dir, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).take(500)).toMap
+    val rows = SparkEntry.queries("text_levenshtein_pairs")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.take(40).foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val want = lev(texts(a), texts(b))
+      assert(r.getInt(2) == want, s"pair $a dist")
+      val sim = 1.0 - want.toDouble / math.max(texts(a).length, texts(b).length)
+      assert(math.abs(r.getDouble(3) -
+        BigDecimal(sim).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-6)
+    }
+  }
+
+  test("eval_recall_at_k agrees with eval_mrr: a hit at some rank iff recall counts it") {
+    val rec = SparkEntry.queries("eval_recall_at_k")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val mrr = SparkEntry.queries("eval_mrr")(spark, dir).collect()
+    assert(mrr.nonEmpty && rec.nonEmpty && mrr.length == rec.size)
+    mrr.foreach { r =>
+      val (hits, nRel) = rec(r.getLong(0))
+      if (r.isNullAt(1)) assert(hits == 0, s"qid ${r.getLong(0)}: mrr miss but hits=$hits")
+      else assert(hits >= 1, s"qid ${r.getLong(0)}: mrr hit but hits=0")
+      assert(hits <= math.min(10, nRel), s"qid ${r.getLong(0)}: $hits of $nRel")
+    }
+  }
 }

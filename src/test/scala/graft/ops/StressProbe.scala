@@ -197,7 +197,7 @@ object StressProbe {
       f"naivePairs=${naive.getLong(0)}%12d (maxBucket=${naive.getLong(1)})  " +
       f"collapsedGroupPairs=${coll.getLong(0)}%10d (maxDupGroup=${coll.getLong(1)}, " +
       f"groups=${coll.getLong(2)})  expandBound=${n * 16}%12d")
-    Seq("sim_ann_ivf_hier", "sim_ann_lsh").foreach { qn =>
+    Seq("sim_ann_ivf_hier", "sim_ann_lsh", "sim_ann_pq").foreach { qn =>
       val t0 = System.nanoTime()
       val rows = graft.SparkEntry.queries(qn)(spark, dir).count()
       graft.Sessions.releaseCheckpoints(spark)

@@ -81,6 +81,11 @@ object Gdx {
         } catch {
           case e: java.util.concurrent.ExecutionException =>
             futures.foreach(_.cancel(true))
+            // drain before rethrowing: an interrupted-but-running write
+            // job must not outlive the failure surface (the caller may
+            // inspect/clean the output dir as soon as it catches)
+            pool.shutdownNow()
+            pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
             throw e.getCause
         }
         out.toSeq.map(_.asInstanceOf[B])

@@ -2310,6 +2310,81 @@ object LlmOps extends QueryModule {
       .orderBy("vec_id") // one row per clustered vector = dup-density-sized
   }
 
+  /** SemDeDup KEEP-LIST (r17 — the scale-safe companion the pair-set
+    * rows' scaladoc promised: [[dedup_semantic_cluster]] emits the
+    * cluster map, THIS row emits the enforced keep/drop DECISION for
+    * every corpus vector, linear output by construction; SPEC: Abbas
+    * et al. 2023 SemDeDup §3 — keep one representative per semantic
+    * cluster). Pipeline: (1) EXACT-DUPLICATE COLLAPSE — group vectors
+    * by identical embedding content, representative = min vec_id per
+    * group. Exact, not approximate: identical embeddings land in the
+    * same LSH bucket in every table and score the same cosine against
+    * every third vector, so each dup group is a clique sharing all
+    * external edges; replacing the group by its rep + (member → rep)
+    * edges preserves connected components and each component's min id
+    * verbatim. This is what bounds the planted mega-dup cluster —
+    * 50k copies contribute ONE rep to the pair join (Θ(n) member
+    * edges) where the raw pair graph is Θ(copies²). (2) The
+    * [[dedup_semantic_cluster]] machinery on reps only: multi-table
+    * LSH candidates → exact-cosine verify ≥ 0.45 → distributed CC.
+    * (3) Decision join: every vector gets (canonical, keep) with
+    * keep ⇔ vec_id == canonical — unclustered vectors keep themselves.
+    * Output is EXACTLY corpus-sized; the oracle replays the
+    * uncollapsed semantics (same components, proven above). The dup:
+    * StressProbe pins the law: output rows == n at every planted
+    * copy count while dedup_embedding_cosine's pair set is
+    * Θ(copies²) by contract.
+    */
+  q("dedup_semdedup_keep", {
+    val (bucketCols, unions) = multiLshCandCtes(6, 6)
+    s"""WITH RECURSIVE bk AS (SELECT vec_id, embedding,
+       |       $bucketCols FROM embeddings),
+       |     cand AS (
+       |  $unions),
+       |     pairs AS (
+       |  SELECT c.a, c.b FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.a
+       |  JOIN embeddings eb ON eb.vec_id = c.b
+       |  WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                                     CAST(eb.embedding AS DOUBLE[])), 6) >= 0.45),
+       |     edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+       |     reach(src, dst) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |     comp AS (
+       |  SELECT src AS vec_id, least(src, min(dst)) AS canonical
+       |  FROM reach GROUP BY src)
+       |SELECT e.vec_id, coalesce(comp.canonical, e.vec_id) AS canonical,
+       |       coalesce(comp.canonical, e.vec_id) = e.vec_id AS keep
+       |FROM embeddings e LEFT JOIN comp ON comp.vec_id = e.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+  }) { (s, d) =>
+    val emb = T(s, d, "embeddings").select("vec_id", "embedding")
+    // (1) exact-dup collapse: one rep per distinct embedding payload
+    val groups = emb.groupBy("embedding").agg(min("vec_id").as("rep"))
+    val member = emb.join(groups, Seq("embedding"))
+      .select(col("vec_id"), col("rep"))
+    val reps = groups.select(col("rep").as("vec_id"), col("embedding"))
+    // (2) pair graph on reps only + member→rep edges (cos = 1 exact)
+    val repPairs = multiLshCandidatesOf(reps, nPlanes = 6, nTables = 6)
+      .join(reps.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
+      .join(reps.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
+      .filter(round(graft.functions.vec.cosine(col("ea"), col("eb")), 6) >= 0.45)
+      .select("a", "b")
+    val dupEdges = member.filter(col("vec_id") =!= col("rep"))
+      .select(col("vec_id").as("a"), col("rep").as("b"))
+    val cc = connectedComponents(repPairs.unionByName(dupEdges))
+    // (3) corpus-sized decision
+    emb.select("vec_id")
+      .join(cc.select(col("id").as("vec_id"), col("lbl").as("cl")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cl"), col("vec_id")).as("canonical"),
+        (coalesce(col("cl"), col("vec_id")) === col("vec_id")).as("keep"))
+      .orderBy("vec_id") // one row per vector = corpus-sized, NEVER pair-sized
+  }
+
   /** The production composition of the two ANN upgrades: multi-table
     * OR-amplified candidates (recall 87–98% at the near-dup threshold,
     * LshRecallSpec) verified on int8-quantized vectors (4× narrower
@@ -3347,6 +3422,21 @@ object LlmOps extends QueryModule {
     * Same shuffle shape as BLEU: per-pair gram explode → two-phase
     * counts → (pair, gram) equi-join → per-pair aggregate.
     */
+  /** Fused tagged char-gram explode over `t` for chrF's n ∈ {1,2,3}.
+    * The `length(t) >= n` guard is load-bearing: Spark's
+    * `sequence(1, 0)` DESCENDS ([1, 0]), which would fabricate two
+    * phantom grams (substring at pos 1 and pos 0) on any text shorter
+    * than n — both sides would then "match", yielding F_n = 1.0 where
+    * the oracle's `range(1, len-n+2)` (empty) yields 0.0. Same hazard
+    * class as the BLEU explode's must-not-descend filter.
+    */
+  private[graft] val ChrfGramExplodeSql: String =
+    "flatten(transform(array(1, 2, 3), n -> " +
+      "if(length(t) >= n, " +
+      "transform(sequence(1, length(t) - n + 1), " +
+      "i -> struct(n AS n, substring(t, i, n) AS g)), " +
+      "array())))"
+
   q("text_chrf_pairs", {
     def gramsCte(side: Char, n: Int): String =
       s"""u$n$side AS (SELECT a, g, count(*) AS c FROM
@@ -3397,10 +3487,7 @@ object LlmOps extends QueryModule {
     // three F_n land as conditional aggregates of ONE (a, n) frame.
     def counts(srcCol: String, tag: String): DataFrame = p
       .select(col("a"), expr(s"replace($srcCol, ' ', '')").as("t"))
-      .select(col("a"), explode(expr(
-        "flatten(transform(array(1, 2, 3), n -> " +
-          "transform(sequence(1, greatest(length(t) - n + 1, 0)), " +
-          "i -> struct(n AS n, substring(t, i, n) AS g))))")).as("ng"))
+      .select(col("a"), explode(expr(ChrfGramExplodeSql)).as("ng"))
       .select(col("a"), col("ng.n").as("n"), col("ng.g").as("g"))
       .groupBy("a", "n", "g").agg(count(lit(1)).as(s"c$tag"))
     // no checkpoint: both reads of each side are the SAME expression
@@ -3530,6 +3617,94 @@ object LlmOps extends QueryModule {
         (col("n") - 1).as("n_relevant"),
         round(coalesce(col("h"), lit(0)) * lit(1.0) /
           nullif(col("n") - 1, lit(0)), 6).as("recall"))
+      .orderBy("qid") // one row per vector = input-sized
+  }
+
+  /** nDCG@10 retrieval eval (r17 — completes the retrieval-eval trio
+    * on the SAME shared top-10 kNN build: rank-based [[eval_mrr]],
+    * set-based [[eval_recall_at_k]], and this GRADED-position metric;
+    * SPEC: Järvelin & Kekäläinen 2002 "Cumulated gain-based evaluation
+    * of IR techniques", TOIS): per query, DCG@10 = Σ rel_i/log2(i+1)
+    * over the top-10 ranks (binary relevance rel = 1 on label match —
+    * the corpus carries no graded judgments, and fabricating grades
+    * would fake the metric), IDCG@10 = the ideal prefix
+    * Σ_{i=1..min(10, n_relevant)} 1/log2(i+1) with n_relevant the TRUE
+    * same-label corpus count minus self (the [[eval_recall_at_k]]
+    * denominator discipline — a query whose label has 3 members can't
+    * be penalized for not filling 10 slots), and nDCG = DCG/IDCG
+    * (0 for singleton labels). Both engines sum ≤ 10 log2 terms and
+    * round at 6 dp; the IDCG prefix is generated in ascending-i order
+    * on both sides. One row per vector = input-sized output.
+    */
+  q("eval_ndcg_at_k", {
+    val (bucketCols, unions) = multiLshCandCtes(6, 6)
+    s"""WITH bk AS (SELECT vec_id, embedding,
+       |       $bucketCols FROM embeddings),
+       |     cand AS (
+       |  $unions),
+       |     scored AS (
+       |  SELECT c.a, c.b,
+       |         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                                      CAST(eb.embedding AS DOUBLE[])), 6) AS cos
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.a
+       |  JOIN embeddings eb ON eb.vec_id = c.b),
+       |     edges AS (SELECT a AS qid, b AS nbr, cos FROM scored
+       |               UNION ALL SELECT b, a, cos FROM scored),
+       |     rk AS (SELECT qid, nbr, CAST(row_number() OVER (
+       |              PARTITION BY qid ORDER BY cos DESC, nbr) AS INTEGER) AS rank
+       |            FROM edges),
+       |     lc AS (SELECT label, CAST(count(*) AS INTEGER) AS n
+       |            FROM embeddings GROUP BY label),
+       |     dcg AS (SELECT r.qid, sum(1.0 / log2(r.rank + 1)) AS dcg
+       |             FROM rk r
+       |             JOIN embeddings q ON q.vec_id = r.qid
+       |             JOIN embeddings nb ON nb.vec_id = r.nbr
+       |             WHERE r.rank <= 10 AND q.label = nb.label
+       |             GROUP BY r.qid)
+       |SELECT e.vec_id AS qid,
+       |       lc.n - 1 AS n_relevant,
+       |       round(coalesce(dcg.dcg, 0.0), 6) AS dcg,
+       |       CASE WHEN lc.n - 1 = 0 THEN NULL
+       |            ELSE round(list_sum([1.0 / log2(i + 1)
+       |                 FOR i IN range(1, least(10, lc.n - 1) + 1)]), 6)
+       |       END AS idcg,
+       |       CASE WHEN lc.n - 1 = 0 THEN 0.0
+       |            ELSE round(coalesce(dcg.dcg, 0.0) /
+       |                 list_sum([1.0 / log2(i + 1)
+       |                           FOR i IN range(1, least(10, lc.n - 1) + 1)]), 6)
+       |       END AS ndcg
+       |FROM embeddings e
+       |JOIN lc ON lc.label = e.label
+       |LEFT JOIN dcg ON dcg.qid = e.vec_id
+       |ORDER BY qid""".stripMargin
+  }) { (s, d) =>
+    val emb = T(s, d, "embeddings")
+    val ranked = knnEdges(emb.select("vec_id", "embedding"), k = 10)
+    val labels = emb.select("vec_id", "label")
+    val lc = emb.groupBy("label").agg(count(lit(1)).cast("int").as("n"))
+    val dcg = ranked
+      .join(labels.select(col("vec_id").as("qid"), col("label").as("ql")), Seq("qid"))
+      .join(labels.select(col("vec_id").as("nbr"), col("label").as("nl")), Seq("nbr"))
+      .filter(col("ql") === col("nl"))
+      .groupBy("qid")
+      .agg(sum(lit(1.0) / log2(col("rank") + 1)).as("dcg"))
+    // sequence(1, 0) would DESCEND for singleton labels (the chrF
+    // hazard class) — every use sits behind the n_relevant > 0 guard
+    val idcgExpr = expr(
+      "aggregate(sequence(1, least(10, n_relevant)), cast(0.0 as double), " +
+        "(acc, i) -> acc + 1.0 / log2(i + 1))")
+    labels.select(col("vec_id").as("qid"), col("label"))
+      .join(broadcast(lc), Seq("label"))
+      .join(dcg, Seq("qid"), "left")
+      .withColumn("n_relevant", col("n") - 1)
+      .select(col("qid"), col("n_relevant"),
+        round(coalesce(col("dcg"), lit(0.0)), 6).as("dcg"),
+        when(col("n_relevant") === 0, lit(null).cast("double"))
+          .otherwise(round(idcgExpr, 6)).as("idcg"),
+        when(col("n_relevant") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("dcg"), lit(0.0)) / idcgExpr, 6))
+          .as("ndcg"))
       .orderBy("qid") // one row per vector = input-sized
   }
 

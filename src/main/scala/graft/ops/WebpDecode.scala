@@ -51,8 +51,14 @@ object WebpDecode {
   final case class Stats(transforms: Set[Int], cacheHits: Long,
       backrefs2d: Long, backrefsLinear: Long, metaGroups: Int,
       predictorModes: Set[Int])
-  private val statsTl = new ThreadLocal[StatsAcc] {
-    override def initialValue(): StatsAcc = new StatsAcc
+  // installed ONLY by decodeWithStats and removed in its finally —
+  // plain decode() on executor threads never allocates or retains an
+  // acc (long-lived pool threads would otherwise each hold one
+  // forever); null means "not tracking"
+  private val statsTl = new ThreadLocal[StatsAcc]
+  @inline private def stat(f: StatsAcc => Unit): Unit = {
+    val s = statsTl.get
+    if (s != null) f(s)
   }
   private final class StatsAcc {
     var transforms = Set.empty[Int]
@@ -61,19 +67,18 @@ object WebpDecode {
     var backrefsLinear = 0L
     var metaGroups = 1
     var predictorModes = Set.empty[Int]
-    def reset(): Unit = {
-      transforms = Set.empty; cacheHits = 0; backrefs2d = 0
-      backrefsLinear = 0; metaGroups = 1; predictorModes = Set.empty
-    }
     def snapshot: Stats = Stats(transforms, cacheHits, backrefs2d,
       backrefsLinear, metaGroups, predictorModes)
   }
 
   /** Decode and report which decoder paths the stream exercised. */
   def decodeWithStats(bytes: Array[Byte]): (Decoded, Stats) = {
-    statsTl.get.reset()
-    val d = decode(bytes)
-    (d, statsTl.get.snapshot)
+    val acc = new StatsAcc
+    statsTl.set(acc)
+    try {
+      val d = decode(bytes)
+      (d, acc.snapshot)
+    } finally statsTl.remove()
   }
 
   // ------------------------------------------------------------ container
@@ -421,8 +426,15 @@ object WebpDecode {
             case 18 => (11 + br.bits(7), 0)
             case x => throw new IllegalArgumentException(s"vp8l: CL symbol $x")
           }
+          // a repeat that runs past the alphabet end is an illegal
+          // stream (libwebp's ReadHuffmanCodeLengths errors on
+          // symbol + repeat > num_symbols) — reject, don't clamp
+          if (symbol + repeat > alphabetSize)
+            throw new IllegalArgumentException(
+              s"vp8l: CL repeat $repeat overruns alphabet " +
+                s"($symbol + $repeat > $alphabetSize)")
           var r = 0
-          while (r < repeat && symbol < alphabetSize) {
+          while (r < repeat) {
             lens(symbol) = value; symbol += 1; r += 1
           }
         }
@@ -533,7 +545,7 @@ object WebpDecode {
         val t = br.bits(2)
         require(!seen(t), s"vp8l: transform $t appears twice")
         seen(t) = true
-        statsTl.get.transforms += t
+        stat(_.transforms += t)
         t match {
           case PredictorT | ColorT =>
             val bits = br.bits(3) + 2
@@ -581,7 +593,7 @@ object WebpDecode {
     val numGroups =
       if (metaImg == null) 1
       else metaImg.foldLeft(0)((m, p) => math.max(m, (p >>> 8) & 0xffff)) + 1
-    if (level0) statsTl.get.metaGroups = numGroups
+    if (level0) stat(_.metaGroups = numGroups)
     val groups = Array.fill(numGroups)(readGroup(br, cacheSize))
 
     // ------------------------------------------------------- pixel data
@@ -614,8 +626,8 @@ object WebpDecode {
         val distCode = g.dist.decode(br)
         val dist0 = prefixValue(distCode, br)
         val dist = mapDistance(dist0, xs)
-        if (dist0 > 120) statsTl.get.backrefsLinear += 1
-        else statsTl.get.backrefs2d += 1
+        if (dist0 > 120) stat(_.backrefsLinear += 1)
+        else stat(_.backrefs2d += 1)
         require(dist <= pos && pos + length <= n,
           s"vp8l: back-reference out of window (pos=$pos dist=$dist len=$length)")
         var i = 0
@@ -630,7 +642,7 @@ object WebpDecode {
         require(cache != null, "vp8l: cache symbol without a color cache")
         val idx = s - 256 - 24
         require(idx < cacheSize, s"vp8l: cache index $idx")
-        statsTl.get.cacheHits += 1
+        stat(_.cacheHits += 1)
         out(pos) = cache(idx)
         pos += 1
       }
@@ -793,7 +805,7 @@ object WebpDecode {
           else if (x == 0) img(i - xs) // first column: T
           else {
             val mode = (tr.data((y >> bits) * tr.dataXs + (x >> bits)) >>> 8) & 0xff
-            statsTl.get.predictorModes += mode
+            stat(_.predictorModes += mode)
             val l = img(i - 1)
             val t = img(i - xs)
             val tl = img(i - xs - 1)

@@ -2061,6 +2061,33 @@ class OpsSemanticsSpec extends AnyFunSuite {
     assert(fN(ref, ref, 1) == 1.0 && fN(ref, ref, 3) == 1.0)
   }
 
+  test("chrF gram explode: texts shorter than n emit no phantom grams") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{explode, expr, col}
+    // hazard: sequence(1, 0) descends to [1, 0] — an unguarded explode
+    // fabricates two grams for a text shorter than n (both empty-ish
+    // strings that "match" across sides → F_n = 1.0 vs the oracle's
+    // 0.0). The guarded expression must emit exactly len-n+1 grams,
+    // and none when len < n.
+    val grams = Seq("", "a", "ab", "abc", "ab c")
+      .toDF("t")
+      .select(col("t"), explode(expr(LlmOps.ChrfGramExplodeSql)).as("ng"))
+      .select(col("t"), col("ng.n").as("n"), col("ng.g").as("g"))
+      .collect()
+      .groupBy(r => (r.getString(0), r.getInt(1)))
+      .view.mapValues(_.map(_.getString(2)).sorted.toSeq).toMap
+    assert(!grams.contains(("", 1)) && !grams.contains(("", 3)))
+    assert(grams(("a", 1)) == Seq("a") && !grams.contains(("a", 2)))
+    assert(grams(("ab", 2)) == Seq("ab") && !grams.contains(("ab", 3)))
+    assert(grams(("abc", 3)) == Seq("abc"))
+    assert(grams(("abc", 1)) == Seq("a", "b", "c"))
+    // the explode runs AFTER whitespace stripping in the op, but the
+    // expression itself must still behave on raw spaces
+    assert(grams(("ab c", 4 - 1)) == Seq("ab ", "b c"))
+    // no gram is ever the empty string and no position-0 artifact exists
+    grams.values.flatten.foreach(g => assert(g.nonEmpty))
+  }
+
   test("text_levenshtein_pairs: cross-implementation agreement with a driver-side DP") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)

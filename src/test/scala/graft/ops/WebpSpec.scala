@@ -212,4 +212,46 @@ class WebpSpec extends AnyFunSuite {
     val e3 = intercept[IllegalArgumentException] { WebpDecode.decode(badSig) }
     assert(e3.getMessage.contains("signature"), e3.getMessage)
   }
+
+  test("code-length repeat overrunning the alphabet rejects (no silent clamp)") {
+    // hand-assembled 1x1 VP8L stream: four simple 1-symbol codes, then
+    // a DISTANCE code (alphabet 40) in normal form whose first CL
+    // symbol is 18 with 7 extra bits = 127 → repeat 138 zeros from
+    // symbol 0. libwebp's ReadHuffmanCodeLengths errors on
+    // symbol + repeat > num_symbols; a clamp here would quietly accept
+    // an illegal stream.
+    val bits = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def put(v: Int, n: Int): Unit =
+      (0 until n).foreach(i => bits += ((v >> i) & 1)) // LSB-first
+    put(0x2f, 8); put(0, 14); put(0, 14); put(0, 1); put(0, 3) // header 1x1
+    put(0, 1) // no transforms
+    put(0, 1) // no color cache
+    put(0, 1) // no meta prefix codes
+    // green/red/blue/alpha: simple form, 1 symbol, 1-bit symbol 0
+    (0 until 4).foreach { _ => put(1, 1); put(0, 1); put(0, 1); put(0, 1) }
+    // distance code, normal form
+    put(0, 1) // not simple
+    put(0, 4) // numCl = 4 → ClOrder slots 17, 18, 0, 1
+    put(0, 3) // len(17) = 0
+    put(1, 3) // len(18) = 1
+    put(1, 3) // len(0)  = 1
+    put(0, 3) // len(1)  = 0
+    put(0, 1) // no max_symbol cut
+    // canonical over {0: len 1, 18: len 1}: code 1 → symbol 18
+    put(1, 1)
+    put(127, 7) // repeat = 11 + 127 = 138 ≫ alphabet 40
+    val payload = bits.grouped(8)
+      .map(g => g.zipWithIndex.map { case (b, i) => b << i }.sum.toByte)
+      .toArray
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = (0 until 4).foreach(s => bos.write((v >> (8 * s)) & 0xff))
+    bos.write("RIFF".getBytes("US-ASCII")); le32(4 + 8 + payload.length)
+    bos.write("WEBP".getBytes("US-ASCII"))
+    bos.write("VP8L".getBytes("US-ASCII")); le32(payload.length)
+    bos.write(payload)
+    val e = intercept[IllegalArgumentException] {
+      WebpDecode.decode(bos.toByteArray)
+    }
+    assert(e.getMessage.contains("overruns alphabet"), e.getMessage)
+  }
 }

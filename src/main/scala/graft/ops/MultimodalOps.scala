@@ -681,6 +681,55 @@ object MultimodalOps extends QueryModule {
       out.toByteArray
     }
 
+    /** VP8X STILL muxer (r17): wraps a [[vp8lPayload]] still in the
+      * extended container with ICCP + EXIF + XMP metadata chunks in
+      * the spec's canonical order (VP8X, ICCP, image data, EXIF, XMP)
+      * and the matching feature flags — the crawled-WebP shape
+      * [[WebpDecode.vp8xStill]] walks. EXIF payload is
+      * [[ExifCodec.encode]]'s real TIFF-IFD stream ("Exif\0\0"-
+      * prefixed, the JPEG APP1 convention); ICC is a deterministic
+      * doc-keyed blob (the walk extracts bytes, never interprets
+      * them); XMP is a minimal packet with the doc id.
+      */
+    def encodeWebpVp8x(docId: Long, w: Int, h: Int): Array[Byte] = {
+      val raster = Array.tabulate(w * h) { i =>
+        val v = pixel(docId, i % w, i / w)
+        0xff000000 | (v << 16) | (v << 8) | v
+      }
+      val pl = vp8lPayload(raster, w, h)
+      val exif = ExifCodec.encode(w, h, s"cam${docId % 5}",
+        (docId % 8 + 1).toInt, (100 * (docId % 16 + 1)).toInt,
+        f"2021:06:${docId % 28 + 1}%02d 08:30:00")
+      val icc = Array.tabulate((docId % 64 + 16).toInt)(i =>
+        ((docId * 31 + i * 7) % 256).toByte)
+      val xmp = s"<x:xmpmeta doc='$docId'/>".getBytes("US-ASCII")
+      val body = new ByteArrayOutputStream()
+      def u24(v: Int): Unit =
+        (0 until 3).foreach(s => body.write((v >> (8 * s)) & 0xff))
+      def chunk(cc: String, payload: Array[Byte]): Unit = {
+        body.write(cc.getBytes("US-ASCII"))
+        (0 until 4).foreach(s => body.write((payload.length >> (8 * s)) & 0xff))
+        body.write(payload)
+        if ((payload.length & 1) == 1) body.write(0)
+      }
+      body.write("VP8X".getBytes("US-ASCII"))
+      (0 until 4).foreach(s => body.write((10 >> (8 * s)) & 0xff))
+      body.write(0x20 | 0x08 | 0x04) // ICC | EXIF | XMP
+      body.write(0); body.write(0); body.write(0)
+      u24(w - 1); u24(h - 1)
+      chunk("ICCP", icc)
+      chunk("VP8L", pl)
+      chunk("EXIF", exif)
+      chunk("XMP ", xmp)
+      val b = body.toByteArray
+      val out = new ByteArrayOutputStream()
+      out.write("RIFF".getBytes("US-ASCII"))
+      (0 until 4).foreach(s => out.write(((4 + b.length) >> (8 * s)) & 0xff))
+      out.write("WEBP".getBytes("US-ASCII"))
+      out.write(b)
+      out.toByteArray
+    }
+
     /** MJPEG stream (r16, SURVEY §7.7): N REAL baseline-JPEG frames
       * back-to-back — the classic MJPEG-in-AVI payload without the
       * RIFF wrapper (each chunk is a complete JFIF frame; open formats
@@ -2643,6 +2692,65 @@ object MultimodalOps extends QueryModule {
             val (dw, dh) = WebpDecode.dims(webp)
             require(dw == w && dh == h, s"webp header dims ${dw}x$dh")
             WebpMeta(r.doc_id, dw, dh, webp.length)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id") // one row per image doc = input-sized
+  }
+
+  final case class Vp8xMetaRow(doc_id: Long, width: Int, height: Int,
+      make: String, orientation: Int, iso: Int, taken_at: String,
+      icc_bytes: Int, xmp_bytes: Int, mean_gray: Double)
+
+  /** VP8X still-image metadata walk (r17 verdict #5 — the
+    * [[mm_exif_parse]] twin for the container the r16 round shipped:
+    * real crawled WebP carries EXIF/ICC/XMP in VP8X wrappers around
+    * the image payload): mux each image doc's raster into a VP8X still
+    * with ICCP + EXIF + XMP chunks ([[MediaCodec.encodeWebpVp8x]]),
+    * walk it back with [[WebpDecode.vp8xStill]], parse the EXIF
+    * payload with the SAME [[ExifCodec]] the JPEG family uses (the
+    * composition the verdict asked for — one TIFF-IFD parser serving
+    * both formats), and decode the wrapped VP8L still. Every output is
+    * exact: canvas dims and EXIF fields replay closed-form, chunk
+    * byte-lengths pin the mux framing, and the lossless mean pins the
+    * pixel path THROUGH the extended container (a walk that skipped or
+    * misframed the VP8L chunk reds the hash). Same batched
+    * mapPartitions codec slot as every decode row.
+    */
+  q("mm_webp_vp8x_meta",
+    s"""WITH $imDimsSql
+       |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |       'cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
+       |       CAST(doc_id % 8 + 1 AS INTEGER) AS orientation,
+       |       CAST(100 * (doc_id % 16 + 1) AS INTEGER) AS iso,
+       |       '2021:06:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+       |       ' 08:30:00' AS taken_at,
+       |       CAST(doc_id % 64 + 16 AS INTEGER) AS icc_bytes,
+       |       CAST(19 + length(CAST(doc_id AS VARCHAR)) AS INTEGER) AS xmp_bytes,
+       |       list_sum([CAST((31*doc_id + 7*(i%w) + 13*(i//w)) % 256 AS DOUBLE)
+       |                 FOR i IN range(0, w*h)]) / (w*h) AS mean_gray
+       |FROM im ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sess = s
+    import sess.implicits._
+    mediaTable(s, d).filter(col("meta.kind") === "image")
+      .select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap { batch =>
+          batch.map { r =>
+            val w = (16 * (r.doc_id % 4 + 1)).toInt
+            val h = (16 * (r.doc_id % 5 + 1)).toInt
+            val v = WebpDecode.vp8xStill(
+              MediaCodec.encodeWebpVp8x(r.doc_id, w, h))
+            require(v.hasIcc && v.hasExif && v.hasXmp && !v.hasAlpha,
+              "vp8x: flag walk mismatch")
+            val e = ExifCodec.decode(v.exif.get)
+            var sg = 0L
+            v.still.argb.foreach(p => sg += (p >>> 8) & 0xff)
+            Vp8xMetaRow(r.doc_id, v.canvasWidth, v.canvasHeight,
+              e.make, e.orientation, e.iso, e.datetime,
+              v.icc.get.length, v.xmp.get.length,
+              sg.toDouble / (w.toLong * h))
           }
         }
       }

@@ -100,8 +100,11 @@ object WebpDecode {
           return decodeVp8l(java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + size))
         case "VP8 " => throw new IllegalArgumentException(
           "webp: lossy VP8 out of subset (only VP8L lossless decodes)")
-        case "VP8X" => throw new IllegalArgumentException(
-          "webp: extended (VP8X) container out of subset")
+        case "VP8X" =>
+          // extended still container (EXIF/ICC/XMP around a VP8L
+          // payload): the metadata walk owns it; animated containers
+          // reject there with a pointer to decodeAnim
+          return vp8xStill(bytes).still
         case _ => // unknown chunk: skip (padded to even size)
       }
       pos += 8 + size + (size & 1)
@@ -129,8 +132,16 @@ object WebpDecode {
         require(br.bits(8) == 0x2f, "vp8l: bad signature byte")
         return (br.bits(14) + 1, br.bits(14) + 1)
       }
-      require(fourCC != "VP8 " && fourCC != "VP8X",
-        s"webp: $fourCC out of subset")
+      if (fourCC == "VP8X") {
+        // canvas dims sit in the VP8X header itself — still zero
+        // entropy decode, ~10 payload bytes touched
+        require(size == 10 && pos + 18 <= bytes.length,
+          "webp: VP8X chunk must be 10 bytes")
+        def u24(i: Int): Int = (bytes(i) & 0xff) |
+          ((bytes(i + 1) & 0xff) << 8) | ((bytes(i + 2) & 0xff) << 16)
+        return (u24(pos + 12) + 1, u24(pos + 15) + 1)
+      }
+      require(fourCC != "VP8 ", s"webp: $fourCC out of subset")
       pos += 8 + size + (size & 1)
     }
     throw new IllegalArgumentException("webp: no VP8L chunk")
@@ -149,6 +160,81 @@ object WebpDecode {
       i += 1
     }
     out
+  }
+
+  // ------------------------------------------------ VP8X still container
+
+  /** Parsed VP8X still container: canvas dims, feature flags, the raw
+    * metadata chunk payloads, and the decoded VP8L pixels.
+    */
+  final case class Vp8xStill(canvasWidth: Int, canvasHeight: Int,
+      hasIcc: Boolean, hasAlpha: Boolean, hasExif: Boolean,
+      hasXmp: Boolean, icc: Option[Array[Byte]], exif: Option[Array[Byte]],
+      xmp: Option[Array[Byte]], still: Decoded)
+
+  /** VP8X STILL-image container walk (r17 — the metadata-sidecar
+    * ingest shape for crawled WebP: real crawls wrap VP8L payloads in
+    * VP8X purely to carry EXIF/ICC/XMP; WebP container spec, "Extended
+    * file format"). Walks VP8X flags + canvas, collects ICCP/EXIF/XMP
+    * chunk payloads verbatim (EXIF parsing composes [[ExifCodec]]
+    * downstream — this walk never interprets them), decodes the VP8L
+    * still, and enforces the spec's flag↔chunk consistency (a set
+    * feature bit without its chunk, or vice versa, is a malformed
+    * mux — reject, never a silent drop). Animated VP8X belongs to
+    * [[decodeAnim]]; lossy VP8 / ALPH stay out of subset and reject.
+    */
+  def vp8xStill(bytes: Array[Byte]): Vp8xStill = {
+    require(bytes.length >= 30, "webp: truncated container")
+    def tag(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+    def u24(i: Int): Int = (bytes(i) & 0xff) |
+      ((bytes(i + 1) & 0xff) << 8) | ((bytes(i + 2) & 0xff) << 16)
+    def u32le(i: Int): Long =
+      (u24(i) & 0xffffffL) | ((bytes(i + 3) & 0xffL) << 24)
+    require(tag(0) == "RIFF" && tag(8) == "WEBP", "webp: not a WEBP RIFF")
+    require(tag(12) == "VP8X", "webp: VP8X chunk required first")
+    require(u32le(16) == 10, "webp: VP8X chunk must be 10 bytes")
+    val flags = bytes(20) & 0xff
+    require((flags & 0x02) == 0,
+      "webp: animated VP8X container — use decodeAnim")
+    val cw = u24(24) + 1
+    val ch = u24(27) + 1
+    var pos = 30
+    var icc: Option[Array[Byte]] = None
+    var exif: Option[Array[Byte]] = None
+    var xmp: Option[Array[Byte]] = None
+    var still: Option[Decoded] = None
+    while (pos + 8 <= bytes.length) {
+      val fourCC = tag(pos)
+      val size = u32le(pos + 4).toInt
+      require(size >= 0 && pos + 8 + size <= bytes.length,
+        s"webp: chunk $fourCC overruns the container")
+      def body: Array[Byte] =
+        java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + size)
+      fourCC match {
+        case "ICCP" => icc = Some(body)
+        case "EXIF" => exif = Some(body)
+        case "XMP " => xmp = Some(body)
+        case "VP8L" => still = Some(decodeVp8l(body))
+        case "VP8 " => throw new IllegalArgumentException(
+          "webp: lossy VP8 out of subset (only VP8L lossless decodes)")
+        case "ALPH" => throw new IllegalArgumentException(
+          "webp: ALPH accompanies lossy VP8 only — out of subset")
+        case _ => // unknown chunk: skip (padded to even size)
+      }
+      pos += 8 + size + (size & 1)
+    }
+    require(((flags & 0x20) != 0) == icc.isDefined,
+      "webp: VP8X ICC flag/chunk mismatch")
+    require(((flags & 0x08) != 0) == exif.isDefined,
+      "webp: VP8X EXIF flag/chunk mismatch")
+    require(((flags & 0x04) != 0) == xmp.isDefined,
+      "webp: VP8X XMP flag/chunk mismatch")
+    val d = still.getOrElse(throw new IllegalArgumentException(
+      "webp: VP8X still container carries no VP8L payload"))
+    require(d.width == cw && d.height == ch,
+      s"webp: VP8X canvas ${cw}x$ch != still ${d.width}x${d.height}")
+    Vp8xStill(cw, ch, icc.isDefined, (flags & 0x10) != 0, exif.isDefined,
+      xmp.isDefined, icc, exif, xmp, d)
   }
 
   // ------------------------------------------------------- animated WebP

@@ -203,6 +203,14 @@ object StressProbe {
       graft.Sessions.releaseCheckpoints(spark)
       println(f"[dup] $qn%-18s end-to-end wall=${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$rows")
     }
+    // the keep-list law (r17): output must be EXACTLY corpus-sized at
+    // any planted copy count — the linear companion to the pair rows'
+    // Θ(copies²)-by-contract output
+    val t0 = System.nanoTime()
+    val keepRows = graft.SparkEntry.queries("dedup_semdedup_keep")(spark, dir).count()
+    graft.Sessions.releaseCheckpoints(spark)
+    println(f"[dup] dedup_semdedup_keep end-to-end wall=${(System.nanoTime() - t0) / 1e9}%8.2f s " +
+      f"rows=$keepRows (corpus n=$n, linear ⇔ rows==n: ${keepRows == n})")
   }
 
   /** Candidate-volume curves for the banded-minhash and auto-plane LSH

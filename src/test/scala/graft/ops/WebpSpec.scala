@@ -213,6 +213,61 @@ class WebpSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("signature"), e3.getMessage)
   }
 
+  test("VP8X still walk: metadata chunks round-trip; flag mismatches reject") {
+    val (w, h) = (32, 16)
+    val bytes = MultimodalOps.MediaCodec.encodeWebpVp8x(7L, w, h)
+    val v = WebpDecode.vp8xStill(bytes)
+    assert(v.canvasWidth == w && v.canvasHeight == h)
+    assert(v.hasIcc && v.hasExif && v.hasXmp && !v.hasAlpha)
+    // EXIF payload parses with the same TIFF-IFD codec the JPEG family uses
+    val e = ExifCodec.decode(v.exif.get)
+    assert(e.make == "cam2" && e.orientation == 8 && e.iso == 800)
+    assert(e.width == w && e.height == h)
+    assert(v.icc.get.length == (7 % 64 + 16) && v.xmp.get.length == 20)
+    // the wrapped VP8L still decodes pixel-exact through the container
+    for (y <- 0 until h; x <- 0 until w) {
+      val exp = MultimodalOps.MediaCodec.pixel(7L, x, y)
+      val got = (v.still.argb(y * w + x) >>> 8) & 0xff
+      assert(got == exp, s"pixel ($x,$y)")
+    }
+    // decode() routes VP8X stills to the same pixels
+    val viaDecode = WebpDecode.decode(bytes)
+    assert(viaDecode.argb.sameElements(v.still.argb))
+    // dims() reads the canvas straight off the VP8X header
+    assert(WebpDecode.dims(bytes) == ((w, h)))
+    // animated flag routes away from the still walk
+    val anim = bytes.clone()
+    anim(20) = (anim(20) | 0x02).toByte
+    val ea = intercept[IllegalArgumentException] { WebpDecode.vp8xStill(anim) }
+    assert(ea.getMessage.contains("decodeAnim"), ea.getMessage)
+    // EXIF flag set but chunk renamed away → flag/chunk mismatch rejects
+    val noExif = bytes.clone()
+    val exifAt = {
+      var i = 30
+      def tag(p: Int) = new String(noExif, p, 4, "US-ASCII")
+      def sz(p: Int) = (noExif(p + 4) & 0xff) | ((noExif(p + 5) & 0xff) << 8) |
+        ((noExif(p + 6) & 0xff) << 16) | ((noExif(p + 7) & 0xff) << 24)
+      while (tag(i) != "EXIF") i += 8 + sz(i) + (sz(i) & 1)
+      i
+    }
+    noExif(exifAt) = 'J'.toByte // "EXIF" -> "JXIF": unknown chunk, skipped
+    val em = intercept[IllegalArgumentException] { WebpDecode.vp8xStill(noExif) }
+    assert(em.getMessage.contains("EXIF flag/chunk mismatch"), em.getMessage)
+    // lossy VP8 payload inside VP8X stays out of subset
+    val lossy = bytes.clone()
+    val vp8lAt = {
+      var i = 30
+      def tag(p: Int) = new String(lossy, p, 4, "US-ASCII")
+      def sz(p: Int) = (lossy(p + 4) & 0xff) | ((lossy(p + 5) & 0xff) << 8) |
+        ((lossy(p + 6) & 0xff) << 16) | ((lossy(p + 7) & 0xff) << 24)
+      while (tag(i) != "VP8L") i += 8 + sz(i) + (sz(i) & 1)
+      i
+    }
+    lossy(vp8lAt + 3) = ' '.toByte // "VP8L" -> "VP8 "
+    val el = intercept[IllegalArgumentException] { WebpDecode.vp8xStill(lossy) }
+    assert(el.getMessage.contains("lossy"), el.getMessage)
+  }
+
   test("code-length repeat overrunning the alphabet rejects (no silent clamp)") {
     // hand-assembled 1x1 VP8L stream: four simple 1-symbol codes, then
     // a DISTANCE code (alphabet 40) in normal form whose first CL

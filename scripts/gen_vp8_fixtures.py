@@ -1,0 +1,270 @@
+#!/usr/bin/env python3
+"""Generate LOSSY VP8 (still WebP) test fixtures with the SYSTEM
+libwebp via ctypes — the gen_webp_fixtures.py device for the lossy
+half: libwebp is a real, canonical second implementation of RFC 6386.
+For each (content family × size × quality) we write:
+
+  src/test/resources/vp8/<name>.webp  libwebp's lossy VP8 encoding
+  src/test/resources/vp8/<name>.yuv   libwebp's OWN decode of that
+                                      stream: Y plane (w*h) then U then
+                                      V (((w+1)//2)*((h+1)//2) each),
+                                      tightly packed
+
+VP8 decode is bit-exact by spec (RFC 6386 fully determines the
+reconstruction incl. the loop filter), so our Scala decoder must match
+these YUV planes PER SAMPLE — no tolerance band. Comparing in YUV
+space (WebPDecodeYUV) deliberately stops before libwebp's fancy
+upsampler/RGB conversion, which is implementation-defined and NOT part
+of the RFC contract.
+
+Quality range matters: q5 drives high quantizer indices (exercising
+the strong loop filter and the quantizer table tails), q95 drives
+dense coefficients (all token categories); default config enables
+segments and the normal filter.
+"""
+import ctypes
+import ctypes.util
+import math
+import os
+
+lib = ctypes.CDLL(ctypes.util.find_library("webp") or "libwebp.so.7")
+lib.WebPEncodeRGBA.restype = ctypes.c_size_t
+lib.WebPEncodeRGBA.argtypes = [
+    ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ctypes.c_float, ctypes.POINTER(ctypes.c_void_p)]
+lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_ubyte)
+lib.WebPDecodeYUV.argtypes = [
+    ctypes.c_char_p, ctypes.c_size_t,
+    ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+    ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+    ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+
+OUT = os.path.join(os.path.dirname(__file__), "..",
+                   "src", "test", "resources", "vp8")
+
+
+def encode_lossy(rgba: bytes, w: int, h: int, q: float) -> bytes:
+    out = ctypes.c_void_p()
+    n = lib.WebPEncodeRGBA(rgba, w, h, w * 4, q, ctypes.byref(out))
+    assert n > 0, "libwebp lossy encode failed"
+    return ctypes.string_at(out, n)
+
+
+def decode_yuv(data: bytes):
+    ww, hh = ctypes.c_int(), ctypes.c_int()
+    up = ctypes.POINTER(ctypes.c_ubyte)()
+    vp = ctypes.POINTER(ctypes.c_ubyte)()
+    stride, uv_stride = ctypes.c_int(), ctypes.c_int()
+    yp = lib.WebPDecodeYUV(data, len(data), ctypes.byref(ww), ctypes.byref(hh),
+                           ctypes.byref(up), ctypes.byref(vp),
+                           ctypes.byref(stride), ctypes.byref(uv_stride))
+    assert yp, "libwebp YUV decode failed"
+    w, h = ww.value, hh.value
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    y = bytearray()
+    for r in range(h):
+        y += ctypes.string_at(ctypes.addressof(yp.contents) + r * stride.value, w)
+    u = bytearray()
+    v = bytearray()
+    for r in range(ch):
+        u += ctypes.string_at(ctypes.addressof(up.contents) + r * uv_stride.value, cw)
+        v += ctypes.string_at(ctypes.addressof(vp.contents) + r * uv_stride.value, cw)
+    return bytes(y), bytes(u), bytes(v), w, h
+
+
+# ---- deterministic content families (RGBA) --------------------------------
+
+def px_flat(x, y):
+    return (90, 140, 190, 255)
+
+
+def px_gradient(x, y):
+    return (x * 3 % 256, y * 5 % 256, (x + y) * 2 % 256, 255)
+
+
+def px_sine(x, y):
+    r = int(127 + 120 * math.sin(x * 0.21) * math.cos(y * 0.17))
+    g = int(127 + 120 * math.sin((x + y) * 0.11))
+    b = int(127 + 120 * math.cos(x * 0.07 - y * 0.13))
+    return (r, g, b, 255)
+
+
+def px_checker(x, y):
+    on = ((x // 4) + (y // 4)) % 2 == 0
+    return (250, 250, 250, 255) if on else (5, 5, 5, 255)
+
+
+_seed = [42]
+
+
+def px_rand(x, y):
+    _seed[0] = (1103515245 * _seed[0] + 12345) % (1 << 31)
+    r = _seed[0] >> 16
+    return (r % 256, (r // 256) % 256, (r // 65536) % 256, 255)
+
+
+def px_blocks(x, y):
+    i = (x // 8 + 3 * (y // 8)) % 5
+    pal = [(200, 30, 30), (30, 200, 30), (30, 30, 200), (200, 200, 30), (20, 20, 20)]
+    return pal[i] + (255,)
+
+
+def raster(f, w, h):
+    _seed[0] = 42
+    b = bytearray()
+    for y in range(h):
+        for x in range(w):
+            b += bytes(f(x, y))
+    return bytes(b)
+
+
+FAMILIES = {
+    "flat": px_flat, "grad": px_gradient, "sine": px_sine,
+    "check": px_checker, "rand": px_rand, "blocks": px_blocks,
+}
+SIZES = [(16, 16), (32, 32), (17, 9), (37, 21), (48, 80), (128, 96)]
+QUALITIES = [5, 25, 50, 75, 95]
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    count = 0
+    for fam, f in FAMILIES.items():
+        for (w, h) in SIZES:
+            # full quality sweep on two canonical sizes, spot qualities
+            # elsewhere (fixture-count economy; every family still sees
+            # low/mid/high q somewhere)
+            qs = QUALITIES if (w, h) in [(32, 32), (37, 21)] else [25, 75]
+            for q in qs:
+                rgba = raster(f, w, h)
+                webp = encode_lossy(rgba, w, h, q)
+                assert webp[12:16] == b"VP8 ", f"{fam}: expected lossy VP8 chunk"
+                y, u, v, dw, dh = decode_yuv(webp)
+                assert (dw, dh) == (w, h)
+                name = f"{fam}_{w}x{h}_q{q}"
+                with open(os.path.join(OUT, name + ".webp"), "wb") as fh:
+                    fh.write(webp)
+                with open(os.path.join(OUT, name + ".yuv"), "wb") as fh:
+                    fh.write(y + u + v)
+                count += 1
+    print(f"[ok] wrote {count} lossy VP8 fixtures to {os.path.normpath(OUT)}")
+
+
+if __name__ == "__main__":
+    main()
+
+
+# ---- hand-assembled skip-flag stream (libwebp-arbitrated) -----------------
+# libwebp's encoder never enables mb_no_coeff_skip on these corpora, so
+# the per-MB skip decode path needs a hand-built stream: one 16x16 MB,
+# skip=1, DC modes, loop filter level 0. The RFC §7 bool ENCODER below
+# writes it; libwebp's decoder validates and decodes it — the truth
+# sidecar comes from libwebp exactly like every other fixture.
+
+class BoolEnc:
+    def __init__(self):
+        self.range = 255
+        self.bottom = 0
+        self.bitcount = 24
+        self.out = bytearray()
+
+    def _carry(self):
+        i = len(self.out) - 1
+        while self.out[i] == 255:
+            self.out[i] = 0
+            i -= 1
+        self.out[i] += 1
+
+    def put(self, prob, bit):
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        if bit:
+            self.bottom += split
+            self.range -= split
+        else:
+            self.range = split
+        while self.range < 128:
+            self.range <<= 1
+            if self.bottom & (1 << 31):
+                self._carry()
+            self.bottom = (self.bottom << 1) & 0xffffffff
+            self.bitcount -= 1
+            if self.bitcount == 0:
+                self.out.append((self.bottom >> 24) & 0xff)
+                self.bottom &= 0xffffff
+                self.bitcount = 8
+
+    def lit(self, n, v):
+        for i in range(n - 1, -1, -1):
+            self.put(128, (v >> i) & 1)
+
+    def flush(self):
+        for _ in range(32):
+            if self.bottom & (1 << 31):
+                self._carry()
+            self.bottom = (self.bottom << 1) & 0xffffffff
+            self.bitcount -= 1
+            if self.bitcount == 0:
+                self.out.append((self.bottom >> 24) & 0xff)
+                self.bottom &= 0xffffff
+                self.bitcount = 8
+        return bytes(self.out)
+
+
+def coeff_update_probs():
+    """CoeffsUpdateProba straight from the shared object — the same
+    two-copy-block location derive_vp8_tables.py pins."""
+    import ctypes.util
+    so = ctypes.util.find_library("webp") or "/usr/lib/x86_64-linux-gnu/libwebp.so.7"
+    if not os.path.exists(so):
+        so = "/usr/lib/x86_64-linux-gnu/libwebp.so.7.1.5"
+    data = open(so, "rb").read()
+    anchor = bytes([253, 136, 254, 255, 228, 219, 128, 128, 128, 128, 128])
+    p0 = data.find(anchor) - 33
+    start = p0 - 28 - 900 - 1056
+    return data[start:start + 1056]
+
+
+def gen_skip_fixture():
+    upd = coeff_update_probs()
+    e = BoolEnc()
+    e.put(128, 0)          # color space
+    e.put(128, 0)          # clamping
+    e.put(128, 0)          # segmentation off
+    e.put(128, 0)          # filter type bit
+    e.lit(6, 0)            # filter level 0
+    e.lit(3, 0)            # sharpness
+    e.put(128, 0)          # lf adjustments off
+    e.lit(2, 0)            # 1 token partition
+    e.lit(7, 20)           # y_ac_qi
+    for _ in range(5):
+        e.put(128, 0)      # no quant deltas
+    e.put(128, 0)          # refresh entropy
+    for i in range(1056):
+        e.put(upd[i], 0)   # no token prob updates
+    e.put(128, 1)          # mb_no_coeff_skip ENABLED
+    e.lit(8, 200)          # skip prob
+    # one MB: skip=1, ymode=DC, uvmode=DC
+    e.put(200, 1)          # skip
+    e.put(145, 1)          # ymode: not B_PRED
+    e.put(156, 0)
+    e.put(163, 0)          # -> DC
+    e.put(142, 0)          # uv -> DC
+    part1 = e.flush()
+    tag = (0 | (0 << 1) | (1 << 4) | (len(part1) << 5))
+    frame = bytes([tag & 0xff, (tag >> 8) & 0xff, (tag >> 16) & 0xff,
+                   0x9d, 0x01, 0x2a, 16, 0, 16, 0]) + part1 + b"\x00\x00"
+    webp = b"RIFF" + (4 + 8 + len(frame) + (len(frame) & 1)).to_bytes(4, "little") + \
+        b"WEBP" + b"VP8 " + len(frame).to_bytes(4, "little") + frame
+    if len(frame) & 1:
+        webp += b"\x00"
+    y, u, v, w, h = decode_yuv(webp)   # libwebp arbitrates the stream
+    assert (w, h) == (16, 16)
+    open(os.path.join(OUT, "skip_16x16_q50.webp"), "wb").write(webp)
+    open(os.path.join(OUT, "skip_16x16_q50.yuv"), "wb").write(y + u + v)
+    print(f"[ok] skip_16x16_q50 ({len(webp)} bytes), libwebp-validated; "
+          f"Y[0]={y[0]} U[0]={u[0]}")
+
+
+if __name__ == "__main__" and "--skip-only" in __import__("sys").argv:
+    gen_skip_fixture()

@@ -2758,6 +2758,133 @@ object MultimodalOps extends QueryModule {
       .orderBy("doc_id") // one row per image doc = input-sized
   }
 
+  /** Embedded lossy-VP8 fixture pack for [[mm_webp_lossy_decode]]:
+    * 16 system-libwebp-encoded streams (4 closed-form content families
+    * × 2 sizes × 2 qualities) plus libwebp's own YUV decode of each as
+    * the truth sidecar — generated and validated by
+    * scripts/gen_vp8_fixtures.py. The closed-form pixel functions here
+    * MUST match that script's; the row re-derives each fixture's
+    * pre-encode luma mean from them, so a stale or tampered sidecar
+    * cannot hide behind self-consistency.
+    */
+  private object Vp8Fixtures {
+    val Fams = Array("grad", "flat", "check", "blocks")
+    val Sizes = Array((32, 32), (37, 21))
+    val Qs = Array(25, 75)
+    def variant(v: Int): (String, Int, Int) = {
+      val f = Fams(v % 4)
+      val (w, h) = Sizes((v / 4) % 2)
+      (s"${f}_${w}x${h}_q${Qs(v / 8)}", w, h)
+    }
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+    def bytes(n: String): Array[Byte] = cache.computeIfAbsent(n, { k =>
+      val in = getClass.getResourceAsStream(s"/vp8/$k")
+      require(in != null, s"missing embedded vp8 fixture $k")
+      try in.readAllBytes() finally in.close()
+    })
+    def rgb(fam: String, x: Int, y: Int): (Int, Int, Int) = fam match {
+      case "grad" => (x * 3 % 256, y * 5 % 256, (x + y) * 2 % 256)
+      case "flat" => (90, 140, 190)
+      case "check" =>
+        if (((x / 4) + (y / 4)) % 2 == 0) (250, 250, 250) else (5, 5, 5)
+      case _ =>
+        val pal = Array((200, 30, 30), (30, 200, 30), (30, 30, 200),
+          (200, 200, 30), (20, 20, 20))
+        pal((x / 8 + 3 * (y / 8)) % 5)
+    }
+    /** libwebp's fixed-point BT.601 limited-range RGB→Y — integer on
+      * both engines, so the closed-form mean is exact.
+      */
+    def luma(r: Int, g: Int, b: Int): Int =
+      ((16839 * r + 33059 * g + 6420 * b + 16384) >> 16) + 16
+  }
+
+  final case class Vp8LossyRow(doc_id: Long, fixture: Int, width: Int,
+      height: Int, n_samples: Int, diff_vs_libwebp: Int,
+      y_mean_err_le_1: Boolean)
+
+  /** LOSSY VP8 (still WebP) decode (r17 verdict #1 — the MAJORITY of
+    * crawled WebP; [[Vp8Decode]] is the from-scratch RFC 6386 keyframe
+    * decoder: bool decoder, header/segmentation/filter parse, B_PRED
+    * modes, token tree, IDCT/WHT, all intra predictors, normal+simple
+    * loop filters, tables derived from libwebp's binary by
+    * scripts/derive_vp8_tables.py). Evidence chain: (1) Vp8Spec pins
+    * PER-SAMPLE YUV equality against libwebp's own decode on 112
+    * fixtures (VP8 decode is bit-exact by spec — no tolerance band);
+    * (2) this row decodes an embedded 16-stream libwebp-encoded pack
+    * per image doc and hashes `diff_vs_libwebp` = the EXACT count of
+    * samples differing from libwebp's committed decode (0), plus
+    * (3) the pre-encode closed-form luma-mean band (±1.0; measured
+    * worst case 0.69 — ties the decode to the ORIGINAL raster, so a
+    * stale sidecar can't self-confirm). Dims and sample counts replay
+    * closed-form in SQL. Lossy ⇒ means aren't SQL-replayable; the
+    * exactness teeth live in the zero diff count, the same standard as
+    * [[mm_jpeg_decode]]'s ±1-vs-ImageIO but strictly tighter (0).
+    * Same batched mapPartitions codec slot.
+    */
+  q("mm_webp_lossy_decode",
+    """WITH v AS (SELECT doc_id, CAST(doc_id % 16 AS INTEGER) AS fixture,
+      |  CAST(CASE WHEN (doc_id % 16) // 4 % 2 = 0 THEN 32 ELSE 37 END AS INTEGER) AS w,
+      |  CAST(CASE WHEN (doc_id % 16) // 4 % 2 = 0 THEN 32 ELSE 21 END AS INTEGER) AS h
+      |  FROM documents WHERE doc_id % 3 = 0)
+      |SELECT doc_id, fixture, w AS width, h AS height,
+      |  CAST(w * h + 2 * ((w + 1) // 2) * ((h + 1) // 2) AS INTEGER) AS n_samples,
+      |  CAST(0 AS INTEGER) AS diff_vs_libwebp,
+      |  true AS y_mean_err_le_1
+      |FROM v ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sess = s
+    import sess.implicits._
+    mediaTable(s, d).filter(col("meta.kind") === "image")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.grouped(64).flatMap { batch =>
+          batch.map { id =>
+            val v = (id % 16).toInt
+            val (name, w, h) = Vp8Fixtures.variant(v)
+            val d8 = Vp8Decode.decode(Vp8Fixtures.bytes(s"$name.webp"))
+            require(d8.width == w && d8.height == h, s"vp8 dims $name")
+            val truth = Vp8Fixtures.bytes(s"$name.yuv")
+            val cw = (w + 1) / 2; val ch = (h + 1) / 2
+            require(truth.length == w * h + 2 * cw * ch, s"vp8 truth $name")
+            var diffs = 0
+            var i = 0
+            while (i < w * h) {
+              if (d8.y(i) != truth(i)) diffs += 1
+              i += 1
+            }
+            i = 0
+            while (i < cw * ch) {
+              if (d8.u(i) != truth(w * h + i)) diffs += 1
+              if (d8.v(i) != truth(w * h + cw * ch + i)) diffs += 1
+              i += 1
+            }
+            var ySum = 0L
+            i = 0
+            while (i < w * h) { ySum += d8.y(i) & 0xff; i += 1 }
+            val fam = Vp8Fixtures.Fams(v % 4)
+            var cSum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val (r, g, b) = Vp8Fixtures.rgb(fam, x, y)
+                cSum += Vp8Fixtures.luma(r, g, b)
+                x += 1
+              }
+              y += 1
+            }
+            val meanErr = math.abs(
+              ySum.toDouble / (w * h) - cSum.toDouble / (w * h))
+            Vp8LossyRow(id, v, w, h, w * h + 2 * cw * ch, diffs,
+              meanErr <= 1.0)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id") // one row per image doc = input-sized
+  }
+
   final case class WebpAnimRow(doc_id: Long, frame: Int, width: Int,
       height: Int, mean_px: Double)
 

@@ -1,0 +1,1217 @@
+package graft.ops
+
+/** LOSSY VP8 intra-frame decoder, from scratch (SPEC: RFC 6386 "VP8
+  * Data Format and Decoding Guide"; container: RIFF per the WebP
+  * container spec). Closes the r16 verdict's #1 ask: the MAJORITY of
+  * real-world crawled WebP is lossy VP8, and a still WebP is exactly
+  * ONE VP8 intra (key) frame — fully self-contained, no inter-frame
+  * state, so the §7.5 "no internal anchor" ground that rules out
+  * H.264/VP9 does not apply here.
+  *
+  * Scope — the complete keyframe decode path:
+  *  - boolean arithmetic decoder (§7) over the two-level partition
+  *    layout (first partition + 1/2/4/8 DCT token partitions, §9.5);
+  *  - keyframe header: segmentation (quant/filter per segment, map
+  *    probs), loop-filter config + per-mode/ref deltas, quantizer
+  *    indices with the five plane deltas, token probability updates
+  *    (§9.1–§9.11);
+  *  - per-MB modes: segment id, skip flag, 16x16 Y modes, full
+  *    B_PRED 4x4 submodes with above/left context, chroma modes
+  *    (§11.2–§11.5);
+  *  - residuals: token tree with band/context probabilities, the
+  *    six extra-bit categories, the after-zero EOB-skip rule, zigzag,
+  *    per-plane dequantization (§13–§14.1);
+  *  - inverse transforms: 4x4 IDCT with the 20091/35468 fixed-point
+  *    constants, inverse WHT for the Y2 block (§14.3–§14.4);
+  *  - intra prediction: DC/V/H/TM on 16x16 and 8x8 chroma with the
+  *    127/129 border conventions, all ten 4x4 B modes incl. the
+  *    above-right rules (§12);
+  *  - the full NORMAL and SIMPLE in-loop deblocking filters with
+  *    sharpness-adjusted limits, high-edge-variance selection and the
+  *    27/18/9 wide MB-edge filter (§15).
+  *
+  * All data tables ([[Vp8Tables]]) are derived behaviorally from the
+  * system libwebp by scripts/derive_vp8_tables.py rather than recalled
+  * — the derive_webp_distmap.py device. Verification: VP8 DECODE is
+  * bit-exact by spec (the RFC fully determines reconstruction incl.
+  * the loop filter), so Vp8Spec pins PER-SAMPLE equality of the
+  * Y/U/V planes against libwebp's own WebPDecodeYUV on 54
+  * libwebp-encoded fixtures across 6 content families × 6 sizes
+  * (incl. non-MB-multiple crops) × qualities 5..95 (q5 exercises the
+  * quantizer tails + strong filter, q95 dense coefficients).
+  * Comparing in YUV space deliberately stops BEFORE libwebp's fancy
+  * upsampler/RGB conversion, which is implementation-defined and not
+  * part of the RFC contract.
+  *
+  * Cost: O(pixels) decode, O(tables) state — the same batched
+  * mapPartitions codec slot as every decoder in the family.
+  */
+object Vp8Decode {
+
+  /** Decoded keyframe: cropped 4:2:0 planes (chroma ceil(w/2) × ceil(h/2)). */
+  final case class Yuv(width: Int, height: Int,
+      y: Array[Byte], u: Array[Byte], v: Array[Byte])
+
+  /** Feature-coverage counters for one decode (the VP8L Stats device —
+    * Vp8Spec asserts the fixture corpus leaves no decoder path
+    * untested): which 16x16/B/chroma modes, token categories, segment
+    * features and filter paths the stream exercised.
+    */
+  final case class Stats(yModes: Set[Int], bModes: Set[Int],
+      uvModes: Set[Int], tokenCats: Set[Int], segments: Set[Int],
+      numPartitions: Int, filterType: Int, filterLevels: Set[Int],
+      skippedMbs: Int, probUpdates: Int)
+
+  // ------------------------------------------------------------ container
+
+  /** Walks the RIFF container to the VP8 chunk (bare or VP8X-wrapped)
+    * and decodes the keyframe.
+    */
+  def decode(bytes: Array[Byte]): Yuv = decodeWithStats(bytes)._1
+
+  /** `applyFilter = false` skips the in-loop deblocking — the same
+    * public option libwebp calls `bypass_filtering` (legitimate for
+    * display-only decode of a still; reconstruction before the filter
+    * is equally spec-determined, which Vp8Spec exploits to pin the
+    * prediction/transform stages independently of §15).
+    */
+  def decodeWithStats(bytes: Array[Byte],
+      applyFilter: Boolean = true): (Yuv, Stats) = {
+    require(bytes.length >= 20, "webp: truncated container")
+    def tag(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+    require(tag(0) == "RIFF" && tag(8) == "WEBP", "webp: not a WEBP RIFF")
+    var pos = 12
+    while (pos + 8 <= bytes.length) {
+      val fourCC = tag(pos)
+      val size = ((bytes(pos + 4) & 0xff) | ((bytes(pos + 5) & 0xff) << 8) |
+        ((bytes(pos + 6) & 0xff) << 16) | ((bytes(pos + 7) & 0xffL) << 24)).toInt
+      require(size >= 0 && pos + 8 + size <= bytes.length,
+        s"webp: chunk $fourCC overruns the container")
+      fourCC match {
+        case "VP8 " => return decodeFrame(bytes, pos + 8, size, applyFilter)
+        case "VP8L" => throw new IllegalArgumentException(
+          "vp8: lossless VP8L stream — use WebpDecode")
+        case "VP8X" | "ICCP" | "EXIF" | "XMP " => // metadata walk is WebpDecode's
+        case "ALPH" => throw new IllegalArgumentException(
+          "vp8: ALPH alpha plane out of subset")
+        case _ => // unknown chunk: skip
+      }
+      pos += 8 + size + (size & 1)
+    }
+    throw new IllegalArgumentException("webp: no VP8 chunk")
+  }
+
+  // ------------------------------------------------- boolean decoder (§7)
+
+  private final class Bool(buf: Array[Byte], start: Int, end: Int) {
+    private var range = 255
+    private var pos = start
+    private var bitCount = 0
+    private def nextByte(): Int =
+      if (pos < end) { val b = buf(pos) & 0xff; pos += 1; b } else 0
+    private var value = (nextByte() << 8) | nextByte()
+
+    def bit(prob: Int): Int = {
+      val split = 1 + (((range - 1) * prob) >> 8)
+      val bigSplit = split << 8
+      val ret =
+        if (value >= bigSplit) { range -= split; value -= bigSplit; 1 }
+        else { range = split; 0 }
+      while (range < 128) {
+        value <<= 1
+        range <<= 1
+        bitCount += 1
+        if (bitCount == 8) { bitCount = 0; value |= nextByte() }
+      }
+      ret
+    }
+    /** n-bit unsigned literal, MSB first (§7.3 L(n)). */
+    def lit(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(128); i += 1 }
+      v
+    }
+    /** magnitude-then-sign form used throughout the header. */
+    def signedLit(n: Int): Int = {
+      val v = lit(n)
+      if (bit(128) == 1) -v else v
+    }
+    /** flag-gated update: new n-bit signed value, or `orElse`. */
+    def maybeSigned(n: Int, orElse: Int): Int =
+      if (bit(128) == 1) signedLit(n) else orElse
+  }
+
+  // ------------------------------------------------------------- tables
+
+  // token tree probability indices are fixed by the tree shape (§13.2);
+  // the per-node probabilities come from Vp8Tables.coeffsProba0 (+ updates)
+  private val Cat1 = Array(159)
+  private val Cat2 = Array(165, 145)
+  private val Cat3 = Array(173, 148, 140)
+  private val Cat4 = Array(176, 155, 140, 135)
+  private val Cat5 = Array(180, 157, 141, 134, 130)
+  private val Cat6 = Array(254, 254, 243, 230, 196, 177, 153, 140, 133, 130, 129)
+  private val CatBase = Array(5, 7, 11, 19, 35, 67)
+  private val CatProbs = Array(Cat1, Cat2, Cat3, Cat4, Cat5, Cat6)
+
+  // keyframe mode trees' fixed probabilities (§11.3, §11.5) — the only
+  // constants small enough to carry no table-recall risk: ANY error
+  // desynchronizes the bool decoder on the first macroblock and fails
+  // every fixture
+  private val KfYModeProb = Array(145, 156, 163, 128)
+  private val KfUvModeProb = Array(142, 114, 183)
+
+  // 16x16 / chroma modes
+  private val DC = 0; private val V = 1; private val H = 2
+  private val TM = 3; private val BPRED = 4
+  // 4x4 B modes
+  // numbered per the EXTRACTED table's layout (libwebp's enum, which
+  // orders RD/VR before LD — the RFC enum lists LD first; the tree
+  // SHAPE is identical, only the numeric labels differ, and the table
+  // rows/cols follow this numbering)
+  private val BDC = 0; private val BTM = 1; private val BVE = 2
+  private val BHE = 3; private val BRD = 4; private val BVR = 5
+  private val BLD = 6; private val BVL = 7; private val BHD = 8
+  private val BHU = 9
+  // implied submode of a non-B_PRED neighbor MB for B context (§11.5)
+  private val ImpliedB = Array(BDC, BVE, BHE, BTM)
+
+  // ------------------------------------------------------------ decode
+
+  private def clip127(v: Int): Int = if (v < 0) 0 else if (v > 127) 127 else v
+
+  private def decodeFrame(buf: Array[Byte], off: Int, size: Int,
+      applyFilter: Boolean): (Yuv, Stats) = {
+    require(size >= 10, "vp8: truncated frame")
+    val b0 = buf(off) & 0xff
+    require((b0 & 1) == 0, "vp8: still WebP must be a key frame")
+    val version = (b0 >> 1) & 7
+    require(version <= 3, s"vp8: reserved version $version")
+    require(((b0 >> 4) & 1) == 1, "vp8: frame not flagged for display")
+    val firstPartSize = ((b0 | ((buf(off + 1) & 0xff) << 8) |
+      ((buf(off + 2) & 0xff) << 16)) >> 5)
+    require((buf(off + 3) & 0xff) == 0x9d && (buf(off + 4) & 0xff) == 0x01 &&
+      (buf(off + 5) & 0xff) == 0x2a, "vp8: bad keyframe start code")
+    val w16 = (buf(off + 6) & 0xff) | ((buf(off + 7) & 0xff) << 8)
+    val h16 = (buf(off + 8) & 0xff) | ((buf(off + 9) & 0xff) << 8)
+    val width = w16 & 0x3fff
+    val height = h16 & 0x3fff
+    require(width > 0 && height > 0, "vp8: zero dimension")
+    require(10 + firstPartSize <= size, "vp8: first partition overruns frame")
+
+    val mbW = (width + 15) >> 4
+    val mbH = (height + 15) >> 4
+    val bd = new Bool(buf, off + 10, off + 10 + firstPartSize)
+
+    // ---- header (§9)
+    require(bd.bit(128) == 0, "vp8: reserved color space")
+    bd.bit(128) // clamping type: both values decode identically here
+
+    // segmentation (§9.2–§9.3)
+    var segEnabled = false
+    var segUpdateMap = false
+    var segAbsolute = false
+    val segQuant = new Array[Int](4)
+    val segLf = new Array[Int](4)
+    val segTreeProbs = Array(255, 255, 255)
+    if (bd.bit(128) == 1) {
+      segEnabled = true
+      segUpdateMap = bd.bit(128) == 1
+      val updateData = bd.bit(128) == 1
+      if (updateData) {
+        segAbsolute = bd.bit(128) == 1
+        var i = 0
+        while (i < 4) { segQuant(i) = bd.maybeSigned(7, 0); i += 1 }
+        i = 0
+        while (i < 4) { segLf(i) = bd.maybeSigned(6, 0); i += 1 }
+      }
+      if (segUpdateMap) {
+        var i = 0
+        while (i < 3) {
+          segTreeProbs(i) = if (bd.bit(128) == 1) bd.lit(8) else 255
+          i += 1
+        }
+      }
+    }
+
+    // loop filter config (§9.4)
+    val headerFilterSimple = bd.bit(128) == 1
+    val filterLevelBase = bd.lit(6)
+    val sharpness = bd.lit(3)
+    // version overrides (§9.4): v1/2 force the simple filter, v3 none
+    val filterKind =
+      if (version >= 3) 2
+      else if (version >= 1) 1
+      else if (headerFilterSimple) 1 else 0 // 0 normal, 1 simple, 2 none
+    var lfDeltaEnabled = false
+    val refLfDelta = new Array[Int](4)
+    val modeLfDelta = new Array[Int](4)
+    if (bd.bit(128) == 1) {
+      lfDeltaEnabled = true
+      if (bd.bit(128) == 1) {
+        var i = 0
+        while (i < 4) { refLfDelta(i) = bd.maybeSigned(6, refLfDelta(i)); i += 1 }
+        i = 0
+        while (i < 4) { modeLfDelta(i) = bd.maybeSigned(6, modeLfDelta(i)); i += 1 }
+      }
+    }
+
+    // token partitions (§9.5)
+    val numParts = 1 << bd.lit(2)
+    val partStart = off + 10 + firstPartSize
+    val sizesLen = 3 * (numParts - 1)
+    require(partStart + sizesLen <= off + size, "vp8: partition sizes overrun")
+    val parts = new Array[Bool](numParts)
+    var pOff = partStart + sizesLen
+    var pi = 0
+    while (pi < numParts) {
+      val pSize =
+        if (pi < numParts - 1) {
+          val s = partStart + 3 * pi
+          (buf(s) & 0xff) | ((buf(s + 1) & 0xff) << 8) | ((buf(s + 2) & 0xff) << 16)
+        } else off + size - pOff
+      require(pSize >= 0 && pOff + pSize <= off + size,
+        s"vp8: token partition $pi overruns frame")
+      parts(pi) = new Bool(buf, pOff, pOff + pSize)
+      pOff += pSize
+      pi += 1
+    }
+
+    // quantizer indices (§9.6)
+    val yacQi = bd.lit(7)
+    val ydcDelta = bd.maybeSigned(4, 0)
+    val y2dcDelta = bd.maybeSigned(4, 0)
+    val y2acDelta = bd.maybeSigned(4, 0)
+    val uvdcDelta = bd.maybeSigned(4, 0)
+    val uvacDelta = bd.maybeSigned(4, 0)
+
+    // per-segment dequant factors (§14.1)
+    val dqYdc = new Array[Int](4); val dqYac = new Array[Int](4)
+    val dqY2dc = new Array[Int](4); val dqY2ac = new Array[Int](4)
+    val dqUVdc = new Array[Int](4); val dqUVac = new Array[Int](4)
+    var seg = 0
+    while (seg < 4) {
+      val qi = clip127(
+        if (!segEnabled) yacQi
+        else if (segAbsolute) segQuant(seg)
+        else yacQi + segQuant(seg))
+      dqYdc(seg) = Vp8Tables.dcQ(clip127(qi + ydcDelta))
+      dqYac(seg) = Vp8Tables.acQ(clip127(qi))
+      dqY2dc(seg) = Vp8Tables.dcQ(clip127(qi + y2dcDelta)) * 2
+      dqY2ac(seg) = math.max(8, Vp8Tables.acQ(clip127(qi + y2acDelta)) * 155 / 100)
+      dqUVdc(seg) = math.min(132, Vp8Tables.dcQ(clip127(qi + uvdcDelta)))
+      dqUVac(seg) = Vp8Tables.acQ(clip127(qi + uvacDelta))
+      seg += 1
+    }
+
+    bd.bit(128) // refresh_entropy_probs: keyframe state is not retained
+
+    // token probability updates (§13.4)
+    val probs = Vp8Tables.coeffsProba0.clone()
+    var probUpdates = 0
+    var ti = 0
+    while (ti < 4 * 8 * 3 * 11) {
+      if (bd.bit(Vp8Tables.coeffsUpdateProba(ti)) == 1) {
+        probs(ti) = bd.lit(8)
+        probUpdates += 1
+      }
+      ti += 1
+    }
+
+    val useSkip = bd.bit(128) == 1
+    val skipProb = if (useSkip) bd.lit(8) else 0
+
+    // ---- per-MB modes, all in the first partition (§11)
+    val segmentOf = new Array[Int](mbW * mbH)
+    val skipOf = new Array[Boolean](mbW * mbH)
+    val yModeOf = new Array[Int](mbW * mbH)
+    val uvModeOf = new Array[Int](mbW * mbH)
+    val bModes = new Array[Int](mbW * mbH * 16) // per 4x4 subblock
+    val statYModes = scala.collection.mutable.Set.empty[Int]
+    val statBModes = scala.collection.mutable.Set.empty[Int]
+    val statUvModes = scala.collection.mutable.Set.empty[Int]
+    val statSegs = scala.collection.mutable.Set.empty[Int]
+    var statSkipped = 0
+
+    var mbY = 0
+    while (mbY < mbH) {
+      var mbX = 0
+      while (mbX < mbW) {
+        val mb = mbY * mbW + mbX
+        val sId =
+          if (segEnabled && segUpdateMap) {
+            if (bd.bit(segTreeProbs(0)) == 1) 2 + bd.bit(segTreeProbs(2))
+            else bd.bit(segTreeProbs(1))
+          } else 0
+        segmentOf(mb) = sId
+        statSegs += sId
+        if (useSkip) skipOf(mb) = bd.bit(skipProb) == 1
+        // keyframe Y mode tree (§11.3)
+        val ym =
+          if (bd.bit(KfYModeProb(0)) == 0) BPRED
+          else if (bd.bit(KfYModeProb(1)) == 0) {
+            if (bd.bit(KfYModeProb(2)) == 0) DC else V
+          } else {
+            if (bd.bit(KfYModeProb(3)) == 0) H else TM
+          }
+        yModeOf(mb) = ym
+        statYModes += ym
+        if (ym == BPRED) {
+          var sb = 0
+          while (sb < 16) {
+            val r = sb >> 2; val c = sb & 3
+            val above =
+              if (r > 0) bModes(mb * 16 + sb - 4)
+              else if (mbY > 0) {
+                val aMb = mb - mbW
+                if (yModeOf(aMb) == BPRED) bModes(aMb * 16 + 12 + c)
+                else ImpliedB(yModeOf(aMb))
+              } else BDC
+            val left =
+              if (c > 0) bModes(mb * 16 + sb - 1)
+              else if (mbX > 0) {
+                val lMb = mb - 1
+                if (yModeOf(lMb) == BPRED) bModes(lMb * 16 + r * 4 + 3)
+                else ImpliedB(yModeOf(lMb))
+              } else BDC
+            val p = (above * 10 + left) * 9
+            def bp(i: Int): Int = Vp8Tables.bModesProba(p + i)
+            // B-mode tree (§11.5)
+            val m =
+              if (bd.bit(bp(0)) == 0) BDC
+              else if (bd.bit(bp(1)) == 0) BTM
+              else if (bd.bit(bp(2)) == 0) BVE
+              else if (bd.bit(bp(3)) == 0) {
+                if (bd.bit(bp(4)) == 0) BHE
+                else if (bd.bit(bp(5)) == 0) BRD else BVR
+              } else {
+                if (bd.bit(bp(6)) == 0) BLD
+                else if (bd.bit(bp(7)) == 0) BVL
+                else if (bd.bit(bp(8)) == 0) BHD else BHU
+              }
+            bModes(mb * 16 + sb) = m
+            statBModes += m
+            sb += 1
+          }
+        } else {
+          // implied submodes feed neighboring B_PRED context
+          val im = ImpliedB(ym)
+          var sb = 0
+          while (sb < 16) { bModes(mb * 16 + sb) = im; sb += 1 }
+        }
+        // chroma mode tree (§11.4)
+        val uvm =
+          if (bd.bit(KfUvModeProb(0)) == 0) DC
+          else if (bd.bit(KfUvModeProb(1)) == 0) V
+          else if (bd.bit(KfUvModeProb(2)) == 0) H else TM
+        uvModeOf(mb) = uvm
+        statUvModes += uvm
+        mbX += 1
+      }
+      mbY += 1
+    }
+
+    // ---- residuals + reconstruction
+    val fw = mbW * 16; val fh = mbH * 16
+    val cfw = mbW * 8; val cfh = mbH * 8
+    val Y = new Array[Byte](fw * fh)
+    val U = new Array[Byte](cfw * cfh)
+    val Vp = new Array[Byte](cfw * cfh)
+
+    // nonzero contexts: per plane, per 4x4 column/row position
+    val aboveNzY = new Array[Int](mbW * 4)
+    val aboveNzU = new Array[Int](mbW * 2)
+    val aboveNzV = new Array[Int](mbW * 2)
+    val aboveNzY2 = new Array[Int](mbW)
+    val leftNzY = new Array[Int](4)
+    val leftNzU = new Array[Int](2)
+    val leftNzV = new Array[Int](2)
+    var leftNzY2 = 0
+
+    val coeffs = new Array[Int](400) // 25 blocks × 16
+    val statTokenCats = scala.collection.mutable.Set.empty[Int]
+    // whether each MB has any non-zero coefficient (loop-filter rule §15.2)
+    val hasCoeffs = new Array[Boolean](mbW * mbH)
+
+    /** Token decode for one 4x4 block (§13.3): the token tree with
+      * band/context probabilities, the after-zero EOB-skip rule, the
+      * six extra-bit categories, zigzag placement and dequantization.
+      * Returns 1 if any nonzero coefficient was produced (the §13.3
+      * context flag for neighboring blocks).
+      */
+    def decodeBlock2(t: Bool, typ: Int, ctx0: Int, first: Int,
+        dqDc: Int, dqAc: Int, out: Array[Int], outOff: Int): Int = {
+      var n = first
+      var ctx = ctx0
+      var nz = 0
+      var skipEob = false
+      while (n < 16) {
+        val pOff = ((typ * 8 + Vp8Tables.bands(n)) * 3 + ctx) * 11
+        if (!skipEob && t.bit(probs(pOff)) == 0) return nz
+        if (t.bit(probs(pOff + 1)) == 0) { // ZERO
+          ctx = 0; skipEob = true; n += 1
+        } else {
+          var v = 0
+          if (t.bit(probs(pOff + 2)) == 0) { v = 1; ctx = 1; statTokenCats += 0 }
+          else {
+            ctx = 2
+            if (t.bit(probs(pOff + 3)) == 0) {
+              if (t.bit(probs(pOff + 4)) == 0) { v = 2; statTokenCats += 1 }
+              else { v = 3 + t.bit(probs(pOff + 5)); statTokenCats += 2 }
+            } else {
+              // extra-bit categories 1..6 (§13.2 tree tail)
+              val cat =
+                if (t.bit(probs(pOff + 6)) == 0) t.bit(probs(pOff + 7))
+                else {
+                  if (t.bit(probs(pOff + 8)) == 0) 2 + t.bit(probs(pOff + 9))
+                  else 4 + t.bit(probs(pOff + 10))
+                }
+              statTokenCats += (3 + cat)
+              val cp = CatProbs(cat)
+              var extra = 0
+              var i = 0
+              while (i < cp.length) { extra = (extra << 1) | t.bit(cp(i)); i += 1 }
+              v = CatBase(cat) + extra
+            }
+          }
+          val sign = t.bit(128) == 1
+          val dq = if (n == 0) dqDc else dqAc
+          out(outOff + Vp8Tables.zigzag(n)) = if (sign) -v * dq else v * dq
+          nz = 1
+          skipEob = false
+          n += 1
+        }
+      }
+      nz
+    }
+
+    val statFilterLevels = scala.collection.mutable.Set.empty[Int]
+    val filterLevelOf = new Array[Int](mbW * mbH)
+
+    mbY = 0
+    while (mbY < mbH) {
+      java.util.Arrays.fill(leftNzY, 0)
+      java.util.Arrays.fill(leftNzU, 0)
+      java.util.Arrays.fill(leftNzV, 0)
+      leftNzY2 = 0
+      val t = parts(mbY & (numParts - 1))
+      var mbX = 0
+      while (mbX < mbW) {
+        val mb = mbY * mbW + mbX
+        val sId = segmentOf(mb)
+        val ym = yModeOf(mb)
+        val hasY2 = ym != BPRED
+        java.util.Arrays.fill(coeffs, 0)
+        var mbNz = false
+
+        if (!skipOf(mb)) {
+          if (hasY2) {
+            val ctx = leftNzY2 + aboveNzY2(mbX)
+            val nz = decodeBlock2(t, 1, ctx, 0, dqY2dc(sId), dqY2ac(sId),
+              coeffs, 384)
+            leftNzY2 = nz; aboveNzY2(mbX) = nz
+            if (nz != 0) mbNz = true
+          }
+          val yTyp = if (hasY2) 0 else 3
+          val yFirst = if (hasY2) 1 else 0
+          var sb = 0
+          while (sb < 16) {
+            val r = sb >> 2; val c = sb & 3
+            val ctx = leftNzY(r) + aboveNzY(mbX * 4 + c)
+            val nz = decodeBlock2(t, yTyp, ctx, yFirst, dqYdc(sId),
+              dqYac(sId), coeffs, sb * 16)
+            leftNzY(r) = nz; aboveNzY(mbX * 4 + c) = nz
+            if (nz != 0) mbNz = true
+            sb += 1
+          }
+          var blk = 0
+          while (blk < 4) {
+            val r = blk >> 1; val c = blk & 1
+            val ctx = leftNzU(r) + aboveNzU(mbX * 2 + c)
+            val nz = decodeBlock2(t, 2, ctx, 0, dqUVdc(sId), dqUVac(sId),
+              coeffs, 256 + blk * 16)
+            leftNzU(r) = nz; aboveNzU(mbX * 2 + c) = nz
+            if (nz != 0) mbNz = true
+            blk += 1
+          }
+          blk = 0
+          while (blk < 4) {
+            val r = blk >> 1; val c = blk & 1
+            val ctx = leftNzV(r) + aboveNzV(mbX * 2 + c)
+            val nz = decodeBlock2(t, 2, ctx, 0, dqUVdc(sId), dqUVac(sId),
+              coeffs, 320 + blk * 16)
+            leftNzV(r) = nz; aboveNzV(mbX * 2 + c) = nz
+            if (nz != 0) mbNz = true
+            blk += 1
+          }
+        } else {
+          statSkipped += 1
+          // a skipped MB zeroes its nonzero contexts — except Y2 for
+          // B_PRED MBs, which leaves the Y2 context UNCHANGED (§13.3)
+          if (hasY2) { leftNzY2 = 0; aboveNzY2(mbX) = 0 }
+          var i = 0
+          while (i < 4) { leftNzY(i) = 0; aboveNzY(mbX * 4 + i) = 0; i += 1 }
+          i = 0
+          while (i < 2) {
+            leftNzU(i) = 0; aboveNzU(mbX * 2 + i) = 0
+            leftNzV(i) = 0; aboveNzV(mbX * 2 + i) = 0
+            i += 1
+          }
+        }
+        hasCoeffs(mb) = mbNz
+
+        // Y2 inverse WHT scatters DC terms into the 16 Y blocks (§14.3)
+        if (hasY2 && !skipOf(mb)) {
+          inverseWht(coeffs, 384)
+          var sb = 0
+          while (sb < 16) { coeffs(sb * 16) = coeffs(384 + sb); sb += 1 }
+        }
+
+        // ---- reconstruct this MB (predict + IDCT + add, §12/§14.4)
+        reconstructMb(Y, U, Vp, fw, cfw, mbX, mbY, mbW, mbH, ym,
+          uvModeOf(mb), bModes, mb, coeffs, skipOf(mb))
+
+        // loop-filter level for this MB (§15.1–§15.2)
+        var lvl =
+          if (!segEnabled) filterLevelBase
+          else if (segAbsolute) segLf(sId)
+          else filterLevelBase + segLf(sId)
+        if (lfDeltaEnabled) {
+          lvl += refLfDelta(0) // keyframes reference INTRA
+          if (ym == BPRED) lvl += modeLfDelta(0)
+        }
+        filterLevelOf(mb) = math.max(0, math.min(63, lvl))
+        statFilterLevels += filterLevelOf(mb)
+        mbX += 1
+      }
+      mbY += 1
+    }
+
+    // ---- in-loop deblocking (§15), MB raster order
+    if (applyFilter && filterKind != 2) {
+      mbY = 0
+      while (mbY < mbH) {
+        var mbX = 0
+        while (mbX < mbW) {
+          val mb = mbY * mbW + mbX
+          val lvl = filterLevelOf(mb)
+          if (lvl > 0) {
+            var interior = lvl
+            if (sharpness > 0) {
+              interior >>= (if (sharpness > 4) 2 else 1)
+              if (interior > 9 - sharpness) interior = 9 - sharpness
+            }
+            if (interior < 1) interior = 1
+            val hevT =
+              if (lvl >= 40) 2 else if (lvl >= 15) 1 else 0 // keyframe rule
+            val mbLim = (lvl + 2) * 2 + interior
+            val subLim = lvl * 2 + interior
+            val inner = hasCoeffs(mb) || yModeOf(mb) == BPRED
+            if (filterKind == 0)
+              normalFilterMb(Y, U, Vp, fw, cfw, mbX, mbY, mbLim, subLim,
+                interior, hevT, inner)
+            else
+              simpleFilterMb(Y, fw, mbX, mbY, mbLim + 4, subLim + 4, inner)
+          }
+          mbX += 1
+        }
+        mbY += 1
+      }
+    }
+
+    // ---- crop to the frame dimensions
+    val cw = (width + 1) >> 1; val ch = (height + 1) >> 1
+    val oy = new Array[Byte](width * height)
+    val ou = new Array[Byte](cw * ch)
+    val ov = new Array[Byte](cw * ch)
+    var r = 0
+    while (r < height) {
+      System.arraycopy(Y, r * fw, oy, r * width, width); r += 1
+    }
+    r = 0
+    while (r < ch) {
+      System.arraycopy(U, r * cfw, ou, r * cw, cw)
+      System.arraycopy(Vp, r * cfw, ov, r * cw, cw)
+      r += 1
+    }
+    (Yuv(width, height, oy, ou, ov),
+      Stats(statYModes.toSet, statBModes.toSet, statUvModes.toSet,
+        statTokenCats.toSet, statSegs.toSet, numParts, filterKind,
+        statFilterLevels.toSet, statSkipped, probUpdates))
+  }
+
+  // ------------------------------------------------ inverse transforms
+
+  /** 4x4 inverse DCT with the fixed-point 20091/35468 constants
+    * (§14.4), adding into nothing — caller owns the residual buffer.
+    */
+  private def idct4x4(c: Array[Int], off: Int, out: Array[Int]): Unit = {
+    var i = 0
+    while (i < 4) { // columns
+      val a1 = c(off + i) + c(off + 8 + i)
+      val b1 = c(off + i) - c(off + 8 + i)
+      val t1 = (c(off + 4 + i) * 35468) >> 16
+      val t2 = c(off + 12 + i) + ((c(off + 12 + i) * 20091) >> 16)
+      val c1 = t1 - t2
+      val t3 = c(off + 4 + i) + ((c(off + 4 + i) * 20091) >> 16)
+      val t4 = (c(off + 12 + i) * 35468) >> 16
+      val d1 = t3 + t4
+      out(i) = a1 + d1
+      out(12 + i) = a1 - d1
+      out(4 + i) = b1 + c1
+      out(8 + i) = b1 - c1
+      i += 1
+    }
+    i = 0
+    while (i < 4) { // rows
+      val o = i * 4
+      val a1 = out(o) + out(o + 2)
+      val b1 = out(o) - out(o + 2)
+      val t1 = (out(o + 1) * 35468) >> 16
+      val t2 = out(o + 3) + ((out(o + 3) * 20091) >> 16)
+      val c1 = t1 - t2
+      val t3 = out(o + 1) + ((out(o + 1) * 20091) >> 16)
+      val t4 = (out(o + 3) * 35468) >> 16
+      val d1 = t3 + t4
+      out(o) = (a1 + d1 + 4) >> 3
+      out(o + 3) = (a1 - d1 + 4) >> 3
+      out(o + 1) = (b1 + c1 + 4) >> 3
+      out(o + 2) = (b1 - c1 + 4) >> 3
+      i += 1
+    }
+  }
+
+  /** Inverse Walsh–Hadamard for the Y2 block (§14.3), in place. */
+  private def inverseWht(c: Array[Int], off: Int): Unit = {
+    val t = new Array[Int](16)
+    var i = 0
+    while (i < 4) {
+      val a1 = c(off + i) + c(off + 12 + i)
+      val b1 = c(off + 4 + i) + c(off + 8 + i)
+      val c1 = c(off + 4 + i) - c(off + 8 + i)
+      val d1 = c(off + i) - c(off + 12 + i)
+      t(i) = a1 + b1
+      t(4 + i) = c1 + d1
+      t(8 + i) = a1 - b1
+      t(12 + i) = d1 - c1
+      i += 1
+    }
+    i = 0
+    while (i < 4) {
+      val o = i * 4
+      val a1 = t(o) + t(o + 3)
+      val b1 = t(o + 1) + t(o + 2)
+      val c1 = t(o + 1) - t(o + 2)
+      val d1 = t(o) - t(o + 3)
+      c(off + o) = (a1 + b1 + 3) >> 3
+      c(off + o + 1) = (c1 + d1 + 3) >> 3
+      c(off + o + 2) = (a1 - b1 + 3) >> 3
+      c(off + o + 3) = (d1 - c1 + 3) >> 3
+      i += 1
+    }
+  }
+
+  // --------------------------------------------------- reconstruction
+
+  @inline private def clamp255(v: Int): Byte =
+    (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+
+  /** Border pixel conventions (§12.2): rows above the frame read 127,
+    * columns left of the frame read 129; the above-left corner is 127
+    * on the top row and 129 on the left column.
+    */
+  private def predictAndAdd(plane: Array[Byte], stride: Int, px: Int,
+      py: Int, size: Int, mode: Int, frameW: Int,
+      coeffs: Array[Int], coefBase: Int, blocksPerRow: Int,
+      skip: Boolean): Unit = {
+    val hasAbove = py > 0
+    val hasLeft = px > 0
+    def above(i: Int): Int =
+      if (!hasAbove) 127
+      else {
+        val x = px + i
+        if (x < frameW) plane((py - 1) * stride + x) & 0xff
+        else plane((py - 1) * stride + frameW - 1) & 0xff
+      }
+    def left(i: Int): Int =
+      if (!hasLeft) 129 else plane((py + i) * stride + px - 1) & 0xff
+    def aboveLeft: Int =
+      if (hasAbove && hasLeft) plane((py - 1) * stride + px - 1) & 0xff
+      else if (!hasAbove) 127
+      else 129
+
+    val pred = new Array[Int](size * size)
+    mode match {
+      case DC =>
+        var sum = 0; var total = 0
+        if (hasAbove) { var i = 0; while (i < size) { sum += above(i); i += 1 }; total += size }
+        if (hasLeft) { var i = 0; while (i < size) { sum += left(i); i += 1 }; total += size }
+        val dc =
+          if (total == 0) 128
+          else (sum + (total >> 1)) / total
+        java.util.Arrays.fill(pred, dc)
+      case V =>
+        var y = 0
+        while (y < size) {
+          var x = 0
+          while (x < size) { pred(y * size + x) = above(x); x += 1 }
+          y += 1
+        }
+      case H =>
+        var y = 0
+        while (y < size) {
+          val l = left(y)
+          var x = 0
+          while (x < size) { pred(y * size + x) = l; x += 1 }
+          y += 1
+        }
+      case TM =>
+        val al = aboveLeft
+        var y = 0
+        while (y < size) {
+          val l = left(y)
+          var x = 0
+          while (x < size) {
+            val v = l + above(x) - al
+            pred(y * size + x) = if (v < 0) 0 else if (v > 255) 255 else v
+            x += 1
+          }
+          y += 1
+        }
+      case _ => throw new IllegalStateException(s"16x16/chroma mode $mode")
+    }
+
+    // add residuals block-by-block
+    val out = new Array[Int](16)
+    var br = 0
+    while (br < blocksPerRow) {
+      var bc = 0
+      while (bc < blocksPerRow) {
+        val blkIdx = br * blocksPerRow + bc
+        val co = coefBase + blkIdx * 16
+        val baseY = py + br * 4
+        val baseX = px + bc * 4
+        if (skip) {
+          var y = 0
+          while (y < 4) {
+            var x = 0
+            while (x < 4) {
+              plane((baseY + y) * stride + baseX + x) =
+                clamp255(pred((br * 4 + y) * size + bc * 4 + x))
+              x += 1
+            }
+            y += 1
+          }
+        } else {
+          idct4x4(coeffs, co, out)
+          var y = 0
+          while (y < 4) {
+            var x = 0
+            while (x < 4) {
+              plane((baseY + y) * stride + baseX + x) = clamp255(
+                pred((br * 4 + y) * size + bc * 4 + x) + out(y * 4 + x))
+              x += 1
+            }
+            y += 1
+          }
+        }
+        bc += 1
+      }
+      br += 1
+    }
+  }
+
+  /** 4x4 B_PRED prediction for one subblock (§12.3) + residual add. */
+  private def predictB(plane: Array[Byte], stride: Int, px: Int, py: Int,
+      mode: Int, frameW: Int, mbRightEdgeX: Int,
+      coeffs: Array[Int], co: Int): Unit = {
+    val hasAbove = py > 0
+    val hasLeft = px > 0
+    // A[0..7]: above + above-right; beyond the MB's right edge the
+    // above-right pixels come from the row above the MACROBLOCK
+    // (already reconstructed), clamped to the frame's last column
+    def aboveAt(x: Int): Int =
+      if (!hasAbove) 127
+      else if (x < frameW) plane((py - 1) * stride + x) & 0xff
+      else plane((py - 1) * stride + frameW - 1) & 0xff
+    val A = new Array[Int](8)
+    var i = 0
+    while (i < 4) { A(i) = aboveAt(px + i); i += 1 }
+    // above-right: directly above-right when that pixel row is the MB's
+    // top row OR the subblock isn't at the MB's right edge; otherwise
+    // reuse the MB-level above-right row (§12.3's reference behavior)
+    val arSrcY =
+      if (px + 4 >= mbRightEdgeX) (py & ~15) - 1 // MB top row - 1
+      else py - 1
+    while (i < 8) {
+      A(i) =
+        if (arSrcY < 0) 127
+        else {
+          val x = px + i
+          if (x < frameW) plane(arSrcY * stride + x) & 0xff
+          else plane(arSrcY * stride + frameW - 1) & 0xff
+        }
+      i += 1
+    }
+    def L(j: Int): Int =
+      if (!hasLeft) 129 else plane((py + j) * stride + px - 1) & 0xff
+    val AL: Int =
+      if (hasAbove && hasLeft) plane((py - 1) * stride + px - 1) & 0xff
+      else if (!hasAbove) 127
+      else 129
+
+    def avg3(a: Int, b: Int, c: Int): Int = (a + 2 * b + c + 2) >> 2
+    def avg2(a: Int, b: Int): Int = (a + b + 1) >> 1
+
+    val p = new Array[Int](16)
+    mode match {
+      case BDC =>
+        var s = 4
+        var k = 0
+        while (k < 4) { s += A(k) + L(k); k += 1 }
+        java.util.Arrays.fill(p, s >> 3)
+      case BTM =>
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) {
+            val v = L(y) + A(x) - AL
+            p(y * 4 + x) = if (v < 0) 0 else if (v > 255) 255 else v
+            x += 1
+          }
+          y += 1
+        }
+      case BVE =>
+        val e = Array(
+          avg3(AL, A(0), A(1)), avg3(A(0), A(1), A(2)),
+          avg3(A(1), A(2), A(3)), avg3(A(2), A(3), A(4)))
+        var y = 0
+        while (y < 4) { System.arraycopy(e, 0, p, y * 4, 4); y += 1 }
+      case BHE =>
+        val e = Array(
+          avg3(AL, L(0), L(1)), avg3(L(0), L(1), L(2)),
+          avg3(L(1), L(2), L(3)), avg3(L(2), L(3), L(3)))
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) { p(y * 4 + x) = e(y); x += 1 }
+          y += 1
+        }
+      case BLD =>
+        def f(i: Int): Int =
+          if (i < 6) avg3(A(i), A(i + 1), A(i + 2))
+          else avg3(A(6), A(7), A(7))
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) { p(y * 4 + x) = f(x + y); x += 1 }
+          y += 1
+        }
+      case BRD =>
+        // pixels indexed by (y - x): E[...] over L(3)..L(0), AL, A(0)..A(3)
+        val e = Array(
+          avg3(L(3), L(2), L(1)), avg3(L(2), L(1), L(0)),
+          avg3(L(1), L(0), AL), avg3(L(0), AL, A(0)),
+          avg3(AL, A(0), A(1)), avg3(A(0), A(1), A(2)),
+          avg3(A(1), A(2), A(3)))
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) { p(y * 4 + x) = e(3 + x - y); x += 1 }
+          y += 1
+        }
+      case BVR =>
+        val e = Array( // (x, y) -> index 2*x - y patterns per §12.3
+          avg3(L(2), L(1), L(0)), // (0,3)
+          avg3(L(1), L(0), AL),   // (0,2)
+          avg3(L(0), AL, A(0)),   // (0,1)
+          avg2(AL, A(0)),          // (0,0)
+          avg3(AL, A(0), A(1)),   // (1,1)/(1,3)? — laid out below
+          avg2(A(0), A(1)),
+          avg3(A(0), A(1), A(2)),
+          avg2(A(1), A(2)),
+          avg3(A(1), A(2), A(3)),
+          avg2(A(2), A(3)))
+        val map = Array(
+          3, 5, 7, 9,
+          2, 4, 6, 8,
+          1, 3, 5, 7,
+          0, 2, 4, 6)
+        var k = 0
+        while (k < 16) { p(k) = e(map(k)); k += 1 }
+      case BVL =>
+        val e = Array(
+          avg2(A(0), A(1)),          // 0
+          avg3(A(0), A(1), A(2)),    // 1
+          avg2(A(1), A(2)),          // 2
+          avg3(A(1), A(2), A(3)),    // 3
+          avg2(A(2), A(3)),          // 4
+          avg3(A(2), A(3), A(4)),    // 5
+          avg2(A(3), A(4)),          // 6
+          avg3(A(3), A(4), A(5)),    // 7
+          avg3(A(4), A(5), A(6)),    // 8
+          avg3(A(5), A(6), A(7)))    // 9
+        val map = Array(
+          0, 2, 4, 6,
+          1, 3, 5, 7,
+          2, 4, 6, 8,
+          3, 5, 7, 9)
+        var k = 0
+        while (k < 16) { p(k) = e(map(k)); k += 1 }
+      case BHD =>
+        val e = Array(
+          avg2(L(3), L(2)),          // 0
+          avg3(L(3), L(2), L(1)),    // 1
+          avg2(L(2), L(1)),          // 2
+          avg3(L(2), L(1), L(0)),    // 3
+          avg2(L(1), L(0)),          // 4
+          avg3(L(1), L(0), AL),      // 5
+          avg2(L(0), AL),            // 6
+          avg3(L(0), AL, A(0)),      // 7
+          avg3(AL, A(0), A(1)),      // 8
+          avg3(A(0), A(1), A(2)))    // 9
+        val map = Array(
+          6, 7, 8, 9,
+          4, 5, 6, 7,
+          2, 3, 4, 5,
+          0, 1, 2, 3)
+        var k = 0
+        while (k < 16) { p(k) = e(map(k)); k += 1 }
+      case BHU =>
+        val e = Array(
+          avg2(L(0), L(1)),          // 0
+          avg3(L(0), L(1), L(2)),    // 1
+          avg2(L(1), L(2)),          // 2
+          avg3(L(1), L(2), L(3)),    // 3
+          avg2(L(2), L(3)),          // 4
+          avg3(L(2), L(3), L(3)),    // 5
+          L(3), L(3))                // 6, 7
+        val map = Array(
+          0, 1, 2, 3,
+          2, 3, 4, 5,
+          4, 5, 6, 7,
+          6, 7, 7, 7)
+        var k = 0
+        while (k < 16) { p(k) = e(map(k)); k += 1 }
+      case _ => throw new IllegalStateException(s"B mode $mode")
+    }
+
+    val out = new Array[Int](16)
+    idct4x4(coeffs, co, out)
+    var y = 0
+    while (y < 4) {
+      var x = 0
+      while (x < 4) {
+        plane((py + y) * stride + px + x) =
+          clamp255(p(y * 4 + x) + out(y * 4 + x))
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  private def reconstructMb(Y: Array[Byte], U: Array[Byte], V8: Array[Byte],
+      fw: Int, cfw: Int, mbX: Int, mbY: Int, mbW: Int, mbH: Int,
+      ym: Int, uvm: Int, bModes: Array[Int], mb: Int,
+      coeffs: Array[Int], skip: Boolean): Unit = {
+    val px = mbX * 16; val py = mbY * 16
+    if (ym == BPRED) {
+      var sb = 0
+      while (sb < 16) {
+        val r = sb >> 2; val c = sb & 3
+        predictB(Y, fw, px + c * 4, py + r * 4, bModes(mb * 16 + sb),
+          fw, px + 16, coeffs, sb * 16)
+        sb += 1
+      }
+    } else {
+      predictAndAdd(Y, fw, px, py, 16, ym, fw, coeffs, 0, 4, skip)
+    }
+    val cx = mbX * 8; val cy = mbY * 8
+    predictAndAdd(U, cfw, cx, cy, 8, uvm, cfw, coeffs, 256, 2, skip)
+    predictAndAdd(V8, cfw, cx, cy, 8, uvm, cfw, coeffs, 320, 2, skip)
+  }
+
+  // ----------------------------------------------------- loop filter §15
+
+  @inline private def sclamp(v: Int): Int =
+    if (v < -128) -128 else if (v > 127) 127 else v
+  @inline private def u2s(v: Int): Int = v - 128
+  @inline private def s2u(v: Int): Byte =
+    (if (v < -128) 0 else if (v > 127) 255 else v + 128).toByte
+
+  /** The normal filter's activity mask (§15.3). */
+  @inline private def normalMask(p3: Int, p2: Int, p1: Int, p0: Int,
+      q0: Int, q1: Int, q2: Int, q3: Int, edge: Int, interior: Int): Boolean =
+    math.abs(p0 - q0) * 2 + math.abs(p1 - q1) / 2 <= edge &&
+      math.abs(p3 - p2) <= interior && math.abs(p2 - p1) <= interior &&
+      math.abs(p1 - p0) <= interior && math.abs(q3 - q2) <= interior &&
+      math.abs(q2 - q1) <= interior && math.abs(q1 - q0) <= interior
+
+  @inline private def hev(p1: Int, p0: Int, q0: Int, q1: Int, t: Int): Boolean =
+    math.abs(p1 - p0) > t || math.abs(q1 - q0) > t
+
+  /** §15.3 common_adjust on signed pixel values; returns F. */
+  @inline private def commonAdjust(useOuter: Boolean, v: Array[Int]): Int = {
+    // v = [p1, p0, q0, q1] signed
+    var a = sclamp((if (useOuter) sclamp(v(0) - v(3)) else 0) + 3 * (v(2) - v(1)))
+    val f = sclamp(a + 4) >> 3
+    val e = sclamp(a + 3) >> 3
+    v(2) -= f
+    v(1) += e
+    f
+  }
+
+  /** Apply the normal filter across one edge of 8 pixels addressed by
+    * (base + i*step), the edge sitting between index 3 and 4.
+    */
+  private def normalEdge(plane: Array[Byte], base: Int, step: Int,
+      mbEdge: Boolean, edgeLim: Int, interior: Int, hevT: Int): Unit = {
+    val s = new Array[Int](8)
+    var i = 0
+    while (i < 8) { s(i) = plane(base + (i - 4) * step) & 0xff; i += 1 }
+    if (!normalMask(s(0), s(1), s(2), s(3), s(4), s(5), s(6), s(7),
+      edgeLim, interior)) return
+    val isHev = hev(s(2), s(3), s(4), s(5), hevT)
+    if (mbEdge) {
+      if (isHev) {
+        val v = Array(u2s(s(2)), u2s(s(3)), u2s(s(4)), u2s(s(5)))
+        commonAdjust(useOuter = true, v)
+        plane(base - step) = s2u(v(1))
+        plane(base) = s2u(v(2))
+      } else {
+        val p2 = u2s(s(1)); var p1 = u2s(s(2)); var p0 = u2s(s(3))
+        var q0 = u2s(s(4)); var q1 = u2s(s(5)); val q2 = u2s(s(6))
+        val w = sclamp(sclamp(p1 - q1) + 3 * (q0 - p0))
+        var a = sclamp((27 * w + 63) >> 7)
+        q0 -= a; p0 += a
+        a = sclamp((18 * w + 63) >> 7)
+        q1 -= a; p1 += a
+        a = sclamp((9 * w + 63) >> 7)
+        val q2n = q2 - a; val p2n = p2 + a
+        plane(base - 3 * step) = s2u(p2n)
+        plane(base - 2 * step) = s2u(p1)
+        plane(base - step) = s2u(p0)
+        plane(base) = s2u(q0)
+        plane(base + step) = s2u(q1)
+        plane(base + 2 * step) = s2u(q2n)
+      }
+    } else {
+      val v = Array(u2s(s(2)), u2s(s(3)), u2s(s(4)), u2s(s(5)))
+      val f = commonAdjust(isHev, v)
+      if (!isHev) {
+        val a = (f + 1) >> 1
+        v(3) -= a
+        v(0) += a
+        plane(base - 2 * step) = s2u(v(0))
+        plane(base + step) = s2u(v(3))
+      }
+      plane(base - step) = s2u(v(1))
+      plane(base) = s2u(v(2))
+    }
+  }
+
+  /** Normal filter for one MB: left MB edge, inner vertical edges, top
+    * MB edge, inner horizontal edges — Y at 16px, chroma at 8 (§15.2).
+    */
+  private def normalFilterMb(Y: Array[Byte], U: Array[Byte], V8: Array[Byte],
+      fw: Int, cfw: Int, mbX: Int, mbY: Int, mbLim: Int, subLim: Int,
+      interior: Int, hevT: Int, inner: Boolean): Unit = {
+    val px = mbX * 16; val py = mbY * 16
+    val cx = mbX * 8; val cy = mbY * 8
+    // vertical edges (filter across columns)
+    if (mbX > 0) {
+      var r = 0
+      while (r < 16) { normalEdge(Y, (py + r) * fw + px, 1, mbEdge = true, mbLim, interior, hevT); r += 1 }
+      r = 0
+      while (r < 8) {
+        normalEdge(U, (cy + r) * cfw + cx, 1, mbEdge = true, mbLim, interior, hevT)
+        normalEdge(V8, (cy + r) * cfw + cx, 1, mbEdge = true, mbLim, interior, hevT)
+        r += 1
+      }
+    }
+    if (inner) {
+      var c = 4
+      while (c < 16) {
+        var r = 0
+        while (r < 16) { normalEdge(Y, (py + r) * fw + px + c, 1, mbEdge = false, subLim, interior, hevT); r += 1 }
+        c += 4
+      }
+      var r = 0
+      while (r < 8) {
+        normalEdge(U, (cy + r) * cfw + cx + 4, 1, mbEdge = false, subLim, interior, hevT)
+        normalEdge(V8, (cy + r) * cfw + cx + 4, 1, mbEdge = false, subLim, interior, hevT)
+        r += 1
+      }
+    }
+    // horizontal edges (filter across rows)
+    if (mbY > 0) {
+      var c = 0
+      while (c < 16) { normalEdge(Y, py * fw + px + c, fw, mbEdge = true, mbLim, interior, hevT); c += 1 }
+      c = 0
+      while (c < 8) {
+        normalEdge(U, cy * cfw + cx + c, cfw, mbEdge = true, mbLim, interior, hevT)
+        normalEdge(V8, cy * cfw + cx + c, cfw, mbEdge = true, mbLim, interior, hevT)
+        c += 1
+      }
+    }
+    if (inner) {
+      var rr = 4
+      while (rr < 16) {
+        var c = 0
+        while (c < 16) { normalEdge(Y, (py + rr) * fw + px + c, fw, mbEdge = false, subLim, interior, hevT); c += 1 }
+        rr += 4
+      }
+      var c = 0
+      while (c < 8) {
+        normalEdge(U, (cy + 4) * cfw + cx + c, cfw, mbEdge = false, subLim, interior, hevT)
+        normalEdge(V8, (cy + 4) * cfw + cx + c, cfw, mbEdge = false, subLim, interior, hevT)
+        c += 1
+      }
+    }
+  }
+
+  /** Simple filter: Y only, p0/q0 adjustment (§15.4). */
+  private def simpleEdge(plane: Array[Byte], base: Int, step: Int,
+      lim: Int): Unit = {
+    val p1 = plane(base - 2 * step) & 0xff
+    val p0 = plane(base - step) & 0xff
+    val q0 = plane(base) & 0xff
+    val q1 = plane(base + step) & 0xff
+    if (math.abs(p0 - q0) * 2 + math.abs(p1 - q1) / 2 <= lim) {
+      val v = Array(u2s(p1), u2s(p0), u2s(q0), u2s(q1))
+      commonAdjust(useOuter = true, v)
+      plane(base - step) = s2u(v(1))
+      plane(base) = s2u(v(2))
+    }
+  }
+
+  private def simpleFilterMb(Y: Array[Byte], fw: Int, mbX: Int, mbY: Int,
+      mbLim: Int, subLim: Int, inner: Boolean): Unit = {
+    val px = mbX * 16; val py = mbY * 16
+    if (mbX > 0) {
+      var r = 0
+      while (r < 16) { simpleEdge(Y, (py + r) * fw + px, 1, mbLim); r += 1 }
+    }
+    if (inner) {
+      var c = 4
+      while (c < 16) {
+        var r = 0
+        while (r < 16) { simpleEdge(Y, (py + r) * fw + px + c, 1, subLim); r += 1 }
+        c += 4
+      }
+    }
+    if (mbY > 0) {
+      var c = 0
+      while (c < 16) { simpleEdge(Y, py * fw + px + c, fw, mbLim); c += 1 }
+    }
+    if (inner) {
+      var rr = 4
+      while (rr < 16) {
+        var c = 0
+        while (c < 16) { simpleEdge(Y, (py + rr) * fw + px + c, fw, subLim); c += 1 }
+        rr += 4
+      }
+    }
+  }
+}

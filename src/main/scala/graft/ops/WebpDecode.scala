@@ -99,7 +99,7 @@ object WebpDecode {
         case "VP8L" =>
           return decodeVp8l(java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + size))
         case "VP8 " => throw new IllegalArgumentException(
-          "webp: lossy VP8 out of subset (only VP8L lossless decodes)")
+          "webp: lossy VP8 stream — use Vp8Decode (this walk is VP8L-only)")
         case "VP8X" =>
           // extended still container (EXIF/ICC/XMP around a VP8L
           // payload): the metadata walk owns it; animated containers
@@ -216,7 +216,7 @@ object WebpDecode {
         case "XMP " => xmp = Some(body)
         case "VP8L" => still = Some(decodeVp8l(body))
         case "VP8 " => throw new IllegalArgumentException(
-          "webp: lossy VP8 out of subset (only VP8L lossless decodes)")
+          "webp: lossy VP8 stream — use Vp8Decode (this walk is VP8L-only)")
         case "ALPH" => throw new IllegalArgumentException(
           "webp: ALPH accompanies lossy VP8 only — out of subset")
         case _ => // unknown chunk: skip (padded to even size)

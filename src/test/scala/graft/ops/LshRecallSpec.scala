@@ -407,6 +407,28 @@ class LshRecallSpec extends AnyFunSuite {
       assert(r.getInt(4) == k, "n_cells must be the derived K")
     }
   }
+  test("semdedup keep-list: exact-dup collapse preserves the cluster map; output corpus-sized") {
+    val keep = graft.SparkEntry.queries("dedup_semdedup_keep")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val clusters = graft.SparkEntry.queries("dedup_semantic_cluster")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val n = graft.T(spark, d, "embeddings").count()
+    // exactly one decision per corpus vector — the linear-output contract
+    assert(keep.length == n, s"${keep.length} rows vs corpus $n")
+    assert(keep.map(_._1).distinct.length == keep.length, "duplicate vec_ids")
+    keep.foreach { case (id, canon, k) =>
+      // the collapsed pipeline must reproduce the UNCOLLAPSED cluster
+      // row's canonical for every clustered vector, and self for the rest
+      assert(canon == clusters.getOrElse(id, id), s"vec $id canonical")
+      assert(k == (id == canon), s"vec $id keep flag")
+      assert(canon <= id, s"vec $id canonical must be the component min")
+    }
+    // every cluster keeps EXACTLY its canonical: drop count == cluster
+    // sizes minus one per component
+    val kept = keep.filter(_._3).map(_._1).toSet
+    clusters.values.toSet.foreach((c: Long) => assert(kept.contains(c)))
+  }
+
 }
 
 /** Test access to the registered query body without going through the
@@ -415,4 +437,5 @@ class LshRecallSpec extends AnyFunSuite {
 private object SparkEntryQueries {
   def embeddingCosine(s: SparkSession, d: String) =
     graft.SparkEntry.queries("dedup_embedding_cosine")(s, d)
+
 }

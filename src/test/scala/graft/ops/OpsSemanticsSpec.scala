@@ -2088,6 +2088,39 @@ class OpsSemanticsSpec extends AnyFunSuite {
     grams.values.flatten.foreach(g => assert(g.nonEmpty))
   }
 
+  test("eval_ndcg_at_k: bounds, ideal-prefix identity, and cross-key consistency") {
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val ndcg = SparkEntry.queries("eval_ndcg_at_k")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val mrr = SparkEntry.queries("eval_mrr")(spark, dir).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.toString.toInt)).toMap
+    val recall = SparkEntry.queries("eval_recall_at_k")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ndcg.nonEmpty)
+    ndcg.foreach { case (qid, r) =>
+      val nRel = r.getInt(1)
+      val dcg = r.getDouble(2)
+      val nd = r.getDouble(4)
+      assert(nd >= 0 && nd <= 1 + 1e-9, s"qid $qid ndcg $nd")
+      // the ideal prefix replays driver-side exactly
+      if (nRel > 0) {
+        val idcg = (1 to math.min(10, nRel)).map(i => 1.0 / log2(i + 1)).sum
+        assert(math.abs(r.getDouble(3) - BigDecimal(idcg)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-6,
+          s"qid $qid idcg")
+      } else assert(r.isNullAt(3) && nd == 0.0)
+      // a query with NO relevant hit in the top-10 (mrr miss) must have
+      // dcg = 0; a hit implies dcg ≥ the contribution of its first rank
+      mrr(qid) match {
+        case None => assert(dcg == 0.0, s"qid $qid dcg with no hit")
+        case Some(fr) =>
+          assert(dcg >= 1.0 / log2(fr + 1) - 1e-6, s"qid $qid dcg < first-hit gain")
+      }
+      // zero hits in recall ⇔ zero dcg (same top-10, same label rule)
+      assert((recall(qid) == 0) == (dcg == 0.0), s"qid $qid hits/dcg")
+    }
+  }
+
   test("text_levenshtein_pairs: cross-implementation agreement with a driver-side DP") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)

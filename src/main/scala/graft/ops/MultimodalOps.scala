@@ -2885,6 +2885,77 @@ object MultimodalOps extends QueryModule {
       .orderBy("doc_id") // one row per image doc = input-sized
   }
 
+  final case class Vp8AlphaRow(doc_id: Long, variant: Int, width: Int,
+      height: Int, alpha_mean: Double, diff_vs_libwebp: Int)
+
+  /** ALPH alpha-plane decode for lossy WebP (r17 — transparency is the
+    * reason real crawls wrap VP8 in VP8X; [[Vp8Decode
+    * .decodeWithAlphaPlane]] walks the sidecar: one header byte, then
+    * either a raw plane or a HEADERLESS VP8L stream whose green
+    * channel carries alpha — composing the canonically-verified
+    * lossless core — then one of four predictor unfilters). Alpha is
+    * LOSSLESS end-to-end, so unlike [[mm_webp_lossy_decode]]'s bands
+    * this row hashes the EXACT alpha mean against the oracle's
+    * closed-form replay, plus diff_vs_libwebp = 0 against libwebp's
+    * committed decode. The embedded pack covers both compression
+    * methods and all four filter methods (the raw variants are
+    * hand-muxed and libwebp-validated — its encoder picks filter 0 on
+    * these corpora). Same batched mapPartitions codec slot.
+    */
+  q("mm_webp_alpha_decode",
+    """WITH v AS (SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS variant
+      |           FROM documents WHERE doc_id % 3 = 0),
+      |d AS (SELECT doc_id, variant,
+      |  CASE WHEN variant < 4 AND variant // 2 = 1 THEN 37 ELSE 32 END AS w,
+      |  CASE WHEN variant < 4 AND variant // 2 = 1 THEN 21 ELSE 32 END AS h,
+      |  CASE WHEN variant < 4 AND variant % 2 = 1 THEN 1 ELSE 0 END AS blocky
+      |  FROM v)
+      |SELECT doc_id, variant, CAST(w AS INTEGER) AS width,
+      |  CAST(h AS INTEGER) AS height,
+      |  round(list_sum([CASE WHEN blocky = 1
+      |     THEN CASE WHEN ((i % w) // 8 + (i // w) // 8) % 2 = 0
+      |          THEN 255.0 ELSE 64.0 END
+      |     ELSE CAST(((i % w) * 7 + (i // w) * 13) % 256 AS DOUBLE) END
+      |     FOR i IN range(0, w * h)]) / (w * h), 6) AS alpha_mean,
+      |  CAST(0 AS INTEGER) AS diff_vs_libwebp
+      |FROM d ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sess = s
+    import sess.implicits._
+    mediaTable(s, d).filter(col("meta.kind") === "image")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.grouped(64).flatMap { batch =>
+          batch.map { id =>
+            val v = (id % 8).toInt
+            val name =
+              if (v < 4) {
+                val p = if (v % 2 == 1) "blocky" else "mix"
+                val (w, h) = if (v / 2 == 1) (37, 21) else (32, 32)
+                s"alpha_${p}_${w}x$h"
+              } else s"alpha_mix_32x32_raw_f${v - 4}"
+            val webp = Vp8Fixtures.bytes(s"$name.webp")
+            val truth = Vp8Fixtures.bytes(s"$name.alpha")
+            val (yuv, alpha) = Vp8Decode.decodeWithAlphaPlane(webp)
+            val a = alpha.getOrElse(
+              throw new IllegalStateException(s"$name: no alpha plane"))
+            require(a.length == truth.length, s"$name alpha size")
+            var diffs = 0
+            var sum = 0L
+            var i = 0
+            while (i < a.length) {
+              if (a(i) != truth(i)) diffs += 1
+              sum += a(i) & 0xff
+              i += 1
+            }
+            Vp8AlphaRow(id, v, yuv.width, yuv.height,
+              math.rint(sum.toDouble / a.length * 1e6) / 1e6, diffs)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id") // one row per image doc = input-sized
+  }
+
   final case class WebpAnimRow(doc_id: Long, frame: Int, width: Int,
       height: Int, mean_px: Double)
 

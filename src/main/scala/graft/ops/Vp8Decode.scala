@@ -92,13 +92,100 @@ object Vp8Decode {
         case "VP8L" => throw new IllegalArgumentException(
           "vp8: lossless VP8L stream — use WebpDecode")
         case "VP8X" | "ICCP" | "EXIF" | "XMP " => // metadata walk is WebpDecode's
-        case "ALPH" => throw new IllegalArgumentException(
-          "vp8: ALPH alpha plane out of subset")
+        case "ALPH" => // alpha sidecar: decodeWithAlphaPlane surfaces it
         case _ => // unknown chunk: skip
       }
       pos += 8 + size + (size & 1)
     }
     throw new IllegalArgumentException("webp: no VP8 chunk")
+  }
+
+  /** Decode the keyframe AND its ALPH alpha sidecar when present (WebP
+    * extended container spec, "Alpha"): the ALPH payload is one header
+    * byte (preprocessing / filtering method / compression) + either a
+    * raw w×h plane (compression 0) or a HEADERLESS VP8L image stream
+    * whose green channel carries alpha (compression 1 —
+    * [[WebpDecode.decodeAlphaStream]], composing the canonically
+    * verified lossless core), then one of four predictor unfilters
+    * (none / horizontal / vertical / gradient with clip(a+b−c), border
+    * fallbacks left↔above, origin 0). Alpha is LOSSLESS end-to-end;
+    * Vp8Spec pins per-sample equality against libwebp's decode on
+    * natural (VP8L-compressed) and hand-muxed raw fixtures covering
+    * every filter method.
+    */
+  def decodeWithAlphaPlane(bytes: Array[Byte]): (Yuv, Option[Array[Byte]]) = {
+    require(bytes.length >= 20, "webp: truncated container")
+    def tag(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+    require(tag(0) == "RIFF" && tag(8) == "WEBP", "webp: not a WEBP RIFF")
+    var pos = 12
+    var alph: Option[Array[Byte]] = None
+    while (pos + 8 <= bytes.length) {
+      val fourCC = tag(pos)
+      val size = ((bytes(pos + 4) & 0xff) | ((bytes(pos + 5) & 0xff) << 8) |
+        ((bytes(pos + 6) & 0xff) << 16) | ((bytes(pos + 7) & 0xffL) << 24)).toInt
+      require(size >= 0 && pos + 8 + size <= bytes.length,
+        s"webp: chunk $fourCC overruns the container")
+      fourCC match {
+        case "ALPH" =>
+          alph = Some(java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + size))
+        case "VP8 " =>
+          val (yuv, _) = decodeFrame(bytes, pos + 8, size, applyFilter = true)
+          return (yuv, alph.map(decodeAlph(_, yuv.width, yuv.height)))
+        case _ => // VP8X flags/metadata: not needed for the pixel walk
+      }
+      pos += 8 + size + (size & 1)
+    }
+    throw new IllegalArgumentException("webp: no VP8 chunk")
+  }
+
+  private def decodeAlph(data: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(data.nonEmpty, "alph: empty chunk")
+    val hdr = data(0) & 0xff
+    require((hdr >> 6) == 0, "alph: reserved bits set")
+    require(((hdr >> 4) & 3) <= 1, "alph: reserved preprocessing")
+    // preprocessing 1 (level reduction) is encoder-side only — the
+    // decoder reconstructs the stored values either way
+    val filter = (hdr >> 2) & 3
+    val body = java.util.Arrays.copyOfRange(data, 1, data.length)
+    val plane = (hdr & 3) match {
+      case 0 =>
+        require(body.length >= w * h, "alph: raw payload short")
+        java.util.Arrays.copyOf(body, w * h)
+      case 1 => WebpDecode.decodeAlphaStream(body, w, h)
+      case x => throw new IllegalArgumentException(
+        s"alph: reserved compression method $x")
+    }
+    require(plane.length == w * h, "alph: decoded plane size mismatch")
+    if (filter != 0) unfilterAlpha(plane, w, h, filter)
+    plane
+  }
+
+  /** In-place alpha unfilter (raster order, so predictors always read
+    * already-reconstructed samples).
+    */
+  private def unfilterAlpha(p: Array[Byte], w: Int, h: Int, m: Int): Unit = {
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val a = if (x > 0) p(y * w + x - 1) & 0xff else -1
+        val b = if (y > 0) p((y - 1) * w + x) & 0xff else -1
+        val pred = m match {
+          case 1 => if (a >= 0) a else if (b >= 0) b else 0
+          case 2 => if (b >= 0) b else if (a >= 0) a else 0
+          case _ =>
+            if (a >= 0 && b >= 0) {
+              val c = p((y - 1) * w + x - 1) & 0xff
+              math.max(0, math.min(255, a + b - c))
+            } else if (a >= 0) a
+            else if (b >= 0) b
+            else 0
+        }
+        p(y * w + x) = (((p(y * w + x) & 0xff) + pred) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
   }
 
   // ------------------------------------------------- boolean decoder (§7)

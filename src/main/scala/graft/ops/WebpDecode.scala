@@ -617,6 +617,24 @@ object WebpDecode {
     Decoded(width, height, argb)
   }
 
+  /** HEADERLESS VP8L image-stream decode for WebP ALPH payloads (the
+    * container spec's alpha compression method 1): dimensions come
+    * from the container, the stream starts straight at the level-0
+    * image-stream grammar, and the alpha value rides the GREEN
+    * channel. Used by [[Vp8Decode]]'s ALPH walk.
+    */
+  private[ops] def decodeAlphaStream(data: Array[Byte], width: Int,
+      height: Int): Array[Byte] = {
+    val argb = decodeImageStream(new Br(data), width, height, level0 = true)
+    val out = new Array[Byte](argb.length)
+    var i = 0
+    while (i < argb.length) {
+      out(i) = ((argb(i) >>> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
   /** The recursive image-stream decoder: transforms (level 0 only) →
     * color cache → meta prefix codes (level 0 only) → pixel data →
     * inverse transforms in reverse read order.

@@ -91,6 +91,53 @@ class Vp8Spec extends AnyFunSuite {
     assert(anyUpdates, "token prob updates never exercised")
   }
 
+  private val alphaFixtures: Seq[(String, Int, Int)] = {
+    val natural = for {
+      p <- Seq("mix", "blocky"); (w, h) <- Seq((32, 32), (37, 21))
+    } yield (s"alpha_${p}_${w}x$h", w, h)
+    // hand-muxed raw-compression variants: one per filter method
+    val raw = for {
+      p <- Seq("mix", "blocky"); (w, h) <- Seq((32, 32), (37, 21))
+      f <- 0 to 3
+    } yield (s"alpha_${p}_${w}x${h}_raw_f$f", w, h)
+    natural ++ raw
+  }
+
+  for ((name, w, h) <- alphaFixtures) {
+    test(s"ALPH fixture $name decodes alpha sample-exactly (and Y unchanged)") {
+      val webp = resource(s"$name.webp")
+      val truth = resource(s"$name.alpha")
+      val (yuv, alpha) = Vp8Decode.decodeWithAlphaPlane(webp)
+      assert(yuv.width == w && yuv.height == h)
+      assert(alpha.isDefined, "expected an ALPH plane")
+      val a = alpha.get
+      assert(a.length == w * h && truth.length == w * h)
+      a.indices.find(i => a(i) != truth(i)).foreach { i =>
+        fail(s"alpha diff at (${i % w},${i / w}): got ${a(i) & 0xff} " +
+          s"want ${truth(i) & 0xff}")
+      }
+      // plain decode() still works on alpha containers (sidecar skipped)
+      val plain = Vp8Decode.decode(webp)
+      assert(plain.y.sameElements(yuv.y))
+    }
+  }
+
+  test("ALPH rejection: reserved compression and short raw payloads") {
+    val good = resource("alpha_mix_32x32_raw_f0.webp")
+    // find the ALPH chunk
+    var i = 12
+    def tag(p: Int) = new String(good, p, 4, "US-ASCII")
+    def sz(p: Int) = (good(p + 4) & 0xff) | ((good(p + 5) & 0xff) << 8) |
+      ((good(p + 6) & 0xff) << 16) | ((good(p + 7) & 0xff) << 24)
+    while (tag(i) != "ALPH") i += 8 + sz(i) + (sz(i) & 1)
+    val bad = good.clone()
+    bad(i + 8) = (bad(i + 8) | 3).toByte // compression = 3 (reserved)
+    val e = intercept[IllegalArgumentException] {
+      Vp8Decode.decodeWithAlphaPlane(bad)
+    }
+    assert(e.getMessage.contains("reserved compression"), e.getMessage)
+  }
+
   test("corrupt and out-of-subset VP8 streams reject loudly") {
     val good = resource("grad_32x32_q50.webp")
     intercept[IllegalArgumentException] {

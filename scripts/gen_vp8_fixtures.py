@@ -266,5 +266,82 @@ def gen_skip_fixture():
           f"Y[0]={y[0]} U[0]={u[0]}")
 
 
+def coeff_probs0():
+    """CoeffsProba0 from the shared object (same block as update probs)."""
+    import ctypes.util
+    so = ctypes.util.find_library("webp") or "/usr/lib/x86_64-linux-gnu/libwebp.so.7"
+    if not os.path.exists(so):
+        so = "/usr/lib/x86_64-linux-gnu/libwebp.so.7.1.5"
+    data = open(so, "rb").read()
+    anchor = bytes([253, 136, 254, 255, 228, 219, 128, 128, 128, 128, 128])
+    p0 = data.find(anchor) - 33
+    return data[p0:p0 + 1056]
+
+
+def gen_multipart_fixture():
+    """16x32 (two MB rows), TWO token partitions (numParts=2), no skip:
+    every MB decodes 25 empty blocks (immediate EOB) from the partition
+    its row selects — exercising the partition-size walk and per-row
+    partition routing libwebp's simple API never emits (1 partition).
+    libwebp validates and decodes the stream."""
+    upd = coeff_update_probs()
+    probs = coeff_probs0()
+    kbands = [0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7]
+
+    def p0(typ, first):
+        band = kbands[first]
+        return probs[((typ * 8 + band) * 3 + 0) * 11 + 0]
+
+    e = BoolEnc()
+    e.put(128, 0)          # color space
+    e.put(128, 0)          # clamping
+    e.put(128, 0)          # segmentation off
+    e.put(128, 0)          # filter type bit
+    e.lit(6, 0)            # filter level 0
+    e.lit(3, 0)            # sharpness
+    e.put(128, 0)          # lf adjustments off
+    e.lit(2, 1)            # TWO token partitions
+    e.lit(7, 20)           # y_ac_qi
+    for _ in range(5):
+        e.put(128, 0)      # no quant deltas
+    e.put(128, 0)          # refresh entropy
+    for i in range(1056):
+        e.put(upd[i], 0)   # no prob updates
+    e.put(128, 0)          # mb_no_coeff_skip DISABLED -> all MBs decode
+    for _ in range(2):     # two MBs: ymode DC, uv DC
+        e.put(145, 1)
+        e.put(156, 0)
+        e.put(163, 0)
+        e.put(142, 0)
+    part1 = e.flush()
+
+    def empty_mb_partition():
+        t = BoolEnc()
+        t.put(p0(1, 0), 0)             # Y2: EOB
+        for _ in range(16):
+            t.put(p0(0, 1), 0)         # Y blocks (first coeff 1): EOB
+        for _ in range(8):
+            t.put(p0(2, 0), 0)         # U+V blocks: EOB
+        return t.flush()
+
+    partA = empty_mb_partition()       # MB row 0
+    partB = empty_mb_partition()       # MB row 1
+    tag = (0 | (0 << 1) | (1 << 4) | (len(part1) << 5))
+    frame = bytes([tag & 0xff, (tag >> 8) & 0xff, (tag >> 16) & 0xff,
+                   0x9d, 0x01, 0x2a, 16, 0, 32, 0]) + part1 + \
+        len(partA).to_bytes(3, "little") + partA + partB
+    webp = b"RIFF" + (4 + 8 + len(frame) + (len(frame) & 1)).to_bytes(4, "little") + \
+        b"WEBP" + b"VP8 " + len(frame).to_bytes(4, "little") + frame
+    if len(frame) & 1:
+        webp += b"\x00"
+    y, u, v, w, h = decode_yuv(webp)
+    assert (w, h) == (16, 32)
+    open(os.path.join(OUT, "multipart_16x32_q50.webp"), "wb").write(webp)
+    open(os.path.join(OUT, "multipart_16x32_q50.yuv"), "wb").write(y + u + v)
+    print(f"[ok] multipart_16x32_q50 ({len(webp)} bytes), libwebp-validated; "
+          f"Y[0]={y[0]}")
+
+
 if __name__ == "__main__" and "--skip-only" in __import__("sys").argv:
     gen_skip_fixture()
+    gen_multipart_fixture()

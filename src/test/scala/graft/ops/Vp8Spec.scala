@@ -33,9 +33,11 @@ class Vp8Spec extends AnyFunSuite {
     // no coefficients — the grid families never trigger it
     grid ++ Seq(("corner_128x96_q50", 128, 96, 50),
       ("corner_128x96_q75", 128, 96, 75), ("corner_64x64_q50", 64, 64, 50),
-      // hand-assembled (libwebp-validated) stream exercising the
-      // per-MB skip flag libwebp's own encoder never emits here
-      ("skip_16x16_q50", 16, 16, 50))
+      // hand-assembled (libwebp-validated) streams exercising the
+      // per-MB skip flag and the 2-token-partition layout, which
+      // libwebp's simple-API encoder never emits here
+      ("skip_16x16_q50", 16, 16, 50),
+      ("multipart_16x32_q50", 16, 32, 50))
   }
 
   for ((name, w, h, _) <- fixtures) {
@@ -89,6 +91,9 @@ class Vp8Spec extends AnyFunSuite {
     assert(segs.size >= 2, "segmentation never exercised")
     assert(anySkip, "skip flag never exercised")
     assert(anyUpdates, "token prob updates never exercised")
+    // the hand-assembled stream must actually take the 2-partition path
+    val (_, mp) = Vp8Decode.decodeWithStats(resource("multipart_16x32_q50.webp"))
+    assert(mp.numPartitions == 2, s"numPartitions ${mp.numPartitions}")
   }
 
   private val alphaFixtures: Seq[(String, Int, Int)] = {

@@ -11,10 +11,10 @@ import json
 import sys
 
 RESET = {
-    # r16 duplicate-collapse plan change (SCALE.md §14.3)
-    "sim_ann_lsh", "sim_ann_filtered", "sim_ann_pq", "sim_ann_pq_trained",
-    "sim_ann_pq_rerank", "sim_ann_ivfpq", "sim_ann_ivfpq_trained",
-    "sim_ann_ivf_hier", "mm_ann_topk",
+    # r17: empty — the r16 duplicate-collapse resets (sim_ann_* +
+    # mm_ann_topk, SCALE.md §14.3) are already baked into the fold;
+    # re-listing them would discard those floors for slower-host
+    # minima. Repopulate ONLY on a deliberate plan change.
 }
 
 

@@ -3708,6 +3708,88 @@ object LlmOps extends QueryModule {
       .orderBy("qid") // one row per vector = input-sized
   }
 
+  /** MAP@10 retrieval eval (r17 — completes the retrieval-eval
+    * quartet on the SAME shared top-10 kNN build: rank-based
+    * [[eval_mrr]], set-based [[eval_recall_at_k]], graded-position
+    * [[eval_ndcg_at_k]], and this precision-averaging metric; SPEC:
+    * the TREC average-precision definition, e.g. Buckley & Voorhees
+    * 2000): per query, AP@10 = Σ_{k ≤ 10, k relevant} P@k divided by
+    * min(n_relevant, 10) — the standard cutoff normalizer (a query
+    * whose label has 3 members is judged against 3 attainable hits,
+    * and one with 40 against the 10 the cutoff allows). P@k =
+    * hits-so-far/k is exact-rational; the sum is ≤ 10 terms; both
+    * engines divide once and round at 6 dp. Singleton labels score 0.
+    * One row per vector = input-sized output.
+    */
+  q("eval_map_at_k", {
+    val (bucketCols, unions) = multiLshCandCtes(6, 6)
+    s"""WITH bk AS (SELECT vec_id, embedding,
+       |       $bucketCols FROM embeddings),
+       |     cand AS (
+       |  $unions),
+       |     scored AS (
+       |  SELECT c.a, c.b,
+       |         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                                      CAST(eb.embedding AS DOUBLE[])), 6) AS cos
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.a
+       |  JOIN embeddings eb ON eb.vec_id = c.b),
+       |     edges AS (SELECT a AS qid, b AS nbr, cos FROM scored
+       |               UNION ALL SELECT b, a, cos FROM scored),
+       |     rk AS (SELECT qid, nbr, CAST(row_number() OVER (
+       |              PARTITION BY qid ORDER BY cos DESC, nbr) AS INTEGER) AS rank
+       |            FROM edges),
+       |     rel AS (SELECT r.qid, r.rank FROM rk r
+       |             JOIN embeddings q ON q.vec_id = r.qid
+       |             JOIN embeddings nb ON nb.vec_id = r.nbr
+       |             WHERE r.rank <= 10 AND q.label = nb.label),
+       |     pk AS (SELECT qid, rank,
+       |              CAST(count(*) OVER (PARTITION BY qid ORDER BY rank) AS DOUBLE)
+       |                / rank AS p_at_k
+       |            FROM rel),
+       |     ap AS (SELECT qid, sum(p_at_k) AS sum_p, CAST(count(*) AS INTEGER) AS hits
+       |            FROM pk GROUP BY qid),
+       |     lc AS (SELECT label, CAST(count(*) AS INTEGER) AS n
+       |            FROM embeddings GROUP BY label)
+       |SELECT e.vec_id AS qid,
+       |       coalesce(ap.hits, 0) AS hits,
+       |       lc.n - 1 AS n_relevant,
+       |       CASE WHEN lc.n - 1 = 0 THEN 0.0
+       |            ELSE round(coalesce(ap.sum_p, 0.0) /
+       |                       least(lc.n - 1, 10), 6)
+       |       END AS ap
+       |FROM embeddings e
+       |JOIN lc ON lc.label = e.label
+       |LEFT JOIN ap ON ap.qid = e.vec_id
+       |ORDER BY qid""".stripMargin
+  }) { (s, d) =>
+    val emb = T(s, d, "embeddings")
+    val ranked = knnEdges(emb.select("vec_id", "embedding"), k = 10)
+    val labels = emb.select("vec_id", "label")
+    val lc = emb.groupBy("label").agg(count(lit(1)).cast("int").as("n"))
+    val rel = ranked
+      .join(labels.select(col("vec_id").as("qid"), col("label").as("ql")), Seq("qid"))
+      .join(labels.select(col("vec_id").as("nbr"), col("label").as("nl")), Seq("nbr"))
+      .filter(col("ql") === col("nl"))
+      .select("qid", "rank")
+    val w = Window.partitionBy("qid").orderBy("rank")
+    val ap = rel
+      .withColumn("p_at_k", count(lit(1)).over(w).cast("double") / col("rank"))
+      .groupBy("qid")
+      .agg(sum("p_at_k").as("sum_p"), count(lit(1)).cast("int").as("hits"))
+    labels.select(col("vec_id").as("qid"), col("label"))
+      .join(broadcast(lc), Seq("label"))
+      .join(ap, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("hits"), lit(0)).as("hits"),
+        (col("n") - 1).as("n_relevant"),
+        when(col("n") - 1 === 0, lit(0.0))
+          .otherwise(round(coalesce(col("sum_p"), lit(0.0)) /
+            least(col("n") - 1, lit(10)), 6))
+          .as("ap"))
+      .orderBy("qid") // one row per vector = input-sized
+  }
+
   /** ROUGE-1/ROUGE-2 F1 between adjacent doc pairs (SPEC: Lin 2004 —
     * the RECALL-oriented n-gram overlap summarization eval;
     * [[text_bleu_pairs]]' precision-side twin on the SAME pair scheme

@@ -2121,6 +2121,25 @@ class OpsSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("eval_map_at_k: driver AP replay from nDCG/recall's shared build; bounds hold") {
+    val map = SparkEntry.queries("eval_map_at_k")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val recall = SparkEntry.queries("eval_recall_at_k")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(map.nonEmpty)
+    map.foreach { case (qid, r) =>
+      val (hits, nRel, ap) = (r.getInt(1), r.getInt(2), r.getDouble(3))
+      assert(ap >= 0 && ap <= 1 + 1e-9, s"qid $qid ap $ap")
+      assert(hits == recall(qid), s"qid $qid hit count vs recall row")
+      assert((ap == 0.0) == (hits == 0 || nRel == 0), s"qid $qid zero rule")
+      // AP is bounded by the fraction of attainable hits found: each
+      // P@k term is ≤ 1, so sum_p ≤ hits and ap ≤ hits/min(nRel, 10)
+      if (nRel > 0)
+        assert(ap <= hits.toDouble / math.min(nRel, 10) + 1e-6,
+          s"qid $qid ap exceeds hit bound")
+    }
+  }
+
   test("text_levenshtein_pairs: cross-implementation agreement with a driver-side DP") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)

@@ -35,10 +35,16 @@ package graft.ops
   * — the derive_webp_distmap.py device. Verification: VP8 DECODE is
   * bit-exact by spec (the RFC fully determines reconstruction incl.
   * the loop filter), so Vp8Spec pins PER-SAMPLE equality of the
-  * Y/U/V planes against libwebp's own WebPDecodeYUV on 54
-  * libwebp-encoded fixtures across 6 content families × 6 sizes
-  * (incl. non-MB-multiple crops) × qualities 5..95 (q5 exercises the
-  * quantizer tails + strong filter, q95 dense coefficients).
+  * Y/U/V planes against libwebp's own WebPDecodeYUV on 113
+  * libwebp-arbitrated fixtures: 108 libwebp-encoded across 6 content
+  * families × 6 sizes (incl. non-MB-multiple crops) × qualities 5..95
+  * (q5 exercises the quantizer tails + strong filter, q95 dense
+  * coefficients), 3 busy-corner skip-candidate frames, and
+  * hand-assembled skip-flag / 2-token-partition streams (paths
+  * libwebp's own encoder never emits; written by the fixture script's
+  * RFC §7 bool encoder, validated by libwebp's decoder). The ALPH
+  * alpha sidecar has its own 20-fixture pack (both compression
+  * methods, all four filters).
   * Comparing in YUV space deliberately stops BEFORE libwebp's fancy
   * upsampler/RGB conversion, which is implementation-defined and not
   * part of the RFC contract.

@@ -143,6 +143,31 @@ class Vp8Spec extends AnyFunSuite {
     assert(e.getMessage.contains("reserved compression"), e.getMessage)
   }
 
+  test("truncation fuzz: every prefix either rejects or decodes without crash") {
+    // the RFC §7 bool decoder pads zeros past the end by design (no
+    // in-band terminator), so a mid-partition truncation may decode to
+    // garbage pixels rather than throw — the contract here is
+    // NO CRASH and NO HANG at any cut point, with header/size cuts
+    // rejecting loudly
+    val good = resource("grad_32x32_q50.webp")
+    var threw = 0
+    var decoded = 0
+    var cut = 12
+    while (cut < good.length) {
+      try {
+        val d = Vp8Decode.decode(good.take(cut))
+        assert(d.width == 32 && d.height == 32)
+        decoded += 1
+      } catch {
+        case _: IllegalArgumentException | _: IllegalStateException => threw += 1
+      }
+      cut += 7
+    }
+    // structural cuts (container/header/partition sizes) must reject
+    assert(threw > 0, "no truncation ever rejected")
+    assert(threw + decoded == (good.length - 12 + 6) / 7)
+  }
+
   test("corrupt and out-of-subset VP8 streams reject loudly") {
     val good = resource("grad_32x32_q50.webp")
     intercept[IllegalArgumentException] {

@@ -2361,11 +2361,17 @@ object LlmOps extends QueryModule {
        |ORDER BY e.vec_id""".stripMargin
   }) { (s, d) =>
     val emb = T(s, d, "embeddings").select("vec_id", "embedding")
-    // (1) exact-dup collapse: one rep per distinct embedding payload
-    val groups = emb.groupBy("embedding").agg(min("vec_id").as("rep"))
-    val member = emb.join(groups, Seq("embedding"))
-      .select(col("vec_id"), col("rep"))
-    val reps = groups.select(col("rep").as("vec_id"), col("embedding"))
+    // (1) exact-dup collapse: one rep per distinct embedding payload.
+    // ONE whole-partition window on the payload key (n rows shuffled
+    // once) instead of groupBy + re-join on the array (2n + 2d rows
+    // across three exchanges); a mega-dup group buffers in one window
+    // partition, which min() handles in a single pass — the 200k-copy
+    // probe rides this path
+    val wEmb = Window.partitionBy("embedding")
+    val member = emb.withColumn("rep", min("vec_id").over(wEmb))
+      .localCheckpoint() // reps + dupEdges both read it; cut the double window
+    val reps = member.filter(col("vec_id") === col("rep"))
+      .select(col("vec_id"), col("embedding"))
     // (2) pair graph on reps only + member→rep edges (cos = 1 exact)
     val repPairs = multiLshCandidatesOf(reps, nPlanes = 6, nTables = 6)
       .join(reps.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))

@@ -3008,6 +3008,99 @@ object MultimodalOps extends QueryModule {
       .orderBy("doc_id", "frame") // frame-count-sized = input-shaped
   }
 
+  /** Embedded lossy-frame animation pack for [[mm_webp_anim_lossy_decode]]:
+    * four hand-assembled VP8X+ANIM+ANMF containers whose frames mix
+    * lossy VP8, VP8+ALPH (raw-compression gradient alpha) and VP8L
+    * payloads across rect offsets, dispose-to-background and
+    * fractional alpha blending, plus the expected composed canvases
+    * (RGBA, frame-major) — per-frame pixels from libwebp's STILL
+    * decode of each payload, composed by the generator's independent
+    * Python replay (scripts/gen_vp8_anim_fixtures.py).
+    */
+  private object AnimLossyFixtures {
+    val Variants = Array(
+      ("animv0_32x32_f3", 32, 32, 3), ("animv1_32x32_f2", 32, 32, 2),
+      ("animv2_32x32_f4", 32, 32, 4), ("animv3_16x16_f2", 16, 16, 2))
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+    def bytes(n: String): Array[Byte] = cache.computeIfAbsent(n, { k =>
+      val in = getClass.getResourceAsStream(s"/vp8/$k")
+      require(in != null, s"missing embedded anim fixture $k")
+      try in.readAllBytes() finally in.close()
+    })
+  }
+
+  final case class AnimLossyRow(doc_id: Long, frame: Int, width: Int,
+      height: Int, n_px: Int, diff_vs_oracle: Int)
+
+  /** ANIMATED WebP with LOSSY (VP8 / VP8+ALPH) and mixed VP8L frame
+    * payloads (r18 — closes the r17 verdict's #1 realism gap: real
+    * crawled animated WebP, stickers and converted GIFs, is
+    * predominantly lossy). [[WebpDecode.decodeAnim]] now routes ANMF
+    * payloads by fourCC: VP8L → the canonically verified lossless
+    * core; VP8 [+ALPH] → [[Vp8Decode]]'s sample-exact keyframe decode
+    * + the alpha sidecar + [[Vp8Decode.yuvToArgb]] (kernel pinned
+    * per-sample vs WebPDecodeRGBA on the uniform-chroma argb_* sweep)
+    * — then ONE shared dispose/blend compositor. This row decodes the
+    * embedded 4-container pack per image doc and hashes
+    * `diff_vs_oracle` = the EXACT count of canvas samples differing
+    * from the committed expected canvases (libwebp per-frame stills
+    * composed by the generator's INDEPENDENT Python replay — two
+    * implementations of the container-spec composition must agree,
+    * same standard as the GIF/VP8L animation rows). Frame counts and
+    * dims replay closed-form in SQL, so a misrouted payload, dropped
+    * frame or wrong canvas size reds the hash structurally. Same
+    * batched mapPartitions codec slot; only counters leave the task.
+    */
+  q("mm_webp_anim_lossy_decode",
+    """WITH v AS (SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS variant
+      |           FROM documents WHERE doc_id % 3 = 0),
+      |d AS (SELECT doc_id, variant,
+      |        CASE WHEN variant = 3 THEN 16 ELSE 32 END AS w,
+      |        CASE variant WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 2 END AS nf
+      |      FROM v)
+      |SELECT doc_id, CAST(f AS INTEGER) AS frame,
+      |  CAST(w AS INTEGER) AS width, CAST(w AS INTEGER) AS height,
+      |  CAST(w * w AS INTEGER) AS n_px, CAST(0 AS INTEGER) AS diff_vs_oracle
+      |FROM d, LATERAL unnest(generate_series(0, nf - 1)) t(f)
+      |ORDER BY doc_id, frame""".stripMargin) { (s, d) =>
+    val sess = s
+    import sess.implicits._
+    mediaTable(s, d).filter(col("meta.kind") === "image")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.grouped(64).flatMap { batch =>
+          batch.flatMap { id =>
+            val (name, w, h, nf) = AnimLossyFixtures.Variants((id % 4).toInt)
+            val anim = WebpDecode.decodeAnim(
+              AnimLossyFixtures.bytes(s"$name.webp"))
+            require(anim.width == w && anim.height == h &&
+              anim.frames.length == nf, s"$name shape")
+            val truth = AnimLossyFixtures.bytes(s"$name.canvases")
+            require(truth.length == nf * w * h * 4, s"$name truth size")
+            (0 until nf).map { f =>
+              val cv = anim.canvases(f)
+              val base = f * w * h * 4
+              var diffs = 0
+              var i = 0
+              while (i < cv.length) {
+                val p = cv(i)
+                if (((p >>> 16) & 0xff) != (truth(base + 4 * i) & 0xff) ||
+                  ((p >>> 8) & 0xff) != (truth(base + 4 * i + 1) & 0xff) ||
+                  (p & 0xff) != (truth(base + 4 * i + 2) & 0xff) ||
+                  ((p >>> 24) & 0xff) != (truth(base + 4 * i + 3) & 0xff))
+                  diffs += 1
+                i += 1
+              }
+              AnimLossyRow(id, f, w, h, w * h, diffs)
+            }
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame") // frame-count-sized = input-shaped
+  }
+
   final case class VidRow(doc_id: Long, nf: Int)
   final case class MjpegRow(doc_id: Long, n_frames: Int, width: Int,
       height: Int, mean_err_le_half: Boolean, max_err_le_16: Boolean)

@@ -144,6 +144,62 @@ object Vp8Decode {
     throw new IllegalArgumentException("webp: no VP8 chunk")
   }
 
+  /** 4:2:0 YUV → ARGB ints with libwebp's public fixed-point BT.601
+    * kernel (yuv.h: 6-bit fixed point after an 8-bit-shifted multiply;
+    * R = clip6(19077·y≫8 + 26149·v≫8 − 14234), G = clip6(19077·y≫8 −
+    * 6419·u≫8 − 13320·v≫8 + 8708), B = clip6(19077·y≫8 + 33050·u≫8 −
+    * 17685)) and POINT chroma upsampling. The per-(y,u,v) KERNEL is
+    * behaviorally pinned per-sample against the system libwebp's
+    * WebPDecodeRGBA on the argb_* uniform-chroma fixture sweep
+    * (Vp8Spec): with a constant chroma plane the implementation-
+    * defined fancy upsampler is the identity, so the comparison
+    * isolates the kernel incl. both clip directions. Upsampling
+    * itself is NOT part of the RFC contract — point replication is
+    * this decoder's declared convention (deterministic and
+    * scale-independent); pixel-exactness vs libwebp is therefore
+    * guaranteed only where chroma is locally uniform, which the
+    * animation fixtures keep true per frame.
+    */
+  def yuvToArgb(d: Yuv, alpha: Option[Array[Byte]] = None): Array[Int] = {
+    val w = d.width; val h = d.height; val cw = (w + 1) >> 1
+    val hasA = alpha.isDefined
+    val ap = alpha.orNull
+    require(!hasA || ap.length == w * h, "alpha plane size mismatch")
+    val out = new Array[Int](w * h)
+    var yy = 0
+    while (yy < h) {
+      val crow = (yy >> 1) * cw
+      var x = 0
+      while (x < w) {
+        val i = yy * w + x
+        val ty = ((d.y(i) & 0xff) * 19077) >> 8
+        val u = d.u(crow + (x >> 1)) & 0xff
+        val v = d.v(crow + (x >> 1)) & 0xff
+        val r = clip6(ty + ((v * 26149) >> 8) - 14234)
+        val g = clip6(ty - ((u * 6419) >> 8) - ((v * 13320) >> 8) + 8708)
+        val b = clip6(ty + ((u * 33050) >> 8) - 17685)
+        val a = if (hasA) ap(i) & 0xff else 255
+        out(i) = (a << 24) | (r << 16) | (g << 8) | b
+        x += 1
+      }
+      yy += 1
+    }
+    out
+  }
+
+  private def clip6(v: Int): Int =
+    if ((v & ~((256 << 6) - 1)) == 0) v >> 6 else if (v < 0) 0 else 255
+
+  /** ANMF-embedded frame decode for [[WebpDecode.decodeAnim]]: one
+    * bare VP8 keyframe bitstream (no RIFF walk) at buf[off, off+len).
+    */
+  private[ops] def decodeFrameChunk(buf: Array[Byte], off: Int,
+      len: Int): Yuv = decodeFrame(buf, off, len, applyFilter = true)._1
+
+  /** ANMF-embedded ALPH payload decode for [[WebpDecode.decodeAnim]]. */
+  private[ops] def decodeAlphaChunk(data: Array[Byte], w: Int,
+      h: Int): Array[Byte] = decodeAlph(data, w, h)
+
   private def decodeAlph(data: Array[Byte], w: Int, h: Int): Array[Byte] = {
     require(data.nonEmpty, "alph: empty chunk")
     val hdr = data(0) & 0xff
@@ -332,11 +388,14 @@ object Vp8Decode {
     val headerFilterSimple = bd.bit(128) == 1
     val filterLevelBase = bd.lit(6)
     val sharpness = bd.lit(3)
-    // version overrides (§9.4): v1/2 force the simple filter, v3 none
-    val filterKind =
-      if (version >= 3) 2
-      else if (version >= 1) 1
-      else if (headerFilterSimple) 1 else 0 // 0 normal, 1 simple, 2 none
+    // Filter selection follows the declared oracle (libwebp): purely the
+    // header's filter-type bit — libwebp's VP8ParseFilterHeader ignores
+    // the frame-tag version for filter choice (empirically confirmed: a
+    // version-2 stream with the simple bit set IS filtered by libwebp;
+    // the RFC §9.1/libvpx version table maps v2 to NO filter, so the two
+    // references disagree and we pin the one Vp8Spec arbitrates against).
+    // A level-0 stream is unfiltered regardless via the per-MB lvl>0 gate.
+    val filterKind = if (headerFilterSimple) 1 else 0 // 0 normal, 1 simple
     var lfDeltaEnabled = false
     val refLfDelta = new Array[Int](4)
     val modeLfDelta = new Array[Int](4)
@@ -682,7 +741,7 @@ object Vp8Decode {
     }
 
     // ---- in-loop deblocking (§15), MB raster order
-    if (applyFilter && filterKind != 2) {
+    if (applyFilter) {
       mbY = 0
       while (mbY < mbH) {
         var mbX = 0
@@ -705,7 +764,13 @@ object Vp8Decode {
               normalFilterMb(Y, U, Vp, fw, cfw, mbX, mbY, mbLim, subLim,
                 interior, hevT, inner)
             else
-              simpleFilterMb(Y, fw, mbX, mbY, mbLim + 4, subLim + 4, inner)
+              // mbLim/subLim are ALREADY the final §15.4 mask limits for
+              // simpleEdge's 2*|p0-q0| + |p1-q1|/2 form — libwebp's +4 is
+              // an artifact of its 4*|p0-q0| + |p1-q1| <= 2*t+1 encoding
+              // (t = f_limit+4 there ≡ mbLim here exactly). Empirically
+              // pinned by the simplef_* fixtures: +4 here diverges from
+              // libwebp on near-threshold edges.
+              simpleFilterMb(Y, fw, mbX, mbY, mbLim, subLim, inner)
           }
           mbX += 1
         }

@@ -255,16 +255,23 @@ object WebpDecode {
       loops: Int, frames: Vector[AnimFrame], canvases: Vector[Array[Int]])
 
   /** ANIMATED WebP decode (VP8X + ANIM + ANMF per the public WebP
-    * container spec, frame payloads VP8L): the GIF89a-composition twin.
-    * The VP8L pixel core is canonically verified (WebpSpec's libwebp
-    * corpus); the CONTAINER walk and dispose/background/blend
-    * composition are spec-derived and pinned by hand-assembled streams
-    * (offsets, dispose-to-background, blend-over-transparency) whose
-    * expected canvases are closed-form by construction — the system
-    * libwebp.so.7 core cannot arbitrate them (animation demux lives in
-    * libwebpdemux, absent from this container), which is the same
-    * evidence standard the GIF composition work shipped under. Static
-    * lossy VP8 frames (and ALPH chunks) reject loudly.
+    * container spec): the GIF89a-composition twin. Frame payloads may
+    * be VP8L (lossless), lossy VP8, or VP8+ALPH (r18 — real crawled
+    * animated WebP, stickers and converted GIFs, is predominantly
+    * lossy): [[Vp8Decode]]'s sample-exact keyframe core + the ALPH
+    * sidecar decoder + [[Vp8Decode.yuvToArgb]] (kernel behaviorally
+    * pinned vs WebPDecodeRGBA) feed the same compositor as VP8L
+    * frames. The pixel cores are canonically verified (WebpSpec /
+    * Vp8Spec libwebp corpora); the CONTAINER walk and dispose/
+    * background/blend composition are spec-derived and pinned by
+    * hand-assembled streams (offsets, dispose-to-background,
+    * blend-over-transparency, mixed VP8L/VP8/VP8+ALPH frames — the
+    * animv* pack) whose expected canvases come from libwebp's
+    * per-frame still decode composed by an INDEPENDENT replay
+    * (scripts/gen_vp8_anim_fixtures.py) — the system libwebp.so.7
+    * core cannot arbitrate composition itself (animation demux lives
+    * in libwebpdemux, absent from this container), the same evidence
+    * standard the GIF composition work shipped under.
     */
   def decodeAnim(bytes: Array[Byte]): Anim = {
     require(bytes.length >= 30, "webp: truncated container")
@@ -310,19 +317,45 @@ object WebpDecode {
           val fflags = bytes(pos + 23) & 0xff
           val blend = (fflags & 0x02) == 0 // bit 1: 0 = alpha-blend
           val disposeToBg = (fflags & 0x01) != 0 // bit 0: 1 = dispose-to-bg
-          // frame data: ONE image chunk (VP8L in subset)
-          val ft = tag(pos + 24)
-          require(ft == "VP8L", s"webp: $ft frame payload out of subset")
-          val fsize = u32le(pos + 28).toInt
-          require(fsize >= 0 && pos + 32 + fsize <= pos + 8 + size,
+          // frame data: [optional ALPH chunk +] ONE image chunk — VP8L
+          // (lossless) or VP8 (lossy keyframe, r18: the majority of
+          // real crawled animated WebP)
+          var fpos = pos + 24
+          var alph: Option[Array[Byte]] = None
+          if (tag(fpos) == "ALPH") {
+            val asz = u32le(fpos + 4).toInt
+            require(asz >= 0 && fpos + 8 + asz <= pos + 8 + size,
+              "webp: ALPH overruns its ANMF")
+            alph = Some(java.util.Arrays.copyOfRange(
+              bytes, fpos + 8, fpos + 8 + asz))
+            fpos += 8 + asz + (asz & 1)
+            require(fpos + 8 <= pos + 8 + size, "webp: ANMF ends after ALPH")
+          }
+          val ft = tag(fpos)
+          val fsize = u32le(fpos + 4).toInt
+          require(fsize >= 0 && fpos + 8 + fsize <= pos + 8 + size,
             "webp: frame payload overruns its ANMF")
-          val d = decodeVp8l(
-            java.util.Arrays.copyOfRange(bytes, pos + 32, pos + 32 + fsize))
-          require(d.width == fw && d.height == fh,
-            s"webp: ANMF says ${fw}x$fh, VP8L says ${d.width}x${d.height}")
+          val px = ft match {
+            case "VP8L" =>
+              require(alph.isEmpty,
+                "webp: ALPH may not accompany a VP8L frame (spec: lossless carries its own alpha)")
+              val d = decodeVp8l(java.util.Arrays.copyOfRange(
+                bytes, fpos + 8, fpos + 8 + fsize))
+              require(d.width == fw && d.height == fh,
+                s"webp: ANMF says ${fw}x$fh, VP8L says ${d.width}x${d.height}")
+              d.argb
+            case "VP8 " =>
+              val yuv = Vp8Decode.decodeFrameChunk(bytes, fpos + 8, fsize)
+              require(yuv.width == fw && yuv.height == fh,
+                s"webp: ANMF says ${fw}x$fh, VP8 says ${yuv.width}x${yuv.height}")
+              Vp8Decode.yuvToArgb(yuv,
+                alph.map(Vp8Decode.decodeAlphaChunk(_, fw, fh)))
+            case other => throw new IllegalArgumentException(
+              s"webp: $other frame payload out of subset")
+          }
           require(fx + fw <= cw && fy + fh <= ch,
             s"webp: frame rect ($fx,$fy ${fw}x$fh) outside the ${cw}x$ch canvas")
-          frames += AnimFrame(fx, fy, fw, fh, dur, blend, disposeToBg, d.argb)
+          frames += AnimFrame(fx, fy, fw, fh, dur, blend, disposeToBg, px)
         case _ => // ICCP/EXIF/XMP etc: skip
       }
       pos += 8 + size + (size & 1)

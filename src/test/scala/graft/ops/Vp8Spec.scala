@@ -37,7 +37,21 @@ class Vp8Spec extends AnyFunSuite {
       // per-MB skip flag and the 2-token-partition layout, which
       // libwebp's simple-API encoder never emits here
       ("skip_16x16_q50", 16, 16, 50),
-      ("multipart_16x32_q50", 16, 32, 50))
+      ("multipart_16x32_q50", 16, 32, 50),
+      // hand-assembled SIMPLE-filter streams (libwebp's encoder always
+      // picks the normal filter): nonzero levels, hand-built
+      // coefficients landing edge steps on near-threshold masks — the
+      // corpus that catches a 4-too-large simple-filter limit. The _v2
+      // stream sets frame-tag version=2 with an IDENTICAL payload: its
+      // truth sidecar is byte-identical to the v0 one, pinning that the
+      // filter choice follows the header bit, not the version bits.
+      ("simplef_16x16_lv4", 16, 16, -1),
+      ("simplef_32x32_lv10", 32, 32, -1),
+      ("simplef_32x32_lv20s3", 32, 32, -1),
+      ("simplef_v2_16x16_lv4", 16, 16, -1),
+      // version=2 with the NORMAL-filter bit (gen_vp8_anim_fixtures):
+      // a version-forces-simple rule would filter this wrongly
+      ("normalf_v2_16x16_lv16", 16, 16, -1))
   }
 
   for ((name, w, h, _) <- fixtures) {
@@ -91,9 +105,20 @@ class Vp8Spec extends AnyFunSuite {
     assert(segs.size >= 2, "segmentation never exercised")
     assert(anySkip, "skip flag never exercised")
     assert(anyUpdates, "token prob updates never exercised")
+    // BOTH deblocking filters must be exercised (the r17 simple-filter
+    // threshold bug shipped precisely because `filters` was collected
+    // but never asserted and no fixture selected type 1)
+    assert(filters == Set(0, 1), s"filter types seen: $filters")
     // the hand-assembled stream must actually take the 2-partition path
     val (_, mp) = Vp8Decode.decodeWithStats(resource("multipart_16x32_q50.webp"))
     assert(mp.numPartitions == 2, s"numPartitions ${mp.numPartitions}")
+    // the simple-filter fixtures must take type 1 WITH a nonzero level
+    for (n <- Seq("simplef_16x16_lv4", "simplef_32x32_lv10",
+        "simplef_32x32_lv20s3", "simplef_v2_16x16_lv4")) {
+      val (_, st) = Vp8Decode.decodeWithStats(resource(s"$n.webp"))
+      assert(st.filterType == 1, s"$n filterType ${st.filterType}")
+      assert(st.filterLevels.exists(_ > 0), s"$n filter levels all zero")
+    }
   }
 
   private val alphaFixtures: Seq[(String, Int, Int)] = {
@@ -190,5 +215,111 @@ class Vp8Spec extends AnyFunSuite {
       Array.fill(16 * 16)(0xff808080), 16, 16)
     val e3 = intercept[IllegalArgumentException] { Vp8Decode.decode(l) }
     assert(e3.getMessage.contains("VP8L"), e3.getMessage)
+  }
+
+  // YUV->ARGB kernel pin: uniform-chroma sweep (chroma constant => the
+  // implementation-defined fancy upsampler in libwebp is the identity,
+  // so WebPDecodeRGBA's committed output isolates the fixed-point
+  // conversion kernel — every coefficient and both clip directions)
+  private val argbSweep = Seq("argb_16x16_u0_v0", "argb_16x16_um60_v0",
+    "argb_16x16_u0_vm60", "argb_16x16_u40_v40", "argb_16x16_um40_v60",
+    "argb_16x16_u80_vm80", "argb_16x16_u25_vm25", "argb_16x16_um80_v80")
+
+  for (name <- argbSweep) {
+    test(s"yuvToArgb matches libwebp's RGBA decode on $name") {
+      val d = Vp8Decode.decode(resource(s"$name.webp"))
+      val truth = resource(s"$name.argb") // raw RGBA bytes
+      val got = Vp8Decode.yuvToArgb(d)
+      assert(truth.length == got.length * 4)
+      got.indices.find { i =>
+        ((got(i) >>> 16) & 0xff) != (truth(4 * i) & 0xff) ||
+          ((got(i) >>> 8) & 0xff) != (truth(4 * i + 1) & 0xff) ||
+          (got(i) & 0xff) != (truth(4 * i + 2) & 0xff) ||
+          ((got(i) >>> 24) & 0xff) != (truth(4 * i + 3) & 0xff)
+      }.foreach { i =>
+        fail(f"argb diff at (${i % d.width},${i / d.width}): " +
+          f"got ${got(i)}%08x want A=${truth(4 * i + 3) & 0xff} " +
+          f"R=${truth(4 * i) & 0xff} G=${truth(4 * i + 1) & 0xff} " +
+          f"B=${truth(4 * i + 2) & 0xff}")
+      }
+    }
+  }
+
+  // animated WebP with LOSSY frames (r18): mixed VP8 / VP8+ALPH / VP8L
+  // payloads, rect offsets, dispose-to-background, fractional alpha
+  // blending. Truth: libwebp's still decode of each frame payload,
+  // composed by the generator's INDEPENDENT Python replay of the
+  // container-spec src-over-dst composition.
+  private val animFixtures = Seq(
+    ("animv0_32x32_f3", 32, 32, 3), ("animv1_32x32_f2", 32, 32, 2),
+    ("animv2_32x32_f4", 32, 32, 4), ("animv3_16x16_f2", 16, 16, 2))
+
+  for ((name, w, h, nf) <- animFixtures) {
+    test(s"lossy-frame animation $name composes canvas-exactly") {
+      val anim = WebpDecode.decodeAnim(resource(s"$name.webp"))
+      val truth = resource(s"$name.canvases") // per-frame RGBA, frame-major
+      assert((anim.width, anim.height, anim.frames.length) == (w, h, nf))
+      assert(truth.length == nf * w * h * 4)
+      for (f <- 0 until nf) {
+        val cv = anim.canvases(f)
+        val base = f * w * h * 4
+        cv.indices.find { i =>
+          ((cv(i) >>> 16) & 0xff) != (truth(base + 4 * i) & 0xff) ||
+            ((cv(i) >>> 8) & 0xff) != (truth(base + 4 * i + 1) & 0xff) ||
+            (cv(i) & 0xff) != (truth(base + 4 * i + 2) & 0xff) ||
+            ((cv(i) >>> 24) & 0xff) != (truth(base + 4 * i + 3) & 0xff)
+        }.foreach { i =>
+          fail(f"$name frame $f diff at (${i % w},${i / w}): " +
+            f"got ${cv(i)}%08x want A=${truth(base + 4 * i + 3) & 0xff} " +
+            f"R=${truth(base + 4 * i) & 0xff} " +
+            f"G=${truth(base + 4 * i + 1) & 0xff} " +
+            f"B=${truth(base + 4 * i + 2) & 0xff}")
+        }
+      }
+    }
+  }
+
+  test("anim rejections: ALPH before VP8L, unknown payload fourCC") {
+    val good = resource("animv1_32x32_f2.webp") // frame 1 carries ALPH+VP8
+    def sz(b: Array[Byte], p: Int) = (b(p + 4) & 0xff) |
+      ((b(p + 5) & 0xff) << 8) | ((b(p + 6) & 0xff) << 16) |
+      ((b(p + 7) & 0xff) << 24)
+    def findChunk(b: Array[Byte], cc: String, from: Int): Int = {
+      var i = from
+      while (new String(b, i, 4, "US-ASCII") != cc) {
+        // descend INTO ANMF frame bodies (16-byte header, then chunks)
+        if (new String(b, i, 4, "US-ASCII") == "ANMF") i += 24
+        else i += 8 + sz(b, i) + (sz(b, i) & 1)
+      }
+      i
+    }
+    // corrupt the VP8 fourCC following the ALPH chunk -> unknown payload
+    val alphAt = findChunk(good, "ALPH", 30)
+    val vp8At = findChunk(good, "VP8 ", alphAt)
+    val badCc = good.clone()
+    badCc(vp8At + 3) = 'Z'.toByte
+    val e = intercept[IllegalArgumentException] { WebpDecode.decodeAnim(badCc) }
+    assert(e.getMessage.contains("out of subset"), e.getMessage)
+    // ALPH+VP8L is a spec violation (lossless carries its own alpha)
+    val v2 = resource("animv2_32x32_f4.webp") // frame 0 payload is VP8L
+    val l0 = findChunk(v2, "VP8L", 30)
+    // splice: insert a minimal ALPH chunk before the VP8L payload
+    val alph = Array[Byte]('A', 'L', 'P', 'H', 2, 0, 0, 0, 0, 0)
+    val spliced = new Array[Byte](v2.length + alph.length)
+    System.arraycopy(v2, 0, spliced, 0, l0)
+    System.arraycopy(alph, 0, spliced, l0, alph.length)
+    System.arraycopy(v2, l0, spliced, l0 + alph.length, v2.length - l0)
+    // fix the RIFF and enclosing ANMF sizes
+    def putSz(b: Array[Byte], p: Int, v: Int): Unit = {
+      b(p + 4) = (v & 0xff).toByte; b(p + 5) = ((v >> 8) & 0xff).toByte
+      b(p + 6) = ((v >> 16) & 0xff).toByte; b(p + 7) = ((v >> 24) & 0xff).toByte
+    }
+    putSz(spliced, 0, sz(v2, 0) + alph.length) // RIFF size lives at offset 4
+    val anmfAt = findChunk(v2, "ANMF", 30)
+    putSz(spliced, anmfAt, sz(v2, anmfAt) + alph.length)
+    val e2 = intercept[IllegalArgumentException] {
+      WebpDecode.decodeAnim(spliced)
+    }
+    assert(e2.getMessage.contains("may not accompany"), e2.getMessage)
   }
 }

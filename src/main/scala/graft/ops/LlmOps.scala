@@ -5428,12 +5428,26 @@ object LlmOps extends QueryModule {
     * `java.util.zip.Deflater` (BEST_SPEED — the signal needs ordering,
     * not optimal encoding). mapPartitions is the correct slot — this
     * is byte-codec work like the multimodal decode path, one Deflater
-    * reused per partition, zero shuffle before the output sort. No
-    * SQL oracle can re-derive zlib output → rows-only; the
-    * monotonicity contract (repetitive ≪ diverse) is pinned in
-    * OpsSemanticsSpec.
+    * reused per partition, zero shuffle before the output sort.
+    *
+    * Gate (r18 — closes the registry's last `no_oracle` row): DuckDB
+    * cannot re-derive zlib output, so the oracle is DATA-PARAMETERIZED
+    * (the qDyn/BPE discipline): Verify-time gen deflates every doc
+    * through an INDEPENDENT single-shot code path (fresh Deflater per
+    * doc, one pre-sized buffer — not the partition-reused incremental
+    * loop the operator runs) and embeds the per-doc compressed length
+    * as a VALUES artifact; DuckDB then independently recomputes the
+    * raw UTF-8 byte length (strlen), the ratio division, and the
+    * 6-dp half-even rounding (round_even ≡ math.rint — verified on
+    * the comp·2e6 ≡ raw·odd boundary where plain round() diverges),
+    * LEFT-joined from documents so a missing/extra doc reds the hash
+    * rather than vanishing. The monotonicity contract (repetitive ≪
+    * diverse) stays pinned in OpsSemanticsSpec; determinism of the
+    * container zlib across the two code paths is what the artifact
+    * trusts (same libz.so in one JVM — and a partition-reuse bug like
+    * a missed reset() now reds the gate instead of hiding).
     */
-  qRowsOnly("text_compression_ratio") { (s, d) =>
+  qDyn("text_compression_ratio") { (s, d) =>
     import s.implicits._
     T(s, d, "documents")
       .select(col("doc_id"), col("text"))
@@ -5473,6 +5487,32 @@ object LlmOps extends QueryModule {
       }
       .toDF("doc_id", "n_bytes", "deflate_ratio")
       .orderBy("doc_id") // one row per doc = input-sized
+  } { (s, d) =>
+    import s.implicits._
+    // independent single-shot deflate per doc (fresh instance, sized
+    // buffer) — deliberately NOT the operator's reused-Deflater loop
+    val art = T(s, d, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+      .map { case (id, text) =>
+        val raw = if (text == null) Array.emptyByteArray
+          else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val df8 = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+        try {
+          df8.setInput(raw)
+          df8.finish()
+          val buf = new Array[Byte](raw.length + 1024)
+          var n = 0L
+          while (!df8.finished()) n += df8.deflate(buf)
+          s"($id,$n)"
+        } finally df8.end()
+      }
+    s"""WITH art(doc_id, comp) AS (VALUES ${art.mkString(",")})
+       |SELECT d.doc_id, CAST(strlen(d.text) AS BIGINT) AS n_bytes,
+       |  CASE WHEN strlen(d.text) = 0 THEN CAST(1.0 AS DOUBLE)
+       |       ELSE round_even(a.comp / CAST(strlen(d.text) AS DOUBLE), 6)
+       |  END AS deflate_ratio
+       |FROM documents d LEFT JOIN art a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** BM25 ranking (Robertson et al.; the Lucene-default scoring) — the

@@ -61,7 +61,8 @@ def decode_rgba(data):
 # ---------------------------------------------------------------- VP8 builder
 
 def build_vp8_frame(mb_cols, mb_rows, level, sharpness, simple,
-                    y2_dc, y_acs, uv_dc=None, version=0, y_ac_qi=10):
+                    y2_dc, y_acs, uv_dc=None, version=0, y_ac_qi=10,
+                    lf_delta=None, bpred=frozenset()):
     """Hand-assemble one VP8 keyframe BITSTREAM (no RIFF) of DC-mode
     MBs: per-MB Y2 DC, per-Y-block AC (scan pos 1), and per-MB chroma
     DCs (same value on all four 4x4 sub-blocks of a plane -> the
@@ -80,7 +81,19 @@ def build_vp8_frame(mb_cols, mb_rows, level, sharpness, simple,
     e.put(128, 1 if simple else 0)  # filter type bit
     e.lit(6, level)
     e.lit(3, sharpness)
-    e.put(128, 0)          # lf adjustments off
+    if lf_delta is None:
+        e.put(128, 0)      # lf adjustments off
+    else:
+        ref0, mode0 = lf_delta
+        e.put(128, 1)      # lf adjustments ENABLED
+        e.put(128, 1)      # update delta values
+        for d in (ref0, 0, 0, 0, mode0, 0, 0, 0):  # 4 ref + 4 mode
+            if d == 0:
+                e.put(128, 0)
+            else:
+                e.put(128, 1)
+                e.lit(6, abs(d))
+                e.put(128, 1 if d < 0 else 0)  # sign
     e.lit(2, 0)            # 1 token partition
     e.lit(7, y_ac_qi)
     for _ in range(5):
@@ -89,10 +102,18 @@ def build_vp8_frame(mb_cols, mb_rows, level, sharpness, simple,
     for i in range(1056):
         e.put(upd[i], 0)   # no token prob updates
     e.put(128, 0)          # mb_no_coeff_skip DISABLED
-    for _ in range(mb_cols * mb_rows):
-        e.put(145, 1)      # ymode: DC
-        e.put(156, 0)
-        e.put(163, 0)
+    for mb in range(mb_cols * mb_rows):
+        if mb in bpred:
+            e.put(145, 0)  # ymode: B_PRED
+            # 16 submodes, all B_DC_PRED: with every neighbor submode
+            # (incl. the implied border) B_DC, the context is always
+            # kf_bmode_prob[0][0] whose first tree prob is 231
+            for _ in range(16):
+                e.put(231, 0)
+        else:
+            e.put(145, 1)  # ymode: DC
+            e.put(156, 0)
+            e.put(163, 0)
         e.put(142, 0)      # uvmode: DC
     part1 = e.flush()
 
@@ -108,19 +129,30 @@ def build_vp8_frame(mb_cols, mb_rows, level, sharpness, simple,
         lf_v = [0] * 2
         for mx in range(mb_cols):
             mb = my * mb_cols + mx
-            ctx = (lf_y2 if mx > 0 else 0) + (ab_y2[mx] if my > 0 else 0)
-            y2c = [0] * 16
-            y2c[0] = y2_dc[mb]
-            nzy2 = _encode_block(t, probs, 1, y2c, 0, ctx)
-            lf_y2 = ab_y2[mx] = int(nzy2)
+            is_bpred = mb in bpred
+            if is_bpred:
+                # B_PRED MB: no Y2 block; neighbor Y2 nonzero contexts
+                # are PRESERVED, not updated (single-MB fixtures only,
+                # so no later MB ever reads them here)
+                assert mb_cols * mb_rows == 1, \
+                    "bpred supported only in single-MB fixtures"
+            else:
+                ctx = (lf_y2 if mx > 0 else 0) + (ab_y2[mx] if my > 0 else 0)
+                y2c = [0] * 16
+                y2c[0] = y2_dc[mb]
+                nzy2 = _encode_block(t, probs, 1, y2c, 0, ctx)
+                lf_y2 = ab_y2[mx] = int(nzy2)
+            ytyp, yfirst = (3, 0) if is_bpred else (0, 1)
             nz = [[0] * 4 for _ in range(4)]
             for r in range(4):
                 for c in range(4):
                     lnz = nz[r][c - 1] if c > 0 else (lf_y[r] if mx > 0 else 0)
                     anz = nz[r - 1][c] if r > 0 else \
                         (ab_y[mx][c] if my > 0 else 0)
+                    coeffs = _ac(y_acs[mb][r * 4 + c],
+                                 pos=0 if is_bpred else 1)
                     nz[r][c] = int(_encode_block(
-                        t, probs, 0, _ac(y_acs[mb][r * 4 + c]), 1, lnz + anz))
+                        t, probs, ytyp, coeffs, yfirst, lnz + anz))
             for r in range(4):
                 lf_y[r] = nz[r][3]
             ab_y[mx] = [nz[3][c] for c in range(4)]
@@ -435,7 +467,31 @@ def gen_normalf_v2():
     print(f"[ok] {name}: distinctY={len(set(y))}")
 
 
+def gen_lfdelta_fixtures():
+    """Loop-filter delta fixtures (no encoded corpus enables the LF
+    adjustment section): a DC-mode stream whose refLfDelta[INTRA]
+    shifts every MB's level, and a B_PRED stream that ALSO takes the
+    modeLfDelta[0] add (the only mode delta keyframes can hit).
+    libwebp arbitrates both."""
+    acs = [2, -3, 5, -8, 1, -2, 4, -6, 9, -12, 3, -1, 7, -5, 10, -4]
+    for name, kw in (
+        ("lfdelta_16x16_lv20", dict(lf_delta=(-6, 0))),
+        ("lfdelta_bpred_16x16_lv12", dict(lf_delta=(4, -5),
+                                          bpred=frozenset([0]))),
+    ):
+        level = 20 if "lv20" in name else 12
+        frame = build_vp8_frame(1, 1, level, 0, False, y2_dc=[7],
+                                y_acs=[acs], uv_dc=[(15, -15)], **kw)
+        webp = mux_still(frame)
+        y, u, v, w, h = decode_yuv(webp)
+        assert (w, h) == (16, 16)
+        open(os.path.join(OUT, name + ".webp"), "wb").write(webp)
+        open(os.path.join(OUT, name + ".yuv"), "wb").write(y + u + v)
+        print(f"[ok] {name}: distinctY={len(set(y))}")
+
+
 if __name__ == "__main__":
     gen_argb_sweep()
     gen_anim_fixtures()
     gen_normalf_v2()
+    gen_lfdelta_fixtures()

@@ -66,7 +66,7 @@ object Vp8Decode {
   final case class Stats(yModes: Set[Int], bModes: Set[Int],
       uvModes: Set[Int], tokenCats: Set[Int], segments: Set[Int],
       numPartitions: Int, filterType: Int, filterLevels: Set[Int],
-      skippedMbs: Int, probUpdates: Int)
+      skippedMbs: Int, probUpdates: Int, lfDeltas: Boolean)
 
   // ------------------------------------------------------------ container
 
@@ -796,7 +796,7 @@ object Vp8Decode {
     (Yuv(width, height, oy, ou, ov),
       Stats(statYModes.toSet, statBModes.toSet, statUvModes.toSet,
         statTokenCats.toSet, statSegs.toSet, numParts, filterKind,
-        statFilterLevels.toSet, statSkipped, probUpdates))
+        statFilterLevels.toSet, statSkipped, probUpdates, lfDeltaEnabled))
   }
 
   // ------------------------------------------------ inverse transforms

@@ -51,7 +51,12 @@ class Vp8Spec extends AnyFunSuite {
       ("simplef_v2_16x16_lv4", 16, 16, -1),
       // version=2 with the NORMAL-filter bit (gen_vp8_anim_fixtures):
       // a version-forces-simple rule would filter this wrongly
-      ("normalf_v2_16x16_lv16", 16, 16, -1))
+      ("normalf_v2_16x16_lv16", 16, 16, -1),
+      // loop-filter delta section (no encoded corpus enables it):
+      // refLfDelta[INTRA] on the DC path, plus modeLfDelta[0] via a
+      // hand-assembled all-B_DC B_PRED macroblock
+      ("lfdelta_16x16_lv20", 16, 16, -1),
+      ("lfdelta_bpred_16x16_lv12", 16, 16, -1))
   }
 
   for ((name, w, h, _) <- fixtures) {
@@ -89,6 +94,7 @@ class Vp8Spec extends AnyFunSuite {
     var filters = Set.empty[Int]
     var anySkip = false
     var anyUpdates = false
+    var anyLfDeltas = false
     for ((name, _, _, _) <- fixtures) {
       val (_, st) = Vp8Decode.decodeWithStats(resource(s"$name.webp"))
       yModes ++= st.yModes; bModes ++= st.bModes; uvModes ++= st.uvModes
@@ -96,6 +102,7 @@ class Vp8Spec extends AnyFunSuite {
       filters += st.filterType
       anySkip ||= st.skippedMbs > 0
       anyUpdates ||= st.probUpdates > 0
+      anyLfDeltas ||= st.lfDeltas
     }
     assert(yModes == Set(0, 1, 2, 3, 4), s"Y modes seen: $yModes")
     assert(bModes == (0 to 9).toSet, s"B modes seen: $bModes")
@@ -105,6 +112,7 @@ class Vp8Spec extends AnyFunSuite {
     assert(segs.size >= 2, "segmentation never exercised")
     assert(anySkip, "skip flag never exercised")
     assert(anyUpdates, "token prob updates never exercised")
+    assert(anyLfDeltas, "loop-filter delta path never exercised")
     // BOTH deblocking filters must be exercised (the r17 simple-filter
     // threshold bug shipped precisely because `filters` was collected
     // but never asserted and no fixture selected type 1)
@@ -112,6 +120,12 @@ class Vp8Spec extends AnyFunSuite {
     // the hand-assembled stream must actually take the 2-partition path
     val (_, mp) = Vp8Decode.decodeWithStats(resource("multipart_16x32_q50.webp"))
     assert(mp.numPartitions == 2, s"numPartitions ${mp.numPartitions}")
+    // the B_PRED lf-delta stream must actually take BOTH delta adds
+    // (ymode B_PRED = 4 -> modeLfDelta applies on keyframes)
+    val (_, ld) = Vp8Decode.decodeWithStats(
+      resource("lfdelta_bpred_16x16_lv12.webp"))
+    assert(ld.lfDeltas && ld.yModes.contains(4),
+      s"lfdelta_bpred: lfDeltas=${ld.lfDeltas} yModes=${ld.yModes}")
     // the simple-filter fixtures must take type 1 WITH a nonzero level
     for (n <- Seq("simplef_16x16_lv4", "simplef_32x32_lv10",
         "simplef_32x32_lv20s3", "simplef_v2_16x16_lv4")) {
@@ -277,6 +291,29 @@ class Vp8Spec extends AnyFunSuite {
         }
       }
     }
+  }
+
+  test("anim truncation fuzz: every prefix rejects or decodes, never crashes") {
+    // the mixed-payload container (VP8L + VP8 + ALPH frames): cuts land
+    // in the RIFF walk, ANMF headers, ALPH payloads and both codecs'
+    // entropy-coded bodies. Bool/bit readers pad or reject by design;
+    // the contract is NO CRASH and NO HANG at any cut point
+    val good = resource("animv2_32x32_f4.webp")
+    var threw = 0
+    var decoded = 0
+    var cut = 12
+    while (cut < good.length) {
+      try {
+        val a = WebpDecode.decodeAnim(good.take(cut))
+        assert(a.width == 32 && a.height == 32)
+        decoded += 1
+      } catch {
+        case _: IllegalArgumentException | _: IllegalStateException => threw += 1
+      }
+      cut += 5
+    }
+    assert(threw > 0, "no truncation ever rejected")
+    assert(threw + decoded == (good.length - 12 + 4) / 5)
   }
 
   test("anim rejections: ALPH before VP8L, unknown payload fourCC") {

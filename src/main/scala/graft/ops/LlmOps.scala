@@ -1832,13 +1832,21 @@ object LlmOps extends QueryModule {
     * That is exactly why the plane/table counts are parameters here
     * rather than constants inside.
     */
-  def multiLshCandidatesOf(emb: DataFrame, nPlanes: Int, nTables: Int): DataFrame = {
-    val tb = emb.select(col("vec_id"), explode(array((0 until nTables).map { t =>
+  /** Per-table LSH bucket rows (vec_id, tbl, bucket) on one scan —
+    * the probe/index surface [[graft.streaming.StreamOps
+    * .corpusSemDedup]] persists, factored from the candidate join so
+    * stream and batch bucket DEFINITIONS cannot drift apart.
+    */
+  def multiLshBucketsOf(emb: DataFrame, nPlanes: Int, nTables: Int): DataFrame =
+    emb.select(col("vec_id"), explode(array((0 until nTables).map { t =>
       struct(lit(t).as("tbl"),
         signBucketExpr(col("embedding"), 64,
           (0 until nPlanes).map(tablePlane(t))).as("bucket"))
     }: _*)).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+
+  def multiLshCandidatesOf(emb: DataFrame, nPlanes: Int, nTables: Int): DataFrame = {
+    val tb = multiLshBucketsOf(emb, nPlanes, nTables)
     val l = tb.select(col("tbl"), col("bucket"), col("vec_id").as("a"))
     val r = tb.select(col("tbl"), col("bucket"), col("vec_id").as("b"))
     l.join(r, Seq("tbl", "bucket"))

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
   StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
@@ -164,6 +165,115 @@ object StreamOps {
       .withColumn("hs", array_distinct(col("hs"))).localCheckpoint()
     sh.write.mode("overwrite").parquet(s"$indexDir/shingles")
     LlmOps.minhashBandsFromHashes(sh).write.mode("overwrite").parquet(s"$indexDir/bands")
+  }
+
+  /** Continuous-ingest SemDeDup — the streaming twin of the registered
+    * `dedup_semdedup_keep` row (Abbas et al. 2023: keep one
+    * representative per embedding-space cluster): new vectors arrive,
+    * keep/drop is decided against the GROWING representative index,
+    * and every input vector emits a (vec_id, canonical, keep)
+    * decision. The `corpusNearDup` foreachBatch shape with the
+    * semantic-dedup pipeline swapped in; per micro-batch:
+    * (1) EXACT-DUPLICATE COLLAPSE (the r17 device): identical
+    * embeddings collapse to the min-id rep before any pair work, so a
+    * mega-dup burst contributes ONE rep to every join; (2) the batch
+    * reps' multi-table LSH buckets probe the standing bucket index
+    * ([[graft.ops.LlmOps.multiLshBucketsOf]] — the SAME definition
+    * the batch row buckets with), matches verify by exact cosine
+    * ≥ τ and inherit the matched entry's CANONICAL (not its id:
+    * chains across batches resolve to the original representative);
+    * (3) survivors+droppers self-cluster IN-BATCH via verified pairs
+    * + distributed CC (a backlog's first trigger delivers a cluster
+    * together — one representative must win), component canonical =
+    * min(component min id, min inherited index canonical);
+    * (4) decisions emit for EVERY input vector (members inherit their
+    * rep's canonical; keep ⇔ vec_id == canonical, the batch row's
+    * exact contract); (5) ALL reps append to the index with their
+    * canonical — indexing dropped reps too is what makes chain
+    * clusters (a~b, b~c, a≁c) resolve like the batch CC does.
+    *
+    * Streaming-inherent limit (documented, not a bug): decisions are
+    * append-only. If a later vector MERGES two components that were
+    * each kept earlier, the batch fixpoint would keep only the min —
+    * the stream cannot retract the other's emitted keep; it assigns
+    * the merging vector the min canonical and both indexed components
+    * keep their labels. Replay of a committed epoch re-emits
+    * IDENTICAL decisions: a rep's own index entry is excluded from
+    * its probe, batch-mate entries verify into the same component
+    * they were in, and duplicate index rows never change a min/
+    * distinct-shaped decision (the corpusNearDup caveat).
+    */
+  def corpusSemDedup(vecs: DataFrame, indexDir: String, tau: Double = 0.45,
+      nPlanes: Int = 6, nTables: Int = 6)
+      (emit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ops.LlmOps
+    vecs.writeStream.outputMode("append").foreachBatch { (batch0: DataFrame, _: Long) =>
+      val s = batch0.sparkSession
+      val embDir = s"$indexDir/reps"
+      val bkDir = s"$indexDir/buckets"
+      def readIf(dir: String, schema: String): DataFrame = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) s.read.parquet(dir)
+        else s.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(schema))
+      }
+      // (1) exact collapse: one payload-keyed window, min id is rep
+      val wEmb = Window.partitionBy("embedding")
+      val member = batch0.select("vec_id", "embedding")
+        .withColumn("rep", min("vec_id").over(wEmb))
+        .localCheckpoint()
+      val reps = member.filter(col("vec_id") === col("rep"))
+        .select("vec_id", "embedding")
+      // (2) cross-batch probe of the standing index
+      val bk = LlmOps.multiLshBucketsOf(reps, nPlanes, nTables).localCheckpoint()
+      val idxBk = readIf(bkDir,
+        "vec_id BIGINT, tbl INT, bucket STRING, canonical BIGINT")
+      val idxEmb = readIf(embDir,
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, canonical BIGINT")
+      val idxMatch = bk.select(col("tbl"), col("bucket"), col("vec_id").as("a"))
+        .join(idxBk.select(col("tbl"), col("bucket"), col("vec_id").as("b")),
+          Seq("tbl", "bucket"))
+        .filter(col("a") =!= col("b")) // replay guard: own entry is no match
+        .select("a", "b").distinct()
+        .join(reps.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
+        .join(idxEmb.select(col("vec_id").as("b"), col("embedding").as("eb"),
+          col("canonical").as("bc")), Seq("b"))
+        .filter(round(graft.functions.vec.cosine(col("ea"), col("eb")), 6) >= tau)
+        .groupBy(col("a").as("vec_id")).agg(min("bc").as("idxCanon"))
+      // (3) in-batch clustering of reps (verified pairs -> CC)
+      val pairs = LlmOps.multiLshCandidatesOf(reps, nPlanes, nTables)
+        .join(reps.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
+        .join(reps.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
+        .filter(round(graft.functions.vec.cosine(col("ea"), col("eb")), 6) >= tau)
+        .select("a", "b")
+      val cc = LlmOps.connectedComponents(pairs)
+      val lbl = reps.select("vec_id")
+        .join(cc.select(col("id").as("vec_id"), col("lbl")), Seq("vec_id"), "left")
+        .withColumn("lbl", coalesce(col("lbl"), col("vec_id")))
+      val canonOfComp = lbl.join(idxMatch, Seq("vec_id"), "left")
+        .groupBy("lbl").agg(min("idxCanon").as("minIdx"))
+        .select(col("lbl"), when(col("minIdx").isNull, col("lbl"))
+          .otherwise(least(col("lbl"), col("minIdx"))).as("canonical"))
+      val repCanon = lbl.join(canonOfComp, Seq("lbl"))
+        .select(col("vec_id").as("rep"), col("canonical"))
+        .localCheckpoint()
+      // (4) corpus-shaped decisions: members inherit the rep's canonical
+      val out = member.select("vec_id", "rep").join(repCanon, Seq("rep"))
+        .select(col("vec_id"), col("canonical"),
+          (col("vec_id") === col("canonical")).as("keep"))
+        .localCheckpoint()
+      emit(out)
+      // (5) grow the index: every rep, labeled — dropped reps included
+      val repOut = reps
+        .join(repCanon.withColumnRenamed("rep", "vec_id"), Seq("vec_id"))
+      repOut.select("vec_id", "embedding", "canonical")
+        .write.mode("append").parquet(embDir)
+      bk.join(repOut.select("vec_id", "canonical"), Seq("vec_id"))
+        .select("vec_id", "tbl", "bucket", "canonical")
+        .write.mode("append").parquet(bkDir)
+    }.start()
   }
 
   /** Stream-static enrichment: the event stream joins a slowly

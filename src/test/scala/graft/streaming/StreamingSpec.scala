@@ -17,6 +17,8 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 
 case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
+case class Vec(vec_id: Long, embedding: Array[Float])
+
 class StreamingSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = graft.Sessions.build("local[4]", "4")
@@ -573,6 +575,56 @@ class StreamingSpec extends AnyFunSuite {
     val indexed = spark.read.parquet(s"$idx/shingles")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(indexed === Set(100L, 2L, 4L, 5L))
+  }
+
+  test("semdedup stream: keep/drop parity with the batch keep-list over 3 micro-batches + a replayed slice") {
+    val dir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("semdedup-idx").toString
+    // batch fixpoint: the registered dedup_semdedup_keep row on the
+    // full table (vec_id, canonical, keep)
+    val truth = graft.SparkEntry.queries("dedup_semdedup_keep")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val vecs = graft.T(spark, dir, "embeddings")
+      .select("vec_id", "embedding").as[Vec]
+      .collect().sortBy(_.vec_id)
+    assert(vecs.nonEmpty && truth.size == vecs.length)
+    // id-ordered terciles: the arrival order under which streaming
+    // first-arrival representatives coincide with batch min-id
+    // canonicals (the documented append-only-decision contract)
+    val third = (vecs.length + 2) / 3
+    val slices = vecs.grouped(third).toSeq
+    val ms = MemoryStream[Vec](spark)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+    val q = graft.streaming.StreamOps.corpusSemDedup(ms.toDF(), idx)(out =>
+      got.synchronized {
+        got ++= out.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      })
+    try {
+      for (sl <- slices) { ms.addData(sl: _*); q.processAllAvailable() }
+      val before = got.synchronized(got.toVector)
+      // at-least-once redelivery: a committed epoch replays verbatim
+      ms.addData(slices(1): _*)
+      q.processAllAvailable()
+      val after = got.synchronized(got.toVector)
+      val replayed = after.drop(before.size)
+      assert(replayed.toSet ==
+        before.filter(d => slices(1).exists(_.vec_id == d._1)).toSet,
+        "a replayed slice must re-emit IDENTICAL decisions")
+    } finally q.stop()
+    val decisions = got.synchronized(got.toVector)
+    // no vector may ever receive two different decisions
+    val conflicting = decisions.groupBy(_._1).filter(_._2.distinct.size > 1)
+    assert(conflicting.isEmpty, s"conflicting decisions: ${conflicting.keys.take(5)}")
+    assert(decisions.toSet == truth,
+      s"stream/batch divergence: stream-only=${(decisions.toSet -- truth).take(5)} " +
+        s"batch-only=${(truth -- decisions.toSet).take(5)}")
+    // the index grew by exactly the representative set (all reps,
+    // dropped ones included — that is what resolves chains)
+    val indexed = spark.read.parquet(s"$idx/reps").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val repTruth = vecs.groupBy(_.embedding.toSeq).values.map(_.map(_.vec_id).min).toSet
+    assert(indexed == repTruth, s"index must hold exactly the reps once")
   }
 
   test("committedOnly stream: membership is the manifest, aborted-epoch shards invisible") {

@@ -9,6 +9,11 @@ import org.apache.spark.sql.functions._
   * registered queries named on the command line against the replicated
   * dir. Run via `Test/runMain graft.ops.StressProbe q1 q2 …`.
   */
+/** MemoryStream element for the streaming-semdedup probe (top-level:
+  * encoders reject nested case classes).
+  */
+case class ProbeVec(vec_id: Long, embedding: Array[Float])
+
 object StressProbe {
   private val out = "/tmp/graft_probe_sf1"
 
@@ -259,6 +264,36 @@ object StressProbe {
     }
     val candArgs = args.filter(_.startsWith("cand:"))
     candArgs.foreach(a => candProbe(spark, a.stripPrefix("cand:").toInt))
+    // streaming SemDeDup burst law (r18, the §15.2 twin): ONE
+    // micro-batch carrying sf0.1 embeddings + COPIES identical planted
+    // vectors must emit EXACTLY batch-n decisions, with wall clock
+    // tracking reps (the exact collapse), never copies². streamsem:COPIES
+    val streamSemArgs = args.filter(_.startsWith("streamsem:"))
+    streamSemArgs.foreach { a =>
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val copies = a.stripPrefix("streamsem:").toInt
+      val base = graft.T(spark, "/root/testdata/sf0.1", "embeddings")
+        .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      val dup = base.head._2
+      val burst = base.map(v => ProbeVec(v._1, v._2)) ++
+        (0 until copies).map(i => ProbeVec(10000000L + i, dup))
+      val idx = java.nio.file.Files.createTempDirectory("semdedup-probe").toString
+      val ms = MemoryStream[ProbeVec](spark)
+      var outRows = 0L
+      var kept = 0L
+      val q = graft.streaming.StreamOps.corpusSemDedup(ms.toDF(), idx) { o =>
+        outRows += o.count()
+        kept += o.filter(col("keep")).count()
+      }
+      val t0 = System.nanoTime()
+      try { ms.addData(burst.toIndexedSeq: _*); q.processAllAvailable() }
+      finally q.stop()
+      graft.Sessions.releaseCheckpoints(spark)
+      println(f"[streamsem] copies=$copies batchN=${burst.length} " +
+        f"wall=${(System.nanoTime() - t0) / 1e9}%8.2f s outRows=$outRows " +
+        f"(linear ⇔ ==batchN: ${outRows == burst.length}) kept=$kept")
+    }
     val bigRuns = args.filter(_.startsWith("big:")) // big:MULT:query
     bigRuns.foreach { a =>
       val parts = a.split(":")
@@ -269,7 +304,9 @@ object StressProbe {
       println(f"[big] mult=${parts(1)} ${parts(2)}%-20s ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$nOut")
     }
     if (candArgs.nonEmpty || bigRuns.nonEmpty || curveArgs.nonEmpty ||
-      docRuns.nonEmpty || dupArgs.nonEmpty) { spark.stop(); return }
+      docRuns.nonEmpty || dupArgs.nonEmpty || streamSemArgs.nonEmpty) {
+      spark.stop(); return
+    }
     val (hotNames, replNames) = args.partition(_.startsWith("hot:"))
     if (replNames.nonEmpty && !new java.io.File(s"$out/documents.parquet").exists()) {
       println("[probe] building 10x replicated tables …")

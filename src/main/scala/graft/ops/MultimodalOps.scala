@@ -894,8 +894,12 @@ object MultimodalOps extends QueryModule {
       val key = java.lang.Long.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(canon).toLong & 0xffffffffL)
       // v2: audio/video payloads became real WAV/Y4M streams in r11 —
-      // the version tag invalidates fixtures left by older builds
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-media-v3-" +
+      // the version tag invalidates fixtures left by older builds.
+      // v4 (r18): multi-file layout — the fixture is written with
+      // defaultParallelism output files so downstream decode scans are
+      // parallel (a single parquet file has one row group = one scan
+      // partition, serializing every codec's mapPartitions on one core).
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-media-v4-" +
         s"${new java.io.File(d).getName}-$key"
       // _SUCCESS marks a complete write; a half-written dir is rewritten
       if (!new java.io.File(dir, "_SUCCESS").isFile)
@@ -905,7 +909,18 @@ object MultimodalOps extends QueryModule {
 
   private def synthesizeMedia(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    T(s, d, "documents").select(col("doc_id"), col("text")).as[DocRow]
+    // doc_id-hash repartition BEFORE the encode map: the documents scan
+    // is one partition at bench SFs (single small parquet file, one row
+    // group), which would serialize PNG/WAV/Y4M synthesis AND — via the
+    // single output file — every downstream decode query on one core.
+    // Deterministic key-hash placement (not round-robin), so the file
+    // layout is a pure function of the data; row content is per-row
+    // pure either way. At scale the scan already has ≥ parallelism
+    // partitions and this is one cheap metadata-sized shuffle of the
+    // ingest job, the standard "unsplittable input" fix (guide §2.5).
+    T(s, d, "documents").select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .as[DocRow]
       .mapPartitions { rows =>
         rows.map { r =>
           val kind = (r.doc_id % 3) match {

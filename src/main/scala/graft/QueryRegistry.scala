@@ -152,6 +152,26 @@ trait QueryModule {
   * reads as its naive TIMESTAMP.
   */
 object T {
+  /** Floor on map-side parallelism for frames feeding HEAVY narrow work
+    * (per-doc shingling/tokenization, per-row codecs): at bench SFs
+    * every table is one small parquet file with ONE row group, so the
+    * scan is a single partition and everything before the first
+    * exchange runs on one core of the whole machine (guide §2.5's
+    * "one huge unsplittable file" input-skew case — the file cannot be
+    * split further, so repartition right after the read). Guarded by
+    * the ACTUAL scan partition count so a production-sized input that
+    * already scans with ≥ defaultParallelism partitions passes through
+    * untouched — no downsizing shuffle at scale. Deterministic
+    * key-hash placement, not round-robin: retried tasks reproduce the
+    * same assignment and the shuffle skips the sort-before-repartition.
+    * Apply only where the narrow work dominates — the extra exchange
+    * costs one stage job, a net loss on trivial queries.
+    */
+  def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p, key) else df
+  }
+
   def apply(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

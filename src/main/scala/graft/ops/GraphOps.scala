@@ -594,11 +594,21 @@ object GraphOps extends QueryModule {
   }
 
   /** Symmetrized, pinned edge frame — the shared first step of every
-    * iterative runner here.
+    * iterative runner here. Pinned HASH-PARTITIONED BY `src` (r18):
+    * localCheckpoint preserves the physical partitioning, so every
+    * round's src-keyed equi-join against it reuses this one exchange
+    * instead of re-shuffling the edge table per round (guide §2.4 "two
+    * operations keyed the same way share one exchange"; under AQE each
+    * avoided exchange is an avoided stage job). All round loops here
+    * orient their sym join to the src side — legal because sym is
+    * symmetric: for every (src,dst) row the mirror (dst,src) exists,
+    * so "join labels on dst, group by src" ≡ "join labels on src,
+    * group by dst" row-for-row.
     */
   private def pinnedSym(rc: RoundCheckpoints, edges: DataFrame): DataFrame =
     rc.pin("sym", edges.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(edges.select(col("b").as("src"), col("a").as("dst"))))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src")))
 
   private[ops] def pointerJumpCC(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 24, init: Option[DataFrame] = None): DataFrame = {
@@ -612,23 +622,37 @@ object GraphOps extends QueryModule {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
+      // One round = three label contributions unioned into ONE
+      // aggregation (r18: was join nbr + join jump + 3-way left join —
+      // the union-min form computes the identical least() with ~2 fewer
+      // exchanges per round, and under AQE every exchange is its own
+      // stage job):
+      //   nbr  — each neighbor's current label,
+      //   jump — the label of one's current label (always a real vertex
+      //          id: labels are minima over vertex ids),
+      //   own  — the current label (also tags `old` for the
+      //          convergence metric; max() sees exactly one non-null
+      //          per id because labels is unique by id).
+      val nullLbl = lit(null).cast("long")
       val nbr = sym
-        .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
-        .groupBy(col("src").as("id")).agg(min("nlbl").as("nmin"))
-      // pointer jump: adopt the label of one's current label (always a
-      // real vertex id — labels are minima over vertex ids)
+        .join(labels.select(col("id").as("src"), col("lbl").as("nlbl")), Seq("src"))
+        .select(col("dst").as("id"), col("nlbl").as("v"), nullLbl.as("own"))
       val jump = labels.select(col("id").as("jid"), col("lbl").as("ptr"))
         .join(labels.select(col("id").as("ptr"), col("lbl").as("jlbl")), Seq("ptr"))
-        .select(col("jid").as("id"), col("jlbl"))
-      val next = rc.cycle("labels", labels
-        .join(nbr, Seq("id"), "left")
-        .join(jump, Seq("id"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl")),
-            coalesce(col("jlbl"), col("lbl"))).as("lbl"),
-          col("lbl").as("old")), sever = true)
-      val changed = next.filter(col("lbl") =!= col("old")).count()
-      labels = next.select("id", "lbl")
+        .select(col("jid").as("id"), col("jlbl").as("v"), nullLbl.as("own"))
+      val own = labels.select(col("id"), col("lbl").as("v"), col("lbl").as("own"))
+      // the changed-label count rides the checkpoint materialization as
+      // an observed metric — no separate count job per round
+      val obs = org.apache.spark.sql.Observation()
+      val next = rc.cycle("labels", nbr.unionByName(jump).unionByName(own)
+        .groupBy("id").agg(min("v").as("lbl"), max("own").as("old"))
+        .observe(obs, sum(when(col("lbl") =!= col("old"), 1L)
+          .otherwise(0L)).as("chg"))
+        .select("id", "lbl"), sever = true)
+      // sum() over an empty frame observes null — treat as converged
+      // (matches the old filter().count() == 0 on an empty labels set)
+      val changed = Option(obs.get("chg")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      labels = next
       converged = changed == 0
       iter += 1
     }
@@ -708,11 +732,15 @@ object GraphOps extends QueryModule {
     var rounds = 0
     var done = false
     while (!done && rounds < 24) {
+      // candidate count rides the checkpoint materialization as an
+      // observed metric (r18: was a separate isEmpty job per round)
+      val obsC = org.apache.spark.sql.Observation()
       val cand = rc.cycle("cand", wEdges
         .join(comp.select(col("id").as("a"), col("comp").as("ca")), Seq("a"))
         .join(comp.select(col("id").as("b"), col("comp").as("cb")), Seq("b"))
-        .filter(col("ca") =!= col("cb")))
-      if (cand.isEmpty) done = true
+        .filter(col("ca") =!= col("cb"))
+        .observe(obsC, count(lit(1)).as("n")))
+      if (obsC.get("n").asInstanceOf[Long] == 0L) done = true
       else {
         val mirrored = cand.select(col("ca").as("cm"), col("a"), col("b"), col("w"))
           .unionByName(cand.select(col("cb").as("cm"), col("a"), col("b"), col("w")))
@@ -1043,8 +1071,8 @@ object GraphOps extends QueryModule {
     var labels = verts.withColumn("lbl", col("id"))
     for (_ <- 1 to LpaRounds) {
       val votes = sym
-        .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
-        .groupBy(col("src").as("id"), col("nlbl").as("lbl"))
+        .join(labels.select(col("id").as("src"), col("lbl").as("nlbl")), Seq("src"))
+        .groupBy(col("dst").as("id"), col("nlbl").as("lbl"))
         .agg(count(lit(1)).as("c"))
       val winners = votes
         .withColumn("rn", row_number().over(
@@ -1203,8 +1231,8 @@ object GraphOps extends QueryModule {
       val tot = comm.join(deg, Seq("id"))
         .groupBy("cm").agg(sum("k").cast("long").as("tot"))
       val kin = sym
-        .join(comm.select(col("id").as("dst"), col("cm").as("nc")), Seq("dst"))
-        .groupBy(col("src").as("id"), col("nc"))
+        .join(comm.select(col("id").as("src"), col("cm").as("nc")), Seq("src"))
+        .groupBy(col("dst").as("id"), col("nc"))
         .agg(count(lit(1)).cast("long").as("kin"))
       val cand = kin.select("id", "nc", "kin")
         .unionByName(comm.select(col("id"), col("cm").as("nc"),

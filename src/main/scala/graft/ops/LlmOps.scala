@@ -111,6 +111,10 @@ object LlmOps extends QueryModule {
     */
   def shingleHashes(docs: DataFrame): DataFrame = {
     val S = 1000033L
+    // NOT spread (r18, measured): the native tokenPolyHash + zip_with
+    // narrow stage is too cheap for an extra exchange to pay for itself
+    // — candidates_verified 1.08s -> 1.47s with a T.spread here. The
+    // string-shingle xxhash64 path (dedup_ngram_jaccard) IS spread.
     docs
       // NULL text would carry hs=NULL downstream: every NULL doc's
       // band minima turn NULL, concat_ws collapses them all to sig ""
@@ -371,7 +375,7 @@ object LlmOps extends QueryModule {
     // equality semantics w.h.p. (collision odds ~n²/2⁶⁵) with an ~8-byte
     // shuffle key instead of a ~20-byte string — the self-join and both
     // distinct/count shuffles shrink accordingly.
-    val sh0 = T(s, d, "documents")
+    val sh0 = T.spread(T(s, d, "documents"), col("doc_id"))
       .withColumn("tok", split(col("text"), " "))
       .withColumn("shs", expr(
         "transform(sequence(0, greatest(size(tok) - 3, 0)), i -> concat_ws(' ', slice(tok, i + 1, 3)))"))
@@ -508,16 +512,20 @@ object LlmOps extends QueryModule {
     // materialize the edge list once: every propagation round joins
     // against it, and without this the upstream candidate pipeline
     // (e.g. the whole Jaccard computation) would re-execute per round
+    val obsE = org.apache.spark.sql.Observation()
     val symRaw = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+      .observe(obsE, count(lit(1)).as("n"))
       .localCheckpoint()
     val symIds = persisted -- pre0
     // adapt iteration parallelism to the materialized edge count (free —
-    // the checkpoint already ran): near-dup pair graphs are typically
-    // tiny relative to the corpus, and per-round task-scheduling
-    // overhead dominates when 32 tasks each hold a handful of edges.
-    // ~500k edges per partition, capped at the session's parallelism.
-    val edgeCount = symRaw.count()
+    // the count rides the checkpoint materialization as an observed
+    // metric, r18: was a separate count job): near-dup pair graphs are
+    // typically tiny relative to the corpus, and per-round
+    // task-scheduling overhead dominates when 32 tasks each hold a
+    // handful of edges. ~500k edges per partition, capped at the
+    // session's parallelism.
+    val edgeCount = obsE.get("n").asInstanceOf[Long]
     val parts = math.max(1, math.min((edgeCount / 500000L).toInt + 1,
       edges.sparkSession.sparkContext.defaultParallelism))
     val sym = symRaw.coalesce(parts)
@@ -527,27 +535,38 @@ object LlmOps extends QueryModule {
     var converged = false
     var prevIds = Set.empty[Int]
     while (iter < maxIter && !converged) {
-      val neighborMin = sym
+      // One round = neighbor labels unioned with own labels into ONE
+      // min-aggregation (r18: was join + groupBy + left-join — the
+      // union-min form computes the identical least() with fewer
+      // exchanges, and under AQE every exchange is its own stage job).
+      // `own` tags the old label; max() sees exactly one non-null per
+      // id because labels is unique by id.
+      val nbr = sym
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("lbl", "nlbl"), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min("nlbl").as("nmin"))
+        .select(col("src").as("id"), col("nlbl").as("v"),
+          lit(null).cast("long").as("own"))
+      val own = labels.select(col("id"), col("lbl").as("v"), col("lbl").as("own"))
       // localCheckpoint truncates the per-iteration lineage growth that
       // would otherwise make round N's plan O(N) deep (the classic
       // iterative-algorithm failure at scale) and materializes the
-      // round's labels once for both the convergence check and round N+1.
-      // The old label rides along so convergence is a filter+count on
-      // the checkpointed frame — no extra join job per round.
+      // round's labels once for both the convergence check and round
+      // N+1. The changed-label count rides that materialization as an
+      // observed metric — no extra count job per round.
+      val obs = org.apache.spark.sql.Observation()
       val pre = persisted
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
-          col("lbl").as("old"))
+      val next = nbr.unionByName(own)
+        .groupBy("id").agg(min("v").as("lbl"), max("own").as("old"))
+        .observe(obs, sum(when(col("lbl") =!= col("old"), 1L)
+          .otherwise(0L)).as("chg"))
+        .select("id", "lbl")
         .localCheckpoint()
       // round N's blocks are dead once round N+1 is materialized
       // (localCheckpoint is eager): free them now, not at session end
       free(prevIds)
       prevIds = persisted -- pre
-      val changed = next.filter(col("lbl") =!= col("old")).count()
-      labels = next.select("id", "lbl")
+      // sum() over an empty frame observes null — treat as converged
+      val changed = Option(obs.get("chg")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      labels = next
       converged = changed == 0
       iter += 1
     }
@@ -5033,7 +5052,13 @@ object LlmOps extends QueryModule {
        |LEFT JOIN best ON best.bd = d.doc_id
        |WHERE d.doc_id % 5 = 0
        |ORDER BY d.doc_id""") { (s, d) =>
-    val docs = T(s, d, "documents").select("doc_id", "text")
+    // spread measured net-positive HERE (2.15s -> ~1.45s): this key runs
+    // the shingle pipeline for both the band table and the verify-side
+    // jsh, so the parallelized narrow stage amortizes its exchange
+    // (unlike the single-pass shingleHashes consumers — see the note
+    // there). No-op at scale via the partition-count guard.
+    val docs = T.spread(T(s, d, "documents"), col("doc_id"))
+      .select("doc_id", "text")
     val bands = minhashBands(docs)
     val nb = bands.filter(col("doc_id") % 5 === 0)
       .select(col("band"), col("sig"), col("doc_id").as("bd"))

@@ -41,13 +41,20 @@ object OptProbe {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings")
       .foreach(t => T(spark, sfDir, t).count())
+    // probe.mode=plan times ONLY DataFrame construction + physical
+    // planning (queryExecution.executedPlan), skipping the action —
+    // decomposes a key's per-rep cost into "driver planning" vs
+    // "execution". NOTE: iterative operators run internal actions
+    // during construction, so their "plan" time includes those rounds.
+    val planOnly = confs.exists(kv => kv._1 == "probe.mode" && kv._2 == "plan")
     val sel = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => re.pattern.matcher(n).matches() }
     sel.foreach { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         jobs = 0; stages = 0; tasks = 0
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        if (planOnly) fn(spark, sfDir).queryExecution.executedPlan
+        else fn(spark, sfDir).count()
         val t = (System.nanoTime() - t0) / 1e9
         Sessions.releaseCheckpoints(spark)
         (t, jobs, stages, tasks)

@@ -1249,19 +1249,26 @@ object GraphOps extends QueryModule {
               * (coalesce(col("tot"), lit(0L))
                  - when(col("nc") === col("cm"),
                      coalesce(col("k"), lit(0L))).otherwise(lit(0L))))
-      val best = scored
+      // best-candidate AND stay-gain from ONE window pass over `scored`
+      // (r18, guide §2.4): the old form derived `scored` twice
+      // (row_number filter for best, nc==cm filter for stay) and joined
+      // both back onto comm — three id-keyed exchanges and a
+      // double-computed subtree per round. Both facts are per-id
+      // aggregates of one partition: max(gain where nc==cm) is the stay
+      // gain (the nc==cm row exists exactly once per id by cand's
+      // construction), and the rn=1 row is the best candidate. comm's
+      // (id, cm) rides through the window, so the cycled update needs
+      // NO join at all. Identical move decisions row-for-row.
+      val wId = Window.partitionBy("id")
+      comm = rc.cycle("comm", scored
+        .withColumn("sg", max(when(col("nc") === col("cm"), col("gain"))).over(wId))
         .withColumn("rn", row_number().over(
-          Window.partitionBy("id").orderBy(col("gain").desc, col("nc").asc)))
+          wId.orderBy(col("gain").desc, col("nc").asc)))
         .filter(col("rn") === 1)
-        .select(col("id"), col("nc").as("bnc"), col("gain").as("bg"))
-      val stay = scored.filter(col("nc") === col("cm"))
-        .select(col("id"), col("gain").as("sg"))
-      comm = rc.cycle("comm", comm
-        .join(best, Seq("id")).join(stay, Seq("id"))
         // id-parity color + strict-improvement gate
         .select(col("id"),
-          when(col("id") % 2 === lit(r % 2) && col("bg") > col("sg"),
-            col("bnc")).otherwise(col("cm")).as("cm")))
+          when(col("id") % 2 === lit(r % 2) && col("gain") > col("sg"),
+            col("nc")).otherwise(col("cm")).as("cm")))
     }
     rc.release("labels")
     rc.release("sym")
@@ -1382,6 +1389,44 @@ object GraphOps extends QueryModule {
     lab
   }
 
+  /** [[graph_betweenness]]'s forward pass: BFS fused with Brandes'
+    * shortest-path-count recurrence σ(v) = Σ_{u∈pred(v)} σ(u) (r18,
+    * guide §2.3/§2.4): one frame (id, dist, sigma) carries both
+    * labels, and each round propagates from the FRONTIER ONLY (rows
+    * with dist = l−1) — for unit-weight BFS a vertex is labeled the
+    * first round it is reachable, so proposals from older levels can
+    * never tighten min(dist) and are pure shuffle weight. A vertex
+    * first reached at round l receives exactly the σ-sum over its
+    * dist-(l−1) predecessors (all shortest paths enter through them),
+    * so the merged frame's sigma equals the per-level recurrence the
+    * previous implementation materialized as 8 extra pinned frames
+    * with 2 joins each. Already-labeled vertices keep (dist, sigma)
+    * through the outer-join coalesce. Identical output (GraphSpec pins
+    * textbook-Brandes equality; the oracle replays level-by-level),
+    * ~half the per-round joins and checkpoint jobs of the unfused
+    * BFS+σ pair. Measured A/B kept [[bfsDistancesOver]] separate for
+    * the σ-less consumers (bfs_distance/closeness): there the
+    * outer-join merge costs more than the frontier restriction saves
+    * (1.69→2.13 s regression), while here it replaces a whole second
+    * pass (5.24→4.6 s win).
+    */
+  private def bfsSigmaOver(rc: RoundCheckpoints, sym: DataFrame,
+      seeds: DataFrame): DataFrame = {
+    var lab = seeds.select(col("id"), lit(0L).as("dist"), lit(1L).as("sigma"))
+    for (l <- 1 to BfsRounds) {
+      val prop = sym
+        .join(lab.filter(col("dist") === (l - 1).toLong)
+          .select(col("id").as("src"), col("sigma")), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum("sigma").cast("long").as("nsig"))
+      lab = rc.cycle("bfs", lab.join(prop, Seq("id"), "full")
+        .select(col("id"),
+          coalesce(col("dist"), lit(l.toLong)).as("dist"),
+          coalesce(col("sigma"), col("nsig")).as("sigma")))
+    }
+    lab
+  }
+
   /** Closeness + harmonic centrality of each nation's SEED vertex over
     * its horizon-bounded BFS ball (SPEC: Bavelas 1950 closeness
     * (n−1)/Σd; Marchiori & Latora 2000 harmonic Σ1/d — the
@@ -1464,10 +1509,11 @@ object GraphOps extends QueryModule {
     * BFS (SPEC: Brandes 2001 "A faster algorithm for betweenness
     * centrality" — completes the centrality family beside degree /
     * PageRank / HITS / closeness / harmonic): forward pass = the
-    * SHARED [[bfsDistancesOver]] runner (min hop distance from each
-    * nation's seed) plus the shortest-path COUNT recurrence
-    * σ(v) = Σ_{u∈pred(v)} σ(u) — all-integer, one level-L frontier
-    * join per level; backward pass = Brandes' dependency accumulation
+    * SHARED [[bfsSigmaOver]] runner — min hop distance from each
+    * nation's seed AND the shortest-path COUNT recurrence
+    * σ(v) = Σ_{u∈pred(v)} σ(u) fused in one frontier frame (r18) —
+    * all-integer, one frontier join per level; backward pass = Brandes'
+    * dependency accumulation
     * δ(v) = Σ_{w: v∈pred(w)} σ(v)/σ(w)·(1+δ(w)) walked from the
     * horizon down — per level ONE edges⋈(level,level+1) join and a
     * vertex-keyed sum whose terms snap to the dy20 grid before
@@ -1556,24 +1602,17 @@ object GraphOps extends QueryModule {
   }) { (s, d) =>
     val rc = new RoundCheckpoints(s.sparkContext)
     val sym = pinnedSym(rc, blockEdges(s, d))
-    val dist = bfsDistancesOver(rc, sym, nationSeeds(s, d)) // checkpointed ("bfs")
-    // forward: shortest-path counts per BFS level. Each level frame is
-    // PINNED (localCheckpoint): a fully lazy 2·horizon-level DAG
-    // triggers Catalyst's sizeInBytes stats estimation to multiply
-    // duplicated-subtree sizes into million-digit BigIntegers (the
-    // planner, not the executor, becomes the bottleneck — measured as
-    // a >15 min planning hang at sf0.1), so per-level materialization
-    // of these vertex-sized frames is the right trade.
-    val sig = new Array[DataFrame](BfsRounds + 1)
-    sig(0) = rc.pin("sg0",
-      dist.filter(col("dist") === 0L).select(col("id"), lit(1L).as("sigma")))
-    for (l <- 1 to BfsRounds) {
-      sig(l) = rc.pin(s"sg$l", sym
-        .join(sig(l - 1).select(col("id").as("src"), col("sigma")), Seq("src"))
-        .select(col("dst").as("id"), col("sigma"))
-        .join(dist.filter(col("dist") === l.toLong).select("id"), Seq("id"))
-        .groupBy("id").agg(sum("sigma").cast("long").as("sigma")))
-    }
+    // forward (r18): the BFS runner carries the σ recurrence in the
+    // SAME frontier frame — (id, dist, sigma) in one checkpointed
+    // result instead of the BFS frame plus 9 per-level pinned σ
+    // frames re-deriving the frontier joins (halves the forward-pass
+    // jobs; see [[bfsSigmaOver]]). Per-level σ views below are cheap
+    // filters of the one checkpointed frame, which also keeps the
+    // backward pass's planner input flat (the r14 sizeInBytes
+    // planner-bomb defense is the checkpoint itself).
+    val lab = bfsSigmaOver(rc, sym, nationSeeds(s, d)) // checkpointed ("bfs")
+    val sig = (0 to BfsRounds).map(l =>
+      lab.filter(col("dist") === l.toLong).select("id", "sigma")).toArray
     // backward: Brandes dependency accumulation, horizon down to seeds
     val del = new Array[DataFrame](BfsRounds + 1)
     del(BfsRounds) = rc.pin(s"del$BfsRounds",
@@ -1591,10 +1630,9 @@ object GraphOps extends QueryModule {
         .select(col("id"), coalesce(col("dl"), lit(0.0)).as("delta")))
     }
     rc.release("sym")
-    val allSig = (0 to BfsRounds).map(l =>
-      sig(l).select(col("id"), lit(l).as("dist"), col("sigma"))).reduce(_ unionByName _)
+    // allSig IS the fused BFS frame (r18: no 9-way union to rebuild it)
     val allDel = (0 to BfsRounds).map(l => del(l)).reduce(_ unionByName _)
-    allSig.join(allDel, Seq("id"))
+    lab.join(allDel, Seq("id"))
       .select(col("id"), col("dist").cast("int").as("dist"), col("sigma"),
         round(col("delta"), 6).as("betweenness"))
       .orderBy("id") // one row per reached vertex = input-sized

@@ -362,23 +362,35 @@ object GraphOps extends QueryModule {
       floor(c * 1e6 + lit(0.5000005)) / 1e6
     var hub = rc.cycle("hub", verts.withColumn("hub", lit(1.0)))
     var auth: DataFrame = null
+    // L1 norms ride each half-round's checkpoint as Observation metrics
+    // (r18, guide §2.4/§1.5): the old crossJoin(broadcast(raw.agg(sum)))
+    // computed the raw-score subtree TWICE per half-round (once in the
+    // broadcast subquery, once in the main path) and paid a broadcast
+    // build job; now the RAW frame is what gets checkpointed, the norm
+    // comes back as a driver scalar from the same materialization, and
+    // the normalized view is a lazy select over the checkpoint with the
+    // norm as a literal. Identical arithmetic: same shuffled double sum
+    // (partition order was never pinned — the ε-shifted 1e-6 grid
+    // absorbs ulps exactly as before), same gridFix division.
     for (_ <- 1 to 4) {
-      val araw = verts
+      val obsA = org.apache.spark.sql.Observation()
+      val araw = rc.cycle("auth", verts
         .join(e, col("vid") === col("dst"), "left")
         .join(hub.select(col("vid").as("src"), col("hub").as("srch")),
           Seq("src"), "left")
         .groupBy("vid").agg(coalesce(sum("srch"), lit(0.0)).as("araw"))
-      val asum = araw.agg(sum("araw").as("s"))
-      auth = rc.cycle("auth", araw.crossJoin(broadcast(asum))
-        .select(col("vid"), gridFix(col("araw") / col("s")).as("auth")))
-      val hraw = verts
+        .observe(obsA, sum("araw").as("s")))
+      auth = araw.select(col("vid"),
+        gridFix(col("araw") / lit(obsA.get("s").asInstanceOf[Double])).as("auth"))
+      val obsH = org.apache.spark.sql.Observation()
+      val hraw = rc.cycle("hub", verts
         .join(e, col("vid") === col("src"), "left")
         .join(auth.select(col("vid").as("dst"), col("auth").as("dsta")),
           Seq("dst"), "left")
         .groupBy("vid").agg(coalesce(sum("dsta"), lit(0.0)).as("hraw"))
-      val hsum = hraw.agg(sum("hraw").as("s"))
-      hub = rc.cycle("hub", hraw.crossJoin(broadcast(hsum))
-        .select(col("vid"), gridFix(col("hraw") / col("s")).as("hub")))
+        .observe(obsH, sum("hraw").as("s")))
+      hub = hraw.select(col("vid"),
+        gridFix(col("hraw") / lit(obsH.get("s").asInstanceOf[Double])).as("hub"))
     }
     Seq("verts", "edges").foreach(rc.release)
     hub.join(auth, Seq("vid"))
@@ -404,28 +416,47 @@ object GraphOps extends QueryModule {
       .join(vertices.select(col("vid").as("dst")), Seq("dst"), "left_semi"))
     val outdeg = rc.pin("deg", e.groupBy("src").agg(count(lit(1)).as("deg")))
     val withDeg = rc.pin("withdeg", e.join(outdeg, Seq("src")))
-    val danglingIds = rc.pin("dang", vertices
-      .join(outdeg, col("vid") === col("src"), "left_anti").select("vid"))
+    // dangling mass rides each round's checkpoint as an Observation
+    // metric (r18, guide §2.4/§1.5): the old per-round
+    // crossJoin(broadcast(semi-join + agg)) paid a broadcast-build job
+    // and re-read the ranks checkpoint; now the dangling flag is a
+    // column of the cycled frame, the raw mass comes back as a driver
+    // scalar from the same materialization, and the next round embeds
+    // the floor-quantized value as a literal. Identical arithmetic:
+    // same shuffled double sum (the ε-shifted 1e-6 grid absorbs
+    // partition-order ulps exactly as before), java.lang.Math.floor ==
+    // Catalyst floor on doubles.
+    val vbase = rc.pin("vbase", vertices
+      .join(vertices.join(outdeg, col("vid") === col("src"), "left_anti")
+        .select(col("vid"), lit(true).as("dang")), Seq("vid"), "left")
+      .select(col("vid"), col("seed"), coalesce(col("dang"), lit(false)).as("dang")))
     val sv = when(col("seed"), lit(1.0) / nSeeds).otherwise(lit(0.0))
+    def quantized(raw: Any): Double =
+      math.floor((raw match {
+        case null => 0.0
+        case d: java.lang.Double => d.doubleValue()
+      }) * 1e6 + 0.5000005) / 1e6
+    val obs0 = org.apache.spark.sql.Observation()
     var ranks = rc.cycle("ranks",
-      vertices.select(col("vid"), col("seed")).withColumn("rank", sv))
+      vbase.withColumn("rank", sv)
+        .observe(obs0, sum(when(col("dang"), col("rank"))).as("dm")))
+    var dmass = quantized(obs0.get("dm"))
     for (_ <- 1 to iters) {
-      val dangling = ranks.join(danglingIds, Seq("vid"), "left_semi")
-        .agg((floor(coalesce(sum("rank"), lit(0.0)) * 1e6 + lit(0.5000005)) / 1e6)
-          .as("dmass"))
       val contribs = withDeg
         .join(ranks.select(col("vid"), col("rank")), col("src") === col("vid"))
         .select(col("dst"), (col("rank") / col("deg")).as("c"))
         .groupBy("dst").agg(sum("c").as("in_sum"))
-      ranks = rc.cycle("ranks", vertices.select(col("vid"), col("seed"))
+      val obs = org.apache.spark.sql.Observation()
+      ranks = rc.cycle("ranks", vbase
         .join(contribs, col("vid") === col("dst"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("vid"), col("seed"),
+        .select(col("vid"), col("seed"), col("dang"),
           (floor((lit(1 - damping) * sv +
-            lit(damping) * (coalesce(col("in_sum"), lit(0.0)) + col("dmass") * sv))
-            * 1e6 + lit(0.5000005)) / 1e6).as("rank")))
+            lit(damping) * (coalesce(col("in_sum"), lit(0.0)) + lit(dmass) * sv))
+            * 1e6 + lit(0.5000005)) / 1e6).as("rank"))
+        .observe(obs, sum(when(col("dang"), col("rank"))).as("dm")))
+      dmass = quantized(obs.get("dm"))
     }
-    Seq("verts", "edges", "deg", "withdeg", "dang").foreach(rc.release)
+    Seq("verts", "edges", "deg", "withdeg", "vbase").foreach(rc.release)
     // the final round's blocks back the returned frame's lineage;
     // the harness frees them via Sessions.releaseCheckpoints
     ranks.select("vid", "rank")
@@ -751,6 +782,14 @@ object GraphOps extends QueryModule {
           .select("a", "b", "w").distinct()
         mst = rc.cycle("mst",
           if (mst == null) sel else mst.unionByName(sel))
+        // NOTE (r18): a component-graph contraction variant (CC over
+        // one-node-per-component with only the round's selected edges,
+        // joined back onto vertex labels) was implemented and measured
+        // AT +10 jobs / +1.1 s — the extra sel checkpoint, endpoint
+        // distinct and join-back cycle cost more than the smaller CC
+        // input saves, and the inner pointer-jump round count (the job
+        // driver) is identical either way. Kept the warm-started
+        // full-forest CC.
         comp = rc.cycle("comp", pointerJumpCC(verts, mst.select("a", "b"),
           init = Some(comp.select(col("id"), col("comp").as("lbl")))))
         rounds += 1
@@ -1070,18 +1109,24 @@ object GraphOps extends QueryModule {
       verts: DataFrame): DataFrame = {
     var labels = verts.withColumn("lbl", col("id"))
     for (_ <- 1 to LpaRounds) {
+      // One pass per round (r18, guide §2.4): the previous label rides
+      // the vote stream as a count-0 row instead of being re-attached
+      // by a verts⋈winners left join afterwards — any real vote
+      // (c ≥ 1) outranks it under (c DESC, lbl ASC), and a voteless
+      // vertex keeps its own label because its count-0 row is the only
+      // one in the window. If the previous label also receives real
+      // votes its count-0 twin sorts strictly after and changes
+      // nothing. Identical labels row-for-row; 2 fewer joins/round.
       val votes = sym
         .join(labels.select(col("id").as("src"), col("lbl").as("nlbl")), Seq("src"))
         .groupBy(col("dst").as("id"), col("nlbl").as("lbl"))
         .agg(count(lit(1)).as("c"))
-      val winners = votes
+      labels = rc.cycle("labels", votes
+        .unionByName(labels.select(col("id"), col("lbl"), lit(0L).as("c")))
         .withColumn("rn", row_number().over(
           Window.partitionBy("id").orderBy(col("c").desc, col("lbl").asc)))
         .filter(col("rn") === 1)
-        .select(col("id"), col("lbl").as("wlbl"))
-      labels = rc.cycle("labels", labels
-        .join(winners, Seq("id"), "left")
-        .select(col("id"), coalesce(col("wlbl"), col("lbl")).as("lbl")))
+        .select(col("id"), col("lbl")))
     }
     labels
   }

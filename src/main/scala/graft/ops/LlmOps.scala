@@ -5312,40 +5312,56 @@ object LlmOps extends QueryModule {
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
     // (src, dst, deg) resolved once — re-used every round
     val withDeg = e.join(outdeg, Seq("src")).localCheckpoint()
-    // the dangling SET is fixed across rounds; only its mass changes
-    val danglingIds = vertices
-      .join(outdeg, col("vid") === col("src"), "left_anti")
-      .select("vid").localCheckpoint()
+    // dangling mass rides each round's checkpoint as an Observation
+    // metric (r18, guide §2.4/§1.5): the old per-round
+    // crossJoin(broadcast(semi-join + agg)) paid a broadcast-build job
+    // and re-read the ranks checkpoint; now the dangling flag is a
+    // column of the vertex base frame, the raw mass comes back as a
+    // driver scalar from the round's own materialization, and the next
+    // round embeds the floor-quantized value as a literal. Identical
+    // arithmetic: same shuffled double sum (the ε-shifted 1e-6 grid
+    // absorbs partition-order ulps exactly as before),
+    // java.lang.Math.floor == Catalyst floor on doubles.
+    val vbase = vertices
+      .join(vertices.join(outdeg, col("vid") === col("src"), "left_anti")
+        .select(col("vid"), lit(true).as("dang")), Seq("vid"), "left")
+      .select(col("vid"), coalesce(col("dang"), lit(false)).as("dang"))
+      .localCheckpoint()
     val fixedIds = persisted -- pre0
+    def quantized(raw: Any): Double =
+      math.floor((raw match {
+        case null => 0.0
+        case d: java.lang.Double => d.doubleValue()
+      }) * 1e6 + 0.5000005) / 1e6
     val preRanks = persisted
-    var ranks = vertices.select(col("vid"), lit(1.0).as("rank")).localCheckpoint()
+    val obs0 = org.apache.spark.sql.Observation()
+    var ranks = vbase.select(col("vid"), col("dang"), lit(1.0).as("rank"))
+      .observe(obs0, sum(when(col("dang"), col("rank"))).as("dm"))
+      .localCheckpoint()
     var ranksIds = persisted -- preRanks
+    var dmass = quantized(obs0.get("dm"))
     for (_ <- 1 to iters) {
-      // dangling mass enters the SAME plan as a broadcast 1-row
-      // aggregate — no per-round driver action, the eager checkpoint
-      // below is the round's only job
-      val dangling = ranks
-        .join(danglingIds, Seq("vid"), "left_semi")
-        .agg((floor(coalesce(sum("rank"), lit(0.0)) * 1e6 + lit(0.5000005)) / 1e6).as("dmass"))
       val contribs = withDeg
-        .join(ranks, col("src") === col("vid"))
+        .join(ranks.select("vid", "rank"), col("src") === col("vid"))
         .select(col("dst"), (col("rank") / col("deg")).as("c"))
         .groupBy("dst").agg(sum("c").as("in_sum"))
       val prevIds = ranksIds
       val pre = persisted
-      ranks = vertices
+      val obs = org.apache.spark.sql.Observation()
+      ranks = vbase
         .join(contribs, col("vid") === col("dst"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("vid"),
+        .select(col("vid"), col("dang"),
           (floor((lit(1 - damping) +
-            lit(damping) * (coalesce(col("in_sum"), lit(0.0)) + col("dmass") / n))
+            lit(damping) * (coalesce(col("in_sum"), lit(0.0)) + lit(dmass) / n))
             * 1e6 + lit(0.5000005)) / 1e6).as("rank"))
+        .observe(obs, sum(when(col("dang"), col("rank"))).as("dm"))
         .localCheckpoint()
       ranksIds = persisted -- pre
+      dmass = quantized(obs.get("dm"))
       free(prevIds) // the new checkpoint carries all still-needed state
     }
     free(fixedIds) // edge/degree/dangling frames are dead once ranks exist
-    ranks
+    ranks.select("vid", "rank")
   }
 
   /** The kNN graph's PageRank — vectors central to many neighborhoods

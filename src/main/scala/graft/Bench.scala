@@ -150,5 +150,20 @@ object Bench {
     // parsed:null. This short (<100 B) total-only line is the FINAL
     // stdout line, so it always fits the tail intact and parses.
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"}""")
+    // r19 measurement-channel fix (no timing change): the 410-key
+    // per-query line above is ~10 KB, so the driver's ~2.9 KB tail
+    // window ALWAYS cuts its head and PERF_rNN.json came out with
+    // per_query empty / geomean null every round (r18 verdict item 1).
+    // Emit one LAST, tail-sized (~700 B) line of the same contract
+    // shape whose `queries` map holds per-FAMILY subtotals (prefix up
+    // to the first '_', fam_* keys so they can never collide with real
+    // query keys). The full per-query line and BENCH_LOCAL.json record
+    // are unchanged — this ADDS a driver-parseable summary, the old
+    // numbers all still print. Total is identical to the line above.
+    val fams = results
+      .groupBy { case (k, _) => k.takeWhile(_ != '_') }.toSeq.sortBy(_._1)
+      .map { case (f, kv) => "\"fam_" + f + "\":" + f3(kv.map(_._2).sum) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$fams,"sf":"$sfDir"}""")
   }
 }

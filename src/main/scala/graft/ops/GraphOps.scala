@@ -759,6 +759,12 @@ object GraphOps extends QueryModule {
     val wEdges = rc.pin("wedges", intra.unionByName(inter))
     val verts = rc.pin("verts", blk.select("id"))
     var comp = verts.withColumn("comp", col("id"))
+    // r19: candidates re-derive from the PREVIOUS round's surviving
+    // candidate set, not the full edge table — an edge whose endpoints
+    // share a component stays intra forever (components only merge),
+    // so the filter is monotone and the per-round relabeling joins run
+    // over a strictly shrinking frame (guide §2.3 shuffle fewer bytes).
+    var candSrc = wEdges
     var mst: DataFrame = null
     var rounds = 0
     var done = false
@@ -766,20 +772,27 @@ object GraphOps extends QueryModule {
       // candidate count rides the checkpoint materialization as an
       // observed metric (r18: was a separate isEmpty job per round)
       val obsC = org.apache.spark.sql.Observation()
-      val cand = rc.cycle("cand", wEdges
+      val cand = rc.cycle("cand", candSrc
+        .select("nk", "a", "b", "w")
         .join(comp.select(col("id").as("a"), col("comp").as("ca")), Seq("a"))
         .join(comp.select(col("id").as("b"), col("comp").as("cb")), Seq("b"))
         .filter(col("ca") =!= col("cb"))
         .observe(obsC, count(lit(1)).as("n")))
+      candSrc = cand
       if (obsC.get("n").asInstanceOf[Long] == 0L) done = true
       else {
         val mirrored = cand.select(col("ca").as("cm"), col("a"), col("b"), col("w"))
           .unionByName(cand.select(col("cb").as("cm"), col("a"), col("b"), col("w")))
+        // per-component argmin over the (w, a, b) TOTAL order as ONE
+        // map-side-combinable min(struct) aggregation (r19) — the
+        // row_number window form paid a full sort exchange per round
+        // for the same single row (struct ordering in Spark is
+        // field-lexicographic, exactly the window's orderBy).
         val sel = mirrored
-          .withColumn("rn", row_number().over(Window.partitionBy("cm")
-            .orderBy(col("w").asc, col("a").asc, col("b").asc)))
-          .filter(col("rn") === 1)
-          .select("a", "b", "w").distinct()
+          .groupBy("cm")
+          .agg(min(struct(col("w"), col("a"), col("b"))).as("m"))
+          .select(col("m.a").as("a"), col("m.b").as("b"), col("m.w").as("w"))
+          .distinct()
         mst = rc.cycle("mst",
           if (mst == null) sel else mst.unionByName(sel))
         // NOTE (r18): a component-graph contraction variant (CC over
@@ -790,8 +803,13 @@ object GraphOps extends QueryModule {
         // input saves, and the inner pointer-jump round count (the job
         // driver) is identical either way. Kept the warm-started
         // full-forest CC.
-        comp = rc.cycle("comp", pointerJumpCC(verts, mst.select("a", "b"),
-          init = Some(comp.select(col("id"), col("comp").as("lbl")))))
+        // r19: use the CC result directly — pointerJumpCC's returned
+        // frame is already backed by its final round's checkpoint, so
+        // the outer rc.cycle("comp", …) was a REDUNDANT second full
+        // checkpoint job + row copy per round (its blocks are freed
+        // with everything else by Sessions.releaseCheckpoints).
+        comp = pointerJumpCC(verts, mst.select("a", "b"),
+          init = Some(comp.select(col("id"), col("comp").as("lbl"))))
         rounds += 1
       }
     }
@@ -1656,28 +1674,51 @@ object GraphOps extends QueryModule {
     // backward pass's planner input flat (the r14 sizeInBytes
     // planner-bomb defense is the checkpoint itself).
     val lab = bfsSigmaOver(rc, sym, nationSeeds(s, d)) // checkpointed ("bfs")
-    val sig = (0 to BfsRounds).map(l =>
-      lab.filter(col("dist") === l.toLong).select("id", "sigma")).toArray
-    // backward: Brandes dependency accumulation, horizon down to seeds
+    // backward (r19): two structural changes vs the r18 form (guide
+    // §2.3/§2.4), keeping the per-level pinned frames (an accumulating
+    // cycled frame was A/B'd first and re-checkpointing the growing
+    // union each round ate the join savings — kept level-sized pins):
+    //   (a) the source's (dist, sigma) is attached to the edge list
+    //       ONCE up front (symSv, pinned hash-partitioned by dst), so
+    //       each level pays ONE frontier join against it instead of
+    //       three per-level joins (sym⋈σ_l⋈σ_{l+1}⋈δ_{l+1});
+    //   (b) the per-level "vertices with no successors get δ=0" left
+    //       join becomes a zero row riding the same aggregation (the
+    //       pointerJumpCC union device): Σ(0.0 + terms) ≡
+    //       coalesce(Σterms, 0.0) — terms are ≥ 0 grid points, and
+    //       x + 0.0 = x exactly — while max() recovers (dist, sigma)
+    //       from the single zero row each level-l id contributes.
+    // Identical output: same per-edge dy20-quantized terms, same
+    // vertex-keyed sums (order-free on grid points, rule 12).
+    val symSv = rc.pin("symsv", sym
+      .join(lab.select(col("id").as("src"), col("dist").as("sdist"),
+        col("sigma").as("sv")), Seq("src"))
+      .repartition(col("dst")))
+    rc.release("sym")
     val del = new Array[DataFrame](BfsRounds + 1)
     del(BfsRounds) = rc.pin(s"del$BfsRounds",
-      sig(BfsRounds).select(col("id"), lit(0.0).as("delta")))
+      lab.filter(col("dist") === BfsRounds.toLong)
+        .select(col("id"), col("dist"), col("sigma"), lit(0.0).as("delta")))
     for (l <- BfsRounds - 1 to 0 by -1) {
-      val contrib = sym
-        .join(sig(l).select(col("id").as("src"), col("sigma").as("sv")), Seq("src"))
-        .join(sig(l + 1).select(col("id").as("dst"), col("sigma").as("sw")), Seq("dst"))
-        .join(del(l + 1).select(col("id").as("dst"), col("delta").as("dw")), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(sum(Grid.dy20(col("sv").cast("double") / col("sw")
-          * (lit(1.0) + col("dw")))).as("dl"))
-      del(l) = rc.pin(s"del$l", sig(l).select("id")
-        .join(contrib, Seq("id"), "left")
-        .select(col("id"), coalesce(col("dl"), lit(0.0)).as("delta")))
+      val wf = del(l + 1)
+        .select(col("id").as("dst"), col("sigma").as("sw"), col("delta").as("dw"))
+      val terms = symSv.filter(col("sdist") === l.toLong)
+        .join(wf, Seq("dst"))
+        .select(col("src").as("id"), lit(null).cast("long").as("dist"),
+          lit(null).cast("long").as("sigma"),
+          Grid.dy20(col("sv").cast("double") / col("sw")
+            * (lit(1.0) + col("dw"))).as("term"))
+      val zeros = lab.filter(col("dist") === l.toLong)
+        .select(col("id"), col("dist"), col("sigma"), lit(0.0).as("term"))
+      del(l) = rc.pin(s"del$l", zeros.unionByName(terms)
+        .groupBy("id")
+        .agg(max("dist").as("dist"), max("sigma").as("sigma"),
+          sum("term").as("delta")))
     }
-    rc.release("sym")
-    // allSig IS the fused BFS frame (r18: no 9-way union to rebuild it)
-    val allDel = (0 to BfsRounds).map(l => del(l)).reduce(_ unionByName _)
-    lab.join(allDel, Seq("id"))
+    rc.release("symsv")
+    // the level frames carry (dist, sigma) through the aggregation, so
+    // no final lab⋈allDel join — the union IS the output frame
+    (0 to BfsRounds).map(del).reduce(_ unionByName _)
       .select(col("id"), col("dist").cast("int").as("dist"), col("sigma"),
         round(col("delta"), 6).as("betweenness"))
       .orderBy("id") // one row per reached vertex = input-sized

@@ -740,7 +740,10 @@ object LlmOps extends QueryModule {
   private[ops] def signBucketExpr(vec: org.apache.spark.sql.Column, dim: Int,
       planeIds: Seq[Int]): org.apache.spark.sql.Column =
     concat_ws("", planeIds.map { id =>
-      val plane = array(planeComps(id, dim).map(lit): _*)
+      // r19: ONE array literal node instead of CreateArray over 64
+      // lit() children — shrinks every LSH bucketing expression tree
+      // ~64×, which AQE re-analyzes per stage materialization
+      val plane = typedLit(planeComps(id, dim).toArray)
       when(graft.functions.vec.dot(vec, plane) > 0, lit(1)).otherwise(lit(0))
     }: _*)
 
@@ -843,7 +846,7 @@ object LlmOps extends QueryModule {
 
   private def ivfRanked(centroids: Array[Array[Float]]) =
     sort_array(array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-      val cLit = array(c.toIndexedSeq.map(x => lit(x.toDouble)): _*)
+      val cLit = typedLit(c.map(_.toDouble)) // r19: one literal node
       struct(graft.functions.vec.cosine(col("embedding"), cLit).as("cos"),
         lit(i).as("cell"))
     }: _*), asc = false)
@@ -1251,7 +1254,7 @@ object LlmOps extends QueryModule {
     })
     val score = (qc: String => Column, nc: String => Column) =>
       round((0 until 8).foldLeft(lit(0.0)) { (acc, m) =>
-        acc + element_at(array(ip(m).toIndexedSeq.map(lit): _*),
+        acc + element_at(typedLit(ip(m)), // r19: one literal node
           (qc(s"c$m") * 16 + nc(s"c$m") + 1).cast("int"))
       }, 6)
     collapsedPairTopK(encoded, "vec_id", Seq("bucket"),
@@ -1281,7 +1284,7 @@ object LlmOps extends QueryModule {
     */
   private[ops] def pqEncoded(s: SparkSession, d: String,
       cb: Array[Array[Array[Double]]]): DataFrame = {
-    val cbFlat = array(cb.flatten.flatten.toIndexedSeq.map(lit): _*)
+    val cbFlat = typedLit(cb.flatten.flatten) // r19: one literal node
     lshBucketed(s, d, nPlanes = 8)
       .withColumn("pq", graft.functions.vec.pqEncode(col("embedding"), cbFlat, 8, 16))
       .select(col("vec_id") +: col("bucket") +:
@@ -1313,7 +1316,7 @@ object LlmOps extends QueryModule {
   private[ops] def pqTrainedCodebook(emb: DataFrame, iters: Int): Array[Array[Array[Double]]] = {
     var cb = pqCodebook(emb)
     for (_ <- 1 to iters) {
-      val cbFlat = array(cb.flatten.flatten.toIndexedSeq.map(lit): _*)
+      val cbFlat = typedLit(cb.flatten.flatten) // r19: one literal node
       val sums = emb
         .withColumn("pq", graft.functions.vec.pqEncode(col("embedding"), cbFlat, 8, 16))
         .select(posexplode(col("embedding")).as(Seq("pos", "x")), col("pq"))
@@ -1344,7 +1347,7 @@ object LlmOps extends QueryModule {
     * squared diffs per row.
     */
   private[ops] def pqDistortion(emb: DataFrame, cb: Array[Array[Array[Double]]]): Double = {
-    val cbFlat = array(cb.flatten.flatten.toIndexedSeq.map(lit): _*)
+    val cbFlat = typedLit(cb.flatten.flatten) // r19: one literal node
     val enc = emb.withColumn("pq",
       graft.functions.vec.pqEncode(col("embedding"), cbFlat, 8, 16))
     val err = (0 until 8).flatMap { m =>
@@ -1467,8 +1470,8 @@ object LlmOps extends QueryModule {
     */
   private def flatResid(emb: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
     val dim = centroids(0).length
-    val centsFlat = array(
-      centroids.flatMap(_.map(x => lit(x.toDouble))).toIndexedSeq: _*)
+    val centsFlat = typedLit( // r19: one literal node
+      centroids.flatMap(_.map(_.toDouble)))
     ivfAssign(emb, centroids)
       .withColumn("res", transform(col("embedding"),
         (x, j) => x.cast("double") -
@@ -1486,7 +1489,7 @@ object LlmOps extends QueryModule {
       .map(_.getSeq[Double](0))
     val cb = Array.tabulate(8, firstK.length)(
       (m, k) => (0 until 8).map(j => firstK(k)(m * 8 + j)).toArray)
-    val cbFlat = array(cb.flatten.flatten.toIndexedSeq.map(lit): _*)
+    val cbFlat = typedLit(cb.flatten.flatten) // r19: one literal node
     val encoded = resid
       .withColumn("pq", graft.functions.vec.pqEncode(col("res"), cbFlat, 8, 16))
       .select(col("vec_id") +: col("bucket") +:
@@ -2114,6 +2117,14 @@ object LlmOps extends QueryModule {
     * nPlanes/nTables/k can't silently desynchronize the two.
     */
   private def knnEdges(emb: DataFrame, k: Int = 3): DataFrame = {
+    // r19 NOTE: the mirror union below duplicates the candidate+score
+    // SUBTREE in the logical plan (two identical 28-operator branches
+    // in plans/r19/sim_knn_graph_before.txt), but checkpointing scored
+    // before the union was A/B'd and REGRESSED every consumer
+    // (eval_mrr 0.40→1.04 s, eval_*_at_k ~2×, pagerank 3.4→3.8 s):
+    // Spark's ReuseExchangeAndSubquery already deduplicates the
+    // branches at execution, so the eager checkpoint only added a
+    // blocking materialization job. Kept the lazy form.
     val scored = multiLshCandidatesOf(emb, nPlanes = 6, nTables = 6)
       .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
       .join(emb.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
@@ -3191,9 +3202,12 @@ object LlmOps extends QueryModule {
       .agg(sum("c").cast("long").as("sx"),
         sum(col("c") * col("c")).cast("long").as("sx2"),
         count(lit(1)).as("ndocs"))
-    agg.withColumn("rn", row_number().over( // vocab-sized frame by design
-        Window.orderBy(col("sx").desc, col("w").asc)))
-      .filter(col("rn") <= 20)
+    // top-20 as orderBy+limit → TakeOrderedAndProject (distributed
+    // per-partition top-k + driver merge), NOT row_number over an
+    // unpartitioned window, which plans a single-partition sort of the
+    // ENTIRE vocabulary (r18 verdict item 6). (sx, w) is a total order
+    // (w is the group key), so the kept 20 rows are identical.
+    agg.orderBy(col("sx").desc, col("w").asc).limit(20)
       .crossJoin(broadcast(nd)) // 1-row doc count: genuinely bounded
       .select(col("w"), col("sx").as("corpus_count"), col("ndocs").as("n_docs"),
         round((col("n").cast("double") * col("sx2")
